@@ -1,13 +1,816 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.{HashFunctions, TextAnalysis, TextFunctions}
+import graft.operators.{Dedup, Jaccard, Knn}
+
+/** Driver contract — the engine's query surface over the driver's parquet
+  * fixtures, with a DuckDB-runnable oracle per query.
+  *
+  * Conventions keeping the Spark result and the DuckDB oracle hash-equal:
+  *   - integer outputs are always BIGINT (Spark `long`);
+  *   - money/ratio aggregates sum exact DECIMAL then cast to DOUBLE (sum
+  *     order independence), or are pure double arithmetic on identical
+  *     inputs (bit-identical in both engines);
+  *   - every query ends in a total ORDER BY (deterministic row order);
+  *   - hashes are md5-derived (portable), never Spark-internal murmur3.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events with `ts` as a proper timestamp. The fixture writes
+    * TIMESTAMP(NANOS) which Spark only reads as a nanos BIGINT (under
+    * `spark.sql.legacy.parquet.nanosAsLong`) — convert with integer
+    * division (a double roundtrip would lose precision past 2^53).
+    */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+  }
+
+  /** documents with the column names the Jaccard operators expect. */
+  private def docsAsCorpus(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id").as("docId"), col("text"))
+
+  private def decSum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Jaccard.allPairs(docsAsCorpus(spark, "/root/testdata/sf0.001"))
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational core (S1, F1/F2, P1-P4, A1/A2, J1/J2, O1 analogues)
+    "q01_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          decSum(col("l_quantity")).as("sum_qty"),
+          decSum(col("l_extendedprice")).as("sum_base_price"),
+          decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+            .as("sum_disc_price"),
+          round(decSum(col("l_quantity")) / count(lit(1)), 6).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    "q02_filter_project" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate").between(lit("1995-01-01"), lit("1996-12-31"))
+          && col("l_discount").between(0.05, 0.07)
+          && col("l_quantity") < 24)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          round(col("l_extendedprice") * col("l_discount"), 4).as("disc_revenue"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    "q03_join_agg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+          decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    }),
+    "q04_broadcast_join" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_items"), decSum(col("l_quantity")).as("sum_qty"))
+        .orderBy("p_brand")
+    }),
+    "q05_sort_limit" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+    }),
+    "q06_window_topk" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+        .orderBy("o_custkey", "rn")
+    }),
+    "q07_distinct_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          count(lit(1)).as("n_items"))
+        .orderBy("l_suppkey")
+    }),
+    "q08_anti_join" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_totalprice") > 300000.0),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    }),
+    "q09_semi_join" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_totalprice") > 100000.0),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy("c_custkey")
+    }),
+    "q10_setops" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val orders = t(s, dir, "orders")
+      val building = cust.filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("custkey"))
+      val withOrders = orders.select(col("o_custkey").as("custkey"))
+      building.intersect(withOrders).withColumn("tag", lit("both"))
+        .unionAll(building.except(withOrders).withColumn("tag", lit("no_orders")))
+        .select("tag", "custkey")
+        .orderBy("tag", "custkey")
+    }),
+    "q11_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), decSum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+    "q12_scalar_funcs" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("o_year"),
+          month(col("o_orderdate")).cast("long").as("o_month"),
+          substring(col("o_orderpriority"), 1, 1).as("prio_code"),
+          concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("status_prio"),
+          when(col("o_totalprice") > 200000.0, lit("big"))
+            .when(col("o_totalprice") > 100000.0, lit("mid"))
+            .otherwise(lit("small")).as("bucket"),
+          length(col("o_orderpriority")).cast("long").as("prio_len"))
+        .orderBy("o_orderkey")
+    }),
+    "q13_having" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          decSum(col("o_totalprice")).as("total_spent"))
+        .filter(col("n_orders") >= 3)
+        .orderBy("o_custkey")
+    }),
+
+    // ---- the reference's own query family, over the documents table
+    "q20_jac_doc_sizes" -> ((s, dir) => {
+      Jaccard.docSizes(Jaccard.tokenized(docsAsCorpus(s, dir)))
+        .select(col("docId").as("doc_id"), col("size"))
+        .orderBy("doc_id")
+    }),
+    "q21_jac_word_df" -> ((s, dir) => {
+      Jaccard.postings(Jaccard.tokenized(docsAsCorpus(s, dir)))
+        .groupBy("word")
+        .agg(count(lit(1)).as("df"))
+        .orderBy("word")
+    }),
+    "q22_jac_pairs" -> ((s, dir) => {
+      val docs = docsAsCorpus(s, dir).filter(col("docId") < 120)
+      Jaccard.pairIntersections(Jaccard.postings(Jaccard.tokenized(docs)))
+        .select(col("docA").as("doc_a"), col("docB").as("doc_b"), col("inter"))
+        .orderBy("doc_a", "doc_b")
+    }),
+    "q23_jac_sim" -> ((s, dir) => {
+      val docs = docsAsCorpus(s, dir).filter(col("docId") < 120)
+      Jaccard.allPairs(docs)
+        .select(col("docA").as("doc_a"), col("docB").as("doc_b"),
+          col("inter"), col("sizeA").as("size_a"), col("sizeB").as("size_b"),
+          round(col("similarity"), 4).as("similarity"))
+        .orderBy("doc_a", "doc_b")
+    }),
+    "q24_jac_topk" -> ((s, dir) => {
+      val docs = docsAsCorpus(s, dir).filter(col("docId") < 120)
+      Jaccard.topKNeighbors(Jaccard.allPairs(docs), 3)
+        .select(col("doc").as("doc_id"), col("neighbor").as("neighbor_id"),
+          round(col("similarity"), 4).as("similarity"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("doc_id", "rank")
+    }),
+
+    // ---- deduplication suite (training-data pipeline)
+    "q30_dedup_exact" -> ((s, dir) => {
+      Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("text_hash")
+    }),
+    "q31_minhash_sig" -> ((s, dir) => {
+      Dedup.minHashSignatures(t(s, dir, "documents"), "doc_id", "text", k = 8)
+        .select(col("doc_id"), col("perm").cast("long").as("perm"),
+          col("min_hash"))
+        .orderBy("doc_id", "perm")
+    }),
+    "q32_lsh_candidates" -> ((s, dir) => {
+      val sigs = Dedup.minHashSignatures(
+        t(s, dir, "documents"), "doc_id", "text", k = 8)
+      Dedup.lshCandidates(sigs, "doc_id", k = 8, bands = 4)
+        .orderBy("id_a", "id_b")
+    }),
+    "q33_simhash" -> ((s, dir) => {
+      Dedup.simHashes(t(s, dir, "documents"), "doc_id", "text", bits = 32)
+        .orderBy("doc_id")
+    }),
+    "q34_simhash_neardups" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sims = Dedup.simHashes(docs, "doc_id", "text", bits = 32)
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      Dedup.simHashNearDups(sims, "doc_id", col("source"), maxHamming = 8)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+        .orderBy("id_a", "id_b")
+    }),
+    "q35_ngram_neardups" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, blockCol = col("source"), minJaccard = 0.2)
+        .select(col("id_a"), col("id_b"),
+          col("inter").cast("long").as("inter"),
+          col("size_a").cast("long").as("size_a"),
+          col("size_b").cast("long").as("size_b"),
+          round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+    "q36_cosine_neardups" -> ((s, dir) => {
+      Dedup.cosineNearDups(t(s, dir, "embeddings"), "vec_id", "embedding",
+        blockCol = col("label"), minCosine = 0.3)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- similarity search (ANN)
+    "q40_knn_brute" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      Knn.bruteForceTopK(embs, embs.filter(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+    "q41_lsh_buckets" -> ((s, dir) => {
+      Knn.lshBuckets(t(s, dir, "embeddings"), "vec_id", "embedding",
+        tables = 2, planes = 4)
+        .select(col("vec_id"), col("htable").cast("long").as("htable"),
+          col("bucket"))
+        .orderBy("vec_id", "htable")
+    }),
+    "q42_knn_lsh" -> ((s, dir) => {
+      Knn.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 5, tables = 2, planes = 4)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- text analysis (training-data curation)
+    "q50_token_counts" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_words"),
+          TextAnalysis.subwordCountApprox(col("text")).as("n_subwords"))
+        .orderBy("doc_id")
+    }),
+    "q51_quality" -> ((s, dir) => {
+      TextAnalysis.qualityStats(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+    "q52_langid" -> ((s, dir) => {
+      TextAnalysis.langId(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+    "q53_fingerprint" -> ((s, dir) => {
+      TextAnalysis.fingerprints(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // ---- event streams (batch formulation of the streaming ops)
+    "q60_event_windows" -> ((s, dir) => {
+      graft.streaming.EventStreams.windowedCounts(events(s, dir))
+        .orderBy("window_start", "event_type")
+    }),
+    "q61_event_sessions" -> ((s, dir) => {
+      graft.streaming.EventStreams.sessionize(events(s, dir))
+        .orderBy("user_id", "session_id")
+    }),
+
+    // ---- multimodal metadata plumbing (stub decode)
+    "q70_mm_meta" -> ((s, dir) => {
+      val assets = graft.multimodal.Multimodal.asBinaryAssets(
+        t(s, dir, "documents"), "doc_id", "text", "image")
+      graft.multimodal.Multimodal.stubDecodeMeta(assets)
+        .select(col("id"), col("modality"), col("n_bytes"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("channels").cast("long").as("channels"),
+          col("duration_ms"))
+        .orderBy("id")
+    })
+  )
+
+  // ------------------------------------------------------------ oracle SQL
+
+  /** DuckDB tokenizer matching TextFunctions.normalizeTokens. */
+  private val ToksCte =
+    """toks AS (
+      |  SELECT doc_id, list_distinct(list_filter(
+      |    string_split_regex(
+      |      regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+'),
+      |    x -> x != '')) AS tokens
+      |  FROM documents
+      |)""".stripMargin
+
+  /** DuckDB non-deduped normalized words (TextFunctions.normalizedWords). */
+  private val WordsCte =
+    """words AS (
+      |  SELECT doc_id, source, text, list_filter(
+      |    string_split_regex(
+      |      regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+'),
+      |    x -> x != '') AS ws
+      |  FROM documents
+      |)""".stripMargin
+
+  /** DuckDB 60-bit md5 hash matching HashFunctions.md5Long. */
+  private def h60(x: String): String =
+    s"('0x'||substr(md5($x),1,15))::BIGINT"
+
+  /** DuckDB MinHash signature CTE (k=8) matching
+    * Dedup.minHashSignatures — same md5-derived hashes, same permutation
+    * constants mod HashFunctions.MinHashPrime.
+    */
+  private val SigCte =
+    s"""posts AS (SELECT doc_id, unnest(tokens) AS word FROM toks
+       |          WHERE len(tokens) > 0),
+       |sig AS (
+       |  SELECT doc_id, perm,
+       |    min((((perm+1)*1299721 % 2147483629)
+       |         * (${h60("word")} % 2147483629)
+       |         + (perm*7919+104729) % 2147483629) % 2147483629) AS min_hash
+       |  FROM posts
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS perm) perms
+       |  GROUP BY doc_id, perm)""".stripMargin
+
+  /** DuckDB 32-bit SimHash CTE matching Dedup.simHashes. */
+  private val SimHashCte =
+    s"""hashed AS (
+       |  SELECT doc_id, list_transform(tokens, t -> ${h60("t")}) AS hashes
+       |  FROM toks WHERE len(tokens) > 0),
+       |votes AS (
+       |  SELECT doc_id, b, sum(((h >> b) & 1)*2 - 1) AS v
+       |  FROM (SELECT doc_id, unnest(hashes) AS h FROM hashed) eh
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) bits
+       |  GROUP BY doc_id, b),
+       |simhash AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)
+       |      AS BIGINT) AS simhash
+       |  FROM votes GROUP BY doc_id)""".stripMargin
+
+  /** DuckDB left-fold double dot product matching Knn.cosine's
+    * `aggregate` (list_reduce starts from the first element, which equals
+    * a 0.0-seeded fold for IEEE addition).
+    */
+  private def duckDot(a: String, b: String): String =
+    s"list_reduce(list_transform(generate_series(1, len($a)), " +
+      s"ii -> CAST($a[ii] AS DOUBLE) * CAST($b[ii] AS DOUBLE)), " +
+      "(acc, el) -> acc + el)"
+
+  private def duckCos(a: String, b: String): String =
+    s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
+
+  /** DuckDB sign-random-projection bucket matching Knn.lshBucket. */
+  private def duckProj(t: Int, p: Int, vec: String): String =
+    s"list_reduce(list_transform(generate_series(1, len($vec)), " +
+      s"ii -> CAST($vec[ii] AS DOUBLE) * " +
+      s"((('0x'||substr(md5('plane:$t:$p:'||(ii-1)),1,15))::BIGINT " +
+      s"% 1000000 - 500000)::DOUBLE / 1000000.0)), (acc, el) -> acc + el)"
+
+  private def duckBucket(t: Int, planes: Int, vec: String): String =
+    (0 until planes)
+      .map(p => s"(CASE WHEN ${duckProj(t, p, vec)} > 0 THEN ${1L << p} ELSE 0 END)")
+      .mkString("CAST((", " + ", ") AS BIGINT)")
+
+  /** DuckDB 3-word shingles matching TextFunctions.wordShingles(_, 3). */
+  private val ShinglesCte =
+    """sh AS (
+      |  SELECT doc_id, source,
+      |    list_distinct(list_transform(
+      |      generate_series(1, greatest(1, len(ws) - 2)),
+      |      i -> array_to_string(ws[i:i+2], ' '))) AS shingles
+      |  FROM words WHERE len(ws) > 0
+      |)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  round(l_extendedprice * l_discount, 4) AS disc_revenue
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00' AND TIMESTAMP '1996-12-31 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q03_join_agg" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+    "q04_broadcast_join" ->
+      """SELECT p_brand, count(*) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
+    "q05_sort_limit" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+    "q06_window_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        |  FROM orders) sub
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "q07_distinct_agg" ->
+      """SELECT l_suppkey,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_orderkey) AS n_orders,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |GROUP BY l_suppkey
+        |ORDER BY l_suppkey""".stripMargin,
+    "q08_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "q09_semi_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 100000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "q10_setops" ->
+      """SELECT 'both' AS tag, custkey FROM (
+        |  SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders) a
+        |UNION ALL
+        |SELECT 'no_orders' AS tag, custkey FROM (
+        |  SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders) b
+        |ORDER BY tag, custkey""".stripMargin,
+    "q11_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q12_scalar_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(month(o_orderdate) AS BIGINT) AS o_month,
+        |  substr(o_orderpriority, 1, 1) AS prio_code,
+        |  concat_ws('-', o_orderstatus, o_orderpriority) AS status_prio,
+        |  CASE WHEN o_totalprice > 200000.0 THEN 'big'
+        |       WHEN o_totalprice > 100000.0 THEN 'mid'
+        |       ELSE 'small' END AS bucket,
+        |  CAST(length(o_orderpriority) AS BIGINT) AS prio_len
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+    "q13_having" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+        |FROM orders
+        |GROUP BY o_custkey
+        |HAVING count(*) >= 3
+        |ORDER BY o_custkey""".stripMargin,
+    "q20_jac_doc_sizes" ->
+      s"""WITH $ToksCte
+         |SELECT doc_id, CAST(len(tokens) AS BIGINT) AS size
+         |FROM toks WHERE len(tokens) > 0
+         |ORDER BY doc_id""".stripMargin,
+    "q21_jac_word_df" ->
+      s"""WITH $ToksCte
+         |SELECT word, count(*) AS df FROM (
+         |  SELECT doc_id, unnest(tokens) AS word FROM toks WHERE len(tokens) > 0) p
+         |GROUP BY word
+         |ORDER BY word""".stripMargin,
+    "q22_jac_pairs" ->
+      s"""WITH $ToksCte,
+         |posts AS (SELECT doc_id, unnest(tokens) AS word FROM toks
+         |          WHERE len(tokens) > 0 AND doc_id < 120)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |FROM posts a JOIN posts b ON a.word = b.word AND a.doc_id < b.doc_id
+         |GROUP BY a.doc_id, b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q23_jac_sim" ->
+      s"""WITH $ToksCte,
+         |sizes AS (SELECT doc_id, CAST(len(tokens) AS BIGINT) AS sz FROM toks
+         |          WHERE len(tokens) > 0 AND doc_id < 120),
+         |posts AS (SELECT doc_id, unnest(tokens) AS word FROM toks
+         |          WHERE len(tokens) > 0 AND doc_id < 120),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM posts a JOIN posts b ON a.word = b.word AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT doc_a, doc_b, inter, sa.sz AS size_a, sb.sz AS size_b,
+         |  round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS similarity
+         |FROM pairs
+         |JOIN sizes sa ON doc_a = sa.doc_id
+         |JOIN sizes sb ON doc_b = sb.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q24_jac_topk" ->
+      s"""WITH $ToksCte,
+         |sizes AS (SELECT doc_id, CAST(len(tokens) AS BIGINT) AS sz FROM toks
+         |          WHERE len(tokens) > 0 AND doc_id < 120),
+         |posts AS (SELECT doc_id, unnest(tokens) AS word FROM toks
+         |          WHERE len(tokens) > 0 AND doc_id < 120),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM posts a JOIN posts b ON a.word = b.word AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |sims AS (
+         |  SELECT doc_a, doc_b,
+         |    CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS similarity
+         |  FROM pairs
+         |  JOIN sizes sa ON doc_a = sa.doc_id
+         |  JOIN sizes sb ON doc_b = sb.doc_id),
+         |directed AS (
+         |  SELECT doc_a AS doc_id, doc_b AS neighbor_id, similarity FROM sims
+         |  UNION ALL
+         |  SELECT doc_b AS doc_id, doc_a AS neighbor_id, similarity FROM sims)
+         |SELECT doc_id, neighbor_id, round(similarity, 4) AS similarity, rank
+         |FROM (
+         |  SELECT doc_id, neighbor_id, similarity,
+         |    CAST(row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY similarity DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM directed) ranked
+         |WHERE rank <= 3
+         |ORDER BY doc_id, rank""".stripMargin,
+
+    // ---- dedup suite oracles
+    "q30_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id,
+        |  count(*) AS n_copies
+        |FROM documents
+        |GROUP BY md5(text)
+        |ORDER BY text_hash""".stripMargin,
+    "q31_minhash_sig" ->
+      s"""WITH $ToksCte,
+         |$SigCte
+         |SELECT doc_id, CAST(perm AS BIGINT) AS perm, min_hash
+         |FROM sig ORDER BY doc_id, perm""".stripMargin,
+    "q32_lsh_candidates" ->
+      s"""WITH $ToksCte,
+         |$SigCte,
+         |banded AS (
+         |  SELECT doc_id, CAST(perm // 2 AS INT) AS band,
+         |    list(min_hash ORDER BY perm) AS band_key
+         |  FROM sig GROUP BY doc_id, band)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  count(*) AS n_shared_bands
+         |FROM banded a JOIN banded b
+         |  ON a.band = b.band AND a.band_key = b.band_key
+         |  AND a.doc_id < b.doc_id
+         |GROUP BY a.doc_id, b.doc_id
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q33_simhash" ->
+      s"""WITH $ToksCte,
+         |$SimHashCte
+         |SELECT doc_id, simhash FROM simhash ORDER BY doc_id""".stripMargin,
+    "q34_simhash_neardups" ->
+      s"""WITH $ToksCte,
+         |$SimHashCte,
+         |sims AS (
+         |  SELECT s.doc_id, s.simhash, d.source
+         |  FROM simhash s JOIN documents d ON s.doc_id = d.doc_id)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM sims a JOIN sims b
+         |  ON a.source = b.source AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q35_ngram_neardups" ->
+      s"""WITH $WordsCte,
+         |$ShinglesCte,
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    len(list_intersect(a.shingles, b.shingles)) AS inter,
+         |    len(a.shingles) AS size_a, len(b.shingles) AS size_b
+         |  FROM sh a JOIN sh b
+         |    ON a.source = b.source AND a.doc_id < b.doc_id),
+         |scored AS (
+         |  SELECT id_a, id_b, inter, size_a, size_b,
+         |    CASE WHEN size_a + size_b - inter > 0
+         |      THEN CAST(inter AS DOUBLE) / (size_a + size_b - inter)
+         |      ELSE 0.0 END AS jaccard
+         |  FROM pairs)
+         |SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+         |  CAST(size_a AS BIGINT) AS size_a, CAST(size_b AS BIGINT) AS size_b,
+         |  round(jaccard, 4) AS jaccard
+         |FROM scored WHERE jaccard >= 0.2
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q36_cosine_neardups" ->
+      s"""WITH pairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    ${duckCos("a.embedding", "b.embedding")} AS cosine
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, round(cosine, 6) AS cosine
+         |FROM pairs WHERE cosine >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // ---- ANN oracles
+    "q40_knn_brute" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |           FROM embeddings WHERE vec_id < 20),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         |scored AS (
+         |  SELECT query_id, neighbor_id, ${duckCos("qv", "cv")} AS cosine
+         |  FROM c CROSS JOIN q WHERE query_id != neighbor_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
+         |FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+    "q41_lsh_buckets" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, 0 AS htable, ${duckBucket(0, 4, "embedding")} AS bucket
+         |  FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id, 1 AS htable, ${duckBucket(1, 4, "embedding")} AS bucket
+         |  FROM embeddings)
+         |SELECT vec_id, CAST(htable AS BIGINT) AS htable, bucket
+         |FROM b ORDER BY vec_id, htable""".stripMargin,
+    "q42_knn_lsh" ->
+      s"""WITH bkt AS (
+         |  SELECT vec_id, 0 AS htable, ${duckBucket(0, 4, "embedding")} AS bucket
+         |  FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id, 1 AS htable, ${duckBucket(1, 4, "embedding")} AS bucket
+         |  FROM embeddings),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+         |  FROM bkt a JOIN bkt b
+         |    ON a.htable = b.htable AND a.bucket = b.bucket
+         |    AND a.vec_id != b.vec_id),
+         |scored AS (
+         |  SELECT query_id, neighbor_id,
+         |    ${duckCos("qa.embedding", "qb.embedding")} AS cosine
+         |  FROM cand
+         |  JOIN embeddings qa ON cand.query_id = qa.vec_id
+         |  JOIN embeddings qb ON cand.neighbor_id = qb.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
+         |FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // ---- text analysis oracles
+    "q50_token_counts" ->
+      s"""WITH $WordsCte
+         |SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+         |  CAST(coalesce(list_sum(list_transform(ws,
+         |    w -> greatest(1, CAST(ceil(length(w)/4.0) AS BIGINT)))), 0)
+         |    AS BIGINT) AS n_subwords
+         |FROM words ORDER BY doc_id""".stripMargin,
+    "q51_quality" ->
+      s"""WITH $WordsCte
+         |SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(len(ws) AS BIGINT) AS n_words,
+         |  CAST(len(list_distinct(ws)) AS BIGINT) AS n_unique,
+         |  round(CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS DOUBLE)
+         |    / greatest(length(text), 1), 4) AS alpha_ratio,
+         |  round(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+         |    / greatest(length(text), 1), 4) AS digit_ratio,
+         |  round(CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+         |    / greatest(length(text), 1), 4) AS punct_ratio,
+         |  round(CAST(len(list_filter(ws, w -> w IN ('the','and','of','to','a','in','is','it','that','for'))) AS DOUBLE)
+         |    / greatest(len(ws), 1), 4) AS stopword_ratio,
+         |  round(CAST(len(list_distinct(ws)) AS DOUBLE)
+         |    / greatest(len(ws), 1), 4) AS unique_ratio
+         |FROM words ORDER BY doc_id""".stripMargin,
+    "q52_langid" ->
+      s"""WITH $WordsCte,
+         |hits AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(ws, w -> w IN ('the','and','of','to','a','in','is','it','that','for'))) AS BIGINT) AS hits_en,
+         |    CAST(len(list_filter(ws, w -> w IN ('le','la','les','de','et','un','une','est','que','pour'))) AS BIGINT) AS hits_fr,
+         |    CAST(len(list_filter(ws, w -> w IN ('el','la','los','de','y','un','una','es','que','para'))) AS BIGINT) AS hits_es,
+         |    CAST(len(list_filter(ws, w -> w IN ('der','die','das','und','ein','eine','ist','nicht','mit','von'))) AS BIGINT) AS hits_de
+         |  FROM words)
+         |SELECT doc_id, hits_en, hits_fr, hits_es, hits_de,
+         |  CASE
+         |    WHEN hits_de = greatest(hits_en, hits_fr, hits_es, hits_de)
+         |      AND greatest(hits_en, hits_fr, hits_es, hits_de) > 0 THEN 'de'
+         |    WHEN hits_en = greatest(hits_en, hits_fr, hits_es, hits_de)
+         |      AND greatest(hits_en, hits_fr, hits_es, hits_de) > 0 THEN 'en'
+         |    WHEN hits_es = greatest(hits_en, hits_fr, hits_es, hits_de)
+         |      AND greatest(hits_en, hits_fr, hits_es, hits_de) > 0 THEN 'es'
+         |    WHEN hits_fr = greatest(hits_en, hits_fr, hits_es, hits_de)
+         |      AND greatest(hits_en, hits_fr, hits_es, hits_de) > 0 THEN 'fr'
+         |    ELSE 'und' END AS lang_pred
+         |FROM hits ORDER BY doc_id""".stripMargin,
+    "q53_fingerprint" ->
+      s"""WITH $WordsCte,
+         |canon AS (
+         |  SELECT doc_id, array_to_string(ws, ' ') AS c FROM words)
+         |SELECT doc_id, md5(c) AS canon_md5,
+         |  CAST(CASE WHEN length(c) = 0 THEN 0
+         |    ELSE list_reduce(
+         |      list_transform(string_split(c, ''), ch -> CAST(ascii(ch) AS BIGINT)),
+         |      (acc, x) -> (acc * 257 + x) % 2147483647)
+         |    END AS BIGINT) AS rolling_fp
+         |FROM canon ORDER BY doc_id""".stripMargin,
+
+    // ---- event-stream oracles (batch formulation)
+    "q60_event_windows" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+        |  event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY window_start, event_type""".stripMargin,
+    "q61_event_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS secs
+        |  FROM events),
+        |lagged AS (
+        |  SELECT user_id, event_id, secs,
+        |    lag(secs) OVER (PARTITION BY user_id ORDER BY secs, event_id) AS prev_secs
+        |  FROM e),
+        |flagged AS (
+        |  SELECT user_id, event_id, secs,
+        |    CASE WHEN prev_secs IS NULL OR secs - prev_secs > 1800
+        |      THEN 1 ELSE 0 END AS new_sess
+        |  FROM lagged),
+        |sess AS (
+        |  SELECT user_id, secs,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY secs, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(secs) AS sess_start, max(secs) AS sess_end
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    // ---- multimodal metadata oracle (stub decode is deterministic md5 math)
+    "q70_mm_meta" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(hex(encode(text))), 1, 15))::BIGINT AS hv,
+        |    encode(text) AS blob
+        |  FROM documents)
+        |SELECT doc_id AS id, 'image' AS modality,
+        |  CAST(octet_length(blob) AS BIGINT) AS n_bytes,
+        |  CAST(hv % 512 + 64 AS BIGINT) AS width,
+        |  CAST((hv >> 9) % 512 + 64 AS BIGINT) AS height,
+        |  CAST(3 AS BIGINT) AS channels,
+        |  CAST(0 AS BIGINT) AS duration_ms
+        |FROM h ORDER BY id""".stripMargin
+  )
 }

@@ -1,0 +1,108 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashFunctions
+
+/** Multimodal-column plumbing: image/audio/video payloads ride through the
+  * engine as opaque `binary` columns with typed metadata alongside, the
+  * standard layout for training-data lakes (one row per asset, bytes +
+  * metadata columns, parquet-encoded).
+  *
+  * The Spark-side mechanics here — schema, per-partition batched decode,
+  * frame-sampling explode, partition sizing — are real and tested. The
+  * actual codec calls are STUBBED with a deterministic fake (this
+  * container has no image/audio libraries): `stubDecode*` derive plausible
+  * metadata from a content hash. Swap `decodeFn` for a real decoder (JNI /
+  * javacv) without touching any of the plumbing.
+  */
+object Multimodal {
+
+  /** A decoded-asset metadata record. */
+  case class AssetMeta(id: Long, modality: String, nBytes: Long,
+                       width: Int, height: Int, channels: Int,
+                       durationMs: Long)
+
+  /** Wrap a text/id DataFrame as a binary-asset table (for fixtures — in
+    * production the binary column comes straight from parquet).
+    * Output: id, modality, content (binary), n_bytes.
+    */
+  def asBinaryAssets(df: DataFrame, idCol: String, payloadCol: String,
+                     modality: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("id"),
+      lit(modality).as("modality"),
+      encode(col(payloadCol), "UTF-8").as("content"),
+      octet_length(col(payloadCol)).cast("long").as("n_bytes"))
+
+  /** Deterministic fake decode: metadata derived from the md5 of the
+    * payload. Column-only (codegen'd) — this is the *metadata-extraction*
+    * path; the imperative batched path is `decodePartitions`.
+    */
+  def stubDecodeMeta(assets: DataFrame): DataFrame = {
+    // hash the UPPERCASE hex of the payload: `hex` is identical across
+    // engines, unlike base64 (Spark's base64 is MIME-chunked with CRLFs)
+    val h = HashFunctions.md5Long(hex(col("content")))
+    assets.select(
+      col("id"), col("modality"), col("n_bytes"),
+      (h % 512 + 64).cast("int").as("width"),
+      (shiftright(h, 9) % 512 + 64).cast("int").as("height"),
+      when(col("modality") === "image", 3).otherwise(1).cast("int").as("channels"),
+      when(col("modality").isin("audio", "video"),
+        shiftright(h, 18) % 60000L).otherwise(0L).as("duration_ms"))
+  }
+
+  /** The real-decoder seam: batched per-partition decode via
+    * `mapPartitions` (one decoder instance per partition, the JVM
+    * equivalent of `mapInPandas` batching). `decodeFn` receives raw bytes;
+    * the default is the deterministic stub.
+    */
+  def decodePartitions(
+      assets: DataFrame,
+      decodeFn: (Array[Byte], String) => (Int, Int, Int, Long) = stubDecodeBytes)
+      : Dataset[AssetMeta] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select("id", "modality", "content", "n_bytes")
+      .as[(Long, String, Array[Byte], Long)]
+      .mapPartitions { it =>
+        // per-partition decoder setup would happen here (e.g. native lib
+        // handle); the iterator keeps the decode pipelined and batched
+        it.map { case (id, modality, bytes, nBytes) =>
+          val (w, h, c, d) = decodeFn(bytes, modality)
+          AssetMeta(id, modality, nBytes, w, h, c, d)
+        }
+      }
+  }
+
+  /** Deterministic stand-in for a codec: ??? in spirit — returns metadata
+    * derived from content bytes so tests are stable. Computes the exact
+    * same values as `stubDecodeMeta` (md5 of the uppercase-hex payload,
+    * first 15 hex digits) so the columnar and mapPartitions paths agree.
+    */
+  def stubDecodeBytes(bytes: Array[Byte], modality: String): (Int, Int, Int, Long) = {
+    val hexStr = bytes.map("%02X".format(_)).mkString
+    val h = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(hexStr.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15), 16)
+    val w = (h % 512 + 64).toInt
+    val hgt = ((h >> 9) % 512 + 64).toInt
+    val c = if (modality == "image") 3 else 1
+    val d = if (modality == "audio" || modality == "video") (h >> 18) % 60000L else 0L
+    (w, hgt, c, d)
+  }
+
+  /** Frame sampling: one row per sampled frame index for video assets —
+    * `explode(sequence(...))`, i.e. the fan-out stays distributed and
+    * codegen'd; a real pipeline would decode the frame bytes in a
+    * downstream `decodePartitions`.
+    */
+  def sampleFrames(assets: DataFrame, everyMs: Long): DataFrame =
+    stubDecodeMeta(assets)
+      .filter(col("modality") === "video" && col("duration_ms") > 0)
+      .select(col("id"), col("duration_ms"),
+        explode(sequence(lit(0L), col("duration_ms") - 1, lit(everyMs)))
+          .as("frame_ts_ms"))
+}
