@@ -214,15 +214,19 @@ object SparkEntry {
       Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("text_hash")
     }),
+    // MinHash sketches 3-word shingle sets, not unigram sets: the fixture
+    // corpus has a ~31-word vocabulary, so unigram sets are near-identical
+    // across docs and LSH banding would degenerate to an all-pairs join.
     "q31_minhash_sig" -> ((s, dir) => {
-      Dedup.minHashSignatures(t(s, dir, "documents"), "doc_id", "text", k = 8)
+      Dedup.minHashSignatures(t(s, dir, "documents"), "doc_id", "text",
+        k = 8, tokenize = TextFunctions.wordShingles(_, 3))
         .select(col("doc_id"), col("perm").cast("long").as("perm"),
           col("min_hash"))
         .orderBy("doc_id", "perm")
     }),
     "q32_lsh_candidates" -> ((s, dir) => {
-      val sigs = Dedup.minHashSignatures(
-        t(s, dir, "documents"), "doc_id", "text", k = 8)
+      val sigs = Dedup.minHashSignatures(t(s, dir, "documents"), "doc_id",
+        "text", k = 8, tokenize = TextFunctions.wordShingles(_, 3))
       Dedup.lshCandidates(sigs, "doc_id", k = 8, bands = 4)
         .orderBy("id_a", "id_b")
     }),
@@ -353,18 +357,19 @@ object SparkEntry {
     s"('0x'||substr(md5($x),1,15))::BIGINT"
 
   /** DuckDB MinHash signature CTE (k=8) matching
-    * Dedup.minHashSignatures — same md5-derived hashes, same permutation
-    * constants mod HashFunctions.MinHashPrime.
+    * Dedup.minHashSignatures over 3-word shingles — same md5-derived
+    * hashes, same permutation constants mod HashFunctions.MinHashPrime.
+    * Requires `words` + `sh` (WordsCte, ShinglesCte) upstream.
     */
   private val SigCte =
-    s"""posts AS (SELECT doc_id, unnest(tokens) AS word FROM toks
-       |          WHERE len(tokens) > 0),
+    s"""shposts AS (SELECT doc_id, unnest(shingles) AS word FROM sh
+       |            WHERE len(shingles) > 0),
        |sig AS (
        |  SELECT doc_id, perm,
        |    min((((perm+1)*1299721 % 2147483629)
        |         * (${h60("word")} % 2147483629)
        |         + (perm*7919+104729) % 2147483629) % 2147483629) AS min_hash
-       |  FROM posts
+       |  FROM shposts
        |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS perm) perms
        |  GROUP BY doc_id, perm)""".stripMargin
 
@@ -592,12 +597,14 @@ object SparkEntry {
         |GROUP BY md5(text)
         |ORDER BY text_hash""".stripMargin,
     "q31_minhash_sig" ->
-      s"""WITH $ToksCte,
+      s"""WITH $WordsCte,
+         |$ShinglesCte,
          |$SigCte
          |SELECT doc_id, CAST(perm AS BIGINT) AS perm, min_hash
          |FROM sig ORDER BY doc_id, perm""".stripMargin,
     "q32_lsh_candidates" ->
-      s"""WITH $ToksCte,
+      s"""WITH $WordsCte,
+         |$ShinglesCte,
          |$SigCte,
          |banded AS (
          |  SELECT doc_id, CAST(perm // 2 AS INT) AS band,

@@ -30,15 +30,37 @@ object HashFunctions {
   def minHashA(j: Int): Long = (j + 1L) * 1299721L % MinHashPrime
   def minHashB(j: Int): Long = (j * 7919L + 104729L) % MinHashPrime
 
-  /** MinHash value for permutation `j` over a token array:
-    * `min_t ((a_j * (md5Long(t) mod P) + b_j) mod P)`.
+  /** Per-token 60-bit hashes reduced mod MinHashPrime — compute this ONCE
+    * into its own projected column, then derive all k permutations from
+    * it: md5 is the expensive part and must not be re-evaluated per
+    * permutation (k× the work) or, worse, be inlined into a lambda body.
+    */
+  def tokenHashes(tokens: Column): Column =
+    transform(tokens, t => md5Long(t) % MinHashPrime)
+
+  /** MinHash value for permutation `j` over pre-reduced token hashes:
+    * `min_h ((a_j * h + b_j) mod P)` — pure integer lambda, cheap per
+    * element.
+    */
+  def minHashFromHashes(hashes: Column, j: Int): Column =
+    array_min(transform(hashes, h =>
+      (lit(minHashA(j)) * h + lit(minHashB(j))) % MinHashPrime))
+
+  /** Full k-permutation MinHash signature from pre-reduced token hashes. */
+  def minHashSignatureFromHashes(hashes: Column, k: Int): Column =
+    array((0 until k).map(j => minHashFromHashes(hashes, j)): _*)
+
+  /** MinHash value for permutation `j` over a token array. Convenience
+    * form; prefer `tokenHashes` + `minHashFromHashes` when computing more
+    * than one permutation.
     */
   def minHash(tokens: Column, j: Int): Column =
-    array_min(transform(tokens, t =>
-      (lit(minHashA(j)) * (md5Long(t) % MinHashPrime) + lit(minHashB(j)))
-        % MinHashPrime))
+    minHashFromHashes(tokenHashes(tokens), j)
 
-  /** Full k-permutation MinHash signature as an array column. */
+  /** Full k-permutation MinHash signature as an array column. Re-hashes
+    * the tokens k times — only for one-off use; operators materialize
+    * `tokenHashes` first.
+    */
   def minHashSignature(tokens: Column, k: Int): Column =
     array((0 until k).map(j => minHash(tokens, j)): _*)
 

@@ -37,17 +37,54 @@ object TextFunctions {
     * detection). Joins normalized tokens with single spaces first so
     * shingles are whitespace-canonical, then slides a window of `n` chars.
     */
-  def charShingles(text: Column, n: Int): Column = {
-    val canon = concat_ws(" ", normalizedWords(text))
-    val idx = sequence(lit(1), greatest(lit(1), length(canon) - lit(n - 1)))
-    array_distinct(transform(idx, (i: Column) => substring(canon, i, lit(n))))
+  /** n-gram windows over an element array, via a zip-with chain against
+    * offset slices of the same array.
+    *
+    * WHY this shape: the obvious
+    * `transform(sequence(...), i => slice(elems, i, n))` puts `elems` in
+    * the LAMBDA BODY, and higher-order functions re-evaluate lambda-body
+    * subtrees per element — if `elems` is a tokenizer chain (regex, split)
+    * that turns an O(len) projection into O(len²) per row (measured 15 s
+    * for 5 k docs). In the zip-with chain every occurrence of `elems` is
+    * an argument position, evaluated once per row; the lambdas touch only
+    * their own elements.
+    *
+    * zip_with pads the shorter (offset) side with null and `combine` is
+    * expected to ignore nulls (concat_ws does), so the trailing short
+    * windows exist but are sliced off: exactly `max(1, len-n+1)` windows,
+    * the final one possibly shorter than n when len < n; empty input gives
+    * an empty result.
+    */
+  private def windowed(elems: Column, n: Int,
+                       combine: (Column, Column) => Column): Column = {
+    val joined = (2 to n).foldLeft(elems) { (acc, o) =>
+      val shifted = slice(elems, lit(o),
+        greatest(size(elems) - lit(o - 1), lit(0)))
+      zip_with(acc, shifted, combine)
+    }
+    array_distinct(slice(joined, lit(1),
+      when(size(elems) === 0, lit(0))
+        .otherwise(greatest(lit(1), size(elems) - lit(n - 1)))))
   }
 
-  /** Word n-gram shingles (set) of the normalized token stream. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val words = normalizedWords(text)
-    val idx = sequence(lit(1), greatest(lit(1), size(words) - lit(n - 1)))
-    array_distinct(
-      transform(idx, (i: Column) => concat_ws(" ", slice(words, i, lit(n)))))
+  /** Character n-gram shingles of the whitespace-canonicalized normalized
+    * text (for near-dup detection).
+    */
+  def charShingles(text: Column, n: Int): Column = {
+    val canon = concat_ws(" ", normalizedWords(text))
+    // split(c, "") keeps a trailing "" (Java split semantics) — drop it
+    val chars = filter(split(canon, ""), (c: Column) => c =!= "")
+    windowed(chars, n, (a, b) => concat_ws("", a, b))
   }
+
+  /** Word n-gram shingles (set) of the normalized token stream. For hot
+    * paths, pre-materialize the words array in its own projection and call
+    * `wordShinglesOf` on the attribute.
+    */
+  def wordShingles(text: Column, n: Int): Column =
+    wordShinglesOf(normalizedWords(text), n)
+
+  /** Word n-gram shingles over an already-computed words array column. */
+  def wordShinglesOf(words: Column, n: Int): Column =
+    windowed(words, n, (a, b) => concat_ws(" ", a, b))
 }

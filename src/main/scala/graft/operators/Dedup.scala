@@ -40,15 +40,32 @@ object Dedup {
 
   /** Per-document MinHash signature, exploded to (id, perm, min_hash) rows
     * (exploded form is oracle-friendly and joins cheaply).
+    *
+    * `tokenize` picks the set the signature sketches. The default is
+    * unigram tokens; pass `TextFunctions.wordShingles(_, n)` for corpora
+    * with small vocabularies — unigram sets of near-identical docs collide
+    * on almost every band, degenerating LSH to an all-pairs join, while
+    * n-gram shingles keep the signatures discriminative.
     */
   def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
-                        k: Int): DataFrame =
+                        k: Int,
+                        tokenize: Column => Column =
+                          TextFunctions.normalizeTokens): DataFrame =
     docs
+      // cheap empty-doc test BEFORE the tokenizer projection — a
+      // size(tokens)>0 filter after it would be pushed down with the whole
+      // tokenizer chain substituted in, doubling the scan work. Contract:
+      // `tokenize` yields non-empty exactly when the lowercased text has
+      // an alphanumeric char (true of normalizeTokens and wordShingles).
+      .filter(lower(col(textCol)).rlike("[a-z0-9]"))
+      .select(col(idCol), tokenize(col(textCol)).as("tokens"))
+      // md5 once per token into its own column; the k permutations below
+      // are then integer-only lambdas over this attribute (CollapseProject
+      // keeps the boundary: `hashes` is non-cheap and referenced k times)
       .select(col(idCol),
-        TextFunctions.normalizeTokens(col(textCol)).as("tokens"))
-      .filter(size(col("tokens")) > 0)
+        HashFunctions.tokenHashes(col("tokens")).as("hashes"))
       .select(col(idCol),
-        posexplode(HashFunctions.minHashSignature(col("tokens"), k))
+        posexplode(HashFunctions.minHashSignatureFromHashes(col("hashes"), k))
           .as(Seq("perm", "min_hash")))
 
   /** LSH candidate pairs: band the k-perm signature into `bands` bands of
@@ -98,9 +115,9 @@ object Dedup {
   def simHashes(docs: DataFrame, idCol: String, textCol: String,
                 bits: Int = 32): DataFrame =
     docs
+      .filter(lower(col(textCol)).rlike("[a-z0-9]"))
       .select(col(idCol),
         TextFunctions.normalizeTokens(col(textCol)).as("tokens"))
-      .filter(size(col("tokens")) > 0)
       .withColumn("hashes",
         transform(col("tokens"), t => HashFunctions.md5Long(t)))
       .select(col(idCol),
@@ -125,27 +142,51 @@ object Dedup {
   }
 
   /** Exact n-gram (word-shingle) Jaccard for pairs within a blocking
-    * column. This is the verification stage run on LSH/SimHash candidates —
-    * `array_intersect`/set sizes on already-shingled docs.
+    * column, in the posting-list formulation: explode shingles, equi-join
+    * on (block, shingle) to count shared shingles per pair, then join set
+    * sizes and score. A pair is only ever materialized if it shares at
+    * least one shingle, so the quadratic all-pairs-within-block join (and
+    * its per-pair `array_intersect` over full shingle arrays) never runs —
+    * the shuffle key is the shingle, partitions stay balanced, and
+    * `HashAggregate` does map-side partial counting. Requires
+    * `minJaccard > 0` (zero-overlap pairs are unrepresentable by
+    * construction, exactly the rows a positive threshold discards anyway).
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, blockCol: Column,
                         minJaccard: Double): DataFrame = {
+    require(minJaccard > 0.0,
+      "posting-list similarity join cannot emit zero-overlap pairs; " +
+        "use a positive threshold")
     val sh = docs
+      // cheap empty-doc filter (see minHashSignatures for rationale)
+      .filter(lower(col(textCol)).rlike("[a-z0-9]"))
       .withColumn("block", blockCol)
+      // words materialized in their own projection so the shingle windows
+      // reference an attribute, not a re-evaluated tokenizer chain
       .select(col(idCol), col("block"),
-        TextFunctions.wordShingles(col(textCol), n).as("shingles"))
-      .filter(size(col("shingles")) > 0)
-    sh.as("a")
-      .join(sh.as("b"),
+        TextFunctions.normalizedWords(col(textCol)).as("ws"))
+      .select(col(idCol), col("block"),
+        TextFunctions.wordShinglesOf(col("ws"), n).as("shingles"))
+    val posts = sh.select(col("block"), col(idCol),
+      explode(col("shingles")).as("shingle"))
+    // shingles are distinct per doc, so |set| = posting count — derived
+    // from `posts` instead of a third scan of the shingle pipeline
+    val sizes = posts.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val pairs = posts.as("a")
+      .join(posts.as("b"),
         col("a.block") === col("b.block") &&
+          col("a.shingle") === col("b.shingle") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(
-        col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        size(array_intersect(col("a.shingles"), col("b.shingles")))
-          .as("inter"),
-        size(col("a.shingles")).as("size_a"),
-        size(col("b.shingles")).as("size_b"))
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("size_a")),
+        "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("size_b")),
+        "id_b")
+      .select(col("id_a"), col("id_b"), col("inter"),
+        col("size_a"), col("size_b"))
       .withColumn("jaccard",
         Jaccard.jaccardScore(col("inter"), col("size_a"), col("size_b")))
       .filter(col("jaccard") >= minJaccard)
@@ -158,13 +199,15 @@ object Dedup {
   def cosineNearDups(embs: DataFrame, idCol: String, vecCol: String,
                      blockCol: Column, minCosine: Double): DataFrame = {
     val e = embs.withColumn("block", blockCol)
-      .select(col(idCol), col("block"), col(vecCol).as("vec"))
+      .select(col(idCol), col("block"), col(vecCol).as("vec"),
+        Knn.norm(col(vecCol)).as("nrm"))
     e.as("a")
       .join(e.as("b"),
         col("a.block") === col("b.block") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        Knn.cosine(col("a.vec"), col("b.vec")).as("cosine"))
+        (Knn.dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")))
+          .as("cosine"))
       .filter(col("cosine") >= minCosine)
   }
 }

@@ -30,11 +30,19 @@ object Jaccard {
   /** docs(docId, text) → (docId, tokens) with empty-token docs dropped —
     * a doc with no tokens emits nothing in the reference
     * (`DocumentSimilarityMapper.java:29-31`) and can never pair.
+    *
+    * The empty-doc test is `lower(text) RLIKE '[a-z0-9]'`, NOT
+    * `size(tokens) > 0`: predicate pushdown substitutes a filter's alias
+    * references, so a size() filter over the tokens projection would
+    * re-evaluate the whole tokenizer chain inside the scan filter. The
+    * rlike form is equivalent (a token exists iff some lowercased char is
+    * alphanumeric — checked on lower() so chars that only lowercase INTO
+    * a-z, e.g. Kelvin K or Turkish İ, agree) and nearly free.
     */
   def tokenized(docs: DataFrame): DataFrame =
     docs
+      .filter(lower(col("text")).rlike("[a-z0-9]"))
       .select(col("docId"), TextFunctions.normalizeTokens(col("text")).as("tokens"))
-      .filter(size(col("tokens")) > 0)
 
   /** A1 — |A| per document. Narrow: no shuffle at all. */
   def docSizes(tokenizedDocs: DataFrame): DataFrame =

@@ -25,18 +25,26 @@ import graft.functions.HashFunctions
   */
 object Knn {
 
+  private def dsum(xs: Column): Column =
+    aggregate(xs, lit(0.0), (acc, x) => acc + x)
+
   /** Cosine similarity of two `array<float>` columns, computed as
     * fold-left double sums (portable, codegen'd, no UDF).
     */
-  def cosine(a: Column, b: Column): Column = {
-    def dsum(xs: Column): Column =
-      aggregate(xs, lit(0.0), (acc, x) => acc + x)
-    val dot = dsum(zip_with(a, b,
-      (x, y) => x.cast("double") * y.cast("double")))
-    val na = dsum(transform(a, x => x.cast("double") * x.cast("double")))
-    val nb = dsum(transform(b, x => x.cast("double") * x.cast("double")))
-    dot / (sqrt(na) * sqrt(nb))
-  }
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Dot product of two vector columns in float64. */
+  def dot(a: Column, b: Column): Column =
+    dsum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+
+  /** Euclidean norm of a vector column. Pair operators compute this once
+    * per VECTOR and join it alongside, instead of once per PAIR inside
+    * `cosine` — at n vectors and P candidate pairs that is n norm scans
+    * instead of 2P (the dot product is the only per-pair work left).
+    */
+  def norm(a: Column): Column =
+    sqrt(dsum(transform(a, x => x.cast("double") * x.cast("double"))))
 
   /** Exact top-k: for each query vector, the k nearest corpus vectors by
     * cosine. `queries` is expected to be small — it is broadcast, making
@@ -44,47 +52,61 @@ object Knn {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qv"), col("cv")).as("cosine"))
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
   /** Deterministic pseudo-random hyperplane component for (table, plane,
-    * dim) — derived from the portable md5 hash, mapped to [-0.5, 0.5).
+    * dim) — md5-derived, mapped to [-0.5, 0.5). Computed ONCE on the
+    * driver and shipped as a literal: the column-expression equivalent
+    * would re-hash `tables × planes × dim` md5s for every row.
+    * Bit-identical to `HashFunctions.md5Long` (and the DuckDB oracle's
+    * `('0x'||substr(md5(x),1,15))::BIGINT`).
     */
-  private def planeComponent(table: Int, plane: Int, dim: Column): Column =
-    ((HashFunctions.md5Long(
-      concat_ws(":", lit("plane"), lit(table), lit(plane), dim))
-      % 1000000L) - 500000L).cast("double") / 1000000.0
+  private def planeComponent(table: Int, plane: Int, dim: Int): Double = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"plane:$table:$plane:$dim".getBytes("UTF-8"))
+    val hex = digest.map(b => f"$b%02x").mkString.substring(0, 15)
+    ((java.lang.Long.parseLong(hex, 16) % 1000000L) - 500000L) / 1000000.0
+  }
 
   /** Sign-random-projection bucket id for one hash table: an integer in
     * [0, 2^planes) from the signs of `planes` hyperplane projections.
+    * `dim` is the (uniform) vector length — the hyperplanes are literal
+    * arrays zipped against the vector, all inside whole-stage codegen.
     */
-  def lshBucket(vec: Column, table: Int, planes: Int): Column =
+  def lshBucket(vec: Column, table: Int, planes: Int, dim: Int): Column =
     (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * planeComponent(table, p, i)),
-        lit(0.0), (acc, x) => acc + x)
+      val plane = array((0 until dim).map(d =>
+        lit(planeComponent(table, p, d))): _*)
+      val proj = dsum(zip_with(vec, plane,
+        (x, w) => x.cast("double") * w))
       when(proj > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** (id, htable, bucket) assignment for every vector — the shuffle-ready
     * index. Same-bucket ids are ANN candidates. ("htable" = hash-table
-    * index; not named "table" to stay SQL-identifier-safe.)
+    * index; not named "table" to stay SQL-identifier-safe.) Vector length
+    * is probed from one row (uniform-dim embeddings assumed — true of any
+    * single embedding model's output).
     */
   def lshBuckets(embs: DataFrame, idCol: String, vecCol: String,
-                 tables: Int, planes: Int): DataFrame =
+                 tables: Int, planes: Int): DataFrame = {
+    val dim = embs.select(size(col(vecCol))).head().getInt(0)
     embs.select(
       col(idCol),
       posexplode(array((0 until tables).map(t =>
-        lshBucket(col(vecCol), t, planes)): _*)).as(Seq("htable", "bucket")))
+        lshBucket(col(vecCol), t, planes, dim)): _*)).as(Seq("htable", "bucket")))
+  }
 
   /** Approximate top-k: candidates from any shared (table, bucket), exact
     * cosine re-rank on candidates only. Equi-join on the bucket id — the
@@ -101,14 +123,15 @@ object Knn {
       .select(col(s"a.$idCol").as("query_id"),
         col(s"b.$idCol").as("neighbor_id"))
       .distinct()
-    val vecs = embs.select(col(idCol), col(vecCol))
+    val vecs = embs.select(col(idCol), col(vecCol),
+      norm(col(vecCol)).as("nrm"))
     val scored = candidates
-      .join(vecs.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
-        "query_id")
-      .join(vecs.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
-        "neighbor_id")
+      .join(vecs.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        col("nrm").as("qn")), "query_id")
+      .join(vecs.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        col("nrm").as("cn")), "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qv"), col("cv")).as("cosine"))
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
