@@ -28,15 +28,10 @@ object Scratch {
 
     def q(name: String): DataFrame = SparkEntry.queries(name)(spark, sf)
 
-    time("q41_lsh_buckets")(q("q41_lsh_buckets").count())
-    time("q34_simhash_neardups")(q("q34_simhash_neardups").count())
     time("q36_cosine_neardups")(q("q36_cosine_neardups").count())
+    time("q40_knn_brute")(q("q40_knn_brute").count())
+    time("q42_knn_lsh")(q("q42_knn_lsh").count())
     time("q35_ngram_neardups")(q("q35_ngram_neardups").count())
-    time("q31_minhash_sig")(q("q31_minhash_sig").count())
-    time("q32_lsh_candidates")(q("q32_lsh_candidates").count())
-    println("===== q35 plan =====")
-    println(q("q35_ngram_neardups").queryExecution.executedPlan.toString
-      .linesIterator.take(60).mkString("\n"))
     spark.stop()
   }
 }

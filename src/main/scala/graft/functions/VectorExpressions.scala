@@ -1,0 +1,130 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expression for the ANN hot path.
+  *
+  * `aggregate(zip_with(a, b, (x, y) => x*y), 0.0, _+_)` is semantically
+  * right but executes on the interpreted higher-order-function path: per
+  * element it allocates lambda-variable rows and boxes every product.
+  * At P candidate pairs × d dims that interpreter overhead dominates the
+  * whole similarity query. This expression is the same left-to-right
+  * float64 summation as a tight Java loop inside whole-stage codegen
+  * (`doGenCode`), with an identical interpreted fallback (`nullSafeEval`).
+  *
+  * Null/shape semantics mirror the fold formulation exactly: null array →
+  * null; mismatched lengths or a null element → null (zip_with pads the
+  * shorter side with null and `null * x` poisons the double sum); empty
+  * arrays → 0.0 (the fold seed).
+  */
+case class DotProductFloat(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two array<float> arguments, " +
+        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_dot_f32"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      sum += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val sum = ctx.freshName("sum")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $sum = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $sum += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $sum; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductFloat =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Registration for the engine's native expressions.
+  *
+  * Two equivalent entry points:
+  *   - `GraftFunctions.register(spark)` — imperative, used by the Knn/Dedup
+  *     operators on first use (idempotent);
+  *   - `GraftSparkExtensions` — `SparkSessionExtensions` injector for
+  *     `spark.sql.extensions=graft.functions.GraftSparkExtensions`, the
+  *     deployment-config path.
+  *
+  * Either way the function is invoked through the public
+  * `functions.call_function`, never a private Column constructor.
+  */
+object GraftFunctions {
+  val DotName = "graft_dot_f32"
+
+  private val dotInfo = new ExpressionInfo(
+    classOf[DotProductFloat].getName, DotName)
+  private val dotBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => DotProductFloat(a, b)
+    case exprs => throw new IllegalArgumentException(
+      s"$DotName expects 2 arguments, got ${exprs.length}")
+  }
+
+  def injections: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] =
+    Seq((FunctionIdentifier(DotName), dotInfo, dotBuilder))
+
+  /** Idempotent per-session registration. */
+  def register(spark: SparkSession): Unit =
+    injections.foreach { case (ident, info, builder) =>
+      if (!spark.sessionState.functionRegistry.functionExists(ident)) {
+        spark.sessionState.functionRegistry
+          .registerFunction(ident, info, builder)
+      }
+    }
+
+  /** Codegen'd float32 dot product (requires `register`/extensions). */
+  def dotF32(a: Column, b: Column): Column = call_function(DotName, a, b)
+}
+
+/** `spark.sql.extensions` injector (config-driven deployments). */
+class GraftSparkExtensions
+    extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GraftFunctions.injections.foreach(ext.injectFunction)
+}

@@ -168,8 +168,15 @@ object Dedup {
         TextFunctions.normalizedWords(col(textCol)).as("ws"))
       .select(col(idCol), col("block"),
         TextFunctions.wordShinglesOf(col("ws"), n).as("shingles"))
+    // Explicit repartition on the join key: both sides of the self-join
+    // below become the IDENTICAL exchange, so ReusedExchange evaluates the
+    // scan+shingle pipeline once and reads the shuffle twice — the same
+    // plan a multi-executor cluster wants (shuffle by shingle, balanced
+    // partitions), instead of AQE broadcasting one side and re-computing
+    // the whole subtree for it.
     val posts = sh.select(col("block"), col(idCol),
       explode(col("shingles")).as("shingle"))
+      .repartition(col("block"), col("shingle"))
     // shingles are distinct per doc, so |set| = posting count — derived
     // from `posts` instead of a third scan of the shingle pipeline
     val sizes = posts.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
@@ -198,15 +205,17 @@ object Dedup {
     */
   def cosineNearDups(embs: DataFrame, idCol: String, vecCol: String,
                      blockCol: Column, minCosine: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(embs.sparkSession)
+    import graft.functions.GraftFunctions.dotF32
     val e = embs.withColumn("block", blockCol)
       .select(col(idCol), col("block"), col(vecCol).as("vec"),
-        Knn.norm(col(vecCol)).as("nrm"))
+        sqrt(dotF32(col(vecCol), col(vecCol))).as("nrm"))
     e.as("a")
       .join(e.as("b"),
         col("a.block") === col("b.block") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        (Knn.dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")))
+        (dotF32(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")))
           .as("cosine"))
       .filter(col("cosine") >= minCosine)
   }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.functions.HashFunctions
+import graft.functions.{GraftFunctions, HashFunctions}
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (`array<float>`).
@@ -29,12 +29,15 @@ object Knn {
     aggregate(xs, lit(0.0), (acc, x) => acc + x)
 
   /** Cosine similarity of two `array<float>` columns, computed as
-    * fold-left double sums (portable, codegen'd, no UDF).
+    * fold-left double sums. Session-free and portable; the operators below
+    * use the bit-identical native `DotProductFloat` expression instead
+    * (higher-order folds run interpreted, the native one stays in
+    * whole-stage codegen).
     */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
-  /** Dot product of two vector columns in float64. */
+  /** Dot product of two vector columns in float64 (fold formulation). */
   def dot(a: Column, b: Column): Column =
     dsum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
 
@@ -52,14 +55,17 @@ object Knn {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    def nrm(v: Column) = sqrt(GraftFunctions.dotF32(v, v))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      norm(col(vecCol)).as("qn"))
+      nrm(col(vecCol)).as("qn"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      norm(col(vecCol)).as("cn"))
+      nrm(col(vecCol)).as("cn"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
+        (GraftFunctions.dotF32(col("qv"), col("cv")) / (col("qn") * col("cn")))
+          .as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -114,6 +120,7 @@ object Knn {
     */
   def lshTopK(embs: DataFrame, idCol: String, vecCol: String, k: Int,
               tables: Int = 4, planes: Int = 8): DataFrame = {
+    GraftFunctions.register(embs.sparkSession)
     val ids = lshBuckets(embs, idCol, vecCol, tables, planes)
     val candidates = ids.as("a")
       .join(ids.as("b"),
@@ -124,14 +131,15 @@ object Knn {
         col(s"b.$idCol").as("neighbor_id"))
       .distinct()
     val vecs = embs.select(col(idCol), col(vecCol),
-      norm(col(vecCol)).as("nrm"))
+      sqrt(GraftFunctions.dotF32(col(vecCol), col(vecCol))).as("nrm"))
     val scored = candidates
       .join(vecs.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         col("nrm").as("qn")), "query_id")
       .join(vecs.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
         col("nrm").as("cn")), "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
-        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
+        (GraftFunctions.dotF32(col("qv"), col("cv")) / (col("qn") * col("cn")))
+          .as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
