@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GraftFunctions, TextFunctions}
+import graft.operators.{Dedup, Jaccard, Knn}
+
+/** Dedup suite, ANN, and the native vector expression. */
+class DedupKnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("DotProductFloat matches the fold formulation bit-for-bit") {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(42)
+    val vecs = Seq.tabulate(50) { i =>
+      (i.toLong, Array.fill(17)(rnd.nextFloat() * 2 - 1))
+    }.toDF("id", "v")
+    val both = vecs.as("a").crossJoin(vecs.as("b"))
+      .select(
+        GraftFunctions.dotF32(col("a.v"), col("b.v")).as("native"),
+        Knn.dot(col("a.v"), col("b.v")).as("fold"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1),
+        s"native ${r.getDouble(0)} != fold ${r.getDouble(1)}")
+    }
+  }
+
+  test("DotProductFloat null/shape semantics match zip_with padding") {
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (Array(1f, 2f), Array(3f, 4f)),       // plain
+      (Array.empty[Float], Array.empty[Float]) // empty → 0.0
+    ).toDF("a", "b")
+    val vals = df.select(GraftFunctions.dotF32(col("a"), col("b"))).as[Option[Double]].collect()
+    assert(vals.toSeq == Seq(Some(11.0), Some(0.0)))
+    // mismatched lengths → null (zip_with pads with null, poisoning the sum)
+    val mm = Seq((Array(1f, 2f), Array(3f))).toDF("a", "b")
+    val mismatch = mm.select(GraftFunctions.dotF32(col("a"), col("b")).as("d"),
+      Knn.dot(col("a"), col("b")).as("f")).head()
+    assert(mismatch.isNullAt(0) && mismatch.isNullAt(1))
+  }
+
+  test("word shingles: short docs, empty docs, dedup") {
+    val df = Seq(
+      ("a b c d", 1), ("a b", 2), ("a", 3), ("!!!", 4), ("x y x y x y", 5))
+      .toDF("text", "id")
+      .select(col("id"), TextFunctions.wordShingles(col("text"), 3).as("sh"))
+    val m = df.as[(Int, Seq[String])].collect().toMap
+    assert(m(1) == Seq("a b c", "b c d"))
+    assert(m(2) == Seq("a b"))   // len < n → one short shingle
+    assert(m(3) == Seq("a"))
+    assert(m(4) == Seq.empty)    // no tokens → no shingles
+    assert(m(5) == Seq("x y x", "y x y")) // dedup keeps first occurrence
+  }
+
+  test("char shingles slide over the canonical text") {
+    val sh = Seq(("ab cd", 1)).toDF("text", "id")
+      .select(TextFunctions.charShingles(col("text"), 3).as("sh"))
+      .as[Seq[String]].head()
+    assert(sh == Seq("ab ", "b c", " cd"))
+  }
+
+  test("exact dedup groups by content hash and keeps min id") {
+    val docs = Seq((10L, "same text"), (3L, "same text"), (5L, "other"))
+      .toDF("doc_id", "text")
+    val groups = Dedup.exactGroups(docs, "doc_id", "text")
+      .as[(String, Long, Long)].collect().map { case (_, k, n) => (k, n) }.toMap
+    assert(groups == Map(3L -> 2L, 5L -> 1L))
+    val kept = Dedup.exactDeduped(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L, 5L))
+  }
+
+  test("identical docs collide on every LSH band; estimate is 1.0") {
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "totally different words entirely here now"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minHashSignatures(docs, "doc_id", "text", k = 8)
+    val cands = Dedup.lshCandidates(sigs, "doc_id", k = 8, bands = 4)
+      .as[(Long, Long, Long)].collect()
+    assert(cands.toSeq == Seq((1L, 2L, 4L)), "only the identical pair, all 4 bands")
+    val est = Dedup.minHashEstimate(
+      Dedup.lshCandidates(sigs, "doc_id", k = 8, bands = 4)
+        .select("id_a", "id_b"), sigs, "doc_id", k = 8)
+      .as[(Long, Long, Double)].head()
+    assert(est == ((1L, 2L, 1.0)))
+  }
+
+  test("minhash estimate tracks true jaccard on overlapping docs") {
+    // two docs sharing half their tokens: true J = 10/30 ≈ 0.33
+    val a = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val b = (11 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val sigs = Dedup.minHashSignatures(docs, "doc_id", "text", k = 64)
+    val est = Dedup.minHashEstimate(
+      Seq((1L, 2L)).toDF("id_a", "id_b"), sigs, "doc_id", k = 64)
+      .select("est_jaccard").as[Double].head()
+    val trueJ = 10.0 / 40.0
+    assert(math.abs(est - trueJ) < 0.15, s"est $est vs true $trueJ")
+  }
+
+  test("simhash of identical docs is identical; near-dups found in block") {
+    val docs = Seq((1L, "the quick brown fox jumps", "s1"),
+      (2L, "the quick brown fox jumps", "s1"),
+      (3L, "unrelated content entirely different", "s1"))
+      .toDF("doc_id", "text", "source")
+    val sims = Dedup.simHashes(docs, "doc_id", "text")
+      .join(docs.select("doc_id", "source"), "doc_id")
+    val dups = Dedup.simHashNearDups(sims, "doc_id", col("source"), maxHamming = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(dups.toSeq == Seq((1L, 2L)))
+  }
+
+  test("ngram jaccard pairs: identical docs score 1.0, requires threshold > 0") {
+    val docs = Seq((1L, "a b c d e f", "s"), (2L, "a b c d e f", "s"),
+      (3L, "z y x w v u", "s")).toDF("doc_id", "text", "source")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+      blockCol = col("source"), minJaccard = 0.5)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+    assert(pairs.toSeq == Seq((1L, 2L, 1.0)))
+    intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, col("source"), 0.0)
+    }
+  }
+
+  test("brute-force KNN returns exact top-k by cosine") {
+    val vecs = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0f, 1f)), (4L, Array(-1f, 0f))).toDF("vec_id", "embedding")
+    val top = Knn.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 1),
+      "vec_id", "embedding", k = 2)
+      .select("neighbor_id", "rank").as[(Long, Long)].collect().toSeq
+    assert(top == Seq((2L, 1L), (3L, 2L)))
+  }
+
+  test("LSH buckets: identical vectors share buckets in every table") {
+    val vecs = Seq((1L, Array(1f, 2f, 3f)), (2L, Array(1f, 2f, 3f)),
+      (3L, Array(-3f, 1f, -2f))).toDF("vec_id", "embedding")
+    val b = Knn.lshBuckets(vecs, "vec_id", "embedding", tables = 3, planes = 4)
+      .as[(Long, Int, Long)].collect()
+    val byTable = b.groupBy(_._2).view.mapValues(_.map(r => r._1 -> r._3).toMap)
+    (0 until 3).foreach { t =>
+      assert(byTable(t)(1L) == byTable(t)(2L), s"identical vecs differ in table $t")
+    }
+    val top = Knn.lshTopK(vecs, "vec_id", "embedding", k = 1,
+      tables = 3, planes = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    assert(top.get(1L).contains(2L) && top.get(2L).contains(1L))
+  }
+}
