@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.expressions.Window
 
 import graft.functions.{HashFunctions, TextAnalysis, TextFunctions}
-import graft.operators.{Dedup, Jaccard, Knn}
+import graft.operators.{Dedup, Jaccard, Knn, TemporalJoins}
 
 /** Driver contract — the engine's query surface over the driver's parquet
   * fixtures, with a DuckDB-runnable oracle per query.
@@ -173,6 +173,15 @@ object SparkEntry {
         .filter(col("n_orders") >= 3)
         .orderBy("o_custkey")
     }),
+    "q14_json_funcs" -> ((s, dir) => {
+      events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type")
+    }),
 
     // ---- the reference's own query family, over the documents table
     "q20_jac_doc_sizes" -> ((s, dir) => {
@@ -314,6 +323,28 @@ object SparkEntry {
     "q61_event_sessions" -> ((s, dir) => {
       graft.streaming.EventStreams.sessionize(events(s, dir))
         .orderBy("user_id", "session_id")
+    }),
+    "q62_asof_join" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("secs", unix_timestamp(col("ts")))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("secs"))
+      val errors = ev.filter(col("event_type") === "error")
+        .groupBy("user_id", "secs").agg(max(col("value")).as("err_value"))
+      TemporalJoins.asofJoin(clicks, errors, "user_id", "secs")
+        .select(col("user_id"), col("event_id"),
+          col("secs").as("click_secs"),
+          col("asof_secs").as("err_secs"), col("asof_err_value").as("err_value"))
+        .orderBy("user_id", "event_id")
+    }),
+    "q63_range_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("secs"))
+      TemporalJoins.rangeSelfJoinPairs(ev, "user_id", "event_id", "secs",
+        maxGap = 60L)
+        .select(col("user_id"), col("id_a"), col("id_b"),
+          col("gap").as("gap_secs"))
+        .orderBy("user_id", "id_a", "id_b")
     }),
 
     // ---- multimodal metadata plumbing (stub decode)
@@ -525,6 +556,14 @@ object SparkEntry {
         |GROUP BY o_custkey
         |HAVING count(*) >= 3
         |ORDER BY o_custkey""".stripMargin,
+    "q14_json_funcs" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |  min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+        |  max(CAST(props->>'$.k' AS BIGINT)) AS max_k
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "q20_jac_doc_sizes" ->
       s"""WITH $ToksCte
          |SELECT doc_id, CAST(len(tokens) AS BIGINT) AS size
@@ -804,6 +843,31 @@ object SparkEntry {
         |  min(secs) AS sess_start, max(secs) AS sess_end
         |FROM sess GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "q62_asof_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS secs
+        |  FROM events),
+        |r AS (SELECT user_id, secs, max(value) AS err_value
+        |      FROM e WHERE event_type = 'error' GROUP BY 1, 2),
+        |l AS (SELECT user_id, event_id, secs FROM e WHERE event_type = 'click')
+        |SELECT l.user_id, l.event_id, l.secs AS click_secs,
+        |  r.secs AS err_secs, r.err_value
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.secs >= r.secs
+        |ORDER BY l.user_id, event_id""".stripMargin,
+    "q63_range_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS secs
+        |  FROM events)
+        |SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+        |  b.secs - a.secs AS gap_secs
+        |FROM e a JOIN e b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        |  AND abs(b.secs - a.secs) <= 60
+        |ORDER BY a.user_id, id_a, id_b""".stripMargin,
 
     // ---- multimodal metadata oracle (stub decode is deterministic md5 math)
     "q70_mm_meta" ->

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark lacks as built-ins, composed from
+  * shuffle-friendly primitives (no per-row range probes, no cross joins).
+  */
+object TemporalJoins {
+
+  /** As-of join: for every left row, the LATEST right row with
+    * `right.ts <= left.ts` in the same key group (left-outer: misses give
+    * nulls).
+    *
+    * Formulation: union both sides tagged `side` (right=0 before left=1 on
+    * ties, giving the `<=` semantics), then one window pass per key
+    * carrying the last non-null right payload forward. ONE shuffle by key
+    * and a linear scan — the scalable shape; a naive inequality join would
+    * be a per-row range probe, and Spark would plan a broadcast
+    * nested-loop.
+    *
+    * Caller contract: `right` has at most one row per (key, ts) —
+    * pre-aggregate it (that also makes results deterministic); both `ts`
+    * columns are the same orderable type.
+    *
+    * Output: all left columns, plus each right column (ts and payloads)
+    * prefixed with `prefix`.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+               tsCol: String, prefix: String = "asof_"): DataFrame = {
+    val lCols = left.columns.toSeq
+    val rCols = right.columns.toSeq.filter(_ != keyCol)
+    val r2 = right.select(
+      col(keyCol).as("__k"), col(tsCol).as("__t"), lit(0).as("__side"),
+      struct(rCols.map(col): _*).as("__r"))
+    val l2 = left.select(
+      col(keyCol).as("__k"), col(tsCol).as("__t"), lit(1).as("__side"),
+      lit(null).cast(r2.schema("__r").dataType).as("__r"),
+      struct(lCols.map(col): _*).as("__l"))
+    val u = l2.unionByName(r2.withColumn("__l",
+      lit(null).cast(l2.schema("__l").dataType)))
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(lCols.map(c => col(s"__l.$c").as(c)) ++
+        rCols.map(c => col(s"__asof.$c").as(s"$prefix$c")): _*)
+  }
+
+  /** Range self-join: unordered pairs of rows in the same key group whose
+    * numeric `secsCol` values are within `maxGap` of each other
+    * (`idCol`-ordered, `id_a < id_b`; `gap` is signed `b - a`).
+    *
+    * Formulation: bucket by `floor(secs / maxGap)`; the left side sits in
+    * its own bucket, the right side explodes into buckets {b-1, b, b+1},
+    * so every qualifying pair meets on EXACTLY one equi-join key (the left
+    * row's bucket) — an equi-join + residual, never an inequality join.
+    * Shuffle key is (key, bucket): time-skew spreads across buckets.
+    */
+  def rangeSelfJoinPairs(rows: DataFrame, keyCol: String, idCol: String,
+                         secsCol: String, maxGap: Long): DataFrame = {
+    require(maxGap > 0, "maxGap must be positive")
+    val e = rows.select(col(keyCol), col(idCol), col(secsCol))
+    val bucket = floor(col(secsCol) / maxGap)
+    val l = e.select(col(keyCol).as("__k"), col(idCol).as("id_a"),
+      col(secsCol).as("__sa"), bucket.as("__b"))
+    val r = e.select(col(keyCol).as("__k"), col(idCol).as("id_b"),
+      col(secsCol).as("__sb"),
+      explode(array(bucket - 1, bucket, bucket + 1)).as("__b"))
+    l.join(r, Seq("__k", "__b"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(col("__sb") - col("__sa")) <= maxGap)
+      .select(col("__k").as(keyCol), col("id_a"), col("id_b"),
+        (col("__sb") - col("__sa")).as("gap"))
+  }
+}
