@@ -182,6 +182,39 @@ object SparkEntry {
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
         .orderBy("event_type")
     }),
+    "q15_quantiles" -> ((s, dir) => {
+      // exact interpolated percentiles (sort-based, deterministic) — NOT
+      // approx_percentile, whose sketch differs across engines
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.75)"), 6).as("p75"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+    "q16_array_agg" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+          sort_array(collect_set(year(col("o_orderdate")).cast("long")))
+            .as("years"),
+          count(lit(1)).as("n_orders"))
+        .withColumn("n_years", size(col("years")).cast("long"))
+        .orderBy("o_custkey")
+    }),
+    "q17_date_funcs" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          quarter(col("o_orderdate")).cast("long").as("qtr"),
+          dayofweek(col("o_orderdate")).cast("long").as("dow"),
+          date_add(col("o_orderdate").cast("date"), 30).as("due_date"),
+          datediff(lit("1998-12-31").cast("date"),
+            col("o_orderdate").cast("date")).cast("long").as("age_days"))
+        .orderBy("o_orderkey")
+    }),
 
     // ---- the reference's own query family, over the documents table
     "q20_jac_doc_sizes" -> ((s, dir) => {
@@ -564,6 +597,31 @@ object SparkEntry {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    "q15_quantiles" ->
+      """SELECT l_returnflag,
+        |  round(CAST(quantile_cont(l_extendedprice, 0.25) AS DOUBLE), 6) AS p25,
+        |  round(CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE), 6) AS p50,
+        |  round(CAST(quantile_cont(l_extendedprice, 0.75) AS DOUBLE), 6) AS p75,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q16_array_agg" ->
+      """SELECT o_custkey,
+        |  list_sort(list_distinct(list(CAST(year(o_orderdate) AS BIGINT)))) AS years,
+        |  count(*) AS n_orders,
+        |  CAST(len(list_distinct(list(CAST(year(o_orderdate) AS BIGINT)))) AS BIGINT) AS n_years
+        |FROM orders
+        |GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin,
+    "q17_date_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+        |  CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+        |  CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+        |  CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS BIGINT) AS age_days
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
     "q20_jac_doc_sizes" ->
       s"""WITH $ToksCte
          |SELECT doc_id, CAST(len(tokens) AS BIGINT) AS size

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.Jaccard
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions: the shapes that matter at scale must not
+  * silently regress (a broadcast that becomes a shuffle, a pushed filter
+  * that stops pushing, an exchange that stops being reused).
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Final (post-AQE) physical plan string: AQE re-plans at runtime, so
+    * execute first, then inspect.
+    */
+  private def finalPlan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, sf)
+
+  test("explicit broadcast join plans as BroadcastHashJoin") {
+    assert(finalPlan(q("q04_broadcast_join")).contains("BroadcastHashJoin"))
+  }
+
+  test("filters and column pruning reach the parquet scan") {
+    val plan = finalPlan(q("q02_filter_project"))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"expected pushed filters in:\n$plan")
+    // projection pruning: the scan must not read all 16 lineitem columns
+    val readSchema = plan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_partkey"),
+      s"scan should prune unused columns: $readSchema")
+  }
+
+  test("Jaccard size lookup broadcasts (J1 = map-side join) at small scale") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id").as("docId"), col("text"))
+    val plan = finalPlan(Jaccard.allPairs(docs))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"size join should broadcast under AQE:\n${plan.take(2000)}")
+  }
+
+  test("n-gram posting self-join reuses one exchange for both sides") {
+    assert(finalPlan(q("q35_ngram_neardups")).contains("ReusedExchange"))
+  }
+
+  test("aggregation pipeline runs inside whole-stage codegen") {
+    // codegen'd operators render with a "*(stageId)" prefix in plan strings
+    assert(finalPlan(q("q01_pricing_summary")).contains("*("))
+  }
+
+  test("no query plans a cartesian product") {
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val plan = q(name).queryExecution.sparkPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct")
+    }
+  }
+}
