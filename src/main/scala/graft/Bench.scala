@@ -1,5 +1,9 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+import graft.format.ReferenceOutput
+import graft.pipeline.JaccardPipeline
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -15,12 +19,29 @@ object Bench {
     // Warm up the session (JVM JIT, codegen compiler, scheduler) with a
     // throwaway job so the first measured query isn't charged for it.
     spark.range(1000000L).selectExpr("sum(id)").collect()
-    // Stable name order so per-query numbers are comparable across rounds.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+
+    def timed(f: => Unit): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try f catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
     }
+
+    // Stable name order so per-query numbers are comparable across rounds.
+    val fixture = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> timed(fn(spark, sfDir).count())
+    }
+    // Reference-parity pipeline on the reference's own corpora, end to end
+    // including the formatted+sorted output (BASELINE.md compares these to
+    // the 1-DN MapReduce wall times: 5.97 / 8.00 / 10.09 s).
+    val refDatasets = Seq("small", "medium", "large").flatMap { name =>
+      val path = s"/root/reference/datasets/$name.txt"
+      if (new java.io.File(path).isFile)
+        Some(s"jaccard_ref_$name" -> timed {
+          ReferenceOutput.collectSorted(JaccardPipeline.run(spark, path))
+        })
+      else None
+    }
+    val results = fixture ++ refDatasets
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

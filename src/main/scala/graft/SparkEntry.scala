@@ -381,6 +381,15 @@ object SparkEntry {
     }),
 
     // ---- multimodal metadata plumbing (stub decode)
+    "q71_mm_frames" -> ((s, dir) => {
+      // mixed-modality view of the documents fixture: every third doc is
+      // treated as video; frame-sample those at 5 s
+      val assets = graft.multimodal.Multimodal.asBinaryAssets(
+        t(s, dir, "documents"), "doc_id", "text",
+        when(col("doc_id") % 3 === 0, lit("video")).otherwise(lit("image")))
+      graft.multimodal.Multimodal.sampleFrames(assets, everyMs = 5000L)
+        .orderBy("id", "frame_ts_ms")
+    }),
     "q70_mm_meta" -> ((s, dir) => {
       val assets = graft.multimodal.Multimodal.asBinaryAssets(
         t(s, dir, "documents"), "doc_id", "text", "image")
@@ -928,6 +937,18 @@ object SparkEntry {
         |ORDER BY a.user_id, id_a, id_b""".stripMargin,
 
     // ---- multimodal metadata oracle (stub decode is deterministic md5 math)
+    "q71_mm_frames" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(hex(encode(text))), 1, 15))::BIGINT AS hv
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |v AS (
+        |  SELECT doc_id AS id, (hv >> 18) % 60000 AS duration_ms
+        |  FROM h WHERE (hv >> 18) % 60000 > 0)
+        |SELECT id, CAST(duration_ms AS BIGINT) AS duration_ms,
+        |  CAST(unnest(generate_series(0, duration_ms - 1, 5000)) AS BIGINT)
+        |    AS frame_ts_ms
+        |FROM v ORDER BY id, frame_ts_ms""".stripMargin,
     "q70_mm_meta" ->
       """WITH h AS (
         |  SELECT doc_id,

@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.HashFunctions
@@ -30,9 +30,14 @@ object Multimodal {
     */
   def asBinaryAssets(df: DataFrame, idCol: String, payloadCol: String,
                      modality: String): DataFrame =
+    asBinaryAssets(df, idCol, payloadCol, lit(modality))
+
+  /** Column-modality overload (mixed-modality tables). */
+  def asBinaryAssets(df: DataFrame, idCol: String, payloadCol: String,
+                     modality: Column): DataFrame =
     df.select(
       col(idCol).cast("long").as("id"),
-      lit(modality).as("modality"),
+      modality.as("modality"),
       encode(col(payloadCol), "UTF-8").as("content"),
       octet_length(col(payloadCol)).cast("long").as("n_bytes"))
 

@@ -97,6 +97,25 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
+  /** MinHash signatures from EXPLODED postings (id, token) — the form an
+    * inverted-index shuffle produces, where a doc's tokens never sit in
+    * one row. Uses the typed `MinHashAggregator` UDAF: constant k-long
+    * buffer, map-side partial aggregation, shuffle by id. Same output
+    * shape and values as `minHashSignatures`.
+    */
+  def minHashSignaturesFromPostings(postings: DataFrame, idCol: String,
+                                    tokenCol: String, k: Int): DataFrame = {
+    val sig = udaf(new graft.functions.MinHashAggregator(k))
+    postings
+      .select(col(idCol),
+        (HashFunctions.md5Long(col(tokenCol))
+          % HashFunctions.MinHashPrime).as("h"))
+      .groupBy(col(idCol))
+      .agg(sig(col("h")).as("signature"))
+      .select(col(idCol),
+        posexplode(col("signature")).as(Seq("perm", "min_hash")))
+  }
+
   /** MinHash-estimated Jaccard for given candidate pairs: fraction of the k
     * permutations on which the two signatures agree.
     */

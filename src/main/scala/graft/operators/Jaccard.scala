@@ -54,6 +54,16 @@ object Jaccard {
   def postings(tokenizedDocs: DataFrame): DataFrame =
     tokenizedDocs.select(explode(col("tokens")).as("word"), col("docId"))
 
+  /** G1 — materialized posting lists `(word, [docId...] sorted)`.
+    * Provided for parity with the reference's Job-2 reducer groups
+    * (`DocumentSimilarityReducer.java:33-42`); the pair join below does
+    * NOT go through this (a hot word's collected list can OOM one task —
+    * the join formulation shuffles by word and lets AQE split skew).
+    */
+  def postingLists(postings: DataFrame): DataFrame =
+    postings.groupBy("word")
+      .agg(sort_array(collect_set(col("docId"))).as("docIds"))
+
   /** J2 + A2 — pair generation + intersection count.
     *
     * Self-equi-join the postings on `word` with a `docA < docB` residual

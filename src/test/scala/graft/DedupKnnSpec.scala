@@ -101,6 +101,21 @@ class DedupKnnSpec extends SparkSpec {
     assert(math.abs(est - trueJ) < 0.15, s"est $est vs true $trueJ")
   }
 
+  test("MinHashAggregator over postings equals the array-based signatures") {
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "beta delta zeta"),
+      (3L, "one two three four five six")).toDF("doc_id", "text")
+    val fromArrays = Dedup.minHashSignatures(docs, "doc_id", "text", k = 8)
+      .select("doc_id", "perm", "min_hash")
+      .as[(Long, Int, Long)].collect().toSet
+    val postings = docs.select(col("doc_id"),
+      explode(TextFunctions.normalizeTokens(col("text"))).as("tok"))
+    val fromPostings = Dedup.minHashSignaturesFromPostings(
+      postings, "doc_id", "tok", k = 8)
+      .select("doc_id", "perm", "min_hash")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(fromPostings == fromArrays)
+  }
+
   test("simhash of identical docs is identical; near-dups found in block") {
     val docs = Seq((1L, "the quick brown fox jumps", "s1"),
       (2L, "the quick brown fox jumps", "s1"),

@@ -92,6 +92,15 @@ class OperatorEdgeSpec extends SparkSpec {
     assert(pruned.count() == 1)  // only D1-D3 share 'a'
   }
 
+  test("G1: posting lists gather sorted distinct docIds per word") {
+    val posts = Jaccard.postings(Jaccard.tokenized(
+      parse("D2 a b", "D1 a", "D3 a a")))
+    val lists = Jaccard.postingLists(posts)
+      .as[(String, Seq[String])].collect().toMap
+    assert(lists("a") == Seq("D1", "D2", "D3"))
+    assert(lists("b") == Seq("D2"))
+  }
+
   test("topKNeighbors ranks both orientations per doc") {
     val sims = Jaccard.allPairs(parse("D1 a b", "D2 a b", "D3 a z"))
     val top1 = Jaccard.topKNeighbors(sims, 1)
