@@ -16,9 +16,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm up the session (JVM JIT, codegen compiler, scheduler) with a
-    // throwaway job so the first measured query isn't charged for it.
+    // Warm up the session (JVM JIT, codegen compiler, parquet reader,
+    // shuffle machinery) with throwaway jobs so the first measured query
+    // isn't charged for session startup.
     spark.range(1000000L).selectExpr("sum(id)").collect()
+    try {
+      val r = spark.read.parquet(s"$sfDir/region.parquet")
+      r.groupBy(r.columns.head).count().collect()
+      r.as("a").join(r.as("b"), r.columns.head).count()
+    } catch { case _: Throwable => () }
 
     def timed(f: => Unit): Double = {
       val t0 = System.nanoTime()
