@@ -261,14 +261,14 @@ object SparkEntry {
     // across docs and LSH banding would degenerate to an all-pairs join.
     "q31_minhash_sig" -> ((s, dir) => {
       Dedup.minHashSignatures(t(s, dir, "documents"), "doc_id", "text",
-        k = 8, tokenize = TextFunctions.wordShingles(_, 3))
+        k = 8, tokenize = Dedup.shingleTokenizer(3))
         .select(col("doc_id"), col("perm").cast("long").as("perm"),
           col("min_hash"))
         .orderBy("doc_id", "perm")
     }),
     "q32_lsh_candidates" -> ((s, dir) => {
       val sigs = Dedup.minHashSignatures(t(s, dir, "documents"), "doc_id",
-        "text", k = 8, tokenize = TextFunctions.wordShingles(_, 3))
+        "text", k = 8, tokenize = Dedup.shingleTokenizer(3))
       Dedup.lshCandidates(sigs, "doc_id", k = 8, bands = 4)
         .orderBy("id_a", "id_b")
     }),

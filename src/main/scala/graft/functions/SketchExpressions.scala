@@ -1,0 +1,127 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static kernels shared by interpreted eval and generated code: whole-stage
+  * codegen emits a single call into these instead of an interpreted
+  * higher-order-function tree (lambda-variable rows + boxing per element).
+  */
+object SketchKernels {
+  private val Space = UTF8String.fromString(" ")
+
+  /** Word n-gram windows: max(1, len-n+1) windows for non-empty input
+    * (the last possibly shorter than n when len < n), empty for empty
+    * input; null elements are skipped inside a window — exactly
+    * concat_ws(" ", ...) over zip_with-chained offset slices
+    * (`TextFunctions.windowed`).
+    */
+  def wordNGrams(arr: ArrayData, n: Int): ArrayData = {
+    val len = arr.numElements()
+    if (len == 0) return new GenericArrayData(Array.empty[Any])
+    val m = math.max(1, len - n + 1)
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      val hi = math.min(i + n, len)
+      var cnt = 0
+      var j = i
+      while (j < hi) { if (!arr.isNullAt(j)) cnt += 1; j += 1 }
+      val items = new Array[UTF8String](cnt)
+      var k = 0
+      j = i
+      while (j < hi) {
+        if (!arr.isNullAt(j)) { items(k) = arr.getUTF8String(j); k += 1 }
+        j += 1
+      }
+      out(i) = UTF8String.concatWs(Space, items: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** k-permutation MinHash minima over pre-reduced token hashes — one
+    * pass, tight integer loop; bit-identical to
+    * `minHashSignatureFromHashes` (k × array_min(transform(...))).
+    * Null elements poison the whole result (transform maps null → null,
+    * and array_min over any-null... the fold semantics here require
+    * non-null hashes; `tokenHashes` never yields nulls) — returns null on
+    * a null element to stay defensive.
+    */
+  def minHashSig(arr: ArrayData, k: Int): ArrayData = {
+    val len = arr.numElements()
+    val P = HashFunctions.MinHashPrime
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < len) {
+      if (arr.isNullAt(i)) return null
+      val h = arr.getLong(i)
+      var j = 0
+      while (j < k) {
+        val v = (HashFunctions.minHashA(j) * h + HashFunctions.minHashB(j)) % P
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    if (len == 0) null else new GenericArrayData(mins)
+  }
+}
+
+/** `graft_word_ngrams(words, n)` — native n-gram windowing. */
+case class WordNGramsExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), IntegerType) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (array<string>, int literal)")
+    }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_word_ngrams"
+  private lazy val n: Int = right.eval(InternalRow.empty) match {
+    case i: Int => i
+  }
+  override def nullSafeEval(arr: Any, nn: Any): Any =
+    SketchKernels.wordNGrams(arr.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, _) =>
+      s"${ev.value} = graft.functions.SketchKernels.wordNGrams($a, $n);")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WordNGramsExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `graft_minhash_sig(hashes, k)` — native k-permutation MinHash. */
+case class MinHashSigExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), IntegerType) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (array<long>, int literal)")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_minhash_sig"
+  private lazy val k: Int = right.eval(InternalRow.empty) match {
+    case i: Int => i
+  }
+  override def nullSafeEval(arr: Any, kk: Any): Any =
+    SketchKernels.minHashSig(arr.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, _) => s"""
+       |${ev.value} = graft.functions.SketchKernels.minHashSig($a, $k);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MinHashSigExpr =
+    copy(left = newLeft, right = newRight)
+}

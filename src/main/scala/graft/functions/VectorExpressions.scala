@@ -96,18 +96,23 @@ case class DotProductFloat(left: Expression, right: Expression)
   */
 object GraftFunctions {
   val DotName = "graft_dot_f32"
+  val NGramsName = "graft_word_ngrams"
+  val MinHashName = "graft_minhash_sig"
 
-  private val dotInfo = new ExpressionInfo(
-    classOf[DotProductFloat].getName, DotName)
-  private val dotBuilder: Seq[Expression] => Expression = {
-    case Seq(a, b) => DotProductFloat(a, b)
-    case exprs => throw new IllegalArgumentException(
-      s"$DotName expects 2 arguments, got ${exprs.length}")
-  }
+  private def binary(name: String, clazz: Class[_],
+      mk: (Expression, Expression) => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name), {
+      case Seq(a, b) => mk(a, b)
+      case exprs => throw new IllegalArgumentException(
+        s"$name expects 2 arguments, got ${exprs.length}")
+    })
 
   def injections: Seq[(FunctionIdentifier, ExpressionInfo,
-      Seq[Expression] => Expression)] =
-    Seq((FunctionIdentifier(DotName), dotInfo, dotBuilder))
+      Seq[Expression] => Expression)] = Seq(
+    binary(DotName, classOf[DotProductFloat], DotProductFloat.apply),
+    binary(NGramsName, classOf[WordNGramsExpr], WordNGramsExpr.apply),
+    binary(MinHashName, classOf[MinHashSigExpr], MinHashSigExpr.apply))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit =
@@ -120,6 +125,14 @@ object GraftFunctions {
 
   /** Codegen'd float32 dot product (requires `register`/extensions). */
   def dotF32(a: Column, b: Column): Column = call_function(DotName, a, b)
+
+  /** Native n-gram windows over a words array (requires `register`). */
+  def wordNGrams(words: Column, n: Int): Column =
+    call_function(NGramsName, words, org.apache.spark.sql.functions.lit(n))
+
+  /** Native k-permutation MinHash over token hashes (requires `register`). */
+  def minHashSig(hashes: Column, k: Int): Column =
+    call_function(MinHashName, hashes, org.apache.spark.sql.functions.lit(k))
 }
 
 /** `spark.sql.extensions` injector (config-driven deployments). */

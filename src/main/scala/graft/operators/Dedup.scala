@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{HashFunctions, TextFunctions}
+import graft.functions.{GraftFunctions, HashFunctions, TextFunctions}
 
 /** Deduplication operators for large-scale training-data pipelines.
   *
@@ -47,10 +47,20 @@ object Dedup {
     * on almost every band, degenerating LSH to an all-pairs join, while
     * n-gram shingles keep the signatures discriminative.
     */
+  /** Shingle tokenizer (native n-gram kernel) for `minHashSignatures`'s
+    * `tokenize` parameter. Only valid on DataFrames whose session has
+    * `GraftFunctions` registered — `minHashSignatures` registers before
+    * analyzing.
+    */
+  def shingleTokenizer(n: Int): Column => Column =
+    c => array_distinct(
+      GraftFunctions.wordNGrams(TextFunctions.normalizedWords(c), n))
+
   def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         k: Int,
                         tokenize: Column => Column =
-                          TextFunctions.normalizeTokens): DataFrame =
+                          TextFunctions.normalizeTokens): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
     docs
       // cheap empty-doc test BEFORE the tokenizer projection — a
       // size(tokens)>0 filter after it would be pushed down with the whole
@@ -59,14 +69,16 @@ object Dedup {
       // an alphanumeric char (true of normalizeTokens and wordShingles).
       .filter(lower(col(textCol)).rlike("[a-z0-9]"))
       .select(col(idCol), tokenize(col(textCol)).as("tokens"))
-      // md5 once per token into its own column; the k permutations below
-      // are then integer-only lambdas over this attribute (CollapseProject
-      // keeps the boundary: `hashes` is non-cheap and referenced k times)
+      // md5 once per token into its own column, then the k permutation
+      // minima in one native single-pass kernel (MinHashSigExpr) —
+      // bit-identical to k × array_min(transform(...)) but inside
+      // whole-stage codegen instead of k interpreted folds
       .select(col(idCol),
         HashFunctions.tokenHashes(col("tokens")).as("hashes"))
       .select(col(idCol),
-        posexplode(HashFunctions.minHashSignatureFromHashes(col("hashes"), k))
+        posexplode(GraftFunctions.minHashSig(col("hashes"), k))
           .as(Seq("perm", "min_hash")))
+  }
 
   /** LSH candidate pairs: band the k-perm signature into `bands` bands of
     * k/bands rows; docs sharing any band key become a candidate pair.
@@ -177,16 +189,19 @@ object Dedup {
     require(minJaccard > 0.0,
       "posting-list similarity join cannot emit zero-overlap pairs; " +
         "use a positive threshold")
+    GraftFunctions.register(docs.sparkSession)
     val sh = docs
       // cheap empty-doc filter (see minHashSignatures for rationale)
       .filter(lower(col(textCol)).rlike("[a-z0-9]"))
       .withColumn("block", blockCol)
       // words materialized in their own projection so the shingle windows
-      // reference an attribute, not a re-evaluated tokenizer chain
+      // reference an attribute, not a re-evaluated tokenizer chain;
+      // windows via the native kernel (WordNGramsExpr, codegen'd)
       .select(col(idCol), col("block"),
         TextFunctions.normalizedWords(col(textCol)).as("ws"))
       .select(col(idCol), col("block"),
-        TextFunctions.wordShinglesOf(col("ws"), n).as("shingles"))
+        array_distinct(GraftFunctions.wordNGrams(col("ws"), n))
+          .as("shingles"))
     // Explicit repartition on the join key: both sides of the self-join
     // below become the IDENTICAL exchange, so ReusedExchange evaluates the
     // scan+shingle pipeline once and reads the shuffle twice — the same

@@ -41,6 +41,30 @@ class DedupKnnSpec extends SparkSpec {
     assert(mismatch.isNullAt(0) && mismatch.isNullAt(1))
   }
 
+  test("native n-gram and minhash kernels match the composed formulations") {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(7)
+    val words = Seq.tabulate(200) { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(9))(s"w${rnd.nextInt(30)}"))
+    }.toDF("id", "ws")
+    val shingleCmp = words.select(
+      TextFunctions.wordShinglesOf(col("ws"), 3).as("zip"),
+      array_distinct(GraftFunctions.wordNGrams(col("ws"), 3)).as("native"))
+      .as[(Seq[String], Seq[String])].collect()
+    shingleCmp.foreach { case (z, n) => assert(z == n) }
+
+    val hashes = Seq.tabulate(100) { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(20) + 1)(rnd.nextLong().abs
+        % graft.functions.HashFunctions.MinHashPrime))
+    }.toDF("id", "hs")
+    val sigCmp = hashes.select(
+      graft.functions.HashFunctions.minHashSignatureFromHashes(col("hs"), 8)
+        .as("folds"),
+      GraftFunctions.minHashSig(col("hs"), 8).as("native"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    sigCmp.foreach { case (f, n) => assert(f == n) }
+  }
+
   test("word shingles: short docs, empty docs, dedup") {
     val df = Seq(
       ("a b c d", 1), ("a b", 2), ("a", 3), ("!!!", 4), ("x y x y x y", 5))
