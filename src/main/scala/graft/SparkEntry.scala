@@ -217,6 +217,16 @@ object SparkEntry {
     }),
 
     // ---- the reference's own query family, over the documents table
+    "q18_pivot" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(decSum(col("l_quantity")))
+        .select(col("l_linestatus"),
+          col("A").as("qty_a"), col("N").as("qty_n"), col("R").as("qty_r"))
+        .orderBy("l_linestatus")
+    }),
+
     "q20_jac_doc_sizes" -> ((s, dir) => {
       Jaccard.docSizes(Jaccard.tokenized(docsAsCorpus(s, dir)))
         .select(col("docId").as("doc_id"), col("size"))
@@ -631,6 +641,17 @@ object SparkEntry {
         |  CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS BIGINT) AS age_days
         |FROM orders
         |ORDER BY o_orderkey""".stripMargin,
+    "q18_pivot" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN l_returnflag = 'A'
+        |    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_a,
+        |  CAST(sum(CASE WHEN l_returnflag = 'N'
+        |    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_n,
+        |  CAST(sum(CASE WHEN l_returnflag = 'R'
+        |    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_r
+        |FROM lineitem
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin,
     "q20_jac_doc_sizes" ->
       s"""WITH $ToksCte
          |SELECT doc_id, CAST(len(tokens) AS BIGINT) AS size

@@ -55,6 +55,19 @@ class PlanSpec extends SparkSpec {
     assert(finalPlan(q("q01_pricing_summary")).contains("*("))
   }
 
+  test("partition pruning: a filter on the partition column prunes the scan") {
+    import spark.implicits._
+    val dir = s"/tmp/graft-parts-${ProcessHandle.current().pid()}"
+    Seq((1L, "s1", "x"), (2L, "s2", "y"), (3L, "s1", "z"))
+      .toDF("id", "source", "text")
+      .write.mode("overwrite").partitionBy("source").parquet(dir)
+    val df = spark.read.parquet(dir).filter(col("source") === "s1")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(source"),
+      s"partition filter must prune at the scan:\n$plan")
+  }
+
   test("no query plans a cartesian product") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val plan = q(name).queryExecution.sparkPlan.toString
