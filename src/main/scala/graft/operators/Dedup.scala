@@ -38,6 +38,22 @@ object Dedup {
       exactGroups(docs, idCol, textCol).select(col("keeper_id").as(idCol)),
       idCol)
 
+  /** Streaming exact dedup at ingestion: first arrival of each content
+    * hash passes, replays/duplicates drop. State = one row per distinct
+    * hash within the watermark horizon — `withWatermark` + an event-time
+    * column in the dedup key lets the engine expire state instead of
+    * holding every hash ever seen (the difference between bounded and
+    * unbounded state at 100 TB/day ingest).
+    *
+    * `tsCol` must be the event-time column the stream watermarks on.
+    */
+  def streamingExactDedup(docs: DataFrame, textCol: String, tsCol: String,
+                          lateness: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("text_hash", md5(col(textCol)))
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark("text_hash")
+
   /** Per-document MinHash signature, exploded to (id, perm, min_hash) rows
     * (exploded form is oracle-friendly and joins cheaply).
     *

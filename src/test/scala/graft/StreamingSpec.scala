@@ -87,6 +87,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact dedup: first arrival wins, replays drop") {
+    val input = MemoryStream[(Long, Long, String)](spark)
+    val docs = input.toDF()
+      .select(col("_1").as("doc_id"),
+        timestamp_seconds(col("_2")).as("ts"), col("_3").as("text"))
+    val q = graft.operators.Dedup
+      .streamingExactDedup(docs, "text", "ts", lateness = "10 minutes")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, 1000L, "same content"), (2L, 1001L, "same content"),
+        (3L, 1002L, "unique content"))
+      q.processAllAvailable()
+      val kept = spark.table("dedup").select("doc_id")
+        .as[Long].collect().toSet
+      assert(kept.contains(3L) && kept.size == 2,
+        s"one of the duplicate pair plus the unique doc must pass; got $kept")
+      // a later replay of the same content within the watermark also drops
+      input.addData((4L, 1100L, "same content"))
+      q.processAllAvailable()
+      assert(spark.table("dedup").count() == 2)
+    } finally q.stop()
+  }
+
   test("batch and streaming sessionization agree on on-time data") {
     val batch = EventStreams.sessionize(
       Seq((7L, 1000L, 1L), (7L, 1500L, 2L), (7L, 4000L, 3L), (8L, 900L, 4L))
