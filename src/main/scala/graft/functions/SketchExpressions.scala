@@ -45,6 +45,32 @@ object SketchKernels {
     new GenericArrayData(out)
   }
 
+  /** `bits`-wide SimHash over 60-bit token hashes in ONE pass (vote per
+    * bit, set if positive) — bit-identical to the 32-fold
+    * `HashFunctions.simHash` composition. Returns null on a null element
+    * or empty input (callers filter empty docs).
+    */
+  def simHash(arr: ArrayData, bits: Int): Any = {
+    val len = arr.numElements()
+    if (len == 0) return null
+    val votes = new Array[Long](bits)
+    var i = 0
+    while (i < len) {
+      if (arr.isNullAt(i)) return null
+      val h = arr.getLong(i)
+      var b = 0
+      while (b < bits) {
+        votes(b) += ((h >> b) & 1L) * 2L - 1L
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < bits) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
   /** k-permutation MinHash minima over pre-reduced token hashes — one
     * pass, tight integer loop; bit-identical to
     * `minHashSignatureFromHashes` (k × array_min(transform(...))).
@@ -95,6 +121,38 @@ case class WordNGramsExpr(left: Expression, right: Expression)
       s"${ev.value} = graft.functions.SketchKernels.wordNGrams($a, $n);")
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): WordNGramsExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `graft_simhash(hashes, bits)` — native one-pass SimHash. */
+case class SimHashExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), IntegerType) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (array<long>, int literal)")
+    }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_simhash"
+  private lazy val bits: Int = right.eval(InternalRow.empty) match {
+    case i: Int => i
+  }
+  override def nullSafeEval(arr: Any, bb: Any): Any =
+    SketchKernels.simHash(arr.asInstanceOf[ArrayData], bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, _) => {
+      val res = ctx.freshName("simRes")
+      s"""
+         |Object $res = graft.functions.SketchKernels.simHash($a, $bits);
+         |if ($res == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((Long) $res).longValue(); }
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SimHashExpr =
     copy(left = newLeft, right = newRight)
 }
 

@@ -108,11 +108,14 @@ object GraftFunctions {
         s"$name expects 2 arguments, got ${exprs.length}")
     })
 
+  val SimHashName = "graft_simhash"
+
   def injections: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     binary(DotName, classOf[DotProductFloat], DotProductFloat.apply),
     binary(NGramsName, classOf[WordNGramsExpr], WordNGramsExpr.apply),
-    binary(MinHashName, classOf[MinHashSigExpr], MinHashSigExpr.apply))
+    binary(MinHashName, classOf[MinHashSigExpr], MinHashSigExpr.apply),
+    binary(SimHashName, classOf[SimHashExpr], SimHashExpr.apply))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit =
@@ -133,6 +136,10 @@ object GraftFunctions {
   /** Native k-permutation MinHash over token hashes (requires `register`). */
   def minHashSig(hashes: Column, k: Int): Column =
     call_function(MinHashName, hashes, org.apache.spark.sql.functions.lit(k))
+
+  /** Native one-pass SimHash over token hashes (requires `register`). */
+  def simHash(hashes: Column, bits: Int): Column =
+    call_function(SimHashName, hashes, org.apache.spark.sql.functions.lit(bits))
 }
 
 /** `spark.sql.extensions` injector (config-driven deployments). */

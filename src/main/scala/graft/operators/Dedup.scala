@@ -160,15 +160,19 @@ object Dedup {
 
   /** Per-document SimHash (bits-wide, from md5-derived token hashes). */
   def simHashes(docs: DataFrame, idCol: String, textCol: String,
-                bits: Int = 32): DataFrame =
+                bits: Int = 32): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
     docs
       .filter(lower(col(textCol)).rlike("[a-z0-9]"))
       .select(col(idCol),
         TextFunctions.normalizeTokens(col(textCol)).as("tokens"))
       .withColumn("hashes",
         transform(col("tokens"), t => HashFunctions.md5Long(t)))
+      // one native pass over the hashes (SimHashExpr) instead of `bits`
+      // interpreted folds — bit-identical votes/threshold
       .select(col(idCol),
-        HashFunctions.simHash(col("hashes"), bits).as("simhash"))
+        GraftFunctions.simHash(col("hashes"), bits).as("simhash"))
+  }
 
   /** SimHash near-dup pairs within a blocking column (e.g. source shard):
     * Hamming distance ≤ maxHamming. Blocking keeps the pair join bounded;
@@ -255,18 +259,17 @@ object Dedup {
     */
   def cosineNearDups(embs: DataFrame, idCol: String, vecCol: String,
                      blockCol: Column, minCosine: Double): DataFrame = {
-    graft.functions.GraftFunctions.register(embs.sparkSession)
-    import graft.functions.GraftFunctions.dotF32
+    GraftFunctions.register(embs.sparkSession)
     val e = embs.withColumn("block", blockCol)
       .select(col(idCol), col("block"), col(vecCol).as("vec"),
-        sqrt(dotF32(col(vecCol), col(vecCol))).as("nrm"))
+        Knn.normF32(col(vecCol)).as("nrm"))
     e.as("a")
       .join(e.as("b"),
         col("a.block") === col("b.block") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        (dotF32(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")))
-          .as("cosine"))
+        Knn.cosineFromNorms(col("a.vec"), col("b.vec"),
+          col("a.nrm"), col("b.nrm")).as("cosine"))
       .filter(col("cosine") >= minCosine)
   }
 }

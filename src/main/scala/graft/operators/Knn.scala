@@ -49,6 +49,20 @@ object Knn {
   def norm(a: Column): Column =
     sqrt(dsum(transform(a, x => x.cast("double") * x.cast("double"))))
 
+  /** Native-kernel norm (session must have `GraftFunctions` registered).
+    * Shared by every cosine operator so the score arithmetic stays
+    * bit-identical across them.
+    */
+  private[operators] def normF32(v: Column): Column =
+    sqrt(GraftFunctions.dotF32(v, v))
+
+  /** Cosine from a precomputed-norm pair — the one scoring expression all
+    * cosine operators share.
+    */
+  private[operators] def cosineFromNorms(a: Column, b: Column,
+                                         na: Column, nb: Column): Column =
+    GraftFunctions.dotF32(a, b) / (na * nb)
+
   /** Exact top-k: for each query vector, the k nearest corpus vectors by
     * cosine. `queries` is expected to be small — it is broadcast, making
     * the cross join a map-side nested loop; the heavy side streams.
@@ -56,15 +70,14 @@ object Knn {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
-    def nrm(v: Column) = sqrt(GraftFunctions.dotF32(v, v))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      nrm(col(vecCol)).as("qn"))
+      normF32(col(vecCol)).as("qn"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      nrm(col(vecCol)).as("cn"))
+      normF32(col(vecCol)).as("cn"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        (GraftFunctions.dotF32(col("qv"), col("cv")) / (col("qn") * col("cn")))
+        cosineFromNorms(col("qv"), col("cv"), col("qn"), col("cn"))
           .as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
@@ -107,7 +120,10 @@ object Knn {
     */
   def lshBuckets(embs: DataFrame, idCol: String, vecCol: String,
                  tables: Int, planes: Int): DataFrame = {
-    val dim = embs.select(size(col(vecCol))).head().getInt(0)
+    // one-row probe (not head(): that throws on an empty table; an empty
+    // table produces an empty result whatever dim we pick)
+    val dim = embs.select(size(col(vecCol))).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(1)
     embs.select(
       col(idCol),
       posexplode(array((0 until tables).map(t =>
@@ -131,14 +147,14 @@ object Knn {
         col(s"b.$idCol").as("neighbor_id"))
       .distinct()
     val vecs = embs.select(col(idCol), col(vecCol),
-      sqrt(GraftFunctions.dotF32(col(vecCol), col(vecCol))).as("nrm"))
+      normF32(col(vecCol)).as("nrm"))
     val scored = candidates
       .join(vecs.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         col("nrm").as("qn")), "query_id")
       .join(vecs.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
         col("nrm").as("cn")), "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
-        (GraftFunctions.dotF32(col("qv"), col("cv")) / (col("qn") * col("cn")))
+        cosineFromNorms(col("qv"), col("cv"), col("qn"), col("cn"))
           .as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)

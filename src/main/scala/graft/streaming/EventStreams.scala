@@ -37,57 +37,86 @@ object EventStreams {
   case class Session(user_id: Long, session_id: Long, n_events: Long,
                      sess_start: Long, sess_end: Long)
 
-  /** Open-session state carried between micro-batches per user. */
-  case class OpenSession(nextId: Long, start: Long, last: Long, n: Long)
+  /** One still-open session interval. */
+  case class OpenInterval(start: Long, end: Long, n: Long)
 
-  /** Streaming sessionization with custom state: gap-based sessions via
-    * `flatMapGroupsWithState` + event-time timeout. A session CLOSES (and
-    * is emitted, append-mode) either when a later event arrives past the
-    * gap, or when the event-time watermark passes `last + gap` with no new
-    * events (the timeout path — without it a user who goes quiet would
-    * hold state forever; this is the knob that bounds state at scale).
+  /** Per-user sessionizer state: the next ordinal session id plus every
+    * open interval inside the watermark horizon, sorted by start.
+    */
+  case class UserSessions(nextId: Long, open: List[OpenInterval])
+
+  /** Streaming sessionization with custom merging state
+    * (`flatMapGroupsWithState` + event-time timeout).
     *
-    * Within one uninterrupted run the (user_id, session_id, counts,
-    * bounds) agree with the batch `sessionize` for on-time data; late rows
-    * beyond the watermark are dropped by the engine, which is the
-    * documented streaming-vs-batch divergence.
+    * The state holds ALL open session intervals per user (not just the
+    * latest): micro-batches deliver events out of order across batches,
+    * so an in-watermark event may open an earlier interval, extend any
+    * open one, or BRIDGE two adjacent ones into a single session — the
+    * same merge semantics as the built-in `session_window`, plus batch-
+    * compatible ordinal session ids.
+    *
+    * A session is emitted only when the event-time watermark passes
+    * `end + gap` — at that point no in-watermark event can extend it, so
+    * emitted rows are final (append mode). Because the watermark is
+    * monotone and intervals per user are disjoint with > gap spacing,
+    * sessions flush in start order, which is exactly the batch
+    * `sessionize` numbering for on-time data. The per-user state is
+    * bounded: intervals leave at the watermark; the id counter is
+    * retained `counterRetention` of event time past the last flush so
+    * numbering survives idle gaps, then the state is dropped entirely.
     */
   def sessionizeStream(events: DataFrame, gapSeconds: Long = 1800L,
-                       lateness: String = "1 hour"): Dataset[Session] = {
+                       lateness: String = "1 hour",
+                       counterRetention: java.time.Duration =
+                         java.time.Duration.ofDays(7)): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
     val gapMs = gapSeconds * 1000L
 
-    def fn(userId: Long, rows: Iterator[(Long, Long)],
-           state: GroupState[OpenSession]): Iterator[Session] = {
-      if (state.hasTimedOut) {
-        val s = state.get
-        state.remove()
-        Iterator.single(Session(userId, s.nextId, s.n, s.start, s.last))
-      } else {
-        // micro-batches are unordered within the batch — sort by
-        // (secs, event_id), the same deterministic order the batch
-        // formulation uses
-        val sorted = rows.toSeq.sortBy(identity).map(_._1)
-        var open = state.getOption
-        val closed = Seq.newBuilder[Session]
-        sorted.foreach { secs =>
-          open match {
-            case Some(s) if secs - s.last <= gapSeconds =>
-              open = Some(s.copy(last = math.max(s.last, secs), n = s.n + 1))
-            case Some(s) =>
-              closed += Session(userId, s.nextId, s.n, s.start, s.last)
-              open = Some(OpenSession(s.nextId + 1, secs, secs, 1L))
-            case None =>
-              open = Some(OpenSession(1L, secs, secs, 1L))
-          }
-        }
-        open.foreach { s =>
-          state.update(s)
-          state.setTimeoutTimestamp(s.last * 1000L + gapMs)
-        }
-        closed.result().iterator
+    def insert(open: List[OpenInterval], secs: Long): List[OpenInterval] = {
+      // neighbors within gap merge with the event (at most two: the
+      // interval ending just before it and the one starting just after)
+      val (near, far) = open.partition(iv =>
+        secs >= iv.start - gapSeconds && secs <= iv.end + gapSeconds)
+      val merged = near.foldLeft(OpenInterval(secs, secs, 1L)) { (acc, iv) =>
+        OpenInterval(math.min(acc.start, iv.start),
+          math.max(acc.end, iv.end), acc.n + iv.n)
       }
+      (merged :: far).sortBy(_.start)
+    }
+
+    def flush(userId: Long, st: UserSessions, watermarkSecs: Long)
+        : (UserSessions, List[Session]) = {
+      val (done, still) = st.open.partition(_.end + gapSeconds < watermarkSecs)
+      val out = done.zipWithIndex.map { case (iv, i) =>
+        Session(userId, st.nextId + i, iv.n, iv.start, iv.end)
+      }
+      (UserSessions(st.nextId + done.size, still), out)
+    }
+
+    def fn(userId: Long, rows: Iterator[(Long, Long)],
+           state: GroupState[UserSessions]): Iterator[Session] = {
+      val watermarkSecs = state.getCurrentWatermarkMs() / 1000L
+      val prev = state.getOption.getOrElse(UserSessions(1L, Nil))
+      val withEvents =
+        if (state.hasTimedOut) prev
+        else rows.toSeq.map(_._1).sorted
+          .foldLeft(prev)((st, secs) => st.copy(open = insert(st.open, secs)))
+      val (next, out) = flush(userId, withEvents, watermarkSecs)
+      if (next.open.nonEmpty) {
+        state.update(next)
+        // fire when the earliest open interval becomes flushable
+        val earliest = next.open.map(_.end).min * 1000L + gapMs
+        state.setTimeoutTimestamp(
+          math.max(earliest, state.getCurrentWatermarkMs() + 1))
+      } else if (state.hasTimedOut && out.isEmpty) {
+        state.remove() // retention timeout on a counter-only state
+      } else {
+        state.update(next) // keep the id counter through idle gaps
+        state.setTimeoutTimestamp(
+          state.getCurrentWatermarkMs() + counterRetention.toMillis)
+      }
+      out.iterator
     }
 
     // the watermarked `ts` column itself must survive up to the stateful
@@ -101,7 +130,7 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout) {
         (user: Long, it: Iterator[(Long, java.sql.Timestamp, Long)],
-         st: GroupState[OpenSession]) =>
+         st: GroupState[UserSessions]) =>
           fn(user, it.map(r => (r._2.getTime / 1000L, r._3)), st)
       }
   }

@@ -63,6 +63,12 @@ class DedupKnnSpec extends SparkSpec {
       GraftFunctions.minHashSig(col("hs"), 8).as("native"))
       .as[(Seq[Long], Seq[Long])].collect()
     sigCmp.foreach { case (f, n) => assert(f == n) }
+
+    val shCmp = hashes.select(
+      graft.functions.HashFunctions.simHash(col("hs"), 32).as("folds"),
+      GraftFunctions.simHash(col("hs"), 32).as("native"))
+      .as[(Long, Long)].collect()
+    shCmp.foreach { case (f, n) => assert(f == n) }
   }
 
   test("word shingles: short docs, empty docs, dedup") {

@@ -52,7 +52,7 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("stateful sessionizer: gap closes sessions, timeout flushes idle ones") {
+  test("stateful sessionizer: watermark flushes final sessions in order") {
     val input = MemoryStream[(Long, Long, Long)](spark)
     val q = EventStreams
       .sessionizeStream(eventsFrom(input),
@@ -61,29 +61,62 @@ class StreamingSpec extends SparkSpec {
       .outputMode("append").start()
     try {
       val t0 = 100000L
-      // user 7: two events 10 min apart (one session), then a gap > 30 min
+      def sessions7 = spark.table("sess").as[EventStreams.Session]
+        .collect().toSeq.filter(_.user_id == 7L).sortBy(_.session_id)
+
+      // user 7: two events 10 min apart (session 1), one past the gap
+      // (session 2) — both stay OPEN until the watermark passes end+gap
       input.addData((7L, t0, 1L), (7L, t0 + 600, 2L))
+      input.addData((7L, t0 + 2401, 3L))
       q.processAllAvailable()
-      assert(spark.table("sess").count() == 0, "open session must not emit")
+      assert(spark.table("sess").count() == 0, "open sessions must not emit")
 
-      // event past the gap closes session 1 in-line and opens session 2
-      input.addData((7L, t0 + 600 + 1801, 3L))
-      q.processAllAvailable()
-      val s1 = spark.table("sess")
-        .as[EventStreams.Session].collect().toSeq
-      assert(s1 == Seq(
-        EventStreams.Session(7L, 1L, 2L, t0, t0 + 600)))
-
-      // advance event time far ahead via another user: watermark passes
-      // session-2's timeout → it flushes without any new user-7 event
+      // advance event time far ahead via another user; the extra batch
+      // lets the event-time timeout fire after the watermark update
       input.addData((9L, t0 + 20000, 4L))
       q.processAllAvailable()
       input.addData((9L, t0 + 40000, 5L))
       q.processAllAvailable()
-      val all = spark.table("sess").as[EventStreams.Session].collect().toSet
-      assert(all.contains(
+      assert(sessions7 == Seq(
+        EventStreams.Session(7L, 1L, 2L, t0, t0 + 600),
         EventStreams.Session(7L, 2L, 1L, t0 + 2401, t0 + 2401)),
-        s"idle session must flush on event-time timeout; got $all")
+        s"both sessions flush once final, numbered in start order; got $sessions7")
+
+      // numbering survives the flush: the next session is 3, not 1
+      input.addData((7L, t0 + 50000, 6L))
+      q.processAllAvailable()
+      input.addData((9L, t0 + 99000, 7L))
+      q.processAllAvailable()
+      input.addData((9L, t0 + 99500, 8L))
+      q.processAllAvailable()
+      assert(sessions7.map(_.session_id) == Seq(1L, 2L, 3L),
+        s"session ids must continue after a timeout flush; got $sessions7")
+    } finally q.stop()
+  }
+
+  test("sessionizer merges out-of-order and bridging events across batches") {
+    val input = MemoryStream[(Long, Long, Long)](spark)
+    val q = EventStreams
+      .sessionizeStream(eventsFrom(input),
+        gapSeconds = 1800L, lateness = "2 hours")
+      .writeStream.format("memory").queryName("sess2")
+      .outputMode("append").start()
+    try {
+      // batch 1: two intervals > gap apart; batch 2: a BRIDGE event that
+      // lands between them (out of order, still inside the watermark)
+      input.addData((13L, 1000L, 1L), (13L, 4500L, 2L))
+      q.processAllAvailable()
+      input.addData((13L, 2800L, 3L))
+      q.processAllAvailable()
+      // advance the watermark far past everything; extra batch for timeout
+      input.addData((14L, 50000L, 4L))
+      q.processAllAvailable()
+      input.addData((14L, 90000L, 5L))
+      q.processAllAvailable()
+      val got = spark.table("sess2").as[EventStreams.Session]
+        .collect().toSeq.filter(_.user_id == 13L)
+      assert(got == Seq(EventStreams.Session(13L, 1L, 3L, 1000L, 4500L)),
+        s"the bridge event must merge both intervals into ONE session; got $got")
     } finally q.stop()
   }
 
