@@ -217,6 +217,22 @@ object SparkEntry {
     }),
 
     // ---- the reference's own query family, over the documents table
+    // SQL-text entry path (parser → analyzer), with correlated scalar
+    // subqueries Catalyst rewrites into joins. The predicate is pure
+    // DECIMAL arithmetic (price*count > 2*sum) — an avg() threshold would
+    // divide, and Spark's decimal avg rounds while DuckDB's returns
+    // double, so boundary rows could disagree.
+    "q19_sql_subquery" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT o.o_custkey, o.o_orderkey, o.o_totalprice
+          |FROM orders_v o
+          |WHERE CAST(o.o_totalprice AS DECIMAL(18,2)) *
+          |    (SELECT count(*) FROM orders_v i WHERE i.o_custkey = o.o_custkey)
+          |  > 2 * (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2)))
+          |         FROM orders_v i WHERE i.o_custkey = o.o_custkey)
+          |ORDER BY o_custkey, o_orderkey""".stripMargin)
+    }),
     "q18_pivot" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy("l_linestatus")
@@ -641,6 +657,14 @@ object SparkEntry {
         |  CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS BIGINT) AS age_days
         |FROM orders
         |ORDER BY o_orderkey""".stripMargin,
+    "q19_sql_subquery" ->
+      """SELECT o.o_custkey, o.o_orderkey, o.o_totalprice
+        |FROM orders o
+        |WHERE CAST(o.o_totalprice AS DECIMAL(18,2)) *
+        |    (SELECT count(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |  > 2 * (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |         FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q18_pivot" ->
       """SELECT l_linestatus,
         |  CAST(sum(CASE WHEN l_returnflag = 'A'
