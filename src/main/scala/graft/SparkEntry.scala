@@ -320,6 +320,15 @@ object SparkEntry {
           round(col("jaccard"), 4).as("jaccard"))
         .orderBy("id_a", "id_b")
     }),
+    "q37_hll_registers" -> ((s, dir) => {
+      // portable HLL sketch of distinct-token counts per source: the
+      // registers are deterministic integers, so they gate exactly
+      val posts = t(s, dir, "documents")
+        .select(col("source"),
+          explode(TextFunctions.normalizeTokens(col("text"))).as("tok"))
+      graft.operators.Hll.registers(posts, Seq("source"), "tok", m = 64)
+        .orderBy("source", "bucket")
+    }),
     "q36_cosine_neardups" -> ((s, dir) => {
       Dedup.cosineNearDups(t(s, dir, "embeddings"), "vec_id", "embedding",
         blockCol = col("label"), minCosine = 0.3)
@@ -804,6 +813,21 @@ object SparkEntry {
          |  round(jaccard, 4) AS jaccard
          |FROM scored WHERE jaccard >= 0.2
          |ORDER BY id_a, id_b""".stripMargin,
+    "q37_hll_registers" ->
+      s"""WITH $ToksCte,
+         |posts AS (SELECT source, unnest(t.tokens) AS tok
+         |          FROM toks t JOIN documents d ON t.doc_id = d.doc_id
+         |          WHERE len(t.tokens) > 0),
+         |hashed AS (SELECT source, ${h60("tok")} AS h FROM posts),
+         |ranked AS (
+         |  SELECT source, CAST(h % 64 AS BIGINT) AS bucket,
+         |    CASE WHEN h // 64 = 0 THEN 55
+         |      ELSE CAST(log2((h // 64) & (-(h // 64))) AS BIGINT) + 1
+         |    END AS rho
+         |  FROM hashed)
+         |SELECT source, bucket, max(rho) AS rho
+         |FROM ranked GROUP BY source, bucket
+         |ORDER BY source, bucket""".stripMargin,
     "q36_cosine_neardups" ->
       s"""WITH pairs AS (
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -170,6 +170,26 @@ class DedupKnnSpec extends SparkSpec {
     }
   }
 
+  test("HLL estimate lands near the true distinct count; shards merge") {
+    import graft.operators.Hll
+    val n = 5000
+    val vals = (1 to n).map(i => ("g", s"value_$i")).toDF("g", "v")
+    val regs = Hll.registers(vals, Seq("g"), "v", m = 256)
+    val est = Hll.estimate(regs, Seq("g"), m = 256)
+      .select("estimate").as[Double].head()
+    assert(math.abs(est - n) / n < 0.15, s"estimate $est vs true $n")
+
+    // sketches of two shards merged by elementwise max == whole-corpus sketch
+    val (s1, s2) = ((1 to n / 2).map(i => ("g", s"value_$i")),
+      (n / 2 + 1 to n).map(i => ("g", s"value_$i")))
+    val merged = Hll.registers(s1.toDF("g", "v"), Seq("g"), "v", 256)
+      .unionAll(Hll.registers(s2.toDF("g", "v"), Seq("g"), "v", 256))
+      .groupBy("g", "bucket").agg(max("rho").as("rho"))
+    val wholeSet = regs.as[(String, Long, Long)].collect().toSet
+    val mergedSet = merged.as[(String, Long, Long)].collect().toSet
+    assert(mergedSet == wholeSet)
+  }
+
   test("brute-force KNN returns exact top-k by cosine") {
     val vecs = Seq(
       (1L, Array(1f, 0f)), (2L, Array(0.9f, 0.1f)),
