@@ -47,7 +47,15 @@ object Bench {
         })
       else None
     }
-    val results = fixture ++ refDatasets
+    // end-to-end curation cascade (quality → exact dedup → near dedup)
+    // over the documents fixture (language gate off: the synthetic corpus
+    // is not natural language)
+    val curation = Seq("curation_documents" -> timed {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      graft.pipeline.CurationPipeline
+        .run(docs, "doc_id", "text", languages = Set.empty).counts
+    })
+    val results = fixture ++ refDatasets ++ curation
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

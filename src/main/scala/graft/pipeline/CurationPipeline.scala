@@ -1,0 +1,89 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+import graft.operators.Dedup
+
+/** End-to-end training-corpus curation: the standard cheap-to-expensive
+  * cascade, composed from the engine's gated operators —
+  *
+  *   1. quality gate (length / alpha ratio / stopword ratio — C4-style)
+  *   2. language gate (stopword-lexicon language ID)
+  *   3. exact dedup (content-hash groupBy, keeper = min id)
+  *   4. near-dedup (MinHash over 3-word shingles → LSH banding →
+  *      exact n-gram Jaccard verification of candidates; drop the larger
+  *      id of each verified pair)
+  *
+  * Everything stays one lazy DAG per stage; each stage's shuffle key is a
+  * hash (content hash, band key, shingle), so the cascade scales the same
+  * way the individual operators do. Stage predicates are exposed so
+  * callers can re-balance the cascade (e.g. drop the language gate for a
+  * multilingual corpus).
+  */
+object CurationPipeline {
+
+  /** Per-stage survivor counts alongside the final corpus — the numbers a
+    * pipeline report wants.
+    */
+  case class Result(curated: DataFrame, counts: Map[String, Long])
+
+  def qualityGate(minWords: Long = 5L, minAlphaRatio: Double = 0.5,
+                  maxUniqueRatio: Double = 1.01): Column =
+    col("n_words") >= minWords &&
+      col("alpha_ratio") >= minAlphaRatio &&
+      col("unique_ratio") <= maxUniqueRatio
+
+  /** Run the cascade over docs(idCol, textCol). `languages` empty = skip
+    * the language gate. `stageCounts` additionally reports survivor
+    * counts per stage — it caches the intermediates so each stage is
+    * evaluated once, at the cost of materializing them; leave it off for
+    * a single lazy DAG when only the curated output matters.
+    */
+  def run(docs: DataFrame, idCol: String, textCol: String,
+          languages: Set[String] = Set("en"),
+          quality: Column = qualityGate(),
+          minJaccard: Double = 0.8,
+          stageCounts: Boolean = false): Result = {
+    def staged(df: DataFrame): DataFrame = if (stageCounts) df.cache() else df
+
+    val q = TextAnalysis.qualityStats(docs, idCol, textCol)
+      .filter(quality).select(col(idCol))
+    val afterQuality = staged(docs.join(q, idCol))
+
+    val afterLang = staged(
+      if (languages.isEmpty) afterQuality
+      else afterQuality.join(
+        TextAnalysis.langId(afterQuality, idCol, textCol)
+          .filter(col("lang_pred").isin(languages.toSeq.map(lit): _*))
+          .select(col(idCol)), idCol))
+
+    val afterExact = staged(Dedup.exactDeduped(afterLang, idCol, textCol))
+
+    // near-dedup: LSH candidates verified by exact shingle Jaccard; the
+    // verification join is only over candidate ids, never all pairs
+    val sigs = Dedup.minHashSignatures(afterExact, idCol, textCol,
+      k = 8, tokenize = Dedup.shingleTokenizer(3))
+    val candidates = Dedup.lshCandidates(sigs, idCol, k = 8, bands = 4)
+    val candIds = candidates.select(col("id_a").as(idCol))
+      .unionAll(candidates.select(col("id_b").as(idCol))).distinct()
+    val verified = Dedup.ngramJaccardPairs(
+      afterExact.join(candIds, idCol), idCol, textCol,
+      n = 3, blockCol = lit(1), minJaccard = minJaccard)
+    val losers = verified
+      .join(candidates, Seq("id_a", "id_b"), "left_semi")
+      .select(col("id_b").as(idCol)).distinct()
+    val curated = afterExact.join(losers, Seq(idCol), "left_anti")
+
+    val counts =
+      if (stageCounts) Map(
+        "input" -> docs.count(),
+        "after_quality" -> afterQuality.count(),
+        "after_language" -> afterLang.count(),
+        "after_exact_dedup" -> afterExact.count(),
+        "after_near_dedup" -> curated.count())
+      else Map("after_near_dedup" -> curated.count())
+    Result(curated, counts)
+  }
+}

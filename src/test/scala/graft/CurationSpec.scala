@@ -1,0 +1,30 @@
+package graft
+
+import graft.pipeline.CurationPipeline
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("curation cascade drops low-quality, wrong-language, exact and near dups") {
+    val base = "the quick brown fox jumps over the lazy dog near " +
+      "the river bank today while the sun sets slowly behind the old hill"
+    val docs = Seq(
+      (1L, base),                      // keeper
+      (2L, base),                      // exact dup of 1 -> exact stage
+      (3L, base + " tonight"),         // near dup of 1 -> near stage
+      (4L, "hi there"),                // too short -> quality stage
+      (5L, "le chat est dans la maison et il mange pour vivre bien"), // fr
+      (6L, "a completely different document about the engine and the data " +
+        "pipeline that we keep because it is unique and long enough"))
+      .toDF("doc_id", "text")
+    val res = CurationPipeline.run(docs, "doc_id", "text",
+      languages = Set("en"), minJaccard = 0.8, stageCounts = true)
+    assert(res.counts("input") == 6L)
+    assert(res.counts("after_quality") == 5L, s"got ${res.counts}")
+    assert(res.counts("after_language") == 4L, s"got ${res.counts}")
+    assert(res.counts("after_exact_dedup") == 3L, s"got ${res.counts}")
+    assert(res.counts("after_near_dedup") == 2L, s"got ${res.counts}")
+    val kept = res.curated.select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 6L))
+  }
+}
