@@ -216,7 +216,6 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
-    // ---- the reference's own query family, over the documents table
     // SQL-text entry path (parser → analyzer), with correlated scalar
     // subqueries Catalyst rewrites into joins. The predicate is pure
     // DECIMAL arithmetic (price*count > 2*sum) — an avg() threshold would
@@ -243,6 +242,7 @@ object SparkEntry {
         .orderBy("l_linestatus")
     }),
 
+    // ---- the reference's own query family, over the documents table
     "q20_jac_doc_sizes" -> ((s, dir) => {
       Jaccard.docSizes(Jaccard.tokenized(docsAsCorpus(s, dir)))
         .select(col("docId").as("doc_id"), col("size"))

@@ -99,16 +99,32 @@ object SketchKernels {
   }
 }
 
+/** Shared check: the second argument must be a non-null positive int
+  * literal (these are SQL-callable once registered, so a null or
+  * non-positive literal must fail analysis, not crash execution).
+  */
+private[functions] object PositiveIntArg {
+  def check(prettyName: String, elemOk: DataType => Boolean,
+            expects: String, left: Expression,
+            right: Expression): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (dt, IntegerType) if elemOk(dt) && right.foldable =>
+        right.eval(InternalRow.empty) match {
+          case i: java.lang.Integer if i > 0 => TypeCheckResult.TypeCheckSuccess
+          case _ => TypeCheckResult.TypeCheckFailure(
+            s"$prettyName's second argument must be a positive int literal")
+        }
+      case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName expects $expects")
+    }
+}
+
 /** `graft_word_ngrams(words, n)` — native n-gram windowing. */
 case class WordNGramsExpr(left: Expression, right: Expression)
     extends BinaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
-    (left.dataType, right.dataType) match {
-      case (ArrayType(StringType, _), IntegerType) if right.foldable =>
-        TypeCheckResult.TypeCheckSuccess
-      case _ => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName expects (array<string>, int literal)")
-    }
+    PositiveIntArg.check(prettyName,
+      { case ArrayType(StringType, _) => true; case _ => false },
+      "(array<string>, positive int literal)", left, right)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_word_ngrams"
   private lazy val n: Int = right.eval(InternalRow.empty) match {
@@ -128,12 +144,9 @@ case class WordNGramsExpr(left: Expression, right: Expression)
 case class SimHashExpr(left: Expression, right: Expression)
     extends BinaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
-    (left.dataType, right.dataType) match {
-      case (ArrayType(LongType, _), IntegerType) if right.foldable =>
-        TypeCheckResult.TypeCheckSuccess
-      case _ => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName expects (array<long>, int literal)")
-    }
+    PositiveIntArg.check(prettyName,
+      { case ArrayType(LongType, _) => true; case _ => false },
+      "(array<long>, positive int literal)", left, right)
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def prettyName: String = "graft_simhash"
@@ -160,12 +173,9 @@ case class SimHashExpr(left: Expression, right: Expression)
 case class MinHashSigExpr(left: Expression, right: Expression)
     extends BinaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
-    (left.dataType, right.dataType) match {
-      case (ArrayType(LongType, _), IntegerType) if right.foldable =>
-        TypeCheckResult.TypeCheckSuccess
-      case _ => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName expects (array<long>, int literal)")
-    }
+    PositiveIntArg.check(prettyName,
+      { case ArrayType(LongType, _) => true; case _ => false },
+      "(array<long>, positive int literal)", left, right)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "graft_minhash_sig"

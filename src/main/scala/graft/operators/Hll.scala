@@ -28,6 +28,10 @@ object Hll {
                 m: Int = 256): DataFrame = {
     require(m >= 16 && (m & (m - 1)) == 0, "m must be a power of two >= 16")
     val gcols = groupCols.map(col)
+    // md5Long is a 60-bit hash, so w = h div m has 60 - log2(m) bits and
+    // the all-zeros sentinel is that width + 1 (one past any real rank —
+    // a w of exactly 2^(width-1) ranks width, the sentinel must exceed it)
+    val wBits = 60 - java.lang.Long.numberOfTrailingZeros(m.toLong)
     df
       .filter(col(valueCol).isNotNull)
       // md5 once per value into its own column, then integer-only math
@@ -36,7 +40,7 @@ object Hll {
         pmod(col("__h"), lit(m)).cast("long").as("bucket"),
         expr(s"__h div $m").as("__w")): _*)
       .select(gcols ++ Seq(col("bucket"),
-        when(col("__w") === 0, lit(55L))
+        when(col("__w") === 0, lit(wBits + 1L))
           .otherwise(log2(col("__w").bitwiseAND(-col("__w"))).cast("long")
             + 1L).as("__rho")): _*)
       .groupBy(gcols :+ col("bucket"): _*)

@@ -120,9 +120,11 @@ object Knn {
     */
   def lshBuckets(embs: DataFrame, idCol: String, vecCol: String,
                  tables: Int, planes: Int): DataFrame = {
-    // one-row probe (not head(): that throws on an empty table; an empty
-    // table produces an empty result whatever dim we pick)
-    val dim = embs.select(size(col(vecCol))).limit(1).collect()
+    // one-row probe over non-null vectors (head() would throw on an empty
+    // table, getInt on a null vector; either way an empty/degenerate
+    // input produces an empty result whatever dim we pick)
+    val dim = embs.where(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).limit(1).collect()
       .headOption.map(_.getInt(0)).getOrElse(1)
     embs.select(
       col(idCol),

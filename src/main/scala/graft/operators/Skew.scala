@@ -28,7 +28,10 @@ object Skew {
   def saltedJoin(skewed: DataFrame, other: DataFrame, keys: Seq[String],
                  saltBy: Column, salts: Int): DataFrame = {
     require(salts > 1, "salts must be > 1")
-    val l = skewed.withColumn("__salt", pmod(saltBy, lit(salts)))
+    // a null salt would silently drop the row from the inner equi-join —
+    // route null-salted rows to bucket 0 instead (plain-join parity)
+    val l = skewed.withColumn("__salt",
+      coalesce(pmod(saltBy.cast("long"), lit(salts.toLong)), lit(0L)))
     val r = other.withColumn("__salt",
       explode(array((0 until salts).map(lit): _*)))
     l.join(r, keys :+ "__salt").drop("__salt")

@@ -25,7 +25,8 @@ import graft.operators.Dedup
 object CurationPipeline {
 
   /** Per-stage survivor counts alongside the final corpus — the numbers a
-    * pipeline report wants.
+    * pipeline report wants. `curated` is CACHED (its count was already
+    * forced); call `curated.unpersist()` when done with it.
     */
   case class Result(curated: DataFrame, counts: Map[String, Long])
 
@@ -46,7 +47,11 @@ object CurationPipeline {
           quality: Column = qualityGate(),
           minJaccard: Double = 0.8,
           stageCounts: Boolean = false): Result = {
-    def staged(df: DataFrame): DataFrame = if (stageCounts) df.cache() else df
+    // intermediates cached while counting run are unpersisted before
+    // returning — only `curated`'s cache survives (handed to the caller)
+    val toRelease = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    def staged(df: DataFrame): DataFrame =
+      if (stageCounts) { toRelease += df; df.cache() } else df
 
     val q = TextAnalysis.qualityStats(docs, idCol, textCol)
       .filter(quality).select(col(idCol))
@@ -65,7 +70,12 @@ object CurationPipeline {
     // verification join is only over candidate ids, never all pairs
     val sigs = Dedup.minHashSignatures(afterExact, idCol, textCol,
       k = 8, tokenize = Dedup.shingleTokenizer(3))
+    // candidates feeds BOTH candIds and the verification semi-join; it is
+    // small (pairs only), so persist it rather than recompute the whole
+    // signature+banding subtree twice inside the curated action
     val candidates = Dedup.lshCandidates(sigs, idCol, k = 8, bands = 4)
+      .cache()
+    toRelease += candidates
     val candIds = candidates.select(col("id_a").as(idCol))
       .unionAll(candidates.select(col("id_b").as(idCol))).distinct()
     val verified = Dedup.ngramJaccardPairs(
@@ -74,16 +84,18 @@ object CurationPipeline {
     val losers = verified
       .join(candidates, Seq("id_a", "id_b"), "left_semi")
       .select(col("id_b").as(idCol)).distinct()
-    val curated = afterExact.join(losers, Seq(idCol), "left_anti")
+    val curated = afterExact.join(losers, Seq(idCol), "left_anti").cache()
 
-    val counts =
-      if (stageCounts) Map(
-        "input" -> docs.count(),
-        "after_quality" -> afterQuality.count(),
-        "after_language" -> afterLang.count(),
-        "after_exact_dedup" -> afterExact.count(),
-        "after_near_dedup" -> curated.count())
-      else Map("after_near_dedup" -> curated.count())
-    Result(curated, counts)
+    try {
+      val counts =
+        if (stageCounts) Map(
+          "input" -> docs.count(),
+          "after_quality" -> afterQuality.count(),
+          "after_language" -> afterLang.count(),
+          "after_exact_dedup" -> afterExact.count(),
+          "after_near_dedup" -> curated.count())
+        else Map("after_near_dedup" -> curated.count())
+      Result(curated, counts)
+    } finally toRelease.foreach(_.unpersist(blocking = false))
   }
 }

@@ -105,8 +105,13 @@ object EventStreams {
       val (next, out) = flush(userId, withEvents, watermarkSecs)
       if (next.open.nonEmpty) {
         state.update(next)
-        // fire when the earliest open interval becomes flushable
-        val earliest = next.open.map(_.end).min * 1000L + gapMs
+        // fire when the earliest open interval becomes flushable. flush
+        // needs watermarkSecs > end+gap at SECOND granularity (an event
+        // at second end+gap may still merge while the ms-watermark is
+        // inside that second), so arm at the start of second end+gap+1 —
+        // arming at end*1000+gapMs exactly would fire one batch too
+        // early, flush nothing, and wait for yet another batch
+        val earliest = (next.open.map(_.end).min + gapSeconds + 1) * 1000L
         state.setTimeoutTimestamp(
           math.max(earliest, state.getCurrentWatermarkMs() + 1))
       } else if (state.hasTimedOut && out.isEmpty) {
