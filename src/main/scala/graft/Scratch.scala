@@ -3,7 +3,6 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{HashFunctions, TextFunctions}
 import graft.operators.Dedup
 
 /** Ad-hoc profiling entry point (not part of the driver contract). */
@@ -24,14 +23,14 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000L).selectExpr("sum(id)").collect()
-    val sf = "/root/testdata/sf0.1"
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
 
-    def q(name: String): DataFrame = SparkEntry.queries(name)(spark, sf)
-
-    time("q36_cosine_neardups")(q("q36_cosine_neardups").count())
-    time("q40_knn_brute")(q("q40_knn_brute").count())
-    time("q42_knn_lsh")(q("q42_knn_lsh").count())
-    time("q35_ngram_neardups")(q("q35_ngram_neardups").count())
+    val sigs = Dedup.minHashSignatures(docs, "doc_id", "text",
+      k = 8, tokenize = Dedup.shingleTokenizer(3))
+    val cands = Dedup.lshCandidates(sigs, "doc_id", k = 8, bands = 4)
+    time("candidates count")(println("cands=" + cands.count()))
+    time("curation run")(println(graft.pipeline.CurationPipeline
+      .run(docs, "doc_id", "text", languages = Set.empty).counts))
     spark.stop()
   }
 }

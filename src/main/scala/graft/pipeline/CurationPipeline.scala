@@ -25,8 +25,10 @@ import graft.operators.Dedup
 object CurationPipeline {
 
   /** Per-stage survivor counts alongside the final corpus — the numbers a
-    * pipeline report wants. `curated` is CACHED (its count was already
-    * forced); call `curated.unpersist()` when done with it.
+    * pipeline report wants. `curated` is lazy (deliberately uncached —
+    * caching the subtree disables AQE's runtime join planning across it,
+    * measured ~2x slower); callers reusing it repeatedly can cache it
+    * themselves.
     */
   case class Result(curated: DataFrame, counts: Map[String, Long])
 
@@ -70,12 +72,12 @@ object CurationPipeline {
     // verification join is only over candidate ids, never all pairs
     val sigs = Dedup.minHashSignatures(afterExact, idCol, textCol,
       k = 8, tokenize = Dedup.shingleTokenizer(3))
-    // candidates feeds BOTH candIds and the verification semi-join; it is
-    // small (pairs only), so persist it rather than recompute the whole
-    // signature+banding subtree twice inside the curated action
+    // candidates feeds BOTH candIds and the verification semi-join.
+    // Deliberately NOT cached: an InMemoryRelation here is a
+    // materialization barrier that blocks exchange reuse and AQE across
+    // the two consumers — measured 2x SLOWER than letting Catalyst share
+    // the banding aggregation's exchange between them.
     val candidates = Dedup.lshCandidates(sigs, idCol, k = 8, bands = 4)
-      .cache()
-    toRelease += candidates
     val candIds = candidates.select(col("id_a").as(idCol))
       .unionAll(candidates.select(col("id_b").as(idCol))).distinct()
     val verified = Dedup.ngramJaccardPairs(
@@ -84,7 +86,7 @@ object CurationPipeline {
     val losers = verified
       .join(candidates, Seq("id_a", "id_b"), "left_semi")
       .select(col("id_b").as(idCol)).distinct()
-    val curated = afterExact.join(losers, Seq(idCol), "left_anti").cache()
+    val curated = afterExact.join(losers, Seq(idCol), "left_anti")
 
     try {
       val counts =
