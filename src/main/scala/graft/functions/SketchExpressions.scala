@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static kernels shared by interpreted eval and generated code: whole-stage
@@ -69,6 +69,35 @@ object SketchKernels {
     var b = 0
     while (b < bits) { if (votes(b) > 0) out |= (1L << b); b += 1 }
     out
+  }
+
+  /** Sign-random-projection bucket over one hash table's hyperplanes: bit
+    * `p` of the result is set iff `Σ_i (double)vec[i] * planes[p][i] > 0`
+    * (left-to-right float64 summation — bit-identical to the
+    * `aggregate(zip_with(...))` fold it replaces, and to the DuckDB
+    * oracle's `list_reduce`). Degenerate inputs mirror the fold + `when`
+    * formulation exactly: a dimension mismatch or a null element makes
+    * that plane's projection null, which contributed 0 to the bucket.
+    */
+  def srpBucket(vec: ArrayData, planes: Array[Array[Double]]): Long = {
+    val n = vec.numElements()
+    var bucket = 0L
+    var p = 0
+    while (p < planes.length) {
+      val w = planes(p)
+      if (w.length == n) {
+        var sum = 0.0
+        var ok = true
+        var i = 0
+        while (i < n && ok) {
+          if (vec.isNullAt(i)) ok = false
+          else { sum += vec.getFloat(i).toDouble * w(i); i += 1 }
+        }
+        if (ok && sum > 0) bucket |= 1L << p
+      }
+      p += 1
+    }
+    bucket
   }
 
   /** k-permutation MinHash minima over pre-reduced token hashes — one
@@ -166,6 +195,47 @@ case class SimHashExpr(left: Expression, right: Expression)
     })
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SimHashExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `graft_srp_bucket(vec, planes)` — native sign-random-projection LSH
+  * bucket. `planes` must be a foldable `array<array<double>>` literal (one
+  * inner array per hyperplane, at most 64 of them — one bucket bit each):
+  * the hyperplanes are driver-computed constants, and embedding them as a
+  * reference object keeps the per-row work a single tight fused loop
+  * instead of `planes` interpreted higher-order folds.
+  */
+case class SrpBucketExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(ArrayType(DoubleType, _), _))
+          if right.foldable =>
+        right.eval(InternalRow.empty) match {
+          case ad: ArrayData if ad.numElements() > 0 && ad.numElements() <= 64 =>
+            TypeCheckResult.TypeCheckSuccess
+          case _ => TypeCheckResult.TypeCheckFailure(
+            s"$prettyName's second argument must be a non-null literal of " +
+              "1..64 hyperplanes")
+        }
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (array<float>, foldable array<array<double>>)")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_srp_bucket"
+  private lazy val planes: Array[Array[Double]] = {
+    val ad = right.eval(InternalRow.empty).asInstanceOf[ArrayData]
+    Array.tabulate(ad.numElements())(p => ad.getArray(p).toDoubleArray())
+  }
+  override def nullSafeEval(vec: Any, pp: Any): Any =
+    SketchKernels.srpBucket(vec.asInstanceOf[ArrayData], planes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("srpPlanes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, (a, _) =>
+      s"${ev.value} = graft.functions.SketchKernels.srpBucket($a, $ref);")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SrpBucketExpr =
     copy(left = newLeft, right = newRight)
 }
 

@@ -109,13 +109,15 @@ object GraftFunctions {
     })
 
   val SimHashName = "graft_simhash"
+  val SrpBucketName = "graft_srp_bucket"
 
   def injections: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     binary(DotName, classOf[DotProductFloat], DotProductFloat.apply),
     binary(NGramsName, classOf[WordNGramsExpr], WordNGramsExpr.apply),
     binary(MinHashName, classOf[MinHashSigExpr], MinHashSigExpr.apply),
-    binary(SimHashName, classOf[SimHashExpr], SimHashExpr.apply))
+    binary(SimHashName, classOf[SimHashExpr], SimHashExpr.apply),
+    binary(SrpBucketName, classOf[SrpBucketExpr], SrpBucketExpr.apply))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit =
@@ -140,6 +142,13 @@ object GraftFunctions {
   /** Native one-pass SimHash over token hashes (requires `register`). */
   def simHash(hashes: Column, bits: Int): Column =
     call_function(SimHashName, hashes, org.apache.spark.sql.functions.lit(bits))
+
+  /** Native sign-random-projection LSH bucket against literal hyperplanes
+    * (requires `register`).
+    */
+  def srpBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    call_function(SrpBucketName, vec,
+      org.apache.spark.sql.functions.typedLit(planes))
 }
 
 /** `spark.sql.extensions` injector (config-driven deployments). */

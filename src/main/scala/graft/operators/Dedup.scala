@@ -135,6 +135,10 @@ object Dedup {
                                     tokenCol: String, k: Int): DataFrame = {
     val sig = udaf(new graft.functions.MinHashAggregator(k))
     postings
+      // null tokens would hash to a null 'h' that the typed aggregator's
+      // primitive-Long encoder can't represent faithfully — drop them,
+      // matching the array path (normalizeTokens never yields nulls)
+      .filter(col(tokenCol).isNotNull)
       .select(col(idCol),
         (HashFunctions.md5Long(col(tokenCol))
           % HashFunctions.MinHashPrime).as("h"))

@@ -100,36 +100,42 @@ object Knn {
 
   /** Sign-random-projection bucket id for one hash table: an integer in
     * [0, 2^planes) from the signs of `planes` hyperplane projections.
-    * `dim` is the (uniform) vector length — the hyperplanes are literal
-    * arrays zipped against the vector, all inside whole-stage codegen.
+    * `dim` is the (uniform) vector length. The hyperplanes are
+    * driver-computed constants baked into ONE native kernel call
+    * (`SrpBucketExpr`) — the equivalent `planes` separate
+    * `aggregate(zip_with(...))` folds run on the interpreted
+    * higher-order-function path and multiply at embedding-table scale.
+    * Requires `GraftFunctions.register` on the session (`lshBuckets`
+    * registers before use).
     */
   def lshBucket(vec: Column, table: Int, planes: Int, dim: Int): Column =
-    (0 until planes).map { p =>
-      val plane = array((0 until dim).map(d =>
-        lit(planeComponent(table, p, d))): _*)
-      val proj = dsum(zip_with(vec, plane,
-        (x, w) => x.cast("double") * w))
-      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    GraftFunctions.srpBucket(vec,
+      Seq.tabulate(planes)(p => Seq.tabulate(dim)(d => planeComponent(table, p, d))))
 
-  /** (id, htable, bucket) assignment for every vector — the shuffle-ready
-    * index. Same-bucket ids are ANN candidates. ("htable" = hash-table
-    * index; not named "table" to stay SQL-identifier-safe.) Vector length
-    * is probed from one row (uniform-dim embeddings assumed — true of any
-    * single embedding model's output).
+  /** (id, htable, bucket) assignment for every non-null vector — the
+    * shuffle-ready index. Same-bucket ids are ANN candidates. ("htable" =
+    * hash-table index; not named "table" to stay SQL-identifier-safe.)
+    *
+    * Null vectors are excluded: they cannot be bucketed meaningfully, and
+    * letting them all fall into one bucket per table would create an
+    * O(n²) null-vector candidate clique downstream.
+    *
+    * `dim` is the (uniform) vector length — pass it when known (an
+    * embedding model's output dim is fixed); `dim <= 0` probes one row,
+    * which costs a tiny driver-side job per call.
     */
   def lshBuckets(embs: DataFrame, idCol: String, vecCol: String,
-                 tables: Int, planes: Int): DataFrame = {
-    // one-row probe over non-null vectors (head() would throw on an empty
-    // table, getInt on a null vector; either way an empty/degenerate
-    // input produces an empty result whatever dim we pick)
-    val dim = embs.where(col(vecCol).isNotNull)
-      .select(size(col(vecCol))).limit(1).collect()
-      .headOption.map(_.getInt(0)).getOrElse(1)
-    embs.select(
+                 tables: Int, planes: Int, dim: Int = -1): DataFrame = {
+    GraftFunctions.register(embs.sparkSession)
+    val nonNull = embs.where(col(vecCol).isNotNull)
+    val d =
+      if (dim > 0) dim
+      else nonNull.select(size(col(vecCol))).limit(1).collect()
+        .headOption.map(_.getInt(0)).getOrElse(1)
+    nonNull.select(
       col(idCol),
       posexplode(array((0 until tables).map(t =>
-        lshBucket(col(vecCol), t, planes, dim)): _*)).as(Seq("htable", "bucket")))
+        lshBucket(col(vecCol), t, planes, d)): _*)).as(Seq("htable", "bucket")))
   }
 
   /** Approximate top-k: candidates from any shared (table, bucket), exact
@@ -137,9 +143,9 @@ object Knn {
     * cross join never materializes.
     */
   def lshTopK(embs: DataFrame, idCol: String, vecCol: String, k: Int,
-              tables: Int = 4, planes: Int = 8): DataFrame = {
+              tables: Int = 4, planes: Int = 8, dim: Int = -1): DataFrame = {
     GraftFunctions.register(embs.sparkSession)
-    val ids = lshBuckets(embs, idCol, vecCol, tables, planes)
+    val ids = lshBuckets(embs, idCol, vecCol, tables, planes, dim)
     val candidates = ids.as("a")
       .join(ids.as("b"),
         col("a.htable") === col("b.htable") &&

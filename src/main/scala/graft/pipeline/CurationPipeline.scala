@@ -49,8 +49,9 @@ object CurationPipeline {
           quality: Column = qualityGate(),
           minJaccard: Double = 0.8,
           stageCounts: Boolean = false): Result = {
-    // intermediates cached while counting run are unpersisted before
-    // returning — only `curated`'s cache survives (handed to the caller)
+    // intermediates cached for the stage-count run are unpersisted before
+    // returning; `curated` itself is never cached here — callers that will
+    // run multiple actions over it cache it themselves (Result scaladoc)
     val toRelease = scala.collection.mutable.ListBuffer.empty[DataFrame]
     def staged(df: DataFrame): DataFrame =
       if (stageCounts) { toRelease += df; df.cache() } else df
