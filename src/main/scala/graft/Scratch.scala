@@ -3,8 +3,6 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.Dedup
-
 /** Ad-hoc profiling entry point (not part of the driver contract). */
 object Scratch {
   def time[A](label: String)(f: => A): A = {
@@ -19,18 +17,23 @@ object Scratch {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000L).selectExpr("sum(id)").collect()
-    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val dir = "/root/testdata/sf0.1"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
 
-    val sigs = Dedup.minHashSignatures(docs, "doc_id", "text",
-      k = 8, tokenize = Dedup.shingleTokenizer(3))
-    val cands = Dedup.lshCandidates(sigs, "doc_id", k = 8, bands = 4)
-    time("candidates count")(println("cands=" + cands.count()))
-    time("curation run")(println(graft.pipeline.CurationPipeline
-      .run(docs, "doc_id", "text", languages = Set.empty).counts))
+    val res = graft.pipeline.CurationPipeline
+      .run(docs, "doc_id", "text", languages = Set.empty)
+    time("curated count")(println(res.curated.count()))
+    val plan = res.curated.queryExecution.executedPlan.toString
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    val reused = "ReusedExchange".r.findAllIn(plan).size
+    val ngrams = "graft_word_ngrams".r.findAllIn(plan).size
+    println(s"[scratch] FileScans=$scans ReusedExchanges=$reused ngramSites=$ngrams")
+    // per-stage wall: just the near-dedup verification subchain
     spark.stop()
   }
 }

@@ -53,26 +53,45 @@ object TemporalJoins {
     * numeric `secsCol` values are within `maxGap` of each other
     * (`idCol`-ordered, `id_a < id_b`; `gap` is signed `b - a`).
     *
-    * Formulation: bucket by `floor(secs / maxGap)`; the left side sits in
-    * its own bucket, the right side explodes into buckets {b-1, b, b+1},
-    * so every qualifying pair meets on EXACTLY one equi-join key (the left
-    * row's bucket) — an equi-join + residual, never an inequality join.
-    * Shuffle key is (key, bucket): time-skew spreads across buckets.
+    * Formulation: bucket by `floor(secs / maxGap)`; a "left-role" copy of
+    * each row sits in its own bucket, a "right-role" copy explodes into
+    * buckets {b-1, b, b+1}, so every qualifying pair meets on EXACTLY one
+    * equi-join key (the left row's bucket) — an equi-join + residual,
+    * never an inequality join. Shuffle key is (key, bucket): time-skew
+    * spreads across buckets.
+    *
+    * Both roles are exploded out of ONE tagged frame that is explicitly
+    * repartitioned on the join key, so the self-join's two sides share an
+    * identical Exchange: the scan (and any expression chain feeding
+    * `secsCol`) runs once and the shuffle is read twice (ReusedExchange).
+    * The role asymmetry lives in the JOIN CONDITION (`a.side < b.side`,
+    * which references both sides and therefore cannot be pushed down into
+    * either) — side filters above the repartition would be pushed through
+    * it and split the exchange back into two.
     */
   def rangeSelfJoinPairs(rows: DataFrame, keyCol: String, idCol: String,
                          secsCol: String, maxGap: Long): DataFrame = {
     require(maxGap > 0, "maxGap must be positive")
-    val e = rows.select(col(keyCol), col(idCol), col(secsCol))
     val bucket = floor(col(secsCol) / maxGap)
-    val l = e.select(col(keyCol).as("__k"), col(idCol).as("id_a"),
-      col(secsCol).as("__sa"), bucket.as("__b"))
-    val r = e.select(col(keyCol).as("__k"), col(idCol).as("id_b"),
-      col(secsCol).as("__sb"),
-      explode(array(bucket - 1, bucket, bucket + 1)).as("__b"))
-    l.join(r, Seq("__k", "__b"))
-      .filter(col("id_a") < col("id_b") &&
-        abs(col("__sb") - col("__sa")) <= maxGap)
-      .select(col("__k").as(keyCol), col("id_a"), col("id_b"),
-        (col("__sb") - col("__sa")).as("gap"))
+    val tagged = rows
+      .select(col(keyCol).as("__k"), col(idCol).as("__id"),
+        col(secsCol).as("__s"), bucket.as("__b0"))
+      .select(col("__k"), col("__id"), col("__s"),
+        explode(array(
+          struct(lit(0).as("side"), col("__b0").as("b")),
+          struct(lit(1).as("side"), (col("__b0") - 1).as("b")),
+          struct(lit(1).as("side"), col("__b0").as("b")),
+          struct(lit(1).as("side"), (col("__b0") + 1).as("b")))).as("__e"))
+      .select(col("__k"), col("__id"), col("__s"),
+        col("__e.side").as("__side"), col("__e.b").as("__b"))
+      .repartition(col("__k"), col("__b"))
+    tagged.as("a")
+      .join(tagged.as("b"),
+        col("a.__k") === col("b.__k") && col("a.__b") === col("b.__b") &&
+          col("a.__side") < col("b.__side") &&
+          col("a.__id") < col("b.__id") &&
+          abs(col("b.__s") - col("a.__s")) <= maxGap)
+      .select(col("a.__k").as(keyCol), col("a.__id").as("id_a"),
+        col("b.__id").as("id_b"), (col("b.__s") - col("a.__s")).as("gap"))
   }
 }

@@ -56,9 +56,21 @@ object CurationPipeline {
     def staged(df: DataFrame): DataFrame =
       if (stageCounts) { toRelease += df; df.cache() } else df
 
-    val q = TextAnalysis.qualityStats(docs, idCol, textCol)
+    // Every stage works on the SLIM (id, text) projection and produces an
+    // id set; the full-width corpus is joined back exactly once at the
+    // end. This is both the 100-TB shape (the wide payload columns ride
+    // through ZERO of the cascade's shuffles) and what lets Catalyst
+    // de-duplicate the repeated subtrees: a frame reused by two
+    // consumers only canonicalizes to one Exchange when both branches
+    // prune to the SAME columns, which (id, text) everywhere guarantees.
+    // (Caching the intermediates instead is the wrong tool — an
+    // InMemoryRelation is a materialization barrier that blocks AQE's
+    // runtime join planning, measured 2x slower.)
+    val slim = docs.select(col(idCol), col(textCol))
+
+    val q = TextAnalysis.qualityStats(slim, idCol, textCol)
       .filter(quality).select(col(idCol))
-    val afterQuality = staged(docs.join(q, idCol))
+    val afterQuality = staged(slim.join(q, idCol))
 
     val afterLang = staged(
       if (languages.isEmpty) afterQuality
@@ -67,17 +79,20 @@ object CurationPipeline {
           .filter(col("lang_pred").isin(languages.toSeq.map(lit): _*))
           .select(col(idCol)), idCol))
 
-    val afterExact = staged(Dedup.exactDeduped(afterLang, idCol, textCol))
+    // the exact-dedup keeper ids double as the near-dedup stage's input
+    // universe: the final keep set is keepersExact minus near-dup losers,
+    // so the cascade's tail never needs a third pass over the corpus
+    val keepersExact = Dedup.exactGroups(afterLang, idCol, textCol)
+      .select(col("keeper_id").as(idCol))
+    val afterExact = staged(afterLang.join(keepersExact, idCol))
 
     // near-dedup: LSH candidates verified by exact shingle Jaccard; the
     // verification join is only over candidate ids, never all pairs
     val sigs = Dedup.minHashSignatures(afterExact, idCol, textCol,
       k = 8, tokenize = Dedup.shingleTokenizer(3))
     // candidates feeds BOTH candIds and the verification semi-join.
-    // Deliberately NOT cached: an InMemoryRelation here is a
-    // materialization barrier that blocks exchange reuse and AQE across
-    // the two consumers — measured 2x SLOWER than letting Catalyst share
-    // the banding aggregation's exchange between them.
+    // Deliberately NOT cached (see above) — both consumers read the
+    // banding aggregation's exchange.
     val candidates = Dedup.lshCandidates(sigs, idCol, k = 8, bands = 4)
     val candIds = candidates.select(col("id_a").as(idCol))
       .unionAll(candidates.select(col("id_b").as(idCol))).distinct()
@@ -87,7 +102,8 @@ object CurationPipeline {
     val losers = verified
       .join(candidates, Seq("id_a", "id_b"), "left_semi")
       .select(col("id_b").as(idCol)).distinct()
-    val curated = afterExact.join(losers, Seq(idCol), "left_anti")
+    val keepIds = keepersExact.join(losers, Seq(idCol), "left_anti")
+    val curated = docs.join(keepIds, Seq(idCol))
 
     try {
       val counts =
@@ -96,8 +112,8 @@ object CurationPipeline {
           "after_quality" -> afterQuality.count(),
           "after_language" -> afterLang.count(),
           "after_exact_dedup" -> afterExact.count(),
-          "after_near_dedup" -> curated.count())
-        else Map("after_near_dedup" -> curated.count())
+          "after_near_dedup" -> keepIds.count())
+        else Map("after_near_dedup" -> keepIds.count())
       Result(curated, counts)
     } finally toRelease.foreach(_.unpersist(blocking = false))
   }
