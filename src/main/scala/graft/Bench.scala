@@ -61,7 +61,22 @@ object Bench {
       graft.pipeline.CurationPipeline
         .run(docs, "doc_id", "text", languages = Set.empty).counts
     })
-    val results = fixture ++ refDatasets ++ curation
+    // skew stress (SURVEY §7.4 risk #2): 20k synthetic docs that ALL
+    // share one hot token — unpruned, the pair stage would emit 2*10^8
+    // pairs; df-pruning keeps it bounded (the unique tokens pair nothing,
+    // so the measured work is the df computation + the pruned join).
+    val skew = Seq("jaccard_skew_hotword" -> timed {
+      import org.apache.spark.sql.functions._
+      val docs = spark.range(20000).select(
+        col("id").cast("string").as("docId"),
+        concat_ws(" ", lit("hotzz"),
+          concat(lit("a"), col("id")), concat(lit("b"), col("id")),
+          concat(lit("c"), col("id")), concat(lit("d"), col("id"))).as("text"))
+      val n = graft.operators.Jaccard.allPairs(docs,
+        maxDocFrequency = Some(1000L)).count()
+      require(n == 0L, s"pruned skew corpus must yield no pairs, got $n")
+    })
+    val results = fixture ++ refDatasets ++ curation ++ skew
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.expressions.Window
 
-import graft.functions.{HashFunctions, TextAnalysis, TextFunctions}
+import graft.functions.{GraftFunctions, HashFunctions, TextAnalysis, TextFunctions}
 import graft.operators.{Dedup, Jaccard, Knn, TemporalJoins}
 
 /** Driver contract — the engine's query surface over the driver's parquet
@@ -336,6 +336,33 @@ object SparkEntry {
       graft.operators.Hll.registers(posts, Seq("source"), "tok", m = 64)
         .orderBy("source", "bucket")
     }),
+    // same signature values as q31, computed from EXPLODED (id, token)
+    // postings via the typed MinHashAggregator UDAF — gated by the SAME
+    // oracle SQL as q31, proving the two formulations equivalent
+    "q38_minhash_postings" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val posts = t(s, dir, "documents")
+        .filter(lower(col("text")).rlike("[a-z0-9]"))
+        .select(col("doc_id"),
+          explode(Dedup.shingleTokenizer(3)(col("text"))).as("word"))
+      Dedup.minHashSignaturesFromPostings(posts, "doc_id", "word", k = 8)
+        .select(col("doc_id"), col("perm").cast("long").as("perm"),
+          col("min_hash"))
+        .orderBy("doc_id", "perm")
+    }),
+    // the double-math estimate on top of the q37 registers, rounded to
+    // 6 dp (the registers are exact-gated; the estimate's arithmetic is
+    // reproduced op-for-op in the oracle so it gates too)
+    "q39_hll_estimate" -> ((s, dir) => {
+      val posts = t(s, dir, "documents")
+        .select(col("source"),
+          explode(TextFunctions.normalizeTokens(col("text"))).as("tok"))
+      val regs = graft.operators.Hll.registers(posts, Seq("source"), "tok",
+        m = 64)
+      graft.operators.Hll.estimate(regs, Seq("source"), m = 64)
+        .select(col("source"), round(col("estimate"), 6).as("estimate"))
+        .orderBy("source")
+    }),
     "q36_cosine_neardups" -> ((s, dir) => {
       Dedup.cosineNearDups(t(s, dir, "embeddings"), "vec_id", "embedding",
         blockCol = col("label"), minCosine = 0.3)
@@ -389,6 +416,18 @@ object SparkEntry {
     }),
     "q53_fingerprint" -> ((s, dir) => {
       TextAnalysis.fingerprints(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+    // char-shingle near-dup primitive: gate the full shingle SET per doc
+    // (count + md5 of the sorted joined shingles), not just a count
+    "q54_char_shingles" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .filter(lower(col("text")).rlike("[a-z0-9]"))
+        .select(col("doc_id"),
+          TextFunctions.charShingles(col("text"), 5).as("sh"))
+        .select(col("doc_id"),
+          size(col("sh")).cast("long").as("n_shingles"),
+          md5(array_join(array_sort(col("sh")), "|")).as("shingle_md5"))
         .orderBy("doc_id")
     }),
 
@@ -539,6 +578,16 @@ object SparkEntry {
       |      i -> array_to_string(ws[i:i+2], ' '))) AS shingles
       |  FROM words WHERE len(ws) > 0
       |)""".stripMargin
+
+  /** Shared by q31 (array formulation) and q38 (postings/UDAF
+    * formulation) — both must reproduce the identical signature table.
+    */
+  private val MinHashSigOracle =
+    s"""WITH $WordsCte,
+       |$ShinglesCte,
+       |$SigCte
+       |SELECT doc_id, CAST(perm AS BIGINT) AS perm, min_hash
+       |FROM sig ORDER BY doc_id, perm""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -765,12 +814,8 @@ object SparkEntry {
         |FROM documents
         |GROUP BY md5(text)
         |ORDER BY text_hash""".stripMargin,
-    "q31_minhash_sig" ->
-      s"""WITH $WordsCte,
-         |$ShinglesCte,
-         |$SigCte
-         |SELECT doc_id, CAST(perm AS BIGINT) AS perm, min_hash
-         |FROM sig ORDER BY doc_id, perm""".stripMargin,
+    "q31_minhash_sig" -> MinHashSigOracle,
+    "q38_minhash_postings" -> MinHashSigOracle,
     "q32_lsh_candidates" ->
       s"""WITH $WordsCte,
          |$ShinglesCte,
@@ -837,6 +882,34 @@ object SparkEntry {
          |SELECT source, bucket, max(rho) AS rho
          |FROM ranked GROUP BY source, bucket
          |ORDER BY source, bucket""".stripMargin,
+    // estimate arithmetic mirrors Hll.estimate op-for-op: same alpha
+    // expression, same 2^-rho sum, same linear-counting branch (natural
+    // log), so the doubles agree and round(6) gates bit-exactly
+    "q39_hll_estimate" ->
+      s"""WITH $ToksCte,
+         |posts AS (SELECT source, unnest(t.tokens) AS tok
+         |          FROM toks t JOIN documents d ON t.doc_id = d.doc_id
+         |          WHERE len(t.tokens) > 0),
+         |hashed AS (SELECT source, ${h60("tok")} AS h FROM posts),
+         |ranked AS (
+         |  SELECT source, CAST(h % 64 AS BIGINT) AS bucket,
+         |    CASE WHEN h // 64 = 0 THEN 55
+         |      ELSE CAST(log2((h // 64) & (-(h // 64))) AS BIGINT) + 1
+         |    END AS rho
+         |  FROM hashed),
+         |regs AS (SELECT source, bucket, max(rho) AS rho
+         |         FROM ranked GROUP BY source, bucket),
+         |agg AS (SELECT source, sum(power(2.0, -rho)) AS s,
+         |          count(*) AS nonzero
+         |        FROM regs GROUP BY source),
+         |est AS (SELECT source, 64.0 - nonzero AS zeros,
+         |          (0.7213 / (1.0 + 1.079 / 64) * 64 * 64)
+         |            / (s + (64.0 - nonzero)) AS raw
+         |        FROM agg)
+         |SELECT source,
+         |  round(CASE WHEN raw <= 2.5 * 64 AND zeros > 0
+         |    THEN 64.0 * ln(64.0 / zeros) ELSE raw END, 6) AS estimate
+         |FROM est ORDER BY source""".stripMargin,
     "q36_cosine_neardups" ->
       s"""WITH pairs AS (
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -956,6 +1029,19 @@ object SparkEntry {
          |      (acc, x) -> (acc * 257 + x) % 2147483647)
          |    END AS BIGINT) AS rolling_fp
          |FROM canon ORDER BY doc_id""".stripMargin,
+
+    "q54_char_shingles" ->
+      s"""WITH $WordsCte,
+         |canon AS (SELECT doc_id, array_to_string(ws, ' ') AS c
+         |          FROM words WHERE len(ws) > 0),
+         |sh AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, greatest(1, length(c) - 4)),
+         |    i -> substr(c, i, 5))) AS shl
+         |  FROM canon)
+         |SELECT doc_id, CAST(len(shl) AS BIGINT) AS n_shingles,
+         |  md5(array_to_string(list_sort(shl), '|')) AS shingle_md5
+         |FROM sh ORDER BY doc_id""".stripMargin,
 
     // ---- event-stream oracles (batch formulation)
     "q60_event_windows" ->
