@@ -398,6 +398,25 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF coarse index: nearest-centroid cell per vector (seed centroids
+    // = the 16 lowest-id vectors; see Knn.ivfSeedCentroids)
+    "q43_ivf_assign" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val cents = Knn.ivfSeedCentroids(embs, "vec_id", "embedding", 16)
+      Knn.ivfAssign(embs, "vec_id", "embedding", cents)
+        .orderBy("vec_id")
+    }),
+    "q44_knn_ivf" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val cents = Knn.ivfSeedCentroids(embs, "vec_id", "embedding", 16)
+      Knn.ivfTopK(embs, embs.filter(col("vec_id") < 20), cents,
+        "vec_id", "embedding", k = 5, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- text analysis (training-data curation)
     "q50_token_counts" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -461,6 +480,22 @@ object SparkEntry {
         .select(col("user_id"), col("id_a"), col("id_b"),
           col("gap").as("gap_secs"))
         .orderBy("user_id", "id_a", "id_b")
+    }),
+
+    // errors in the hour before each click (two-frame range join,
+    // batch formulation of EventStreams.streamingIntervalJoin)
+    "q64_interval_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("secs"))
+      val clicks = ev.filter(col("event_type") === "click")
+      val errors = ev.filter(col("event_type") === "error")
+      TemporalJoins.rangeJoin(clicks, errors, "user_id", "event_id", "secs",
+        maxBefore = 3600L, maxAfter = 0L)
+        .select(col("user_id"), col("id_l").as("click_id"),
+          col("secs_l").as("click_secs"),
+          col("id_r").as("err_id"), col("secs_r").as("err_secs"))
+        .orderBy("user_id", "click_id", "err_id")
     }),
 
     // ---- multimodal metadata plumbing (stub decode)
@@ -972,6 +1007,59 @@ object SparkEntry {
          |FROM ranked WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
 
+    "q43_ivf_assign" ->
+      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cvec
+         |               FROM embeddings WHERE vec_id < 16),
+         |scored AS (
+         |  SELECT e.vec_id, c.cid,
+         |    ${duckCos("e.embedding", "c.cvec")} AS cos
+         |  FROM embeddings e CROSS JOIN cents c),
+         |ranked AS (
+         |  SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cos DESC, cid) AS rn
+         |  FROM scored)
+         |SELECT vec_id, cid FROM ranked WHERE rn = 1
+         |ORDER BY vec_id""".stripMargin,
+    "q44_knn_ivf" ->
+      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cvec
+         |               FROM embeddings WHERE vec_id < 16),
+         |ascored AS (
+         |  SELECT e.vec_id, c.cid,
+         |    ${duckCos("e.embedding", "c.cvec")} AS cos
+         |  FROM embeddings e CROSS JOIN cents c),
+         |assigned AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cos DESC, cid) AS rn
+         |    FROM ascored) x WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv
+         |      FROM embeddings WHERE vec_id < 20),
+         |probed AS (
+         |  SELECT query_id, cid FROM (
+         |    SELECT query_id, c.cid,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY ${duckCos("qv", "c.cvec")} DESC, c.cid) AS pr
+         |    FROM q CROSS JOIN cents c) y WHERE pr <= 2),
+         |cand AS (
+         |  SELECT query_id, a.vec_id AS neighbor_id
+         |  FROM probed p JOIN assigned a ON p.cid = a.cid
+         |  WHERE query_id != a.vec_id),
+         |rescored AS (
+         |  SELECT query_id, neighbor_id,
+         |    ${duckCos("qe.embedding", "ne.embedding")} AS cosine
+         |  FROM cand
+         |  JOIN embeddings qe ON cand.query_id = qe.vec_id
+         |  JOIN embeddings ne ON cand.neighbor_id = ne.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM rescored)
+         |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
+         |FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
     // ---- text analysis oracles
     "q50_token_counts" ->
       s"""WITH $WordsCte
@@ -1099,6 +1187,20 @@ object SparkEntry {
         |  ON a.user_id = b.user_id AND a.event_id < b.event_id
         |  AND abs(b.secs - a.secs) <= 60
         |ORDER BY a.user_id, id_a, id_b""".stripMargin,
+
+    "q64_interval_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS secs
+        |  FROM events),
+        |c AS (SELECT user_id, event_id, secs FROM e WHERE event_type = 'click'),
+        |r AS (SELECT user_id AS err_user, event_id AS err_id, secs AS err_secs
+        |      FROM e WHERE event_type = 'error')
+        |SELECT user_id, c.event_id AS click_id, c.secs AS click_secs,
+        |  err_id, err_secs
+        |FROM c JOIN r ON user_id = err_user
+        |  AND err_secs BETWEEN c.secs - 3600 AND c.secs
+        |ORDER BY user_id, click_id, err_id""".stripMargin,
 
     // ---- multimodal metadata oracle (stub decode is deterministic md5 math)
     "q71_mm_frames" ->

@@ -138,6 +138,85 @@ object Knn {
         lshBucket(col(vecCol), t, planes, d)): _*)).as(Seq("htable", "bucket")))
   }
 
+  /** Deterministic seed centroids for the IVF index: the `kCells`
+    * lowest-id vectors, as (cid, cvec). A production deployment would
+    * refine these with offline Lloyd iterations (or any external
+    * clusterer) — the IVF operators below take the centroid table as
+    * INPUT, so better centroids drop in without code changes.
+    */
+  def ivfSeedCentroids(embs: DataFrame, idCol: String, vecCol: String,
+                       kCells: Int): DataFrame =
+    embs.where(col(vecCol).isNotNull)
+      .orderBy(col(idCol)).limit(kCells)
+      .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+
+  /** IVF coarse quantization: assign each vector to its nearest
+    * centroid by cosine (ties → lowest cid). Centroids broadcast; the
+    * argmax is a map-side-partial `max(struct(cos, -cid))` aggregation,
+    * NOT a window — the |E|·|C| scored rows never shuffle, only one row
+    * per vector does. Output: (id, cid) — the inverted-file index.
+    */
+  def ivfAssign(embs: DataFrame, idCol: String, vecCol: String,
+                centroids: DataFrame): DataFrame = {
+    GraftFunctions.register(embs.sparkSession)
+    val e = embs.where(col(vecCol).isNotNull)
+      .select(col(idCol), col(vecCol).as("__v"), normF32(col(vecCol)).as("__n"))
+    val c = centroids.select(col("cid"), col("cvec"),
+      normF32(col("cvec")).as("__cn"))
+    e.crossJoin(broadcast(c))
+      .select(col(idCol),
+        cosineFromNorms(col("__v"), col("cvec"), col("__n"), col("__cn"))
+          .as("__cos"),
+        col("cid"))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("__cos").as("c"), (-col("cid")).as("nc"))).as("__m"))
+      .select(col(idCol), (-col("__m.nc")).as("cid"))
+  }
+
+  /** IVF approximate top-k: each query probes its `nprobe` nearest
+    * centroid cells and re-ranks exactly (cosine) against only the
+    * vectors assigned to those cells. The query↔corpus meeting is an
+    * equi-join on `cid` — candidate volume is bounded by cell sizes, and
+    * the full cross join never materializes. Recall is tuned by `nprobe`
+    * (and centroid quality); `queries` need not be a subset of the
+    * corpus.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+              idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val assigned = ivfAssign(corpus, idCol, vecCol, centroids)
+    val c = centroids.select(col("cid"), col("cvec"),
+      normF32(col("cvec")).as("__cn"))
+    val q = queries.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        normF32(col(vecCol)).as("qn"))
+    val wp = Window.partitionBy(col("query_id"))
+      .orderBy(col("__ccos").desc, col("cid").asc)
+    val probed = q.crossJoin(broadcast(c))
+      .select(col("query_id"), col("cid"),
+        cosineFromNorms(col("qv"), col("cvec"), col("qn"), col("__cn"))
+          .as("__ccos"))
+      .withColumn("__pr", row_number().over(wp))
+      .filter(col("__pr") <= nprobe)
+      .select(col("query_id"), col("cid"))
+    // a vector lives in exactly one cell and probed cells are distinct,
+    // so candidate pairs are already unique — no dedup needed
+    val cand = probed.join(assigned, "cid")
+      .select(col("query_id"), col(idCol).as("neighbor_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+    val vecs = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"), normF32(col(vecCol)).as("cn"))
+    val scored = cand
+      .join(q, "query_id")
+      .join(vecs, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosineFromNorms(col("qv"), col("cv"), col("qn"), col("cn"))
+          .as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Approximate top-k: candidates from any shared (table, bucket), exact
     * cosine re-rank on candidates only. Equi-join on the bucket id — the
     * cross join never materializes.

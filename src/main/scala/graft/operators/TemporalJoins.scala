@@ -49,6 +49,46 @@ object TemporalJoins {
         rCols.map(c => col(s"__asof.$c").as(s"$prefix$c")): _*)
   }
 
+  /** Two-frame range join: every (left, right) pair in the same key group
+    * with `right.secs` in `[left.secs - maxBefore, left.secs + maxAfter]`
+    * (e.g. "errors in the minute before each click"). Same gap-bucket +
+    * union-tag formulation as `rangeSelfJoinPairs`: each input is scanned
+    * once, both join roles read ONE shared Exchange, and the plan is an
+    * equi-join + residual — never an inequality/nested-loop join. The
+    * streaming counterpart is `EventStreams.streamingIntervalJoin` (the
+    * native stream-stream join, whose watermarks bound the buffered
+    * state instead of the bucket trick).
+    *
+    * Output: (keyCol, id_l, secs_l, id_r, secs_r).
+    */
+  def rangeJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                idCol: String, secsCol: String,
+                maxBefore: Long, maxAfter: Long): DataFrame = {
+    require(maxBefore >= 0 && maxAfter >= 0 && maxBefore + maxAfter > 0,
+      "window must be non-negative and non-empty")
+    val g = math.max(math.max(maxBefore, maxAfter), 1L)
+    def tag(df: DataFrame, side: Int): DataFrame = {
+      val bucket = floor(col(secsCol) / g)
+      val buckets =
+        if (side == 0) array(bucket)
+        else array(bucket - 1, bucket, bucket + 1)
+      df.select(col(keyCol).as("__k"), col(idCol).as("__id"),
+        col(secsCol).as("__s"), lit(side).as("__side"),
+        explode(buckets).as("__b"))
+    }
+    val tagged = tag(left, 0).unionByName(tag(right, 1))
+      .repartition(col("__k"), col("__b"))
+    tagged.as("a")
+      .join(tagged.as("b"),
+        col("a.__k") === col("b.__k") && col("a.__b") === col("b.__b") &&
+          col("a.__side") < col("b.__side") &&
+          col("b.__s").between(col("a.__s") - maxBefore,
+            col("a.__s") + maxAfter))
+      .select(col("a.__k").as(keyCol),
+        col("a.__id").as("id_l"), col("a.__s").as("secs_l"),
+        col("b.__id").as("id_r"), col("b.__s").as("secs_r"))
+  }
+
   /** Range self-join: unordered pairs of rows in the same key group whose
     * numeric `secsCol` values are within `maxGap` of each other
     * (`idCol`-ordered, `id_a < id_b`; `gap` is signed `b - a`).

@@ -140,6 +140,38 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream interval join: each left-stream row matched to
+    * same-key right-stream rows whose event time falls in
+    * `[left.ts - beforeSeconds, left.ts]`. Both inputs are watermarked,
+    * and the time-range condition bounds event time in BOTH directions
+    * (`right.ts <= left.ts` and `left.ts <= right.ts + before`), so the
+    * engine can prune each side's buffered state as the watermark
+    * advances — the requirement that keeps stream-stream join state
+    * bounded at scale. Batch counterpart (same results on static input):
+    * `TemporalJoins.rangeJoin(..., maxBefore, maxAfter = 0)`.
+    *
+    * Inputs are event frames (`user_id`, `event_id`, `ts`); output:
+    * (user_id, id_l, secs_l, id_r, secs_r) matching `rangeJoin`.
+    */
+  def streamingIntervalJoin(left: DataFrame, right: DataFrame,
+                            beforeSeconds: Long,
+                            lateness: String = "10 minutes"): DataFrame = {
+    val l = left
+      .select(col("user_id"), col("event_id").as("id_l"), col("ts").as("ts_l"))
+      .withWatermark("ts_l", lateness)
+    val r = right
+      .select(col("user_id").as("user_r"), col("event_id").as("id_r"),
+        col("ts").as("ts_r"))
+      .withWatermark("ts_r", lateness)
+    l.join(r,
+        col("user_id") === col("user_r") &&
+          col("ts_r") >= col("ts_l") - expr(s"INTERVAL $beforeSeconds SECONDS") &&
+          col("ts_r") <= col("ts_l"))
+      .select(col("user_id"), col("id_l"),
+        unix_timestamp(col("ts_l")).as("secs_l"),
+        col("id_r"), unix_timestamp(col("ts_r")).as("secs_r"))
+  }
+
   /** Sessionization: a new session starts after `gapSeconds` of user
     * inactivity. Batch formulation (lag + running sum). Output one row per
     * session: user_id, session_id, n_events, sess_start, sess_end (epoch s).

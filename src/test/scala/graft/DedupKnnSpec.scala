@@ -214,4 +214,30 @@ class DedupKnnSpec extends SparkSpec {
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
     assert(top.get(1L).contains(2L) && top.get(2L).contains(1L))
   }
+
+  test("IVF: cells follow cosine, probes bound candidates, re-rank exact") {
+    // two well-separated directions; ids 1 and 2 seed the centroids
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f)), (2L, Array(0f, 1f, 0f)),
+      (3L, Array(0.9f, 0.1f, 0f)), (4L, Array(0.1f, 0.9f, 0f)),
+      (5L, Array(1f, 0.05f, 0f))).toDF("vec_id", "embedding")
+    val cents = Knn.ivfSeedCentroids(vecs, "vec_id", "embedding", 2)
+    val assigned = Knn.ivfAssign(vecs, "vec_id", "embedding", cents)
+      .as[(Long, Long)].collect().toMap
+    assert(assigned == Map(1L -> 1L, 3L -> 1L, 5L -> 1L, 2L -> 2L, 4L -> 2L))
+
+    // nprobe=1: query 3 probes only cell 1 -> candidates {1, 5}, exact
+    // cosine ranks 5 (0.9,0.05) above 1 (1,0)? cos(3,1)=0.9939,
+    // cos(3,5)=0.9965 -> neighbor 5 first, then 1; 4 is never scanned
+    val top = Knn.ivfTopK(vecs, vecs.filter($"vec_id" === 3L), cents,
+      "vec_id", "embedding", k = 5, nprobe = 1)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().toSeq.sortBy(_._2)
+    assert(top.map(_._1) == Seq(5L, 1L))
+
+    // nprobe=2 probes both cells: the cross-cell neighbor 4 now appears
+    val top2 = Knn.ivfTopK(vecs, vecs.filter($"vec_id" === 3L), cents,
+      "vec_id", "embedding", k = 5, nprobe = 2)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(top2 == Set(1L, 2L, 4L, 5L))
+  }
 }

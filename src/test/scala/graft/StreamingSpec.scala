@@ -144,6 +144,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch range join") {
+    val rows = Seq(
+      // user 1: click at 1000 with errors at 950 (in window), 939 (out),
+      // 1000 (boundary, in); click at 2000 with no errors near
+      (1L, 950L, 10L, "error"), (1L, 939L, 11L, "error"),
+      (1L, 1000L, 12L, "click"), (1L, 1000L, 13L, "error"),
+      (1L, 2000L, 14L, "click"), (1L, 1200L, 15L, "error"),
+      // user 2: error AFTER the click must not match
+      (2L, 1000L, 20L, "click"), (2L, 1010L, 21L, "error"))
+    val expected = Set(
+      (1L, 12L, 1000L, 10L, 950L),
+      (1L, 12L, 1000L, 13L, 1000L))
+
+    // batch formulation
+    val ev = rows.toDF("user_id", "secs", "event_id", "event_type")
+    val batch = graft.operators.TemporalJoins.rangeJoin(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "error"),
+      "user_id", "event_id", "secs", maxBefore = 60L, maxAfter = 0L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(batch == expected)
+
+    // streaming formulation over the same rows, two micro-batches
+    val input = MemoryStream[(Long, Long, Long, String)](spark)
+    def side(tpe: String) = input.toDF()
+      .filter(col("_4") === tpe)
+      .select(col("_1").as("user_id"), col("_3").as("event_id"),
+        timestamp_seconds(col("_2")).as("ts"))
+    val q = EventStreams
+      .streamingIntervalJoin(side("click"), side("error"),
+        beforeSeconds = 60L, lateness = "10 minutes")
+      .writeStream.format("memory").queryName("ivj")
+      .outputMode("append").start()
+    try {
+      val (first, second) = rows.splitAt(4)
+      input.addData(first: _*)
+      q.processAllAvailable()
+      input.addData(second: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ivj")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(streamed == expected)
+    } finally q.stop()
+  }
+
   test("batch and streaming sessionization agree on on-time data") {
     val batch = EventStreams.sessionize(
       Seq((7L, 1000L, 1L), (7L, 1500L, 2L), (7L, 4000L, 3L), (8L, 900L, 4L))
