@@ -50,6 +50,38 @@ class PlanSpec extends SparkSpec {
     assert(finalPlan(q("q35_ngram_neardups")).contains("ReusedExchange"))
   }
 
+  test("range joins read ONE exchange through both join roles") {
+    // the union-tag formulation: a single scan of events must feed both
+    // sides of the self-join via ReusedExchange (q63) and both inputs of
+    // the two-frame join via the shared union exchange (q64)
+    for (name <- Seq("q63_range_join", "q64_interval_join")) {
+      val plan = finalPlan(q(name))
+      assert(plan.contains("ReusedExchange"),
+        s"$name must reuse the tagged-union exchange:\n${plan.take(2000)}")
+    }
+  }
+
+  test("LSH bucket projection is one codegen'd kernel, not interpreted folds") {
+    val plan = finalPlan(q("q41_lsh_buckets"))
+    assert(plan.contains("graft_srp_bucket"),
+      s"expected the native SRP kernel in:\n${plan.take(2000)}")
+    // the interpreted higher-order-function path would show zip_with /
+    // aggregate lambdas in the projection
+    assert(!plan.contains("zip_with") && !plan.contains("lambdafunction"),
+      s"bucket projection regressed to interpreted HOFs:\n${plan.take(2000)}")
+  }
+
+  test("IVF assignment aggregates map-side; scored cross join never shuffles") {
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = graft.operators.Knn.ivfSeedCentroids(embs, "vec_id", "embedding", 4)
+    val df = graft.operators.Knn.ivfAssign(embs, "vec_id", "embedding", cents)
+    val plan = finalPlan(df)
+    assert(plan.contains("partial_max"),
+      s"assignment must partial-aggregate before the shuffle:\n${plan.take(2000)}")
+    assert(!plan.contains("Window"),
+      s"assignment must not use a window (shuffles |E|x|C| rows):\n${plan.take(2000)}")
+  }
+
   test("aggregation pipeline runs inside whole-stage codegen") {
     // codegen'd operators render with a "*(stageId)" prefix in plan strings
     assert(finalPlan(q("q01_pricing_summary")).contains("*("))
