@@ -144,6 +144,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming parquet sink: append-mode windows land durably, once") {
+    val base = s"/tmp/graft-stream-sink-${ProcessHandle.current().pid()}"
+    val input = MemoryStream[(Long, Long, Long)](spark)
+    val q = EventStreams
+      .streamingWindowedCounts(eventsFrom(input),
+        windowLength = "1 hour", lateness = "30 minutes")
+      .writeStream.format("parquet")
+      .option("path", s"$base/data")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append").start()
+    try {
+      val h = 3600L
+      input.addData((1L, 10 * h, 1L), (1L, 10 * h + 600, 2L))
+      q.processAllAvailable()
+      input.addData((1L, 12 * h, 3L)) // watermark closes hour-10 window
+      q.processAllAvailable()
+      input.addData((1L, 14 * h, 4L)) // closes hour-12; hour-14 stays open
+      q.processAllAvailable()
+      val rows = spark.read.parquet(s"$base/data")
+        .select("window_start", "n_events").as[(Long, Long)].collect().toSeq
+      // exactly-once: each closed window appears exactly one time in the
+      // committed files (the sink's transaction log de-dups batches)
+      assert(rows.sorted == Seq((10 * h, 2L), (12 * h, 1L)),
+        s"got $rows")
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    }
+  }
+
   test("stream-stream interval join matches the batch range join") {
     val rows = Seq(
       // user 1: click at 1000 with errors at 950 (in window), 939 (out),
