@@ -370,6 +370,17 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // near-dup CLUSTER resolution: connected components over the LSH
+    // candidate graph (transitive-closure dedup policy)
+    "q45_neardup_components" -> ((s, dir) => {
+      val sigs = Dedup.minHashSignatures(t(s, dir, "documents"), "doc_id",
+        "text", k = 8, tokenize = Dedup.shingleTokenizer(3))
+      val cands = Dedup.lshCandidates(sigs, "doc_id", k = 8, bands = 4)
+      Dedup.connectedComponents(cands, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("component"))
+        .orderBy("doc_id")
+    }),
+
     // ---- similarity search (ANN)
     "q40_knn_brute" -> ((s, dir) => {
       val embs = t(s, dir, "embeddings")
@@ -954,6 +965,32 @@ object SparkEntry {
          |SELECT id_a, id_b, round(cosine, 6) AS cosine
          |FROM pairs WHERE cosine >= 0.3
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // component = min reachable id: the recursive closure over the
+    // symmetric q32 candidate edges, grouped to the per-node minimum
+    "q45_neardup_components" ->
+      s"""WITH RECURSIVE $WordsCte,
+         |$ShinglesCte,
+         |$SigCte,
+         |banded AS (
+         |  SELECT doc_id, CAST(perm // 2 AS INT) AS band,
+         |    list(min_hash ORDER BY perm) AS band_key
+         |  FROM sig GROUP BY doc_id, band),
+         |cand AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.band_key = b.band_key
+         |    AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |edges2 AS (SELECT id_a AS s, id_b AS t FROM cand
+         |           UNION ALL SELECT id_b, id_a FROM cand),
+         |reach AS (
+         |  SELECT s AS id, s AS comp FROM edges2
+         |  UNION
+         |  SELECT e.t AS id, r.comp FROM reach r JOIN edges2 e ON e.s = r.id)
+         |SELECT id AS doc_id, min(comp) AS component
+         |FROM reach GROUP BY id
+         |ORDER BY doc_id""".stripMargin,
 
     // ---- ANN oracles
     "q40_knn_brute" ->

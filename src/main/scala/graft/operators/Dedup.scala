@@ -257,6 +257,54 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Connected components over an undirected edge list (near-dup pairs):
+    * iterative min-label propagation (hash-min). Output: one row per
+    * node, (id, component) with component = the smallest id reachable —
+    * the transitive-closure dedup policy (keep one doc per CLUSTER,
+    * vs. the per-pair loser policy `CurationPipeline` uses, which
+    * correctly keeps two docs that are each similar to a third but not
+    * to each other).
+    *
+    * Each iteration is one shuffle by node id; the driver loop runs
+    * O(component diameter) times (near-dup clusters are shallow — single
+    * digits in practice) and stops at a fixed point, detected by the
+    * strictly-decreasing label sum (one cheap aggregate per iteration,
+    * no extra join). `localCheckpoint` truncates the growing lineage so
+    * iteration N doesn't replay iterations 1..N-1. At extreme scale
+    * you'd add the large-star/small-star contraction; hash-min is the
+    * exact, honest baseline.
+    */
+  def connectedComponents(edges: DataFrame, idA: String = "id_a",
+                          idB: String = "id_b",
+                          maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col(idA).as("s"), col(idB).as("t"))
+      .unionAll(edges.select(col(idB).as("s"), col(idA).as("t")))
+    var labels = sym.select(col("s").as("id")).distinct()
+      .select(col("id"), col("id").as("component"))
+      .localCheckpoint()
+    def labelSum(df: DataFrame): Option[Long] =
+      Option(df.agg(sum(col("component"))).head.get(0))
+        .map(_.asInstanceOf[Long])
+    var prevSum = labelSum(labels)
+    var i = 0
+    var done = prevSum.isEmpty // no nodes at all
+    while (!done && i < maxIter) {
+      val neighborMin = sym
+        .join(labels.select(col("id").as("t"), col("component").as("nc")), "t")
+        .groupBy(col("s").as("id")).agg(min(col("nc")).as("nmin"))
+      labels = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nmin"), col("component")))
+            .as("component"))
+        .localCheckpoint()
+      val s = labelSum(labels)
+      done = s == prevSum
+      prevSum = s
+      i += 1
+    }
+    labels
+  }
+
   /** Embedding near-dup pairs: cosine ≥ threshold within a blocking column.
     * Exact verification operator — candidate generation at scale is
     * `Knn.lshBuckets`.

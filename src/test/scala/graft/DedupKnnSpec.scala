@@ -215,6 +215,19 @@ class DedupKnnSpec extends SparkSpec {
     assert(top.get(1L).contains(2L) && top.get(2L).contains(1L))
   }
 
+  test("connected components resolve transitive near-dup clusters") {
+    // chain 1-2-3 (one cluster), pair 8-9, isolated edge 5-5? no: 5-6
+    val edges = Seq((2L, 1L), (2L, 3L), (8L, 9L), (5L, 6L))
+      .toDF("id_a", "id_b")
+    val comps = graft.operators.Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      8L -> 8L, 9L -> 8L, 5L -> 5L, 6L -> 5L))
+    // empty edge list -> empty labeling, no infinite loop
+    assert(graft.operators.Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b")).count() == 0L)
+  }
+
   test("IVF: cells follow cosine, probes bound candidates, re-rank exact") {
     // two well-separated directions; ids 1 and 2 seed the centroids
     val vecs = Seq(
