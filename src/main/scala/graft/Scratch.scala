@@ -23,17 +23,9 @@ object Scratch {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000L).selectExpr("sum(id)").collect()
     val dir = "/root/testdata/sf0.1"
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
-
-    val res = graft.pipeline.CurationPipeline
-      .run(docs, "doc_id", "text", languages = Set.empty)
-    time("curated count")(println(res.curated.count()))
-    val plan = res.curated.queryExecution.executedPlan.toString
-    val scans = "FileScan parquet".r.findAllIn(plan).size
-    val reused = "ReusedExchange".r.findAllIn(plan).size
-    val ngrams = "graft_word_ngrams".r.findAllIn(plan).size
-    println(s"[scratch] FileScans=$scans ReusedExchanges=$reused ngramSites=$ngrams")
-    // per-stage wall: just the near-dedup verification subchain
+    val q45 = SparkEntry.queries("q45_neardup_components")
+    time("q45 run1")(println("rows=" + q45(spark, dir).count()))
+    time("q45 run2")(println("rows=" + q45(spark, dir).count()))
     spark.stop()
   }
 }

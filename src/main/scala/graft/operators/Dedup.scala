@@ -277,8 +277,12 @@ object Dedup {
   def connectedComponents(edges: DataFrame, idA: String = "id_a",
                           idB: String = "id_b",
                           maxIter: Int = 25): DataFrame = {
+    // the edge list participates in EVERY iteration's join — materialize
+    // it once (whatever pipeline produced `edges` must not re-run per
+    // iteration) and iterate over the materialized form
     val sym = edges.select(col(idA).as("s"), col(idB).as("t"))
       .unionAll(edges.select(col(idB).as("s"), col(idA).as("t")))
+      .localCheckpoint()
     var labels = sym.select(col("s").as("id")).distinct()
       .select(col("id"), col("id").as("component"))
       .localCheckpoint()
