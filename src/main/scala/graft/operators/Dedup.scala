@@ -279,9 +279,14 @@ object Dedup {
                           maxIter: Int = 25): DataFrame = {
     // the edge list participates in EVERY iteration's join — materialize
     // it once (whatever pipeline produced `edges` must not re-run per
-    // iteration) and iterate over the materialized form
-    val sym = edges.select(col(idA).as("s"), col(idB).as("t"))
-      .unionAll(edges.select(col(idB).as("s"), col(idA).as("t")))
+    // iteration) and iterate over the materialized form. Both directions
+    // come from ONE generator pass: a unionAll of two selects would
+    // evaluate the producing pipeline twice even inside this single
+    // materialization.
+    val sym = edges.select(explode(array(
+        struct(col(idA).as("s"), col(idB).as("t")),
+        struct(col(idB).as("s"), col(idA).as("t")))).as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"))
       .localCheckpoint()
     var labels = sym.select(col("s").as("id")).distinct()
       .select(col("id"), col("id").as("component"))

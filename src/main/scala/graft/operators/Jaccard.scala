@@ -125,8 +125,15 @@ object Jaccard {
     */
   def topKNeighbors(sims: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val directed = sims.select(col("docA").as("doc"), col("docB").as("neighbor"), col("similarity"))
-      .unionAll(sims.select(col("docB").as("doc"), col("docA").as("neighbor"), col("similarity")))
+    // both orientations via ONE generator pass over sims — a unionAll of
+    // two selects would reference (and re-evaluate) the whole similarity
+    // subtree twice
+    val directed = sims.select(explode(array(
+        struct(col("docA").as("doc"), col("docB").as("neighbor"), col("similarity")),
+        struct(col("docB").as("doc"), col("docA").as("neighbor"), col("similarity"))))
+        .as("e"))
+      .select(col("e.doc").as("doc"), col("e.neighbor").as("neighbor"),
+        col("e.similarity").as("similarity"))
     val w = Window.partitionBy(col("doc"))
       .orderBy(col("similarity").desc, col("neighbor").asc)
     directed

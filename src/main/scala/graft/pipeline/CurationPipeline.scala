@@ -94,8 +94,10 @@ object CurationPipeline {
     // Deliberately NOT cached (see above) — both consumers read the
     // banding aggregation's exchange.
     val candidates = Dedup.lshCandidates(sigs, idCol, k = 8, bands = 4)
-    val candIds = candidates.select(col("id_a").as(idCol))
-      .unionAll(candidates.select(col("id_b").as(idCol))).distinct()
+    // both endpoints via one generator pass (a unionAll of two selects
+    // would evaluate the banding pipeline twice)
+    val candIds = candidates
+      .select(explode(array(col("id_a"), col("id_b"))).as(idCol)).distinct()
     val verified = Dedup.ngramJaccardPairs(
       afterExact.join(candIds, idCol), idCol, textCol,
       n = 3, blockCol = lit(1), minJaccard = minJaccard)
