@@ -309,6 +309,26 @@ object SparkEntry {
       Dedup.simHashes(t(s, dir, "documents"), "doc_id", "text", bits = 32)
         .orderBy("doc_id")
     }),
+    // the same SimHash via the SQL-TEXT entry path: parser → analyzer →
+    // the registry-registered native kernels (graft_simhash), proving the
+    // SparkSessionExtensions/SQL surface end to end; gated by the SAME
+    // oracle as q33
+    "q55_sql_native_simhash" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      t(s, dir, "documents").createOrReplaceTempView("documents_v")
+      s.sql(
+        """SELECT doc_id,
+          |  graft_simhash(transform(tokens,
+          |    t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)),
+          |    32) AS simhash
+          |FROM (
+          |  SELECT doc_id, array_distinct(filter(
+          |    split(regexp_replace(lower(text), '[^a-z0-9\\s]', ' '), '\\s+'),
+          |    x -> x != '')) AS tokens
+          |  FROM documents_v
+          |  WHERE lower(text) RLIKE '[a-z0-9]')
+          |ORDER BY doc_id""".stripMargin)
+    }),
     "q34_simhash_neardups" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val sims = Dedup.simHashes(docs, "doc_id", "text", bits = 32)
@@ -519,6 +539,21 @@ object SparkEntry {
       graft.multimodal.Multimodal.sampleFrames(assets, everyMs = 5000L)
         .orderBy("id", "frame_ts_ms")
     }),
+    // full multimodal -> ANN composition: binary assets through the stub
+    // feature extractor into the IVF index (the pipeline a real encoder
+    // would slot into at the stubEmbed seam)
+    "q72_mm_embed_knn" -> ((s, dir) => {
+      val assets = graft.multimodal.Multimodal.asBinaryAssets(
+        t(s, dir, "documents"), "doc_id", "text", "image")
+      val embs = graft.multimodal.Multimodal.stubEmbed(assets, dim = 16)
+      val cents = Knn.ivfSeedCentroids(embs, "id", "embedding", 8)
+      Knn.ivfTopK(embs, embs.filter(col("id") < 10), cents,
+        "id", "embedding", k = 3, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
     "q70_mm_meta" -> ((s, dir) => {
       val assets = graft.multimodal.Multimodal.asBinaryAssets(
         t(s, dir, "documents"), "doc_id", "text", "image")
@@ -634,6 +669,14 @@ object SparkEntry {
        |$SigCte
        |SELECT doc_id, CAST(perm AS BIGINT) AS perm, min_hash
        |FROM sig ORDER BY doc_id, perm""".stripMargin
+
+  /** Shared by q33 (DataFrame formulation) and q55 (SQL-text entry path
+    * through the registered native kernels) — identical SimHash table.
+    */
+  private val SimHashOracle =
+    s"""WITH $ToksCte,
+       |$SimHashCte
+       |SELECT doc_id, simhash FROM simhash ORDER BY doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -877,10 +920,8 @@ object SparkEntry {
          |  AND a.doc_id < b.doc_id
          |GROUP BY a.doc_id, b.doc_id
          |ORDER BY id_a, id_b""".stripMargin,
-    "q33_simhash" ->
-      s"""WITH $ToksCte,
-         |$SimHashCte
-         |SELECT doc_id, simhash FROM simhash ORDER BY doc_id""".stripMargin,
+    "q33_simhash" -> SimHashOracle,
+    "q55_sql_native_simhash" -> SimHashOracle,
     "q34_simhash_neardups" ->
       s"""WITH $ToksCte,
          |$SimHashCte,
@@ -1238,6 +1279,48 @@ object SparkEntry {
         |FROM c JOIN r ON user_id = err_user
         |  AND err_secs BETWEEN c.secs - 3600 AND c.secs
         |ORDER BY user_id, click_id, err_id""".stripMargin,
+
+    // stub embed + IVF: the embedding is dim md5 draws off the hex
+    // payload (reproduced element-for-element), then the q44 IVF shape
+    "q72_mm_embed_knn" ->
+      s"""WITH emb AS (
+         |  SELECT doc_id AS id, list_transform(generate_series(0, 15),
+         |    i -> CAST(((${h60("hex(encode(text))||':'||i")} % 1000001) - 500000)::DOUBLE
+         |      / 1000000.0 AS FLOAT)) AS embedding
+         |  FROM documents),
+         |cents AS (SELECT id AS cid, embedding AS cvec FROM emb WHERE id < 8),
+         |ascored AS (
+         |  SELECT e.id, c.cid, ${duckCos("e.embedding", "c.cvec")} AS cos
+         |  FROM emb e CROSS JOIN cents c),
+         |assigned AS (
+         |  SELECT id, cid FROM (
+         |    SELECT id, cid, row_number() OVER (PARTITION BY id
+         |      ORDER BY cos DESC, cid) AS rn
+         |    FROM ascored) x WHERE rn = 1),
+         |q AS (SELECT id AS query_id, embedding AS qv FROM emb WHERE id < 10),
+         |probed AS (
+         |  SELECT query_id, cid FROM (
+         |    SELECT query_id, c.cid,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY ${duckCos("qv", "c.cvec")} DESC, c.cid) AS pr
+         |    FROM q CROSS JOIN cents c) y WHERE pr <= 2),
+         |cand AS (
+         |  SELECT query_id, a.id AS neighbor_id
+         |  FROM probed p JOIN assigned a ON p.cid = a.cid
+         |  WHERE query_id != a.id),
+         |rescored AS (
+         |  SELECT query_id, neighbor_id,
+         |    ${duckCos("qe.embedding", "ne.embedding")} AS cosine
+         |  FROM cand JOIN emb qe ON cand.query_id = qe.id
+         |  JOIN emb ne ON cand.neighbor_id = ne.id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM rescored)
+         |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
+         |FROM ranked WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin,
 
     // ---- multimodal metadata oracle (stub decode is deterministic md5 math)
     "q71_mm_frames" ->

@@ -99,6 +99,25 @@ object Multimodal {
     (w, hgt, c, d)
   }
 
+  /** Deterministic fake feature-extraction: a float32 embedding derived
+    * from the content hash — the stub stands where a vision/audio encoder
+    * would run (same seam as `stubDecodeMeta`; swap for a real encoder
+    * without touching the plumbing). `dim` md5 draws per asset, each in
+    * [-0.5, 0.5]. The hex payload is materialized in its own projection
+    * so the per-dimension lambda hashes an ATTRIBUTE — with the encode
+    * chain inline, the higher-order function would re-evaluate it once
+    * per dimension. Output: (id, embedding array<float>) — feeds the
+    * `Knn` operators directly.
+    */
+  def stubEmbed(assets: DataFrame, dim: Int): DataFrame =
+    assets
+      .select(col("id"), hex(col("content")).as("__hex"))
+      .select(col("id"),
+        transform(sequence(lit(0), lit(dim - 1)), i =>
+          (((HashFunctions.md5Long(concat(col("__hex"), lit(":"),
+            i.cast("string"))) % 1000001L) - 500000L).cast("double")
+            / 1000000.0).cast("float")).as("embedding"))
+
   /** Frame sampling: one row per sampled frame index for video assets —
     * `explode(sequence(...))`, i.e. the fan-out stays distributed and
     * codegen'd; a real pipeline would decode the frame bytes in a
