@@ -481,6 +481,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // reproducible hash-split: every doc gets a deterministic
+    // train/val/test label (pure function of doc_id — stable across
+    // partitionings, engines, and separate jobs)
+    "q56_hash_split" -> ((s, dir) => {
+      graft.operators.Sampling.hashSplit(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .orderBy("doc_id")
+    }),
+    // stable per-group subsample: at most 10 docs per source, chosen by
+    // hash order
+    "q57_group_cap" -> ((s, dir) => {
+      graft.operators.Sampling.groupCap(
+        t(s, dir, "documents").select(col("source"), col("doc_id")),
+        Seq("source"), "doc_id", n = 10)
+        .orderBy("source", "doc_id")
+    }),
+
     // ---- event streams (batch formulation of the streaming ops)
     "q60_event_windows" -> ((s, dir) => {
       graft.streaming.EventStreams.windowedCounts(events(s, dir))
@@ -1208,6 +1226,27 @@ object SparkEntry {
          |SELECT doc_id, CAST(len(shl) AS BIGINT) AS n_shingles,
          |  md5(array_to_string(list_sort(shl), '|')) AS shingle_md5
          |FROM sh ORDER BY doc_id""".stripMargin,
+
+    "q56_hash_split" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, ${h60("'graft:'||doc_id")} % 1000000 AS bkt
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN bkt < 800000 THEN 'train'
+         |       WHEN bkt < 900000 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin,
+    "q57_group_cap" ->
+      s"""WITH b AS (
+         |  SELECT source, doc_id,
+         |    ${h60("'graft:'||doc_id")} % 1000000 AS bkt
+         |  FROM documents),
+         |r AS (
+         |  SELECT source, doc_id,
+         |    row_number() OVER (PARTITION BY source ORDER BY bkt, doc_id) AS rn
+         |  FROM b)
+         |SELECT source, doc_id FROM r WHERE rn <= 10
+         |ORDER BY source, doc_id""".stripMargin,
 
     // ---- event-stream oracles (batch formulation)
     "q60_event_windows" ->

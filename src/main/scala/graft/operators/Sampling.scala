@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashFunctions
+
+/** Reproducible sampling for corpus curation — hash-based, not RNG-based.
+  *
+  * `df.sample()` draws from a partition-dependent RNG stream: results
+  * change under repartitioning, retries, and engine versions, which is
+  * exactly what a training pipeline cannot afford for held-out splits.
+  * These operators decide membership from `md5(seed:key)` alone, so a
+  * row's assignment is a pure function of its key — stable across runs,
+  * partitionings, cluster sizes, and engines (the DuckDB oracle
+  * re-derives it), and trivially consistent between separate jobs that
+  * must agree on the same split (train vs eval readers).
+  *
+  * All decisions are narrow per-row projections (no shuffle); `groupCap`
+  * adds one shuffle by group for its window.
+  */
+object Sampling {
+
+  private val Buckets = 1000000L
+
+  /** Uniform pseudo-random bucket in [0, 10^6) from (seed, key). */
+  private def bucket(keyCol: Column, seed: String): Column =
+    pmod(HashFunctions.md5Long(
+      concat(lit(seed), lit(":"), keyCol.cast("string"))), lit(Buckets))
+
+  /** Keep ~`fraction` of rows, decided per key. */
+  def hashSample(df: DataFrame, keyCol: String, fraction: Double,
+                 seed: String = "graft"): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, "fraction must be in [0,1]")
+    df.filter(bucket(col(keyCol), seed) < (fraction * Buckets).toLong)
+  }
+
+  /** Assign every row a split label with proportions `weights`
+    * (label -> weight, normalized; evaluated in the given order so the
+    * assignment is deterministic). Adds a `split` column.
+    */
+  def hashSplit(df: DataFrame, keyCol: String,
+                weights: Seq[(String, Double)],
+                seed: String = "graft"): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "weights must be positive")
+    val total = weights.map(_._2).sum
+    val cuts = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }
+      .map(c => (c * Buckets).toLong)
+    val b = bucket(col(keyCol), seed)
+    val expr = weights.zip(cuts.sliding(2).toSeq).tail
+      .foldLeft(when(b < cuts(1), lit(weights.head._1))) {
+        case (acc, ((label, _), Seq(_, hi))) => acc.when(b < hi, lit(label))
+      }
+    // the final bucket takes any remainder from integer cut truncation
+    df.withColumn("split", coalesce(expr, lit(weights.last._1)))
+  }
+
+  /** Cap each group at `n` rows, chosen by hash order (then key, for
+    * determinism on hash ties) — a stable per-group subsample, e.g. "at
+    * most 10 documents per source domain".
+    */
+  def groupCap(df: DataFrame, groupCols: Seq[String], keyCol: String,
+               n: Int, seed: String = "graft"): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(bucket(col(keyCol), seed).asc, col(keyCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+}

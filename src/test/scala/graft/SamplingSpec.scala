@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sampling
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ids(n: Int) = (1 to n).map(_.toLong).toDF("id")
+
+  test("hash sample is a pure function of the key — partitioning-invariant") {
+    val df = ids(2000)
+    val a = Sampling.hashSample(df, "id", 0.3).as[Long].collect().toSet
+    val b = Sampling.hashSample(df.repartition(7), "id", 0.3)
+      .as[Long].collect().toSet
+    assert(a == b, "sample must not depend on physical partitioning")
+    // ~30% within generous tolerance (hash uniformity, not an RNG test)
+    assert(a.size > 450 && a.size < 750, s"got ${a.size} of 2000")
+  }
+
+  test("hash split covers every row once with roughly right proportions") {
+    val splits = Sampling.hashSplit(ids(2000), "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(splits.values.sum == 2000L)
+    assert(splits("train") > 1480 && splits("train") < 1700, s"got $splits")
+    assert(splits.keySet == Set("train", "val", "test"))
+    // deterministic: same call, same assignment
+    val again = Sampling.hashSplit(ids(2000), "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(splits == again)
+  }
+
+  test("group cap keeps at most n stable rows per group") {
+    val df = (1 to 100).map(i => (s"g${i % 3}", i.toLong)).toDF("g", "id")
+    val capped = Sampling.groupCap(df, Seq("g"), "id", n = 5)
+    val byGroup = capped.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(byGroup.values.forall(_ == 5L), s"got $byGroup")
+    val again = Sampling.groupCap(df.repartition(11), Seq("g"), "id", n = 5)
+    assert(capped.as[(String, Long)].collect().toSet ==
+      again.as[(String, Long)].collect().toSet)
+  }
+}
