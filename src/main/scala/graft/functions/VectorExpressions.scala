@@ -151,9 +151,13 @@ object GraftFunctions {
       org.apache.spark.sql.functions.typedLit(planes))
 }
 
-/** `spark.sql.extensions` injector (config-driven deployments). */
+/** `spark.sql.extensions` injector (config-driven deployments): the
+  * native function registry plus the fold→kernel optimizer rule.
+  */
 class GraftSparkExtensions
     extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     GraftFunctions.injections.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.NativeDotRewrite)
+  }
 }
