@@ -481,6 +481,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // TF-IDF + BM25 relevance weights over the inverted index
+    "q58_term_scores" -> ((s, dir) => {
+      TextAnalysis.termScores(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("word"), col("tf"),
+          round(col("tfidf"), 6).as("tfidf"),
+          round(col("bm25"), 6).as("bm25"))
+        .orderBy("doc_id", "word")
+    }),
     // reproducible hash-split: every doc gets a deterministic
     // train/val/test label (pure function of doc_id — stable across
     // partitionings, engines, and separate jobs)
@@ -1227,6 +1235,28 @@ object SparkEntry {
          |  md5(array_to_string(list_sort(shl), '|')) AS shingle_md5
          |FROM sh ORDER BY doc_id""".stripMargin,
 
+    // arithmetic mirrors TextAnalysis.termScores op-for-op (same literal
+    // structure, e.g. (1.2 + 1) not 2.2, so the IEEE ops line up); avg of
+    // BIGINT is exact-sum/count in both engines
+    "q58_term_scores" ->
+      s"""WITH $WordsCte,
+         |live AS (SELECT doc_id, ws FROM words WHERE len(ws) > 0),
+         |posts AS (SELECT doc_id, unnest(ws) AS word FROM live),
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM posts GROUP BY 1, 2),
+         |dft AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+         |dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM live),
+         |scalars AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         |              avg(dl) AS avgdl FROM dl)
+         |SELECT tf.doc_id, tf.word, tf.tf,
+         |  round(tf * (ln((n_docs + 1) / (df + 1)) + 1), 6) AS tfidf,
+         |  round(ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+         |    * (tf * (1.2 + 1) / (tf + 1.2 * ((1 - 0.75)
+         |        + 0.75 * CAST(dl AS DOUBLE) / avgdl))), 6) AS bm25
+         |FROM tf
+         |JOIN dft USING (word)
+         |JOIN dl ON tf.doc_id = dl.doc_id
+         |CROSS JOIN scalars
+         |ORDER BY tf.doc_id, word""".stripMargin,
     "q56_hash_split" ->
       s"""WITH b AS (
          |  SELECT doc_id, ${h60("'graft:'||doc_id")} % 1000000 AS bkt

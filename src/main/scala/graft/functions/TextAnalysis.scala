@@ -84,6 +84,44 @@ object TextAnalysis {
     scored.withColumn("lang_pred", langLex)
   }
 
+  /** TF-IDF and BM25 term scores over the corpus inverted index — the
+    * classic relevance weights a text engine serves (and the input to
+    * keyword extraction / sparse retrieval).
+    *
+    *   tf-idf = tf · (ln((N+1)/(df+1)) + 1)          (smoothed idf)
+    *   bm25   = ln((N−df+0.5)/(df+0.5) + 1) ·
+    *            tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * Shape: one explode, a (doc, word) count, a word-level df count, and
+    * two single-row scalars (N, avgdl) joined back via broadcast cross
+    * join — no driver-side action, one lazy DAG. Shuffle keys are (doc,
+    * word) and word; partitions stay balanced under document-length
+    * skew.
+    */
+  def termScores(docs: DataFrame, idCol: String, textCol: String,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val live = docs.filter(lower(col(textCol)).rlike("[a-z0-9]"))
+      .select(col(idCol), TextFunctions.normalizedWords(col(textCol)).as("__ws"))
+    val posts = live.select(col(idCol), explode(col("__ws")).as("word"))
+    val tf = posts.groupBy(col(idCol), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val dl = live.select(col(idCol), size(col("__ws")).cast("long").as("dl"))
+    val scalars = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val tfD = col("tf").cast("double")
+    val idf = log((col("n_docs") + 1) / (col("df") + 1)) + 1
+    val bmIdf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1)
+    val bmTf = tfD * lit(k1 + 1) /
+      (tfD + lit(k1) * (lit(1 - b) + lit(b) * col("dl").cast("double")
+        / col("avgdl")))
+    tf.join(dft, "word")
+      .join(dl, idCol)
+      .crossJoin(broadcast(scalars))
+      .select(col(idCol), col("word"), col("tf"),
+        (tfD * idf).as("tfidf"), (bmIdf * bmTf).as("bm25"))
+  }
+
   /** Content-defined fingerprint row per doc: canonical text md5 plus the
     * order-sensitive rolling hash — the pair used for shift-tolerant
     * near-dup triage.
