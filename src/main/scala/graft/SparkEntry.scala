@@ -580,6 +580,14 @@ object SparkEntry {
           col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
     }),
+    // stub resize: byte-budget plumbing (target w*h*c capped by source)
+    "q73_mm_resize" -> ((s, dir) => {
+      val assets = graft.multimodal.Multimodal.asBinaryAssets(
+        t(s, dir, "documents"), "doc_id", "text",
+        when(col("doc_id") % 4 === 0, lit("audio")).otherwise(lit("image")))
+      graft.multimodal.Multimodal.stubResize(assets, w = 8, h = 6)
+        .orderBy("id")
+    }),
     "q70_mm_meta" -> ((s, dir) => {
       val assets = graft.multimodal.Multimodal.asBinaryAssets(
         t(s, dir, "documents"), "doc_id", "text", "image")
@@ -1348,6 +1356,24 @@ object SparkEntry {
         |FROM c JOIN r ON user_id = err_user
         |  AND err_secs BETWEEN c.secs - 3600 AND c.secs
         |ORDER BY user_id, click_id, err_id""".stripMargin,
+
+    // hex of a byte-slice is a prefix of the full hex (2 chars/byte), so
+    // the sliced blob's md5 gates without blob substring support
+    "q73_mm_resize" ->
+      """WITH a AS (
+        |  SELECT doc_id AS id,
+        |    CASE WHEN doc_id % 4 = 0 THEN 'audio' ELSE 'image' END AS modality,
+        |    encode(text) AS blob
+        |  FROM documents),
+        |b AS (
+        |  SELECT id, CASE WHEN modality = 'image' THEN 3 ELSE 1 END AS c,
+        |    octet_length(blob) AS nb, hex(blob) AS hx
+        |  FROM a),
+        |r AS (SELECT id, c, least(c * 48, nb) AS n_out, hx FROM b)
+        |SELECT id, CAST(8 AS BIGINT) AS width, CAST(6 AS BIGINT) AS height,
+        |  CAST(c AS BIGINT) AS channels, CAST(n_out AS BIGINT) AS n_bytes_out,
+        |  md5(substr(hx, 1, CAST(2 * n_out AS INT))) AS out_md5
+        |FROM r ORDER BY id""".stripMargin,
 
     // stub embed + IVF: the embedding is dim md5 draws off the hex
     // payload (reproduced element-for-element), then the q44 IVF shape

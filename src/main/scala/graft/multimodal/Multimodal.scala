@@ -118,6 +118,30 @@ object Multimodal {
             i.cast("string"))) % 1000001L) - 500000L).cast("double")
             / 1000000.0).cast("float")).as("embedding"))
 
+  /** Stub resize: the byte-budget plumbing of an image resize without a
+    * codec. The output byte length is the real resize contract
+    * (`w*h*channels` for the target, capped by the source payload — a
+    * decoder-backed implementation replaces the byte slice with actual
+    * resampling at this seam); schema and budgets are what downstream
+    * batch sizing cares about. Output: (id, width, height, channels,
+    * n_bytes_out, out_md5).
+    */
+  def stubResize(assets: DataFrame, w: Int, h: Int): DataFrame = {
+    val channels = when(col("modality") === "image", 3).otherwise(1)
+    val target = channels * (w.toLong * h)
+    // substr's len is int; target is bounded by w*h*3 which the require
+    // keeps inside Int range
+    val out = col("content").substr(lit(1),
+      least(lit(target), col("n_bytes")).cast("int"))
+    require(w > 0 && h > 0 && w.toLong * h * 3 <= Int.MaxValue,
+      "target dimensions out of range")
+    assets.select(
+      col("id"), lit(w).cast("long").as("width"), lit(h).cast("long").as("height"),
+      channels.cast("long").as("channels"),
+      octet_length(out).cast("long").as("n_bytes_out"),
+      md5(hex(out)).as("out_md5"))
+  }
+
   /** Frame sampling: one row per sampled frame index for video assets —
     * `explode(sequence(...))`, i.e. the fan-out stays distributed and
     * codegen'd; a real pipeline would decode the frame bytes in a
