@@ -79,8 +79,13 @@ object Bench {
     val results = fixture ++ refDatasets ++ curation ++ skew
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // any crashed query invalidates the headline total (value -1): a
+    // smaller-because-broken total must never read as a speedup in
+    // round-over-round comparisons
+    val failed = results.filter(_._2 < 0).map(_._1)
+    val total = if (failed.nonEmpty) -1.0 else results.map(_._2).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1375,14 +1375,15 @@ object SparkEntry {
         |  md5(substr(hx, 1, CAST(2 * n_out AS INT))) AS out_md5
         |FROM r ORDER BY id""".stripMargin,
 
-    // stub embed + IVF: the embedding is dim md5 draws off the hex
-    // payload (reproduced element-for-element), then the q44 IVF shape
+    // stub embed + IVF: one md5 seed per payload, then dim md5 draws off
+    // `seed:i` (reproduced element-for-element), then the q44 IVF shape
     "q72_mm_embed_knn" ->
       s"""WITH emb AS (
-         |  SELECT doc_id AS id, list_transform(generate_series(0, 15),
-         |    i -> CAST(((${h60("hex(encode(text))||':'||i")} % 1000001) - 500000)::DOUBLE
+         |  SELECT id, list_transform(generate_series(0, 15),
+         |    i -> CAST(((${h60("seed||':'||i")} % 1000001) - 500000)::DOUBLE
          |      / 1000000.0 AS FLOAT)) AS embedding
-         |  FROM documents),
+         |  FROM (SELECT doc_id AS id, md5(hex(encode(text))) AS seed
+         |        FROM documents) s),
          |cents AS (SELECT id AS cid, embedding AS cvec FROM emb WHERE id < 8),
          |ascored AS (
          |  SELECT e.id, c.cid, ${duckCos("e.embedding", "c.cvec")} AS cos

@@ -74,27 +74,27 @@ object SketchKernels {
   /** Sign-random-projection bucket over one hash table's hyperplanes: bit
     * `p` of the result is set iff `Σ_i (double)vec[i] * planes[p][i] > 0`
     * (left-to-right float64 summation — bit-identical to the
-    * `aggregate(zip_with(...))` fold it replaces, and to the DuckDB
-    * oracle's `list_reduce`). Degenerate inputs mirror the fold + `when`
-    * formulation exactly: a dimension mismatch or a null element makes
-    * that plane's projection null, which contributed 0 to the bucket.
+    * `aggregate(zip_with(...))` fold, and to the DuckDB oracle's
+    * `list_reduce`). A dimension mismatch or a null element returns NULL:
+    * an undefined bucket must be VISIBLE (and null join keys drop out of
+    * the candidate equi-join), where a silent default bucket would
+    * collapse every mismatched vector into one O(n²) candidate clique.
     */
-  def srpBucket(vec: ArrayData, planes: Array[Array[Double]]): Long = {
+  def srpBucket(vec: ArrayData, planes: Array[Array[Double]]): Any = {
     val n = vec.numElements()
     var bucket = 0L
     var p = 0
     while (p < planes.length) {
       val w = planes(p)
-      if (w.length == n) {
-        var sum = 0.0
-        var ok = true
-        var i = 0
-        while (i < n && ok) {
-          if (vec.isNullAt(i)) ok = false
-          else { sum += vec.getFloat(i).toDouble * w(i); i += 1 }
-        }
-        if (ok && sum > 0) bucket |= 1L << p
+      if (w.length != n) return null
+      var sum = 0.0
+      var i = 0
+      while (i < n) {
+        if (vec.isNullAt(i)) return null
+        sum += vec.getFloat(i).toDouble * w(i)
+        i += 1
       }
+      if (sum > 0) bucket |= 1L << p
       p += 1
     }
     bucket
@@ -213,7 +213,17 @@ case class SrpBucketExpr(left: Expression, right: Expression)
           if right.foldable =>
         right.eval(InternalRow.empty) match {
           case ad: ArrayData if ad.numElements() > 0 && ad.numElements() <= 64 =>
-            TypeCheckResult.TypeCheckSuccess
+            // null planes / plane elements must fail ANALYSIS, not NPE at
+            // first execution inside the lazy planes materialization
+            val nullFree = (0 until ad.numElements()).forall { p =>
+              !ad.isNullAt(p) && {
+                val inner = ad.getArray(p)
+                (0 until inner.numElements()).forall(!inner.isNullAt(_))
+              }
+            }
+            if (nullFree) TypeCheckResult.TypeCheckSuccess
+            else TypeCheckResult.TypeCheckFailure(
+              s"$prettyName's hyperplanes must not contain nulls")
           case _ => TypeCheckResult.TypeCheckFailure(
             s"$prettyName's second argument must be a non-null literal of " +
               "1..64 hyperplanes")
@@ -222,6 +232,7 @@ case class SrpBucketExpr(left: Expression, right: Expression)
         s"$prettyName expects (array<float>, foldable array<array<double>>)")
     }
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_srp_bucket"
   private lazy val planes: Array[Array[Double]] = {
     val ad = right.eval(InternalRow.empty).asInstanceOf[ArrayData]
@@ -231,8 +242,14 @@ case class SrpBucketExpr(left: Expression, right: Expression)
     SketchKernels.srpBucket(vec.asInstanceOf[ArrayData], planes)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("srpPlanes", planes, "double[][]")
-    nullSafeCodeGen(ctx, ev, (a, _) =>
-      s"${ev.value} = graft.functions.SketchKernels.srpBucket($a, $ref);")
+    nullSafeCodeGen(ctx, ev, (a, _) => {
+      val res = ctx.freshName("srpRes")
+      s"""
+         |Object $res = graft.functions.SketchKernels.srpBucket($a, $ref);
+         |if ($res == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((Long) $res).longValue(); }
+       """.stripMargin
+    })
   }
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SrpBucketExpr =

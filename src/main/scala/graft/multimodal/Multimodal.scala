@@ -102,21 +102,23 @@ object Multimodal {
   /** Deterministic fake feature-extraction: a float32 embedding derived
     * from the content hash — the stub stands where a vision/audio encoder
     * would run (same seam as `stubDecodeMeta`; swap for a real encoder
-    * without touching the plumbing). `dim` md5 draws per asset, each in
-    * [-0.5, 0.5]. The hex payload is materialized in its own projection
-    * so the per-dimension lambda hashes an ATTRIBUTE — with the encode
-    * chain inline, the higher-order function would re-evaluate it once
-    * per dimension. Output: (id, embedding array<float>) — feeds the
-    * `Knn` operators directly.
+    * without touching the plumbing). The payload is reduced to ONE
+    * 32-char md5 seed per row in its own projection, then each dimension
+    * hashes `seed:i` into [-0.5, 0.5]: per-dimension work is O(32 chars)
+    * regardless of payload size, and the seed column is referenced `dim`
+    * times so CollapseProject keeps the projection boundary (a payload
+    * expression inside a per-element lambda would re-encode the full
+    * payload once per dimension). Output: (id, embedding array<float>) —
+    * feeds the `Knn` operators directly.
     */
   def stubEmbed(assets: DataFrame, dim: Int): DataFrame =
     assets
-      .select(col("id"), hex(col("content")).as("__hex"))
+      .select(col("id"), md5(hex(col("content"))).as("__seed"))
       .select(col("id"),
-        transform(sequence(lit(0), lit(dim - 1)), i =>
-          (((HashFunctions.md5Long(concat(col("__hex"), lit(":"),
-            i.cast("string"))) % 1000001L) - 500000L).cast("double")
-            / 1000000.0).cast("float")).as("embedding"))
+        array((0 until dim).map(i =>
+          (((HashFunctions.md5Long(concat(col("__seed"), lit(s":$i")))
+            % 1000001L) - 500000L).cast("double")
+            / 1000000.0).cast("float")): _*).as("embedding"))
 
   /** Stub resize: the byte-budget plumbing of an image resize without a
     * codec. The output byte length is the real resize contract

@@ -291,26 +291,31 @@ object Dedup {
     var labels = sym.select(col("s").as("id")).distinct()
       .select(col("id"), col("id").as("component"))
       .localCheckpoint()
-    def labelSum(df: DataFrame): Option[Long] =
-      Option(df.agg(sum(col("component"))).head.get(0))
-        .map(_.asInstanceOf[Long])
-    var prevSum = labelSum(labels)
+    // convergence = no label changed this iteration — compared row-wise,
+    // which works for ANY orderable id type (string doc ids included),
+    // where a sum-of-labels trick would silently assume numeric ids
+    var converged = labels.isEmpty // empty graph: nothing to propagate
     var i = 0
-    var done = prevSum.isEmpty // no nodes at all
-    while (!done && i < maxIter) {
+    while (!converged && i < maxIter) {
       val neighborMin = sym
         .join(labels.select(col("id").as("t"), col("component").as("nc")), "t")
         .groupBy(col("s").as("id")).agg(min(col("nc")).as("nmin"))
-      labels = labels.join(neighborMin, Seq("id"), "left")
+      val next = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nmin"), col("component")))
             .as("component"))
         .localCheckpoint()
-      val s = labelSum(labels)
-      done = s == prevSum
-      prevSum = s
+      converged = next
+        .join(labels.withColumnRenamed("component", "__prev"), "id")
+        .filter(col("component") =!= col("__prev")).isEmpty
+      labels = next
       i += 1
     }
+    // a maxIter exit would return a PARTIALLY propagated labeling that is
+    // indistinguishable from a correct one — refuse rather than mislead
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter iterations; " +
+        "raise maxIter (components deeper than maxIter hops exist)")
     labels
   }
 

@@ -122,7 +122,10 @@ object Knn {
     *
     * `dim` is the (uniform) vector length — pass it when known (an
     * embedding model's output dim is fixed); `dim <= 0` probes one row,
-    * which costs a tiny driver-side job per call.
+    * which costs a tiny driver-side job per call. A WRONG explicit dim
+    * yields null buckets (visible in the output, and null join keys drop
+    * out of the candidate equi-join) rather than silently lumping every
+    * vector into one catastrophic bucket-0 clique.
     */
   def lshBuckets(embs: DataFrame, idCol: String, vecCol: String,
                  tables: Int, planes: Int, dim: Int = -1): DataFrame = {

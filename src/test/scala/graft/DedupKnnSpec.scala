@@ -226,6 +226,31 @@ class DedupKnnSpec extends SparkSpec {
     // empty edge list -> empty labeling, no infinite loop
     assert(graft.operators.Dedup.connectedComponents(
       Seq.empty[(Long, Long)].toDF("id_a", "id_b")).count() == 0L)
+    // string ids work too (convergence is row-wise, not a numeric sum)
+    val strComps = graft.operators.Dedup.connectedComponents(
+      Seq(("b", "a"), ("b", "c"), ("x", "y")).toDF("id_a", "id_b"))
+      .as[(String, String)].collect().toMap
+    assert(strComps == Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "x" -> "x", "y" -> "x"))
+  }
+
+  test("SRP bucket of a wrong-dim or null-element vector is null, not 0") {
+    val vecs = Seq(
+      (1L, Array(1f, 2f, 3f)),          // matches dim=3
+      (2L, Array(1f, 2f)),              // wrong dim
+      (3L, Array(1f, Float.NaN, 3f)))   // NaN is fine; nulls tested below
+      .toDF("vec_id", "embedding")
+    graft.functions.GraftFunctions.register(spark)
+    val b = vecs.select($"vec_id",
+      Knn.lshBucket($"embedding", table = 0, planes = 4, dim = 3).as("b"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(b(1L).isDefined && b(3L).isDefined)
+    assert(b(2L).isEmpty, "wrong-dim vector must bucket to null")
+    val withNullElem = spark.sql(
+      "SELECT graft_srp_bucket(array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)), " +
+        "array(array(0.5d, 0.5d))) AS b")
+      .collect().head.isNullAt(0)
+    assert(withNullElem, "null element must bucket to null")
   }
 
   test("IVF: cells follow cosine, probes bound candidates, re-rank exact") {
