@@ -489,6 +489,19 @@ object SparkEntry {
           round(col("bm25"), 6).as("bm25"))
         .orderBy("doc_id", "word")
     }),
+    // keyword extraction: top-3 terms per doc by tf-idf (rank on the
+    // UNROUNDED score, ties by word — deterministic in both engines)
+    "q59_keywords" -> ((s, dir) => {
+      val scores = TextAnalysis.termScores(t(s, dir, "documents"),
+        "doc_id", "text")
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("word").asc)
+      scores.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("word"),
+          round(col("tfidf"), 6).as("tfidf"), col("rank"))
+        .orderBy("doc_id", "rank")
+    }),
     // reproducible hash-split: every doc gets a deterministic
     // train/val/test label (pure function of doc_id — stable across
     // partitionings, engines, and separate jobs)
@@ -1265,6 +1278,25 @@ object SparkEntry {
          |JOIN dl ON tf.doc_id = dl.doc_id
          |CROSS JOIN scalars
          |ORDER BY tf.doc_id, word""".stripMargin,
+    "q59_keywords" ->
+      s"""WITH $WordsCte,
+         |live AS (SELECT doc_id, ws FROM words WHERE len(ws) > 0),
+         |posts AS (SELECT doc_id, unnest(ws) AS word FROM live),
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM posts GROUP BY 1, 2),
+         |dft AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+         |scalars AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM live),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.word,
+         |    tf * (ln((n_docs + 1) / (df + 1)) + 1) AS tfidf
+         |  FROM tf JOIN dft USING (word) CROSS JOIN scalars),
+         |ranked AS (
+         |  SELECT doc_id, word, tfidf,
+         |    CAST(row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY tfidf DESC, word) AS BIGINT) AS rank
+         |  FROM scored)
+         |SELECT doc_id, word, round(tfidf, 6) AS tfidf, rank
+         |FROM ranked WHERE rank <= 3
+         |ORDER BY doc_id, rank""".stripMargin,
     "q56_hash_split" ->
       s"""WITH b AS (
          |  SELECT doc_id, ${h60("'graft:'||doc_id")} % 1000000 AS bkt
