@@ -38,9 +38,18 @@ object Bench {
       }
     }
 
+    // Execute through the noop sink, NOT .count(): wrapping a query in
+    // Aggregate(count(1)) lets Catalyst prune every unused projection and
+    // drop the final sort, so projection-heavy queries (simhash, md5
+    // fingerprints, scalar funcs) would be timed as bare row-count scans
+    // without ever running the work they claim to measure. The noop write
+    // consumes every output column.
+    def exec(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
     // Stable name order so per-query numbers are comparable across rounds.
     val fixture = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> timed(fn(spark, sfDir).count())
+      name -> timed(exec(fn(spark, sfDir)))
     }
     // Reference-parity pipeline on the reference's own corpora, end to end
     // including the formatted+sorted output (BASELINE.md compares these to
@@ -72,6 +81,7 @@ object Bench {
         concat_ws(" ", lit("hotzz"),
           concat(lit("a"), col("id")), concat(lit("b"), col("id")),
           concat(lit("c"), col("id")), concat(lit("d"), col("id"))).as("text"))
+      // count() is correct HERE: the point is the pair-stage cardinality
       val n = graft.operators.Jaccard.allPairs(docs,
         maxDocFrequency = Some(1000L)).count()
       require(n == 0L, s"pruned skew corpus must yield no pairs, got $n")

@@ -23,9 +23,13 @@ object Scratch {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000L).selectExpr("sum(id)").collect()
     val dir = "/root/testdata/sf0.1"
-    val q45 = SparkEntry.queries("q45_neardup_components")
-    time("q45 run1")(println("rows=" + q45(spark, dir).count()))
-    time("q45 run2")(println("rows=" + q45(spark, dir).count()))
+    def exec(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    val q20 = SparkEntry.queries("q20_jac_doc_sizes")
+    time("q20 noop run1")(exec(q20(spark, dir)))
+    time("q20 noop run2")(exec(q20(spark, dir)))
+    val q21 = SparkEntry.queries("q21_jac_word_df")
+    time("q21 noop")(exec(q21(spark, dir)))
     spark.stop()
   }
 }

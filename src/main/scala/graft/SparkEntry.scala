@@ -431,15 +431,21 @@ object SparkEntry {
 
     // IVF coarse index: nearest-centroid cell per vector (seed centroids
     // = the 16 lowest-id vectors; see Knn.ivfSeedCentroids)
+    // centroid seeds use the SAME `vec_id < 16` predicate as the oracle
+    // SQL (not ivfSeedCentroids' lowest-k, which only coincides while
+    // fixture ids are contiguous from 0) — the gate must not depend on
+    // that fixture accident
     "q43_ivf_assign" -> ((s, dir) => {
       val embs = t(s, dir, "embeddings")
-      val cents = Knn.ivfSeedCentroids(embs, "vec_id", "embedding", 16)
+      val cents = embs.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
       Knn.ivfAssign(embs, "vec_id", "embedding", cents)
         .orderBy("vec_id")
     }),
     "q44_knn_ivf" -> ((s, dir) => {
       val embs = t(s, dir, "embeddings")
-      val cents = Knn.ivfSeedCentroids(embs, "vec_id", "embedding", 16)
+      val cents = embs.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
       Knn.ivfTopK(embs, embs.filter(col("vec_id") < 20), cents,
         "vec_id", "embedding", k = 5, nprobe = 2)
         .select(col("query_id"), col("neighbor_id"),
@@ -471,6 +477,7 @@ object SparkEntry {
     // char-shingle near-dup primitive: gate the full shingle SET per doc
     // (count + md5 of the sorted joined shingles), not just a count
     "q54_char_shingles" -> ((s, dir) => {
+      GraftFunctions.register(s)
       t(s, dir, "documents")
         .filter(lower(col("text")).rlike("[a-z0-9]"))
         .select(col("doc_id"),
@@ -585,7 +592,9 @@ object SparkEntry {
       val assets = graft.multimodal.Multimodal.asBinaryAssets(
         t(s, dir, "documents"), "doc_id", "text", "image")
       val embs = graft.multimodal.Multimodal.stubEmbed(assets, dim = 16)
-      val cents = Knn.ivfSeedCentroids(embs, "id", "embedding", 8)
+      // id < 8 predicate mirrors the oracle (see q43 note)
+      val cents = embs.filter(col("id") < 8)
+        .select(col("id").as("cid"), col("embedding").as("cvec"))
       Knn.ivfTopK(embs, embs.filter(col("id") < 10), cents,
         "id", "embedding", k = 3, nprobe = 2)
         .select(col("query_id"), col("neighbor_id"),
@@ -616,22 +625,30 @@ object SparkEntry {
 
   // ------------------------------------------------------------ oracle SQL
 
+  /** Java's `\s` is `[ \t\n\x0B\f\r]` but RE2's (DuckDB's) `\s` omits
+    * vertical tab — spell the Java class out explicitly so the engines
+    * can never diverge on control characters.
+    */
+  private val WsClass = """ \t\n\x0b\f\r"""
+
   /** DuckDB tokenizer matching TextFunctions.normalizeTokens. */
   private val ToksCte =
-    """toks AS (
+    s"""toks AS (
       |  SELECT doc_id, list_distinct(list_filter(
       |    string_split_regex(
-      |      regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+'),
+      |      regexp_replace(lower(text), '[^a-z0-9$WsClass]', ' ', 'g'),
+      |      '[$WsClass]+'),
       |    x -> x != '')) AS tokens
       |  FROM documents
       |)""".stripMargin
 
   /** DuckDB non-deduped normalized words (TextFunctions.normalizedWords). */
   private val WordsCte =
-    """words AS (
+    s"""words AS (
       |  SELECT doc_id, source, text, list_filter(
       |    string_split_regex(
-      |      regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+'),
+      |      regexp_replace(lower(text), '[^a-z0-9$WsClass]', ' ', 'g'),
+      |      '[$WsClass]+'),
       |    x -> x != '') AS ws
       |  FROM documents
       |)""".stripMargin
@@ -1203,7 +1220,7 @@ object SparkEntry {
          |    / greatest(length(text), 1), 4) AS alpha_ratio,
          |  round(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
          |    / greatest(length(text), 1), 4) AS digit_ratio,
-         |  round(CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+         |  round(CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9$WsClass]', '', 'g')) AS DOUBLE)
          |    / greatest(length(text), 1), 4) AS punct_ratio,
          |  round(CAST(len(list_filter(ws, w -> w IN ('the','and','of','to','a','in','is','it','that','for'))) AS DOUBLE)
          |    / greatest(len(ws), 1), 4) AS stopword_ratio,

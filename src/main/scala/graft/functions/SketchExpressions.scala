@@ -71,6 +71,26 @@ object SketchKernels {
     out
   }
 
+  /** Character n-gram windows over a string, first-seen deduped: exactly
+    * `array_distinct` over `max(1, len-n+1)` sliding windows (the last
+    * possibly shorter when len < n), empty array for empty input —
+    * bit-identical to the zip_with-chain + `array_distinct` composition
+    * (`TextFunctions.charShinglesComposed`), in ONE pass instead of n
+    * chained interpreted higher-order functions over the char array.
+    */
+  def charNGrams(str: UTF8String, n: Int): ArrayData = {
+    val len = str.numChars()
+    if (len == 0) return new GenericArrayData(Array.empty[Any])
+    val m = math.max(1, len - n + 1)
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i < m) {
+      seen.add(str.substring(i, math.min(i + n, len)))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray(Array.empty[AnyRef]))
+  }
+
   /** Sign-random-projection bucket over one hash table's hyperplanes: bit
     * `p` of the result is set iff `Σ_i (double)vec[i] * planes[p][i] > 0`
     * (left-to-right float64 summation — bit-identical to the
@@ -195,6 +215,28 @@ case class SimHashExpr(left: Expression, right: Expression)
     })
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SimHashExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `graft_char_ngrams(str, n)` — native char n-gram windowing. */
+case class CharNGramsExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    PositiveIntArg.check(prettyName,
+      { case StringType => true; case _ => false },
+      "(string, positive int literal)", left, right)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_char_ngrams"
+  private lazy val n: Int = right.eval(InternalRow.empty) match {
+    case i: Int => i
+  }
+  override def nullSafeEval(str: Any, nn: Any): Any =
+    SketchKernels.charNGrams(str.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, _) =>
+      s"${ev.value} = graft.functions.SketchKernels.charNGrams($a, $n);")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CharNGramsExpr =
     copy(left = newLeft, right = newRight)
 }
 

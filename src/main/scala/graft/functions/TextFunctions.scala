@@ -68,9 +68,19 @@ object TextFunctions {
   }
 
   /** Character n-gram shingles of the whitespace-canonicalized normalized
-    * text (for near-dup detection).
+    * text (for near-dup detection). Uses the native one-pass kernel
+    * (`CharNGramsExpr`) — requires `GraftFunctions.register` on the
+    * session; the chained-HOF composition it replaces
+    * (`charShinglesComposed`, kept for the equivalence spec) runs n
+    * interpreted zip_with passes over the char array per row.
     */
-  def charShingles(text: Column, n: Int): Column = {
+  def charShingles(text: Column, n: Int): Column =
+    GraftFunctions.charNGrams(concat_ws(" ", normalizedWords(text)), n)
+
+  /** The pure-builtin composition `charShingles` is bit-equivalent to
+    * (spec-pinned); session-independent but interpreted.
+    */
+  private[graft] def charShinglesComposed(text: Column, n: Int): Column = {
     val canon = concat_ws(" ", normalizedWords(text))
     // split(c, "") keeps a trailing "" (Java split semantics) — drop it
     val chars = filter(split(canon, ""), (c: Column) => c =!= "")

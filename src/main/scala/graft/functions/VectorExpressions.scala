@@ -110,6 +110,7 @@ object GraftFunctions {
 
   val SimHashName = "graft_simhash"
   val SrpBucketName = "graft_srp_bucket"
+  val CharNGramsName = "graft_char_ngrams"
 
   def injections: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
@@ -117,7 +118,8 @@ object GraftFunctions {
     binary(NGramsName, classOf[WordNGramsExpr], WordNGramsExpr.apply),
     binary(MinHashName, classOf[MinHashSigExpr], MinHashSigExpr.apply),
     binary(SimHashName, classOf[SimHashExpr], SimHashExpr.apply),
-    binary(SrpBucketName, classOf[SrpBucketExpr], SrpBucketExpr.apply))
+    binary(SrpBucketName, classOf[SrpBucketExpr], SrpBucketExpr.apply),
+    binary(CharNGramsName, classOf[CharNGramsExpr], CharNGramsExpr.apply))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit =
@@ -149,6 +151,10 @@ object GraftFunctions {
   def srpBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
     call_function(SrpBucketName, vec,
       org.apache.spark.sql.functions.typedLit(planes))
+
+  /** Native char n-gram windows over a string (requires `register`). */
+  def charNGrams(str: Column, n: Int): Column =
+    call_function(CharNGramsName, str, org.apache.spark.sql.functions.lit(n))
 }
 
 /** `spark.sql.extensions` injector (config-driven deployments): the

@@ -28,9 +28,14 @@ object CurationPipeline {
     * pipeline report wants. `curated` is lazy (deliberately uncached —
     * caching the subtree disables AQE's runtime join planning across it,
     * measured ~2x slower); callers reusing it repeatedly can cache it
-    * themselves.
+    * themselves. `counts` is also lazy: a caller that only consumes
+    * `curated` never executes the cascade for the counts — touching
+    * `counts` is what runs it (once; the result is memoized).
     */
-  case class Result(curated: DataFrame, counts: Map[String, Long])
+  final case class Result(curated: DataFrame,
+                          private val countsFn: () => Map[String, Long]) {
+    lazy val counts: Map[String, Long] = countsFn()
+  }
 
   def qualityGate(minWords: Long = 5L, minAlphaRatio: Double = 0.5,
                   maxUniqueRatio: Double = 1.01): Column =
@@ -107,16 +112,22 @@ object CurationPipeline {
     val keepIds = keepersExact.join(losers, Seq(idCol), "left_anti")
     val curated = docs.join(keepIds, Seq(idCol))
 
-    try {
-      val counts =
-        if (stageCounts) Map(
+    if (stageCounts) {
+      // eager by request: the caller asked for per-stage numbers, and the
+      // cached intermediates must be released before returning
+      try {
+        val m = Map(
           "input" -> docs.count(),
           "after_quality" -> afterQuality.count(),
           "after_language" -> afterLang.count(),
           "after_exact_dedup" -> afterExact.count(),
           "after_near_dedup" -> keepIds.count())
-        else Map("after_near_dedup" -> keepIds.count())
-      Result(curated, counts)
-    } finally toRelease.foreach(_.unpersist(blocking = false))
+        Result(curated, () => m)
+      } finally toRelease.foreach(_.unpersist(blocking = false))
+    } else {
+      // single lazy DAG: nothing executes until the caller acts on
+      // `curated` or reads `counts`
+      Result(curated, () => Map("after_near_dedup" -> keepIds.count()))
+    }
   }
 }

@@ -31,8 +31,8 @@ import graft.functions.DotProductFloat
   * element types, seeded folds, extra arithmetic) is left untouched.
   *
   * Install via `spark.sql.extensions=graft.functions.GraftSparkExtensions`
-  * (config path) or `GraftFunctions.installOptimizations(spark)`
-  * (imperative path, idempotent).
+  * (config path) or `GraftOptimizations.install(spark)` (imperative
+  * path, idempotent).
   */
 object NativeDotRewrite extends Rule[LogicalPlan] {
 

@@ -85,10 +85,27 @@ class DedupKnnSpec extends SparkSpec {
   }
 
   test("char shingles slide over the canonical text") {
+    graft.functions.GraftFunctions.register(spark)
     val sh = Seq(("ab cd", 1)).toDF("text", "id")
       .select(TextFunctions.charShingles(col("text"), 3).as("sh"))
       .as[Seq[String]].head()
     assert(sh == Seq("ab ", "b c", " cd"))
+  }
+
+  test("native char n-gram kernel matches the composed HOF formulation") {
+    graft.functions.GraftFunctions.register(spark)
+    val texts = Seq("ab cd", "aaaaaa", "x", "", "Hello, WORLD! 42",
+      "the the the quick fox")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    for (n <- Seq(2, 3, 5, 50)) {
+      val native = texts
+        .select($"id", TextFunctions.charShingles($"text", n).as("sh"))
+        .as[(Long, Seq[String])].collect().toMap
+      val composed = texts
+        .select($"id", TextFunctions.charShinglesComposed($"text", n).as("sh"))
+        .as[(Long, Seq[String])].collect().toMap
+      assert(native == composed, s"n=$n")
+    }
   }
 
   test("exact dedup groups by content hash and keeps min id") {
