@@ -3,7 +3,11 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Ad-hoc profiling entry point (not part of the driver contract). */
+/** Ad-hoc profiling entry point (not part of the driver contract):
+  * `runMain graft.Scratch q20_jac_doc_sizes [sfDir]` times one fixture
+  * query cold + warm through the same noop sink Bench uses and prints
+  * its final adaptive plan.
+  */
 object Scratch {
   def time[A](label: String)(f: => A): A = {
     val t0 = System.nanoTime()
@@ -13,6 +17,8 @@ object Scratch {
   }
 
   def main(args: Array[String]): Unit = {
+    val name = args.headOption.getOrElse("q20_jac_doc_sizes")
+    val dir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -22,14 +28,14 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000L).selectExpr("sum(id)").collect()
-    val dir = "/root/testdata/sf0.1"
     def exec(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
-    val q20 = SparkEntry.queries("q20_jac_doc_sizes")
-    time("q20 noop run1")(exec(q20(spark, dir)))
-    time("q20 noop run2")(exec(q20(spark, dir)))
-    val q21 = SparkEntry.queries("q21_jac_word_df")
-    time("q21 noop")(exec(q21(spark, dir)))
+    val q = SparkEntry.queries(name)
+    time(s"$name cold")(exec(q(spark, dir)))
+    time(s"$name warm")(exec(q(spark, dir)))
+    val df = q(spark, dir)
+    exec(df)
+    println(df.queryExecution.executedPlan.toString.take(6000))
     spark.stop()
   }
 }
