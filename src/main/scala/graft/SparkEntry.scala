@@ -184,14 +184,19 @@ object SparkEntry {
     }),
     "q15_quantiles" -> ((s, dir) => {
       // exact interpolated percentiles (sort-based, deterministic) — NOT
-      // approx_percentile, whose sketch differs across engines
+      // approx_percentile, whose sketch differs across engines. The
+      // array form computes all three from ONE value-counts buffer
+      // instead of three independent percentile aggregates.
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-          round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25"),
-          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.75)"), 6).as("p75"),
+          expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("__p"),
           count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          round(col("__p").getItem(0), 6).as("p25"),
+          round(col("__p").getItem(1), 6).as("p50"),
+          round(col("__p").getItem(2), 6).as("p75"),
+          col("n"))
         .orderBy("l_returnflag")
     }),
     // the distinct-year set is emitted as a joined string, not a raw
