@@ -26,8 +26,9 @@ object Bench {
       r.as("a").join(r.as("b"), r.columns.head).count()
     } catch { case _: Throwable => () }
 
-    // A crashed query records -1 (distinguishable from any wall time) and
-    // is excluded from the total, so breakage can never read as speed.
+    // A crashed query records -1 (distinguishable from any wall time);
+    // any -1 later invalidates the whole headline total (see below), so
+    // breakage can never read as speed.
     def timed(f: => Unit): Double = {
       val t0 = System.nanoTime()
       try { f; (System.nanoTime() - t0) / 1e9 }

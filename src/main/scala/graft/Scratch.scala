@@ -33,8 +33,10 @@ object Scratch {
     val q = SparkEntry.queries(name)
     time(s"$name cold")(exec(q(spark, dir)))
     time(s"$name warm")(exec(q(spark, dir)))
+    // execute THIS QueryExecution (a write would plan its own) so the
+    // printed adaptive plan is the one that actually ran
     val df = q(spark, dir)
-    exec(df)
+    df.queryExecution.toRdd.count()
     println(df.queryExecution.executedPlan.toString.take(6000))
     spark.stop()
   }

@@ -92,11 +92,14 @@ object TextAnalysis {
     *   bm25   = ln((N−df+0.5)/(df+0.5) + 1) ·
     *            tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
     *
-    * Shape: one explode, a (doc, word) count, a word-level df count, and
-    * two single-row scalars (N, avgdl) joined back via broadcast cross
-    * join — no driver-side action, one lazy DAG. Shuffle keys are (doc,
-    * word) and word; partitions stay balanced under document-length
-    * skew.
+    * Shape: ONE tokenizer pass — the (doc, word) tf table is the root,
+    * and everything else derives from it: df = per-word row count,
+    * doc length = per-doc Σtf (every token of a live doc is in tf), and
+    * the single-row N/avgdl scalars come off the length table, joined
+    * back via broadcast cross join. No driver-side action, one lazy
+    * DAG, and the corpus scan + regex tokenizer run once instead of
+    * once per derived table. Shuffle keys are (doc, word), word, and
+    * doc; partitions stay balanced under document-length skew.
     */
   def termScores(docs: DataFrame, idCol: String, textCol: String,
                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
@@ -106,7 +109,7 @@ object TextAnalysis {
     val tf = posts.groupBy(col(idCol), col("word"))
       .agg(count(lit(1)).as("tf"))
     val dft = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
-    val dl = live.select(col(idCol), size(col("__ws")).cast("long").as("dl"))
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
     val scalars = dl.agg(count(lit(1)).cast("double").as("n_docs"),
       avg(col("dl")).as("avgdl"))
     val tfD = col("tf").cast("double")

@@ -267,12 +267,13 @@ object Dedup {
     *
     * Each iteration is one shuffle by node id; the driver loop runs
     * O(component diameter) times (near-dup clusters are shallow — single
-    * digits in practice) and stops at a fixed point, detected by the
-    * strictly-decreasing label sum (one cheap aggregate per iteration,
-    * no extra join). `localCheckpoint` truncates the growing lineage so
-    * iteration N doesn't replay iterations 1..N-1. At extreme scale
-    * you'd add the large-star/small-star contraction; hash-min is the
-    * exact, honest baseline.
+    * digits in practice) and stops at the fixed point, detected by a
+    * row-wise any-label-changed check over the materialized iteration
+    * output (works for ANY orderable id type, string doc ids included).
+    * `localCheckpoint` truncates the growing lineage so iteration N
+    * doesn't replay iterations 1..N-1. At extreme scale you'd add the
+    * large-star/small-star contraction; hash-min is the exact, honest
+    * baseline.
     */
   def connectedComponents(edges: DataFrame, idA: String = "id_a",
                           idB: String = "id_b",
@@ -291,9 +292,9 @@ object Dedup {
     var labels = sym.select(col("s").as("id")).distinct()
       .select(col("id"), col("id").as("component"))
       .localCheckpoint()
-    // convergence = no label changed this iteration — compared row-wise,
-    // which works for ANY orderable id type (string doc ids included),
-    // where a sum-of-labels trick would silently assume numeric ids
+    // convergence = no label changed this iteration, checked row-wise by
+    // carrying the previous label THROUGH the materialized output — a
+    // plain filter over the checkpoint, no extra join or shuffle
     var converged = labels.isEmpty // empty graph: nothing to propagate
     var i = 0
     while (!converged && i < maxIter) {
@@ -301,14 +302,12 @@ object Dedup {
         .join(labels.select(col("id").as("t"), col("component").as("nc")), "t")
         .groupBy(col("s").as("id")).agg(min(col("nc")).as("nmin"))
       val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("component").as("__prev"),
           least(col("component"), coalesce(col("nmin"), col("component")))
             .as("component"))
         .localCheckpoint()
-      converged = next
-        .join(labels.withColumnRenamed("component", "__prev"), "id")
-        .filter(col("component") =!= col("__prev")).isEmpty
-      labels = next
+      converged = next.filter(col("component") =!= col("__prev")).isEmpty
+      labels = next.select(col("id"), col("component"))
       i += 1
     }
     // a maxIter exit would return a PARTIALLY propagated labeling that is

@@ -59,10 +59,14 @@ object NativeDotRewrite extends Rule[LogicalPlan] {
     plan.transformAllExpressions {
       case ArrayAggregate(
             ZipWith(l, r, LambdaFunction(m: Multiply, Seq(xv, yv), _)),
-            Literal(0.0, DoubleType),
+            zero @ Literal(0.0, DoubleType),
             LambdaFunction(a: Add, Seq(av, ev), _),
             LambdaFunction(fin, Seq(fv), _))
-          if isFloatArray(l) && isFloatArray(r) &&
+          if java.lang.Double.doubleToRawLongBits(
+            zero.value.asInstanceOf[Double]) == 0L &&
+            // (-0.0 == 0.0 matches the pattern, but an empty-array fold
+            // seeded -0.0 returns -0.0 where the kernel returns +0.0)
+            isFloatArray(l) && isFloatArray(r) &&
             doubleOfVar(m.left, xv) && doubleOfVar(m.right, yv) &&
             sameVar(a.left, av) && sameVar(a.right, ev) &&
             sameVar(fin, fv) =>
