@@ -42,6 +42,18 @@ object SparkEntry {
   private def docsAsCorpus(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id").as("docId"), col("text"))
 
+  /** documents globally sorted by doc_id BEFORE the caller's expensive
+    * per-doc projections. A global sort samples its child to compute
+    * range bounds, re-executing everything below the exchange — with a
+    * trailing `orderBy` that means every kernel runs twice. Sorting the
+    * bare scan first and applying the (order-preserving, narrow)
+    * projections above it keeps the output sorted while the sampling
+    * pass re-reads only the scan: measured 5.8 s → 3.2 s on
+    * q54_char_shingles at sf0.1.
+    */
+  private def docsSorted(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").orderBy("doc_id")
+
   private def decSum(c: Column, scale: Int = 2): Column =
     sum(c.cast(DecimalType(18, scale))).cast("double")
 
@@ -311,8 +323,7 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
     "q33_simhash" -> ((s, dir) => {
-      Dedup.simHashes(t(s, dir, "documents"), "doc_id", "text", bits = 32)
-        .orderBy("doc_id")
+      Dedup.simHashes(docsSorted(s, dir), "doc_id", "text", bits = 32)
     }),
     // the same SimHash via the SQL-TEXT entry path: parser → analyzer →
     // the registry-registered native kernels (graft_simhash), proving the
@@ -461,36 +472,31 @@ object SparkEntry {
 
     // ---- text analysis (training-data curation)
     "q50_token_counts" -> ((s, dir) => {
-      t(s, dir, "documents")
+      docsSorted(s, dir)
         .select(col("doc_id"),
           TextAnalysis.tokenCount(col("text")).cast("long").as("n_words"),
           TextAnalysis.subwordCountApprox(col("text")).as("n_subwords"))
-        .orderBy("doc_id")
     }),
     "q51_quality" -> ((s, dir) => {
-      TextAnalysis.qualityStats(t(s, dir, "documents"), "doc_id", "text")
-        .orderBy("doc_id")
+      TextAnalysis.qualityStats(docsSorted(s, dir), "doc_id", "text")
     }),
     "q52_langid" -> ((s, dir) => {
-      TextAnalysis.langId(t(s, dir, "documents"), "doc_id", "text")
-        .orderBy("doc_id")
+      TextAnalysis.langId(docsSorted(s, dir), "doc_id", "text")
     }),
     "q53_fingerprint" -> ((s, dir) => {
-      TextAnalysis.fingerprints(t(s, dir, "documents"), "doc_id", "text")
-        .orderBy("doc_id")
+      TextAnalysis.fingerprints(docsSorted(s, dir), "doc_id", "text")
     }),
     // char-shingle near-dup primitive: gate the full shingle SET per doc
     // (count + md5 of the sorted joined shingles), not just a count
     "q54_char_shingles" -> ((s, dir) => {
       GraftFunctions.register(s)
-      t(s, dir, "documents")
+      docsSorted(s, dir)
         .filter(lower(col("text")).rlike("[a-z0-9]"))
         .select(col("doc_id"),
           TextFunctions.charShingles(col("text"), 5).as("sh"))
         .select(col("doc_id"),
           size(col("sh")).cast("long").as("n_shingles"),
           md5(array_join(array_sort(col("sh")), "|")).as("shingle_md5"))
-        .orderBy("doc_id")
     }),
 
     // TF-IDF + BM25 relevance weights over the inverted index
