@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.expressions.Window
 
 import graft.functions.{GraftFunctions, HashFunctions, TextAnalysis, TextFunctions}
-import graft.operators.{Dedup, Jaccard, Knn, TemporalJoins}
+import graft.operators.{Decontaminate, Dedup, Jaccard, Knn, TemporalJoins}
 
 /** Driver contract — the engine's query surface over the driver's parquet
   * fixtures, with a DuckDB-runnable oracle per query.
@@ -415,6 +415,19 @@ object SparkEntry {
       Dedup.connectedComponents(cands, "id_a", "id_b")
         .select(col("id").as("doc_id"), col("component"))
         .orderBy("doc_id")
+    }),
+    // benchmark decontamination: training docs (source != src0) whose
+    // 3-gram coverage of any held-out src0 doc crosses the threshold
+    "q46_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Decontaminate.ngramOverlap(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "doc_id", "text", n = 3, minCoverage = 0.2)
+        .select(col("doc_id"), col("bench_id"),
+          col("shared").cast("long").as("shared"), col("bench_sz"),
+          round(col("coverage"), 4).as("coverage"))
+        .orderBy("doc_id", "bench_id")
     }),
 
     // ---- similarity search (ANN)
@@ -1107,6 +1120,33 @@ object SparkEntry {
          |SELECT id AS doc_id, min(comp) AS component
          |FROM reach GROUP BY id
          |ORDER BY doc_id""".stripMargin,
+
+    // coverage = shared / len(benchmark shingle set); shingles are
+    // distinct per doc so the postings count IS the intersection size
+    "q46_decontaminate" ->
+      s"""WITH $WordsCte,
+         |$ShinglesCte,
+         |corp AS (
+         |  SELECT doc_id, unnest(shingles) AS shingle
+         |  FROM sh WHERE source != 'src0'),
+         |ben AS (SELECT doc_id, shingles FROM sh WHERE source = 'src0'),
+         |bp AS (
+         |  SELECT doc_id AS bench_id, unnest(shingles) AS shingle FROM ben),
+         |bs AS (SELECT doc_id AS bench_id, len(shingles) AS bench_sz
+         |       FROM ben),
+         |ov AS (
+         |  SELECT corp.doc_id, bp.bench_id, count(*) AS shared
+         |  FROM corp JOIN bp USING (shingle)
+         |  GROUP BY corp.doc_id, bp.bench_id),
+         |scored AS (
+         |  SELECT doc_id, bench_id, shared, bench_sz,
+         |    CAST(shared AS DOUBLE) / bench_sz AS coverage
+         |  FROM ov JOIN bs USING (bench_id))
+         |SELECT doc_id, bench_id, CAST(shared AS BIGINT) AS shared,
+         |  CAST(bench_sz AS BIGINT) AS bench_sz,
+         |  round(coverage, 4) AS coverage
+         |FROM scored WHERE coverage >= 0.2
+         |ORDER BY doc_id, bench_id""".stripMargin,
 
     // ---- ANN oracles
     "q40_knn_brute" ->

@@ -295,4 +295,41 @@ class DedupKnnSpec extends SparkSpec {
       .select("neighbor_id").as[Long].collect().toSet
     assert(top2 == Set(1L, 2L, 4L, 5L))
   }
+
+  test("decontamination: coverage vs benchmark shingle set, stop-gram cap") {
+    import graft.operators.Decontaminate
+    // bench 100: "a b c d" -> 3-gram set {"a b c", "b c d"}, bench_sz=2
+    val bench = Seq((100L, "a b c d")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "a b c d e"),   // shares both shingles -> coverage 1.0
+      (2L, "z a b c z"),   // shares "a b c" only  -> coverage 0.5
+      (3L, "q w e r t")    // zero overlap -> unrepresentable, absent
+    ).toDF("doc_id", "text")
+    val out = Decontaminate.ngramOverlap(corpus, bench, "doc_id", "text",
+      n = 3, minCoverage = 0.4)
+      .select($"doc_id", $"bench_id", $"shared", $"bench_sz", $"coverage")
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(out == Set((1L, 100L, 2L, 2L, 1.0), (2L, 100L, 1L, 2L, 0.5)))
+
+    // threshold filters doc 2 out
+    val strict = Decontaminate.ngramOverlap(corpus, bench, "doc_id", "text",
+      n = 3, minCoverage = 0.75)
+      .select($"doc_id").as[Long].collect().toSeq
+    assert(strict == Seq(1L))
+
+    // stop-gram cap: "a b c" occurs in 2 corpus docs; cap=1 drops it from
+    // the join, so doc 2 (whose only shared shingle it was) disappears
+    // and doc 1 undercounts to 1/2 (the documented estimator trade-off)
+    val capped = Decontaminate.ngramOverlap(corpus, bench, "doc_id", "text",
+      n = 3, minCoverage = 0.4, maxShingleDf = Some(1L))
+      .select($"doc_id", $"shared", $"coverage")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(capped == Set((1L, 1L, 0.5)))
+
+    // zero threshold is a contract violation, not an empty result
+    intercept[IllegalArgumentException] {
+      Decontaminate.ngramOverlap(corpus, bench, "doc_id", "text",
+        n = 3, minCoverage = 0.0)
+    }
+  }
 }
