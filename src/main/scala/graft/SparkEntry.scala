@@ -163,6 +163,39 @@ object SparkEntry {
         .orderBy(col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)
     }),
+    // full CUBE lattice with grouping() flags disambiguating the
+    // CUBE-generated nulls from (hypothetical) data nulls
+    "q25_cube" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .cube("o_orderpriority", "o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          decSum(col("o_totalprice")).as("sum_price"),
+          grouping(col("o_orderpriority")).cast("long").as("g_pri"),
+          grouping(col("o_orderstatus")).cast("long").as("g_st"))
+        .orderBy(col("o_orderpriority").asc_nulls_first,
+          col("o_orderstatus").asc_nulls_first)
+    }),
+    // frame-based window aggregates: running + moving sums over an
+    // explicit ROWS frame, dense_rank, ntile — all on the same total
+    // (unique-key) per-supplier order so every value is deterministic
+    "q26_window_frames" -> ((s, dir) => {
+      val ord = Window.partitionBy("l_suppkey")
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      t(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_shipdate"), col("l_quantity").cast("long").as("qty"))
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("qty"),
+          sum(col("qty")).over(ord.rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)).as("running_qty"),
+          sum(col("qty")).over(ord.rowsBetween(-3, Window.currentRow))
+            .as("mov_qty"),
+          dense_rank().over(Window.partitionBy("l_suppkey")
+            .orderBy(col("qty").desc)).cast("long").as("qty_rank"),
+          ntile(4).over(ord).cast("long").as("quartile"))
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    }),
     "q12_scalar_funcs" -> ((s, dir) => {
       t(s, dir, "orders")
         .select(
@@ -849,6 +882,34 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q25_cube" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price,
+        |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_pri,
+        |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_st
+        |FROM orders
+        |GROUP BY CUBE(o_orderpriority, o_orderstatus)
+        |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
+    "q26_window_frames" ->
+      """SELECT l_suppkey, l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  CAST(l_quantity AS BIGINT) AS qty,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) OVER (
+        |    PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS running_qty,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) OVER (
+        |    PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov_qty,
+        |  CAST(dense_rank() OVER (PARTITION BY l_suppkey
+        |    ORDER BY CAST(l_quantity AS BIGINT) DESC) AS BIGINT) AS qty_rank,
+        |  CAST(ntile(4) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber) AS BIGINT)
+        |    AS quartile
+        |FROM lineitem
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
     "q12_scalar_funcs" ->
       """SELECT o_orderkey,
         |  CAST(year(o_orderdate) AS BIGINT) AS o_year,
