@@ -462,6 +462,16 @@ object SparkEntry {
           round(col("coverage"), 4).as("coverage"))
         .orderBy("doc_id", "bench_id")
     }),
+    // corpus mixing: keep all of src0, half of src1, a quarter of src2,
+    // 10% of everything else — per-row hash decision, no shuffle
+    "q47_source_mix" -> ((s, dir) => {
+      graft.operators.Sampling.sourceMix(t(s, dir, "documents"),
+        "doc_id", "source",
+        Seq("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
+        defaultFraction = 0.1)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    }),
 
     // ---- similarity search (ANN)
     "q40_knn_brute" -> ((s, dir) => {
@@ -1208,6 +1218,20 @@ object SparkEntry {
          |  round(coverage, 4) AS coverage
          |FROM scored WHERE coverage >= 0.2
          |ORDER BY doc_id, bench_id""".stripMargin,
+
+    // cutoffs are the driver-side (fraction * 10^6).toLong literals
+    "q47_source_mix" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, source,
+         |    ${h60("'graft:'||doc_id")} % 1000000 AS bkt
+         |  FROM documents)
+         |SELECT doc_id, source FROM b
+         |WHERE bkt < CASE source
+         |  WHEN 'src0' THEN 1000000
+         |  WHEN 'src1' THEN 500000
+         |  WHEN 'src2' THEN 250000
+         |  ELSE 100000 END
+         |ORDER BY doc_id""".stripMargin,
 
     // ---- ANN oracles
     "q40_knn_brute" ->

@@ -57,6 +57,32 @@ object Sampling {
     df.withColumn("split", coalesce(expr, lit(weights.last._1)))
   }
 
+  /** Weighted per-source downsampling (corpus mixing): keep a
+    * source-dependent fraction of rows — e.g. all of a high-quality
+    * source, 10% of a web crawl — decided by the same portable
+    * (seed, key) hash as `hashSample`, so membership is stable across
+    * runs, partitionings, and engines, and two jobs sampling the same
+    * corpus agree row-for-row. `weights` maps a source value to its keep
+    * fraction; unlisted sources keep `defaultFraction`. Fractions are
+    * converted to integer bucket cutoffs ON THE DRIVER (truncating), so
+    * the per-row predicate compares two longs and an oracle can state
+    * the cutoffs as exact literals. One narrow projection, no shuffle.
+    */
+  def sourceMix(df: DataFrame, keyCol: String, sourceCol: String,
+                weights: Seq[(String, Double)],
+                defaultFraction: Double = 1.0,
+                seed: String = "graft"): DataFrame = {
+    require((defaultFraction +: weights.map(_._2))
+      .forall(w => w >= 0.0 && w <= 1.0), "fractions must be in [0,1]")
+    val cut = weights.reverse
+      .foldLeft(lit((defaultFraction * Buckets).toLong): Column) {
+        case (els, (s, w)) =>
+          when(col(sourceCol) === lit(s), lit((w * Buckets).toLong))
+            .otherwise(els)
+      }
+    df.filter(bucket(col(keyCol), seed) < cut)
+  }
+
   /** Cap each group at `n` rows, chosen by hash order (then key, for
     * determinism on hash ties) — a stable per-group subsample, e.g. "at
     * most 10 documents per source domain".

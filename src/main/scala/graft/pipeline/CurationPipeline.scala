@@ -11,8 +11,10 @@ import graft.operators.Dedup
   *
   *   1. quality gate (length / alpha ratio / stopword ratio — C4-style)
   *   2. language gate (stopword-lexicon language ID)
-  *   3. exact dedup (content-hash groupBy, keeper = min id)
-  *   4. near-dedup (MinHash over 3-word shingles → LSH banding →
+  *   3. benchmark decontamination (optional: cross-corpus n-gram
+  *      coverage vs a held-out eval set — `Decontaminate.ngramOverlap`)
+  *   4. exact dedup (content-hash groupBy, keeper = min id)
+  *   5. near-dedup (MinHash over 3-word shingles → LSH banding →
   *      exact n-gram Jaccard verification of candidates; drop the larger
   *      id of each verified pair)
   *
@@ -53,6 +55,9 @@ object CurationPipeline {
           languages: Set[String] = Set("en"),
           quality: Column = qualityGate(),
           minJaccard: Double = 0.8,
+          benchmarks: Option[DataFrame] = None,
+          contaminationN: Int = 3,
+          maxContamination: Double = 0.5,
           stageCounts: Boolean = false): Result = {
     // intermediates cached for the stage-count run are unpersisted before
     // returning; `curated` itself is never cached here — callers that will
@@ -84,12 +89,26 @@ object CurationPipeline {
           .filter(col("lang_pred").isin(languages.toSeq.map(lit): _*))
           .select(col(idCol)), idCol))
 
+    // benchmark decontamination: drop any doc whose n-gram coverage of a
+    // held-out benchmark doc crosses the threshold (the benchmark side is
+    // small, so its postings broadcast; see Decontaminate scaladoc)
+    val afterDecon = benchmarks match {
+      case None => afterLang
+      case Some(bench) => staged(afterLang.join(
+        graft.operators.Decontaminate
+          .ngramOverlap(afterLang, bench.select(col(idCol), col(textCol)),
+            idCol, textCol, n = contaminationN,
+            minCoverage = maxContamination)
+          .select(col(idCol)).distinct(),
+        Seq(idCol), "left_anti"))
+    }
+
     // the exact-dedup keeper ids double as the near-dedup stage's input
     // universe: the final keep set is keepersExact minus near-dup losers,
     // so the cascade's tail never needs a third pass over the corpus
-    val keepersExact = Dedup.exactGroups(afterLang, idCol, textCol)
+    val keepersExact = Dedup.exactGroups(afterDecon, idCol, textCol)
       .select(col("keeper_id").as(idCol))
-    val afterExact = staged(afterLang.join(keepersExact, idCol))
+    val afterExact = staged(afterDecon.join(keepersExact, idCol))
 
     // near-dedup: LSH candidates verified by exact shingle Jaccard; the
     // verification join is only over candidate ids, never all pairs
@@ -121,7 +140,8 @@ object CurationPipeline {
           "after_quality" -> afterQuality.count(),
           "after_language" -> afterLang.count(),
           "after_exact_dedup" -> afterExact.count(),
-          "after_near_dedup" -> keepIds.count())
+          "after_near_dedup" -> keepIds.count()) ++
+          benchmarks.map(_ => "after_decontamination" -> afterDecon.count())
         Result(curated, () => m)
       } finally toRelease.foreach(_.unpersist(blocking = false))
     } else {

@@ -27,4 +27,27 @@ class CurationSpec extends SparkSpec {
     val kept = res.curated.select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L, 6L))
   }
+
+  test("optional decontamination stage drops benchmark-overlapping docs") {
+    val base = "the quick brown fox jumps over the lazy dog near " +
+      "the river bank today while the sun sets slowly behind the old hill"
+    val unique = "a completely different document about the engine and " +
+      "the data pipeline that we keep because it is unique and long enough"
+    val docs = Seq((1L, base), (2L, unique)).toDF("doc_id", "text")
+    // benchmark doc shares a long substring with doc 1 only
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val res = CurationPipeline.run(docs, "doc_id", "text",
+      languages = Set("en"), benchmarks = Some(bench),
+      contaminationN = 3, maxContamination = 0.5, stageCounts = true)
+    assert(res.counts("after_language") == 2L, s"got ${res.counts}")
+    assert(res.counts("after_decontamination") == 1L, s"got ${res.counts}")
+    assert(res.curated.select("doc_id").as[Long].collect().toSeq == Seq(2L))
+
+    // without benchmarks the stage is a no-op and reports no count
+    val off = CurationPipeline.run(docs, "doc_id", "text",
+      languages = Set("en"), stageCounts = true)
+    assert(!off.counts.contains("after_decontamination"))
+    assert(off.counts("after_near_dedup") == 2L)
+  }
 }

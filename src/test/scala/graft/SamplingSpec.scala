@@ -42,4 +42,30 @@ class SamplingSpec extends SparkSpec {
     assert(capped.as[(String, Long)].collect().toSet ==
       again.as[(String, Long)].collect().toSet)
   }
+
+  test("source mix keeps per-source fractions, consistent with hashSample") {
+    val df = (1 to 3000)
+      .map(i => (i.toLong, s"s${i % 3}")).toDF("id", "src")
+    val mixed = Sampling.sourceMix(df, "id", "src",
+      Seq("s0" -> 1.0, "s1" -> 0.3), defaultFraction = 0.0)
+    val bySrc = mixed.groupBy("src").count().as[(String, Long)]
+      .collect().toMap
+    assert(bySrc.getOrElse("s0", 0L) == 1000L, s"got $bySrc") // keep all
+    assert(!bySrc.contains("s2"), s"got $bySrc")              // keep none
+    assert(bySrc("s1") > 200 && bySrc("s1") < 400, s"got $bySrc")
+    // the decision is the SAME hash as hashSample: a row kept at
+    // fraction f for its source is exactly a hashSample(f) member, so
+    // separate jobs can re-derive the mix without coordination
+    val viaSample = Sampling
+      .hashSample(df.filter(col("src") === "s1"), "id", 0.3)
+      .select("id").as[Long].collect().toSet
+    val viaMix = mixed.filter(col("src") === "s1")
+      .select("id").as[Long].collect().toSet
+    assert(viaMix == viaSample)
+    // partitioning-invariant
+    val again = Sampling.sourceMix(df.repartition(13), "id", "src",
+      Seq("s0" -> 1.0, "s1" -> 0.3), defaultFraction = 0.0)
+      .select("id").as[Long].collect().toSet
+    assert(again == mixed.select("id").as[Long].collect().toSet)
+  }
 }
