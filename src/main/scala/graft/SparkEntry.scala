@@ -196,6 +196,13 @@ object SparkEntry {
           ntile(4).over(ord).cast("long").as("quartile"))
         .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
     }),
+    // per-key top-k via the bounded combiner aggregate (TopKAggregator)
+    // instead of a window sort — same rows as the row_number oracle
+    "q27_topk_agg" -> ((s, dir) => {
+      graft.operators.TopK.perKey(t(s, dir, "orders"),
+        Seq("o_custkey"), "o_totalprice", "o_orderkey", k = 3)
+        .orderBy("o_custkey", "rank")
+    }),
     "q12_scalar_funcs" -> ((s, dir) => {
       t(s, dir, "orders")
         .select(
@@ -920,6 +927,16 @@ object SparkEntry {
         |    AS quartile
         |FROM lineitem
         |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+    "q27_topk_agg" ->
+      """SELECT o_custkey, CAST(rank AS BIGINT) AS rank,
+        |  o_totalprice, o_orderkey
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+        |  FROM orders)
+        |WHERE rank <= 3
+        |ORDER BY o_custkey, rank""".stripMargin,
     "q12_scalar_funcs" ->
       """SELECT o_orderkey,
         |  CAST(year(o_orderdate) AS BIGINT) AS o_year,

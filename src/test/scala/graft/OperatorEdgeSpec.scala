@@ -107,4 +107,30 @@ class OperatorEdgeSpec extends SparkSpec {
       .select("doc", "neighbor").as[(String, String)].collect().toMap
     assert(top1("D1") == "D2" && top1("D2") == "D1")
   }
+
+  test("TopK.perKey matches the window formulation on random data") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(7)
+    // duplicate values force the id tie-break; two keys, 400 rows
+    val rows = Seq.tabulate(400) { i =>
+      (s"k${i % 2}", rnd.nextInt(40).toDouble, i.toLong)
+    }
+    val df = rows.toDF("key", "v", "id").repartition(9)
+    val viaAgg = graft.operators.TopK
+      .perKey(df, Seq("key"), "v", "id", k = 5)
+      .select("key", "rank", "v", "id")
+      .as[(String, Long, Double, Long)].collect().toSet
+    val w = Window.partitionBy("key").orderBy(col("v").desc, col("id").asc)
+    val viaWindow = df
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("key", "rank", "v", "id")
+      .as[(String, Long, Double, Long)].collect().toSet
+    assert(viaAgg == viaWindow)
+    // fewer rows than k: every row comes back, still ranked
+    val tiny = Seq(("a", 1.0, 1L), ("a", 2.0, 2L)).toDF("key", "v", "id")
+    val got = graft.operators.TopK.perKey(tiny, Seq("key"), "v", "id", 5)
+      .select("rank", "id").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (2L, 1L)))
+  }
 }

@@ -82,6 +82,15 @@ class PlanSpec extends SparkSpec {
       s"assignment must not use a window (shuffles |E|x|C| rows):\n${plan.take(2000)}")
   }
 
+  test("top-k aggregate runs map-side partial, never a window sort") {
+    val plan = finalPlan(q("q27_topk_agg"))
+    assert(plan.contains("partial_topkagg") ||
+      """ObjectHashAggregate.*partial""".r.findFirstIn(plan).isDefined,
+      s"top-k must partial-aggregate before the shuffle:\n${plan.take(2000)}")
+    assert(!plan.contains("Window"),
+      s"top-k must not shuffle every row into a window sort:\n${plan.take(2000)}")
+  }
+
   test("aggregation pipeline runs inside whole-stage codegen") {
     // codegen'd operators render with a "*(stageId)" prefix in plan strings
     assert(finalPlan(q("q01_pricing_summary")).contains("*("))
