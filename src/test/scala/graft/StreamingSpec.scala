@@ -219,6 +219,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mergeable sketch aggregators run incrementally over a stream") {
+    // MinHash and bounded TopK buffers merge associatively/commutatively,
+    // which is exactly what makes them streaming-safe: the running state
+    // IS the partial-aggregation buffer. Feed postings in two batches and
+    // check the streamed sketch equals the batch sketch over all data.
+    val minhash = udaf(new graft.functions.MinHashAggregator(4))
+    val topk = udaf(new graft.functions.TopKAggregator(2))
+    val input = MemoryStream[(Long, Long)](spark) // (doc_id, token_hash)
+    val q = input.toDF().select(col("_1").as("doc_id"), col("_2").as("h"))
+      .groupBy("doc_id")
+      .agg(minhash(col("h")).as("sig"),
+        topk(col("h").cast("double"), col("h")).as("top"))
+      .writeStream.format("memory").queryName("sketches")
+      .outputMode("complete").start()
+    try {
+      val batch1 = Seq((1L, 101L), (1L, 202L), (2L, 303L))
+      val batch2 = Seq((1L, 404L), (2L, 505L), (2L, 606L))
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sketches")
+        .select("doc_id", "sig", "top")
+        .as[(Long, Seq[Long], Seq[(Double, Long)])].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      val batch = (batch1 ++ batch2).toDF("doc_id", "h")
+        .groupBy("doc_id")
+        .agg(minhash(col("h")).as("sig"),
+          topk(col("h").cast("double"), col("h")).as("top"))
+        .select("doc_id", "sig", "top")
+        .as[(Long, Seq[Long], Seq[(Double, Long)])].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(streamed == batch)
+      // and the top-k really is capped + ordered
+      assert(streamed(2L)._2 == Seq((606.0, 606L), (505.0, 505L)))
+    } finally q.stop()
+  }
+
   test("batch and streaming sessionization agree on on-time data") {
     val batch = EventStreams.sessionize(
       Seq((7L, 1000L, 1L), (7L, 1500L, 2L), (7L, 4000L, 3L), (8L, 900L, 4L))
