@@ -28,7 +28,16 @@ object TextAnalysis {
     * are the standard cheap filters (C4/Gopher-style) a corpus pipeline
     * applies before anything expensive.
     */
-  def qualityStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def qualityStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol) +:
+      qualityColumns(textCol).map { case (n, c) => c.as(n) }: _*)
+
+  /** The quality metrics as (name, expression) pairs — shared by
+    * `qualityStats` (keyed stats frame) and the streaming cascade's
+    * inline gate (`CurationPipeline.runStreaming`), so both gate on
+    * bit-identical values.
+    */
+  def qualityColumns(textCol: String): Seq[(String, Column)] = {
     val t = col(textCol)
     val words = TextFunctions.normalizedWords(t)
     val nChars = length(t).cast("long")
@@ -38,17 +47,20 @@ object TextAnalysis {
     val punct = nChars - length(regexp_replace(t, "[^a-zA-Z0-9\\s]", ""))
     val stop = size(filter(words,
       w => w.isin(StopwordsEn.map(lit): _*)))
-    docs.select(
-      col(idCol),
-      nChars.as("n_chars"),
-      nWords.as("n_words"),
-      size(array_distinct(words)).cast("long").as("n_unique"),
-      round(alpha.cast("double") / greatest(nChars, lit(1L)), 4).as("alpha_ratio"),
-      round(digit.cast("double") / greatest(nChars, lit(1L)), 4).as("digit_ratio"),
-      round(punct.cast("double") / greatest(nChars, lit(1L)), 4).as("punct_ratio"),
-      round(stop.cast("double") / greatest(nWords, lit(1L)), 4).as("stopword_ratio"),
-      round(size(array_distinct(words)).cast("double") /
-        greatest(nWords, lit(1L)), 4).as("unique_ratio"))
+    Seq(
+      "n_chars" -> nChars,
+      "n_words" -> nWords,
+      "n_unique" -> size(array_distinct(words)).cast("long"),
+      "alpha_ratio" ->
+        round(alpha.cast("double") / greatest(nChars, lit(1L)), 4),
+      "digit_ratio" ->
+        round(digit.cast("double") / greatest(nChars, lit(1L)), 4),
+      "punct_ratio" ->
+        round(punct.cast("double") / greatest(nChars, lit(1L)), 4),
+      "stopword_ratio" ->
+        round(stop.cast("double") / greatest(nWords, lit(1L)), 4),
+      "unique_ratio" -> round(size(array_distinct(words)).cast("double") /
+        greatest(nWords, lit(1L)), 4))
   }
 
   /** Tiny per-language stopword lexicons for the n-gram/stopword language
@@ -67,21 +79,35 @@ object TextAnalysis {
   /** Stopword-hit language scores + argmax language ("und" = undetermined
     * when nothing matches). Ties break lexicographically (deterministic).
     */
-  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol) +:
+      langHitColumns(textCol).map { case (n, c) => c.as(n) }: _*)
+      .withColumn("lang_pred", langPredFromHits)
+
+  /** Per-lexicon stopword-hit counts as (name, expression) pairs; the
+    * hits must be materialized as real columns BEFORE `langPredFromHits`
+    * references them (the when-chain reads attributes, not re-evaluated
+    * tokenizer subtrees).
+    */
+  def langHitColumns(textCol: String): Seq[(String, Column)] = {
     val words = TextFunctions.normalizedWords(col(textCol))
-    val scored = docs.select(
-      (col(idCol) +: lexicons.map { case (lang, lex) =>
-        size(filter(words, w => w.isin(lex.map(lit): _*)))
-          .cast("long").as(s"hits_$lang")
-      }): _*)
+    lexicons.map { case (lang, lex) =>
+      s"hits_$lang" ->
+        size(filter(words, w => w.isin(lex.map(lit): _*))).cast("long")
+    }
+  }
+
+  /** Argmax language over the `hits_*` columns ("und" when nothing
+    * matches); ties break lexicographically (deterministic).
+    */
+  def langPredFromHits: Column = {
     val best = lexicons.map { case (lang, _) => col(s"hits_$lang") }
       .reduce((a, b) => greatest(a, b))
     // first language in lexicographic order reaching the max score
-    val langLex = lexicons.sortBy(_._1).foldRight(lit("und"): Column) {
+    lexicons.sortBy(_._1).foldRight(lit("und"): Column) {
       case ((lang, _), els) =>
         when(col(s"hits_$lang") === best && best > 0, lit(lang)).otherwise(els)
     }
-    scored.withColumn("lang_pred", langLex)
   }
 
   /** TF-IDF and BM25 term scores over the corpus inverted index — the

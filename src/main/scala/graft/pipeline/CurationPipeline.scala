@@ -39,6 +39,44 @@ object CurationPipeline {
     lazy val counts: Map[String, Long] = countsFn()
   }
 
+  /** Streaming-ingestion form of the cascade's row-local stages: the
+    * quality gate, the language gate, and watermarked exact dedup — all
+    * the stages that work row-at-a-time (or with bounded keyed state) on
+    * an unbounded stream. Metric columns are computed inline with the
+    * SAME expressions the batch stages use (`TextAnalysis.qualityColumns`
+    * / `langHitColumns`), so a row passes the stream gate iff it would
+    * pass the batch gate. Near-dedup is deliberately absent: LSH banding
+    * needs cross-corpus joins, so at ingest it remains a periodic batch
+    * compaction over the landed data (the standard split for dedup on a
+    * live feed).
+    *
+    * Returns the surviving rows with the gate's scratch columns dropped;
+    * `tsCol` must be the stream's event-time column (watermarked here —
+    * don't watermark it again downstream).
+    */
+  def runStreaming(docs: DataFrame, idCol: String, textCol: String,
+                   tsCol: String,
+                   languages: Set[String] = Set("en"),
+                   quality: Column = qualityGate(),
+                   lateness: String = "1 hour"): DataFrame = {
+    val metrics = TextAnalysis.qualityColumns(textCol)
+    val afterQuality = metrics
+      .foldLeft(docs) { case (d, (n, c)) => d.withColumn(n, c) }
+      .filter(quality)
+      .drop(metrics.map(_._1): _*)
+    val afterLang =
+      if (languages.isEmpty) afterQuality
+      else {
+        val hits = TextAnalysis.langHitColumns(textCol)
+        hits.foldLeft(afterQuality) { case (d, (n, c)) => d.withColumn(n, c) }
+          .withColumn("lang_pred", TextAnalysis.langPredFromHits)
+          .filter(col("lang_pred").isin(languages.toSeq.map(lit): _*))
+          .drop("lang_pred").drop(hits.map(_._1): _*)
+      }
+    Dedup.streamingExactDedup(afterLang, textCol, tsCol, lateness)
+      .drop("text_hash")
+  }
+
   def qualityGate(minWords: Long = 5L, minAlphaRatio: Double = 0.5,
                   maxUniqueRatio: Double = 1.01): Column =
     col("n_words") >= minWords &&

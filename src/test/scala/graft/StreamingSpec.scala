@@ -257,6 +257,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming curation gates quality/language and dedups at ingest") {
+    val good = "the quick brown fox jumps over the lazy dog near " +
+      "the river bank today while the sun sets slowly behind the old hill"
+    val other = "a completely different document about the engine and " +
+      "the data pipeline that we keep because it is unique and long enough"
+    val input = MemoryStream[(Long, String, Long)](spark)
+    val stream = input.toDF()
+      .select(col("_1").as("doc_id"), col("_2").as("text"),
+        timestamp_seconds(col("_3")).as("ts"))
+    val q = graft.pipeline.CurationPipeline
+      .runStreaming(stream, "doc_id", "text", "ts", languages = Set("en"))
+      .select("doc_id")
+      .writeStream.format("memory").queryName("curstream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, good, 100L),   // passes all gates
+        (2L, "hi there", 110L), // quality-dropped (too short)
+        (3L, "le chat est dans la maison et il mange pour vivre bien", 120L),
+        (4L, good, 130L))   // exact dup of 1 within watermark -> dropped
+      q.processAllAvailable()
+      input.addData(
+        (5L, good, 140L),   // replay across batches -> still dropped
+        (6L, other, 150L))  // new unique doc -> passes
+      q.processAllAvailable()
+      val kept = spark.table("curstream").as[Long].collect().toSet
+      assert(kept == Set(1L, 6L), s"got $kept")
+    } finally q.stop()
+  }
+
   test("batch and streaming sessionization agree on on-time data") {
     val batch = EventStreams.sessionize(
       Seq((7L, 1000L, 1L), (7L, 1500L, 2L), (7L, 4000L, 3L), (8L, 900L, 4L))
