@@ -196,6 +196,19 @@ object SparkEntry {
           ntile(4).over(ord).cast("long").as("quartile"))
         .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
     }),
+    // the salted join produces EXACTLY the plain join's rows (the salt
+    // only refines shuffle granularity), so the oracle is the plain join
+    "q28_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_partkey"),
+        col("l_orderkey"), col("l_quantity").cast("long").as("qty"))
+      val p = t(s, dir, "part")
+        .select(col("p_partkey").as("l_partkey"), col("p_name"))
+      graft.operators.Skew
+        .saltedJoin(li, p, Seq("l_partkey"), col("l_orderkey"), salts = 8)
+        .groupBy("l_partkey", "p_name")
+        .agg(count(lit(1)).as("n"), sum(col("qty")).as("sum_qty"))
+        .orderBy("l_partkey")
+    }),
     // per-key top-k via the bounded combiner aggregate (TopKAggregator)
     // instead of a window sort — same rows as the row_number oracle
     "q27_topk_agg" -> ((s, dir) => {
@@ -937,6 +950,12 @@ object SparkEntry {
         |  FROM orders)
         |WHERE rank <= 3
         |ORDER BY o_custkey, rank""".stripMargin,
+    "q28_salted_join" ->
+      """SELECT l_partkey, p_name, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY l_partkey, p_name
+        |ORDER BY l_partkey""".stripMargin,
     "q12_scalar_funcs" ->
       """SELECT o_orderkey,
         |  CAST(year(o_orderdate) AS BIGINT) AS o_year,
