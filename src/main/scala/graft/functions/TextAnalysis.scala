@@ -129,7 +129,13 @@ object TextAnalysis {
     */
   def termScores(docs: DataFrame, idCol: String, textCol: String,
                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val live = docs.filter(lower(col(textCol)).rlike("[a-z0-9]"))
+    // the id-not-null filter up front keeps every consumer of `tf`
+    // looking at the SAME subtree: the final join on idCol injects
+    // isnotnull(id) into only its own branch, and that one-filter
+    // difference breaks exchange canonicalization — without this, the
+    // scan + tokenizer + (doc, word) aggregation run twice
+    val live = docs.filter(col(idCol).isNotNull &&
+        lower(col(textCol)).rlike("[a-z0-9]"))
       .select(col(idCol), TextFunctions.normalizedWords(col(textCol)).as("__ws"))
     val posts = live.select(col(idCol), explode(col("__ws")).as("word"))
     val tf = posts.groupBy(col(idCol), col("word"))
