@@ -177,14 +177,18 @@ object SparkEntry {
     }),
     // frame-based window aggregates: running + moving sums over an
     // explicit ROWS frame, dense_rank, ntile — all on the same total
-    // (unique-key) per-supplier order so every value is deterministic
+    // per-supplier order so every value is deterministic. The order key
+    // includes l_partkey: (shipdate, orderkey, linenumber) alone ties at
+    // sf0.1, and a ROWS frame over a tied order is engine-dependent
     "q26_window_frames" -> ((s, dir) => {
       val ord = Window.partitionBy("l_suppkey")
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"),
+          col("l_linenumber"), col("l_partkey"))
       t(s, dir, "lineitem")
         .select(col("l_suppkey"), col("l_orderkey"),
           col("l_linenumber").cast("long").as("l_linenumber"),
-          col("l_shipdate"), col("l_quantity").cast("long").as("qty"))
+          col("l_shipdate"), col("l_partkey"),
+          col("l_quantity").cast("long").as("qty"))
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
           col("qty"),
           sum(col("qty")).over(ord.rowsBetween(
@@ -926,17 +930,17 @@ object SparkEntry {
         |  CAST(l_quantity AS BIGINT) AS qty,
         |  CAST(sum(CAST(l_quantity AS BIGINT)) OVER (
         |    PARTITION BY l_suppkey
-        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS running_qty,
         |  CAST(sum(CAST(l_quantity AS BIGINT)) OVER (
         |    PARTITION BY l_suppkey
-        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
         |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov_qty,
         |  CAST(dense_rank() OVER (PARTITION BY l_suppkey
         |    ORDER BY CAST(l_quantity AS BIGINT) DESC) AS BIGINT) AS qty_rank,
         |  CAST(ntile(4) OVER (PARTITION BY l_suppkey
-        |    ORDER BY l_shipdate, l_orderkey, l_linenumber) AS BIGINT)
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey) AS BIGINT)
         |    AS quartile
         |FROM lineitem
         |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
