@@ -24,9 +24,14 @@ class TopKAggregator(k: Int)
                        Seq[(Double, Long)]] {
   require(k > 0, "k must be positive")
 
-  // strict total order: value desc, then id asc
-  private def beats(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  // strict total order: value desc, then id asc. Double.compare (not
+  // raw >) so the order stays total under NaN/-0.0 — an inconsistent
+  // comparator makes sortWith throw, and a non-total order would make
+  // the result depend on arrival order. NaN compares above +Inf.
+  private def beats(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val c = java.lang.Double.compare(a._1, b._1)
+    c > 0 || (c == 0 && a._2 < b._2)
+  }
 
   override def zero: Seq[(Double, Long)] = Vector.empty
 

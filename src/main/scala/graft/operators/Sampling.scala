@@ -19,6 +19,10 @@ import graft.functions.HashFunctions
   *
   * All decisions are narrow per-row projections (no shuffle); `groupCap`
   * adds one shuffle by group for its window.
+  *
+  * Rows with a NULL key are dropped by every operator here (a null key
+  * has no hash, hence no bucket) — filter or coalesce keys upstream if
+  * null-keyed rows must survive sampling.
   */
 object Sampling {
 
