@@ -190,7 +190,7 @@ object SparkEntry {
           col("l_shipdate"), col("l_partkey"),
           col("l_quantity").cast("long").as("qty"))
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-          col("qty"),
+          col("l_partkey"), col("qty"),
           sum(col("qty")).over(ord.rowsBetween(
             Window.unboundedPreceding, Window.currentRow)).as("running_qty"),
           sum(col("qty")).over(ord.rowsBetween(-3, Window.currentRow))
@@ -198,7 +198,10 @@ object SparkEntry {
           dense_rank().over(Window.partitionBy("l_suppkey")
             .orderBy(col("qty").desc)).cast("long").as("qty_rank"),
           ntile(4).over(ord).cast("long").as("quartile"))
-        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+        // the presentation sort needs the same tie-breaker as the window
+        // order (the 3-col prefix ties at sf0.1); dropped after sorting
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "l_partkey")
+        .drop("l_partkey")
     }),
     // the salted join produces EXACTLY the plain join's rows (the salt
     // only refines shuffle granularity), so the oracle is the plain join
@@ -943,7 +946,7 @@ object SparkEntry {
         |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey) AS BIGINT)
         |    AS quartile
         |FROM lineitem
-        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber, l_partkey""".stripMargin,
     "q27_topk_agg" ->
       """SELECT o_custkey, CAST(rank AS BIGINT) AS rank,
         |  o_totalprice, o_orderkey

@@ -14,14 +14,18 @@ object TopK {
     * `ordCol` (ties broken by `idCol` ascending), emitted as
     * `(keyCols..., rank, ordCol, idCol)` with rank 1 = best. `idCol`
     * must be unique per row for the result to be a pure function of the
-    * input set. One shuffle, aggregated map-side to <=k entries per
+    * input set. Rows with a null `ordCol` or `idCol` are excluded up
+    * front: the aggregator's primitive input encoder would otherwise
+    * abort the job on the first null, and a null can never rank anyway.
+    * One shuffle, aggregated map-side to <=k entries per
     * (partition, key) — the window-function formulation of the same
     * query shuffles and sorts every input row.
     */
   def perKey(df: DataFrame, keyCols: Seq[String], ordCol: String,
              idCol: String, k: Int): DataFrame = {
     val topk = udaf(new TopKAggregator(k))
-    df.groupBy(keyCols.map(col): _*)
+    df.filter(col(ordCol).isNotNull && col(idCol).isNotNull)
+      .groupBy(keyCols.map(col): _*)
       .agg(topk(col(ordCol).cast("double"), col(idCol).cast("long"))
         .as("__top"))
       .select(keyCols.map(col) :+ posexplode(col("__top")): _*)

@@ -59,16 +59,19 @@ object CurationPipeline {
                    languages: Set[String] = Set("en"),
                    quality: Column = qualityGate(),
                    lateness: String = "1 hour"): DataFrame = {
+    // one projection per stage (not a withColumn per metric — each
+    // withColumn re-analyzes the whole growing plan)
     val metrics = TextAnalysis.qualityColumns(textCol)
-    val afterQuality = metrics
-      .foldLeft(docs) { case (d, (n, c)) => d.withColumn(n, c) }
+    val afterQuality = docs
+      .select(col("*") +: metrics.map { case (n, c) => c.as(n) }: _*)
       .filter(quality)
       .drop(metrics.map(_._1): _*)
     val afterLang =
       if (languages.isEmpty) afterQuality
       else {
         val hits = TextAnalysis.langHitColumns(textCol)
-        hits.foldLeft(afterQuality) { case (d, (n, c)) => d.withColumn(n, c) }
+        afterQuality
+          .select(col("*") +: hits.map { case (n, c) => c.as(n) }: _*)
           .withColumn("lang_pred", TextAnalysis.langPredFromHits)
           .filter(col("lang_pred").isin(languages.toSeq.map(lit): _*))
           .drop("lang_pred").drop(hits.map(_._1): _*)
