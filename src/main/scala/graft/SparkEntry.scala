@@ -203,6 +203,22 @@ object SparkEntry {
         .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "l_partkey")
         .drop("l_partkey")
     }),
+    // EXISTS / NOT EXISTS through the SQL-text surface: Catalyst must
+    // rewrite both to semi/anti joins (q19 covers correlated SCALAR
+    // subqueries; this covers the predicate-subquery rewrite path)
+    "q29_exists_subquery" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer_v")
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT c_custkey, c_name FROM customer_v c
+          |WHERE EXISTS (SELECT 1 FROM orders_v o
+          |              WHERE o.o_custkey = c.c_custkey
+          |                AND o.o_totalprice > 100000)
+          |  AND NOT EXISTS (SELECT 1 FROM orders_v o
+          |                  WHERE o.o_custkey = c.c_custkey
+          |                    AND o.o_orderstatus = 'F')
+          |ORDER BY c_custkey""".stripMargin)
+    }),
     // the salted join produces EXACTLY the plain join's rows (the salt
     // only refines shuffle granularity), so the oracle is the plain join
     "q28_salted_join" -> ((s, dir) => {
@@ -957,6 +973,15 @@ object SparkEntry {
         |  FROM orders)
         |WHERE rank <= 3
         |ORDER BY o_custkey, rank""".stripMargin,
+    "q29_exists_subquery" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 100000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
     "q28_salted_join" ->
       """SELECT l_partkey, p_name, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
