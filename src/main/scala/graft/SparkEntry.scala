@@ -398,6 +398,17 @@ object SparkEntry {
       Dedup.lshCandidates(sigs, "doc_id", k = 8, bands = 4)
         .orderBy("id_a", "id_b")
     }),
+    // MinHash-estimated Jaccard on the LSH candidate pairs: fraction of
+    // the k=8 permutations on which the two signatures agree — the cheap
+    // verify step between banding and an exact n-gram check
+    "q48_minhash_estimate" -> ((s, dir) => {
+      val sigs = Dedup.minHashSignatures(t(s, dir, "documents"), "doc_id",
+        "text", k = 8, tokenize = Dedup.shingleTokenizer(3))
+      val cands = Dedup.lshCandidates(sigs, "doc_id", k = 8, bands = 4)
+        .select("id_a", "id_b")
+      Dedup.minHashEstimate(cands, sigs, "doc_id", k = 8)
+        .orderBy("id_a", "id_b")
+    }),
     "q33_simhash" -> ((s, dir) => {
       Dedup.simHashes(docsSorted(s, dir), "doc_id", "text", bits = 32)
     }),
@@ -626,6 +637,14 @@ object SparkEntry {
       graft.operators.Sampling.hashSplit(
         t(s, dir, "documents").select(col("doc_id")), "doc_id",
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .orderBy("doc_id")
+    }),
+    // keep ~25% of rows, decided by a pure hash of (seed, doc_id) — the
+    // same row set on any engine, partitioning, or re-run
+    "q49_hash_sample" -> ((s, dir) => {
+      graft.operators.Sampling.hashSample(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        "doc_id", fraction = 0.25)
         .orderBy("doc_id")
     }),
     // stable per-group subsample: at most 10 docs per source, chosen by
@@ -1147,6 +1166,29 @@ object SparkEntry {
          |  AND a.doc_id < b.doc_id
          |GROUP BY a.doc_id, b.doc_id
          |ORDER BY id_a, id_b""".stripMargin,
+    // candidates = the q32 banding CTE; estimate = fraction of the k=8
+    // perms agreeing (n/8 is a dyadic rational — exact in double)
+    "q48_minhash_estimate" ->
+      s"""WITH $WordsCte,
+         |$ShinglesCte,
+         |$SigCte,
+         |banded AS (
+         |  SELECT doc_id, CAST(perm // 2 AS INT) AS band,
+         |    list(min_hash ORDER BY perm) AS band_key
+         |  FROM sig GROUP BY doc_id, band),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.band_key = b.band_key
+         |    AND a.doc_id < b.doc_id)
+         |SELECT c.id_a, c.id_b,
+         |  CAST(sum(CASE WHEN sa.min_hash = sb.min_hash
+         |    THEN 1 ELSE 0 END) AS DOUBLE) / 8 AS est_jaccard
+         |FROM cand c
+         |JOIN sig sa ON sa.doc_id = c.id_a
+         |JOIN sig sb ON sb.doc_id = c.id_b AND sb.perm = sa.perm
+         |GROUP BY c.id_a, c.id_b
+         |ORDER BY id_a, id_b""".stripMargin,
     "q33_simhash" -> SimHashOracle,
     "q55_sql_native_simhash" -> SimHashOracle,
     "q34_simhash_neardups" ->
@@ -1518,6 +1560,11 @@ object SparkEntry {
          |SELECT doc_id, word, round(tfidf, 6) AS tfidf, rank
          |FROM ranked WHERE rank <= 3
          |ORDER BY doc_id, rank""".stripMargin,
+    // cutoff is the driver-side (0.25 * 10^6).toLong literal
+    "q49_hash_sample" ->
+      s"""SELECT doc_id, source FROM documents
+         |WHERE ${h60("'graft:'||doc_id")} % 1000000 < 250000
+         |ORDER BY doc_id""".stripMargin,
     "q56_hash_split" ->
       s"""WITH b AS (
          |  SELECT doc_id, ${h60("'graft:'||doc_id")} % 1000000 AS bkt
