@@ -440,6 +440,22 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
         .orderBy("id_a", "id_b")
     }),
+    // the SAME near-dup pairs as q34, produced by the scale-safe path:
+    // pigeonhole banding over the 32-bit simhash (9 bands for
+    // maxHamming=8) — candidates from an equi-join on (source, band#,
+    // band bits), Hamming verified on candidates only. Gated by q34's
+    // oracle verbatim, proving the banded path emits exactly the
+    // all-pairs verifier's result with no block-wide self-join
+    "q65_simhash_neardups_banded" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sims = Dedup.simHashes(docs, "doc_id", "text", bits = 32)
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      Dedup.simHashNearDupsBanded(sims, "doc_id", col("source"),
+        maxHamming = 8, bits = 32)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("long").as("hamming"))
+        .orderBy("id_a", "id_b")
+    }),
     "q35_ngram_neardups" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         n = 3, blockCol = col("source"), minJaccard = 0.2)
@@ -490,6 +506,18 @@ object SparkEntry {
       Dedup.cosineNearDups(t(s, dir, "embeddings"), "vec_id", "embedding",
         blockCol = col("label"), minCosine = 0.3)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // cosine near-dups behind LSH candidate generation — the scale path
+    // cosineNearDups' scaladoc defers to, now gated end to end: SRP
+    // buckets → shared-bucket candidate pairs → exact cosine ≥ τ on
+    // candidates only (no block-wide self-join anywhere in the plan)
+    "q66_cosine_neardups_lsh" -> ((s, dir) => {
+      Dedup.cosineNearDupsLsh(t(s, dir, "embeddings"), "vec_id",
+        "embedding", tables = 2, planes = 4, minCosine = 0.3, dim = 64)
+        .select(col("id_a"), col("id_b"),
+          round(col("cosine"), 6).as("cosine"))
         .orderBy("id_a", "id_b")
     }),
 
@@ -871,6 +899,23 @@ object SparkEntry {
        |$SimHashCte
        |SELECT doc_id, simhash FROM simhash ORDER BY doc_id""".stripMargin
 
+  /** Shared by q34 (all-pairs-within-block verifier) and q65 (pigeonhole
+    * banding) — the two formulations must emit the identical pair set,
+    * which is exactly what gating both on one oracle proves.
+    */
+  private val SimHashNearDupOracle =
+    s"""WITH $ToksCte,
+       |$SimHashCte,
+       |sims AS (
+       |  SELECT s.doc_id, s.simhash, d.source
+       |  FROM simhash s JOIN documents d ON s.doc_id = d.doc_id)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM sims a JOIN sims b
+       |  ON a.source = b.source AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+       |ORDER BY id_a, id_b""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1191,18 +1236,8 @@ object SparkEntry {
          |ORDER BY id_a, id_b""".stripMargin,
     "q33_simhash" -> SimHashOracle,
     "q55_sql_native_simhash" -> SimHashOracle,
-    "q34_simhash_neardups" ->
-      s"""WITH $ToksCte,
-         |$SimHashCte,
-         |sims AS (
-         |  SELECT s.doc_id, s.simhash, d.source
-         |  FROM simhash s JOIN documents d ON s.doc_id = d.doc_id)
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-         |FROM sims a JOIN sims b
-         |  ON a.source = b.source AND a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
-         |ORDER BY id_a, id_b""".stripMargin,
+    "q34_simhash_neardups" -> SimHashNearDupOracle,
+    "q65_simhash_neardups_banded" -> SimHashNearDupOracle,
     "q35_ngram_neardups" ->
       s"""WITH $WordsCte,
          |$ShinglesCte,
@@ -1274,6 +1309,30 @@ object SparkEntry {
          |    ON a.label = b.label AND a.vec_id < b.vec_id)
          |SELECT id_a, id_b, round(cosine, 6) AS cosine
          |FROM pairs WHERE cosine >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin,
+    // the q41/q42 bucket CTE in pair form: shared-bucket candidates, then
+    // the exact cosine threshold on candidates only (same duckCos fold as
+    // the Spark-side native kernel — bit-identical doubles)
+    "q66_cosine_neardups_lsh" ->
+      s"""WITH bkt AS (
+         |  SELECT vec_id, 0 AS htable, ${duckBucket(0, 4, "embedding")} AS bucket
+         |  FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id, 1 AS htable, ${duckBucket(1, 4, "embedding")} AS bucket
+         |  FROM embeddings),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM bkt a JOIN bkt b
+         |    ON a.htable = b.htable AND a.bucket = b.bucket
+         |    AND a.vec_id < b.vec_id),
+         |scored AS (
+         |  SELECT id_a, id_b,
+         |    ${duckCos("ea.embedding", "eb.embedding")} AS cosine
+         |  FROM cand
+         |  JOIN embeddings ea ON cand.id_a = ea.vec_id
+         |  JOIN embeddings eb ON cand.id_b = eb.vec_id)
+         |SELECT id_a, id_b, round(cosine, 6) AS cosine
+         |FROM scored WHERE cosine >= 0.3
          |ORDER BY id_a, id_b""".stripMargin,
 
     // component = min reachable id: the recursive closure over the

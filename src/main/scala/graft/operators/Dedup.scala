@@ -196,6 +196,54 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Scale-safe SimHash near-dups: pigeonhole banding instead of a
+    * block-wide all-pairs join. Split the `bits`-wide simhash into
+    * `maxHamming + 1` contiguous bands: two hashes within Hamming
+    * distance ≤ maxHamming differ in at most maxHamming bands, so they
+    * agree EXACTLY on at least one band (pigeonhole). Candidates are
+    * therefore pairs sharing any (band#, band bits) — an equi-join whose
+    * shuffle key is the band value, never an all-pairs join within
+    * `blockCol` — verified with `bit_count(a^b) ≤ maxHamming` on
+    * candidates only, then deduped across bands. Same output as
+    * `simHashNearDups` (the all-pairs verifier) on the same block column.
+    *
+    * `blockCol` still scopes pairs (e.g. same source shard); it is part
+    * of the join key, NOT the partition bound — partition size is set by
+    * band-value cardinality, so a handful of giant sources cannot create
+    * quadratic groups. At 100 TB prefer wider hashes (e.g. bits = 64)
+    * for finer bands: with bits/(maxHamming+1) band bits per band the
+    * candidate collision rate drops 2× per extra band bit.
+    */
+  def simHashNearDupsBanded(simHashes: DataFrame, idCol: String,
+                            blockCol: Column, maxHamming: Int,
+                            bits: Int = 32): DataFrame = {
+    val nBands = maxHamming + 1
+    require(bits >= nBands, s"bits ($bits) must be >= maxHamming+1 ($nBands)")
+    // contiguous band boundaries, widths within 1 bit of each other
+    val bounds = (0 to nBands).map(i => i * bits / nBands)
+    val bandExprs = (0 until nBands).map { i =>
+      val lo = bounds(i)
+      val width = bounds(i + 1) - lo
+      shiftright(col("simhash"), lo).bitwiseAND(lit((1L << width) - 1L))
+    }
+    val banded = simHashes.withColumn("block", blockCol)
+      .select(col(idCol), col("block"), col("simhash"),
+        posexplode(array(bandExprs: _*)).as(Seq("band", "band_bits")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.block") === col("b.block") &&
+          col("a.band") === col("b.band") &&
+          col("a.band_bits") === col("b.band_bits") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      // a pair may share several bands — one row per pair (hamming is
+      // functionally determined by the pair, so distinct dedups cleanly)
+      .distinct()
+  }
+
   /** Exact n-gram (word-shingle) Jaccard for pairs within a blocking
     * column, in the posting-list formulation: explode shingles, equi-join
     * on (block, shingle) to count shared shingles per pair, then join set
@@ -335,6 +383,46 @@ object Dedup {
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
         Knn.cosineFromNorms(col("a.vec"), col("b.vec"),
           col("a.nrm"), col("b.nrm")).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
+
+  /** Embedding near-dup pairs at scale: sign-random-projection LSH
+    * candidate generation (`Knn.lshBuckets`) fronting the exact cosine
+    * verifier — the composition `cosineNearDups`'s scaladoc promises.
+    * Candidates are pairs sharing any (hash table, bucket); the join is
+    * an equi-join on the bucket id, so the block-wide all-pairs join
+    * never happens and candidate volume is bounded by bucket sizes
+    * (tuned by `planes`; recall tuned by `tables`). Exact cosine ≥
+    * `minCosine` is evaluated on candidates only, with norms computed
+    * once per vector (not per pair).
+    *
+    * Approximate by construction: a pair landing in no shared bucket is
+    * not emitted even if its cosine crosses the threshold — the standard
+    * LSH recall trade, priced in `tables`.
+    */
+  def cosineNearDupsLsh(embs: DataFrame, idCol: String, vecCol: String,
+                        tables: Int, planes: Int, minCosine: Double,
+                        dim: Int = -1): DataFrame = {
+    GraftFunctions.register(embs.sparkSession)
+    val ids = Knn.lshBuckets(embs, idCol, vecCol, tables, planes, dim)
+    val cand = ids.as("a")
+      .join(ids.as("b"),
+        col("a.htable") === col("b.htable") &&
+          col("a.bucket") === col("b.bucket") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    val vecs = embs.where(col(vecCol).isNotNull)
+      .select(col(idCol), col(vecCol).as("vec"),
+        Knn.normF32(col(vecCol)).as("nrm"))
+    cand
+      .join(vecs.select(col(idCol).as("id_a"), col("vec").as("va"),
+        col("nrm").as("na")), "id_a")
+      .join(vecs.select(col(idCol).as("id_b"), col("vec").as("vb"),
+        col("nrm").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        Knn.cosineFromNorms(col("va"), col("vb"), col("na"), col("nb"))
+          .as("cosine"))
       .filter(col("cosine") >= minCosine)
   }
 }

@@ -332,4 +332,70 @@ class DedupKnnSpec extends SparkSpec {
         n = 3, minCoverage = 0.0)
     }
   }
+
+  test("banded simhash near-dups == all-pairs verifier, without the " +
+    "block-wide self-join") {
+    val rnd = new scala.util.Random(11)
+    // clustered hashes so Hamming-close pairs actually exist: a few seed
+    // hashes plus noisy copies within (and beyond) the 8-bit ball
+    val seeds = Seq.fill(6)(rnd.nextLong() & 0xFFFFFFFFL)
+    val rows = (0 until 240).map { i =>
+      val base = seeds(rnd.nextInt(seeds.length))
+      val flips = rnd.nextInt(12) // 0..11 bit flips: straddles maxHamming=8
+      val h = (0 until flips).foldLeft(base)((acc, _) =>
+        acc ^ (1L << rnd.nextInt(32)))
+      (i.toLong, h, s"blk${i % 3}")
+    }
+    val df = rows.toDF("id", "simhash", "block_src")
+    val allPairs = Dedup.simHashNearDups(df, "id", $"block_src", maxHamming = 8)
+      .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Int)]
+      .collect().toSet
+    val banded = Dedup.simHashNearDupsBanded(df, "id", $"block_src",
+      maxHamming = 8, bits = 32)
+      .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Int)]
+      .collect().toSet
+    assert(allPairs.nonEmpty, "fixture must produce near-dup pairs")
+    assert(banded == allPairs)
+
+    // the plan's self-join key must include the band bits — equality on
+    // the block alone would be the quadratic shape this operator retires
+    val joins = Dedup.simHashNearDupsBanded(df, "id", $"block_src", 8)
+      .queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }
+    val selfJoin = joins.filter(_.condition.exists(
+      _.toString.contains("band_bits")))
+    assert(selfJoin.nonEmpty,
+      "banded candidate join must key on (band, band_bits)")
+  }
+
+  test("LSH-fronted cosine near-dups = candidate pairs ∩ cosine threshold") {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(23)
+    val vecs = Seq.tabulate(120) { i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    }.toDF("vec_id", "embedding")
+    val tau = 0.4
+    // expected = all-pairs cosine >= tau, restricted to pairs sharing
+    // any (htable, bucket) — computed here via the all-pairs verifier
+    // (single block) and the bucket assignment, independently composed
+    val all = Dedup.cosineNearDups(vecs, "vec_id", "embedding",
+      lit(1), tau).select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val ids = Knn.lshBuckets(vecs, "vec_id", "embedding",
+      tables = 2, planes = 4, dim = 16)
+    val cand = ids.as("a").join(ids.as("b"),
+        $"a.htable" === $"b.htable" && $"a.bucket" === $"b.bucket" &&
+          $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id", $"b.vec_id").as[(Long, Long)].collect().toSet
+    val expected = all.intersect(cand)
+    val got = Dedup.cosineNearDupsLsh(vecs, "vec_id", "embedding",
+      tables = 2, planes = 4, minCosine = tau, dim = 16)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(expected.nonEmpty, "fixture must produce candidate near-dups")
+    assert(got == expected)
+    // the LSH front end must genuinely prune: candidates, and hence
+    // results, are a strict subset of the all-pairs-at-threshold set
+    assert(got.size < all.size,
+      s"LSH candidates (${got.size}) should prune all-pairs (${all.size})")
+  }
 }
