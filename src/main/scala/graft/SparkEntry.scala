@@ -468,10 +468,14 @@ object SparkEntry {
     }),
     "q37_hll_registers" -> ((s, dir) => {
       // portable HLL sketch of distinct-token counts per source: the
-      // registers are deterministic integers, so they gate exactly
+      // registers are deterministic integers, so they gate exactly.
+      // rlike pre-filter + outer explode: equivalent to inner explode
+      // (empty-token docs emit nothing either way) without the inferred
+      // size()>0 filter that re-runs the tokenizer in the scan filter
       val posts = t(s, dir, "documents")
-        .select(col("source"),
-          explode(TextFunctions.normalizeTokens(col("text"))).as("tok"))
+        .filter(lower(col("text")).rlike("[a-z0-9]"))
+        .select(col("source"), TextFunctions.normalizeTokens(col("text")).as("__toks"))
+        .select(col("source"), explode_outer(col("__toks")).as("tok"))
       graft.operators.Hll.registers(posts, Seq("source"), "tok", m = 64)
         .orderBy("source", "bucket")
     }),
@@ -483,7 +487,8 @@ object SparkEntry {
       val posts = t(s, dir, "documents")
         .filter(lower(col("text")).rlike("[a-z0-9]"))
         .select(col("doc_id"),
-          explode(Dedup.shingleTokenizer(3)(col("text"))).as("word"))
+          Dedup.shingleTokenizer(3)(col("text")).as("__sh"))
+        .select(col("doc_id"), explode_outer(col("__sh")).as("word"))
       Dedup.minHashSignaturesFromPostings(posts, "doc_id", "word", k = 8)
         .select(col("doc_id"), col("perm").cast("long").as("perm"),
           col("min_hash"))
@@ -494,8 +499,9 @@ object SparkEntry {
     // reproduced op-for-op in the oracle so it gates too)
     "q39_hll_estimate" -> ((s, dir) => {
       val posts = t(s, dir, "documents")
-        .select(col("source"),
-          explode(TextFunctions.normalizeTokens(col("text"))).as("tok"))
+        .filter(lower(col("text")).rlike("[a-z0-9]"))
+        .select(col("source"), TextFunctions.normalizeTokens(col("text")).as("__toks"))
+        .select(col("source"), explode_outer(col("__toks")).as("tok"))
       val regs = graft.operators.Hll.registers(posts, Seq("source"), "tok",
         m = 64)
       graft.operators.Hll.estimate(regs, Seq("source"), m = 64)

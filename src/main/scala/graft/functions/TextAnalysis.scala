@@ -137,7 +137,10 @@ object TextAnalysis {
     val live = docs.filter(col(idCol).isNotNull &&
         lower(col(textCol)).rlike("[a-z0-9]"))
       .select(col(idCol), TextFunctions.normalizedWords(col(textCol)).as("__ws"))
-    val posts = live.select(col(idCol), explode(col("__ws")).as("word"))
+    // outer ≡ inner (__ws non-empty after the rlike filter); inner would
+    // infer size/isnotnull filters that pushdown expands into a second
+    // tokenizer evaluation inside the scan filter
+    val posts = live.select(col(idCol), explode_outer(col("__ws")).as("word"))
     val tf = posts.groupBy(col(idCol), col("word"))
       .agg(count(lit(1)).as("tf"))
     val dft = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))

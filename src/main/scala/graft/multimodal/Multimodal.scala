@@ -152,7 +152,10 @@ object Multimodal {
   def sampleFrames(assets: DataFrame, everyMs: Long): DataFrame =
     stubDecodeMeta(assets)
       .filter(col("modality") === "video" && col("duration_ms") > 0)
+      // outer ≡ inner (duration_ms > 0 makes the sequence non-empty);
+      // inner would infer a size()>0 filter that re-materializes the
+      // frame-index array inside the filter below the Generate
       .select(col("id"), col("duration_ms"),
-        explode(sequence(lit(0L), col("duration_ms") - 1, lit(everyMs)))
+        explode_outer(sequence(lit(0L), col("duration_ms") - 1, lit(everyMs)))
           .as("frame_ts_ms"))
 }

@@ -65,15 +65,20 @@ object Decontaminate {
         array_distinct(GraftFunctions.wordNGrams(col("ws"), n))
           .as("shingles"))
 
+    // outer explodes throughout: shingles is non-empty after the rlike
+    // filter (n-gram kernel emits ≥1 window), and inner Generate would
+    // infer filters that pushdown expands into a doubled tokenizer chain
+    // inside the scan filter
     val cPosts = shingleSets(corpus)
-      .select(col(idCol), explode(col("shingles")).as("shingle"))
+      .select(col(idCol), explode_outer(col("shingles")).as("shingle"))
     val bSets = shingleSets(benchmarks)
     // shingles are distinct per doc, so |set| = size() on the array —
     // no second aggregation over the benchmark postings
     val bSizes = bSets.select(col(idCol).as("bench_id"),
       size(col("shingles")).cast("long").as("bench_sz"))
     val bPosts = bSets
-      .select(col(idCol).as("bench_id"), explode(col("shingles")).as("shingle"))
+      .select(col(idCol).as("bench_id"),
+        explode_outer(col("shingles")).as("shingle"))
 
     val pruned = maxShingleDf match {
       case None => cPosts

@@ -91,8 +91,13 @@ object Dedup {
       // whole-stage codegen instead of k interpreted folds
       .select(col(idCol),
         HashFunctions.tokenHashes(col("tokens")).as("hashes"))
+      // OUTER posexplode: the signature is always a k-length array here
+      // (hashes is non-null after the rlike filter), so outer ≡ inner —
+      // but inner Generate infers size(sig)>0 + isnotnull(sig) filters
+      // that pushdown substitutes into the scan, re-running the whole
+      // tokenize→hash→minhash chain 2× per row in the scan filter
       .select(col(idCol),
-        posexplode(GraftFunctions.minHashSig(col("hashes"), k))
+        posexplode_outer(GraftFunctions.minHashSig(col("hashes"), k))
           .as(Seq("perm", "min_hash")))
   }
 
@@ -144,8 +149,10 @@ object Dedup {
           % HashFunctions.MinHashPrime).as("h"))
       .groupBy(col(idCol))
       .agg(sig(col("h")).as("signature"))
+      // outer ≡ inner (the UDAF always returns a k-length array); avoids
+      // the inferred size/isnotnull filter re-checking the agg output
       .select(col(idCol),
-        posexplode(col("signature")).as(Seq("perm", "min_hash")))
+        posexplode_outer(col("signature")).as(Seq("perm", "min_hash")))
   }
 
   /** MinHash-estimated Jaccard for given candidate pairs: fraction of the k
@@ -226,9 +233,12 @@ object Dedup {
       val width = bounds(i + 1) - lo
       shiftright(col("simhash"), lo).bitwiseAND(lit((1L << width) - 1L))
     }
+    // outer ≡ inner (the band array is a non-empty literal construction);
+    // inner would infer a size()>0 filter re-evaluating every band
+    // extraction a second time below the Generate
     val banded = simHashes.withColumn("block", blockCol)
       .select(col(idCol), col("block"), col("simhash"),
-        posexplode(array(bandExprs: _*)).as(Seq("band", "band_bits")))
+        posexplode_outer(array(bandExprs: _*)).as(Seq("band", "band_bits")))
     banded.as("a")
       .join(banded.as("b"),
         col("a.block") === col("b.block") &&
@@ -280,8 +290,12 @@ object Dedup {
     // plan a multi-executor cluster wants (shuffle by shingle, balanced
     // partitions), instead of AQE broadcasting one side and re-computing
     // the whole subtree for it.
+    // outer ≡ inner: shingles is non-empty after the rlike filter (the
+    // n-gram kernel emits ≥1 window for any non-empty word list); inner
+    // would infer filters that pushdown expands into a doubled
+    // words→shingles chain inside the scan filter
     val posts = sh.select(col("block"), col(idCol),
-      explode(col("shingles")).as("shingle"))
+      explode_outer(col("shingles")).as("shingle"))
       .repartition(col("block"), col("shingle"))
     // shingles are distinct per doc, so |set| = posting count — derived
     // from `posts` instead of a third scan of the shingle pipeline

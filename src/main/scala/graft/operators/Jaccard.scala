@@ -50,9 +50,19 @@ object Jaccard {
 
   /** X1 — inverted-index postings `(word, docId)`, one row per unique
     * (doc, word). `Explode` is a Catalyst `Generator` — stays in codegen.
+    *
+    * OUTER explode, deliberately: `tokenized` guarantees `tokens` is
+    * non-null and non-empty (the rlike filter), so outer and inner
+    * explode emit identical rows — but a non-outer Generate makes the
+    * optimizer infer `size(tokens) > 0 AND isnotnull(tokens)` beneath
+    * it, and predicate pushdown substitutes the alias, re-evaluating
+    * the whole regex tokenizer chain 2× inside the scan filter (3×
+    * per row with the projection). Outer explode infers nothing; the
+    * scan filter carries only the cheap rlike guard. Pinned by
+    * PlanSpec ("tokenizer chain evaluates once per branch").
     */
   def postings(tokenizedDocs: DataFrame): DataFrame =
-    tokenizedDocs.select(explode(col("tokens")).as("word"), col("docId"))
+    tokenizedDocs.select(explode_outer(col("tokens")).as("word"), col("docId"))
 
   /** G1 — materialized posting lists `(word, [docId...] sorted)`.
     * Provided for parity with the reference's Job-2 reducer groups

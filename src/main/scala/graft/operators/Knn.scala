@@ -135,9 +135,13 @@ object Knn {
       if (dim > 0) dim
       else nonNull.select(size(col(vecCol))).limit(1).collect()
         .headOption.map(_.getInt(0)).getOrElse(1)
+    // outer ≡ inner (the per-table array is a non-empty literal
+    // construction); inner Generate would infer a size()>0 filter that
+    // pushdown substitutes into the scan, re-running every SRP bucket
+    // kernel a second time per row in the scan filter
     nonNull.select(
       col(idCol),
-      posexplode(array((0 until tables).map(t =>
+      posexplode_outer(array((0 until tables).map(t =>
         lshBucket(col(vecCol), t, planes, d)): _*)).as(Seq("htable", "bucket")))
   }
 

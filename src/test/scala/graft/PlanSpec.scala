@@ -109,6 +109,42 @@ class PlanSpec extends SparkSpec {
       s"partition filter must prune at the scan:\n$plan")
   }
 
+  test("tokenizer chain evaluates once per branch, never in a filter or scan") {
+    // a non-outer explode over the tokens projection makes the optimizer
+    // infer size(tokens)>0 + isnotnull(tokens), which pushdown expands
+    // into the scan filter — the regex chain then runs ~3x per row on
+    // every postings scan. Jaccard.postings uses explode_outer (outer ≡
+    // inner under the rlike guard) precisely so this cannot happen.
+    // the executedPlan string appends the pre-AQE "Initial Plan" — slice
+    // it off; only the final plan's branches execute
+    val plan = finalPlan(q("q23_jac_sim")).split("== Initial Plan ==")(0)
+    plan.linesIterator.filter(l => l.contains("Filter") || l.contains("FileScan"))
+      .foreach { l =>
+        assert(!l.contains("regexp_replace"),
+          s"tokenizer chain leaked into a filter/scan:\n$l")
+      }
+    // once per executing branch: postings probe + postings broadcast
+    // side (AQE broadcasts the tiny side at this SF; at scale the
+    // self-join reads ONE exchange twice) + sizes (ReusedExchange
+    // covers the second size join). Before the fix this was 3 PER
+    // BRANCH (the chain duplicated into each scan filter).
+    val n = "regexp_replace".r.findAllIn(plan).size
+    assert(n >= 1 && n <= 4,
+      s"tokenizer chain evaluated $n times (expected once per branch, <=4)")
+  }
+
+  test("SRP bucket kernels never leak into a filter or scan") {
+    // same inference trap as the tokenizer chain: a non-outer posexplode
+    // over the per-table bucket array would re-run every SRP kernel in
+    // the scan filter
+    val plan = finalPlan(q("q41_lsh_buckets"))
+    plan.linesIterator.filter(l => l.contains("Filter") || l.contains("FileScan"))
+      .foreach { l =>
+        assert(!l.contains("graft_srp_bucket"),
+          s"SRP kernel leaked into a filter/scan:\n$l")
+      }
+  }
+
   test("no query plans a cartesian product") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val plan = q(name).queryExecution.sparkPlan.toString
