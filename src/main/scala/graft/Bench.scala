@@ -69,9 +69,13 @@ object Bench {
     //      INTERLEAVED (the full suite runs twice, per-query min across
     //      passes), so a contention event must span the whole suite to
     //      corrupt a min.
+    // BLOCKING unpersist: the async form lets the block-manager delete
+    // work (checkpointed frames from iterative queries, cached plans)
+    // land inside the NEXT query's timed region — the round-4/5 record
+    // distortion where queries were charged their predecessors' cleanup
     def scrub(): Unit = {
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
       spark.catalog.clearCache()
       System.gc()
     }
@@ -120,14 +124,25 @@ object Bench {
     }))
     val entries: Seq[Entry] = fixture ++ refDatasets ++ curation ++ skew
 
-    // Two interleaved passes; per-query min across passes. A crash in
-    // either pass records -1 so breakage can never read as speed.
+    // Two interleaved passes × two back-to-back samples per entry =
+    // min of 4. The interleaving defends against a host-contention
+    // window inflating one region; the in-pass repeat prices the plan
+    // WARM (first sample pays per-session planning + codegen compile,
+    // the second measures the execution the plan costs at steady
+    // state). A crash in any sample records -1 so breakage can never
+    // read as speed.
     val passes: Seq[Map[String, Double]] = (1 to 2).map { pass =>
       entries.map { case (name, run) =>
         scrub() // outside the timed region
         val sess = spark.newSession()
-        val t = timed(run(sess))
-        System.err.println(f"[bench] pass $pass $name%-28s $t%8.3f s")
+        // pre-warm the fresh session's state (SessionState build, parser,
+        // first-use codepaths) so it isn't charged to the first sample
+        sess.range(2L).selectExpr("sum(id)").collect()
+        val t1 = timed(run(sess))
+        val t2 = timed(run(sess))
+        val t = if (t1 < 0 || t2 < 0) -1.0 else math.min(t1, t2)
+        System.err.println(
+          f"[bench] pass $pass $name%-28s $t1%8.3f / $t2%8.3f s")
         name -> t
       }.toMap
     }
@@ -144,7 +159,7 @@ object Bench {
     val total = if (failed.nonEmpty) -1.0 else results.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val record =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":2,"agg":"min","interleaved":true,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":4,"agg":"min","interleaved":true,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     println(record)
     // Also persist the record to a file: the driver captures stdout as a
     // bounded log tail, which truncated the rounds 1-2 records. A file is
