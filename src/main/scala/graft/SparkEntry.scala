@@ -376,6 +376,15 @@ object SparkEntry {
           col("rank").cast("long").as("rank"))
         .orderBy("doc_id", "rank")
     }),
+    // G1 — the materialized posting lists themselves (word → sorted doc
+    // set), oracle-gated: the one §2.1 operator that was previously
+    // spec-gated only
+    "q68_posting_lists" -> ((s, dir) => {
+      val toks = Jaccard.tokenized(docsAsCorpus(s, dir))
+      Jaccard.postingLists(Jaccard.postings(toks))
+        .select(col("word"), col("docIds").as("doc_ids"))
+        .orderBy("word")
+    }),
 
     // ---- deduplication suite (training-data pipeline)
     "q30_dedup_exact" -> ((s, dir) => {
@@ -537,6 +546,17 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("component"))
         .orderBy("doc_id")
     }),
+    // the SAME labeling via large-star/small-star contraction — the
+    // O(log)-round extreme-scale path (diameter-independent), gated by
+    // q45's oracle verbatim to prove the two formulations agree
+    "q69_neardup_components_star" -> ((s, dir) => {
+      val sigs = Dedup.minHashSignatures(t(s, dir, "documents"), "doc_id",
+        "text", k = 8, tokenize = Dedup.shingleTokenizer(3))
+      val cands = Dedup.lshCandidates(sigs, "doc_id", k = 8, bands = 4)
+      Dedup.connectedComponentsStar(cands, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("component"))
+        .orderBy("doc_id")
+    }),
     // benchmark decontamination: training docs (source != src0) whose
     // 3-gram coverage of any held-out src0 doc crosses the threshold
     "q46_decontaminate" -> ((s, dir) => {
@@ -612,6 +632,20 @@ object SparkEntry {
           round(col("cosine"), 6).as("cosine"),
           col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
+    }),
+    // q43's assignment after ONE Lloyd iteration: seeds → assign →
+    // ordered-fold element-wise means (bit-reproducible, see
+    // Knn.ivfRefine) → reassign with the refined centroids. Gates the
+    // whole refine step — means, empty-cell fallback, and the final
+    // assignment — against the op-for-op SQL reproduction
+    "q67_ivf_refined_assign" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val cents = embs.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val refined = Knn.ivfRefine(embs, "vec_id", "embedding", cents,
+        iters = 1)
+      Knn.ivfAssign(embs, "vec_id", "embedding", refined)
+        .orderBy("vec_id")
     }),
 
     // ---- text analysis (training-data curation)
@@ -922,6 +956,35 @@ object SparkEntry {
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Component = min reachable id over the symmetric q32 candidate
+    * edges: the recursive closure, grouped to the per-node minimum.
+    * Shared by q45 (hash-min propagation) and q69 (large-star/small-star
+    * contraction) — both must produce the identical labeling.
+    */
+  private val NearDupComponentsOracle =
+    s"""WITH RECURSIVE $WordsCte,
+       |$ShinglesCte,
+       |$SigCte,
+       |banded AS (
+       |  SELECT doc_id, CAST(perm // 2 AS INT) AS band,
+       |    list(min_hash ORDER BY perm) AS band_key
+       |  FROM sig GROUP BY doc_id, band),
+       |cand AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.band_key = b.band_key
+       |    AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |edges2 AS (SELECT id_a AS s, id_b AS t FROM cand
+       |           UNION ALL SELECT id_b, id_a FROM cand),
+       |reach AS (
+       |  SELECT s AS id, s AS comp FROM edges2
+       |  UNION
+       |  SELECT e.t AS id, r.comp FROM reach r JOIN edges2 e ON e.s = r.id)
+       |SELECT id AS doc_id, min(comp) AS component
+       |FROM reach GROUP BY id
+       |ORDER BY doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1192,6 +1255,16 @@ object SparkEntry {
          |  FROM directed) ranked
          |WHERE rank <= 3
          |ORDER BY doc_id, rank""".stripMargin,
+    // tokens are distinct per doc (array_distinct in the tokenizer), so
+    // (doc, word) postings are unique and the plain ordered list IS the
+    // sorted doc set
+    "q68_posting_lists" ->
+      s"""WITH $ToksCte,
+         |posts AS (SELECT doc_id, unnest(tokens) AS word FROM toks
+         |          WHERE len(tokens) > 0)
+         |SELECT word, list(doc_id ORDER BY doc_id) AS doc_ids
+         |FROM posts GROUP BY word
+         |ORDER BY word""".stripMargin,
 
     // ---- dedup suite oracles
     "q30_dedup_exact" ->
@@ -1342,30 +1415,11 @@ object SparkEntry {
          |ORDER BY id_a, id_b""".stripMargin,
 
     // component = min reachable id: the recursive closure over the
-    // symmetric q32 candidate edges, grouped to the per-node minimum
-    "q45_neardup_components" ->
-      s"""WITH RECURSIVE $WordsCte,
-         |$ShinglesCte,
-         |$SigCte,
-         |banded AS (
-         |  SELECT doc_id, CAST(perm // 2 AS INT) AS band,
-         |    list(min_hash ORDER BY perm) AS band_key
-         |  FROM sig GROUP BY doc_id, band),
-         |cand AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM banded a JOIN banded b
-         |    ON a.band = b.band AND a.band_key = b.band_key
-         |    AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |edges2 AS (SELECT id_a AS s, id_b AS t FROM cand
-         |           UNION ALL SELECT id_b, id_a FROM cand),
-         |reach AS (
-         |  SELECT s AS id, s AS comp FROM edges2
-         |  UNION
-         |  SELECT e.t AS id, r.comp FROM reach r JOIN edges2 e ON e.s = r.id)
-         |SELECT id AS doc_id, min(comp) AS component
-         |FROM reach GROUP BY id
-         |ORDER BY doc_id""".stripMargin,
+    // symmetric q32 candidate edges, grouped to the per-node minimum.
+    // Shared by q45 (hash-min propagation) and q69 (large-star/small-star
+    // contraction): both formulations must produce the identical labeling
+    "q45_neardup_components" -> NearDupComponentsOracle,
+    "q69_neardup_components_star" -> NearDupComponentsOracle,
 
     // coverage = shared / len(benchmark shingle set); shingles are
     // distinct per doc so the postings count IS the intersection size
@@ -1512,6 +1566,48 @@ object SparkEntry {
          |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
          |FROM ranked WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
+    // one Lloyd iteration op-for-op: assign with the seeds, per-(cell,
+    // component) ORDERED left-fold mean over float→double casts (same
+    // fold as Knn.ivfRefine — list_reduce seeds from the first element,
+    // which equals a 0.0-seeded fold for IEEE addition), one
+    // double→float rounding, empty cells keep their seed, reassign.
+    // Fixture dim is 64 (as in q41's bucket oracle)
+    "q67_ivf_refined_assign" ->
+      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cvec
+         |               FROM embeddings WHERE vec_id < 16),
+         |ascored AS (
+         |  SELECT e.vec_id, c.cid,
+         |    ${duckCos("e.embedding", "c.cvec")} AS cos
+         |  FROM embeddings e CROSS JOIN cents c),
+         |assigned AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cos DESC, cid) AS rn
+         |    FROM ascored) x WHERE rn = 1),
+         |comp AS (
+         |  SELECT a.cid, ii AS pos, e.vec_id,
+         |    CAST(e.embedding[ii] AS DOUBLE) AS x
+         |  FROM assigned a JOIN embeddings e USING (vec_id)
+         |  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS ii) idx),
+         |means AS (
+         |  SELECT cid, pos,
+         |    CAST(list_reduce(list(x ORDER BY vec_id), (a, b) -> a + b)
+         |      / count(*) AS FLOAT) AS m
+         |  FROM comp GROUP BY cid, pos),
+         |rcents AS (
+         |  SELECT c.cid, coalesce(mv.cvec, c.cvec) AS cvec
+         |  FROM cents c LEFT JOIN (
+         |    SELECT cid, list(m ORDER BY pos) AS cvec
+         |    FROM means GROUP BY cid) mv USING (cid)),
+         |rescored AS (
+         |  SELECT e.vec_id, c.cid,
+         |    ${duckCos("e.embedding", "c.cvec")} AS cos
+         |  FROM embeddings e CROSS JOIN rcents c)
+         |SELECT vec_id, cid FROM (
+         |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY cos DESC, cid) AS rn
+         |  FROM rescored) x WHERE rn = 1
+         |ORDER BY vec_id""".stripMargin,
 
     // ---- text analysis oracles
     "q50_token_counts" ->

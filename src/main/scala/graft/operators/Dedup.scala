@@ -380,6 +380,94 @@ object Dedup {
     labels
   }
 
+  /** Connected components via alternating large-star/small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond") — the extreme-scale alternative to `connectedComponents`:
+    * hash-min needs O(component diameter) rounds (a 10k-link duplicate
+    * chain = 10k shuffles), star contraction converges in O(log²)
+    * rounds regardless of diameter. Same output contract: one row per
+    * node, (id, component) with component = the smallest id reachable.
+    *
+    *   - large-star (keyed on each node u over its full neighborhood):
+    *     link every neighbor v > u to m = min(N(u) ∪ {u})
+    *   - small-star (keyed on the larger endpoint of each edge): link
+    *     every smaller neighbor (and u itself) to the minimum
+    *
+    * Each half-step is one shuffle by node id over the current edge
+    * set; edges only ever move "downhill" (toward smaller ids), and at
+    * the fixed point the edge set is a star forest centered on the
+    * component minima. Convergence is an exact set-equality check on
+    * the materialized edge set (count + anti-join, no probabilistic
+    * hashing), and the returned labeling is re-validated against the
+    * ORIGINAL edges — both endpoints of every input edge must agree —
+    * so a premature fixed point can never return silently.
+    */
+  def connectedComponentsStar(edges: DataFrame, idA: String = "id_a",
+                              idB: String = "id_b",
+                              maxIter: Int = 30): DataFrame = {
+    // canonical undirected form: (s < t), self-loops dropped, deduped.
+    // Materialized once — the producing pipeline must not re-run per
+    // iteration.
+    val orig = edges
+      .select(least(col(idA), col(idB)).as("s"),
+        greatest(col(idA), col(idB)).as("t"))
+      .filter(col("s") =!= col("t")).distinct()
+      .localCheckpoint()
+    var e = orig
+    var converged = e.isEmpty
+    var i = 0
+    while (!converged && i < maxIter) {
+      // large-star over the symmetrized neighborhoods: one generator
+      // pass (a unionAll of two selects would evaluate the edge frame
+      // twice), min per node, link larger neighbors to min(N ∪ {u})
+      val sym = e.select(explode(array(
+          struct(col("s").as("u"), col("t").as("v")),
+          struct(col("t").as("u"), col("s").as("v")))).as("x"))
+        .select(col("x.u").as("u"), col("x.v").as("v"))
+      val lmin = sym.groupBy("u").agg(min(col("v")).as("nm"))
+      val large = sym.join(lmin, "u")
+        .select(col("u"), col("v"), least(col("nm"), col("u")).as("m"))
+        .filter(col("v") > col("u") && col("v") =!= col("m"))
+        .select(col("m").as("s"), col("v").as("t"))
+        .distinct()
+      // small-star keyed on the larger endpoint (t in canonical form):
+      // link every smaller neighbor and t itself to the minimum
+      val smin = large.groupBy("t").agg(min(col("s")).as("nm"))
+      val next = large.join(smin, "t")
+        .select(explode(array(
+          struct(col("nm").as("s"), col("s").as("t")),
+          struct(col("nm").as("s"), col("t").as("t")))).as("x"))
+        .select(col("x.s").as("s"), col("x.t").as("t"))
+        .filter(col("s") =!= col("t"))
+        .distinct()
+        .localCheckpoint()
+      // exact fixed-point test on the canonical edge sets
+      converged = next.count() == e.count() && next.except(e).isEmpty
+      e = next
+      i += 1
+    }
+    if (!converged && !e.isEmpty) throw new IllegalStateException(
+      s"connectedComponentsStar did not converge in $maxIter iterations")
+    // star forest → labels: every larger endpoint hangs off its
+    // component min; the minima label themselves
+    val labels = e.select(col("t").as("id"), col("s").as("component"))
+      .groupBy("id").agg(min(col("component")).as("component"))
+      .unionByName(e.select(col("s")).distinct()
+        .join(e.select(col("t")).distinct(),
+          col("s") === col("t"), "left_anti")
+        .select(col("s").as("id"), col("s").as("component")))
+    // exact validation against the ORIGINAL edges: both endpoints of
+    // every input edge must carry the same component
+    val la = labels.select(col("id").as("s"), col("component").as("ca"))
+    val lb = labels.select(col("id").as("t"), col("component").as("cb"))
+    val disagree = orig.join(la, "s").join(lb, "t")
+      .filter(col("ca") =!= col("cb"))
+    if (!disagree.isEmpty) throw new IllegalStateException(
+      "star contraction produced an inconsistent labeling (should be " +
+        "impossible after the fixed-point check)")
+    labels
+  }
+
   /** Embedding near-dup pairs: cosine ≥ threshold within a blocking column.
     * Exact verification operator — candidate generation at scale is
     * `Knn.lshBuckets`.

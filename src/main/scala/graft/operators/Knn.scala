@@ -157,6 +157,52 @@ object Knn {
       .orderBy(col(idCol)).limit(kCells)
       .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
 
+  /** Lloyd refinement for the IVF centroid table: `iters` rounds of
+    * (assign to nearest centroid by cosine) → (replace each centroid
+    * with the element-wise mean of its assigned vectors). Empty cells
+    * keep their previous centroid. Returns the refined (cid, cvec)
+    * table — drop-in input for `ivfAssign`/`ivfTopK`.
+    *
+    * The per-component mean is an ORDERED left fold (values sorted by
+    * id) over float→double casts, then one double→float IEEE rounding:
+    * bit-reproducible across engines and partitionings, which is what
+    * lets a refined-centroid assignment gate against a SQL oracle.
+    * The fold materializes each (cell, component)'s value list in one
+    * task — fine for centroid refinement (list length = cell size); at
+    * extreme cell sizes swap the fold for a plain `avg` and accept
+    * last-ulp nondeterminism.
+    *
+    * Each iteration shuffles by (cid, pos) then cid — both bounded key
+    * spaces — and the assignment reuses `ivfAssign`'s map-side argmax
+    * (the |E|·|C| scored rows never shuffle).
+    */
+  def ivfRefine(embs: DataFrame, idCol: String, vecCol: String,
+                centroids: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 0, "iters must be non-negative")
+    GraftFunctions.register(embs.sparkSession)
+    var cents = centroids
+    for (_ <- 1 to iters) {
+      val assigned = ivfAssign(embs, idCol, vecCol, cents)
+      val comp = embs.join(assigned, idCol)
+        .select(col("cid"), col(idCol).as("__id"),
+          posexplode_outer(col(vecCol)).as(Seq("pos", "x")))
+      val means = comp
+        .groupBy(col("cid"), col("pos"))
+        .agg(count(lit(1)).as("__n"),
+          sort_array(collect_list(struct(col("__id"), col("x")))).as("__xs"))
+        .select(col("cid"), col("pos"),
+          (aggregate(col("__xs"), lit(0.0),
+            (acc, s) => acc + s.getField("x").cast("double")) / col("__n"))
+            .cast("float").as("m"))
+        .groupBy(col("cid"))
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("__mvec"))
+      cents = cents.join(means, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("__mvec"), col("cvec")).as("cvec"))
+    }
+    cents
+  }
+
   /** IVF coarse quantization: assign each vector to its nearest
     * centroid by cosine (ties → lowest cid). Centroids broadcast; the
     * argmax is a map-side-partial `max(struct(cos, -cid))` aggregation,

@@ -333,6 +333,84 @@ class DedupKnnSpec extends SparkSpec {
     }
   }
 
+  test("ivfRefine: one Lloyd step = element-wise mean of assigned vectors; " +
+    "empty cells keep their seed; iters=0 is identity") {
+    GraftFunctions.register(spark)
+    val vecs = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0.8f, 0.2f)),
+      (2L, Array(0f, 1f)), (3L, Array(0.2f, 0.8f))
+    ).toDF("vec_id", "embedding")
+    val seeds = Seq((0L, Array(1f, 0f)), (2L, Array(0f, 1f)))
+      .toDF("cid", "cvec")
+    // the exact arithmetic the operator promises: float→double casts,
+    // fold sum, one double→float rounding
+    def mean2(a: Float, b: Float): Float =
+      ((a.toDouble + b.toDouble) / 2).toFloat
+
+    val same = Knn.ivfRefine(vecs, "vec_id", "embedding", seeds, iters = 0)
+      .as[(Long, Array[Float])].collect().toMap
+    assert(same.view.mapValues(_.toSeq).toMap ==
+      Map(0L -> Seq(1f, 0f), 2L -> Seq(0f, 1f)))
+
+    // vectors 0,1 assign to cell 0; vectors 2,3 to cell 2
+    val refined = Knn.ivfRefine(vecs, "vec_id", "embedding", seeds, iters = 1)
+      .as[(Long, Array[Float])].collect().toMap
+    assert(refined(0L).toSeq == Seq(mean2(1f, 0.8f), mean2(0f, 0.2f)))
+    assert(refined(2L).toSeq == Seq(mean2(0f, 0.2f), mean2(1f, 0.8f)))
+
+    // a centroid that attracts nothing keeps its seed vector
+    val withDead = seeds.unionByName(
+      Seq((99L, Array(-1f, 0f))).toDF("cid", "cvec"))
+    val r2 = Knn.ivfRefine(vecs, "vec_id", "embedding", withDead, iters = 1)
+      .as[(Long, Array[Float])].collect().toMap
+    assert(r2(99L).toSeq == Seq(-1f, 0f))
+  }
+
+  test("star contraction == hash-min labeling on random multi-component graphs") {
+    val rnd = new scala.util.Random(31)
+    // several components of varying shape: random extra edges on top of
+    // spanning paths, plus isolated 2-cliques
+    val edges = (0 until 6).flatMap { c =>
+      val base = c * 40L
+      val n = 10 + rnd.nextInt(25)
+      val path = (1 until n).map(i => (base + i - 1, base + i))
+      val extra = Seq.fill(n / 3)(
+        (base + rnd.nextInt(n), base + rnd.nextInt(n))).filter(e => e._1 != e._2)
+      path ++ extra
+    }
+    val df = edges.toDF("id_a", "id_b")
+    val hashMin = Dedup.connectedComponents(df, maxIter = 60)
+      .as[(Long, Long)].collect().toMap
+    val star = Dedup.connectedComponentsStar(df)
+      .as[(Long, Long)].collect().toMap
+    assert(star == hashMin)
+    assert(star.values.toSet.size == 6, "six components expected")
+  }
+
+  test("star contraction resolves a deep chain hash-min's budget cannot") {
+    // a 400-link duplicate chain: hash-min needs ~400 rounds (its default
+    // budget refuses), star contraction is diameter-independent
+    val chain = (1 until 400).map(i => (i.toLong - 1, i.toLong)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 25)
+    }
+    val labels = Dedup.connectedComponentsStar(chain)
+      .as[(Long, Long)].collect()
+    assert(labels.length == 400 && labels.forall(_._2 == 0L))
+  }
+
+  test("star contraction handles string ids and empty edge lists") {
+    val df = Seq(("docB", "docA"), ("docC", "docB"), ("docZ", "docY"))
+      .toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponentsStar(df)
+      .as[(String, String)].collect().toMap
+    assert(labels == Map("docA" -> "docA", "docB" -> "docA",
+      "docC" -> "docA", "docY" -> "docY", "docZ" -> "docY"))
+    val empty = Dedup.connectedComponentsStar(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
+    assert(empty.isEmpty)
+  }
+
   test("banded simhash near-dups == all-pairs verifier, without the " +
     "block-wide self-join") {
     val rnd = new scala.util.Random(11)

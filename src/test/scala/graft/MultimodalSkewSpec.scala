@@ -34,6 +34,39 @@ class MultimodalSkewSpec extends SparkSpec {
     assert(frames == expected)
   }
 
+  test("decodePartitions drives a CUSTOM codec: per-partition instance, " +
+    "sequential batch, real bytes") {
+    // a stand-in for a native codec handle: the closure's counter is
+    // task-deserialized, so each partition gets a FRESH instance — call
+    // indices must restart at 0 in every partition. width := call index,
+    // height := partition id, duration := payload length (proves the
+    // actual bytes reach the codec).
+    val docs = (0 until 64).map(i => (i.toLong, "p" * (i % 7 + 1)))
+      .toDF("doc_id", "text").repartition(4)
+    val assets = Multimodal.asBinaryAssets(docs, "doc_id", "text", "audio")
+    val fakeCodec: (Array[Byte], String) => (Int, Int, Int, Long) = {
+      val instanceCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+      (bytes, modality) => {
+        val idx = instanceCalls.getAndIncrement()
+        val pid = org.apache.spark.TaskContext.get().partitionId()
+        (idx, pid, if (modality == "audio") 1 else -1, bytes.length.toLong)
+      }
+    }
+    val out = Multimodal.decodePartitions(assets, fakeCodec).collect()
+    assert(out.length == 64)
+    // the custom fn (not the stub) decoded: payload length round-trips
+    out.foreach { m => assert(m.durationMs == m.nBytes && m.channels == 1) }
+    // one codec instance per partition, fed sequentially: every
+    // partition's call indices are exactly 0..n-1 (a shared/global
+    // instance would leave gaps; a per-row instance would repeat 0)
+    val parts = out.groupBy(_.height)
+    assert(parts.size > 1, "fixture must span multiple partitions")
+    parts.foreach { case (pid, rows) =>
+      assert(rows.map(_.width).sorted.toSeq == (0 until rows.length),
+        s"partition $pid saw call indices ${rows.map(_.width).sorted.toSeq}")
+    }
+  }
+
   test("salted join returns exactly the plain join's rows") {
     val hot = (1 to 500).map(i => ("hotkey", i.toLong)) ++
       Seq(("cold", 1000L))
