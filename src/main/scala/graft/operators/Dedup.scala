@@ -200,7 +200,11 @@ object Dedup {
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
           .as("hamming"))
-      .filter(col("hamming") <= maxHamming)
+      // null-absorbing threshold (nulls still drop): a null-REJECTING
+      // filter on a computed column makes constraint inference push
+      // isnotnull(<whole simhash kernel chain>) into the scan filter,
+      // doubling the kernel per row (PlanSpec pins the clean shape)
+      .filter(coalesce(col("hamming"), lit(maxHamming + 1)) <= maxHamming)
   }
 
   /** Scale-safe SimHash near-dups: pigeonhole banding instead of a
@@ -248,7 +252,8 @@ object Dedup {
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
           .as("hamming"))
-      .filter(col("hamming") <= maxHamming)
+      // null-absorbing threshold — see simHashNearDups for the rationale
+      .filter(coalesce(col("hamming"), lit(maxHamming + 1)) <= maxHamming)
       // a pair may share several bands — one row per pair (hamming is
       // functionally determined by the pair, so distinct dedups cleanly)
       .distinct()
@@ -485,7 +490,11 @@ object Dedup {
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
         Knn.cosineFromNorms(col("a.vec"), col("b.vec"),
           col("a.nrm"), col("b.nrm")).as("cosine"))
-      .filter(col("cosine") >= minCosine)
+      // null-absorbing threshold (nulls still drop): a null-rejecting
+      // filter here makes constraint inference push isnotnull(<norm
+      // kernel>) into the embeddings scan, doubling the dot product
+      .filter(coalesce(col("cosine"), lit(Double.NegativeInfinity))
+        >= minCosine)
   }
 
   /** Embedding near-dup pairs at scale: sign-random-projection LSH
@@ -525,6 +534,8 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         Knn.cosineFromNorms(col("va"), col("vb"), col("na"), col("nb"))
           .as("cosine"))
-      .filter(col("cosine") >= minCosine)
+      // null-absorbing threshold — see cosineNearDups for the rationale
+      .filter(coalesce(col("cosine"), lit(Double.NegativeInfinity))
+        >= minCosine)
   }
 }

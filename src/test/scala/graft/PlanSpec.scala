@@ -131,6 +131,24 @@ class PlanSpec extends SparkSpec {
     val n = "regexp_replace".r.findAllIn(plan).size
     assert(n >= 1 && n <= 4,
       s"tokenizer chain evaluated $n times (expected once per branch, <=4)")
+
+    // the same shape holds across the tokenizer and kernel families:
+    // scan- or filter-adjacent nodes must never carry the regex chain or
+    // a native kernel (RLIKE guards are fine — they are the cheap
+    // pre-filter; the coalesce-threshold filters in Dedup exist exactly
+    // to keep inferred isnotnull(<kernel>) out of the scans)
+    for (name <- Seq("q21_jac_word_df", "q31_minhash_sig",
+        "q34_simhash_neardups", "q35_ngram_neardups", "q36_cosine_neardups",
+        "q37_hll_registers", "q58_term_scores",
+        "q65_simhash_neardups_banded", "q66_cosine_neardups_lsh")) {
+      val p = finalPlan(q(name)).split("== Initial Plan ==")(0)
+      p.linesIterator
+        .filter(l => l.contains("Filter") || l.contains("FileScan"))
+        .foreach { l =>
+          assert(!l.contains("regexp_replace") && !l.contains("graft_"),
+            s"$name: expensive chain leaked into a filter/scan:\n$l")
+        }
+    }
   }
 
   test("SRP bucket kernels never leak into a filter or scan") {
