@@ -200,11 +200,13 @@ object Dedup {
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
           .as("hamming"))
-      // null-absorbing threshold (nulls still drop): a null-REJECTING
-      // filter on a computed column makes constraint inference push
+      // null-absorbing threshold (nulls still drop; long sentinel so
+      // maxHamming = Int.MaxValue cannot wrap): a null-REJECTING filter
+      // on a computed column makes constraint inference push
       // isnotnull(<whole simhash kernel chain>) into the scan filter,
       // doubling the kernel per row (PlanSpec pins the clean shape)
-      .filter(coalesce(col("hamming"), lit(maxHamming + 1)) <= maxHamming)
+      .filter(coalesce(col("hamming").cast("long"),
+        lit(maxHamming.toLong + 1)) <= maxHamming)
   }
 
   /** Scale-safe SimHash near-dups: pigeonhole banding instead of a
@@ -228,14 +230,20 @@ object Dedup {
   def simHashNearDupsBanded(simHashes: DataFrame, idCol: String,
                             blockCol: Column, maxHamming: Int,
                             bits: Int = 32): DataFrame = {
+    require(maxHamming >= 0, s"maxHamming ($maxHamming) must be >= 0")
     val nBands = maxHamming + 1
-    require(bits >= nBands, s"bits ($bits) must be >= maxHamming+1 ($nBands)")
+    require(bits >= nBands && bits <= 64,
+      s"bits ($bits) must be in [maxHamming+1 ($nBands), 64]")
     // contiguous band boundaries, widths within 1 bit of each other
     val bounds = (0 to nBands).map(i => i * bits / nBands)
     val bandExprs = (0 until nBands).map { i =>
       val lo = bounds(i)
       val width = bounds(i + 1) - lo
-      shiftright(col("simhash"), lo).bitwiseAND(lit((1L << width) - 1L))
+      // width can be 64 (maxHamming=0, bits=64: the band IS the hash);
+      // (1L << 64) wraps to 1 in JVM shift semantics, so full-width
+      // masks must be -1L or the equi-join degenerates to all-pairs
+      val mask = if (width >= 64) -1L else (1L << width) - 1L
+      shiftright(col("simhash"), lo).bitwiseAND(lit(mask))
     }
     // outer ≡ inner (the band array is a non-empty literal construction);
     // inner would infer a size()>0 filter re-evaluating every band
@@ -253,7 +261,8 @@ object Dedup {
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
           .as("hamming"))
       // null-absorbing threshold — see simHashNearDups for the rationale
-      .filter(coalesce(col("hamming"), lit(maxHamming + 1)) <= maxHamming)
+      .filter(coalesce(col("hamming").cast("long"),
+        lit(maxHamming.toLong + 1)) <= maxHamming)
       // a pair may share several bands — one row per pair (hamming is
       // functionally determined by the pair, so distinct dedups cleanly)
       .distinct()
@@ -374,7 +383,10 @@ object Dedup {
             .as("component"))
         .localCheckpoint()
       converged = next.filter(col("component") =!= col("__prev")).isEmpty
+      // the superseded label checkpoint is dead once `next` materialized
+      val stale = labels
       labels = next.select(col("id"), col("component"))
+      Knn.releaseCheckpoint(stale)
       i += 1
     }
     // a maxIter exit would return a PARTIALLY propagated labeling that is
@@ -410,6 +422,13 @@ object Dedup {
   def connectedComponentsStar(edges: DataFrame, idA: String = "id_a",
                               idB: String = "id_b",
                               maxIter: Int = 30): DataFrame = {
+    // node universe from the ORIGINAL edges, self-loops included: a node
+    // whose only edge is (x, x) carries no contraction edge but must
+    // still be labeled (hash-min labels it x — same contract here)
+    val nodes = edges
+      .select(explode(array(col(idA).as("id"), col(idB).as("id"))).as("id"))
+      .distinct()
+      .localCheckpoint()
     // canonical undirected form: (s < t), self-loops dropped, deduped.
     // Materialized once — the producing pipeline must not re-run per
     // iteration.
@@ -448,19 +467,22 @@ object Dedup {
         .localCheckpoint()
       // exact fixed-point test on the canonical edge sets
       converged = next.count() == e.count() && next.except(e).isEmpty
+      // the superseded checkpoint is dead once `next` is materialized
+      // and compared — release it (keep `orig` for the final validation)
+      val stale = e
       e = next
+      if (stale ne orig) Knn.releaseCheckpoint(stale)
       i += 1
     }
     if (!converged && !e.isEmpty) throw new IllegalStateException(
       s"connectedComponentsStar did not converge in $maxIter iterations")
     // star forest → labels: every larger endpoint hangs off its
-    // component min; the minima label themselves
-    val labels = e.select(col("t").as("id"), col("s").as("component"))
+    // component min; everyone else (the minima, and nodes whose only
+    // edges were self-loops) labels itself
+    val hanging = e.select(col("t").as("id"), col("s").as("component"))
       .groupBy("id").agg(min(col("component")).as("component"))
-      .unionByName(e.select(col("s")).distinct()
-        .join(e.select(col("t")).distinct(),
-          col("s") === col("t"), "left_anti")
-        .select(col("s").as("id"), col("s").as("component")))
+    val labels = nodes.join(hanging, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
     // exact validation against the ORIGINAL edges: both endpoints of
     // every input edge must carry the same component
     val la = labels.select(col("id").as("s"), col("component").as("ca"))

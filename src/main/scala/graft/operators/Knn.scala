@@ -183,7 +183,12 @@ object Knn {
     var cents = centroids
     for (_ <- 1 to iters) {
       val assigned = ivfAssign(embs, idCol, vecCol, cents)
-      val comp = embs.join(assigned, idCol)
+      // drop zero-length vectors BEFORE the component explode: an empty
+      // array would posexplode_outer into a (pos=null, x=null) row and
+      // corrupt its cell's mean with a spurious leading null component
+      // (ivfAssign admits empty vectors — NaN cosines — because its
+      // oracle-gated contract only excludes nulls)
+      val comp = embs.where(size(col(vecCol)) > 0).join(assigned, idCol)
         .select(col("cid"), col(idCol).as("__id"),
           posexplode_outer(col(vecCol)).as(Seq("pos", "x")))
       val means = comp
@@ -197,11 +202,30 @@ object Knn {
         .groupBy(col("cid"))
         .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("__mvec"))
+      // materialize each iteration's (tiny) centroid table: `cents` is
+      // referenced twice per iteration (ivfAssign + the fallback join),
+      // so an unmaterialized chain doubles per round — 2^iters plan
+      // growth by iteration 10. One localCheckpoint per round keeps the
+      // plan constant-size; the superseded checkpoint is released.
+      val prev = cents
       cents = cents.join(means, Seq("cid"), "left")
         .select(col("cid"), coalesce(col("__mvec"), col("cvec")).as("cvec"))
+        .localCheckpoint()
+      releaseCheckpoint(prev)
     }
     cents
   }
+
+  /** Unpersist the RDD behind a `localCheckpoint`ed frame that is no
+    * longer referenced (Dataset.unpersist only covers cache-manager
+    * entries, not checkpoint RDDs). No-op on non-checkpointed frames.
+    */
+  private[operators] def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** IVF coarse quantization: assign each vector to its nearest
     * centroid by cosine (ties → lowest cid). Centroids broadcast; the

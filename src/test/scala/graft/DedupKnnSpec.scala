@@ -378,13 +378,16 @@ class DedupKnnSpec extends SparkSpec {
         (base + rnd.nextInt(n), base + rnd.nextInt(n))).filter(e => e._1 != e._2)
       path ++ extra
     }
-    val df = edges.toDF("id_a", "id_b")
+    // plus a node whose ONLY edge is a self-loop: both formulations must
+    // still label it (as its own component)
+    val df = (edges :+ (997L, 997L)).toDF("id_a", "id_b")
     val hashMin = Dedup.connectedComponents(df, maxIter = 60)
       .as[(Long, Long)].collect().toMap
     val star = Dedup.connectedComponentsStar(df)
       .as[(Long, Long)].collect().toMap
     assert(star == hashMin)
-    assert(star.values.toSet.size == 6, "six components expected")
+    assert(star(997L) == 997L)
+    assert(star.values.toSet.size == 7, "six components plus the loner")
   }
 
   test("star contraction resolves a deep chain hash-min's budget cannot") {
@@ -425,6 +428,16 @@ class DedupKnnSpec extends SparkSpec {
       (i.toLong, h, s"blk${i % 3}")
     }
     val df = rows.toDF("id", "simhash", "block_src")
+
+    // 64-bit/full-width-band edge: maxHamming=0 on bits=64 is exact-dup
+    // detection; the single band mask must be -1L, not (1L<<64)-1 == 0
+    // (which would degenerate to a block-wide all-pairs join)
+    val dupes = Seq((1L, -42L, "b"), (2L, -42L, "b"), (3L, 7L, "b"))
+      .toDF("id", "simhash", "block_src")
+    val exact = Dedup.simHashNearDupsBanded(dupes, "id", $"block_src",
+      maxHamming = 0, bits = 64)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(exact == Set((1L, 2L)))
     val allPairs = Dedup.simHashNearDups(df, "id", $"block_src", maxHamming = 8)
       .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Int)]
       .collect().toSet
