@@ -647,6 +647,22 @@ object SparkEntry {
       Knn.ivfAssign(embs, "vec_id", "embedding", refined)
         .orderBy("vec_id")
     }),
+    // the full ANN search over REFINED centroids: ivfRefine → ivfTopK —
+    // q44's search with the better quantizer, proving the refine output
+    // drops into the probe/re-rank path end to end
+    "q74_knn_ivf_refined" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val seeds = embs.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val refined = Knn.ivfRefine(embs, "vec_id", "embedding", seeds,
+        iters = 1)
+      Knn.ivfTopK(embs, embs.filter(col("vec_id") < 20), refined,
+        "vec_id", "embedding", k = 5, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
 
     // ---- text analysis (training-data curation)
     "q50_token_counts" -> ((s, dir) => {
@@ -1608,6 +1624,71 @@ object SparkEntry {
          |    ORDER BY cos DESC, cid) AS rn
          |  FROM rescored) x WHERE rn = 1
          |ORDER BY vec_id""".stripMargin,
+    // q44's probe/re-rank tail over q67's refined centroids: the seed
+    // assign → fold means → refined-cell assign, then each query probes
+    // its 2 nearest refined cells and re-ranks exactly
+    "q74_knn_ivf_refined" ->
+      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cvec
+         |               FROM embeddings WHERE vec_id < 16),
+         |ascored AS (
+         |  SELECT e.vec_id, c.cid,
+         |    ${duckCos("e.embedding", "c.cvec")} AS cos
+         |  FROM embeddings e CROSS JOIN cents c),
+         |assigned AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cos DESC, cid) AS rn
+         |    FROM ascored) x WHERE rn = 1),
+         |comp AS (
+         |  SELECT a.cid, ii AS pos, e.vec_id,
+         |    CAST(e.embedding[ii] AS DOUBLE) AS x
+         |  FROM assigned a JOIN embeddings e USING (vec_id)
+         |  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS ii) idx),
+         |means AS (
+         |  SELECT cid, pos,
+         |    CAST(list_reduce(list(x ORDER BY vec_id), (a, b) -> a + b)
+         |      / count(*) AS FLOAT) AS m
+         |  FROM comp GROUP BY cid, pos),
+         |rcents AS (
+         |  SELECT c.cid, coalesce(mv.cvec, c.cvec) AS cvec
+         |  FROM cents c LEFT JOIN (
+         |    SELECT cid, list(m ORDER BY pos) AS cvec
+         |    FROM means GROUP BY cid) mv USING (cid)),
+         |rascored AS (
+         |  SELECT e.vec_id, c.cid,
+         |    ${duckCos("e.embedding", "c.cvec")} AS cos
+         |  FROM embeddings e CROSS JOIN rcents c),
+         |rassigned AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cos DESC, cid) AS rn
+         |    FROM rascored) x WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv
+         |      FROM embeddings WHERE vec_id < 20),
+         |probed AS (
+         |  SELECT query_id, cid FROM (
+         |    SELECT query_id, c.cid,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY ${duckCos("qv", "c.cvec")} DESC, c.cid) AS pr
+         |    FROM q CROSS JOIN rcents c) y WHERE pr <= 2),
+         |cand AS (
+         |  SELECT query_id, a.vec_id AS neighbor_id
+         |  FROM probed p JOIN rassigned a ON p.cid = a.cid
+         |  WHERE query_id != a.vec_id),
+         |rescored AS (
+         |  SELECT query_id, neighbor_id,
+         |    ${duckCos("qe.embedding", "ne.embedding")} AS cosine
+         |  FROM cand
+         |  JOIN embeddings qe ON cand.query_id = qe.vec_id
+         |  JOIN embeddings ne ON cand.neighbor_id = ne.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM rescored)
+         |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
+         |FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
 
     // ---- text analysis oracles
     "q50_token_counts" ->
