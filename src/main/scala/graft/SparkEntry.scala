@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.expressions.Window
 
 import graft.functions.{GraftFunctions, HashFunctions, TextAnalysis, TextFunctions}
-import graft.operators.{Decontaminate, Dedup, Jaccard, Knn, TemporalJoins}
+import graft.operators.{CountMin, Decontaminate, Dedup, Jaccard, Knn, TemporalJoins}
 
 /** Driver contract — the engine's query surface over the driver's parquet
   * fixtures, with a DuckDB-runnable oracle per query.
@@ -833,6 +833,57 @@ object SparkEntry {
           col("channels").cast("long").as("channels"),
           col("duration_ms"))
         .orderBy("id")
+    }),
+
+    // ---- repetition / sub-document duplication / frequency sketches
+    // Gopher-style repetition gate: top-n-gram and duplicate-n-gram
+    // fractions per doc (word bigrams + trigrams off one tokenizer pass)
+    "q75_repetition_stats" -> ((s, dir) => {
+      TextAnalysis.repetitionStats(t(s, dir, "documents"), "doc_id", "text",
+        ns = Seq(2, 3))
+        .orderBy("doc_id")
+    }),
+    // C4/RefinedWeb-style sub-document duplication: 8-word chunks counted
+    // corpus-wide; per-doc fraction of chunks that appear elsewhere
+    "q76_chunk_stats" -> ((s, dir) => {
+      Dedup.chunkStats(t(s, dir, "documents"), "doc_id", "text",
+        chunkWords = 8)
+        .orderBy("doc_id")
+    }),
+    // count-min sketch cells over the token OCCURRENCE stream (multiset —
+    // contrast q37's HLL, which sketches the distinct set). Deterministic
+    // integers, so the registers gate exactly, like q37
+    "q77_cms_registers" -> ((s, dir) => {
+      val posts = t(s, dir, "documents")
+        .filter(lower(col("text")).rlike("[a-z0-9]"))
+        .select(TextFunctions.normalizedWords(col("text")).as("__ws"))
+        .select(explode_outer(col("__ws")).as("tok"))
+      CountMin.registers(posts, "tok", depth = 4, width = 64)
+        .orderBy("row", "bucket")
+    }),
+    // CMS point estimates for the exact top-10 tokens, next to their true
+    // counts — the heavy-hitter readout (est ≥ exact; both engines
+    // compute the same deterministic cells, so any collision inflates
+    // both sides identically)
+    "q78_cms_heavy_hitters" -> ((s, dir) => {
+      val posts = t(s, dir, "documents")
+        .filter(lower(col("text")).rlike("[a-z0-9]"))
+        .select(TextFunctions.normalizedWords(col("text")).as("__ws"))
+        .select(explode_outer(col("__ws")).as("tok"))
+      val top = posts.groupBy(col("tok")).agg(count(lit(1)).as("exact"))
+        .orderBy(col("exact").desc, col("tok")).limit(10)
+      val regs = CountMin.registers(posts, "tok", depth = 4, width = 64)
+      CountMin.estimate(regs, top.select("tok"), "tok", depth = 4, width = 64)
+        .join(top, "tok")
+        .select(col("tok"), col("exact"), col("est"))
+        .orderBy("tok")
+    }),
+    // the corpus AFTER exact dedup (keeper = min doc_id per content
+    // hash) — the materialization q30's group table feeds
+    "q79_dedup_keep_first" -> ((s, dir) => {
+      Dedup.exactDeduped(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
     })
   )
 
@@ -869,6 +920,35 @@ object SparkEntry {
   /** DuckDB 60-bit md5 hash matching HashFunctions.md5Long. */
   private def h60(x: String): String =
     s"('0x'||substr(md5($x),1,15))::BIGINT"
+
+  /** DuckDB live-doc words (id present + ≥1 alnum char) matching the
+    * filter in TextAnalysis.repetitionStats / Dedup.chunkStats.
+    */
+  private val LiveWordsCte =
+    s"""ws AS (
+      |  SELECT doc_id, list_filter(
+      |    string_split_regex(
+      |      regexp_replace(lower(text), '[^a-z0-9$WsClass]', ' ', 'g'),
+      |      '[$WsClass]+'),
+      |    x -> x != '') AS w
+      |  FROM documents
+      |  WHERE doc_id IS NOT NULL
+      |    AND regexp_matches(lower(text), '[a-z0-9]')
+      |)""".stripMargin
+
+  /** DuckDB token OCCURRENCE stream (multiset, no doc key) matching the
+    * q77/q78 postings projection.
+    */
+  private val TokStreamCte =
+    s"""tokstream AS (
+      |  SELECT unnest(list_filter(
+      |    string_split_regex(
+      |      regexp_replace(lower(text), '[^a-z0-9$WsClass]', ' ', 'g'),
+      |      '[$WsClass]+'),
+      |    x -> x != '')) AS tok
+      |  FROM documents
+      |  WHERE regexp_matches(lower(text), '[a-z0-9]')
+      |)""".stripMargin
 
   /** DuckDB MinHash signature CTE (k=8) matching
     * Dedup.minHashSignatures over 3-word shingles — same md5-derived
@@ -1689,6 +1769,89 @@ object SparkEntry {
          |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
          |FROM ranked WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
+
+    // ---- repetition / chunk-dup / CMS oracles
+    // docs shorter than n words have no width-n grams: no agg row for
+    // that (doc, n), so the CASE max is NULL — and one-word docs vanish
+    // entirely (no grams at any width), both matching the Spark pivot
+    "q75_repetition_stats" ->
+      s"""WITH $LiveWordsCte,
+         |grams AS (
+         |  SELECT doc_id, 2 AS n,
+         |    unnest(list_transform(range(1, len(w)),
+         |      i -> w[i] || ' ' || w[i+1])) AS g
+         |  FROM ws
+         |  UNION ALL
+         |  SELECT doc_id, 3 AS n,
+         |    unnest(list_transform(range(1, len(w) - 1),
+         |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+         |  FROM ws),
+         |cnt AS (SELECT doc_id, n, g, count(*) AS c FROM grams
+         |        GROUP BY 1, 2, 3),
+         |agg AS (SELECT doc_id, n, max(c) AS maxc, sum(c) AS sumc,
+         |          count(*) AS distc
+         |        FROM cnt GROUP BY 1, 2)
+         |SELECT doc_id,
+         |  round(max(CASE WHEN n = 2 THEN maxc::DOUBLE / sumc END), 4)
+         |    AS top2gram_frac,
+         |  round(max(CASE WHEN n = 2 THEN 1.0 - distc::DOUBLE / sumc END), 4)
+         |    AS dup2gram_frac,
+         |  round(max(CASE WHEN n = 3 THEN maxc::DOUBLE / sumc END), 4)
+         |    AS top3gram_frac,
+         |  round(max(CASE WHEN n = 3 THEN 1.0 - distc::DOUBLE / sumc END), 4)
+         |    AS dup3gram_frac
+         |FROM agg GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q76_chunk_stats" ->
+      s"""WITH $LiveWordsCte,
+         |chunks AS (
+         |  SELECT doc_id, unnest(list_transform(
+         |    range(0, CAST(ceil(len(w) / 8.0) AS INT)),
+         |    i -> array_to_string(w[i*8+1:i*8+8], ' '))) AS ch
+         |  FROM ws WHERE len(w) > 0),
+         |gc AS (SELECT ch, count(*) AS n FROM chunks GROUP BY 1)
+         |SELECT doc_id, count(*) AS n_chunks,
+         |  CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS dup_chunks,
+         |  round(CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 4) AS dup_chunk_frac
+         |FROM chunks JOIN gc USING (ch)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q77_cms_registers" ->
+      s"""WITH $TokStreamCte,
+         |cells AS (
+         |  SELECT CAST(r AS BIGINT) AS "row",
+         |    ${h60("r || ':' || tok")} % 64 AS bucket
+         |  FROM tokstream
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS r) rs)
+         |SELECT "row", bucket, count(*) AS cnt FROM cells
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q78_cms_heavy_hitters" ->
+      s"""WITH $TokStreamCte,
+         |exactc AS (SELECT tok, count(*) AS exact FROM tokstream
+         |           GROUP BY 1),
+         |top AS (SELECT tok, exact FROM exactc
+         |        ORDER BY exact DESC, tok LIMIT 10),
+         |cells AS (
+         |  SELECT r, ${h60("r || ':' || tok")} % 64 AS bucket
+         |  FROM tokstream
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS r) rs),
+         |regs AS (SELECT r, bucket, count(*) AS cnt FROM cells
+         |         GROUP BY 1, 2),
+         |est AS (
+         |  SELECT t.tok, min(coalesce(g.cnt, 0)) AS est
+         |  FROM top t
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS r) rs
+         |  LEFT JOIN regs g ON g.r = rs.r
+         |    AND g.bucket = ${h60("rs.r || ':' || t.tok")} % 64
+         |  GROUP BY 1)
+         |SELECT t.tok, t.exact, CAST(e.est AS BIGINT) AS est
+         |FROM top t JOIN est e USING (tok) ORDER BY tok""".stripMargin,
+    "q79_dedup_keep_first" ->
+      s"""SELECT d.doc_id, d.source, d.n_chars
+         |FROM documents d
+         |JOIN (SELECT min(doc_id) AS doc_id FROM documents
+         |      GROUP BY md5(text)) k USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     // ---- text analysis oracles
     "q50_token_counts" ->

@@ -63,6 +63,57 @@ object TextAnalysis {
         greatest(nWords, lit(1L)), 4))
   }
 
+  /** Repetition statistics (Gopher-style): for each word n-gram width in
+    * `ns`, the fraction of n-gram occurrences claimed by the single most
+    * frequent n-gram (`top{n}gram_frac`) and the fraction that are repeat
+    * occurrences (`dup{n}gram_frac` = 1 − distinct/total). High values
+    * flag boilerplate and degenerate machine-generated text — the
+    * standard repetition gate a corpus pipeline applies alongside
+    * `qualityStats`.
+    *
+    * Shape: ONE corpus scan and ONE tokenizer pass. Every requested width
+    * is windowed off the same materialized words attribute and tagged
+    * with its `n` into a single exploded (id, n, gram) stream, so adding
+    * widths adds lambda passes over an in-memory array, not scans. Counts
+    * aggregate by (id, n, gram) with map-side combine — the shuffle
+    * carries one row per distinct per-doc n-gram, bounded by document
+    * length, never by corpus size — then reduce to per-(id, n) maxima and
+    * pivot to columns on the known `ns` values. Docs shorter than `n`
+    * words have no width-n grams: their width-n columns are null (the
+    * oracle reproduces this).
+    */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String,
+                      ns: Seq[Int] = Seq(2, 3)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), s"invalid n-gram widths: $ns")
+    val live = docs
+      .filter(col(idCol).isNotNull && lower(col(textCol)).rlike("[a-z0-9]"))
+      .select(col(idCol),
+        TextFunctions.normalizedWords(col(textCol)).as("__ws"))
+    val tagged = flatten(array(ns.map { n =>
+      transform(TextFunctions.wordNgramsAllOf(col("__ws"), n),
+        g => struct(lit(n).as("n"), g.as("g")))
+    }: _*))
+    val grams = live
+      .select(col(idCol), explode(tagged).as("__ng"))
+      .select(col(idCol), col("__ng.n").as("n"), col("__ng.g").as("g"))
+    val counts = grams.groupBy(col(idCol), col("n"), col("g"))
+      .agg(count(lit(1)).as("c"))
+    val perN = counts.groupBy(col(idCol), col("n")).agg(
+      max(col("c")).as("maxc"),
+      sum(col("c")).as("sumc"),
+      count(lit(1)).as("distc"))
+    val metrics = ns.flatMap { n =>
+      Seq(
+        round(max(when(col("n") === n,
+          col("maxc").cast("double") / col("sumc"))), 4)
+          .as(s"top${n}gram_frac"),
+        round(max(when(col("n") === n,
+          lit(1.0) - col("distc").cast("double") / col("sumc"))), 4)
+          .as(s"dup${n}gram_frac"))
+    }
+    perN.groupBy(col(idCol)).agg(metrics.head, metrics.tail: _*)
+  }
+
   /** Tiny per-language stopword lexicons for the n-gram/stopword language
     * heuristic. Deliberately small — language ID here is a cheap routing
     * signal, not a classifier.

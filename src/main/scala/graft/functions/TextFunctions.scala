@@ -97,4 +97,22 @@ object TextFunctions {
   /** Word n-gram shingles over an already-computed words array column. */
   def wordShinglesOf(words: Column, n: Int): Column =
     windowed(words, n, (a, b) => concat_ws(" ", a, b))
+
+  /** Word n-grams as a MULTISET (duplicates kept, occurrence counts
+    * preserved) over an already-computed words array attribute — exactly
+    * `max(0, len - n + 1)` full-width grams, none when `len < n`. The
+    * repetition statistics (`TextAnalysis.repetitionStats`) need counts,
+    * so neither `windowed`'s `array_distinct` nor its short trailing
+    * window apply here. Same zip-with chain as `windowed` (see the WHY
+    * above): `words` must be a materialized attribute, never an inline
+    * tokenizer chain.
+    */
+  def wordNgramsAllOf(words: Column, n: Int): Column = {
+    val joined = (2 to n).foldLeft(words) { (acc, o) =>
+      val shifted = slice(words, lit(o),
+        greatest(size(words) - lit(o - 1), lit(0)))
+      zip_with(acc, shifted, (a, b) => concat_ws(" ", a, b))
+    }
+    slice(joined, lit(1), greatest(size(words) - lit(n - 1), lit(0)))
+  }
 }

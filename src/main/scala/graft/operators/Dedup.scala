@@ -38,6 +38,51 @@ object Dedup {
       exactGroups(docs, idCol, textCol).select(col("keeper_id").as(idCol)),
       idCol)
 
+  /** Sub-document (chunk-level) duplication statistics — the C4/RefinedWeb
+    * "duplicated span" signal. Documents are cut into consecutive
+    * `chunkWords`-word windows (last one possibly shorter); chunk
+    * occurrences are counted across the WHOLE corpus; each doc reports how
+    * many of its chunks also appear elsewhere. `dup_chunk_frac` near 1
+    * means the document is assembled from corpus boilerplate even when no
+    * whole-document duplicate exists — the gap exact dedup can't see.
+    *
+    * Scale shape: chunks shuffle as (id, md5(chunk)) — a fixed-width hash,
+    * never the chunk text — so shuffle width is independent of
+    * `chunkWords`. Global counts are one hash-partitioned aggregation with
+    * map-side combine; the count join is an equi-join on the same hash key
+    * (the aggregation's exchange is reusable), and a corpus-boilerplate
+    * hot chunk skews one key, which AQE skew-join splits — the reason this
+    * is a groupBy+join and not a `count over (partition by hash)` window,
+    * which would buffer the hot chunk's rows in one task.
+    */
+  def chunkStats(docs: DataFrame, idCol: String, textCol: String,
+                 chunkWords: Int = 8): DataFrame = {
+    require(chunkWords >= 1, s"chunkWords must be >= 1: $chunkWords")
+    val live = docs
+      .filter(col(idCol).isNotNull && lower(col(textCol)).rlike("[a-z0-9]"))
+      .select(col(idCol),
+        TextFunctions.normalizedWords(col(textCol)).as("__ws"))
+      .filter(size(col("__ws")) > 0)
+    val nChunks = ceil(size(col("__ws")).cast("double") / chunkWords)
+      .cast("int")
+    // `__ws` is a materialized attribute, so referencing it from the
+    // lambda body is an attribute read, not a re-run tokenizer chain
+    val chunks = live
+      .select(col(idCol), explode(transform(
+        sequence(lit(0), nChunks - 1),
+        i => concat_ws(" ", slice(col("__ws"), i * chunkWords + 1,
+          lit(chunkWords))))).as("__chunk"))
+      .select(col(idCol), md5(col("__chunk")).as("__h"))
+    val global = chunks.groupBy(col("__h")).agg(count(lit(1)).as("__n"))
+    chunks.join(global, "__h")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("__n") > 1, 1L).otherwise(0L)).as("dup_chunks"),
+        round(sum(when(col("__n") > 1, 1L).otherwise(0L)).cast("double")
+          / count(lit(1)), 4).as("dup_chunk_frac"))
+  }
+
   /** Streaming exact dedup at ingestion: first arrival of each content
     * hash passes, replays/duplicates drop. State = one row per distinct
     * hash within the watermark horizon — `withWatermark` + an event-time
