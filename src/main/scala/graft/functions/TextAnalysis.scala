@@ -93,8 +93,15 @@ object TextAnalysis {
       transform(TextFunctions.wordNgramsAllOf(col("__ws"), n),
         g => struct(lit(n).as("n"), g.as("g")))
     }: _*))
+    // explode_outer + a null filter on the OUTPUT attribute: an inner
+    // explode would infer size(<gram chains>)>0 on the generator input,
+    // and predicate pushdown substitutes __ws's tokenizer chain into that
+    // filter on its way to the scan (the q23 scan-filter trap). The null
+    // rows outer-explode emits for docs shorter than min(ns) words drop
+    // here, above the Generate, restoring inner-explode semantics.
     val grams = live
-      .select(col(idCol), explode(tagged).as("__ng"))
+      .select(col(idCol), explode_outer(tagged).as("__ng"))
+      .filter(col("__ng").isNotNull)
       .select(col(idCol), col("__ng.n").as("n"), col("__ng.g").as("g"))
     val counts = grams.groupBy(col(idCol), col("n"), col("g"))
       .agg(count(lit(1)).as("c"))

@@ -58,17 +58,20 @@ object Dedup {
   def chunkStats(docs: DataFrame, idCol: String, textCol: String,
                  chunkWords: Int = 8): DataFrame = {
     require(chunkWords >= 1, s"chunkWords must be >= 1: $chunkWords")
+    // the rlike guard guarantees ≥1 token, so every live doc has ≥1
+    // chunk — no size(__ws)>0 filter (pushdown would substitute the
+    // tokenizer chain into the scan filter) and outer ≡ inner explode
+    // (no inferred size()>0 on the chunk-building chain either)
     val live = docs
       .filter(col(idCol).isNotNull && lower(col(textCol)).rlike("[a-z0-9]"))
       .select(col(idCol),
         TextFunctions.normalizedWords(col(textCol)).as("__ws"))
-      .filter(size(col("__ws")) > 0)
     val nChunks = ceil(size(col("__ws")).cast("double") / chunkWords)
       .cast("int")
     // `__ws` is a materialized attribute, so referencing it from the
     // lambda body is an attribute read, not a re-run tokenizer chain
     val chunks = live
-      .select(col(idCol), explode(transform(
+      .select(col(idCol), explode_outer(transform(
         sequence(lit(0), nChunks - 1),
         i => concat_ws(" ", slice(col("__ws"), i * chunkWords + 1,
           lit(chunkWords))))).as("__chunk"))

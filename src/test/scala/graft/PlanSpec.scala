@@ -140,7 +140,9 @@ class PlanSpec extends SparkSpec {
     for (name <- Seq("q21_jac_word_df", "q31_minhash_sig",
         "q34_simhash_neardups", "q35_ngram_neardups", "q36_cosine_neardups",
         "q37_hll_registers", "q58_term_scores",
-        "q65_simhash_neardups_banded", "q66_cosine_neardups_lsh")) {
+        "q65_simhash_neardups_banded", "q66_cosine_neardups_lsh",
+        "q75_repetition_stats", "q76_chunk_stats", "q77_cms_registers",
+        "q78_cms_heavy_hitters")) {
       val p = finalPlan(q(name)).split("== Initial Plan ==")(0)
       p.linesIterator
         .filter(l => l.contains("Filter") || l.contains("FileScan"))
