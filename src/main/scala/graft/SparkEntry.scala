@@ -884,6 +884,42 @@ object SparkEntry {
       Dedup.exactDeduped(t(s, dir, "documents"), "doc_id", "text")
         .select(col("doc_id"), col("source"), col("n_chars"))
         .orderBy("doc_id")
+    }),
+    // Bloom filter of the benchmark corpus's 3-shingle set — the
+    // broadcastable membership sketch (deterministic bit rows, exact gate
+    // like q37's HLL registers and q77's CMS cells)
+    "q80_bloom_bits" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val bench = t(s, dir, "documents")
+        .filter(col("source") === "src0" &&
+          lower(col("text")).rlike("[a-z0-9]"))
+        .select(TextFunctions.normalizedWords(col("text")).as("__ws"))
+        .select(explode_outer(array_distinct(
+          GraftFunctions.wordNGrams(col("__ws"), 3))).as("shingle"))
+      graft.operators.Bloom.bits(bench, "shingle", m = 65536, k = 3)
+        .orderBy("bit")
+    }),
+    // q46's decontamination overlap answered from the q80 sketch instead
+    // of the cross-corpus posting join: the training side never shuffles
+    // by content — k broadcast joins + one per-doc aggregation. n_maybe
+    // counts shingles the filter flags (includes its deterministic false
+    // positives; both engines reproduce them bit-identically)
+    "q81_bloom_decontaminate" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val docs = t(s, dir, "documents")
+      def shingles(df: DataFrame): DataFrame = df
+        .filter(lower(col("text")).rlike("[a-z0-9]"))
+        .select(col("doc_id"),
+          TextFunctions.normalizedWords(col("text")).as("__ws"))
+        .select(col("doc_id"), explode_outer(array_distinct(
+          GraftFunctions.wordNGrams(col("__ws"), 3))).as("shingle"))
+      val benchBits = graft.operators.Bloom.bits(
+        shingles(docs.filter(col("source") === "src0")).select("shingle"),
+        "shingle", m = 65536, k = 3)
+      graft.operators.Bloom.probeStats(benchBits,
+        shingles(docs.filter(col("source") =!= "src0")),
+        "doc_id", "shingle", m = 65536, k = 3)
+        .orderBy("doc_id")
     })
   )
 
@@ -1852,6 +1888,36 @@ object SparkEntry {
          |JOIN (SELECT min(doc_id) AS doc_id FROM documents
          |      GROUP BY md5(text)) k USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    "q80_bloom_bits" ->
+      s"""WITH $WordsCte,
+         |$ShinglesCte,
+         |bsh AS (SELECT unnest(shingles) AS shingle FROM sh
+         |        WHERE source = 'src0')
+         |SELECT DISTINCT ${h60("j || ':' || shingle")} % 65536 AS bit
+         |FROM bsh CROSS JOIN
+         |  (SELECT unnest(generate_series(0, 2)) AS j) js
+         |ORDER BY bit""".stripMargin,
+    "q81_bloom_decontaminate" ->
+      s"""WITH $WordsCte,
+         |$ShinglesCte,
+         |bits AS (
+         |  SELECT DISTINCT ${h60("j || ':' || shingle")} % 65536 AS bit
+         |  FROM (SELECT unnest(shingles) AS shingle FROM sh
+         |        WHERE source = 'src0') bsh
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS j) js),
+         |probes AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh
+         |           WHERE source != 'src0'),
+         |flags AS (
+         |  SELECT doc_id,
+         |    (${h60("'0:' || shingle")} % 65536 IN (SELECT bit FROM bits))
+         |    AND (${h60("'1:' || shingle")} % 65536 IN (SELECT bit FROM bits))
+         |    AND (${h60("'2:' || shingle")} % 65536 IN (SELECT bit FROM bits))
+         |      AS maybe
+         |  FROM probes)
+         |SELECT doc_id, count(*) AS n_probes,
+         |  CAST(sum(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_maybe
+         |FROM flags GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // ---- text analysis oracles
     "q50_token_counts" ->

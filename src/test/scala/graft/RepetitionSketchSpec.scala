@@ -3,9 +3,11 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextAnalysis, TextFunctions}
-import graft.operators.{CountMin, Dedup}
+import graft.operators.{Bloom, CountMin, Dedup}
 
-/** Repetition stats, chunk-level duplication, and the count-min sketch. */
+/** Repetition stats, chunk-level duplication, count-min sketch, and the
+  * Bloom filter.
+  */
 class RepetitionSketchSpec extends SparkSpec {
   import spark.implicits._
 
@@ -85,5 +87,27 @@ class RepetitionSketchSpec extends SparkSpec {
     // token may still read a colliding cell — that's the structure's
     // false-positive mode, not a bug)
     assert(est("hot") >= 5L && est("a") >= 1L && est("never_seen") >= 0L)
+  }
+
+  test("Bloom filter never false-negatives and merges by bit union") {
+    val ref = Seq("alpha", "beta", "gamma").toDF("tok")
+    val bits = Bloom.bits(ref, "tok", m = 256, k = 3)
+    val probes = Seq(
+      (1L, "alpha"), (1L, "beta"),   // both members → both flagged
+      (2L, "gamma"), (2L, "zeta"),   // one member, one maybe-FP
+      (3L, "omega")                  // non-member
+    ).toDF("id", "tok")
+    val stats = Bloom.probeStats(bits, probes, "id", "tok", m = 256, k = 3)
+      .orderBy("id").as[(Long, Long, Long)].collect()
+    assert(stats(0) == ((1L, 2L, 2L)))
+    assert(stats(1)._3 >= 1L)  // gamma must be flagged (no false negatives)
+    assert(stats(2)._2 == 1L)
+    // union of shard filters == filter of the union (sketch mergeability)
+    val merged = Bloom.bits(Seq("alpha").toDF("tok"), "tok", m = 256, k = 3)
+      .union(Bloom.bits(Seq("beta", "gamma").toDF("tok"), "tok",
+        m = 256, k = 3))
+      .distinct()
+    assert(merged.orderBy("bit").as[Long].collect().toSeq ==
+      bits.orderBy("bit").as[Long].collect().toSeq)
   }
 }
