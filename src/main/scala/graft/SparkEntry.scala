@@ -920,6 +920,21 @@ object SparkEntry {
         shingles(docs.filter(col("source") =!= "src0")),
         "doc_id", "shingle", m = 65536, k = 3)
         .orderBy("doc_id")
+    }),
+    // sequence packing: deterministic doc → token-budget pack assignment
+    // (hash-sharded, per-shard prefix sums — no global sort anywhere)
+    "q82_token_packing" -> ((s, dir) => {
+      graft.operators.Packing.assignPacks(t(s, dir, "documents"),
+        "doc_id", "text", budget = 512, shards = 8)
+        .orderBy("doc_id")
+    }),
+    // pack-level rollup with an order-sensitive digest of each pack's
+    // concatenated text — proves the assembled training sequences are
+    // byte-deterministic, not just the assignment
+    "q83_pack_digests" -> ((s, dir) => {
+      graft.operators.Packing.packDigests(t(s, dir, "documents"),
+        "doc_id", "text", budget = 512, shards = 8)
+        .orderBy("shard", "pack_id")
     })
   )
 
@@ -1918,6 +1933,44 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_maybe
          |FROM flags GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // window frames: both engines default to RANGE ... CURRENT ROW, and
+    // ids are unique within a shard, so the prefix sums agree exactly
+    "q82_token_packing" ->
+      s"""WITH $LiveWordsCte,
+         |c AS (
+         |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+         |    ${h60("'pack:' || doc_id")} % 8 AS shard
+         |  FROM ws),
+         |a AS (
+         |  SELECT doc_id, shard, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+         |      AS BIGINT) AS cum_tokens
+         |  FROM c)
+         |SELECT doc_id, shard, n_tokens, cum_tokens,
+         |  CAST(floor(CAST(cum_tokens - n_tokens AS DOUBLE) / 512)
+         |    AS BIGINT) AS pack_id
+         |FROM a ORDER BY doc_id""".stripMargin,
+    "q83_pack_digests" ->
+      s"""WITH $LiveWordsCte,
+         |c AS (
+         |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+         |    ${h60("'pack:' || doc_id")} % 8 AS shard
+         |  FROM ws),
+         |a AS (
+         |  SELECT doc_id, shard, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+         |      AS cum
+         |  FROM c),
+         |p AS (
+         |  SELECT doc_id, shard, n_tokens,
+         |    CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 512) AS BIGINT)
+         |      AS pack_id
+         |  FROM a)
+         |SELECT shard, pack_id, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+         |  md5(string_agg(d.text, ' ' ORDER BY doc_id)) AS pack_md5
+         |FROM p JOIN documents d USING (doc_id)
+         |GROUP BY shard, pack_id ORDER BY shard, pack_id""".stripMargin,
 
     // ---- text analysis oracles
     "q50_token_counts" ->

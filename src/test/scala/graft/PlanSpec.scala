@@ -143,7 +143,8 @@ class PlanSpec extends SparkSpec {
         "q65_simhash_neardups_banded", "q66_cosine_neardups_lsh",
         "q75_repetition_stats", "q76_chunk_stats", "q77_cms_registers",
         "q78_cms_heavy_hitters", "q80_bloom_bits",
-        "q81_bloom_decontaminate")) {
+        "q81_bloom_decontaminate", "q82_token_packing",
+        "q83_pack_digests")) {
       val p = finalPlan(q(name)).split("== Initial Plan ==")(0)
       p.linesIterator
         .filter(l => l.contains("Filter") || l.contains("FileScan"))

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextAnalysis, TextFunctions}
-import graft.operators.{Bloom, CountMin, Dedup}
+import graft.operators.{Bloom, CountMin, Dedup, Packing}
 
 /** Repetition stats, chunk-level duplication, count-min sketch, and the
   * Bloom filter.
@@ -109,5 +109,50 @@ class RepetitionSketchSpec extends SparkSpec {
       .distinct()
     assert(merged.orderBy("bit").as[Long].collect().toSeq ==
       bits.orderBy("bit").as[Long].collect().toSeq)
+  }
+
+  test("assignPacks gives offset-packing prefix sums, invariant to partitioning") {
+    val docs = Seq.tabulate(60) { i =>
+      (i.toLong, Seq.fill(i % 7 + 1)(s"w$i").mkString(" "))
+    }.toDF("doc_id", "text")
+    val packs = Packing.assignPacks(docs, "doc_id", "text",
+      budget = 10, shards = 3)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .sortBy(_._1)
+    assert(packs.length == 60)
+    // recompute the offset-packing invariants per shard
+    packs.groupBy(_._2).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(_._1)
+      var cum = 0L
+      ordered.foreach { case (_, _, n, cumTok, packId) =>
+        assert(cumTok == cum + n)         // prefix sum in doc_id order
+        assert(packId == cum / 10)        // pack where the first token lands
+        cum = cumTok
+      }
+      // pack ids start at 0 and never skip
+      val ids = ordered.map(_._5).distinct
+      assert(ids.head == 0L && ids.zip(ids.tail).forall(p => p._2 - p._1 <= 1))
+    }
+    // physical partitioning must not change the assignment
+    val reparted = Packing.assignPacks(docs.repartition(7), "doc_id", "text",
+      budget = 10, shards = 3)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(reparted.toSeq == packs.toSeq)
+  }
+
+  test("packDigests digest the id-ordered pack text deterministically") {
+    val docs = Seq.tabulate(40) { i =>
+      (i.toLong, s"alpha beta w$i gamma")
+    }.toDF("doc_id", "text")
+    val a = Packing.packDigests(docs, "doc_id", "text", budget = 16, shards = 2)
+      .orderBy("shard", "pack_id")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    val b = Packing.packDigests(docs.repartition(11), "doc_id", "text",
+      budget = 16, shards = 2)
+      .orderBy("shard", "pack_id")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(a == b)                       // shuffle-order independent
+    assert(a.map(_._5).distinct.size == a.size) // distinct packs differ
+    assert(a.map(_._3).sum == 40L)       // every doc in exactly one pack
   }
 }
