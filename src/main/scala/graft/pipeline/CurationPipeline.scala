@@ -10,11 +10,13 @@ import graft.operators.Dedup
   * cascade, composed from the engine's gated operators —
   *
   *   1. quality gate (length / alpha ratio / stopword ratio — C4-style)
-  *   2. language gate (stopword-lexicon language ID)
-  *   3. benchmark decontamination (optional: cross-corpus n-gram
+  *   2. repetition gate (optional: Gopher-style duplicate-bigram
+  *      fraction cap — `TextAnalysis.repetitionStats`)
+  *   3. language gate (stopword-lexicon language ID)
+  *   4. benchmark decontamination (optional: cross-corpus n-gram
   *      coverage vs a held-out eval set — `Decontaminate.ngramOverlap`)
-  *   4. exact dedup (content-hash groupBy, keeper = min id)
-  *   5. near-dedup (MinHash over 3-word shingles → LSH banding →
+  *   5. exact dedup (content-hash groupBy, keeper = min id)
+  *   6. near-dedup (MinHash over 3-word shingles → LSH banding →
   *      exact n-gram Jaccard verification of candidates; drop the larger
   *      id of each verified pair)
   *
@@ -99,6 +101,7 @@ object CurationPipeline {
           benchmarks: Option[DataFrame] = None,
           contaminationN: Int = 3,
           maxContamination: Double = 0.5,
+          maxDupBigramFrac: Option[Double] = None,
           stageCounts: Boolean = false): Result = {
     // intermediates cached for the stage-count run are unpersisted before
     // returning; `curated` itself is never cached here — callers that will
@@ -123,10 +126,24 @@ object CurationPipeline {
       .filter(quality).select(col(idCol))
     val afterQuality = staged(slim.join(q, idCol))
 
+    // optional repetition gate (Gopher-style): drop boilerplate whose
+    // duplicate-bigram fraction crosses the cap. Same slim-id-set shape
+    // as every other stage. Docs with fewer than two words have no
+    // bigrams and drop here — they are degenerate under any repetition
+    // policy and fail the default minWords quality gate anyway.
+    val afterRepetition = maxDupBigramFrac match {
+      case None => afterQuality
+      case Some(cap) => staged(afterQuality.join(
+        TextAnalysis.repetitionStats(afterQuality, idCol, textCol,
+          ns = Seq(2))
+          .filter(col("dup2gram_frac") <= cap)
+          .select(col(idCol)), idCol))
+    }
+
     val afterLang = staged(
-      if (languages.isEmpty) afterQuality
-      else afterQuality.join(
-        TextAnalysis.langId(afterQuality, idCol, textCol)
+      if (languages.isEmpty) afterRepetition
+      else afterRepetition.join(
+        TextAnalysis.langId(afterRepetition, idCol, textCol)
           .filter(col("lang_pred").isin(languages.toSeq.map(lit): _*))
           .select(col(idCol)), idCol))
 
@@ -182,7 +199,9 @@ object CurationPipeline {
           "after_language" -> afterLang.count(),
           "after_exact_dedup" -> afterExact.count(),
           "after_near_dedup" -> keepIds.count()) ++
-          benchmarks.map(_ => "after_decontamination" -> afterDecon.count())
+          benchmarks.map(_ => "after_decontamination" -> afterDecon.count()) ++
+          maxDupBigramFrac.map(_ =>
+            "after_repetition" -> afterRepetition.count())
         Result(curated, () => m)
       } finally toRelease.foreach(_.unpersist(blocking = false))
     } else {

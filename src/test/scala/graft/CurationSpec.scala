@@ -50,4 +50,24 @@ class CurationSpec extends SparkSpec {
     assert(!off.counts.contains("after_decontamination"))
     assert(off.counts("after_near_dedup") == 2L)
   }
+
+  test("optional repetition gate drops boilerplate-heavy docs") {
+    val unique = "a completely different document about the engine and " +
+      "the data pipeline that we keep because it is unique and long enough"
+    // >60% of bigram occurrences are repeats — classic degenerate text
+    val loopy = ("the spam machine goes brr " * 8).trim
+    val docs = Seq((1L, unique), (2L, loopy)).toDF("doc_id", "text")
+    val res = CurationPipeline.run(docs, "doc_id", "text",
+      languages = Set("en"), maxDupBigramFrac = Some(0.5),
+      stageCounts = true)
+    assert(res.counts("after_quality") == 2L, s"got ${res.counts}")
+    assert(res.counts("after_repetition") == 1L, s"got ${res.counts}")
+    assert(res.curated.select("doc_id").as[Long].collect().toSeq == Seq(1L))
+
+    // gate off: loopy doc survives, and no repetition count is reported
+    val off = CurationPipeline.run(docs, "doc_id", "text",
+      languages = Set("en"), stageCounts = true)
+    assert(!off.counts.contains("after_repetition"))
+    assert(off.counts("after_near_dedup") == 2L)
+  }
 }
