@@ -935,6 +935,44 @@ object SparkEntry {
       graft.operators.Packing.packDigests(t(s, dir, "documents"),
         "doc_id", "text", budget = 512, shards = 8)
         .orderBy("shard", "pack_id")
+    }),
+
+    // C4-style blocklist screening: the list folds into the expression
+    // tree — a pure narrow projection, no join, no shuffle
+    "q84_blocklist" -> ((s, dir) => {
+      graft.operators.Scrub.blocklistStats(t(s, dir, "documents"),
+        "doc_id", "text", terms = Seq("slow", "dup", "batch"),
+        maxBlocked = 2)
+        .orderBy("doc_id")
+    }),
+    // PII-shaped regex redaction over event payloads (digit runs →
+    // <NUM>); match counts via engine-portable split cardinality
+    "q85_redact" -> ((s, dir) => {
+      graft.operators.Scrub.redact(
+        t(s, dir, "events").select(col("event_id"), col("props")),
+        "props", rules = Seq(("[0-9]+", "<NUM>")))
+        .orderBy("event_id")
+    }),
+    // temperature-rebalanced (T=2) source mixing with rates derived from
+    // the data in one tiny broadcast agg — corpus never shuffles
+    "q86_temperature_mix" -> ((s, dir) => {
+      graft.operators.Sampling.temperatureMix(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        "doc_id", "source", keepLargest = 0.5)
+        .orderBy("doc_id")
+    }),
+    // the near-dup dedup pipeline end to end: shingles → minhash → LSH
+    // candidates → connected components → keeper corpus (q45's labeling
+    // turned into the deduplicated corpus a trainer actually reads)
+    "q87_neardup_keepers" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sigs = Dedup.minHashSignatures(docs, "doc_id", "text", k = 8,
+        tokenize = Dedup.shingleTokenizer(3))
+      val cands = Dedup.lshCandidates(sigs, "doc_id", k = 8, bands = 4)
+      Dedup.nearDupKeepers(docs, "doc_id",
+        Dedup.connectedComponents(cands, "id_a", "id_b"))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1108,8 +1146,11 @@ object SparkEntry {
     * Shared by q45 (hash-min propagation) and q69 (large-star/small-star
     * contraction) — both must produce the identical labeling.
     */
-  private val NearDupComponentsOracle =
-    s"""WITH RECURSIVE $WordsCte,
+  /** Shared by q45/q69 (the labeling itself) and q87 (the keeper corpus
+    * derived from it): everything up to the transitive closure `reach`.
+    */
+  private lazy val ComponentsCtes =
+    s"""$WordsCte,
        |$ShinglesCte,
        |$SigCte,
        |banded AS (
@@ -1127,7 +1168,10 @@ object SparkEntry {
        |reach AS (
        |  SELECT s AS id, s AS comp FROM edges2
        |  UNION
-       |  SELECT e.t AS id, r.comp FROM reach r JOIN edges2 e ON e.s = r.id)
+       |  SELECT e.t AS id, r.comp FROM reach r JOIN edges2 e ON e.s = r.id)""".stripMargin
+
+  private lazy val NearDupComponentsOracle =
+    s"""WITH RECURSIVE $ComponentsCtes
        |SELECT id AS doc_id, min(comp) AS component
        |FROM reach GROUP BY id
        |ORDER BY doc_id""".stripMargin
@@ -1971,6 +2015,56 @@ object SparkEntry {
          |  md5(string_agg(d.text, ' ' ORDER BY doc_id)) AS pack_md5
          |FROM p JOIN documents d USING (doc_id)
          |GROUP BY shard, pack_id ORDER BY shard, pack_id""".stripMargin,
+
+    "q84_blocklist" ->
+      s"""WITH $WordsCte
+         |SELECT doc_id,
+         |  CAST(len(list_filter(ws,
+         |    w -> w IN ('slow', 'dup', 'batch'))) AS BIGINT) AS n_blocked,
+         |  CAST(len(list_intersect(list_distinct(ws),
+         |    ['slow', 'dup', 'batch'])) AS BIGINT) AS n_blocked_distinct,
+         |  len(list_filter(ws, w -> w IN ('slow', 'dup', 'batch'))) <= 2
+         |    AS keep
+         |FROM words WHERE doc_id IS NOT NULL
+         |ORDER BY doc_id""".stripMargin,
+    // counts via split cardinality: both engines' regex split keeps
+    // trailing empty fields, so len(parts) - 1 = number of matches
+    "q85_redact" ->
+      s"""SELECT event_id, props,
+         |  regexp_replace(props, '[0-9]+', '<NUM>', 'g')
+         |    AS props_redacted,
+         |  CAST(len(string_split_regex(props, '[0-9]+')) - 1 AS BIGINT)
+         |    AS n_0
+         |FROM events ORDER BY event_id""".stripMargin,
+    // cutoffs re-derived from the data with IEEE-exact ops only
+    // (sqrt, *, /, floor) in the same order the operator applies them
+    "q86_temperature_mix" ->
+      s"""WITH c AS (
+         |  SELECT source, count(*) AS n FROM documents GROUP BY source),
+         |m AS (SELECT max(n) AS max_n FROM c),
+         |r AS (
+         |  SELECT source,
+         |    CAST(floor(LEAST(1.0, 0.5 * sqrt(
+         |      CAST(max_n AS DOUBLE) / CAST(n AS DOUBLE))) * 1000000.0)
+         |      AS BIGINT) AS cut
+         |  FROM c CROSS JOIN m),
+         |b AS (
+         |  SELECT doc_id, source,
+         |    ${h60("'graft:'||doc_id")} % 1000000 AS bkt
+         |  FROM documents)
+         |SELECT doc_id, source FROM b JOIN r USING (source)
+         |WHERE bkt < cut
+         |ORDER BY doc_id""".stripMargin,
+    // q45's component labeling folded into the corpus: keep every doc
+    // outside any cluster plus each cluster's min-id representative
+    "q87_neardup_keepers" ->
+      s"""WITH RECURSIVE $ComponentsCtes,
+         |comp AS (
+         |  SELECT id, min(comp) AS component FROM reach GROUP BY id)
+         |SELECT d.doc_id, d.source, d.n_chars
+         |FROM documents d LEFT JOIN comp ON d.doc_id = comp.id
+         |WHERE comp.id IS NULL OR comp.component = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     // ---- text analysis oracles
     "q50_token_counts" ->

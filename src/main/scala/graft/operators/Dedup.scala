@@ -608,4 +608,27 @@ object Dedup {
       .filter(coalesce(col("cosine"), lit(Double.NegativeInfinity))
         >= minCosine)
   }
+
+  /** The keeper corpus after near-dup clustering: every document that is
+    * either in no duplicate cluster at all, or is its cluster's
+    * representative (the minimum id — exactly the `component` label the
+    * components operators assign). This is the step that turns a
+    * labeling into a deduplicated corpus.
+    *
+    * `components` is `(id, component)` from [[connectedComponents]] /
+    * [[connectedComponentsStar]] and holds one row per CLUSTERED doc —
+    * typically a small fraction of the corpus — so the left join is an
+    * ordinary hash join keyed on the id: the corpus streams through
+    * once, the only shuffle is the join's, and no pass ever carries the
+    * text of a dropped document past the filter.
+    */
+  def nearDupKeepers(docs: DataFrame, idCol: String,
+                     components: DataFrame): DataFrame = {
+    val comps = components
+      .select(col("id").as(idCol), col("component").as("__component"))
+    docs.join(comps, Seq(idCol), "left")
+      .filter(col("__component").isNull ||
+        col("__component") === col(idCol))
+      .drop("__component")
+  }
 }

@@ -87,6 +87,38 @@ object Sampling {
     df.filter(bucket(col(keyCol), seed) < cut)
   }
 
+  /** Temperature-rebalanced source mixing (T = 2, the common √-scaling
+    * used to flatten multilingual / multi-source corpora): a source with
+    * `n` rows keeps `min(1, keepLargest · sqrt(max_n / n))` of them, so
+    * the largest source keeps `keepLargest` and smaller sources keep
+    * progressively larger fractions (capped at all of them) — expected
+    * kept counts are proportional to `sqrt(n)`, i.e. `n^(1/T)`.
+    *
+    * The rates are DERIVED FROM THE DATA in one pass (count by source —
+    * source cardinality is tiny, so the agg and the join back broadcast),
+    * then membership is the same portable (seed, key) hash decision as
+    * `hashSample`. Only IEEE-exact double ops (sqrt, ·, /, floor) produce
+    * the cutoff, so an oracle restating the same expression agrees
+    * bit-for-bit. The corpus itself never shuffles: one narrow filter
+    * against a broadcast rate table.
+    */
+  def temperatureMix(df: DataFrame, keyCol: String, sourceCol: String,
+                     keepLargest: Double = 1.0,
+                     seed: String = "graft"): DataFrame = {
+    require(keepLargest > 0.0 && keepLargest <= 1.0,
+      "keepLargest must be in (0,1]")
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
+    val maxN = counts.agg(max(col("__n")).as("__max_n"))
+    val cuts = counts.crossJoin(broadcast(maxN))
+      .select(col(sourceCol),
+        floor(least(lit(1.0), lit(keepLargest) *
+          sqrt(col("__max_n").cast("double") / col("__n").cast("double")))
+          * lit(1000000.0)).cast("long").as("__cut"))
+    df.join(broadcast(cuts), sourceCol)
+      .filter(bucket(col(keyCol), seed) < col("__cut"))
+      .drop("__cut")
+  }
+
   /** Cap each group at `n` rows, chosen by hash order (then key, for
     * determinism on hash ties) — a stable per-group subsample, e.g. "at
     * most 10 documents per source domain".

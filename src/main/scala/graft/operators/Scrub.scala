@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Content scrubbing for corpus curation: blocklist screening (the
+  * C4-style "bad word" gate) and regex redaction (PII-shaped rewrites).
+  *
+  * Both are narrow per-row projections — the blocklist and the redaction
+  * rules are driver-side literals folded into the expression tree, so at
+  * 100 TB these run map-side inside whole-stage codegen with zero
+  * shuffles, zero joins, and zero broadcast variables. That is the right
+  * shape for screening: the corpus streams through once and every
+  * decision is a pure function of the row.
+  */
+object Scrub {
+
+  /** Per-document blocklist statistics: total blocked-token occurrences,
+    * distinct blocked terms hit, and the keep decision
+    * (`n_blocked <= maxBlocked`). Terms are matched against the
+    * reference-normalized token stream (lowercase, alnum-only), so the
+    * caller's blocklist should be lowercase words.
+    *
+    * The words array is materialized in its own projection and the
+    * counts read that attribute — the tokenizer chain never reaches a
+    * filter, so nothing expensive is pushed into the scan (the q23
+    * scan-filter trap; the only scan-adjacent predicate is the cheap
+    * id null check).
+    */
+  def blocklistStats(docs: DataFrame, idCol: String, textCol: String,
+                     terms: Seq[String], maxBlocked: Long = 0): DataFrame = {
+    require(terms.nonEmpty, "empty blocklist")
+    val termsArr = array(terms.map(lit): _*)
+    docs
+      .filter(col(idCol).isNotNull)
+      .select(col(idCol),
+        TextFunctions.normalizedWords(col(textCol)).as("__ws"))
+      .select(col(idCol),
+        size(filter(col("__ws"),
+          w => array_contains(termsArr, w))).cast("long")
+          .as("n_blocked"),
+        size(array_intersect(array_distinct(col("__ws")), termsArr))
+          .cast("long").as("n_blocked_distinct"))
+      .withColumn("keep", col("n_blocked") <= maxBlocked)
+  }
+
+  /** Ordered redaction rules: each `(pattern, replacement)` is applied in
+    * sequence (later rules see earlier rules' output, exactly like a
+    * chain of `regexp_replace` calls — the oracle states the same
+    * nesting). Patterns must be portable across Java regex and RE2:
+    * character classes, `+`/`*`/`{m,n}` quantifiers, and alternation
+    * only — no backreferences, no lookaround.
+    */
+  val PiiRules: Seq[(String, String)] = Seq(
+    ("[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ("\\+?[0-9][0-9() -]{6,}[0-9]", "<PHONE>"),
+    ("[0-9]+", "<NUM>"))
+
+  /** Apply `rules` to `textCol`, returning the input columns plus
+    * `<textCol>_redacted` and one `n_<i>` match count per rule. Counts
+    * are measured on each rule's INPUT text via split cardinality
+    * (`size(split(s, pattern)) - 1` — both Java and RE2 splits keep
+    * trailing empty fields, so the count is engine-portable).
+    */
+  def redact(df: DataFrame, textCol: String,
+             rules: Seq[(String, String)]): DataFrame = {
+    require(rules.nonEmpty, "no redaction rules")
+    val (redacted, counts) = rules.zipWithIndex
+      .foldLeft((col(textCol), Seq.empty[Column])) {
+        case ((cur, acc), ((pat, rep), i)) =>
+          val n = (size(split(cur, pat)) - 1).cast("long").as(s"n_$i")
+          (regexp_replace(cur, pat, rep), acc :+ n)
+      }
+    df.select(
+      (df.columns.map(col).toSeq :+
+        redacted.as(s"${textCol}_redacted")) ++ counts: _*)
+  }
+}

@@ -144,7 +144,7 @@ class PlanSpec extends SparkSpec {
         "q75_repetition_stats", "q76_chunk_stats", "q77_cms_registers",
         "q78_cms_heavy_hitters", "q80_bloom_bits",
         "q81_bloom_decontaminate", "q82_token_packing",
-        "q83_pack_digests")) {
+        "q83_pack_digests", "q84_blocklist")) {
       val p = finalPlan(q(name)).split("== Initial Plan ==")(0)
       p.linesIterator
         .filter(l => l.contains("Filter") || l.contains("FileScan"))
@@ -153,6 +153,23 @@ class PlanSpec extends SparkSpec {
             s"$name: expensive chain leaked into a filter/scan:\n$l")
         }
     }
+  }
+
+  test("screening stays narrow: blocklist never shuffles, temperature mix broadcasts rates") {
+    // q84: screening is a pure projection — the ONLY exchange in the
+    // whole plan is the presentation sort's range partitioning (no
+    // broadcast, no aggregation, no join anywhere)
+    val p84 = finalPlan(q("q84_blocklist")).split("== Initial Plan ==")(0)
+    val exchanges = "Exchange".r.findAllIn(p84).size
+    assert(exchanges <= 1,
+      s"blocklist screening shuffled ($exchanges exchanges):\n$p84")
+    // q86: the corpus joins its data-derived rate table by broadcast —
+    // the corpus side must never sort-merge-shuffle for it
+    val p86 = finalPlan(q("q86_temperature_mix")).split("== Initial Plan ==")(0)
+    assert(p86.contains("BroadcastHashJoin"),
+      s"temperature-mix rate join is not broadcast:\n$p86")
+    assert(!p86.contains("SortMergeJoin"),
+      s"temperature-mix shuffled the corpus for the rate join:\n$p86")
   }
 
   test("SRP bucket kernels never leak into a filter or scan") {

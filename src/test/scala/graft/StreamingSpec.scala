@@ -144,6 +144,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateless screening (blocklist + redaction) runs per-batch on a stream") {
+    // blocklistStats and redact are pure projections, so they compose
+    // into a streaming query with no state, no watermark, no output-mode
+    // restrictions — the at-ingest screening shape for a live corpus
+    val input = MemoryStream[(Long, String)](spark)
+    val docs = input.toDF()
+      .select(col("_1").as("doc_id"), col("_2").as("text"))
+    val flags = graft.operators.Scrub.blocklistStats(docs, "doc_id",
+      "text", terms = Seq("spam"), maxBlocked = 0)
+      .writeStream.format("memory").queryName("screen_flags")
+      .outputMode("append").start()
+    val red = graft.operators.Scrub.redact(docs, "text",
+      Seq(("[0-9]+", "<NUM>")))
+      .writeStream.format("memory").queryName("screen_red")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "clean text 42"), (2L, "spam spam here"))
+      flags.processAllAvailable()
+      red.processAllAvailable()
+      val f = spark.table("screen_flags").select("doc_id", "keep")
+        .as[(Long, Boolean)].collect().sortBy(_._1)
+      assert(f.toSeq == Seq((1L, true), (2L, false)))
+      val r = spark.table("screen_red")
+        .select("doc_id", "text_redacted", "n_0")
+        .as[(Long, String, Long)].collect().sortBy(_._1)
+      assert(r(0) == ((1L, "clean text <NUM>", 1L)))
+      assert(r(1) == ((2L, "spam spam here", 0L)))
+    } finally { flags.stop(); red.stop() }
+  }
+
   test("streaming parquet sink: append-mode windows land durably, once") {
     val base = s"/tmp/graft-stream-sink-${ProcessHandle.current().pid()}"
     val input = MemoryStream[(Long, Long, Long)](spark)
