@@ -973,6 +973,22 @@ object SparkEntry {
         Dedup.connectedComponents(cands, "id_a", "id_b"))
         .select(col("doc_id"), col("source"), col("n_chars"))
         .orderBy("doc_id")
+    }),
+    // corpus-relative quality gate: drop the worst quartile by alpha
+    // ratio — threshold is one exact-percentile scalar joined back by
+    // broadcast, so the corpus never shuffles
+    "q88_quality_gate" -> ((s, dir) => {
+      graft.functions.TextAnalysis.qualityPercentileGate(
+        t(s, dir, "documents"), "doc_id", "text",
+        metric = "alpha_ratio", q = 0.25)
+        .orderBy("doc_id")
+    }),
+    // context-length chunking: 32-token windows, stride 16 (50% overlap)
+    // — fixed-width training/RAG pieces, digest-gated like q83's packs
+    "q89_token_chunks" -> ((s, dir) => {
+      graft.operators.Chunking.tokenChunks(t(s, dir, "documents"),
+        "doc_id", "text", width = 32, stride = 16)
+        .orderBy("doc_id", "chunk_idx")
     })
   )
 
@@ -2065,6 +2081,40 @@ object SparkEntry {
          |FROM documents d LEFT JOIN comp ON d.doc_id = comp.id
          |WHERE comp.id IS NULL OR comp.component = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    // exact interpolated percentile (quantile_cont ≡ Spark `percentile`,
+    // the q15 convention); both engines gate on the 6-dp-rounded scalar
+    // so a last-ulp interpolation difference cannot flip a boundary row
+    "q88_quality_gate" ->
+      s"""WITH s AS (
+         |  SELECT doc_id,
+         |    round(CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS DOUBLE)
+         |      / greatest(length(text), 1), 4) AS alpha_ratio
+         |  FROM documents),
+         |t AS (
+         |  SELECT round(CAST(quantile_cont(alpha_ratio, 0.25) AS DOUBLE), 6)
+         |    AS threshold
+         |  FROM s)
+         |SELECT doc_id, alpha_ratio, threshold
+         |FROM s CROSS JOIN t
+         |WHERE alpha_ratio >= threshold
+         |ORDER BY doc_id""".stripMargin,
+    // window starts every 16 tokens; the last window reaches the end, and
+    // docs shorter than the width yield their single short window
+    "q89_token_chunks" ->
+      s"""WITH $LiveWordsCte,
+         |c AS (
+         |  SELECT doc_id, w,
+         |    greatest(1, CAST(ceil((len(w) - 32) / 16.0) AS BIGINT) + 1)
+         |      AS nc
+         |  FROM ws),
+         |ch AS (
+         |  SELECT doc_id, i AS chunk_idx,
+         |    w[CAST(i*16 + 1 AS BIGINT):CAST(i*16 + 32 AS BIGINT)] AS toks
+         |  FROM c, unnest(generate_series(0, nc - 1)) AS u(i))
+         |SELECT doc_id, chunk_idx,
+         |  CAST(len(toks) AS BIGINT) AS chunk_tokens,
+         |  md5(array_to_string(toks, ' ')) AS chunk_md5
+         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // ---- text analysis oracles
     "q50_token_counts" ->

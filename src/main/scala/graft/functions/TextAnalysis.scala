@@ -229,4 +229,35 @@ object TextAnalysis {
       md5(canon).as("canon_md5"),
       HashFunctions.rollingFingerprint(canon).as("rolling_fp"))
   }
+
+  /** Corpus-relative quality gate: keep documents whose `metric` (one of
+    * the [[qualityColumns]] names) sits at or above the corpus-wide
+    * `q`-quantile of that metric. Absolute thresholds drift as sources
+    * change; a percentile gate ("drop the worst quartile") tracks the
+    * corpus — the usual form of a pretraining quality filter.
+    *
+    * The threshold is ONE exact interpolated-percentile scalar (the q15
+    * convention — deterministic and engine-portable, unlike
+    * approx_percentile's sketch), rounded to 6 dp so a last-ulp
+    * interpolation difference can never flip a boundary row, and joined
+    * back by broadcast: the corpus never shuffles — one stats pass for
+    * the quantile, one filtered pass for the verdict. The threshold
+    * filter is null-absorbing so constraint inference cannot push an
+    * isnotnull(<metric chain>) into the scan (the q23 trap).
+    */
+  def qualityPercentileGate(docs: DataFrame, idCol: String,
+                            textCol: String,
+                            metric: String = "alpha_ratio",
+                            q: Double = 0.25): DataFrame = {
+    require(q > 0.0 && q < 1.0, s"quantile q=$q must be in (0,1)")
+    require(qualityColumns(textCol).exists(_._1 == metric),
+      s"unknown quality metric '$metric'")
+    val stats = qualityStats(docs, idCol, textCol)
+      .select(col(idCol), col(metric))
+    val thr = stats.agg(
+      round(expr(s"percentile($metric, $q)"), 6).as("threshold"))
+    stats.crossJoin(broadcast(thr))
+      .filter(coalesce(col(metric), lit(Double.NegativeInfinity))
+        >= col("threshold"))
+  }
 }

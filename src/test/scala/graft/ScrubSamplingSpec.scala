@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Sampling, Scrub}
+import graft.functions.TextAnalysis
+import graft.operators.{Chunking, Dedup, Sampling, Scrub}
 
 /** Blocklist screening, regex redaction, temperature mixing, and the
   * near-dup keeper corpus.
@@ -72,5 +73,62 @@ class ScrubSamplingSpec extends SparkSpec {
     val kept = Dedup.nearDupKeepers(docs, "doc_id", comps)
       .select("doc_id").as[Long].collect().sorted
     assert(kept.toSeq == Seq(1L, 4L, 7L))
+  }
+
+  test("tokenChunks windows overlap by stride and the tail reaches the end") {
+    val docs = Seq(
+      (1L, "t1 t2 t3 t4 t5"),  // 5 tokens, w=2 s=2 → [2,2,1]
+      (2L, "x"),               // shorter than width → one short window
+      (3L, "")                 // no alnum → dropped entirely
+    ).toDF("doc_id", "text")
+    val flat = Chunking.tokenChunks(docs, "doc_id", "text",
+      width = 2, stride = 2)
+      .orderBy("doc_id", "chunk_idx")
+      .as[(Long, Long, Long, String)].collect()
+    assert(flat.map(c => (c._1, c._2, c._3)).toSeq ==
+      Seq((1L, 0L, 2L), (1L, 1L, 2L), (1L, 2L, 1L), (2L, 0L, 1L)))
+    // 50% overlap: starts move by stride while windows keep full width
+    val lap = Chunking.tokenChunks(docs.filter($"doc_id" === 1L),
+      "doc_id", "text", width = 4, stride = 2)
+      .orderBy("chunk_idx").as[(Long, Long, Long, String)].collect()
+    assert(lap.map(_._3).toSeq == Seq(4L, 3L)) // [t1..t4], [t3..t5]
+  }
+
+  test("tokenChunks covers every token for any (length, width, stride)") {
+    for (l <- Seq(1, 2, 5, 7, 16, 33); w <- Seq(1, 2, 4, 8); s <- Seq(1, 2, 4)
+         if s <= w) {
+      val text = (1 to l).map(i => s"t$i").mkString(" ")
+      val chunks = Chunking.tokenChunks(
+        Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text", w, s)
+        .orderBy("chunk_idx")
+        .as[(Long, Long, Long, String)].collect()
+      val expectedN = math.max(1, math.ceil((l - w).toDouble / s).toInt + 1)
+      assert(chunks.length == expectedN, s"l=$l w=$w s=$s")
+      // every window has the tokens its (start, width) slice implies, so
+      // together they cover the whole document and the tail reaches l
+      chunks.foreach { case (_, idx, n, _) =>
+        val start = idx * s
+        assert(n == math.min(w, l - start), s"l=$l w=$w s=$s idx=$idx")
+      }
+      val covered = chunks.flatMap { case (_, idx, n, _) =>
+        (idx * s) until (idx * s + n) }.toSet
+      assert(covered == (0 until l).toSet, s"l=$l w=$w s=$s coverage")
+    }
+  }
+
+  test("qualityPercentileGate keeps docs at or above the corpus quantile") {
+    val docs = Seq(
+      (1L, "abcd"), // alpha_ratio 1.0
+      (2L, "ab12"), // 0.5
+      (3L, "abc1"), // 0.75
+      (4L, "1234")  // 0.0
+    ).toDF("doc_id", "text")
+    // sorted ratios [0, .5, .75, 1]; p25 interpolates to 0.375
+    val kept = TextAnalysis.qualityPercentileGate(docs, "doc_id", "text",
+      metric = "alpha_ratio", q = 0.25)
+      .orderBy("doc_id")
+      .as[(Long, Double, Double)].collect()
+    assert(kept.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(kept.forall(_._3 == 0.375))
   }
 }

@@ -40,4 +40,27 @@ class SourceFormatSpec extends SparkSpec {
     assert(fromParquet == fromCsv && fromCsv == fromJson)
     assert(fromParquet == Set((1L, 4L), (2L, 7L), (3L, 4L)))
   }
+
+  test("orc round-trips with predicate pushdown and column pruning") {
+    val docs = Seq(
+      (1L, "alpha beta gamma", "s1"),
+      (2L, "delta epsilon", "s2"),
+      (3L, "zeta eta theta iota", "s1"))
+      .toDF("doc_id", "text", "source")
+    docs.write.mode("overwrite").orc(s"$dir/o")
+    val back = spark.read.orc(s"$dir/o")
+    // row/value fidelity
+    assert(back.orderBy("doc_id").as[(Long, String, String)].collect().toSeq
+      == docs.orderBy("doc_id").as[(Long, String, String)].collect().toSeq)
+    // the ORC scan honors the same pushdown/pruning contract as parquet:
+    // the filter reaches the scan and the projection narrows the schema
+    val narrow = back.filter(col("doc_id") > 1L).select("doc_id", "source")
+    val scan = narrow.queryExecution.executedPlan.toString()
+    assert(scan.contains("PushedFilters") &&
+      scan.contains("GreaterThan(doc_id,1)"),
+      s"ORC scan did not receive the pushed filter:\n$scan")
+    assert(!scan.contains("text"), s"ORC scan reads the pruned column:\n$scan")
+    assert(narrow.as[(Long, String)].collect().toSet
+      == Set((2L, "s2"), (3L, "s1")))
+  }
 }
