@@ -989,6 +989,39 @@ object SparkEntry {
       graft.operators.Chunking.tokenChunks(t(s, dir, "documents"),
         "doc_id", "text", width = 32, stride = 16)
         .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // SemDeDup-style semantic dedup: IVF cells (same seed centroids as
+    // q43) → within-cell cosine pairs → components → keeper corpus.
+    // Blocking key is the quantizer cell — sized by the centroid count,
+    // a knob scaled with the corpus, unlike q36's fixed label blocks
+    "q90_semantic_keepers" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val cents = embs.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      Dedup.semanticKeepers(embs.select(col("vec_id"), col("label")),
+        embs, "vec_id", "embedding", cents, minCosine = 0.3)
+        .orderBy("vec_id")
+    }),
+    // CCNet-style perplexity proxy: unigram LM counted on src0, scoring
+    // every other source with add-one smoothing (OOV path exercised by
+    // construction). Per-doc sums fold token-sorted — bit-reproducible
+    "q91_unigram_logprob" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.unigramLogProb(docs.filter(col("source") === "src0"),
+        docs.filter(col("source") =!= "src0"), "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("sum_logprob"), 6).as("sum_logprob"),
+          round(col("avg_logprob"), 6).as("avg_logprob"))
+        .orderBy("doc_id")
+    }),
+    // frequency-ranked vocabulary with min-count 2: ids via the
+    // two-level ranking (offset over distinct counts + partitioned
+    // within-count rank) — equals the oracle's global row_number
+    "q92_vocab" -> ((s, dir) => {
+      TextAnalysis.buildVocab(t(s, dir, "documents"), "text",
+        minCount = 2L)
+        .orderBy("token_id")
     })
   )
 
@@ -2115,6 +2148,97 @@ object SparkEntry {
          |  CAST(len(toks) AS BIGINT) AS chunk_tokens,
          |  md5(array_to_string(toks, ' ')) AS chunk_md5
          |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+    // q43's assignment feeding within-cell cosine edges, then the q45
+    // recursive closure; keeper = unlabeled or the component minimum
+    "q90_semantic_keepers" ->
+      s"""WITH RECURSIVE cents AS (SELECT vec_id AS cid, embedding AS cvec
+         |               FROM embeddings WHERE vec_id < 16),
+         |ascored AS (
+         |  SELECT e.vec_id, c.cid,
+         |    ${duckCos("e.embedding", "c.cvec")} AS cos
+         |  FROM embeddings e CROSS JOIN cents c),
+         |assigned AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cos DESC, cid) AS rn
+         |    FROM ascored) x WHERE rn = 1),
+         |cand AS (
+         |  SELECT a.vec_id AS s, b.vec_id AS t
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+         |  WHERE ${duckCos("ea.embedding", "eb.embedding")} >= 0.3),
+         |edges2 AS (SELECT s, t FROM cand UNION ALL SELECT t, s FROM cand),
+         |reach AS (
+         |  SELECT s AS id, s AS comp FROM edges2
+         |  UNION
+         |  SELECT e.t AS id, r.comp FROM reach r JOIN edges2 e ON e.s = r.id),
+         |labels AS (SELECT id, min(comp) AS component FROM reach GROUP BY id)
+         |SELECT emb.vec_id, emb.label
+         |FROM embeddings emb LEFT JOIN labels l ON emb.vec_id = l.id
+         |WHERE l.component IS NULL OR l.component = emb.vec_id
+         |ORDER BY emb.vec_id""".stripMargin,
+    // unigram LM trained on src0, scored on the rest with add-one
+    // smoothing; per-doc sum folds the token-ORDERED lp list (seeding
+    // from the first element ≡ a 0.0 seed for IEEE addition), mirroring
+    // the Spark side's sort_array fold bit for bit
+    "q91_unigram_logprob" ->
+      s"""WITH mwords AS (
+         |  SELECT list_filter(
+         |    string_split_regex(
+         |      regexp_replace(lower(text), '[^a-z0-9$WsClass]', ' ', 'g'),
+         |      '[$WsClass]+'),
+         |    x -> x != '') AS ws
+         |  FROM documents
+         |  WHERE source = 'src0' AND regexp_matches(lower(text), '[a-z0-9]')),
+         |counts AS (
+         |  SELECT word, count(*) AS c
+         |  FROM (SELECT unnest(ws) AS word FROM mwords) GROUP BY 1),
+         |scalars AS (SELECT CAST(sum(c) AS DOUBLE) AS n_occ,
+         |              CAST(count(*) AS DOUBLE) AS n_vocab FROM counts),
+         |dwords AS (
+         |  SELECT doc_id, list_filter(
+         |    string_split_regex(
+         |      regexp_replace(lower(text), '[^a-z0-9$WsClass]', ' ', 'g'),
+         |      '[$WsClass]+'),
+         |    x -> x != '') AS ws
+         |  FROM documents
+         |  WHERE source != 'src0' AND doc_id IS NOT NULL
+         |    AND regexp_matches(lower(text), '[a-z0-9]')),
+         |occ AS (
+         |  SELECT doc_id, word, count(*) AS occ
+         |  FROM (SELECT doc_id, unnest(ws) AS word FROM dwords)
+         |  GROUP BY 1, 2),
+         |contrib AS (
+         |  SELECT doc_id, word, occ,
+         |    CAST(occ AS DOUBLE) * ln((CAST(coalesce(c, 0) AS DOUBLE) + 1.0)
+         |      / (n_occ + n_vocab)) AS lp
+         |  FROM occ LEFT JOIN counts USING (word) CROSS JOIN scalars),
+         |agg AS (
+         |  SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_tokens,
+         |    list_reduce(list(lp ORDER BY word), (a, b) -> a + b) AS sum_lp
+         |  FROM contrib GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, round(sum_lp, 6) AS sum_logprob,
+         |  round(sum_lp / CAST(n_tokens AS DOUBLE), 6) AS avg_logprob
+         |FROM agg ORDER BY doc_id""".stripMargin,
+    // the two-level Spark ranking must equal this one global row_number
+    "q92_vocab" ->
+      s"""WITH vwords AS (
+         |  SELECT list_filter(
+         |    string_split_regex(
+         |      regexp_replace(lower(text), '[^a-z0-9$WsClass]', ' ', 'g'),
+         |      '[$WsClass]+'),
+         |    x -> x != '') AS ws
+         |  FROM documents WHERE regexp_matches(lower(text), '[a-z0-9]')),
+         |counts AS (
+         |  SELECT token, count(*) AS cnt
+         |  FROM (SELECT unnest(ws) AS token FROM vwords) GROUP BY 1
+         |  HAVING count(*) >= 2)
+         |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT)
+         |    AS token_id,
+         |  token, cnt
+         |FROM counts ORDER BY token_id""".stripMargin,
 
     // ---- text analysis oracles
     "q50_token_counts" ->

@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Text-quality operators for training-data curation: token counting,
   * quality scoring, language ID, fingerprinting. Pure column expressions
@@ -259,5 +260,92 @@ object TextAnalysis {
     stats.crossJoin(broadcast(thr))
       .filter(coalesce(col(metric), lit(Double.NegativeInfinity))
         >= col("threshold"))
+  }
+
+  /** Unigram language-model score (CCNet-style perplexity proxy): train
+    * token counts on `model`, score each `docs` row by its add-one-
+    * smoothed average token log-probability. Low scores flag documents
+    * unlike the reference corpus — the cheap portable stand-in for the
+    * KenLM perplexity filter.
+    *
+    * p(t) = (count(t) + 1) / (N + V) with N = model token occurrences
+    * and V = model vocabulary size; smoothing keeps out-of-vocabulary
+    * tokens finite when scoring a different corpus than the model was
+    * counted on.
+    *
+    * Scale shape: the model side reduces to one vocabulary-sized count
+    * table (shuffled by token); the scored side aggregates to (doc,
+    * token) with map-side combine, meets the counts in a token-keyed
+    * equi-join, and re-aggregates by doc. The two global scalars ride a
+    * broadcast cross join. Per-doc sums fold over the token-sorted
+    * contribution list so the result is bit-reproducible across
+    * partitionings AND engines (an unordered double sum would round
+    * differently run to run).
+    */
+  def unigramLogProb(model: DataFrame, docs: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    val counts = model
+      .filter(lower(col(textCol)).rlike("[a-z0-9]"))
+      .select(TextFunctions.normalizedWords(col(textCol)).as("__ws"))
+      // outer ≡ inner after the rlike filter; inner explode would infer
+      // size/isnotnull filters that re-run the tokenizer in the scan
+      .select(explode_outer(col("__ws")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("__c"))
+    val scalars = counts.agg(
+      sum(col("__c")).cast("double").as("__n_occ"),
+      count(lit(1)).cast("double").as("__n_vocab"))
+    val occ = docs
+      .filter(col(idCol).isNotNull && lower(col(textCol)).rlike("[a-z0-9]"))
+      .select(col(idCol), TextFunctions.normalizedWords(col(textCol)).as("__ws"))
+      .select(col(idCol), explode_outer(col("__ws")).as("word"))
+      .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("__occ"))
+    val contrib = occ.join(counts, Seq("word"), "left")
+      .crossJoin(broadcast(scalars))
+      .select(col(idCol), col("word"), col("__occ"),
+        (col("__occ").cast("double") *
+          log((coalesce(col("__c"), lit(0L)).cast("double") + lit(1.0)) /
+            (col("__n_occ") + col("__n_vocab")))).as("__lp"))
+    contrib.groupBy(col(idCol))
+      .agg(sum(col("__occ")).as("n_tokens"),
+        sort_array(collect_list(struct(col("word"), col("__lp"))))
+          .as("__xs"))
+      .select(col(idCol), col("n_tokens"),
+        aggregate(col("__xs"), lit(0.0),
+          (acc, x) => acc + x.getField("__lp")).as("sum_logprob"))
+      .withColumn("avg_logprob",
+        col("sum_logprob") / col("n_tokens").cast("double"))
+  }
+
+  /** Frequency-ranked vocabulary: `(token_id, token, cnt)` with ids
+    * assigned by (count desc, token asc), 1-based, restricted to tokens
+    * seen at least `minCount` times — the table a tokenizer-training or
+    * feature-hashing stage consumes.
+    *
+    * The ranking is two-level so no corpus-scale data ever funnels into
+    * a single-partition window: the global running offset is computed
+    * over the DISTINCT-COUNT-VALUES table (tiny — bounded by the number
+    * of distinct frequencies, ≪ vocabulary under any Zipf-ish corpus),
+    * and the within-frequency rank is an ordinary partitioned window
+    * keyed by the count. `offset(cnt) + rank_within(cnt)` equals the
+    * global `row_number() OVER (ORDER BY cnt DESC, token)` exactly.
+    */
+  def buildVocab(docs: DataFrame, textCol: String,
+                 minCount: Long = 1L): DataFrame = {
+    val counts = docs
+      .filter(lower(col(textCol)).rlike("[a-z0-9]"))
+      .select(TextFunctions.normalizedWords(col(textCol)).as("__ws"))
+      .select(explode_outer(col("__ws")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+    val groups = counts.groupBy(col("cnt")).agg(count(lit(1)).as("__n"))
+    val wOff = Window.orderBy(col("cnt").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = groups.select(col("cnt"),
+      coalesce(sum(col("__n")).over(wOff), lit(0L)).as("__offset"))
+    val wIn = Window.partitionBy(col("cnt")).orderBy(col("token"))
+    counts.join(broadcast(offsets), "cnt")
+      .select(
+        (col("__offset") + row_number().over(wIn)).as("token_id"),
+        col("token"), col("cnt"))
   }
 }

@@ -609,6 +609,31 @@ object Dedup {
         >= minCosine)
   }
 
+  /** SemDeDup-style semantic deduplication: IVF cell assignment →
+    * within-cell exact cosine near-dup pairs → connected components →
+    * keeper corpus (the cluster minimum survives, everything else
+    * drops).
+    *
+    * The within-cell verification is the published SemDeDup shape, and
+    * it is NOT the q36-style fixed-block trap: the blocking key is the
+    * coarse quantizer's cell, and the number of centroids is a tuning
+    * knob scaled with the corpus (k ∝ n/targetCellSize), so cell sizes —
+    * and therefore per-cell pair counts — stay bounded by design as the
+    * corpus grows. Centroids broadcast in the assignment; the only wide
+    * shuffles are the id-keyed cell join and the pair join's cell-keyed
+    * exchange. `centroids` is `(cid, cvec)` (seed with
+    * [[Knn.ivfSeedCentroids]], refine with [[Knn.ivfRefine]]).
+    */
+  def semanticKeepers(docs: DataFrame, embs: DataFrame, idCol: String,
+                      vecCol: String, centroids: DataFrame,
+                      minCosine: Double): DataFrame = {
+    val cells = Knn.ivfAssign(embs, idCol, vecCol, centroids)
+    val pairs = cosineNearDups(embs.join(cells, Seq(idCol)), idCol, vecCol,
+      col("cid"), minCosine)
+    nearDupKeepers(docs, idCol,
+      connectedComponents(pairs.select("id_a", "id_b"), "id_a", "id_b"))
+  }
+
   /** The keeper corpus after near-dup clustering: every document that is
     * either in no duplicate cluster at all, or is its cluster's
     * representative (the minimum id — exactly the `component` label the

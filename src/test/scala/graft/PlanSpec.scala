@@ -145,7 +145,8 @@ class PlanSpec extends SparkSpec {
         "q78_cms_heavy_hitters", "q80_bloom_bits",
         "q81_bloom_decontaminate", "q82_token_packing",
         "q83_pack_digests", "q84_blocklist", "q88_quality_gate",
-        "q89_token_chunks")) {
+        "q89_token_chunks", "q90_semantic_keepers", "q91_unigram_logprob",
+        "q92_vocab")) {
       val p = finalPlan(q(name)).split("== Initial Plan ==")(0)
       p.linesIterator
         .filter(l => l.contains("Filter") || l.contains("FileScan"))

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.TextAnalysis
+import graft.operators.{Dedup, Knn}
+
+/** Semantic dedup (SemDeDup-style), unigram-LM scoring, and vocabulary
+  * ranking.
+  */
+class SemanticVocabSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def unit(xs: Double*): Array[Float] = {
+    val n = math.sqrt(xs.map(x => x * x).sum)
+    xs.map(x => (x / n).toFloat).toArray
+  }
+
+  test("semanticKeepers keeps the cluster minimum and every singleton") {
+    // two orthogonal directions = two IVF cells; ids 0/2/4 are one
+    // near-dup cluster in cell A, id 1 is alone in cell B, id 3 sits in
+    // cell A but below the threshold vs everyone
+    val e1 = unit(1, 0, 0, 0)
+    val e2 = unit(0, 1, 0, 0)
+    val tilted = unit(1, 0.05, 0, 0) // cos vs e1 ≈ 0.9988
+    val offAxis = unit(1, 1.2, 0.9, 0.4) // in no tight pair
+    val embs = Seq(
+      (0L, e1), (1L, e2), (2L, tilted), (3L, offAxis), (4L, e1)
+    ).toDF("id", "vec")
+    val cents = Seq((0L, e1), (1L, e2)).toDF("cid", "cvec")
+    val docs = embs.select(col("id"))
+    val kept = Dedup.semanticKeepers(docs, embs, "id", "vec", cents,
+      minCosine = 0.95).as[Long].collect().sorted
+    // cluster {0,2,4} → keeper 0; 1 and 3 untouched
+    assert(kept.toSeq == Seq(0L, 1L, 3L))
+  }
+
+  test("semanticKeepers never pairs across cells (the quantizer trade)") {
+    // v0 and v1 have cosine ≈ 0.857 (≥ τ = 0.8) but assign to different
+    // cells, so they are never compared and both survive — the standard
+    // approximate-dedup recall trade, priced by centroid quality
+    val v0 = unit(1, 0)
+    val v1 = unit(1, 0.6) // cos(v0,v1) = 1/sqrt(1.36) ≈ 0.857
+    val embs = Seq((0L, v0), (1L, v1)).toDF("id", "vec")
+    val cents = Seq((0L, unit(1, 0)), (1L, unit(1, 1))).toDF("cid", "cvec")
+    // v0: cos to c0 = 1 > cos to c1 ≈ 0.707 → cell 0
+    // v1: cos to c1 ≈ 0.970 > cos to c0 ≈ 0.857 → cell 1
+    val kept = Dedup.semanticKeepers(embs.select(col("id")), embs,
+      "id", "vec", cents, minCosine = 0.8).as[Long].collect().sorted
+    assert(kept.toSeq == Seq(0L, 1L))
+    // sanity: with ONE centroid (one cell) the same pair does dedup
+    val oneCell = Seq((0L, unit(1, 0))).toDF("cid", "cvec")
+    val keptOne = Dedup.semanticKeepers(embs.select(col("id")), embs,
+      "id", "vec", oneCell, minCosine = 0.8).as[Long].collect().sorted
+    assert(keptOne.toSeq == Seq(0L))
+  }
+
+  test("unigramLogProb matches the hand-computed smoothed score") {
+    val model = Seq((10L, "a a b")).toDF("doc_id", "text")
+    val docs = Seq((1L, "a c")).toDF("doc_id", "text")
+    val r = TextAnalysis.unigramLogProb(model, docs, "doc_id", "text")
+      .select("doc_id", "n_tokens", "sum_logprob", "avg_logprob")
+      .as[(Long, Long, Double, Double)].head()
+    // counts: a=2, b=1; N=3, V=2 → p(a)=3/5, p(c)=1/5 (OOV, smoothed)
+    val expSum = math.log(3.0 / 5.0) + math.log(1.0 / 5.0)
+    assert(r._1 == 1L && r._2 == 2L)
+    assert(math.abs(r._3 - expSum) < 1e-12, s"sum ${r._3} != $expSum")
+    assert(math.abs(r._4 - expSum / 2) < 1e-12)
+  }
+
+  test("unigramLogProb is bit-identical across partitionings") {
+    val rnd = new scala.util.Random(11)
+    val docs = Seq.tabulate(60) { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(40) + 1)(s"w${rnd.nextInt(25)}")
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    def run(parts: Int): Map[Long, (Long, Double, Double)] =
+      TextAnalysis.unigramLogProb(docs.repartition(parts),
+        docs.repartition(parts), "doc_id", "text")
+        .as[(Long, Long, Double, Double)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val one = run(1)
+    val many = run(7)
+    assert(one.keySet == many.keySet)
+    one.foreach { case (id, (n, s, a)) =>
+      val (n2, s2, a2) = many(id)
+      assert(n == n2 && s == s2 && a == a2,
+        s"doc $id diverged across partitionings: ($s,$a) vs ($s2,$a2)")
+    }
+  }
+
+  test("buildVocab two-level ranking equals the global row_number") {
+    val rnd = new scala.util.Random(3)
+    val docs = Seq.tabulate(80) { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(30) + 1)(s"t${rnd.nextInt(40)}")
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val vocab = TextAnalysis.buildVocab(docs, "text", minCount = 2L)
+    val global = vocab
+      .withColumn("expected",
+        row_number().over(Window.orderBy(col("cnt").desc, col("token")))
+          .cast("long"))
+    assert(global.filter(col("token_id") =!= col("expected")).isEmpty)
+    // ids are a 1-based contiguous sequence
+    val ids = vocab.select("token_id").as[Long].collect().sorted
+    assert(ids.toSeq == (1L to ids.length).toSeq)
+    // minCount actually excludes singletons
+    val minCnt = vocab.agg(min("cnt")).as[Long].head()
+    assert(minCnt >= 2L)
+  }
+}
