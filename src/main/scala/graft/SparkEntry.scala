@@ -1022,6 +1022,17 @@ object SparkEntry {
       TextAnalysis.buildVocab(t(s, dir, "documents"), "text",
         minCount = 2L)
         .orderBy("token_id")
+    }),
+    // numericalization under q92's vocabulary: every doc's token-id
+    // sequence (position-sorted, OOV → 0) — the trainer-input array the
+    // packing (q82/q83) and chunking (q89) stages consume upstream of
+    // the tokenizer itself
+    "q93_token_ids" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.tokenIds(docs,
+        TextAnalysis.buildVocab(docs, "text", minCount = 2L),
+        "doc_id", "text")
+        .orderBy("doc_id")
     })
   )
 
@@ -2239,6 +2250,46 @@ object SparkEntry {
          |    AS token_id,
          |  token, cnt
          |FROM counts ORDER BY token_id""".stripMargin,
+    // q92's vocabulary (one global row_number here — the Spark side's
+    // two-level ranking is pinned equal by q92 itself) joined back over
+    // position-indexed tokens; OOV coalesces to 0
+    "q93_token_ids" ->
+      s"""WITH vwords AS (
+         |  SELECT list_filter(
+         |    string_split_regex(
+         |      regexp_replace(lower(text), '[^a-z0-9$WsClass]', ' ', 'g'),
+         |      '[$WsClass]+'),
+         |    x -> x != '') AS ws
+         |  FROM documents WHERE regexp_matches(lower(text), '[a-z0-9]')),
+         |counts AS (
+         |  SELECT token, count(*) AS cnt
+         |  FROM (SELECT unnest(ws) AS token FROM vwords) GROUP BY 1
+         |  HAVING count(*) >= 2),
+         |vocab AS (
+         |  SELECT token,
+         |    CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT)
+         |      AS token_id
+         |  FROM counts),
+         |dwords AS (
+         |  SELECT doc_id, list_filter(
+         |    string_split_regex(
+         |      regexp_replace(lower(text), '[^a-z0-9$WsClass]', ' ', 'g'),
+         |      '[$WsClass]+'),
+         |    x -> x != '') AS ws
+         |  FROM documents
+         |  WHERE doc_id IS NOT NULL
+         |    AND regexp_matches(lower(text), '[a-z0-9]')),
+         |posts AS (
+         |  SELECT doc_id, i AS pos, ws[i] AS token
+         |  FROM dwords, unnest(generate_series(1, len(ws))) AS t(i)),
+         |ids AS (
+         |  SELECT doc_id,
+         |    list(coalesce(token_id, 0) ORDER BY pos) AS token_ids
+         |  FROM posts LEFT JOIN vocab USING (token)
+         |  GROUP BY doc_id)
+         |SELECT doc_id, token_ids,
+         |  CAST(len(token_ids) AS BIGINT) AS n_tokens
+         |FROM ids ORDER BY doc_id""".stripMargin,
 
     // ---- text analysis oracles
     "q50_token_counts" ->

@@ -329,6 +329,34 @@ object TextAnalysis {
     * keyed by the count. `offset(cnt) + rank_within(cnt)` equals the
     * global `row_number() OVER (ORDER BY cnt DESC, token)` exactly.
     */
+  /** Numericalization: each document's token-id sequence under `vocab`
+    * (a `(token, token_id)` table, e.g. [[buildVocab]]'s output) —
+    * the array a trainer or packing stage actually consumes. Tokens
+    * absent from the vocabulary map to `oovId`.
+    *
+    * Scale shape: positions ride a `posexplode`, the id lookup is a
+    * token-keyed equi-join (the vocab side is vocabulary-sized —
+    * broadcastable when small, an ordinary shuffle join otherwise), and
+    * each doc's sequence reassembles position-sorted in one aggregation.
+    * Output: `(id, token_ids, n_tokens)`.
+    */
+  def tokenIds(docs: DataFrame, vocab: DataFrame, idCol: String,
+               textCol: String, oovId: Long = 0L): DataFrame = {
+    val posts = docs
+      .filter(col(idCol).isNotNull && lower(col(textCol)).rlike("[a-z0-9]"))
+      .select(col(idCol), TextFunctions.normalizedWords(col(textCol)).as("__ws"))
+      .select(col(idCol),
+        posexplode_outer(col("__ws")).as(Seq("__pos", "token")))
+    posts
+      .join(vocab.select(col("token"), col("token_id")), Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("__pos"),
+        coalesce(col("token_id"), lit(oovId)).as("__tid")))).as("__xs"))
+      .select(col(idCol),
+        transform(col("__xs"), x => x.getField("__tid")).as("token_ids"))
+      .withColumn("n_tokens", size(col("token_ids")).cast("long"))
+  }
+
   def buildVocab(docs: DataFrame, textCol: String,
                  minCount: Long = 1L): DataFrame = {
     val counts = docs

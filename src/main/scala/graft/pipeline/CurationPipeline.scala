@@ -13,10 +13,12 @@ import graft.operators.Dedup
   *   2. repetition gate (optional: Gopher-style duplicate-bigram
   *      fraction cap — `TextAnalysis.repetitionStats`)
   *   3. language gate (stopword-lexicon language ID)
-  *   4. benchmark decontamination (optional: cross-corpus n-gram
+  *   4. LM quality gate (optional: CCNet-style unigram log-prob vs a
+  *      reference corpus — `TextAnalysis.unigramLogProb`)
+  *   5. benchmark decontamination (optional: cross-corpus n-gram
   *      coverage vs a held-out eval set — `Decontaminate.ngramOverlap`)
-  *   5. exact dedup (content-hash groupBy, keeper = min id)
-  *   6. near-dedup (MinHash over 3-word shingles → LSH banding →
+  *   6. exact dedup (content-hash groupBy, keeper = min id)
+  *   7. near-dedup (MinHash over 3-word shingles → LSH banding →
   *      exact n-gram Jaccard verification of candidates; drop the larger
   *      id of each verified pair)
   *
@@ -102,6 +104,8 @@ object CurationPipeline {
           contaminationN: Int = 3,
           maxContamination: Double = 0.5,
           maxDupBigramFrac: Option[Double] = None,
+          lmReference: Option[DataFrame] = None,
+          minAvgLogProb: Double = -12.0,
           stageCounts: Boolean = false): Result = {
     // intermediates cached for the stage-count run are unpersisted before
     // returning; `curated` itself is never cached here — callers that will
@@ -147,14 +151,29 @@ object CurationPipeline {
           .filter(col("lang_pred").isin(languages.toSeq.map(lit): _*))
           .select(col(idCol)), idCol))
 
+    // optional LM gate (CCNet-style): drop docs whose add-one-smoothed
+    // average unigram log-probability under the reference corpus falls
+    // below the floor — "keep what reads like the reference". Same
+    // slim-id-set shape as every other stage. A doc that normalizes to
+    // zero tokens cannot be scored and drops here (it also fails the
+    // default minWords quality gate upstream).
+    val afterLm = lmReference match {
+      case None => afterLang
+      case Some(ref) => staged(afterLang.join(
+        TextAnalysis.unigramLogProb(ref.select(col(textCol)), afterLang,
+          idCol, textCol)
+          .filter(col("avg_logprob") >= minAvgLogProb)
+          .select(col(idCol)), idCol))
+    }
+
     // benchmark decontamination: drop any doc whose n-gram coverage of a
     // held-out benchmark doc crosses the threshold (the benchmark side is
     // small, so its postings broadcast; see Decontaminate scaladoc)
     val afterDecon = benchmarks match {
-      case None => afterLang
-      case Some(bench) => staged(afterLang.join(
+      case None => afterLm
+      case Some(bench) => staged(afterLm.join(
         graft.operators.Decontaminate
-          .ngramOverlap(afterLang, bench.select(col(idCol), col(textCol)),
+          .ngramOverlap(afterLm, bench.select(col(idCol), col(textCol)),
             idCol, textCol, n = contaminationN,
             minCoverage = maxContamination)
           .select(col(idCol)).distinct(),
@@ -200,6 +219,7 @@ object CurationPipeline {
           "after_exact_dedup" -> afterExact.count(),
           "after_near_dedup" -> keepIds.count()) ++
           benchmarks.map(_ => "after_decontamination" -> afterDecon.count()) ++
+          lmReference.map(_ => "after_lm" -> afterLm.count()) ++
           maxDupBigramFrac.map(_ =>
             "after_repetition" -> afterRepetition.count())
         Result(curated, () => m)

@@ -70,4 +70,31 @@ class CurationSpec extends SparkSpec {
     assert(!off.counts.contains("after_repetition"))
     assert(off.counts("after_near_dedup") == 2L)
   }
+
+  test("optional LM gate drops docs unlike the reference corpus") {
+    val ref = Seq(
+      (100L, "the engine reads the data and writes the result to the table"),
+      (101L, "the pipeline moves the data through the engine to the sink"))
+      .toDF("doc_id", "text")
+    // doc 1 re-uses the reference vocabulary; doc 2 is all OOV tokens,
+    // so every one of its tokens takes the smoothed 1/(N+V) floor
+    val inVocab = "the engine reads the data and writes the result " +
+      "to the table through the pipeline"
+    val oov = "zanzibar quokka vexillology syzygy quixotic jabberwock " +
+      "perambulate sesquipedalian obfuscate crepuscular floccinaucinihilipilification"
+    val docs = Seq((1L, inVocab), (2L, oov)).toDF("doc_id", "text")
+    // floor chosen between the two scores: in-vocab ≈ ln(c+1/N+V) over
+    // frequent tokens (≫ -3.5), all-OOV = ln(1/(N+V)) ≈ -3.6
+    val res = CurationPipeline.run(docs, "doc_id", "text",
+      languages = Set.empty, lmReference = Some(ref),
+      minAvgLogProb = -3.5, stageCounts = true)
+    assert(res.counts("after_lm") == 1L, s"got ${res.counts}")
+    assert(res.curated.select("doc_id").as[Long].collect().toSeq == Seq(1L))
+
+    // gate off: both survive, and no LM count is reported
+    val off = CurationPipeline.run(docs, "doc_id", "text",
+      languages = Set.empty, stageCounts = true)
+    assert(!off.counts.contains("after_lm"))
+    assert(off.counts("after_near_dedup") == 2L)
+  }
 }

@@ -90,6 +90,19 @@ class SemanticVocabSpec extends SparkSpec {
     }
   }
 
+  test("tokenIds maps positions in order and OOV to the sentinel") {
+    val vocab = Seq(("the", 1L), ("cat", 2L), ("sat", 3L))
+      .toDF("token", "token_id")
+    val docs = Seq(
+      (1L, "The cat SAT on the cat"), // "on" is OOV
+      (2L, "???")                     // no alnum chars → dropped
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenIds(docs, vocab, "doc_id", "text")
+      .select("doc_id", "token_ids", "n_tokens")
+      .as[(Long, Seq[Long], Long)].collect()
+    assert(out.toSeq == Seq((1L, Seq(1L, 2L, 3L, 0L, 1L, 2L), 6L)))
+  }
+
   test("buildVocab two-level ranking equals the global row_number") {
     val rnd = new scala.util.Random(3)
     val docs = Seq.tabulate(80) { i =>
