@@ -174,6 +174,27 @@ class PlanSpec extends SparkSpec {
       s"temperature-mix shuffled the corpus for the rate join:\n$p86")
   }
 
+  test("vocab ranking funnels only the distinct-count table into one partition") {
+    // buildVocab's global running offset may single-partition ONLY the
+    // distinct-count-values aggregate (tiny by construction); the
+    // corpus-scale ranking must stay partitioned. Pinned: exactly one
+    // SinglePartition exchange, the offset joins back by broadcast, the
+    // row_number window is hash-partitioned (by cnt), and the
+    // distinct-count branch reuses the token-count exchange instead of
+    // running the tokenizer twice
+    val p = finalPlan(q("q92_vocab")).split("== Initial Plan ==")(0)
+    assert("Exchange SinglePartition".r.findAllIn(p).size == 1,
+      s"expected exactly one single-partition funnel (the tiny counts table):\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"offset table must broadcast back onto the vocab:\n$p")
+    assert(p.contains("ReusedExchange"),
+      s"distinct-count branch must reuse the token-count exchange:\n$p")
+    val partitionedRowNumber = p.linesIterator.exists(l =>
+      l.contains("row_number()") && l.contains("], [cnt"))
+    assert(partitionedRowNumber,
+      s"within-count rank must be a PARTITIONED window:\n$p")
+  }
+
   test("SRP bucket kernels never leak into a filter or scan") {
     // same inference trap as the tokenizer chain: a non-outer posexplode
     // over the per-table bucket array would re-run every SRP kernel in
