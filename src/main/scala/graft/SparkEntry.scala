@@ -1033,6 +1033,22 @@ object SparkEntry {
         TextAnalysis.buildVocab(docs, "text", minCount = 2L),
         "doc_id", "text")
         .orderBy("doc_id")
+    }),
+    // recall@5 of the q42 LSH index against q40's brute-force ground
+    // truth on the 20 probe queries — "measure, don't guess" for the
+    // approximate paths (the filter on query_id pushes through the
+    // rank window's partition key, so only probe partitions rank)
+    "q94_ann_recall" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val exact = Knn.bruteForceTopK(embs, embs.filter(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5)
+      val approx = Knn.lshTopK(embs, "vec_id", "embedding", k = 5,
+        tables = 2, planes = 4, dim = 64)
+        .filter(col("query_id") < 20)
+      Knn.recallAtK(approx, exact)
+        .select(col("query_id"), col("n_exact"), col("n_hit"),
+          round(col("recall"), 6).as("recall"))
+        .orderBy("query_id")
     })
   )
 
@@ -2290,6 +2306,59 @@ object SparkEntry {
          |SELECT doc_id, token_ids,
          |  CAST(len(token_ids) AS BIGINT) AS n_tokens
          |FROM ids ORDER BY doc_id""".stripMargin,
+    // q40's exact top-5 and q42's LSH top-5 (probes only), overlapped:
+    // per-probe hit counts and recall. Candidate restriction to the
+    // probes BEFORE ranking ≡ the Spark side's post-rank filter (rank
+    // partitions by query)
+    "q94_ann_recall" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |           FROM embeddings WHERE vec_id < 20),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         |escored AS (
+         |  SELECT query_id, neighbor_id, ${duckCos("qv", "cv")} AS cosine
+         |  FROM c CROSS JOIN q WHERE query_id != neighbor_id),
+         |exact AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cosine DESC, neighbor_id) AS rank
+         |    FROM escored) x WHERE rank <= 5),
+         |bkt AS (
+         |  SELECT vec_id, 0 AS htable, ${duckBucket(0, 4, "embedding")} AS bucket
+         |  FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id, 1 AS htable, ${duckBucket(1, 4, "embedding")} AS bucket
+         |  FROM embeddings),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+         |  FROM bkt a JOIN bkt b
+         |    ON a.htable = b.htable AND a.bucket = b.bucket
+         |    AND a.vec_id != b.vec_id
+         |  WHERE a.vec_id < 20),
+         |ascored AS (
+         |  SELECT query_id, neighbor_id,
+         |    ${duckCos("qa.embedding", "qb.embedding")} AS cosine
+         |  FROM cand
+         |  JOIN embeddings qa ON cand.query_id = qa.vec_id
+         |  JOIN embeddings qb ON cand.neighbor_id = qb.vec_id),
+         |approx AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cosine DESC, neighbor_id) AS rank
+         |    FROM ascored) y WHERE rank <= 5),
+         |ecnt AS (SELECT query_id, count(*) AS n_exact
+         |         FROM exact GROUP BY 1),
+         |hits AS (
+         |  SELECT e.query_id, count(*) AS n_hit
+         |  FROM exact e JOIN approx a
+         |    USING (query_id, neighbor_id)
+         |  GROUP BY 1)
+         |SELECT query_id, n_exact,
+         |  CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+         |  round(CAST(coalesce(n_hit, 0) AS DOUBLE) / n_exact, 6) AS recall
+         |FROM ecnt LEFT JOIN hits USING (query_id)
+         |ORDER BY query_id""".stripMargin,
 
     // ---- text analysis oracles
     "q50_token_counts" ->

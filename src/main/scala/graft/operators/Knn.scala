@@ -294,6 +294,32 @@ object Knn {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Recall@k of an approximate neighbor result against exact ground
+    * truth — the metric that tunes `tables`/`planes`/`nprobe`. Both
+    * inputs are `(query_id, neighbor_id, ...)` result frames (e.g.
+    * [[lshTopK]]/[[ivfTopK]] vs [[bruteForceTopK]] over the same probe
+    * queries). Output per query: `(query_id, n_exact, n_hit, recall)`;
+    * queries the approximate index missed entirely keep a row with
+    * recall 0.
+    *
+    * Scale shape: one (query, neighbor)-keyed semi-join plus two
+    * query-keyed aggregations with map-side combine — result-set sized,
+    * never corpus sized.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val ecnt = exact.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"))
+    val hits = exact.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    ecnt.join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("recall",
+        col("n_hit").cast("double") / col("n_exact").cast("double"))
+  }
+
   /** Approximate top-k: candidates from any shared (table, bucket), exact
     * cosine re-rank on candidates only. Equi-join on the bucket id — the
     * cross join never materializes.

@@ -489,4 +489,17 @@ class DedupKnnSpec extends SparkSpec {
     assert(got.size < all.size,
       s"LSH candidates (${got.size}) should prune all-pairs (${all.size})")
   }
+
+  test("recallAtK counts per-query overlap and keeps zero-hit queries") {
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L))
+      .toDF("query_id", "neighbor_id")
+    val approx = Seq((1L, 10L), (1L, 99L), (2L, 98L), (3L, 20L))
+      .toDF("query_id", "neighbor_id")
+    val r = Knn.recallAtK(approx, exact)
+      .select("query_id", "n_exact", "n_hit", "recall")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    // query 2 found nothing right but keeps its row; query 3 has no
+    // ground truth and must NOT appear (recall is defined over exact)
+    assert(r.toSeq == Seq((1L, 2L, 1L, 0.5), (2L, 2L, 0L, 0.0)))
+  }
 }
