@@ -37,7 +37,7 @@ object Scratch {
     // printed adaptive plan is the one that actually ran
     val df = q(spark, dir)
     df.queryExecution.toRdd.count()
-    println(df.queryExecution.executedPlan.toString.take(6000))
+    println(df.queryExecution.executedPlan.toString.take(60000))
     spark.stop()
   }
 }
