@@ -378,11 +378,13 @@ object SparkEntry {
     }),
     // G1 — the materialized posting lists themselves (word → sorted doc
     // set), oracle-gated: the one §2.1 operator that was previously
-    // spec-gated only
+    // spec-gated only. The list is serialized with array_join (the q16
+    // precedent) because the driver's pandas comparator cannot sort raw
+    // array columns.
     "q68_posting_lists" -> ((s, dir) => {
       val toks = Jaccard.tokenized(docsAsCorpus(s, dir))
       Jaccard.postingLists(Jaccard.postings(toks))
-        .select(col("word"), col("docIds").as("doc_ids"))
+        .select(col("word"), array_join(col("docIds"), ",").as("doc_ids"))
         .orderBy("word")
     }),
 
@@ -441,11 +443,15 @@ object SparkEntry {
           |  WHERE lower(text) RLIKE '[a-z0-9]')
           |ORDER BY doc_id""".stripMargin)
     }),
+    // exact all-pairs verifier, candidate-/block-scoped by contract:
+    // maxBlockSize enforces "blocks don't grow with the corpus" in-plan
+    // (raise_error before the quadratic join); the scale path is q65
     "q34_simhash_neardups" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val sims = Dedup.simHashes(docs, "doc_id", "text", bits = 32)
         .join(docs.select(col("doc_id"), col("source")), "doc_id")
-      Dedup.simHashNearDups(sims, "doc_id", col("source"), maxHamming = 8)
+      Dedup.simHashNearDups(sims, "doc_id", col("source"), maxHamming = 8,
+        maxBlockSize = 10000L)
         .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
         .orderBy("id_a", "id_b")
     }),
@@ -517,9 +523,11 @@ object SparkEntry {
         .select(col("source"), round(col("estimate"), 6).as("estimate"))
         .orderBy("source")
     }),
+    // exact all-pairs verifier, block-scoped by contract: maxBlockSize
+    // enforces the bound in-plan (see q34); the scale path is q66
     "q36_cosine_neardups" -> ((s, dir) => {
       Dedup.cosineNearDups(t(s, dir, "embeddings"), "vec_id", "embedding",
-        blockCol = col("label"), minCosine = 0.3)
+        blockCol = col("label"), minCosine = 0.3, maxBlockSize = 10000L)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy("id_a", "id_b")
     }),
@@ -991,14 +999,18 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_idx")
     }),
 
-    // SemDeDup-style semantic dedup: IVF cells (same seed centroids as
-    // q43) → within-cell cosine pairs → components → keeper corpus.
-    // Blocking key is the quantizer cell — sized by the centroid count,
-    // a knob scaled with the corpus, unlike q36's fixed label blocks
+    // SemDeDup-style semantic dedup: Lloyd-REFINED IVF cells (seed +
+    // one ivfRefine round, the q67 pattern) → within-cell cosine pairs
+    // → components → keeper corpus. Blocking key is the quantizer cell —
+    // sized by the centroid count, a knob scaled with the corpus, unlike
+    // q36's fixed label blocks; refinement is the shape a real SemDeDup
+    // deployment runs (balanced cells, not arbitrary seed vectors)
     "q90_semantic_keepers" -> ((s, dir) => {
       val embs = t(s, dir, "embeddings")
-      val cents = embs.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val seeds = Knn.ivfSeedCentroids(embs, "vec_id", "embedding",
+        kCells = 16)
+      val cents = Knn.ivfRefine(embs, "vec_id", "embedding", seeds,
+        iters = 1)
       Dedup.semanticKeepers(embs.select(col("vec_id"), col("label")),
         embs, "vec_id", "embedding", cents, minCosine = 0.3)
         .orderBy("vec_id")
@@ -1026,12 +1038,17 @@ object SparkEntry {
     // numericalization under q92's vocabulary: every doc's token-id
     // sequence (position-sorted, OOV → 0) — the trainer-input array the
     // packing (q82/q83) and chunking (q89) stages consume upstream of
-    // the tokenizer itself
+    // the tokenizer itself. The id array is serialized with array_join
+    // (the q16 precedent) for the driver's pandas comparator.
     "q93_token_ids" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       TextAnalysis.tokenIds(docs,
         TextAnalysis.buildVocab(docs, "text", minCount = 2L),
         "doc_id", "text")
+        .select(col("doc_id"),
+          array_join(col("token_ids").cast("array<string>"), ",")
+            .as("token_ids"),
+          col("n_tokens"))
         .orderBy("doc_id")
     }),
     // recall@5 of the q42 LSH index against q40's brute-force ground
@@ -1529,7 +1546,8 @@ object SparkEntry {
       s"""WITH $ToksCte,
          |posts AS (SELECT doc_id, unnest(tokens) AS word FROM toks
          |          WHERE len(tokens) > 0)
-         |SELECT word, list(doc_id ORDER BY doc_id) AS doc_ids
+         |SELECT word,
+         |  array_to_string(list(doc_id ORDER BY doc_id), ',') AS doc_ids
          |FROM posts GROUP BY word
          |ORDER BY word""".stripMargin,
 
@@ -2184,11 +2202,35 @@ object SparkEntry {
          |  SELECT e.vec_id, c.cid,
          |    ${duckCos("e.embedding", "c.cvec")} AS cos
          |  FROM embeddings e CROSS JOIN cents c),
-         |assigned AS (
+         |sassigned AS (
          |  SELECT vec_id, cid FROM (
          |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
          |      ORDER BY cos DESC, cid) AS rn
          |    FROM ascored) x WHERE rn = 1),
+         |comp AS (
+         |  SELECT a.cid, ii AS pos, e.vec_id,
+         |    CAST(e.embedding[ii] AS DOUBLE) AS x
+         |  FROM sassigned a JOIN embeddings e USING (vec_id)
+         |  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS ii) idx),
+         |means AS (
+         |  SELECT cid, pos,
+         |    CAST(list_reduce(list(x ORDER BY vec_id), (a, b) -> a + b)
+         |      / count(*) AS FLOAT) AS m
+         |  FROM comp GROUP BY cid, pos),
+         |rcents AS (
+         |  SELECT c.cid, coalesce(mv.cvec, c.cvec) AS cvec
+         |  FROM cents c LEFT JOIN (
+         |    SELECT cid, list(m ORDER BY pos) AS cvec
+         |    FROM means GROUP BY cid) mv USING (cid)),
+         |rascored AS (
+         |  SELECT e.vec_id, c.cid,
+         |    ${duckCos("e.embedding", "c.cvec")} AS cos
+         |  FROM embeddings e CROSS JOIN rcents c),
+         |assigned AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cos DESC, cid) AS rn
+         |    FROM rascored) x WHERE rn = 1),
          |cand AS (
          |  SELECT a.vec_id AS s, b.vec_id AS t
          |  FROM assigned a JOIN assigned b
@@ -2300,11 +2342,11 @@ object SparkEntry {
          |  FROM dwords, unnest(generate_series(1, len(ws))) AS t(i)),
          |ids AS (
          |  SELECT doc_id,
-         |    list(coalesce(token_id, 0) ORDER BY pos) AS token_ids
+         |    list(coalesce(token_id, 0) ORDER BY pos) AS ids
          |  FROM posts LEFT JOIN vocab USING (token)
          |  GROUP BY doc_id)
-         |SELECT doc_id, token_ids,
-         |  CAST(len(token_ids) AS BIGINT) AS n_tokens
+         |SELECT doc_id, array_to_string(ids, ',') AS token_ids,
+         |  CAST(len(ids) AS BIGINT) AS n_tokens
          |FROM ids ORDER BY doc_id""".stripMargin,
     // q40's exact top-5 and q42's LSH top-5 (probes only), overlapped:
     // per-probe hit counts and recall. Candidate restriction to the

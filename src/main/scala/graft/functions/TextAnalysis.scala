@@ -291,9 +291,22 @@ object TextAnalysis {
       // size/isnotnull filters that re-run the tokenizer in the scan
       .select(explode_outer(col("__ws")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("__c"))
+    // Fail fast on an empty model (zero alphanumeric tokens): otherwise
+    // the sum below is null, every score nulls out, and a downstream
+    // `avg_logprob >= floor` gate silently drops the whole corpus. The
+    // assert is folded into the scalar value itself (null when it holds)
+    // so column pruning cannot discard the check.
     val scalars = counts.agg(
-      sum(col("__c")).cast("double").as("__n_occ"),
-      count(lit(1)).cast("double").as("__n_vocab"))
+        sum(col("__c")).cast("double").as("__s_occ"),
+        count(lit(1)).cast("double").as("__n_vocab"))
+      .select(
+        (coalesce(col("__s_occ"), lit(0.0)) +
+          coalesce(
+            assert_true(col("__n_vocab") > 0,
+              lit("unigramLogProb: model corpus has no alphanumeric tokens"))
+              .cast("double"),
+            lit(0.0))).as("__n_occ"),
+        col("__n_vocab"))
     val occ = docs
       .filter(col(idCol).isNotNull && lower(col(textCol)).rlike("[a-z0-9]"))
       .select(col(idCol), TextFunctions.normalizedWords(col(textCol)).as("__ws"))
@@ -316,19 +329,6 @@ object TextAnalysis {
         col("sum_logprob") / col("n_tokens").cast("double"))
   }
 
-  /** Frequency-ranked vocabulary: `(token_id, token, cnt)` with ids
-    * assigned by (count desc, token asc), 1-based, restricted to tokens
-    * seen at least `minCount` times — the table a tokenizer-training or
-    * feature-hashing stage consumes.
-    *
-    * The ranking is two-level so no corpus-scale data ever funnels into
-    * a single-partition window: the global running offset is computed
-    * over the DISTINCT-COUNT-VALUES table (tiny — bounded by the number
-    * of distinct frequencies, ≪ vocabulary under any Zipf-ish corpus),
-    * and the within-frequency rank is an ordinary partitioned window
-    * keyed by the count. `offset(cnt) + rank_within(cnt)` equals the
-    * global `row_number() OVER (ORDER BY cnt DESC, token)` exactly.
-    */
   /** Numericalization: each document's token-id sequence under `vocab`
     * (a `(token, token_id)` table, e.g. [[buildVocab]]'s output) —
     * the array a trainer or packing stage actually consumes. Tokens
@@ -357,6 +357,19 @@ object TextAnalysis {
       .withColumn("n_tokens", size(col("token_ids")).cast("long"))
   }
 
+  /** Frequency-ranked vocabulary: `(token_id, token, cnt)` with ids
+    * assigned by (count desc, token asc), 1-based, restricted to tokens
+    * seen at least `minCount` times — the table a tokenizer-training or
+    * feature-hashing stage consumes.
+    *
+    * The ranking is two-level so no corpus-scale data ever funnels into
+    * a single-partition window: the global running offset is computed
+    * over the DISTINCT-COUNT-VALUES table (tiny — bounded by the number
+    * of distinct frequencies, ≪ vocabulary under any Zipf-ish corpus),
+    * and the within-frequency rank is an ordinary partitioned window
+    * keyed by the count. `offset(cnt) + rank_within(cnt)` equals the
+    * global `row_number() OVER (ORDER BY cnt DESC, token)` exactly.
+    */
   def buildVocab(docs: DataFrame, textCol: String,
                  minCount: Long = 1L): DataFrame = {
     val counts = docs

@@ -233,14 +233,57 @@ object Dedup {
         GraftFunctions.simHash(col("hashes"), bits).as("simhash"))
   }
 
+  /** In-plan fail-fast for the exact block-verifiers ([[simHashNearDups]],
+    * [[cosineNearDups]]): their all-pairs join is QUADRATIC in block size,
+    * so the contract is that `blockCol`'s per-value cardinality must stay
+    * bounded as the corpus grows (more blocks, not bigger blocks). A
+    * block that scales with the corpus is the plan shape that dies at
+    * 100× — the scale-safe siblings ([[simHashNearDupsBanded]],
+    * [[cosineNearDupsLsh]], IVF cells in [[semanticKeepers]]) exist for
+    * exactly that case.
+    *
+    * With `maxBlockSize > 0` the bound is enforced inside the plan: a
+    * block-keyed count is joined back (cheap — one exchange the pair
+    * join needs anyway, sizes table is #blocks rows) and a `raise_error`
+    * folded into a guarded filter fails the job BEFORE the quadratic
+    * join materializes. `CaseWhen` branches evaluate conditionally, so
+    * the error only fires on an oversized block. `maxBlockSize <= 0`
+    * (default) skips the guard and leaves the plan untouched.
+    */
+  private def guardedBlocks(withBlock: DataFrame, maxBlockSize: Long,
+                            op: String): DataFrame =
+    if (maxBlockSize <= 0L) withBlock
+    else {
+      val sizes = withBlock.groupBy("block")
+        .agg(count(lit(1)).as("__block_n"))
+      val msg = concat(
+        lit(s"$op: block "), col("block").cast("string"),
+        lit(" holds "), col("__block_n").cast("string"),
+        lit(s" rows > maxBlockSize=$maxBlockSize — refusing the " +
+          "quadratic all-pairs join; use the banded/LSH sibling " +
+          "or a finer blocking key"))
+      withBlock.join(sizes, "block")
+        .filter(when(col("__block_n") <= maxBlockSize, lit(true))
+          .otherwise(raise_error(msg).cast("boolean")))
+        .drop("__block_n")
+    }
+
   /** SimHash near-dup pairs within a blocking column (e.g. source shard):
     * Hamming distance ≤ maxHamming. Blocking keeps the pair join bounded;
     * at scale, block on SimHash prefix bands instead (same operator, the
     * blocking column being a prefix expression).
+    *
+    * Contract: `blockCol` cardinality must grow with the corpus (fixed
+    * per-block size), or the self-join is quadratic — pass
+    * `maxBlockSize` to enforce this in-plan (see [[guardedBlocks]]), or
+    * use [[simHashNearDupsBanded]] whose partition bound is the band
+    * value, not the block.
     */
   def simHashNearDups(simHashes: DataFrame, idCol: String,
-                      blockCol: Column, maxHamming: Int): DataFrame = {
-    val withBlock = simHashes.withColumn("block", blockCol)
+                      blockCol: Column, maxHamming: Int,
+                      maxBlockSize: Long = -1L): DataFrame = {
+    val withBlock = guardedBlocks(simHashes.withColumn("block", blockCol),
+      maxBlockSize, "simHashNearDups")
     withBlock.as("a")
       .join(withBlock.as("b"),
         col("a.block") === col("b.block") &&
@@ -462,8 +505,9 @@ object Dedup {
     * set; edges only ever move "downhill" (toward smaller ids), and at
     * the fixed point the edge set is a star forest centered on the
     * component minima. Convergence is an exact set-equality check on
-    * the materialized edge set (count + anti-join, no probabilistic
-    * hashing), and the returned labeling is re-validated against the
+    * the materialized edge set (a single symmetric-difference
+    * full-outer-join probe, no probabilistic hashing), and the
+    * returned labeling is re-validated against the
     * ORIGINAL edges — both endpoints of every input edge must agree —
     * so a premature fixed point can never return silently.
     */
@@ -513,8 +557,17 @@ object Dedup {
         .filter(col("s") =!= col("t"))
         .distinct()
         .localCheckpoint()
-      // exact fixed-point test on the canonical edge sets
-      converged = next.count() == e.count() && next.except(e).isEmpty
+      // exact fixed-point test on the canonical edge sets: one
+      // symmetric-difference job (full-outer join on the deduped edge
+      // key, a row surviving with either side missing ⇒ sets differ) —
+      // replaces the former count() + except() pair, halving the
+      // per-round driver latency; both inputs are checkpointed so the
+      // probe touches no upstream stage
+      converged = next.select(col("s"), col("t"), lit(1).as("__l"))
+        .join(e.select(col("s"), col("t"), lit(1).as("__r")),
+          Seq("s", "t"), "full_outer")
+        .filter(col("__l").isNull || col("__r").isNull)
+        .isEmpty
       // the superseded checkpoint is dead once `next` is materialized
       // and compared — release it (keep `orig` for the final validation)
       val stale = e
@@ -546,13 +599,22 @@ object Dedup {
   /** Embedding near-dup pairs: cosine ≥ threshold within a blocking column.
     * Exact verification operator — candidate generation at scale is
     * `Knn.lshBuckets`.
+    *
+    * Contract: `blockCol` cardinality must grow with the corpus (fixed
+    * per-block size), or the self-join is quadratic — pass
+    * `maxBlockSize` to enforce this in-plan (see [[guardedBlocks]]), or
+    * use [[cosineNearDupsLsh]] whose partition bound is the LSH bucket,
+    * not the block.
     */
   def cosineNearDups(embs: DataFrame, idCol: String, vecCol: String,
-                     blockCol: Column, minCosine: Double): DataFrame = {
+                     blockCol: Column, minCosine: Double,
+                     maxBlockSize: Long = -1L): DataFrame = {
     GraftFunctions.register(embs.sparkSession)
-    val e = embs.withColumn("block", blockCol)
-      .select(col(idCol), col("block"), col(vecCol).as("vec"),
-        Knn.normF32(col(vecCol)).as("nrm"))
+    val e = guardedBlocks(
+      embs.withColumn("block", blockCol)
+        .select(col(idCol), col("block"), col(vecCol).as("vec"),
+          Knn.normF32(col(vecCol)).as("nrm")),
+      maxBlockSize, "cosineNearDups")
     e.as("a")
       .join(e.as("b"),
         col("a.block") === col("b.block") &&

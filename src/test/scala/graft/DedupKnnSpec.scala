@@ -460,6 +460,39 @@ class DedupKnnSpec extends SparkSpec {
       "banded candidate join must key on (band, band_bits)")
   }
 
+  test("block verifiers fail fast when a block exceeds maxBlockSize") {
+    val rows = Seq.tabulate(30) { i =>
+      (i.toLong, i.toLong * 7919, if (i < 25) "big" else "small")
+    }
+    val df = rows.toDF("id", "simhash", "block_src")
+    // within bound: identical result to the unguarded path
+    val unguarded = Dedup.simHashNearDups(df, "id", $"block_src",
+      maxHamming = 8)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val guarded = Dedup.simHashNearDups(df, "id", $"block_src",
+      maxHamming = 8, maxBlockSize = 25L)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(guarded == unguarded)
+    // over bound: the job fails before the quadratic join, naming the op
+    val err = intercept[Exception] {
+      Dedup.simHashNearDups(df, "id", $"block_src", maxHamming = 8,
+        maxBlockSize = 24L).collect()
+    }
+    assert(err.getMessage.contains("simHashNearDups") ||
+      Option(err.getCause).exists(_.getMessage.contains("simHashNearDups")))
+    // same contract on the cosine verifier
+    val rnd = new scala.util.Random(11)
+    val vecs = Seq.tabulate(20) { i =>
+      (i.toLong, Array.fill(8)(rnd.nextFloat()), "one")
+    }.toDF("vec_id", "embedding", "label")
+    val errC = intercept[Exception] {
+      Dedup.cosineNearDups(vecs, "vec_id", "embedding", $"label",
+        minCosine = 0.0, maxBlockSize = 10L).collect()
+    }
+    assert(errC.getMessage.contains("cosineNearDups") ||
+      Option(errC.getCause).exists(_.getMessage.contains("cosineNearDups")))
+  }
+
   test("LSH-fronted cosine near-dups = candidate pairs ∩ cosine threshold") {
     GraftFunctions.register(spark)
     val rnd = new scala.util.Random(23)

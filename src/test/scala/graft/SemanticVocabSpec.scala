@@ -69,6 +69,19 @@ class SemanticVocabSpec extends SparkSpec {
     assert(math.abs(r._4 - expSum / 2) < 1e-12)
   }
 
+  test("unigramLogProb fails fast on a model with no alphanumeric tokens") {
+    // an empty model would null every score and make a downstream
+    // `avg_logprob >= floor` gate silently drop the whole corpus
+    val model = Seq((10L, "??? !!!")).toDF("doc_id", "text")
+    val docs = Seq((1L, "a c")).toDF("doc_id", "text")
+    val err = intercept[Exception] {
+      TextAnalysis.unigramLogProb(model, docs, "doc_id", "text").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(err).exists(_.contains("no alphanumeric tokens")), msgs(err))
+  }
+
   test("unigramLogProb is bit-identical across partitionings") {
     val rnd = new scala.util.Random(11)
     val docs = Seq.tabulate(60) { i =>
