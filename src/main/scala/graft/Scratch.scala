@@ -30,7 +30,23 @@ object Scratch {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     def exec(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
-    val q = SparkEntry.queries(name)
+    // "skew" replays the Bench jaccard_skew_hotword workload (not a
+    // SparkEntry query) so its plan can be dumped and timed here too
+    val q: (SparkSession, String) => DataFrame =
+      if (name == "skew") { (s, _) =>
+        val docs = s.range(20000).select(
+          col("id").cast("string").as("docId"),
+          concat_ws(" ", lit("hotzz"),
+            concat(lit("a"), col("id")), concat(lit("b"), col("id")),
+            concat(lit("c"), col("id")), concat(lit("d"), col("id"))).as("text"))
+        graft.operators.Jaccard.allPairs(docs, maxDocFrequency = Some(1000L))
+      }
+      else if (name == "curation") { (s, d) =>
+        val docs = s.read.parquet(s"$d/documents.parquet")
+        graft.pipeline.CurationPipeline
+          .run(docs, "doc_id", "text", languages = Set.empty).curated
+      }
+      else SparkEntry.queries(name)
     time(s"$name cold")(exec(q(spark, dir)))
     time(s"$name warm")(exec(q(spark, dir)))
     // execute THIS QueryExecution (a write would plan its own) so the

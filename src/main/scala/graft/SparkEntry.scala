@@ -843,6 +843,23 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // the SAME metadata as q70, produced through the imperative
+    // mapPartitions decoder seam (decodePartitions + stubDecodeBytes)
+    // instead of the columnar stubDecodeMeta projection — the two paths
+    // are value-identical by construction, so q70's oracle gates the
+    // seam a real codec would plug into
+    "q95_mm_decode_seam" -> ((s, dir) => {
+      val assets = graft.multimodal.Multimodal.asBinaryAssets(
+        t(s, dir, "documents"), "doc_id", "text", "image")
+      graft.multimodal.Multimodal.decodePartitions(assets).toDF()
+        .select(col("id"), col("modality"), col("nBytes").as("n_bytes"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("channels").cast("long").as("channels"),
+          col("durationMs").as("duration_ms"))
+        .orderBy("id")
+    }),
+
     // ---- repetition / sub-document duplication / frequency sketches
     // Gopher-style repetition gate: top-n-gram and duplicate-n-gram
     // fractions per doc (word bigrams + trigrams off one tokenizer pass)
@@ -1202,6 +1219,23 @@ object SparkEntry {
   /** Shared by q31 (array formulation) and q38 (postings/UDAF
     * formulation) — both must reproduce the identical signature table.
     */
+  /** Shared by q70 (columnar stub decode) and q95 (mapPartitions seam):
+    * the two Spark paths are value-identical by construction.
+    */
+  private val MmMetaOracle =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(hex(encode(text))), 1, 15))::BIGINT AS hv,
+      |    encode(text) AS blob
+      |  FROM documents)
+      |SELECT doc_id AS id, 'image' AS modality,
+      |  CAST(octet_length(blob) AS BIGINT) AS n_bytes,
+      |  CAST(hv % 512 + 64 AS BIGINT) AS width,
+      |  CAST((hv >> 9) % 512 + 64 AS BIGINT) AS height,
+      |  CAST(3 AS BIGINT) AS channels,
+      |  CAST(0 AS BIGINT) AS duration_ms
+      |FROM h ORDER BY id""".stripMargin
+
   private val MinHashSigOracle =
     s"""WITH $WordsCte,
        |$ShinglesCte,
@@ -2685,18 +2719,9 @@ object SparkEntry {
         |  CAST(unnest(generate_series(0, duration_ms - 1, 5000)) AS BIGINT)
         |    AS frame_ts_ms
         |FROM v ORDER BY id, frame_ts_ms""".stripMargin,
-    "q70_mm_meta" ->
-      """WITH h AS (
-        |  SELECT doc_id,
-        |    ('0x' || substr(md5(hex(encode(text))), 1, 15))::BIGINT AS hv,
-        |    encode(text) AS blob
-        |  FROM documents)
-        |SELECT doc_id AS id, 'image' AS modality,
-        |  CAST(octet_length(blob) AS BIGINT) AS n_bytes,
-        |  CAST(hv % 512 + 64 AS BIGINT) AS width,
-        |  CAST((hv >> 9) % 512 + 64 AS BIGINT) AS height,
-        |  CAST(3 AS BIGINT) AS channels,
-        |  CAST(0 AS BIGINT) AS duration_ms
-        |FROM h ORDER BY id""".stripMargin
+    "q70_mm_meta" -> MmMetaOracle,
+    // same oracle: the mapPartitions seam must agree with the columnar
+    // stub path row for row
+    "q95_mm_decode_seam" -> MmMetaOracle
   )
 }

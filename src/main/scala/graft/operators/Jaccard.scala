@@ -86,15 +86,29 @@ object Jaccard {
     * @param maxDocFrequency drop words appearing in more than this many
     *   docs before pairing (df-pruning for hot-word skew at scale).
     *   `None` = exact reference semantics.
+    *
+    *   The prune is an anti-join against the HOT-word table (df >
+    *   maxDf), not an inner join against the vocabulary-sized keep
+    *   list: hot words are bounded by |postings| / maxDf rows by
+    *   construction, so the table is always tiny and broadcastable,
+    *   and materializing it once (a small eager job) means the df
+    *   aggregation's full pass over the postings runs ONCE — the
+    *   keep-list formulation re-computed that aggregate under each
+    *   self-join alias.
     */
   def pairIntersections(
       postings: DataFrame,
       maxDocFrequency: Option[Long] = None): DataFrame = {
     val p = maxDocFrequency match {
       case Some(maxDf) =>
-        val df = postings.groupBy("word").agg(count(lit(1)).as("df"))
-        postings.join(df.filter(col("df") <= maxDf), "word")
-          .select("word", "docId")
+        val hot = postings.groupBy("word").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDf)
+          .select("word")
+          .localCheckpoint()
+        // null-word postings (empty docs) survive the anti-join where
+        // the inner join dropped them — harmless: a null word can never
+        // equi-join in the pair stage, so the pair output is identical
+        postings.join(broadcast(hot), Seq("word"), "left_anti")
       case None => postings
     }
     p.as("a")

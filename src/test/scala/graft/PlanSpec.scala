@@ -61,6 +61,38 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q94 probe filter pushes below the rank window into the scan") {
+    // q94 filters lshTopK's output to the 20 probe queries and relies on
+    // Catalyst pushing that predicate through the rank window's
+    // partition key (so only probe partitions rank). A regression would
+    // surface as a post-window `Filter (query_id < 20)`; the healthy
+    // plan pushes it all the way into the embeddings parquet scan.
+    val plan = finalPlan(q("q94_ann_recall")).split("== Initial Plan ==")(0)
+    val postWindowFilter = plan.linesIterator.exists(l =>
+      l.contains("Filter") && l.contains("query_id"))
+    assert(!postWindowFilter,
+      s"probe predicate stuck above the rank window:\n${plan.take(2000)}")
+    assert(plan.contains("LessThan(vec_id,20)"),
+      s"probe predicate should reach the parquet scan:\n${plan.take(2000)}")
+  }
+
+  test("curation cascade evaluates the MinHash signature pipeline once") {
+    // `sigs` feeds banding; `candidates` feeds BOTH candIds and the
+    // verification semi-join — the cascade's scaladoc claims all of it
+    // rides shared exchanges rather than re-running the kernel per
+    // consumer. Pin that: exactly one graft_minhash evaluation in the
+    // executed final plan, with ReusedExchange covering the repeats.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val curated = graft.pipeline.CurationPipeline
+      .run(docs, "doc_id", "text", languages = Set.empty).curated
+    val plan = finalPlan(curated).split("== Initial Plan ==")(0)
+    val nKernel = "graft_minhash".r.findAllIn(plan).size
+    assert(nKernel == 1,
+      s"MinHash kernel evaluated $nKernel times (expected 1):\n${plan.take(2000)}")
+    assert(plan.contains("ReusedExchange"),
+      s"cascade must reuse exchanges across consumers:\n${plan.take(2000)}")
+  }
+
   test("LSH bucket projection is one codegen'd kernel, not interpreted folds") {
     val plan = finalPlan(q("q41_lsh_buckets"))
     assert(plan.contains("graft_srp_bucket"),

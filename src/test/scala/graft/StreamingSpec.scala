@@ -317,6 +317,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("batch and streaming curation keep the same rows under late duplicates") {
+    // the runStreaming scaladoc claims a row passes the stream gate iff
+    // it would pass the batch gate: same quality/language expressions,
+    // and watermarked dedup ≡ batch exact dedup when the first arrival
+    // is the min id and replays land within the lateness window. Late
+    // duplicates (event time BEHIND the stream's max, inside the
+    // watermark) are exactly the case that distinguishes
+    // dropDuplicatesWithinWatermark from naive per-batch dedup.
+    val good = "the quick brown fox jumps over the lazy dog near " +
+      "the river bank today while the sun sets slowly behind the old hill"
+    val other = "a completely different document about the engine and " +
+      "the data pipeline that we keep because it is unique and long enough"
+    val rows = Seq(
+      (1L, good, 100L),   // passes all gates
+      (2L, "hi there", 110L),  // quality-dropped
+      (3L, "le chat est dans la maison et il mange pour vivre bien", 120L),
+      (4L, good, 105L),   // exact dup, late event time
+      (5L, other, 150L),  // passes
+      (6L, other, 130L))  // exact dup, late event time
+    // batch: the full cascade over the same corpus (near-dedup is a
+    // no-op here — the only duplicates are exact)
+    val batchKept = graft.pipeline.CurationPipeline
+      .run(rows.toDF("doc_id", "text", "secs"), "doc_id", "text",
+        languages = Set("en"))
+      .curated.select("doc_id").as[Long].collect().toSet
+    // streaming: on-time rows first, then the late duplicates in a
+    // second batch — both inside the 1 h lateness window
+    val input = MemoryStream[(Long, String, Long)](spark)
+    val stream = input.toDF()
+      .select(col("_1").as("doc_id"), col("_2").as("text"),
+        timestamp_seconds(col("_3")).as("ts"))
+    val q = graft.pipeline.CurationPipeline
+      .runStreaming(stream, "doc_id", "text", "ts", languages = Set("en"))
+      .select("doc_id")
+      .writeStream.format("memory").queryName("curparity")
+      .outputMode("append").start()
+    try {
+      input.addData(rows.filter(r => r._1 != 4L && r._1 != 6L))
+      q.processAllAvailable()
+      input.addData(rows.filter(r => r._1 == 4L || r._1 == 6L))
+      q.processAllAvailable()
+      val streamKept = spark.table("curparity").as[Long].collect().toSet
+      assert(batchKept == Set(1L, 5L), s"batch kept $batchKept")
+      assert(streamKept == batchKept,
+        s"stream kept $streamKept, batch kept $batchKept")
+    } finally q.stop()
+  }
+
   test("batch and streaming sessionization agree on on-time data") {
     val batch = EventStreams.sessionize(
       Seq((7L, 1000L, 1L), (7L, 1500L, 2L), (7L, 4000L, 3L), (8L, 900L, 4L))
