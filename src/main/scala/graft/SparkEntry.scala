@@ -843,6 +843,15 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // duplicated-span removal (RefinedWeb "remove duplicated spans" at
+    // chunk granularity — the operation q76 only measures): cut every
+    // 8-token window shared by more than 2 docs, reassemble the rest
+    "q96_drop_dup_chunks" -> ((s, dir) => {
+      graft.operators.Chunking.dropDuplicatedChunks(
+        t(s, dir, "documents"), "doc_id", "text", width = 8, maxDf = 2L)
+        .orderBy("doc_id")
+    }),
+
     // the SAME metadata as q70, produced through the imperative
     // mapPartitions decoder seam (decodePartitions + stubDecodeBytes)
     // instead of the columnar stubDecodeMeta projection — the two paths
@@ -2719,6 +2728,34 @@ object SparkEntry {
         |  CAST(unnest(generate_series(0, duration_ms - 1, 5000)) AS BIGINT)
         |    AS frame_ts_ms
         |FROM v ORDER BY id, frame_ts_ms""".stripMargin,
+    // 8-token non-overlapping windows, df over DISTINCT docs, windows
+    // with df > 2 cut, survivors rejoined in chunk order
+    "q96_drop_dup_chunks" ->
+      s"""WITH $LiveWordsCte,
+         |c AS (
+         |  SELECT doc_id, w,
+         |    greatest(1, CAST(ceil((len(w) - 8) / 8.0) AS BIGINT) + 1) AS nc
+         |  FROM ws),
+         |ch AS (
+         |  SELECT doc_id, i AS idx,
+         |    w[CAST(i*8 + 1 AS BIGINT):CAST(i*8 + 8 AS BIGINT)] AS toks,
+         |    md5(array_to_string(
+         |      w[CAST(i*8 + 1 AS BIGINT):CAST(i*8 + 8 AS BIGINT)], ' ')) AS h
+         |  FROM c, unnest(generate_series(0, nc - 1)) AS u(i)),
+         |hot AS (
+         |  SELECT h FROM (
+         |    SELECT h, count(DISTINCT doc_id) AS df FROM ch GROUP BY h)
+         |  WHERE df > 2)
+         |SELECT doc_id,
+         |  coalesce(array_to_string(flatten(
+         |    list(toks ORDER BY idx) FILTER (h NOT IN (SELECT h FROM hot))),
+         |    ' '), '') AS clean_text,
+         |  CAST(count(*) FILTER (h NOT IN (SELECT h FROM hot)) AS BIGINT)
+         |    AS n_kept_chunks,
+         |  CAST(count(*) FILTER (h IN (SELECT h FROM hot)) AS BIGINT)
+         |    AS n_dropped_chunks
+         |FROM ch GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "q70_mm_meta" -> MmMetaOracle,
     // same oracle: the mapPartitions seam must agree with the columnar
     // stub path row for row

@@ -54,4 +54,68 @@ object Chunking {
         size(col("__c.toks")).cast("long").as("chunk_tokens"),
         md5(array_join(col("__c.toks"), " ")).as("chunk_md5"))
   }
+
+  /** Duplicated-span REMOVAL — the operation `Dedup.chunkStats` only
+    * measures (RefinedWeb's "remove duplicated spans" / Lee et al.'s
+    * exact-substring dedup at chunk granularity): cut every
+    * non-overlapping `width`-token window whose content appears in more
+    * than `maxDf` distinct documents, then reassemble each document
+    * from its surviving windows in order. Output: (id, clean_text,
+    * n_kept_chunks, n_dropped_chunks) — a doc whose every chunk is
+    * boilerplate survives with empty text and n_kept_chunks = 0 (the
+    * caller's quality gate is the right place to drop it).
+    *
+    * Scale shape: one tokenizer pass; the only shuffles are the
+    * chunk-digest df aggregation (map-side combined, key space =
+    * distinct digests) and the id-keyed reassembly agg. The HOT-chunk
+    * table (df > maxDf) is bounded by n_chunks / maxDf rows by
+    * construction — the same argument as the Jaccard hot-word prune —
+    * so it is materialized once and broadcast; corpus chunks never
+    * shuffle by content for the membership test.
+    */
+  def dropDuplicatedChunks(docs: DataFrame, idCol: String, textCol: String,
+                           width: Int, maxDf: Long): DataFrame = {
+    require(width >= 1, s"width ($width) must be >= 1")
+    require(maxDf >= 1, s"maxDf ($maxDf) must be >= 1")
+    val live = docs
+      .filter(col(idCol).isNotNull && lower(col(textCol)).rlike("[a-z0-9]"))
+      .select(col(idCol),
+        TextFunctions.normalizedWords(col(textCol)).as("__ws"))
+    val nChunks = greatest(lit(1L),
+      ceil((size(col("__ws")).cast("double") - width) / width)
+        .cast("long") + lit(1L))
+    val windows = transform(sequence(lit(0L), nChunks - 1),
+      i => struct(i.as("idx"),
+        slice(col("__ws"), (i * width + 1).cast("int"), lit(width))
+          .as("toks")))
+    // outer explode + null filter on the OUTPUT attribute — the q23/q89
+    // scan-filter trap rationale (see tokenChunks)
+    val chunks = live
+      .select(col(idCol), explode_outer(windows).as("__c"))
+      .filter(col("__c").isNotNull)
+      .select(col(idCol), col("__c.idx").as("__idx"),
+        col("__c.toks").as("__toks"),
+        md5(array_join(col("__c.toks"), " ")).as("__h"))
+    val hot = chunks.groupBy(col("__h"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") > maxDf)
+      .select(col("__h"), lit(1).as("__hot"))
+      .localCheckpoint()
+    // left join + in-agg marker (not an anti-join): the kept/dropped
+    // split falls out of ONE id-keyed aggregation — collect_list skips
+    // the nulled-out hot chunks
+    chunks.join(broadcast(hot), Seq("__h"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        sort_array(collect_list(when(col("__hot").isNull,
+          struct(col("__idx"), col("__toks"))))).as("__xs"),
+        sum(when(col("__hot").isNull, 1L).otherwise(0L))
+          .as("n_kept_chunks"),
+        sum(when(col("__hot").isNotNull, 1L).otherwise(0L))
+          .as("n_dropped_chunks"))
+      .select(col(idCol),
+        array_join(flatten(transform(col("__xs"),
+          x => x.getField("__toks"))), " ").as("clean_text"),
+        col("n_kept_chunks"), col("n_dropped_chunks"))
+  }
 }

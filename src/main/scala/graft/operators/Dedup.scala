@@ -557,17 +557,19 @@ object Dedup {
         .filter(col("s") =!= col("t"))
         .distinct()
         .localCheckpoint()
-      // exact fixed-point test on the canonical edge sets: one
-      // symmetric-difference job (full-outer join on the deduped edge
-      // key, a row surviving with either side missing ⇒ sets differ) —
-      // replaces the former count() + except() pair, halving the
-      // per-round driver latency; both inputs are checkpointed so the
-      // probe touches no upstream stage
-      converged = next.select(col("s"), col("t"), lit(1).as("__l"))
-        .join(e.select(col("s"), col("t"), lit(1).as("__r")),
-          Seq("s", "t"), "full_outer")
-        .filter(col("__l").isNull || col("__r").isNull)
-        .isEmpty
+      // exact fixed-point test on the canonical edge sets, cheapest
+      // check first: counts over the two checkpointed frames are
+      // shuffle-free (partition sums), so rounds that still shrink the
+      // edge set converge on counts alone; only candidate-convergence
+      // rounds (equal counts) pay the one exact symmetric-difference
+      // probe (full-outer join on the deduped edge key — a surviving
+      // row with either side missing ⇒ sets differ)
+      converged = next.count() == e.count() &&
+        next.select(col("s"), col("t"), lit(1).as("__l"))
+          .join(e.select(col("s"), col("t"), lit(1).as("__r")),
+            Seq("s", "t"), "full_outer")
+          .filter(col("__l").isNull || col("__r").isNull)
+          .isEmpty
       // the superseded checkpoint is dead once `next` is materialized
       // and compared — release it (keep `orig` for the final validation)
       val stale = e

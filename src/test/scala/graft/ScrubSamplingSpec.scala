@@ -94,6 +94,34 @@ class ScrubSamplingSpec extends SparkSpec {
     assert(lap.map(_._3).toSeq == Seq(4L, 3L)) // [t1..t4], [t3..t5]
   }
 
+  test("dropDuplicatedChunks cuts cross-doc spans and reassembles in order") {
+    // "aa bb" is shared by docs 1,2,3 (df=3 > maxDf=2) → cut everywhere;
+    // each doc's unique spans survive in position order
+    val docs = Seq(
+      (1L, "aa bb u1 v1"),
+      (2L, "aa bb u2 v2"),
+      (3L, "u3 v3 aa bb"),
+      (4L, "aa bb"),          // entirely boilerplate → empty survivor
+      (5L, "w1 w2 w3")        // untouched
+    ).toDF("doc_id", "text")
+    val out = Chunking.dropDuplicatedChunks(docs, "doc_id", "text",
+      width = 2, maxDf = 2L)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "u1 v1", 1L, 1L),
+      (2L, "u2 v2", 1L, 1L),
+      (3L, "u3 v3", 1L, 1L),
+      (4L, "", 0L, 1L),
+      (5L, "w1 w2 w3", 2L, 0L)))
+    // within-doc repetition alone does not cross the DISTINCT-doc df cap
+    val solo = Chunking.dropDuplicatedChunks(
+      Seq((9L, "r1 r2 r1 r2 r1 r2")).toDF("doc_id", "text"),
+      "doc_id", "text", width = 2, maxDf = 2L)
+      .as[(Long, String, Long, Long)].head()
+    assert(solo == ((9L, "r1 r2 r1 r2 r1 r2", 3L, 0L)))
+  }
+
   test("tokenChunks covers every token for any (length, width, stride)") {
     for (l <- Seq(1, 2, 5, 7, 16, 33); w <- Seq(1, 2, 4, 8); s <- Seq(1, 2, 4)
          if s <= w) {
