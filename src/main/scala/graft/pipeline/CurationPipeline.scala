@@ -17,8 +17,13 @@ import graft.operators.Dedup
   *      reference corpus — `TextAnalysis.unigramLogProb`)
   *   5. benchmark decontamination (optional: cross-corpus n-gram
   *      coverage vs a held-out eval set — `Decontaminate.ngramOverlap`)
-  *   6. exact dedup (content-hash groupBy, keeper = min id)
-  *   7. near-dedup (MinHash over 3-word shingles → LSH banding →
+  *   6. duplicated-span removal (optional: cut chunk-granularity spans
+  *      shared across documents and reassemble — RefinedWeb's line-dedup
+  *      slot, the one stage that REWRITES text; downstream dedups and
+  *      the curated output see the cleaned text —
+  *      `Chunking.dropDuplicatedChunks`)
+  *   7. exact dedup (content-hash groupBy, keeper = min id)
+  *   8. near-dedup (MinHash over 3-word shingles → LSH banding →
   *      exact n-gram Jaccard verification of candidates; drop the larger
   *      id of each verified pair)
   *
@@ -106,6 +111,7 @@ object CurationPipeline {
           maxDupBigramFrac: Option[Double] = None,
           lmReference: Option[DataFrame] = None,
           minAvgLogProb: Double = -12.0,
+          spanDedup: Option[(Int, Long)] = None,
           stageCounts: Boolean = false): Result = {
     // intermediates cached for the stage-count run are unpersisted before
     // returning; `curated` itself is never cached here — callers that will
@@ -180,12 +186,26 @@ object CurationPipeline {
         Seq(idCol), "left_anti"))
     }
 
+    // optional duplicated-span removal (RefinedWeb order: span/line
+    // dedup BEFORE the document-level dedups, which then see the
+    // cleaned text). The ONLY stage that rewrites text rather than
+    // gating ids: downstream stages and the curated output consume
+    // `clean_text`; docs reduced to nothing but boilerplate drop here.
+    val afterSpan = spanDedup match {
+      case None => afterDecon
+      case Some((width, maxDf)) => staged(
+        graft.operators.Chunking.dropDuplicatedChunks(afterDecon, idCol,
+          textCol, width, maxDf)
+          .filter(col("n_kept_chunks") > 0)
+          .select(col(idCol), col("clean_text").as(textCol)))
+    }
+
     // the exact-dedup keeper ids double as the near-dedup stage's input
     // universe: the final keep set is keepersExact minus near-dup losers,
     // so the cascade's tail never needs a third pass over the corpus
-    val keepersExact = Dedup.exactGroups(afterDecon, idCol, textCol)
+    val keepersExact = Dedup.exactGroups(afterSpan, idCol, textCol)
       .select(col("keeper_id").as(idCol))
-    val afterExact = staged(afterDecon.join(keepersExact, idCol))
+    val afterExact = staged(afterSpan.join(keepersExact, idCol))
 
     // near-dedup: LSH candidates verified by exact shingle Jaccard; the
     // verification join is only over candidate ids, never all pairs
@@ -206,7 +226,15 @@ object CurationPipeline {
       .join(candidates, Seq("id_a", "id_b"), "left_semi")
       .select(col("id_b").as(idCol)).distinct()
     val keepIds = keepersExact.join(losers, Seq(idCol), "left_anti")
-    val curated = docs.join(keepIds, Seq(idCol))
+    // with span dedup on, the curated corpus carries the CLEANED text
+    // (textCol moves to the end of the schema); otherwise the original
+    // row rides through untouched
+    val curated = spanDedup match {
+      case None => docs.join(keepIds, Seq(idCol))
+      case Some(_) => docs.drop(textCol)
+        .join(afterSpan.select(col(idCol), col(textCol)), Seq(idCol))
+        .join(keepIds, Seq(idCol))
+    }
 
     if (stageCounts) {
       // eager by request: the caller asked for per-stage numbers, and the
@@ -219,6 +247,7 @@ object CurationPipeline {
           "after_exact_dedup" -> afterExact.count(),
           "after_near_dedup" -> keepIds.count()) ++
           benchmarks.map(_ => "after_decontamination" -> afterDecon.count()) ++
+          spanDedup.map(_ => "after_span_dedup" -> afterSpan.count()) ++
           lmReference.map(_ => "after_lm" -> afterLm.count()) ++
           maxDupBigramFrac.map(_ =>
             "after_repetition" -> afterRepetition.count())

@@ -71,6 +71,34 @@ class CurationSpec extends SparkSpec {
     assert(off.counts("after_near_dedup") == 2L)
   }
 
+  test("optional span-dedup stage cuts shared boilerplate and rewrites text") {
+    val boiler = "subscribe to our newsletter for updates every day" // 8 words
+    val docs = Seq(
+      (1L, s"$boiler alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, s"$boiler iota kappa lambda mu nu xi omicron pi"),
+      (3L, s"$boiler rho sigma tau upsilon phi chi psi omega"),
+      (4L, s"$boiler $boiler")) // nothing but boilerplate → dropped
+      .toDF("doc_id", "text")
+    val res = CurationPipeline.run(docs, "doc_id", "text",
+      languages = Set.empty, spanDedup = Some((8, 2L)), stageCounts = true)
+    assert(res.counts("after_span_dedup") == 3L, s"got ${res.counts}")
+    assert(res.counts("after_near_dedup") == 3L, s"got ${res.counts}")
+    // the curated corpus carries the CLEANED text, boilerplate cut
+    val kept = res.curated.select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(kept.keySet == Set(1L, 2L, 3L))
+    assert(kept(1L) == "alpha beta gamma delta epsilon zeta eta theta")
+    assert(kept(2L) == "iota kappa lambda mu nu xi omicron pi")
+    assert(kept(3L) == "rho sigma tau upsilon phi chi psi omega")
+
+    // gate off: text untouched, no span count reported
+    val off = CurationPipeline.run(docs, "doc_id", "text",
+      languages = Set.empty, stageCounts = true)
+    assert(!off.counts.contains("after_span_dedup"))
+    assert(off.curated.filter($"doc_id" === 1L).select("text")
+      .as[String].head().startsWith(boiler))
+  }
+
   test("optional LM gate drops docs unlike the reference corpus") {
     val ref = Seq(
       (100L, "the engine reads the data and writes the result to the table"),
