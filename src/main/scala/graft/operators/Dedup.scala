@@ -102,6 +102,38 @@ object Dedup {
       .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark("text_hash")
 
+  /** Streaming NEAR-dedup at ingestion: first arrival of each SimHash
+    * value passes; any later doc whose `bits`-wide SimHash COLLIDES
+    * (Hamming distance 0 — same normalized token set, so reorderings
+    * and within-doc repeats of near-identical boilerplate) drops. This
+    * is the row-local slice of near-dedup an unbounded stream can do:
+    * banding/candidate joins need cross-corpus shuffles, so at ingest
+    * the collision test stands in and the full banded dedup remains a
+    * periodic batch compaction over the landed data. A SimHash dup
+    * strictly includes every exact dup, so this REPLACES (not chains
+    * with) `streamingExactDedup` — one stateful operator either way,
+    * state = one row per distinct simhash inside the watermark horizon.
+    *
+    * The hash is the same expression the batch operators use
+    * (`simHashes`), so stream and batch agree on what collides. Unlike
+    * `simHashes` this keeps non-alphanumeric docs (they all hash to the
+    * empty-set value and dedup together — a quality gate upstream is
+    * the right place to drop them, as `CurationPipeline.runStreaming`
+    * does).
+    */
+  def streamingSimHashDedup(docs: DataFrame, textCol: String, tsCol: String,
+                            bits: Int = 32,
+                            lateness: String = "1 hour"): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    docs
+      .withColumn("simhash",
+        GraftFunctions.simHash(
+          transform(TextFunctions.normalizeTokens(col(textCol)),
+            t => HashFunctions.md5Long(t)), bits))
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark("simhash")
+  }
+
   /** Per-document MinHash signature, exploded to (id, perm, min_hash) rows
     * (exploded form is oracle-friendly and joins cheaply).
     *

@@ -54,10 +54,14 @@ object CurationPipeline {
     * an unbounded stream. Metric columns are computed inline with the
     * SAME expressions the batch stages use (`TextAnalysis.qualityColumns`
     * / `langHitColumns`), so a row passes the stream gate iff it would
-    * pass the batch gate. Near-dedup is deliberately absent: LSH banding
-    * needs cross-corpus joins, so at ingest it remains a periodic batch
-    * compaction over the landed data (the standard split for dedup on a
-    * live feed).
+    * pass the batch gate. `nearDedupBits = Some(bits)` upgrades the
+    * dedup state key from the content hash to the SimHash (collision =
+    * same normalized token set — reorderings and boilerplate
+    * re-renderings drop at ingest, strictly subsuming exact dedup).
+    * Banded/candidate-join near-dedup is deliberately absent: LSH
+    * banding needs cross-corpus joins, so at ingest it remains a
+    * periodic batch compaction over the landed data (the standard split
+    * for dedup on a live feed).
     *
     * Returns the surviving rows with the gate's scratch columns dropped;
     * `tsCol` must be the stream's event-time column (watermarked here —
@@ -67,7 +71,8 @@ object CurationPipeline {
                    tsCol: String,
                    languages: Set[String] = Set("en"),
                    quality: Column = qualityGate(),
-                   lateness: String = "1 hour"): DataFrame = {
+                   lateness: String = "1 hour",
+                   nearDedupBits: Option[Int] = None): DataFrame = {
     // one projection per stage (not a withColumn per metric — each
     // withColumn re-analyzes the whole growing plan)
     val metrics = TextAnalysis.qualityColumns(textCol)
@@ -85,8 +90,17 @@ object CurationPipeline {
           .filter(col("lang_pred").isin(languages.toSeq.map(lit): _*))
           .drop("lang_pred").drop(hits.map(_._1): _*)
       }
-    Dedup.streamingExactDedup(afterLang, textCol, tsCol, lateness)
-      .drop("text_hash")
+    // a SimHash dup strictly includes every exact dup, so the near
+    // variant REPLACES the exact one — one stateful operator either way
+    nearDedupBits match {
+      case None =>
+        Dedup.streamingExactDedup(afterLang, textCol, tsCol, lateness)
+          .drop("text_hash")
+      case Some(bits) =>
+        Dedup.streamingSimHashDedup(afterLang, textCol, tsCol, bits,
+          lateness)
+          .drop("simhash")
+    }
   }
 
   def qualityGate(minWords: Long = 5L, minAlphaRatio: Double = 0.5,

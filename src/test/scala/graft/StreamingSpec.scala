@@ -317,6 +317,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dedup drops token-set collisions the exact key misses") {
+    // doc 12 is doc 11 reordered with a repeat — different bytes, same
+    // normalized token SET, so the SimHash state key collides where the
+    // content hash would not; doc 13 is genuinely different and passes
+    val a = "the quick brown fox jumps over the lazy dog near the river " +
+      "bank today while the sun sets slowly behind the old hill"
+    val aReordered = "near the river bank today the quick brown fox fox " +
+      "jumps over the lazy dog while the sun sets slowly behind the old hill"
+    val b = "a completely different document about the engine and the " +
+      "data pipeline that we keep because it is unique and long enough"
+    val input = MemoryStream[(Long, String, Long)](spark)
+    val stream = input.toDF()
+      .select(col("_1").as("doc_id"), col("_2").as("text"),
+        timestamp_seconds(col("_3")).as("ts"))
+    val q = graft.pipeline.CurationPipeline
+      .runStreaming(stream, "doc_id", "text", "ts", languages = Set("en"),
+        nearDedupBits = Some(32))
+      .select("doc_id")
+      .writeStream.format("memory").queryName("neardedupstream")
+      .outputMode("append").start()
+    try {
+      input.addData((11L, a, 100L), (12L, aReordered, 110L), (13L, b, 120L))
+      q.processAllAvailable()
+      input.addData((14L, a, 130L)) // exact replay still drops (subsumed)
+      q.processAllAvailable()
+      val kept = spark.table("neardedupstream").as[Long].collect().toSet
+      assert(kept == Set(11L, 13L), s"got $kept")
+    } finally q.stop()
+  }
+
   test("batch and streaming curation keep the same rows under late duplicates") {
     // the runStreaming scaladoc claims a row passes the stream gate iff
     // it would pass the batch gate: same quality/language expressions,
