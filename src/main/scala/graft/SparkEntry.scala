@@ -1053,6 +1053,31 @@ object SparkEntry {
           round(col("avg_logprob"), 6).as("avg_logprob"))
         .orderBy("doc_id")
     }),
+    // CCNet-style perplexity bucketing over the q91 scores: tercile cut
+    // points (exact percentile, rounded 6 dp, broadcast) split the
+    // scored corpus into head / middle / tail — the relative LM gate
+    "q97_ppl_buckets" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.perplexityBuckets(docs.filter(col("source") === "src0"),
+        docs.filter(col("source") =!= "src0"), "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("avg_logprob"), 6).as("avg_logprob"), col("bucket"))
+        .orderBy("doc_id")
+    }),
+    // DSIR importance weights: log-likelihood ratio of a target model
+    // (src0) vs a raw-pool model (src1) over the remaining 18 sources —
+    // one tokenizer pass, two vocabulary-sized count joins
+    "q98_dsir_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.dsirWeights(
+        docs.filter(col("source") === "src0"),
+        docs.filter(col("source") === "src1"),
+        docs.filter(!col("source").isin("src0", "src1")), "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("log_weight"), 6).as("log_weight"),
+          round(col("avg_log_weight"), 6).as("avg_log_weight"))
+        .orderBy("doc_id")
+    }),
     // frequency-ranked vocabulary with min-count 2: ids via the
     // two-level ranking (offset over distinct counts + partitioned
     // within-count rank) — equals the oracle's global row_number
@@ -2333,6 +2358,119 @@ object SparkEntry {
          |  FROM contrib GROUP BY doc_id)
          |SELECT doc_id, n_tokens, round(sum_lp, 6) AS sum_logprob,
          |  round(sum_lp / CAST(n_tokens AS DOUBLE), 6) AS avg_logprob
+         |FROM agg ORDER BY doc_id""".stripMargin,
+    // q91's scoring chain + tercile cut points (quantile_cont = Spark's
+    // exact interpolated percentile; both sides round the thresholds to
+    // 6 dp and compare the RAW ordered-fold scores, so classification
+    // is engine-identical)
+    "q97_ppl_buckets" ->
+      s"""WITH mwords AS (
+         |  SELECT list_filter(
+         |    string_split_regex(
+         |      regexp_replace(lower(text), '[^a-z0-9$WsClass]', ' ', 'g'),
+         |      '[$WsClass]+'),
+         |    x -> x != '') AS ws
+         |  FROM documents
+         |  WHERE source = 'src0' AND regexp_matches(lower(text), '[a-z0-9]')),
+         |counts AS (
+         |  SELECT word, count(*) AS c
+         |  FROM (SELECT unnest(ws) AS word FROM mwords) GROUP BY 1),
+         |scalars AS (SELECT CAST(sum(c) AS DOUBLE) AS n_occ,
+         |              CAST(count(*) AS DOUBLE) AS n_vocab FROM counts),
+         |dwords AS (
+         |  SELECT doc_id, list_filter(
+         |    string_split_regex(
+         |      regexp_replace(lower(text), '[^a-z0-9$WsClass]', ' ', 'g'),
+         |      '[$WsClass]+'),
+         |    x -> x != '') AS ws
+         |  FROM documents
+         |  WHERE source != 'src0' AND doc_id IS NOT NULL
+         |    AND regexp_matches(lower(text), '[a-z0-9]')),
+         |occ AS (
+         |  SELECT doc_id, word, count(*) AS occ
+         |  FROM (SELECT doc_id, unnest(ws) AS word FROM dwords)
+         |  GROUP BY 1, 2),
+         |contrib AS (
+         |  SELECT doc_id, word, occ,
+         |    CAST(occ AS DOUBLE) * ln((CAST(coalesce(c, 0) AS DOUBLE) + 1.0)
+         |      / (n_occ + n_vocab)) AS lp
+         |  FROM occ LEFT JOIN counts USING (word) CROSS JOIN scalars),
+         |sc AS (
+         |  SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_tokens,
+         |    list_reduce(list(lp ORDER BY word), (a, b) -> a + b)
+         |      / CAST(sum(occ) AS DOUBLE) AS avg_lp
+         |  FROM contrib GROUP BY doc_id),
+         |thr AS (
+         |  SELECT
+         |    round(CAST(quantile_cont(avg_lp, 0.3333333333333333) AS DOUBLE),
+         |      6) AS t_lo,
+         |    round(CAST(quantile_cont(avg_lp, 0.6666666666666666) AS DOUBLE),
+         |      6) AS t_hi
+         |  FROM sc)
+         |SELECT doc_id, n_tokens, round(avg_lp, 6) AS avg_logprob,
+         |  CASE WHEN avg_lp >= t_hi THEN 'head'
+         |       WHEN avg_lp >= t_lo THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM sc CROSS JOIN thr ORDER BY doc_id""".stripMargin,
+    // two add-one-smoothed unigram models (target src0, raw src1); the
+    // per-word term is occ * (ln(target) - ln(raw)) in BOTH engines so
+    // the token-sorted fold stays bit-identical
+    "q98_dsir_weights" ->
+      s"""WITH twords AS (
+         |  SELECT list_filter(
+         |    string_split_regex(
+         |      regexp_replace(lower(text), '[^a-z0-9$WsClass]', ' ', 'g'),
+         |      '[$WsClass]+'),
+         |    x -> x != '') AS ws
+         |  FROM documents
+         |  WHERE source = 'src0' AND regexp_matches(lower(text), '[a-z0-9]')),
+         |tcounts AS (
+         |  SELECT word, count(*) AS tc
+         |  FROM (SELECT unnest(ws) AS word FROM twords) GROUP BY 1),
+         |tscalars AS (SELECT CAST(sum(tc) AS DOUBLE) AS t_occ,
+         |               CAST(count(*) AS DOUBLE) AS t_vocab FROM tcounts),
+         |rwords AS (
+         |  SELECT list_filter(
+         |    string_split_regex(
+         |      regexp_replace(lower(text), '[^a-z0-9$WsClass]', ' ', 'g'),
+         |      '[$WsClass]+'),
+         |    x -> x != '') AS ws
+         |  FROM documents
+         |  WHERE source = 'src1' AND regexp_matches(lower(text), '[a-z0-9]')),
+         |rcounts AS (
+         |  SELECT word, count(*) AS rc
+         |  FROM (SELECT unnest(ws) AS word FROM rwords) GROUP BY 1),
+         |rscalars AS (SELECT CAST(sum(rc) AS DOUBLE) AS r_occ,
+         |               CAST(count(*) AS DOUBLE) AS r_vocab FROM rcounts),
+         |dwords AS (
+         |  SELECT doc_id, list_filter(
+         |    string_split_regex(
+         |      regexp_replace(lower(text), '[^a-z0-9$WsClass]', ' ', 'g'),
+         |      '[$WsClass]+'),
+         |    x -> x != '') AS ws
+         |  FROM documents
+         |  WHERE source NOT IN ('src0', 'src1') AND doc_id IS NOT NULL
+         |    AND regexp_matches(lower(text), '[a-z0-9]')),
+         |occ AS (
+         |  SELECT doc_id, word, count(*) AS occ
+         |  FROM (SELECT doc_id, unnest(ws) AS word FROM dwords)
+         |  GROUP BY 1, 2),
+         |contrib AS (
+         |  SELECT doc_id, word, occ,
+         |    CAST(occ AS DOUBLE) *
+         |      (ln((CAST(coalesce(tc, 0) AS DOUBLE) + 1.0)
+         |         / (t_occ + t_vocab)) -
+         |       ln((CAST(coalesce(rc, 0) AS DOUBLE) + 1.0)
+         |         / (r_occ + r_vocab))) AS lw
+         |  FROM occ LEFT JOIN tcounts USING (word)
+         |    LEFT JOIN rcounts USING (word)
+         |    CROSS JOIN tscalars CROSS JOIN rscalars),
+         |agg AS (
+         |  SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_tokens,
+         |    list_reduce(list(lw ORDER BY word), (a, b) -> a + b) AS sum_lw
+         |  FROM contrib GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, round(sum_lw, 6) AS log_weight,
+         |  round(sum_lw / CAST(n_tokens AS DOUBLE), 6) AS avg_log_weight
          |FROM agg ORDER BY doc_id""".stripMargin,
     // the two-level Spark ranking must equal this one global row_number
     "q92_vocab" ->

@@ -284,34 +284,8 @@ object TextAnalysis {
     */
   def unigramLogProb(model: DataFrame, docs: DataFrame, idCol: String,
                      textCol: String): DataFrame = {
-    val counts = model
-      .filter(lower(col(textCol)).rlike("[a-z0-9]"))
-      .select(TextFunctions.normalizedWords(col(textCol)).as("__ws"))
-      // outer ≡ inner after the rlike filter; inner explode would infer
-      // size/isnotnull filters that re-run the tokenizer in the scan
-      .select(explode_outer(col("__ws")).as("word"))
-      .groupBy(col("word")).agg(count(lit(1)).as("__c"))
-    // Fail fast on an empty model (zero alphanumeric tokens): otherwise
-    // the sum below is null, every score nulls out, and a downstream
-    // `avg_logprob >= floor` gate silently drops the whole corpus. The
-    // assert is folded into the scalar value itself (null when it holds)
-    // so column pruning cannot discard the check.
-    val scalars = counts.agg(
-        sum(col("__c")).cast("double").as("__s_occ"),
-        count(lit(1)).cast("double").as("__n_vocab"))
-      .select(
-        (coalesce(col("__s_occ"), lit(0.0)) +
-          coalesce(
-            assert_true(col("__n_vocab") > 0,
-              lit("unigramLogProb: model corpus has no alphanumeric tokens"))
-              .cast("double"),
-            lit(0.0))).as("__n_occ"),
-        col("__n_vocab"))
-    val occ = docs
-      .filter(col(idCol).isNotNull && lower(col(textCol)).rlike("[a-z0-9]"))
-      .select(col(idCol), TextFunctions.normalizedWords(col(textCol)).as("__ws"))
-      .select(col(idCol), explode_outer(col("__ws")).as("word"))
-      .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("__occ"))
+    val (counts, scalars) = modelCounts(model, textCol, "unigramLogProb")
+    val occ = docOcc(docs, idCol, textCol)
     val contrib = occ.join(counts, Seq("word"), "left")
       .crossJoin(broadcast(scalars))
       .select(col(idCol), col("word"), col("__occ"),
@@ -327,6 +301,129 @@ object TextAnalysis {
           (acc, x) => acc + x.getField("__lp")).as("sum_logprob"))
       .withColumn("avg_logprob",
         col("sum_logprob") / col("n_tokens").cast("double"))
+  }
+
+  /** One unigram model: `(word, __c)` counts plus the smoothing scalars
+    * `(__n_occ, __n_vocab)` as a one-row frame. Fails fast on a model
+    * with zero alphanumeric tokens: otherwise the occurrence sum is
+    * null, every downstream score nulls out, and a `score >= floor`
+    * gate silently drops the whole corpus. The assert is folded into
+    * the scalar value itself (null when it holds) so column pruning
+    * cannot discard the check.
+    */
+  private def modelCounts(model: DataFrame, textCol: String,
+                          what: String): (DataFrame, DataFrame) = {
+    val counts = model
+      .filter(lower(col(textCol)).rlike("[a-z0-9]"))
+      .select(TextFunctions.normalizedWords(col(textCol)).as("__ws"))
+      // outer ≡ inner after the rlike filter; inner explode would infer
+      // size/isnotnull filters that re-run the tokenizer in the scan
+      .select(explode_outer(col("__ws")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("__c"))
+    val scalars = counts.agg(
+        sum(col("__c")).cast("double").as("__s_occ"),
+        count(lit(1)).cast("double").as("__n_vocab"))
+      .select(
+        (coalesce(col("__s_occ"), lit(0.0)) +
+          coalesce(
+            assert_true(col("__n_vocab") > 0,
+              lit(s"$what: model corpus has no alphanumeric tokens"))
+              .cast("double"),
+            lit(0.0))).as("__n_occ"),
+        col("__n_vocab"))
+    (counts, scalars)
+  }
+
+  /** Per-(doc, token) occurrence counts for the scored corpus — the one
+    * tokenizer pass every model-comparison scorer shares.
+    */
+  private def docOcc(docs: DataFrame, idCol: String,
+                     textCol: String): DataFrame =
+    docs
+      .filter(col(idCol).isNotNull && lower(col(textCol)).rlike("[a-z0-9]"))
+      .select(col(idCol), TextFunctions.normalizedWords(col(textCol)).as("__ws"))
+      .select(col(idCol), explode_outer(col("__ws")).as("word"))
+      .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("__occ"))
+
+  /** CCNet-style perplexity bucketing: score every document with the
+    * [[unigramLogProb]] proxy against `model`, then split the corpus
+    * into `head` / `middle` / `tail` terciles of average token
+    * log-probability (head = most model-like = lowest perplexity — the
+    * slice CCNet keeps for LM pretraining; tail = least model-like).
+    * The relative split complements the absolute-floor LM gate: it
+    * adapts to the corpus instead of needing a calibrated threshold.
+    *
+    * Scale shape: scoring is [[unigramLogProb]]'s shape, materialized
+    * ONCE (`localCheckpoint` — the scored table is one slim row per
+    * doc) so the tokenize-join-fold pipeline is not re-evaluated for
+    * the threshold pass. The two cut points are ONE exact interpolated-
+    * percentile aggregation over that table, rounded to 6 dp (the q88
+    * convention — a last-ulp interpolation difference can never flip a
+    * boundary row, and the per-doc scores themselves are bit-identical
+    * across engines by the ordered-fold contract) and broadcast back as
+    * scalars; the corpus never reshuffles.
+    */
+  def perplexityBuckets(model: DataFrame, docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val scored = unigramLogProb(model, docs, idCol, textCol)
+      .localCheckpoint()
+    val third = 1.0 / 3
+    val thr = scored.agg(
+      round(expr(s"percentile(avg_logprob, ${third})"), 6).as("__t_lo"),
+      round(expr(s"percentile(avg_logprob, ${2 * third})"), 6).as("__t_hi"))
+    scored.crossJoin(broadcast(thr))
+      .withColumn("bucket",
+        when(col("avg_logprob") >= col("__t_hi"), lit("head"))
+          .when(col("avg_logprob") >= col("__t_lo"), lit("middle"))
+          .otherwise(lit("tail")))
+      .drop("__t_lo", "__t_hi")
+  }
+
+  /** DSIR-style importance weight (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): per-document
+    * log-likelihood ratio between a target-domain unigram model and a
+    * raw-pool unigram model, both add-one smoothed. Positive = the
+    * document reads more like the target than the generic pool;
+    * selection is then a deterministic threshold / top-k over
+    * `log_weight`. The published method hashes n-gram features into a
+    * fixed-width bag; the unigram specialization keeps the oracle
+    * portable while the data-flow shape (two count tables + one scored
+    * pass) is identical.
+    *
+    * Scale shape: ONE tokenizer pass over the scored corpus (not one
+    * per model) — the (doc, token) table meets BOTH vocabulary-sized
+    * count tables in token-keyed left joins, all four smoothing
+    * scalars ride one broadcast, and the per-doc sum folds
+    * token-sorted for bit-reproducibility ([[unigramLogProb]]'s
+    * convention).
+    */
+  def dsirWeights(target: DataFrame, raw: DataFrame, docs: DataFrame,
+                  idCol: String, textCol: String): DataFrame = {
+    val (ct, st) = modelCounts(target, textCol, "dsirWeights(target)")
+    val (cr, sr) = modelCounts(raw, textCol, "dsirWeights(raw)")
+    val scalars = st
+      .select(col("__n_occ").as("__t_occ"), col("__n_vocab").as("__t_vocab"))
+      .crossJoin(sr.select(
+        col("__n_occ").as("__r_occ"), col("__n_vocab").as("__r_vocab")))
+    val contrib = docOcc(docs, idCol, textCol)
+      .join(ct.withColumnRenamed("__c", "__ct"), Seq("word"), "left")
+      .join(cr.withColumnRenamed("__c", "__cr"), Seq("word"), "left")
+      .crossJoin(broadcast(scalars))
+      .select(col(idCol), col("word"), col("__occ"),
+        (col("__occ").cast("double") *
+          (log((coalesce(col("__ct"), lit(0L)).cast("double") + lit(1.0)) /
+            (col("__t_occ") + col("__t_vocab"))) -
+           log((coalesce(col("__cr"), lit(0L)).cast("double") + lit(1.0)) /
+            (col("__r_occ") + col("__r_vocab"))))).as("__lw"))
+    contrib.groupBy(col(idCol))
+      .agg(sum(col("__occ")).as("n_tokens"),
+        sort_array(collect_list(struct(col("word"), col("__lw"))))
+          .as("__xs"))
+      .select(col(idCol), col("n_tokens"),
+        aggregate(col("__xs"), lit(0.0),
+          (acc, x) => acc + x.getField("__lw")).as("log_weight"))
+      .withColumn("avg_log_weight",
+        col("log_weight") / col("n_tokens").cast("double"))
   }
 
   /** Numericalization: each document's token-id sequence under `vocab`

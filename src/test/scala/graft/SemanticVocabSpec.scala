@@ -135,4 +135,61 @@ class SemanticVocabSpec extends SparkSpec {
     val minCnt = vocab.agg(min("cnt")).as[Long].head()
     assert(minCnt >= 2L)
   }
+
+  test("perplexityBuckets splits the corpus into ordered terciles") {
+    // model = "a": p(a) = (1+1)/(1+1) = 1 → lp 0; OOV → ln(1/2).
+    // doc k holds k 'a's + (6-k) distinct OOV words, so
+    // avg_logprob(k) = (6-k)/6 * ln(1/2) — strictly increasing in k
+    val model = Seq((100L, "a")).toDF("doc_id", "text")
+    val docs = Seq.tabulate(6) { k =>
+      val words = Seq.fill(k)("a") ++ (0 until (6 - k)).map(j => s"oov${k}x$j")
+      (k.toLong, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = TextAnalysis.perplexityBuckets(model, docs, "doc_id", "text")
+      .select("doc_id", "bucket").as[(Long, String)].collect().toMap
+    assert(out == Map(0L -> "tail", 1L -> "tail", 2L -> "middle",
+      3L -> "middle", 4L -> "head", 5L -> "head"))
+    // and the bucket is a function of the score: re-run on a shuffled
+    // partitioning gives the identical assignment
+    val again = TextAnalysis.perplexityBuckets(model, docs.repartition(5),
+      "doc_id", "text")
+      .select("doc_id", "bucket").as[(Long, String)].collect().toMap
+    assert(again == out)
+  }
+
+  test("dsirWeights matches the hand-computed log-likelihood ratio") {
+    // target "a a b": p_t(w) = (c+1)/5 → a:3/5, OOV:1/5
+    // raw    "c c d": p_r(w) = (c+1)/5 → c:3/5, OOV:1/5
+    // doc "a a c": lw = 2*(ln(3/5)-ln(1/5)) + (ln(1/5)-ln(3/5)) = ln 3
+    val target = Seq((10L, "a a b")).toDF("doc_id", "text")
+    val raw = Seq((20L, "c c d")).toDF("doc_id", "text")
+    val docs = Seq((1L, "a a c")).toDF("doc_id", "text")
+    val r = TextAnalysis.dsirWeights(target, raw, docs, "doc_id", "text")
+      .select("doc_id", "n_tokens", "log_weight", "avg_log_weight")
+      .as[(Long, Long, Double, Double)].head()
+    assert(r._1 == 1L && r._2 == 3L)
+    assert(math.abs(r._3 - math.log(3.0)) < 1e-12, s"lw ${r._3}")
+    assert(math.abs(r._4 - math.log(3.0) / 3) < 1e-12)
+    // sign sanity: a raw-like doc scores negative
+    val neg = TextAnalysis.dsirWeights(target, raw,
+      Seq((2L, "c c d d")).toDF("doc_id", "text"), "doc_id", "text")
+      .select("log_weight").as[Double].head()
+    assert(neg < 0, s"raw-like doc scored $neg")
+  }
+
+  test("dsirWeights fails fast when either model is empty") {
+    val good = Seq((10L, "a b")).toDF("doc_id", "text")
+    val empty = Seq((20L, "!!!")).toDF("doc_id", "text")
+    val docs = Seq((1L, "a")).toDF("doc_id", "text")
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    val e1 = intercept[Exception] {
+      TextAnalysis.dsirWeights(empty, good, docs, "doc_id", "text").collect()
+    }
+    assert(msgs(e1).exists(_.contains("dsirWeights(target)")), msgs(e1))
+    val e2 = intercept[Exception] {
+      TextAnalysis.dsirWeights(good, empty, docs, "doc_id", "text").collect()
+    }
+    assert(msgs(e2).exists(_.contains("dsirWeights(raw)")), msgs(e2))
+  }
 }
