@@ -1053,6 +1053,18 @@ object SparkEntry {
           round(col("avg_logprob"), 6).as("avg_logprob"))
         .orderBy("doc_id")
     }),
+    // native one-pass text canonicalization (NFC + control-char strip +
+    // whitespace collapse + trim) — the zeroth stage of a web curation
+    // cascade, one codegen kernel instead of three regex passes
+    "q99_clean_text" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.GraftFunctions.cleanText(col("text"))
+            .as("clean_text"))
+        .withColumn("clean_len", length(col("clean_text")).cast("long"))
+        .orderBy("doc_id")
+    }),
     // CCNet-style perplexity bucketing over the q91 scores: tercile cut
     // points (exact percentile, rounded 6 dp, broadcast) split the
     // scored corpus into head / middle / tail — the relative LM gate
@@ -2359,6 +2371,18 @@ object SparkEntry {
          |SELECT doc_id, n_tokens, round(sum_lp, 6) AS sum_logprob,
          |  round(sum_lp / CAST(n_tokens AS DOUBLE), 6) AS avg_logprob
          |FROM agg ORDER BY doc_id""".stripMargin,
+    // the kernel's one pass ≡ NFC → strip non-ws controls → collapse the
+    // tokenizer's ws class → trim (space-only trim is exact: after the
+    // collapse every whitespace IS a space)
+    "q99_clean_text" ->
+      s"""SELECT doc_id,
+         |  trim(regexp_replace(regexp_replace(nfc_normalize(text),
+         |    '[\\x00-\\x08\\x0e-\\x1f\\x7f]', '', 'g'),
+         |    '[$WsClass]+', ' ', 'g')) AS clean_text,
+         |  CAST(length(trim(regexp_replace(regexp_replace(nfc_normalize(text),
+         |    '[\\x00-\\x08\\x0e-\\x1f\\x7f]', '', 'g'),
+         |    '[$WsClass]+', ' ', 'g'))) AS BIGINT) AS clean_len
+         |FROM documents ORDER BY doc_id""".stripMargin,
     // q91's scoring chain + tercile cut points (quantile_cont = Spark's
     // exact interpolated percentile; both sides round the thresholds to
     // 6 dp and compare the RAW ordered-fold scores, so classification

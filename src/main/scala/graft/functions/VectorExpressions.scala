@@ -111,6 +111,16 @@ object GraftFunctions {
   val SimHashName = "graft_simhash"
   val SrpBucketName = "graft_srp_bucket"
   val CharNGramsName = "graft_char_ngrams"
+  val CleanTextName = "graft_clean_text"
+
+  private def unary(name: String, clazz: Class[_],
+      mk: Expression => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name), {
+      case Seq(a) => mk(a)
+      case exprs => throw new IllegalArgumentException(
+        s"$name expects 1 argument, got ${exprs.length}")
+    })
 
   def injections: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
@@ -119,7 +129,8 @@ object GraftFunctions {
     binary(MinHashName, classOf[MinHashSigExpr], MinHashSigExpr.apply),
     binary(SimHashName, classOf[SimHashExpr], SimHashExpr.apply),
     binary(SrpBucketName, classOf[SrpBucketExpr], SrpBucketExpr.apply),
-    binary(CharNGramsName, classOf[CharNGramsExpr], CharNGramsExpr.apply))
+    binary(CharNGramsName, classOf[CharNGramsExpr], CharNGramsExpr.apply),
+    unary(CleanTextName, classOf[CleanTextExpr], CleanTextExpr.apply))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit =
@@ -155,6 +166,11 @@ object GraftFunctions {
   /** Native char n-gram windows over a string (requires `register`). */
   def charNGrams(str: Column, n: Int): Column =
     call_function(CharNGramsName, str, org.apache.spark.sql.functions.lit(n))
+
+  /** Native one-pass text canonicalization: NFC + control strip +
+    * whitespace collapse + trim (requires `register`).
+    */
+  def cleanText(str: Column): Column = call_function(CleanTextName, str)
 }
 
 /** `spark.sql.extensions` injector (config-driven deployments): the

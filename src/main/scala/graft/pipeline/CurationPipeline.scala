@@ -72,11 +72,20 @@ object CurationPipeline {
                    languages: Set[String] = Set("en"),
                    quality: Column = qualityGate(),
                    lateness: String = "1 hour",
-                   nearDedupBits: Option[Int] = None): DataFrame = {
+                   nearDedupBits: Option[Int] = None,
+                   clean: Boolean = false): DataFrame = {
+    // canonicalization is row-local, so the stream can run the same
+    // zeroth stage as the batch cascade (the dedup state key then hashes
+    // canonical bytes — whitespace re-renderings collide at ingest)
+    val cleaned = if (!clean) docs else {
+      graft.functions.GraftFunctions.register(docs.sparkSession)
+      docs.withColumn(textCol,
+        graft.functions.GraftFunctions.cleanText(col(textCol)))
+    }
     // one projection per stage (not a withColumn per metric — each
     // withColumn re-analyzes the whole growing plan)
     val metrics = TextAnalysis.qualityColumns(textCol)
-    val afterQuality = docs
+    val afterQuality = cleaned
       .select(col("*") +: metrics.map { case (n, c) => c.as(n) }: _*)
       .filter(quality)
       .drop(metrics.map(_._1): _*)
@@ -110,10 +119,14 @@ object CurationPipeline {
       col("unique_ratio") <= maxUniqueRatio
 
   /** Run the cascade over docs(idCol, textCol). `languages` empty = skip
-    * the language gate. `stageCounts` additionally reports survivor
-    * counts per stage — it caches the intermediates so each stage is
-    * evaluated once, at the cost of materializing them; leave it off for
-    * a single lazy DAG when only the curated output matters.
+    * the language gate. `clean = true` canonicalizes the text FIRST
+    * (native NFC + control strip + whitespace collapse — the zeroth
+    * stage of a web cascade; every downstream hash/gate then sees the
+    * canonical bytes, and the curated output carries the cleaned text).
+    * `stageCounts` additionally reports survivor counts per stage — it
+    * caches the intermediates so each stage is evaluated once, at the
+    * cost of materializing them; leave it off for a single lazy DAG
+    * when only the curated output matters.
     */
   def run(docs: DataFrame, idCol: String, textCol: String,
           languages: Set[String] = Set("en"),
@@ -126,6 +139,7 @@ object CurationPipeline {
           lmReference: Option[DataFrame] = None,
           minAvgLogProb: Double = -12.0,
           spanDedup: Option[(Int, Long)] = None,
+          clean: Boolean = false,
           stageCounts: Boolean = false): Result = {
     // intermediates cached for the stage-count run are unpersisted before
     // returning; `curated` itself is never cached here — callers that will
@@ -144,7 +158,11 @@ object CurationPipeline {
     // (Caching the intermediates instead is the wrong tool — an
     // InMemoryRelation is a materialization barrier that blocks AQE's
     // runtime join planning, measured 2x slower.)
-    val slim = docs.select(col(idCol), col(textCol))
+    val slim = if (!clean) docs.select(col(idCol), col(textCol)) else {
+      graft.functions.GraftFunctions.register(docs.sparkSession)
+      docs.select(col(idCol),
+        graft.functions.GraftFunctions.cleanText(col(textCol)).as(textCol))
+    }
 
     val q = TextAnalysis.qualityStats(slim, idCol, textCol)
       .filter(quality).select(col(idCol))
@@ -240,15 +258,15 @@ object CurationPipeline {
       .join(candidates, Seq("id_a", "id_b"), "left_semi")
       .select(col("id_b").as(idCol)).distinct()
     val keepIds = keepersExact.join(losers, Seq(idCol), "left_anti")
-    // with span dedup on, the curated corpus carries the CLEANED text
-    // (textCol moves to the end of the schema); otherwise the original
-    // row rides through untouched
-    val curated = spanDedup match {
-      case None => docs.join(keepIds, Seq(idCol))
-      case Some(_) => docs.drop(textCol)
+    // with a text-rewriting stage on (canonicalization and/or span
+    // dedup), the curated corpus carries the REWRITTEN text (textCol
+    // moves to the end of the schema); otherwise the original row rides
+    // through untouched
+    val curated =
+      if (!clean && spanDedup.isEmpty) docs.join(keepIds, Seq(idCol))
+      else docs.drop(textCol)
         .join(afterSpan.select(col(idCol), col(textCol)), Seq(idCol))
         .join(keepIds, Seq(idCol))
-    }
 
     if (stageCounts) {
       // eager by request: the caller asked for per-stage numbers, and the

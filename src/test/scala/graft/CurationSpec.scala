@@ -125,4 +125,27 @@ class CurationSpec extends SparkSpec {
     assert(!off.counts.contains("after_lm"))
     assert(off.counts("after_near_dedup") == 2L)
   }
+
+  test("clean stage canonicalizes text before the hashes and in the output") {
+    val base = "a completely different document about the engine and the " +
+      "data pipeline that we keep because it is unique and long enough"
+    // doc 2 is doc 1 with re-rendered whitespace: different bytes,
+    // identical AFTER canonicalization → with clean on the exact-dedup
+    // stage collapses them (no near-dedup pass needed)
+    val messy = "  a completely\tdifferent document about the engine " +
+      "and the data pipeline that we keep because it is unique " +
+      "and long enough\n"
+    val docs = Seq((1L, base), (2L, messy)).toDF("doc_id", "text")
+    val res = CurationPipeline.run(docs, "doc_id", "text",
+      languages = Set("en"), clean = true, stageCounts = true)
+    assert(res.counts("after_exact_dedup") == 1L, s"got ${res.counts}")
+    val out = res.curated.select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(out.keySet == Set(1L))
+    assert(out(1L) == base) // curated output carries the canonical text
+    // clean off: the same pair survives exact dedup (different bytes)
+    val off = CurationPipeline.run(docs, "doc_id", "text",
+      languages = Set("en"), stageCounts = true)
+    assert(off.counts("after_exact_dedup") == 2L, s"got ${off.counts}")
+  }
 }

@@ -71,6 +71,32 @@ class DedupKnnSpec extends SparkSpec {
     shCmp.foreach { case (f, n) => assert(f == n) }
   }
 
+  test("cleanText kernel: NFC compose, control strip, ws collapse, trim") {
+    GraftFunctions.register(spark)
+    val rows = Seq(
+      (1L, "  hello\t\tworld \n"),   // ws runs collapse, ends trim
+      (2L, "a\u0001b"),          // bare control: strip, no boundary
+      (3L, "a \u0001 b"),        // control inside a ws run
+      (4L, "cafe\u0301 au lait"), // NFC: e + combining acute → é
+      (5L, "\u0007\u0008 \u007f"), // controls + ws only → empty
+      (6L, "")                       // empty stays empty
+    ).toDF("id", "text")
+    val out = rows
+      .select(col("id"), GraftFunctions.cleanText(col("text")).as("c"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "hello world")
+    assert(out(2L) == "ab")
+    assert(out(3L) == "a b")
+    assert(out(4L) == "caf\u00e9 au lait")
+    assert(out(5L) == "")
+    assert(out(6L) == "")
+    // null in, null out; and the SQL-registry path resolves the kernel
+    val viaSql = rows.sparkSession
+      .sql("SELECT graft_clean_text('  x\ty  '), graft_clean_text(NULL)")
+      .head()
+    assert(viaSql.getString(0) == "x y" && viaSql.isNullAt(1))
+  }
+
   test("word shingles: short docs, empty docs, dedup") {
     val df = Seq(
       ("a b c d", 1), ("a b", 2), ("a", 3), ("!!!", 4), ("x y x y x y", 5))
