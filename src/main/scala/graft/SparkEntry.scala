@@ -1053,6 +1053,14 @@ object SparkEntry {
           round(col("avg_logprob"), 6).as("avg_logprob"))
         .orderBy("doc_id")
     }),
+    // corpus composition report: docs/tokens/mean-length by source ×
+    // predicted language with rollup subtotals — one tokenizer pass,
+    // group count bounded by |sources| × |languages|
+    "q100_corpus_report" -> ((s, dir) => {
+      TextAnalysis.corpusReport(t(s, dir, "documents"), "text", "source")
+        .orderBy(col("source").asc_nulls_first,
+          col("lang_pred").asc_nulls_first)
+    }),
     // native one-pass text canonicalization (NFC + control-char strip +
     // whitespace collapse + trim) — the zeroth stage of a web curation
     // cascade, one codegen kernel instead of three regex passes
@@ -2371,6 +2379,36 @@ object SparkEntry {
          |SELECT doc_id, n_tokens, round(sum_lp, 6) AS sum_logprob,
          |  round(sum_lp / CAST(n_tokens AS DOUBLE), 6) AS avg_logprob
          |FROM agg ORDER BY doc_id""".stripMargin,
+    // q52's language label + q50's token count, rolled up (the CASE
+    // tie-break order matches langPredFromHits exactly)
+    "q100_corpus_report" ->
+      s"""WITH $WordsCte,
+         |perdoc AS (
+         |  SELECT source, CAST(len(ws) AS BIGINT) AS n_words,
+         |    CAST(len(list_filter(ws, w -> w IN ('the','and','of','to','a','in','is','it','that','for'))) AS BIGINT) AS hits_en,
+         |    CAST(len(list_filter(ws, w -> w IN ('le','la','les','de','et','un','une','est','que','pour'))) AS BIGINT) AS hits_fr,
+         |    CAST(len(list_filter(ws, w -> w IN ('el','la','los','de','y','un','una','es','que','para'))) AS BIGINT) AS hits_es,
+         |    CAST(len(list_filter(ws, w -> w IN ('der','die','das','und','ein','eine','ist','nicht','mit','von'))) AS BIGINT) AS hits_de
+         |  FROM words),
+         |lab AS (
+         |  SELECT source, n_words,
+         |    CASE
+         |      WHEN hits_de = greatest(hits_en, hits_fr, hits_es, hits_de)
+         |        AND greatest(hits_en, hits_fr, hits_es, hits_de) > 0 THEN 'de'
+         |      WHEN hits_en = greatest(hits_en, hits_fr, hits_es, hits_de)
+         |        AND greatest(hits_en, hits_fr, hits_es, hits_de) > 0 THEN 'en'
+         |      WHEN hits_es = greatest(hits_en, hits_fr, hits_es, hits_de)
+         |        AND greatest(hits_en, hits_fr, hits_es, hits_de) > 0 THEN 'es'
+         |      WHEN hits_fr = greatest(hits_en, hits_fr, hits_es, hits_de)
+         |        AND greatest(hits_en, hits_fr, hits_es, hits_de) > 0 THEN 'fr'
+         |      ELSE 'und' END AS lang_pred
+         |  FROM perdoc)
+         |SELECT source, lang_pred, count(*) AS n_docs,
+         |  CAST(sum(n_words) AS BIGINT) AS n_tokens,
+         |  round(avg(n_words), 4) AS avg_tokens
+         |FROM lab
+         |GROUP BY ROLLUP(source, lang_pred)
+         |ORDER BY source NULLS FIRST, lang_pred NULLS FIRST""".stripMargin,
     // the kernel's one pass ≡ NFC → strip non-ws controls → collapse the
     // tokenizer's ws class → trim (space-only trim is exact: after the
     // collapse every whitespace IS a space)

@@ -303,6 +303,35 @@ object TextAnalysis {
         col("sum_logprob") / col("n_tokens").cast("double"))
   }
 
+  /** One-pass corpus composition report: documents, tokens, and mean
+    * document length by (source × predicted language), with rollup
+    * subtotals — the observability table an ingest run over a new
+    * corpus prints first, and the input to mixture planning (q47/q86
+    * consume per-source weights; this is where those weights come
+    * from).
+    *
+    * Scale shape: ONE narrow projection computes the token count and
+    * language hits per document (no shuffle, no second tokenizer
+    * pass), then a rollup aggregation whose distinct-group count is
+    * bounded by |sources| × |languages| — map-side partial aggregation
+    * does nearly all the work and the shuffle carries only group
+    * states, never rows.
+    */
+  def corpusReport(docs: DataFrame, textCol: String,
+                   srcCol: String): DataFrame = {
+    val hits = langHitColumns(textCol)
+    val perDoc = docs
+      .select(Seq(col(srcCol),
+        size(TextFunctions.normalizedWords(col(textCol)))
+          .cast("long").as("__n_words")) ++
+        hits.map { case (n, c) => c.as(n) }: _*)
+      .withColumn("lang_pred", langPredFromHits)
+    perDoc.rollup(col(srcCol), col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__n_words")).as("n_tokens"),
+        round(avg(col("__n_words")), 4).as("avg_tokens"))
+  }
+
   /** One unigram model: `(word, __c)` counts plus the smoothing scalars
     * `(__n_occ, __n_vocab)` as a one-row frame. Fails fast on a model
     * with zero alphanumeric tokens: otherwise the occurrence sum is

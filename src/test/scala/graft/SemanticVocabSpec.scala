@@ -177,6 +177,28 @@ class SemanticVocabSpec extends SparkSpec {
     assert(neg < 0, s"raw-like doc scored $neg")
   }
 
+  test("corpusReport labels languages and its rollup subtotals add up") {
+    val docs = Seq(
+      ("s1", "the cat and the dog in the house for a day is it that"),
+      ("s1", "le chat est dans la maison et il mange pour vivre"),
+      ("s2", "the quick brown fox jumps over the lazy dog in a field"),
+      ("s2", "zz qq xx") // no stopword hits → und
+    ).toDF("source", "text")
+    val rows = TextAnalysis.corpusReport(docs, "text", "source")
+      .select("source", "lang_pred", "n_docs", "n_tokens")
+      .as[(Option[String], Option[String], Long, Long)].collect()
+    val leaf = rows.collect { case (Some(s), Some(l), d, t) => ((s, l), (d, t)) }.toMap
+    assert(leaf.keySet == Set(("s1", "en"), ("s1", "fr"), ("s2", "en"),
+      ("s2", "und")))
+    // per-source subtotals equal the sum of their leaves
+    val bySrc = rows.collect { case (Some(s), None, d, t) => (s, (d, t)) }.toMap
+    assert(bySrc("s1") == ((2L, leaf(("s1", "en"))._2 + leaf(("s1", "fr"))._2)))
+    assert(bySrc("s2") == ((2L, leaf(("s2", "en"))._2 + leaf(("s2", "und"))._2)))
+    // grand total covers every doc and token
+    val total = rows.collect { case (None, None, d, t) => (d, t) }.head
+    assert(total == ((4L, rows.collect { case (Some(_), Some(_), _, t) => t }.sum)))
+  }
+
   test("dsirWeights fails fast when either model is empty") {
     val good = Seq((10L, "a b")).toDF("doc_id", "text")
     val empty = Seq((20L, "!!!")).toDF("doc_id", "text")
