@@ -30,17 +30,37 @@ object TextAnalysis {
     * applies before anything expensive.
     */
   def qualityStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol) +:
-      qualityColumns(textCol).map { case (n, c) => c.as(n) }: _*)
+    docs
+      // words materialize in their OWN projection: five metrics read the
+      // array, and codegen subexpression elimination cannot dedupe
+      // higher-order-function chains (lambda variables defeat the
+      // canonical-subtree match), so inlining the tokenizer would run the
+      // regex+split five times per row. A non-cheap alias referenced
+      // many times also blocks CollapseProject from merging the two
+      // Projects back together — one tokenizer pass, guaranteed.
+      .select(col(idCol), col(textCol),
+        TextFunctions.normalizedWords(col(textCol)).as("__ws"))
+      .select(col(idCol) +:
+        qualityColumnsOver(textCol, col("__ws"))
+          .map { case (n, c) => c.as(n) }: _*)
 
   /** The quality metrics as (name, expression) pairs — shared by
     * `qualityStats` (keyed stats frame) and the streaming cascade's
     * inline gate (`CurationPipeline.runStreaming`), so both gate on
-    * bit-identical values.
+    * bit-identical values. This convenience form re-derives the words
+    * array inside every metric that needs it; prefer materializing the
+    * array once and using [[qualityColumnsOver]] (see `qualityStats`).
     */
-  def qualityColumns(textCol: String): Seq[(String, Column)] = {
+  def qualityColumns(textCol: String): Seq[(String, Column)] =
+    qualityColumnsOver(textCol, TextFunctions.normalizedWords(col(textCol)))
+
+  /** [[qualityColumns]] over a pre-materialized words column — `words`
+    * MUST be `TextFunctions.normalizedWords(col(textCol))` (or an
+    * attribute bound to it) for the metrics to mean what their names
+    * say.
+    */
+  def qualityColumnsOver(textCol: String, words: Column): Seq[(String, Column)] = {
     val t = col(textCol)
-    val words = TextFunctions.normalizedWords(t)
     val nChars = length(t).cast("long")
     val nWords = size(words).cast("long")
     val alpha = nChars - length(regexp_replace(t, "[a-zA-Z]", ""))
@@ -139,22 +159,33 @@ object TextAnalysis {
     * when nothing matches). Ties break lexicographically (deterministic).
     */
   def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol) +:
-      langHitColumns(textCol).map { case (n, c) => c.as(n) }: _*)
+    docs
+      // words in their own projection — one tokenizer pass for all four
+      // lexicons (see the qualityStats comment: HOF chains defeat
+      // codegen subexpression elimination)
+      .select(col(idCol),
+        TextFunctions.normalizedWords(col(textCol)).as("__ws"))
+      .select(col(idCol) +:
+        langHitColumnsOver(col("__ws")).map { case (n, c) => c.as(n) }: _*)
       .withColumn("lang_pred", langPredFromHits)
 
   /** Per-lexicon stopword-hit counts as (name, expression) pairs; the
     * hits must be materialized as real columns BEFORE `langPredFromHits`
     * references them (the when-chain reads attributes, not re-evaluated
-    * tokenizer subtrees).
+    * tokenizer subtrees). Re-derives the words array per lexicon; prefer
+    * materializing it once and using [[langHitColumnsOver]].
     */
-  def langHitColumns(textCol: String): Seq[(String, Column)] = {
-    val words = TextFunctions.normalizedWords(col(textCol))
+  def langHitColumns(textCol: String): Seq[(String, Column)] =
+    langHitColumnsOver(TextFunctions.normalizedWords(col(textCol)))
+
+  /** [[langHitColumns]] over a pre-materialized words column (`words`
+    * must be the normalized-words array of the scored text).
+    */
+  def langHitColumnsOver(words: Column): Seq[(String, Column)] =
     lexicons.map { case (lang, lex) =>
       s"hits_$lang" ->
         size(filter(words, w => w.isin(lex.map(lit): _*))).cast("long")
     }
-  }
 
   /** Argmax language over the `hits_*` columns ("und" when nothing
     * matches); ties break lexicographically (deterministic).
@@ -319,12 +350,13 @@ object TextAnalysis {
     */
   def corpusReport(docs: DataFrame, textCol: String,
                    srcCol: String): DataFrame = {
-    val hits = langHitColumns(textCol)
     val perDoc = docs
-      .select(Seq(col(srcCol),
-        size(TextFunctions.normalizedWords(col(textCol)))
-          .cast("long").as("__n_words")) ++
-        hits.map { case (n, c) => c.as(n) }: _*)
+      // one tokenizer pass feeds the token count and all four lexicons
+      // (see the qualityStats comment)
+      .select(col(srcCol),
+        TextFunctions.normalizedWords(col(textCol)).as("__ws"))
+      .select(Seq(col(srcCol), size(col("__ws")).cast("long").as("__n_words")) ++
+        langHitColumnsOver(col("__ws")).map { case (n, c) => c.as(n) }: _*)
       .withColumn("lang_pred", langPredFromHits)
     perDoc.rollup(col(srcCol), col("lang_pred"))
       .agg(count(lit(1)).as("n_docs"),

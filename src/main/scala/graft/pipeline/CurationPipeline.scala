@@ -83,21 +83,27 @@ object CurationPipeline {
         graft.functions.GraftFunctions.cleanText(col(textCol)))
     }
     // one projection per stage (not a withColumn per metric — each
-    // withColumn re-analyzes the whole growing plan)
-    val metrics = TextAnalysis.qualityColumns(textCol)
+    // withColumn re-analyzes the whole growing plan), with the words
+    // array materialized once per stage (HOF chains defeat codegen
+    // subexpression elimination — see the qualityStats comment)
+    val metrics = TextAnalysis.qualityColumnsOver(textCol, col("__ws"))
     val afterQuality = cleaned
+      .withColumn("__ws",
+        graft.functions.TextFunctions.normalizedWords(col(textCol)))
       .select(col("*") +: metrics.map { case (n, c) => c.as(n) }: _*)
       .filter(quality)
-      .drop(metrics.map(_._1): _*)
+      .drop(metrics.map(_._1): _*).drop("__ws")
     val afterLang =
       if (languages.isEmpty) afterQuality
       else {
-        val hits = TextAnalysis.langHitColumns(textCol)
+        val hits = TextAnalysis.langHitColumnsOver(col("__ws"))
         afterQuality
+          .withColumn("__ws",
+            graft.functions.TextFunctions.normalizedWords(col(textCol)))
           .select(col("*") +: hits.map { case (n, c) => c.as(n) }: _*)
           .withColumn("lang_pred", TextAnalysis.langPredFromHits)
           .filter(col("lang_pred").isin(languages.toSeq.map(lit): _*))
-          .drop("lang_pred").drop(hits.map(_._1): _*)
+          .drop("lang_pred").drop(hits.map(_._1): _*).drop("__ws")
       }
     // a SimHash dup strictly includes every exact dup, so the near
     // variant REPLACES the exact one — one stateful operator either way
