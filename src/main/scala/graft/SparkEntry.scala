@@ -1053,6 +1053,14 @@ object SparkEntry {
           round(col("avg_logprob"), 6).as("avg_logprob"))
         .orderBy("doc_id")
     }),
+    // winnowing fingerprints (MOSS): window-min selection over char
+    // 5-gram hashes, window 4 — guaranteed detection of shared
+    // substrings ≥ 8 chars at ~2/5 storage density
+    "q101_winnow" -> ((s, dir) => {
+      TextAnalysis.winnowFingerprints(t(s, dir, "documents"),
+        "doc_id", "text", k = 5, w = 4)
+        .orderBy("doc_id", "fingerprint")
+    }),
     // corpus composition report: docs/tokens/mean-length by source ×
     // predicted language with rollup subtotals — one tokenizer pass,
     // group count bounded by |sources| × |languages|
@@ -2379,6 +2387,29 @@ object SparkEntry {
          |SELECT doc_id, n_tokens, round(sum_lp, 6) AS sum_logprob,
          |  round(sum_lp / CAST(n_tokens AS DOUBLE), 6) AS avg_logprob
          |FROM agg ORDER BY doc_id""".stripMargin,
+    // range() is exclusive where Spark's sequence() is inclusive (+1);
+    // list slices are 1-based inclusive and clamp like Spark's slice
+    "q101_winnow" ->
+      s"""WITH $WordsCte,
+         |canon AS (
+         |  SELECT doc_id, array_to_string(ws, ' ') AS c FROM words
+         |  WHERE doc_id IS NOT NULL),
+         |grams AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(c) >= 5 THEN
+         |      list_transform(range(0, length(c) - 5 + 1),
+         |        p -> ('0x'||substr(md5(substr(c, p + 1, 5)),1,15))::BIGINT)
+         |    ELSE CAST([] AS BIGINT[]) END AS h
+         |  FROM canon),
+         |fps AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    CASE WHEN len(h) > 0 THEN
+         |      list_transform(range(0, greatest(len(h) - 4, 0) + 1),
+         |        i -> list_min(h[(i+1):(i+4)]))
+         |    ELSE CAST([] AS BIGINT[]) END)) AS fingerprint
+         |  FROM grams)
+         |SELECT doc_id, fingerprint FROM fps
+         |ORDER BY doc_id, fingerprint""".stripMargin,
     // q52's language label + q50's token count, rolled up (the CASE
     // tie-break order matches langPredFromHits exactly)
     "q100_corpus_report" ->

@@ -262,6 +262,50 @@ object TextAnalysis {
       HashFunctions.rollingFingerprint(canon).as("rolling_fp"))
   }
 
+  /** Winnowing fingerprints (Schleimer et al. 2003 — the MOSS scheme):
+    * hash every char k-gram of the canonical text, slide a window of
+    * `w` consecutive hashes, keep each window's minimum, emit the
+    * distinct selections. Any substring match of length ≥ k + w − 1 is
+    * guaranteed to share a fingerprint while only ~2/(w+1) of the
+    * k-gram hashes are stored — the density/guarantee dial an overlap
+    * detector tunes. Fingerprints join like any posting key (equi-join
+    * on `fingerprint` = candidate overlap pairs), so the downstream
+    * shapes are q35/q46's.
+    *
+    * Scale shape: entirely row-local array work (sequence → substr →
+    * hash → window-min → distinct) in one codegen projection — the only
+    * generator is the final fingerprint explode, and there is no
+    * shuffle at all; memory is bounded by document length. Docs shorter
+    * than w windows emit the minimum of what they have, so every doc
+    * with ≥ k canonical chars is represented. The guards are
+    * null-absorbing `when`s + `explode_outer` (not filters on computed
+    * columns) so constraint inference cannot clone the tokenizer chain
+    * into the scan (the q21 trap).
+    */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 5, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"invalid winnowing params k=$k w=$w")
+    val canon = concat_ws(" ", TextFunctions.normalizedWords(col(textCol)))
+    val emptyLongs = array().cast("array<bigint>")
+    docs
+      .filter(col(idCol).isNotNull)
+      .select(col(idCol), canon.as("__c"))
+      .select(col(idCol),
+        when(length(col("__c")) >= k,
+          transform(sequence(lit(0), length(col("__c")) - lit(k)),
+            p => HashFunctions.md5Long(
+              col("__c").substr(p + lit(1), lit(k)))))
+          .otherwise(emptyLongs).as("__h"))
+      .select(col(idCol),
+        explode_outer(array_distinct(
+          when(size(col("__h")) > 0,
+            transform(
+              sequence(lit(0), greatest(size(col("__h")) - lit(w), lit(0))),
+              i => array_min(slice(col("__h"), i + lit(1), lit(w)))))
+            .otherwise(emptyLongs))).as("fingerprint"))
+      .filter(col("fingerprint").isNotNull)
+  }
+
   /** Corpus-relative quality gate: keep documents whose `metric` (one of
     * the [[qualityColumns]] names) sits at or above the corpus-wide
     * `q`-quantile of that metric. Absolute thresholds drift as sources

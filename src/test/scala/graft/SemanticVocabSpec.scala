@@ -199,6 +199,34 @@ class SemanticVocabSpec extends SparkSpec {
     assert(total == ((4L, rows.collect { case (Some(_), Some(_), _, t) => t }.sum)))
   }
 
+  test("winnowing guarantees a shared fingerprint for substrings >= k+w-1") {
+    // with k=5, w=4 any shared canonical substring of length >= 8 must
+    // yield at least one shared fingerprint (the winnowing guarantee)
+    val shared = "matchingrunxyz"
+    val docs = Seq(
+      (1L, s"aaa bbb $shared ccc"),
+      (2L, s"ddd $shared eee fff"),
+      (3L, "completely unrelated text with nothing in common at all"),
+      (4L, "ab") // canonical length 2 < k → unrepresented
+    ).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowFingerprints(docs, "doc_id", "text",
+      k = 5, w = 4)
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty, "shared run must share a fingerprint")
+    assert((fps(1L) & fps(3L)).isEmpty, "unrelated docs should not collide")
+    assert(fps(3L).nonEmpty)
+    assert(!fps.contains(4L))
+    // density: far fewer fingerprints than k-gram positions
+    val canonLen3 = "completely unrelated text with nothing in common at all".length
+    assert(fps(3L).size <= canonLen3 - 5 + 1)
+    // a doc with >= k chars but fewer than w windows still emits its min
+    val tiny = Seq((9L, "abcdef")).toDF("doc_id", "text") // 2 windows < w
+    val tinyFps = TextAnalysis.winnowFingerprints(tiny, "doc_id", "text",
+      k = 5, w = 4).as[(Long, Long)].collect()
+    assert(tinyFps.length == 1, s"got ${tinyFps.toSeq}")
+  }
+
   test("dsirWeights fails fast when either model is empty") {
     val good = Seq((10L, "a b")).toDF("doc_id", "text")
     val empty = Seq((20L, "!!!")).toDF("doc_id", "text")
