@@ -129,6 +129,55 @@ object SketchKernels {
     UTF8String.fromString(sb.toString)
   }
 
+  /** Winnowing fingerprint selection in one pass (Schleimer et al.
+    * 2003): 60-bit md5 prefix of every char k-gram, minimum of each
+    * w-window of consecutive hashes, first-seen-deduped. Bit-identical
+    * to the composed HOF formulation (`transform(sequence...)` +
+    * md5/conv + `array_min(slice(...))` + `array_distinct`) and to the
+    * DuckDB oracle — the 60-bit value equals
+    * `('0x'||substr(md5(gram),1,15))::BIGINT`, i.e. the big-endian
+    * first-8-bytes value shifted right 4. One reused MessageDigest and
+    * a tight min loop replace ~len(doc) interpreted md5→hex→conv
+    * round-trips and window slice allocations per row. Empty result for
+    * inputs shorter than k; inputs with fewer than w windows emit the
+    * minimum of what they have.
+    */
+  def winnow(str: UTF8String, k: Int, w: Int): ArrayData = {
+    val s = str.toString
+    val n = s.length
+    if (n < k) return new GenericArrayData(Array.empty[Long])
+    val m = n - k + 1
+    val hs = new Array[Long](m)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < m) {
+      md.reset()
+      val d = md.digest(s.substring(i, i + k)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var v = 0L
+      var b = 0
+      while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+      hs(i) = v >>> 4 // first 15 hex digits = 60-bit prefix
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val nw = math.max(m - w, 0) + 1
+    var j = 0
+    while (j < nw) {
+      var mn = Long.MaxValue
+      val hi = math.min(j + w, m)
+      var t = j
+      while (t < hi) { if (hs(t) < mn) mn = hs(t); t += 1 }
+      seen.add(mn)
+      j += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Sign-random-projection bucket over one hash table's hyperplanes: bit
     * `p` of the result is set iff `Σ_i (double)vec[i] * planes[p][i] > 0`
     * (left-to-right float64 summation — bit-identical to the
@@ -276,6 +325,45 @@ case class CharNGramsExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CharNGramsExpr =
     copy(left = newLeft, right = newRight)
+}
+
+/** `graft_winnow(str, k, w)` — native one-pass winnowing fingerprint
+  * selection (60-bit md5 k-gram hashes → w-window minima → first-seen
+  * dedup).
+  */
+case class WinnowExpr(first: Expression, second: Expression,
+                      third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (StringType, IntegerType, IntegerType)
+          if second.foldable && third.foldable =>
+        (second.eval(InternalRow.empty), third.eval(InternalRow.empty)) match {
+          case (k: java.lang.Integer, w: java.lang.Integer)
+              if k > 0 && w > 0 => TypeCheckResult.TypeCheckSuccess
+          case _ => TypeCheckResult.TypeCheckFailure(
+            s"$prettyName's k and w must be positive int literals")
+        }
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (string, positive int literal, positive int literal)")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_winnow"
+  private lazy val k: Int = second.eval(InternalRow.empty) match {
+    case i: Int => i
+  }
+  private lazy val w: Int = third.eval(InternalRow.empty) match {
+    case i: Int => i
+  }
+  override def nullSafeEval(s: Any, kk: Any, ww: Any): Any =
+    SketchKernels.winnow(s.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, _, _) =>
+      s"${ev.value} = graft.functions.SketchKernels.winnow($a, $k, $w);")
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): WinnowExpr =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }
 
 /** `graft_clean_text(str)` — native one-pass text canonicalization

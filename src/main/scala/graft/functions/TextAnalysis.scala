@@ -285,6 +285,27 @@ object TextAnalysis {
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
                          k: Int = 5, w: Int = 4): DataFrame = {
     require(k >= 1 && w >= 1, s"invalid winnowing params k=$k w=$w")
+    GraftFunctions.register(docs.sparkSession)
+    val canon = concat_ws(" ", TextFunctions.normalizedWords(col(textCol)))
+    docs
+      .filter(col(idCol).isNotNull)
+      // the kernel returns an EMPTY array for sub-k docs (never null),
+      // so outer explode emits exactly one null row per such doc and
+      // the filter above the Generate removes it — no predicate ever
+      // touches a computed column below the generator
+      .select(col(idCol),
+        explode_outer(GraftFunctions.winnow(canon, k, w)).as("fingerprint"))
+      .filter(col("fingerprint").isNotNull)
+  }
+
+  /** The pure-builtin composition `winnowFingerprints` is bit-equivalent
+    * to (spec-pinned); session-independent but interpreted — ~len(doc)
+    * md5→hex→conv round-trips and window slices per row.
+    */
+  private[graft] def winnowFingerprintsComposed(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"invalid winnowing params k=$k w=$w")
     val canon = concat_ws(" ", TextFunctions.normalizedWords(col(textCol)))
     val emptyLongs = array().cast("array<bigint>")
     docs

@@ -122,6 +122,17 @@ object GraftFunctions {
         s"$name expects 1 argument, got ${exprs.length}")
     })
 
+  private def ternary(name: String, clazz: Class[_],
+      mk: (Expression, Expression, Expression) => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name), {
+      case Seq(a, b, c) => mk(a, b, c)
+      case exprs => throw new IllegalArgumentException(
+        s"$name expects 3 arguments, got ${exprs.length}")
+    })
+
+  val WinnowName = "graft_winnow"
+
   def injections: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     binary(DotName, classOf[DotProductFloat], DotProductFloat.apply),
@@ -130,7 +141,8 @@ object GraftFunctions {
     binary(SimHashName, classOf[SimHashExpr], SimHashExpr.apply),
     binary(SrpBucketName, classOf[SrpBucketExpr], SrpBucketExpr.apply),
     binary(CharNGramsName, classOf[CharNGramsExpr], CharNGramsExpr.apply),
-    unary(CleanTextName, classOf[CleanTextExpr], CleanTextExpr.apply))
+    unary(CleanTextName, classOf[CleanTextExpr], CleanTextExpr.apply),
+    ternary(WinnowName, classOf[WinnowExpr], WinnowExpr.apply))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit =
@@ -171,6 +183,14 @@ object GraftFunctions {
     * whitespace collapse + trim (requires `register`).
     */
   def cleanText(str: Column): Column = call_function(CleanTextName, str)
+
+  /** Native one-pass winnowing fingerprints over a string (requires
+    * `register`).
+    */
+  def winnow(str: Column, k: Int, w: Int): Column =
+    call_function(WinnowName, str,
+      org.apache.spark.sql.functions.lit(k),
+      org.apache.spark.sql.functions.lit(w))
 }
 
 /** `spark.sql.extensions` injector (config-driven deployments): the

@@ -227,6 +227,23 @@ class SemanticVocabSpec extends SparkSpec {
     assert(tinyFps.length == 1, s"got ${tinyFps.toSeq}")
   }
 
+  test("native winnow kernel matches the composed HOF formulation") {
+    val rnd = new scala.util.Random(17)
+    val docs = Seq.tabulate(40) { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(30))(s"w${rnd.nextInt(40)}")
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    for ((k, w) <- Seq((5, 4), (3, 7), (8, 1))) {
+      val native = TextAnalysis.winnowFingerprints(docs, "doc_id", "text",
+        k, w).as[(Long, Long)].collect().groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      val composed = TextAnalysis.winnowFingerprintsComposed(docs,
+        "doc_id", "text", k, w).as[(Long, Long)].collect().groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      assert(native == composed, s"k=$k w=$w")
+    }
+  }
+
   test("dsirWeights fails fast when either model is empty") {
     val good = Seq((10L, "a b")).toDF("doc_id", "text")
     val empty = Seq((20L, "!!!")).toDF("doc_id", "text")
