@@ -141,6 +141,19 @@ class PlanSpec extends SparkSpec {
       s"partition filter must prune at the scan:\n$plan")
   }
 
+  test("multi-metric text queries run ONE tokenizer pass (words materialized)") {
+    // qualityColumns/langHitColumns read a materialized __ws attribute:
+    // HOF chains defeat codegen subexpression elimination, so inlining
+    // normalizedWords into each metric would re-run the regex+split per
+    // metric per row (5x for quality, 4x for langid). The two-projection
+    // shape must survive CollapseProject.
+    for (name <- Seq("q51_quality", "q52_langid", "q100_corpus_report")) {
+      val plan = finalPlan(q(name)).split("== Initial Plan ==")(0)
+      val n = "regexp_replace\\(lower\\(".r.findAllIn(plan).size
+      assert(n == 1, s"$name should tokenize once, found $n:\n${plan.take(3000)}")
+    }
+  }
+
   test("tokenizer chain evaluates once per branch, never in a filter or scan") {
     // a non-outer explode over the tokens projection makes the optimizer
     // infer size(tokens)>0 + isnotnull(tokens), which pushdown expands
