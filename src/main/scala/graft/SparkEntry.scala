@@ -1061,6 +1061,15 @@ object SparkEntry {
         "doc_id", "text", k = 5, w = 4)
         .orderBy("doc_id", "fingerprint")
     }),
+    // MOSS overlap detection over the q101 fingerprints at detection
+    // selectivity (k=16): posting join on fingerprint, stop-gram-like
+    // hot fingerprints (df > 5) pruned via broadcast anti-join
+    "q102_winnow_overlap" -> ((s, dir) => {
+      TextAnalysis.winnowOverlapPairs(t(s, dir, "documents"),
+        "doc_id", "text", k = 16, w = 8, minShared = 2L,
+        maxDocFrequency = 5L)
+        .orderBy("id_a", "id_b")
+    }),
     // corpus composition report: docs/tokens/mean-length by source ×
     // predicted language with rollup subtotals — one tokenizer pass,
     // group count bounded by |sources| × |languages|
@@ -2410,6 +2419,37 @@ object SparkEntry {
          |  FROM grams)
          |SELECT doc_id, fingerprint FROM fps
          |ORDER BY doc_id, fingerprint""".stripMargin,
+    // q101's selection chain at k=16/w=8, df-pruned, self-joined
+    "q102_winnow_overlap" ->
+      s"""WITH $WordsCte,
+         |canon AS (
+         |  SELECT doc_id, array_to_string(ws, ' ') AS c FROM words
+         |  WHERE doc_id IS NOT NULL),
+         |grams AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(c) >= 16 THEN
+         |      list_transform(range(0, length(c) - 16 + 1),
+         |        p -> ('0x'||substr(md5(substr(c, p + 1, 16)),1,15))::BIGINT)
+         |    ELSE CAST([] AS BIGINT[]) END AS h
+         |  FROM canon),
+         |fps AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    CASE WHEN len(h) > 0 THEN
+         |      list_transform(range(0, greatest(len(h) - 8, 0) + 1),
+         |        i -> list_min(h[(i+1):(i+8)]))
+         |    ELSE CAST([] AS BIGINT[]) END)) AS fingerprint
+         |  FROM grams),
+         |dfreq AS (
+         |  SELECT fingerprint, count(*) AS d FROM fps GROUP BY 1),
+         |pruned AS (
+         |  SELECT f.doc_id, f.fingerprint
+         |  FROM fps f JOIN dfreq USING (fingerprint) WHERE d <= 5)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  count(*) AS shared_fps
+         |FROM pruned a JOIN pruned b USING (fingerprint)
+         |WHERE a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2
+         |ORDER BY id_a, id_b""".stripMargin,
     // q52's language label + q50's token count, rolled up (the CASE
     // tie-break order matches langPredFromHits exactly)
     "q100_corpus_report" ->

@@ -298,6 +298,44 @@ object TextAnalysis {
       .filter(col("fingerprint").isNotNull)
   }
 
+  /** Candidate overlap pairs from winnowing fingerprints: documents
+    * sharing ≥ `minShared` selected fingerprints — the MOSS detection
+    * join. By the winnowing guarantee every shared canonical substring
+    * of length ≥ k + w − 1 contributes a shared fingerprint, so real
+    * overlaps surface with k-gram selectivity tuned by `k`.
+    *
+    * Scale shape: the pair generation is a posting-list equi-join on
+    * `fingerprint` (the q35 shape — shuffle by fingerprint, never
+    * all-pairs), and `maxDocFrequency > 0` prunes stop-gram-like
+    * fingerprints first: the HOT table is bounded (≤ n_fps/maxDf rows),
+    * materialized once (`localCheckpoint`) and broadcast anti-joined, so
+    * the df aggregation runs once, not once per self-join alias, and no
+    * boilerplate fingerprint can quadratically inflate a join key.
+    * Leaving `maxDocFrequency` at 0 keeps every fingerprint — only safe
+    * when the corpus is known boilerplate-free.
+    */
+  def winnowOverlapPairs(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 16, w: Int = 8, minShared: Long = 2L,
+                         maxDocFrequency: Long = 0L): DataFrame = {
+    val fps = winnowFingerprints(docs, idCol, textCol, k, w)
+    val pruned =
+      if (maxDocFrequency <= 0L) fps
+      else {
+        val hot = fps.groupBy("fingerprint")
+          .agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxDocFrequency)
+          .select("fingerprint")
+          .localCheckpoint()
+        fps.join(broadcast(hot), Seq("fingerprint"), "left_anti")
+      }
+    pruned.select(col("fingerprint"), col(idCol).as("id_a"))
+      .join(pruned.select(col("fingerprint"), col(idCol).as("id_b")),
+        "fingerprint")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
   /** The pure-builtin composition `winnowFingerprints` is bit-equivalent
     * to (spec-pinned); session-independent but interpreted — ~len(doc)
     * md5→hex→conv round-trips and window slices per row.

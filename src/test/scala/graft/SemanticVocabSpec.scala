@@ -227,6 +227,33 @@ class SemanticVocabSpec extends SparkSpec {
     assert(tinyFps.length == 1, s"got ${tinyFps.toSeq}")
   }
 
+  test("winnowOverlapPairs finds shared-run pairs and prunes hot fingerprints") {
+    val run = "a long shared boilerplate run that both documents carry verbatim"
+    val docs = Seq(
+      (1L, s"first document begins here $run and then diverges entirely"),
+      (2L, s"second document other intro $run with a different ending too"),
+      (3L, "third document has no overlap with anything else at all here"))
+      .toDF("doc_id", "text")
+    val pairs = TextAnalysis.winnowOverlapPairs(docs, "doc_id", "text",
+      k = 16, w = 4, minShared = 2L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+    // a fingerprint present in EVERY doc gets pruned by the df cap: give
+    // all three docs the same run and cap df at 2 — no pair survives
+    // minShared if the shared fingerprints all exceed the cap
+    val all3 = Seq(
+      (1L, s"alpha $run omega"), (2L, s"beta $run psi"), (3L, s"gamma $run chi"))
+      .toDF("doc_id", "text")
+    val capped = TextAnalysis.winnowOverlapPairs(all3, "doc_id", "text",
+      k = 16, w = 4, minShared = 1L, maxDocFrequency = 2L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val uncapped = TextAnalysis.winnowOverlapPairs(all3, "doc_id", "text",
+      k = 16, w = 4, minShared = 1L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(capped.isEmpty, s"df cap should prune the 3-doc run: $capped")
+  }
+
   test("native winnow kernel matches the composed HOF formulation") {
     val rnd = new scala.util.Random(17)
     val docs = Seq.tabulate(40) { i =>
