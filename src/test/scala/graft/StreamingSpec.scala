@@ -347,6 +347,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming clean stage canonicalizes before the dedup state key") {
+    // doc 2 is doc 1 with re-rendered whitespace: different bytes,
+    // identical after canonicalization — with clean on, the EXACT dedup
+    // state key (hash of canonical text) collides and doc 2 drops at
+    // ingest; doc 3 is genuinely different and passes
+    val base = "a completely different document about the engine and the " +
+      "data pipeline that we keep because it is unique and long enough"
+    val messy = "  a completely\tdifferent document about the engine " +
+      "and the data pipeline that we keep because it is unique " +
+      "and long enough\n"
+    val other = "the quick brown fox jumps over the lazy dog near the " +
+      "river bank today while the sun sets slowly behind the old hill"
+    val input = MemoryStream[(Long, String, Long)](spark)
+    val stream = input.toDF()
+      .select(col("_1").as("doc_id"), col("_2").as("text"),
+        timestamp_seconds(col("_3")).as("ts"))
+    val q = graft.pipeline.CurationPipeline
+      .runStreaming(stream, "doc_id", "text", "ts", languages = Set("en"),
+        clean = true)
+      .select(col("doc_id"), col("text"))
+      .writeStream.format("memory").queryName("cleanstream")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, base, 100L), (2L, messy, 110L), (3L, other, 120L))
+      q.processAllAvailable()
+      val out = spark.table("cleanstream")
+        .as[(Long, String)].collect().toMap
+      assert(out.keySet == Set(1L, 3L), s"got ${out.keySet}")
+      assert(out(1L) == base) // surviving rows carry the canonical text
+    } finally q.stop()
+  }
+
   test("batch and streaming curation keep the same rows under late duplicates") {
     // the runStreaming scaladoc claims a row passes the stream gate iff
     // it would pass the batch gate: same quality/language expressions,
