@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.expressions.Window
 
 import graft.functions.{GraftFunctions, HashFunctions, TextAnalysis, TextFunctions}
-import graft.operators.{CountMin, Decontaminate, Dedup, Jaccard, Knn, TemporalJoins}
+import graft.operators.{Bpe, CountMin, Decontaminate, Dedup, Jaccard, Knn, TemporalJoins}
 
 /** Driver contract — the engine's query surface over the driver's parquet
   * fixtures, with a DuckDB-runnable oracle per query.
@@ -1154,6 +1154,34 @@ object SparkEntry {
         .select(col("query_id"), col("n_exact"), col("n_hit"),
           round(col("recall"), 6).as("recall"))
         .orderBy("query_id")
+    }),
+    // BPE training, iteration 0: adjacent character-pair counts over
+    // the word-frequency vocabulary — the one corpus-scale pass of
+    // tokenizer training; everything after it is vocab-sized
+    "q103_bpe_pairs" -> ((s, dir) => {
+      Bpe.initialPairStats(t(s, dir, "documents"), "text")
+        .orderBy(desc("pair_count"), asc("left_sym"), asc("right_sym"))
+    }),
+    // the learned BPE merge table (8 merges): driver loop over the
+    // vocabulary table only; argmax ties break on the pair ascending so
+    // the table is partitioning-invariant. Iterative argmax is not
+    // SQL-expressible — no oracleSql entry (rows-only gate); exact
+    // merges are hand-verified in BpeSpec
+    "q104_bpe_merges" -> ((s, dir) => {
+      Bpe.learnMerges(t(s, dir, "documents"), "text", numMerges = 8)
+        .orderBy("merge_rank")
+    }),
+    // incremental ingest dedup: the src0 batch probed against the
+    // already-indexed rest of the corpus via MinHash band join — never
+    // batch×batch, never index×index (q32's parameters, split sides)
+    "q105_incremental_lsh" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.incrementalLshMatches(
+        docs.filter(col("source") === "src0"),
+        docs.filter(col("source") =!= "src0"),
+        "doc_id", "text", k = 8, bands = 4,
+        tokenize = Dedup.shingleTokenizer(3))
+        .orderBy("batch_id", "index_id")
     })
   )
 
@@ -3030,6 +3058,41 @@ object SparkEntry {
     "q70_mm_meta" -> MmMetaOracle,
     // same oracle: the mapPartitions seam must agree with the columnar
     // stub path row for row
-    "q95_mm_decode_seam" -> MmMetaOracle
+    "q95_mm_decode_seam" -> MmMetaOracle,
+
+    // word-frequency-weighted adjacent char pairs; within-word
+    // multiplicity preserved (one row per position i)
+    "q103_bpe_pairs" ->
+      s"""WITH $WordsCte,
+         |wf AS (
+         |  SELECT word, count(*) AS freq
+         |  FROM (SELECT unnest(ws) AS word FROM words) GROUP BY word),
+         |pr AS (
+         |  SELECT substring(word, CAST(i AS INT), 1) AS left_sym,
+         |    substring(word, CAST(i AS INT) + 1, 1) AS right_sym, freq
+         |  FROM wf, unnest(generate_series(1, len(word) - 1)) AS t(i))
+         |SELECT left_sym, right_sym, CAST(sum(freq) AS BIGINT) AS pair_count
+         |FROM pr GROUP BY left_sym, right_sym
+         |ORDER BY pair_count DESC, left_sym, right_sym""".stripMargin,
+    // q32's signature/banding CTEs, sides split by source: batch bands
+    // (src0) join index bands (everything else)
+    "q105_incremental_lsh" ->
+      s"""WITH $WordsCte,
+         |$ShinglesCte,
+         |$SigCte,
+         |banded AS (
+         |  SELECT doc_id, CAST(perm // 2 AS INT) AS band,
+         |    list(min_hash ORDER BY perm) AS band_key
+         |  FROM sig GROUP BY doc_id, band),
+         |src AS (SELECT doc_id, source FROM documents)
+         |SELECT a.doc_id AS batch_id, b.doc_id AS index_id,
+         |  count(*) AS n_shared_bands
+         |FROM banded a JOIN banded b
+         |  ON a.band = b.band AND a.band_key = b.band_key
+         |JOIN src sa ON sa.doc_id = a.doc_id
+         |JOIN src sb ON sb.doc_id = b.doc_id
+         |WHERE sa.source = 'src0' AND sb.source <> 'src0'
+         |GROUP BY a.doc_id, b.doc_id
+         |ORDER BY batch_id, index_id""".stripMargin
   )
 }

@@ -189,9 +189,26 @@ object Dedup {
     */
   def lshCandidates(signatures: DataFrame, idCol: String, k: Int,
                     bands: Int): DataFrame = {
+    val banded = bandKeys(signatures, idCol, k, bands)
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
+  /** Band a k-perm signature table into its LSH band keys: one row per
+    * (id, band) with the band's perm-ordered minhash vector as the key.
+    * Shared by [[lshCandidates]] (self-join) and
+    * [[incrementalLshMatches]] (batch-vs-index join).
+    */
+  private def bandKeys(signatures: DataFrame, idCol: String, k: Int,
+                       bands: Int): DataFrame = {
     require(k % bands == 0, s"bands ($bands) must divide k ($k)")
     val rowsPerBand = k / bands
-    val banded = signatures
+    signatures
       .withColumn("band", (col("perm") / lit(rowsPerBand)).cast("int"))
       .groupBy(col(idCol), col("band"))
       // perms arrive unordered after the shuffle; re-impose perm order so
@@ -201,12 +218,40 @@ object Dedup {
       .agg(transform(
         sort_array(collect_list(struct(col("perm"), col("min_hash")))),
         s => s.getField("min_hash")).as("band_key"))
-    banded.as("a")
-      .join(banded.as("b"),
+  }
+
+  /** Incremental near-dup detection: which documents of a NEW batch
+    * collide with an already-indexed corpus? Bands both sides' MinHash
+    * signatures and joins batch bands against index bands — never
+    * batch-vs-batch, never index-vs-index.
+    *
+    * This is the ingest-time shape of corpus dedup at 100 TB: the index
+    * side's banded table is computed once when the corpus is built and
+    * persisted (bucketed by its band key); each arriving batch computes
+    * only its OWN signatures — typically small enough that AQE
+    * broadcasts the batch side, so the indexed corpus is probed in
+    * place with no shuffle at all. Contrast [[lshCandidates]], the
+    * from-scratch self-join over one corpus.
+    *
+    * Output: `(batch_id, index_id, n_shared_bands)`.
+    */
+  def incrementalLshMatches(batch: DataFrame, index: DataFrame,
+                            idCol: String, textCol: String, k: Int,
+                            bands: Int,
+                            tokenize: Column => Column =
+                              TextFunctions.normalizeTokens): DataFrame = {
+    val bb = bandKeys(
+      minHashSignatures(batch, idCol, textCol, k, tokenize),
+      idCol, k, bands)
+    val ib = bandKeys(
+      minHashSignatures(index, idCol, textCol, k, tokenize),
+      idCol, k, bands)
+    bb.as("a")
+      .join(ib.as("b"),
         col("a.band") === col("b.band") &&
-          col("a.band_key") === col("b.band_key") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+          col("a.band_key") === col("b.band_key"))
+      .groupBy(col(s"a.$idCol").as("batch_id"),
+        col(s"b.$idCol").as("index_id"))
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
