@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.expressions.Window
 
 import graft.functions.{GraftFunctions, HashFunctions, TextAnalysis, TextFunctions}
-import graft.operators.{Bpe, CountMin, Decontaminate, Dedup, Jaccard, Knn, TemporalJoins}
+import graft.operators.{Bpe, CountMin, Decontaminate, Dedup, Jaccard, Kmv, Knn, TemporalJoins}
 
 /** Driver contract — the engine's query surface over the driver's parquet
   * fixtures, with a DuckDB-runnable oracle per query.
@@ -1182,8 +1182,46 @@ object SparkEntry {
         "doc_id", "text", k = 8, bands = 4,
         tokenize = Dedup.shingleTokenizer(3))
         .orderBy("batch_id", "index_id")
+    }),
+    // BPE encoding of the corpus vocabulary with a FIXED merge table
+    // (rank order (a,n) (s,c) (sc,an) (e,r) — merge 3 consumes the
+    // products of merges 1-2, exercising merged-symbol reuse). Fixed
+    // merges make the kernel value-checkable in SQL; composing with the
+    // LEARNED table is BpeSpec's job (iterative argmax isn't
+    // SQL-expressible). Pieces serialized — the array-column trap
+    "q106_bpe_encode" -> ((s, dir) => {
+      Bpe.encodeWords(t(s, dir, "documents"), "text", BpeFixedMerges)
+        .select(col("word"), col("freq"),
+          array_join(col("pieces"), " ").as("pieces"), col("n_pieces"))
+        .orderBy("word")
+    }),
+    // bigram LM with stupid backoff: counted on src0, scoring every
+    // other source; seen bigrams score the conditional MLE, unseen back
+    // off to 0.4x the smoothed unigram. Pair-sorted fold — bit-
+    // reproducible (the q91 contract, one order of ngram up)
+    "q107_bigram_logprob" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.bigramLogProb(docs.filter(col("source") === "src0"),
+        docs.filter(col("source") =!= "src0"), "doc_id", "text")
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("sum_logprob"), 6).as("sum_logprob"),
+          round(col("avg_logprob"), 6).as("avg_logprob"))
+        .orderBy("doc_id")
+    }),
+    // cross-source vocabulary overlap from bottom-64 KMV sketches: the
+    // corpus collapses to one 64-long sketch per source, every pairwise
+    // Jaccard estimate reads sketches only — no corpus join
+    "q108_kmv_overlap" -> ((s, dir) => {
+      Kmv.kmvCrossJaccard(
+        Kmv.vocabSketch(t(s, dir, "documents"), "source", "text", k = 64),
+        "source", k = 64)
+        .orderBy("group_a", "group_b")
     })
   )
+
+  /** q106's corpus-independent merge table (see the query comment). */
+  private val BpeFixedMerges: Seq[(String, String)] =
+    Seq(("a", "n"), ("s", "c"), ("sc", "an"), ("e", "r"))
 
   // ------------------------------------------------------------ oracle SQL
 
@@ -3093,6 +3131,118 @@ object SparkEntry {
          |JOIN src sb ON sb.doc_id = b.doc_id
          |WHERE sa.source = 'src0' AND sb.source <> 'src0'
          |GROUP BY a.doc_id, b.doc_id
-         |ORDER BY batch_id, index_id""".stripMargin
+         |ORDER BY batch_id, index_id""".stripMargin,
+
+    // the merge folds nest in rank order (innermost = merge 1), each
+    // replicating applyMerge's left-to-right non-overlapping rewrite:
+    // list_reduce seeds from the first element where Spark folds from
+    // an empty accumulator — equivalent, since the empty-acc iteration
+    // always lands in the append branch
+    "q106_bpe_encode" ->
+      s"""WITH $WordsCte,
+         |wf AS (
+         |  SELECT word, count(*) AS freq
+         |  FROM (SELECT unnest(ws) AS word FROM words) GROUP BY word),
+         |chars AS (
+         |  SELECT word, freq,
+         |    list(substring(word, CAST(i AS INT), 1) ORDER BY i) AS syms
+         |  FROM wf, unnest(generate_series(1, len(word))) AS t(i)
+         |  GROUP BY word, freq),
+         |enc AS (SELECT word, freq, ${duckBpeFolds(BpeFixedMerges)} AS pieces
+         |        FROM chars)
+         |SELECT word, freq, array_to_string(pieces, ' ') AS pieces,
+         |  CAST(len(pieces) AS INT) AS n_pieces
+         |FROM enc ORDER BY word""".stripMargin,
+
+    // q91's oracle one ngram order up: seen bigrams score the
+    // conditional MLE, unseen back off to 0.4x the smoothed unigram;
+    // parenthesization mirrors the Spark expression exactly (ratio
+    // first, then the backoff scale) for bit parity
+    "q107_bigram_logprob" ->
+      s"""WITH mwords AS (
+         |  SELECT list_filter(
+         |    string_split_regex(
+         |      regexp_replace(lower(text), '[^a-z0-9$WsClass]', ' ', 'g'),
+         |      '[$WsClass]+'),
+         |    x -> x != '') AS ws
+         |  FROM documents
+         |  WHERE source = 'src0' AND regexp_matches(lower(text), '[a-z0-9]')),
+         |mbi AS (
+         |  SELECT ws[CAST(i AS INT)] AS w1, ws[CAST(i AS INT) + 1] AS w2
+         |  FROM mwords, unnest(generate_series(1, len(ws) - 1)) AS t(i)),
+         |big AS (SELECT w1, w2, count(*) AS c2 FROM mbi GROUP BY 1, 2),
+         |counts AS (
+         |  SELECT word, count(*) AS c
+         |  FROM (SELECT unnest(ws) AS word FROM mwords) GROUP BY 1),
+         |scalars AS (SELECT CAST(sum(c) AS DOUBLE) AS n_occ,
+         |              CAST(count(*) AS DOUBLE) AS n_vocab FROM counts),
+         |dwords AS (
+         |  SELECT doc_id, list_filter(
+         |    string_split_regex(
+         |      regexp_replace(lower(text), '[^a-z0-9$WsClass]', ' ', 'g'),
+         |      '[$WsClass]+'),
+         |    x -> x != '') AS ws
+         |  FROM documents
+         |  WHERE source != 'src0' AND doc_id IS NOT NULL
+         |    AND regexp_matches(lower(text), '[a-z0-9]')),
+         |dbi AS (
+         |  SELECT doc_id, ws[CAST(i AS INT)] AS w1,
+         |    ws[CAST(i AS INT) + 1] AS w2
+         |  FROM dwords, unnest(generate_series(1, len(ws) - 1)) AS t(i)),
+         |occ AS (
+         |  SELECT doc_id, w1, w2, count(*) AS oc FROM dbi GROUP BY 1, 2, 3),
+         |contrib AS (
+         |  SELECT doc_id, occ.w1, occ.w2, oc,
+         |    CAST(oc AS DOUBLE) * (CASE WHEN b.c2 IS NOT NULL
+         |      THEN ln(CAST(b.c2 AS DOUBLE) / CAST(cp.c AS DOUBLE))
+         |      ELSE ln(0.4 * ((CAST(coalesce(cc.c, 0) AS DOUBLE) + 1.0)
+         |        / (n_occ + n_vocab))) END) AS lp
+         |  FROM occ LEFT JOIN big b ON b.w1 = occ.w1 AND b.w2 = occ.w2
+         |  LEFT JOIN counts cp ON cp.word = occ.w1
+         |  LEFT JOIN counts cc ON cc.word = occ.w2
+         |  CROSS JOIN scalars),
+         |agg AS (
+         |  SELECT doc_id, CAST(sum(oc) AS BIGINT) AS n_bigrams,
+         |    list_reduce(list(lp ORDER BY w1, w2), (a, b) -> a + b) AS sum_lp
+         |  FROM contrib GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams, round(sum_lp, 6) AS sum_logprob,
+         |  round(sum_lp / CAST(n_bigrams AS DOUBLE), 6) AS avg_logprob
+         |FROM agg ORDER BY doc_id""".stripMargin,
+
+    // bottom-64 KMV per source over distinct 60-bit token hashes; the
+    // pair stage reads sketches only. list_sort(list_distinct(concat))
+    // == Spark sort_array(array_union) — both dedupe then sort
+    "q108_kmv_overlap" ->
+      s"""WITH $WordsCte,
+         |toks AS (
+         |  SELECT DISTINCT source, ${h60("word")} AS h
+         |  FROM (SELECT source, unnest(ws) AS word FROM words)),
+         |sk AS (
+         |  SELECT source, (list(h ORDER BY h))[1:64] AS sketch
+         |  FROM toks GROUP BY source)
+         |SELECT a.source AS group_a, b.source AS group_b,
+         |  CAST(len(u) AS INT) AS n_union_sample,
+         |  CAST(len(list_intersect(list_intersect(u, a.sketch), b.sketch))
+         |    AS INT) AS n_shared,
+         |  round(CAST(len(list_intersect(list_intersect(u, a.sketch),
+         |      b.sketch)) AS DOUBLE) / CAST(len(u) AS DOUBLE), 6)
+         |    AS est_jaccard
+         |FROM sk a JOIN sk b ON a.source < b.source,
+         |  LATERAL (SELECT
+         |    (list_sort(list_distinct(list_concat(a.sketch, b.sketch))))[1:64]
+         |      AS u) AS lu
+         |ORDER BY group_a, group_b""".stripMargin
   )
+
+  /** DuckDB replica of [[graft.operators.Bpe.encodeSymbols]]: nested
+    * left-to-right merge folds over the `syms` column, innermost fold =
+    * rank-1 merge.
+    */
+  private def duckBpeFolds(merges: Seq[(String, String)]): String =
+    merges.foldLeft("syms") { case (inner, (l, r)) =>
+      s"""list_reduce(list_transform($inner, s -> [s]),
+         |  (acc, x) -> CASE WHEN acc[-1] = '$l' AND x[1] = '$r'
+         |    THEN list_append(list_slice(acc, 1, len(acc) - 1), '$l$r')
+         |    ELSE list_append(acc, x[1]) END)""".stripMargin
+    }
 }

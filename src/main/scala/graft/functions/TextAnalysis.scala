@@ -437,6 +437,83 @@ object TextAnalysis {
         col("sum_logprob") / col("n_tokens").cast("double"))
   }
 
+  /** Bigram language-model score with stupid backoff (Brants et al.,
+    * "Large Language Models in Machine Translation"): train bigram and
+    * unigram counts on `model`, score each `docs` row by its average
+    * bigram log-score. Seen bigrams score the conditional MLE
+    * `c2(w1,w2) / c1(w1)`; unseen bigrams back off to
+    * `backoff * (c1(w2)+1)/(N+V)` — the add-one-smoothed unigram of
+    * [[unigramLogProb]] scaled by the (unnormalized) backoff factor,
+    * which is exactly why it is "stupid": no discounting mass to
+    * renormalize, the published trade for corpus-scale counting.
+    *
+    * Scale shape: the model reduces to a bigram count table (bounded by
+    * distinct ADJACENT pairs actually seen — far under |V|², Zipf
+    * again) and the unigram table; the scored side aggregates to
+    * (doc, w1, w2) with map-side combine, meets the counts in
+    * pair-/token-keyed equi-joins, and re-aggregates by doc. The two
+    * smoothing scalars ride a broadcast cross join, and per-doc sums
+    * fold pair-sorted — bit-reproducible across partitionings and
+    * engines. Documents with fewer than two tokens have no bigrams and
+    * are absent from the output.
+    */
+  def bigramLogProb(model: DataFrame, docs: DataFrame, idCol: String,
+                    textCol: String, backoff: Double = 0.4): DataFrame = {
+    require(backoff > 0.0, s"backoff=$backoff must be positive")
+    val (uni, scalars) = modelCounts(model, textCol, "bigramLogProb")
+    val big = model
+      .filter(lower(col(textCol)).rlike("[a-z0-9]"))
+      .select(TextFunctions.normalizedWords(col(textCol)).as("__ws"))
+      .select(explode_outer(adjacentPairs(col("__ws"))).as("__p"))
+      .where(col("__p").isNotNull)
+      .groupBy(col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+      .agg(count(lit(1)).as("__c2"))
+    val occ = docs
+      .filter(col(idCol).isNotNull && lower(col(textCol)).rlike("[a-z0-9]"))
+      .select(col(idCol), TextFunctions.normalizedWords(col(textCol)).as("__ws"))
+      .select(col(idCol), explode_outer(adjacentPairs(col("__ws"))).as("__p"))
+      .where(col("__p").isNotNull)
+      .groupBy(col(idCol), col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+      .agg(count(lit(1)).as("__occ"))
+    // a seen bigram implies a seen w1, so the MLE branch never divides
+    // by null; the backoff branch parenthesizes exactly as the oracle
+    // does (ratio first, then the backoff scale) for bit parity
+    val contrib = occ
+      .join(big, Seq("w1", "w2"), "left")
+      .join(uni.select(col("word").as("w1"), col("__c").as("__cp")),
+        Seq("w1"), "left")
+      .join(uni.select(col("word").as("w2"), col("__c").as("__cc")),
+        Seq("w2"), "left")
+      .crossJoin(broadcast(scalars))
+      .select(col(idCol), col("w1"), col("w2"),
+        (col("__occ").cast("double") *
+          when(col("__c2").isNotNull,
+            log(col("__c2").cast("double") / col("__cp").cast("double")))
+            .otherwise(log(lit(backoff) *
+              ((coalesce(col("__cc"), lit(0L)).cast("double") + lit(1.0)) /
+                (col("__n_occ") + col("__n_vocab")))))).as("__lp"),
+        col("__occ"))
+    contrib.groupBy(col(idCol))
+      .agg(sum(col("__occ")).as("n_bigrams"),
+        sort_array(collect_list(struct(col("w1"), col("w2"), col("__lp"))))
+          .as("__xs"))
+      .select(col(idCol), col("n_bigrams"),
+        aggregate(col("__xs"), lit(0.0),
+          (acc, x) => acc + x.getField("__lp")).as("sum_logprob"))
+      .withColumn("avg_logprob",
+        col("sum_logprob") / col("n_bigrams").cast("double"))
+  }
+
+  /** Adjacent word pairs of a word-array column as `(w1, w2)` structs —
+    * two shifted slices zipped (the [[graft.operators.Bpe.pairStats]]
+    * shape). Single-word arrays yield an empty list.
+    */
+  private def adjacentPairs(ws: Column): Column =
+    zip_with(
+      slice(ws, lit(1), size(ws) - 1),
+      slice(ws, lit(2), size(ws) - 1),
+      (l, r) => struct(l.as("w1"), r.as("w2")))
+
   /** One-pass corpus composition report: documents, tokens, and mean
     * document length by (source × predicted language), with rollup
     * subtotals — the observability table an ingest run over a new

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -73,6 +73,48 @@ object Bpe {
   private def initialSymbols(wordCol: String) =
     filter(split(col(wordCol), ""), c => c =!= "")
 
+  /** One BPE merge applied to a symbol-array column: the left-to-right
+    * non-overlapping rewrite fusing every adjacent (l, r) into `l+r`
+    * ("aaa" + merge (a,a) → [aa, a]). `get` returns null off the end of
+    * an empty accumulator, and null comparisons fall through to the
+    * otherwise branch — ANSI-safe. Shared by training (one rewrite per
+    * learned merge) and encoding (the rank-ordered fold in
+    * [[encodeSymbols]]).
+    */
+  private def applyMerge(syms: Column, l: String, r: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, x) =>
+        when(get(acc, size(acc) - 1) === lit(l) && x === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+          .otherwise(concat(acc, array(x))))
+
+  /** BPE-encode a symbol array with a trained merge table: apply the
+    * merges one at a time in rank order. For a merge list produced by
+    * [[learnMerges]] this is equivalent to the priority-queue encoder
+    * (repeatedly merge the lowest-rank pair present): fusing two
+    * symbols never creates a new adjacency between two OLD symbols, and
+    * merge k's pair only mentions symbols from merges < k, so once the
+    * pass for merge k is done its pair can never reappear.
+    */
+  def encodeSymbols(syms: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(syms) { case (c, (l, r)) => applyMerge(c, l, r) }
+
+  /** Encode the corpus VOCABULARY, not the corpus: one row per distinct
+    * word with its BPE pieces and piece count. This is the 100 TB
+    * encode shape — the per-word merge fold (the imperative heart of
+    * BPE) runs once per distinct word (Zipf-bounded), and mapping the
+    * corpus itself to token streams is then a plain broadcast join of
+    * this table against the tokenizer output (see q93's
+    * numericalization for the join-side shape). Output:
+    * `(word, freq, pieces, n_pieces)`.
+    */
+  def encodeWords(docs: DataFrame, textCol: String,
+                  merges: Seq[(String, String)]): DataFrame =
+    wordCounts(docs, textCol)
+      .select(col("word"), col("freq"),
+        encodeSymbols(initialSymbols("word"), merges).as("pieces"))
+      .withColumn("n_pieces", size(col("pieces")))
+
   /** Learn `numMerges` BPE merges. Returns one row per learned merge:
     * `(merge_rank, left_sym, right_sym, pair_count)`, rank 1 = first.
     *
@@ -103,17 +145,8 @@ object Bpe {
         val (l, r, c) =
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((merges.length + 1, l, r, c))
-        // left-to-right non-overlapping rewrite: fold each symbol onto
-        // the accumulator, fusing when the tail is l and the next is r
-        // ("aaa" + merge (a,a) → [aa, a], not [aa, aa]). `get` returns
-        // null off the end of an empty accumulator, and null comparisons
-        // fall through to the otherwise branch — ANSI-safe.
         val next = vocab.select(
-          aggregate(col("syms"), array().cast("array<string>"),
-            (acc, x) =>
-              when(get(acc, size(acc) - 1) === lit(l) && x === lit(r),
-                concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
-                .otherwise(concat(acc, array(x)))).as("syms"),
+          applyMerge(col("syms"), l, r).as("syms"),
           col("freq")).localCheckpoint()
         Knn.releaseCheckpoint(vocab)
         vocab = next

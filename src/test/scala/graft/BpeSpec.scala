@@ -53,6 +53,40 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.learnMerges(docs, "text", numMerges = 3).count() == 0L)
   }
 
+  test("encodeWords applies fixed merges in rank order, reusing " +
+    "earlier merges' products") {
+    // merges (a,n) (s,c) (sc,an): "scan" → [s,c,an] → [sc,an] → [scan];
+    // "cans" exercises partial application: → [c,an,s] and stops
+    val docs = Seq((1L, "scan cans scan")).toDF("doc_id", "text")
+    val enc = Bpe.encodeWords(docs, "text",
+      Seq(("a", "n"), ("s", "c"), ("sc", "an")))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getSeq[String](2).toList)).toSet
+    assert(enc == Set(
+      ("scan", 2L, List("scan")),
+      ("cans", 1L, List("c", "an", "s"))))
+  }
+
+  test("encoding with LEARNED merges collapses every training word to " +
+    "one symbol, and pieces always reconstruct the word") {
+    val docs = Seq((1L, "aaab aaab"), (2L, "aab"), (3L, "zq aaab"))
+      .toDF("doc_id", "text")
+    val merges = Bpe.learnMerges(docs, "text", numMerges = 10)
+      .orderBy("merge_rank")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val enc = Bpe.encodeWords(docs, "text", merges)
+      .select(col("word"), concat_ws("", col("pieces")).as("glued"),
+        col("n_pieces"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    // reconstruction invariant: concatenating the pieces is the word
+    assert(enc.forall { case (w, glued, _) => glued == w })
+    // BPE trained to exhaustion on its own corpus encodes every
+    // training word (aaab, aab — zq only has 1 pair, learned last or
+    // not at all depending on counts; assert the two multi-pair words)
+    val n = enc.map { case (w, _, np) => w -> np }.toMap
+    assert(n("aaab") == 1 && n("aab") == 1)
+  }
+
   test("incrementalLshMatches finds cross-side dups and never " +
     "batch×batch or index×index pairs") {
     val same = "spark shuffles the partition table by hash key value"

@@ -82,6 +82,44 @@ class SemanticVocabSpec extends SparkSpec {
     assert(msgs(err).exists(_.contains("no alphanumeric tokens")), msgs(err))
   }
 
+  test("bigramLogProb scores seen bigrams by conditional MLE and unseen " +
+    "by scaled smoothed unigram backoff") {
+    // model "a b a": unigrams a=2 b=1 (N=3, V=2); bigrams (a,b)=1 (b,a)=1
+    // doc "a b c": (a,b) seen → ln(1/2); (b,c) unseen → ln(0.4·(0+1)/5)
+    val model = Seq((10L, "a b a")).toDF("doc_id", "text")
+    val docs = Seq((1L, "a b c"), (2L, "a")).toDF("doc_id", "text")
+    val rows = TextAnalysis.bigramLogProb(model, docs, "doc_id", "text")
+      .select("doc_id", "n_bigrams", "sum_logprob", "avg_logprob")
+      .as[(Long, Long, Double, Double)].collect()
+    // the single-token doc has no bigrams and is absent
+    assert(rows.map(_._1).toSeq == Seq(1L))
+    val r = rows.head
+    val expSum = math.log(1.0 / 2.0) + math.log(0.4 * (1.0 / 5.0))
+    assert(r._2 == 2L)
+    assert(math.abs(r._3 - expSum) < 1e-12, s"sum ${r._3} != $expSum")
+    assert(math.abs(r._4 - expSum / 2) < 1e-12)
+  }
+
+  test("bigramLogProb is bit-identical across partitionings") {
+    val rnd = new scala.util.Random(13)
+    val docs = Seq.tabulate(60) { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(40) + 2)(s"w${rnd.nextInt(25)}")
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    def run(parts: Int): Map[Long, (Long, Double, Double)] =
+      TextAnalysis.bigramLogProb(docs.repartition(parts),
+        docs.repartition(parts), "doc_id", "text")
+        .as[(Long, Long, Double, Double)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val one = run(1)
+    val many = run(7)
+    assert(one.keySet == many.keySet)
+    one.foreach { case (id, (n, s, a)) =>
+      val (n2, s2, a2) = many(id)
+      assert(n == n2 && s == s2 && a == a2, s"doc $id: ($n,$s,$a) != ($n2,$s2,$a2)")
+    }
+  }
+
   test("unigramLogProb is bit-identical across partitionings") {
     val rnd = new scala.util.Random(11)
     val docs = Seq.tabulate(60) { i =>
