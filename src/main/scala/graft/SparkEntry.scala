@@ -1216,6 +1216,14 @@ object SparkEntry {
         Kmv.vocabSketch(t(s, dir, "documents"), "source", "text", k = 64),
         "source", k = 64)
         .orderBy("group_a", "group_b")
+    }),
+    // corpus token budget under the q106 tokenizer: per-doc BPE token
+    // counts via the vocabulary join — the merge fold never touches the
+    // corpus, only distinct words
+    "q109_bpe_token_counts" -> ((s, dir) => {
+      Bpe.bpeTokenCounts(t(s, dir, "documents"), "doc_id", "text",
+        BpeFixedMerges)
+        .orderBy("doc_id")
     })
   )
 
@@ -3231,7 +3239,29 @@ object SparkEntry {
          |  LATERAL (SELECT
          |    (list_sort(list_distinct(list_concat(a.sketch, b.sketch))))[1:64]
          |      AS u) AS lu
-         |ORDER BY group_a, group_b""".stripMargin
+         |ORDER BY group_a, group_b""".stripMargin,
+
+    // q106's encoded vocabulary joined back to the corpus occurrence
+    // stream, summed per document
+    "q109_bpe_token_counts" ->
+      s"""WITH $WordsCte,
+         |wf AS (
+         |  SELECT word, count(*) AS freq
+         |  FROM (SELECT unnest(ws) AS word FROM words) GROUP BY word),
+         |chars AS (
+         |  SELECT word, freq,
+         |    list(substring(word, CAST(i AS INT), 1) ORDER BY i) AS syms
+         |  FROM wf, unnest(generate_series(1, len(word))) AS t(i)
+         |  GROUP BY word, freq),
+         |enc AS (SELECT word, ${duckBpeFolds(BpeFixedMerges)} AS pieces
+         |        FROM chars),
+         |occ AS (
+         |  SELECT doc_id, unnest(ws) AS word FROM words
+         |  WHERE doc_id IS NOT NULL)
+         |SELECT doc_id, count(*) AS n_words,
+         |  CAST(sum(len(pieces)) AS BIGINT) AS n_bpe_tokens
+         |FROM occ JOIN enc USING (word)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 
   /** DuckDB replica of [[graft.operators.Bpe.encodeSymbols]]: nested

@@ -115,6 +115,35 @@ object Bpe {
         encodeSymbols(initialSymbols("word"), merges).as("pieces"))
       .withColumn("n_pieces", size(col("pieces")))
 
+  /** Per-document BPE token counts: map the corpus onto the encoded
+    * vocabulary of [[encodeWords]] and sum piece counts per document —
+    * the "how many tokens is this corpus under tokenizer X" question
+    * every pretraining budget starts from. Output:
+    * `(id, n_words, n_bpe_tokens)`.
+    *
+    * Scale shape: the per-word merge fold runs once per DISTINCT word;
+    * the corpus meets the resulting `(word, n_pieces)` table in a plain
+    * token-keyed equi-join (the q93 numericalization shape — AQE
+    * broadcasts the vocabulary when it fits) and re-aggregates by
+    * document with map-side combine.
+    */
+  def bpeTokenCounts(docs: DataFrame, idCol: String, textCol: String,
+                     merges: Seq[(String, String)]): DataFrame = {
+    val enc = encodeWords(docs, textCol, merges)
+      .select(col("word"), col("n_pieces"))
+    docs
+      .filter(col(idCol).isNotNull && lower(col(textCol)).rlike("[a-z0-9]"))
+      .select(col(idCol), TextFunctions.normalizedWords(col(textCol)).as("__ws"))
+      .select(col(idCol), explode_outer(col("__ws")).as("word"))
+      // inner join: the vocabulary is built from this very corpus, so
+      // every non-null word matches; the explode_outer null rows for
+      // empty documents drop here
+      .join(enc, Seq("word"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_pieces").cast("long")).as("n_bpe_tokens"))
+  }
+
   /** Learn `numMerges` BPE merges. Returns one row per learned merge:
     * `(merge_rank, left_sym, right_sym, pair_count)`, rank 1 = first.
     *

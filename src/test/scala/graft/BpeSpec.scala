@@ -87,6 +87,17 @@ class BpeSpec extends SparkSpec {
     assert(n("aaab") == 1 && n("aab") == 1)
   }
 
+  test("bpeTokenCounts sums per-occurrence piece counts") {
+    // merges (a,n) (s,c) (sc,an): scan→1 piece, cans→3, the→3 (chars)
+    val docs = Seq((1L, "scan cans scan"), (2L, "the"), (3L, "   "))
+      .toDF("doc_id", "text")
+    val r = Bpe.bpeTokenCounts(docs, "doc_id", "text",
+      Seq(("a", "n"), ("s", "c"), ("sc", "an")))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    // doc 1: 3 words, pieces 1+3+1; doc 2: 1 word, 3 pieces; doc 3 empty
+    assert(r == Set((1L, 3L, 5L), (2L, 1L, 3L)))
+  }
+
   test("incrementalLshMatches finds cross-side dups and never " +
     "batch×batch or index×index pairs") {
     val same = "spark shuffles the partition table by hash key value"
