@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.expressions.Window
 
 import graft.functions.{GraftFunctions, HashFunctions, TextAnalysis, TextFunctions}
-import graft.operators.{Bpe, CountMin, Decontaminate, Dedup, Jaccard, Kmv, Knn, TemporalJoins}
+import graft.operators.{Bpe, CountMin, Decontaminate, Dedup, Jaccard, Kmv, Knn, Pca, TemporalJoins}
 
 /** Driver contract — the engine's query surface over the driver's parquet
   * fixtures, with a DuckDB-runnable oracle per query.
@@ -1224,6 +1224,27 @@ object SparkEntry {
       Bpe.bpeTokenCounts(t(s, dir, "documents"), "doc_id", "text",
         BpeFixedMerges)
         .orderBy("doc_id")
+    }),
+    // the d×d covariance of the embedding table in one distributed pass
+    // — the corpus-scale half of PCA (the eigensolve is driver-sized);
+    // bit-exact fold form for the oracle, plain-sum form at scale
+    "q110_pca_covariance" -> ((s, dir) => {
+      Pca.covariance(t(s, dir, "embeddings"), "vec_id", "embedding")
+        .orderBy("i", "j")
+    }),
+    // composed PCA: covariance pass → Jacobi eigensolve (driver, d×d) →
+    // broadcast projection. The eigensolve is not SQL-expressible —
+    // rows-only gate; orthonormality/eigen-equation/centering are
+    // PcaSpec's job
+    "q111_pca_project" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val comps = Pca.principalComponents(embs, "vec_id", "embedding",
+        m = 4)
+      Pca.project(embs, "vec_id", "embedding", comps)
+        .select(col("vec_id"),
+          array_join(transform(col("proj"),
+            c => round(c, 6).cast("string")), ",").as("proj"))
+        .orderBy("vec_id")
     })
   )
 
@@ -3261,7 +3282,36 @@ object SparkEntry {
          |SELECT doc_id, count(*) AS n_words,
          |  CAST(sum(len(pieces)) AS BIGINT) AS n_bpe_tokens
          |FROM occ JOIN enc USING (word)
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // moments and means fold vec_id-sorted (the q91 sum contract), then
+    // cov = E[xy] − E[x]E[y] with the exact Spark parenthesization.
+    // `+ 0` after round: DuckDB's round keeps IEEE −0.0 where Spark's
+    // (BigDecimal) returns +0.0, and the driver sorts rows by str(value)
+    "q110_pca_covariance" ->
+      s"""WITH x AS (
+         |  SELECT vec_id, CAST(i AS INT) - 1 AS i,
+         |    CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS xi
+         |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+         |  WHERE vec_id IS NOT NULL),
+         |p AS (
+         |  SELECT a.vec_id, a.i AS i, b.i AS j, a.xi * b.xi AS prod
+         |  FROM x a JOIN x b USING (vec_id)),
+         |mo AS (
+         |  SELECT i, j,
+         |    list_reduce(list(prod ORDER BY vec_id), (u, w) -> u + w) AS s
+         |  FROM p GROUP BY i, j),
+         |mu AS (
+         |  SELECT i,
+         |    list_reduce(list(xi ORDER BY vec_id), (u, w) -> u + w) AS s
+         |  FROM x GROUP BY i),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings
+         |       WHERE vec_id IS NOT NULL)
+         |SELECT mo.i AS i, mo.j AS j,
+         |  round(mo.s / n - (ma.s / n) * (mb.s / n), 6) + 0 AS cov
+         |FROM mo JOIN mu ma ON ma.i = mo.i JOIN mu mb ON mb.i = mo.j
+         |CROSS JOIN nn
+         |ORDER BY i, j""".stripMargin
   )
 
   /** DuckDB replica of [[graft.operators.Bpe.encodeSymbols]]: nested

@@ -252,6 +252,30 @@ class PlanSpec extends SparkSpec {
       }
   }
 
+  test("bigram LM probes one unigram-count exchange through both join roles") {
+    // counts feed the w1 (MLE denominator) and w2 (backoff numerator)
+    // joins; the second probe must be a ReusedExchange, not a recount
+    assert(finalPlan(q("q107_bigram_logprob")).contains("ReusedExchange"))
+  }
+
+  test("KMV pair stage joins sketches only, reusing the sketch exchange") {
+    val plan = finalPlan(q("q108_kmv_overlap"))
+    // |groups|² pair join over the tiny sketch table: nested-loop over a
+    // broadcast, never a shuffle join of anything corpus-sized
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"pair stage should broadcast one sketch side:\n${plan.take(2000)}")
+    assert(plan.contains("ReusedExchange"),
+      s"both pair roles must read ONE sketch build:\n${plan.take(2000)}")
+  }
+
+  test("BPE corpus mapping broadcasts the encoded vocabulary") {
+    // the merge-fold table is vocabulary-sized; the corpus occurrence
+    // stream must meet it in a broadcast join, not shuffle by word
+    val plan = finalPlan(q("q109_bpe_token_counts"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocabulary join should broadcast under AQE:\n${plan.take(2000)}")
+  }
+
   test("no query plans a cartesian product") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val plan = q(name).queryExecution.sparkPlan.toString
