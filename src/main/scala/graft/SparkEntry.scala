@@ -3284,27 +3284,37 @@ object SparkEntry {
          |FROM occ JOIN enc USING (word)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-    // moments and means fold vec_id-sorted (the q91 sum contract), then
+    // moments and means replay the blocked fold tree: per (vec_id % 32)
+    // block in vec_id order, then across blocks in block order — the
+    // exact accumulation tree blockedCovariance fixes by value, then
     // cov = E[xy] − E[x]E[y] with the exact Spark parenthesization.
     // `+ 0` after round: DuckDB's round keeps IEEE −0.0 where Spark's
     // (BigDecimal) returns +0.0, and the driver sorts rows by str(value)
     "q110_pca_covariance" ->
       s"""WITH x AS (
-         |  SELECT vec_id, CAST(i AS INT) - 1 AS i,
+         |  SELECT vec_id, vec_id % 32 AS blk, CAST(i AS INT) - 1 AS i,
          |    CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS xi
          |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
          |  WHERE vec_id IS NOT NULL),
          |p AS (
-         |  SELECT a.vec_id, a.i AS i, b.i AS j, a.xi * b.xi AS prod
+         |  SELECT a.vec_id, a.blk, a.i AS i, b.i AS j, a.xi * b.xi AS prod
          |  FROM x a JOIN x b USING (vec_id)),
+         |mo1 AS (
+         |  SELECT blk, i, j,
+         |    list_reduce(list(prod ORDER BY vec_id), (u, w) -> u + w) AS s
+         |  FROM p GROUP BY blk, i, j),
          |mo AS (
          |  SELECT i, j,
-         |    list_reduce(list(prod ORDER BY vec_id), (u, w) -> u + w) AS s
-         |  FROM p GROUP BY i, j),
+         |    list_reduce(list(s ORDER BY blk), (u, w) -> u + w) AS s
+         |  FROM mo1 GROUP BY i, j),
+         |mu1 AS (
+         |  SELECT blk, i,
+         |    list_reduce(list(xi ORDER BY vec_id), (u, w) -> u + w) AS s
+         |  FROM x GROUP BY blk, i),
          |mu AS (
          |  SELECT i,
-         |    list_reduce(list(xi ORDER BY vec_id), (u, w) -> u + w) AS s
-         |  FROM x GROUP BY i),
+         |    list_reduce(list(s ORDER BY blk), (u, w) -> u + w) AS s
+         |  FROM mu1 GROUP BY i),
          |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings
          |       WHERE vec_id IS NOT NULL)
          |SELECT mo.i AS i, mo.j AS j,

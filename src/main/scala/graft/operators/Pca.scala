@@ -46,31 +46,38 @@ object Pca {
     * (full symmetric matrix), `cov = E[x_i x_j] − E[x_i]E[x_j]`, rounded
     * to 6 dp.
     *
-    * `bitExact = true` (the oracle-gated form) folds each moment over
-    * its vec_id-sorted contribution list — bit-reproducible across
-    * partitionings and engines (the q91 sum contract), at the price of
-    * collecting one corpus-length list per matrix cell. At 100 TB use
-    * `bitExact = false`: plain `sum` aggregates with map-side combine
-    * and carries only d² running sums per task — the correct scale
-    * shape — differing from the fold only in floating-point
-    * accumulation order (agreement is spec-pinned to 1e-9).
+    * `bitExact = true` (the oracle-gated form) fixes the float
+    * accumulation tree by VALUE, not by partitioning: each vector's d²
+    * outer-product array folds element-wise inside its `id % nBlocks`
+    * block in id order, and block sums fold in block order — a
+    * deterministic two-level tree both this plan and the DuckDB oracle
+    * replay exactly (the q91 sum contract, blocked for parallelism).
+    * The corpus crosses the wire once as n d²-length arrays and the
+    * interpreted fold spreads over `nBlocks` tasks — no per-cell
+    * corpus-length lists (the naive form shuffled n·d² rows and ran
+    * 10× slower at sf0.1).
+    *
+    * At 100 TB use `bitExact = false`: per-cell `sum` over the expanded
+    * `(i, j, prod)` rows aggregates with codegen map-side combine and
+    * carries only d² running sums per task — the correct scale shape —
+    * differing from the fold only in floating-point accumulation order
+    * (agreement is spec-pinned to 1e-9).
     */
   def covariance(embs: DataFrame, idCol: String, vecCol: String,
-                 bitExact: Boolean = true): DataFrame = {
+                 bitExact: Boolean = true, nBlocks: Int = 32): DataFrame =
+    if (bitExact) blockedCovariance(embs, idCol, vecCol, nBlocks)
+    else plainCovariance(embs, idCol, vecCol)
+
+  private def plainCovariance(embs: DataFrame, idCol: String,
+                              vecCol: String): DataFrame = {
     val (xi, xij) = expanded(embs, idCol, vecCol)
-    def orderedSum(value: Column): Column =
-      aggregate(
-        sort_array(collect_list(struct(col("__id"), value.as("__val")))),
-        lit(0.0), (acc, x) => acc + x.getField("__val"))
-    def plainSum(value: Column): Column = sum(value)
-    val s: Column => Column = if (bitExact) orderedSum else plainSum
     val n = broadcast(
       embs.filter(col(idCol).isNotNull)
         .agg(count(lit(1)).cast("double").as("__n")))
     val moments = xij.groupBy(col("__i"), col("__j"))
-      .agg(s(col("__prod")).as("__s"))
+      .agg(sum(col("__prod")).as("__s"))
     val means = broadcast(
-      xi.groupBy(col("__i")).agg(s(col("__xi")).as("__m")))
+      xi.groupBy(col("__i")).agg(sum(col("__xi")).as("__m")))
     moments
       .join(means.select(col("__i"), col("__m").as("__mi")), Seq("__i"))
       .join(means.select(col("__i").as("__j"), col("__m").as("__mj")),
@@ -79,6 +86,59 @@ object Pca {
       .select(col("__i").as("i"), col("__j").as("j"),
         round(col("__s") / col("__n") -
           (col("__mi") / col("__n")) * (col("__mj") / col("__n")), 6)
+          .as("cov"))
+  }
+
+  /** Left fold of id-sorted `(key, array)` structs into one element-wise
+    * sum array, first element as the seed (DuckDB `list_reduce`
+    * semantics, so the oracle's fold tree is literally the same).
+    */
+  private def orderedArraySum(key: Column, arr: Column): Column =
+    aggregate(
+      transform(sort_array(collect_list(struct(key.as("__k"),
+        arr.as("__a")))), s => s.getField("__a")),
+      lit(null).cast("array<double>"),
+      (acc, x) => when(acc.isNull, x)
+        .otherwise(zip_with(acc, x, (a, b) => a + b)))
+
+  private def blockedCovariance(embs: DataFrame, idCol: String,
+                                vecCol: String, nBlocks: Int): DataFrame = {
+    // materialize the double-cast vector once (its own projection, so the
+    // two HOF consumers below reference ONE pass — see the playbook note
+    // on HOF chains defeating codegen CSE), and land the heavy
+    // outer-product projection AFTER the block repartition so it runs
+    // nBlocks-wide even off a single-partition scan
+    val base = embs.filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long").as("__id"),
+        transform(col(vecCol), x => x.cast("double")).as("__vd"))
+      .withColumn("__blk", pmod(col("__id"), lit(nBlocks)))
+      .repartition(nBlocks, col("__blk"))
+    val rows = base.select(col("__blk"), col("__id"), col("__vd"),
+      flatten(transform(col("__vd"),
+        x => transform(col("__vd"), y => x * y))).as("__op"))
+    // per-block element-wise fold in id order (groupBy reuses the
+    // repartition exchange: same hash distribution on __blk)
+    val blocks = rows.groupBy(col("__blk")).agg(
+      orderedArraySum(col("__id"), col("__op")).as("__s2"),
+      orderedArraySum(col("__id"), col("__vd")).as("__s1"),
+      count(lit(1)).as("__cnt"))
+    // block sums fold in block order; one row of d² + d doubles
+    val tot = blocks.agg(
+      orderedArraySum(col("__blk"), col("__s2")).as("__s2"),
+      orderedArraySum(col("__blk"), col("__s1")).as("__s1"),
+      sum(col("__cnt")).cast("double").as("__n"))
+    tot
+      .select(posexplode(col("__s2")).as(Seq("__idx", "__sij")),
+        col("__s1"), col("__n"))
+      .select(
+        (col("__idx") - pmod(col("__idx"), size(col("__s1"))))
+          .divide(size(col("__s1"))).cast("int").as("i"),
+        pmod(col("__idx"), size(col("__s1"))).cast("int").as("j"),
+        col("__sij"), col("__s1"), col("__n"))
+      .select(col("i"), col("j"),
+        round(col("__sij") / col("__n") -
+          (element_at(col("__s1"), col("i") + 1) / col("__n")) *
+            (element_at(col("__s1"), col("j") + 1) / col("__n")), 6)
           .as("cov"))
   }
 
