@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.expressions.Window
 
 import graft.functions.{GraftFunctions, HashFunctions, TextAnalysis, TextFunctions}
-import graft.operators.{Bpe, CountMin, Decontaminate, Dedup, Jaccard, Kmv, Knn, Pca, TemporalJoins}
+import graft.operators.{Bpe, CountMin, Decontaminate, Dedup, Jaccard, Kmv, Knn, Pca, QualityLr, TemporalJoins}
 
 /** Driver contract — the engine's query surface over the driver's parquet
   * fixtures, with a DuckDB-runnable oracle per query.
@@ -1245,6 +1245,29 @@ object SparkEntry {
           array_join(transform(col("proj"),
             c => round(c, 6).cast("string")), ",").as("proj"))
         .orderBy("vec_id")
+    }),
+    // quality-classifier gradient at w=0 (p ≡ 0.5 exactly): the one
+    // value-gated distributed pass every training iteration repeats —
+    // per-bucket doc-id-ordered folds of x·(p−y)
+    "q112_lr_gradient" -> ((s, dir) => {
+      val feats = QualityLr.hashedFeatures(t(s, dir, "documents"),
+        "doc_id", "text", col("source") === lit("src0"), dim = 64)
+      QualityLr.gradient(feats,
+        QualityLr.LrModel(Array.fill(64)(0.0), 0.0))
+        .select(col("j"), round(col("grad"), 6).as("grad"))
+        .orderBy("j")
+    }),
+    // full curated-vs-crawl training chain (2 GD iterations, lr=0.5,
+    // 64 hashed buckets) + scoring pass — the oracle re-derives the
+    // SAME chain in SQL (weights and all), so the gate proves the
+    // trained model bit-for-bit, not just the plumbing
+    "q113_lr_scores" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val m = QualityLr.train(docs, "doc_id", "text",
+        col("source") === lit("src0"), dim = 64, iters = 2, lr = 0.5)
+      QualityLr.scores(docs, "doc_id", "text", m)
+        .select(col("doc_id"), round(col("prob"), 6).as("prob"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1314,6 +1337,74 @@ object SparkEntry {
       |  FROM documents
       |  WHERE regexp_matches(lower(text), '[a-z0-9]')
       |)""".stripMargin
+
+  /** DuckDB replica of the [[graft.operators.QualityLr]] training chain:
+    * hashed L1-normalized tf features, then per GD iteration — per-doc
+    * bucket-ordered score folds, sigmoid, per-bucket doc-ordered
+    * gradient folds, `w ← w − lr·g/n` — exactly the accumulation tree
+    * the Spark side fixes by value. Emits CTEs `feats`, `nn`, and
+    * `p1, g1, gb1, w1, b1, …, p{iters+1}` (scores under the final
+    * weights); the caller appends the final SELECT.
+    */
+  private def lrChainSql(dim: Int, iters: Int, lr: Double): String = {
+    val fold = "(u, v) -> u + v"
+    def pCte(tIt: Int): String = {
+      val (from, term, bias) =
+        if (tIt == 1) ("feats f", "f.x * 0.0", "0.0")
+        else (s"feats f LEFT JOIN w${tIt - 1} wp ON f.j = wp.j",
+          "f.x * coalesce(wp.w, 0.0)", s"(SELECT b FROM b${tIt - 1})")
+      s"""p$tIt AS (
+         |  SELECT doc_id, y, 1.0 / (1.0 + exp(-(z))) AS p
+         |  FROM (SELECT f.doc_id, f.y,
+         |          list_reduce(list($term ORDER BY f.j), $fold)
+         |            + $bias AS z
+         |        FROM $from GROUP BY f.doc_id, f.y))""".stripMargin
+    }
+    def gradCtes(tIt: Int): String = {
+      val wPrev =
+        if (tIt == 1) "0.0" else "coalesce(wp.w, 0.0)"
+      val wFrom =
+        if (tIt == 1) s"g$tIt g CROSS JOIN nn"
+        else s"g$tIt g LEFT JOIN w${tIt - 1} wp ON g.j = wp.j CROSS JOIN nn"
+      val bPrev = if (tIt == 1) "0.0" else s"(SELECT b FROM b${tIt - 1})"
+      s"""g$tIt AS (
+         |  SELECT f.j,
+         |    list_reduce(list(f.x * r.r ORDER BY f.doc_id), $fold) AS g
+         |  FROM feats f JOIN (SELECT doc_id, p - y AS r FROM p$tIt) r
+         |    ON f.doc_id = r.doc_id
+         |  GROUP BY f.j),
+         |gb$tIt AS (
+         |  SELECT list_reduce(list(p - y ORDER BY doc_id), $fold) AS g
+         |  FROM p$tIt),
+         |w$tIt AS (
+         |  SELECT g.j, $wPrev - $lr * g.g / n AS w FROM $wFrom),
+         |b$tIt AS (
+         |  SELECT $bPrev - $lr * g / n AS b FROM gb$tIt CROSS JOIN nn)"""
+        .stripMargin
+    }
+    val iterCtes = (1 to iters).map(tc => pCte(tc) + ",\n" + gradCtes(tc))
+    (Seq(
+      s"""lw AS (
+         |  SELECT doc_id,
+         |    CASE WHEN source = 'src0' THEN 1.0 ELSE 0.0 END AS y,
+         |    list_filter(
+         |      string_split_regex(
+         |        regexp_replace(lower(text), '[^a-z0-9$WsClass]', ' ', 'g'),
+         |        '[$WsClass]+'),
+         |      x -> x != '') AS ws
+         |  FROM documents
+         |  WHERE doc_id IS NOT NULL
+         |    AND regexp_matches(lower(text), '[a-z0-9]')),
+         |feats AS (
+         |  SELECT doc_id, y, j, CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS x
+         |  FROM (
+         |    SELECT doc_id, y, n,
+         |      CAST(${h60("w")} % $dim AS INT) AS j, count(*) AS c
+         |    FROM (SELECT doc_id, y, len(ws) AS n, unnest(ws) AS w FROM lw)
+         |    GROUP BY 1, 2, 3, 4)),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM lw)"""
+        .stripMargin) ++ iterCtes ++ Seq(pCte(iters + 1))).mkString(",\n")
+  }
 
   /** DuckDB MinHash signature CTE (k=8) matching
     * Dedup.minHashSignatures over 3-word shingles — same md5-derived
@@ -3321,7 +3412,21 @@ object SparkEntry {
          |  round(mo.s / n - (ma.s / n) * (mb.s / n), 6) + 0 AS cov
          |FROM mo JOIN mu ma ON ma.i = mo.i JOIN mu mb ON mb.i = mo.j
          |CROSS JOIN nn
-         |ORDER BY i, j""".stripMargin
+         |ORDER BY i, j""".stripMargin,
+
+    // the training chain's first gradient pass (w=0 → p ≡ 0.5); `+ 0`
+    // because gradients can round to −0.0 in DuckDB (+0.0 in Spark)
+    "q112_lr_gradient" ->
+      s"""WITH ${lrChainSql(64, 1, 0.5)}
+         |SELECT j, round(g, 6) + 0 AS grad FROM g1 ORDER BY j"""
+        .stripMargin,
+
+    // the full 2-iteration training chain re-derived in SQL — the
+    // trained weights must agree bit-for-bit for these to hash-match
+    "q113_lr_scores" ->
+      s"""WITH ${lrChainSql(64, 2, 0.5)}
+         |SELECT doc_id, round(p, 6) AS prob FROM p3 ORDER BY doc_id"""
+        .stripMargin
   )
 
   /** DuckDB replica of [[graft.operators.Bpe.encodeSymbols]]: nested
