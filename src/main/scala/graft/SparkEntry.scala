@@ -1268,6 +1268,12 @@ object SparkEntry {
       QualityLr.scores(docs, "doc_id", "text", m)
         .select(col("doc_id"), round(col("prob"), 6).as("prob"))
         .orderBy("doc_id")
+    }),
+    // Gopher §A1.1 document rules, published thresholds — per-rule
+    // verdicts + conjunction, one scan, zero shuffle
+    "q114_gopher_rules" -> ((s, dir) => {
+      TextAnalysis.gopherRules(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
     })
   )
 
@@ -3426,7 +3432,65 @@ object SparkEntry {
     "q113_lr_scores" ->
       s"""WITH ${lrChainSql(64, 2, 0.5)}
          |SELECT doc_id, round(p, 6) AS prob FROM p3 ORDER BY doc_id"""
-        .stripMargin
+        .stripMargin,
+
+    // Gopher rule replica: same metrics, same double divisions, same
+    // inclusive thresholds; list_sum of an empty list is NULL in DuckDB
+    // (Spark's fold seeds 0) — coalesce restores the match
+    "q114_gopher_rules" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text,
+         |    list_filter(
+         |      string_split_regex(
+         |        regexp_replace(lower(text), '[^a-z0-9$WsClass]', ' ', 'g'),
+         |        '[$WsClass]+'),
+         |      x -> x != '') AS ws,
+         |    list_filter(
+         |      list_transform(string_split_regex(text, '\\n'),
+         |        l -> trim(l)),
+         |      l -> l != '') AS ls
+         |  FROM documents WHERE doc_id IS NOT NULL),
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST(len(ws) AS BIGINT) AS nw,
+         |    CAST(greatest(len(ws), 1) AS DOUBLE) AS nwd,
+         |    CAST(greatest(len(ls), 1) AS DOUBLE) AS nl,
+         |    CAST(coalesce(list_sum(list_transform(ws, w -> length(w))),
+         |      0) AS DOUBLE) AS sumlen,
+         |    CAST(length(text) - length(replace(text, '#', ''))
+         |      AS BIGINT) AS hashes,
+         |    CAST(length(text) - length(replace(text, '...', ''))
+         |      AS BIGINT) AS ell,
+         |    CAST(len(list_filter(ls,
+         |      l -> substr(l, 1, 1) IN ('•', '-', '*'))) AS DOUBLE)
+         |      AS bullets,
+         |    CAST(len(list_filter(ls,
+         |      l -> ends_with(l, '...') OR ends_with(l, '…'))) AS DOUBLE)
+         |      AS ell_lines,
+         |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))
+         |      AS DOUBLE) AS alpha,
+         |    ${TextAnalysis.GopherStopwords.map(sw =>
+             s"(CASE WHEN list_contains(ws, '$sw') THEN 1 ELSE 0 END)")
+             .mkString(" + ")} AS stophits
+         |  FROM d),
+         |r AS (
+         |  SELECT doc_id, nw AS n_words,
+         |    nw BETWEEN 50 AND 100000 AS r_word_count,
+         |    (sumlen / nwd >= 3.0 AND sumlen / nwd <= 10.0)
+         |      AS r_mean_word_len,
+         |    (hashes + ell / 3) / nwd <= 0.1 AS r_symbol_ratio,
+         |    bullets / nl <= 0.9 AS r_bullet_lines,
+         |    ell_lines / nl <= 0.3 AS r_ellipsis_lines,
+         |    alpha / nwd >= 0.8 AS r_alpha_words,
+         |    stophits >= 2 AS r_stopwords
+         |  FROM m)
+         |SELECT doc_id, n_words, r_word_count, r_mean_word_len,
+         |  r_symbol_ratio, r_bullet_lines, r_ellipsis_lines,
+         |  r_alpha_words, r_stopwords,
+         |  (r_word_count AND r_mean_word_len AND r_symbol_ratio
+         |    AND r_bullet_lines AND r_ellipsis_lines AND r_alpha_words
+         |    AND r_stopwords) AS keep
+         |FROM r ORDER BY doc_id""".stripMargin
   )
 
   /** DuckDB replica of [[graft.operators.Bpe.encodeSymbols]]: nested

@@ -727,4 +727,74 @@ object TextAnalysis {
         (col("__offset") + row_number().over(wIn)).as("token_id"),
         col("token"), col("cnt"))
   }
+
+  /** Gopher's required-stopword list (Rae et al. 2021 §A1.1): a doc must
+    * contain at least two of these to pass `r_stopwords`.
+    */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher document-level quality rules (Rae et al. 2021 §A1.1; the
+    * RedPajama/Dolma reimplementations use the same set): per-doc
+    * boolean verdict per rule plus the conjunction `keep`. One corpus
+    * scan, one tokenizer pass, one line-split pass, zero shuffle — the
+    * words and lines arrays materialize once each (their own
+    * projection, the HOF-CSE playbook) and every rule is a lambda pass
+    * over them. The repetition rules (dup/top n-gram fractions) live in
+    * [[repetitionStats]] — they need an aggregation, not a projection,
+    * so they gate separately (q75).
+    *
+    * Rules (published defaults): word count in [50, 100 000]; mean word
+    * length in [3, 10]; symbol-to-word ratio (# and …) ≤ 0.1; ≤ 90% of
+    * lines starting with a bullet; ≤ 30% of lines ending with an
+    * ellipsis; ≥ 80% of words containing an alphabetic character; ≥ 2
+    * distinct required stopwords present.
+    */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String,
+                  minWords: Long = 50L, maxWords: Long = 100000L,
+                  minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                  maxSymbolRatio: Double = 0.1,
+                  maxBulletFrac: Double = 0.9,
+                  maxEllipsisFrac: Double = 0.3,
+                  minAlphaFrac: Double = 0.8,
+                  minStopwords: Int = 2): DataFrame = {
+    val t = col(textCol)
+    val base = docs.filter(col(idCol).isNotNull)
+      .select(col(idCol), t,
+        TextFunctions.normalizedWords(t).as("__ws"),
+        filter(transform(split(t, "\n"), l => trim(l)),
+          l => l =!= "").as("__ls"))
+    val nw = size(col("__ws")).cast("long")
+    val nwD = greatest(nw, lit(1L)).cast("double")
+    val nl = greatest(size(col("__ls")), lit(1)).cast("double")
+    val sumLen = aggregate(col("__ws"), lit(0L),
+      (acc, w) => acc + length(w).cast("long"))
+    val meanLen = sumLen.cast("double") / nwD
+    val hashes = (length(t) - length(regexp_replace(t, "#", "")))
+      .cast("long")
+    val ellipses =
+      (length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))).cast("long")
+    val symbolRatio = (hashes + ellipses / lit(3)).cast("double") / nwD
+    val bulletFrac = size(filter(col("__ls"),
+      l => l.substr(1, 1).isin("•", "-", "*"))).cast("double") / nl
+    val ellipsisFrac = size(filter(col("__ls"),
+      l => l.endsWith("...") || l.endsWith("…"))).cast("double") / nl
+    val alphaFrac = size(filter(col("__ws"),
+      w => w.rlike("[a-z]"))).cast("double") / nwD
+    val stopHits = GopherStopwords
+      .map(sw => when(array_contains(col("__ws"), sw), 1).otherwise(0))
+      .reduce((a, b) => a + b)
+    val rules = Seq(
+      "r_word_count" -> nw.between(minWords, maxWords),
+      "r_mean_word_len" -> (meanLen >= minMeanLen && meanLen <= maxMeanLen),
+      "r_symbol_ratio" -> (symbolRatio <= maxSymbolRatio),
+      "r_bullet_lines" -> (bulletFrac <= maxBulletFrac),
+      "r_ellipsis_lines" -> (ellipsisFrac <= maxEllipsisFrac),
+      "r_alpha_words" -> (alphaFrac >= minAlphaFrac),
+      "r_stopwords" -> (stopHits >= minStopwords))
+    base.select(
+      col(idCol) +: nw.as("n_words") +:
+        (rules.map { case (n, c) => c.as(n) } :+
+          rules.map(_._2).reduce(_ && _).as("keep")): _*)
+  }
 }
