@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.expressions.Window
 
 import graft.functions.{GraftFunctions, HashFunctions, TextAnalysis, TextFunctions}
-import graft.operators.{Bpe, CountMin, Decontaminate, Dedup, Jaccard, Kmv, Knn, Pca, QualityLr, TemporalJoins}
+import graft.operators.{Bpe, CountMin, Decontaminate, Dedup, Jaccard, Kmv, Knn, Pca, Pq, QualityLr, TemporalJoins}
 
 /** Driver contract — the engine's query surface over the driver's parquet
   * fixtures, with a DuckDB-runnable oracle per query.
@@ -1274,6 +1274,44 @@ object SparkEntry {
     "q114_gopher_rules" -> ((s, dir) => {
       TextAnalysis.gopherRules(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
+    }),
+    // PQ encoding under deterministic seed codebooks (m=8 subspaces ×
+    // 16 entries): the 32×-compressed index ADC scans read
+    "q115_pq_codes" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val cb = Pq.pqSeedCodebooks(embs, "vec_id", "embedding",
+        m = 8, ksub = 16)
+      Pq.pqEncode(embs, "vec_id", "embedding", cb)
+        .select(col("vec_id"),
+          array_join(transform(col("codes"), c => c.cast("string")), ",")
+            .as("codes"))
+        .orderBy("vec_id")
+    }),
+    // ADC top-5 for the probe set: per-query m×ksub distance table,
+    // candidates scored by table lookups over CODES only
+    "q116_pq_topk" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val cb = Pq.pqSeedCodebooks(embs, "vec_id", "embedding",
+        m = 8, ksub = 16)
+      val codes = Pq.pqEncode(embs, "vec_id", "embedding", cb)
+      Pq.pqTopK(codes, embs.filter(col("vec_id") < 20), cb,
+        "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("adc"), 6).as("adc"))
+        .orderBy("query_id", "rank")
+    }),
+    // one per-subspace Lloyd round over the seed codebooks, then
+    // re-encode — the composed refinement path (the q67→q74 pattern)
+    "q117_pq_refined_codes" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val cb0 = Pq.pqSeedCodebooks(embs, "vec_id", "embedding",
+        m = 8, ksub = 16)
+      val cb1 = Pq.pqRefine(embs, "vec_id", "embedding", cb0, iters = 1)
+      Pq.pqEncode(embs, "vec_id", "embedding", cb1)
+        .select(col("vec_id"),
+          array_join(transform(col("codes"), c => c.cast("string")), ",")
+            .as("codes"))
+        .orderBy("vec_id")
     })
   )
 
@@ -1411,6 +1449,41 @@ object SparkEntry {
          |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM lw)"""
         .stripMargin) ++ iterCtes ++ Seq(pCte(iters + 1))).mkString(",\n")
   }
+
+  /** DuckDB replica of [[graft.operators.Pq]]: seed codebooks (`cb`),
+    * and — parameterized by codebook CTE name and suffix — the
+    * per-(vector, subspace, entry) squared-L2 table (`dist\$sfx`,
+    * position-ordered fold seeded 0.0, Spark's exact tree) and the
+    * per-subspace argmin (`best\$sfx`, ties → lowest cid). m=8 × 8-wide
+    * subspaces, ksub=16.
+    */
+  private def pqDistSql(cbName: String, sfx: String): String =
+    s"""dist$sfx AS (
+       |  SELECT e.vec_id, c.sub, c.cid,
+       |    list_reduce(list_prepend(0.0,
+       |      [(CAST(e.embedding[c.sub*8+p] AS DOUBLE) - c.cvec[p])
+       |        * (CAST(e.embedding[c.sub*8+p] AS DOUBLE) - c.cvec[p])
+       |       FOR p IN generate_series(1, 8)]),
+       |      (u, v) -> u + v) AS d2
+       |  FROM emb e CROSS JOIN $cbName c),
+       |best$sfx AS (
+       |  SELECT vec_id, sub, cid, d2,
+       |    row_number() OVER (PARTITION BY vec_id, sub
+       |                       ORDER BY d2, cid) AS rn
+       |  FROM dist$sfx)""".stripMargin
+
+  private val PqBaseSql: String =
+    s"""emb AS (SELECT vec_id, embedding FROM embeddings
+       |        WHERE vec_id IS NOT NULL),
+       |seeds AS (SELECT vec_id AS cid, embedding FROM emb
+       |          ORDER BY vec_id LIMIT 16),
+       |cb AS (
+       |  SELECT s.sub, se.cid,
+       |    list_transform(se.embedding[(s.sub*8+1):(s.sub*8+8)],
+       |      x -> CAST(x AS DOUBLE)) AS cvec
+       |  FROM seeds se
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS sub) s),
+       |${pqDistSql("cb", "")}""".stripMargin
 
   /** DuckDB MinHash signature CTE (k=8) matching
     * Dedup.minHashSignatures over 3-word shingles — same md5-derived
@@ -3490,7 +3563,66 @@ object SparkEntry {
          |  (r_word_count AND r_mean_word_len AND r_symbol_ratio
          |    AND r_bullet_lines AND r_ellipsis_lines AND r_alpha_words
          |    AND r_stopwords) AS keep
-         |FROM r ORDER BY doc_id""".stripMargin
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q115_pq_codes" ->
+      s"""WITH $PqBaseSql
+         |SELECT vec_id,
+         |  array_to_string(list(CAST(cid AS VARCHAR) ORDER BY sub), ',')
+         |    AS codes
+         |FROM best WHERE rn = 1
+         |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    // ADC: the probe's distance-table rows ARE its dist rows (probes
+    // are corpus members); candidate score folds in subspace order
+    "q116_pq_topk" ->
+      s"""WITH $PqBaseSql,
+         |adc AS (
+         |  SELECT d.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    list_reduce(list_prepend(0.0, list(d.d2 ORDER BY d.sub)),
+         |      (u, v) -> u + v) AS adc
+         |  FROM best b
+         |  JOIN dist d ON d.sub = b.sub AND d.cid = b.cid
+         |    AND d.vec_id < 20
+         |  WHERE b.rn = 1
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, adc,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY adc, neighbor_id) AS rank
+         |  FROM adc)
+         |SELECT query_id, rank, neighbor_id, round(adc, 6) AS adc
+         |FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // one Lloyd round: id-ordered mean folds per (sub, entry, pos),
+    // empty entries keep their seed vector, then re-encode under cb1
+    "q117_pq_refined_codes" ->
+      s"""WITH $PqBaseSql,
+         |comp AS (
+         |  SELECT b.vec_id, b.sub, b.cid AS code, t.p AS pos,
+         |    CAST(e.embedding[b.sub*8+t.p] AS DOUBLE) AS x
+         |  FROM best b JOIN emb e ON e.vec_id = b.vec_id,
+         |    unnest(generate_series(1, 8)) t(p)
+         |  WHERE b.rn = 1),
+         |means AS (
+         |  SELECT sub, code AS cid, pos,
+         |    list_reduce(list_prepend(0.0, list(x ORDER BY vec_id)),
+         |      (u, v) -> u + v) / count(*) AS mval
+         |  FROM comp GROUP BY sub, code, pos),
+         |cb1 AS (
+         |  SELECT cb.sub, cb.cid,
+         |    coalesce(mv.mvec, cb.cvec) AS cvec
+         |  FROM cb LEFT JOIN (
+         |    SELECT sub, cid, list(mval ORDER BY pos) AS mvec
+         |    FROM means GROUP BY sub, cid) mv
+         |    ON mv.sub = cb.sub AND mv.cid = cb.cid),
+         |${pqDistSql("cb1", "1")}
+         |SELECT vec_id,
+         |  array_to_string(list(CAST(cid AS VARCHAR) ORDER BY sub), ',')
+         |    AS codes
+         |FROM best1 WHERE rn = 1
+         |GROUP BY vec_id ORDER BY vec_id""".stripMargin
   )
 
   /** DuckDB replica of [[graft.operators.Bpe.encodeSymbols]]: nested

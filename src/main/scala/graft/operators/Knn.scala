@@ -207,11 +207,15 @@ object Knn {
       // so an unmaterialized chain doubles per round — 2^iters plan
       // growth by iteration 10. One localCheckpoint per round keeps the
       // plan constant-size; the superseded checkpoint is released.
+      // only release checkpoints created INSIDE this call: iteration 1's
+      // `prev` is the caller's `centroids`, which may itself be a live
+      // local checkpoint (composed refinement) — destroying it would
+      // leave the caller's frame unrecomputable
       val prev = cents
       cents = cents.join(means, Seq("cid"), "left")
         .select(col("cid"), coalesce(col("__mvec"), col("cvec")).as("cvec"))
         .localCheckpoint()
-      releaseCheckpoint(prev)
+      if (prev ne centroids) releaseCheckpoint(prev)
     }
     cents
   }

@@ -1,0 +1,191 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization for embedding columns (Jégou, Douze, Schmid,
+  * "Product Quantization for Nearest Neighbor Search", TPAMI 2011).
+  *
+  * PQ is the memory side of the ANN story the IVF/LSH operators
+  * (`Knn`) leave open: split each d-dim vector into `m` subvectors,
+  * vector-quantize each subspace against its own `ksub`-entry codebook,
+  * and store only the `m` code bytes — 32× compression at the fixture's
+  * d=64/m=8 — so a 100 TB float corpus becomes a few TB of codes that
+  * fit an executor cache tier. Search runs against the CODES via
+  * asymmetric distance computation (ADC): a query builds one m×ksub
+  * lookup table of exact subspace distances, and every candidate's
+  * distance is m table lookups summed — no float vector is ever read at
+  * scan time.
+  *
+  * Shuffle shapes: codebooks are model-sized ((m·ksub) rows — always
+  * broadcast); encoding shuffles m rows per vector (the per-subspace
+  * argmin is a map-side-partial `min(struct)` like `Knn.ivfAssign`,
+  * never a window over scored rows); ADC shuffles one row per
+  * (query, candidate) into the per-query top-k window, bounded by the
+  * probe-set size × corpus, and composes with the IVF cell filter
+  * (`Knn.ivfAssign`) to cut the candidate set first.
+  *
+  * All distance folds run in float→double casts with a value-fixed
+  * order (subvector position, then subspace index), so codes, refined
+  * codebooks, and ADC rankings are bit-reproducible across engines —
+  * the DuckDB oracle replays the identical trees (q115–q117).
+  *
+  * Reference behavior: jaccard-mapreduce has no vector search; this is
+  * part of the demanded training-data-pipeline extension surface.
+  */
+object Pq {
+
+  /** Left-fold sum of an array column (seeded 0.0; every element is a
+    * square, so the DuckDB first-element seeding agrees bitwise).
+    */
+  private def dsum(xs: Column): Column =
+    aggregate(xs, lit(0.0), (acc, x) => acc + x)
+
+  /** Squared L2 distance between a double-array and a double-array,
+    * folded in position order.
+    */
+  private def l2sq(a: Column, b: Column): Column =
+    dsum(zip_with(a, b, (x, y) => (x - y) * (x - y)))
+
+  /** Deterministic seed codebooks: subspace `s` of the `ksub` lowest-id
+    * vectors, as `(sub, cid, cvec)` with `cid` = the seed's id and
+    * `cvec` an `array<double>` of length d/m. The same drop-in contract
+    * as `Knn.ivfSeedCentroids` — [[pqRefine]] improves them offline,
+    * every operator below takes the codebook table as input.
+    */
+  def pqSeedCodebooks(embs: DataFrame, idCol: String, vecCol: String,
+                      m: Int, ksub: Int): DataFrame = {
+    require(m >= 1 && ksub >= 1, s"pqSeedCodebooks: m=$m ksub=$ksub")
+    val seeds = embs.where(col(vecCol).isNotNull)
+      .orderBy(col(idCol)).limit(ksub)
+      .select(col(idCol).as("cid"), col(vecCol).as("__v"))
+    val dsub = size(col("__v")).divide(m).cast("int")
+    seeds
+      .select(col("cid"), col("__v"), explode(sequence(lit(0),
+        lit(m - 1))).as("sub"))
+      .select(col("sub"), col("cid"),
+        transform(slice(col("__v"), col("sub") * dsub + 1, dsub),
+          x => x.cast("double")).as("cvec"))
+  }
+
+  /** Per-(vector, subspace) best code under the codebooks:
+    * `(id, sub, code)`. Codebooks broadcast; the argmin is map-side
+    * partial (`min(struct(d2, cid))`, ties → lowest cid) — the
+    * |corpus|·m·ksub scored rows never shuffle, m rows per vector do.
+    */
+  private def subCodes(embs: DataFrame, idCol: String, vecCol: String,
+                       codebooks: DataFrame): DataFrame = {
+    val e = embs.where(col(vecCol).isNotNull)
+      .select(col(idCol), col(vecCol).as("__v"))
+    val cb = codebooks.select(col("sub"), col("cid"), col("cvec"))
+    val dsub = size(col("cvec"))
+    e.crossJoin(broadcast(cb))
+      .select(col(idCol), col("sub"), col("cid"),
+        l2sq(transform(slice(col("__v"), col("sub") * dsub + 1, dsub),
+          x => x.cast("double")), col("cvec")).as("__d2"))
+      .groupBy(col(idCol), col("sub"))
+      .agg(min(struct(col("__d2").as("d"), col("cid").as("c"))).as("__m"))
+      .select(col(idCol), col("sub"), col("__m.c").as("code"))
+  }
+
+  /** PQ encoding: `(id, codes)` with `codes(s)` the winning codebook
+    * entry id for subspace `s` — the compressed index the ADC scan
+    * reads. One corpus pass; output is m ints per vector.
+    */
+  def pqEncode(embs: DataFrame, idCol: String, vecCol: String,
+               codebooks: DataFrame): DataFrame =
+    subCodes(embs, idCol, vecCol, codebooks)
+      .groupBy(col(idCol))
+      .agg(transform(
+        sort_array(collect_list(struct(col("sub"), col("code")))),
+        s => s.getField("code")).as("codes"))
+
+  /** Lloyd refinement per subspace: `iters` rounds of (encode) →
+    * (replace each codebook entry with the element-wise mean of its
+    * assigned subvectors). Empty entries keep their previous value.
+    * Means fold id-sorted (bit-reproducible, the `Knn.ivfRefine`
+    * contract) and stay in double — no float roundtrip. Each round
+    * shuffles by (sub, cid, pos) then (sub, cid) — bounded key spaces.
+    */
+  def pqRefine(embs: DataFrame, idCol: String, vecCol: String,
+               codebooks: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 0, "pqRefine: iters must be non-negative")
+    var cb = codebooks
+    for (_ <- 1 to iters) {
+      val assigned = subCodes(embs, idCol, vecCol, cb)
+      val e = embs.where(col(vecCol).isNotNull)
+        .select(col(idCol), col(vecCol).as("__v"))
+      val dsub = size(col("__v")).divide(
+        cb.select(max(col("sub"))).head().getInt(0) + 1).cast("int")
+      val comp = e.join(assigned, idCol)
+        .select(col(idCol).as("__id"), col("sub"), col("code"),
+          posexplode_outer(transform(
+            slice(col("__v"), col("sub") * dsub + 1, dsub),
+            x => x.cast("double"))).as(Seq("pos", "x")))
+        .filter(col("x").isNotNull)
+      val means = comp
+        .groupBy(col("sub"), col("code"), col("pos"))
+        .agg(count(lit(1)).as("__n"),
+          sort_array(collect_list(struct(col("__id"), col("x"))))
+            .as("__xs"))
+        .select(col("sub"), col("code").as("cid"), col("pos"),
+          (aggregate(col("__xs"), lit(0.0),
+            (acc, s) => acc + s.getField("x")) / col("__n")).as("m"))
+        .groupBy(col("sub"), col("cid"))
+        .agg(transform(
+          sort_array(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("__mvec"))
+      // release only checkpoints created inside this call — iteration
+      // 1's `prev` is the caller's codebook, possibly a live checkpoint
+      // from a previous refine (the ivfRefine contract)
+      val prev = cb
+      cb = cb.join(means, Seq("sub", "cid"), "left")
+        .select(col("sub"), col("cid"),
+          coalesce(col("__mvec"), col("cvec")).as("cvec"))
+        .localCheckpoint()
+      if (prev ne codebooks) Knn.releaseCheckpoint(prev)
+    }
+    cb
+  }
+
+  /** ADC top-k: each query builds its m×ksub exact subspace distance
+    * table (query subvector ↔ codebook entry), and every encoded
+    * candidate is scored by m table lookups summed in subspace order.
+    * `(query_id, rank, neighbor_id, adc)` with rank 1..k by
+    * (distance, id). The distance-table side is |Q|·m·ksub rows —
+    * broadcast; the scan side reads CODES only. Self-matches are kept
+    * (callers filter); compose with `Knn.ivfAssign` cells to bound the
+    * candidate set at scale.
+    */
+  def pqTopK(codes: DataFrame, queries: DataFrame, codebooks: DataFrame,
+             idCol: String, vecCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"pqTopK: k=$k")
+    val cb = codebooks.select(col("sub"), col("cid"), col("cvec"))
+    val dsub = size(col("cvec"))
+    val dt = queries.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"), col(vecCol).as("__q"))
+      .crossJoin(cb)
+      .select(col("query_id"), col("sub"), col("cid"),
+        l2sq(transform(slice(col("__q"), col("sub") * dsub + 1, dsub),
+          x => x.cast("double")), col("cvec")).as("__d2"))
+    val contrib = codes
+      .select(col(idCol).as("neighbor_id"),
+        posexplode(col("codes")).as(Seq("sub", "cid")))
+    val scored = contrib
+      .join(broadcast(dt), Seq("sub", "cid"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(aggregate(
+        transform(sort_array(collect_list(struct(col("sub"),
+          col("__d2").as("d")))), s => s.getField("d")),
+        lit(0.0), (acc, x) => acc + x).as("adc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("neighbor_id"))
+    scored
+      .select(col("query_id"), col("neighbor_id"), col("adc"),
+        row_number().over(w).as("rank"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("adc"))
+  }
+}

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Pq
+
+/** Product quantization: codes, ADC ranking, Lloyd refinement. */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val d = 16
+  private val m = 4
+  private val ksub = 4
+
+  // 40 vectors in 4 well-separated clusters per subspace: cluster c of
+  // vector i is (i % 4), offset by 10*c in every dimension, plus a
+  // small deterministic jitter so centroids move under refinement.
+  private lazy val embs = {
+    val rnd = new scala.util.Random(11)
+    Seq.tabulate(40) { i =>
+      val c = i % 4
+      (i.toLong, Array.tabulate(d)(_ => 10f * c + rnd.nextFloat()))
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("pqEncode emits m codes per vector, each a codebook entry id") {
+    val cb = Pq.pqSeedCodebooks(embs, "vec_id", "embedding", m, ksub)
+    val cids = cb.select("cid").distinct().as[Long].collect().toSet
+    val codes = Pq.pqEncode(embs, "vec_id", "embedding", cb)
+      .select(col("vec_id"), col("codes")).as[(Long, Seq[Long])].collect()
+    assert(codes.length == 40)
+    codes.foreach { case (id, cs) =>
+      assert(cs.length == m, s"vec $id: ${cs.length} codes")
+      cs.foreach(c => assert(cids.contains(c), s"vec $id: code $c not a cid"))
+    }
+  }
+
+  test("seed vectors quantize to themselves: ADC self-distance 0, rank 1") {
+    val cb = Pq.pqSeedCodebooks(embs, "vec_id", "embedding", m, ksub)
+    val codes = Pq.pqEncode(embs, "vec_id", "embedding", cb)
+    // seeds are the ksub lowest ids — each IS a codebook entry in every
+    // subspace, so its own code word reconstructs it exactly
+    val top = Pq.pqTopK(codes, embs.filter(col("vec_id") < ksub), cb,
+      "vec_id", "embedding", k = 1)
+      .select("query_id", "neighbor_id", "adc")
+      .as[(Long, Long, Double)].collect()
+    assert(top.length == ksub)
+    top.foreach { case (q, n, adc) =>
+      assert(n == q, s"query $q: rank-1 neighbor $n is not itself")
+      assert(adc == 0.0, s"query $q: self ADC $adc != 0")
+    }
+  }
+
+  test("ADC equals the exact table-lookup reconstruction distance") {
+    // recompute each (query, neighbor) ADC on the driver from the
+    // collected codebooks and codes; must match the operator bitwise
+    val cb = Pq.pqSeedCodebooks(embs, "vec_id", "embedding", m, ksub)
+    val codes = Pq.pqEncode(embs, "vec_id", "embedding", cb)
+    val cbMap = cb.select(col("sub"), col("cid"), col("cvec"))
+      .as[(Int, Long, Seq[Double])].collect()
+      .map { case (s, c, v) => (s, c) -> v }.toMap
+    val codeMap = codes.select(col("vec_id"), col("codes"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val vecMap = embs.as[(Long, Seq[Float])].collect().toMap
+    val got = Pq.pqTopK(codes, embs.filter(col("vec_id") < 3), cb,
+      "vec_id", "embedding", k = 40)
+      .select("query_id", "neighbor_id", "adc")
+      .as[(Long, Long, Double)].collect()
+    assert(got.length == 3 * 40)
+    val dsub = d / m
+    got.foreach { case (q, n, adc) =>
+      val expect = (0 until m).map { s =>
+        val qsub = vecMap(q).slice(s * dsub, (s + 1) * dsub)
+          .map(_.toDouble)
+        val cvec = cbMap((s, codeMap(n)(s)))
+        qsub.zip(cvec).foldLeft(0.0) { case (acc, (x, y)) =>
+          acc + (x - y) * (x - y)
+        }
+      }.foldLeft(0.0)(_ + _)
+      assert(adc == expect, s"($q,$n): adc $adc != exact $expect")
+    }
+  }
+
+  test("Lloyd refinement does not increase total quantization error") {
+    def sqErr(cb: org.apache.spark.sql.DataFrame): Double = {
+      val cbMap = cb.select(col("sub"), col("cid"), col("cvec"))
+        .as[(Int, Long, Seq[Double])].collect()
+        .map { case (s, c, v) => (s, c) -> v }.toMap
+      val codeMap = Pq.pqEncode(embs, "vec_id", "embedding", cb)
+        .select(col("vec_id"), col("codes"))
+        .as[(Long, Seq[Long])].collect().toMap
+      val dsub = d / m
+      embs.as[(Long, Seq[Float])].collect().map { case (id, v) =>
+        (0 until m).map { s =>
+          val sub = v.slice(s * dsub, (s + 1) * dsub).map(_.toDouble)
+          sub.zip(cbMap((s, codeMap(id)(s))))
+            .map { case (x, y) => (x - y) * (x - y) }.sum
+        }.sum
+      }.sum
+    }
+    val cb0 = Pq.pqSeedCodebooks(embs, "vec_id", "embedding", m, ksub)
+    val cb1 = Pq.pqRefine(embs, "vec_id", "embedding", cb0, iters = 1)
+    val cb2 = Pq.pqRefine(embs, "vec_id", "embedding", cb1, iters = 1)
+    val (e0, e1, e2) = (sqErr(cb0), sqErr(cb1), sqErr(cb2))
+    assert(e1 <= e0, s"one round worsened error: $e0 -> $e1")
+    assert(e2 <= e1, s"second round worsened error: $e1 -> $e2")
+    assert(e1 < e0 * 0.9, s"refinement barely moved: $e0 -> $e1")
+  }
+
+  test("refinement preserves codebook shape and empty entries keep seeds") {
+    // one far-away outlier entry never wins an assignment → its vector
+    // must survive refinement unchanged
+    val far = Seq((999L, Array.fill(d)(1e6f))).toDF("vec_id", "embedding")
+    val cb0 = Pq.pqSeedCodebooks(
+      embs.union(far).orderBy(col("vec_id").desc), "vec_id", "embedding",
+      m, ksub)
+    // seed set here = lowest ksub ids of the UNION = 0..3 plus none of
+    // the outlier; instead force the outlier in by unioning codebooks
+    val cbOut = Pq.pqSeedCodebooks(far, "vec_id", "embedding", m, 1)
+    val cb = cb0.union(cbOut)
+    val cb1 = Pq.pqRefine(embs, "vec_id", "embedding", cb, iters = 1)
+    assert(cb1.count() == cb.count())
+    val outRows = cb1.filter(col("cid") === 999L)
+      .select("cvec").as[Seq[Double]].collect()
+    assert(outRows.length == m)
+    outRows.foreach(v => assert(v.forall(_ == 1e6), s"outlier moved: $v"))
+  }
+}
