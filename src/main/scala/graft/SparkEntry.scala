@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.expressions.Window
 
 import graft.functions.{GraftFunctions, HashFunctions, TextAnalysis, TextFunctions}
-import graft.operators.{Bpe, CountMin, Decontaminate, Dedup, Jaccard, Kmv, Knn, Pca, Pq, QualityLr, TemporalJoins}
+import graft.operators.{Bpe, CountMin, Decontaminate, Dedup, Jaccard, Kmv, Knn, Pca, Pq, QualityLr, Scrub, TemporalJoins}
 
 /** Driver contract — the engine's query surface over the driver's parquet
   * fixtures, with a DuckDB-runnable oracle per query.
@@ -1312,6 +1312,22 @@ object SparkEntry {
           array_join(transform(col("codes"), c => c.cast("string")), ",")
             .as("codes"))
         .orderBy("vec_id")
+    }),
+    // C4 line-level cleaning (Raffel et al. §2.2) over a deterministic
+    // page rendering of the fixture: every 8th word boundary becomes a
+    // sentence end + line break (the fixture has no native line
+    // structure — the SAME regex renders the page on both engines), and
+    // the line-drop token is the fixture word "slow" so the published
+    // javascript rule fires on real rows (~23% of 8-word lines). Short
+    // docs (< 3 surviving sentences) fail the page gate — real per-doc
+    // verdict variation, not a degenerate all-pass
+    "q118_c4_clean" -> ((s, dir) => {
+      val pages = t(s, dir, "documents").select(col("doc_id"),
+        regexp_replace(col("text"), "((?:[a-z]+ ){7}[a-z]+)( |$)", "$1.\n")
+          .as("page"))
+      Scrub.c4Clean(pages, "doc_id", "page", lineDropToken = "slow")
+        .withColumnRenamed("text_clean", "page_clean")
+        .orderBy("doc_id")
     })
   )
 
@@ -3622,7 +3638,47 @@ object SparkEntry {
          |  array_to_string(list(CAST(cid AS VARCHAR) ORDER BY sub), ',')
          |    AS codes
          |FROM best1 WHERE rn = 1
-         |GROUP BY vec_id ORDER BY vec_id""".stripMargin
+         |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    // the same page rendering (8-word sentences, one per line), then the
+    // C4 rules: keep lines ending in terminal punctuation with >= 5
+    // words and no drop token; page verdicts for phrase/brace/sentence
+    // minimum. Sentence count = terminal marks in the SURVIVING lines
+    "q118_c4_clean" ->
+      s"""WITH pages AS (
+         |  SELECT doc_id,
+         |    regexp_replace(text, '((?:[a-z]+ ){7}[a-z]+)( |$$)',
+         |      '\\1.' || chr(10), 'g') AS page
+         |  FROM documents),
+         |lns AS (
+         |  SELECT doc_id, page, string_split(page, chr(10)) AS ls
+         |  FROM pages),
+         |kept AS (
+         |  SELECT doc_id, page, ls,
+         |    list_filter(ls, l ->
+         |      regexp_matches(rtrim(l), '[.!?"'']$$')
+         |      AND len(list_filter(
+         |        string_split_regex(trim(l), '[ \t]+'), x -> x != ''))
+         |        >= 5
+         |      AND NOT contains(lower(l), 'slow')) AS ks
+         |  FROM lns),
+         |stats AS (
+         |  -- array_to_string(empty) is NULL in DuckDB, '' in Spark
+         |  SELECT doc_id,
+         |    coalesce(array_to_string(ks, chr(10)), '') AS page_clean,
+         |    CAST(len(ls) AS BIGINT) AS n_lines,
+         |    CAST(len(ks) AS BIGINT) AS n_kept_lines,
+         |    contains(lower(page), 'lorem ipsum') AS has_page_phrase,
+         |    (contains(page, '{') OR contains(page, '}')) AS has_brace,
+         |    CAST(length(regexp_replace(
+         |      coalesce(array_to_string(ks, chr(10)), ''),
+         |      '[^.!?]', '', 'g')) AS BIGINT) AS n_sentences
+         |  FROM kept)
+         |SELECT doc_id, page_clean, n_lines, n_kept_lines,
+         |  has_page_phrase, has_brace, n_sentences,
+         |  (NOT has_page_phrase AND NOT has_brace AND n_sentences >= 3)
+         |    AS keep
+         |FROM stats ORDER BY doc_id""".stripMargin
   )
 
   /** DuckDB replica of [[graft.operators.Bpe.encodeSymbols]]: nested

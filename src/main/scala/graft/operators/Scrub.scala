@@ -46,6 +46,72 @@ object Scrub {
       .withColumn("keep", col("n_blocked") <= maxBlocked)
   }
 
+  /** C4 line-level cleaning (Raffel et al. 2020, "Exploring the Limits of
+    * Transfer Learning with a Unified Text-to-Text Transformer", §2.2):
+    * the published heuristics that turned Common Crawl into C4. Lines are
+    * retained only when they end in a terminal punctuation mark
+    * (`.` `!` `?` or a closing quote), contain at least `minLineWords`
+    * words, and do not mention `lineDropToken` (the paper drops any line
+    * with the word "javascript"); pages are dropped entirely when they
+    * contain `pagePhrase` ("lorem ipsum"), a curly bracket, or fewer than
+    * `minSentences` sentences after line filtering. The paper's remaining
+    * rules are separate operators here: the bad-word gate is
+    * [[blocklistStats]] and the three-sentence-span dedup is
+    * `Chunking.dropDuplicatedChunks`.
+    *
+    * Returns one row per input document: `text_clean` (the kept lines
+    * re-joined with newlines), line/sentence counts, one verdict column
+    * per page rule so downstream can audit WHICH gate fired (the q114
+    * convention), and the composite `keep`.
+    *
+    * Scale shape: a narrow per-row projection — every rule is a pure
+    * function of the row, folded into one whole-stage-codegen projection
+    * with zero shuffles, zero joins. The corpus streams through once;
+    * at 100 TB this is scan-bound. No filter is applied here (verdicts
+    * are returned, not enforced), so no computed expression can be
+    * duplicated into the scan as a pushed filter.
+    */
+  def c4Clean(docs: DataFrame, idCol: String, textCol: String,
+              minLineWords: Int = 5,
+              minSentences: Int = 3,
+              lineDropToken: String = "javascript",
+              pagePhrase: String = "lorem ipsum"): DataFrame = {
+    require(minLineWords >= 1, s"minLineWords must be >= 1: $minLineWords")
+    require(minSentences >= 0, s"minSentences must be >= 0: $minSentences")
+    require(lineDropToken.nonEmpty && pagePhrase.nonEmpty,
+      "empty rule token/phrase")
+    // a line survives C4 when it ends in terminal punctuation, carries
+    // enough words, and never mentions the drop token (case-insensitive)
+    def lineKept(l: Column): Column =
+      rtrim(l).rlike("[.!?\"']$") &&
+        size(filter(split(trim(l), "[ \t]+"), w => w =!= "")) >=
+          minLineWords &&
+        !lower(l).contains(lineDropToken.toLowerCase)
+    docs
+      .filter(col(idCol).isNotNull)
+      .select(col(idCol), col(textCol),
+        split(col(textCol), "\n").as("__lines"))
+      .select(col(idCol),
+        array_join(filter(col("__lines"), lineKept(_)), "\n")
+          .as("text_clean"),
+        size(col("__lines")).cast("long").as("n_lines"),
+        size(filter(col("__lines"), lineKept(_))).cast("long")
+          .as("n_kept_lines"),
+        lower(col(textCol)).contains(pagePhrase.toLowerCase)
+          .as("has_page_phrase"),
+        (col(textCol).contains("{") || col(textCol).contains("}"))
+          .as("has_brace"))
+      // sentence count is measured on the SURVIVING lines (a dropped
+      // line's punctuation shouldn't rescue a page), by terminal-mark
+      // occurrences — the cheap portable proxy for sentence splitting
+      .withColumn("n_sentences",
+        length(regexp_replace(col("text_clean"), "[^.!?]", ""))
+          .cast("long"))
+      .withColumn("keep",
+        !col("has_page_phrase") && !col("has_brace") &&
+          col("n_sentences") >= minSentences)
+  }
+
   /** Ordered redaction rules: each `(pattern, replacement)` is applied in
     * sequence (later rules see earlier rules' output, exactly like a
     * chain of `regexp_replace` calls — the oracle states the same

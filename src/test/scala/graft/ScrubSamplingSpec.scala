@@ -41,6 +41,58 @@ class ScrubSamplingSpec extends SparkSpec {
     assert((out(1)._4, out(1)._5, out(1)._6) == ((0L, 0L, 0L)))
   }
 
+  test("c4Clean applies each published line and page rule") {
+    val docs = Seq(
+      // clean page: three proper sentences survive, page kept
+      (1L, "this page has five good words.\n" +
+        "and another proper long sentence!\n" +
+        "a third one asks a question?"),
+      // line rules: no terminal punct / too few words / drop token —
+      // every line dies, page dies on the sentence minimum
+      (2L, "no terminal punctuation on this line\n" +
+        "too few words.\n" +
+        "enable javascript to view this content."),
+      // page rules fire regardless of good lines
+      (3L, "lorem ipsum dolor sit amet text here.\n" +
+        "perfectly fine second sentence here.\n" +
+        "perfectly fine third sentence here."),
+      (4L, "a curly { bracket kills the whole page.\n" +
+        "perfectly fine second sentence here.\n" +
+        "perfectly fine third sentence here."),
+      // two surviving sentences < minSentences=3: verdicts true-ish but
+      // keep=false
+      (5L, "only two sentences survive this page.\n" +
+        "and here is the second one of them.")
+    ).toDF("doc_id", "text")
+    val out = Scrub.c4Clean(docs, "doc_id", "text").orderBy("doc_id")
+      .select("doc_id", "text_clean", "n_lines", "n_kept_lines",
+        "has_page_phrase", "has_brace", "n_sentences", "keep")
+      .as[(Long, String, Long, Long, Boolean, Boolean, Long, Boolean)]
+      .collect()
+    assert(out(0) == ((1L,
+      "this page has five good words.\n" +
+        "and another proper long sentence!\n" +
+        "a third one asks a question?", 3L, 3L, false, false, 3L, true)))
+    assert(out(1) == ((2L, "", 3L, 0L, false, false, 0L, false)))
+    assert(out(2)._5 && !out(2)._8 && out(2)._4 == 3L) // phrase kills page
+    assert(out(3)._6 && !out(3)._8)                    // brace kills page
+    assert(out(4) == ((5L,
+      "only two sentences survive this page.\n" +
+        "and here is the second one of them.", 2L, 2L, false, false, 2L,
+      false)))
+  }
+
+  test("c4Clean honors custom thresholds and drop tokens") {
+    val docs = Seq(
+      (1L, "short line ok.\nthis one mentions The Token so it dies."))
+      .toDF("doc_id", "text")
+    val out = Scrub.c4Clean(docs, "doc_id", "text", minLineWords = 3,
+      minSentences = 1, lineDropToken = "the token")
+      .select("text_clean", "n_kept_lines", "keep")
+      .as[(String, Long, Boolean)].collect().head
+    assert(out == (("short line ok.", 1L, true)))
+  }
+
   test("temperatureMix keeps the largest source at keepLargest and boosts small ones") {
     // sources sized 400/100/25: sqrt rebalance at keepLargest=0.5 gives
     // cutoffs 0.5, 1.0, 1.0 → small sources keep everything
