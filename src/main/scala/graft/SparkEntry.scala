@@ -1328,6 +1328,22 @@ object SparkEntry {
       Scrub.c4Clean(pages, "doc_id", "page", lineDropToken = "slow")
         .withColumnRenamed("text_clean", "page_clean")
         .orderBy("doc_id")
+    }),
+    // IVFADC — the q44 coarse quantizer (16 low-id centroids, nprobe=2)
+    // fronting the q116 ADC scorer: candidates bounded by probed cells,
+    // ranked in the compressed domain. The production composition of the
+    // two gated halves
+    "q119_ivf_pq_topk" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val cents = embs.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val cb = Pq.pqSeedCodebooks(embs, "vec_id", "embedding",
+        m = 8, ksub = 16)
+      Pq.ivfPqTopK(embs, embs.filter(col("vec_id") < 20), cents, cb,
+        "vec_id", "embedding", k = 5, nprobe = 2)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("adc"), 6).as("adc"))
+        .orderBy("query_id", "rank")
     })
   )
 
@@ -3678,7 +3694,62 @@ object SparkEntry {
          |  has_page_phrase, has_brace, n_sentences,
          |  (NOT has_page_phrase AND NOT has_brace AND n_sentences >= 3)
          |    AS keep
-         |FROM stats ORDER BY doc_id""".stripMargin
+         |FROM stats ORDER BY doc_id""".stripMargin,
+
+    // IVFADC: the q44 probe/assign CTEs bound the candidates, the q116
+    // PQ machinery scores them — per-candidate ADC folds in subspace
+    // order (the Spark side's bit-reproducible tree)
+    "q119_ivf_pq_topk" ->
+      s"""WITH $PqBaseSql,
+         |codes AS (SELECT vec_id, sub, cid FROM best WHERE rn = 1),
+         |cents AS (SELECT vec_id AS ccid, embedding AS ccvec
+         |          FROM embeddings WHERE vec_id < 16),
+         |ascored AS (
+         |  SELECT e.vec_id, c.ccid,
+         |    ${duckCos("e.embedding", "c.ccvec")} AS cos
+         |  FROM embeddings e CROSS JOIN cents c),
+         |assigned AS (
+         |  SELECT vec_id, ccid FROM (
+         |    SELECT vec_id, ccid, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cos DESC, ccid) AS arn
+         |    FROM ascored) x WHERE arn = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv
+         |      FROM embeddings WHERE vec_id < 20),
+         |probed AS (
+         |  SELECT query_id, ccid FROM (
+         |    SELECT query_id, c.ccid,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY ${duckCos("qv", "c.ccvec")} DESC, c.ccid) AS pr
+         |    FROM q CROSS JOIN cents c) y WHERE pr <= 2),
+         |cand AS (
+         |  SELECT query_id, a.vec_id AS neighbor_id
+         |  FROM probed p JOIN assigned a ON p.ccid = a.ccid
+         |  WHERE query_id != a.vec_id),
+         |qdist AS (
+         |  SELECT qq.query_id, c.sub, c.cid,
+         |    list_reduce(list_prepend(0.0,
+         |      [(CAST(qq.qv[c.sub*8+p] AS DOUBLE) - c.cvec[p])
+         |        * (CAST(qq.qv[c.sub*8+p] AS DOUBLE) - c.cvec[p])
+         |       FOR p IN generate_series(1, 8)]),
+         |      (u, v) -> u + v) AS d2
+         |  FROM q qq CROSS JOIN cb c),
+         |adc AS (
+         |  SELECT cand.query_id, cand.neighbor_id,
+         |    list_reduce(list_prepend(0.0, list(qd.d2 ORDER BY co.sub)),
+         |      (u, v) -> u + v) AS adc
+         |  FROM cand
+         |  JOIN codes co ON co.vec_id = cand.neighbor_id
+         |  JOIN qdist qd ON qd.query_id = cand.query_id
+         |    AND qd.sub = co.sub AND qd.cid = co.cid
+         |  GROUP BY cand.query_id, cand.neighbor_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, adc,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adc, neighbor_id) AS BIGINT) AS rank
+         |  FROM adc)
+         |SELECT query_id, rank, neighbor_id, round(adc, 6) AS adc
+         |FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
   )
 
   /** DuckDB replica of [[graft.operators.Bpe.encodeSymbols]]: nested

@@ -262,10 +262,16 @@ object Knn {
     * (and centroid quality); `queries` need not be a subset of the
     * corpus.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
-              idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
-    GraftFunctions.register(corpus.sparkSession)
-    val assigned = ivfAssign(corpus, idCol, vecCol, centroids)
+  /** The `nprobe` nearest centroid cells per query (by cosine, ties to
+    * the lower cid): `(query_id, cid)`. The centroid table is model-sized
+    * and broadcast; per-query work is |centroids| dot products plus a
+    * query-keyed rank window — the coarse-quantizer probe both [[ivfTopK]]
+    * and `Pq.ivfPqTopK` front their candidate generation with.
+    */
+  def probeCells(queries: DataFrame, centroids: DataFrame,
+                 idCol: String, vecCol: String, nprobe: Int): DataFrame = {
+    require(nprobe >= 1, s"probeCells: nprobe=$nprobe")
+    GraftFunctions.register(queries.sparkSession)
     val c = centroids.select(col("cid"), col("cvec"),
       normF32(col("cvec")).as("__cn"))
     val q = queries.where(col(vecCol).isNotNull)
@@ -273,13 +279,23 @@ object Knn {
         normF32(col(vecCol)).as("qn"))
     val wp = Window.partitionBy(col("query_id"))
       .orderBy(col("__ccos").desc, col("cid").asc)
-    val probed = q.crossJoin(broadcast(c))
+    q.crossJoin(broadcast(c))
       .select(col("query_id"), col("cid"),
         cosineFromNorms(col("qv"), col("cvec"), col("qn"), col("__cn"))
           .as("__ccos"))
       .withColumn("__pr", row_number().over(wp))
       .filter(col("__pr") <= nprobe)
       .select(col("query_id"), col("cid"))
+  }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+              idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val assigned = ivfAssign(corpus, idCol, vecCol, centroids)
+    val q = queries.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        normF32(col(vecCol)).as("qn"))
+    val probed = probeCells(queries, centroids, idCol, vecCol, nprobe)
     // a vector lives in exactly one cell and probed cells are distinct,
     // so candidate pairs are already unique — no dedup needed
     val cand = probed.join(assigned, "cid")

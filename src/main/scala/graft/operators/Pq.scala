@@ -174,10 +174,20 @@ object Pq {
     val scored = contrib
       .join(broadcast(dt), Seq("sub", "cid"))
       .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(aggregate(
-        transform(sort_array(collect_list(struct(col("sub"),
-          col("__d2").as("d")))), s => s.getField("d")),
-        lit(0.0), (acc, x) => acc + x).as("adc"))
+      .agg(adcSum.as("adc"))
+    rankAdc(scored, k)
+  }
+
+  /** Subspace-ordered ADC fold: distances sum in `sub` order regardless
+    * of partitioning, so the score is bit-reproducible and the DuckDB
+    * oracle replays the identical tree.
+    */
+  private def adcSum: Column = aggregate(
+    transform(sort_array(collect_list(struct(col("sub"),
+      col("__d2").as("d")))), s => s.getField("d")),
+    lit(0.0), (acc, x) => acc + x)
+
+  private def rankAdc(scored: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("adc"), col("neighbor_id"))
@@ -187,5 +197,51 @@ object Pq {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         col("adc"))
+  }
+
+  /** IVFADC (Jégou et al. 2011 §III): the coarse IVF quantizer bounds the
+    * candidate set, then PQ asymmetric distance ranks candidates in the
+    * compressed domain — the composition a production-scale ANN
+    * deployment actually runs. Each query probes its `nprobe` nearest
+    * centroid cells ([[Knn.probeCells]] — cosine coarse metric, the
+    * repo's IVF convention; L2-normalize embeddings upstream when the
+    * fine L2 order must agree) and only vectors assigned to those cells
+    * are ADC-scored.
+    *
+    * Scale shape: centroids and codebooks are model-sized broadcasts;
+    * the corpus contributes one map-side-argmax assignment pass and one
+    * codes-only scan — no stored float vector is read at query time.
+    * Candidate volume is bounded by probed-cell sizes (the `nprobe` /
+    * cell-count knobs), never |corpus|·|queries|. The per-candidate join
+    * key carries `query_id`, so a hot cell fans out by queries and AQE
+    * can split it.
+    */
+  def ivfPqTopK(embs: DataFrame, queries: DataFrame, centroids: DataFrame,
+                codebooks: DataFrame, idCol: String, vecCol: String,
+                k: Int, nprobe: Int): DataFrame = {
+    require(k >= 1 && nprobe >= 1, s"ivfPqTopK: k=$k nprobe=$nprobe")
+    val codes = pqEncode(embs, idCol, vecCol, codebooks)
+    val assigned = Knn.ivfAssign(embs, idCol, vecCol, centroids)
+    val cand = Knn.probeCells(queries, centroids, idCol, vecCol, nprobe)
+      .join(assigned, "cid")
+      .select(col("query_id"), col(idCol).as("neighbor_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+    val cb = codebooks.select(col("sub"), col("cid"), col("cvec"))
+    val dsub = size(col("cvec"))
+    val dt = queries.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"), col(vecCol).as("__q"))
+      .crossJoin(cb)
+      .select(col("query_id"), col("sub"), col("cid"),
+        l2sq(transform(slice(col("__q"), col("sub") * dsub + 1, dsub),
+          x => x.cast("double")), col("cvec")).as("__d2"))
+    val scored = cand
+      .join(codes.select(col(idCol).as("neighbor_id"), col("codes")),
+        "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        posexplode(col("codes")).as(Seq("sub", "cid")))
+      .join(broadcast(dt), Seq("query_id", "sub", "cid"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(adcSum.as("adc"))
+    rankAdc(scored, k)
   }
 }

@@ -81,6 +81,55 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("IVFADC with all cells probed equals plain ADC minus self-matches") {
+    // 4 centroids = the 4 cluster representatives (ids 0-3); probing
+    // every cell removes the coarse bound, so the composed result must
+    // equal pqTopK over the full corpus with self-pairs dropped
+    val cb = Pq.pqSeedCodebooks(embs, "vec_id", "embedding", m, ksub)
+    val cents = embs.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val queries = embs.filter(col("vec_id") < 6)
+    val composed = Pq.ivfPqTopK(embs, queries, cents, cb,
+      "vec_id", "embedding", k = 3, nprobe = 4)
+      .select("query_id", "rank", "neighbor_id", "adc")
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    val codes = Pq.pqEncode(embs, "vec_id", "embedding", cb)
+    // k+1 then re-rank after dropping self: pqTopK keeps self-matches
+    val full = Pq.pqTopK(codes, queries, cb, "vec_id", "embedding", k = 4)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id", "adc")
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+        rows.sortBy(r => (r._3, r._2)).take(3).zipWithIndex
+          .map { case ((_, n, adc), i) => (q, i + 1, n, adc) }
+      }.sortBy(r => (r._1, r._2))
+    assert(composed.length == full.length)
+    composed.zip(full).foreach { case (c, f) =>
+      assert(c._1 == f._1 && c._2 == f._2 && c._3 == f._3,
+        s"composed $c != full $f")
+      assert(math.abs(c._4 - f._4) < 1e-12)
+    }
+  }
+
+  test("IVFADC candidates never leave the probed cells") {
+    val cb = Pq.pqSeedCodebooks(embs, "vec_id", "embedding", m, ksub)
+    val cents = embs.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val queries = embs.filter(col("vec_id") === 5L)
+    val out = Pq.ivfPqTopK(embs, queries, cents, cb,
+      "vec_id", "embedding", k = 40, nprobe = 1)
+      .select("neighbor_id").as[Long].collect().toSet
+    val probedCell = graft.operators.Knn
+      .probeCells(queries, cents, "vec_id", "embedding", 1)
+      .select("cid").as[Long].collect().toSet
+    val members = graft.operators.Knn
+      .ivfAssign(embs, "vec_id", "embedding", cents)
+      .filter(col("cid").isin(probedCell.toSeq: _*))
+      .select("vec_id").as[Long].collect().toSet
+    assert(out.nonEmpty && out.subsetOf(members - 5L),
+      s"neighbors $out escape probed-cell members $members")
+  }
+
   test("Lloyd refinement does not increase total quantization error") {
     def sqErr(cb: org.apache.spark.sql.DataFrame): Double = {
       val cbMap = cb.select(col("sub"), col("cid"), col("cvec"))
