@@ -797,4 +797,43 @@ object Dedup {
         col("__component") === col(idCol))
       .drop("__component")
   }
+
+  /** Quality-aware keeper corpus: per near-dup cluster keep the document
+    * maximizing `quality` (ties break to the LOWER id — with a constant
+    * quality column this degenerates to [[nearDupKeepers]]' min-id rule),
+    * plus every unclustered document. This is the FineWeb-style
+    * refinement of keeper selection: when near-duplicates differ (one
+    * copy is boilerplate-wrapped, one clean), the cluster should
+    * contribute its best exemplar, not its lowest id.
+    *
+    * `quality` must be computable from a `docs` row (a column or an
+    * expression over its columns) and cast to double.
+    *
+    * Scale shape: only a slim `(id, component, quality)` projection of
+    * the CLUSTERED docs (components holds one row per clustered doc —
+    * a small fraction of the corpus) shuffles by component for the
+    * argmax; the winner table (one row per cluster) joins back to the
+    * corpus by component alongside the components table itself, so the
+    * full-width corpus streams through exactly once and never carries a
+    * dropped document's text past the filter.
+    */
+  def bestKeepers(docs: DataFrame, idCol: String, components: DataFrame,
+                  quality: Column): DataFrame = {
+    val comps = components
+      .select(col("id").as(idCol), col("component").as("__component"))
+    // min(struct(-q, id)) = argmax by quality, ties to the lower id;
+    // the id rides inside the struct so ANY orderable id type works
+    val winners = docs
+      .select(col(idCol), quality.cast("double").as("__q"))
+      .join(comps, Seq(idCol))
+      .groupBy(col("__component"))
+      .agg(min(struct((-col("__q")).as("nq"), col(idCol).as("i")))
+        .as("__w"))
+      .select(col("__component"), col("__w.i").as("__keeper"))
+    docs.join(comps, Seq(idCol), "left")
+      .join(winners, Seq("__component"), "left")
+      .filter(col("__component").isNull ||
+        col(idCol) === col("__keeper"))
+      .drop("__component", "__keeper")
+  }
 }
