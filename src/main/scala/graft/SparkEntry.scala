@@ -1344,6 +1344,22 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           round(col("adc"), 6).as("adc"))
         .orderBy("query_id", "rank")
+    }),
+
+    // quality-aware keeper corpus (FineWeb-style): q87's clusters, but
+    // each cluster contributes its BEST exemplar, not its lowest id.
+    // The quality expr deliberately produces NULLs (n_chars % 97 == 0)
+    // so the oracle gates the nulls-sort-last argmax ordering too.
+    "q121_best_keepers" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sigs = Dedup.minHashSignatures(docs, "doc_id", "text", k = 8,
+        tokenize = Dedup.shingleTokenizer(3))
+      val cands = Dedup.lshCandidates(sigs, "doc_id", k = 8, bands = 4)
+      Dedup.bestKeepers(docs, "doc_id",
+        Dedup.connectedComponents(cands, "id_a", "id_b"),
+        expr("nullif(n_chars % 97, 0)"))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
     })
   )
 
@@ -3749,7 +3765,28 @@ object SparkEntry {
          |  FROM adc)
          |SELECT query_id, rank, neighbor_id, round(adc, 6) AS adc
          |FROM ranked WHERE rank <= 5
-         |ORDER BY query_id, rank""".stripMargin
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // q87's clusters with a quality argmax keeper: rank within each
+    // component with nulls sorted LAST ((q IS NULL) leads the ORDER BY,
+    // matching the Spark side's min(struct(isNull, -q, id)))
+    "q121_best_keepers" ->
+      s"""WITH RECURSIVE $ComponentsCtes,
+         |comp AS (
+         |  SELECT id, min(comp) AS component FROM reach GROUP BY id),
+         |qd AS (
+         |  SELECT d.doc_id, d.source, d.n_chars, comp.component,
+         |    nullif(d.n_chars % 97, 0) AS q
+         |  FROM documents d LEFT JOIN comp ON d.doc_id = comp.id),
+         |win AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, row_number() OVER (PARTITION BY component
+         |      ORDER BY (q IS NULL), q DESC, doc_id) AS rn
+         |    FROM qd WHERE component IS NOT NULL) z
+         |  WHERE rn = 1)
+         |SELECT doc_id, source, n_chars FROM qd
+         |WHERE component IS NULL OR doc_id IN (SELECT doc_id FROM win)
+         |ORDER BY doc_id""".stripMargin
   )
 
   /** DuckDB replica of [[graft.operators.Bpe.encodeSymbols]]: nested

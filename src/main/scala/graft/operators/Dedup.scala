@@ -821,13 +821,17 @@ object Dedup {
                   quality: Column): DataFrame = {
     val comps = components
       .select(col("id").as(idCol), col("component").as("__component"))
-    // min(struct(-q, id)) = argmax by quality, ties to the lower id;
-    // the id rides inside the struct so ANY orderable id type works
+    // min(struct(isNull, -q, id)) = argmax by quality, ties to the lower
+    // id; the leading isNull flag sorts null/unparseable qualities LAST
+    // (Spark's ascending struct ordering would otherwise rank a null
+    // -q first and crown the scoreless row). The id rides inside the
+    // struct so ANY orderable id type works.
     val winners = docs
       .select(col(idCol), quality.cast("double").as("__q"))
       .join(comps, Seq(idCol))
       .groupBy(col("__component"))
-      .agg(min(struct((-col("__q")).as("nq"), col(idCol).as("i")))
+      .agg(min(struct(col("__q").isNull.as("nn"),
+        (-col("__q")).as("nq"), col(idCol).as("i")))
         .as("__w"))
       .select(col("__component"), col("__w.i").as("__keeper"))
     docs.join(comps, Seq(idCol), "left")

@@ -270,13 +270,23 @@ object Knn {
     */
   def probeCells(queries: DataFrame, centroids: DataFrame,
                  idCol: String, vecCol: String, nprobe: Int): DataFrame = {
-    require(nprobe >= 1, s"probeCells: nprobe=$nprobe")
     GraftFunctions.register(queries.sparkSession)
-    val c = centroids.select(col("cid"), col("cvec"),
-      normF32(col("cvec")).as("__cn"))
     val q = queries.where(col(vecCol).isNotNull)
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         normF32(col(vecCol)).as("qn"))
+    probeCellsProjected(q, centroids, nprobe)
+  }
+
+  /** [[probeCells]] over an already null-filtered, `(query_id, qv, qn)`-
+    * projected query frame — callers that also score with the projection
+    * ([[ivfTopK]]) build it once instead of scanning and re-normalizing
+    * the query set a second time inside the probe.
+    */
+  private[operators] def probeCellsProjected(q: DataFrame,
+      centroids: DataFrame, nprobe: Int): DataFrame = {
+    require(nprobe >= 1, s"probeCells: nprobe=$nprobe")
+    val c = centroids.select(col("cid"), col("cvec"),
+      normF32(col("cvec")).as("__cn"))
     val wp = Window.partitionBy(col("query_id"))
       .orderBy(col("__ccos").desc, col("cid").asc)
     q.crossJoin(broadcast(c))
@@ -295,7 +305,7 @@ object Knn {
     val q = queries.where(col(vecCol).isNotNull)
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         normF32(col(vecCol)).as("qn"))
-    val probed = probeCells(queries, centroids, idCol, vecCol, nprobe)
+    val probed = probeCellsProjected(q, centroids, nprobe)
     // a vector lives in exactly one cell and probed cells are distinct,
     // so candidate pairs are already unique — no dedup needed
     val cand = probed.join(assigned, "cid")

@@ -208,9 +208,13 @@ object Pq {
     * fine L2 order must agree) and only vectors assigned to those cells
     * are ADC-scored.
     *
-    * Scale shape: centroids and codebooks are model-sized broadcasts;
-    * the corpus contributes one map-side-argmax assignment pass and one
-    * codes-only scan — no stored float vector is read at query time.
+    * Scale shape: centroids and codebooks are model-sized broadcasts,
+    * but the ADC distance table is |queries|·m·ksub rows — QUERY-BATCH
+    * sized, not model sized (same bound as [[pqTopK]]); a large query
+    * batch must be chunked by the caller or the broadcast outgrows the
+    * threshold/driver heap. The corpus contributes one map-side-argmax
+    * assignment pass and one codes-only scan — no stored float vector
+    * is read at query time.
     * Candidate volume is bounded by probed-cell sizes (the `nprobe` /
     * cell-count knobs), never |corpus|·|queries|. The per-candidate join
     * key carries `query_id`, so a hot cell fans out by queries and AQE

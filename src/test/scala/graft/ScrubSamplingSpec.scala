@@ -127,6 +127,33 @@ class ScrubSamplingSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 4L, 7L))
   }
 
+  test("bestKeepers picks the quality argmax; null quality never wins") {
+    val docs = Seq(
+      // cluster {1,2,3}: 1 has NULL quality, 3 the highest → keeper 3
+      (1L, null.asInstanceOf[java.lang.Double]),
+      (2L, java.lang.Double.valueOf(5.0)),
+      (3L, java.lang.Double.valueOf(9.0)),
+      // cluster {4,5}: tie → lower id 4
+      (4L, java.lang.Double.valueOf(7.0)),
+      (5L, java.lang.Double.valueOf(7.0)),
+      // cluster {6,7}: ALL null → degenerate to min-id 6
+      (6L, null.asInstanceOf[java.lang.Double]),
+      (7L, null.asInstanceOf[java.lang.Double]),
+      // 8 unclustered (null quality) → passes through untouched
+      (8L, null.asInstanceOf[java.lang.Double])
+    ).toDF("doc_id", "q")
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L), (6L, 7L))
+      .toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(edges, "id_a", "id_b")
+    val kept = Dedup.bestKeepers(docs, "doc_id", comps, col("q"))
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(3L, 4L, 6L, 8L))
+    // constant quality degenerates to nearDupKeepers' min-id rule
+    val const = Dedup.bestKeepers(docs, "doc_id", comps, lit(1.0))
+      .select("doc_id").as[Long].collect().sorted
+    assert(const.toSeq == Seq(1L, 4L, 6L, 8L))
+  }
+
   test("tokenChunks windows overlap by stride and the tail reaches the end") {
     val docs = Seq(
       (1L, "t1 t2 t3 t4 t5"),  // 5 tokens, w=2 s=2 → [2,2,1]
