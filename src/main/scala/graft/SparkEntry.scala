@@ -1164,9 +1164,10 @@ object SparkEntry {
     }),
     // the learned BPE merge table (8 merges): driver loop over the
     // vocabulary table only; argmax ties break on the pair ascending so
-    // the table is partitioning-invariant. Iterative argmax is not
-    // SQL-expressible — no oracleSql entry (rows-only gate); exact
-    // merges are hand-verified in BpeSpec
+    // the table is partitioning-invariant. The loop isn't SQL, but its
+    // OUTPUT is: the oracle replays each step's argmax over the
+    // vocabulary rewritten by the prior merges fixed as literals;
+    // exact merges also hand-verified in BpeSpec
     "q104_bpe_merges" -> ((s, dir) => {
       Bpe.learnMerges(t(s, dir, "documents"), "text", numMerges = 8)
         .orderBy("merge_rank")
@@ -1232,18 +1233,22 @@ object SparkEntry {
       Pca.covariance(t(s, dir, "embeddings"), "vec_id", "embedding")
         .orderBy("i", "j")
     }),
-    // composed PCA: covariance pass → Jacobi eigensolve (driver, d×d) →
-    // broadcast projection. The eigensolve is not SQL-expressible —
-    // rows-only gate; orthonormality/eigen-equation/centering are
-    // PcaSpec's job
+    // the projection half of PCA, gated against a FIXTURE component
+    // table whose entries are exact binary doubles (n/32) shared
+    // verbatim with the oracle — the broadcast-literal q116 pattern.
+    // The Jacobi eigensolve is driver-sized and not SQL-expressible;
+    // the composed principalComponents→project path (orthonormality,
+    // eigen-residual, known eigensystems) is PcaSpec's job
     "q111_pca_project" -> ((s, dir) => {
       val embs = t(s, dir, "embeddings")
-      val comps = Pca.principalComponents(embs, "vec_id", "embedding",
-        m = 4)
+      val comps = s.createDataFrame(PcaFixtureBases)
+        .toDF("component", "basis", "offset")
       Pca.project(embs, "vec_id", "embedding", comps)
         .select(col("vec_id"),
-          array_join(transform(col("proj"),
-            c => round(c, 6).cast("string")), ",").as("proj"))
+          round(element_at(col("proj"), 1), 6).as("p0"),
+          round(element_at(col("proj"), 2), 6).as("p1"),
+          round(element_at(col("proj"), 3), 6).as("p2"),
+          round(element_at(col("proj"), 4), 6).as("p3"))
         .orderBy("vec_id")
     }),
     // quality-classifier gradient at w=0 (p ≡ 0.5 exactly): the one
@@ -1366,6 +1371,31 @@ object SparkEntry {
   /** q106's corpus-independent merge table (see the query comment). */
   private val BpeFixedMerges: Seq[(String, String)] =
     Seq(("a", "n"), ("s", "c"), ("sc", "an"), ("e", "r"))
+
+  /** q104's merge table as learned at sf0.01, fixed as literals for the
+    * oracle (the q106 precedent). The oracle does NOT trust these as the
+    * answer — it re-derives merge k as the argmax of pair stats over the
+    * vocabulary rewritten by merges < k, so DuckDB checks every row of
+    * the training loop's output even though the loop itself isn't SQL;
+    * the literals only pin the rewrite path, and a wrong literal would
+    * desynchronize the replayed argmax from Spark's row and fail the
+    * hash gate.
+    */
+  private val BpeLearnedMerges: Seq[(String, String)] =
+    Seq(("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"),
+      ("s", "t"), ("m", "er"), ("a", "t"), ("l", "u"))
+
+  /** q111's fixture component table: 4 pseudo-components over d=64 with
+    * EXACT binary-representable entries (n/32, |n| ≤ 16) and offsets
+    * (n/16), emitted verbatim into both the Spark frame and the oracle's
+    * VALUES literal — so the centered-projection folds are bit-identical
+    * in both engines and the hash gate needs no tolerance.
+    */
+  private val PcaFixtureBases: Seq[(Int, Seq[Double], Double)] =
+    (0 until 4).map { k =>
+      (k, (0 until 64).map(i => (((i * 7 + k * 13) % 33) - 16) / 32.0),
+        (k - 2) / 16.0)
+    }
 
   // ------------------------------------------------------------ oracle SQL
 
@@ -3359,6 +3389,43 @@ object SparkEntry {
          |SELECT left_sym, right_sym, CAST(sum(freq) AS BIGINT) AS pair_count
          |FROM pr GROUP BY left_sym, right_sym
          |ORDER BY pair_count DESC, left_sym, right_sym""".stripMargin,
+
+    // replay of the BPE training loop: step k rewrites the character
+    // vocabulary by the k-1 PRIOR merges (literals, nested rank-order
+    // folds — the q106 machinery) and re-derives merge k as the argmax
+    // of the resulting pair stats, tie order (count DESC, l, r) — every
+    // output row of Spark's driver loop is value-checked even though
+    // the loop itself isn't SQL-expressible
+    "q104_bpe_merges" -> {
+      val steps = BpeLearnedMerges.indices.map { i =>
+        val k = i + 1
+        s"""step$k AS (
+           |  SELECT $k AS merge_rank, left_sym, right_sym, pair_count FROM (
+           |    SELECT p.l AS left_sym, p.r AS right_sym,
+           |      CAST(sum(freq) AS BIGINT) AS pair_count
+           |    FROM (
+           |      SELECT unnest([{'l': s2[j], 'r': s2[j+1]}
+           |          FOR j IN generate_series(1, len(s2) - 1)]) AS p, freq
+           |      FROM (SELECT ${duckBpeFolds(BpeLearnedMerges.take(i))} AS s2, freq
+           |            FROM chars))
+           |    GROUP BY 1, 2
+           |    ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1))""".stripMargin
+      }
+      s"""WITH $WordsCte,
+         |wf AS (
+         |  SELECT word, count(*) AS freq
+         |  FROM (SELECT unnest(ws) AS word FROM words) GROUP BY word),
+         |chars AS (
+         |  SELECT word, freq,
+         |    list(substring(word, CAST(i AS INT), 1) ORDER BY i) AS syms
+         |  FROM wf, unnest(generate_series(1, len(word))) AS t(i)
+         |  GROUP BY word, freq),
+         |${steps.mkString(",\n")}
+         |${BpeLearnedMerges.indices
+            .map(i => s"SELECT * FROM step${i + 1}")
+            .mkString("\nUNION ALL\n")}
+         |ORDER BY merge_rank""".stripMargin
+    },
     // q32's signature/banding CTEs, sides split by source: batch bands
     // (src0) join index bands (everything else)
     "q105_incremental_lsh" ->
@@ -3540,6 +3607,36 @@ object SparkEntry {
          |FROM mo JOIN mu ma ON ma.i = mo.i JOIN mu mb ON mb.i = mo.j
          |CROSS JOIN nn
          |ORDER BY i, j""".stripMargin,
+
+    // Pca.project against the shared fixture basis: per (vector,
+    // component) the centered coordinate is a left fold over the 64
+    // exact products (list_prepend 0.0 + list_reduce ≡ Spark's
+    // `aggregate` seed), so both engines compute bit-identical doubles
+    // before the 6-dp round; `+ 0` normalizes −0.0 (the q112 note)
+    "q111_pca_project" -> {
+      val rows = PcaFixtureBases.map { case (k, basis, off) =>
+        s"($k, [${basis.mkString(", ")}]::DOUBLE[], $off)"
+      }
+      s"""WITH comps AS (
+         |  SELECT * FROM (VALUES
+         |    ${rows.mkString(",\n    ")})
+         |    AS t(component, basis, oset)),
+         |proj AS (
+         |  SELECT vec_id, component,
+         |    list_reduce(list_prepend(0.0,
+         |      [CAST(embedding[i] AS DOUBLE) * basis[i]
+         |        FOR i IN generate_series(1, 64)]),
+         |      (a, b) -> a + b) - oset AS coord
+         |  FROM embeddings CROSS JOIN comps
+         |  WHERE vec_id IS NOT NULL),
+         |agg AS (
+         |  SELECT vec_id, list(coord ORDER BY component) AS cs
+         |  FROM proj GROUP BY vec_id)
+         |SELECT vec_id,
+         |  round(cs[1], 6) + 0 AS p0, round(cs[2], 6) + 0 AS p1,
+         |  round(cs[3], 6) + 0 AS p2, round(cs[4], 6) + 0 AS p3
+         |FROM agg ORDER BY vec_id""".stripMargin
+    },
 
     // the training chain's first gradient pass (w=0 → p ≡ 0.5); `+ 0`
     // because gradients can round to −0.0 in DuckDB (+0.0 in Spark)
