@@ -114,6 +114,30 @@ class PlanSpec extends SparkSpec {
       s"assignment must not use a window (shuffles |E|x|C| rows):\n${plan.take(2000)}")
   }
 
+  test("IVF probe broadcasts centroids; its rank window ranks nprobe cells") {
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = graft.operators.Knn.ivfSeedCentroids(embs, "vec_id", "embedding", 4)
+    val probe = graft.operators.Knn.probeCells(
+      embs.filter(col("vec_id") < 10), cents, "vec_id", "embedding", nprobe = 2)
+    val plan = finalPlan(probe)
+    // the centroid side must arrive by broadcast (model-sized), never a
+    // shuffled join or a cartesian product of exchanges
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"probe must broadcast centroids:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"probe must never plan a cartesian product:\n${plan.take(2000)}")
+    // exactly ONE rank window operator (query-keyed) in the final plan:
+    // the |Q|x|C| scored rows are cut to nprobe immediately, nothing
+    // downstream re-ranks them — and the rank filter plans the
+    // WindowGroupLimit pushdown so the sort never materializes all cells
+    val finalSection = plan.split("== Initial Plan ==").head
+    assert("Window \\[row_number".r.findAllIn(finalSection).length == 1,
+      s"probe should carry exactly one rank window:\n${plan.take(2000)}")
+    assert(finalSection.contains("WindowGroupLimit"),
+      s"rank filter should push a group limit below the window:\n${plan.take(2000)}")
+  }
+
   test("top-k aggregate runs map-side partial, never a window sort") {
     val plan = finalPlan(q("q27_topk_agg"))
     assert(plan.contains("partial_topkagg") ||
