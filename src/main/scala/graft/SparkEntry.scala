@@ -1351,6 +1351,16 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ExactSubstr-grade span removal (Lee et al. 2022): stride-1
+    // 8-token shingles at arbitrary boundaries, df > 2 spans removed as
+    // merged maximal runs — catches the boundary-straddling duplicates
+    // q96's fixed windows miss
+    "q120_drop_dup_spans" -> ((s, dir) => {
+      graft.operators.Chunking.dropDuplicatedSpans(
+        t(s, dir, "documents"), "doc_id", "text", width = 8, maxDf = 2L)
+        .orderBy("doc_id")
+    }),
+
     // quality-aware keeper corpus (FineWeb-style): q87's clusters, but
     // each cluster contributes its BEST exemplar, not its lowest id.
     // The quality expr deliberately produces NULLs (n_chars % 97 == 0)
@@ -3863,6 +3873,37 @@ object SparkEntry {
          |SELECT query_id, rank, neighbor_id, round(adc, 6) AS adc
          |FROM ranked WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
+
+    // stride-1 shingle hashes → df>2 hot set → per-doc hot start
+    // positions → index-mask reassembly. DuckDB's 1-based i maps to
+    // Spark's 0-based token index i-1: dropped iff p < i AND i <= p+8
+    "q120_drop_dup_spans" ->
+      s"""WITH $LiveWordsCte,
+         |sh AS (
+         |  SELECT doc_id, CAST(p AS INT) AS p,
+         |    md5(array_to_string(
+         |      w[CAST(p + 1 AS BIGINT):CAST(p + 8 AS BIGINT)], ' ')) AS h
+         |  FROM ws, unnest(generate_series(0, len(w) - 8)) AS t(p)
+         |  WHERE len(w) >= 8),
+         |hot AS (
+         |  SELECT h FROM (
+         |    SELECT h, count(DISTINCT doc_id) AS df FROM sh GROUP BY h)
+         |  WHERE df > 2),
+         |hp AS (
+         |  SELECT doc_id, list(p ORDER BY p) AS ps
+         |  FROM sh JOIN hot USING (h) GROUP BY doc_id),
+         |masked AS (
+         |  SELECT ws.doc_id,
+         |    [w[i] FOR i IN generate_series(1, len(w))
+         |      IF len(list_filter(coalesce(ps, []),
+         |        p -> p < i AND i <= p + 8)) = 0] AS kept,
+         |    len(w) AS n
+         |  FROM ws LEFT JOIN hp ON ws.doc_id = hp.doc_id)
+         |SELECT doc_id,
+         |  coalesce(array_to_string(kept, ' '), '') AS clean_text,
+         |  CAST(coalesce(len(kept), 0) AS BIGINT) AS n_kept_tokens,
+         |  CAST(n - coalesce(len(kept), 0) AS BIGINT) AS n_dropped_tokens
+         |FROM masked ORDER BY doc_id""".stripMargin,
 
     // q87's clusters with a quality argmax keeper: rank within each
     // component with nulls sorted LAST ((q IS NULL) leads the ORDER BY,

@@ -118,4 +118,69 @@ object Chunking {
           x => x.getField("__toks"))), " ").as("clean_text"),
         col("n_kept_chunks"), col("n_dropped_chunks"))
   }
+
+  /** ExactSubstr-grade duplicated-span removal (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better", §3.1
+    * semantics at token granularity): remove every token covered by ANY
+    * `width`-token run whose content appears in more than `maxDf`
+    * distinct documents — at ARBITRARY boundaries, which is exactly
+    * what [[dropDuplicatedChunks]]' fixed non-overlapping windows miss
+    * (a duplicated run straddling a chunk boundary leaves both chunks
+    * non-hot). Stride-1 shingles detect a duplicated run wherever it
+    * starts, and overlapping hot shingles merge into one maximal
+    * removed span by construction (token coverage is a union). Output:
+    * `(id, clean_text, n_kept_tokens, n_dropped_tokens)`.
+    *
+    * Scale shape: only shingle HASHES shuffle — the df aggregation is
+    * map-side combined with key space = distinct shingle content, and
+    * the per-doc hot-position table (docs that contain a hot span only)
+    * comes back through an id-keyed aggregation and join. The corpus
+    * text itself never shuffles. Two tokenizer passes (shingling +
+    * reassembly), mirroring the multi-pass structure of the published
+    * suffix-array implementation; the reassembly mask is a per-row
+    * index-filter fold, |tokens|·|hot positions in doc| work.
+    */
+  def dropDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                          width: Int, maxDf: Long): DataFrame = {
+    require(width >= 1, s"width ($width) must be >= 1")
+    require(maxDf >= 1, s"maxDf ($maxDf) must be >= 1")
+    val live = docs
+      .filter(col(idCol).isNotNull && lower(col(textCol)).rlike("[a-z0-9]"))
+      .select(col(idCol),
+        TextFunctions.normalizedWords(col(textCol)).as("__ws"))
+    // stride-1 shingle start positions; docs shorter than `width`
+    // contribute none (sequence() would count DOWN for a negative stop,
+    // hence the explicit guard)
+    val starts = when(size(col("__ws")) >= width,
+      sequence(lit(0), size(col("__ws")) - width))
+      .otherwise(array().cast("array<int>"))
+    // outer explode + null filter on the OUTPUT attribute — the q23/q89
+    // scan-filter trap rationale (see tokenChunks)
+    val sh = live
+      .select(col(idCol), explode_outer(transform(starts,
+        p => struct(p.as("p"),
+          md5(array_join(slice(col("__ws"), p + 1, lit(width)), " "))
+            .as("h")))).as("__s"))
+      .filter(col("__s").isNotNull)
+      .select(col(idCol), col("__s.p").as("__p"), col("__s.h").as("__h"))
+    val hot = sh.groupBy(col("__h"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") > maxDf)
+      .select(col("__h"))
+      .localCheckpoint()
+    val hotPos = sh.join(broadcast(hot), Seq("__h"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("__p"))).as("__hp"))
+    live.join(hotPos, Seq(idCol), "left")
+      .select(col(idCol), col("__ws"),
+        coalesce(col("__hp"), array().cast("array<int>")).as("__hp"))
+      .select(col(idCol), col("__ws"),
+        filter(col("__ws"), (_, i) =>
+          !exists(col("__hp"), p => p <= i && i < p + width)).as("__kept"))
+      .select(col(idCol),
+        array_join(col("__kept"), " ").as("clean_text"),
+        size(col("__kept")).cast("long").as("n_kept_tokens"),
+        (size(col("__ws")) - size(col("__kept"))).cast("long")
+          .as("n_dropped_tokens"))
+  }
 }

@@ -201,6 +201,47 @@ class ScrubSamplingSpec extends SparkSpec {
     assert(solo == ((9L, "r1 r2 r1 r2 r1 r2", 3L, 0L)))
   }
 
+  test("dropDuplicatedSpans removes boundary-straddling runs chunks miss") {
+    // X1..X4 is shared by docs 1 and 2 but STRADDLES both docs'
+    // fixed-window boundaries — the exact case chunk-granularity
+    // removal cannot see
+    val docs = Seq(
+      (1L, "a1 a2 a3 X1 X2 X3 X4 a4 a5"),
+      (2L, "b1 X1 X2 X3 X4 b2 b3 b4")
+    ).toDF("doc_id", "text")
+    val chunked = Chunking.dropDuplicatedChunks(docs, "doc_id", "text",
+      width = 4, maxDf = 1L).orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    // chunk windows never align on the run → q96-style removal is blind
+    assert(chunked.forall(_._4 == 0L),
+      s"fixed windows should miss the straddling run: $chunked")
+    val spans = Chunking.dropDuplicatedSpans(docs, "doc_id", "text",
+      width = 4, maxDf = 1L).orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(spans == Seq(
+      (1L, "a1 a2 a3 a4 a5", 5L, 4L),
+      (2L, "b1 b2 b3 b4", 4L, 4L)))
+  }
+
+  test("dropDuplicatedSpans merges overlapping hot shingles into one span") {
+    // a shared 6-token run yields three overlapping hot 4-shingles;
+    // coverage is their union — one maximal removed span, not three cuts
+    val docs = Seq(
+      (1L, "c1 Y1 Y2 Y3 Y4 Y5 Y6 c2"),
+      (2L, "Y1 Y2 Y3 Y4 Y5 Y6 d1 d2"),
+      (3L, "e1 e2 e3 e4 e5"), // no duplication → untouched
+      (4L, "f1 f2")           // shorter than width → no shingles
+    ).toDF("doc_id", "text")
+    val out = Chunking.dropDuplicatedSpans(docs, "doc_id", "text",
+      width = 4, maxDf = 1L).orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "c1 c2", 2L, 6L),
+      (2L, "d1 d2", 2L, 6L),
+      (3L, "e1 e2 e3 e4 e5", 5L, 0L),
+      (4L, "f1 f2", 2L, 0L)))
+  }
+
   test("tokenChunks covers every token for any (length, width, stride)") {
     for (l <- Seq(1, 2, 5, 7, 16, 33); w <- Seq(1, 2, 4, 8); s <- Seq(1, 2, 4)
          if s <= w) {
