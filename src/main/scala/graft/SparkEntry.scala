@@ -1351,6 +1351,30 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // REAL image decode through the decodePartitions seam: BMPs
+    // synthesized per doc_id (JDK ImageIO writer), decoded by the JDK
+    // ImageIO reader — width/height/channels come from decoded pixels,
+    // and the oracle predicts them (plus the closed-form BI_RGB byte
+    // size) straight from doc_id, so a stub fallback would hash-fail
+    "q122_mm_real_decode" -> ((s, dir) => {
+      import s.implicits._
+      val ids = t(s, dir, "documents")
+        .where(col("doc_id").isNotNull).select(col("doc_id")).as[Long]
+      val assets = ids.map { id =>
+        val w = (id % 13 + 1).toInt
+        val h = (id % 7 + 1).toInt
+        (id, "image", graft.multimodal.Multimodal.syntheticBmp(id, w, h))
+      }.toDF("id", "modality", "content")
+        .withColumn("n_bytes", octet_length(col("content")).cast("long"))
+      graft.multimodal.Multimodal
+        .decodePartitions(assets, graft.multimodal.Multimodal.imageDecodeBytes)
+        .toDF()
+        .select(col("id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("channels").cast("long").as("channels"), col("nBytes").as("n_bytes"))
+        .orderBy("id")
+    }),
+
     // ExactSubstr-grade span removal (Lee et al. 2022): stride-1
     // 8-token shingles at arbitrary boundaries, df > 2 spans removed as
     // merged maximal runs — catches the boundary-straddling duplicates
@@ -3873,6 +3897,20 @@ object SparkEntry {
          |SELECT query_id, rank, neighbor_id, round(adc, 6) AS adc
          |FROM ranked WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
+
+    // the oracle predicts what REAL decoding must return: the synthetic
+    // dims from doc_id, 3 bands (24-bit BMP), and the uncompressed
+    // BI_RGB byte size 54 + h*ceil(3w/4)*4 — a stub fallback (md5-
+    // derived 64..575 dims) could never match
+    "q122_mm_real_decode" ->
+      s"""SELECT doc_id AS id,
+         |  CAST(doc_id % 13 + 1 AS BIGINT) AS width,
+         |  CAST(doc_id % 7 + 1 AS BIGINT) AS height,
+         |  CAST(3 AS BIGINT) AS channels,
+         |  CAST(54 + (doc_id % 7 + 1)
+         |    * (((doc_id % 13 + 1) * 3 + 3) // 4 * 4) AS BIGINT) AS n_bytes
+         |FROM documents WHERE doc_id IS NOT NULL
+         |ORDER BY id""".stripMargin,
 
     // stride-1 shingle hashes → df>2 hot set → per-doc hot start
     // positions → index-mask reassembly. DuckDB's 1-based i maps to

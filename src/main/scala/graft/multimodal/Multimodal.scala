@@ -99,6 +99,52 @@ object Multimodal {
     (w, hgt, c, d)
   }
 
+  /** REAL image decode at the [[decodePartitions]] seam: the JDK's
+    * built-in `javax.imageio` readers (PNG, BMP, GIF, JPEG, WBMP) parse
+    * the payload bytes — width/height from the decoded image, channels
+    * from the decoded raster's band count, duration 0 (stills). Payloads
+    * no registered reader recognizes (and non-image modalities) fall
+    * back to the deterministic stub, so a mixed asset table decodes
+    * without a partition-killing throw. This is the "swap `decodeFn`
+    * for a real decoder" contract of [[decodePartitions]] made good
+    * with a codec that ships in the JVM.
+    */
+  def imageDecodeBytes(bytes: Array[Byte],
+                       modality: String): (Int, Int, Int, Long) = {
+    if (modality == "image") {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: java.io.IOException => null }
+      if (img != null)
+        (img.getWidth, img.getHeight, img.getRaster.getNumBands, 0L)
+      else stubDecodeBytes(bytes, modality)
+    } else stubDecodeBytes(bytes, modality)
+  }
+
+  /** Deterministic 24-bit BMP fixture: pixel (x, y) of asset `id` is an
+    * id-stable RGB value, encoded by the JDK's BMP writer. Uncompressed
+    * BI_RGB layout → the byte size is the closed-form
+    * `54 + h * ceil(3w/4)*4`, which the q122 oracle predicts — so a
+    * hash-gated query can check that REAL decoded pixels (not the stub)
+    * produced the metadata.
+    */
+  def syntheticBmp(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, ((id * 2654435761L + x * 7 + y * 131) % 0x1000000L).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    bos.toByteArray
+  }
+
   /** Deterministic fake feature-extraction: a float32 embedding derived
     * from the content hash — the stub stands where a vision/audio encoder
     * would run (same seam as `stubDecodeMeta`; swap for a real encoder

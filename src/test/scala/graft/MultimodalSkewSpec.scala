@@ -67,6 +67,45 @@ class MultimodalSkewSpec extends SparkSpec {
     }
   }
 
+  test("imageDecodeBytes decodes real BMP/PNG pixels; unknown codecs " +
+    "fall back to the stub") {
+    // real fixtures through the real JDK readers: dims/bands must come
+    // from decoded pixels, not the content hash
+    val bmp = Multimodal.syntheticBmp(42L, 9, 5)
+    assert(Multimodal.imageDecodeBytes(bmp, "image") == ((9, 5, 3, 0L)))
+    val png = {
+      val img = new java.awt.image.BufferedImage(
+        4, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    assert(Multimodal.imageDecodeBytes(png, "image") == ((4, 6, 3, 0L)))
+    // no registered reader → the deterministic stub, not a throw
+    val garbage = "definitely not an image".getBytes("UTF-8")
+    assert(Multimodal.imageDecodeBytes(garbage, "image") ==
+      Multimodal.stubDecodeBytes(garbage, "image"))
+    // non-image modalities never enter the codec
+    assert(Multimodal.imageDecodeBytes(bmp, "audio") ==
+      Multimodal.stubDecodeBytes(bmp, "audio"))
+
+    // end-to-end through the mapPartitions seam: a mixed table of real
+    // images and a garbage payload decodes without a partition throw
+    val assets = spark.createDataFrame(Seq(
+      (1L, "image", Multimodal.syntheticBmp(1L, 3, 2)),
+      (2L, "image", Multimodal.syntheticBmp(2L, 7, 4)),
+      (3L, "image", garbage)
+    )).toDF("id", "modality", "content")
+      .withColumn("n_bytes", octet_length(col("content")).cast("long"))
+    val out = Multimodal
+      .decodePartitions(assets, Multimodal.imageDecodeBytes)
+      .collect().map(m => m.id -> ((m.width, m.height, m.channels)))
+      .toMap
+    assert(out(1L) == ((3, 2, 3)) && out(2L) == ((7, 4, 3)))
+    val (gw, gh, gc, _) = Multimodal.stubDecodeBytes(garbage, "image")
+    assert(out(3L) == ((gw, gh, gc)))
+  }
+
   test("salted join returns exactly the plain join's rows") {
     val hot = (1 to 500).map(i => ("hotkey", i.toLong)) ++
       Seq(("cold", 1000L))
