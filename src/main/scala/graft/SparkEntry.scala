@@ -1375,6 +1375,46 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // SQL-text registry gates (the q55 pattern) for the remaining
+    // native kernels: the Spark side is spark.sql(...) through the
+    // function registry, hash-gated by the SAME oracles as the Column-
+    // API queries (q101/q54/q99)
+    "q123_sql_native_winnow" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      t(s, dir, "documents").createOrReplaceTempView("documents_v")
+      s.sql(
+        """SELECT doc_id, fingerprint FROM (
+          |  SELECT doc_id,
+          |    explode_outer(graft_winnow(concat_ws(' ',
+          |      filter(split(regexp_replace(lower(text), '[^a-z0-9\\s]', ' '),
+          |        '\\s+'), x -> x != '')), 5, 4)) AS fingerprint
+          |  FROM documents_v WHERE doc_id IS NOT NULL)
+          |WHERE fingerprint IS NOT NULL
+          |ORDER BY doc_id, fingerprint""".stripMargin)
+    }),
+    "q124_sql_native_char_ngrams" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      t(s, dir, "documents").createOrReplaceTempView("documents_v")
+      s.sql(
+        """SELECT doc_id, CAST(size(sh) AS BIGINT) AS n_shingles,
+          |  md5(array_join(array_sort(sh), '|')) AS shingle_md5
+          |FROM (
+          |  SELECT doc_id, graft_char_ngrams(concat_ws(' ',
+          |    filter(split(regexp_replace(lower(text), '[^a-z0-9\\s]', ' '),
+          |      '\\s+'), x -> x != '')), 5) AS sh
+          |  FROM documents_v
+          |  WHERE lower(text) RLIKE '[a-z0-9]')
+          |ORDER BY doc_id""".stripMargin)
+    }),
+    "q125_sql_native_clean_text" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      t(s, dir, "documents").createOrReplaceTempView("documents_v")
+      s.sql(
+        """SELECT doc_id, graft_clean_text(text) AS clean_text,
+          |  CAST(length(graft_clean_text(text)) AS BIGINT) AS clean_len
+          |FROM documents_v ORDER BY doc_id""".stripMargin)
+    }),
+
     // ExactSubstr-grade span removal (Lee et al. 2022): stride-1
     // 8-token shingles at arbitrary boundaries, df > 2 spans removed as
     // merged maximal runs — catches the boundary-straddling duplicates
@@ -1694,6 +1734,54 @@ object SparkEntry {
   /** Shared by q33 (DataFrame formulation) and q55 (SQL-text entry path
     * through the registered native kernels) — identical SimHash table.
     */
+  /** Shared by q101 (Column API) and q123 (SQL-text registry path). */
+  private lazy val WinnowingOracle =
+    s"""WITH $WordsCte,
+       |canon AS (
+       |  SELECT doc_id, array_to_string(ws, ' ') AS c FROM words
+       |  WHERE doc_id IS NOT NULL),
+       |grams AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(c) >= 5 THEN
+       |      list_transform(range(0, length(c) - 5 + 1),
+       |        p -> ('0x'||substr(md5(substr(c, p + 1, 5)),1,15))::BIGINT)
+       |    ELSE CAST([] AS BIGINT[]) END AS h
+       |  FROM canon),
+       |fps AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    CASE WHEN len(h) > 0 THEN
+       |      list_transform(range(0, greatest(len(h) - 4, 0) + 1),
+       |        i -> list_min(h[(i+1):(i+4)]))
+       |    ELSE CAST([] AS BIGINT[]) END)) AS fingerprint
+       |  FROM grams)
+       |SELECT doc_id, fingerprint FROM fps
+       |ORDER BY doc_id, fingerprint""".stripMargin
+
+  /** Shared by q99 (Column API) and q125 (SQL-text registry path). */
+  private lazy val CleanTextOracle =
+    s"""SELECT doc_id,
+       |  trim(regexp_replace(regexp_replace(nfc_normalize(text),
+       |    '[\\x00-\\x08\\x0e-\\x1f\\x7f]', '', 'g'),
+       |    '[$WsClass]+', ' ', 'g')) AS clean_text,
+       |  CAST(length(trim(regexp_replace(regexp_replace(nfc_normalize(text),
+       |    '[\\x00-\\x08\\x0e-\\x1f\\x7f]', '', 'g'),
+       |    '[$WsClass]+', ' ', 'g'))) AS BIGINT) AS clean_len
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Shared by q54 (Column API) and q124 (SQL-text registry path). */
+  private lazy val CharShinglesOracle =
+    s"""WITH $WordsCte,
+       |canon AS (SELECT doc_id, array_to_string(ws, ' ') AS c
+       |          FROM words WHERE len(ws) > 0),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    generate_series(1, greatest(1, length(c) - 4)),
+       |    i -> substr(c, i, 5))) AS shl
+       |  FROM canon)
+       |SELECT doc_id, CAST(len(shl) AS BIGINT) AS n_shingles,
+       |  md5(array_to_string(list_sort(shl), '|')) AS shingle_md5
+       |FROM sh ORDER BY doc_id""".stripMargin
+
   private val SimHashOracle =
     s"""WITH $ToksCte,
        |$SimHashCte
@@ -2775,27 +2863,10 @@ object SparkEntry {
          |FROM agg ORDER BY doc_id""".stripMargin,
     // range() is exclusive where Spark's sequence() is inclusive (+1);
     // list slices are 1-based inclusive and clamp like Spark's slice
-    "q101_winnow" ->
-      s"""WITH $WordsCte,
-         |canon AS (
-         |  SELECT doc_id, array_to_string(ws, ' ') AS c FROM words
-         |  WHERE doc_id IS NOT NULL),
-         |grams AS (
-         |  SELECT doc_id,
-         |    CASE WHEN length(c) >= 5 THEN
-         |      list_transform(range(0, length(c) - 5 + 1),
-         |        p -> ('0x'||substr(md5(substr(c, p + 1, 5)),1,15))::BIGINT)
-         |    ELSE CAST([] AS BIGINT[]) END AS h
-         |  FROM canon),
-         |fps AS (
-         |  SELECT doc_id, unnest(list_distinct(
-         |    CASE WHEN len(h) > 0 THEN
-         |      list_transform(range(0, greatest(len(h) - 4, 0) + 1),
-         |        i -> list_min(h[(i+1):(i+4)]))
-         |    ELSE CAST([] AS BIGINT[]) END)) AS fingerprint
-         |  FROM grams)
-         |SELECT doc_id, fingerprint FROM fps
-         |ORDER BY doc_id, fingerprint""".stripMargin,
+    "q101_winnow" -> WinnowingOracle,
+    // the SAME oracle gates the SQL-text path: q123's Spark side is
+    // spark.sql(...) through the function registry
+    "q123_sql_native_winnow" -> WinnowingOracle,
     // q101's selection chain at k=16/w=8, df-pruned, self-joined
     "q102_winnow_overlap" ->
       s"""WITH $WordsCte,
@@ -2860,15 +2931,8 @@ object SparkEntry {
     // the kernel's one pass ≡ NFC → strip non-ws controls → collapse the
     // tokenizer's ws class → trim (space-only trim is exact: after the
     // collapse every whitespace IS a space)
-    "q99_clean_text" ->
-      s"""SELECT doc_id,
-         |  trim(regexp_replace(regexp_replace(nfc_normalize(text),
-         |    '[\\x00-\\x08\\x0e-\\x1f\\x7f]', '', 'g'),
-         |    '[$WsClass]+', ' ', 'g')) AS clean_text,
-         |  CAST(length(trim(regexp_replace(regexp_replace(nfc_normalize(text),
-         |    '[\\x00-\\x08\\x0e-\\x1f\\x7f]', '', 'g'),
-         |    '[$WsClass]+', ' ', 'g'))) AS BIGINT) AS clean_len
-         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q99_clean_text" -> CleanTextOracle,
+    "q125_sql_native_clean_text" -> CleanTextOracle,
     // q91's scoring chain + tercile cut points (quantile_cont = Spark's
     // exact interpolated percentile; both sides round the thresholds to
     // 6 dp and compare the RAW ordered-fold scores, so classification
@@ -3151,18 +3215,8 @@ object SparkEntry {
          |    END AS BIGINT) AS rolling_fp
          |FROM canon ORDER BY doc_id""".stripMargin,
 
-    "q54_char_shingles" ->
-      s"""WITH $WordsCte,
-         |canon AS (SELECT doc_id, array_to_string(ws, ' ') AS c
-         |          FROM words WHERE len(ws) > 0),
-         |sh AS (
-         |  SELECT doc_id, list_distinct(list_transform(
-         |    generate_series(1, greatest(1, length(c) - 4)),
-         |    i -> substr(c, i, 5))) AS shl
-         |  FROM canon)
-         |SELECT doc_id, CAST(len(shl) AS BIGINT) AS n_shingles,
-         |  md5(array_to_string(list_sort(shl), '|')) AS shingle_md5
-         |FROM sh ORDER BY doc_id""".stripMargin,
+    "q54_char_shingles" -> CharShinglesOracle,
+    "q124_sql_native_char_ngrams" -> CharShinglesOracle,
 
     // arithmetic mirrors TextAnalysis.termScores op-for-op (same literal
     // structure, e.g. (1.2 + 1) not 2.2, so the IEEE ops line up); avg of
