@@ -777,12 +777,39 @@ object TextAnalysis {
     val base = docs.filter(col(idCol).isNotNull)
       .select(col(idCol), t,
         TextFunctions.normalizedWords(t).as("__ws"),
-        filter(transform(split(t, "\n"), l => trim(l)),
-          l => l =!= "").as("__ls"))
-    val nw = size(col("__ws")).cast("long")
+        gopherLines(t).as("__ls"))
+    val rules = gopherRuleExprs(t, col("__ws"), col("__ls"),
+      minWords, maxWords, minMeanLen, maxMeanLen, maxSymbolRatio,
+      maxBulletFrac, maxEllipsisFrac, minAlphaFrac, minStopwords)
+    base.select(
+      col(idCol) +: size(col("__ws")).cast("long").as("n_words") +:
+        (rules.map { case (n, c) => c.as(n) } :+
+          rules.map(_._2).reduce(_ && _).as("keep")): _*)
+  }
+
+  /** The trimmed non-empty line array the Gopher line rules measure. */
+  private[graft] def gopherLines(t: Column): Column =
+    filter(transform(split(t, "\n"), l => trim(l)), l => l =!= "")
+
+  /** The seven Gopher §A1.1 rule predicates over (text, words, lines) —
+    * the single source both [[gopherRules]] (batch readout) and the
+    * streaming gate in `CurationPipeline.runStreaming` evaluate, so a
+    * row passes the stream gate iff its batch verdict is `keep`. `ws`
+    * and `ls` must be MATERIALIZED attributes (not inline HOF chains) or
+    * codegen re-runs the tokenizer per rule.
+    */
+  private[graft] def gopherRuleExprs(t: Column, ws: Column, ls: Column,
+      minWords: Long = 50L, maxWords: Long = 100000L,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      maxBulletFrac: Double = 0.9,
+      maxEllipsisFrac: Double = 0.3,
+      minAlphaFrac: Double = 0.8,
+      minStopwords: Int = 2): Seq[(String, Column)] = {
+    val nw = size(ws).cast("long")
     val nwD = greatest(nw, lit(1L)).cast("double")
-    val nl = greatest(size(col("__ls")), lit(1)).cast("double")
-    val sumLen = aggregate(col("__ws"), lit(0L),
+    val nl = greatest(size(ls), lit(1)).cast("double")
+    val sumLen = aggregate(ws, lit(0L),
       (acc, w) => acc + length(w).cast("long"))
     val meanLen = sumLen.cast("double") / nwD
     val hashes = (length(t) - length(regexp_replace(t, "#", "")))
@@ -790,16 +817,16 @@ object TextAnalysis {
     val ellipses =
       (length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))).cast("long")
     val symbolRatio = (hashes + ellipses / lit(3)).cast("double") / nwD
-    val bulletFrac = size(filter(col("__ls"),
+    val bulletFrac = size(filter(ls,
       l => l.substr(1, 1).isin("•", "-", "*"))).cast("double") / nl
-    val ellipsisFrac = size(filter(col("__ls"),
+    val ellipsisFrac = size(filter(ls,
       l => l.endsWith("...") || l.endsWith("…"))).cast("double") / nl
-    val alphaFrac = size(filter(col("__ws"),
+    val alphaFrac = size(filter(ws,
       w => w.rlike("[a-z]"))).cast("double") / nwD
     val stopHits = GopherStopwords
-      .map(sw => when(array_contains(col("__ws"), sw), 1).otherwise(0))
+      .map(sw => when(array_contains(ws, sw), 1).otherwise(0))
       .reduce((a, b) => a + b)
-    val rules = Seq(
+    Seq(
       "r_word_count" -> nw.between(minWords, maxWords),
       "r_mean_word_len" -> (meanLen >= minMeanLen && meanLen <= maxMeanLen),
       "r_symbol_ratio" -> (symbolRatio <= maxSymbolRatio),
@@ -807,9 +834,5 @@ object TextAnalysis {
       "r_ellipsis_lines" -> (ellipsisFrac <= maxEllipsisFrac),
       "r_alpha_words" -> (alphaFrac >= minAlphaFrac),
       "r_stopwords" -> (stopHits >= minStopwords))
-    base.select(
-      col(idCol) +: nw.as("n_words") +:
-        (rules.map { case (n, c) => c.as(n) } :+
-          rules.map(_._2).reduce(_ && _).as("keep")): _*)
   }
 }

@@ -80,13 +80,7 @@ object Scrub {
     require(minSentences >= 0, s"minSentences must be >= 0: $minSentences")
     require(lineDropToken.nonEmpty && pagePhrase.nonEmpty,
       "empty rule token/phrase")
-    // a line survives C4 when it ends in terminal punctuation, carries
-    // enough words, and never mentions the drop token (case-insensitive)
-    def lineKept(l: Column): Column =
-      rtrim(l).rlike("[.!?\"']$") &&
-        size(filter(split(trim(l), "[ \t]+"), w => w =!= "")) >=
-          minLineWords &&
-        !lower(l).contains(lineDropToken.toLowerCase)
+    def lineKept(l: Column): Column = c4LineKept(l, minLineWords, lineDropToken)
     docs
       .filter(col(idCol).isNotNull)
       .select(col(idCol), col(textCol),
@@ -111,6 +105,30 @@ object Scrub {
         !col("has_page_phrase") && !col("has_brace") &&
           col("n_sentences") >= minSentences)
   }
+
+  /** A line survives C4 when it ends in terminal punctuation, carries
+    * enough words, and never mentions the drop token (case-insensitive)
+    * — the single source both [[c4Clean]] and the streaming gate in
+    * `CurationPipeline.runStreaming` evaluate.
+    */
+  private[graft] def c4LineKept(l: Column, minLineWords: Int,
+                                lineDropToken: String): Column =
+    rtrim(l).rlike("[.!?\"']$") &&
+      size(filter(split(trim(l), "[ \t]+"), w => w =!= "")) >=
+        minLineWords &&
+      !lower(l).contains(lineDropToken.toLowerCase)
+
+  /** The C4 page verdict over (raw text, already-cleaned text) — shared
+    * by [[c4Clean]]'s column form and the streaming gate. `textClean`
+    * must be a MATERIALIZED attribute (the sentence count re-reads it).
+    */
+  private[graft] def c4PageKeep(t: Column, textClean: Column,
+                                minSentences: Int,
+                                pagePhrase: String): Column =
+    !lower(t).contains(pagePhrase.toLowerCase) &&
+      !(t.contains("{") || t.contains("}")) &&
+      length(regexp_replace(textClean, "[^.!?]", "")).cast("long") >=
+        minSentences
 
   /** Ordered redaction rules: each `(pattern, replacement)` is applied in
     * sequence (later rules see earlier rules' output, exactly like a

@@ -73,7 +73,9 @@ object CurationPipeline {
                    quality: Column = qualityGate(),
                    lateness: String = "1 hour",
                    nearDedupBits: Option[Int] = None,
-                   clean: Boolean = false): DataFrame = {
+                   clean: Boolean = false,
+                   c4Rules: Boolean = false,
+                   gopherGate: Boolean = false): DataFrame = {
     // canonicalization is row-local, so the stream can run the same
     // zeroth stage as the batch cascade (the dedup state key then hashes
     // canonical bytes — whitespace re-renderings collide at ingest)
@@ -82,17 +84,43 @@ object CurationPipeline {
       docs.withColumn(textCol,
         graft.functions.GraftFunctions.cleanText(col(textCol)))
     }
+    // C4 line rules are row-local and REWRITE text, so the stream runs
+    // them in the same slot as the batch cascade (right after clean);
+    // downstream gates and the dedup state key see the cleaned lines.
+    // Same expressions as Scrub.c4Clean (c4LineKept / c4PageKeep).
+    val afterC4 = if (!c4Rules) cleaned else {
+      val raw = col(textCol)
+      cleaned
+        .withColumn("__tc", array_join(filter(split(raw, "\n"),
+          l => graft.operators.Scrub.c4LineKept(l, 5, "javascript")), "\n"))
+        .filter(graft.operators.Scrub.c4PageKeep(raw, col("__tc"),
+          minSentences = 3, pagePhrase = "lorem ipsum"))
+        .withColumn(textCol, col("__tc"))
+        .drop("__tc")
+    }
     // one projection per stage (not a withColumn per metric — each
     // withColumn re-analyzes the whole growing plan), with the words
     // array materialized once per stage (HOF chains defeat codegen
     // subexpression elimination — see the qualityStats comment)
     val metrics = TextAnalysis.qualityColumnsOver(textCol, col("__ws"))
-    val afterQuality = cleaned
+    val afterQuality0 = afterC4
       .withColumn("__ws",
         graft.functions.TextFunctions.normalizedWords(col(textCol)))
       .select(col("*") +: metrics.map { case (n, c) => c.as(n) }: _*)
       .filter(quality)
       .drop(metrics.map(_._1): _*).drop("__ws")
+    // Gopher document rules (row-local): same predicates as the batch
+    // readout — gopherRuleExprs is the single source for both
+    val afterQuality =
+      if (!gopherGate) afterQuality0
+      else afterQuality0
+        .withColumn("__ws",
+          graft.functions.TextFunctions.normalizedWords(col(textCol)))
+        .withColumn("__ls", TextAnalysis.gopherLines(col(textCol)))
+        .filter(TextAnalysis
+          .gopherRuleExprs(col(textCol), col("__ws"), col("__ls"))
+          .map(_._2).reduce(_ && _))
+        .drop("__ws", "__ls")
     val afterLang =
       if (languages.isEmpty) afterQuality
       else {
@@ -146,6 +174,8 @@ object CurationPipeline {
           minAvgLogProb: Double = -12.0,
           spanDedup: Option[(Int, Long)] = None,
           clean: Boolean = false,
+          c4Rules: Boolean = false,
+          gopherGate: Boolean = false,
           stageCounts: Boolean = false): Result = {
     // intermediates cached for the stage-count run are unpersisted before
     // returning; `curated` itself is never cached here — callers that will
@@ -164,15 +194,30 @@ object CurationPipeline {
     // (Caching the intermediates instead is the wrong tool — an
     // InMemoryRelation is a materialization barrier that blocks AQE's
     // runtime join planning, measured 2x slower.)
-    val slim = if (!clean) docs.select(col(idCol), col(textCol)) else {
+    val slim0 = if (!clean) docs.select(col(idCol), col(textCol)) else {
       graft.functions.GraftFunctions.register(docs.sparkSession)
       docs.select(col(idCol),
         graft.functions.GraftFunctions.cleanText(col(textCol)).as(textCol))
     }
+    // optional C4 line rules (Raffel et al. §2.2): the other stage that
+    // REWRITES text — RefinedWeb order puts line-level cleaning before
+    // the quality gates, so everything downstream sees the kept lines
+    val slim = if (!c4Rules) slim0 else staged(
+      graft.operators.Scrub.c4Clean(slim0, idCol, textCol)
+        .filter(col("keep"))
+        .select(col(idCol), col("text_clean").as(textCol)))
 
     val q = TextAnalysis.qualityStats(slim, idCol, textCol)
       .filter(quality).select(col(idCol))
-    val afterQuality = staged(slim.join(q, idCol))
+    val afterQuality0 = staged(slim.join(q, idCol))
+
+    // optional Gopher document rules (Rae et al. A1.1): a second,
+    // stricter quality family — same slim-id-set shape
+    val afterQuality =
+      if (!gopherGate) afterQuality0
+      else staged(afterQuality0.join(
+        TextAnalysis.gopherRules(afterQuality0, idCol, textCol)
+          .filter(col("keep")).select(col(idCol)), idCol))
 
     // optional repetition gate (Gopher-style): drop boilerplate whose
     // duplicate-bigram fraction crosses the cap. Same slim-id-set shape
@@ -269,7 +314,8 @@ object CurationPipeline {
     // moves to the end of the schema); otherwise the original row rides
     // through untouched
     val curated =
-      if (!clean && spanDedup.isEmpty) docs.join(keepIds, Seq(idCol))
+      if (!clean && !c4Rules && spanDedup.isEmpty)
+        docs.join(keepIds, Seq(idCol))
       else docs.drop(textCol)
         .join(afterSpan.select(col(idCol), col(textCol)), Seq(idCol))
         .join(keepIds, Seq(idCol))
@@ -280,10 +326,13 @@ object CurationPipeline {
       try {
         val m = Map(
           "input" -> docs.count(),
-          "after_quality" -> afterQuality.count(),
+          "after_quality" -> afterQuality0.count(),
           "after_language" -> afterLang.count(),
           "after_exact_dedup" -> afterExact.count(),
           "after_near_dedup" -> keepIds.count()) ++
+          (if (c4Rules) Seq("after_c4" -> slim.count()) else Nil) ++
+          (if (gopherGate) Seq("after_gopher" -> afterQuality.count())
+           else Nil) ++
           benchmarks.map(_ => "after_decontamination" -> afterDecon.count()) ++
           spanDedup.map(_ => "after_span_dedup" -> afterSpan.count()) ++
           lmReference.map(_ => "after_lm" -> afterLm.count()) ++

@@ -427,6 +427,61 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("batch and streaming agree with the C4 and Gopher gates on") {
+    // the published-filter stages are row-local, so stream and batch
+    // must keep identical rows AND produce identical rewritten text
+    val goodLines = Seq(
+      "the quick brown fox jumps over the lazy dog and runs far away today.",
+      "a merry band of travelers walked along the river and sang old songs.",
+      "every morning the baker makes fresh bread and the town wakes slowly.",
+      "children play in the park while the birds sing from the tall trees.")
+    val good = goodLines.mkString("\n")
+    val otherLines = Seq(
+      "deep in the valley a small stream carries cold water past the mill.",
+      "sailors watch the harbor lights and wait for the tide to turn again.",
+      "the library keeps ancient maps and letters from a hundred years ago.",
+      "farmers gather ripe apples before the first frost covers the field.",
+      "at night the watchman walks the wall and counts the quiet stars above.")
+    val withJs = (otherLines :+
+      "click here to enable javascript in your browser now").mkString("\n")
+    val withBrace = good + "\nfunction foo() { return 1; }"
+    val short = "this is a short document.\n" +
+      "it has three good sentences here.\n" +
+      "but it stays well under fifty words in total today."
+    val rows = Seq(
+      (1L, good, 100L),      // passes everything
+      (2L, withBrace, 110L), // C4 page rule (brace) drops it
+      (3L, withJs, 120L),    // C4 LINE rule cuts the javascript line only
+      (4L, short, 130L),     // passes C4+quality, Gopher word count drops it
+      (5L, good, 140L))      // exact dup of 1
+    val batch = graft.pipeline.CurationPipeline
+      .run(rows.toDF("doc_id", "text", "secs"), "doc_id", "text",
+        languages = Set("en"), c4Rules = true, gopherGate = true)
+      .curated.select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    val input = MemoryStream[(Long, String, Long)](spark)
+    val stream = input.toDF()
+      .select(col("_1").as("doc_id"), col("_2").as("text"),
+        timestamp_seconds(col("_3")).as("ts"))
+    val q = graft.pipeline.CurationPipeline
+      .runStreaming(stream, "doc_id", "text", "ts", languages = Set("en"),
+        c4Rules = true, gopherGate = true)
+      .select("doc_id", "text")
+      .writeStream.format("memory").queryName("c4gopherparity")
+      .outputMode("append").start()
+    try {
+      input.addData(rows)
+      q.processAllAvailable()
+      val streamKept = spark.table("c4gopherparity")
+        .as[(Long, String)].collect().toMap
+      assert(batch.keySet == Set(1L, 3L), s"batch kept ${batch.keySet}")
+      assert(streamKept == batch,
+        s"stream kept $streamKept, batch kept $batch")
+      // the line rule genuinely rewrote doc 3 in BOTH paths
+      assert(batch(3L) == otherLines.mkString("\n"))
+    } finally q.stop()
+  }
+
   test("batch and streaming sessionization agree on on-time data") {
     val batch = EventStreams.sessionize(
       Seq((7L, 1000L, 1L), (7L, 1500L, 2L), (7L, 4000L, 3L), (8L, 900L, 4L))
