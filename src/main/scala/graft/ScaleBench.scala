@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Jaccard, Pq}
+
+/** Time the flagship paths over the ScaleFixture 10× corpus and report
+  * whether AQE skew handling fired — the local stand-in for the 100 TB
+  * design review (numbers recorded in BASELINE.md, "Round-8 scale
+  * evidence"). Each workload runs twice; read the second (warm) number.
+  */
+object ScaleBench {
+  private def time[A](label: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"[scalebench] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/scale10")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+
+    def docs: DataFrame = spark.read.parquet(s"$dir/documents.parquet")
+    def embs: DataFrame = spark.read.parquet(s"$dir/embeddings.parquet")
+
+    for (round <- Seq("cold", "warm")) {
+      time(s"curation_counts_10x $round") {
+        println("  counts=" + graft.pipeline.CurationPipeline
+          .run(docs, "doc_id", "text", languages = Set.empty).counts)
+      }
+      time(s"lsh_components_10x $round") {
+        // star contraction, NOT hash-min: at 50k docs the LSH candidate
+        // graph's diameter outgrows hash-min's iteration budget (the
+        // first run of this bench proved it — 25 rounds, no
+        // convergence), while contraction converges in O(log n) rounds.
+        // Exactly the scale split the Dedup scaladocs prescribe.
+        val sigs = Dedup.minHashSignatures(docs, "doc_id", "text", k = 8,
+          tokenize = Dedup.shingleTokenizer(3))
+        val cands = Dedup.lshCandidates(sigs, "doc_id", k = 8, bands = 4)
+        val comps = Dedup.connectedComponentsStar(cands, "id_a", "id_b")
+        println("  clustered_docs=" + comps.count())
+      }
+      time(s"ivf_pq_topk_10x $round") {
+        val cents = embs.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        val cb = Pq.pqSeedCodebooks(embs, "vec_id", "embedding",
+          m = 8, ksub = 16)
+        val r = Pq.ivfPqTopK(embs, embs.filter(col("vec_id") < 20), cents,
+          cb, "vec_id", "embedding", k = 5, nprobe = 2)
+        println("  topk_rows=" + r.count())
+      }
+      time(s"jaccard_allpairs_df1000_10x $round") {
+        val corpus = graft.corpus.Corpus.read(spark, s"$dir/large10.txt")
+        val sims = Jaccard.allPairs(corpus, maxDocFrequency = Some(1000L))
+        println("  pairs=" + sims.count())
+      }
+    }
+    // AQE skew-split evidence: re-run the biggest shuffle path and grep
+    // its final adaptive plan for skew markers
+    val sigs = Dedup.minHashSignatures(docs, "doc_id", "text", k = 8,
+      tokenize = Dedup.shingleTokenizer(3))
+    val cands = Dedup.lshCandidates(sigs, "doc_id", k = 8, bands = 4)
+    cands.collect()
+    val plan = cands.queryExecution.executedPlan.toString
+    println("[scalebench] lshCandidates plan skew markers: " +
+      (if (plan.contains("skew=true")) "AQE skew-split ACTIVE"
+       else "none (no partition crossed the skew threshold)"))
+    spark.stop()
+  }
+}
