@@ -112,9 +112,21 @@ object Multimodal {
   def imageDecodeBytes(bytes: Array[Byte],
                        modality: String): (Int, Int, Int, Long) = {
     if (modality == "image") {
+      // MemoryCacheImageInputStream, NOT ImageIO.read(InputStream):
+      // ImageIO's default stream wrapper is FILE-cache backed — a temp
+      // file per decoded asset, which a per-row codec at corpus scale
+      // must never do
       val img =
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-        catch { case _: java.io.IOException => null }
+        try {
+          val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val readers = javax.imageio.ImageIO.getImageReaders(in)
+          if (!readers.hasNext) null
+          else {
+            val r = readers.next()
+            try { r.setInput(in); r.read(0) } finally r.dispose()
+          }
+        } catch { case _: java.io.IOException => null }
       if (img != null)
         (img.getWidth, img.getHeight, img.getRaster.getNumBands, 0L)
       else stubDecodeBytes(bytes, modality)
@@ -141,7 +153,10 @@ object Multimodal {
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "bmp", bos)
+    // memory-cached stream for the same no-temp-file reason as the reader
+    val out = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    javax.imageio.ImageIO.write(img, "bmp", out)
+    out.flush()
     bos.toByteArray
   }
 
