@@ -131,14 +131,18 @@ object Chunking {
     * removed span by construction (token coverage is a union). Output:
     * `(id, clean_text, n_kept_tokens, n_dropped_tokens)`.
     *
-    * Scale shape: only shingle HASHES shuffle — the df aggregation is
-    * map-side combined with key space = distinct shingle content, and
-    * the per-doc hot-position table (docs that contain a hot span only)
-    * comes back through an id-keyed aggregation and join. The corpus
-    * text itself never shuffles. Two tokenizer passes (shingling +
-    * reassembly), mirroring the multi-pass structure of the published
-    * suffix-array implementation; the reassembly mask is a per-row
-    * index-filter fold, |tokens|·|hot positions in doc| work.
+    * Scale shape: shingle HASHES carry the df aggregation (map-side
+    * combined, key space = distinct shingle content), and the per-doc
+    * hot-position table — one row per document that CONTAINS a hot
+    * span, typically a small corpus fraction — comes back through an
+    * id-keyed aggregation. The corpus text itself never shuffles while
+    * that table broadcasts (AQE decides; PlanSpec pins it at test
+    * scale); past the broadcast threshold the final join shuffles the
+    * corpus by id once — the same bound as q96's reassembly
+    * aggregation. Two tokenizer passes (shingling + reassembly),
+    * mirroring the multi-pass structure of the published suffix-array
+    * implementation; the reassembly mask is a per-row index-filter
+    * fold, |tokens|·|hot positions in doc| work.
     */
   def dropDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
                           width: Int, maxDf: Long): DataFrame = {

@@ -138,6 +138,22 @@ class PlanSpec extends SparkSpec {
       s"rank filter should push a group limit below the window:\n${plan.take(2000)}")
   }
 
+  test("span removal: hot set broadcasts; hot-position join converts to BHJ") {
+    val plan = finalPlan(q("q120_drop_dup_spans"))
+    val finalSection = plan.split("== Initial Plan ==").head
+    // the hot-shingle membership test is an explicit broadcast — the
+    // corpus chunks never shuffle by content for it
+    assert("BroadcastHashJoin \\[__h".r.findFirstIn(finalSection).isDefined,
+      s"hot-set join should broadcast on the hash:\n${plan.take(2000)}")
+    // the per-doc hot-position table is a small corpus fraction: AQE
+    // must convert its id-keyed left join to a broadcast join at
+    // runtime (statically it plans SMJ — stats are unknown), so the
+    // reassembly pass streams the corpus instead of sort-merging it
+    assert("BroadcastHashJoin \\[doc_id".r.findFirstIn(finalSection).isDefined
+      && !finalSection.contains("SortMergeJoin"),
+      s"hot-position join should AQE-convert to broadcast:\n${plan.take(2000)}")
+  }
+
   test("top-k aggregate runs map-side partial, never a window sort") {
     val plan = finalPlan(q("q27_topk_agg"))
     assert(plan.contains("partial_topkagg") ||
