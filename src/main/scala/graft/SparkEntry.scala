@@ -1395,6 +1395,9 @@ object SparkEntry {
     "q124_sql_native_char_ngrams" -> ((s, dir) => {
       GraftFunctions.register(s)
       t(s, dir, "documents").createOrReplaceTempView("documents_v")
+      // sort INSIDE, kernel OUTSIDE (the q54 docsSorted shape): a global
+      // sort above the kernel would run it twice — once for the range
+      // partitioner's sampling pass, once for the sort itself
       s.sql(
         """SELECT doc_id, CAST(size(sh) AS BIGINT) AS n_shingles,
           |  md5(array_join(array_sort(sh), '|')) AS shingle_md5
@@ -1402,9 +1405,8 @@ object SparkEntry {
           |  SELECT doc_id, graft_char_ngrams(concat_ws(' ',
           |    filter(split(regexp_replace(lower(text), '[^a-z0-9\\s]', ' '),
           |      '\\s+'), x -> x != '')), 5) AS sh
-          |  FROM documents_v
-          |  WHERE lower(text) RLIKE '[a-z0-9]')
-          |ORDER BY doc_id""".stripMargin)
+          |  FROM (SELECT doc_id, text FROM documents_v ORDER BY doc_id)
+          |  WHERE lower(text) RLIKE '[a-z0-9]')""".stripMargin)
     }),
     "q125_sql_native_clean_text" -> ((s, dir) => {
       GraftFunctions.register(s)
