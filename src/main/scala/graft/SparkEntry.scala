@@ -1417,6 +1417,16 @@ object SparkEntry {
           |FROM documents_v ORDER BY doc_id""".stripMargin)
     }),
 
+    // WITHIN-document repeated-span removal: any 2-token run already
+    // seen earlier in the same document is cut (first occurrence
+    // survives) — the removal form of the dup2gram_frac metric Gopher
+    // gates on; perfectly row-local, zero shuffles
+    "q126_drop_repeated_spans" -> ((s, dir) => {
+      graft.operators.Chunking.dropRepeatedSpans(
+        t(s, dir, "documents"), "doc_id", "text", width = 2)
+        .orderBy("doc_id")
+    }),
+
     // ExactSubstr-grade span removal (Lee et al. 2022): stride-1
     // 8-token shingles at arbitrary boundaries, df > 2 spans removed as
     // merged maximal runs — catches the boundary-straddling duplicates
@@ -3967,6 +3977,39 @@ object SparkEntry {
          |    * (((doc_id % 13 + 1) * 3 + 3) // 4 * 4) AS BIGINT) AS n_bytes
          |FROM documents WHERE doc_id IS NOT NULL
          |ORDER BY id""".stripMargin,
+
+    // per-doc first-seen mask: position p (0-based) repeats iff its
+    // 2-gram appears among positions < p (list_position returns 0, not
+    // NULL, on a miss — hence `> 0`); the token mask is q120's with the
+    // repeat-start list in place of the hot-position list
+    "q126_drop_repeated_spans" ->
+      s"""WITH $LiveWordsCte,
+         |hs AS (
+         |  SELECT doc_id, w,
+         |    CASE WHEN len(w) >= 2 THEN
+         |      [md5(array_to_string(
+         |        w[CAST(p + 1 AS BIGINT):CAST(p + 2 AS BIGINT)], ' '))
+         |        FOR p IN generate_series(0, len(w) - 2)]
+         |    ELSE CAST([] AS VARCHAR[]) END AS h
+         |  FROM ws),
+         |rp AS (
+         |  SELECT doc_id, w,
+         |    [CAST(p - 1 AS INT) FOR p IN generate_series(1, len(h))
+         |      IF list_position(h[1:CAST(p - 1 AS BIGINT)], h[p]) > 0] AS ps
+         |  FROM hs),
+         |masked AS (
+         |  SELECT doc_id,
+         |    [w[i] FOR i IN generate_series(1, len(w))
+         |      IF len(list_filter(ps, p -> p < i AND i <= p + 2)) = 0]
+         |      AS kept,
+         |    len(w) AS n, len(ps) AS nrp
+         |  FROM rp)
+         |SELECT doc_id,
+         |  coalesce(array_to_string(kept, ' '), '') AS clean_text,
+         |  CAST(coalesce(len(kept), 0) AS BIGINT) AS n_kept_tokens,
+         |  CAST(n - coalesce(len(kept), 0) AS BIGINT) AS n_dropped_tokens,
+         |  CAST(nrp AS BIGINT) AS n_repeat_starts
+         |FROM masked ORDER BY doc_id""".stripMargin,
 
     // stride-1 shingle hashes → df>2 hot set → per-doc hot start
     // positions → index-mask reassembly. DuckDB's 1-based i maps to

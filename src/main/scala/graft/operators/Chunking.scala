@@ -144,6 +144,69 @@ object Chunking {
     * implementation; the reassembly mask is a per-row index-filter
     * fold, |tokens|·|hot positions in doc| work.
     */
+  /** WITHIN-document repeated-span removal: drop every token covered by
+    * a `width`-token run that already occurred EARLIER in the same
+    * document — the in-document half of span dedup (concatenated pages
+    * repeating a header, templated sections, chatbot loops; the
+    * phenomenon `TextAnalysis.repetitionStats` measures and Gopher's
+    * repetition caps gate on, removed instead of gated). The FIRST
+    * occurrence of a run survives; later occurrences are cut, and
+    * overlapping repeated runs merge into maximal removed spans exactly
+    * like [[dropDuplicatedSpans]].
+    *
+    * Scale shape: perfectly row-local — one tokenizer pass, the
+    * first-seen mask is a per-row fold over the doc's own shingle
+    * hashes, ZERO shuffles (the display sort in the gated query is the
+    * only exchange). Streaming-safe for the same reason. Output:
+    * `(id, clean_text, n_kept_tokens, n_dropped_tokens,
+    * n_repeat_starts)` — the last doubles as the audit count AND the
+    * second top-level reference that keeps the repeat scan out of the
+    * mask lambda (see the in-code comment).
+    */
+  def dropRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                        width: Int): DataFrame = {
+    require(width >= 1, s"width ($width) must be >= 1")
+    val live = docs
+      .filter(col(idCol).isNotNull && lower(col(textCol)).rlike("[a-z0-9]"))
+      .select(col(idCol),
+        TextFunctions.normalizedWords(col(textCol)).as("__ws"))
+    // per-position shingle hashes (empty below `width` — sequence()
+    // counts DOWN for a negative stop, hence the guard)
+    val hashes = when(size(col("__ws")) >= width,
+      transform(sequence(lit(0), size(col("__ws")) - width),
+        p => md5(array_join(slice(col("__ws"), p + 1, lit(width)), " "))))
+      .otherwise(array().cast("array<string>"))
+    // a position p REPEATS iff its hash appears among positions < p:
+    // array_position over a PREFIX SLICE of the fixed hash array.
+    // |positions|² worst-case comparisons stay inside one row, with no
+    // per-step array building (a fold accumulating a `seen` array
+    // copies a growing array per element — measured 50× slower)
+    val repeats = when(size(col("__h")) > 0, filter(
+      transform(sequence(lit(0), size(col("__h")) - 1), p => p),
+      p => array_position(slice(col("__h"), lit(1), p),
+        element_at(col("__h"), p + 1)) > 0))
+      .otherwise(array().cast("array<int>"))
+    live
+      .select(col(idCol), col("__ws"), hashes.as("__h"))
+      .select(col(idCol), col("__ws"), repeats.as("__rp"))
+      // __nrp is a deliberate SECOND top-level reference to __rp (and
+      // rides to the output as n_repeat_starts, so pruning can't drop
+      // it): with only the in-lambda reference, CollapseProject inlines
+      // the repeat-scan expression into the filter lambda and it
+      // re-runs once per TOKEN (measured 40× slower). Two references
+      // to a non-trivial alias block the collapse, so __rp
+      // materializes once per row.
+      .select(col(idCol), col("__ws"), size(col("__rp")).as("__nrp"),
+        filter(col("__ws"), (_, i) =>
+          !exists(col("__rp"), p => p <= i && i < p + width)).as("__kept"))
+      .select(col(idCol),
+        array_join(col("__kept"), " ").as("clean_text"),
+        size(col("__kept")).cast("long").as("n_kept_tokens"),
+        (size(col("__ws")) - size(col("__kept"))).cast("long")
+          .as("n_dropped_tokens"),
+        col("__nrp").cast("long").as("n_repeat_starts"))
+  }
+
   def dropDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
                           width: Int, maxDf: Long): DataFrame = {
     require(width >= 1, s"width ($width) must be >= 1")

@@ -242,6 +242,27 @@ class ScrubSamplingSpec extends SparkSpec {
       (4L, "f1 f2", 2L, 0L)))
   }
 
+  test("dropRepeatedSpans keeps first occurrences, merges repeat runs") {
+    val docs = Seq(
+      // "x1 x2" repeats at positions 5-6: first occurrence (1-2) stays
+      (1L, "a0 x1 x2 b0 c0 x1 x2 d0"),
+      // immediate repetition "r1 r2 r1 r2 r1 r2": positions 2..5 are
+      // covered by repeat starts {2, 4} (and 3 for the wrap pair
+      // "r2 r1") → one maximal span, only the first "r1 r2" survives
+      (2L, "r1 r2 r1 r2 r1 r2"),
+      (3L, "u1 u2 u3 u4"),   // no repeats → untouched
+      (4L, "solo")           // shorter than width → untouched
+    ).toDF("doc_id", "text")
+    val out = Chunking.dropRepeatedSpans(docs, "doc_id", "text", width = 2)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "a0 x1 x2 b0 c0 d0", 6L, 2L, 1L),
+      (2L, "r1 r2", 2L, 4L, 3L),
+      (3L, "u1 u2 u3 u4", 4L, 0L, 0L),
+      (4L, "solo", 1L, 0L, 0L)))
+  }
+
   test("tokenChunks covers every token for any (length, width, stride)") {
     for (l <- Seq(1, 2, 5, 7, 16, 33); w <- Seq(1, 2, 4, 8); s <- Seq(1, 2, 4)
          if s <= w) {
