@@ -1417,6 +1417,16 @@ object SparkEntry {
           |FROM documents_v ORDER BY doc_id""".stripMargin)
     }),
 
+    // token-budget selection: the greedy (quality DESC, id) prefix of
+    // the corpus that fills a 12k-token budget with whole documents —
+    // value-keyed cumulative table + one boundary-group window, never
+    // a corpus-wide window (the single-partition cumsum trap)
+    "q127_token_budget" -> ((s, dir) => {
+      TextAnalysis.tokenBudgetSelect(t(s, dir, "documents"),
+        "doc_id", "text", budgetTokens = 12000L)
+        .orderBy("doc_id")
+    }),
+
     // WITHIN-document repeated-span removal: any 2-token run already
     // seen earlier in the same document is cut (first occurrence
     // survives) — the removal form of the dup2gram_frac metric Gopher
@@ -3977,6 +3987,25 @@ object SparkEntry {
          |    * (((doc_id % 13 + 1) * 3 + 3) // 4 * 4) AS BIGINT) AS n_bytes
          |FROM documents WHERE doc_id IS NOT NULL
          |ORDER BY id""".stripMargin,
+
+    // the oracle states the SEMANTICS directly — a per-doc window
+    // cumsum in greedy (quality DESC, id) order, kept while <= budget;
+    // the Spark side's bucketed two-phase form is provably the same set
+    "q127_token_budget" ->
+      s"""WITH $WordsCte,
+         |s AS (
+         |  SELECT doc_id,
+         |    round(CAST(length(text) - length(regexp_replace(text,
+         |      '[a-zA-Z]', '', 'g')) AS DOUBLE)
+         |      / greatest(length(text), 1), 4) AS quality,
+         |    CAST(len(ws) AS BIGINT) AS n_tokens
+         |  FROM words WHERE doc_id IS NOT NULL),
+         |g AS (
+         |  SELECT doc_id, quality, n_tokens,
+         |    sum(n_tokens) OVER (ORDER BY quality DESC, doc_id) AS cum
+         |  FROM s)
+         |SELECT doc_id, quality, n_tokens FROM g
+         |WHERE cum <= 12000 ORDER BY doc_id""".stripMargin,
 
     // per-doc first-seen mask: position p (0-based) repeats iff its
     // 2-gram appears among positions < p (list_position returns 0, not

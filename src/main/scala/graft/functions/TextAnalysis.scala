@@ -411,6 +411,72 @@ object TextAnalysis {
         >= col("threshold"))
   }
 
+  /** Token-budget corpus selection: keep the maximal greedy prefix of
+    * documents in (quality DESC, id ASC) order whose cumulative token
+    * count stays within `budgetTokens` — the "fill a 10B-token budget
+    * with the best documents" step every pretraining data plan runs
+    * after scoring. Whole documents only (no partial doc). Output:
+    * `(id, quality, n_tokens)` for the kept set.
+    *
+    * `metric` is a [[qualityColumns]] key (rounded to 4 dp, the q88
+    * convention — quantized scores keep the value table small and the
+    * boundary engine-portable).
+    *
+    * Scale shape: NO global window over the corpus (the classic
+    * single-partition trap for cumulative sums). Instead: one stats
+    * pass to `(id, quality, n_tokens)`; a VALUE-KEYED aggregation
+    * `(quality, sum tokens)` — bounded by distinct quantized scores,
+    * model-sized — carries the cumulative sum; the boundary score
+    * (first to overflow the budget) comes back as one broadcast
+    * scalar; docs strictly above it are kept with no further shuffle,
+    * and only the single boundary-score GROUP pays an id-ordered
+    * window (partitioned by the score value, so it shuffles one
+    * group's rows, never the corpus).
+    */
+  def tokenBudgetSelect(docs: DataFrame, idCol: String, textCol: String,
+                        budgetTokens: Long,
+                        metric: String = "alpha_ratio"): DataFrame = {
+    require(budgetTokens >= 0, s"budgetTokens=$budgetTokens must be >= 0")
+    require(qualityColumns(textCol).exists(_._1 == metric),
+      s"unknown quality metric '$metric'")
+    import org.apache.spark.sql.expressions.Window
+    val scored = qualityStats(docs, idCol, textCol)
+      .select(col(idCol), round(col(metric), 4).as("quality"),
+        col("n_words").as("n_tokens"))
+      // null ids have no deterministic greedy position; null scores
+      // have no rank — both out
+      .filter(col(idCol).isNotNull && col("quality").isNotNull)
+    // model-sized (distinct quantized score values): the single-
+    // partition window here is over the VALUE table, not the corpus
+    val wq = Window.orderBy(col("quality").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perQ = scored.groupBy(col("quality"))
+      .agg(sum(col("n_tokens")).as("__qn"))
+      .withColumn("__cum", sum(col("__qn")).over(wq))
+    // boundary = highest score whose cumulative total overflows the
+    // budget; everything strictly above it is fully kept
+    val boundary = perQ
+      .agg(
+        max(when(col("__cum") > budgetTokens, col("quality"))).as("__bq"),
+        sum(when(col("__cum") <= budgetTokens, col("__qn")))
+          .as("__kept_above"))
+    val b = broadcast(boundary)
+    val above = scored.crossJoin(b)
+      .filter(col("__bq").isNull || col("quality") > col("__bq"))
+      .select(col(idCol), col("quality"), col("n_tokens"))
+    // only the boundary group pays an ordered window — partitioned by
+    // the score value, so one group's rows shuffle, never the corpus
+    val wb = Window.partitionBy(col("quality")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val atBoundary = scored.crossJoin(b)
+      .filter(col("__bq").isNotNull && col("quality") === col("__bq"))
+      .withColumn("__c", sum(col("n_tokens")).over(wb))
+      .filter(col("__c") + coalesce(col("__kept_above"), lit(0L))
+        <= budgetTokens)
+      .select(col(idCol), col("quality"), col("n_tokens"))
+    above.unionAll(atBoundary)
+  }
+
   /** Unigram language-model score (CCNet-style perplexity proxy): train
     * token counts on `model`, score each `docs` row by its add-one-
     * smoothed average token log-probability. Low scores flag documents

@@ -263,6 +263,28 @@ class ScrubSamplingSpec extends SparkSpec {
       (4L, "solo", 1L, 0L, 0L)))
   }
 
+  test("tokenBudgetSelect keeps the greedy whole-doc prefix within budget") {
+    import graft.functions.TextAnalysis
+    val docs = Seq(
+      (1L, "aaaaa bbbbb ccccc"), // n_chars 17, 3 tokens
+      (2L, "aa bb cc dd"),       // n_chars 11, 4 tokens — boundary group
+      (3L, "abc def ghi"),       // n_chars 11, 3 tokens — boundary group
+      (4L, "a b")                // n_chars 3,  2 tokens
+    ).toDF("doc_id", "text")
+    def kept(budget: Long): Seq[Long] =
+      TextAnalysis.tokenBudgetSelect(docs, "doc_id", "text", budget,
+        metric = "n_chars")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+    // greedy order by (n_chars DESC, id): d1(3) d2(4) d3(3) d4(2).
+    // budget 7 fills d1+d2 exactly; d3 (same quality, higher id) and
+    // the cheaper d4 are NOT knapsacked in — greedy prefix semantics
+    assert(kept(7L) == Seq(1L, 2L))
+    assert(kept(100L) == Seq(1L, 2L, 3L, 4L)) // everything fits
+    assert(kept(2L) == Seq())                 // first doc overflows
+    assert(kept(11L) == Seq(1L, 2L, 3L))      // d4 (cum 12) just misses
+    assert(kept(12L) == Seq(1L, 2L, 3L, 4L))  // exact fit keeps all
+  }
+
   test("tokenChunks covers every token for any (length, width, stride)") {
     for (l <- Seq(1, 2, 5, 7, 16, 33); w <- Seq(1, 2, 4, 8); s <- Seq(1, 2, 4)
          if s <= w) {
