@@ -3999,7 +3999,7 @@ object SparkEntry {
          |      '[a-zA-Z]', '', 'g')) AS DOUBLE)
          |      / greatest(length(text), 1), 4) AS quality,
          |    CAST(len(ws) AS BIGINT) AS n_tokens
-         |  FROM words WHERE doc_id IS NOT NULL),
+         |  FROM words WHERE doc_id IS NOT NULL AND text IS NOT NULL),
          |g AS (
          |  SELECT doc_id, quality, n_tokens,
          |    sum(n_tokens) OVER (ORDER BY quality DESC, doc_id) AS cum

@@ -423,8 +423,11 @@ object TextAnalysis {
     * boundary engine-portable).
     *
     * Scale shape: NO global window over the corpus (the classic
-    * single-partition trap for cumulative sums). Instead: one stats
-    * pass to `(id, quality, n_tokens)`; a VALUE-KEYED aggregation
+    * single-partition trap for cumulative sums). Instead: ONE stats
+    * pass to `(id, quality, n_tokens)` — materialized via
+    * `localCheckpoint`, since three plan branches (the score table,
+    * the above-boundary filter, the boundary group) would otherwise
+    * each re-scan and re-tokenize the corpus; a VALUE-KEYED aggregation
     * `(quality, sum tokens)` — bounded by distinct quantized scores,
     * model-sized — carries the cumulative sum; the boundary score
     * (first to overflow the budget) comes back as one broadcast
@@ -444,8 +447,9 @@ object TextAnalysis {
       .select(col(idCol), round(col(metric), 4).as("quality"),
         col("n_words").as("n_tokens"))
       // null ids have no deterministic greedy position; null scores
-      // have no rank — both out
+      // have no rank — both out (the oracle filters the same rows)
       .filter(col(idCol).isNotNull && col("quality").isNotNull)
+      .localCheckpoint()
     // model-sized (distinct quantized score values): the single-
     // partition window here is over the VALUE table, not the corpus
     val wq = Window.orderBy(col("quality").desc)
@@ -831,14 +835,32 @@ object TextAnalysis {
     * ellipsis; ≥ 80% of words containing an alphabetic character; ≥ 2
     * distinct required stopwords present.
     */
+  /** Published Gopher §A1.1 thresholds (Rae et al. 2021) — the single
+    * source for both rule-expression entry points, so the batch readout
+    * and the streaming gate can never drift on a literal.
+    */
+  private[graft] object GopherDefaults {
+    val MinWords = 50L
+    val MaxWords = 100000L
+    val MinMeanLen = 3.0
+    val MaxMeanLen = 10.0
+    val MaxSymbolRatio = 0.1
+    val MaxBulletFrac = 0.9
+    val MaxEllipsisFrac = 0.3
+    val MinAlphaFrac = 0.8
+    val MinStopwords = 2
+  }
+
   def gopherRules(docs: DataFrame, idCol: String, textCol: String,
-                  minWords: Long = 50L, maxWords: Long = 100000L,
-                  minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
-                  maxSymbolRatio: Double = 0.1,
-                  maxBulletFrac: Double = 0.9,
-                  maxEllipsisFrac: Double = 0.3,
-                  minAlphaFrac: Double = 0.8,
-                  minStopwords: Int = 2): DataFrame = {
+                  minWords: Long = GopherDefaults.MinWords,
+                  maxWords: Long = GopherDefaults.MaxWords,
+                  minMeanLen: Double = GopherDefaults.MinMeanLen,
+                  maxMeanLen: Double = GopherDefaults.MaxMeanLen,
+                  maxSymbolRatio: Double = GopherDefaults.MaxSymbolRatio,
+                  maxBulletFrac: Double = GopherDefaults.MaxBulletFrac,
+                  maxEllipsisFrac: Double = GopherDefaults.MaxEllipsisFrac,
+                  minAlphaFrac: Double = GopherDefaults.MinAlphaFrac,
+                  minStopwords: Int = GopherDefaults.MinStopwords): DataFrame = {
     val t = col(textCol)
     val base = docs.filter(col(idCol).isNotNull)
       .select(col(idCol), t,
@@ -865,13 +887,15 @@ object TextAnalysis {
     * codegen re-runs the tokenizer per rule.
     */
   private[graft] def gopherRuleExprs(t: Column, ws: Column, ls: Column,
-      minWords: Long = 50L, maxWords: Long = 100000L,
-      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
-      maxSymbolRatio: Double = 0.1,
-      maxBulletFrac: Double = 0.9,
-      maxEllipsisFrac: Double = 0.3,
-      minAlphaFrac: Double = 0.8,
-      minStopwords: Int = 2): Seq[(String, Column)] = {
+      minWords: Long = GopherDefaults.MinWords,
+      maxWords: Long = GopherDefaults.MaxWords,
+      minMeanLen: Double = GopherDefaults.MinMeanLen,
+      maxMeanLen: Double = GopherDefaults.MaxMeanLen,
+      maxSymbolRatio: Double = GopherDefaults.MaxSymbolRatio,
+      maxBulletFrac: Double = GopherDefaults.MaxBulletFrac,
+      maxEllipsisFrac: Double = GopherDefaults.MaxEllipsisFrac,
+      minAlphaFrac: Double = GopherDefaults.MinAlphaFrac,
+      minStopwords: Int = GopherDefaults.MinStopwords): Seq[(String, Column)] = {
     val nw = size(ws).cast("long")
     val nwD = greatest(nw, lit(1L)).cast("double")
     val nl = greatest(size(ls), lit(1)).cast("double")

@@ -115,18 +115,24 @@ object Multimodal {
       // MemoryCacheImageInputStream, NOT ImageIO.read(InputStream):
       // ImageIO's default stream wrapper is FILE-cache backed — a temp
       // file per decoded asset, which a per-row codec at corpus scale
-      // must never do
+      // must never do. NonFatal, not just IOException: a recognized
+      // magic number with a corrupt header throws unchecked
+      // (IllegalArgument/NegativeArraySize/IndexOutOfBounds are all
+      // real ImageIO failure modes) and must fall to the stub, not
+      // kill the partition.
       val img =
         try {
           val in = new javax.imageio.stream.MemoryCacheImageInputStream(
             new java.io.ByteArrayInputStream(bytes))
-          val readers = javax.imageio.ImageIO.getImageReaders(in)
-          if (!readers.hasNext) null
-          else {
-            val r = readers.next()
-            try { r.setInput(in); r.read(0) } finally r.dispose()
-          }
-        } catch { case _: java.io.IOException => null }
+          try {
+            val readers = javax.imageio.ImageIO.getImageReaders(in)
+            if (!readers.hasNext) null
+            else {
+              val r = readers.next()
+              try { r.setInput(in); r.read(0) } finally r.dispose()
+            }
+          } finally in.close()
+        } catch { case scala.util.control.NonFatal(_) => null }
       if (img != null)
         (img.getWidth, img.getHeight, img.getRaster.getNumBands, 0L)
       else stubDecodeBytes(bytes, modality)
@@ -155,8 +161,8 @@ object Multimodal {
     val bos = new java.io.ByteArrayOutputStream()
     // memory-cached stream for the same no-temp-file reason as the reader
     val out = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
-    javax.imageio.ImageIO.write(img, "bmp", out)
-    out.flush()
+    try javax.imageio.ImageIO.write(img, "bmp", out)
+    finally out.close() // flushes, then frees the memory cache
     bos.toByteArray
   }
 

@@ -119,31 +119,6 @@ object Chunking {
         col("n_kept_chunks"), col("n_dropped_chunks"))
   }
 
-  /** ExactSubstr-grade duplicated-span removal (Lee et al. 2022,
-    * "Deduplicating Training Data Makes Language Models Better", §3.1
-    * semantics at token granularity): remove every token covered by ANY
-    * `width`-token run whose content appears in more than `maxDf`
-    * distinct documents — at ARBITRARY boundaries, which is exactly
-    * what [[dropDuplicatedChunks]]' fixed non-overlapping windows miss
-    * (a duplicated run straddling a chunk boundary leaves both chunks
-    * non-hot). Stride-1 shingles detect a duplicated run wherever it
-    * starts, and overlapping hot shingles merge into one maximal
-    * removed span by construction (token coverage is a union). Output:
-    * `(id, clean_text, n_kept_tokens, n_dropped_tokens)`.
-    *
-    * Scale shape: shingle HASHES carry the df aggregation (map-side
-    * combined, key space = distinct shingle content), and the per-doc
-    * hot-position table — one row per document that CONTAINS a hot
-    * span, typically a small corpus fraction — comes back through an
-    * id-keyed aggregation. The corpus text itself never shuffles while
-    * that table broadcasts (AQE decides; PlanSpec pins it at test
-    * scale); past the broadcast threshold the final join shuffles the
-    * corpus by id once — the same bound as q96's reassembly
-    * aggregation. Two tokenizer passes (shingling + reassembly),
-    * mirroring the multi-pass structure of the published suffix-array
-    * implementation; the reassembly mask is a per-row index-filter
-    * fold, |tokens|·|hot positions in doc| work.
-    */
   /** WITHIN-document repeated-span removal: drop every token covered by
     * a `width`-token run that already occurred EARLIER in the same
     * document — the in-document half of span dedup (concatenated pages
@@ -207,6 +182,31 @@ object Chunking {
         col("__nrp").cast("long").as("n_repeat_starts"))
   }
 
+  /** ExactSubstr-grade duplicated-span removal (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better", §3.1
+    * semantics at token granularity): remove every token covered by ANY
+    * `width`-token run whose content appears in more than `maxDf`
+    * distinct documents — at ARBITRARY boundaries, which is exactly
+    * what [[dropDuplicatedChunks]]' fixed non-overlapping windows miss
+    * (a duplicated run straddling a chunk boundary leaves both chunks
+    * non-hot). Stride-1 shingles detect a duplicated run wherever it
+    * starts, and overlapping hot shingles merge into one maximal
+    * removed span by construction (token coverage is a union). Output:
+    * `(id, clean_text, n_kept_tokens, n_dropped_tokens)`.
+    *
+    * Scale shape: shingle HASHES carry the df aggregation (map-side
+    * combined, key space = distinct shingle content), and the per-doc
+    * hot-position table — one row per document that CONTAINS a hot
+    * span, typically a small corpus fraction — comes back through an
+    * id-keyed aggregation. The corpus text itself never shuffles while
+    * that table broadcasts (AQE decides; PlanSpec pins it at test
+    * scale); past the broadcast threshold the final join shuffles the
+    * corpus by id once — the same bound as q96's reassembly
+    * aggregation. Two tokenizer passes (shingling + reassembly),
+    * mirroring the multi-pass structure of the published suffix-array
+    * implementation; the reassembly mask is a per-row index-filter
+    * fold, |tokens|·|hot positions in doc| work.
+    */
   def dropDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
                           width: Int, maxDf: Long): DataFrame = {
     require(width >= 1, s"width ($width) must be >= 1")

@@ -46,6 +46,16 @@ object Scrub {
       .withColumn("keep", col("n_blocked") <= maxBlocked)
   }
 
+  /** Published C4 rule defaults (Raffel et al. 2020 §2.2) — the single
+    * source for [[c4Clean]]'s signature and the streaming gate in
+    * `CurationPipeline.runStreaming`, so batch/stream parity can never
+    * drift on a literal.
+    */
+  val C4MinLineWords: Int = 5
+  val C4MinSentences: Int = 3
+  val C4LineDropToken: String = "javascript"
+  val C4PagePhrase: String = "lorem ipsum"
+
   /** C4 line-level cleaning (Raffel et al. 2020, "Exploring the Limits of
     * Transfer Learning with a Unified Text-to-Text Transformer", §2.2):
     * the published heuristics that turned Common Crawl into C4. Lines are
@@ -72,10 +82,10 @@ object Scrub {
     * duplicated into the scan as a pushed filter.
     */
   def c4Clean(docs: DataFrame, idCol: String, textCol: String,
-              minLineWords: Int = 5,
-              minSentences: Int = 3,
-              lineDropToken: String = "javascript",
-              pagePhrase: String = "lorem ipsum"): DataFrame = {
+              minLineWords: Int = C4MinLineWords,
+              minSentences: Int = C4MinSentences,
+              lineDropToken: String = C4LineDropToken,
+              pagePhrase: String = C4PagePhrase): DataFrame = {
     require(minLineWords >= 1, s"minLineWords must be >= 1: $minLineWords")
     require(minSentences >= 0, s"minSentences must be >= 0: $minSentences")
     require(lineDropToken.nonEmpty && pagePhrase.nonEmpty,

@@ -92,9 +92,12 @@ object CurationPipeline {
       val raw = col(textCol)
       cleaned
         .withColumn("__tc", array_join(filter(split(raw, "\n"),
-          l => graft.operators.Scrub.c4LineKept(l, 5, "javascript")), "\n"))
+          l => graft.operators.Scrub.c4LineKept(l,
+            graft.operators.Scrub.C4MinLineWords,
+            graft.operators.Scrub.C4LineDropToken)), "\n"))
         .filter(graft.operators.Scrub.c4PageKeep(raw, col("__tc"),
-          minSentences = 3, pagePhrase = "lorem ipsum"))
+          minSentences = graft.operators.Scrub.C4MinSentences,
+          pagePhrase = graft.operators.Scrub.C4PagePhrase))
         .withColumn(textCol, col("__tc"))
         .drop("__tc")
     }
