@@ -181,11 +181,45 @@ object Dedup {
           .as(Seq("perm", "min_hash")))
   }
 
+  /** Collision probability of a (bands b × rows r) MinHash-LSH plan at
+    * Jaccard similarity `j`: `1 − (1 − j^r)^b` — the S-curve whose knee
+    * placement is the whole banding design space (Leskovec et al.,
+    * "Mining of Massive Datasets" §3.4.2). Driver-side math, shared by
+    * [[lshBandPlan]] and tuning specs.
+    */
+  def lshCollisionProbability(j: Double, bands: Int, rows: Int): Double = {
+    require(j >= 0.0 && j <= 1.0 && bands >= 1 && rows >= 1,
+      s"bad inputs j=$j bands=$bands rows=$rows")
+    1.0 - math.pow(1.0 - math.pow(j, rows), bands)
+  }
+
+  /** Choose (bands, rows) for a k-permutation signature targeting a
+    * Jaccard `threshold`: among the divisor pairs b·r = k, pick the one
+    * whose S-curve knee `(1/b)^(1/r)` sits closest to the target (MMDS
+    * §3.4.3 — the knee approximates the similarity where collision
+    * probability crosses ½). Ties prefer MORE rows per band (fewer,
+    * more selective bands — cheaper candidate volume at equal knee
+    * distance). Driver-side: feed the result straight into
+    * [[lshCandidates]]' `bands` parameter.
+    */
+  def lshBandPlan(threshold: Double, k: Int): (Int, Int) = {
+    require(threshold > 0.0 && threshold < 1.0,
+      s"threshold=$threshold must be in (0,1)")
+    require(k >= 1, s"k=$k must be >= 1")
+    val plans = (1 to k).filter(k % _ == 0).map { b =>
+      val r = k / b
+      (b, r, math.abs(math.pow(1.0 / b, 1.0 / r) - threshold))
+    }
+    val (b, r, _) = plans.minBy { case (_, r, d) => (d, -r) }
+    (b, r)
+  }
+
   /** LSH candidate pairs: band the k-perm signature into `bands` bands of
     * k/bands rows; docs sharing any band key become a candidate pair.
     * The band key is (band#, hash-of-band-rows) — the shuffle key — so no
     * all-pairs join ever happens; hot buckets are bounded by band width.
     * Output: (id_a, id_b, n_shared_bands), id_a < id_b.
+    * Pick `bands` from a target similarity with [[lshBandPlan]].
     */
   def lshCandidates(signatures: DataFrame, idCol: String, k: Int,
                     bands: Int): DataFrame = {

@@ -549,6 +549,27 @@ class DedupKnnSpec extends SparkSpec {
       s"LSH candidates (${got.size}) should prune all-pairs (${all.size})")
   }
 
+  test("lshBandPlan places the S-curve knee at the target threshold") {
+    // hand-checked knees (1/b)^(1/r) for k = 16:
+    //   b=16,r=1 → 0.0625 ; b=8,r=2 → 0.354 ; b=4,r=4 → 0.707 ;
+    //   b=2,r=8 → 0.917 ; b=1,r=16 → 1.0
+    assert(Dedup.lshBandPlan(0.7, 16) == ((4, 4)))
+    assert(Dedup.lshBandPlan(0.9, 16) == ((2, 8)))
+    assert(Dedup.lshBandPlan(0.3, 16) == ((8, 2)))
+    // q32's production parameters fall out of the planner: 8 perms at a
+    // 0.5-ish detection target → 4 bands of 2
+    assert(Dedup.lshBandPlan(0.5, 8) == ((4, 2)))
+    // collision probability: monotone in j, steeper than the diagonal
+    // around the knee, and exact at the endpoints
+    val p = (j: Double) => Dedup.lshCollisionProbability(j, 4, 4)
+    assert(p(0.0) == 0.0 && p(1.0) == 1.0)
+    val samples = (0 to 10).map(_ / 10.0).map(p)
+    assert(samples == samples.sorted, "S-curve must be monotone")
+    // a true near-dup (j=0.9) is nearly certain; a random pair (j=0.1)
+    // is nearly never a candidate — the separation banding exists for
+    assert(p(0.9) > 0.95 && p(0.1) < 0.01)
+  }
+
   test("recallAtK counts per-query overlap and keeps zero-hit queries") {
     val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L))
       .toDF("query_id", "neighbor_id")
