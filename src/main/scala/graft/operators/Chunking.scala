@@ -136,15 +136,18 @@ object Chunking {
     * `(id, clean_text, n_kept_tokens, n_dropped_tokens,
     * n_repeat_starts)` — the last doubles as the audit count AND the
     * second top-level reference that keeps the repeat scan out of the
-    * mask lambda (see the in-code comment).
+    * mask lambda (see the in-code comment). `carry` names extra input
+    * columns to pass through unchanged (e.g. the event-time column in
+    * the streaming cascade).
     */
   def dropRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
-                        width: Int): DataFrame = {
+                        width: Int, carry: Seq[String] = Nil): DataFrame = {
     require(width >= 1, s"width ($width) must be >= 1")
+    val cs = carry.map(col)
     val live = docs
       .filter(col(idCol).isNotNull && lower(col(textCol)).rlike("[a-z0-9]"))
-      .select(col(idCol),
-        TextFunctions.normalizedWords(col(textCol)).as("__ws"))
+      .select(col(idCol) +: cs :+
+        TextFunctions.normalizedWords(col(textCol)).as("__ws"): _*)
     // per-position shingle hashes (empty below `width` — sequence()
     // counts DOWN for a negative stop, hence the guard)
     val hashes = when(size(col("__ws")) >= width,
@@ -162,24 +165,30 @@ object Chunking {
         element_at(col("__h"), p + 1)) > 0))
       .otherwise(array().cast("array<int>"))
     live
-      .select(col(idCol), col("__ws"), hashes.as("__h"))
-      .select(col(idCol), col("__ws"), repeats.as("__rp"))
-      // __nrp is a deliberate SECOND top-level reference to __rp (and
-      // rides to the output as n_repeat_starts, so pruning can't drop
-      // it): with only the in-lambda reference, CollapseProject inlines
-      // the repeat-scan expression into the filter lambda and it
-      // re-runs once per TOKEN (measured 40× slower). Two references
-      // to a non-trivial alias block the collapse, so __rp
-      // materializes once per row.
-      .select(col(idCol), col("__ws"), size(col("__rp")).as("__nrp"),
+      .select(col(idCol) +: cs :+ col("__ws") :+ hashes.as("__h"): _*)
+      // STRUCTURAL materialization barrier: __rp comes out of a
+      // single-row generator (explode of a one-element array), not a
+      // projection alias. A mere alias is fragile — CollapseProject
+      // inlines a once-referenced alias into the mask's filter lambda
+      // where it re-runs per TOKEN (measured 40× slower at sf0.1), and
+      // reference-counting tricks die as soon as a downstream .drop()
+      // prunes the extra reference (measured: a nested-inline runaway
+      // in the streaming cascade). A Generate cannot be collapsed
+      // into, so the repeat scan runs exactly once per row, batch or
+      // stream. `repeats` is never null, so outer ≡ inner and no
+      // predicate ever lands below the Generate (the q23 trap).
+      .select(col(idCol) +: cs :+ col("__ws") :+
+        explode_outer(array(repeats)).as("__rp"): _*)
+      .select(col(idCol) +: cs :+ col("__ws") :+
+        size(col("__rp")).as("__nrp") :+
         filter(col("__ws"), (_, i) =>
-          !exists(col("__rp"), p => p <= i && i < p + width)).as("__kept"))
-      .select(col(idCol),
-        array_join(col("__kept"), " ").as("clean_text"),
-        size(col("__kept")).cast("long").as("n_kept_tokens"),
+          !exists(col("__rp"), p => p <= i && i < p + width)).as("__kept"): _*)
+      .select(col(idCol) +: cs :+
+        array_join(col("__kept"), " ").as("clean_text") :+
+        size(col("__kept")).cast("long").as("n_kept_tokens") :+
         (size(col("__ws")) - size(col("__kept"))).cast("long")
-          .as("n_dropped_tokens"),
-        col("__nrp").cast("long").as("n_repeat_starts"))
+          .as("n_dropped_tokens") :+
+        col("__nrp").cast("long").as("n_repeat_starts"): _*)
   }
 
   /** ExactSubstr-grade duplicated-span removal (Lee et al. 2022,

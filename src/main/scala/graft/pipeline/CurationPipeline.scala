@@ -75,7 +75,8 @@ object CurationPipeline {
                    nearDedupBits: Option[Int] = None,
                    clean: Boolean = false,
                    c4Rules: Boolean = false,
-                   gopherGate: Boolean = false): DataFrame = {
+                   gopherGate: Boolean = false,
+                   repeatSpanWidth: Option[Int] = None): DataFrame = {
     // canonicalization is row-local, so the stream can run the same
     // zeroth stage as the batch cascade (the dedup state key then hashes
     // canonical bytes — whitespace re-renderings collide at ingest)
@@ -101,12 +102,26 @@ object CurationPipeline {
         .withColumn(textCol, col("__tc"))
         .drop("__tc")
     }
+    // within-doc repeated-span removal is row-local too (zero shuffles,
+    // no state) — the stream rewrites in the same pre-quality slot as
+    // the batch cascade; docs hollowed out to nothing fail the word-
+    // count quality gate right below, so no emptiness filter is needed
+    val afterRepeat = repeatSpanWidth match {
+      case None => afterC4
+      case Some(width) =>
+        val keep = afterC4.columns.toSeq
+          .filterNot(c => c == idCol || c == textCol)
+        graft.operators.Chunking
+          .dropRepeatedSpans(afterC4, idCol, textCol, width, carry = keep)
+          .withColumnRenamed("clean_text", textCol)
+          .drop("n_kept_tokens", "n_dropped_tokens", "n_repeat_starts")
+    }
     // one projection per stage (not a withColumn per metric — each
     // withColumn re-analyzes the whole growing plan), with the words
     // array materialized once per stage (HOF chains defeat codegen
     // subexpression elimination — see the qualityStats comment)
     val metrics = TextAnalysis.qualityColumnsOver(textCol, col("__ws"))
-    val afterQuality0 = afterC4
+    val afterQuality0 = afterRepeat
       .withColumn("__ws",
         graft.functions.TextFunctions.normalizedWords(col(textCol)))
       .select(col("*") +: metrics.map { case (n, c) => c.as(n) }: _*)
@@ -179,6 +194,7 @@ object CurationPipeline {
           clean: Boolean = false,
           c4Rules: Boolean = false,
           gopherGate: Boolean = false,
+          repeatSpans: Option[Int] = None,
           stageCounts: Boolean = false): Result = {
     // intermediates cached for the stage-count run are unpersisted before
     // returning; `curated` itself is never cached here — callers that will
@@ -205,10 +221,21 @@ object CurationPipeline {
     // optional C4 line rules (Raffel et al. §2.2): the other stage that
     // REWRITES text — RefinedWeb order puts line-level cleaning before
     // the quality gates, so everything downstream sees the kept lines
-    val slim = if (!c4Rules) slim0 else staged(
+    val slimC4 = if (!c4Rules) slim0 else staged(
       graft.operators.Scrub.c4Clean(slim0, idCol, textCol)
         .filter(col("keep"))
         .select(col(idCol), col("text_clean").as(textCol)))
+
+    // optional within-doc repeated-span removal (row-local rewrite, the
+    // RefinedWeb pre-quality slot — hollowed-out docs fail the word
+    // count gate right below, so no emptiness filter is needed here)
+    val slim = repeatSpans match {
+      case None => slimC4
+      case Some(width) => staged(
+        graft.operators.Chunking.dropRepeatedSpans(slimC4, idCol,
+          textCol, width)
+          .select(col(idCol), col("clean_text").as(textCol)))
+    }
 
     val q = TextAnalysis.qualityStats(slim, idCol, textCol)
       .filter(quality).select(col(idCol))
@@ -317,7 +344,7 @@ object CurationPipeline {
     // moves to the end of the schema); otherwise the original row rides
     // through untouched
     val curated =
-      if (!clean && !c4Rules && spanDedup.isEmpty)
+      if (!clean && !c4Rules && repeatSpans.isEmpty && spanDedup.isEmpty)
         docs.join(keepIds, Seq(idCol))
       else docs.drop(textCol)
         .join(afterSpan.select(col(idCol), col(textCol)), Seq(idCol))
@@ -333,7 +360,8 @@ object CurationPipeline {
           "after_language" -> afterLang.count(),
           "after_exact_dedup" -> afterExact.count(),
           "after_near_dedup" -> keepIds.count()) ++
-          (if (c4Rules) Seq("after_c4" -> slim.count()) else Nil) ++
+          (if (c4Rules) Seq("after_c4" -> slimC4.count()) else Nil) ++
+          repeatSpans.map(_ => "after_repeat_spans" -> slim.count()) ++
           (if (gopherGate) Seq("after_gopher" -> afterQuality.count())
            else Nil) ++
           benchmarks.map(_ => "after_decontamination" -> afterDecon.count()) ++

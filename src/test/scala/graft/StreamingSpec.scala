@@ -448,15 +448,25 @@ class StreamingSpec extends SparkSpec {
     val short = "this is a short document.\n" +
       "it has three good sentences here.\n" +
       "but it stays well under fifty words in total today."
+    // doc 6 opens by repeating one phrase six times: the repeat-span
+    // stage must collapse the repetition (first occurrence survives)
+    // and the doc then still clears the word-count gates on its body
+    val repPhrase = "subscribe to our newsletter today"
+    val repBody = (goodLines.map(l => l.replace("the", "that")) :+
+      "the final line closes the page with a quiet full stop.")
+      .mkString("\n")
+    val repeaty = (Seq.fill(6)(repPhrase).mkString(" ") + ".\n") + repBody
     val rows = Seq(
       (1L, good, 100L),      // passes everything
       (2L, withBrace, 110L), // C4 page rule (brace) drops it
       (3L, withJs, 120L),    // C4 LINE rule cuts the javascript line only
       (4L, short, 130L),     // passes C4+quality, Gopher word count drops it
-      (5L, good, 140L))      // exact dup of 1
+      (5L, good, 140L),      // exact dup of 1
+      (6L, repeaty, 150L))   // repeated span collapsed, then kept
     val batch = graft.pipeline.CurationPipeline
       .run(rows.toDF("doc_id", "text", "secs"), "doc_id", "text",
-        languages = Set("en"), c4Rules = true, gopherGate = true)
+        languages = Set("en"), c4Rules = true, gopherGate = true,
+        repeatSpans = Some(2))
       .curated.select("doc_id", "text")
       .as[(Long, String)].collect().toMap
     val input = MemoryStream[(Long, String, Long)](spark)
@@ -465,7 +475,7 @@ class StreamingSpec extends SparkSpec {
         timestamp_seconds(col("_3")).as("ts"))
     val q = graft.pipeline.CurationPipeline
       .runStreaming(stream, "doc_id", "text", "ts", languages = Set("en"),
-        c4Rules = true, gopherGate = true)
+        c4Rules = true, gopherGate = true, repeatSpanWidth = Some(2))
       .select("doc_id", "text")
       .writeStream.format("memory").queryName("c4gopherparity")
       .outputMode("append").start()
@@ -474,11 +484,17 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       val streamKept = spark.table("c4gopherparity")
         .as[(Long, String)].collect().toMap
-      assert(batch.keySet == Set(1L, 3L), s"batch kept ${batch.keySet}")
+      assert(batch.keySet == Set(1L, 3L, 6L), s"batch kept ${batch.keySet}")
       assert(streamKept == batch,
         s"stream kept $streamKept, batch kept $batch")
-      // the line rule genuinely rewrote doc 3 in BOTH paths
-      assert(batch(3L) == otherLines.mkString("\n"))
+      // the rewrites agree on BOTH paths: doc 3's javascript line cut
+      // (normalized — the repeat-span stage re-tokenizes), doc 6's
+      // repeated phrase collapsed to one occurrence
+      assert(batch(3L).contains("sailors watch") &&
+        !batch(3L).contains("javascript"))
+      assert(batch(6L).sliding(repPhrase.length).count(
+        _ == repPhrase) == 1,
+        s"repeated phrase should survive exactly once: ${batch(6L)}")
     } finally q.stop()
   }
 
