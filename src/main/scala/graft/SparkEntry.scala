@@ -1476,6 +1476,13 @@ object SparkEntry {
     * the literals only pin the rewrite path, and a wrong literal would
     * desynchronize the replayed argmax from Spark's row and fail the
     * hash gate.
+    *
+    * SCOPE: the pinned path is sf0.01's — the driver's correctness gate
+    * runs there. At other scale factors the corpus statistics (and so
+    * the true argmax order) can differ; measured at sf0.1 the rank-7/8
+    * merges swap, and the replay correctly reports the divergence. A
+    * different gate SF means re-deriving these literals (run q104 and
+    * paste), not a code change.
     */
   private val BpeLearnedMerges: Seq[(String, String)] =
     Seq(("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"),
