@@ -1417,6 +1417,26 @@ object SparkEntry {
           |FROM documents_v ORDER BY doc_id""".stripMargin)
     }),
 
+    // recall@5 of the IVFADC compressed search against the exact
+    // brute-force cosine top-5 — the evaluation loop that tunes nprobe
+    // on the production ANN stack (q94's readout over q119's index)
+    "q128_ivfadc_recall" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val cents = embs.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val cb = Pq.pqSeedCodebooks(embs, "vec_id", "embedding",
+        m = 8, ksub = 16)
+      val queries = embs.filter(col("vec_id") < 20)
+      val approx = Pq.ivfPqTopK(embs, queries, cents, cb,
+        "vec_id", "embedding", k = 5, nprobe = 2)
+      val exact = Knn.bruteForceTopK(embs, queries,
+        "vec_id", "embedding", k = 5)
+      Knn.recallAtK(approx, exact)
+        .select(col("query_id"), col("n_exact"), col("n_hit"),
+          round(col("recall"), 6).as("recall"))
+        .orderBy("query_id")
+    }),
+
     // token-budget selection: the greedy (quality DESC, id) prefix of
     // the corpus that fills a 12k-token budget with whole documents —
     // value-keyed cumulative table + one boundary-group window, never
@@ -1810,6 +1830,58 @@ object SparkEntry {
        |SELECT doc_id, CAST(len(shl) AS BIGINT) AS n_shingles,
        |  md5(array_to_string(list_sort(shl), '|')) AS shingle_md5
        |FROM sh ORDER BY doc_id""".stripMargin
+
+  /** q119's full CTE chain (PQ codebooks/codes, IVF assignment, probe,
+    * candidates, ADC scores, rank) — shared with q128's recall readout.
+    */
+  private lazy val IvfAdcCtes =
+    s"""$PqBaseSql,
+         |codes AS (SELECT vec_id, sub, cid FROM best WHERE rn = 1),
+         |cents AS (SELECT vec_id AS ccid, embedding AS ccvec
+         |          FROM embeddings WHERE vec_id < 16),
+         |ascored AS (
+         |  SELECT e.vec_id, c.ccid,
+         |    ${duckCos("e.embedding", "c.ccvec")} AS cos
+         |  FROM embeddings e CROSS JOIN cents c),
+         |assigned AS (
+         |  SELECT vec_id, ccid FROM (
+         |    SELECT vec_id, ccid, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cos DESC, ccid) AS arn
+         |    FROM ascored) x WHERE arn = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv
+         |      FROM embeddings WHERE vec_id < 20),
+         |probed AS (
+         |  SELECT query_id, ccid FROM (
+         |    SELECT query_id, c.ccid,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY ${duckCos("qv", "c.ccvec")} DESC, c.ccid) AS pr
+         |    FROM q CROSS JOIN cents c) y WHERE pr <= 2),
+         |cand AS (
+         |  SELECT query_id, a.vec_id AS neighbor_id
+         |  FROM probed p JOIN assigned a ON p.ccid = a.ccid
+         |  WHERE query_id != a.vec_id),
+         |qdist AS (
+         |  SELECT qq.query_id, c.sub, c.cid,
+         |    list_reduce(list_prepend(0.0,
+         |      [(CAST(qq.qv[c.sub*8+p] AS DOUBLE) - c.cvec[p])
+         |        * (CAST(qq.qv[c.sub*8+p] AS DOUBLE) - c.cvec[p])
+         |       FOR p IN generate_series(1, 8)]),
+         |      (u, v) -> u + v) AS d2
+         |  FROM q qq CROSS JOIN cb c),
+         |adc AS (
+         |  SELECT cand.query_id, cand.neighbor_id,
+         |    list_reduce(list_prepend(0.0, list(qd.d2 ORDER BY co.sub)),
+         |      (u, v) -> u + v) AS adc
+         |  FROM cand
+         |  JOIN codes co ON co.vec_id = cand.neighbor_id
+         |  JOIN qdist qd ON qd.query_id = cand.query_id
+         |    AND qd.sub = co.sub AND qd.cid = co.cid
+         |  GROUP BY cand.query_id, cand.neighbor_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, adc,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adc, neighbor_id) AS BIGINT) AS rank
+         |  FROM adc)""".stripMargin
 
   private val SimHashOracle =
     s"""WITH $ToksCte,
@@ -3930,56 +4002,45 @@ object SparkEntry {
     // PQ machinery scores them — per-candidate ADC folds in subspace
     // order (the Spark side's bit-reproducible tree)
     "q119_ivf_pq_topk" ->
-      s"""WITH $PqBaseSql,
-         |codes AS (SELECT vec_id, sub, cid FROM best WHERE rn = 1),
-         |cents AS (SELECT vec_id AS ccid, embedding AS ccvec
-         |          FROM embeddings WHERE vec_id < 16),
-         |ascored AS (
-         |  SELECT e.vec_id, c.ccid,
-         |    ${duckCos("e.embedding", "c.ccvec")} AS cos
-         |  FROM embeddings e CROSS JOIN cents c),
-         |assigned AS (
-         |  SELECT vec_id, ccid FROM (
-         |    SELECT vec_id, ccid, row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY cos DESC, ccid) AS arn
-         |    FROM ascored) x WHERE arn = 1),
-         |q AS (SELECT vec_id AS query_id, embedding AS qv
-         |      FROM embeddings WHERE vec_id < 20),
-         |probed AS (
-         |  SELECT query_id, ccid FROM (
-         |    SELECT query_id, c.ccid,
-         |      row_number() OVER (PARTITION BY query_id
-         |        ORDER BY ${duckCos("qv", "c.ccvec")} DESC, c.ccid) AS pr
-         |    FROM q CROSS JOIN cents c) y WHERE pr <= 2),
-         |cand AS (
-         |  SELECT query_id, a.vec_id AS neighbor_id
-         |  FROM probed p JOIN assigned a ON p.ccid = a.ccid
-         |  WHERE query_id != a.vec_id),
-         |qdist AS (
-         |  SELECT qq.query_id, c.sub, c.cid,
-         |    list_reduce(list_prepend(0.0,
-         |      [(CAST(qq.qv[c.sub*8+p] AS DOUBLE) - c.cvec[p])
-         |        * (CAST(qq.qv[c.sub*8+p] AS DOUBLE) - c.cvec[p])
-         |       FOR p IN generate_series(1, 8)]),
-         |      (u, v) -> u + v) AS d2
-         |  FROM q qq CROSS JOIN cb c),
-         |adc AS (
-         |  SELECT cand.query_id, cand.neighbor_id,
-         |    list_reduce(list_prepend(0.0, list(qd.d2 ORDER BY co.sub)),
-         |      (u, v) -> u + v) AS adc
-         |  FROM cand
-         |  JOIN codes co ON co.vec_id = cand.neighbor_id
-         |  JOIN qdist qd ON qd.query_id = cand.query_id
-         |    AND qd.sub = co.sub AND qd.cid = co.cid
-         |  GROUP BY cand.query_id, cand.neighbor_id),
-         |ranked AS (
-         |  SELECT query_id, neighbor_id, adc,
-         |    CAST(row_number() OVER (PARTITION BY query_id
-         |      ORDER BY adc, neighbor_id) AS BIGINT) AS rank
-         |  FROM adc)
+      s"""WITH $IvfAdcCtes
          |SELECT query_id, rank, neighbor_id, round(adc, 6) AS adc
          |FROM ranked WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
+
+    // recall@5 of the IVFADC compressed search against the exact
+    // brute-force COSINE top-5 (the repo's ground-truth convention):
+    // how much of the true neighborhood the coarse-probe + ADC stack
+    // recovers — the number that tunes nprobe in production
+    "q128_ivfadc_recall" ->
+      s"""WITH $IvfAdcCtes,
+         |approx AS (
+         |  SELECT query_id, neighbor_id FROM ranked WHERE rank <= 5),
+         |eq2 AS (SELECT vec_id AS query_id, embedding AS eqv
+         |        FROM embeddings WHERE vec_id < 20),
+         |ec2 AS (SELECT vec_id AS neighbor_id, embedding AS ecv
+         |        FROM embeddings),
+         |escored AS (
+         |  SELECT query_id, neighbor_id, ${duckCos("eqv", "ecv")} AS cosine
+         |  FROM ec2 CROSS JOIN eq2 WHERE query_id != neighbor_id),
+         |exact AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cosine DESC, neighbor_id) AS rank
+         |    FROM escored) x WHERE rank <= 5),
+         |ecnt AS (SELECT query_id, count(*) AS n_exact
+         |         FROM exact GROUP BY 1),
+         |hits AS (
+         |  SELECT e.query_id, count(*) AS n_hit
+         |  FROM exact e JOIN approx a
+         |    USING (query_id, neighbor_id)
+         |  GROUP BY 1)
+         |SELECT query_id, n_exact,
+         |  CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+         |  round(CAST(coalesce(n_hit, 0) AS DOUBLE) / n_exact, 6) AS recall
+         |FROM ecnt LEFT JOIN hits USING (query_id)
+         |ORDER BY query_id""".stripMargin,
+
 
     // the oracle predicts what REAL decoding must return: the synthetic
     // dims from doc_id, 3 bands (24-bit BMP), and the uncompressed
