@@ -1340,11 +1340,8 @@ object SparkEntry {
     // two gated halves
     "q119_ivf_pq_topk" -> ((s, dir) => {
       val embs = t(s, dir, "embeddings")
-      val cents = embs.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      val cb = Pq.pqSeedCodebooks(embs, "vec_id", "embedding",
-        m = 8, ksub = 16)
-      Pq.ivfPqTopK(embs, embs.filter(col("vec_id") < 20), cents, cb,
+      val (cents, cb, queries) = ivfAdcIndex(embs)
+      Pq.ivfPqTopK(embs, queries, cents, cb,
         "vec_id", "embedding", k = 5, nprobe = 2)
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           round(col("adc"), 6).as("adc"))
@@ -1422,11 +1419,7 @@ object SparkEntry {
     // on the production ANN stack (q94's readout over q119's index)
     "q128_ivfadc_recall" -> ((s, dir) => {
       val embs = t(s, dir, "embeddings")
-      val cents = embs.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      val cb = Pq.pqSeedCodebooks(embs, "vec_id", "embedding",
-        m = 8, ksub = 16)
-      val queries = embs.filter(col("vec_id") < 20)
+      val (cents, cb, queries) = ivfAdcIndex(embs)
       val approx = Pq.ivfPqTopK(embs, queries, cents, cb,
         "vec_id", "embedding", k = 5, nprobe = 2)
       val exact = Knn.bruteForceTopK(embs, queries,
@@ -1483,6 +1476,20 @@ object SparkEntry {
         .orderBy("doc_id")
     })
   )
+
+  /** q119/q128's shared IVFADC index fixture (centroid seeds, seed
+    * codebooks, probe query set) — ONE definition so the recall readout
+    * can never measure a different index than the top-k it evaluates
+    * (the oracle side shares `IvfAdcCtes` the same way).
+    */
+  private def ivfAdcIndex(embs: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val cents = embs.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val cb = Pq.pqSeedCodebooks(embs, "vec_id", "embedding",
+      m = 8, ksub = 16)
+    (cents, cb, embs.filter(col("vec_id") < 20))
+  }
 
   /** q106's corpus-independent merge table (see the query comment). */
   private val BpeFixedMerges: Seq[(String, String)] =
@@ -4015,13 +4022,11 @@ object SparkEntry {
       s"""WITH $IvfAdcCtes,
          |approx AS (
          |  SELECT query_id, neighbor_id FROM ranked WHERE rank <= 5),
-         |eq2 AS (SELECT vec_id AS query_id, embedding AS eqv
-         |        FROM embeddings WHERE vec_id < 20),
          |ec2 AS (SELECT vec_id AS neighbor_id, embedding AS ecv
          |        FROM embeddings),
          |escored AS (
-         |  SELECT query_id, neighbor_id, ${duckCos("eqv", "ecv")} AS cosine
-         |  FROM ec2 CROSS JOIN eq2 WHERE query_id != neighbor_id),
+         |  SELECT query_id, neighbor_id, ${duckCos("qv", "ecv")} AS cosine
+         |  FROM ec2 CROSS JOIN q WHERE query_id != neighbor_id),
          |exact AS (
          |  SELECT query_id, neighbor_id FROM (
          |    SELECT query_id, neighbor_id,

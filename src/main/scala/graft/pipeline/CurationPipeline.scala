@@ -102,26 +102,12 @@ object CurationPipeline {
         .withColumn(textCol, col("__tc"))
         .drop("__tc")
     }
-    // within-doc repeated-span removal is row-local too (zero shuffles,
-    // no state) — the stream rewrites in the same pre-quality slot as
-    // the batch cascade; docs hollowed out to nothing fail the word-
-    // count quality gate right below, so no emptiness filter is needed
-    val afterRepeat = repeatSpanWidth match {
-      case None => afterC4
-      case Some(width) =>
-        val keep = afterC4.columns.toSeq
-          .filterNot(c => c == idCol || c == textCol)
-        graft.operators.Chunking
-          .dropRepeatedSpans(afterC4, idCol, textCol, width, carry = keep)
-          .withColumnRenamed("clean_text", textCol)
-          .drop("n_kept_tokens", "n_dropped_tokens", "n_repeat_starts")
-    }
     // one projection per stage (not a withColumn per metric — each
     // withColumn re-analyzes the whole growing plan), with the words
     // array materialized once per stage (HOF chains defeat codegen
     // subexpression elimination — see the qualityStats comment)
     val metrics = TextAnalysis.qualityColumnsOver(textCol, col("__ws"))
-    val afterQuality0 = afterRepeat
+    val afterQuality0 = afterC4
       .withColumn("__ws",
         graft.functions.TextFunctions.normalizedWords(col(textCol)))
       .select(col("*") +: metrics.map { case (n, c) => c.as(n) }: _*)
@@ -151,14 +137,29 @@ object CurationPipeline {
           .filter(col("lang_pred").isin(languages.toSeq.map(lit): _*))
           .drop("lang_pred").drop(hits.map(_._1): _*).drop("__ws")
       }
+    // within-doc repeated-span removal is row-local (zero shuffles, no
+    // state) — the stream rewrites in the same POST-GATE slot as the
+    // batch cascade (the rewrite normalizes text; gates must see the
+    // original), so the dedup state key hashes the collapsed text on
+    // both paths
+    val afterRepeat = repeatSpanWidth match {
+      case None => afterLang
+      case Some(width) =>
+        val keep = afterLang.columns.toSeq
+          .filterNot(c => c == idCol || c == textCol)
+        graft.operators.Chunking
+          .dropRepeatedSpans(afterLang, idCol, textCol, width, carry = keep)
+          .withColumnRenamed("clean_text", textCol)
+          .drop("n_kept_tokens", "n_dropped_tokens", "n_repeat_starts")
+    }
     // a SimHash dup strictly includes every exact dup, so the near
     // variant REPLACES the exact one — one stateful operator either way
     nearDedupBits match {
       case None =>
-        Dedup.streamingExactDedup(afterLang, textCol, tsCol, lateness)
+        Dedup.streamingExactDedup(afterRepeat, textCol, tsCol, lateness)
           .drop("text_hash")
       case Some(bits) =>
-        Dedup.streamingSimHashDedup(afterLang, textCol, tsCol, bits,
+        Dedup.streamingSimHashDedup(afterRepeat, textCol, tsCol, bits,
           lateness)
           .drop("simhash")
     }
@@ -175,6 +176,12 @@ object CurationPipeline {
     * (native NFC + control strip + whitespace collapse — the zeroth
     * stage of a web cascade; every downstream hash/gate then sees the
     * canonical bytes, and the curated output carries the cleaned text).
+    * `repeatSpans = Some(width)` collapses within-doc repeated spans in
+    * the rewrite slot (after all gates, before the dedups). NOTE: like
+    * `spanDedup`, this rewrite NORMALIZES the curated text corpus-wide
+    * (lowercased tokens, punctuation stripped, newlines joined) — it is
+    * the tokenize-and-reassemble family; keep it off when the curated
+    * output must preserve original formatting.
     * `stageCounts` additionally reports survivor counts per stage — it
     * caches the intermediates so each stage is evaluated once, at the
     * cost of materializing them; leave it off for a single lazy DAG
@@ -221,21 +228,10 @@ object CurationPipeline {
     // optional C4 line rules (Raffel et al. §2.2): the other stage that
     // REWRITES text — RefinedWeb order puts line-level cleaning before
     // the quality gates, so everything downstream sees the kept lines
-    val slimC4 = if (!c4Rules) slim0 else staged(
+    val slim = if (!c4Rules) slim0 else staged(
       graft.operators.Scrub.c4Clean(slim0, idCol, textCol)
         .filter(col("keep"))
         .select(col(idCol), col("text_clean").as(textCol)))
-
-    // optional within-doc repeated-span removal (row-local rewrite, the
-    // RefinedWeb pre-quality slot — hollowed-out docs fail the word
-    // count gate right below, so no emptiness filter is needed here)
-    val slim = repeatSpans match {
-      case None => slimC4
-      case Some(width) => staged(
-        graft.operators.Chunking.dropRepeatedSpans(slimC4, idCol,
-          textCol, width)
-          .select(col(idCol), col("clean_text").as(textCol)))
-    }
 
     val q = TextAnalysis.qualityStats(slim, idCol, textCol)
       .filter(quality).select(col(idCol))
@@ -299,15 +295,33 @@ object CurationPipeline {
         Seq(idCol), "left_anti"))
     }
 
+    // optional WITHIN-doc repeated-span removal, in the REWRITE slot:
+    // after every gate (the rewrite normalizes text — running it before
+    // the gates would blind the line/punctuation-based rules), before
+    // the document-level dedups, which then see the collapsed text.
+    // localCheckpoint because the quadratic-per-row repeat scan is
+    // row-local (no exchange to reuse) and three downstream consumers
+    // would otherwise each re-run it over the corpus; the materialized
+    // RDD also gives AQE exact sizes for the joins above it.
+    val afterRepeat = repeatSpans match {
+      case None => afterDecon
+      case Some(width) => staged(
+        graft.operators.Chunking.dropRepeatedSpans(afterDecon, idCol,
+          textCol, width)
+          .filter(col("n_kept_tokens") > 0)
+          .select(col(idCol), col("clean_text").as(textCol))
+          .localCheckpoint())
+    }
+
     // optional duplicated-span removal (RefinedWeb order: span/line
     // dedup BEFORE the document-level dedups, which then see the
-    // cleaned text). The ONLY stage that rewrites text rather than
-    // gating ids: downstream stages and the curated output consume
-    // `clean_text`; docs reduced to nothing but boilerplate drop here.
+    // cleaned text). Rewrites text rather than gating ids: downstream
+    // stages and the curated output consume `clean_text`; docs reduced
+    // to nothing but boilerplate drop here.
     val afterSpan = spanDedup match {
-      case None => afterDecon
+      case None => afterRepeat
       case Some((width, maxDf)) => staged(
-        graft.operators.Chunking.dropDuplicatedChunks(afterDecon, idCol,
+        graft.operators.Chunking.dropDuplicatedChunks(afterRepeat, idCol,
           textCol, width, maxDf)
           .filter(col("n_kept_chunks") > 0)
           .select(col(idCol), col("clean_text").as(textCol)))
@@ -360,8 +374,8 @@ object CurationPipeline {
           "after_language" -> afterLang.count(),
           "after_exact_dedup" -> afterExact.count(),
           "after_near_dedup" -> keepIds.count()) ++
-          (if (c4Rules) Seq("after_c4" -> slimC4.count()) else Nil) ++
-          repeatSpans.map(_ => "after_repeat_spans" -> slim.count()) ++
+          (if (c4Rules) Seq("after_c4" -> slim.count()) else Nil) ++
+          repeatSpans.map(_ => "after_repeat_spans" -> afterRepeat.count()) ++
           (if (gopherGate) Seq("after_gopher" -> afterQuality.count())
            else Nil) ++
           benchmarks.map(_ => "after_decontamination" -> afterDecon.count()) ++

@@ -487,11 +487,12 @@ class StreamingSpec extends SparkSpec {
       assert(batch.keySet == Set(1L, 3L, 6L), s"batch kept ${batch.keySet}")
       assert(streamKept == batch,
         s"stream kept $streamKept, batch kept $batch")
-      // the rewrites agree on BOTH paths: doc 3's javascript line cut
-      // (normalized — the repeat-span stage re-tokenizes), doc 6's
-      // repeated phrase collapsed to one occurrence
-      assert(batch(3L).contains("sailors watch") &&
-        !batch(3L).contains("javascript"))
+      // the rewrites agree on BOTH paths: doc 3's javascript line cut,
+      // then normalized by the repeat-span stage (lowercase tokens,
+      // punctuation stripped, newlines joined); doc 6's repeated phrase
+      // collapsed to one occurrence
+      assert(batch(3L) == otherLines.map(_.dropRight(1)).mkString(" "),
+        s"doc 3 should be the js-cut, normalized body: ${batch(3L)}")
       assert(batch(6L).sliding(repPhrase.length).count(
         _ == repPhrase) == 1,
         s"repeated phrase should survive exactly once: ${batch(6L)}")
