@@ -122,7 +122,17 @@ object Bench {
         maxDocFrequency = Some(1000L)).count()
       require(n == 0L, s"pruned skew corpus must yield no pairs, got $n")
     }))
-    val entries: Seq[Entry] = fixture ++ refDatasets ++ curation ++ skew
+    // SENTINELS FIRST: the reference-parity, curation, and skew entries
+    // are the round-over-round baseline signals, and running them dead
+    // last charged them the session's accumulated codegen-cache /
+    // block-manager / GC pressure (r08's jaccard_skew_hotword read
+    // 2.67 s while isolated runs of the byte-identical plan measure
+    // ~1.2 s — see BASELINE.md round-9 finding). Early-suite placement
+    // prices them in the same low-pressure window every round, so a
+    // drift in THESE numbers now means the code changed, not the suite
+    // length. The alphabetical fixture queries keep their relative
+    // order, so their round-over-round comparisons stay aligned.
+    val entries: Seq[Entry] = refDatasets ++ curation ++ skew ++ fixture
 
     // Two interleaved passes × two back-to-back samples per entry =
     // min of 4. The interleaving defends against a host-contention

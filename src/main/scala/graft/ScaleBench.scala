@@ -64,6 +64,39 @@ object ScaleBench {
         val sims = Jaccard.allPairs(corpus, maxDocFrequency = Some(1000L))
         println("  pairs=" + sims.count())
       }
+      // span-removal paths (q120/q126 shapes) — noop write, NOT count():
+      // an Aggregate(count) would let Catalyst prune the clean_text
+      // reassembly these entries exist to measure
+      time(s"drop_dup_spans_10x $round") {
+        graft.operators.Chunking.dropDuplicatedSpans(
+          docs, "doc_id", "text", width = 8, maxDf = 2L)
+          .write.format("noop").mode("overwrite").save()
+      }
+      time(s"drop_repeated_spans_10x $round") {
+        graft.operators.Chunking.dropRepeatedSpans(
+          docs, "doc_id", "text", width = 2)
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+    // Long-document linearity probe for the sort-based dropRepeatedSpans:
+    // same doc count, 10× the tokens per doc. Each doc is two identical
+    // halves (maximal repeat load: every second-half position is a
+    // repeat start) over a 50-token vocabulary. ~10× wall at 10× length
+    // means no per-row superlinear straggler — the prefix-scan
+    // formulation this replaced was O(n²) per row, for which 50k-token
+    // docs would be ~100× the 5k wall instead.
+    def longDocs(n: Int, toks: Int): DataFrame = {
+      val half = transform(sequence(lit(0), lit(toks / 2 - 1)),
+        i => concat(lit("w"), pmod(hash(col("id"), i), lit(50))))
+      spark.range(n).select(col("id").cast("string").as("doc_id"),
+        concat_ws(" ", flatten(array(half, half))).as("text"))
+    }
+    for (round <- Seq("cold", "warm"); (label, toks) <- Seq("5k" -> 5000, "50k" -> 50000)) {
+      time(s"repeated_spans_longdoc_$label $round") {
+        graft.operators.Chunking.dropRepeatedSpans(
+          longDocs(32, toks), "doc_id", "text", width = 8)
+          .write.format("noop").mode("overwrite").save()
+      }
     }
     // AQE skew-split evidence: re-run the biggest shuffle path and grep
     // its final adaptive plan for skew markers

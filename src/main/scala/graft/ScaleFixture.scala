@@ -31,6 +31,10 @@ object ScaleFixture {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/tmp/scale10")
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    // the reference corpus feeding large10.txt is an argument like the
+    // other inputs (arg 4); on hosts without the reference checkout the
+    // large10 section is skipped rather than failing the whole fixture
+    val refCorpus = args.lift(3).getOrElse("/root/reference/datasets/large.txt")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -83,19 +87,21 @@ object ScaleFixture {
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
     // 10x the reference large corpus for the quadratic Jaccard path
-    val ref = graft.corpus.Corpus.read(spark,
-      "/root/reference/datasets/large.txt")
-    ref
-      .select(explode(sequence(lit(0), lit(copies - 1))).as("copy"),
-        col("docId"), col("text"))
-      .withColumn("__ws", filter(split(col("text"), " "), w => w =!= ""))
-      .select(concat_ws(" ",
-        concat(col("docId"), lit("c"), col("copy")),
-        when(col("copy") === 0, col("text")).otherwise(concat_ws(" ",
-          scrambled(col("__ws"), col("copy"), hash(col("docId")))))
-        ).as("value"))
-      .coalesce(1)
-      .write.mode("overwrite").text(s"$out/large10.txt")
+    if (new java.io.File(refCorpus).isFile) {
+      val ref = graft.corpus.Corpus.read(spark, refCorpus)
+      ref
+        .select(explode(sequence(lit(0), lit(copies - 1))).as("copy"),
+          col("docId"), col("text"))
+        .withColumn("__ws", filter(split(col("text"), " "), w => w =!= ""))
+        .select(concat_ws(" ",
+          concat(col("docId"), lit("c"), col("copy")),
+          when(col("copy") === 0, col("text")).otherwise(concat_ws(" ",
+            scrambled(col("__ws"), col("copy"), hash(col("docId")))))
+          ).as("value"))
+        .coalesce(1)
+        .write.mode("overwrite").text(s"$out/large10.txt")
+    } else System.err.println(
+      s"[scalefixture] $refCorpus not found - skipping large10.txt")
 
     println(s"[scalefixture] wrote $out")
     spark.stop()

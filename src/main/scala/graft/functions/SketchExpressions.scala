@@ -207,6 +207,74 @@ object SketchKernels {
     bucket
   }
 
+  private def fmix64(x0: Long): Long = {
+    var x = x0
+    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+    x ^= x >>> 33; x
+  }
+
+  /** 64-bit per-word hash: FNV-1a over the UTF-8 bytes, murmur-finalized
+    * for avalanche (FNV alone keeps low-bit structure on short ASCII).
+    */
+  def wordHash64(u: UTF8String): Long = {
+    val bytes = u.getBytes
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1
+    }
+    fmix64(h)
+  }
+
+  /** Base multiplier and null sentinel for the rolling span hash —
+    * shared with the value-pinning spec's direct reimplementation.
+    */
+  val SpanHashBase = 0x5851f42d4c957f2dL
+  val SpanHashNullWord = 0x9e3779b97f4a7c15L
+
+  /** Per-position `width`-word span hashes in ONE pass (rolling
+    * polynomial): H(p) = Σ_j wh[p+j]·B^(width-1-j) mod 2^64, updated in
+    * O(1) per position — O(n) total, vs the O(n·width) md5-per-window
+    * HOF composition it replaces in the span-removal family. Window
+    * equality is WORD-WISE (the hash covers the word SEQUENCE, not a
+    * joined string, so token-boundary ambiguities can't collide
+    * structurally); distinct windows collide with ~2⁻⁶⁴ probability —
+    * these hashes are internal span-equality carriers, never exposed in
+    * operator output. Empty result for inputs shorter than `width`;
+    * null elements take a fixed sentinel (the tokenizer never emits
+    * null words).
+    */
+  def spanHashes(arr: ArrayData, width: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n < width) return new GenericArrayData(Array.empty[Long])
+    val wh = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      wh(i) =
+        if (arr.isNullAt(i)) SpanHashNullWord
+        else wordHash64(arr.getUTF8String(i))
+      i += 1
+    }
+    val B = SpanHashBase
+    var bw = 1L // B^(width-1) mod 2^64
+    i = 1
+    while (i < width) { bw *= B; i += 1 }
+    val m = n - width + 1
+    val out = new Array[Long](m)
+    var h = 0L
+    i = 0
+    while (i < width) { h = h * B + wh(i); i += 1 }
+    out(0) = h
+    var p = 1
+    while (p < m) {
+      h = (h - wh(p - 1) * bw) * B + wh(p + width - 1)
+      out(p) = h
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** k-permutation MinHash minima over pre-reduced token hashes — one
     * pass, tight integer loop; bit-identical to
     * `minHashSignatureFromHashes` (k × array_min(transform(...))).
@@ -444,6 +512,30 @@ case class SrpBucketExpr(left: Expression, right: Expression)
   }
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SrpBucketExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `graft_span_hashes(words, width)` — native one-pass rolling span
+  * hashes (the q120/q126 shingling kernel).
+  */
+case class SpanHashesExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    PositiveIntArg.check(prettyName,
+      { case ArrayType(StringType, _) => true; case _ => false },
+      "(array<string>, positive int literal)", left, right)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_span_hashes"
+  private lazy val width: Int = right.eval(InternalRow.empty) match {
+    case i: Int => i
+  }
+  override def nullSafeEval(arr: Any, ww: Any): Any =
+    SketchKernels.spanHashes(arr.asInstanceOf[ArrayData], width)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, _) =>
+      s"${ev.value} = graft.functions.SketchKernels.spanHashes($a, $width);")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SpanHashesExpr =
     copy(left = newLeft, right = newRight)
 }
 

@@ -132,10 +132,12 @@ object GraftFunctions {
     })
 
   val WinnowName = "graft_winnow"
+  val SpanHashesName = "graft_span_hashes"
 
   def injections: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     binary(DotName, classOf[DotProductFloat], DotProductFloat.apply),
+    binary(SpanHashesName, classOf[SpanHashesExpr], SpanHashesExpr.apply),
     binary(NGramsName, classOf[WordNGramsExpr], WordNGramsExpr.apply),
     binary(MinHashName, classOf[MinHashSigExpr], MinHashSigExpr.apply),
     binary(SimHashName, classOf[SimHashExpr], SimHashExpr.apply),
@@ -183,6 +185,13 @@ object GraftFunctions {
     * whitespace collapse + trim (requires `register`).
     */
   def cleanText(str: Column): Column = call_function(CleanTextName, str)
+
+  /** Native one-pass rolling span hashes over a words array (requires
+    * `register`).
+    */
+  def spanHashes(words: Column, width: Int): Column =
+    call_function(SpanHashesName, words,
+      org.apache.spark.sql.functions.lit(width))
 
   /** Native one-pass winnowing fingerprints over a string (requires
     * `register`).

@@ -96,11 +96,16 @@ object Chunking {
       .select(col(idCol), col("__c.idx").as("__idx"),
         col("__c.toks").as("__toks"),
         md5(array_join(col("__c.toks"), " ")).as("__h"))
+    // lazy checkpoint: the hot table still computes exactly ONCE (first
+    // action materializes the RDD; the broadcast below reuses it), but
+    // merely BUILDING this DataFrame no longer triggers Spark jobs —
+    // the operator builder stays lazy like the rest of this file. The
+    // cross-doc df aggregation makes the operator batch-only either way.
     val hot = chunks.groupBy(col("__h"))
       .agg(countDistinct(col(idCol)).as("__df"))
       .filter(col("__df") > maxDf)
       .select(col("__h"), lit(1).as("__hot"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // left join + in-agg marker (not an anti-join): the kept/dropped
     // split falls out of ONE id-keyed aggregation — collect_list skips
     // the nulled-out hot chunks
@@ -130,15 +135,22 @@ object Chunking {
     * like [[dropDuplicatedSpans]].
     *
     * Scale shape: perfectly row-local — one tokenizer pass, the
-    * first-seen mask is a per-row fold over the doc's own shingle
-    * hashes, ZERO shuffles (the display sort in the gated query is the
-    * only exchange). Streaming-safe for the same reason. Output:
-    * `(id, clean_text, n_kept_tokens, n_dropped_tokens,
-    * n_repeat_starts)` — the last doubles as the audit count AND the
-    * second top-level reference that keeps the repeat scan out of the
-    * mask lambda (see the in-code comment). `carry` names extra input
-    * columns to pass through unchanged (e.g. the event-time column in
-    * the streaming cascade).
+    * first-seen detection is an `array_sort` of the doc's own
+    * `(hash, position)` shingle structs (O(m log m) in the doc's
+    * length, so a 100k-token book is ~1.7M comparisons in its task,
+    * not the ~10¹⁰ of a prefix-scan formulation), ZERO shuffles (the
+    * display sort in the gated query is the only exchange).
+    * Streaming-safe for the same reason. Output: `(id, clean_text,
+    * n_kept_tokens, n_dropped_tokens, n_repeat_starts)`. `carry`
+    * names extra input columns to pass through unchanged (e.g. the
+    * event-time column in the streaming cascade).
+    *
+    * NOTE (pipeline-slot semantics): the internal liveness filter
+    * DROPS rows whose id is null or whose text has no `[a-z0-9]`
+    * character — wiring this operator in as a cascade "rewrite" stage
+    * therefore also gates such rows even when the upstream quality
+    * gates are disabled. [[graft.pipeline.CurationPipeline]]'s own
+    * quality/langid gates subsume the same rows when enabled.
     */
   def dropRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
                         width: Int, carry: Seq[String] = Nil): DataFrame = {
@@ -148,41 +160,72 @@ object Chunking {
       .filter(col(idCol).isNotNull && lower(col(textCol)).rlike("[a-z0-9]"))
       .select(col(idCol) +: cs :+
         TextFunctions.normalizedWords(col(textCol)).as("__ws"): _*)
-    // per-position shingle hashes (empty below `width` — sequence()
-    // counts DOWN for a negative stop, hence the guard)
-    val hashes = when(size(col("__ws")) >= width,
-      transform(sequence(lit(0), size(col("__ws")) - width),
-        p => md5(array_join(slice(col("__ws"), p + 1, lit(width)), " "))))
-      .otherwise(array().cast("array<string>"))
-    // a position p REPEATS iff its hash appears among positions < p:
-    // array_position over a PREFIX SLICE of the fixed hash array.
-    // |positions|² worst-case comparisons stay inside one row, with no
-    // per-step array building (a fold accumulating a `seen` array
-    // copies a growing array per element — measured 50× slower)
-    val repeats = when(size(col("__h")) > 0, filter(
-      transform(sequence(lit(0), size(col("__h")) - 1), p => p),
-      p => array_position(slice(col("__h"), lit(1), p),
-        element_at(col("__h"), p + 1)) > 0))
+    // per-position (hash, position) shingle structs, SORTED: struct
+    // ordering is (h, p), so equal-hash runs are position-ordered and
+    // an element REPEATS an earlier position iff it equals its LEFT
+    // NEIGHBOR — O(m log m), vs the O(m²) prefix-scan this replaces
+    // (array_position over a growing slice per position; a 100k-token
+    // book would be a single-task straggler). The hashes come from the
+    // native one-pass rolling kernel (O(n) total, vs O(n·width) for
+    // md5-per-window; empty below `width`) — internal equality
+    // carriers only, never exposed in the output.
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val sortedShingles = array_sort(
+      transform(
+        graft.functions.GraftFunctions.spanHashes(col("__ws"), width),
+        (h, i) => struct(h.as("h"), i.as("p"))))
+    // repeat START positions, ascending: neighbor-equality marks in the
+    // (h, p)-sorted array, re-sorted by position
+    val repeats = when(size(col("__sh")) >= 2, array_sort(
+      transform(
+        filter(sequence(lit(1), size(col("__sh")) - 1), i =>
+          element_at(col("__sh"), i + 1).getField("h") ===
+            element_at(col("__sh"), i).getField("h")),
+        i => element_at(col("__sh"), i + 1).getField("p"))))
       .otherwise(array().cast("array<int>"))
+    // KEPT index ranges — the complement of the union of [p, p+width)
+    // over repeat starts p. With `__rp` sorted, the gap AFTER the j-th
+    // start is [rp(j)+width, rp(j+1)-1] (empty when the next start is
+    // closer than `width` — clamped below), so the whole complement
+    // falls out of neighbor pairs in O(|rp|), and reassembly is plain
+    // slice-copies totalling |kept| — linear, vs the per-token
+    // `exists` mask this replaces (|tokens|·|rp|).
+    def gap(s: Column, e: Column): Column = struct(s.as("s"), e.as("e"))
+    val emptyGaps = array().cast("array<struct<s:int,e:int>>")
+    val nTok = size(col("__ws"))
+    val nrp = size(col("__rp"))
+    val gaps = concat(
+      array(gap(lit(0),
+        when(nrp > 0, element_at(col("__rp"), 1) - 1).otherwise(nTok - 1))),
+      when(nrp >= 2, transform(sequence(lit(1), nrp - 1),
+        i => gap(element_at(col("__rp"), i) + lit(width),
+          element_at(col("__rp"), i + 1) - 1)))
+        .otherwise(emptyGaps),
+      when(nrp > 0,
+        array(gap(element_at(col("__rp"), nrp) + lit(width), nTok - 1)))
+        .otherwise(emptyGaps))
+    val kept = flatten(transform(gaps, g =>
+      slice(col("__ws"), g.getField("s") + 1,
+        greatest(lit(0), g.getField("e") - g.getField("s") + 1))))
     live
-      .select(col(idCol) +: cs :+ col("__ws") :+ hashes.as("__h"): _*)
-      // STRUCTURAL materialization barrier: __rp comes out of a
-      // single-row generator (explode of a one-element array), not a
-      // projection alias. A mere alias is fragile — CollapseProject
-      // inlines a once-referenced alias into the mask's filter lambda
-      // where it re-runs per TOKEN (measured 40× slower at sf0.1), and
+      // STRUCTURAL materialization barriers: __sh and __rp come out of
+      // single-row generators (explode of a one-element array), not
+      // projection aliases. A mere alias is fragile — CollapseProject
+      // inlines a once-referenced alias into a downstream lambda where
+      // it re-runs per ELEMENT (the sort would re-run per shingle —
+      // the measured-40×-slower trap, see git history), and
       // reference-counting tricks die as soon as a downstream .drop()
-      // prunes the extra reference (measured: a nested-inline runaway
-      // in the streaming cascade). A Generate cannot be collapsed
-      // into, so the repeat scan runs exactly once per row, batch or
-      // stream. `repeats` is never null, so outer ≡ inner and no
-      // predicate ever lands below the Generate (the q23 trap).
+      // prunes the extra reference. A Generate cannot be collapsed
+      // into, so the sort and the repeat extraction each run exactly
+      // once per row, batch or stream. Neither array is ever null, so
+      // outer ≡ inner and no predicate lands below the Generate (the
+      // q23 trap).
+      .select(col(idCol) +: cs :+ col("__ws") :+
+        explode_outer(array(sortedShingles)).as("__sh"): _*)
       .select(col(idCol) +: cs :+ col("__ws") :+
         explode_outer(array(repeats)).as("__rp"): _*)
       .select(col(idCol) +: cs :+ col("__ws") :+
-        size(col("__rp")).as("__nrp") :+
-        filter(col("__ws"), (_, i) =>
-          !exists(col("__rp"), p => p <= i && i < p + width)).as("__kept"): _*)
+        size(col("__rp")).as("__nrp") :+ kept.as("__kept"): _*)
       .select(col(idCol) +: cs :+
         array_join(col("__kept"), " ").as("clean_text") :+
         size(col("__kept")).cast("long").as("n_kept_tokens") :+
@@ -224,26 +267,24 @@ object Chunking {
       .filter(col(idCol).isNotNull && lower(col(textCol)).rlike("[a-z0-9]"))
       .select(col(idCol),
         TextFunctions.normalizedWords(col(textCol)).as("__ws"))
-    // stride-1 shingle start positions; docs shorter than `width`
-    // contribute none (sequence() would count DOWN for a negative stop,
-    // hence the explicit guard)
-    val starts = when(size(col("__ws")) >= width,
-      sequence(lit(0), size(col("__ws")) - width))
-      .otherwise(array().cast("array<int>"))
-    // outer explode + null filter on the OUTPUT attribute — the q23/q89
-    // scan-filter trap rationale (see tokenChunks)
+    // stride-1 per-position span hashes from the native rolling kernel
+    // (O(n) per doc vs O(n·width) md5-per-window; empty below `width`).
+    // OUTER posexplode + null filter on the OUTPUT attribute — the
+    // q23/q89 scan-filter trap rationale (see tokenChunks).
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val sh = live
-      .select(col(idCol), explode_outer(transform(starts,
-        p => struct(p.as("p"),
-          md5(array_join(slice(col("__ws"), p + 1, lit(width)), " "))
-            .as("h")))).as("__s"))
-      .filter(col("__s").isNotNull)
-      .select(col(idCol), col("__s.p").as("__p"), col("__s.h").as("__h"))
+      .select(col(idCol), posexplode_outer(
+        graft.functions.GraftFunctions.spanHashes(col("__ws"), width)))
+      .withColumnRenamed("pos", "__p").withColumnRenamed("col", "__h")
+      .filter(col("__h").isNotNull)
+    // lazy checkpoint — same rationale as dropDuplicatedChunks' hot
+    // table: one materialization, no jobs at build time, batch-only
+    // regardless (the df aggregation is cross-doc)
     val hot = sh.groupBy(col("__h"))
       .agg(countDistinct(col(idCol)).as("__df"))
       .filter(col("__df") > maxDf)
       .select(col("__h"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val hotPos = sh.join(broadcast(hot), Seq("__h"))
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(col("__p"))).as("__hp"))

@@ -35,6 +35,19 @@ import graft.operators.Dedup
   */
 object CurationPipeline {
 
+  /** Granularity of the cascade's duplicated-span slot (`spanDedup`):
+    * [[SpanChunks]] cuts fixed non-overlapping windows
+    * ([[graft.operators.Chunking.dropDuplicatedChunks]]);
+    * [[SpanSpans]] cuts ExactSubstr-grade spans at ARBITRARY
+    * boundaries ([[graft.operators.Chunking.dropDuplicatedSpans]]) —
+    * strictly stronger (a duplicated run straddling a chunk boundary
+    * leaves both fixed windows non-hot, but stride-1 shingles catch it
+    * wherever it starts) at the cost of stride-1 shingling work.
+    */
+  sealed trait SpanMode
+  case object SpanChunks extends SpanMode
+  case object SpanSpans extends SpanMode
+
   /** Per-stage survivor counts alongside the final corpus — the numbers a
     * pipeline report wants. `curated` is lazy (deliberately uncached —
     * caching the subtree disables AQE's runtime join planning across it,
@@ -91,11 +104,19 @@ object CurationPipeline {
     // Same expressions as Scrub.c4Clean (c4LineKept / c4PageKeep).
     val afterC4 = if (!c4Rules) cleaned else {
       val raw = col(textCol)
+      // __tc out of a single-row GENERATE, not a projection alias: the
+      // page-keep filter would otherwise push below the projection with
+      // the line-scan expression substituted into it, evaluating the
+      // whole C4 line filter twice per row (and c4PageKeep's contract
+      // requires a materialized attribute). A filter on a generator
+      // output cannot push below the Generate; the array is never
+      // null, so outer ≡ inner (the dropRepeatedSpans barrier pattern).
       cleaned
-        .withColumn("__tc", array_join(filter(split(raw, "\n"),
-          l => graft.operators.Scrub.c4LineKept(l,
-            graft.operators.Scrub.C4MinLineWords,
-            graft.operators.Scrub.C4LineDropToken)), "\n"))
+        .select(col("*"), explode_outer(array(
+          array_join(filter(split(raw, "\n"),
+            l => graft.operators.Scrub.c4LineKept(l,
+              graft.operators.Scrub.C4MinLineWords,
+              graft.operators.Scrub.C4LineDropToken)), "\n"))).as("__tc"))
         .filter(graft.operators.Scrub.c4PageKeep(raw, col("__tc"),
           minSentences = graft.operators.Scrub.C4MinSentences,
           pagePhrase = graft.operators.Scrub.C4PagePhrase))
@@ -177,7 +198,10 @@ object CurationPipeline {
     * stage of a web cascade; every downstream hash/gate then sees the
     * canonical bytes, and the curated output carries the cleaned text).
     * `repeatSpans = Some(width)` collapses within-doc repeated spans in
-    * the rewrite slot (after all gates, before the dedups). NOTE: like
+    * the rewrite slot (after all gates, before the dedups).
+    * `spanDedup = Some((width, maxDf))` + `spanMode` select the
+    * cross-doc span-removal stage and its granularity ([[SpanMode]]):
+    * chunk windows, or ExactSubstr arbitrary boundaries. NOTE: like
     * `spanDedup`, this rewrite NORMALIZES the curated text corpus-wide
     * (lowercased tokens, punctuation stripped, newlines joined) — it is
     * the tokenize-and-reassemble family; keep it off when the curated
@@ -198,6 +222,7 @@ object CurationPipeline {
           lmReference: Option[DataFrame] = None,
           minAvgLogProb: Double = -12.0,
           spanDedup: Option[(Int, Long)] = None,
+          spanMode: SpanMode = SpanChunks,
           clean: Boolean = false,
           c4Rules: Boolean = false,
           gopherGate: Boolean = false,
@@ -317,14 +342,23 @@ object CurationPipeline {
     // dedup BEFORE the document-level dedups, which then see the
     // cleaned text). Rewrites text rather than gating ids: downstream
     // stages and the curated output consume `clean_text`; docs reduced
-    // to nothing but boilerplate drop here.
+    // to nothing but boilerplate drop here. `spanMode` selects the
+    // granularity: fixed chunks, or ExactSubstr arbitrary boundaries
+    // (the only mode that removes a duplicate straddling a chunk edge).
     val afterSpan = spanDedup match {
       case None => afterRepeat
-      case Some((width, maxDf)) => staged(
-        graft.operators.Chunking.dropDuplicatedChunks(afterRepeat, idCol,
-          textCol, width, maxDf)
-          .filter(col("n_kept_chunks") > 0)
-          .select(col(idCol), col("clean_text").as(textCol)))
+      case Some((width, maxDf)) => staged(spanMode match {
+        case SpanChunks =>
+          graft.operators.Chunking.dropDuplicatedChunks(afterRepeat,
+            idCol, textCol, width, maxDf)
+            .filter(col("n_kept_chunks") > 0)
+            .select(col(idCol), col("clean_text").as(textCol))
+        case SpanSpans =>
+          graft.operators.Chunking.dropDuplicatedSpans(afterRepeat,
+            idCol, textCol, width, maxDf)
+            .filter(col("n_kept_tokens") > 0)
+            .select(col(idCol), col("clean_text").as(textCol))
+      })
     }
 
     // the exact-dedup keeper ids double as the near-dedup stage's input

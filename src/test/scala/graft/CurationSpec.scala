@@ -99,6 +99,39 @@ class CurationSpec extends SparkSpec {
       .as[String].head().startsWith(boiler))
   }
 
+  test("spanMode Spans removes boundary-straddling duplicates chunk mode misses") {
+    val dup = "join our mailing list" // 4 tokens, shared by all three docs
+    val docs = Seq(
+      (1L, s"alpha beta gamma $dup delta epsilon zeta"), // offset 3
+      (2L, s"one two $dup three four five six"),         // offset 2
+      (3L, s"red green blue white grey $dup black"))     // offset 5
+      .toDF("doc_id", "text")
+    // CHUNK mode: the duplicated run straddles each doc's fixed 4-token
+    // windows at a DIFFERENT offset, so no chunk content reaches df > 2
+    // and the boilerplate survives
+    val chunk = CurationPipeline.run(docs, "doc_id", "text",
+      languages = Set.empty, spanDedup = Some((4, 2L)),
+      spanMode = CurationPipeline.SpanChunks, stageCounts = true)
+    assert(chunk.counts("after_span_dedup") == 3L, s"got ${chunk.counts}")
+    val chunkKept = chunk.curated.select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(chunkKept.keySet == Set(1L, 2L, 3L))
+    assert(chunkKept.values.forall(_.contains(dup)), chunkKept)
+    // SPAN mode (ExactSubstr): stride-1 shingles catch the run wherever
+    // it starts — all three occurrences are cut, per-stage counts intact
+    val span = CurationPipeline.run(docs, "doc_id", "text",
+      languages = Set.empty, spanDedup = Some((4, 2L)),
+      spanMode = CurationPipeline.SpanSpans, stageCounts = true)
+    assert(span.counts("after_span_dedup") == 3L, s"got ${span.counts}")
+    assert(span.counts("after_near_dedup") == 3L, s"got ${span.counts}")
+    val spanKept = span.curated.select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(spanKept == Map(
+      1L -> "alpha beta gamma delta epsilon zeta",
+      2L -> "one two three four five six",
+      3L -> "red green blue white grey black"), spanKept)
+  }
+
   test("optional LM gate drops docs unlike the reference corpus") {
     val ref = Seq(
       (100L, "the engine reads the data and writes the result to the table"),
