@@ -1474,8 +1474,110 @@ object SparkEntry {
         expr("nullif(n_chars % 97, 0)"))
         .select(col("doc_id"), col("source"), col("n_chars"))
         .orderBy("doc_id")
+    }),
+
+    // SQL-text registry gates for the last four native kernels
+    // (the q123–q125 pattern): the Spark side goes parser → analyzer →
+    // registry-registered kernel, hash-gated by the same oracle family
+    // as the Column-API twin.
+    "q129_sql_native_word_ngrams" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      t(s, dir, "documents").createOrReplaceTempView("documents_v")
+      // sort INSIDE, kernel OUTSIDE (the q124 docsSorted shape): a
+      // global sort above the kernel would run it twice — once for the
+      // range partitioner's sampling pass, once for the sort itself
+      s.sql(
+        """SELECT doc_id, CAST(size(ng) AS BIGINT) AS n_ngrams,
+          |  md5(array_join(array_sort(ng), '|')) AS ngram_md5
+          |FROM (
+          |  SELECT doc_id, array_distinct(graft_word_ngrams(
+          |    filter(split(regexp_replace(lower(text), '[^a-z0-9\\s]', ' '),
+          |      '\\s+'), x -> x != ''), 3)) AS ng
+          |  FROM (SELECT doc_id, text FROM documents_v ORDER BY doc_id)
+          |  WHERE lower(text) RLIKE '[a-z0-9]')""".stripMargin)
+    }),
+    // q31's signature table through SQL text: the tokenize → md5-hash →
+    // native k-permutation kernel chain as nested subqueries (Catalyst
+    // collapses them exactly like the Column API's .select chain), outer
+    // posexplode_outer so no inferred size()>0 filter re-runs the chain
+    // in the scan
+    "q130_sql_native_minhash" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      t(s, dir, "documents").createOrReplaceTempView("documents_v")
+      s.sql(
+        """SELECT doc_id, CAST(perm AS BIGINT) AS perm, min_hash FROM (
+          |  SELECT doc_id,
+          |    posexplode_outer(graft_minhash_sig(hashes, 8)) AS (perm, min_hash)
+          |  FROM (
+          |    SELECT doc_id, transform(tokens,
+          |      t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)
+          |        % 2147483629) AS hashes
+          |    FROM (
+          |      SELECT doc_id, array_distinct(graft_word_ngrams(
+          |        filter(split(regexp_replace(lower(text), '[^a-z0-9\\s]', ' '),
+          |          '\\s+'), x -> x != ''), 3)) AS tokens
+          |      FROM documents_v
+          |      WHERE lower(text) RLIKE '[a-z0-9]')))
+          |ORDER BY doc_id, perm""".stripMargin)
+    }),
+    // q41's bucket table through SQL text: the driver-computed
+    // hyperplanes ride as CAST('<Double.toString>' AS DOUBLE) literals
+    // (guaranteed round-trip), so the SQL path buckets bit-identically
+    // to the typed-literal Column path
+    "q131_sql_native_srp" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      t(s, dir, "embeddings").createOrReplaceTempView("embeddings_v")
+      s.sql(
+        s"""SELECT vec_id, CAST(htable AS BIGINT) AS htable, bucket FROM (
+           |  SELECT vec_id, 0 AS htable,
+           |    graft_srp_bucket(embedding, ${srpPlanesSql(0, 4, 64)}) AS bucket
+           |  FROM embeddings_v WHERE embedding IS NOT NULL
+           |  UNION ALL
+           |  SELECT vec_id, 1 AS htable,
+           |    graft_srp_bucket(embedding, ${srpPlanesSql(1, 4, 64)}) AS bucket
+           |  FROM embeddings_v WHERE embedding IS NOT NULL)
+           |ORDER BY vec_id, htable""".stripMargin)
+    }),
+    // q40's exact top-k through SQL text: per-VECTOR norms in the CTEs
+    // (n norm scans, not 2P), broadcast-hinted small query side, native
+    // graft_dot_f32 as the only per-pair work
+    "q132_sql_native_dot" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      t(s, dir, "embeddings").createOrReplaceTempView("embeddings_v")
+      s.sql(
+        """WITH q AS (
+          |  SELECT vec_id AS query_id, embedding AS qv,
+          |    sqrt(graft_dot_f32(embedding, embedding)) AS qn
+          |  FROM embeddings_v WHERE vec_id < 20),
+          |c AS (
+          |  SELECT vec_id AS neighbor_id, embedding AS cv,
+          |    sqrt(graft_dot_f32(embedding, embedding)) AS cn
+          |  FROM embeddings_v),
+          |scored AS (
+          |  SELECT /*+ BROADCAST(q) */ query_id, neighbor_id,
+          |    graft_dot_f32(qv, cv) / (qn * cn) AS cosine
+          |  FROM c CROSS JOIN q WHERE query_id != neighbor_id),
+          |ranked AS (
+          |  SELECT query_id, neighbor_id, cosine,
+          |    CAST(row_number() OVER (PARTITION BY query_id
+          |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+          |  FROM scored)
+          |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
+          |FROM ranked WHERE rank <= 5
+          |ORDER BY query_id, rank""".stripMargin)
     })
   )
+
+  /** One hash table's SRP hyperplanes as a SQL array-of-arrays literal
+    * (q131's SQL-text path). String-cast literals, not bare decimals:
+    * Spark parses `0.123456` as DECIMAL, while `CAST('<toString>' AS
+    * DOUBLE)` is the exact `Double.parseDouble` round-trip of the
+    * driver-computed plane component.
+    */
+  private def srpPlanesSql(table: Int, planes: Int, dim: Int): String =
+    graft.operators.Knn.srpPlanes(table, planes, dim)
+      .map(_.map(v => s"CAST('$v' AS DOUBLE)").mkString("array(", ", ", ")"))
+      .mkString("array(", ", ", ")")
 
   /** q119/q128's shared IVFADC index fixture (centroid seeds, seed
     * codebooks, probe query set) — ONE definition so the recall readout
@@ -1786,6 +1888,34 @@ object SparkEntry {
        |$SigCte
        |SELECT doc_id, CAST(perm AS BIGINT) AS perm, min_hash
        |FROM sig ORDER BY doc_id, perm""".stripMargin
+
+  /** Shared by q40 (Column API) and q132 (SQL-text registry path). */
+  private lazy val KnnBruteOracle =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+       |           FROM embeddings WHERE vec_id < 20),
+       |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+       |scored AS (
+       |  SELECT query_id, neighbor_id, ${duckCos("qv", "cv")} AS cosine
+       |  FROM c CROSS JOIN q WHERE query_id != neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** Shared by q41 (Column API) and q131 (SQL-text registry path). */
+  private lazy val SrpBucketsOracle =
+    s"""WITH b AS (
+       |  SELECT vec_id, 0 AS htable, ${duckBucket(0, 4, "embedding")} AS bucket
+       |  FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id, 1 AS htable, ${duckBucket(1, 4, "embedding")} AS bucket
+       |  FROM embeddings)
+       |SELECT vec_id, CAST(htable AS BIGINT) AS htable, bucket
+       |FROM b ORDER BY vec_id, htable""".stripMargin
 
   /** Shared by q33 (DataFrame formulation) and q55 (SQL-text entry path
     * through the registered native kernels) — identical SimHash table.
@@ -2426,30 +2556,10 @@ object SparkEntry {
          |ORDER BY doc_id""".stripMargin,
 
     // ---- ANN oracles
-    "q40_knn_brute" ->
-      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
-         |           FROM embeddings WHERE vec_id < 20),
-         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
-         |scored AS (
-         |  SELECT query_id, neighbor_id, ${duckCos("qv", "cv")} AS cosine
-         |  FROM c CROSS JOIN q WHERE query_id != neighbor_id),
-         |ranked AS (
-         |  SELECT query_id, neighbor_id, cosine,
-         |    CAST(row_number() OVER (PARTITION BY query_id
-         |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
-         |  FROM scored)
-         |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
-         |FROM ranked WHERE rank <= 5
-         |ORDER BY query_id, rank""".stripMargin,
-    "q41_lsh_buckets" ->
-      s"""WITH b AS (
-         |  SELECT vec_id, 0 AS htable, ${duckBucket(0, 4, "embedding")} AS bucket
-         |  FROM embeddings
-         |  UNION ALL
-         |  SELECT vec_id, 1 AS htable, ${duckBucket(1, 4, "embedding")} AS bucket
-         |  FROM embeddings)
-         |SELECT vec_id, CAST(htable AS BIGINT) AS htable, bucket
-         |FROM b ORDER BY vec_id, htable""".stripMargin,
+    "q40_knn_brute" -> KnnBruteOracle,
+    "q132_sql_native_dot" -> KnnBruteOracle,
+    "q41_lsh_buckets" -> SrpBucketsOracle,
+    "q131_sql_native_srp" -> SrpBucketsOracle,
     "q42_knn_lsh" ->
       s"""WITH bkt AS (
          |  SELECT vec_id, 0 AS htable, ${duckBucket(0, 4, "embedding")} AS bucket
@@ -4163,7 +4273,19 @@ object SparkEntry {
          |  WHERE rn = 1)
          |SELECT doc_id, source, n_chars FROM qd
          |WHERE component IS NULL OR doc_id IN (SELECT doc_id FROM win)
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+
+    // deduped 3-word shingle digest per doc — the q124/q54 gate shape
+    // (count + md5 of the sorted shingle list) for the native word-ngram
+    // kernel's SQL-text path
+    "q129_sql_native_word_ngrams" ->
+      s"""WITH $WordsCte,
+         |$ShinglesCte
+         |SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_ngrams,
+         |  md5(array_to_string(list_sort(shingles), '|')) AS ngram_md5
+         |FROM sh ORDER BY doc_id""".stripMargin,
+    // the q31/q38 signature oracle gates the SQL-text minhash path too
+    "q130_sql_native_minhash" -> MinHashSigOracle
   )
 
   /** DuckDB replica of [[graft.operators.Bpe.encodeSymbols]]: nested

@@ -98,6 +98,15 @@ object Knn {
     ((java.lang.Long.parseLong(hex, 16) % 1000000L) - 500000L) / 1000000.0
   }
 
+  /** The full hyperplane set for one hash table — shared by [[lshBucket]]
+    * (typed-literal path) and the SQL-text registry gate, which embeds the
+    * SAME constants as `CAST('<toString>' AS DOUBLE)` literals (Java
+    * guarantees `Double.toString → parseDouble` round-trips, so both
+    * paths bucket bit-identically).
+    */
+  private[graft] def srpPlanes(table: Int, planes: Int, dim: Int): Seq[Seq[Double]] =
+    Seq.tabulate(planes)(p => Seq.tabulate(dim)(d => planeComponent(table, p, d)))
+
   /** Sign-random-projection bucket id for one hash table: an integer in
     * [0, 2^planes) from the signs of `planes` hyperplane projections.
     * `dim` is the (uniform) vector length. The hyperplanes are
@@ -109,8 +118,7 @@ object Knn {
     * registers before use).
     */
   def lshBucket(vec: Column, table: Int, planes: Int, dim: Int): Column =
-    GraftFunctions.srpBucket(vec,
-      Seq.tabulate(planes)(p => Seq.tabulate(dim)(d => planeComponent(table, p, d))))
+    GraftFunctions.srpBucket(vec, srpPlanes(table, planes, dim))
 
   /** (id, htable, bucket) assignment for every non-null vector — the
     * shuffle-ready index. Same-bucket ids are ANN candidates. ("htable" =
