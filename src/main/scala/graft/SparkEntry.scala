@@ -1565,6 +1565,48 @@ object SparkEntry {
           |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
           |FROM ranked WHERE rank <= 5
           |ORDER BY query_id, rank""".stripMargin)
+    }),
+
+    // REAL audio metadata at the codec seam (the q122 pattern): hand-
+    // assembled RIFF fixtures whose closed-form header fields the oracle
+    // predicts from doc_id — the JDK AudioSystem parser must actually
+    // read them (the md5-derived stub could never hash-match)
+    "q133_mm_wav_decode" -> ((s, dir) => {
+      import s.implicits._
+      val ids = t(s, dir, "documents")
+        .where(col("doc_id").isNotNull).select(col("doc_id")).as[Long]
+      val assets = ids.map { id =>
+        (id, "audio", graft.multimodal.Multimodal.syntheticWav(id))
+      }.toDF("id", "modality", "content")
+        .withColumn("n_bytes", octet_length(col("content")).cast("long"))
+      graft.multimodal.Multimodal
+        .decodePartitions(assets, graft.multimodal.Multimodal.audioDecodeBytes)
+        .toDF()
+        .select(col("id"), col("width").cast("long").as("sample_rate"),
+          col("height").cast("long").as("bits"),
+          col("channels").cast("long").as("channels"),
+          col("durationMs").as("duration_ms"), col("nBytes").as("n_bytes"))
+        .orderBy("id")
+    }),
+    // REAL video-container metadata: hand-assembled ISO-BMFF fixtures
+    // (ftyp + moov(mvhd + trak(tkhd))) parsed by the pure-JVM box walk —
+    // dimensions/duration/track-count from actual spec offsets
+    "q134_mm_mp4_decode" -> ((s, dir) => {
+      import s.implicits._
+      val ids = t(s, dir, "documents")
+        .where(col("doc_id").isNotNull).select(col("doc_id")).as[Long]
+      val assets = ids.map { id =>
+        (id, "video", graft.multimodal.Multimodal.syntheticMp4(id))
+      }.toDF("id", "modality", "content")
+        .withColumn("n_bytes", octet_length(col("content")).cast("long"))
+      graft.multimodal.Multimodal
+        .decodePartitions(assets, graft.multimodal.Multimodal.videoDecodeBytes)
+        .toDF()
+        .select(col("id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("channels").cast("long").as("n_tracks"),
+          col("durationMs").as("duration_ms"), col("nBytes").as("n_bytes"))
+        .orderBy("id")
     })
   )
 
@@ -4285,7 +4327,34 @@ object SparkEntry {
          |  md5(array_to_string(list_sort(shingles), '|')) AS ngram_md5
          |FROM sh ORDER BY doc_id""".stripMargin,
     // the q31/q38 signature oracle gates the SQL-text minhash path too
-    "q130_sql_native_minhash" -> MinHashSigOracle
+    "q130_sql_native_minhash" -> MinHashSigOracle,
+
+    // the oracle predicts what REAL WAV header parsing must return —
+    // the closed-form RIFF fields syntheticWav writes (8 kHz, 16-bit,
+    // id-derived channels/frames); the stub's md5-derived values could
+    // never match
+    "q133_mm_wav_decode" ->
+      s"""SELECT doc_id AS id,
+         |  CAST(8000 AS BIGINT) AS sample_rate,
+         |  CAST(16 AS BIGINT) AS bits,
+         |  CAST(doc_id % 2 + 1 AS BIGINT) AS channels,
+         |  CAST(doc_id % 50 + 1 AS BIGINT) AS duration_ms,
+         |  CAST(44 + (doc_id % 50 + 1) * 8 * (doc_id % 2 + 1) * 2
+         |    AS BIGINT) AS n_bytes
+         |FROM documents WHERE doc_id IS NOT NULL
+         |ORDER BY id""".stripMargin,
+    // closed-form ISO-BMFF fields syntheticMp4 writes: 16.16 fixed-point
+    // presentation dims, mvhd duration at timescale 600, one track,
+    // fixed 232-byte layout
+    "q134_mm_mp4_decode" ->
+      s"""SELECT doc_id AS id,
+         |  CAST(doc_id % 640 + 16 AS BIGINT) AS width,
+         |  CAST(doc_id % 360 + 16 AS BIGINT) AS height,
+         |  CAST(1 AS BIGINT) AS n_tracks,
+         |  CAST((doc_id % 120 + 1) * 1000 AS BIGINT) AS duration_ms,
+         |  CAST(232 AS BIGINT) AS n_bytes
+         |FROM documents WHERE doc_id IS NOT NULL
+         |ORDER BY id""".stripMargin
   )
 
   /** DuckDB replica of [[graft.operators.Bpe.encodeSymbols]]: nested

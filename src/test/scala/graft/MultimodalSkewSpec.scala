@@ -106,6 +106,53 @@ class MultimodalSkewSpec extends SparkSpec {
     assert(out(3L) == ((gw, gh, gc)))
   }
 
+  test("audioDecodeBytes parses real WAV headers; corrupt payloads " +
+    "fall back to the stub") {
+    // id=7: channels = 7%2+1 = 2, frames = (7%50+1)*8 = 64 → 8 ms at
+    // 8 kHz, 16-bit — values only a real RIFF parse can produce
+    val wav = Multimodal.syntheticWav(7L)
+    assert(wav.length == 44 + 64 * 2 * 2)
+    assert(Multimodal.audioDecodeBytes(wav, "audio") == ((8000, 16, 2, 8L)))
+    // a WAV the JDK wrote itself must parse identically (cross-check the
+    // hand-assembled fixture against AudioSystem's own writer)
+    val jdkWav = {
+      val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+      val data = new Array[Byte](320) // 160 frames
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(data), fmt, 160),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    assert(Multimodal.audioDecodeBytes(jdkWav, "audio") == ((16000, 16, 1, 10L)))
+    // truncated header (magic number intact) → stub, not a throw
+    val corrupt = wav.take(20)
+    assert(Multimodal.audioDecodeBytes(corrupt, "audio") ==
+      Multimodal.stubDecodeBytes(corrupt, "audio"))
+    // non-audio modalities never enter the codec
+    assert(Multimodal.audioDecodeBytes(wav, "image") ==
+      Multimodal.stubDecodeBytes(wav, "image"))
+  }
+
+  test("videoDecodeBytes walks real ISO-BMFF boxes; corrupt payloads " +
+    "fall back to the stub") {
+    // id=5: width 5%640+16=21, height 5%360+16=21, duration (5%120+1)s
+    val mp4 = Multimodal.syntheticMp4(5L)
+    assert(mp4.length == 232)
+    assert(Multimodal.videoDecodeBytes(mp4, "video") == ((21, 21, 1, 6000L)))
+    // a corrupt box size inside moov must not throw or loop
+    val broken = mp4.clone()
+    broken(16) = 0x7f.toByte // moov size → absurd, exceeds buffer
+    assert(Multimodal.videoDecodeBytes(broken, "video") ==
+      Multimodal.stubDecodeBytes(broken, "video"))
+    val garbage = "not a container".getBytes("UTF-8")
+    assert(Multimodal.videoDecodeBytes(garbage, "video") ==
+      Multimodal.stubDecodeBytes(garbage, "video"))
+    assert(Multimodal.videoDecodeBytes(mp4, "audio") ==
+      Multimodal.stubDecodeBytes(mp4, "audio"))
+  }
+
   test("salted join returns exactly the plain join's rows") {
     val hot = (1 to 500).map(i => ("hotkey", i.toLong)) ++
       Seq(("cold", 1000L))
