@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Jaccard, Pq}
+import graft.operators.{Dedup, Jaccard, Knn, Pq}
 
 /** Time the flagship paths over the ScaleFixture 10× corpus and report
   * whether AQE skew handling fired — the local stand-in for the 100 TB
@@ -97,6 +97,40 @@ object ScaleBench {
           longDocs(32, toks), "doc_id", "text", width = 8)
           .write.format("noop").mode("overwrite").save()
       }
+    }
+    // nprobe tuning curve (q135's readout at scale): wall + recall@5
+    // against exact-L2 ground truth per probe width, with SEED codebooks
+    // (q119/q128/q135's fixture — untrained, so ADC is near-noise and
+    // widening the pool can only admit imposters: recall FALLS) vs one
+    // Lloyd round (`pqRefine(iters = 1)` — trained ADC, recall CLIMBS
+    // with nprobe, the published IVFADC trade). The pair is the
+    // evidence that the curve's shape diagnoses codebook quality, and
+    // the wall column is the latency cost each probe width pays.
+    {
+      val queries = embs.filter(col("vec_id") < 20)
+      val exactL2 = Knn.bruteForceTopKL2(embs, queries,
+        "vec_id", "embedding", k = 5).localCheckpoint()
+      val cents = embs.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val seedCb = Pq.pqSeedCodebooks(embs, "vec_id", "embedding",
+        m = 8, ksub = 16)
+      val lloydCb = time("pq_refine_1round") {
+        Pq.pqRefine(embs, "vec_id", "embedding", seedCb, iters = 1)
+      }
+      for (round <- Seq("cold", "warm");
+           (cbl, cb) <- Seq("seed" -> seedCb, "lloyd1" -> lloydCb);
+           p <- Seq(1, 2, 4, 8)) {
+        time(s"ivfadc_nprobe_${cbl}_$p $round") {
+          val approx = Pq.ivfPqTopK(embs, queries, cents, cb,
+            "vec_id", "embedding", k = 5, nprobe = p)
+          val r = Knn.recallAtK(approx, exactL2)
+            .agg(sum("n_hit").cast("double") / sum("n_exact"))
+            .head().getDouble(0)
+          println(f"  recall_l2@5=$r%.3f")
+        }
+      }
+      Knn.releaseCheckpoint(exactL2)
+      Knn.releaseCheckpoint(lloydCb)
     }
     // AQE skew-split evidence: re-run the biggest shuffle path and grep
     // its final adaptive plan for skew markers

@@ -1607,6 +1607,38 @@ object SparkEntry {
           col("channels").cast("long").as("n_tracks"),
           col("durationMs").as("duration_ms"), col("nBytes").as("n_bytes"))
         .orderBy("id")
+    }),
+
+    // the nprobe tuning curve on q128's fixture: micro-averaged recall@5
+    // at nprobe ∈ {1,2,4,8}, against BOTH ground truths — exact L2
+    // (what ADC approximates; must climb as probes widen) and exact
+    // cosine (the repo's q128 convention; on UNnormalized vectors the
+    // metric mismatch dominates, so this one may legitimately fall as
+    // the ADC ranking converges to true-L2 order). Splitting the two is
+    // the point: quantization/probe error vs metric mismatch.
+    "q135_nprobe_recall_curve" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val (cents, cb, queries) = ivfAdcIndex(embs)
+      val exactCos = Knn.bruteForceTopK(embs, queries,
+        "vec_id", "embedding", k = 5)
+      val exactL2 = Knn.bruteForceTopKL2(embs, queries,
+        "vec_id", "embedding", k = 5)
+      Seq(1, 2, 4, 8).map { p =>
+        val approx = Pq.ivfPqTopK(embs, queries, cents, cb,
+          "vec_id", "embedding", k = 5, nprobe = p)
+        val cosAgg = Knn.recallAtK(approx, exactCos)
+          .agg(count(lit(1)).as("n_queries"),
+            sum("n_hit").as("n_hit_cos"), sum("n_exact").as("n_exact"))
+        val l2Agg = Knn.recallAtK(approx, exactL2)
+          .agg(sum("n_hit").as("n_hit_l2"))
+        cosAgg.crossJoin(l2Agg)
+          .select(lit(p.toLong).as("nprobe"), col("n_queries"),
+            col("n_hit_l2"), col("n_hit_cos"), col("n_exact"),
+            round(col("n_hit_l2").cast("double") / col("n_exact"), 6)
+              .as("recall_l2"),
+            round(col("n_hit_cos").cast("double") / col("n_exact"), 6)
+              .as("recall_cos"))
+      }.reduce(_ unionAll _).orderBy("nprobe")
     })
   )
 
@@ -4354,7 +4386,115 @@ object SparkEntry {
          |  CAST((doc_id % 120 + 1) * 1000 AS BIGINT) AS duration_ms,
          |  CAST(232 AS BIGINT) AS n_bytes
          |FROM documents WHERE doc_id IS NOT NULL
-         |ORDER BY id""".stripMargin
+         |ORDER BY id""".stripMargin,
+
+    // the q128 chain with the probe cutoff made a VARIABLE: every
+    // candidate carries its centroid's probe rank, ADC distances are
+    // computed once, and each nprobe level re-ranks the pr<=level
+    // subset — exactly what Pq.ivfPqTopK(nprobe = p) produces per level
+    "q135_nprobe_recall_curve" ->
+      s"""WITH $PqBaseSql,
+         |codes AS (SELECT vec_id, sub, cid FROM best WHERE rn = 1),
+         |cents AS (SELECT vec_id AS ccid, embedding AS ccvec
+         |          FROM embeddings WHERE vec_id < 16),
+         |ascored AS (
+         |  SELECT e.vec_id, c.ccid,
+         |    ${duckCos("e.embedding", "c.ccvec")} AS cos
+         |  FROM embeddings e CROSS JOIN cents c),
+         |assigned AS (
+         |  SELECT vec_id, ccid FROM (
+         |    SELECT vec_id, ccid, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cos DESC, ccid) AS arn
+         |    FROM ascored) x WHERE arn = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv
+         |      FROM embeddings WHERE vec_id < 20),
+         |probed AS (
+         |  SELECT query_id, ccid, pr FROM (
+         |    SELECT query_id, c.ccid,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY ${duckCos("qv", "c.ccvec")} DESC, c.ccid) AS pr
+         |    FROM q CROSS JOIN cents c) y),
+         |cand AS (
+         |  SELECT query_id, a.vec_id AS neighbor_id, p.pr
+         |  FROM probed p JOIN assigned a ON p.ccid = a.ccid
+         |  WHERE query_id != a.vec_id),
+         |qdist AS (
+         |  SELECT qq.query_id, c.sub, c.cid,
+         |    list_reduce(list_prepend(0.0,
+         |      [(CAST(qq.qv[c.sub*8+p] AS DOUBLE) - c.cvec[p])
+         |        * (CAST(qq.qv[c.sub*8+p] AS DOUBLE) - c.cvec[p])
+         |       FOR p IN generate_series(1, 8)]),
+         |      (u, v) -> u + v) AS d2
+         |  FROM q qq CROSS JOIN cb c),
+         |adc AS (
+         |  SELECT cand.query_id, cand.neighbor_id, cand.pr,
+         |    list_reduce(list_prepend(0.0, list(qd.d2 ORDER BY co.sub)),
+         |      (u, v) -> u + v) AS adc
+         |  FROM cand
+         |  JOIN codes co ON co.vec_id = cand.neighbor_id
+         |  JOIN qdist qd ON qd.query_id = cand.query_id
+         |    AND qd.sub = co.sub AND qd.cid = co.cid
+         |  GROUP BY cand.query_id, cand.neighbor_id, cand.pr),
+         |lv AS (SELECT unnest([1, 2, 4, 8]) AS nprobe),
+         |lvl_ranked AS (
+         |  SELECT l.nprobe, a.query_id, a.neighbor_id,
+         |    row_number() OVER (PARTITION BY l.nprobe, a.query_id
+         |      ORDER BY a.adc, a.neighbor_id) AS rank
+         |  FROM lv l JOIN adc a ON a.pr <= l.nprobe),
+         |approx AS (
+         |  SELECT nprobe, query_id, neighbor_id
+         |  FROM lvl_ranked WHERE rank <= 5),
+         |ec2 AS (SELECT vec_id AS neighbor_id, embedding AS ecv
+         |        FROM embeddings),
+         |escored AS (
+         |  SELECT query_id, neighbor_id, ${duckCos("qv", "ecv")} AS cosine,
+         |    ${duckDot("qv", "qv")} + ${duckDot("ecv", "ecv")}
+         |      - 2 * ${duckDot("qv", "ecv")} AS dist2
+         |  FROM ec2 CROSS JOIN q WHERE query_id != neighbor_id),
+         |exact_cos AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cosine DESC, neighbor_id) AS rank
+         |    FROM escored) x WHERE rank <= 5),
+         |exact_l2 AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY dist2, neighbor_id) AS rank
+         |    FROM escored) x WHERE rank <= 5),
+         |percq_cos AS (
+         |  SELECT l.nprobe, e.query_id, count(*) AS n_exact,
+         |    sum(CASE WHEN a.neighbor_id IS NOT NULL
+         |      THEN 1 ELSE 0 END) AS n_hit
+         |  FROM lv l CROSS JOIN exact_cos e
+         |  LEFT JOIN approx a ON a.nprobe = l.nprobe
+         |    AND a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+         |  GROUP BY 1, 2),
+         |percq_l2 AS (
+         |  SELECT l.nprobe, e.query_id,
+         |    sum(CASE WHEN a.neighbor_id IS NOT NULL
+         |      THEN 1 ELSE 0 END) AS n_hit
+         |  FROM lv l CROSS JOIN exact_l2 e
+         |  LEFT JOIN approx a ON a.nprobe = l.nprobe
+         |    AND a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+         |  GROUP BY 1, 2),
+         |agg_cos AS (
+         |  SELECT nprobe, count(*) AS n_queries, sum(n_hit) AS n_hit_cos,
+         |    sum(n_exact) AS n_exact
+         |  FROM percq_cos GROUP BY nprobe),
+         |agg_l2 AS (
+         |  SELECT nprobe, sum(n_hit) AS n_hit_l2
+         |  FROM percq_l2 GROUP BY nprobe)
+         |SELECT CAST(c.nprobe AS BIGINT) AS nprobe,
+         |  CAST(n_queries AS BIGINT) AS n_queries,
+         |  CAST(n_hit_l2 AS BIGINT) AS n_hit_l2,
+         |  CAST(n_hit_cos AS BIGINT) AS n_hit_cos,
+         |  CAST(n_exact AS BIGINT) AS n_exact,
+         |  round(CAST(n_hit_l2 AS DOUBLE) / n_exact, 6) AS recall_l2,
+         |  round(CAST(n_hit_cos AS DOUBLE) / n_exact, 6) AS recall_cos
+         |FROM agg_cos c JOIN agg_l2 USING (nprobe)
+         |ORDER BY nprobe""".stripMargin
   )
 
   /** DuckDB replica of [[graft.operators.Bpe.encodeSymbols]]: nested

@@ -232,7 +232,7 @@ object Knn {
     * longer referenced (Dataset.unpersist only covers cache-manager
     * entries, not checkpoint RDDs). No-op on non-checkpointed frames.
     */
-  private[operators] def releaseCheckpoint(df: DataFrame): Unit =
+  private[graft] def releaseCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.collectLeaves().foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
         l.rdd.unpersist(blocking = false)
@@ -329,6 +329,33 @@ object Knn {
           .as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Exact squared-L2 top-k — the ground truth the PQ/IVFADC stack
+    * approximates (ADC is a EUCLIDEAN estimator; recall measured against
+    * [[bruteForceTopK]]'s cosine ranking conflates quantization error
+    * with the metric mismatch on unnormalized vectors). Same broadcast
+    * nested-loop shape as the cosine variant; d² = |q|² + |c|² − 2·⟨q,c⟩
+    * with the squared norms computed once per VECTOR (kept UNrooted —
+    * sqrt-then-square would perturb the low bits the oracle compare
+    * reproduces exactly).
+    */
+  def bruteForceTopKL2(corpus: DataFrame, queries: DataFrame, idCol: String,
+                       vecCol: String, k: Int): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      GraftFunctions.dotF32(col(vecCol), col(vecCol)).as("qsq"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      GraftFunctions.dotF32(col(vecCol), col(vecCol)).as("csq"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (col("qsq") + col("csq")
+          - lit(2.0) * GraftFunctions.dotF32(col("qv"), col("cv")))
+          .as("dist2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist2").asc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
