@@ -99,13 +99,19 @@ object ScaleBench {
       }
     }
     // nprobe tuning curve (q135's readout at scale): wall + recall@5
-    // against exact-L2 ground truth per probe width, with SEED codebooks
-    // (q119/q128/q135's fixture — untrained, so ADC is near-noise and
-    // widening the pool can only admit imposters: recall FALLS) vs one
-    // Lloyd round (`pqRefine(iters = 1)` — trained ADC, recall CLIMBS
-    // with nprobe, the published IVFADC trade). The pair is the
-    // evidence that the curve's shape diagnoses codebook quality, and
-    // the wall column is the latency cost each probe width pays.
+    // against exact-L2 ground truth per probe width, SEED codebooks vs
+    // one Lloyd round (`pqRefine(iters = 1)`). Measured findings
+    // (BASELINE.md round 9): training lifts recall at EVERY width
+    // (+0.03 absolute at 1×), but on the uniform fixture the curve
+    // FALLS as probes widen under both codebooks — d=64 uniform
+    // vectors distance-concentrate, so ADC's quantization noise swamps
+    // the tiny true-distance spread and a wider pool only admits
+    // ADC-underestimated imposters; the nearest cell already holds the
+    // true neighborhood. At 10× (clone-structured fixture) recall is
+    // 1.0 at every width — clones quantize to near-identical codes in
+    // the query's own cell. The harness, not the happy curve, is the
+    // deliverable: on corpus-shaped (clustered) embeddings the same
+    // readout drives the published recall-vs-latency trade.
     {
       val queries = embs.filter(col("vec_id") < 20)
       val exactL2 = Knn.bruteForceTopKL2(embs, queries,

@@ -1611,11 +1611,15 @@ object SparkEntry {
 
     // the nprobe tuning curve on q128's fixture: micro-averaged recall@5
     // at nprobe ∈ {1,2,4,8}, against BOTH ground truths — exact L2
-    // (what ADC approximates; must climb as probes widen) and exact
-    // cosine (the repo's q128 convention; on UNnormalized vectors the
-    // metric mismatch dominates, so this one may legitimately fall as
-    // the ADC ranking converges to true-L2 order). Splitting the two is
-    // the point: quantization/probe error vs metric mismatch.
+    // (what ADC approximates) and exact cosine (the repo's q128
+    // convention). Splitting the two separates quantization/probe error
+    // from metric mismatch. Measured at sf0.01 the two recalls are
+    // IDENTICAL (near-uniform norms → coincident rankings) and both
+    // FALL as probes widen — with untrained seed codebooks on
+    // distance-concentrated uniform vectors, ADC noise swamps the true
+    // distance spread, so the wider pool only admits imposters (see the
+    // ScaleBench sweep: one Lloyd round lifts every level but the shape
+    // persists; a clustered corpus is what inverts it).
     "q135_nprobe_recall_curve" -> ((s, dir) => {
       val embs = t(s, dir, "embeddings")
       val (cents, cb, queries) = ivfAdcIndex(embs)
@@ -1639,6 +1643,36 @@ object SparkEntry {
             round(col("n_hit_cos").cast("double") / col("n_exact"), 6)
               .as("recall_cos"))
       }.reduce(_ unionAll _).orderBy("nprobe")
+    }),
+
+    // k-NN majority-vote label prediction on the probe set: the vote
+    // composes with ANY neighbor frame (here exact top-5; swap in
+    // lshTopK/ivfPqTopK unchanged) — label propagation for an
+    // embedding-curated corpus
+    "q136_knn_label_vote" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val topk = Knn.bruteForceTopK(embs, embs.filter(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5)
+      graft.operators.Classify.classifyByVote(topk, embs, "vec_id", "label")
+        .select(col("query_id"),
+          col("pred_label").cast("long").as("pred_label"),
+          col("n_votes"), col("n_neighbors"))
+        .orderBy("query_id")
+    }),
+    // Rocchio nearest-centroid prediction: the |labels|×d model builds
+    // in one pass (bit-exact blocked fold, the q110 contract) and
+    // broadcasts; per-row work is |labels| dot products
+    "q137_centroid_classify" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val cents = graft.operators.Classify.labelCentroids(
+        embs, "vec_id", "embedding", "label", bitExact = true)
+      graft.operators.Classify.centroidTopLabel(
+        embs.filter(col("vec_id") < 20), "vec_id", "embedding",
+        cents, "label")
+        .select(col("query_id"),
+          col("pred_label").cast("long").as("pred_label"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy("query_id")
     })
   )
 
@@ -4494,7 +4528,74 @@ object SparkEntry {
          |  round(CAST(n_hit_l2 AS DOUBLE) / n_exact, 6) AS recall_l2,
          |  round(CAST(n_hit_cos AS DOUBLE) / n_exact, 6) AS recall_cos
          |FROM agg_cos c JOIN agg_l2 USING (nprobe)
-         |ORDER BY nprobe""".stripMargin
+         |ORDER BY nprobe""".stripMargin,
+
+    // q40's exact top-5 feeding a per-query label vote; ties to the
+    // smallest label, vote counts and totals as integers
+    "q136_knn_label_vote" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |           FROM embeddings WHERE vec_id < 20),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         |scored AS (
+         |  SELECT query_id, neighbor_id, ${duckCos("qv", "cv")} AS cosine
+         |  FROM c CROSS JOIN q WHERE query_id != neighbor_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM scored),
+         |votes AS (
+         |  SELECT r.query_id, e.label AS lab, count(*) AS n_votes
+         |  FROM ranked r JOIN embeddings e ON r.neighbor_id = e.vec_id
+         |  WHERE r.rank <= 5 AND e.label IS NOT NULL
+         |  GROUP BY 1, 2),
+         |best AS (
+         |  SELECT query_id, lab, n_votes,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY n_votes DESC, lab) AS rn,
+         |    sum(n_votes) OVER (PARTITION BY query_id) AS n_neighbors
+         |  FROM votes)
+         |SELECT query_id, CAST(lab AS BIGINT) AS pred_label,
+         |  CAST(n_votes AS BIGINT) AS n_votes,
+         |  CAST(n_neighbors AS BIGINT) AS n_neighbors
+         |FROM best WHERE rn = 1 ORDER BY query_id""".stripMargin,
+
+    // the q110 blocked-fold contract per (label, dim): id-ordered folds
+    // inside id%32 blocks, block sums fold in block order, mean = sum/n
+    // per element — then cosine argmax against the broadcast model
+    "q137_centroid_classify" ->
+      s"""WITH x AS (
+         |  SELECT vec_id, label, vec_id % 32 AS blk, CAST(i AS INT) - 1 AS i,
+         |    CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS xi
+         |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+         |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+         |    AND label IS NOT NULL),
+         |c1 AS (
+         |  SELECT label, blk, i,
+         |    list_reduce(list(xi ORDER BY vec_id), (u, w) -> u + w) AS s
+         |  FROM x GROUP BY 1, 2, 3),
+         |csum AS (
+         |  SELECT label, i,
+         |    list_reduce(list(s ORDER BY blk), (u, w) -> u + w) AS s
+         |  FROM c1 GROUP BY 1, 2),
+         |cn AS (
+         |  SELECT label, count(DISTINCT vec_id) AS n FROM x GROUP BY 1),
+         |cent AS (
+         |  SELECT label, list(s / n ORDER BY i) AS cvec
+         |  FROM csum JOIN cn USING (label) GROUP BY label),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv
+         |      FROM embeddings WHERE vec_id < 20),
+         |scored AS (
+         |  SELECT query_id, label, ${duckCos("qv", "cvec")} AS cos
+         |  FROM q CROSS JOIN cent),
+         |best AS (
+         |  SELECT query_id, label, cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, label) AS rn
+         |  FROM scored)
+         |SELECT query_id, CAST(label AS BIGINT) AS pred_label,
+         |  round(cos, 6) + 0 AS cos
+         |FROM best WHERE rn = 1 ORDER BY query_id""".stripMargin
   )
 
   /** DuckDB replica of [[graft.operators.Bpe.encodeSymbols]]: nested

@@ -93,7 +93,7 @@ object Pca {
     * sum array, first element as the seed (DuckDB `list_reduce`
     * semantics, so the oracle's fold tree is literally the same).
     */
-  private def orderedArraySum(key: Column, arr: Column): Column =
+  private[operators] def orderedArraySum(key: Column, arr: Column): Column =
     aggregate(
       transform(sort_array(collect_list(struct(key.as("__k"),
         arr.as("__a")))), s => s.getField("__a")),
