@@ -1621,28 +1621,44 @@ object SparkEntry {
     // ScaleBench sweep: one Lloyd round lifts every level but the shape
     // persists; a clustered corpus is what inverts it).
     "q135_nprobe_recall_curve" -> ((s, dir) => {
+      import s.implicits._
       val embs = t(s, dir, "embeddings")
       val (cents, cb, queries) = ivfAdcIndex(embs)
+      // ONE sweep pass: cells probed once at the widest setting, ADC
+      // computed once per candidate, each width re-ranks its
+      // probe_rank<=width subset (Pq.ivfPqTopKSweep) — N widths never
+      // cost N full searches
+      val sweep = Pq.ivfPqTopKSweep(embs, queries, cents, cb,
+        "vec_id", "embedding", k = 5, nprobes = Seq(1, 2, 4, 8))
+        .select(col("nprobe"), col("query_id"), col("neighbor_id"))
       val exactCos = Knn.bruteForceTopK(embs, queries,
         "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
       val exactL2 = Knn.bruteForceTopKL2(embs, queries,
         "vec_id", "embedding", k = 5)
-      Seq(1, 2, 4, 8).map { p =>
-        val approx = Pq.ivfPqTopK(embs, queries, cents, cb,
-          "vec_id", "embedding", k = 5, nprobe = p)
-        val cosAgg = Knn.recallAtK(approx, exactCos)
-          .agg(count(lit(1)).as("n_queries"),
-            sum("n_hit").as("n_hit_cos"), sum("n_exact").as("n_exact"))
-        val l2Agg = Knn.recallAtK(approx, exactL2)
-          .agg(sum("n_hit").as("n_hit_l2"))
-        cosAgg.crossJoin(l2Agg)
-          .select(lit(p.toLong).as("nprobe"), col("n_queries"),
-            col("n_hit_l2"), col("n_hit_cos"), col("n_exact"),
-            round(col("n_hit_l2").cast("double") / col("n_exact"), 6)
-              .as("recall_l2"),
-            round(col("n_hit_cos").cast("double") / col("n_exact"), 6)
-              .as("recall_cos"))
-      }.reduce(_ unionAll _).orderBy("nprobe")
+        .select(col("query_id"), col("neighbor_id"))
+      def hits(exact: DataFrame, as: String) = sweep
+        .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("nprobe")).agg(count(lit(1)).as(as))
+      val totals = broadcast(exactCos
+        .agg(count(lit(1)).as("n_exact"),
+          countDistinct(col("query_id")).as("n_queries")))
+      // left join from the width list: a width with zero hits keeps its
+      // row (coalesce 0) instead of vanishing from the curve
+      Seq(1, 2, 4, 8).toDF("nprobe")
+        .join(hits(exactL2, "n_hit_l2"), Seq("nprobe"), "left")
+        .join(hits(exactCos, "n_hit_cos"), Seq("nprobe"), "left")
+        .crossJoin(totals)
+        .select(col("nprobe").cast("long").as("nprobe"),
+          col("n_queries"),
+          coalesce(col("n_hit_l2"), lit(0L)).as("n_hit_l2"),
+          coalesce(col("n_hit_cos"), lit(0L)).as("n_hit_cos"),
+          col("n_exact"),
+          round(coalesce(col("n_hit_l2"), lit(0L)).cast("double")
+            / col("n_exact"), 6).as("recall_l2"),
+          round(coalesce(col("n_hit_cos"), lit(0L)).cast("double")
+            / col("n_exact"), 6).as("recall_cos"))
+        .orderBy("nprobe")
     }),
 
     // k-NN majority-vote label prediction on the probe set: the vote

@@ -291,6 +291,26 @@ object Knn {
     * the query set a second time inside the probe.
     */
   private[operators] def probeCellsProjected(q: DataFrame,
+      centroids: DataFrame, nprobe: Int): DataFrame =
+    probeCellsRankedProjected(q, centroids, nprobe)
+      .select(col("query_id"), col("cid"))
+
+  /** [[probeCells]] with the probe RANK kept (`probe_rank`, 1 = nearest
+    * cell): the multi-width tuning-sweep input ([[Pq.ivfPqTopKSweep]]) —
+    * probe once at the WIDEST setting, and each narrower width is the
+    * `probe_rank <= width` subset instead of a re-probe.
+    */
+  def probeCellsRanked(queries: DataFrame, centroids: DataFrame,
+                       idCol: String, vecCol: String,
+                       nprobe: Int): DataFrame = {
+    GraftFunctions.register(queries.sparkSession)
+    val q = queries.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        normF32(col(vecCol)).as("qn"))
+    probeCellsRankedProjected(q, centroids, nprobe)
+  }
+
+  private def probeCellsRankedProjected(q: DataFrame,
       centroids: DataFrame, nprobe: Int): DataFrame = {
     require(nprobe >= 1, s"probeCells: nprobe=$nprobe")
     val c = centroids.select(col("cid"), col("cvec"),
@@ -301,9 +321,9 @@ object Knn {
       .select(col("query_id"), col("cid"),
         cosineFromNorms(col("qv"), col("cvec"), col("qn"), col("__cn"))
           .as("__ccos"))
-      .withColumn("__pr", row_number().over(wp))
-      .filter(col("__pr") <= nprobe)
-      .select(col("query_id"), col("cid"))
+      .withColumn("probe_rank", row_number().over(wp))
+      .filter(col("probe_rank") <= nprobe)
+      .select(col("query_id"), col("cid"), col("probe_rank"))
   }
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,

@@ -248,4 +248,61 @@ object Pq {
       .agg(adcSum.as("adc"))
     rankAdc(scored, k)
   }
+
+  /** [[ivfPqTopK]] at SEVERAL probe widths in one pass — the tuning-sweep
+    * shape: cells are probed once at `max(nprobes)` with each cell's
+    * probe rank carried ([[Knn.probeCellsRanked]]), ADC scores compute
+    * ONCE per (query, candidate), and each width re-ranks its
+    * `probe_rank <= width` subset. N widths cost one index pass plus N
+    * result-set-sized rank windows instead of N full searches. Output
+    * prepends `nprobe` to the [[ivfPqTopK]] schema; per width the rows
+    * are EXACTLY `ivfPqTopK(..., nprobe = width)`'s (same ADC doubles —
+    * the subspace-ordered fold is width-independent — and the same
+    * deterministic ties).
+    */
+  def ivfPqTopKSweep(embs: DataFrame, queries: DataFrame,
+                     centroids: DataFrame, codebooks: DataFrame,
+                     idCol: String, vecCol: String, k: Int,
+                     nprobes: Seq[Int]): DataFrame = {
+    require(k >= 1 && nprobes.nonEmpty && nprobes.forall(_ >= 1),
+      s"ivfPqTopKSweep: k=$k nprobes=$nprobes")
+    val codes = pqEncode(embs, idCol, vecCol, codebooks)
+    val assigned = Knn.ivfAssign(embs, idCol, vecCol, centroids)
+    val cand = Knn.probeCellsRanked(queries, centroids, idCol, vecCol,
+      nprobes.max)
+      .join(assigned, "cid")
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        col("probe_rank"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+    val cb = codebooks.select(col("sub"), col("cid"), col("cvec"))
+    val dsub = size(col("cvec"))
+    val dt = queries.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"), col(vecCol).as("__q"))
+      .crossJoin(cb)
+      .select(col("query_id"), col("sub"), col("cid"),
+        l2sq(transform(slice(col("__q"), col("sub") * dsub + 1, dsub),
+          x => x.cast("double")), col("cvec")).as("__d2"))
+    // each neighbor lives in exactly one cell, so min(probe_rank) IS its
+    // probe rank — the min only folds the m per-subspace copies
+    val scored = cand
+      .join(codes.select(col(idCol).as("neighbor_id"), col("codes")),
+        "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), col("probe_rank"),
+        posexplode(col("codes")).as(Seq("sub", "cid")))
+      .join(broadcast(dt), Seq("query_id", "sub", "cid"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(adcSum.as("adc"), min(col("probe_rank")).as("__pr"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("nprobe"), col("query_id"))
+      .orderBy(col("adc"), col("neighbor_id"))
+    scored
+      .select(col("*"),
+        explode(array(nprobes.map(lit): _*)).as("nprobe"))
+      .filter(col("__pr") <= col("nprobe"))
+      .select(col("nprobe"), col("query_id"), col("neighbor_id"),
+        col("adc"), row_number().over(w).as("rank"))
+      .filter(col("rank") <= k)
+      .select(col("nprobe"), col("query_id"), col("rank"),
+        col("neighbor_id"), col("adc"))
+  }
 }

@@ -111,6 +111,33 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("ivfPqTopKSweep per width == independent ivfPqTopK runs, " +
+    "bitwise ADC") {
+    val cb = Pq.pqSeedCodebooks(embs, "vec_id", "embedding", m, ksub)
+    val cents = embs.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val queries = embs.filter(col("vec_id") < 6)
+    val widths = Seq(1, 2, 4)
+    val sweep = Pq.ivfPqTopKSweep(embs, queries, cents, cb,
+      "vec_id", "embedding", k = 3, nprobes = widths)
+      .select("nprobe", "query_id", "rank", "neighbor_id", "adc")
+      .as[(Int, Long, Int, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3, r._4, r._5))
+        .sortBy(r => (r._1, r._2))).toMap
+    widths.foreach { p =>
+      val single = Pq.ivfPqTopK(embs, queries, cents, cb,
+        "vec_id", "embedding", k = 3, nprobe = p)
+        .select("query_id", "rank", "neighbor_id", "adc")
+        .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2))
+      val level = sweep.getOrElse(p, Array.empty[(Long, Int, Long, Double)])
+      assert(level.length == single.length,
+        s"nprobe=$p: sweep ${level.length} rows vs single ${single.length}")
+      level.zip(single).foreach { case (a, b) =>
+        assert(a == b, s"nprobe=$p: sweep row $a != single row $b")
+      }
+    }
+  }
+
   test("IVFADC candidates never leave the probed cells") {
     val cb = Pq.pqSeedCodebooks(embs, "vec_id", "embedding", m, ksub)
     val cents = embs.filter(col("vec_id") < 4)
