@@ -1689,6 +1689,21 @@ object SparkEntry {
           col("pred_label").cast("long").as("pred_label"),
           round(col("cos"), 6).as("cos"))
         .orderBy("query_id")
+    }),
+    // the same prediction through the LITERAL-model projection (no
+    // join, no window — the streaming-legal form); gated by the SAME
+    // oracle as q137, proving the two formulations identical
+    "q138_centroid_classify_lit" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val cents = graft.operators.Classify.labelCentroids(
+        embs, "vec_id", "embedding", "label", bitExact = true)
+      graft.operators.Classify.centroidTopLabelLit(
+        embs.filter(col("vec_id") < 20), "vec_id", "embedding",
+        cents, "label")
+        .select(col("query_id"),
+          col("pred_label").cast("long").as("pred_label"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy("query_id")
     })
   )
 
@@ -4578,8 +4593,16 @@ object SparkEntry {
 
     // the q110 blocked-fold contract per (label, dim): id-ordered folds
     // inside id%32 blocks, block sums fold in block order, mean = sum/n
-    // per element — then cosine argmax against the broadcast model
-    "q137_centroid_classify" ->
+    // per element — then cosine argmax against the broadcast model.
+    // Shared by q137 (joined-frame argmax) and q138 (literal-model
+    // `greatest` projection — the streaming-legal form): the two
+    // formulations must predict identically, which sharing the oracle
+    // proves.
+    "q138_centroid_classify_lit" -> CentroidClassifyOracle,
+    "q137_centroid_classify" -> CentroidClassifyOracle
+  )
+
+  private lazy val CentroidClassifyOracle =
       s"""WITH x AS (
          |  SELECT vec_id, label, vec_id % 32 AS blk, CAST(i AS INT) - 1 AS i,
          |    CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS xi
@@ -4612,7 +4635,6 @@ object SparkEntry {
          |SELECT query_id, CAST(label AS BIGINT) AS pred_label,
          |  round(cos, 6) + 0 AS cos
          |FROM best WHERE rn = 1 ORDER BY query_id""".stripMargin
-  )
 
   /** DuckDB replica of [[graft.operators.Bpe.encodeSymbols]]: nested
     * left-to-right merge folds over the `syms` column, innermost fold =

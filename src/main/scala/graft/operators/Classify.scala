@@ -107,6 +107,44 @@ object Classify {
       col("n"))
   }
 
+  /** [[centroidTopLabel]] with the model shipped as LITERALS instead of
+    * a joined frame: the centroid table collects to the driver (it is
+    * model-sized — the documented LR-weights/SRP-planes pattern) and the
+    * argmax becomes ONE `greatest` over per-label `(cos, −label)`
+    * structs — a pure whole-stage-codegen projection with no join and
+    * no window, which makes it legal on STREAMING DataFrames (the
+    * label-propagation-at-ingest shape) and the cheapest batch form.
+    * Labels must be integral (they ride negated inside the ordering
+    * struct); cosines are bit-identical to [[centroidTopLabel]]'s —
+    * same fold tree, with the centroid norm pre-folded driver-side in
+    * the same element order — so the two forms predict identically.
+    */
+  def centroidTopLabelLit(queries: DataFrame, idCol: String, vecCol: String,
+                          centroids: DataFrame,
+                          labelCol: String): DataFrame = {
+    val model = centroids
+      .select(col(labelCol).cast("long"), col("centroid"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    require(model.nonEmpty, "centroidTopLabelLit: empty centroid model")
+    val q = queries.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"), col(vecCol).as("__q"))
+    val scoredStructs = model.map { case (l, c) =>
+      // same accumulation order as Knn.norm's 0.0-seeded left fold
+      val cNorm = math.sqrt(c.foldLeft(0.0)((acc, x) => acc + x * x))
+      val cos = Knn.dot(col("__q"), lit(c.toArray)) /
+        (Knn.norm(col("__q")) * lit(cNorm))
+      struct(cos.as("c"), lit(-l).as("nl"))
+    }
+    val best =
+      if (scoredStructs.size == 1) scoredStructs.head
+      else greatest(scoredStructs: _*)
+    q.select(col("query_id"), best.as("__b"))
+      .select(col("query_id"), (-col("__b.nl")).as("pred_label"),
+        col("__b.c").as("cos"))
+  }
+
   /** Nearest-centroid label prediction: cosine against every centroid
     * (the model broadcasts — per-row work is |labels| dot products, a
     * pure map stage), argmax by (cosine desc, label asc). Output:

@@ -73,6 +73,27 @@ class ClassifySpec extends SparkSpec {
         s"label $l dim $i: scale ${v(i)} vs exact ${exact(l)._1(i)}")
   }
 
+  test("literal-model form predicts identically to the joined form, " +
+    "bitwise cosines") {
+    val cents = Classify.labelCentroids(clustered, "vec_id", "embedding",
+      "label")
+    val queries = clustered // classify the corpus against itself
+    val joined = Classify.centroidTopLabel(queries, "vec_id", "embedding",
+      cents, "label")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2))))
+      .toMap
+    val lit = Classify.centroidTopLabelLit(queries, "vec_id", "embedding",
+      cents, "label")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(lit.keySet == joined.keySet)
+    for ((id, (pl, cos)) <- lit) {
+      assert(pl == joined(id)._1.toLong, s"id $id: $pl vs ${joined(id)._1}")
+      assert(cos == joined(id)._2, // bitwise — same fold tree
+        s"id $id: cos $cos vs ${joined(id)._2}")
+    }
+  }
+
   test("centroidTopLabel assigns each query its own cluster; the " +
     "centroid model is broadcast") {
     val cents = Classify.labelCentroids(clustered, "vec_id", "embedding",

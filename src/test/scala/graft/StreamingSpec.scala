@@ -174,6 +174,33 @@ class StreamingSpec extends SparkSpec {
     } finally { flags.stop(); red.stop() }
   }
 
+  test("literal-model centroid classification labels a stream at ingest") {
+    // the model trains on a static frame; centroidTopLabelLit compiles
+    // it into a pure projection (no join/window), so the SAME call
+    // works on a streaming DataFrame — label propagation at ingest
+    val corpus = Seq(
+      (0L, Array(1f, 0.05f), 0), (1L, Array(0.9f, 0f), 0),
+      (10L, Array(0f, 1f), 1), (11L, Array(0.05f, 0.9f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val cents = graft.operators.Classify.labelCentroids(
+      corpus, "vec_id", "embedding", "label")
+    val input = MemoryStream[(Long, Array[Float])](spark)
+    val stream = input.toDF()
+      .select(col("_1").as("vec_id"), col("_2").as("embedding"))
+    val q = graft.operators.Classify.centroidTopLabelLit(
+      stream, "vec_id", "embedding", cents, "label")
+      .writeStream.format("memory").queryName("stream_labels")
+      .outputMode("append").start()
+    try {
+      input.addData((100L, Array(0.8f, 0.1f)), (101L, Array(-0.02f, 0.8f)))
+      q.processAllAvailable()
+      val out = spark.table("stream_labels")
+        .select("query_id", "pred_label")
+        .as[(Long, Long)].collect().sortBy(_._1)
+      assert(out.toSeq == Seq((100L, 0L), (101L, 1L)))
+    } finally q.stop()
+  }
+
   test("streaming parquet sink: append-mode windows land durably, once") {
     val base = s"/tmp/graft-stream-sink-${ProcessHandle.current().pid()}"
     val input = MemoryStream[(Long, Long, Long)](spark)
