@@ -328,6 +328,32 @@ class PlanSpec extends SparkSpec {
       s"vocabulary join should broadcast under AQE:\n${plan.take(2000)}")
   }
 
+  test("literal-model centroid classification plans NO join") {
+    // the model rides as literals inside one greatest() projection —
+    // any Join in this plan means the streaming-legal pure-map
+    // contract broke
+    val plan = finalPlan(q("q138_centroid_classify_lit"))
+    assert(!plan.contains("Join"),
+      s"q138 must be join-free (pure projection):\n${plan.take(2000)}")
+  }
+
+  test("label vote joins broadcast (result-set-sized sides)") {
+    val plan = finalPlan(q("q136_knn_label_vote"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vote/label joins should broadcast under AQE:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no side of the vote is big enough to justify a sort-merge:\n${plan.take(2000)}")
+  }
+
+  test("nprobe sweep shares one index pass across widths") {
+    // Pq.ivfPqTopKSweep computes candidates + ADC once; the recall
+    // readout's per-ground-truth branches must REUSE those exchanges,
+    // not rebuild four searches
+    val plan = finalPlan(q("q135_nprobe_recall_curve"))
+    assert(plan.contains("ReusedExchange"),
+      s"sweep subtree should be shared via ReusedExchange:\n${plan.take(2000)}")
+  }
+
   test("no query plans a cartesian product") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val plan = q(name).queryExecution.sparkPlan.toString
