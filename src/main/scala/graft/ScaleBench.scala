@@ -138,6 +138,41 @@ object ScaleBench {
       Knn.releaseCheckpoint(exactL2)
       Knn.releaseCheckpoint(lloydCb)
     }
+    // the 4-width sweep as ONE pass (Pq.ivfPqTopKSweep) — compare its
+    // wall against the SUM of the four independent ivfadc_nprobe_*
+    // entries above: the sweep probes/encodes/ADC-scores once and only
+    // the rank windows multiply
+    for (round <- Seq("cold", "warm")) {
+      time(s"ivfadc_sweep_4widths $round") {
+        val cents = embs.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        val cb = Pq.pqSeedCodebooks(embs, "vec_id", "embedding",
+          m = 8, ksub = 16)
+        Pq.ivfPqTopKSweep(embs, embs.filter(col("vec_id") < 20), cents,
+          cb, "vec_id", "embedding", k = 5, nprobes = Seq(1, 2, 4, 8))
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+    // classification at scale: the centroid model is one corpus pass +
+    // a literal-projection classify (the claimed cheapest-shape path),
+    // and the vote rides the LSH index — both should scale ~with the
+    // corpus, not with |queries|·|corpus|
+    for (round <- Seq("cold", "warm")) {
+      time(s"centroid_classify_lit $round") {
+        val cents = graft.operators.Classify.labelCentroids(
+          embs, "vec_id", "embedding", "label", bitExact = false)
+        graft.operators.Classify.centroidTopLabelLit(
+          embs, "vec_id", "embedding", cents, "label")
+          .write.format("noop").mode("overwrite").save()
+      }
+      time(s"knn_vote_lsh $round") {
+        val topk = Knn.lshTopK(embs, "vec_id", "embedding", k = 5,
+          tables = 2, planes = 8, dim = 64)
+        graft.operators.Classify.classifyByVote(topk, embs,
+          "vec_id", "label")
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
     // AQE skew-split evidence: re-run the biggest shuffle path and grep
     // its final adaptive plan for skew markers
     val sigs = Dedup.minHashSignatures(docs, "doc_id", "text", k = 8,

@@ -94,6 +94,26 @@ class ClassifySpec extends SparkSpec {
     }
   }
 
+  test("edge cases: empty neighbor frame, all-null labels, empty model") {
+    val emptyN = Seq.empty[(Long, Long)].toDF("query_id", "neighbor_id")
+    assert(Classify.classifyByVote(emptyN, clustered, "vec_id", "label")
+      .count() == 0L)
+    // every neighbor abstains → no vote rows → no predictions
+    val nullLabels = Seq((0L, null.asInstanceOf[java.lang.Integer]))
+      .toDF("vec_id", "label")
+    val n = Seq((100L, 0L)).toDF("query_id", "neighbor_id")
+    assert(Classify.classifyByVote(n, nullLabels, "vec_id", "label")
+      .count() == 0L)
+    // an empty centroid model must fail fast, not silently predict
+    val emptyCents = Classify.labelCentroids(
+      clustered.limit(0), "vec_id", "embedding", "label")
+    val ex = intercept[IllegalArgumentException] {
+      Classify.centroidTopLabelLit(clustered, "vec_id", "embedding",
+        emptyCents, "label")
+    }
+    assert(ex.getMessage.contains("empty centroid model"))
+  }
+
   test("centroidTopLabel assigns each query its own cluster; the " +
     "centroid model is broadcast") {
     val cents = Classify.labelCentroids(clustered, "vec_id", "embedding",
