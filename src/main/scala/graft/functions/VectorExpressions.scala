@@ -82,6 +82,85 @@ case class DotProductFloat(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** [[DotProductFloat]] generalized to MIXED element types: each side is
+  * `array<float>` or `array<double>`, summed left-to-right in float64 —
+  * the shape the classification operators hit (float corpus vectors ×
+  * double centroid means). Bit-identical to the fold formulation
+  * `aggregate(zip_with(a, b, (x, y) => x.cast(double) * y.cast(double)),
+  * 0.0, _+_)` ([[graft.operators.Knn.dot]]), including its null/shape
+  * semantics: null array → null; length mismatch or null element →
+  * null; empty arrays → 0.0.
+  */
+case class DotProductMixed(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def elemOk(dt: DataType) = dt match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemOk(left.dataType) && elemOk(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float|double> arguments, " +
+        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_dot"
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    val lf = isFloat(left)
+    val rf = isFloat(right)
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      sum += xv * yv
+      i += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val sum = ctx.freshName("sum")
+      def get(arr: String, idx: String, f: Boolean) =
+        if (f) s"((double) $arr.getFloat($idx))" else s"$arr.getDouble($idx)"
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $sum = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $sum += ${get(a, i, isFloat(left))} * ${get(b, i, isFloat(right))};
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $sum; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductMixed =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Registration for the engine's native expressions.
   *
   * Two equivalent entry points:
@@ -96,6 +175,7 @@ case class DotProductFloat(left: Expression, right: Expression)
   */
 object GraftFunctions {
   val DotName = "graft_dot_f32"
+  val DotMixedName = "graft_dot"
   val NGramsName = "graft_word_ngrams"
   val MinHashName = "graft_minhash_sig"
 
@@ -137,6 +217,7 @@ object GraftFunctions {
   def injections: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     binary(DotName, classOf[DotProductFloat], DotProductFloat.apply),
+    binary(DotMixedName, classOf[DotProductMixed], DotProductMixed.apply),
     binary(SpanHashesName, classOf[SpanHashesExpr], SpanHashesExpr.apply),
     binary(NGramsName, classOf[WordNGramsExpr], WordNGramsExpr.apply),
     binary(MinHashName, classOf[MinHashSigExpr], MinHashSigExpr.apply),
@@ -157,6 +238,12 @@ object GraftFunctions {
 
   /** Codegen'd float32 dot product (requires `register`/extensions). */
   def dotF32(a: Column, b: Column): Column = call_function(DotName, a, b)
+
+  /** Codegen'd mixed float/double dot product — bit-identical to the
+    * `Knn.dot` fold formulation (requires `register`/extensions).
+    */
+  def dotMixed(a: Column, b: Column): Column =
+    call_function(DotMixedName, a, b)
 
   /** Native n-gram windows over a words array (requires `register`). */
   def wordNGrams(words: Column, n: Int): Column =

@@ -1,8 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
 
 /** Label classification over embedding columns — the label-propagation /
   * weak-supervision step of an embedding-curated corpus (predict labels
@@ -122,19 +124,28 @@ object Classify {
   def centroidTopLabelLit(queries: DataFrame, idCol: String, vecCol: String,
                           centroids: DataFrame,
                           labelCol: String): DataFrame = {
+    GraftFunctions.register(queries.sparkSession)
     val model = centroids
       .select(col(labelCol).cast("long"), col("centroid"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
       .sortBy(_._1)
     require(model.nonEmpty, "centroidTopLabelLit: empty centroid model")
+    // the query norm is referenced by EVERY label's struct — materialize
+    // it behind a single-row-generator barrier (the repo's documented
+    // CollapseProject defense; a Generate is also streaming-legal) so
+    // it computes once per row, not once per label
     val q = queries.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
       .select(col(idCol).as("query_id"), col(vecCol).as("__q"))
+      .select(col("query_id"), col("__q"),
+        explode_outer(array(
+          sqrt(GraftFunctions.dotMixed(col("__q"), col("__q")))))
+          .as("__qn"))
     val scoredStructs = model.map { case (l, c) =>
       // same accumulation order as Knn.norm's 0.0-seeded left fold
       val cNorm = math.sqrt(c.foldLeft(0.0)((acc, x) => acc + x * x))
-      val cos = Knn.dot(col("__q"), lit(c.toArray)) /
-        (Knn.norm(col("__q")) * lit(cNorm))
+      val cos = GraftFunctions.dotMixed(col("__q"), lit(c.toArray)) /
+        (col("__qn") * lit(cNorm))
       struct(cos.as("c"), lit(-l).as("nl"))
     }
     val best =
@@ -152,14 +163,22 @@ object Classify {
     */
   def centroidTopLabel(queries: DataFrame, idCol: String, vecCol: String,
                        centroids: DataFrame, labelCol: String): DataFrame = {
+    GraftFunctions.register(queries.sparkSession)
+    // per-VECTOR norms in each side's own projection (the
+    // bruteForceTopK shape): n + |labels| norm evaluations instead of
+    // one per (query, label) pair; the join is a plan barrier, so the
+    // norms stay materialized
     val q = queries.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
-      .select(col(idCol).as("query_id"), col(vecCol).as("__q"))
+      .select(col(idCol).as("query_id"), col(vecCol).as("__q"),
+        sqrt(GraftFunctions.dotMixed(col(vecCol), col(vecCol))).as("__qn"))
     val c = broadcast(centroids.select(col(labelCol).as("__lab"),
-      col("centroid").as("__c")))
+      col("centroid").as("__c"),
+      sqrt(GraftFunctions.dotMixed(col("centroid"), col("centroid")))
+        .as("__cn")))
     val scored = q.crossJoin(c)
       .select(col("query_id"), col("__lab"),
-        (Knn.dot(col("__q"), col("__c")) /
-          (Knn.norm(col("__q")) * Knn.norm(col("__c")))).as("cos"))
+        (GraftFunctions.dotMixed(col("__q"), col("__c")) /
+          (col("__qn") * col("__cn"))).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("__lab").asc)
     scored.withColumn("__rn", row_number().over(w))

@@ -41,6 +41,34 @@ class DedupKnnSpec extends SparkSpec {
     assert(mismatch.isNullAt(0) && mismatch.isNullAt(1))
   }
 
+  test("DotProductMixed matches the fold formulation bit-for-bit on " +
+    "every type pairing") {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(13)
+    val f = Seq.tabulate(30) { i =>
+      (i.toLong, Array.fill(9)(rnd.nextFloat() * 2 - 1))
+    }.toDF("id", "vf")
+      .withColumn("vd", transform(col("vf"), x => x.cast("double")))
+    val both = f.as("a").crossJoin(f.as("b"))
+      .select(
+        GraftFunctions.dotMixed(col("a.vf"), col("b.vd")).as("fd"),
+        GraftFunctions.dotMixed(col("a.vd"), col("b.vf")).as("df"),
+        GraftFunctions.dotMixed(col("a.vd"), col("b.vd")).as("dd"),
+        GraftFunctions.dotMixed(col("a.vf"), col("b.vf")).as("ff"),
+        Knn.dot(col("a.vf"), col("b.vf")).as("fold"))
+      .collect()
+    both.foreach { r =>
+      val fold = r.getDouble(4)
+      for (i <- 0 to 3)
+        assert(r.getDouble(i) == fold,
+          s"pairing $i: ${r.getDouble(i)} != fold $fold")
+    }
+    // mismatched lengths → null, like the zip_with padding
+    val mm = Seq((Array(1f, 2f), Array(3.0))).toDF("a", "b")
+    assert(mm.select(GraftFunctions.dotMixed(col("a"), col("b")))
+      .head().isNullAt(0))
+  }
+
   test("native n-gram and minhash kernels match the composed formulations") {
     GraftFunctions.register(spark)
     val rnd = new scala.util.Random(7)
