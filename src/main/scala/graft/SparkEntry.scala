@@ -1690,6 +1690,35 @@ object SparkEntry {
           round(col("cos"), 6).as("cos"))
         .orderBy("query_id")
     }),
+    // the mixed-type dot kernel through SQL text: q132's query with
+    // graft_dot in place of graft_dot_f32 — float×float through the
+    // mixed kernel is value-identical to the f32 kernel, so the same
+    // oracle gates both registry paths
+    "q139_sql_native_dot_mixed" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      t(s, dir, "embeddings").createOrReplaceTempView("embeddings_v")
+      s.sql(
+        """WITH q AS (
+          |  SELECT vec_id AS query_id, embedding AS qv,
+          |    sqrt(graft_dot(embedding, embedding)) AS qn
+          |  FROM embeddings_v WHERE vec_id < 20),
+          |c AS (
+          |  SELECT vec_id AS neighbor_id, embedding AS cv,
+          |    sqrt(graft_dot(embedding, embedding)) AS cn
+          |  FROM embeddings_v),
+          |scored AS (
+          |  SELECT /*+ BROADCAST(q) */ query_id, neighbor_id,
+          |    graft_dot(qv, cv) / (qn * cn) AS cosine
+          |  FROM c CROSS JOIN q WHERE query_id != neighbor_id),
+          |ranked AS (
+          |  SELECT query_id, neighbor_id, cosine,
+          |    CAST(row_number() OVER (PARTITION BY query_id
+          |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+          |  FROM scored)
+          |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
+          |FROM ranked WHERE rank <= 5
+          |ORDER BY query_id, rank""".stripMargin)
+    }),
     // the same prediction through the LITERAL-model projection (no
     // join, no window — the streaming-legal form); gated by the SAME
     // oracle as q137, proving the two formulations identical
@@ -2697,6 +2726,7 @@ object SparkEntry {
     // ---- ANN oracles
     "q40_knn_brute" -> KnnBruteOracle,
     "q132_sql_native_dot" -> KnnBruteOracle,
+    "q139_sql_native_dot_mixed" -> KnnBruteOracle,
     "q41_lsh_buckets" -> SrpBucketsOracle,
     "q131_sql_native_srp" -> SrpBucketsOracle,
     "q42_knn_lsh" ->
