@@ -1719,6 +1719,25 @@ object SparkEntry {
           |FROM ranked WHERE rank <= 5
           |ORDER BY query_id, rank""".stripMargin)
     }),
+    // Z-order (Morton) layout values: equi-depth 4-bit buckets per
+    // dimension (exact-percentile cuts, rounded on-engine — the q97
+    // contract), bits interleaved — the clustering key a lakehouse
+    // table optimizer range-writes by so min/max file stats prune
+    // multi-predicate scans in EVERY listed dimension
+    "q140_zorder_values" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val cutsC = graft.operators.Layout.equiDepthCuts(orders, "o_custkey", 4)
+      val cutsP = graft.operators.Layout.equiDepthCuts(orders, "o_totalprice", 4)
+      orders.select(col("o_orderkey"),
+        graft.operators.Layout.bucketOf(col("o_custkey"), cutsC)
+          .as("b_cust"),
+        graft.operators.Layout.bucketOf(col("o_totalprice"), cutsP)
+          .as("b_price"))
+        .select(col("o_orderkey"), col("b_cust"), col("b_price"),
+          graft.operators.Layout.zValue(
+            Seq(col("b_cust"), col("b_price")), 4).as("zval"))
+        .orderBy("o_orderkey")
+    }),
     // the same prediction through the LITERAL-model projection (no
     // join, no window — the streaming-legal form); gated by the SAME
     // oracle as q137, proving the two formulations identical
@@ -2727,6 +2746,33 @@ object SparkEntry {
     "q40_knn_brute" -> KnnBruteOracle,
     "q132_sql_native_dot" -> KnnBruteOracle,
     "q139_sql_native_dot_mixed" -> KnnBruteOracle,
+
+    // equi-depth cuts via quantile_cont (the q97-validated pairing for
+    // Spark's exact `percentile`), bucket = count of cuts exceeded,
+    // Morton interleave as explicit shift/mask terms
+    "q140_zorder_values" -> {
+      val probs = (1 until 16).map(i => s"${i.toDouble / 16}").mkString(", ")
+      val interleave = (0 until 4).flatMap { i =>
+        Seq(s"(((b_cust >> $i) & 1) << ${2 * i})",
+          s"(((b_price >> $i) & 1) << ${2 * i + 1})")
+      }.mkString(" | ")
+      s"""WITH cuts AS (
+         |  SELECT
+         |    list_transform(quantile_cont(o_custkey, [$probs]),
+         |      x -> round(x, 6)) AS cc,
+         |    list_transform(quantile_cont(o_totalprice, [$probs]),
+         |      x -> round(x, 6)) AS cp
+         |  FROM orders),
+         |b AS (
+         |  SELECT o_orderkey,
+         |    len(list_filter(cuts.cc, c -> o_custkey > c)) AS b_cust,
+         |    len(list_filter(cuts.cp, c -> o_totalprice > c)) AS b_price
+         |  FROM orders CROSS JOIN cuts)
+         |SELECT o_orderkey, CAST(b_cust AS BIGINT) AS b_cust,
+         |  CAST(b_price AS BIGINT) AS b_price,
+         |  CAST($interleave AS BIGINT) AS zval
+         |FROM b ORDER BY o_orderkey""".stripMargin
+    },
     "q41_lsh_buckets" -> SrpBucketsOracle,
     "q131_sql_native_srp" -> SrpBucketsOracle,
     "q42_knn_lsh" ->

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data LAYOUT for scan pruning — the Z-order
+  * (Morton-curve) clustering that lakehouse table optimizers run
+  * (Delta `OPTIMIZE ZORDER BY`, Iceberg sort orders): rows that are
+  * close in SEVERAL filter columns land in the same files, so the
+  * per-file min/max column statistics prune a multi-predicate scan in
+  * every one of those dimensions — where a plain sort prunes only its
+  * leading column.
+  *
+  * At 100 TB this is the difference between a query on
+  * `(customer, price-band)` reading a few files and reading the whole
+  * table: layout is the ONLY pruning mechanism that survives when the
+  * predicate doesn't include the partition key. Everything here is
+  * pure built-in expressions + `repartitionByRange` — Catalyst and the
+  * writer see an ordinary range-partitioned column.
+  *
+  * Reference behavior: jaccard-mapreduce has no storage layout
+  * machinery; this is part of the demanded training-data-pipeline
+  * extension surface (a 100 TB corpus is re-clustered before heavy
+  * multi-column slicing).
+  */
+object Layout {
+
+  /** Morton z-value of pre-quantized bucket ids (each in
+    * `[0, 2^bits)`): bit i of dimension j lands at position
+    * `i * nDims + j`. Pure shift/mask/or expression tree —
+    * whole-stage-codegen, `bits * nDims <= 63`.
+    */
+  def zValue(buckets: Seq[Column], bits: Int): Column = {
+    require(buckets.size >= 2, "zValue: need at least 2 dimensions")
+    require(bits >= 1 && bits * buckets.size <= 63,
+      s"zValue: bits=$bits × ${buckets.size} dims must fit a signed long")
+    val n = buckets.size
+    val terms = for {
+      (c, j) <- buckets.zipWithIndex
+      i <- 0 until bits
+    } yield shiftleft(
+      shiftright(c.cast("long"), i).bitwiseAND(lit(1L)), i * n + j)
+    terms.reduce(_ bitwiseOR _)
+  }
+
+  /** Exact-percentile cut points (rounded to 6 dp — the q97 contract,
+    * reproducible against `quantile_cont`) for quantizing one column
+    * into `2^bits` equi-depth buckets. Driver-side scalar list,
+    * model-sized (`2^bits − 1` doubles). At 100 TB swap the exact
+    * percentile for `approx_percentile` — the layout only needs coarse
+    * equi-depth bins, which is also why `bits` stays small.
+    */
+  def equiDepthCuts(df: DataFrame, colName: String, bits: Int): Seq[Double] = {
+    require(bits >= 1 && bits <= 6,
+      s"equiDepthCuts: bits=$bits — the bucket expression folds 2^bits-1 " +
+        "comparison terms, keep it small (layout needs only coarse bins)")
+    val k = 1 << bits
+    val probs = (1 until k).map(_.toDouble / k)
+    // round on the ENGINE (the q97 percentile-cutpoint contract —
+    // Spark round(x, 6) vs DuckDB round(x, 6) is the validated pairing)
+    df.select(
+      expr(s"transform(percentile($colName, array(${probs.mkString(", ")}))," +
+        " x -> round(x, 6))"))
+      .head().getSeq[Double](0)
+  }
+
+  /** Equi-depth bucket id of `c` against driver-computed cut points:
+    * `sum_i [c > cut_i]` — a flat codegen sum of comparisons, no
+    * window, no join. Null → null (drops out of a z-ordered write's
+    * range partitioner deterministically).
+    */
+  def bucketOf(c: Column, cuts: Seq[Double]): Column =
+    // explicit null guard: `null > cut` is null and would fall through
+    // every when/otherwise into bucket 0, silently z-clustering all
+    // null rows with the smallest values
+    when(c.isNull, lit(null).cast("long"))
+      .otherwise(cuts.map(cut => when(c > lit(cut), 1L).otherwise(0L))
+        .reduce(_ + _))
+
+  /** Z-order clustering of `df` by `cols` (numeric): each column is
+    * equi-depth-quantized to `bits` bits, the Morton value interleaves
+    * the bucket ids, and `repartitionByRange` on that value gives every
+    * output partition a compact multi-dimensional box — which is what
+    * makes per-file min/max stats selective in EVERY `cols` dimension.
+    * One extra pass for the cut points (model-sized result), one range
+    * shuffle — the cost profile of any table-optimize run.
+    */
+  def zorderRepartition(df: DataFrame, cols: Seq[String], bits: Int,
+                        numPartitions: Int): DataFrame = {
+    val cuts = cols.map(c => equiDepthCuts(df, c, bits))
+    val z = zValue(cols.zip(cuts).map { case (c, cu) =>
+      bucketOf(col(c), cu) }, bits)
+    df.repartitionByRange(numPartitions, z)
+  }
+}
