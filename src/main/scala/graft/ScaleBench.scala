@@ -153,6 +153,19 @@ object ScaleBench {
           .write.format("noop").mode("overwrite").save()
       }
     }
+    // z-order layout at scale: one percentile pass per dimension
+    // (model-sized cuts) + one range shuffle on the Morton value — the
+    // cost profile of a table-optimize run; wall should track the
+    // corpus, dominated by the shuffle
+    for (round <- Seq("cold", "warm")) {
+      time(s"zorder_layout $round") {
+        graft.operators.Layout.zorderRepartition(
+          docs.select(col("doc_id").cast("double").as("doc_id"),
+            col("n_chars").cast("double").as("n_chars"), col("text")),
+          Seq("doc_id", "n_chars"), bits = 4, numPartitions = 32)
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
     // classification at scale: the centroid model is one corpus pass +
     // a literal-projection classify (the claimed cheapest-shape path),
     // and the vote rides the LSH index — both should scale ~with the

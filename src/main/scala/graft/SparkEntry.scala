@@ -1738,6 +1738,15 @@ object SparkEntry {
             Seq(col("b_cust"), col("b_price")), 4).as("zval"))
         .orderBy("o_orderkey")
     }),
+    // compaction sizing (the other half of a table-optimize run): file
+    // count packing per-row byte sizes into 256 KiB targets — one
+    // two-scalar aggregation, the number a 100 TB OPTIMIZE feeds to
+    // its per-partition rewrites
+    "q141_compaction_plan" -> ((s, dir) => {
+      graft.operators.Layout.compactionPlan(
+        t(s, dir, "documents"),
+        octet_length(col("text")) + lit(64), targetBytes = 262144L)
+    }),
     // the same prediction through the LITERAL-model projection (no
     // join, no window — the streaming-legal form); gated by the SAME
     // oracle as q137, proving the two formulations identical
@@ -2773,6 +2782,15 @@ object SparkEntry {
          |  CAST($interleave AS BIGINT) AS zval
          |FROM b ORDER BY o_orderkey""".stripMargin
     },
+    // n_files = max(1, ceil(total/target)) over exact per-row sizes
+    "q141_compaction_plan" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(coalesce(sum(octet_length(encode(text)) + 64), 0)
+         |    AS BIGINT) AS total_bytes,
+         |  CAST(greatest(1, ceil(
+         |    CAST(coalesce(sum(octet_length(encode(text)) + 64), 0)
+         |      AS DOUBLE) / 262144)) AS BIGINT) AS n_files
+         |FROM documents""".stripMargin,
     "q41_lsh_buckets" -> SrpBucketsOracle,
     "q131_sql_native_srp" -> SrpBucketsOracle,
     "q42_knn_lsh" ->

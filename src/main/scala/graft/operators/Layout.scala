@@ -92,4 +92,34 @@ object Layout {
       bucketOf(col(c), cu) }, bits)
     df.repartitionByRange(numPartitions, z)
   }
+
+  /** Compaction sizing — the other half of a table-optimize run: the
+    * output file count that packs `sizeExpr` bytes per row into
+    * `targetBytes`-sized files. One aggregation (two running scalars),
+    * `n_files = max(1, ceil(total / target))`. Output one row:
+    * `(n_rows, total_bytes, n_files)` — feed `n_files` to
+    * `repartition`/[[zorderRepartition]] before the write. A 100 TB
+    * table plans per PARTITION of the table, not globally; the math is
+    * the same scalar per partition.
+    */
+  def compactionPlan(df: DataFrame, sizeExpr: Column,
+                     targetBytes: Long): DataFrame = {
+    require(targetBytes >= 1, s"compactionPlan: targetBytes=$targetBytes")
+    df.agg(count(lit(1)).as("n_rows"),
+      coalesce(sum(sizeExpr.cast("long")), lit(0L)).as("total_bytes"))
+      .select(col("n_rows"), col("total_bytes"),
+        greatest(lit(1L),
+          ceil(col("total_bytes").cast("double") / targetBytes).cast("long"))
+          .as("n_files"))
+  }
+
+  /** Apply [[compactionPlan]]: repartition to the planned file count
+    * (driver reads ONE scalar row — model-sized by definition).
+    */
+  def compactTo(df: DataFrame, sizeExpr: Column,
+                targetBytes: Long): DataFrame = {
+    val n = compactionPlan(df, sizeExpr, targetBytes)
+      .head().getAs[Long]("n_files")
+    df.repartition(n.toInt)
+  }
 }

@@ -40,6 +40,20 @@ class LayoutSpec extends SparkSpec {
     assert(nb.isNullAt(0))
   }
 
+  test("compactionPlan packs exact byte totals; compactTo applies it; " +
+    "empty input plans one file") {
+    val df = spark.range(10).select(lit("x").as("t"))
+    // 10 rows × 100 bytes, 300-byte target → ceil(1000/300) = 4 files
+    val plan = Layout.compactionPlan(df, lit(100L), targetBytes = 300L)
+      .head()
+    assert(plan.getLong(0) == 10L && plan.getLong(1) == 1000L &&
+      plan.getLong(2) == 4L)
+    assert(Layout.compactTo(df, lit(100L), 300L).rdd.getNumPartitions == 4)
+    val empty = Layout.compactionPlan(df.limit(0), lit(100L), 300L).head()
+    assert(empty.getLong(0) == 0L && empty.getLong(1) == 0L &&
+      empty.getLong(2) == 1L)
+  }
+
   test("z-ordered partitions form compact boxes: a 2-D box predicate " +
     "prunes where a 1-D sort cannot") {
     // 64×64 uniform grid, 16 output partitions
