@@ -82,15 +82,22 @@ object Layout {
     * the bucket ids, and `repartitionByRange` on that value gives every
     * output partition a compact multi-dimensional box — which is what
     * makes per-file min/max stats selective in EVERY `cols` dimension.
-    * One extra pass for the cut points (model-sized result), one range
-    * shuffle — the cost profile of any table-optimize run.
+    * Rows are additionally SORTED by the z-value inside each partition
+    * (`sortWithinFiles`, default on): a parquet writer then gets
+    * z-contiguous row groups, so ROW-GROUP min/max stats prune inside
+    * the files too, not just across them — no extra shuffle, the sort
+    * is partition-local. One extra pass for the cut points (model-sized
+    * result), one range shuffle — the cost profile of any
+    * table-optimize run.
     */
   def zorderRepartition(df: DataFrame, cols: Seq[String], bits: Int,
-                        numPartitions: Int): DataFrame = {
+                        numPartitions: Int,
+                        sortWithinFiles: Boolean = true): DataFrame = {
     val cuts = cols.map(c => equiDepthCuts(df, c, bits))
     val z = zValue(cols.zip(cuts).map { case (c, cu) =>
       bucketOf(col(c), cu) }, bits)
-    df.repartitionByRange(numPartitions, z)
+    val ranged = df.repartitionByRange(numPartitions, z)
+    if (sortWithinFiles) ranged.sortWithinPartitions(z) else ranged
   }
 
   /** Compaction sizing — the other half of a table-optimize run: the

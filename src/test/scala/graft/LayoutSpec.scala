@@ -81,5 +81,19 @@ class LayoutSpec extends SparkSpec {
     val xY = overlapping(xdf, 63.0, 7.0)
     assert(xY == 16L, s"x-sorted layout should overlap all: $xY")
     assert(zY <= 8L, s"z-layout should prune the y-only predicate: $zY")
+    // within-partition order: rows arrive z-sorted, so a parquet writer
+    // gets z-contiguous ROW GROUPS (row-group stats prune inside files)
+    val cuts = Seq("x", "y").map(c => Layout.equiDepthCuts(grid, c, 4))
+    val sortedInside = zdf
+      .select(Layout.zValue(Seq("x", "y").zip(cuts).map { case (c, cu) =>
+        Layout.bucketOf(col(c), cu) }, 4).as("z"))
+      .mapPartitions { it =>
+        var prev = Long.MinValue
+        var ok = true
+        it.foreach { r => val z = r.getLong(0); if (z < prev) ok = false; prev = z }
+        Iterator.single(ok)
+      }.collect()
+    assert(sortedInside.forall(identity),
+      "every partition must be z-sorted internally")
   }
 }
