@@ -26,6 +26,23 @@ class LayoutSpec extends SparkSpec {
     assert(z0 == 0L && z1 == 255L)
   }
 
+  test("zValue is a bijection on the bucket grid (decode recovers " +
+    "every tuple)") {
+    // all 16×16 bucket pairs → 256 DISTINCT z-values that decode back
+    val rows = spark.range(256).select(
+      (col("id") % 16).as("bx"), (col("id") / 16).cast("long").as("by"))
+      .select(col("bx"), col("by"),
+        Layout.zValue(Seq(col("bx"), col("by")), 4).as("z"))
+      .as[(Long, Long, Long)].collect()
+    assert(rows.map(_._3).distinct.length == 256)
+    def deinterleave(z: Long, j: Int): Long =
+      (0 until 4).map(i => ((z >> (i * 2 + j)) & 1L) << i).sum
+    rows.foreach { case (bx, by, z) =>
+      assert(deinterleave(z, 0) == bx && deinterleave(z, 1) == by,
+        s"z=$z should decode to ($bx, $by)")
+    }
+  }
+
   test("equiDepthCuts + bucketOf quantize uniformly; nulls stay null") {
     val df = spark.range(1, 101).select(col("id").cast("double").as("v"))
     val cuts = Layout.equiDepthCuts(df, "v", 2)
