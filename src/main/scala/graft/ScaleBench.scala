@@ -126,14 +126,18 @@ object ScaleBench {
       for (round <- Seq("cold", "warm");
            (cbl, cb) <- Seq("seed" -> seedCb, "lloyd1" -> lloydCb);
            p <- Seq(1, 2, 4, 8)) {
+        // the timer covers the SEARCH only (noop sink) so the wall is
+        // apples-to-apples with ivfadc_sweep_4widths below; the recall
+        // readout runs outside the timed region
+        val approx = Pq.ivfPqTopK(embs, queries, cents, cb,
+          "vec_id", "embedding", k = 5, nprobe = p)
         time(s"ivfadc_nprobe_${cbl}_$p $round") {
-          val approx = Pq.ivfPqTopK(embs, queries, cents, cb,
-            "vec_id", "embedding", k = 5, nprobe = p)
-          val r = Knn.recallAtK(approx, exactL2)
-            .agg(sum("n_hit").cast("double") / sum("n_exact"))
-            .head().getDouble(0)
-          println(f"  recall_l2@5=$r%.3f")
+          approx.write.format("noop").mode("overwrite").save()
         }
+        val r = Knn.recallAtK(approx, exactL2)
+          .agg(sum("n_hit").cast("double") / sum("n_exact"))
+          .head().getDouble(0)
+        println(f"  recall_l2@5=$r%.3f")
       }
       Knn.releaseCheckpoint(exactL2)
       Knn.releaseCheckpoint(lloydCb)

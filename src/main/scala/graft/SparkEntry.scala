@@ -1726,8 +1726,8 @@ object SparkEntry {
     // multi-predicate scans in EVERY listed dimension
     "q140_zorder_values" -> ((s, dir) => {
       val orders = t(s, dir, "orders")
-      val cutsC = graft.operators.Layout.equiDepthCuts(orders, "o_custkey", 4)
-      val cutsP = graft.operators.Layout.equiDepthCuts(orders, "o_totalprice", 4)
+      val Seq(cutsC, cutsP) = graft.operators.Layout.equiDepthCutsAll(
+        orders, Seq("o_custkey", "o_totalprice"), 4)
       orders.select(col("o_orderkey"),
         graft.operators.Layout.bucketOf(col("o_custkey"), cutsC)
           .as("b_cust"),

@@ -239,24 +239,57 @@ object SketchKernels {
     * HOF composition it replaces in the span-removal family. Window
     * equality is WORD-WISE (the hash covers the word SEQUENCE, not a
     * joined string, so token-boundary ambiguities can't collide
-    * structurally); distinct windows collide with ~2⁻⁶⁴ probability —
-    * these hashes are internal span-equality carriers, never exposed in
-    * operator output. Empty result for inputs shorter than `width`;
-    * null elements take a fixed sentinel (the tokenizer never emits
-    * null words).
+    * structurally). A single 64-bit stream collides PER PAIR with
+    * ~2⁻⁶⁴ probability — fine for the per-document spans of
+    * `dropRepeatedSpans`, but a CORPUS-WIDE distinct-shingle space of
+    * 10¹²⁺ makes birthday collisions certain; cross-document
+    * aggregations must key on the (stream-1, stream-2) PAIR — see
+    * [[spanHashes2]]. These hashes are internal span-equality carriers,
+    * never exposed in operator output. Empty result for inputs shorter
+    * than `width`; null elements take a fixed sentinel (the tokenizer
+    * never emits null words).
     */
-  def spanHashes(arr: ArrayData, width: Int): ArrayData = {
+  def spanHashes(arr: ArrayData, width: Int): ArrayData =
+    rollingSpanHashes(arr, width, SpanHashBase, mix2 = false)
+
+  /** Alternate-constant base for the second rolling stream. */
+  val SpanHashBase2 = 0xd6e8feb86659fd93L
+
+  /** Word-seed for the second stream's per-word remix. */
+  val SpanHashWordSeed2 = 0x94d049bb133111ebL
+
+  /** Second-stream per-word hash: the stream-1 word hash remixed
+    * through an independent fmix — word-level collisions are vocabulary
+    * -scale (negligible at 64 bits); what the second stream de-risks is
+    * SPAN-level collisions of the rolling polynomial, and those are
+    * (heuristically) independent across the two bases.
+    */
+  def wordHash64b(h1: Long): Long = fmix64(h1 ^ SpanHashWordSeed2)
+
+  /** The INDEPENDENT second rolling stream (remixed word hashes,
+    * different base): cross-document span-removal keys on the pair
+    * (spanHashes, spanHashes2) — an effective 128-bit key, so corpus-
+    * wide birthday collisions (certain at 64 bits for 10¹²⁺ distinct
+    * shingles) cannot merge distinct spans' doc-frequencies and delete
+    * legitimate text.
+    */
+  def spanHashes2(arr: ArrayData, width: Int): ArrayData =
+    rollingSpanHashes(arr, width, SpanHashBase2, mix2 = true)
+
+  private def rollingSpanHashes(arr: ArrayData, width: Int, base: Long,
+                                mix2: Boolean): ArrayData = {
     val n = arr.numElements()
     if (n < width) return new GenericArrayData(Array.empty[Long])
     val wh = new Array[Long](n)
     var i = 0
     while (i < n) {
-      wh(i) =
+      val h1 =
         if (arr.isNullAt(i)) SpanHashNullWord
         else wordHash64(arr.getUTF8String(i))
+      wh(i) = if (mix2) wordHash64b(h1) else h1
       i += 1
     }
-    val B = SpanHashBase
+    val B = base
     var bw = 1L // B^(width-1) mod 2^64
     i = 1
     while (i < width) { bw *= B; i += 1 }
@@ -536,6 +569,31 @@ case class SpanHashesExpr(left: Expression, right: Expression)
       s"${ev.value} = graft.functions.SketchKernels.spanHashes($a, $width);")
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SpanHashesExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `graft_span_hashes2(words, width)` — the independent second rolling
+  * stream ([[SketchKernels.spanHashes2]]); cross-document span keys are
+  * the (stream-1, stream-2) pair.
+  */
+case class SpanHashes2Expr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    PositiveIntArg.check(prettyName,
+      { case ArrayType(StringType, _) => true; case _ => false },
+      "(array<string>, positive int literal)", left, right)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_span_hashes2"
+  private lazy val width: Int = right.eval(InternalRow.empty) match {
+    case i: Int => i
+  }
+  override def nullSafeEval(arr: Any, ww: Any): Any =
+    SketchKernels.spanHashes2(arr.asInstanceOf[ArrayData], width)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, _) =>
+      s"${ev.value} = graft.functions.SketchKernels.spanHashes2($a, $width);")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SpanHashes2Expr =
     copy(left = newLeft, right = newRight)
 }
 

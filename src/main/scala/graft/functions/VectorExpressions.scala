@@ -213,12 +213,14 @@ object GraftFunctions {
 
   val WinnowName = "graft_winnow"
   val SpanHashesName = "graft_span_hashes"
+  val SpanHashes2Name = "graft_span_hashes2"
 
   def injections: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     binary(DotName, classOf[DotProductFloat], DotProductFloat.apply),
     binary(DotMixedName, classOf[DotProductMixed], DotProductMixed.apply),
     binary(SpanHashesName, classOf[SpanHashesExpr], SpanHashesExpr.apply),
+    binary(SpanHashes2Name, classOf[SpanHashes2Expr], SpanHashes2Expr.apply),
     binary(NGramsName, classOf[WordNGramsExpr], WordNGramsExpr.apply),
     binary(MinHashName, classOf[MinHashSigExpr], MinHashSigExpr.apply),
     binary(SimHashName, classOf[SimHashExpr], SimHashExpr.apply),
@@ -278,6 +280,13 @@ object GraftFunctions {
     */
   def spanHashes(words: Column, width: Int): Column =
     call_function(SpanHashesName, words,
+      org.apache.spark.sql.functions.lit(width))
+
+  /** The independent second rolling stream — cross-document span keys
+    * are the (stream-1, stream-2) pair (requires `register`).
+    */
+  def spanHashes2(words: Column, width: Int): Column =
+    call_function(SpanHashes2Name, words,
       org.apache.spark.sql.functions.lit(width))
 
   /** Native one-pass winnowing fingerprints over a string (requires

@@ -269,12 +269,18 @@ object Chunking {
         TextFunctions.normalizedWords(col(textCol)).as("__ws"))
     // stride-1 per-position span hashes from the native rolling kernel
     // (O(n) per doc vs O(n·width) md5-per-window; empty below `width`).
-    // OUTER posexplode + null filter on the OUTPUT attribute — the
-    // q23/q89 scan-filter trap rationale (see tokenChunks).
+    // The df key is the PAIR of independent streams — an effective
+    // 128-bit key: at a corpus-wide distinct-shingle space of 10¹²⁺, a
+    // single 64-bit stream's birthday collisions are certain, and a
+    // collision here merges two spans' doc-frequencies and deletes
+    // legitimate text. OUTER posexplode + null filter on the OUTPUT
+    // attribute — the q23/q89 scan-filter trap rationale (see
+    // tokenChunks).
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val sh = live
-      .select(col(idCol), posexplode_outer(
-        graft.functions.GraftFunctions.spanHashes(col("__ws"), width)))
+      .select(col(idCol), posexplode_outer(arrays_zip(
+        graft.functions.GraftFunctions.spanHashes(col("__ws"), width),
+        graft.functions.GraftFunctions.spanHashes2(col("__ws"), width))))
       .withColumnRenamed("pos", "__p").withColumnRenamed("col", "__h")
       .filter(col("__h").isNotNull)
     // lazy checkpoint — same rationale as dropDuplicatedChunks' hot

@@ -364,10 +364,16 @@ object Knn {
   def bruteForceTopKL2(corpus: DataFrame, queries: DataFrame, idCol: String,
                        vecCol: String, k: Int): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      GraftFunctions.dotF32(col(vecCol), col(vecCol)).as("qsq"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      GraftFunctions.dotF32(col(vecCol), col(vecCol)).as("csq"))
+    // null vectors are excluded EXPLICITLY (the convention of every
+    // other Knn entry point): a null dist2 under ASC ordering would
+    // sort NULLS FIRST and a single null-embedding corpus row would
+    // rank 1 for every query, poisoning any recall ground truth
+    val q = queries.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        GraftFunctions.dotF32(col(vecCol), col(vecCol)).as("qsq"))
+    val c = corpus.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        GraftFunctions.dotF32(col(vecCol), col(vecCol)).as("csq"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),

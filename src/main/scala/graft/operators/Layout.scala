@@ -54,14 +54,28 @@ object Layout {
     require(bits >= 1 && bits <= 6,
       s"equiDepthCuts: bits=$bits — the bucket expression folds 2^bits-1 " +
         "comparison terms, keep it small (layout needs only coarse bins)")
+    equiDepthCutsAll(df, Seq(colName), bits).head
+  }
+
+  /** [[equiDepthCuts]] for SEVERAL columns in ONE aggregation pass —
+    * z-ordering a 100 TB table by 4 columns must not scan it 4 times
+    * for the cut points.
+    */
+  def equiDepthCutsAll(df: DataFrame, colNames: Seq[String],
+                       bits: Int): Seq[Seq[Double]] = {
+    require(bits >= 1 && bits <= 6,
+      s"equiDepthCuts: bits=$bits — the bucket expression folds 2^bits-1 " +
+        "comparison terms, keep it small (layout needs only coarse bins)")
+    require(colNames.nonEmpty, "equiDepthCutsAll: no columns")
     val k = 1 << bits
     val probs = (1 until k).map(_.toDouble / k)
     // round on the ENGINE (the q97 percentile-cutpoint contract —
     // Spark round(x, 6) vs DuckDB round(x, 6) is the validated pairing)
-    df.select(
-      expr(s"transform(percentile($colName, array(${probs.mkString(", ")}))," +
-        " x -> round(x, 6))"))
-      .head().getSeq[Double](0)
+    val row = df.select(colNames.map(c =>
+      expr(s"transform(percentile($c, array(${probs.mkString(", ")}))," +
+        " x -> round(x, 6))")): _*)
+      .head()
+    colNames.indices.map(i => row.getSeq[Double](i))
   }
 
   /** Equi-depth bucket id of `c` against driver-computed cut points:
@@ -93,7 +107,7 @@ object Layout {
   def zorderRepartition(df: DataFrame, cols: Seq[String], bits: Int,
                         numPartitions: Int,
                         sortWithinFiles: Boolean = true): DataFrame = {
-    val cuts = cols.map(c => equiDepthCuts(df, c, bits))
+    val cuts = equiDepthCutsAll(df, cols, bits) // ONE scan for all dims
     val z = zValue(cols.zip(cuts).map { case (c, cu) =>
       bucketOf(col(c), cu) }, bits)
     val ranged = df.repartitionByRange(numPartitions, z)

@@ -266,6 +266,10 @@ object Pq {
                      nprobes: Seq[Int]): DataFrame = {
     require(k >= 1 && nprobes.nonEmpty && nprobes.forall(_ >= 1),
       s"ivfPqTopKSweep: k=$k nprobes=$nprobes")
+    // a repeated width would land every candidate in its window
+    // partition TWICE (duplicate ranks, corrupted top-k) — fail fast
+    require(nprobes.distinct.size == nprobes.size,
+      s"ivfPqTopKSweep: duplicate widths in nprobes=$nprobes")
     val codes = pqEncode(embs, idCol, vecCol, codebooks)
     val assigned = Knn.ivfAssign(embs, idCol, vecCol, centroids)
     val cand = Knn.probeCellsRanked(queries, centroids, idCol, vecCol,

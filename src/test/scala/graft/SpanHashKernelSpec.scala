@@ -55,6 +55,37 @@ class SpanHashKernelSpec extends SparkSpec {
     assert(kernel(Seq("a", "b", "a"), 1).distinct.length == 2)
   }
 
+  private def kernel2(ws: Seq[String], w: Int): Seq[Long] =
+    SketchKernels.spanHashes2(
+      new GenericArrayData(ws.map(UTF8String.fromString).toArray[Any]), w)
+      .toLongArray().toSeq
+
+  private def direct2(ws: Seq[String], w: Int): Seq[Long] =
+    if (ws.length < w) Seq.empty
+    else (0 to ws.length - w).map { p =>
+      ws.slice(p, p + w).foldLeft(0L)((acc, word) =>
+        acc * SketchKernels.SpanHashBase2 +
+          SketchKernels.wordHash64b(
+            SketchKernels.wordHash64(UTF8String.fromString(word))))
+    }
+
+  test("second stream: rolling equals its own Horner replica and " +
+    "diverges from stream 1") {
+    val word = Gen.oneOf("red", "blue", "green", "a", "ab", "b", "x0")
+    val prop = Prop.forAll(
+      Gen.chooseNum(0, 40).flatMap(n => Gen.listOfN(n, word)),
+      Gen.chooseNum(1, 9)) { (ws, w) => kernel2(ws, w) == direct2(ws, w) }
+    val r = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(r.passed, r.status.toString)
+    // the two streams must not be the same function (the pair is the
+    // 128-bit cross-document key)
+    val ws = Seq("a", "b", "c", "a", "b")
+    assert(kernel(ws, 2) != kernel2(ws, 2))
+    // but equal windows still agree WITHIN each stream
+    assert(kernel2(ws, 2)(0) == kernel2(ws, 2)(3))
+  }
+
   test("SQL-text registration runs the same kernel as the Column API") {
     GraftFunctions.register(spark)
     import spark.implicits._
