@@ -380,6 +380,10 @@ object Knn {
         (col("qsq") + col("csq")
           - lit(2.0) * GraftFunctions.dotF32(col("qv"), col("cv")))
           .as("dist2"))
+      // dist2 is null for ragged or null-ELEMENT vectors even after the
+      // row-level null filter — and ASC orders NULLS FIRST, the same
+      // rank-1 poisoning; an incomparable pair simply isn't a neighbor
+      .filter(col("dist2").isNotNull)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("dist2").asc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

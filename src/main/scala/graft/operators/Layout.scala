@@ -75,7 +75,15 @@ object Layout {
       expr(s"transform(percentile($c, array(${probs.mkString(", ")}))," +
         " x -> round(x, 6))")): _*)
       .head()
-    colNames.indices.map(i => row.getSeq[Double](i))
+    colNames.indices.map { i =>
+      val cuts = row.getSeq[Double](i)
+      // percentile over zero non-null rows yields null — surface a
+      // clear error instead of an NPE deep inside bucketOf
+      require(cuts != null,
+        s"equiDepthCuts: column '${colNames(i)}' has no non-null rows " +
+          "(empty input?) — no cut points derivable")
+      cuts
+    }
   }
 
   /** Equi-depth bucket id of `c` against driver-computed cut points:
@@ -141,6 +149,10 @@ object Layout {
                 targetBytes: Long): DataFrame = {
     val n = compactionPlan(df, sizeExpr, targetBytes)
       .head().getAs[Long]("n_files")
+    // a plan past Int.MaxValue files means the target is misconfigured
+    // (n.toInt would silently wrap) — fail loudly
+    require(n <= Int.MaxValue,
+      s"compactTo: planned $n files exceeds Int.MaxValue — raise targetBytes")
     df.repartition(n.toInt)
   }
 }

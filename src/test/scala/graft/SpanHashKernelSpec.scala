@@ -97,5 +97,13 @@ class SpanHashKernelSpec extends SparkSpec {
       .as[Seq[Long]].head()
     assert(api == sql)
     assert(api == kernel(Seq("a", "b", "c", "a", "b"), 2))
+    // the second stream's registration gates the same way
+    val api2 = df.select(GraftFunctions.spanHashes2(col("ws"), 2))
+      .as[Seq[Long]].head()
+    val sql2 = spark.sql(
+      "SELECT graft_span_hashes2(array('a','b','c','a','b'), 2)")
+      .as[Seq[Long]].head()
+    assert(api2 == sql2)
+    assert(api2 == kernel2(Seq("a", "b", "c", "a", "b"), 2))
   }
 }
