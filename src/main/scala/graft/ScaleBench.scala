@@ -98,6 +98,31 @@ object ScaleBench {
           .write.format("noop").mode("overwrite").save()
       }
     }
+    // Long-BOILERPLATE probe for the gap-complement dropDuplicatedSpans
+    // reassembly: 50k-token docs, 80% of each covered by a 40k-token
+    // boilerplate block IDENTICAL across all 32 docs (every boilerplate
+    // shingle has df=32 > maxDf → hot positions ≈ 0.8 × tokens — the
+    // adversarial mostly-duplicated web-scrape shape). The per-token
+    // exists mask this round replaced is O(tokens × hot-positions) ≈
+    // 2×10⁹ lambda evaluations PER ROW here; the gap-complement is
+    // O(|hot|) slice copies, so the wall should sit in the same range
+    // as the repeated-spans long-doc probe above, not hours.
+    def boilerDocs(n: Int, boilerToks: Int, uniqToks: Int): DataFrame = {
+      val boiler = transform(sequence(lit(0), lit(boilerToks - 1)),
+        i => concat(lit("b"), pmod(i, lit(9973))))
+      val uniq = transform(sequence(lit(0), lit(uniqToks - 1)),
+        i => concat(lit("u"), col("id"), lit("x"), i))
+      spark.range(n).select(col("id").cast("string").as("doc_id"),
+        concat_ws(" ", flatten(array(boiler, uniq))).as("text"))
+    }
+    for (round <- Seq("cold", "warm")) {
+      time(s"dup_spans_boilerplate_50k $round") {
+        graft.operators.Chunking.dropDuplicatedSpans(
+          boilerDocs(32, 40000, 10000), "doc_id", "text",
+          width = 8, maxDf = 2L)
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
     // nprobe tuning curve (q135's readout at scale): wall + recall@5
     // against exact-L2 ground truth per probe width, SEED codebooks vs
     // one Lloyd round (`pqRefine(iters = 1)`). Measured findings

@@ -183,30 +183,7 @@ object Chunking {
             element_at(col("__sh"), i).getField("h")),
         i => element_at(col("__sh"), i + 1).getField("p"))))
       .otherwise(array().cast("array<int>"))
-    // KEPT index ranges — the complement of the union of [p, p+width)
-    // over repeat starts p. With `__rp` sorted, the gap AFTER the j-th
-    // start is [rp(j)+width, rp(j+1)-1] (empty when the next start is
-    // closer than `width` — clamped below), so the whole complement
-    // falls out of neighbor pairs in O(|rp|), and reassembly is plain
-    // slice-copies totalling |kept| — linear, vs the per-token
-    // `exists` mask this replaces (|tokens|·|rp|).
-    def gap(s: Column, e: Column): Column = struct(s.as("s"), e.as("e"))
-    val emptyGaps = array().cast("array<struct<s:int,e:int>>")
-    val nTok = size(col("__ws"))
-    val nrp = size(col("__rp"))
-    val gaps = concat(
-      array(gap(lit(0),
-        when(nrp > 0, element_at(col("__rp"), 1) - 1).otherwise(nTok - 1))),
-      when(nrp >= 2, transform(sequence(lit(1), nrp - 1),
-        i => gap(element_at(col("__rp"), i) + lit(width),
-          element_at(col("__rp"), i + 1) - 1)))
-        .otherwise(emptyGaps),
-      when(nrp > 0,
-        array(gap(element_at(col("__rp"), nrp) + lit(width), nTok - 1)))
-        .otherwise(emptyGaps))
-    val kept = flatten(transform(gaps, g =>
-      slice(col("__ws"), g.getField("s") + 1,
-        greatest(lit(0), g.getField("e") - g.getField("s") + 1))))
+    val kept = keptAfterSpanRemoval(col("__ws"), col("__rp"), width)
     live
       // STRUCTURAL materialization barriers: __sh and __rp come out of
       // single-row generators (explode of a one-element array), not
@@ -234,6 +211,41 @@ object Chunking {
         col("__nrp").cast("long").as("n_repeat_starts"): _*)
   }
 
+  /** Gap-complement span reassembly, shared by [[dropRepeatedSpans]]
+    * and [[dropDuplicatedSpans]]: the KEPT index ranges are the
+    * complement of the union of `[p, p+width)` over the SORTED
+    * ascending removal-start positions `starts`. The gap AFTER the
+    * j-th start is `[starts(j)+width, starts(j+1)-1]` (empty when the
+    * next start is closer than `width` — clamped below), so the whole
+    * complement falls out of neighbor pairs in O(|starts|) and
+    * reassembly is plain slice-copies totalling |kept| — linear,
+    * vs a per-token `exists` mask's O(|tokens| × |starts|), which
+    * degenerates to a single-task O(n²) straggler on a long document
+    * that is mostly removable (hot-boilerplate web scrapes).
+    * `starts` must be sorted ascending and non-null (duplicates are
+    * harmless: their gap clamps to empty).
+    */
+  private[operators] def keptAfterSpanRemoval(ws: Column, starts: Column,
+                                              width: Int): Column = {
+    def gap(s: Column, e: Column): Column = struct(s.as("s"), e.as("e"))
+    val emptyGaps = array().cast("array<struct<s:int,e:int>>")
+    val nTok = size(ws)
+    val nrp = size(starts)
+    val gaps = concat(
+      array(gap(lit(0),
+        when(nrp > 0, element_at(starts, 1) - 1).otherwise(nTok - 1))),
+      when(nrp >= 2, transform(sequence(lit(1), nrp - 1),
+        i => gap(element_at(starts, i) + lit(width),
+          element_at(starts, i + 1) - 1)))
+        .otherwise(emptyGaps),
+      when(nrp > 0,
+        array(gap(element_at(starts, nrp) + lit(width), nTok - 1)))
+        .otherwise(emptyGaps))
+    flatten(transform(gaps, g =>
+      slice(ws, g.getField("s") + 1,
+        greatest(lit(0), g.getField("e") - g.getField("s") + 1))))
+  }
+
   /** ExactSubstr-grade duplicated-span removal (Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better", §3.1
     * semantics at token granularity): remove every token covered by ANY
@@ -256,8 +268,9 @@ object Chunking {
     * corpus by id once — the same bound as q96's reassembly
     * aggregation. Two tokenizer passes (shingling + reassembly),
     * mirroring the multi-pass structure of the published suffix-array
-    * implementation; the reassembly mask is a per-row index-filter
-    * fold, |tokens|·|hot positions in doc| work.
+    * implementation; reassembly is the shared gap-complement
+    * ([[keptAfterSpanRemoval]]) — O(|hot positions|) per row, linear
+    * even on a document that is mostly duplicated boilerplate.
     */
   def dropDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
                           width: Int, maxDf: Long): DataFrame = {
@@ -294,12 +307,18 @@ object Chunking {
     val hotPos = sh.join(broadcast(hot), Seq("__h"))
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(col("__p"))).as("__hp"))
+    // `__hp` arrives sorted (sort_array above) and position-distinct
+    // (one shingle per (doc, position)), so the gap-complement
+    // reassembly applies verbatim — O(|hp|) per row, vs the per-token
+    // exists mask's O(|tokens| × |hp|), which made a long
+    // mostly-boilerplate document (hot positions ≈ tokens) the same
+    // single-task O(n²) straggler class the sort-based
+    // dropRepeatedSpans eliminated
     live.join(hotPos, Seq(idCol), "left")
       .select(col(idCol), col("__ws"),
         coalesce(col("__hp"), array().cast("array<int>")).as("__hp"))
       .select(col(idCol), col("__ws"),
-        filter(col("__ws"), (_, i) =>
-          !exists(col("__hp"), p => p <= i && i < p + width)).as("__kept"))
+        keptAfterSpanRemoval(col("__ws"), col("__hp"), width).as("__kept"))
       .select(col(idCol),
         array_join(col("__kept"), " ").as("clean_text"),
         size(col("__kept")).cast("long").as("n_kept_tokens"),
