@@ -1485,7 +1485,16 @@ object SparkEntry {
       t(s, dir, "documents").createOrReplaceTempView("documents_v")
       // sort INSIDE, kernel OUTSIDE (the q124 docsSorted shape): a
       // global sort above the kernel would run it twice — once for the
-      // range partitioner's sampling pass, once for the sort itself
+      // range partitioner's sampling pass, once for the sort itself.
+      // DELIBERATE FRAGILITY, pinned at Spark 4.1: the output order
+      // relies on the subquery's ORDER BY surviving optimization, which
+      // Spark preserves today but does not contractually guarantee. A
+      // top-level ORDER BY was tried (round 10) and made it WORSE:
+      // EliminateSorts keeps the OUTER sort and removes the inner one,
+      // putting the kernel below the range shuffle — kernel ×2 at
+      // scale. If a version bump unsorts this, the driver comparator
+      // (tools/compare.py) row-sorts before hashing so the GATE stays
+      // green; re-pin by re-checking the executed plan's Sort position.
       s.sql(
         """SELECT doc_id, CAST(size(ng) AS BIGINT) AS n_ngrams,
           |  md5(array_join(array_sort(ng), '|')) AS ngram_md5

@@ -72,13 +72,23 @@ object Classify {
     * codegen `sum` with map-side combine — each task carries |labels|·d
     * running doubles and no collected lists — differing from the fold
     * only in accumulation order (spec-pinned to 1e-9).
+    *
+    * Vectors containing a null ELEMENT are dropped up front (below):
+    * the two forms would otherwise diverge beyond accumulation order —
+    * `sum()` skips null elements while the row still counts toward `n`,
+    * whereas the bit-exact fold nulls the whole dimension. RAGGED
+    * lengths (mixed dimensionality) remain a data-contract violation
+    * this operator does not detect: the codegen form averages each
+    * dimension over the rows that HAVE it while `n` counts all rows —
+    * validate dimensionality upstream (the [[Knn]] dim-probe pattern).
     */
   def labelCentroids(embs: DataFrame, idCol: String, vecCol: String,
                      labelCol: String, bitExact: Boolean = true,
                      nBlocks: Int = 32): DataFrame = {
     val base = embs
       .filter(col(idCol).isNotNull && col(vecCol).isNotNull &&
-        col(labelCol).isNotNull)
+        col(labelCol).isNotNull &&
+        !exists(col(vecCol), x => x.isNull))
       .select(col(idCol).as("__id"), col(labelCol).as("__lab"),
         transform(col(vecCol), x => x.cast("double")).as("__v"))
     val summed =
@@ -128,7 +138,15 @@ object Classify {
     val model = centroids
       .select(col(labelCol).cast("long"), col("centroid"))
       .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .map { r =>
+        // a non-integral label column (e.g. string) casts to null —
+        // name the contract instead of NPE-ing inside getLong
+        require(!r.isNullAt(0),
+          s"centroidTopLabelLit: label column '$labelCol' must be " +
+            "integral and non-null (a value cast to null — string/float " +
+            "labels are not supported by the literal-model form)")
+        (r.getLong(0), r.getSeq[Double](1))
+      }
       .sortBy(_._1)
     require(model.nonEmpty, "centroidTopLabelLit: empty centroid model")
     // the query norm is referenced by EVERY label's struct — materialize

@@ -25,21 +25,36 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
-  /** Morton z-value of pre-quantized bucket ids (each in
-    * `[0, 2^bits)`): bit i of dimension j lands at position
-    * `i * nDims + j`. Pure shift/mask/or expression tree —
-    * whole-stage-codegen, `bits * nDims <= 63`.
+  /** Morton z-value of pre-quantized bucket ids: bit i of dimension j
+    * lands at position `i * nDims + j`. Pure shift/mask/or expression
+    * tree — whole-stage-codegen, `bits * nDims <= 63`.
+    *
+    * PRECONDITION: every bucket value must lie in `[0, 2^bits)` (what
+    * [[bucketOf]] guarantees by construction). An out-of-range value
+    * raises at execution rather than silently dropping its high bits —
+    * dropped bits would make distant values COLLIDE in z-space, quietly
+    * destroying the clustering the layout exists for. Null buckets pass
+    * through to a null z-value (null rows range-partition
+    * deterministically).
     */
   def zValue(buckets: Seq[Column], bits: Int): Column = {
     require(buckets.size >= 2, "zValue: need at least 2 dimensions")
     require(bits >= 1 && bits * buckets.size <= 63,
       s"zValue: bits=$bits × ${buckets.size} dims must fit a signed long")
     val n = buckets.size
+    val k = 1L << bits
+    // null condition is null → falls to otherwise → null propagates
+    val checked = buckets.map(c =>
+      when(c < 0 || c >= k,
+        raise_error(concat(
+          lit(s"zValue: bucket value out of [0, $k): "), c.cast("string")))
+          .cast("long"))
+        .otherwise(c.cast("long")))
     val terms = for {
-      (c, j) <- buckets.zipWithIndex
+      (c, j) <- checked.zipWithIndex
       i <- 0 until bits
     } yield shiftleft(
-      shiftright(c.cast("long"), i).bitwiseAND(lit(1L)), i * n + j)
+      shiftright(c, i).bitwiseAND(lit(1L)), i * n + j)
     terms.reduce(_ bitwiseOR _)
   }
 
@@ -70,10 +85,12 @@ object Layout {
     val k = 1 << bits
     val probs = (1 until k).map(_.toDouble / k)
     // round on the ENGINE (the q97 percentile-cutpoint contract —
-    // Spark round(x, 6) vs DuckDB round(x, 6) is the validated pairing)
+    // Spark round(x, 6) vs DuckDB round(x, 6) is the validated pairing).
+    // Column API throughout (col() handles names needing quoting —
+    // spaces/dots/hyphens — that raw-SQL interpolation would misparse)
     val row = df.select(colNames.map(c =>
-      expr(s"transform(percentile($c, array(${probs.mkString(", ")}))," +
-        " x -> round(x, 6))")): _*)
+      transform(percentile(col(c), lit(probs.toArray)),
+        x => round(x, 6))): _*)
       .head()
     colNames.indices.map { i =>
       val cuts = row.getSeq[Double](i)
