@@ -58,18 +58,22 @@ object Layout {
     terms.reduce(_ bitwiseOR _)
   }
 
-  /** Exact-percentile cut points (rounded to 6 dp — the q97 contract,
+  /** Equi-depth cut points (rounded to 6 dp — the q97 contract,
     * reproducible against `quantile_cont`) for quantizing one column
-    * into `2^bits` equi-depth buckets. Driver-side scalar list,
-    * model-sized (`2^bits − 1` doubles). At 100 TB swap the exact
-    * percentile for `approx_percentile` — the layout only needs coarse
-    * equi-depth bins, which is also why `bits` stays small.
+    * into `2^bits` buckets. Driver-side scalar list, model-sized
+    * (`2^bits − 1` doubles). `exact = false` swaps the exact
+    * percentile for `approx_percentile` — the 100 TB form: an exact
+    * percentile materializes every value per aggregation group while
+    * the approx form carries a bounded sketch per task, and the layout
+    * only needs coarse equi-depth bins (also why `bits` stays small).
+    * The exact form remains the default and the oracle-gated path.
     */
-  def equiDepthCuts(df: DataFrame, colName: String, bits: Int): Seq[Double] = {
+  def equiDepthCuts(df: DataFrame, colName: String, bits: Int,
+                    exact: Boolean = true): Seq[Double] = {
     require(bits >= 1 && bits <= 6,
       s"equiDepthCuts: bits=$bits — the bucket expression folds 2^bits-1 " +
         "comparison terms, keep it small (layout needs only coarse bins)")
-    equiDepthCutsAll(df, Seq(colName), bits).head
+    equiDepthCutsAll(df, Seq(colName), bits, exact).head
   }
 
   /** [[equiDepthCuts]] for SEVERAL columns in ONE aggregation pass —
@@ -77,7 +81,7 @@ object Layout {
     * for the cut points.
     */
   def equiDepthCutsAll(df: DataFrame, colNames: Seq[String],
-                       bits: Int): Seq[Seq[Double]] = {
+                       bits: Int, exact: Boolean = true): Seq[Seq[Double]] = {
     require(bits >= 1 && bits <= 6,
       s"equiDepthCuts: bits=$bits — the bucket expression folds 2^bits-1 " +
         "comparison terms, keep it small (layout needs only coarse bins)")
@@ -87,10 +91,14 @@ object Layout {
     // round on the ENGINE (the q97 percentile-cutpoint contract —
     // Spark round(x, 6) vs DuckDB round(x, 6) is the validated pairing).
     // Column API throughout (col() handles names needing quoting —
-    // spaces/dots/hyphens — that raw-SQL interpolation would misparse)
+    // spaces/dots/hyphens — that raw-SQL interpolation would misparse).
+    // Approx accuracy 10_000 bounds rank error to n/10000 per cut —
+    // far finer than the coarse bins the layout quantizes into
+    def cutsOf(c: String): Column =
+      if (exact) percentile(col(c), lit(probs.toArray))
+      else percentile_approx(col(c), lit(probs.toArray), lit(10000))
     val row = df.select(colNames.map(c =>
-      transform(percentile(col(c), lit(probs.toArray)),
-        x => round(x, 6))): _*)
+      transform(cutsOf(c), x => round(x.cast("double"), 6))): _*)
       .head()
     colNames.indices.map { i =>
       val cuts = row.getSeq[Double](i)
@@ -131,12 +139,34 @@ object Layout {
     */
   def zorderRepartition(df: DataFrame, cols: Seq[String], bits: Int,
                         numPartitions: Int,
-                        sortWithinFiles: Boolean = true): DataFrame = {
-    val cuts = equiDepthCutsAll(df, cols, bits) // ONE scan for all dims
+                        sortWithinFiles: Boolean = true,
+                        exactCuts: Boolean = true): DataFrame = {
+    val cuts = equiDepthCutsAll(df, cols, bits, exactCuts) // ONE scan, all dims
     val z = zValue(cols.zip(cuts).map { case (c, cu) =>
       bucketOf(col(c), cu) }, bits)
     val ranged = df.repartitionByRange(numPartitions, z)
     if (sortWithinFiles) ranged.sortWithinPartitions(z) else ranged
+  }
+
+  /** The full table-OPTIMIZE run: [[compactionPlan]] sizes the output
+    * file count, [[zorderRepartition]] lays the rows out so each of the
+    * `n_files` output files is a compact multi-dimensional box — one
+    * metadata-sized planning aggregation, one cut-point scan, one range
+    * shuffle. Write the result with one file per partition (the
+    * default parquet writer behavior) and every file is both
+    * target-sized AND z-prunable. At 100 TB run it per table-partition
+    * with `exactCuts = false`.
+    */
+  def optimizeTable(df: DataFrame, cols: Seq[String], bits: Int,
+                    sizeExpr: Column, targetBytes: Long,
+                    exactCuts: Boolean = true): DataFrame = {
+    val n = compactionPlan(df, sizeExpr, targetBytes)
+      .head().getAs[Long]("n_files")
+    require(n <= Int.MaxValue,
+      s"optimizeTable: planned $n files exceeds Int.MaxValue — raise " +
+        "targetBytes")
+    zorderRepartition(df, cols, bits, n.toInt, sortWithinFiles = true,
+      exactCuts = exactCuts)
   }
 
   /** Compaction sizing — the other half of a table-optimize run: the
