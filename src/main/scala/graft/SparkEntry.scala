@@ -806,13 +806,22 @@ object SparkEntry {
       graft.multimodal.Multimodal.sampleFrames(assets, everyMs = 5000L)
         .orderBy("id", "frame_ts_ms")
     }),
-    // full multimodal -> ANN composition: binary assets through the stub
-    // feature extractor into the IVF index (the pipeline a real encoder
-    // would slot into at the stubEmbed seam)
+    // full multimodal -> ANN composition, REAL features end to end
+    // (round 10): BMP fixtures decode through the JDK reader, the
+    // 16-bin grayscale histogram of the DECODED PIXELS is the
+    // embedding (histEmbedBytes — the honest version of the stubEmbed
+    // seam), and the IVF index runs over it. The oracle re-derives the
+    // histograms from the closed-form pixel formula and replays the
+    // whole search — a stub fallback would hash-fail
     "q72_mm_embed_knn" -> ((s, dir) => {
-      val assets = graft.multimodal.Multimodal.asBinaryAssets(
-        t(s, dir, "documents"), "doc_id", "text", "image")
-      val embs = graft.multimodal.Multimodal.stubEmbed(assets, dim = 16)
+      import s.implicits._
+      val ids = t(s, dir, "documents")
+        .where(col("doc_id").isNotNull).select(col("doc_id")).as[Long]
+      val assets = ids.map { id =>
+        (id, "image", graft.multimodal.Multimodal.syntheticBmp(
+          id, (id % 13 + 1).toInt, (id % 7 + 1).toInt))
+      }.toDF("id", "modality", "content")
+      val embs = graft.multimodal.Multimodal.embedPartitions(assets, dim = 16)
       // id < 8 predicate mirrors the oracle (see q43 note)
       val cents = embs.filter(col("id") < 8)
         .select(col("id").as("cid"), col("embedding").as("cvec"))
@@ -1756,6 +1765,27 @@ object SparkEntry {
         t(s, dir, "documents"),
         octet_length(col("text")) + lit(64), targetBytes = 262144L)
     }),
+    // REAL pixel-derived features at the embed seam (the q122/q133
+    // fixture pattern): BMPs decode through the JDK reader and the
+    // 16-bin grayscale histogram comes from the DECODED raster; the
+    // oracle re-derives every bin count from the closed-form pixel
+    // formula (id, x, y) → rgb, so the hash-derived stub could never
+    // match. Output: one row per (id, bin) with the normalized mass
+    "q142_mm_real_embed" -> ((s, dir) => {
+      import s.implicits._
+      val ids = t(s, dir, "documents")
+        .where(col("doc_id").isNotNull).select(col("doc_id")).as[Long]
+      val assets = ids.map { id =>
+        (id, "image", graft.multimodal.Multimodal.syntheticBmp(
+          id, (id % 13 + 1).toInt, (id % 7 + 1).toInt))
+      }.toDF("id", "modality", "content")
+      graft.multimodal.Multimodal.embedPartitions(assets, dim = 16)
+        .select(col("id"), posexplode(col("embedding")).as(Seq("bin", "f")))
+        .select(col("id"), col("bin").cast("long").as("bin"),
+          round(col("f").cast("double"), 6).as("frac"))
+        .orderBy("id", "bin")
+    }),
+
     // the same prediction through the LITERAL-model projection (no
     // join, no window — the streaming-legal form); gated by the SAME
     // oracle as q137, proving the two formulations identical
@@ -2044,6 +2074,39 @@ object SparkEntry {
 
   private def duckCos(a: String, b: String): String =
     s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
+
+  /** Closed-form replay of the q72/q142 REAL-embedding fixture: BMP
+    * pixel (x, y) of doc `id` is `(id·2654435761 + 7x + 131y) mod 2²⁴`
+    * (what `Multimodal.syntheticBmp` paints and the JDK decoder reads
+    * back losslessly), gray = integer mean of the sRGB channels, 16
+    * equal bins, embedding = per-bin pixel mass as FLOAT (the same
+    * double-divide-then-float-cast as `histEmbedBytes`). Provides
+    * `bfull` (id, npx, bin, cnt) and `emb` (id, embedding).
+    */
+  private val HistEmbCte =
+    """px AS (
+      |  SELECT d.doc_id AS id,
+      |    CAST((d.doc_id % 13 + 1) * (d.doc_id % 7 + 1) AS BIGINT) AS npx,
+      |    (d.doc_id * 2654435761 + x.x * 7 + y.y * 131) % 16777216 AS v
+      |  FROM documents d,
+      |    unnest(generate_series(0, d.doc_id % 13)) AS x(x),
+      |    unnest(generate_series(0, d.doc_id % 7)) AS y(y)
+      |  WHERE d.doc_id IS NOT NULL),
+      |hist AS (
+      |  SELECT id, npx,
+      |    (((v // 65536) + ((v // 256) % 256) + (v % 256)) // 3) // 16 AS bin,
+      |    count(*) AS cnt
+      |  FROM px GROUP BY id, npx, bin),
+      |bfull AS (
+      |  SELECT ids.id, ids.npx, CAST(b.bin AS BIGINT) AS bin,
+      |    coalesce(h.cnt, 0) AS cnt
+      |  FROM (SELECT DISTINCT id, npx FROM px) ids
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS bin) b
+      |  LEFT JOIN hist h ON h.id = ids.id AND h.bin = b.bin),
+      |emb AS (
+      |  SELECT id, list(CAST(CAST(cnt AS DOUBLE) / npx AS FLOAT)
+      |    ORDER BY bin) AS embedding
+      |  FROM bfull GROUP BY id)""".stripMargin
 
   /** DuckDB sign-random-projection bucket matching Knn.lshBucket. */
   private def duckProj(t: Int, p: Int, vec: String): String =
@@ -3837,12 +3900,7 @@ object SparkEntry {
     // stub embed + IVF: one md5 seed per payload, then dim md5 draws off
     // `seed:i` (reproduced element-for-element), then the q44 IVF shape
     "q72_mm_embed_knn" ->
-      s"""WITH emb AS (
-         |  SELECT id, list_transform(generate_series(0, 15),
-         |    i -> CAST(((${h60("seed||':'||i")} % 1000001) - 500000)::DOUBLE
-         |      / 1000000.0 AS FLOAT)) AS embedding
-         |  FROM (SELECT doc_id AS id, md5(hex(encode(text))) AS seed
-         |        FROM documents) s),
+      s"""WITH $HistEmbCte,
          |cents AS (SELECT id AS cid, embedding AS cvec FROM emb WHERE id < 8),
          |ascored AS (
          |  SELECT e.id, c.cid, ${duckCos("e.embedding", "c.cvec")} AS cos
@@ -4412,6 +4470,15 @@ object SparkEntry {
          |    * (((doc_id % 13 + 1) * 3 + 3) // 4 * 4) AS BIGINT) AS n_bytes
          |FROM documents WHERE doc_id IS NOT NULL
          |ORDER BY id""".stripMargin,
+
+    // every bin count re-derived from the closed-form pixel formula —
+    // the REAL decoded raster must produce these masses
+    "q142_mm_real_embed" ->
+      s"""WITH $HistEmbCte
+         |SELECT id, bin,
+         |  round(CAST(CAST(CAST(cnt AS DOUBLE) / npx AS FLOAT) AS DOUBLE),
+         |    6) AS frac
+         |FROM bfull ORDER BY id, bin""".stripMargin,
 
     // the oracle states the SEMANTICS directly — a per-doc window
     // cumsum in greedy (quality DESC, id) order, kept while <= budget;

@@ -112,32 +112,39 @@ object Multimodal {
   def imageDecodeBytes(bytes: Array[Byte],
                        modality: String): (Int, Int, Int, Long) = {
     if (modality == "image") {
-      // MemoryCacheImageInputStream, NOT ImageIO.read(InputStream):
-      // ImageIO's default stream wrapper is FILE-cache backed — a temp
-      // file per decoded asset, which a per-row codec at corpus scale
-      // must never do. NonFatal, not just IOException: a recognized
-      // magic number with a corrupt header throws unchecked
-      // (IllegalArgument/NegativeArraySize/IndexOutOfBounds are all
-      // real ImageIO failure modes) and must fall to the stub, not
-      // kill the partition.
-      val img =
-        try {
-          val in = new javax.imageio.stream.MemoryCacheImageInputStream(
-            new java.io.ByteArrayInputStream(bytes))
-          try {
-            val readers = javax.imageio.ImageIO.getImageReaders(in)
-            if (!readers.hasNext) null
-            else {
-              val r = readers.next()
-              try { r.setInput(in); r.read(0) } finally r.dispose()
-            }
-          } finally in.close()
-        } catch { case scala.util.control.NonFatal(_) => null }
+      val img = decodeImage(bytes)
       if (img != null)
         (img.getWidth, img.getHeight, img.getRaster.getNumBands, 0L)
       else stubDecodeBytes(bytes, modality)
     } else stubDecodeBytes(bytes, modality)
   }
+
+  /** Shared JDK ImageIO decode for [[imageDecodeBytes]] and
+    * [[histEmbedBytes]]; null when no registered reader recognizes the
+    * payload or the decode throws.
+    *
+    * MemoryCacheImageInputStream, NOT ImageIO.read(InputStream):
+    * ImageIO's default stream wrapper is FILE-cache backed — a temp
+    * file per decoded asset, which a per-row codec at corpus scale
+    * must never do. NonFatal, not just IOException: a recognized
+    * magic number with a corrupt header throws unchecked
+    * (IllegalArgument/NegativeArraySize/IndexOutOfBounds are all
+    * real ImageIO failure modes) and must fall to the stub, not
+    * kill the partition.
+    */
+  private def decodeImage(bytes: Array[Byte]): java.awt.image.BufferedImage =
+    try {
+      val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(in)
+        if (!readers.hasNext) null
+        else {
+          val r = readers.next()
+          try { r.setInput(in); r.read(0) } finally r.dispose()
+        }
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => null }
 
   /** REAL audio metadata at the [[decodePartitions]] seam: the JDK's
     * `javax.sound.sampled.AudioSystem` parses the payload header (WAV/
@@ -371,6 +378,78 @@ object Multimodal {
           (((HashFunctions.md5Long(concat(col("__seed"), lit(s":$i")))
             % 1000001L) - 500000L).cast("double")
             / 1000000.0).cast("float")): _*).as("embedding"))
+
+  /** JVM twin of [[stubEmbed]] (same md5 math, byte-for-byte): the
+    * fallback of [[histEmbedBytes]] for payloads no codec recognizes,
+    * so a mixed asset table embeds without a partition-killing throw
+    * and non-decodable rows still get a usable (hash-derived,
+    * non-zero-norm) vector.
+    */
+  def stubEmbedBytes(bytes: Array[Byte], dim: Int): Array[Float] = {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val seed = md5hex(bytes.map("%02X".format(_)).mkString)
+    Array.tabulate(dim) { i =>
+      val h = java.lang.Long.parseLong(md5hex(s"$seed:$i").take(15), 16)
+      (((h % 1000001L) - 500000L).toDouble / 1000000.0).toFloat
+    }
+  }
+
+  /** REAL feature extraction at the embed seam: the decoded raster's
+    * `bins`-bin grayscale histogram, normalized to a unit-sum float
+    * vector — a deterministic, pixel-derived feature where a
+    * vision-encoder embedding would slot in (the honest version of
+    * [[stubEmbed]] for the formats the JDK decodes). Grayscale is the
+    * integer mean `(r + g + b) / 3` of the sRGB channels; bin
+    * `gray * bins / 256`. Payloads that fail to decode (and non-image
+    * modalities) fall back to [[stubEmbedBytes]].
+    */
+  def histEmbedBytes(bytes: Array[Byte], modality: String,
+                     bins: Int): Array[Float] = {
+    if (modality == "image") {
+      val img = decodeImage(bytes)
+      if (img != null && img.getWidth > 0 && img.getHeight > 0) {
+        val counts = new Array[Long](bins)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val v = img.getRGB(x, y)
+            val gray =
+              (((v >> 16) & 0xff) + ((v >> 8) & 0xff) + (v & 0xff)) / 3
+            counts(gray * bins / 256) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val n = img.getWidth.toLong * img.getHeight
+        counts.map(c => (c.toDouble / n).toFloat)
+      } else stubEmbedBytes(bytes, bins)
+    } else stubEmbedBytes(bytes, bins)
+  }
+
+  /** The embed seam as a per-partition batched stage (the
+    * [[decodePartitions]] shape for features): one extractor instance
+    * per partition, raw bytes in, `(id, embedding array<float>)` out —
+    * feeds the [[graft.operators.Knn]] operators directly. Default
+    * extractor is the real [[histEmbedBytes]].
+    */
+  def embedPartitions(
+      assets: DataFrame, dim: Int,
+      embedFn: (Array[Byte], String, Int) => Array[Float] = histEmbedBytes)
+      : DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select("id", "modality", "content")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, modality, bytes) =>
+          (id, embedFn(bytes, modality, dim))
+        }
+      }
+      .toDF("id", "embedding")
+  }
 
   /** Stub resize: the byte-budget plumbing of an image resize without a
     * codec. The output byte length is the real resize contract

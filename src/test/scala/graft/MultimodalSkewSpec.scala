@@ -106,6 +106,54 @@ class MultimodalSkewSpec extends SparkSpec {
     assert(out(3L) == ((gw, gh, gc)))
   }
 
+  test("histEmbedBytes histograms REAL decoded pixels; stubEmbedBytes " +
+    "matches the stubEmbed column; fallbacks engage") {
+    // hand-computed oracle: replay the syntheticBmp pixel formula in
+    // plain Scala and histogram it — the decoded raster must agree
+    val (id, w, h) = (42L, 9, 5)
+    val expected = {
+      val counts = new Array[Long](16)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = ((id * 2654435761L + x * 7 + y * 131) % 0x1000000L).toInt
+        val gray = (((v >> 16) & 0xff) + ((v >> 8) & 0xff) + (v & 0xff)) / 3
+        counts(gray * 16 / 256) += 1
+      }
+      counts.map(c => (c.toDouble / (w * h)).toFloat).toSeq
+    }
+    val bmp = Multimodal.syntheticBmp(id, w, h)
+    assert(Multimodal.histEmbedBytes(bmp, "image", 16).toSeq == expected)
+    // the histogram is a probability mass: sums to ~1, never zero-norm
+    assert(math.abs(expected.map(_.toDouble).sum - 1.0) < 1e-6)
+
+    // stubEmbedBytes is the byte-for-byte JVM twin of the stubEmbed
+    // column math (same md5 chain) — the fallback can't drift
+    val garbage = "definitely not an image".getBytes("UTF-8")
+    val viaColumn = Multimodal.stubEmbed(
+      spark.createDataFrame(Seq((7L, new String(garbage, "UTF-8"))))
+        .toDF("doc_id", "text")
+        .select(col("doc_id").as("id"),
+          encode(col("text"), "UTF-8").as("content")),
+      dim = 16).collect().head.getSeq[Float](1)
+    assert(Multimodal.stubEmbedBytes(garbage, 16).toSeq == viaColumn)
+    // non-decodable payloads and non-image modalities fall back
+    assert(Multimodal.histEmbedBytes(garbage, "image", 16).toSeq ==
+      Multimodal.stubEmbedBytes(garbage, 16).toSeq)
+    assert(Multimodal.histEmbedBytes(bmp, "audio", 16).toSeq ==
+      Multimodal.stubEmbedBytes(bmp, 16).toSeq)
+
+    // the mapPartitions seam end to end, mixed decodable/garbage
+    val assets = spark.createDataFrame(Seq(
+      (1L, "image", Multimodal.syntheticBmp(1L, 3, 2)),
+      (2L, "image", garbage)
+    )).toDF("id", "modality", "content")
+    val out = Multimodal.embedPartitions(assets, dim = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(out(1L) ==
+      Multimodal.histEmbedBytes(Multimodal.syntheticBmp(1L, 3, 2),
+        "image", 16).toSeq)
+    assert(out(2L) == Multimodal.stubEmbedBytes(garbage, 16).toSeq)
+  }
+
   test("audioDecodeBytes parses real WAV headers; corrupt payloads " +
     "fall back to the stub") {
     // id=7: channels = 7%2+1 = 2, frames = (7%50+1)*8 = 64 → 8 ms at
