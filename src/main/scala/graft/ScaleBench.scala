@@ -186,6 +186,31 @@ object ScaleBench {
           .write.format("noop").mode("overwrite").save()
       }
     }
+    // multi-width banding sweep vs four independent runs (the q143
+    // readout at scale): the sweep shares one signature pass and one
+    // finest-granularity band join; the independent loop re-shuffles
+    // the signatures per band count. Compare the walls; per-level
+    // candidate counts printed for the recall-vs-cost record.
+    for (round <- Seq("cold", "warm")) {
+      time(s"lsh_band_sweep_4levels $round") {
+        val sigs = Dedup.minHashSignatures(docs, "doc_id", "text", k = 8,
+          tokenize = Dedup.shingleTokenizer(3))
+        val sweep = Dedup.lshCandidatesSweep(sigs, "doc_id", k = 8,
+          bandCounts = Seq(1, 2, 4, 8))
+        val counts = sweep.groupBy("bands").count()
+          .orderBy("bands").collect()
+          .map(r => s"${r.get(0)}->${r.get(1)}").mkString(", ")
+        println(s"  level_candidates: $counts")
+      }
+      time(s"lsh_band_independent_4levels $round") {
+        for (b <- Seq(1, 2, 4, 8)) {
+          val sigs = Dedup.minHashSignatures(docs, "doc_id", "text", k = 8,
+            tokenize = Dedup.shingleTokenizer(3))
+          Dedup.lshCandidates(sigs, "doc_id", k = 8, bands = b)
+            .write.format("noop").mode("overwrite").save()
+        }
+      }
+    }
     // z-order layout at scale: ONE percentile pass for ALL dimensions
     // (equiDepthCutsAll; model-sized cuts) + one range shuffle on the
     // Morton value — the cost profile of a table-optimize run; wall

@@ -1765,6 +1765,40 @@ object SparkEntry {
         t(s, dir, "documents"),
         octet_length(col("text")) + lit(64), targetBytes = 262144L)
     }),
+    // multi-width LSH banding tuning curve from ONE signature pass and
+    // ONE band join (the q135 once-then-subset pattern for the dedup
+    // family): per band count, candidate volume and recall of the
+    // est-Jaccard ≥ 0.5 pairs — truth enumerated within the WIDEST
+    // (most permissive) level, the same widest-probe convention as
+    // q135's ground truth. N band settings never cost N shuffles
+    "q143_lsh_band_sweep" -> ((s, dir) => {
+      val sigs = Dedup.minHashSignatures(t(s, dir, "documents"), "doc_id",
+        "text", k = 8, tokenize = Dedup.shingleTokenizer(3))
+      val sweep = Dedup.lshCandidatesSweep(sigs, "doc_id", k = 8,
+        bandCounts = Seq(1, 2, 4, 8))
+      val widest = sweep.filter(col("bands") === 8).select("id_a", "id_b")
+      val truth = Dedup.minHashEstimate(widest, sigs, "doc_id", k = 8)
+        .filter(col("est_jaccard") >= 0.5).select("id_a", "id_b")
+      val totals = broadcast(truth.agg(count(lit(1)).as("n_true")))
+      // anchor on the level list (the q135 left-join convention): a
+      // level with zero candidates keeps its row
+      import s.implicits._
+      Seq(1, 2, 4, 8).toDF("bands")
+        .join(sweep.groupBy("bands").agg(count(lit(1)).as("n_candidates")),
+          Seq("bands"), "left")
+        .join(sweep.join(truth, Seq("id_a", "id_b"), "left_semi")
+          .groupBy("bands").agg(count(lit(1)).as("n_true_found")),
+          Seq("bands"), "left")
+        .crossJoin(totals)
+        .select(col("bands").cast("long").as("bands"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          coalesce(col("n_true_found"), lit(0L)).as("n_true_found"),
+          col("n_true"),
+          round(coalesce(col("n_true_found"), lit(0L)).cast("double")
+            / col("n_true"), 6).as("recall"))
+        .orderBy("bands")
+    }),
+
     // REAL pixel-derived features at the embed seam (the q122/q133
     // fixture pattern): BMPs decode through the JDK reader and the
     // 16-bin grayscale histogram comes from the DECODED raster; the
@@ -2674,6 +2708,57 @@ object SparkEntry {
          |JOIN sig sb ON sb.doc_id = c.id_b AND sb.perm = sa.perm
          |GROUP BY c.id_a, c.id_b
          |ORDER BY id_a, id_b""".stripMargin,
+    // the sweep's semantics stated directly: finest (bands=8,
+    // one-perm) matches; a level-B band is matched iff its aligned
+    // group of 8/B finest bands fully matched; truth = est ≥ 0.5
+    // within the widest level's candidates
+    "q143_lsh_band_sweep" ->
+      s"""WITH $WordsCte,
+         |$ShinglesCte,
+         |$SigCte,
+         |fb AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.perm AS band
+         |  FROM sig a JOIN sig b
+         |    ON a.perm = b.perm AND a.min_hash = b.min_hash
+         |    AND a.doc_id < b.doc_id),
+         |lvls AS (SELECT unnest([1, 2, 4, 8]) AS bands),
+         |grp AS (
+         |  SELECT l.bands, fb.id_a, fb.id_b,
+         |    fb.band // (8 // l.bands) AS g, count(*) AS nb
+         |  FROM fb CROSS JOIN lvls l
+         |  GROUP BY l.bands, fb.id_a, fb.id_b, g),
+         |cand AS (
+         |  SELECT bands, id_a, id_b, count(*) AS n_shared_bands
+         |  FROM grp WHERE nb = 8 // bands
+         |  GROUP BY bands, id_a, id_b),
+         |widest AS (SELECT id_a, id_b FROM cand WHERE bands = 8),
+         |est AS (
+         |  SELECT c.id_a, c.id_b,
+         |    CAST(sum(CASE WHEN sa.min_hash = sb.min_hash
+         |      THEN 1 ELSE 0 END) AS DOUBLE) / 8 AS ej
+         |  FROM widest c
+         |  JOIN sig sa ON sa.doc_id = c.id_a
+         |  JOIN sig sb ON sb.doc_id = c.id_b AND sb.perm = sa.perm
+         |  GROUP BY c.id_a, c.id_b),
+         |truth AS (SELECT id_a, id_b FROM est WHERE ej >= 0.5),
+         |tt AS (SELECT count(*) AS n_true FROM truth),
+         |counts AS (
+         |  SELECT bands, count(*) AS n_candidates FROM cand GROUP BY bands),
+         |found AS (
+         |  SELECT bands, count(*) AS n_true_found
+         |  FROM cand JOIN truth USING (id_a, id_b) GROUP BY bands)
+         |SELECT CAST(l.bands AS BIGINT) AS bands,
+         |  coalesce(c.n_candidates, 0) AS n_candidates,
+         |  coalesce(f.n_true_found, 0) AS n_true_found,
+         |  tt.n_true,
+         |  round(CAST(coalesce(f.n_true_found, 0) AS DOUBLE)
+         |    / tt.n_true, 6) AS recall
+         |FROM lvls l
+         |LEFT JOIN counts c ON l.bands = c.bands
+         |LEFT JOIN found f ON l.bands = f.bands
+         |CROSS JOIN tt
+         |ORDER BY bands""".stripMargin,
+
     "q33_simhash" -> SimHashOracle,
     "q55_sql_native_simhash" -> SimHashOracle,
     "q34_simhash_neardups" -> SimHashNearDupOracle,

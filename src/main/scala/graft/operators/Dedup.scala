@@ -233,6 +233,62 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
+  /** Multi-width LSH banding readout from ONE signature pass and ONE
+    * band join — the q135 once-then-subset sweep pattern applied to
+    * MinHash banding (tuning `bands` is the recall-vs-cost knob of the
+    * whole near-dup family, and re-running [[lshCandidates]] per
+    * setting would shuffle the corpus signatures N times). A band of
+    * `k/bands` rows matches iff ALL of its `max(bandCounts)/bands`
+    * aligned finest sub-bands match, so the self-join runs once at the
+    * FINEST granularity and every coarser level falls out of the
+    * per-pair matched-band set with a flat codegen expression — no
+    * second shuffle, no second corpus scan.
+    *
+    * Output: `(bands, id_a, id_b, n_shared_bands)` — for each
+    * requested level, exactly [[lshCandidates]]' rows (spec-pinned).
+    * Every band count must divide `k` and the maximum band count
+    * (dyadic sets like 1,2,4,8 qualify).
+    *
+    * Scale note: the finest banding is the most permissive, so the
+    * join's candidate volume is the bands = max(bandCounts) volume —
+    * the same upper bound an independent run of the widest setting
+    * pays; the per-pair aggregation state is one ≤ maxB-element set.
+    */
+  def lshCandidatesSweep(signatures: DataFrame, idCol: String, k: Int,
+                         bandCounts: Seq[Int]): DataFrame = {
+    require(bandCounts.nonEmpty, "lshCandidatesSweep: no band counts")
+    val maxB = bandCounts.max
+    require(maxB >= 1 && k % maxB == 0, s"bands ($maxB) must divide k ($k)")
+    bandCounts.foreach(b => require(b >= 1 && maxB % b == 0,
+      s"every band count must divide the maximum ($maxB); got $b"))
+    val banded = bandKeys(signatures, idCol, k, maxB)
+    val matches = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .agg(collect_set(col("a.band")).as("__fb"))
+    // per level: a group of f consecutive finest bands is a matched
+    // coarse band iff every member is in the pair's matched set —
+    // bandCounts and maxB are plan-time constants, so this unrolls to
+    // a flat whole-stage-codegen sum of array_contains terms
+    val levels = array(bandCounts.distinct.sorted.map { b =>
+      val f = maxB / b
+      val shared = (0 until b).map { g =>
+        when((g * f until (g + 1) * f)
+          .map(j => array_contains(col("__fb"), lit(j)))
+          .reduce(_ && _), 1L).otherwise(0L)
+      }.reduce(_ + _)
+      struct(lit(b).as("bands"), shared.as("n_shared_bands"))
+    }: _*)
+    matches
+      .select(col("id_a"), col("id_b"), explode(levels).as("__l"))
+      .select(col("__l.bands").as("bands"), col("id_a"), col("id_b"),
+        col("__l.n_shared_bands").as("n_shared_bands"))
+      .filter(col("n_shared_bands") >= 1)
+  }
+
   /** Band a k-perm signature table into its LSH band keys: one row per
     * (id, band) with the band's perm-ordered minhash vector as the key.
     * Shared by [[lshCandidates]] (self-join) and

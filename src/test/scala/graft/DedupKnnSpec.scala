@@ -189,6 +189,36 @@ class DedupKnnSpec extends SparkSpec {
     assert(est == ((1L, 2L, 1.0)))
   }
 
+  test("lshCandidatesSweep equals an independent lshCandidates run at " +
+    "every level (one join carries all band counts)") {
+    // overlapping docs at several similarity grades so different band
+    // counts admit different candidate sets
+    val docs = (0L until 12L).map { i =>
+      val shift = (i % 4) * 5
+      (i, (shift until shift + 20).map(j => s"tok$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val sigs = Dedup.minHashSignatures(docs, "doc_id", "text", k = 8,
+      tokenize = Dedup.shingleTokenizer(3)).localCheckpoint()
+    val sweep = Dedup.lshCandidatesSweep(sigs, "doc_id", k = 8,
+      bandCounts = Seq(1, 2, 4, 8))
+      .as[(Int, Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (b, xs) =>
+        b -> xs.map(x => (x._2, x._3, x._4)).toSet }
+    for (b <- Seq(1, 2, 4, 8)) {
+      val indep = Dedup.lshCandidates(sigs, "doc_id", k = 8, bands = b)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(sweep.getOrElse(b, Set.empty) == indep,
+        s"bands=$b: sweep ${sweep.getOrElse(b, Set.empty)} != independent $indep")
+    }
+    // monotone by construction: coarser bands are subsets of finer
+    assert(sweep(1).map(p => (p._1, p._2)).subsetOf(
+      sweep(8).map(p => (p._1, p._2))))
+    // invalid level sets are rejected loudly
+    intercept[IllegalArgumentException] {
+      Dedup.lshCandidatesSweep(sigs, "doc_id", k = 8, Seq(3, 8))
+    }
+  }
+
   test("minhash estimate tracks true jaccard on overlapping docs") {
     // two docs sharing half their tokens: true J = 10/30 ≈ 0.33
     val a = (1 to 20).map(i => s"tok$i").mkString(" ")
