@@ -186,6 +186,20 @@ object ScaleBench {
           .write.format("noop").mode("overwrite").save()
       }
     }
+    // BPE merge training at 10× (lifting q104's sf0.01 scope pin —
+    // round-9 task): the one corpus-scale pass is wordCounts; each of
+    // the 8 merge rounds is a VOCABULARY-sized argmax + rewrite, so
+    // per-round wall should be corpus-independent after round 0.
+    // Per-merge walls print via verbose — the irreducible sequential
+    // dependency (merge i+1's counts need merge i applied) is the
+    // single-row argmax collect, not a corpus operation.
+    for (round <- Seq("cold", "warm")) {
+      time(s"bpe_learn_8merges_10x $round") {
+        graft.operators.Bpe.learnMerges(docs, "text", numMerges = 8,
+          verbose = true).collect()
+        ()
+      }
+    }
     // multi-width banding sweep vs four independent runs (the q143
     // readout at scale): the sweep shares one signature pass and one
     // finest-granularity band join; the independent loop re-shuffles

@@ -1881,6 +1881,14 @@ object SparkEntry {
     * merges swap, and the replay correctly reports the divergence. A
     * different gate SF means re-deriving these literals (run q104 and
     * paste), not a code change.
+    *
+    * The pin hides NO performance issue (round-10 evidence, sf0.1
+    * measured via `learnMerges(verbose = true)`): after the one
+    * corpus-scale `wordCounts` pass, each merge round is a
+    * vocabulary-sized argmax + rewrite — warm ~0.15 s/round at sf0.1,
+    * 8 merges ≈ 1.7 s total; ScaleBench records the 10× walls. The
+    * single-row argmax collect is BPE's irreducible sequential
+    * dependency, not a scale bottleneck.
     */
   private val BpeLearnedMerges: Seq[(String, String)] =
     Seq(("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"),

@@ -157,7 +157,7 @@ object Bpe {
     * lineage each round, same pattern as [[Dedup.connectedComponents]].
     */
   def learnMerges(docs: DataFrame, textCol: String,
-                  numMerges: Int): DataFrame = {
+                  numMerges: Int, verbose: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     var vocab = wordCounts(docs, textCol)
       .select(initialSymbols("word").as("syms"), col("freq"))
@@ -166,6 +166,7 @@ object Bpe {
       .empty[(Int, String, String, Long)]
     var done = false
     while (merges.length < numMerges && !done) {
+      val t0 = System.nanoTime()
       val top = pairStats(vocab, "syms", "freq")
         .orderBy(desc("pair_count"), asc("left_sym"), asc("right_sym"))
         .limit(1).collect()
@@ -179,6 +180,9 @@ object Bpe {
           col("freq")).localCheckpoint()
         Knn.releaseCheckpoint(vocab)
         vocab = next
+        if (verbose) System.err.println(
+          f"[bpe] merge ${merges.length}%2d ($l, $r) count=$c " +
+            f"round=${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
     }
     Knn.releaseCheckpoint(vocab)
