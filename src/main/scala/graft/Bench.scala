@@ -141,6 +141,17 @@ object Bench {
     // the second measures the execution the plan costs at steady
     // state). A crash in any sample records -1 so breakage can never
     // read as speed.
+    //
+    // SENTINELS take a THIRD in-pass sample (min of 6): they are the
+    // round-over-round baseline signals, and two consecutive driver
+    // rounds (r08 skew +120%, r09 curation +44%) flagged sentinel
+    // drifts that plan-histogram profiling proved were session-wide
+    // wall offsets on byte-identical plans (BASELINE.md). One more
+    // warm sample per pass makes a sentinel's min robust to a
+    // transient inside any single sample window at a cost of a few
+    // seconds per round.
+    val sentinelNames: Set[String] =
+      (refDatasets ++ curation ++ skew).map(_._1).toSet
     val passes: Seq[Map[String, Double]] = (1 to 2).map { pass =>
       entries.map { case (name, run) =>
         scrub() // outside the timed region
@@ -148,11 +159,12 @@ object Bench {
         // pre-warm the fresh session's state (SessionState build, parser,
         // first-use codepaths) so it isn't charged to the first sample
         sess.range(2L).selectExpr("sum(id)").collect()
-        val t1 = timed(run(sess))
-        val t2 = timed(run(sess))
-        val t = if (t1 < 0 || t2 < 0) -1.0 else math.min(t1, t2)
+        val samples = Seq.fill(if (sentinelNames(name)) 3 else 2)(
+          timed(run(sess)))
+        val t = if (samples.exists(_ < 0)) -1.0 else samples.min
         System.err.println(
-          f"[bench] pass $pass $name%-28s $t1%8.3f / $t2%8.3f s")
+          f"[bench] pass $pass $name%-28s " +
+            samples.map(s => f"$s%8.3f").mkString(" / ") + " s")
         name -> t
       }.toMap
     }
