@@ -219,6 +219,34 @@ class DedupKnnSpec extends SparkSpec {
     }
   }
 
+  test("PROPERTY: sweep == independent lshCandidates on random corpora") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // small vocabulary forces real band collisions at tiny sizes
+    val word = Gen.oneOf("red", "blue", "green", "jade", "onyx")
+    val docGen = Gen.chooseNum(3, 10).flatMap(n => Gen.listOfN(n, word))
+    val corpusGen = Gen.chooseNum(2, 6).flatMap(n => Gen.listOfN(n, docGen))
+    val prop = Prop.forAll(corpusGen) { docs =>
+      val df = docs.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val sigs = Dedup.minHashSignatures(df, "doc_id", "text", k = 8)
+        .localCheckpoint()
+      val sweep = Dedup.lshCandidatesSweep(sigs, "doc_id", k = 8,
+        bandCounts = Seq(1, 2, 4, 8))
+        .as[(Int, Long, Long, Long)].collect()
+        .groupBy(_._1).view
+        .mapValues(_.map(x => (x._2, x._3, x._4)).toSet).toMap
+      Seq(1, 2, 4, 8).forall { b =>
+        sweep.getOrElse(b, Set.empty) ==
+          Dedup.lshCandidates(sigs, "doc_id", k = 8, bands = b)
+            .as[(Long, Long, Long)].collect().toSet
+      }
+    }
+    val r = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(r.passed, r.status.toString)
+  }
+
   test("minhash estimate tracks true jaccard on overlapping docs") {
     // two docs sharing half their tokens: true J = 10/30 ≈ 0.33
     val a = (1 to 20).map(i => s"tok$i").mkString(" ")

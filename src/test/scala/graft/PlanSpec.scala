@@ -354,6 +354,45 @@ class PlanSpec extends SparkSpec {
       s"sweep subtree should be shared via ReusedExchange:\n${plan.take(2000)}")
   }
 
+  test("banding sweep plans ONE band join over a reused exchange") {
+    // lshCandidatesSweep derives every level from the finest banding:
+    // the physical plan must contain exactly one join (the finest band
+    // self-join, both sides through ReusedExchange) — a per-level
+    // re-join would be the N-shuffle shape the sweep exists to avoid
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val sigs = graft.operators.Dedup.minHashSignatures(docs, "doc_id",
+      "text", k = 8, tokenize = graft.operators.Dedup.shingleTokenizer(3))
+    // count nodes in the FINAL adaptive section only (the plan string
+    // repeats the tree under "== Initial Plan ==")
+    val plan = finalPlan(graft.operators.Dedup.lshCandidatesSweep(
+      sigs, "doc_id", k = 8, bandCounts = Seq(1, 2, 4, 8)))
+      .split("== Initial Plan ==").head
+    val joins = "(?i)(sortmergejoin|shuffledhashjoin|broadcasthashjoin)".r
+      .findAllIn(plan).length
+    assert(joins == 1, s"sweep must plan exactly one band join, got $joins:\n${plan.take(2000)}")
+    assert(plan.contains("ReusedExchange"),
+      s"banded side must be reused, not recomputed:\n${plan.take(2000)}")
+  }
+
+  test("optimizeTable plans one range shuffle with a partition-local sort") {
+    val grid = spark.range(1024).select(
+      (col("id") % 32).cast("double").as("x"),
+      (col("id") / 32).cast("double").as("y"))
+    val plan = finalPlan(graft.operators.Layout.optimizeTable(
+      grid, Seq("x", "y"), bits = 4, sizeExpr = lit(16L),
+      targetBytes = 4096L))
+      .split("== Initial Plan ==").head
+    assert(plan.toLowerCase.contains("rangepartitioning"),
+      s"z layout must range-partition on the z-value:\n${plan.take(2000)}")
+    // the within-file sort must be LOCAL (global=false) — a global sort
+    // would add a second exchange
+    assert(plan.contains("Sort ") && plan.contains("], false, 0"),
+      s"expected a partition-local sort:\n${plan.take(2000)}")
+    val exchanges = "Exchange ".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"optimizeTable must shuffle exactly once, got $exchanges:\n${plan.take(2000)}")
+  }
+
   test("no query plans a cartesian product") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val plan = q(name).queryExecution.sparkPlan.toString
