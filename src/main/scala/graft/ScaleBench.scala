@@ -216,6 +216,29 @@ object ScaleBench {
           .map(r => s"${r.get(0)}->${r.get(1)}").mkString(", ")
         println(s"  level_candidates: $counts")
       }
+      // recall-vs-cost readout (the q143 curve at 10×, untimed — the
+      // deliverable is the numbers): truth = est-Jaccard ≥ 0.5 within
+      // the widest level, recall per level = truth pairs recovered
+      if (round == "warm") {
+        val sigs = Dedup.minHashSignatures(docs, "doc_id", "text", k = 8,
+          tokenize = Dedup.shingleTokenizer(3)).localCheckpoint()
+        val sweep = Dedup.lshCandidatesSweep(sigs, "doc_id", k = 8,
+          bandCounts = Seq(1, 2, 4, 8)).localCheckpoint()
+        val truth = Dedup.minHashEstimate(
+          sweep.filter(col("bands") === 8).select("id_a", "id_b"),
+          sigs, "doc_id", k = 8)
+          .filter(col("est_jaccard") >= 0.5).select("id_a", "id_b")
+          .localCheckpoint()
+        val nTrue = truth.count()
+        val found = sweep.join(truth, Seq("id_a", "id_b"), "left_semi")
+          .groupBy("bands").count().orderBy("bands").collect()
+          .map(r => f"${r.get(0)}->${r.getLong(1)}(${
+            r.getLong(1).toDouble / nTrue}%.3f)").mkString(", ")
+        println(s"  level_recall (n_true=$nTrue): $found")
+        Knn.releaseCheckpoint(truth)
+        Knn.releaseCheckpoint(sweep)
+        Knn.releaseCheckpoint(sigs)
+      }
       time(s"lsh_band_independent_4levels $round") {
         for (b <- Seq(1, 2, 4, 8)) {
           val sigs = Dedup.minHashSignatures(docs, "doc_id", "text", k = 8,
