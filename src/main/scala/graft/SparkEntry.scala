@@ -1765,6 +1765,23 @@ object SparkEntry {
         t(s, dir, "documents"),
         octet_length(col("text")) + lit(64), targetBytes = 262144L)
     }),
+    // REAL video FRAME decode (closing the one documented stub): an
+    // uncompressed-DIB AVI needs no codec library — the pure-JVM
+    // RIFF/AVI walk extracts actual frame rasters, and every frame's
+    // exact grayscale sum is re-derived by the oracle from the
+    // closed-form pixel formula (id, frame, x, y) → rgb
+    "q144_mm_avi_frames" -> ((s, dir) => {
+      import s.implicits._
+      val ids = t(s, dir, "documents")
+        .where(col("doc_id").isNotNull).select(col("doc_id")).as[Long]
+      val assets = ids.map { id =>
+        (id, "video", graft.multimodal.Multimodal.syntheticAvi(id))
+      }.toDF("id", "modality", "content")
+      graft.multimodal.Multimodal.frameGraySums(assets)
+        .toDF()
+        .orderBy("id", "frame_idx")
+    }),
+
     // multi-width LSH banding tuning curve from ONE signature pass and
     // ONE band join (the q135 once-then-subset pattern for the dedup
     // family): per band count, candidate volume and recall of the
@@ -4563,6 +4580,28 @@ object SparkEntry {
          |    * (((doc_id % 13 + 1) * 3 + 3) // 4 * 4) AS BIGINT) AS n_bytes
          |FROM documents WHERE doc_id IS NOT NULL
          |ORDER BY id""".stripMargin,
+
+    // every frame's gray sum re-derived from the closed-form pixel
+    // formula — only REAL decoded frame rasters can match (sum of
+    // BIGINT is HUGEINT in DuckDB, hence the cast)
+    "q144_mm_avi_frames" ->
+      s"""WITH p AS (
+         |  SELECT d.doc_id AS id, f.f AS frame_idx,
+         |    CAST(d.doc_id % 8 + 2 AS BIGINT) AS width,
+         |    CAST(d.doc_id % 5 + 2 AS BIGINT) AS height,
+         |    (d.doc_id * 2654435761 + f.f * 1009 + x.x * 7 + y.y * 131)
+         |      % 16777216 AS v
+         |  FROM documents d,
+         |    unnest(generate_series(0, d.doc_id % 4 + 1)) AS f(f),
+         |    unnest(generate_series(0, d.doc_id % 8 + 1)) AS x(x),
+         |    unnest(generate_series(0, d.doc_id % 5 + 1)) AS y(y)
+         |  WHERE d.doc_id IS NOT NULL)
+         |SELECT id, frame_idx, width, height,
+         |  width * height AS n_px,
+         |  CAST(sum(((v // 65536) + ((v // 256) % 256) + (v % 256)) // 3)
+         |    AS BIGINT) AS gray_sum
+         |FROM p GROUP BY id, frame_idx, width, height
+         |ORDER BY id, frame_idx""".stripMargin,
 
     // every bin count re-derived from the closed-form pixel formula —
     // the REAL decoded raster must produce these masses

@@ -219,10 +219,12 @@ object Multimodal {
     * width×height (16.16 fixed point; the max over tracks, audio tracks
     * carry 0×0). The metadata tuple is
     * `(width, height, nTracks, durationMs)`. No frame DECODING happens
-    * here (that needs a codec library and stays stubbed); the container
+    * here (compressed codecs need a codec library); the container
     * fields every video curation pipeline filters on — dimensions,
-    * duration, track count — are parsed from real bytes. Malformed or
-    * non-ISO-BMFF payloads fall back to the stub.
+    * duration, track count — are parsed from real bytes. For REAL
+    * frame decode without a codec library see [[frameGraySums]]
+    * (uncompressed-DIB AVI). Malformed or non-ISO-BMFF payloads fall
+    * back to the stub.
     */
   def videoDecodeBytes(bytes: Array[Byte],
                        modality: String): (Int, Int, Int, Long) = {
@@ -329,6 +331,181 @@ object Multimodal {
     bb.putInt(0x00010000).putInt(0).putInt(0)
     bb.putInt(0).putInt(0x00010000).putInt(0)
     bb.putInt(0).putInt(0).putInt(0x40000000)
+  }
+
+  /** REAL video FRAME decode at the [[decodePartitions]] seam — the
+    * one stage that previously stayed stubbed "pending a codec
+    * library". Uncompressed-DIB AVI needs NO codec: the RIFF/AVI
+    * container walk (published layout — `avih` main header, `strl`
+    * stream list, `movi` chunk list with `00db` device-independent-
+    * bitmap frames) yields raw bottom-up BGR rasters directly.
+    * Output: one row per (asset, frame) with the frame's exact
+    * grayscale sum — the per-frame feature a sampling/curation stage
+    * keys on. Non-video modalities and unparsable payloads yield no
+    * rows (a corrupt container must not kill the partition).
+    */
+  case class FrameStat(id: Long, frame_idx: Long, width: Long,
+                       height: Long, n_px: Long, gray_sum: Long)
+
+  def frameGraySums(assets: DataFrame): Dataset[FrameStat] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select("id", "modality", "content")
+      .as[(Long, String, Array[Byte])]
+      .flatMap { case (id, modality, bytes) =>
+        val parsed =
+          if (modality != "video") null
+          else
+            try AviFrames.parse(bytes)
+            catch { case scala.util.control.NonFatal(_) => null }
+        if (parsed == null) Iterator.empty
+        else {
+          val (w, h, frames) = parsed
+          val stride = (w * 3 + 3) / 4 * 4
+          frames.iterator.zipWithIndex.flatMap { case (fr, i) =>
+            if (fr.length < stride * h) Iterator.empty // truncated frame
+            else {
+              var sum = 0L
+              var y = 0
+              while (y < h) {
+                // rows are stored BOTTOM-UP in a DIB
+                val row = (h - 1 - y) * stride
+                var x = 0
+                while (x < w) {
+                  val b = fr(row + x * 3) & 0xff
+                  val g = fr(row + x * 3 + 1) & 0xff
+                  val r = fr(row + x * 3 + 2) & 0xff
+                  sum += (r + g + b) / 3
+                  x += 1
+                }
+                y += 1
+              }
+              Iterator.single(FrameStat(id, i.toLong, w.toLong, h.toLong,
+                w.toLong * h, sum))
+            }
+          }
+        }
+      }
+  }
+
+  /** Minimal RIFF/AVI reader for [[frameGraySums]] — chunk layout per
+    * the published AVI RIFF form (`avih` fields at their spec offsets,
+    * `movi` list, `00db` uncompressed-DIB frame chunks). Returns
+    * (width, height, frames as raw DIB payloads); null on anything
+    * malformed.
+    */
+  private[multimodal] object AviFrames {
+    def parse(bytes: Array[Byte]): (Int, Int, Seq[Array[Byte]]) = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def fourcc(off: Int): String =
+        if (off + 4 > bytes.length) ""
+        else new String(bytes, off, 4, "US-ASCII")
+      if (bytes.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ")
+        return null
+      var w = 0
+      var h = 0
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      var off = 12
+      val end = math.min(bytes.length.toLong, 8L + bb.getInt(4)).toInt
+      while (off + 8 <= end) {
+        val ck = fourcc(off)
+        val size = bb.getInt(off + 4)
+        if (size < 0 || off + 8 + size > end) return null // corrupt → bail
+        if (ck == "LIST") {
+          fourcc(off + 8) match {
+            case "hdrl" =>
+              // first sub-chunk is avih: dwWidth/dwHeight at +32/+36 of
+              // the avih payload (header data starts at off+12+8)
+              if (fourcc(off + 12) != "avih") return null
+              w = bb.getInt(off + 20 + 32)
+              h = bb.getInt(off + 20 + 36)
+            case "movi" =>
+              var p = off + 12
+              val mEnd = off + 8 + size
+              while (p + 8 <= mEnd) {
+                val fsz = bb.getInt(p + 4)
+                if (fsz < 0 || p + 8 + fsz > mEnd) return null
+                if (fourcc(p) == "00db")
+                  frames += java.util.Arrays.copyOfRange(bytes, p + 8,
+                    p + 8 + fsz)
+                p += 8 + fsz + (fsz & 1) // chunks are word-aligned
+              }
+            case _ => ()
+          }
+        }
+        off += 8 + size + (size & 1)
+      }
+      if (w <= 0 || h <= 0 || frames.isEmpty) null
+      else (w, h, frames.toSeq)
+    }
+  }
+
+  /** Deterministic uncompressed-DIB AVI fixture, hand-assembled from
+    * the published RIFF/AVI layout so the REAL container walk and
+    * frame decode in [[frameGraySums]] read actual spec offsets.
+    * Closed forms from `id`: width = id % 8 + 2, height = id % 5 + 2,
+    * frames = id % 4 + 2; pixel (x, y) of frame f is
+    * `(id·2654435761 + 1009f + 7x + 131y) mod 2²⁴` as RGB (stored as
+    * bottom-up BGR rows, 4-byte-aligned stride — the DIB contract).
+    */
+  def syntheticAvi(id: Long): Array[Byte] = {
+    val w = (id % 8 + 2).toInt
+    val h = (id % 5 + 2).toInt
+    val nFrames = (id % 4 + 2).toInt
+    val stride = (w * 3 + 3) / 4 * 4
+    val frameSize = stride * h
+    val moviSize = 4 + nFrames * (8 + frameSize)
+    val hdrlSize = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+    val bb = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def cc(s: String): Unit = bb.put(s.getBytes("US-ASCII"))
+    cc("RIFF"); bb.putInt(riffSize); cc("AVI ")
+    cc("LIST"); bb.putInt(hdrlSize); cc("hdrl")
+    // avih: 14 DWORDs
+    cc("avih"); bb.putInt(56)
+    bb.putInt(100000) // usec/frame (10 fps)
+      .putInt(0).putInt(0).putInt(0)
+      .putInt(nFrames).putInt(0).putInt(1).putInt(frameSize)
+      .putInt(w).putInt(h)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    // strl: strh (vids/DIB) + strf (BITMAPINFOHEADER)
+    cc("LIST"); bb.putInt(4 + (8 + 56) + (8 + 40)); cc("strl")
+    cc("strh"); bb.putInt(56)
+    cc("vids"); cc("DIB ")
+    bb.putInt(0).putInt(0).putInt(0)
+      .putInt(1).putInt(10) // scale/rate = 10 fps
+      .putInt(0).putInt(nFrames).putInt(frameSize)
+      .putInt(-1).putInt(frameSize)
+      .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+    cc("strf"); bb.putInt(40)
+    bb.putInt(40).putInt(w).putInt(h)
+      .putShort(1).putShort(24)
+      .putInt(0) // BI_RGB
+      .putInt(frameSize).putInt(0).putInt(0).putInt(0).putInt(0)
+    // movi: one 00db chunk per frame, bottom-up BGR rows
+    cc("LIST"); bb.putInt(moviSize); cc("movi")
+    var f = 0
+    while (f < nFrames) {
+      cc("00db"); bb.putInt(frameSize)
+      var row = h - 1 // bottom-up: first stored row is y = h-1
+      while (row >= 0) {
+        var x = 0
+        while (x < w) {
+          val v = (id * 2654435761L + f * 1009 + x * 7 + row * 131) % 0x1000000L
+          bb.put((v & 0xff).toByte)          // B
+            .put(((v >> 8) & 0xff).toByte)   // G
+            .put(((v >> 16) & 0xff).toByte)  // R
+          x += 1
+        }
+        var pad = stride - w * 3
+        while (pad > 0) { bb.put(0.toByte); pad -= 1 }
+        row -= 1
+      }
+      f += 1
+    }
+    bb.array()
   }
 
   /** Deterministic 24-bit BMP fixture: pixel (x, y) of asset `id` is an

@@ -154,6 +154,39 @@ class MultimodalSkewSpec extends SparkSpec {
     assert(out(2L) == Multimodal.stubEmbedBytes(garbage, 16).toSeq)
   }
 
+  test("frameGraySums decodes REAL AVI frames; corrupt/non-video " +
+    "payloads yield no rows") {
+    // hand-replay the fixture's pixel formula and compare against the
+    // container walk + DIB decode of the actual bytes
+    val id = 17L
+    val (w, h, n) = ((id % 8 + 2).toInt, (id % 5 + 2).toInt, (id % 4 + 2).toInt)
+    val expected = (0 until n).map { f =>
+      (0 until h).flatMap(y => (0 until w).map { x =>
+        val v = (id * 2654435761L + f * 1009 + x * 7 + y * 131) % 0x1000000L
+        (((v >> 16) & 0xff) + ((v >> 8) & 0xff) + (v & 0xff)).toInt / 3
+      }).map(_.toLong).sum
+    }
+    val assets = spark.createDataFrame(Seq(
+      (id, "video", Multimodal.syntheticAvi(id)),
+      (1L, "video", "not an avi at all".getBytes("UTF-8")), // corrupt
+      (2L, "image", Multimodal.syntheticAvi(2L)) // wrong modality
+    )).toDF("id", "modality", "content")
+    val out = Multimodal.frameGraySums(assets).collect()
+    assert(out.forall(_.id == id), "only the real video asset yields rows")
+    assert(out.length == n)
+    out.sortBy(_.frame_idx).zipWithIndex.foreach { case (fs, i) =>
+      assert(fs.frame_idx == i && fs.width == w && fs.height == h &&
+        fs.n_px == w.toLong * h && fs.gray_sum == expected(i),
+        s"frame $i: got $fs expected sum ${expected(i)}")
+    }
+    // truncating the movi list mid-frame must bail, not throw or
+    // return partial garbage
+    val truncated = Multimodal.syntheticAvi(id).take(120)
+    assert(Multimodal.frameGraySums(
+      spark.createDataFrame(Seq((9L, "video", truncated)))
+        .toDF("id", "modality", "content")).collect().isEmpty)
+  }
+
   test("audioDecodeBytes parses real WAV headers; corrupt payloads " +
     "fall back to the stub") {
     // id=7: channels = 7%2+1 = 2, frames = (7%50+1)*8 = 64 → 8 ms at
