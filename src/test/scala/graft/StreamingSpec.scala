@@ -201,6 +201,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("real feature extraction embeds a binary-asset stream at ingest") {
+    // embedPartitions is a pure mapPartitions stage (no shuffle, no
+    // state), so the SAME call runs on a streaming DataFrame — the
+    // decode → feature shape of a live multimodal ingest feed
+    val input = MemoryStream[(Long, String, Array[Byte])](spark)
+    val stream = input.toDF()
+      .select(col("_1").as("id"), col("_2").as("modality"),
+        col("_3").as("content"))
+    val q = graft.multimodal.Multimodal.embedPartitions(stream, dim = 16)
+      .writeStream.format("memory").queryName("stream_embeds")
+      .outputMode("append").start()
+    try {
+      val bmp = graft.multimodal.Multimodal.syntheticBmp(5L, 4, 3)
+      val garbage = "not an image".getBytes("UTF-8")
+      input.addData((5L, "image", bmp), (6L, "image", garbage))
+      q.processAllAvailable()
+      val out = spark.table("stream_embeds")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+      assert(out(5L) == graft.multimodal.Multimodal
+        .histEmbedBytes(bmp, "image", 16).toSeq)
+      assert(out(6L) == graft.multimodal.Multimodal
+        .stubEmbedBytes(garbage, 16).toSeq)
+    } finally q.stop()
+  }
+
   test("streaming parquet sink: append-mode windows land durably, once") {
     val base = s"/tmp/graft-stream-sink-${ProcessHandle.current().pid()}"
     val input = MemoryStream[(Long, Long, Long)](spark)
