@@ -181,7 +181,7 @@ object Bench {
     val total = if (failed.nonEmpty) -1.0 else results.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val record =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":4,"agg":"min","interleaved":true,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":4,"sentinel_runs":6,"agg":"min","interleaved":true,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     println(record)
     // Also persist the record to a file: the driver captures stdout as a
     // bounded log tail, which truncated the rounds 1-2 records. A file is

@@ -4007,8 +4007,9 @@ object SparkEntry {
         |  md5(substr(hx, 1, CAST(2 * n_out AS INT))) AS out_md5
         |FROM r ORDER BY id""".stripMargin,
 
-    // stub embed + IVF: one md5 seed per payload, then dim md5 draws off
-    // `seed:i` (reproduced element-for-element), then the q44 IVF shape
+    // REAL embeddings + IVF (round 10): the grayscale-histogram CTE
+    // re-derives every embedding from the closed-form pixel formula,
+    // then the q44 IVF shape replays the whole search
     "q72_mm_embed_knn" ->
       s"""WITH $HistEmbCte,
          |cents AS (SELECT id AS cid, embedding AS cvec FROM emb WHERE id < 8),

@@ -358,12 +358,19 @@ object Multimodal {
           else
             try AviFrames.parse(bytes)
             catch { case scala.util.control.NonFatal(_) => null }
-        if (parsed == null) Iterator.empty
+        // LONG arithmetic for the size guards: a malformed header can
+        // declare dimensions whose Int stride/byte-count wraps negative,
+        // which would pass an Int `<` check and send the pixel loop out
+        // of bounds — the partition-killing throw this seam forbids
+        val strideL = if (parsed == null) 0L
+          else (parsed._1.toLong * 3 + 3) / 4 * 4
+        if (parsed == null || parsed._1 <= 0 || parsed._2 <= 0 ||
+            strideL * parsed._2 > Int.MaxValue) Iterator.empty
         else {
           val (w, h, frames) = parsed
-          val stride = (w * 3 + 3) / 4 * 4
+          val stride = strideL.toInt
           frames.iterator.zipWithIndex.flatMap { case (fr, i) =>
-            if (fr.length < stride * h) Iterator.empty // truncated frame
+            if (fr.length.toLong < strideL * h) Iterator.empty // truncated
             else {
               var sum = 0L
               var y = 0
@@ -416,8 +423,15 @@ object Multimodal {
           fourcc(off + 8) match {
             case "hdrl" =>
               // first sub-chunk is avih: dwWidth/dwHeight at +32/+36 of
-              // the avih payload (header data starts at off+12+8)
+              // the avih payload (header data starts at off+12+8).
+              // Both the LIST and the declared avih size must COVER
+              // those offsets — a short-but-in-bounds hdrl would
+              // otherwise read the next chunk's bytes as dimensions
+              // and silently decode garbage instead of bailing
               if (fourcc(off + 12) != "avih") return null
+              val avihSize = bb.getInt(off + 16)
+              if (avihSize < 40 || 12 + 8 + avihSize > 8 + size)
+                return null
               w = bb.getInt(off + 20 + 32)
               h = bb.getInt(off + 20 + 36)
             case "movi" =>
@@ -566,7 +580,11 @@ object Multimodal {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
         .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val seed = md5hex(bytes.map("%02X".format(_)).mkString)
+    // null payload ≡ empty payload (matches stubEmbed's column math,
+    // where a null content row would have been filtered upstream — at
+    // THIS seam a null must not kill the partition)
+    val src = if (bytes == null) Array.emptyByteArray else bytes
+    val seed = md5hex(src.map("%02X".format(_)).mkString)
     Array.tabulate(dim) { i =>
       val h = java.lang.Long.parseLong(md5hex(s"$seed:$i").take(15), 16)
       (((h % 1000001L) - 500000L).toDouble / 1000000.0).toFloat
@@ -584,7 +602,7 @@ object Multimodal {
     */
   def histEmbedBytes(bytes: Array[Byte], modality: String,
                      bins: Int): Array[Float] = {
-    if (modality == "image") {
+    if (bytes != null && modality == "image") {
       val img = decodeImage(bytes)
       if (img != null && img.getWidth > 0 && img.getHeight > 0) {
         val counts = new Array[Long](bins)

@@ -141,10 +141,13 @@ class MultimodalSkewSpec extends SparkSpec {
     assert(Multimodal.histEmbedBytes(bmp, "audio", 16).toSeq ==
       Multimodal.stubEmbedBytes(bmp, 16).toSeq)
 
-    // the mapPartitions seam end to end, mixed decodable/garbage
+    // the mapPartitions seam end to end, mixed decodable/garbage/null —
+    // a null payload (failed fetch) must embed as if empty, not NPE the
+    // partition
     val assets = spark.createDataFrame(Seq(
       (1L, "image", Multimodal.syntheticBmp(1L, 3, 2)),
-      (2L, "image", garbage)
+      (2L, "image", garbage),
+      (3L, "image", null: Array[Byte])
     )).toDF("id", "modality", "content")
     val out = Multimodal.embedPartitions(assets, dim = 16)
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
@@ -152,6 +155,8 @@ class MultimodalSkewSpec extends SparkSpec {
       Multimodal.histEmbedBytes(Multimodal.syntheticBmp(1L, 3, 2),
         "image", 16).toSeq)
     assert(out(2L) == Multimodal.stubEmbedBytes(garbage, 16).toSeq)
+    assert(out(3L) ==
+      Multimodal.stubEmbedBytes(Array.emptyByteArray, 16).toSeq)
   }
 
   test("frameGraySums decodes REAL AVI frames; corrupt/non-video " +
@@ -184,6 +189,31 @@ class MultimodalSkewSpec extends SparkSpec {
     val truncated = Multimodal.syntheticAvi(id).take(120)
     assert(Multimodal.frameGraySums(
       spark.createDataFrame(Seq((9L, "video", truncated)))
+        .toDF("id", "modality", "content")).collect().isEmpty)
+    // adversarial headers: (a) an hdrl whose declared avih size is too
+    // short to cover the dimension fields must bail (not read the next
+    // chunk's bytes as width/height); (b) huge declared dimensions
+    // whose Int stride math would wrap must yield no rows, not an
+    // out-of-bounds pixel loop
+    val shortAvih = {
+      val b = Multimodal.syntheticAvi(id)
+      val bb = java.nio.ByteBuffer.wrap(b)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      // layout: RIFF(0) size(4) 'AVI '(8) LIST(12) size(16) 'hdrl'(20)
+      // 'avih'(24) avihSize(28) payload(32..) — dwWidth at 32+32 = 64
+      bb.putInt(28, 16) // avih declared size 16 < 40
+      b
+    }
+    val hugeDims = {
+      val b = Multimodal.syntheticAvi(id)
+      val bb = java.nio.ByteBuffer.wrap(b)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(64, 0x30000000) // dwWidth: Int stride math wraps
+      b
+    }
+    assert(Multimodal.frameGraySums(
+      spark.createDataFrame(Seq((8L, "video", shortAvih),
+        (7L, "video", hugeDims), (6L, "video", null: Array[Byte])))
         .toDF("id", "modality", "content")).collect().isEmpty)
   }
 
