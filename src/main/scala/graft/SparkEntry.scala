@@ -1782,6 +1782,24 @@ object SparkEntry {
         .orderBy("id", "frame_idx")
     }),
 
+    // REAL audio SAMPLE decode (completing the modality trio: q142
+    // image pixels, q144 video frames, here PCM samples): the JDK
+    // AudioSystem stream decodes the WAV fixtures' 16-bit frames and
+    // every window's exact |sample| sum is re-derived by the oracle
+    // from syntheticWav's closed-form sample formula
+    "q145_mm_audio_energy" -> ((s, dir) => {
+      import s.implicits._
+      val ids = t(s, dir, "documents")
+        .where(col("doc_id").isNotNull).select(col("doc_id")).as[Long]
+      val assets = ids.map { id =>
+        (id, "audio", graft.multimodal.Multimodal.syntheticWav(id))
+      }.toDF("id", "modality", "content")
+      graft.multimodal.Multimodal.audioEnergyWindows(assets,
+        windowFrames = 16)
+        .toDF()
+        .orderBy("id", "window_idx")
+    }),
+
     // multi-width LSH banding tuning curve from ONE signature pass and
     // ONE band join (the q135 once-then-subset pattern for the dedup
     // family): per band count, candidate volume and recall of the
@@ -4581,6 +4599,28 @@ object SparkEntry {
          |    * (((doc_id % 13 + 1) * 3 + 3) // 4 * 4) AS BIGINT) AS n_bytes
          |FROM documents WHERE doc_id IS NOT NULL
          |ORDER BY id""".stripMargin,
+
+    // every window's |sample| sum re-derived from syntheticWav's
+    // closed-form PCM formula (sample i of doc id is
+    // (31·id + 7i) mod 2¹⁶ − 2¹⁵, interleaved over id%2+1 channels,
+    // (id%50+1)·8 frames) — only a real sample decode can match
+    "q145_mm_audio_energy" ->
+      s"""WITH a AS (
+         |  SELECT doc_id AS id,
+         |    CAST(doc_id % 2 + 1 AS BIGINT) AS ch,
+         |    CAST((doc_id % 50 + 1) * 8 AS BIGINT) AS frames
+         |  FROM documents WHERE doc_id IS NOT NULL),
+         |s AS (
+         |  SELECT id,
+         |    (i.i // ch) // 16 AS window_idx,
+         |    i.i // ch AS frame,
+         |    abs((id * 31 + i.i * 7) % 65536 - 32768) AS a_s
+         |  FROM a, unnest(generate_series(0, ch * frames - 1)) AS i(i))
+         |SELECT id, CAST(window_idx AS BIGINT) AS window_idx,
+         |  CAST(count(DISTINCT frame) AS BIGINT) AS n_frames,
+         |  CAST(sum(a_s) AS BIGINT) AS abs_sum
+         |FROM s GROUP BY id, window_idx
+         |ORDER BY id, window_idx""".stripMargin,
 
     // every frame's gray sum re-derived from the closed-form pixel
     // formula — only REAL decoded frame rasters can match (sum of

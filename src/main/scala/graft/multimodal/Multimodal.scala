@@ -395,6 +395,71 @@ object Multimodal {
       }
   }
 
+  /** REAL audio SAMPLE decode at the [[decodePartitions]] seam — the
+    * content-level counterpart of [[audioDecodeBytes]]' header parse
+    * (PCM needs no codec library, like [[frameGraySums]]' DIB frames):
+    * the JDK `AudioSystem` stream decodes the payload to raw 16-bit
+    * PCM frames, and each `windowFrames`-frame window reports its
+    * exact absolute-amplitude sum — the energy feature audio curation
+    * gates on (silence and clipping detection). Output: one row per
+    * (asset, window), `n_frames` counts the window's frames (the tail
+    * window may be short), `abs_sum` sums |sample| over every channel.
+    * Non-audio modalities, null payloads, unknown codecs, and
+    * non-16-bit-PCM streams yield no rows.
+    */
+  case class AudioWindow(id: Long, window_idx: Long, n_frames: Long,
+                         abs_sum: Long)
+
+  def audioEnergyWindows(assets: DataFrame,
+                         windowFrames: Int): Dataset[AudioWindow] = {
+    require(windowFrames >= 1, s"windowFrames ($windowFrames) must be >= 1")
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select("id", "modality", "content")
+      .as[(Long, String, Array[Byte])]
+      .flatMap { case (id, modality, bytes) =>
+        val parsed =
+          if (modality != "audio" || bytes == null) null
+          else
+            try {
+              val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              try {
+                val fmt = in.getFormat
+                if (fmt.getSampleSizeInBits != 16 ||
+                  fmt.getEncoding !=
+                    javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+                  null
+                else (fmt.getChannels, fmt.isBigEndian, in.readAllBytes())
+              } finally in.close()
+            } catch { case scala.util.control.NonFatal(_) => null }
+        if (parsed == null) Iterator.empty
+        else {
+          val (ch, bigEndian, data) = parsed
+          val frameBytes = ch * 2
+          val nFrames = if (frameBytes > 0) data.length / frameBytes else 0
+          (0 until nFrames by windowFrames).iterator.zipWithIndex
+            .map { case (start, w) =>
+              val endF = math.min(start + windowFrames, nFrames)
+              var sum = 0L
+              var i = start * ch
+              val endI = endF * ch
+              while (i < endI) {
+                val off = i * 2
+                val s =
+                  if (bigEndian)
+                    ((data(off) << 8) | (data(off + 1) & 0xff)).toShort
+                  else
+                    ((data(off + 1) << 8) | (data(off) & 0xff)).toShort
+                sum += math.abs(s.toLong)
+                i += 1
+              }
+              AudioWindow(id, w.toLong, (endF - start).toLong, sum)
+            }
+        }
+      }
+  }
+
   /** Minimal RIFF/AVI reader for [[frameGraySums]] — chunk layout per
     * the published AVI RIFF form (`avih` fields at their spec offsets,
     * `movi` list, `00db` uncompressed-DIB frame chunks). Returns
