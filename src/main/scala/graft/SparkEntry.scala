@@ -1782,6 +1782,40 @@ object SparkEntry {
         .orderBy("id", "frame_idx")
     }),
 
+    // REAL frame sampling: every 2nd frame decodes, the rest only walk
+    // container headers (the bounded-decode-cost shape of a 100 TB
+    // video pipeline); frame_idx keeps the original index, and the
+    // oracle is q144's restricted to the sampled frames
+    "q146_mm_frame_sample" -> ((s, dir) => {
+      import s.implicits._
+      val ids = t(s, dir, "documents")
+        .where(col("doc_id").isNotNull).select(col("doc_id")).as[Long]
+      val assets = ids.map { id =>
+        (id, "video", graft.multimodal.Multimodal.syntheticAvi(id))
+      }.toDF("id", "modality", "content")
+      graft.multimodal.Multimodal.frameGraySums(assets, everyNth = 2)
+        .toDF()
+        .orderBy("id", "frame_idx")
+    }),
+
+    // REAL image resize (the honest version of q73's byte-budget
+    // stub): decode → deterministic nearest-neighbor resample →
+    // exact grayscale sum of the RESIZED raster, every value
+    // re-derived by the oracle from the closed-form pixel formula
+    // through the same integer source-pixel mapping
+    "q147_mm_real_resize" -> ((s, dir) => {
+      import s.implicits._
+      val ids = t(s, dir, "documents")
+        .where(col("doc_id").isNotNull).select(col("doc_id")).as[Long]
+      val assets = ids.map { id =>
+        (id, "image", graft.multimodal.Multimodal.syntheticBmp(
+          id, (id % 13 + 1).toInt, (id % 7 + 1).toInt))
+      }.toDF("id", "modality", "content")
+      graft.multimodal.Multimodal.resizeGraySums(assets, outW = 8, outH = 6)
+        .toDF()
+        .orderBy("id")
+    }),
+
     // REAL audio SAMPLE decode (completing the modality trio: q142
     // image pixels, q144 video frames, here PCM samples): the JDK
     // AudioSystem stream decodes the WAV fixtures' 16-bit frames and
@@ -4598,6 +4632,46 @@ object SparkEntry {
          |  CAST(54 + (doc_id % 7 + 1)
          |    * (((doc_id % 13 + 1) * 3 + 3) // 4 * 4) AS BIGINT) AS n_bytes
          |FROM documents WHERE doc_id IS NOT NULL
+         |ORDER BY id""".stripMargin,
+
+    // q144's semantics restricted to the sampled frames
+    "q146_mm_frame_sample" ->
+      s"""WITH p AS (
+         |  SELECT d.doc_id AS id, f.f AS frame_idx,
+         |    CAST(d.doc_id % 8 + 2 AS BIGINT) AS width,
+         |    CAST(d.doc_id % 5 + 2 AS BIGINT) AS height,
+         |    (d.doc_id * 2654435761 + f.f * 1009 + x.x * 7 + y.y * 131)
+         |      % 16777216 AS v
+         |  FROM documents d,
+         |    unnest(generate_series(0, d.doc_id % 4 + 1)) AS f(f),
+         |    unnest(generate_series(0, d.doc_id % 8 + 1)) AS x(x),
+         |    unnest(generate_series(0, d.doc_id % 5 + 1)) AS y(y)
+         |  WHERE d.doc_id IS NOT NULL AND f.f % 2 = 0)
+         |SELECT id, frame_idx, width, height,
+         |  width * height AS n_px,
+         |  CAST(sum(((v // 65536) + ((v // 256) % 256) + (v % 256)) // 3)
+         |    AS BIGINT) AS gray_sum
+         |FROM p GROUP BY id, frame_idx, width, height
+         |ORDER BY id, frame_idx""".stripMargin,
+
+    // output pixel (x, y) reads source pixel (x·sw // 8, y·sh // 6) —
+    // the same integer nearest-neighbor mapping as resizeGraySums,
+    // composed with the q122/q142 closed-form source-pixel formula
+    "q147_mm_real_resize" ->
+      s"""WITH p AS (
+         |  SELECT d.doc_id AS id,
+         |    (d.doc_id * 2654435761
+         |      + ((x.x * (d.doc_id % 13 + 1)) // 8) * 7
+         |      + ((y.y * (d.doc_id % 7 + 1)) // 6) * 131) % 16777216 AS v
+         |  FROM documents d,
+         |    unnest(generate_series(0, 7)) AS x(x),
+         |    unnest(generate_series(0, 5)) AS y(y)
+         |  WHERE d.doc_id IS NOT NULL)
+         |SELECT id, CAST(8 AS BIGINT) AS width, CAST(6 AS BIGINT) AS height,
+         |  CAST(48 AS BIGINT) AS n_px,
+         |  CAST(sum(((v // 65536) + ((v // 256) % 256) + (v % 256)) // 3)
+         |    AS BIGINT) AS gray_sum
+         |FROM p GROUP BY id
          |ORDER BY id""".stripMargin,
 
     // every window's |sample| sum re-derived from syntheticWav's

@@ -347,7 +347,16 @@ object Multimodal {
   case class FrameStat(id: Long, frame_idx: Long, width: Long,
                        height: Long, n_px: Long, gray_sum: Long)
 
-  def frameGraySums(assets: DataFrame): Dataset[FrameStat] = {
+  /** `everyNth` is REAL frame sampling: container headers are still
+    * walked for every frame chunk, but the pixel decode — the dominant
+    * cost — runs only on frames with `idx % everyNth == 0` (the
+    * every-Nth-frame shape a 100 TB video pipeline uses to bound
+    * decode cost; `frame_idx` keeps the ORIGINAL index so downstream
+    * timestamps stay correct).
+    */
+  def frameGraySums(assets: DataFrame,
+                    everyNth: Int = 1): Dataset[FrameStat] = {
+    require(everyNth >= 1, s"everyNth ($everyNth) must be >= 1")
     val spark = assets.sparkSession
     import spark.implicits._
     assets.select("id", "modality", "content")
@@ -370,7 +379,8 @@ object Multimodal {
           val (w, h, frames) = parsed
           val stride = strideL.toInt
           frames.iterator.zipWithIndex.flatMap { case (fr, i) =>
-            if (fr.length.toLong < strideL * h) Iterator.empty // truncated
+            if (i % everyNth != 0 ||
+                fr.length.toLong < strideL * h) Iterator.empty
             else {
               var sum = 0L
               var y = 0
@@ -391,6 +401,55 @@ object Multimodal {
                 w.toLong * h, sum))
             }
           }
+        }
+      }
+  }
+
+  /** REAL image resize at the [[decodePartitions]] seam — the honest
+    * version of [[stubResize]]'s byte-budget plumbing: the payload
+    * DECODES (shared ImageIO path), a deterministic nearest-neighbor
+    * resample maps output pixel (x, y) to source pixel
+    * `(x·sw / dw, y·sh / dh)` (integer division — closed-form, so an
+    * oracle can replay it from the fixture's pixel formula, which
+    * Java2D's own interpolation rounding could never guarantee), and
+    * the resized raster reports its exact grayscale sum. Output:
+    * `(id, width, height, n_px, gray_sum)` per decodable image asset;
+    * non-images and undecodable payloads yield no rows.
+    */
+  case class ResizeStat(id: Long, width: Long, height: Long,
+                        n_px: Long, gray_sum: Long)
+
+  def resizeGraySums(assets: DataFrame, outW: Int,
+                     outH: Int): Dataset[ResizeStat] = {
+    require(outW >= 1 && outH >= 1,
+      s"target dimensions out of range: ${outW}x$outH")
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select("id", "modality", "content")
+      .as[(Long, String, Array[Byte])]
+      .flatMap { case (id, modality, bytes) =>
+        val img =
+          if (modality != "image" || bytes == null) null
+          else decodeImage(bytes)
+        if (img == null || img.getWidth <= 0 || img.getHeight <= 0)
+          Iterator.empty
+        else {
+          val (sw, sh) = (img.getWidth, img.getHeight)
+          var sum = 0L
+          var y = 0
+          while (y < outH) {
+            val sy = (y.toLong * sh / outH).toInt
+            var x = 0
+            while (x < outW) {
+              val sx = (x.toLong * sw / outW).toInt
+              val v = img.getRGB(sx, sy)
+              sum += (((v >> 16) & 0xff) + ((v >> 8) & 0xff) + (v & 0xff)) / 3
+              x += 1
+            }
+            y += 1
+          }
+          Iterator.single(ResizeStat(id, outW.toLong, outH.toLong,
+            outW.toLong * outH, sum))
         }
       }
   }

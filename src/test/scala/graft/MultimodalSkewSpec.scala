@@ -217,6 +217,44 @@ class MultimodalSkewSpec extends SparkSpec {
         .toDF("id", "modality", "content")).collect().isEmpty)
   }
 
+  test("resizeGraySums resamples REAL decoded pixels (up- and down-" +
+    "scale); frame sampling decodes only every Nth frame") {
+    // nearest-neighbor replay in plain Scala against the decoded path,
+    // one downscale (11x6 -> 8x6) and one upscale (2x2 -> 8x6)
+    for ((id, sw, sh) <- Seq((42L, 11, 6), (7L, 2, 2))) {
+      val expected = (0 until 6).flatMap { y =>
+        (0 until 8).map { x =>
+          val (px, py) = (x * sw / 8, y * sh / 6)
+          val v = ((id * 2654435761L + px * 7 + py * 131) % 0x1000000L).toInt
+          ((((v >> 16) & 0xff) + ((v >> 8) & 0xff) + (v & 0xff)) / 3).toLong
+        }
+      }.sum
+      val out = Multimodal.resizeGraySums(
+        spark.createDataFrame(Seq(
+          (id, "image", Multimodal.syntheticBmp(id, sw, sh)),
+          (99L, "image", "garbage".getBytes("UTF-8")),
+          (98L, "audio", Multimodal.syntheticBmp(98L, 3, 3))))
+          .toDF("id", "modality", "content"), outW = 8, outH = 6)
+        .collect()
+      assert(out.length == 1 && out.head.id == id &&
+        out.head.gray_sum == expected,
+        s"resize of ${sw}x$sh: got ${out.toSeq} expected sum $expected")
+    }
+    // everyNth frame sampling: exactly frames 0, 2, ... decode, with
+    // their ORIGINAL indices and the same sums as the full decode
+    val vid = 17L
+    val full = Multimodal.frameGraySums(
+      spark.createDataFrame(Seq((vid, "video", Multimodal.syntheticAvi(vid))))
+        .toDF("id", "modality", "content")).collect()
+      .map(f => f.frame_idx -> f.gray_sum).toMap
+    val sampled = Multimodal.frameGraySums(
+      spark.createDataFrame(Seq((vid, "video", Multimodal.syntheticAvi(vid))))
+        .toDF("id", "modality", "content"), everyNth = 2).collect()
+    assert(sampled.map(_.frame_idx).sorted.toSeq ==
+      full.keys.filter(_ % 2 == 0).toSeq.sorted)
+    sampled.foreach(f => assert(f.gray_sum == full(f.frame_idx)))
+  }
+
   test("audioEnergyWindows decodes REAL PCM samples; corrupt/non-audio " +
     "payloads yield no rows") {
     // hand-replay syntheticWav's sample formula and compare against
