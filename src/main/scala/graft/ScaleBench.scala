@@ -281,6 +281,37 @@ object ScaleBench {
           .write.format("noop").mode("overwrite").save()
       }
     }
+    // multimodal decode throughput at 50k assets: full frame decode vs
+    // every-4th sampling (the bounded-decode-cost knob) — fixture
+    // synthesis cost is identical in both arms, so the delta is the
+    // skipped pixel loops; embed = real decode + histogram over 50k
+    // BMPs feeding the ANN seam
+    {
+      import spark.implicits._
+      def vids = docs.where(col("doc_id").isNotNull)
+        .select(col("doc_id")).as[Long]
+        .map(id => (id, "video", graft.multimodal.Multimodal.syntheticAvi(id)))
+        .toDF("id", "modality", "content")
+      def imgs = docs.where(col("doc_id").isNotNull)
+        .select(col("doc_id")).as[Long]
+        .map(id => (id, "image", graft.multimodal.Multimodal.syntheticBmp(
+          id, (id % 13 + 1).toInt, (id % 7 + 1).toInt)))
+        .toDF("id", "modality", "content")
+      for (round <- Seq("cold", "warm")) {
+        time(s"mm_frames_full_50k $round") {
+          graft.multimodal.Multimodal.frameGraySums(vids)
+            .write.format("noop").mode("overwrite").save()
+        }
+        time(s"mm_frames_every4_50k $round") {
+          graft.multimodal.Multimodal.frameGraySums(vids, everyNth = 4)
+            .write.format("noop").mode("overwrite").save()
+        }
+        time(s"mm_embed_hist_50k $round") {
+          graft.multimodal.Multimodal.embedPartitions(imgs, dim = 16)
+            .write.format("noop").mode("overwrite").save()
+        }
+      }
+    }
     // AQE skew-split evidence: re-run the biggest shuffle path and grep
     // its final adaptive plan for skew markers
     val sigs = Dedup.minHashSignatures(docs, "doc_id", "text", k = 8,
