@@ -362,10 +362,13 @@ object Multimodal {
     assets.select("id", "modality", "content")
       .as[(Long, String, Array[Byte])]
       .flatMap { case (id, modality, bytes) =>
+        // the sampling stride goes INTO the parser: unsampled frames
+        // are never byte-copied or retained, so memory and allocation
+        // scale with the SAMPLED fraction, not the container size
         val parsed =
           if (modality != "video") null
           else
-            try AviFrames.parse(bytes)
+            try AviFrames.parse(bytes, everyNth)
             catch { case scala.util.control.NonFatal(_) => null }
         // LONG arithmetic for the size guards: a malformed header can
         // declare dimensions whose Int stride/byte-count wraps negative,
@@ -378,9 +381,8 @@ object Multimodal {
         else {
           val (w, h, frames) = parsed
           val stride = strideL.toInt
-          frames.iterator.zipWithIndex.flatMap { case (fr, i) =>
-            if (i % everyNth != 0 ||
-                fr.length.toLong < strideL * h) Iterator.empty
+          frames.iterator.flatMap { case (i, fr) =>
+            if (fr.length.toLong < strideL * h) Iterator.empty // truncated
             else {
               var sum = 0L
               var y = 0
@@ -522,11 +524,14 @@ object Multimodal {
   /** Minimal RIFF/AVI reader for [[frameGraySums]] — chunk layout per
     * the published AVI RIFF form (`avih` fields at their spec offsets,
     * `movi` list, `00db` uncompressed-DIB frame chunks). Returns
-    * (width, height, frames as raw DIB payloads); null on anything
-    * malformed.
+    * (width, height, sampled frames as (original index, raw DIB
+    * payload)); null on anything malformed. `everyNth` samples at the
+    * CHUNK WALK: unsampled frames' bytes are never copied — only
+    * their 8-byte headers are stepped over.
     */
   private[multimodal] object AviFrames {
-    def parse(bytes: Array[Byte]): (Int, Int, Seq[Array[Byte]]) = {
+    def parse(bytes: Array[Byte],
+              everyNth: Int = 1): (Int, Int, Seq[(Int, Array[Byte])]) = {
       val bb = java.nio.ByteBuffer.wrap(bytes)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       def fourcc(off: Int): String =
@@ -536,7 +541,9 @@ object Multimodal {
         return null
       var w = 0
       var h = 0
-      val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      var frameIdx = 0
+      val frames =
+        scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Byte])]
       var off = 12
       val end = math.min(bytes.length.toLong, 8L + bb.getInt(4)).toInt
       while (off + 8 <= end) {
@@ -564,9 +571,13 @@ object Multimodal {
               while (p + 8 <= mEnd) {
                 val fsz = bb.getInt(p + 4)
                 if (fsz < 0 || p + 8 + fsz > mEnd) return null
-                if (fourcc(p) == "00db")
-                  frames += java.util.Arrays.copyOfRange(bytes, p + 8,
-                    p + 8 + fsz)
+                if (fourcc(p) == "00db") {
+                  if (frameIdx % everyNth == 0)
+                    frames += ((frameIdx,
+                      java.util.Arrays.copyOfRange(bytes, p + 8,
+                        p + 8 + fsz)))
+                  frameIdx += 1
+                }
                 p += 8 + fsz + (fsz & 1) // chunks are word-aligned
               }
             case _ => ()

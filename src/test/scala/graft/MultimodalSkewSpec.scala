@@ -258,31 +258,37 @@ class MultimodalSkewSpec extends SparkSpec {
   test("audioEnergyWindows decodes REAL PCM samples; corrupt/non-audio " +
     "payloads yield no rows") {
     // hand-replay syntheticWav's sample formula and compare against
-    // the AudioSystem decode of the actual bytes
-    val id = 23L
-    val ch = (id % 2 + 1).toInt
-    val frames = ((id % 50) + 1).toInt * 8
-    val expected = (0 until frames).grouped(16).toSeq.map { fs =>
-      fs.flatMap(f => (0 until ch).map { c =>
-        val i = f * ch + c
-        math.abs((id * 31 + i * 7) % 65536 - 32768)
-      }).sum
-    }
-    val assets = spark.createDataFrame(Seq(
-      (id, "audio", Multimodal.syntheticWav(id)),
-      (1L, "audio", "not audio".getBytes("UTF-8")),
-      (2L, "image", Multimodal.syntheticWav(2L)),
-      (3L, "audio", null: Array[Byte])
-    )).toDF("id", "modality", "content")
-    val out = Multimodal.audioEnergyWindows(assets, windowFrames = 16)
-      .collect()
-    assert(out.forall(_.id == id), "only the real audio asset yields rows")
-    assert(out.length == expected.length)
-    out.sortBy(_.window_idx).zipWithIndex.foreach { case (w, i) =>
-      val expFrames = math.min(16, frames - i * 16)
-      assert(w.window_idx == i && w.n_frames == expFrames &&
-        w.abs_sum == expected(i),
-        s"window $i: got $w expected sum ${expected(i)} frames $expFrames")
+    // the AudioSystem decode of the actual bytes — id 22 (mono,
+    // 184 frames → 8-frame SHORT TAIL window) and id 23 (stereo,
+    // 192 frames → exact multiple) cover both channel counts and
+    // both tail shapes
+    for (id <- Seq(22L, 23L)) {
+      val ch = (id % 2 + 1).toInt
+      val frames = ((id % 50) + 1).toInt * 8
+      val expected = (0 until frames).grouped(16).toSeq.map { fs =>
+        fs.flatMap(f => (0 until ch).map { c =>
+          val i = f * ch + c
+          math.abs((id * 31 + i * 7) % 65536 - 32768)
+        }).sum
+      }
+      if (id == 22L) assert(frames % 16 != 0, "id 22 must have a tail")
+      val assets = spark.createDataFrame(Seq(
+        (id, "audio", Multimodal.syntheticWav(id)),
+        (1L, "audio", "not audio".getBytes("UTF-8")),
+        (2L, "image", Multimodal.syntheticWav(2L)),
+        (3L, "audio", null: Array[Byte])
+      )).toDF("id", "modality", "content")
+      val out = Multimodal.audioEnergyWindows(assets, windowFrames = 16)
+        .collect()
+      assert(out.forall(_.id == id), "only the real audio asset yields rows")
+      assert(out.length == expected.length)
+      out.sortBy(_.window_idx).zipWithIndex.foreach { case (w, i) =>
+        val expFrames = math.min(16, frames - i * 16)
+        assert(w.window_idx == i && w.n_frames == expFrames &&
+          w.abs_sum == expected(i),
+          s"id $id window $i: got $w expected sum ${expected(i)} " +
+            s"frames $expFrames")
+      }
     }
   }
 
