@@ -1782,6 +1782,28 @@ object SparkEntry {
         .orderBy("id", "frame_idx")
     }),
 
+    // HTML → text extraction (the step BEFORE every text operator in a
+    // web-scrape pipeline): each doc's text is wrapped in a fixed
+    // markup shell (script/style subtrees, block tags, all six common
+    // entities), extracted by the RE2-compatible regexp_replace chain,
+    // and hash-gated — the oracle replays the identical chain on the
+    // identical wrapper
+    "q148_html_to_text" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><head><title>t</title><style>p { color: red; }" +
+          "</style></head><body><h1>Doc &amp; title</h1><p>"),
+        col("text"),
+        lit("</p><script type=\"text/javascript\">var x = 1 < 2;" +
+          "</script><div>tail &lt;b&gt; &quot;q&#39;s&quot;" +
+          " &nbsp;end</div></body></html>"))
+      t(s, dir, "documents").where(col("doc_id").isNotNull)
+        .select(col("doc_id"),
+          graft.operators.Scrub.htmlToText(html).as("__t"))
+        .select(col("doc_id"), md5(col("__t")).as("text_md5"),
+          length(col("__t")).cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // REAL frame sampling: every 2nd frame decodes, the rest only walk
     // container headers (the bounded-decode-cost shape of a 100 TB
     // video pipeline); frame_idx keeps the original index, and the
@@ -4633,6 +4655,46 @@ object SparkEntry {
          |    * (((doc_id % 13 + 1) * 3 + 3) // 4 * 4) AS BIGINT) AS n_bytes
          |FROM documents WHERE doc_id IS NOT NULL
          |ORDER BY id""".stripMargin,
+
+    // the identical wrapper + the identical RE2 chain (DuckDB string
+    // literals pass backslashes through to RE2, so the whitespace
+    // class reads the same; the newline replacement is chr(10)
+    // because RE2 rewrite strings don't interpret \n)
+    "q148_html_to_text" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>t</title><style>p { color: red; }' ||
+        |    '</style></head><body><h1>Doc &amp; title</h1><p>' || text ||
+        |    '</p><script type="text/javascript">var x = 1 < 2;' ||
+        |    '</script><div>tail &lt;b&gt; &quot;q&#39;s&quot;' ||
+        |    ' &nbsp;end</div></body></html>' AS t
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |s1 AS (SELECT doc_id, regexp_replace(t,
+        |  '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM h),
+        |s2 AS (SELECT doc_id, regexp_replace(t,
+        |  '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(t,
+        |  '(?i)<br[^>]*>|</p>|</div>|</li>|</tr>|</h[1-6]>', chr(10), 'g')
+        |  AS t FROM s2),
+        |s4 AS (SELECT doc_id, regexp_replace(t, '<[^>]+>', ' ', 'g')
+        |  AS t FROM s3),
+        |s5 AS (SELECT doc_id, regexp_replace(t, '&nbsp;', ' ', 'g')
+        |  AS t FROM s4),
+        |s6 AS (SELECT doc_id, regexp_replace(t, '&lt;', '<', 'g')
+        |  AS t FROM s5),
+        |s7 AS (SELECT doc_id, regexp_replace(t, '&gt;', '>', 'g')
+        |  AS t FROM s6),
+        |s8 AS (SELECT doc_id, regexp_replace(t, '&quot;', '"', 'g')
+        |  AS t FROM s7),
+        |s9 AS (SELECT doc_id, regexp_replace(t, '&#39;', '''', 'g')
+        |  AS t FROM s8),
+        |s10 AS (SELECT doc_id, regexp_replace(t, '&amp;', '&', 'g')
+        |  AS t FROM s9),
+        |x AS (SELECT doc_id, trim(regexp_replace(t,
+        |  '[ \t\n\x0B\f\r]+', ' ', 'g')) AS t FROM s10)
+        |SELECT doc_id, md5(t) AS text_md5,
+        |  CAST(length(t) AS BIGINT) AS n_chars
+        |FROM x ORDER BY doc_id""".stripMargin,
 
     // q144's semantics restricted to the sampled frames
     "q146_mm_frame_sample" ->

@@ -158,6 +158,46 @@ object Scrub {
     * (`size(split(s, pattern)) - 1` — both Java and RE2 splits keep
     * trailing empty fields, so the count is engine-portable).
     */
+  /** HTML → text extraction — the step a web-scrape pipeline runs
+    * BEFORE any of the text operators in this library (a 100 TB corpus
+    * starts as markup): drop script/style subtrees, turn the
+    * block-closing tags into newlines, strip the remaining tags,
+    * decode the six ubiquitous entities, collapse whitespace. One
+    * whole-stage-codegen projection of chained `regexp_replace` — no
+    * shuffle, scan-bound, streaming-legal.
+    *
+    * Every pattern is deliberately RE2-compatible (lazy quantifiers
+    * and inline flags only — no backreferences or lookarounds) and
+    * whitespace classes are spelled out explicitly, so a DuckDB oracle
+    * replays the chain verbatim (Java `\s` vs RE2 `\s` differ on
+    * vertical tab — the q99 lesson). Script and style subtrees are
+    * removed in SEPARATE passes so `<script>…</style>` can never
+    * cross-match. Unterminated script/style blocks keep their text
+    * (the lazy match needs a closer) and then lose their TAGS to the
+    * generic strip — a documented, deterministic degradation on
+    * malformed markup, not an error path.
+    */
+  def htmlToText(html: Column): Column = {
+    val ws = "[ \\t\\n\\x0B\\f\\r]"
+    var c = html
+    c = regexp_replace(c, "(?is)<script[^>]*>.*?</script>", " ")
+    c = regexp_replace(c, "(?is)<style[^>]*>.*?</style>", " ")
+    // block-level closers and <br> become line breaks so words from
+    // different blocks never fuse
+    c = regexp_replace(c,
+      "(?i)<br[^>]*>|</p>|</div>|</li>|</tr>|</h[1-6]>", "\n")
+    c = regexp_replace(c, "<[^>]+>", " ")
+    c = regexp_replace(c, "&nbsp;", " ")
+    c = regexp_replace(c, "&lt;", "<")
+    c = regexp_replace(c, "&gt;", ">")
+    c = regexp_replace(c, "&quot;", "\"")
+    c = regexp_replace(c, "&#39;", "'")
+    // &amp; LAST: decoding it earlier would turn &amp;lt; into &lt;
+    // and then a second pass would double-decode
+    c = regexp_replace(c, "&amp;", "&")
+    trim(regexp_replace(c, s"$ws+", " "))
+  }
+
   def redact(df: DataFrame, textCol: String,
              rules: Seq[(String, String)]): DataFrame = {
     require(rules.nonEmpty, "no redaction rules")

@@ -41,6 +41,33 @@ class ScrubSamplingSpec extends SparkSpec {
     assert((out(1)._4, out(1)._5, out(1)._6) == ((0L, 0L, 0L)))
   }
 
+  test("htmlToText strips markup, decodes entities once, keeps block " +
+    "separation; malformed markup degrades deterministically") {
+    def x(html: String): String = Seq(html).toDF("h")
+      .select(Scrub.htmlToText(col("h"))).head().getString(0)
+    // script bodies vanish even when they CONTAIN markup-looking
+    // strings (lazy match runs to the real closer)
+    assert(x("""<p>keep</p><script>if (a<b) { w("<p>no</p>"); }</script>""")
+      == "keep")
+    // script and style are separate passes — a script closed by
+    // </style> cannot cross-match and swallow the text between blocks
+    assert(x("<style>p{}</style>mid<script>var a;</script>end")
+      == "mid end")
+    // entities decode exactly once: &amp;lt; means the four characters
+    // "&lt;" and must NOT double-decode into "<"
+    assert(x("<p>&amp;lt; &lt; &gt; &quot; &#39; &nbsp;&amp;</p>")
+      == "&lt; < > \" ' &")
+    // every stripped tag leaves a space (conservative: markup can
+    // never FUSE two tokens into one; the tokenizer downstream doesn't
+    // care about extra separators)
+    assert(x("<p>a</p><p>b</p><div>c<b>d</b></div>") == "a b c d")
+    // unterminated script: text survives minus its tags (documented
+    // degradation, not an exception)
+    assert(x("<p>before</p><script>var a = 1;") == "before var a = 1;")
+    // whitespace collapse spans newlines/tabs from the source
+    assert(x("<p>a\n\n\tb</p>") == "a b")
+  }
+
   test("c4Clean applies each published line and page rule") {
     val docs = Seq(
       // clean page: three proper sentences survive, page kept
