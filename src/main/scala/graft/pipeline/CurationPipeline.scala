@@ -89,13 +89,18 @@ object CurationPipeline {
                    clean: Boolean = false,
                    c4Rules: Boolean = false,
                    gopherGate: Boolean = false,
-                   repeatSpanWidth: Option[Int] = None): DataFrame = {
+                   repeatSpanWidth: Option[Int] = None,
+                   html: Boolean = false): DataFrame = {
+    // markup extraction is a pure projection — streaming-legal in the
+    // same pre-clean slot as the batch cascade
+    val docs0 = if (!html) docs else docs.withColumn(textCol,
+      graft.operators.Scrub.htmlToText(col(textCol)))
     // canonicalization is row-local, so the stream can run the same
     // zeroth stage as the batch cascade (the dedup state key then hashes
     // canonical bytes — whitespace re-renderings collide at ingest)
-    val cleaned = if (!clean) docs else {
+    val cleaned = if (!clean) docs0 else {
       graft.functions.GraftFunctions.register(docs.sparkSession)
-      docs.withColumn(textCol,
+      docs0.withColumn(textCol,
         graft.functions.GraftFunctions.cleanText(col(textCol)))
     }
     // C4 line rules are row-local and REWRITE text, so the stream runs
@@ -193,7 +198,11 @@ object CurationPipeline {
       col("unique_ratio") <= maxUniqueRatio
 
   /** Run the cascade over docs(idCol, textCol). `languages` empty = skip
-    * the language gate. `clean = true` canonicalizes the text FIRST
+    * the language gate. `html = true` EXTRACTS text from markup before
+    * anything else ([[graft.operators.Scrub.htmlToText]] — the step a
+    * web-scrape corpus needs before any text gate can see words instead
+    * of tags; the curated output carries the extracted text).
+    * `clean = true` canonicalizes the text FIRST
     * (native NFC + control strip + whitespace collapse — the zeroth
     * stage of a web cascade; every downstream hash/gate then sees the
     * canonical bytes, and the curated output carries the cleaned text).
@@ -227,7 +236,8 @@ object CurationPipeline {
           c4Rules: Boolean = false,
           gopherGate: Boolean = false,
           repeatSpans: Option[Int] = None,
-          stageCounts: Boolean = false): Result = {
+          stageCounts: Boolean = false,
+          html: Boolean = false): Result = {
     // intermediates cached for the stage-count run are unpersisted before
     // returning; `curated` itself is never cached here — callers that will
     // run multiple actions over it cache it themselves (Result scaladoc)
@@ -245,11 +255,16 @@ object CurationPipeline {
     // (Caching the intermediates instead is the wrong tool — an
     // InMemoryRelation is a materialization barrier that blocks AQE's
     // runtime join planning, measured 2x slower.)
-    val slim0 = if (!clean) docs.select(col(idCol), col(textCol)) else {
-      graft.functions.GraftFunctions.register(docs.sparkSession)
-      docs.select(col(idCol),
-        graft.functions.GraftFunctions.cleanText(col(textCol)).as(textCol))
-    }
+    // markup extraction precedes even canonicalization: tags and
+    // entities must be gone before any gate counts words
+    val docsText = if (!html) docs else docs.select(col(idCol),
+      graft.operators.Scrub.htmlToText(col(textCol)).as(textCol))
+    val slim0 =
+      if (!clean) docsText.select(col(idCol), col(textCol)) else {
+        graft.functions.GraftFunctions.register(docs.sparkSession)
+        docsText.select(col(idCol),
+          graft.functions.GraftFunctions.cleanText(col(textCol)).as(textCol))
+      }
     // optional C4 line rules (Raffel et al. §2.2): the other stage that
     // REWRITES text — RefinedWeb order puts line-level cleaning before
     // the quality gates, so everything downstream sees the kept lines
@@ -392,7 +407,8 @@ object CurationPipeline {
     // moves to the end of the schema); otherwise the original row rides
     // through untouched
     val curated =
-      if (!clean && !c4Rules && repeatSpans.isEmpty && spanDedup.isEmpty)
+      if (!html && !clean && !c4Rules && repeatSpans.isEmpty &&
+          spanDedup.isEmpty)
         docs.join(keepIds, Seq(idCol))
       else docs.drop(textCol)
         .join(afterSpan.select(col(idCol), col(textCol)), Seq(idCol))

@@ -181,4 +181,26 @@ class CurationSpec extends SparkSpec {
       languages = Set("en"), stageCounts = true)
     assert(off.counts("after_exact_dedup") == 2L, s"got ${off.counts}")
   }
+
+  test("html stage extracts markup before any gate sees the text") {
+    val body = "a completely different document about the engine and " +
+      "the data pipeline that we keep because it is unique and long enough"
+    // raw markup: without extraction the tag soup dilutes alpha_ratio
+    // and the word list; two docs whose MARKUP differs but whose text
+    // is identical must collapse in exact dedup once html is on
+    val h1 = s"<html><body><p>$body</p><script>var x = 1;</script></body></html>"
+    val h2 = s"<html><body><div><p>$body</p></div>" +
+      "<script>var completely_different_script = 42;</script></body></html>"
+    val docs = Seq((1L, h1), (2L, h2)).toDF("doc_id", "text")
+    val res = CurationPipeline.run(docs, "doc_id", "text",
+      languages = Set("en"), html = true, stageCounts = true)
+    assert(res.counts("after_exact_dedup") == 1L, s"got ${res.counts}")
+    val out = res.curated.select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> body), s"got $out")
+    // html off: different markup bytes → both survive exact dedup
+    val off = CurationPipeline.run(docs, "doc_id", "text",
+      languages = Set("en"), stageCounts = true)
+    assert(off.counts("after_exact_dedup") == 2L, s"got ${off.counts}")
+  }
 }
