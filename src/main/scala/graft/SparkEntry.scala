@@ -4673,9 +4673,11 @@ object SparkEntry {
         |  '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM h),
         |s2 AS (SELECT doc_id, regexp_replace(t,
         |  '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s1),
+        |s2b AS (SELECT doc_id, regexp_replace(t,
+        |  '(?s)<!--.*?-->', ' ', 'g') AS t FROM s2),
         |s3 AS (SELECT doc_id, regexp_replace(t,
         |  '(?i)<br[^>]*>|</p>|</div>|</li>|</tr>|</h[1-6]>', chr(10), 'g')
-        |  AS t FROM s2),
+        |  AS t FROM s2b),
         |s4 AS (SELECT doc_id, regexp_replace(t, '<[^>]+>', ' ', 'g')
         |  AS t FROM s3),
         |s5 AS (SELECT doc_id, regexp_replace(t, '&nbsp;', ' ', 'g')
@@ -4690,8 +4692,12 @@ object SparkEntry {
         |  AS t FROM s8),
         |s10 AS (SELECT doc_id, regexp_replace(t, '&amp;', '&', 'g')
         |  AS t FROM s9),
-        |x AS (SELECT doc_id, trim(regexp_replace(t,
-        |  '[ \t\n\x0B\f\r]+', ' ', 'g')) AS t FROM s10)
+        |x1 AS (SELECT doc_id, regexp_replace(t,
+        |  '[ \t\x0B\f\r]*\n[ \t\n\x0B\f\r]*', chr(10), 'g') AS t FROM s10),
+        |x2 AS (SELECT doc_id, regexp_replace(t,
+        |  '[ \t\x0B\f\r]+', ' ', 'g') AS t FROM x1),
+        |x AS (SELECT doc_id, regexp_replace(t,
+        |  '^[ \n]+|[ \n]+$', '', 'g') AS t FROM x2)
         |SELECT doc_id, md5(t) AS text_md5,
         |  CAST(length(t) AS BIGINT) AS n_chars
         |FROM x ORDER BY doc_id""".stripMargin,

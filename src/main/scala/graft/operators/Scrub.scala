@@ -160,11 +160,20 @@ object Scrub {
     */
   /** HTML → text extraction — the step a web-scrape pipeline runs
     * BEFORE any of the text operators in this library (a 100 TB corpus
-    * starts as markup): drop script/style subtrees, turn the
-    * block-closing tags into newlines, strip the remaining tags,
+    * starts as markup): drop script/style subtrees and comments, turn
+    * the block-closing tags into newlines, strip the remaining tags,
     * decode the six ubiquitous entities, collapse whitespace. One
     * whole-stage-codegen projection of chained `regexp_replace` — no
     * shuffle, scan-bound, streaming-legal.
+    *
+    * Block boundaries SURVIVE as real newlines: whitespace runs that
+    * contain a line break collapse to `\n`, all other runs to a single
+    * space. Line-oriented downstream stages (the C4 line rules, the
+    * cross-document line dedup) therefore see one line per source
+    * block instead of one line per document. (Note `cleanText`
+    * collapses ALL whitespace to spaces — in the cascade, run `html`
+    * with `c4Rules` and without `clean`, or accept that the line gates
+    * see the whole document as one line.)
     *
     * Every pattern is deliberately RE2-compatible (lazy quantifiers
     * and inline flags only — no backreferences or lookarounds) and
@@ -172,18 +181,25 @@ object Scrub {
     * replays the chain verbatim (Java `\s` vs RE2 `\s` differ on
     * vertical tab — the q99 lesson). Script and style subtrees are
     * removed in SEPARATE passes so `<script>…</style>` can never
-    * cross-match. Unterminated script/style blocks keep their text
-    * (the lazy match needs a closer) and then lose their TAGS to the
-    * generic strip — a documented, deterministic degradation on
-    * malformed markup, not an error path.
+    * cross-match; comments are removed AFTER them so a legacy
+    * `<script><!-- … --></script>` wrapper goes with its script and a
+    * commented-out `<!-- <script>…</script> -->` loses its inner block
+    * first and then its comment shell. Unterminated script/style
+    * blocks keep their text (the lazy match needs a closer) and then
+    * lose their TAGS to the generic strip — a documented,
+    * deterministic degradation on malformed markup, not an error path.
     */
   def htmlToText(html: Column): Column = {
-    val ws = "[ \\t\\n\\x0B\\f\\r]"
+    val hws = "[ \\t\\x0B\\f\\r]" // horizontal whitespace (no \n)
     var c = html
     c = regexp_replace(c, "(?is)<script[^>]*>.*?</script>", " ")
     c = regexp_replace(c, "(?is)<style[^>]*>.*?</style>", " ")
+    // comments AFTER script/style, BEFORE the generic strip: the
+    // generic <[^>]+> would otherwise bite `<!-- a > b -->` at the
+    // first `>` and leave ` b -->` behind as phantom text
+    c = regexp_replace(c, "(?s)<!--.*?-->", " ")
     // block-level closers and <br> become line breaks so words from
-    // different blocks never fuse
+    // different blocks never fuse and line structure survives
     c = regexp_replace(c,
       "(?i)<br[^>]*>|</p>|</div>|</li>|</tr>|</h[1-6]>", "\n")
     c = regexp_replace(c, "<[^>]+>", " ")
@@ -195,7 +211,12 @@ object Scrub {
     // &amp; LAST: decoding it earlier would turn &amp;lt; into &lt;
     // and then a second pass would double-decode
     c = regexp_replace(c, "&amp;", "&")
-    trim(regexp_replace(c, s"$ws+", " "))
+    // whitespace runs WITH a newline → one newline; the rest → one
+    // space; then strip spaces AND newlines off both ends (regex, not
+    // the two-arg trim — that signature is deprecated in Spark 4)
+    c = regexp_replace(c, s"$hws*\\n[ \\t\\n\\x0B\\f\\r]*", "\n")
+    c = regexp_replace(c, s"$hws+", " ")
+    regexp_replace(c, "^[ \\n]+|[ \\n]+$", "")
   }
 
   def redact(df: DataFrame, textCol: String,

@@ -57,15 +57,24 @@ class ScrubSamplingSpec extends SparkSpec {
     // "&lt;" and must NOT double-decode into "<"
     assert(x("<p>&amp;lt; &lt; &gt; &quot; &#39; &nbsp;&amp;</p>")
       == "&lt; < > \" ' &")
-    // every stripped tag leaves a space (conservative: markup can
-    // never FUSE two tokens into one; the tokenizer downstream doesn't
-    // care about extra separators)
-    assert(x("<p>a</p><p>b</p><div>c<b>d</b></div>") == "a b c d")
+    // block closers become REAL newlines (one line per source block —
+    // what the C4 line rules and the line dedup consume); inline tags
+    // leave a space so markup can never FUSE two tokens into one
+    assert(x("<p>a</p><p>b</p><div>c<b>d</b></div>") == "a\nb\nc d")
+    // comments vanish whole, even when their body contains '>' — the
+    // generic strip alone would bite at the first '>' and leave
+    // phantom text behind
+    assert(x("a<!-- hidden > still hidden -->b") == "a b")
+    // a commented-out block loses its inner script first, then its
+    // comment shell
+    assert(x("<p>x</p><!-- <script>var a;</script> -->y") == "x\ny")
     // unterminated script: text survives minus its tags (documented
     // degradation, not an exception)
-    assert(x("<p>before</p><script>var a = 1;") == "before var a = 1;")
-    // whitespace collapse spans newlines/tabs from the source
-    assert(x("<p>a\n\n\tb</p>") == "a b")
+    assert(x("<p>before</p><script>var a = 1;") == "before\nvar a = 1;")
+    // whitespace runs WITHOUT a newline collapse to one space; runs
+    // WITH a newline collapse to one newline (line structure survives)
+    assert(x("<p>a \t b</p>") == "a b")
+    assert(x("<p>a\n\n\tb</p>") == "a\nb")
   }
 
   test("c4Clean applies each published line and page rule") {

@@ -399,6 +399,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming html stage extracts markup before the dedup state key") {
+    // docs 1 and 2 differ only in MARKUP: with html on, both extract to
+    // the same text, so the exact-dedup state key collides and doc 2
+    // drops at ingest; doc 3 is real markup around different text and
+    // passes, carrying the EXTRACTED text downstream
+    val body = "a completely different document about the engine and the " +
+      "data pipeline that we keep because it is unique and long enough"
+    val other = "the quick brown fox jumps over the lazy dog near the " +
+      "river bank today while the sun sets slowly behind the old hill"
+    val input = MemoryStream[(Long, String, Long)](spark)
+    val stream = input.toDF()
+      .select(col("_1").as("doc_id"), col("_2").as("text"),
+        timestamp_seconds(col("_3")).as("ts"))
+    val q = graft.pipeline.CurationPipeline
+      .runStreaming(stream, "doc_id", "text", "ts", languages = Set("en"),
+        html = true)
+      .select(col("doc_id"), col("text"))
+      .writeStream.format("memory").queryName("htmlstream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, s"<html><body><p>$body</p><script>var x = 1;</script>" +
+          "</body></html>", 100L),
+        (2L, s"<html><body><div><p>$body</p></div></body></html>", 110L),
+        (3L, s"<p>$other</p><!-- nav boilerplate -->", 120L))
+      q.processAllAvailable()
+      val out = spark.table("htmlstream").as[(Long, String)].collect().toMap
+      assert(out.keySet == Set(1L, 3L), s"got ${out.keySet}")
+      assert(out(1L) == body && out(3L) == other,
+        "surviving rows must carry the extracted text")
+    } finally q.stop()
+  }
+
   test("streaming clean stage canonicalizes before the dedup state key") {
     // doc 2 is doc 1 with re-rendered whitespace: different bytes,
     // identical after canonicalization — with clean on, the EXACT dedup
