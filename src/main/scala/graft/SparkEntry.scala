@@ -1804,6 +1804,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // cross-document LINE dedup (CCNet paragraph-hash dedup — the unit
+    // web boilerplate repeats at): each doc is wrapped in a four-line
+    // shell — corpus-wide header, its own text, a footer shared by its
+    // doc_id % 7 group, a unique signature — and every line seen in
+    // more than 4 distinct docs vanishes from ALL of them (first copy
+    // included), so only the doc's own text and signature survive
+    "q149_drop_dup_lines" -> ((s, dir) => {
+      val wrapped = t(s, dir, "documents").where(col("doc_id").isNotNull)
+        .select(col("doc_id"), concat_ws("\n",
+          lit("site navigation home about contact"),
+          col("text"),
+          concat(lit("footer group "),
+            (col("doc_id") % 7).cast("string")),
+          concat(lit("doc signature "),
+            col("doc_id").cast("string"))).as("text"))
+      graft.operators.Chunking.dropDuplicatedLines(
+        wrapped, "doc_id", "text", maxDf = 4L)
+        .orderBy("doc_id")
+    }),
+
     // REAL frame sampling: every 2nd frame decodes, the rest only walk
     // container headers (the bounded-decode-cost shape of a 100 TB
     // video pipeline); frame_idx keeps the original index, and the
@@ -4701,6 +4721,36 @@ object SparkEntry {
         |SELECT doc_id, md5(t) AS text_md5,
         |  CAST(length(t) AS BIGINT) AS n_chars
         |FROM x ORDER BY doc_id""".stripMargin,
+
+    // the identical four-line wrapper; hot = lines in > 4 distinct
+    // docs; all occurrences of hot lines drop, survivors rejoin in
+    // line order (the Spark side keys on md5(line), the oracle on the
+    // line itself — equivalent up to md5 collisions)
+    "q149_drop_dup_lines" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    'site navigation home about contact' || chr(10) || text ||
+        |    chr(10) || 'footer group ' || CAST(doc_id % 7 AS VARCHAR) ||
+        |    chr(10) || 'doc signature ' || CAST(doc_id AS VARCHAR) AS t
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |l AS (
+        |  SELECT doc_id, i - 1 AS idx, ls[i] AS line
+        |  FROM (SELECT doc_id, string_split(t, chr(10)) AS ls FROM w),
+        |    unnest(generate_series(1, len(ls))) AS u(i)),
+        |hot AS (
+        |  SELECT line FROM (
+        |    SELECT line, count(DISTINCT doc_id) AS df FROM l GROUP BY line)
+        |  WHERE df > 4)
+        |SELECT doc_id,
+        |  coalesce(array_to_string(
+        |    list(line ORDER BY idx)
+        |      FILTER (line NOT IN (SELECT line FROM hot)),
+        |    chr(10)), '') AS clean_text,
+        |  CAST(count(*) FILTER (line NOT IN (SELECT line FROM hot))
+        |    AS BIGINT) AS n_kept_lines,
+        |  CAST(count(*) FILTER (line IN (SELECT line FROM hot))
+        |    AS BIGINT) AS n_dropped_lines
+        |FROM l GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // q144's semantics restricted to the sampled frames
     "q146_mm_frame_sample" ->

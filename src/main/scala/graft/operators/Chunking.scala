@@ -124,6 +124,67 @@ object Chunking {
         col("n_kept_chunks"), col("n_dropped_chunks"))
   }
 
+  /** Cross-document LINE dedup (CCNet's paragraph-hash dedup, Wenzek et
+    * al. 2020 §3.1; RefinedWeb runs the same stage line-wise): drop
+    * every line whose exact content appears in more than `maxDf`
+    * distinct documents — navigation menus, cookie banners, share
+    * buttons, boilerplate headers — then reassemble each document from
+    * its surviving lines in order. Line granularity complements the
+    * token-window siblings: [[dropDuplicatedChunks]] cuts fixed token
+    * windows (markup-independent but boundary-blind),
+    * [[dropDuplicatedSpans]] cuts shingle runs (boundary-exact but
+    * token-normalized); line dedup cuts the unit web boilerplate
+    * actually repeats at, with the text kept VERBATIM (no tokenizer,
+    * no case folding — a line survives byte-identical). ALL occurrences
+    * of a hot line are dropped, first included — boilerplate has no
+    * privileged first copy.
+    *
+    * Scale shape mirrors [[dropDuplicatedChunks]]: the only shuffles
+    * are the line-hash df aggregation (map-side combined, key space =
+    * distinct lines) and the id-keyed reassembly; the hot table
+    * (df > maxDf) is bounded by n_lines / maxDf rows by construction,
+    * so it broadcasts and corpus lines never shuffle by content.
+    * Output: `(id, clean_text, n_kept_lines, n_dropped_lines)`; a doc
+    * of pure boilerplate survives with empty text and n_kept_lines = 0
+    * (the caller's quality gate drops it). NOTE: blank lines repeated
+    * across documents are boilerplate by this definition and get
+    * dropped like any other hot line — paragraph breaks DON'T survive
+    * corpus-wide dedup; run this before stages that need them or raise
+    * `maxDf` past the corpus size for blank-preserving behavior.
+    */
+  def dropDuplicatedLines(docs: DataFrame, idCol: String, textCol: String,
+                          maxDf: Long): DataFrame = {
+    require(maxDf >= 1, s"maxDf ($maxDf) must be >= 1")
+    // split keeps trailing empty fields (limit -1) so line indexes are
+    // stable; posexplode is safe here — split never yields an empty
+    // array, so the inferred size>0 predicate is vacuous (no q23-style
+    // scan-filter trap: there is no expensive chain to substitute)
+    val lines = docs
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol), posexplode(split(col(textCol), "\n")))
+      .select(col(idCol), col("pos").cast("long").as("__idx"),
+        col("col").as("__l"))
+      .withColumn("__h", md5(col("__l")))
+    val hot = lines.groupBy(col("__h"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") > maxDf)
+      .select(col("__h"), lit(1).as("__hot"))
+      .localCheckpoint(eager = false)
+    lines.join(broadcast(hot), Seq("__h"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        sort_array(collect_list(when(col("__hot").isNull,
+          struct(col("__idx"), col("__l"))))).as("__xs"),
+        sum(when(col("__hot").isNull, 1L).otherwise(0L))
+          .as("n_kept_lines"),
+        sum(when(col("__hot").isNotNull, 1L).otherwise(0L))
+          .as("n_dropped_lines"))
+      .select(col(idCol),
+        array_join(transform(col("__xs"), x => x.getField("__l")), "\n")
+          .as("clean_text"),
+        col("n_kept_lines"), col("n_dropped_lines"))
+  }
+
   /** WITHIN-document repeated-span removal: drop every token covered by
     * a `width`-token run that already occurred EARLIER in the same
     * document — the in-document half of span dedup (concatenated pages

@@ -42,11 +42,17 @@ object CurationPipeline {
     * boundaries ([[graft.operators.Chunking.dropDuplicatedSpans]]) —
     * strictly stronger (a duplicated run straddling a chunk boundary
     * leaves both fixed windows non-hot, but stride-1 shingles catch it
-    * wherever it starts) at the cost of stride-1 shingling work.
+    * wherever it starts) at the cost of stride-1 shingling work;
+    * [[SpanLines]] cuts whole LINES shared across documents
+    * ([[graft.operators.Chunking.dropDuplicatedLines]], CCNet's
+    * paragraph-hash dedup) — the one mode that keeps surviving text
+    * VERBATIM (no tokenize-and-reassemble normalization) and ignores
+    * the slot's `width` (lines are the unit).
     */
   sealed trait SpanMode
   case object SpanChunks extends SpanMode
   case object SpanSpans extends SpanMode
+  case object SpanLines extends SpanMode
 
   /** Per-stage survivor counts alongside the final corpus — the numbers a
     * pipeline report wants. `curated` is lazy (deliberately uncached —
@@ -210,11 +216,13 @@ object CurationPipeline {
     * the rewrite slot (after all gates, before the dedups).
     * `spanDedup = Some((width, maxDf))` + `spanMode` select the
     * cross-doc span-removal stage and its granularity ([[SpanMode]]):
-    * chunk windows, or ExactSubstr arbitrary boundaries. NOTE: like
-    * `spanDedup`, this rewrite NORMALIZES the curated text corpus-wide
-    * (lowercased tokens, punctuation stripped, newlines joined) — it is
-    * the tokenize-and-reassemble family; keep it off when the curated
-    * output must preserve original formatting.
+    * chunk windows, ExactSubstr arbitrary boundaries, or whole lines.
+    * NOTE: the chunk/span modes NORMALIZE the curated text corpus-wide
+    * (lowercased tokens, punctuation stripped, newlines joined) — the
+    * tokenize-and-reassemble family; [[SpanLines]] keeps surviving
+    * lines verbatim (and composes with `html = true`: extraction emits
+    * one line per source block, line dedup then removes the blocks a
+    * site template repeats).
     * `stageCounts` additionally reports survivor counts per stage — it
     * caches the intermediates so each stage is evaluated once, at the
     * cost of materializing them; leave it off for a single lazy DAG
@@ -372,6 +380,11 @@ object CurationPipeline {
           graft.operators.Chunking.dropDuplicatedSpans(afterRepeat,
             idCol, textCol, width, maxDf)
             .filter(col("n_kept_tokens") > 0)
+            .select(col(idCol), col("clean_text").as(textCol))
+        case SpanLines =>
+          graft.operators.Chunking.dropDuplicatedLines(afterRepeat,
+            idCol, textCol, maxDf)
+            .filter(col("n_kept_lines") > 0)
             .select(col(idCol), col("clean_text").as(textCol))
       })
     }

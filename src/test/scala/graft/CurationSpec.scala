@@ -132,6 +132,34 @@ class CurationSpec extends SparkSpec {
       3L -> "red green blue white grey black"), spanKept)
   }
 
+  test("spanMode Lines cuts template blocks verbatim after html extraction") {
+    // three pages from the same site template: nav + footer blocks
+    // repeat across all docs (df=3 > maxDf=2), the article block is
+    // unique per page. html extraction emits one line per source
+    // block; line dedup then removes exactly the template lines and —
+    // unlike the chunk/span modes — keeps the article text VERBATIM
+    // (case and punctuation intact)
+    def page(article: String): String =
+      "<html><body><div>Home | About | Contact</div>" +
+        s"<p>$article</p><div>(c) 2026 Example Corp. All rights " +
+        "reserved.</div></body></html>"
+    val a1 = "The Engine, Reloaded: a fast new pipeline for the data we " +
+      "keep because it is unique and long enough for the gates!"
+    val a2 = "A Completely Different Article about the sink and the " +
+      "source that we keep because it is unique and long enough?"
+    val a3 = "Yet Another Story: the table and the window and the rows " +
+      "that we keep because it is unique and long enough."
+    val docs = Seq((1L, page(a1)), (2L, page(a2)), (3L, page(a3)))
+      .toDF("doc_id", "text")
+    val res = CurationPipeline.run(docs, "doc_id", "text",
+      languages = Set.empty, html = true, spanDedup = Some((4, 2L)),
+      spanMode = CurationPipeline.SpanLines, stageCounts = true)
+    assert(res.counts("after_span_dedup") == 3L, s"got ${res.counts}")
+    val kept = res.curated.select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(kept == Map(1L -> a1, 2L -> a2, 3L -> a3), kept)
+  }
+
   test("optional LM gate drops docs unlike the reference corpus") {
     val ref = Seq(
       (100L, "the engine reads the data and writes the result to the table"),

@@ -237,6 +237,33 @@ class ScrubSamplingSpec extends SparkSpec {
     assert(solo == ((9L, "r1 r2 r1 r2 r1 r2", 3L, 0L)))
   }
 
+  test("dropDuplicatedLines cuts corpus-hot lines verbatim, keeps order") {
+    // "menu" appears in 3 docs (df=3 > maxDf=2) → dropped from ALL of
+    // them, first copies included; case-variant and whitespace-variant
+    // lines are DIFFERENT lines (verbatim semantics — no tokenizer)
+    val docs = Seq(
+      (1L, "menu\nunique one\nmenu"),
+      (2L, "menu\nunique two"),
+      (3L, "unique three\nmenu"),
+      (4L, "Menu\nmenu \nunique four"), // variants survive (df=1 each)
+      (5L, "menu")                      // pure boilerplate → empty
+    ).toDF("doc_id", "text")
+    val out = Chunking.dropDuplicatedLines(docs, "doc_id", "text",
+      maxDf = 2L).orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "unique one", 1L, 2L),
+      (2L, "unique two", 1L, 1L),
+      (3L, "unique three", 1L, 1L),
+      (4L, "Menu\nmenu \nunique four", 3L, 0L),
+      (5L, "", 0L, 1L)))
+    // within-doc repetition alone does not cross the DISTINCT-doc cap
+    val solo = Chunking.dropDuplicatedLines(
+      Seq((9L, "r\nr\nr")).toDF("doc_id", "text"), "doc_id", "text",
+      maxDf = 2L).as[(Long, String, Long, Long)].head()
+    assert(solo == ((9L, "r\nr\nr", 3L, 0L)))
+  }
+
   test("dropDuplicatedSpans removes boundary-straddling runs chunks miss") {
     // X1..X4 is shared by docs 1 and 2 but STRADDLES both docs'
     // fixed-window boundaries — the exact case chunk-granularity
