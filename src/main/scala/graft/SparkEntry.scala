@@ -38,6 +38,26 @@ object SparkEntry {
     }
   }
 
+  /** Closed-form messy URL from doc_id — the q150/q151 fixture: every
+    * canonicalization hazard at once (mixed-case scheme and host, www
+    * on id%3==0, a default :80 port on id%4==0 and a real :8080 on
+    * id%4==1, a trailing path slash on evens, tracking params around a
+    * real one, a fragment). The oracle predicts the CANONICAL form in
+    * closed form rather than replaying the chain.
+    */
+  private def messyUrl(d: Column): Column = concat(
+    when(d % 2 === 0, lit("HTTP")).otherwise(lit("https")),
+    lit("://"),
+    when(d % 3 === 0, lit("WWW.")).otherwise(lit("")),
+    lit("Site"), (d % 7).cast("string"),
+    when(d % 5 === 0, lit(".co.uk")).otherwise(lit(".Example.com")),
+    when(d % 4 === 0, lit(":80"))
+      .when(d % 4 === 1, lit(":8080")).otherwise(lit("")),
+    lit("/Articles/"), d.cast("string"),
+    when(d % 2 === 0, lit("/")).otherwise(lit("")),
+    lit("?utm_source=feed&id="), d.cast("string"),
+    lit("&utm_campaign=x&fbclid=abc#Section-"), (d % 3).cast("string"))
+
   /** documents with the column names the Jaccard operators expect. */
   private def docsAsCorpus(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id").as("docId"), col("text"))
@@ -1822,6 +1842,38 @@ object SparkEntry {
       graft.operators.Chunking.dropDuplicatedLines(
         wrapped, "doc_id", "text", maxDf = 4L)
         .orderBy("doc_id")
+    }),
+
+    // URL canonicalization (RefinedWeb's identity layer — the key URL
+    // dedup and per-host stats hash): every hazard at once via the
+    // messyUrl fixture; the oracle predicts the canonical URL, host,
+    // and registrable domain in CLOSED FORM — a normalizer that
+    // mis-handles any one hazard (case, www, default port, tracking
+    // params, fragment, trailing slash, cc-SLD) can't match
+    "q150_url_normalize" -> ((s, dir) => {
+      val d = col("doc_id")
+      val u = messyUrl(d)
+      t(s, dir, "documents").where(d.isNotNull)
+        .select(d, graft.operators.Urls.normalize(u).as("url_norm"),
+          graft.operators.Urls.host(u).as("host"),
+          graft.operators.Urls.registrableDomain(
+            graft.operators.Urls.host(u)).as("domain"))
+        .orderBy("doc_id")
+    }),
+
+    // per-domain document cap (the anti-domination sampler every web
+    // corpus runs: one site must not swamp the mix): registrable
+    // domain off the canonical host feeds the deterministic
+    // hash-ordered groupCap — at sf0.01 example.com holds 4/5 of the
+    // corpus and gets cut to 5 docs like every small .co.uk site
+    "q151_domain_cap" -> ((s, dir) => {
+      val d = col("doc_id")
+      val base = t(s, dir, "documents").where(d.isNotNull)
+        .select(d, graft.operators.Urls.registrableDomain(
+          graft.operators.Urls.host(messyUrl(d))).as("domain"))
+      graft.operators.Sampling.groupCap(base, Seq("domain"), "doc_id",
+        n = 5)
+        .orderBy("domain", "doc_id")
     }),
 
     // REAL frame sampling: every 2nd frame decodes, the rest only walk
@@ -4751,6 +4803,43 @@ object SparkEntry {
         |  CAST(count(*) FILTER (line IN (SELECT line FROM hot))
         |    AS BIGINT) AS n_dropped_lines
         |FROM l GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the canonical URL predicted in CLOSED FORM from the fixture's
+    // construction: scheme/host lowercased, www and the default :80
+    // gone, the vanity :8080 kept, path case PRESERVED with the
+    // trailing slash trimmed, only the id param surviving, fragment
+    // dropped; domain takes three labels under the co.uk cc-SLD rule
+    "q150_url_normalize" ->
+      """SELECT doc_id,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END) ||
+        |    '://site' || CAST(doc_id % 7 AS VARCHAR) ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN '.co.uk'
+        |          ELSE '.example.com' END) ||
+        |    (CASE WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END) ||
+        |    '/Articles/' || CAST(doc_id AS VARCHAR) ||
+        |    '?id=' || CAST(doc_id AS VARCHAR) AS url_norm,
+        |  'site' || CAST(doc_id % 7 AS VARCHAR) ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN '.co.uk'
+        |          ELSE '.example.com' END) AS host,
+        |  CASE WHEN doc_id % 5 = 0
+        |    THEN 'site' || CAST(doc_id % 7 AS VARCHAR) || '.co.uk'
+        |    ELSE 'example.com' END AS domain
+        |FROM documents WHERE doc_id IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
+
+    "q151_domain_cap" ->
+      s"""WITH dmn AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 5 = 0
+         |    THEN 'site' || CAST(doc_id % 7 AS VARCHAR) || '.co.uk'
+         |    ELSE 'example.com' END AS domain
+         |  FROM documents WHERE doc_id IS NOT NULL),
+         |r AS (
+         |  SELECT domain, doc_id,
+         |    row_number() OVER (PARTITION BY domain
+         |      ORDER BY ${h60("'graft:'||doc_id")} % 1000000, doc_id) AS rn
+         |  FROM dmn)
+         |SELECT doc_id, domain FROM r WHERE rn <= 5
+         |ORDER BY domain, doc_id""".stripMargin,
 
     // q144's semantics restricted to the sampled frames
     "q146_mm_frame_sample" ->
