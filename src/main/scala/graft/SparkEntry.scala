@@ -58,6 +58,21 @@ object SparkEntry {
     lit("?utm_source=feed&id="), d.cast("string"),
     lit("&utm_campaign=x&fbclid=abc#Section-"), (d % 3).cast("string"))
 
+  /** Closed-form anchor markup from doc_id — the q152/q153 fixture:
+    * two messy double-quoted hrefs (case, www, default port, tracking
+    * param, fragment, trailing slash) whose canonical targets the
+    * oracle predicts in closed form. Link A lands on
+    * site{(d+3)%7}.example.com, link B on site{(2d+1)%7}.co.uk.
+    */
+  private def linkHtml(d: Column): Column = concat(
+    lit("<html><body><p>intro</p><a class=\"m\" href=\"HTTP://Site"),
+    ((d + 3) % 7).cast("string"),
+    lit(".Example.com/From/"), d.cast("string"),
+    lit("?utm_source=a&x="), (d % 3).cast("string"),
+    lit("#f\">one</a><div><a href=\"https://WWW.Site"),
+    ((d * 2 + 1) % 7).cast("string"),
+    lit(".co.uk:443/Page/\">two</a></div></body></html>"))
+
   /** documents with the column names the Jaccard operators expect. */
   private def docsAsCorpus(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id").as("docId"), col("text"))
@@ -1874,6 +1889,43 @@ object SparkEntry {
       graft.operators.Sampling.groupCap(base, Seq("domain"), "doc_id",
         n = 5)
         .orderBy("domain", "doc_id")
+    }),
+
+    // link extraction + canonicalization (the web-graph edge source;
+    // htmlToText deliberately DROPS anchors, so links must be pulled
+    // first): both messy hrefs per doc come out normalized, with their
+    // registrable target domain — all oracle-predicted in closed form
+    "q152_link_extract" -> ((s, dir) => {
+      val d = col("doc_id")
+      t(s, dir, "documents").where(d.isNotNull)
+        .select(d,
+          posexplode(graft.operators.Urls.extractHrefs(linkHtml(d))))
+        .select(d, col("pos").cast("long").as("link_idx"),
+          graft.operators.Urls.normalize(col("col")).as("url_norm"),
+          graft.operators.Urls.registrableDomain(
+            graft.operators.Urls.host(col("col"))).as("dst_domain"))
+        .orderBy("doc_id", "link_idx")
+    }),
+
+    // host-graph PageRank (the structural quality signal — Common
+    // Crawl publishes exactly this host ranking): src domain from each
+    // doc's own canonical URL, dst domains from its extracted links,
+    // distinct edges, 3 damped power-iteration rounds with dangling
+    // redistribution; the oracle unrolls all three rounds over the
+    // same closed-form edge list (the q104 convention)
+    "q153_host_pagerank" -> ((s, dir) => {
+      val d = col("doc_id")
+      val src = graft.operators.Urls.registrableDomain(
+        graft.operators.Urls.host(messyUrl(d)))
+      val edges = t(s, dir, "documents").where(d.isNotNull)
+        .select(src.as("src"), explode(
+          graft.operators.Urls.extractHrefs(linkHtml(d))).as("__l"))
+        .select(col("src"), graft.operators.Urls.registrableDomain(
+          graft.operators.Urls.host(col("__l"))).as("dst"))
+      graft.operators.Graph.pageRank(edges, "src", "dst",
+        iterations = 3, damping = 0.85)
+        .select(col("id").as("domain"), col("pr"))
+        .orderBy("domain")
     }),
 
     // REAL frame sampling: every 2nd frame decodes, the rest only walk
@@ -4840,6 +4892,68 @@ object SparkEntry {
          |  FROM dmn)
          |SELECT doc_id, domain FROM r WHERE rn <= 5
          |ORDER BY domain, doc_id""".stripMargin,
+
+    // both links' canonical forms predicted in closed form from the
+    // linkHtml construction (tracking param and fragment gone, case
+    // folded, www/:443 stripped, trailing slash trimmed, path case
+    // preserved)
+    "q152_link_extract" ->
+      """SELECT doc_id, link_idx, url_norm, dst_domain FROM (
+        |  SELECT doc_id, CAST(0 AS BIGINT) AS link_idx,
+        |    'http://site' || CAST((doc_id + 3) % 7 AS VARCHAR) ||
+        |      '.example.com/From/' || CAST(doc_id AS VARCHAR) ||
+        |      '?x=' || CAST(doc_id % 3 AS VARCHAR) AS url_norm,
+        |    'example.com' AS dst_domain
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id, CAST(1 AS BIGINT),
+        |    'https://site' || CAST((2 * doc_id + 1) % 7 AS VARCHAR) ||
+        |      '.co.uk/Page',
+        |    'site' || CAST((2 * doc_id + 1) % 7 AS VARCHAR) || '.co.uk'
+        |  FROM documents WHERE doc_id IS NOT NULL)
+        |ORDER BY doc_id, link_idx""".stripMargin,
+
+    // three unrolled damped power-iteration rounds over the closed-form
+    // domain edge list; every arithmetic step in DOUBLE (CAST(0.85 AS
+    // DOUBLE), 1.0 - that) so both engines fold the same ulps; the
+    // dangling term is identically zero here (every fixture node has
+    // outlinks) but stays in the formula the operator implements
+    "q153_host_pagerank" -> {
+      val dampD = "CAST(0.85 AS DOUBLE)"
+      def round(k: Int): String =
+        s"""d$k AS (
+           |  SELECT coalesce(sum(pr), 0) AS dm FROM p$k
+           |  WHERE nd NOT IN (SELECT s FROM deg)),
+           |p${k + 1} AS (
+           |  SELECT nodes.nd,
+           |    (1.0 - $dampD) / (SELECT n FROM nn) + $dampD * (
+           |      coalesce((SELECT sum(p.pr / deg.od)
+           |        FROM e JOIN deg USING (s) JOIN p$k p ON p.nd = e.s
+           |        WHERE e.t = nodes.nd), 0)
+           |      + (SELECT dm FROM d$k) / (SELECT n FROM nn)) AS pr
+           |  FROM nodes)""".stripMargin
+      s"""WITH base AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 5 = 0
+         |    THEN 'site' || CAST(doc_id % 7 AS VARCHAR) || '.co.uk'
+         |    ELSE 'example.com' END AS s
+         |  FROM documents WHERE doc_id IS NOT NULL),
+         |e AS (
+         |  SELECT DISTINCT s, 'example.com' AS t FROM base
+         |  UNION
+         |  SELECT s, 'site' || CAST((2 * doc_id + 1) % 7 AS VARCHAR) ||
+         |    '.co.uk' FROM base),
+         |nodes AS (
+         |  SELECT DISTINCT nd FROM (
+         |    SELECT s AS nd FROM e UNION ALL SELECT t AS nd FROM e) u),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         |deg AS (
+         |  SELECT s, CAST(count(*) AS DOUBLE) AS od FROM e GROUP BY s),
+         |p0 AS (SELECT nd, 1.0 / (SELECT n FROM nn) AS pr FROM nodes),
+         |${round(0)},
+         |${round(1)},
+         |${round(2)}
+         |SELECT nd AS domain, pr FROM p3 ORDER BY domain""".stripMargin
+    },
 
     // q144's semantics restricted to the sampled frames
     "q146_mm_frame_sample" ->

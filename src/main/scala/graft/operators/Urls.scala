@@ -75,6 +75,18 @@ object Urls {
       .otherwise(last2)
   }
 
+  /** All double-quoted `<a href="…">` targets in document order — the
+    * web-graph edge extractor ([[Graph.pageRank]] consumes hosts of
+    * these; [[graft.operators.Scrub.htmlToText]] deliberately DROPS
+    * them, so link structure must be pulled before text extraction).
+    * One codegen `regexp_extract_all` — RE2-portable, no parser.
+    * Single-quoted and unquoted href values are NOT matched — a
+    * documented subset (the fixture convention), not an oversight.
+    */
+  def extractHrefs(html: Column): Column =
+    regexp_extract_all(html,
+      lit("(?i)<a[^>]*\\shref=\"([^\"]*)\""), lit(1))
+
   /** Canonical URL: lowercased scheme and host, `www.` and default
     * port stripped, tracking parameters removed (order of the
     * survivors preserved), fragment dropped, trailing path slash
