@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Jaccard, Knn, Pq}
+import graft.operators.{Chunking, Dedup, Graph, Jaccard, Knn, Pq, Scrub}
 
 /** Time the flagship paths over the ScaleFixture 10× corpus and report
   * whether AQE skew handling fired — the local stand-in for the 100 TB
@@ -278,6 +278,46 @@ object ScaleBench {
           tables = 2, planes = 8, dim = 64)
         graft.operators.Classify.classifyByVote(topk, embs,
           "vec_id", "label")
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+    // web layer at 10×: html extraction is a pure projection (wall
+    // should track the scan); line dedup adds the line-hash df agg +
+    // broadcast hot set + id-keyed reassembly (wall should track the
+    // corpus, not the hot-line count — the q149 shape over 50k docs
+    // with ~515-doc footer groups)
+    def webDocs: DataFrame = docs.where(col("doc_id").isNotNull)
+      .select(col("doc_id"), concat_ws("\n",
+        lit("site navigation home about contact"),
+        col("text"),
+        concat(lit("footer group "), (col("doc_id") % 97).cast("string")),
+        concat(lit("doc signature "),
+          col("doc_id").cast("string"))).as("text"))
+    for (round <- Seq("cold", "warm")) {
+      time(s"html_to_text_10x $round") {
+        docs.where(col("doc_id").isNotNull)
+          .select(col("doc_id"), Scrub.htmlToText(concat(
+            lit("<html><body><div>Home | About | Contact</div><p>"),
+            col("text"),
+            lit("</p><script>var x = 1;</script><!-- footer --></body>" +
+              "</html>"))).as("t"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      time(s"drop_dup_lines_10x $round") {
+        Chunking.dropDuplicatedLines(webDocs, "doc_id", "text",
+          maxDf = 48L)
+          .write.format("noop").mode("overwrite").save()
+      }
+      // host-graph PageRank on a closed-form 1M-edge / 100k-host graph
+      // (≈ the host-count scale of a national webcrawl): 10 damped
+      // rounds, each two edge-keyed joins + one agg — wall should be
+      // ~linear in rounds × edges, storage constant via the per-round
+      // checkpoint release
+      time(s"pagerank_1m_edges_10iter $round") {
+        val edges = spark.range(1000000L).select(
+          (col("id") % 100000L).as("src"),
+          pmod(hash(col("id")), lit(100000)).cast("long").as("dst"))
+        Graph.pageRank(edges, "src", "dst", iterations = 10)
           .write.format("noop").mode("overwrite").save()
       }
     }

@@ -99,7 +99,9 @@ object Urls {
     val h = host(url)
     val rawPath = regexp_extract(url, PathRe, 3)
     val path = regexp_replace(rawPath, "/+$", "")
-    val rawQuery = regexp_extract(url, "\\?([^#]*)", 1)
+    // anchored with a no-'#' prefix: a '?' that first appears INSIDE
+    // the fragment is fragment text, not a query
+    val rawQuery = regexp_extract(url, "^[^#]*\\?([^#]*)", 1)
     val keptParams = filter(split(rawQuery, "&"),
       p => !p.rlike("^" + TrackingParams + "$") && p =!= "")
     val query = array_join(keptParams, "&")

@@ -393,6 +393,29 @@ class PlanSpec extends SparkSpec {
       s"optimizeTable must shuffle exactly once, got $exchanges:\n${plan.take(2000)}")
   }
 
+  test("HTML and URL extraction plan as pure projections") {
+    // the web pre-steps must stay scan-bound: no join, no aggregation,
+    // no shuffle beyond the display sort's range exchange
+    for (name <- Seq("q148_html_to_text", "q150_url_normalize",
+        "q152_link_extract")) {
+      val plan = finalPlan(q(name))
+      assert(!plan.contains("Join"), s"$name must not join:\n${plan.take(2000)}")
+      assert(!plan.contains("HashAggregate"),
+        s"$name must not aggregate:\n${plan.take(2000)}")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"$name must not shuffle beyond the sort:\n${plan.take(2000)}")
+    }
+  }
+
+  test("line dedup broadcasts the hot-line set") {
+    // the df-bounded hot table must reach the corpus-side join as a
+    // broadcast — a shuffled membership join re-keys the whole corpus
+    // by content
+    val plan = finalPlan(q("q149_drop_dup_lines"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"hot-line join should broadcast:\n${plan.take(2000)}")
+  }
+
   test("no query plans a cartesian product") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val plan = q(name).queryExecution.sparkPlan.toString

@@ -38,6 +38,8 @@ class UrlsSpec extends SparkSpec {
     // ALL params tracking → no '?' at all; bare '?' also vanishes
     assert(norm("http://a.com/p?utm_a=1&fbclid=2") == "http://a.com/p")
     assert(norm("http://a.com/p?") == "http://a.com/p")
+    // a '?' first appearing inside the fragment is NOT a query
+    assert(norm("http://a.com/p#f?x=1") == "http://a.com/p")
     // a real param NAMED like a prefix of a tracker is kept (anchored
     // match): 'refresh=1' is not 'ref'
     assert(norm("http://a.com/p?refresh=1") == "http://a.com/p?refresh=1")
