@@ -1928,6 +1928,25 @@ object SparkEntry {
         .orderBy("domain")
     }),
 
+    // writing-system profile (the script gate a multilingual cascade
+    // runs BEFORE stopword langid): closed-form Cyrillic/CJK/Greek
+    // tails of varying mass on top of the Latin base text, so the
+    // dominant-script argmax flips with document length — the oracle
+    // replays the same explicit codepoint-range counts
+    "q154_script_profile" -> ((s, dir) => {
+      val d = col("doc_id")
+      val mixed = concat(col("text"),
+        when(d % 4 === 0, repeat(lit(" привет мир"), 12))
+          .when(d % 4 === 1, repeat(lit(" 你好世界"), 30))
+          .when(d % 4 === 2, lit(" γειά σου"))
+          .otherwise(lit("")))
+      graft.functions.TextAnalysis.scriptProfile(
+        t(s, dir, "documents").where(d.isNotNull)
+          .select(d, mixed.as("text")),
+        "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // REAL frame sampling: every 2nd frame decodes, the rest only walk
     // container headers (the bounded-decode-cost shape of a 100 TB
     // video pipeline); frame_idx keeps the original index, and the
@@ -4954,6 +4973,52 @@ object SparkEntry {
          |${round(2)}
          |SELECT nd AS domain, pr FROM p3 ORDER BY domain""".stripMargin
     },
+
+    // the identical mixed-script construction; counts via the same
+    // \x{...} codepoint classes (hex class syntax reads identically to
+    // Java regex and RE2); tie-break CASE order = the precedence order
+    // of TextAnalysis.ScriptRanges
+    "q154_script_profile" ->
+      """WITH m AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 4 = 0 THEN repeat(' привет мир', 12)
+        |         WHEN doc_id % 4 = 1 THEN repeat(' 你好世界', 30)
+        |         WHEN doc_id % 4 = 2 THEN ' γειά σου'
+        |         ELSE '' END AS t
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |c AS (
+        |  SELECT doc_id, CAST(length(t) AS BIGINT) AS n_chars,
+        |    CAST(length(t) - length(regexp_replace(t,
+        |      '[A-Za-z\x{00C0}-\x{024F}]', '', 'g')) AS BIGINT) AS n_latin,
+        |    CAST(length(t) - length(regexp_replace(t,
+        |      '[\x{0400}-\x{04FF}]', '', 'g')) AS BIGINT) AS n_cyrillic,
+        |    CAST(length(t) - length(regexp_replace(t,
+        |      '[\x{0370}-\x{03FF}]', '', 'g')) AS BIGINT) AS n_greek,
+        |    CAST(length(t) - length(regexp_replace(t,
+        |      '[\x{3040}-\x{30FF}\x{4E00}-\x{9FFF}]', '', 'g'))
+        |      AS BIGINT) AS n_cjk,
+        |    CAST(length(t) - length(regexp_replace(t,
+        |      '[\x{0600}-\x{06FF}]', '', 'g')) AS BIGINT) AS n_arabic,
+        |    CAST(length(t) - length(regexp_replace(t,
+        |      '[\x{AC00}-\x{D7AF}]', '', 'g')) AS BIGINT) AS n_hangul,
+        |    CAST(length(t) - length(regexp_replace(t,
+        |      '[\x{0900}-\x{097F}]', '', 'g')) AS BIGINT) AS n_devanagari
+        |  FROM m),
+        |g AS (SELECT *, greatest(n_latin, n_cyrillic, n_greek, n_cjk,
+        |  n_arabic, n_hangul, n_devanagari) AS gm FROM c)
+        |SELECT doc_id, n_chars, n_latin, n_cyrillic, n_greek, n_cjk,
+        |  n_arabic, n_hangul, n_devanagari,
+        |  CASE WHEN gm = 0 THEN 'none'
+        |       WHEN n_latin = gm THEN 'latin'
+        |       WHEN n_cyrillic = gm THEN 'cyrillic'
+        |       WHEN n_greek = gm THEN 'greek'
+        |       WHEN n_cjk = gm THEN 'cjk'
+        |       WHEN n_arabic = gm THEN 'arabic'
+        |       WHEN n_hangul = gm THEN 'hangul'
+        |       ELSE 'devanagari' END AS dominant_script,
+        |  CASE WHEN n_chars = 0 THEN 0.0
+        |       ELSE CAST(gm AS DOUBLE) / n_chars END AS dominant_ratio
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     // q144's semantics restricted to the sampled frames
     "q146_mm_frame_sample" ->

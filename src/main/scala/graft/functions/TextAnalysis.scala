@@ -215,6 +215,61 @@ object TextAnalysis {
     }
   }
 
+  /** Major writing-system codepoint ranges, in tie-break precedence
+    * order. EXPLICIT ranges, not `\p{script=…}` classes: the `\x{…}`
+    * hex syntax and these BMP intervals mean exactly the same thing to
+    * Java regex and RE2, while script-property tables track each
+    * engine's Unicode version — the same portability discipline as the
+    * q99/q148 whitespace classes. Latin covers ASCII letters plus the
+    * Latin-1/Extended-A/B accents; CJK covers kana plus unified
+    * ideographs (one bucket — the langid layer, not the script layer,
+    * separates Japanese from Chinese).
+    */
+  val ScriptRanges: Seq[(String, String)] = Seq(
+    "latin" -> "[A-Za-z\\x{00C0}-\\x{024F}]",
+    "cyrillic" -> "[\\x{0400}-\\x{04FF}]",
+    "greek" -> "[\\x{0370}-\\x{03FF}]",
+    "cjk" -> "[\\x{3040}-\\x{30FF}\\x{4E00}-\\x{9FFF}]",
+    "arabic" -> "[\\x{0600}-\\x{06FF}]",
+    "hangul" -> "[\\x{AC00}-\\x{D7AF}]",
+    "devanagari" -> "[\\x{0900}-\\x{097F}]")
+
+  /** Per-document writing-system profile: one `n_<script>` character
+    * count per [[ScriptRanges]] entry (count = length minus the length
+    * with that class deleted — no explode, no per-char rows),
+    * `n_chars`, the `dominant_script` ("none" when no script character
+    * occurs; ties go to the EARLIER range in precedence order), and
+    * `dominant_ratio` (dominant count / total chars). The script gate
+    * a multilingual curation cascade runs BEFORE stopword langid:
+    * langid's lexicons can only separate languages it knows, while a
+    * script mismatch (Cyrillic text in an "English" source) is
+    * detectable from raw codepoints in one scan-bound projection.
+    */
+  def scriptProfile(docs: DataFrame, idCol: String,
+                    textCol: String): DataFrame = {
+    val t = col(textCol)
+    val counts = ScriptRanges.map { case (name, pat) =>
+      name -> (length(t) - length(regexp_replace(t, pat, ""))).cast("long")
+    }
+    val withCounts = docs
+      .filter(col(idCol).isNotNull && t.isNotNull)
+      .select(col(idCol) +: (length(t).cast("long").as("n_chars") +:
+        counts.map { case (n, c) => c.as(s"n_$n") }): _*)
+    val gmax = greatest(ScriptRanges.map { case (n, _) => col(s"n_$n") }: _*)
+    // struct argmax: count desc, then NEGATED list index — the earlier
+    // range wins ties (indexes are unique, so the name field never
+    // decides)
+    val dom = greatest(ScriptRanges.zipWithIndex.map { case ((n, _), i) =>
+      struct(col(s"n_$n").as("n"), lit(-i).as("p"), lit(n).as("s"))
+    }: _*)
+    withCounts
+      .withColumn("dominant_script",
+        when(gmax === 0L, lit("none")).otherwise(dom.getField("s")))
+      .withColumn("dominant_ratio",
+        when(col("n_chars") === 0L, lit(0.0))
+          .otherwise(gmax.cast("double") / col("n_chars").cast("double")))
+  }
+
   /** TF-IDF and BM25 term scores over the corpus inverted index — the
     * classic relevance weights a text engine serves (and the input to
     * keyword extraction / sparse retrieval).

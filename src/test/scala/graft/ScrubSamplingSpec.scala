@@ -370,6 +370,32 @@ class ScrubSamplingSpec extends SparkSpec {
     }
   }
 
+  test("scriptProfile counts codepoint ranges and picks the dominant script") {
+    val docs = Seq(
+      (1L, "hello мир"),        // latin 5, cyrillic 3 → latin
+      (2L, "ab гд"),            // 2-2 tie → latin (earlier precedence)
+      (3L, "один два три ok"),  // cyrillic 10 > latin 2
+      (4L, "你好 한글 नमस्ते"),   // cjk 2, hangul 2, devanagari 6
+      (5L, "12345 !?"),         // no script chars at all → none
+      (6L, "")                  // empty: none, ratio 0
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.scriptProfile(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "n_chars", "n_latin", "n_cyrillic", "n_cjk",
+        "n_hangul", "n_devanagari", "dominant_script", "dominant_ratio")
+      .as[(Long, Long, Long, Long, Long, Long, Long, String, Double)]
+      .collect().toSeq
+    assert(out(0) == ((1L, 9L, 5L, 3L, 0L, 0L, 0L, "latin", 5.0 / 9)))
+    assert(out(1) == ((2L, 5L, 2L, 2L, 0L, 0L, 0L, "latin", 2.0 / 5)))
+    assert(out(2)._8 == "cyrillic" && out(2)._4 == 10L)
+    // devanagari नमस्ते is 6 codepoints (4 consonant/vowel letters + 2
+    // combining signs — all inside the 0900-097F block)
+    assert(out(3)._5 == 2L && out(3)._6 == 2L && out(3)._7 == 6L &&
+      out(3)._8 == "devanagari")
+    assert(out(4)._8 == "none" && out(4)._9 == 0.0)
+    assert(out(5) == ((6L, 0L, 0L, 0L, 0L, 0L, 0L, "none", 0.0)))
+  }
+
   test("qualityPercentileGate keeps docs at or above the corpus quantile") {
     val docs = Seq(
       (1L, "abcd"), // alpha_ratio 1.0
