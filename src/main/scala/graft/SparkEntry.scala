@@ -4989,7 +4989,8 @@ object SparkEntry {
         |c AS (
         |  SELECT doc_id, CAST(length(t) AS BIGINT) AS n_chars,
         |    CAST(length(t) - length(regexp_replace(t,
-        |      '[A-Za-z\x{00C0}-\x{024F}]', '', 'g')) AS BIGINT) AS n_latin,
+        |      '[A-Za-z\x{00C0}-\x{00D6}\x{00D8}-\x{00F6}\x{00F8}-\x{024F}]',
+        |      '', 'g')) AS BIGINT) AS n_latin,
         |    CAST(length(t) - length(regexp_replace(t,
         |      '[\x{0400}-\x{04FF}]', '', 'g')) AS BIGINT) AS n_cyrillic,
         |    CAST(length(t) - length(regexp_replace(t,

@@ -226,7 +226,10 @@ object TextAnalysis {
     * separates Japanese from Chinese).
     */
   val ScriptRanges: Seq[(String, String)] = Seq(
-    "latin" -> "[A-Za-z\\x{00C0}-\\x{024F}]",
+    // the Latin-1 accent span excludes U+00D7 (×) and U+00F7 (÷) — the
+    // two math symbols embedded in the letter block
+    "latin" -> ("[A-Za-z\\x{00C0}-\\x{00D6}\\x{00D8}-\\x{00F6}" +
+      "\\x{00F8}-\\x{024F}]"),
     "cyrillic" -> "[\\x{0400}-\\x{04FF}]",
     "greek" -> "[\\x{0370}-\\x{03FF}]",
     "cjk" -> "[\\x{3040}-\\x{30FF}\\x{4E00}-\\x{9FFF}]",

@@ -29,8 +29,12 @@ object Urls {
     * campaign trackers that never change the resource — the standard
     * strip set (utm_* per Google's own docs, plus the big ad-click
     * ids). Matched against the full `name=value` pair, anchored.
+    * Deliberately NOT in the set: `ref` — despite appearing in many
+    * strip lists it is a semantic selector on major sites (a VCS
+    * branch in `?ref=main`, a pagination anchor), and merging those
+    * keys would dedup genuinely different pages.
     */
-  val TrackingParams = "(utm_[a-zA-Z0-9_]*|fbclid|gclid|msclkid|ref)(=[^&]*)?"
+  val TrackingParams = "(utm_[a-zA-Z0-9_]*|fbclid|gclid|msclkid)(=[^&]*)?"
 
   private val SchemeRe = "^([a-zA-Z][a-zA-Z0-9+.-]*)://"
   private val AuthorityRe = SchemeRe + "([^/?#]*)"
@@ -43,14 +47,17 @@ object Urls {
     */
   def scheme(url: Column): Column = lower(regexp_extract(url, SchemeRe, 1))
 
-  /** Canonical host: lowercased authority minus userinfo, port, and
-    * one leading `www.`. ('' when the URL has no `://` authority.)
+  /** Canonical host: lowercased authority minus userinfo, port, one
+    * leading `www.`, and a trailing root dot (`example.com.` is valid
+    * DNS but would otherwise split its labels as ['example','com','']
+    * and collapse [[registrableDomain]] to the bare suffix). ('' when
+    * the URL has no `://` authority.)
     */
   def host(url: Column): Column = {
     val auth = lower(regexp_extract(url, AuthorityRe, 2))
     val noUser = regexp_replace(auth, "^[^@]*@", "")
     val noPort = regexp_replace(noUser, ":[0-9]*$", "")
-    regexp_replace(noPort, "^www\\.", "")
+    regexp_replace(regexp_replace(noPort, "\\.$", ""), "^www\\.", "")
   }
 
   /** Registrable domain of a canonical host: the last two labels, or
@@ -84,8 +91,11 @@ object Urls {
     * documented subset (the fixture convention), not an oversight.
     */
   def extractHrefs(html: Column): Column =
+    // the tag name must END at `a` (optional attribute run, then
+    // whitespace immediately before href): `<area>`/`<audio>`/custom
+    // `<a-*>` elements and `data-href` attributes must not match
     regexp_extract_all(html,
-      lit("(?i)<a[^>]*\\shref=\"([^\"]*)\""), lit(1))
+      lit("(?i)<a(?:\\s[^>]*)?\\shref=\"([^\"]*)\""), lit(1))
 
   /** Canonical URL: lowercased scheme and host, `www.` and default
     * port stripped, tracking parameters removed (order of the
@@ -99,9 +109,11 @@ object Urls {
     val h = host(url)
     val rawPath = regexp_extract(url, PathRe, 3)
     val path = regexp_replace(rawPath, "/+$", "")
-    // anchored with a no-'#' prefix: a '?' that first appears INSIDE
-    // the fragment is fragment text, not a query
-    val rawQuery = regexp_extract(url, "^[^#]*\\?([^#]*)", 1)
+    // the FIRST '?' before any '#' starts the query (RFC 3986): the
+    // prefix class excludes '?' itself, or a greedy run would backtrack
+    // to the LAST '?' and silently drop the params before it; a '?'
+    // first appearing inside the fragment is fragment text, not a query
+    val rawQuery = regexp_extract(url, "^[^#?]*\\?([^#]*)", 1)
     val keptParams = filter(split(rawQuery, "&"),
       p => !p.rlike("^" + TrackingParams + "$") && p =!= "")
     val query = array_join(keptParams, "&")

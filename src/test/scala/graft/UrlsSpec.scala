@@ -33,8 +33,15 @@ class UrlsSpec extends SparkSpec {
   }
 
   test("normalize drops tracking params, keeps survivor order, removes userinfo") {
-    assert(norm("http://a.com/p?utm_source=x&id=7&ref=nav&gclid=1&b=2")
+    assert(norm("http://a.com/p?utm_source=x&id=7&gclid=1&b=2")
       == "http://a.com/p?id=7&b=2")
+    // 'ref' is a SEMANTIC selector on major sites (?ref=main names a
+    // branch) — it survives normalization
+    assert(norm("http://a.com/raw/f?ref=main") == "http://a.com/raw/f?ref=main")
+    // the FIRST '?' starts the query: a later '?' inside a param value
+    // must not make the earlier params vanish (greedy-backtrack trap)
+    assert(norm("http://a.com/p?next=/login?to=home&id=1")
+      == "http://a.com/p?next=/login?to=home&id=1")
     // ALL params tracking → no '?' at all; bare '?' also vanishes
     assert(norm("http://a.com/p?utm_a=1&fbclid=2") == "http://a.com/p")
     assert(norm("http://a.com/p?") == "http://a.com/p")
@@ -49,11 +56,27 @@ class UrlsSpec extends SparkSpec {
     assert(norm("http://user@a.com/x") == "http://a.com/x")
   }
 
+  test("extractHrefs matches only true anchor tags") {
+    def links(h: String): Seq[String] = Seq(h).toDF("h")
+      .select(Urls.extractHrefs(col("h")).as("l"))
+      .head().getSeq[String](0)
+    assert(links("""<a href="u1">x</a><a class="c" href="u2">y</a>""")
+      == Seq("u1", "u2"))
+    // <area>/<audio>/custom <a-*> elements and data-href attributes
+    // are NOT anchors
+    assert(links("""<area shape="rect" href="no1"><audio href="no2">""" +
+      """<a-card href="no3"></a-card><a data-href="no4">t</a>""")
+      == Seq.empty)
+  }
+
   test("scheme-less inputs pass through; host/domain handle edge shapes") {
     assert(norm("//cdn.a.com/x") == "//cdn.a.com/x")
     assert(norm("not a url at all") == "not a url at all")
     assert(hostOf("ftp://Files.B.ORG:21/d") == "files.b.org")
     assert(hostOf("no scheme here") == "")
+    // a trailing root dot is valid DNS and must not collapse the
+    // domain to the bare suffix
+    assert(hostOf("https://Example.com./x") == "example.com")
     // registrable domain: plain TLD, cc-SLD, IP, single label
     assert(domOf("news.example.com") == "example.com")
     assert(domOf("a.b.site.co.uk") == "site.co.uk")
