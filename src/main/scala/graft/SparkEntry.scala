@@ -1947,6 +1947,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // WARC record parse (ISO 28500 — Common Crawl's distribution
+    // format, the TRUE first input of a web pipeline): closed-form
+    // segments (one warcinfo + id%3+1 responses) walked by the real
+    // byte-level Content-Length-framed parser; the oracle re-derives
+    // every record's type, URI, length, and payload md5 from the id —
+    // a boundary-scanning shortcut could not survive payloads
+    // containing boundary-like bytes, and a stub could never hash-match
+    "q155_warc_records" -> ((s, dir) => {
+      import s.implicits._
+      val segs = t(s, dir, "documents").where(col("doc_id").isNotNull)
+        .select(col("doc_id")).as[Long]
+        .map(id => (id, graft.corpus.Warc.syntheticWarc(id)))
+        .toDF("id", "content")
+      graft.corpus.Warc.records(segs).toDF()
+        .select(col("id"), col("rec_idx"), col("warc_type"),
+          col("target_uri"), col("content_length"),
+          md5(col("payload")).as("payload_md5"))
+        .orderBy("id", "rec_idx")
+    }),
+
     // REAL frame sampling: every 2nd frame decodes, the rest only walk
     // container headers (the bounded-decode-cost shape of a 100 TB
     // video pipeline); frame_idx keeps the original index, and the
@@ -5020,6 +5040,32 @@ object SparkEntry {
         |  CASE WHEN n_chars = 0 THEN 0.0
         |       ELSE CAST(gm AS DOUBLE) / n_chars END AS dominant_ratio
         |FROM g ORDER BY doc_id""".stripMargin,
+
+    // every record field re-derived from the id: the warcinfo row plus
+    // id%3+1 response rows with the synthetic URI and payload rebuilt
+    // verbatim (length and md5 over the same ASCII bytes)
+    "q155_warc_records" ->
+      """WITH info AS (
+        |  SELECT doc_id AS id, CAST(0 AS BIGINT) AS rec_idx,
+        |    'warcinfo' AS warc_type, '' AS target_uri,
+        |    'software: graft/1.0' AS payload
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |resp AS (
+        |  SELECT doc_id AS id, CAST(r + 1 AS BIGINT) AS rec_idx,
+        |    'response' AS warc_type,
+        |    'http://site' || CAST((doc_id + r) % 7 AS VARCHAR) ||
+        |      '.example.com/page/' || CAST(doc_id AS VARCHAR) || '-' ||
+        |      CAST(r AS VARCHAR) AS target_uri,
+        |    'payload ' || CAST(doc_id AS VARCHAR) || ' ' ||
+        |      CAST(r AS VARCHAR) || ' ' ||
+        |      repeat('a', CAST((doc_id + r) % 23 AS INT)) AS payload
+        |  FROM documents, unnest(generate_series(0, doc_id % 3)) AS u(r)
+        |  WHERE doc_id IS NOT NULL),
+        |allr AS (SELECT * FROM info UNION ALL SELECT * FROM resp)
+        |SELECT id, rec_idx, warc_type, target_uri,
+        |  CAST(length(payload) AS BIGINT) AS content_length,
+        |  md5(payload) AS payload_md5
+        |FROM allr ORDER BY id, rec_idx""".stripMargin,
 
     // q144's semantics restricted to the sampled frames
     "q146_mm_frame_sample" ->

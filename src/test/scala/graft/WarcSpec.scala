@@ -1,0 +1,68 @@
+package graft
+
+import graft.corpus.Warc
+
+/** WARC byte-level parsing: Content-Length framing (not boundary
+  * scanning), case-insensitive headers, malformed-input degradation.
+  */
+class WarcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def seg(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+  test("parseRecords honors Content-Length framing through boundary-like payloads") {
+    // the FIRST payload contains a byte-exact record header — a parser
+    // that scans for boundaries instead of honoring Content-Length
+    // would split the record in the middle and corrupt both
+    val evil = "see WARC/1.0\r\nWARC-Type: fake\r\n inside"
+    val s = "WARC/1.0\r\nWARC-Type: response\r\n" +
+      s"WARC-Target-URI: http://a.com/x\r\nContent-Length: ${evil.length}\r\n" +
+      s"\r\n$evil\r\n\r\n" +
+      "WARC/1.0\r\ncontent-length: 2\r\nwarc-type: metadata\r\n\r\nhi\r\n\r\n"
+    val recs = Warc.parseRecords(seg(s))
+    assert(recs.map(r => (r._1, r._2, r._3, r._4)) == Seq(
+      (0L, "response", "http://a.com/x", evil.length.toLong),
+      (1L, "metadata", "", 2L))) // lowercase headers parse (spec: CI)
+    assert(new String(recs(0)._5, "US-ASCII") == evil)
+    assert(new String(recs(1)._5, "US-ASCII") == "hi")
+  }
+
+  test("malformed input degrades to the records parsed so far") {
+    val good = "WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 3\r\n\r\nabc\r\n\r\n"
+    // truncated payload: declared 100 bytes, 3 present
+    assert(Warc.parseRecords(seg(good +
+      "WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 100\r\n\r\nabc"))
+      .map(_._2) == Seq("response"))
+    // missing Content-Length entirely
+    assert(Warc.parseRecords(seg(good +
+      "WARC/1.0\r\nWARC-Type: response\r\n\r\nabc\r\n\r\n"))
+      .map(_._2) == Seq("response"))
+    // header line with no colon
+    assert(Warc.parseRecords(seg(good + "WARC/1.0\r\ngarbage line\r\n"))
+      .map(_._2) == Seq("response"))
+    // wrong magic / garbage / null / empty
+    assert(Warc.parseRecords(seg("HTTP/1.1 200 OK\r\n")).isEmpty)
+    assert(Warc.parseRecords(null).isEmpty)
+    assert(Warc.parseRecords(Array.empty[Byte]).isEmpty)
+    // a final record missing its \r\n\r\n trailer is still emitted
+    assert(Warc.parseRecords(seg(
+      "WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 3\r\n\r\nabc"))
+      .map(r => new String(r._5, "US-ASCII")) == Seq("abc"))
+  }
+
+  test("records seam parses the synthetic fixture and composes with extraction") {
+    val segs = Seq(7L, 8L).toDF("id")
+      .as[Long].map(id => (id, Warc.syntheticWarc(id)))
+      .toDF("id", "content")
+    val recs = Warc.records(segs).collect().sortBy(r => (r.id, r.rec_idx))
+    // id=7 → 7%3+1 = 2 responses + warcinfo; id=8 → 3 responses
+    assert(recs.count(_.id == 7L) == 3 && recs.count(_.id == 8L) == 4)
+    assert(recs.filter(_.id == 7L).map(_.warc_type).toSeq ==
+      Seq("warcinfo", "response", "response"))
+    val r71 = recs.find(r => r.id == 7L && r.rec_idx == 1L).get
+    assert(r71.target_uri == "http://site0.example.com/page/7-0")
+    assert(new String(r71.payload, "US-ASCII") ==
+      "payload 7 0 " + "a" * 7)
+    assert(r71.content_length == r71.payload.length.toLong)
+  }
+}
