@@ -320,6 +320,20 @@ object ScaleBench {
         Graph.pageRank(edges, "src", "dst", iterations = 10)
           .write.format("noop").mode("overwrite").save()
       }
+      // WARC ingestion throughput: 50k synthetic segments (~150k
+      // records) through the byte-level Content-Length walk — the
+      // per-segment flatMap seam a crawl reader drives; fixture
+      // synthesis is in-loop like the multimodal entries, so read the
+      // delta against a synthesis-only baseline as the parse cost
+      time(s"warc_parse_10x $round") {
+        import spark.implicits._
+        val segs = docs.where(col("doc_id").isNotNull)
+          .select(col("doc_id")).as[Long]
+          .map(id => (id, graft.corpus.Warc.syntheticWarc(id)))
+          .toDF("id", "content")
+        graft.corpus.Warc.records(segs)
+          .write.format("noop").mode("overwrite").save()
+      }
     }
     // multimodal decode throughput at 50k assets: full frame decode vs
     // every-4th sampling (the bounded-decode-cost knob) — fixture
