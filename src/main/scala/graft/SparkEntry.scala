@@ -1967,6 +1967,36 @@ object SparkEntry {
         .orderBy("id", "rec_idx")
     }),
 
+    // the FULL crawl ingestion chain, end to end: WARC framing → HTTP
+    // response (status line, headers, blank line) → HTML body → text
+    // extraction. Every hop is gated at once — the oracle predicts the
+    // status, headers, body length, AND the final extracted-text hash
+    // in closed form; a shortcut at any layer (boundary-scan WARC,
+    // body-leaking header split, markup in the text) breaks the hash
+    "q156_warc_http_text" -> ((s, dir) => {
+      import s.implicits._
+      val segs = t(s, dir, "documents").where(col("doc_id").isNotNull)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          (id, graft.corpus.Warc.syntheticHttpWarc(id,
+            s"<html><body><div>Nav | Bar</div><p>$text</p>" +
+              "</body></html>"))
+        }.toDF("id", "content")
+      graft.corpus.Warc.records(segs).toDF()
+        .filter(col("warc_type") === "response")
+        .select(col("id"), col("payload").cast("string").as("__p"))
+        .select(col("id"),
+          graft.corpus.Warc.httpStatus(col("__p")).as("status"),
+          graft.corpus.Warc.httpHeader(col("__p"), "Content-Type")
+            .as("content_type"),
+          graft.corpus.Warc.httpHeader(col("__p"), "X-Doc").as("x_doc"),
+          graft.corpus.Warc.httpHeader(col("__p"), "Content-Length")
+            .cast("long").as("body_len"),
+          md5(graft.operators.Scrub.htmlToText(
+            graft.corpus.Warc.httpBody(col("__p")))).as("text_md5"))
+        .orderBy("id")
+    }),
+
     // REAL frame sampling: every 2nd frame decodes, the rest only walk
     // container headers (the bounded-decode-cost shape of a 100 TB
     // video pipeline); frame_idx keeps the original index, and the
@@ -5066,6 +5096,19 @@ object SparkEntry {
         |  CAST(length(payload) AS BIGINT) AS content_length,
         |  md5(payload) AS payload_md5
         |FROM allr ORDER BY id, rec_idx""".stripMargin,
+
+    // the whole chain predicted in CLOSED FORM: the fixture corpus is
+    // single-spaced ASCII, so extraction of the known wrapper is
+    // exactly 'Nav | Bar' + newline + the original text
+    "q156_warc_http_text" ->
+      """SELECT doc_id AS id, CAST(200 AS BIGINT) AS status,
+        |  'text/html; charset=utf-8' AS content_type,
+        |  CAST(doc_id AS VARCHAR) AS x_doc,
+        |  CAST(length('<html><body><div>Nav | Bar</div><p>' || text ||
+        |    '</p></body></html>') AS BIGINT) AS body_len,
+        |  md5('Nav | Bar' || chr(10) || text) AS text_md5
+        |FROM documents WHERE doc_id IS NOT NULL
+        |ORDER BY id""".stripMargin,
 
     // q144's semantics restricted to the sampled frames
     "q146_mm_frame_sample" ->

@@ -1,6 +1,7 @@
 package graft.corpus
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
 
 /** WARC (ISO 28500 / WARC 1.0) record parsing — the distribution
   * format of Common Crawl and every archival crawler, i.e. the TRUE
@@ -120,6 +121,59 @@ object Warc {
         parsed.iterator.map { case (i, t, u, n, p) =>
           WarcRec(id, i, t, u, n, p) }
       }
+  }
+
+  /** HTTP status code of a `response` record payload (a real crawl's
+    * WARC response payload IS an HTTP response: status line, headers,
+    * blank line, body). Null when the payload doesn't start with a
+    * status line. Column chain over the payload AS TEXT — the HTML
+    * path; binary bodies stay on the byte-level seam.
+    */
+  def httpStatus(payload: Column): Column = {
+    val s = regexp_extract(payload, "^HTTP/[0-9.]+ ([0-9]{3})", 1)
+    when(s === "", lit(null).cast("long")).otherwise(s.cast("long"))
+  }
+
+  /** First value of HTTP header `name` (case-insensitive), searched
+    * ONLY inside the header block (before the first blank line — a
+    * body line that happens to start `Content-Type:` must not match).
+    * '' when absent. `name` must be a literal header name (letters,
+    * digits, hyphens), not a regex.
+    */
+  def httpHeader(payload: Column, name: String): Column = {
+    require(name.matches("[A-Za-z0-9-]+"), s"not a header name: $name")
+    val headers = regexp_extract(payload, "(?s)^(.*?)\\r\\n\\r\\n", 1)
+    regexp_extract(headers, s"(?im)^$name:[ \\t]*([^\\r\\n]*)", 1)
+  }
+
+  /** Everything after the first blank line — the HTTP body. A payload
+    * with no blank line yields '' (a headers-only or malformed
+    * response has no body, and handing the headers to an HTML
+    * extractor would be worse than handing it nothing).
+    */
+  def httpBody(payload: Column): Column =
+    when(payload.rlike("(?s)\\r\\n\\r\\n"),
+      regexp_replace(payload, "(?s)^.*?\\r\\n\\r\\n", ""))
+      .otherwise(lit(""))
+
+  /** Closed-form WARC segment whose response payloads are REAL HTTP
+    * responses wrapping the caller's HTML — the full crawl-archive
+    * shape (WARC framing → HTTP response → markup) for the
+    * end-to-end q156 gate and any pipeline rehearsal.
+    */
+  def syntheticHttpWarc(id: Long, html: String): Array[Byte] = {
+    val body = s"HTTP/1.1 200 OK\r\nContent-Type: text/html; " +
+      s"charset=utf-8\r\nX-Doc: $id\r\nContent-Length: ${html.length}" +
+      s"\r\n\r\n$html"
+    val sb = new StringBuilder
+    sb.append("WARC/1.0\r\n")
+    sb.append("WARC-Type: response\r\n")
+    sb.append(s"WARC-Target-URI: http://site${id % 7}.example.com/p/$id\r\n")
+    sb.append(s"Content-Length: ${body.length}\r\n")
+    sb.append("\r\n")
+    sb.append(body)
+    sb.append("\r\n\r\n")
+    sb.toString.getBytes("US-ASCII")
   }
 
   /** Closed-form WARC segment from an id — the q133/q134 fixture

@@ -50,6 +50,33 @@ class WarcSpec extends SparkSpec {
       .map(r => new String(r._5, "US-ASCII")) == Seq("abc"))
   }
 
+  test("http split: status, header-block-only headers, body after blank line") {
+    import org.apache.spark.sql.functions.col
+    def row(p: String): (Option[Long], String, String) = {
+      val df = Seq(p).toDF("p").select(
+        Warc.httpStatus(col("p")).as("st"),
+        Warc.httpHeader(col("p"), "Content-Type").as("ct"),
+        Warc.httpBody(col("p")).as("b"))
+      val r = df.head()
+      (Option(r.get(0)).map(_.asInstanceOf[Long]), r.getString(1),
+        r.getString(2))
+    }
+    // a body line that LOOKS like a header must not leak into the
+    // header search (the block ends at the first blank line)
+    val p1 = "HTTP/1.1 200 OK\r\nServer: x\r\n\r\n" +
+      "Content-Type: not-a-header\nreal body"
+    assert(row(p1) == ((Some(200L), "",
+      "Content-Type: not-a-header\nreal body")))
+    // case-insensitive header, multi-header block, 404 status
+    val p2 = "HTTP/1.0 404 Not Found\r\ncontent-type: text/plain\r\n" +
+      "X-A: 1\r\n\r\nbody"
+    assert(row(p2) == ((Some(404L), "text/plain", "body")))
+    // no blank line → no body (headers must never reach the extractor);
+    // non-HTTP payload → null status
+    assert(row("HTTP/1.1 200 OK\r\nHalf: header") == ((Some(200L), "", "")))
+    assert(row("GIF89a binary stuff") == ((None, "", "")))
+  }
+
   test("records seam parses the synthetic fixture and composes with extraction") {
     val segs = Seq(7L, 8L).toDF("id")
       .as[Long].map(id => (id, Warc.syntheticWarc(id)))
