@@ -1997,6 +1997,51 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // robots.txt gating (RFC 9309): one policy file across all seven
+    // fixture hosts — wildcard group with a longest-match Allow
+    // carve-out under a Disallow, plus a bot-specific group that
+    // REPLACES (not merges with) the wildcard for its agents. Gated
+    // for both an unlisted agent (falls to '*') and graftbot; every
+    // decision and deciding prefix predicted in closed form
+    "q157_robots_gate" -> ((s, dir) => {
+      import s.implicits._
+      val robotsTxt =
+        """# crawl policy
+          |User-agent: *
+          |Disallow: /private
+          |Allow: /private/ok
+          |Crawl-delay: 5
+          |
+          |User-agent: graftbot
+          |User-agent: otherbot
+          |Disallow: /bot-only
+          |""".stripMargin
+      val robots = (0 until 7)
+        .map(h => (s"site$h.example.com", robotsTxt)).toDF("host", "txt")
+      val d = col("doc_id")
+      val urls = t(s, dir, "documents").where(d.isNotNull)
+        .select(d,
+          concat(lit("site"), (d % 7).cast("string"),
+            lit(".example.com")).as("host"),
+          concat(when(d % 4 === 0, lit("/private/ok/"))
+            .when(d % 4 === 1, lit("/private/"))
+            .when(d % 4 === 2, lit("/public/"))
+            .otherwise(lit("/bot-only/")), d.cast("string")).as("path"))
+      val star = graft.operators.Robots.gate(urls,
+        graft.operators.Robots.rules(robots, "host", "txt", "crawler")
+          .toDF(),
+        "doc_id", "host", "path")
+        .withColumnRenamed("allowed", "allowed_star")
+        .withColumnRenamed("matched_prefix", "prefix_star")
+      graft.operators.Robots.gate(star,
+        graft.operators.Robots.rules(robots, "host", "txt", "graftbot")
+          .toDF(),
+        "doc_id", "host", "path")
+        .withColumnRenamed("allowed", "allowed_bot")
+        .withColumnRenamed("matched_prefix", "prefix_bot")
+        .orderBy("doc_id")
+    }),
+
     // REAL frame sampling: every 2nd frame decodes, the rest only walk
     // container headers (the bounded-decode-cost shape of a 100 TB
     // video pipeline); frame_idx keeps the original index, and the
@@ -5109,6 +5154,24 @@ object SparkEntry {
         |  md5('Nav | Bar' || chr(10) || text) AS text_md5
         |FROM documents WHERE doc_id IS NOT NULL
         |ORDER BY id""".stripMargin,
+
+    // decisions in closed form: '*' group disallows /private except
+    // the longer /private/ok allow; the graftbot group sees ONLY its
+    // own /bot-only rule (specific group replaces the wildcard)
+    "q157_robots_gate" ->
+      """SELECT doc_id,
+        |  'site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS host,
+        |  CASE doc_id % 4
+        |    WHEN 0 THEN '/private/ok/' WHEN 1 THEN '/private/'
+        |    WHEN 2 THEN '/public/' ELSE '/bot-only/' END ||
+        |    CAST(doc_id AS VARCHAR) AS path,
+        |  doc_id % 4 <> 1 AS allowed_star,
+        |  CASE doc_id % 4 WHEN 0 THEN '/private/ok'
+        |    WHEN 1 THEN '/private' ELSE '' END AS prefix_star,
+        |  doc_id % 4 <> 3 AS allowed_bot,
+        |  CASE doc_id % 4 WHEN 3 THEN '/bot-only' ELSE '' END AS prefix_bot
+        |FROM documents WHERE doc_id IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
 
     // q144's semantics restricted to the sampled frames
     "q146_mm_frame_sample" ->

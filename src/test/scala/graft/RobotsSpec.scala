@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Robots
+
+/** RFC 9309 group selection, longest-match precedence, and the gate's
+  * default-allow arm.
+  */
+class RobotsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val txt =
+    """# policy
+      |User-agent: *
+      |Disallow: /a
+      |Allow: /a/b
+      |
+      |User-agent: botA
+      |User-agent: botB
+      |Disallow: /only-bots
+      |Disallow:
+      |
+      |User-agent: botA
+      |Allow: /second-group
+      |""".stripMargin
+
+  test("parseRules selects the specific groups, '*' only as fallback") {
+    // botA appears in TWO groups — both contribute (and the '*' group
+    // does NOT: specific replaces wildcard); empty Disallow is no rule
+    assert(Robots.parseRules(txt, "botA").toSet ==
+      Set((false, "/only-bots"), (true, "/second-group")))
+    assert(Robots.parseRules(txt, "BOTB") == Seq((false, "/only-bots")))
+    // unlisted agent falls back to the wildcard group
+    assert(Robots.parseRules(txt, "nobody").toSet ==
+      Set((false, "/a"), (true, "/a/b")))
+    // degenerate inputs
+    assert(Robots.parseRules(null, "x").isEmpty)
+    assert(Robots.parseRules("", "x").isEmpty)
+    assert(Robots.parseRules("Disallow: /orphan-rule\n", "x").isEmpty)
+    assert(Robots.parseRules("no colons here\njust text\n", "x").isEmpty)
+  }
+
+  test("gate applies longest match, Allow wins ties, no rule means allowed") {
+    val rules = Seq(
+      ("h1", false, "/a"), ("h1", true, "/a/b"),
+      // exact tie on length: Allow must win
+      ("h1", false, "/tie"), ("h1", true, "/tie"),
+      ("h2", false, "/")
+    ).toDF("host", "rule_allow", "rule_prefix")
+    val urls = Seq(
+      (1L, "h1", "/a/x"),     // disallowed by /a
+      (2L, "h1", "/a/b/x"),   // allowed by longer /a/b
+      (3L, "h1", "/tie/x"),   // tie → Allow
+      (4L, "h1", "/free"),    // no matching rule → allowed
+      (5L, "h2", "/anything"),// blanket disallow
+      (6L, "h3", "/x")        // host with no robots at all → allowed
+    ).toDF("doc_id", "host", "path")
+    val out = Robots.gate(urls, rules, "doc_id", "host", "path")
+      .orderBy("doc_id")
+      .select("doc_id", "allowed", "matched_prefix")
+      .as[(Long, Boolean, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, false, "/a"), (2L, true, "/a/b"), (3L, true, "/tie"),
+      (4L, true, ""), (5L, false, "/"), (6L, true, "")))
+  }
+
+  test("rules seam emits a hosts-sized table and skips null hosts") {
+    val robots = Seq(
+      (Option("h1"), Option(txt)),
+      (Option.empty[String], Option(txt)), // null host skipped
+      (Option("h2"), Option.empty[String]) // null txt → no rules
+    ).toDF("host", "txt")
+    val out = Robots.rules(robots, "host", "txt", "nobody")
+      .collect().toSeq
+    assert(out.map(_.host).distinct == Seq("h1") && out.size == 2)
+  }
+}
