@@ -2042,6 +2042,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // sitemap URL discovery: two <loc> entries per doc (one carrying
+    // the protocol-mandated &amp; escape and sloppy whitespace),
+    // extracted, entity-decoded, and canonicalized — the oracle
+    // predicts both final URLs in closed form
+    "q158_sitemap_locs" -> ((s, dir) => {
+      val d = col("doc_id")
+      val xml = concat(
+        lit("<?xml version=\"1.0\"?><urlset><url><loc> HTTP://Site"),
+        (d % 7).cast("string"),
+        lit(".Example.com/sm/"), d.cast("string"),
+        lit(" </loc></url><url><loc>https://site"),
+        ((d + 1) % 7).cast("string"),
+        lit(".example.com/q?a=1&amp;b="), (d % 5).cast("string"),
+        lit("</loc></url></urlset>"))
+      t(s, dir, "documents").where(d.isNotNull)
+        .select(d, posexplode(
+          graft.operators.Urls.extractSitemapLocs(xml)))
+        .select(d, col("pos").cast("long").as("loc_idx"),
+          graft.operators.Urls.normalize(col("col")).as("url_norm"))
+        .orderBy("doc_id", "loc_idx")
+    }),
+
     // REAL frame sampling: every 2nd frame decodes, the rest only walk
     // container headers (the bounded-decode-cost shape of a 100 TB
     // video pipeline); frame_idx keeps the original index, and the
@@ -5172,6 +5194,21 @@ object SparkEntry {
         |  CASE doc_id % 4 WHEN 3 THEN '/bot-only' ELSE '' END AS prefix_bot
         |FROM documents WHERE doc_id IS NOT NULL
         |ORDER BY doc_id""".stripMargin,
+
+    // both discovered URLs in closed form: trimmed, entity-decoded
+    // (&amp; → &), then canonicalized like any crawl frontier entry
+    "q158_sitemap_locs" ->
+      """SELECT doc_id, loc_idx, url_norm FROM (
+        |  SELECT doc_id, CAST(0 AS BIGINT) AS loc_idx,
+        |    'http://site' || CAST(doc_id % 7 AS VARCHAR) ||
+        |      '.example.com/sm/' || CAST(doc_id AS VARCHAR) AS url_norm
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id, CAST(1 AS BIGINT),
+        |    'https://site' || CAST((doc_id + 1) % 7 AS VARCHAR) ||
+        |      '.example.com/q?a=1&b=' || CAST(doc_id % 5 AS VARCHAR)
+        |  FROM documents WHERE doc_id IS NOT NULL)
+        |ORDER BY doc_id, loc_idx""".stripMargin,
 
     // q144's semantics restricted to the sampled frames
     "q146_mm_frame_sample" ->

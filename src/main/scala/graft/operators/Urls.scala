@@ -97,6 +97,27 @@ object Urls {
     regexp_extract_all(html,
       lit("(?i)<a(?:\\s[^>]*)?\\shref=\"([^\"]*)\""), lit(1))
 
+  /** All `<loc>` entries of a sitemap (or sitemap-index) XML document,
+    * in order — the URL-discovery counterpart of [[extractHrefs]]
+    * (robots.txt points crawlers at sitemaps; sitemaps enumerate the
+    * URLs). Sitemap files are machine-generated flat XML, so one
+    * `regexp_extract_all` with whitespace-tolerant tags suffices; the
+    * five XML entities the protocol REQUIRES escaping in URLs are
+    * decoded, `&amp;` last (the q148 single-decode discipline).
+    */
+  def extractSitemapLocs(xml: Column): Column =
+    transform(
+      regexp_extract_all(xml,
+        lit("(?is)<loc\\s*>\\s*(.*?)\\s*</loc\\s*>"), lit(1)),
+      u => {
+        var c = u
+        c = regexp_replace(c, "&lt;", "<")
+        c = regexp_replace(c, "&gt;", ">")
+        c = regexp_replace(c, "&quot;", "\"")
+        c = regexp_replace(c, "&apos;", "'")
+        regexp_replace(c, "&amp;", "&")
+      })
+
   /** Canonical URL: lowercased scheme and host, `www.` and default
     * port stripped, tracking parameters removed (order of the
     * survivors preserved), fragment dropped, trailing path slash

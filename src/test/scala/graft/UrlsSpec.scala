@@ -69,6 +69,22 @@ class UrlsSpec extends SparkSpec {
       == Seq.empty)
   }
 
+  test("extractSitemapLocs trims, decodes entities once, tolerates sloppy tags") {
+    def locs(x: String): Seq[String] = Seq(x).toDF("x")
+      .select(Urls.extractSitemapLocs(col("x")).as("l"))
+      .head().getSeq[String](0)
+    assert(locs("<urlset><url><loc> http://a.com/x </loc></url>" +
+      "<url><LOC>http://b.com/?a=1&amp;b=2</LOC></url></urlset>")
+      == Seq("http://a.com/x", "http://b.com/?a=1&b=2"))
+    // &amp;lt; decodes exactly once (to the four chars '&lt;')
+    assert(locs("<loc>http://a.com/?q=&amp;lt;</loc>")
+      == Seq("http://a.com/?q=&lt;"))
+    // sitemap-index files use the same <loc> tag; whitespace in tags
+    assert(locs("<sitemapindex><sitemap><loc >http://a.com/s.xml</loc >" +
+      "</sitemap></sitemapindex>") == Seq("http://a.com/s.xml"))
+    assert(locs("no locs at all") == Seq.empty)
+  }
+
   test("scheme-less inputs pass through; host/domain handle edge shapes") {
     assert(norm("//cdn.a.com/x") == "//cdn.a.com/x")
     assert(norm("not a url at all") == "not a url at all")
