@@ -2030,13 +2030,13 @@ object SparkEntry {
       val star = graft.operators.Robots.gate(urls,
         graft.operators.Robots.rules(robots, "host", "txt", "crawler")
           .toDF(),
-        "doc_id", "host", "path")
+        "host", "path")
         .withColumnRenamed("allowed", "allowed_star")
         .withColumnRenamed("matched_prefix", "prefix_star")
       graft.operators.Robots.gate(star,
         graft.operators.Robots.rules(robots, "host", "txt", "graftbot")
           .toDF(),
-        "doc_id", "host", "path")
+        "host", "path")
         .withColumnRenamed("allowed", "allowed_bot")
         .withColumnRenamed("matched_prefix", "prefix_bot")
         .orderBy("doc_id")

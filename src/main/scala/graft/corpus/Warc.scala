@@ -130,7 +130,11 @@ object Warc {
     * path; binary bodies stay on the byte-level seam.
     */
   def httpStatus(payload: Column): Column = {
-    val s = regexp_extract(payload, "^HTTP/[0-9.]+ ([0-9]{3})", 1)
+    // the code must END after three digits (space, CR, or end of
+    // input): 'HTTP/1.1 9999' is malformed, not status 999. Spelled
+    // as a consumed group, not a lookahead — RE2 has no lookarounds
+    // (the portability discipline, even though no oracle replays this)
+    val s = regexp_extract(payload, "^HTTP/[0-9.]+ ([0-9]{3})([ \\r]|$)", 1)
     when(s === "", lit(null).cast("long")).otherwise(s.cast("long"))
   }
 
@@ -143,7 +147,12 @@ object Warc {
   def httpHeader(payload: Column, name: String): Column = {
     require(name.matches("[A-Za-z0-9-]+"), s"not a header name: $name")
     val headers = regexp_extract(payload, "(?s)^(.*?)\\r\\n\\r\\n", 1)
-    regexp_extract(headers, s"(?im)^$name:[ \\t]*([^\\r\\n]*)", 1)
+    // coalesce: a NULL payload means header-absent (''), the same
+    // answer httpBody gives — not a null that silently falls out of
+    // downstream === '' filters
+    coalesce(
+      regexp_extract(headers, s"(?im)^$name:[ \\t]*([^\\r\\n]*)", 1),
+      lit(""))
   }
 
   /** Everything after the first blank line — the HTTP body. A payload
@@ -162,18 +171,18 @@ object Warc {
     * end-to-end q156 gate and any pipeline rehearsal.
     */
   def syntheticHttpWarc(id: Long, html: String): Array[Byte] = {
-    val body = s"HTTP/1.1 200 OK\r\nContent-Type: text/html; " +
-      s"charset=utf-8\r\nX-Doc: $id\r\nContent-Length: ${html.length}" +
-      s"\r\n\r\n$html"
-    val sb = new StringBuilder
-    sb.append("WARC/1.0\r\n")
-    sb.append("WARC-Type: response\r\n")
-    sb.append(s"WARC-Target-URI: http://site${id % 7}.example.com/p/$id\r\n")
-    sb.append(s"Content-Length: ${body.length}\r\n")
-    sb.append("\r\n")
-    sb.append(body)
-    sb.append("\r\n\r\n")
-    sb.toString.getBytes("US-ASCII")
+    // BYTE lengths and UTF-8 throughout: Content-Length counts octets,
+    // and an ASCII-only encode would silently mangle non-ASCII HTML
+    // into '?' bytes while keeping the framing accidentally consistent
+    val htmlBytes = html.getBytes("UTF-8")
+    val httpHead = (s"HTTP/1.1 200 OK\r\nContent-Type: text/html; " +
+      s"charset=utf-8\r\nX-Doc: $id\r\nContent-Length: " +
+      s"${htmlBytes.length}\r\n\r\n").getBytes("US-ASCII")
+    val warcHead = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      s"WARC-Target-URI: http://site${id % 7}.example.com/p/$id\r\n" +
+      s"Content-Length: ${httpHead.length + htmlBytes.length}\r\n\r\n")
+      .getBytes("US-ASCII")
+    warcHead ++ httpHead ++ htmlBytes ++ "\r\n\r\n".getBytes("US-ASCII")
   }
 
   /** Closed-form WARC segment from an id — the q133/q134 fixture

@@ -16,10 +16,10 @@ import org.apache.spark.sql.functions._
   *
   * Shape: parsing is a per-row JVM kernel behind a `flatMap` (grouped,
   * stateful line format — the WARC-seam pattern), emitting a RULES
-  * table that is hosts-sized, not corpus-sized. The gate is a plain
-  * broadcast join by host + longest-match aggregation keyed by URL —
-  * the corpus never shuffles by content, and at 100 TB the rules side
-  * stays a broadcast (one row per host×rule).
+  * table that is hosts-sized, not corpus-sized. The gate broadcasts
+  * ONE array-valued rules row per host and decides per URL row with a
+  * higher-order longest-match — no aggregation, no shuffle; at 100 TB
+  * the corpus side never moves.
   */
 object Robots {
 
@@ -89,31 +89,36 @@ object Robots {
       }
   }
 
-  /** Gate `urls(idCol, hostCol, pathCol)` by `rulesDf` (the
-    * [[rules]] output): adds `allowed` plus the deciding rule's
+  /** Gate `urls(…, hostCol, pathCol)` by `rulesDf` (the [[rules]]
+    * output): adds `allowed` plus the deciding rule's
     * `matched_prefix` ('' when no rule matched — allowed by default,
     * which also covers hosts with no robots.txt at all). Longest
     * match wins; on equal length Allow beats Disallow (RFC 9309
-    * §2.2.2). One broadcast join by host + one URL-keyed aggregation:
-    * the decision struct max is (prefix length, allow) — exactly the
-    * spec's precedence order.
+    * §2.2.2).
+    *
+    * Shape: the rules collapse to ONE array-valued row per host
+    * (hosts-sized), broadcast; the decision is a per-row
+    * higher-order `array_max` over the matching rules' (length,
+    * allow, prefix) structs — the spec's precedence order as a struct
+    * ordering. No aggregation, no shuffle, no row-multiplicity
+    * change: duplicate URL rows each carry their own decision, and
+    * the corpus side never moves.
     */
-  def gate(urls: DataFrame, rulesDf: DataFrame, idCol: String,
+  def gate(urls: DataFrame, rulesDf: DataFrame,
            hostCol: String, pathCol: String): DataFrame = {
-    val r = rulesDf.select(col("host").as(hostCol),
-      col("rule_allow"), col("rule_prefix"))
-    val joined = urls.join(broadcast(r), Seq(hostCol), "left")
-      .withColumn("__m", col("rule_prefix").isNotNull &&
-        col(pathCol).startsWith(col("rule_prefix")))
-    val urlCols = urls.columns.map(col)
-    joined
-      .groupBy(urlCols: _*)
-      .agg(max(when(col("__m"), struct(
-        length(col("rule_prefix")).as("l"),
-        col("rule_allow").as("a"),
-        col("rule_prefix").as("p")))).as("__best"))
-      .select(urlCols :+
-        coalesce(col("__best.a"), lit(true)).as("allowed") :+
-        coalesce(col("__best.p"), lit("")).as("matched_prefix"): _*)
+    val perHost = rulesDf
+      .groupBy(col("host").as(hostCol))
+      .agg(collect_list(struct(col("rule_prefix").as("p"),
+        col("rule_allow").as("a"))).as("__rules"))
+    val best = array_max(transform(
+      filter(col("__rules"),
+        r => col(pathCol).startsWith(r.getField("p"))),
+      r => struct(length(r.getField("p")).as("l"),
+        r.getField("a").as("a"), r.getField("p").as("p"))))
+    urls.join(broadcast(perHost), Seq(hostCol), "left")
+      .withColumn("__best", best)
+      .withColumn("allowed", coalesce(col("__best.a"), lit(true)))
+      .withColumn("matched_prefix", coalesce(col("__best.p"), lit("")))
+      .drop("__rules", "__best")
   }
 }

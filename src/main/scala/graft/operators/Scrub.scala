@@ -203,20 +203,30 @@ object Scrub {
     c = regexp_replace(c,
       "(?i)<br[^>]*>|</p>|</div>|</li>|</tr>|</h[1-6]>", "\n")
     c = regexp_replace(c, "<[^>]+>", " ")
-    c = regexp_replace(c, "&nbsp;", " ")
-    c = regexp_replace(c, "&lt;", "<")
-    c = regexp_replace(c, "&gt;", ">")
-    c = regexp_replace(c, "&quot;", "\"")
-    c = regexp_replace(c, "&#39;", "'")
-    // &amp; LAST: decoding it earlier would turn &amp;lt; into &lt;
-    // and then a second pass would double-decode
-    c = regexp_replace(c, "&amp;", "&")
+    c = decodeEntities(c, Seq("&nbsp;" -> " ", "&#39;" -> "'"))
     // whitespace runs WITH a newline → one newline; the rest → one
     // space; then strip spaces AND newlines off both ends (regex, not
     // the two-arg trim — that signature is deprecated in Spark 4)
     c = regexp_replace(c, s"$hws*\\n[ \\t\\n\\x0B\\f\\r]*", "\n")
     c = regexp_replace(c, s"$hws+", " ")
     regexp_replace(c, "^[ \\n]+|[ \\n]+$", "")
+  }
+
+  /** Single-pass markup-entity decode shared by [[htmlToText]] and
+    * [[graft.operators.Urls.extractSitemapLocs]]: the base
+    * `&lt;/&gt;/&quot;` trio, then each caller's `extra` entities,
+    * then — LAST, and only here — `&amp;`: decoding it earlier would
+    * turn `&amp;lt;` into `&lt;` and a later pass would double-decode.
+    * One owner for that ordering invariant.
+    */
+  private[graft] def decodeEntities(c0: Column,
+                                    extra: Seq[(String, String)]): Column = {
+    var c = c0
+    c = regexp_replace(c, "&lt;", "<")
+    c = regexp_replace(c, "&gt;", ">")
+    c = regexp_replace(c, "&quot;", "\"")
+    extra.foreach { case (e, r) => c = regexp_replace(c, e, r) }
+    regexp_replace(c, "&amp;", "&")
   }
 
   def redact(df: DataFrame, textCol: String,

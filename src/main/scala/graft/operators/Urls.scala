@@ -109,14 +109,7 @@ object Urls {
     transform(
       regexp_extract_all(xml,
         lit("(?is)<loc\\s*>\\s*(.*?)\\s*</loc\\s*>"), lit(1)),
-      u => {
-        var c = u
-        c = regexp_replace(c, "&lt;", "<")
-        c = regexp_replace(c, "&gt;", ">")
-        c = regexp_replace(c, "&quot;", "\"")
-        c = regexp_replace(c, "&apos;", "'")
-        regexp_replace(c, "&amp;", "&")
-      })
+      u => Scrub.decodeEntities(u, Seq("&apos;" -> "'")))
 
   /** Canonical URL: lowercased scheme and host, `www.` and default
     * port stripped, tracking parameters removed (order of the

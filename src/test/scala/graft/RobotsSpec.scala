@@ -54,15 +54,16 @@ class RobotsSpec extends SparkSpec {
       (3L, "h1", "/tie/x"),   // tie → Allow
       (4L, "h1", "/free"),    // no matching rule → allowed
       (5L, "h2", "/anything"),// blanket disallow
-      (6L, "h3", "/x")        // host with no robots at all → allowed
+      (6L, "h3", "/x"),       // host with no robots at all → allowed
+      (6L, "h3", "/x")        // DUPLICATE row: multiplicity preserved
     ).toDF("doc_id", "host", "path")
-    val out = Robots.gate(urls, rules, "doc_id", "host", "path")
+    val out = Robots.gate(urls, rules, "host", "path")
       .orderBy("doc_id")
       .select("doc_id", "allowed", "matched_prefix")
       .as[(Long, Boolean, String)].collect().toSeq
     assert(out == Seq(
       (1L, false, "/a"), (2L, true, "/a/b"), (3L, true, "/tie"),
-      (4L, true, ""), (5L, false, "/"), (6L, true, "")))
+      (4L, true, ""), (5L, false, "/"), (6L, true, ""), (6L, true, "")))
   }
 
   test("rules seam emits a hosts-sized table and skips null hosts") {

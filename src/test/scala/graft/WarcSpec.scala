@@ -75,6 +75,16 @@ class WarcSpec extends SparkSpec {
     // non-HTTP payload → null status
     assert(row("HTTP/1.1 200 OK\r\nHalf: header") == ((Some(200L), "", "")))
     assert(row("GIF89a binary stuff") == ((None, "", "")))
+    // malformed status tokens must NOT truncate into plausible codes;
+    // a reason-less status line is still valid
+    assert(row("HTTP/1.1 9999 Weird\r\n\r\nb")._1.isEmpty)
+    assert(row("HTTP/1.1 2000\r\n\r\nb")._1.isEmpty)
+    assert(row("HTTP/1.1 204\r\n\r\n") == ((Some(204L), "", "")))
+    // NULL payload: header lookup answers '' (absent), not null
+    val nullRow = Seq(Option.empty[String]).toDF("p").select(
+      Warc.httpHeader(col("p"), "Content-Type").as("ct"),
+      Warc.httpBody(col("p")).as("b")).head()
+    assert(nullRow.getString(0) == "" && nullRow.getString(1) == "")
   }
 
   test("records seam parses the synthetic fixture and composes with extraction") {

@@ -51,7 +51,7 @@ class WebPipelineSpec extends SparkSpec {
       "User-agent: *\nDisallow: /private\n")).toDF("host", "txt")
     val gated = Robots.gate(docs,
       Robots.rules(robots, "host", "txt", "graftbot").toDF(),
-      "id", "host", "path")
+      "host", "path")
     assert(gated.filter(!col("allowed")).select("id").as[Long]
       .collect().toSeq == Seq(2L), "robots must block exactly /private/2")
 
