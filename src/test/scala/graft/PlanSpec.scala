@@ -407,6 +407,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("robots gate joins broadcast and never shuffles the corpus") {
+    // the per-host rules arrays must reach the URL side as broadcasts;
+    // the only exchange allowed is the display sort's range partition
+    val plan = finalPlan(q("q157_robots_gate"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"rules must broadcast:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"),
+      s"gate must not shuffle-join:\n${plan.take(2000)}")
+  }
+
   test("line dedup broadcasts the hot-line set") {
     // the df-bounded hot table must reach the corpus-side join as a
     // broadcast — a shuffled membership join re-keys the whole corpus
