@@ -2064,6 +2064,69 @@ object SparkEntry {
         .orderBy("doc_id", "loc_idx")
     }),
 
+    // charset-aware body decode: the fixture bodies are REAL
+    // ISO-8859-1 (accented chars as single high bytes — invalid
+    // UTF-8), declared in their Content-Type; the decoder must honor
+    // the declaration to round-trip the text, and a UTF-8-assuming
+    // cast would hash-mismatch on every row
+    "q159_warc_charset" -> ((s, dir) => {
+      import s.implicits._
+      val segs = t(s, dir, "documents").where(col("doc_id").isNotNull)
+        .select(col("doc_id")).as[Long]
+        .map(id => (id, graft.corpus.Warc.syntheticLatin1Warc(id)))
+        .toDF("id", "content")
+      graft.corpus.Warc.records(segs).toDF()
+        .select(col("id"), col("payload")).as[(Long, Array[Byte])]
+        .map { case (id, p) =>
+          (id, graft.corpus.Warc.decodeHttpBody(p)) }
+        .toDF("id", "body")
+        .select(col("id"),
+          graft.operators.Scrub.htmlToText(col("body")).as("__t"))
+        .select(col("id"), col("__t").as("text"),
+          length(col("__t")).cast("long").as("n_chars"),
+          md5(col("__t")).as("text_md5"))
+        .orderBy("id")
+    }),
+
+    // page metadata extraction (the curation signals a page carries
+    // about ITSELF): entity-decoded title, meta description in BOTH
+    // attribute orders (alternating by parity), the page's own
+    // canonical URL fed through the normalizer, the html lang claim,
+    // and the robots-noindex flag — all closed-form
+    "q160_html_meta" -> ((s, dir) => {
+      val d = col("doc_id")
+      val desc = concat(lit("Desc &quot;"), (d % 9).cast("string"),
+        lit("&quot;"))
+      val metaDesc = when(d % 2 === 0,
+        concat(lit("<meta name=\"description\" content=\""), desc,
+          lit("\">")))
+        .otherwise(concat(lit("<meta content=\""), desc,
+          lit("\" name=\"description\">")))
+      val html = concat(
+        lit("<!DOCTYPE html><html lang=\"en-US\"><head><title> Doc " +
+          "&amp; Title "),
+        d.cast("string"),
+        lit(" </title>"), metaDesc,
+        lit("<link rel=\"canonical\" href=\"HTTP://Site"),
+        (d % 7).cast("string"),
+        lit(".Example.com/c/"), d.cast("string"), lit("\">"),
+        when(d % 5 === 0,
+          lit("<meta name=\"robots\" content=\"noindex, nofollow\">"))
+          .otherwise(lit("")),
+        lit("</head><body><p>x</p></body></html>"))
+      t(s, dir, "documents").where(d.isNotNull)
+        .select(d,
+          graft.operators.Scrub.htmlTitle(html).as("title"),
+          graft.operators.Scrub.htmlMetaContent(html, "description")
+            .as("description"),
+          graft.operators.Urls.normalize(
+            graft.operators.Scrub.htmlCanonical(html))
+            .as("canonical_norm"),
+          graft.operators.Scrub.htmlLang(html).as("lang"),
+          graft.operators.Scrub.htmlNoindex(html).as("noindex"))
+        .orderBy("doc_id")
+    }),
+
     // REAL frame sampling: every 2nd frame decodes, the rest only walk
     // container headers (the bounded-decode-cost shape of a 100 TB
     // video pipeline); frame_idx keeps the original index, and the
@@ -5209,6 +5272,31 @@ object SparkEntry {
         |      '.example.com/q?a=1&b=' || CAST(doc_id % 5 AS VARCHAR)
         |  FROM documents WHERE doc_id IS NOT NULL)
         |ORDER BY doc_id, loc_idx""".stripMargin,
+
+    // the decoded latin-1 text predicted verbatim (both engines count
+    // codepoints and hash UTF-8 bytes)
+    "q159_warc_charset" ->
+      """SELECT doc_id AS id,
+        |  'Café naïve ' || CAST(doc_id AS VARCHAR) AS text,
+        |  CAST(length('Café naïve ' || CAST(doc_id AS VARCHAR))
+        |    AS BIGINT) AS n_chars,
+        |  md5('Café naïve ' || CAST(doc_id AS VARCHAR)) AS text_md5
+        |FROM documents WHERE doc_id IS NOT NULL ORDER BY id""".stripMargin,
+
+    // every metadata field in closed form; description is identical
+    // for both attribute orders, so the parity split gates both match
+    // branches
+    "q160_html_meta" ->
+      """SELECT doc_id,
+        |  'Doc & Title ' || CAST(doc_id AS VARCHAR) AS title,
+        |  'Desc "' || CAST(doc_id % 9 AS VARCHAR) || '"' AS description,
+        |  'http://site' || CAST(doc_id % 7 AS VARCHAR) ||
+        |    '.example.com/c/' || CAST(doc_id AS VARCHAR)
+        |    AS canonical_norm,
+        |  'en-us' AS lang,
+        |  doc_id % 5 = 0 AS noindex
+        |FROM documents WHERE doc_id IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
 
     // q144's semantics restricted to the sampled frames
     "q146_mm_frame_sample" ->

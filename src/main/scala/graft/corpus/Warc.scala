@@ -165,6 +165,64 @@ object Warc {
       regexp_replace(payload, "(?s)^.*?\\r\\n\\r\\n", ""))
       .otherwise(lit(""))
 
+  /** HTTP body decoded by the response's OWN declared charset (the
+    * `charset=` parameter of `Content-Type`; UTF-8 when absent or
+    * unsupported) with malformed bytes replaced, never thrown — the
+    * honest version of `payload.cast("string")`, which silently reads
+    * every legacy-encoded page as UTF-8 mojibake. A real crawl is full
+    * of ISO-8859-1/windows-1252 content; the transcode has to happen
+    * HERE, before any text operator hashes the bytes. '' for null
+    * payloads and for responses with no header/body split (headers
+    * must never reach the text pipeline).
+    */
+  def decodeHttpBody(payload: Array[Byte]): String = {
+    if (payload == null) return ""
+    var i = 0
+    var split = -1
+    while (split < 0 && i + 3 < payload.length) {
+      if (payload(i) == '\r' && payload(i + 1) == '\n' &&
+        payload(i + 2) == '\r' && payload(i + 3) == '\n') split = i
+      i += 1
+    }
+    if (split < 0) return ""
+    val headers = new String(payload, 0, split, "US-ASCII")
+    val m = java.util.regex.Pattern
+      .compile("(?im)^content-type:[^\\r\\n]*charset=\"?([A-Za-z0-9_.:-]+)\"?")
+      .matcher(headers)
+    val cs =
+      try {
+        val name = if (m.find()) m.group(1) else "UTF-8"
+        if (java.nio.charset.Charset.isSupported(name))
+          java.nio.charset.Charset.forName(name)
+        else java.nio.charset.StandardCharsets.UTF_8
+      } catch { case scala.util.control.NonFatal(_) =>
+        java.nio.charset.StandardCharsets.UTF_8 }
+    cs.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+      .decode(java.nio.ByteBuffer.wrap(payload, split + 4,
+        payload.length - split - 4))
+      .toString
+  }
+
+  /** [[syntheticHttpWarc]]'s legacy-encoding twin: the body is REAL
+    * ISO-8859-1 (accented characters as single high bytes that are
+    * INVALID UTF-8), declared in the Content-Type header — a decoder
+    * that ignores the declaration cannot round-trip it.
+    */
+  def syntheticLatin1Warc(id: Long): Array[Byte] = {
+    val html = s"<html><body><p>Café naïve $id</p></body></html>"
+    val htmlBytes = html.getBytes("ISO-8859-1")
+    val httpHead = ("HTTP/1.1 200 OK\r\nContent-Type: text/html; " +
+      s"charset=iso-8859-1\r\nContent-Length: ${htmlBytes.length}\r\n\r\n")
+      .getBytes("US-ASCII")
+    val warcHead = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      s"WARC-Target-URI: http://site${id % 7}.example.com/l1/$id\r\n" +
+      s"Content-Length: ${httpHead.length + htmlBytes.length}\r\n\r\n")
+      .getBytes("US-ASCII")
+    warcHead ++ httpHead ++ htmlBytes ++ "\r\n\r\n".getBytes("US-ASCII")
+  }
+
   /** Closed-form WARC segment whose response payloads are REAL HTTP
     * responses wrapping the caller's HTML — the full crawl-archive
     * shape (WARC framing → HTTP response → markup) for the

@@ -212,6 +212,57 @@ object Scrub {
     regexp_replace(c, "^[ \\n]+|[ \\n]+$", "")
   }
 
+  /** `<title>` text, entity-decoded and whitespace-collapsed — the
+    * strongest single curation signal a page carries besides its body.
+    * '' when absent.
+    */
+  def htmlTitle(html: Column): Column =
+    trim(regexp_replace(decodeEntities(
+      regexp_extract(html, "(?is)<title[^>]*>(.*?)</title>", 1),
+      Seq("&nbsp;" -> " ", "&#39;" -> "'")),
+      "[ \\t\\n\\x0B\\f\\r]+", " "))
+
+  /** Content of `<meta name="…" content="…">` (case-insensitive name,
+    * either attribute order), entity-decoded; '' when absent. `name`
+    * must be a literal attribute value (letters, digits, hyphens,
+    * dots), not a regex.
+    */
+  def htmlMetaContent(html: Column, name: String): Column = {
+    require(name.matches("[A-Za-z0-9.-]+"), s"not a meta name: $name")
+    val fwd = regexp_extract(html,
+      s"""(?is)<meta\\s[^>]*name="$name"[^>]*content="([^"]*)"""", 1)
+    val rev = regexp_extract(html,
+      s"""(?is)<meta\\s[^>]*content="([^"]*)"[^>]*name="$name"""", 1)
+    decodeEntities(when(fwd =!= "", fwd).otherwise(rev),
+      Seq("&nbsp;" -> " ", "&#39;" -> "'"))
+  }
+
+  /** The `<link rel="canonical">` target — the page's OWN statement of
+    * its canonical URL, which a crawl dedup trusts above any
+    * normalization heuristic when present. '' when absent.
+    */
+  def htmlCanonical(html: Column): Column = {
+    val fwd = regexp_extract(html,
+      "(?is)<link\\s[^>]*rel=\"canonical\"[^>]*href=\"([^\"]*)\"", 1)
+    val rev = regexp_extract(html,
+      "(?is)<link\\s[^>]*href=\"([^\"]*)\"[^>]*rel=\"canonical\"", 1)
+    when(fwd =!= "", fwd).otherwise(rev)
+  }
+
+  /** The `lang` attribute of the `<html>` tag, lowercased ('' when
+    * absent) — the author's own language claim, checked against
+    * langid/scriptProfile rather than trusted blindly.
+    */
+  def htmlLang(html: Column): Column =
+    lower(regexp_extract(html, "(?is)<html\\s[^>]*lang=\"([^\"]*)\"", 1))
+
+  /** True when a robots meta tag declares `noindex` — pages that ask
+    * to stay out of indexes generally also don't belong in a training
+    * corpus.
+    */
+  def htmlNoindex(html: Column): Column =
+    htmlMetaContent(html, "robots").rlike("(?i)(^|[, \\t])noindex($|[, \\t])")
+
   /** Single-pass markup-entity decode shared by [[htmlToText]] and
     * [[graft.operators.Urls.extractSitemapLocs]]: the base
     * `&lt;/&gt;/&quot;` trio, then each caller's `extra` entities,

@@ -77,6 +77,30 @@ class ScrubSamplingSpec extends SparkSpec {
     assert(x("<p>a\n\n\tb</p>") == "a\nb")
   }
 
+  test("html metadata: title, meta orders, canonical, lang, noindex") {
+    def m(h: String): (String, String, String, String, Boolean) = {
+      val r = Seq(h).toDF("h").select(
+        Scrub.htmlTitle(col("h")), Scrub.htmlMetaContent(col("h"),
+          "description"), Scrub.htmlCanonical(col("h")),
+        Scrub.htmlLang(col("h")), Scrub.htmlNoindex(col("h"))).head()
+      (r.getString(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getBoolean(4))
+    }
+    // entity decode + whitespace collapse in the title; BOTH meta
+    // attribute orders; canonical in reverse attribute order too
+    assert(m("""<html lang="EN"><title> A &amp;  B </title>""" +
+      """<meta content="d1" name="description">""" +
+      """<link href="http://c.com/x" rel="canonical"></html>""")
+      == (("A & B", "d1", "http://c.com/x", "en", false)))
+    assert(m("""<meta name="description" content="d2">""")
+      == (("", "d2", "", "", false)))
+    // noindex needs a token boundary: 'noindexing' is not noindex
+    assert(m("""<meta name="robots" content="noindex, nofollow">""")._5)
+    assert(m("""<meta name="robots" content="noindexing">""")._5 == false)
+    assert(m("""<meta name="robots" content="nofollow,noindex">""")._5)
+    assert(m("plain text, no markup") == (("", "", "", "", false)))
+  }
+
   test("c4Clean applies each published line and page rule") {
     val docs = Seq(
       // clean page: three proper sentences survive, page kept

@@ -87,6 +87,28 @@ class WarcSpec extends SparkSpec {
     assert(nullRow.getString(0) == "" && nullRow.getString(1) == "")
   }
 
+  test("decodeHttpBody honors the declared charset and degrades safely") {
+    def p(head: String, bodyBytes: Array[Byte]): Array[Byte] =
+      (head + "\r\n\r\n").getBytes("US-ASCII") ++ bodyBytes
+    // declared latin-1: 0xE9 is é there and INVALID UTF-8 — only a
+    // declaration-honoring decoder round-trips it
+    val latin = p("HTTP/1.1 200 OK\r\nContent-Type: text/html; " +
+      "charset=iso-8859-1", "Café".getBytes("ISO-8859-1"))
+    assert(Warc.decodeHttpBody(latin) == "Café")
+    // no charset declared → UTF-8
+    assert(Warc.decodeHttpBody(p("HTTP/1.1 200 OK",
+      "Café".getBytes("UTF-8"))) == "Café")
+    // unsupported charset name → UTF-8 fallback, not a throw
+    assert(Warc.decodeHttpBody(p("HTTP/1.1 200 OK\r\nContent-Type: " +
+      "text/html; charset=not-a-charset", "ok".getBytes("UTF-8"))) == "ok")
+    // invalid bytes under the chosen charset → replacement, not a throw
+    assert(Warc.decodeHttpBody(p("HTTP/1.1 200 OK",
+      Array(0xE9.toByte))) == "�")
+    // no header/body split, and null → ''
+    assert(Warc.decodeHttpBody("no split here".getBytes("US-ASCII")) == "")
+    assert(Warc.decodeHttpBody(null) == "")
+  }
+
   test("records seam parses the synthetic fixture and composes with extraction") {
     val segs = Seq(7L, 8L).toDF("id")
       .as[Long].map(id => (id, Warc.syntheticWarc(id)))
