@@ -31,6 +31,10 @@ object Warc {
 
   private val Magic = "WARC/1.0\r\n".getBytes("US-ASCII")
 
+  // hoisted: per-record cost is matcher(), not a fresh NFA build
+  private val CharsetRe = java.util.regex.Pattern
+    .compile("(?im)^content-type:[^\\r\\n]*charset=\"?([A-Za-z0-9_.:-]+)\"?")
+
   /** Parse one WARC segment: records until the bytes stop conforming
     * (truncated payload, missing Content-Length, malformed header
     * line, wrong magic). Header names are case-insensitive per spec;
@@ -186,9 +190,7 @@ object Warc {
     }
     if (split < 0) return ""
     val headers = new String(payload, 0, split, "US-ASCII")
-    val m = java.util.regex.Pattern
-      .compile("(?im)^content-type:[^\\r\\n]*charset=\"?([A-Za-z0-9_.:-]+)\"?")
-      .matcher(headers)
+    val m = CharsetRe.matcher(headers)
     val cs =
       try {
         val name = if (m.find()) m.group(1) else "UTF-8"

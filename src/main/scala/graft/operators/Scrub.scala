@@ -224,16 +224,24 @@ object Scrub {
 
   /** Content of `<meta name="…" content="…">` (case-insensitive name,
     * either attribute order), entity-decoded; '' when absent. `name`
-    * must be a literal attribute value (letters, digits, hyphens,
-    * dots), not a regex.
+    * is a literal attribute value (letters, digits, `.:_-` — colons
+    * included for the og:/twitter: namespaces), regex-quoted before
+    * interpolation. Attribute names are whitespace-anchored so
+    * `data-name=`/`data-content=` never match, and order dispatch
+    * tests the PATTERN (not the captured value), so an explicit empty
+    * `content=""` stays empty instead of falling through to a later
+    * reversed-order tag.
     */
   def htmlMetaContent(html: Column, name: String): Column = {
-    require(name.matches("[A-Za-z0-9.-]+"), s"not a meta name: $name")
-    val fwd = regexp_extract(html,
-      s"""(?is)<meta\\s[^>]*name="$name"[^>]*content="([^"]*)"""", 1)
-    val rev = regexp_extract(html,
-      s"""(?is)<meta\\s[^>]*content="([^"]*)"[^>]*name="$name"""", 1)
-    decodeEntities(when(fwd =!= "", fwd).otherwise(rev),
+    require(name.matches("[A-Za-z0-9.:_-]+"), s"not a meta name: $name")
+    val q = java.util.regex.Pattern.quote(name)
+    val fwdPat =
+      s"""(?is)<meta(?:\\s[^>]*)?\\sname="$q"[^>]*\\scontent="([^"]*)""""
+    val revPat =
+      s"""(?is)<meta(?:\\s[^>]*)?\\scontent="([^"]*)"[^>]*\\sname="$q""""
+    decodeEntities(
+      when(html.rlike(fwdPat), regexp_extract(html, fwdPat, 1))
+        .otherwise(regexp_extract(html, revPat, 1)),
       Seq("&nbsp;" -> " ", "&#39;" -> "'"))
   }
 
@@ -242,11 +250,12 @@ object Scrub {
     * normalization heuristic when present. '' when absent.
     */
   def htmlCanonical(html: Column): Column = {
-    val fwd = regexp_extract(html,
-      "(?is)<link\\s[^>]*rel=\"canonical\"[^>]*href=\"([^\"]*)\"", 1)
-    val rev = regexp_extract(html,
-      "(?is)<link\\s[^>]*href=\"([^\"]*)\"[^>]*rel=\"canonical\"", 1)
-    when(fwd =!= "", fwd).otherwise(rev)
+    val fwdPat =
+      "(?is)<link(?:\\s[^>]*)?\\srel=\"canonical\"[^>]*\\shref=\"([^\"]*)\""
+    val revPat =
+      "(?is)<link(?:\\s[^>]*)?\\shref=\"([^\"]*)\"[^>]*\\srel=\"canonical\""
+    when(html.rlike(fwdPat), regexp_extract(html, fwdPat, 1))
+      .otherwise(regexp_extract(html, revPat, 1))
   }
 
   /** The `lang` attribute of the `<html>` tag, lowercased ('' when
@@ -254,14 +263,17 @@ object Scrub {
     * langid/scriptProfile rather than trusted blindly.
     */
   def htmlLang(html: Column): Column =
-    lower(regexp_extract(html, "(?is)<html\\s[^>]*lang=\"([^\"]*)\"", 1))
+    lower(regexp_extract(html,
+      "(?is)<html(?:\\s[^>]*)?\\slang=\"([^\"]*)\"", 1))
 
   /** True when a robots meta tag declares `noindex` — pages that ask
     * to stay out of indexes generally also don't belong in a training
     * corpus.
     */
   def htmlNoindex(html: Column): Column =
-    htmlMetaContent(html, "robots").rlike("(?i)(^|[, \\t])noindex($|[, \\t])")
+    htmlMetaContent(html, "robots")
+      .rlike("(?i)(^|[, \\t\\n\\x0B\\f\\r])noindex" +
+        "($|[, \\t\\n\\x0B\\f\\r])")
 
   /** Single-pass markup-entity decode shared by [[htmlToText]] and
     * [[graft.operators.Urls.extractSitemapLocs]]: the base

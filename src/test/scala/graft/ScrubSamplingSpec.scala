@@ -94,11 +94,27 @@ class ScrubSamplingSpec extends SparkSpec {
       == (("A & B", "d1", "http://c.com/x", "en", false)))
     assert(m("""<meta name="description" content="d2">""")
       == (("", "d2", "", "", false)))
-    // noindex needs a token boundary: 'noindexing' is not noindex
+    // noindex needs a token boundary: 'noindexing' is not noindex —
+    // but a newline-wrapped attribute value still counts
     assert(m("""<meta name="robots" content="noindex, nofollow">""")._5)
     assert(m("""<meta name="robots" content="noindexing">""")._5 == false)
     assert(m("""<meta name="robots" content="nofollow,noindex">""")._5)
+    assert(m("<meta name=\"robots\" content=\"nofollow,\nnoindex\">")._5)
     assert(m("plain text, no markup") == (("", "", "", "", false)))
+    // an explicit EMPTY content="" is the page's answer — it must not
+    // fall through to a later reversed-order tag
+    assert(m("""<meta name="description" content="">""" +
+      """<meta content="spam" name="description">""")._2 == "")
+    // data-* attributes are not the attributes they suffix
+    assert(m("""<html data-lang="xx"><meta data-name="robots" """ +
+      """content="noindex">""") == (("", "", "", "", false)))
+    // og:-style namespaced names work (and dots stay literal)
+    assert(Seq("""<meta name="og:title" content="t1">""").toDF("h")
+      .select(Scrub.htmlMetaContent(col("h"), "og:title")).head()
+      .getString(0) == "t1")
+    assert(Seq("""<meta name="aXb" content="w">""").toDF("h")
+      .select(Scrub.htmlMetaContent(col("h"), "a.b")).head()
+      .getString(0) == "")
   }
 
   test("c4Clean applies each published line and page rule") {
