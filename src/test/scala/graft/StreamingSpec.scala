@@ -399,6 +399,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming frontier: URLs canonicalize and robots-gate at ingest") {
+    // the crawl-frontier shape: a stream of discovered URLs meets a
+    // STATIC broadcast rules table — canonicalization and the
+    // higher-order longest-match are pure projections/broadcast joins,
+    // so the whole gate is streaming-legal with no state store
+    val robots = Seq(("a.com", "User-agent: *\nDisallow: /private\n" +
+      "Allow: /private/ok\n")).toDF("host", "txt")
+    val rules = graft.operators.Robots
+      .rules(robots, "host", "txt", "bot").toDF()
+    val input = MemoryStream[(Long, String)](spark)
+    val urls = input.toDF()
+      .select(col("_1").as("id"),
+        graft.operators.Urls.normalize(col("_2")).as("url"))
+      .select(col("id"), col("url"),
+        graft.operators.Urls.host(col("url")).as("host"),
+        regexp_extract(col("url"), "://[^/]*(/.*)$", 1).as("path"))
+    val q = graft.operators.Robots.gate(urls, rules, "host", "path")
+      .select("id", "url", "allowed")
+      .writeStream.format("memory").queryName("frontier")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "HTTP://WWW.A.com/private/x?utm_source=z"),
+        (2L, "http://a.com/private/ok/y"),
+        (3L, "https://b.com/free"))
+      q.processAllAvailable()
+      val out = spark.table("frontier")
+        .as[(Long, String, Boolean)].collect().sortBy(_._1).toSeq
+      assert(out == Seq(
+        (1L, "http://a.com/private/x", false),
+        (2L, "http://a.com/private/ok/y", true),
+        (3L, "https://b.com/free", true)), s"got $out")
+    } finally q.stop()
+  }
+
   test("streaming html stage extracts markup before the dedup state key") {
     // docs 1 and 2 differ only in MARKUP: with html on, both extract to
     // the same text, so the exact-dedup state key collides and doc 2
