@@ -334,6 +334,27 @@ object ScaleBench {
         graft.corpus.Warc.records(segs)
           .write.format("noop").mode("overwrite").save()
       }
+      // robots gate over a 50k-URL frontier against 7 hosts' rules:
+      // broadcast rules arrays + per-row higher-order longest-match —
+      // the wall should be scan-sized (no shuffle, no aggregation)
+      time(s"robots_gate_10x $round") {
+        import spark.implicits._
+        val robots = (0 until 7).map(h => (s"site$h.example.com",
+          "User-agent: *\nDisallow: /private\nAllow: /private/ok\n"))
+          .toDF("host", "txt")
+        val rules = graft.operators.Robots
+          .rules(robots, "host", "txt", "bot").toDF()
+        val urls = docs.where(col("doc_id").isNotNull)
+          .select(col("doc_id"),
+            concat(lit("site"), (col("doc_id") % 7).cast("string"),
+              lit(".example.com")).as("host"),
+            concat(when(col("doc_id") % 3 === 0, lit("/private/"))
+              .when(col("doc_id") % 3 === 1, lit("/private/ok/"))
+              .otherwise(lit("/p/")),
+              col("doc_id").cast("string")).as("path"))
+        graft.operators.Robots.gate(urls, rules, "host", "path")
+          .write.format("noop").mode("overwrite").save()
+      }
     }
     // multimodal decode throughput at 50k assets: full frame decode vs
     // every-4th sampling (the bounded-decode-cost knob) — fixture
