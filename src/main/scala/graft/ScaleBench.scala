@@ -334,6 +334,18 @@ object ScaleBench {
         graft.corpus.Warc.records(segs)
           .write.format("noop").mode("overwrite").save()
       }
+      // the same walk over the .warc.gz wire format (a gzip member per
+      // record): the delta against warc_parse_10x is the inflate cost,
+      // which at a real crawl is the price of reading Common Crawl at all
+      time(s"warc_gz_parse_10x $round") {
+        import spark.implicits._
+        val segs = docs.where(col("doc_id").isNotNull)
+          .select(col("doc_id")).as[Long]
+          .map(id => (id, graft.corpus.Warc.syntheticWarcGz(id)))
+          .toDF("id", "content")
+        graft.corpus.Warc.records(segs)
+          .write.format("noop").mode("overwrite").save()
+      }
       // robots gate over a 50k-URL frontier against 7 hosts' rules:
       // broadcast rules arrays + per-row higher-order longest-match —
       // the wall should be scan-sized (no shuffle, no aggregation)

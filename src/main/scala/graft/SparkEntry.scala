@@ -1967,6 +1967,24 @@ object SparkEntry {
         .orderBy("id", "rec_idx")
     }),
 
+    // the SAME record walk over Common Crawl's real wire format: every
+    // record gzip-compressed as its own member (.warc.gz layout),
+    // members concatenated per segment. The oracle is q155's — the
+    // reader must inflate member-by-member and recover byte-identical
+    // framing, or every length and payload md5 mismatches
+    "q161_warc_gz_records" -> ((s, dir) => {
+      import s.implicits._
+      val segs = t(s, dir, "documents").where(col("doc_id").isNotNull)
+        .select(col("doc_id")).as[Long]
+        .map(id => (id, graft.corpus.Warc.syntheticWarcGz(id)))
+        .toDF("id", "content")
+      graft.corpus.Warc.records(segs).toDF()
+        .select(col("id"), col("rec_idx"), col("warc_type"),
+          col("target_uri"), col("content_length"),
+          md5(col("payload")).as("payload_md5"))
+        .orderBy("id", "rec_idx")
+    }),
+
     // the FULL crawl ingestion chain, end to end: WARC framing → HTTP
     // response (status line, headers, blank line) → HTML body → text
     // extraction. Every hop is gated at once — the oracle predicts the
@@ -5205,6 +5223,32 @@ object SparkEntry {
     // id%3+1 response rows with the synthetic URI and payload rebuilt
     // verbatim (length and md5 over the same ASCII bytes)
     "q155_warc_records" ->
+      """WITH info AS (
+        |  SELECT doc_id AS id, CAST(0 AS BIGINT) AS rec_idx,
+        |    'warcinfo' AS warc_type, '' AS target_uri,
+        |    'software: graft/1.0' AS payload
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |resp AS (
+        |  SELECT doc_id AS id, CAST(r + 1 AS BIGINT) AS rec_idx,
+        |    'response' AS warc_type,
+        |    'http://site' || CAST((doc_id + r) % 7 AS VARCHAR) ||
+        |      '.example.com/page/' || CAST(doc_id AS VARCHAR) || '-' ||
+        |      CAST(r AS VARCHAR) AS target_uri,
+        |    'payload ' || CAST(doc_id AS VARCHAR) || ' ' ||
+        |      CAST(r AS VARCHAR) || ' ' ||
+        |      repeat('a', CAST((doc_id + r) % 23 AS INT)) AS payload
+        |  FROM documents, unnest(generate_series(0, doc_id % 3)) AS u(r)
+        |  WHERE doc_id IS NOT NULL),
+        |allr AS (SELECT * FROM info UNION ALL SELECT * FROM resp)
+        |SELECT id, rec_idx, warc_type, target_uri,
+        |  CAST(length(payload) AS BIGINT) AS content_length,
+        |  md5(payload) AS payload_md5
+        |FROM allr ORDER BY id, rec_idx""".stripMargin,
+
+    // gzip is framing, not content: after member-per-record inflation
+    // the record stream is byte-identical to q155's, so the oracle is
+    // the same id-derived rebuild
+    "q161_warc_gz_records" ->
       """WITH info AS (
         |  SELECT doc_id AS id, CAST(0 AS BIGINT) AS rec_idx,
         |    'warcinfo' AS warc_type, '' AS target_uri,

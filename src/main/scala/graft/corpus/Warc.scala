@@ -110,9 +110,100 @@ object Warc {
     -1
   }
 
+  /** Does the segment start with the gzip magic? Real Common Crawl
+    * ships `.warc.gz` where EVERY record is its own gzip member
+    * (concatenated members per the WARC 1.1 annex), so gzip-vs-plain
+    * is a per-segment property detectable from the first two bytes.
+    */
+  def isGzip(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length >= 2 &&
+      (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b
+
+  /** End offset of the gzip member header starting at `pos`, honoring
+    * the RFC 1952 optional fields (FEXTRA/FNAME/FCOMMENT/FHCRC); -1
+    * when the header is malformed or truncated.
+    */
+  private def gzipHeaderEnd(b: Array[Byte], pos: Int): Int = {
+    if (pos + 10 > b.length) return -1
+    if ((b(pos + 2) & 0xff) != 8) return -1 // CM: deflate only
+    val flg = b(pos + 3) & 0xff
+    var i = pos + 10
+    if ((flg & 0x04) != 0) { // FEXTRA: 2-byte little-endian length
+      if (i + 2 > b.length) return -1
+      i += 2 + ((b(i) & 0xff) | ((b(i + 1) & 0xff) << 8))
+      if (i > b.length) return -1
+    }
+    if ((flg & 0x08) != 0) { // FNAME: zero-terminated
+      while (i < b.length && b(i) != 0) i += 1
+      if (i >= b.length) return -1
+      i += 1
+    }
+    if ((flg & 0x10) != 0) { // FCOMMENT: zero-terminated
+      while (i < b.length && b(i) != 0) i += 1
+      if (i >= b.length) return -1
+      i += 1
+    }
+    if ((flg & 0x02) != 0) { // FHCRC: 2 bytes
+      i += 2
+      if (i > b.length) return -1
+    }
+    i
+  }
+
+  /** Inflate a run of concatenated gzip members into one buffer —
+    * Common Crawl's member-per-record layout concatenates to exactly
+    * the plain WARC byte stream, so [[parseRecords]] runs unchanged on
+    * the result. SALVAGE semantics, matching the plain parser's: a
+    * truncated or corrupt member ends the walk AFTER the members
+    * already inflated (never a partition-killing throw), and a member
+    * whose deflate stream completed but whose 8-byte CRC/ISIZE trailer
+    * was cut off still contributes its payload. Members are walked one
+    * at a time with `Inflater(nowrap)` + explicit RFC 1952 header
+    * parsing because `GZIPInputStream` buffers ahead and cannot report
+    * the exact compressed extent of the member it just finished.
+    */
+  def gunzipMembers(bytes: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](16384)
+    var pos = 0
+    var ok = true
+    while (ok && pos + 2 <= bytes.length &&
+           (bytes(pos) & 0xff) == 0x1f && (bytes(pos + 1) & 0xff) == 0x8b) {
+      val dataStart = gzipHeaderEnd(bytes, pos)
+      if (dataStart < 0) ok = false
+      else {
+        val inf = new java.util.zip.Inflater(true)
+        inf.setInput(bytes, dataStart, bytes.length - dataStart)
+        val member = new java.io.ByteArrayOutputStream()
+        var truncated = false
+        while (!inf.finished() && !truncated) {
+          val n =
+            try inf.inflate(buf)
+            catch { case _: java.util.zip.DataFormatException =>
+              truncated = true; 0 }
+          if (n > 0) member.write(buf, 0, n)
+          else if (!inf.finished()) truncated = true // input exhausted
+        }
+        if (truncated) ok = false
+        else {
+          out.write(member.toByteArray)
+          // skip the CRC32+ISIZE trailer; a cut-off trailer means the
+          // archive ends here, but the member's payload was complete
+          pos = dataStart + inf.getBytesRead.toInt + 8
+          if (pos > bytes.length) ok = false
+        }
+        inf.end()
+      }
+    }
+    out.toByteArray
+  }
+
   /** Columnar seam: `segments(id, content)` → one row per parsed
     * record. Pure per-row flatMap — no shuffle; the record fan-out is
-    * bounded by the segment's own size.
+    * bounded by the segment's own size. Gzipped segments (`.warc.gz`,
+    * a gzip member per record — the format every real Common Crawl
+    * archive ships in) are detected by magic and inflated first; plain
+    * and gzipped segments can coexist in one DataFrame.
     */
   def records(segments: DataFrame): Dataset[WarcRec] = {
     val spark = segments.sparkSession
@@ -120,7 +211,8 @@ object Warc {
     segments.select("id", "content").as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
         val parsed =
-          try parseRecords(bytes)
+          try parseRecords(if (isGzip(bytes)) gunzipMembers(bytes)
+                           else bytes)
           catch { case scala.util.control.NonFatal(_) => Seq.empty }
         parsed.iterator.map { case (i, t, u, n, p) =>
           WarcRec(id, i, t, u, n, p) }
@@ -251,9 +343,15 @@ object Warc {
     * with deterministic URIs and payload text the oracle re-derives
     * from the id alone.
     */
-  def syntheticWarc(id: Long): Array[Byte] = {
-    val sb = new StringBuilder
-    def rec(tpe: String, uri: String, payload: String): Unit = {
+  def syntheticWarc(id: Long): Array[Byte] =
+    syntheticWarcRecords(id).reduce(_ ++ _)
+
+  /** [[syntheticWarc]] as one byte array PER RECORD — the unit of
+    * gzip-member compression in a real `.warc.gz`.
+    */
+  def syntheticWarcRecords(id: Long): Seq[Array[Byte]] = {
+    def rec(tpe: String, uri: String, payload: String): Array[Byte] = {
+      val sb = new StringBuilder
       sb.append("WARC/1.0\r\n")
       sb.append(s"WARC-Type: $tpe\r\n")
       if (uri.nonEmpty) sb.append(s"WARC-Target-URI: $uri\r\n")
@@ -262,15 +360,34 @@ object Warc {
       sb.append("\r\n")
       sb.append(payload)
       sb.append("\r\n\r\n")
+      sb.toString.getBytes("US-ASCII")
     }
-    rec("warcinfo", "", "software: graft/1.0")
+    val out = Seq.newBuilder[Array[Byte]]
+    out += rec("warcinfo", "", "software: graft/1.0")
     var r = 0L
     while (r <= id % 3) {
-      rec("response",
+      out += rec("response",
         s"http://site${(id + r) % 7}.example.com/page/$id-$r",
         s"payload $id $r " + "a" * ((id + r) % 23).toInt)
       r += 1
     }
-    sb.toString.getBytes("US-ASCII")
+    out.result()
   }
+
+  /** One gzip member over `bytes` (RFC 1952, deflate). */
+  def gzipMember(bytes: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(bytes); gz.close()
+    bos.toByteArray
+  }
+
+  /** [[syntheticWarc]] in Common Crawl's real wire format: each WARC
+    * record gzip-compressed as its own member, members concatenated —
+    * byte-for-byte the `.warc.gz` layout, so the q161 gate proves the
+    * reader handles the archives it was built for with the SAME
+    * closed-form oracle as the plain q155.
+    */
+  def syntheticWarcGz(id: Long): Array[Byte] =
+    syntheticWarcRecords(id).map(gzipMember).reduce(_ ++ _)
 }

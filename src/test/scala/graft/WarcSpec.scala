@@ -109,6 +109,48 @@ class WarcSpec extends SparkSpec {
     assert(Warc.decodeHttpBody(null) == "")
   }
 
+  test("gzipped segments: member-per-record inflation matches the plain parse") {
+    // the .warc.gz layout — every record its own gzip member — must
+    // round-trip to byte-identical records
+    for (id <- Seq(5L, 9L, 14L)) {
+      val plain = Warc.parseRecords(Warc.syntheticWarc(id))
+      val gz = Warc.parseRecords(Warc.gunzipMembers(Warc.syntheticWarcGz(id)))
+      assert(gz.map(r => (r._1, r._2, r._3, r._4)) ==
+        plain.map(r => (r._1, r._2, r._3, r._4)))
+      assert(gz.map(r => new String(r._5, "US-ASCII")) ==
+        plain.map(r => new String(r._5, "US-ASCII")))
+    }
+  }
+
+  test("gzip salvage: a truncated member degrades to the records inflated so far") {
+    val members = Warc.syntheticWarcRecords(8L).map(Warc.gzipMember)
+    val full = members.reduce(_ ++ _)
+    // cut the LAST member in half: the first three records survive
+    val cut = full.dropRight(members.last.length / 2 + 4)
+    val recs = Warc.parseRecords(Warc.gunzipMembers(cut))
+    assert(recs.length == members.length - 1)
+    // a member whose deflate data completed but whose 8-byte trailer
+    // was cut off still contributes its payload
+    val trailerCut = full.dropRight(3)
+    assert(Warc.parseRecords(Warc.gunzipMembers(trailerCut)).length ==
+      members.length)
+    // garbage after the magic → no members, no throw
+    assert(Warc.gunzipMembers(Array(0x1f.toByte, 0x8b.toByte, 0x00.toByte))
+      .isEmpty)
+  }
+
+  test("records seam handles mixed plain and gzipped segments in one frame") {
+    val segs = Seq(
+      (7L, Warc.syntheticWarc(7L)),        // plain
+      (8L, Warc.syntheticWarcGz(8L)))      // member-per-record gzip
+      .toDF("id", "content")
+    val recs = Warc.records(segs).collect().sortBy(r => (r.id, r.rec_idx))
+    assert(recs.count(_.id == 7L) == 3 && recs.count(_.id == 8L) == 4)
+    val r81 = recs.find(r => r.id == 8L && r.rec_idx == 1L).get
+    assert(r81.target_uri == "http://site1.example.com/page/8-0")
+    assert(new String(r81.payload, "US-ASCII") == "payload 8 0 " + "a" * 8)
+  }
+
   test("records seam parses the synthetic fixture and composes with extraction") {
     val segs = Seq(7L, 8L).toDF("id")
       .as[Long].map(id => (id, Warc.syntheticWarc(id)))
