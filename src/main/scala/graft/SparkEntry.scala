@@ -2028,11 +2028,14 @@ object SparkEntry {
           |User-agent: *
           |Disallow: /private
           |Allow: /private/ok
+          |Disallow: /*.tmp$
+          |Allow: /p*ok
           |Crawl-delay: 5
           |
           |User-agent: graftbot
           |User-agent: otherbot
           |Disallow: /bot-only
+          |Disallow: /*?sid=
           |""".stripMargin
       val robots = (0 until 7)
         .map(h => (s"site$h.example.com", robotsTxt)).toDF("host", "txt")
@@ -2041,10 +2044,23 @@ object SparkEntry {
         .select(d,
           concat(lit("site"), (d % 7).cast("string"),
             lit(".example.com")).as("host"),
-          concat(when(d % 4 === 0, lit("/private/ok/"))
-            .when(d % 4 === 1, lit("/private/"))
-            .when(d % 4 === 2, lit("/public/"))
-            .otherwise(lit("/bot-only/")), d.cast("string")).as("path"))
+          // seven path shapes exercising every §2.2.3 rule form:
+          // prefix allow-override (0/1), wildcard query disallow for
+          // the bot group only (2), $-anchored wildcard disallow (3),
+          // mid-path-star allow (4), $-discrimination non-match (5),
+          // bot-only literal prefix (6)
+          when(d % 7 === 0, concat(lit("/private/ok/"), d.cast("string")))
+            .when(d % 7 === 1, concat(lit("/private/"), d.cast("string")))
+            .when(d % 7 === 2, concat(lit("/public/"), d.cast("string"),
+              lit("?sid="), (d % 3).cast("string")))
+            .when(d % 7 === 3, concat(lit("/tmp/"), d.cast("string"),
+              lit(".tmp")))
+            .when(d % 7 === 4, concat(lit("/p/"), d.cast("string"),
+              lit("/ok")))
+            .when(d % 7 === 5, concat(lit("/t/"), d.cast("string"),
+              lit(".tmpx")))
+            .otherwise(concat(lit("/bot-only/"), d.cast("string")))
+            .as("path"))
       val star = graft.operators.Robots.gate(urls,
         graft.operators.Robots.rules(robots, "host", "txt", "crawler")
           .toDF(),
@@ -5287,18 +5303,30 @@ object SparkEntry {
     // decisions in closed form: '*' group disallows /private except
     // the longer /private/ok allow; the graftbot group sees ONLY its
     // own /bot-only rule (specific group replaces the wildcard)
+    // every decision predicted in closed form from doc_id % 7: the '*'
+    // group disallows case 1 (prefix) and case 3 ($-anchored wildcard,
+    // which must NOT catch case 5's '.tmpx'); the bot group — which
+    // REPLACES '*', so cases 1/3 come back allowed — disallows case 2
+    // (wildcard query rule) and case 6 (literal prefix)
     "q157_robots_gate" ->
       """SELECT doc_id,
         |  'site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS host,
-        |  CASE doc_id % 4
-        |    WHEN 0 THEN '/private/ok/' WHEN 1 THEN '/private/'
-        |    WHEN 2 THEN '/public/' ELSE '/bot-only/' END ||
-        |    CAST(doc_id AS VARCHAR) AS path,
-        |  doc_id % 4 <> 1 AS allowed_star,
-        |  CASE doc_id % 4 WHEN 0 THEN '/private/ok'
-        |    WHEN 1 THEN '/private' ELSE '' END AS prefix_star,
-        |  doc_id % 4 <> 3 AS allowed_bot,
-        |  CASE doc_id % 4 WHEN 3 THEN '/bot-only' ELSE '' END AS prefix_bot
+        |  CASE doc_id % 7
+        |    WHEN 0 THEN '/private/ok/' || CAST(doc_id AS VARCHAR)
+        |    WHEN 1 THEN '/private/' || CAST(doc_id AS VARCHAR)
+        |    WHEN 2 THEN '/public/' || CAST(doc_id AS VARCHAR) ||
+        |      '?sid=' || CAST(doc_id % 3 AS VARCHAR)
+        |    WHEN 3 THEN '/tmp/' || CAST(doc_id AS VARCHAR) || '.tmp'
+        |    WHEN 4 THEN '/p/' || CAST(doc_id AS VARCHAR) || '/ok'
+        |    WHEN 5 THEN '/t/' || CAST(doc_id AS VARCHAR) || '.tmpx'
+        |    ELSE '/bot-only/' || CAST(doc_id AS VARCHAR) END AS path,
+        |  doc_id % 7 NOT IN (1, 3) AS allowed_star,
+        |  CASE doc_id % 7 WHEN 0 THEN '/private/ok'
+        |    WHEN 1 THEN '/private' WHEN 3 THEN '/*.tmp$'
+        |    WHEN 4 THEN '/p*ok' ELSE '' END AS prefix_star,
+        |  doc_id % 7 NOT IN (2, 6) AS allowed_bot,
+        |  CASE doc_id % 7 WHEN 2 THEN '/*?sid='
+        |    WHEN 6 THEN '/bot-only' ELSE '' END AS prefix_bot
         |FROM documents WHERE doc_id IS NOT NULL
         |ORDER BY doc_id""".stripMargin,
 

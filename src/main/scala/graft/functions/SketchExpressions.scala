@@ -15,6 +15,39 @@ import org.apache.spark.unsafe.types.UTF8String
 object SketchKernels {
   private val Space = UTF8String.fromString(" ")
 
+  /** RFC 9309 §2.2.3 rule match — see [[graft.operators.Robots.matches]]
+    * for semantics. Iterative two-pointer glob with backtracking over
+    * the last `*` (O(|path|·|pattern|) worst case, linear on real
+    * rules) — no regex compilation per (URL, rule) pair.
+    */
+  def robotsMatchStr(path: String, pattern: String): Boolean = {
+    if (path == null || pattern == null) return false
+    val anchored = pattern.nonEmpty &&
+      pattern.charAt(pattern.length - 1) == '$'
+    // prefix semantics = full-glob semantics against pattern + '*'
+    val pat =
+      if (anchored) pattern.substring(0, pattern.length - 1)
+      else pattern + "*"
+    var si = 0
+    var pi = 0
+    var star = -1
+    var mark = 0
+    while (si < path.length) {
+      if (pi < pat.length && pat.charAt(pi) == '*') {
+        star = pi; mark = si; pi += 1
+      } else if (pi < pat.length && pat.charAt(pi) == path.charAt(si)) {
+        pi += 1; si += 1
+      } else if (star >= 0) {
+        pi = star + 1; mark += 1; si = mark
+      } else return false
+    }
+    while (pi < pat.length && pat.charAt(pi) == '*') pi += 1
+    pi == pat.length
+  }
+
+  def robotsMatch(path: UTF8String, pattern: UTF8String): Boolean =
+    robotsMatchStr(path.toString, pattern.toString)
+
   /** Word n-gram windows: max(1, len-n+1) windows for non-empty input
     * (the last possibly shorter than n when len < n), empty for empty
     * input; null elements are skipped inside a window — exactly
@@ -470,6 +503,33 @@ case class WinnowExpr(first: Expression, second: Expression,
 /** `graft_clean_text(str)` — native one-pass text canonicalization
   * (NFC + control strip + whitespace collapse + trim).
   */
+/** `graft_robots_match(path, pattern)` — RFC 9309 §2.2.3 rule match:
+  * `*` any sequence, trailing `$` end-anchor, otherwise prefix.
+  */
+case class RobotsMatchExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType | org.apache.spark.sql.types.NullType,
+            StringType | org.apache.spark.sql.types.NullType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (string, string)")
+    }
+  override def dataType: DataType =
+    org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "graft_robots_match"
+  override def nullSafeEval(path: Any, pat: Any): Any =
+    SketchKernels.robotsMatch(path.asInstanceOf[UTF8String],
+      pat.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (p, q) =>
+      s"graft.functions.SketchKernels.robotsMatch($p, $q)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): RobotsMatchExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 case class CleanTextExpr(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     // NullType admitted so a SQL-side untyped NULL resolves (evaluates

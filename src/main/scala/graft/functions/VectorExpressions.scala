@@ -192,6 +192,7 @@ object GraftFunctions {
   val SrpBucketName = "graft_srp_bucket"
   val CharNGramsName = "graft_char_ngrams"
   val CleanTextName = "graft_clean_text"
+  val RobotsMatchName = "graft_robots_match"
 
   private def unary(name: String, clazz: Class[_],
       mk: Expression => Expression)
@@ -226,6 +227,7 @@ object GraftFunctions {
     binary(SimHashName, classOf[SimHashExpr], SimHashExpr.apply),
     binary(SrpBucketName, classOf[SrpBucketExpr], SrpBucketExpr.apply),
     binary(CharNGramsName, classOf[CharNGramsExpr], CharNGramsExpr.apply),
+    binary(RobotsMatchName, classOf[RobotsMatchExpr], RobotsMatchExpr.apply),
     unary(CleanTextName, classOf[CleanTextExpr], CleanTextExpr.apply),
     ternary(WinnowName, classOf[WinnowExpr], WinnowExpr.apply))
 
@@ -258,6 +260,12 @@ object GraftFunctions {
   /** Native one-pass SimHash over token hashes (requires `register`). */
   def simHash(hashes: Column, bits: Int): Column =
     call_function(SimHashName, hashes, org.apache.spark.sql.functions.lit(bits))
+
+  /** RFC 9309 §2.2.3 rule match — `*`/`$` wildcards, prefix otherwise
+    * (requires `register`).
+    */
+  def robotsMatch(path: Column, pattern: Column): Column =
+    call_function(RobotsMatchName, path, pattern)
 
   /** Native sign-random-projection LSH bucket against literal hyperplanes
     * (requires `register`).

@@ -41,6 +41,62 @@ class RobotsSpec extends SparkSpec {
     assert(Robots.parseRules("no colons here\njust text\n", "x").isEmpty)
   }
 
+  test("matches implements RFC 9309 wildcards: mid-path *, trailing $, prefix") {
+    // the canonical wildcard shapes (§2.2.3)
+    assert(Robots.matches("/index.php", "/*.php$"))
+    assert(Robots.matches("/a/b/c.php", "/*.php$"))
+    assert(!Robots.matches("/index.php?x=1", "/*.php$")) // $ anchors
+    assert(!Robots.matches("/index.phpx", "/*.php$"))
+    assert(Robots.matches("/index.php?x=1", "/*.php"))   // unanchored
+    // mid-path star spans '/' and can match empty
+    assert(Robots.matches("/a/x/y/b", "/a/*b"))
+    assert(Robots.matches("/a/b", "/a/*b"))
+    assert(!Robots.matches("/a/c", "/a/*b"))
+    // plain prefixes are the wildcard-free case
+    assert(Robots.matches("/foo/bar", "/foo"))
+    assert(!Robots.matches("/fo", "/foo"))
+    // $ vs prefix: anchored matches ONLY the exact path
+    assert(Robots.matches("/foo", "/foo$"))
+    assert(!Robots.matches("/foo/bar", "/foo$"))
+    // non-trailing $ is a literal octet; bare * matches everything
+    assert(Robots.matches("/a$b/c", "/a$b"))
+    assert(Robots.matches("/anything", "*"))
+    assert(Robots.matches("", "*$"))
+    // backtracking: the matcher must find the LAST viable 'b'
+    assert(Robots.matches("/aXbYb", "/a*b$"))
+    assert(!Robots.matches("/aXbYc", "/a*b$"))
+    // query strings are ordinary octets
+    assert(Robots.matches("/page?sid=1", "/*?sid="))
+    assert(!Robots.matches("/page?x=1", "/*?sid="))
+    // degenerate inputs never throw
+    assert(!Robots.matches(null, "/a") && !Robots.matches("/a", null))
+  }
+
+  test("gate decides wildcard rules with most-octets precedence") {
+    val rules = Seq(
+      ("h1", false, "/*.php$"),
+      ("h1", true, "/pub*.php$"),   // 10 octets beats 7 → Allow wins
+      ("h1", false, "/se*ion"),
+      // tie on octet count between a wildcard Disallow and a literal
+      // Allow: Allow must win the tie
+      ("h1", false, "/t*e"), ("h1", true, "/tie")
+    ).toDF("host", "rule_allow", "rule_prefix")
+    val urls = Seq(
+      (1L, "h1", "/x.php"),        // wildcard disallow
+      (2L, "h1", "/pub/a.php"),    // longer wildcard allow wins
+      (3L, "h1", "/session/9"),    // mid-path star disallow
+      (4L, "h1", "/x.php?q=1"),    // $ saves it: no match → allowed
+      (5L, "h1", "/tie")           // octet tie → Allow
+    ).toDF("doc_id", "host", "path")
+    val out = Robots.gate(urls, rules, "host", "path")
+      .orderBy("doc_id")
+      .select("doc_id", "allowed", "matched_prefix")
+      .as[(Long, Boolean, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, false, "/*.php$"), (2L, true, "/pub*.php$"),
+      (3L, false, "/se*ion"), (4L, true, ""), (5L, true, "/tie")))
+  }
+
   test("gate applies longest match, Allow wins ties, no rule means allowed") {
     val rules = Seq(
       ("h1", false, "/a"), ("h1", true, "/a/b"),
