@@ -5033,7 +5033,7 @@ object SparkEntry {
         |s2b AS (SELECT doc_id, regexp_replace(t,
         |  '(?s)<!--.*?-->', ' ', 'g') AS t FROM s2),
         |s3 AS (SELECT doc_id, regexp_replace(t,
-        |  '(?i)<br[^>]*>|</p>|</div>|</li>|</tr>|</h[1-6]>', chr(10), 'g')
+        |  '(?i)<br(?:/?|\s[^>]*)>|</p>|</div>|</li>|</tr>|</h[1-6]>', chr(10), 'g')
         |  AS t FROM s2b),
         |s4 AS (SELECT doc_id, regexp_replace(t, '<[^>]+>', ' ', 'g')
         |  AS t FROM s3),

@@ -199,9 +199,11 @@ object Scrub {
     // first `>` and leave ` b -->` behind as phantom text
     c = regexp_replace(c, "(?s)<!--.*?-->", " ")
     // block-level closers and <br> become line breaks so words from
-    // different blocks never fuse and line structure survives
+    // different blocks never fuse and line structure survives; the br
+    // tag name is boundary-anchored (bare / self-closed / attributed)
+    // so <broken>-style tags don't inject phantom newlines
     c = regexp_replace(c,
-      "(?i)<br[^>]*>|</p>|</div>|</li>|</tr>|</h[1-6]>", "\n")
+      "(?i)<br(?:/?|\\s[^>]*)>|</p>|</div>|</li>|</tr>|</h[1-6]>", "\n")
     c = regexp_replace(c, "<[^>]+>", " ")
     c = decodeEntities(c, Seq("&nbsp;" -> " ", "&#39;" -> "'"))
     // whitespace runs WITH a newline → one newline; the rest → one

@@ -75,6 +75,12 @@ class ScrubSamplingSpec extends SparkSpec {
     // WITH a newline collapse to one newline (line structure survives)
     assert(x("<p>a \t b</p>") == "a b")
     assert(x("<p>a\n\n\tb</p>") == "a\nb")
+    // <br> is boundary-anchored: bare, self-closed, and attributed
+    // forms break lines, but a tag whose name merely STARTS with 'br'
+    // is an ordinary inline tag (a phantom newline here would change
+    // line-dedup granularity)
+    assert(x("a<br>b<br/>c<br />d<br class=\"x\">e") == "a\nb\nc\nd\ne")
+    assert(x("a<broken>b</broken>c<br-widget>d") == "a b c d")
   }
 
   test("html metadata: title, meta orders, canonical, lang, noindex") {
