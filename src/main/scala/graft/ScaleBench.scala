@@ -186,6 +186,25 @@ object ScaleBench {
           .write.format("noop").mode("overwrite").save()
       }
     }
+    // the RESIDUAL sweep (Jégou §III-A): same widths over codebooks
+    // trained on x − centroid(cell); the wall delta vs the raw sweep
+    // above is the residual path's cost (one extra assignment join at
+    // encode, an nprobe×-larger broadcast distance table) — the recall
+    // side of the trade is recorded by the gated q135
+    for (round <- Seq("cold", "warm")) {
+      time(s"ivfadc_residual_sweep_4widths $round") {
+        val cents = embs.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        val cb = Pq.pqSeedCodebooks(
+          Pq.residuals(embs, "vec_id", "embedding", cents)
+            .filter(col("vec_id") >= 16),
+          "vec_id", "rvec", m = 8, ksub = 16)
+        Pq.ivfPqTopKSweepResidual(embs, embs.filter(col("vec_id") < 20),
+          cents, cb, "vec_id", "embedding", k = 5,
+          nprobes = Seq(1, 2, 4, 8))
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
     // BPE merge training at 10× (lifting q104's sf0.01 scope pin —
     // round-9 task): the one corpus-scale pass is wordCounts; each of
     // the 8 merge rounds is a VOCABULARY-sized argmax + rewrite, so

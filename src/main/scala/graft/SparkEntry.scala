@@ -1378,14 +1378,16 @@ object SparkEntry {
         .withColumnRenamed("text_clean", "page_clean")
         .orderBy("doc_id")
     }),
-    // IVFADC — the q44 coarse quantizer (16 low-id centroids, nprobe=2)
-    // fronting the q116 ADC scorer: candidates bounded by probed cells,
-    // ranked in the compressed domain. The production composition of the
-    // two gated halves
+    // IVFADC with RESIDUAL encoding (Jégou §III-A) — the q44 coarse
+    // quantizer (16 low-id centroids, nprobe=2) fronting residual-domain
+    // ADC: codes quantize x − centroid(cell), queries build one distance
+    // table PER PROBED CELL from their own residual. Same storage as
+    // raw-vector PQ, better recall at equal m/ksub — the production
+    // composition the paper actually describes
     "q119_ivf_pq_topk" -> ((s, dir) => {
       val embs = t(s, dir, "embeddings")
       val (cents, cb, queries) = ivfAdcIndex(embs)
-      Pq.ivfPqTopK(embs, queries, cents, cb,
+      Pq.ivfPqTopKResidual(embs, queries, cents, cb,
         "vec_id", "embedding", k = 5, nprobe = 2)
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           round(col("adc"), 6).as("adc"))
@@ -1464,7 +1466,7 @@ object SparkEntry {
     "q128_ivfadc_recall" -> ((s, dir) => {
       val embs = t(s, dir, "embeddings")
       val (cents, cb, queries) = ivfAdcIndex(embs)
-      val approx = Pq.ivfPqTopK(embs, queries, cents, cb,
+      val approx = Pq.ivfPqTopKResidual(embs, queries, cents, cb,
         "vec_id", "embedding", k = 5, nprobe = 2)
       val exact = Knn.bruteForceTopK(embs, queries,
         "vec_id", "embedding", k = 5)
@@ -1677,11 +1679,11 @@ object SparkEntry {
       import s.implicits._
       val embs = t(s, dir, "embeddings")
       val (cents, cb, queries) = ivfAdcIndex(embs)
-      // ONE sweep pass: cells probed once at the widest setting, ADC
-      // computed once per candidate, each width re-ranks its
-      // probe_rank<=width subset (Pq.ivfPqTopKSweep) — N widths never
-      // cost N full searches
-      val sweep = Pq.ivfPqTopKSweep(embs, queries, cents, cb,
+      // ONE sweep pass: cells probed once at the widest setting,
+      // residual-domain ADC computed once per candidate, each width
+      // re-ranks its probe_rank<=width subset — N widths never cost N
+      // full searches
+      val sweep = Pq.ivfPqTopKSweepResidual(embs, queries, cents, cb,
         "vec_id", "embedding", k = 5, nprobes = Seq(1, 2, 4, 8))
         .select(col("nprobe"), col("query_id"), col("neighbor_id"))
       val exactCos = Knn.bruteForceTopK(embs, queries,
@@ -2305,8 +2307,13 @@ object SparkEntry {
       : (DataFrame, DataFrame, DataFrame) = {
     val cents = embs.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-    val cb = Pq.pqSeedCodebooks(embs, "vec_id", "embedding",
-      m = 8, ksub = 16)
+    // codebooks trained on RESIDUALS (Jégou §III-A), seeded from
+    // NON-centroid rows: the centroid vectors' own residuals are
+    // exactly zero and would collapse all 16 seeds into one point
+    val cb = Pq.pqSeedCodebooks(
+      Pq.residuals(embs, "vec_id", "embedding", cents)
+        .filter(col("vec_id") >= 16),
+      "vec_id", "rvec", m = 8, ksub = 16)
     (cents, cb, embs.filter(col("vec_id") < 20))
   }
 
@@ -2726,13 +2733,14 @@ object SparkEntry {
        |  md5(array_to_string(list_sort(shl), '|')) AS shingle_md5
        |FROM sh ORDER BY doc_id""".stripMargin
 
-  /** q119's full CTE chain (PQ codebooks/codes, IVF assignment, probe,
-    * candidates, ADC scores, rank) — shared with q128's recall readout.
+  /** The residual front half shared by q119/q128 (via [[IvfAdcCtes]])
+    * and q135's sweep: coarse assign → residuals → residual-seeded
+    * codebooks → codes, plus the probe-rank-carrying `probedr`.
+    * Residual seeds skip vec_id < 16 — the centroid rows' residuals
+    * are exactly zero (see `ivfAdcIndex`).
     */
-  private lazy val IvfAdcCtes =
-    s"""$PqBaseSql,
-         |codes AS (SELECT vec_id, sub, cid FROM best WHERE rn = 1),
-         |cents AS (SELECT vec_id AS ccid, embedding AS ccvec
+  private lazy val IvfAdcResidualBase =
+    s"""cents AS (SELECT vec_id AS ccid, embedding AS ccvec
          |          FROM embeddings WHERE vec_id < 16),
          |ascored AS (
          |  SELECT e.vec_id, c.ccid,
@@ -2743,26 +2751,65 @@ object SparkEntry {
          |    SELECT vec_id, ccid, row_number() OVER (PARTITION BY vec_id
          |      ORDER BY cos DESC, ccid) AS arn
          |    FROM ascored) x WHERE arn = 1),
+         |resid AS (
+         |  SELECT e.vec_id, a.ccid,
+         |    [CAST(e.embedding[i] AS DOUBLE) - CAST(c.ccvec[i] AS DOUBLE)
+         |     FOR i IN generate_series(1, len(e.embedding))] AS rv
+         |  FROM embeddings e JOIN assigned a USING (vec_id)
+         |  JOIN cents c USING (ccid)),
+         |rseeds AS (SELECT vec_id AS cid, rv FROM resid
+         |           WHERE vec_id >= 16 ORDER BY vec_id LIMIT 16),
+         |cbr AS (
+         |  SELECT s.sub, se.cid, se.rv[(s.sub*8+1):(s.sub*8+8)] AS cvec
+         |  FROM rseeds se
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS sub) s),
+         |rdist AS (
+         |  SELECT r.vec_id, c.sub, c.cid,
+         |    list_reduce(list_prepend(0.0,
+         |      [(r.rv[c.sub*8+p] - c.cvec[p])
+         |        * (r.rv[c.sub*8+p] - c.cvec[p])
+         |       FOR p IN generate_series(1, 8)]),
+         |      (u, v) -> u + v) AS d2
+         |  FROM resid r CROSS JOIN cbr c),
+         |best AS (
+         |  SELECT vec_id, sub, cid,
+         |    row_number() OVER (PARTITION BY vec_id, sub
+         |                       ORDER BY d2, cid) AS rn
+         |  FROM rdist),
+         |codes AS (SELECT vec_id, sub, cid FROM best WHERE rn = 1),
          |q AS (SELECT vec_id AS query_id, embedding AS qv
          |      FROM embeddings WHERE vec_id < 20),
-         |probed AS (
-         |  SELECT query_id, ccid FROM (
+         |probedr AS (
+         |  SELECT query_id, ccid, pr FROM (
          |    SELECT query_id, c.ccid,
          |      row_number() OVER (PARTITION BY query_id
          |        ORDER BY ${duckCos("qv", "c.ccvec")} DESC, c.ccid) AS pr
-         |    FROM q CROSS JOIN cents c) y WHERE pr <= 2),
-         |cand AS (
-         |  SELECT query_id, a.vec_id AS neighbor_id
-         |  FROM probed p JOIN assigned a ON p.ccid = a.ccid
-         |  WHERE query_id != a.vec_id),
+         |    FROM q CROSS JOIN cents c) y),
+         |qresid AS (
+         |  SELECT p.query_id, p.ccid, p.pr,
+         |    [CAST(qq.qv[i] AS DOUBLE) - CAST(c.ccvec[i] AS DOUBLE)
+         |     FOR i IN generate_series(1, len(qq.qv))] AS qrv
+         |  FROM probedr p JOIN q qq USING (query_id)
+         |  JOIN cents c USING (ccid)),
          |qdist AS (
-         |  SELECT qq.query_id, c.sub, c.cid,
+         |  SELECT qr.query_id, qr.ccid, qr.pr, c.sub, c.cid,
          |    list_reduce(list_prepend(0.0,
-         |      [(CAST(qq.qv[c.sub*8+p] AS DOUBLE) - c.cvec[p])
-         |        * (CAST(qq.qv[c.sub*8+p] AS DOUBLE) - c.cvec[p])
+         |      [(qr.qrv[c.sub*8+p] - c.cvec[p])
+         |        * (qr.qrv[c.sub*8+p] - c.cvec[p])
          |       FOR p IN generate_series(1, 8)]),
          |      (u, v) -> u + v) AS d2
-         |  FROM q qq CROSS JOIN cb c),
+         |  FROM qresid qr CROSS JOIN cbr c)""".stripMargin
+
+  /** q119's full CTE chain over the RESIDUAL form (Jégou §III-A):
+    * [[IvfAdcResidualBase]] + nprobe=2 candidates, per-cell residual
+    * ADC, rank — shared with q128's recall readout.
+    */
+  private lazy val IvfAdcCtes =
+    s"""$IvfAdcResidualBase,
+         |cand AS (
+         |  SELECT query_id, a.vec_id AS neighbor_id, a.ccid
+         |  FROM probedr p JOIN assigned a ON p.ccid = a.ccid
+         |  WHERE p.pr <= 2 AND query_id != a.vec_id),
          |adc AS (
          |  SELECT cand.query_id, cand.neighbor_id,
          |    list_reduce(list_prepend(0.0, list(qd.d2 ORDER BY co.sub)),
@@ -2770,6 +2817,7 @@ object SparkEntry {
          |  FROM cand
          |  JOIN codes co ON co.vec_id = cand.neighbor_id
          |  JOIN qdist qd ON qd.query_id = cand.query_id
+         |    AND qd.ccid = cand.ccid
          |    AND qd.sub = co.sub AND qd.cid = co.cid
          |  GROUP BY cand.query_id, cand.neighbor_id),
          |ranked AS (
@@ -5611,39 +5659,11 @@ object SparkEntry {
     // computed once, and each nprobe level re-ranks the pr<=level
     // subset — exactly what Pq.ivfPqTopK(nprobe = p) produces per level
     "q135_nprobe_recall_curve" ->
-      s"""WITH $PqBaseSql,
-         |codes AS (SELECT vec_id, sub, cid FROM best WHERE rn = 1),
-         |cents AS (SELECT vec_id AS ccid, embedding AS ccvec
-         |          FROM embeddings WHERE vec_id < 16),
-         |ascored AS (
-         |  SELECT e.vec_id, c.ccid,
-         |    ${duckCos("e.embedding", "c.ccvec")} AS cos
-         |  FROM embeddings e CROSS JOIN cents c),
-         |assigned AS (
-         |  SELECT vec_id, ccid FROM (
-         |    SELECT vec_id, ccid, row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY cos DESC, ccid) AS arn
-         |    FROM ascored) x WHERE arn = 1),
-         |q AS (SELECT vec_id AS query_id, embedding AS qv
-         |      FROM embeddings WHERE vec_id < 20),
-         |probed AS (
-         |  SELECT query_id, ccid, pr FROM (
-         |    SELECT query_id, c.ccid,
-         |      row_number() OVER (PARTITION BY query_id
-         |        ORDER BY ${duckCos("qv", "c.ccvec")} DESC, c.ccid) AS pr
-         |    FROM q CROSS JOIN cents c) y),
+      s"""WITH $IvfAdcResidualBase,
          |cand AS (
-         |  SELECT query_id, a.vec_id AS neighbor_id, p.pr
-         |  FROM probed p JOIN assigned a ON p.ccid = a.ccid
+         |  SELECT query_id, a.vec_id AS neighbor_id, a.ccid, p.pr
+         |  FROM probedr p JOIN assigned a ON p.ccid = a.ccid
          |  WHERE query_id != a.vec_id),
-         |qdist AS (
-         |  SELECT qq.query_id, c.sub, c.cid,
-         |    list_reduce(list_prepend(0.0,
-         |      [(CAST(qq.qv[c.sub*8+p] AS DOUBLE) - c.cvec[p])
-         |        * (CAST(qq.qv[c.sub*8+p] AS DOUBLE) - c.cvec[p])
-         |       FOR p IN generate_series(1, 8)]),
-         |      (u, v) -> u + v) AS d2
-         |  FROM q qq CROSS JOIN cb c),
          |adc AS (
          |  SELECT cand.query_id, cand.neighbor_id, cand.pr,
          |    list_reduce(list_prepend(0.0, list(qd.d2 ORDER BY co.sub)),
@@ -5651,6 +5671,7 @@ object SparkEntry {
          |  FROM cand
          |  JOIN codes co ON co.vec_id = cand.neighbor_id
          |  JOIN qdist qd ON qd.query_id = cand.query_id
+         |    AND qd.ccid = cand.ccid
          |    AND qd.sub = co.sub AND qd.cid = co.cid
          |  GROUP BY cand.query_id, cand.neighbor_id, cand.pr),
          |lv AS (SELECT unnest([1, 2, 4, 8]) AS nprobe),

@@ -69,23 +69,40 @@ object Pq {
   }
 
   /** Per-(vector, subspace) best code under the codebooks:
-    * `(id, sub, code)`. Codebooks broadcast; the argmin is map-side
+    * `(keys…, sub, code)`. Codebooks broadcast; the argmin is map-side
     * partial (`min(struct(d2, cid))`, ties → lowest cid) — the
     * |corpus|·m·ksub scored rows never shuffle, m rows per vector do.
+    * `keyCols` lets the residual path carry the coarse cell through
+    * the aggregation for free (it is functionally dependent on the id).
     */
-  private def subCodes(embs: DataFrame, idCol: String, vecCol: String,
-                       codebooks: DataFrame): DataFrame = {
+  private def subCodes(embs: DataFrame, keyCols: Seq[String],
+                       vecCol: String, codebooks: DataFrame): DataFrame = {
+    val keys = keyCols.map(col)
     val e = embs.where(col(vecCol).isNotNull)
-      .select(col(idCol), col(vecCol).as("__v"))
+      .select(keys :+ col(vecCol).as("__v"): _*)
     val cb = codebooks.select(col("sub"), col("cid"), col("cvec"))
     val dsub = size(col("cvec"))
     e.crossJoin(broadcast(cb))
-      .select(col(idCol), col("sub"), col("cid"),
+      .select(keys ++ Seq(col("sub"), col("cid"),
         l2sq(transform(slice(col("__v"), col("sub") * dsub + 1, dsub),
-          x => x.cast("double")), col("cvec")).as("__d2"))
-      .groupBy(col(idCol), col("sub"))
+          x => x.cast("double")), col("cvec")).as("__d2")): _*)
+      .groupBy(keys :+ col("sub"): _*)
       .agg(min(struct(col("__d2").as("d"), col("cid").as("c"))).as("__m"))
-      .select(col(idCol), col("sub"), col("__m.c").as("code"))
+      .select(keys ++ Seq(col("sub"), col("__m.c").as("code")): _*)
+  }
+
+  private def subCodes(embs: DataFrame, idCol: String, vecCol: String,
+                       codebooks: DataFrame): DataFrame =
+    subCodes(embs, Seq(idCol), vecCol, codebooks)
+
+  private def encodeKeyed(embs: DataFrame, keyCols: Seq[String],
+                          vecCol: String, codebooks: DataFrame): DataFrame = {
+    val keys = keyCols.map(col)
+    subCodes(embs, keyCols, vecCol, codebooks)
+      .groupBy(keys: _*)
+      .agg(transform(
+        sort_array(collect_list(struct(col("sub"), col("code")))),
+        s => s.getField("code")).as("codes"))
   }
 
   /** PQ encoding: `(id, codes)` with `codes(s)` the winning codebook
@@ -94,11 +111,48 @@ object Pq {
     */
   def pqEncode(embs: DataFrame, idCol: String, vecCol: String,
                codebooks: DataFrame): DataFrame =
-    subCodes(embs, idCol, vecCol, codebooks)
-      .groupBy(col(idCol))
-      .agg(transform(
-        sort_array(collect_list(struct(col("sub"), col("code")))),
-        s => s.getField("code")).as("codes"))
+    encodeKeyed(embs, Seq(idCol), vecCol, codebooks)
+
+  /** Residuals vs the assigned coarse centroid (Jégou et al. 2011
+    * §III-A): `(id, cell, rvec)` with `rvec = x − centroid(cell)`
+    * element-wise in double. This is the table IVFADC quantizes —
+    * residuals concentrate around the origin, so the same m/ksub code
+    * budget spends its resolution on the part of the vector the coarse
+    * quantizer did NOT already explain, which is where the recall gain
+    * over raw-vector PQ comes from. Train codebooks ON this table
+    * ([[pqSeedCodebooks]]/[[pqRefine]] with `vecCol = "rvec"` work
+    * unchanged) and encode with [[pqEncodeResidual]].
+    *
+    * Shape: the coarse assignment is `Knn.ivfAssign`'s map-side argmax
+    * (one id-keyed shuffle) plus one id-keyed join back to the vectors
+    * — offline index-build cost; centroids stay a model-sized
+    * broadcast.
+    */
+  def residuals(embs: DataFrame, idCol: String, vecCol: String,
+                centroids: DataFrame): DataFrame = {
+    val assigned = Knn.ivfAssign(embs, idCol, vecCol, centroids)
+      .select(col(idCol), col("cid").as("cell"))
+    embs.where(col(vecCol).isNotNull)
+      .select(col(idCol), col(vecCol).as("__v"))
+      .join(assigned, Seq(idCol))
+      .join(broadcast(centroids.select(col("cid").as("cell"),
+        col("cvec").as("__c"))), Seq("cell"))
+      .select(col(idCol), col("cell"),
+        zip_with(col("__v"), col("__c"),
+          (x, c) => x.cast("double") - c.cast("double")).as("rvec"))
+  }
+
+  /** IVFADC encoding: `(id, cell, codes)` — each vector's coarse cell
+    * plus the PQ codes of its RESIDUAL under `codebooks` (which must
+    * be trained on [[residuals]] output). The cell rides the encode
+    * aggregation as a dependent key — no second assignment pass, no
+    * extra join at search time.
+    */
+  def pqEncodeResidual(embs: DataFrame, idCol: String, vecCol: String,
+                       centroids: DataFrame,
+                       codebooks: DataFrame): DataFrame =
+    encodeKeyed(residuals(embs, idCol, vecCol, centroids),
+      Seq(idCol, "cell"), "rvec", codebooks)
 
   /** Lloyd refinement per subspace: `iters` rounds of (encode) →
     * (replace each codebook entry with the element-wise mean of its
@@ -294,6 +348,111 @@ object Pq {
       .select(col("query_id"), col("neighbor_id"), col("probe_rank"),
         posexplode(col("codes")).as(Seq("sub", "cid")))
       .join(broadcast(dt), Seq("query_id", "sub", "cid"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(adcSum.as("adc"), min(col("probe_rank")).as("__pr"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("nprobe"), col("query_id"))
+      .orderBy(col("adc"), col("neighbor_id"))
+    scored
+      .select(col("*"),
+        explode(array(nprobes.map(lit): _*)).as("nprobe"))
+      .filter(col("__pr") <= col("nprobe"))
+      .select(col("nprobe"), col("query_id"), col("neighbor_id"),
+        col("adc"), row_number().over(w).as("rank"))
+      .filter(col("rank") <= k)
+      .select(col("nprobe"), col("query_id"), col("rank"),
+        col("neighbor_id"), col("adc"))
+  }
+
+  /** Per-(query, probed cell) RESIDUAL distance table: the query's
+    * residual against each probed cell's centroid, scored against
+    * every codebook entry — |Q|·(probe width)·m·ksub rows, broadcast
+    * (the [[ivfPqTopK]] query-batch bound, times the probe width).
+    */
+  private def residualDistTable(queries: DataFrame, probed: DataFrame,
+      centroids: DataFrame, codebooks: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    val cb = codebooks.select(col("sub"), col("cid"), col("cvec"))
+    val dsub = size(col("cvec"))
+    queries.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"), col(vecCol).as("__q"))
+      .join(probed.select(col("query_id"), col("cell")).distinct(),
+        Seq("query_id"))
+      .join(broadcast(centroids.select(col("cid").as("cell"),
+        col("cvec").as("__cent"))), Seq("cell"))
+      .select(col("query_id"), col("cell"),
+        zip_with(col("__q"), col("__cent"),
+          (x, c) => x.cast("double") - c.cast("double")).as("__qr"))
+      .crossJoin(broadcast(cb))
+      .select(col("query_id"), col("cell"), col("sub"), col("cid"),
+        l2sq(slice(col("__qr"), col("sub") * dsub + 1, dsub),
+          col("cvec")).as("__d2"))
+  }
+
+  /** IVFADC with RESIDUAL encoding — the actual Jégou et al. 2011
+    * §III-A composition: candidates come from the probed coarse cells,
+    * and ADC runs in the residual domain (each query builds one
+    * distance table PER PROBED CELL from `query − centroid(cell)`,
+    * against codebooks trained on [[residuals]]). Same storage as
+    * [[ivfPqTopK]] (m code bytes + a cell id per vector), materially
+    * better recall at equal m/ksub because the codes only carry what
+    * the coarse quantizer left unexplained.
+    *
+    * Scale shape: identical to [[ivfPqTopK]] except the broadcast
+    * distance table is nprobe× larger (still query-batch sized) and
+    * candidate generation is the codes table's own cell column — the
+    * assignment pass is shared with encoding, not repeated.
+    */
+  def ivfPqTopKResidual(embs: DataFrame, queries: DataFrame,
+      centroids: DataFrame, codebooks: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    require(k >= 1 && nprobe >= 1, s"ivfPqTopKResidual: k=$k nprobe=$nprobe")
+    val codes = pqEncodeResidual(embs, idCol, vecCol, centroids, codebooks)
+    val probed = Knn.probeCells(queries, centroids, idCol, vecCol, nprobe)
+      .select(col("query_id"), col("cid").as("cell"))
+    val dt = residualDistTable(queries, probed, centroids, codebooks,
+      idCol, vecCol)
+    val scored = probed
+      .join(codes.select(col(idCol).as("neighbor_id"), col("cell"),
+        col("codes")), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("cell"), col("neighbor_id"),
+        posexplode(col("codes")).as(Seq("sub", "cid")))
+      .join(broadcast(dt), Seq("query_id", "cell", "sub", "cid"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(adcSum.as("adc"))
+    rankAdc(scored, k)
+  }
+
+  /** [[ivfPqTopKResidual]] at several probe widths in one pass — the
+    * [[ivfPqTopKSweep]] tuning shape over the residual form: cells
+    * probed once at `max(nprobes)`, residual ADC computed once per
+    * (query, candidate), each width re-ranking its `probe_rank <=
+    * width` subset. Output schema = [[ivfPqTopKSweep]]'s.
+    */
+  def ivfPqTopKSweepResidual(embs: DataFrame, queries: DataFrame,
+      centroids: DataFrame, codebooks: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nprobes: Seq[Int]): DataFrame = {
+    require(k >= 1 && nprobes.nonEmpty && nprobes.forall(_ >= 1),
+      s"ivfPqTopKSweepResidual: k=$k nprobes=$nprobes")
+    require(nprobes.distinct.size == nprobes.size,
+      s"ivfPqTopKSweepResidual: duplicate widths in nprobes=$nprobes")
+    val codes = pqEncodeResidual(embs, idCol, vecCol, centroids, codebooks)
+    val probed = Knn.probeCellsRanked(queries, centroids, idCol, vecCol,
+      nprobes.max)
+      .select(col("query_id"), col("cid").as("cell"), col("probe_rank"))
+    val dt = residualDistTable(queries, probed, centroids, codebooks,
+      idCol, vecCol)
+    // each neighbor lives in exactly one cell, so min(probe_rank) IS
+    // its probe rank — the min only folds the m per-subspace copies
+    val scored = probed
+      .join(codes.select(col(idCol).as("neighbor_id"), col("cell"),
+        col("codes")), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("cell"), col("neighbor_id"),
+        col("probe_rank"), posexplode(col("codes")).as(Seq("sub", "cid")))
+      .join(broadcast(dt), Seq("query_id", "cell", "sub", "cid"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(adcSum.as("adc"), min(col("probe_rank")).as("__pr"))
     val w = org.apache.spark.sql.expressions.Window

@@ -111,6 +111,68 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("residuals subtract the assigned centroid exactly; encode carries the cell") {
+    val cents = embs.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val assigned = graft.operators.Knn
+      .ivfAssign(embs, "vec_id", "embedding", cents)
+      .as[(Long, Long)].collect().toMap
+    val vecMap = embs.as[(Long, Seq[Float])].collect().toMap
+    val r = Pq.residuals(embs, "vec_id", "embedding", cents)
+      .select("vec_id", "cell", "rvec")
+      .as[(Long, Long, Seq[Double])].collect()
+    assert(r.length == 40)
+    r.foreach { case (id, cell, rv) =>
+      assert(cell == assigned(id), s"vec $id: cell $cell != assignment")
+      val x = vecMap(id); val cv = vecMap(cell)
+      rv.indices.foreach { i =>
+        assert(rv(i) == x(i).toDouble - cv(i).toDouble,
+          s"vec $id dim $i: residual mismatch")
+      }
+      // a centroid's own residual is exactly zero (cos(x,x)=1 is the
+      // strict argmax — the jitter makes every vector unique)
+      if (id < 4) assert(rv.forall(_ == 0.0), s"centroid $id: nonzero residual")
+    }
+    val cb = Pq.pqSeedCodebooks(
+      Pq.residuals(embs, "vec_id", "embedding", cents)
+        .filter(col("vec_id") >= 4), "vec_id", "rvec", m, ksub)
+    val cids = cb.select("cid").distinct().as[Long].collect().toSet
+    val codes = Pq.pqEncodeResidual(embs, "vec_id", "embedding", cents, cb)
+      .select("vec_id", "cell", "codes")
+      .as[(Long, Long, Seq[Long])].collect()
+    assert(codes.length == 40)
+    codes.foreach { case (id, cell, cs) =>
+      assert(cell == assigned(id), s"vec $id: encode cell != assignment")
+      assert(cs.length == m && cs.forall(cids.contains), s"vec $id: bad codes")
+    }
+  }
+
+  test("ivfPqTopKSweepResidual per width == independent ivfPqTopKResidual " +
+    "runs, bitwise ADC") {
+    val cents = embs.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val cb = Pq.pqSeedCodebooks(
+      Pq.residuals(embs, "vec_id", "embedding", cents)
+        .filter(col("vec_id") >= 4), "vec_id", "rvec", m, ksub)
+    val queries = embs.filter(col("vec_id") < 6)
+    val widths = Seq(1, 2, 4)
+    val sweep = Pq.ivfPqTopKSweepResidual(embs, queries, cents, cb,
+      "vec_id", "embedding", k = 3, nprobes = widths)
+      .select("nprobe", "query_id", "rank", "neighbor_id", "adc")
+      .as[(Int, Long, Int, Long, Double)].collect()
+    widths.foreach { w =>
+      val single = Pq.ivfPqTopKResidual(embs, queries, cents, cb,
+        "vec_id", "embedding", k = 3, nprobe = w)
+        .select("query_id", "rank", "neighbor_id", "adc")
+        .as[(Long, Int, Long, Double)].collect()
+        .sortBy(r => (r._1, r._2)).toSeq
+      val sw = sweep.filter(_._1 == w)
+        .map(r => (r._2, r._3, r._4, r._5))
+        .sortBy(r => (r._1, r._2)).toSeq
+      assert(sw == single, s"width $w: sweep != independent run")
+    }
+  }
+
   test("ivfPqTopKSweep per width == independent ivfPqTopK runs, " +
     "bitwise ADC") {
     val cb = Pq.pqSeedCodebooks(embs, "vec_id", "embedding", m, ksub)
