@@ -47,8 +47,10 @@ object Scratch {
           .run(docs, "doc_id", "text", languages = Set.empty).curated
       }
       else SparkEntry.queries(name)
+    val warmRuns = args.lift(2).map(_.toInt).getOrElse(1)
     time(s"$name cold")(exec(q(spark, dir)))
-    time(s"$name warm")(exec(q(spark, dir)))
+    for (i <- 1 to warmRuns)
+      time(s"$name warm$i")(exec(q(spark, dir)))
     // execute THIS QueryExecution (a write would plan its own) so the
     // printed adaptive plan is the one that actually ran
     val df = q(spark, dir)
