@@ -325,6 +325,66 @@ object Dedup {
     *
     * Output: `(batch_id, index_id, n_shared_bands)`.
     */
+  /** The persisted-index side of incremental LSH dedup: the corpus's
+    * banded signature table `(idCol, band, band_key)` — compute once
+    * when the corpus lands, persist (bucketed by band key), probe
+    * forever. This is the static frame [[streamingLshGate]] and
+    * [[incrementalLshMatches]]-style ingest paths join against.
+    */
+  def indexBandKeys(corpus: DataFrame, idCol: String, textCol: String,
+                    k: Int, bands: Int,
+                    tokenize: Column => Column =
+                      TextFunctions.normalizeTokens): DataFrame =
+    bandKeys(minHashSignatures(corpus, idCol, textCol, k, tokenize),
+      idCol, k, bands)
+
+  /** Ingest-time MinHash-LSH near-dedup of a STREAM against a static
+    * banded index ([[indexBandKeys]] output): drops every arriving row
+    * whose signature shares ≥1 LSH band with any indexed document —
+    * the [[incrementalLshMatches]] collision rule, restated in
+    * streaming-legal operators. The signature is row-local (the native
+    * `MinHashSigExpr` kernel — no aggregation touches the stream), and
+    * each of the `bands` band keys probes the index through its own
+    * stream-static LEFT join (stateless; allowed in append mode), so
+    * the only stateful operator in a cascade remains the watermarked
+    * dedup downstream. The index side is deduplicated per (band, key)
+    * before joining — a key shared by many indexed docs must gate, not
+    * multiply, the stream row.
+    *
+    * Works identically on a batch frame (the parity gate q162 runs it
+    * in batch against the q105 oracle); rows whose text has no
+    * alphanumeric character carry no signature and cannot collide —
+    * the [[minHashSignatures]] contract.
+    */
+  def streamingLshGate(stream: DataFrame, textCol: String,
+                       indexBands: DataFrame, k: Int, bands: Int,
+                       tokenize: Column => Column =
+                         TextFunctions.normalizeTokens): DataFrame = {
+    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
+    GraftFunctions.register(stream.sparkSession)
+    val rowsPerBand = k / bands
+    val sig = when(lower(col(textCol)).rlike("[a-z0-9]"),
+      GraftFunctions.minHashSig(
+        HashFunctions.tokenHashes(tokenize(col(textCol))), k))
+    var cur = stream.withColumn("__sig", sig)
+    for (b <- 0 until bands) {
+      // the signature array is perm-ordered, so band b's key is the
+      // b-th k/bands slice — bandKeys' perm-sorted key, row-locally
+      val idx = indexBands.filter(col("band") === b)
+        .select(col("band_key").as(s"__ik$b")).distinct()
+        .withColumn(s"__hit$b", lit(true))
+      cur = cur
+        .withColumn(s"__k$b",
+          slice(col("__sig"), b * rowsPerBand + 1, rowsPerBand))
+        .join(idx, col(s"__k$b") === col(s"__ik$b"), "left")
+        .drop(s"__k$b", s"__ik$b")
+    }
+    cur
+      .filter((0 until bands).map(b => col(s"__hit$b").isNull)
+        .reduce(_ && _))
+      .drop((0 until bands).map(b => s"__hit$b") :+ "__sig": _*)
+  }
+
   def incrementalLshMatches(batch: DataFrame, index: DataFrame,
                             idCol: String, textCol: String, k: Int,
                             bands: Int,
