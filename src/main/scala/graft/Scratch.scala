@@ -49,8 +49,11 @@ object Scratch {
       else SparkEntry.queries(name)
     val warmRuns = args.lift(2).map(_.toInt).getOrElse(1)
     time(s"$name cold")(exec(q(spark, dir)))
+    // bare 'warm' for the default single run — the r01+ baseline
+    // protocol lines in BASELINE.md grep for it; index only multi-run
     for (i <- 1 to warmRuns)
-      time(s"$name warm$i")(exec(q(spark, dir)))
+      time(if (warmRuns == 1) s"$name warm" else s"$name warm$i")(
+        exec(q(spark, dir)))
     // execute THIS QueryExecution (a write would plan its own) so the
     // printed adaptive plan is the one that actually ran
     val df = q(spark, dir)

@@ -1987,6 +1987,39 @@ object SparkEntry {
         .orderBy("id", "rec_idx")
     }),
 
+    // ingest-time LSH gate, run in batch: src0 arrivals vs the banded
+    // index of the landed corpus — the q105 collision rule's COMPLEMENT
+    // (a doc survives iff it shares no band with any indexed doc), so
+    // the oracle is the anti-join of q105's hit set. Broadcast-probe
+    // shape (streamingLshGate): one distinct index build, reused across
+    // the per-band hash probes
+    "q162_streaming_lsh_gate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idx = Dedup.indexBandKeys(docs.filter(col("source") =!= "src0"),
+        "doc_id", "text", k = 8, bands = 4,
+        tokenize = Dedup.shingleTokenizer(3))
+      Dedup.streamingLshGate(docs.filter(col("source") === "src0"),
+        "text", idx, k = 8, bands = 4,
+        tokenize = Dedup.shingleTokenizer(3))
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
+
+    // the SAME gate in the corpus-scale shuffle shape (lshGate): band
+    // keys explode into (band, band_key) rows, ONE semi-join probes the
+    // index, colliding ids anti-join out — no broadcast anywhere, so it
+    // holds when the index outgrows the q162 broadcast path. Same
+    // oracle complement
+    "q163_lsh_gate_batch" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idx = Dedup.indexBandKeys(docs.filter(col("source") =!= "src0"),
+        "doc_id", "text", k = 8, bands = 4,
+        tokenize = Dedup.shingleTokenizer(3))
+      Dedup.lshGate(docs.filter(col("source") === "src0"),
+        "doc_id", "text", idx, k = 8, bands = 4,
+        tokenize = Dedup.shingleTokenizer(3))
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
+
     // the FULL crawl ingestion chain, end to end: WARC framing → HTTP
     // response (status line, headers, blank line) → HTML body → text
     // extraction. Every hop is gated at once — the oracle predicts the
@@ -2626,6 +2659,32 @@ object SparkEntry {
       |      i -> array_to_string(ws[i:i+2], ' '))) AS shingles
       |  FROM words WHERE len(ws) > 0
       |)""".stripMargin
+
+  /** Shared by q162 (streamingLshGate broadcast shape) and q163 (lshGate
+    * shuffle shape): the q105 banded-collision hit set, anti-joined —
+    * a src0 doc survives the ingest gate iff it shares no LSH band with
+    * any indexed (non-src0) document.
+    */
+  private lazy val LshGateOracle =
+    s"""WITH $WordsCte,
+       |$ShinglesCte,
+       |$SigCte,
+       |banded AS (
+       |  SELECT doc_id, CAST(perm // 2 AS INT) AS band,
+       |    list(min_hash ORDER BY perm) AS band_key
+       |  FROM sig GROUP BY doc_id, band),
+       |src AS (SELECT doc_id, source FROM documents),
+       |hit AS (
+       |  SELECT DISTINCT a.doc_id
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.band_key = b.band_key
+       |  JOIN src sa ON sa.doc_id = a.doc_id
+       |  JOIN src sb ON sb.doc_id = b.doc_id
+       |  WHERE sa.source = 'src0' AND sb.source <> 'src0')
+       |SELECT d.doc_id FROM documents d
+       |WHERE d.source = 'src0'
+       |  AND d.doc_id NOT IN (SELECT doc_id FROM hit)
+       |ORDER BY doc_id""".stripMargin
 
   /** Shared by q31 (array formulation) and q38 (postings/UDAF
     * formulation) — both must reproduce the identical signature table.
@@ -5334,6 +5393,12 @@ object SparkEntry {
         |  CAST(length(payload) AS BIGINT) AS content_length,
         |  md5(payload) AS payload_md5
         |FROM allr ORDER BY id, rec_idx""".stripMargin,
+
+    // the q105 collision rule's complement: src0 docs sharing NO band
+    // with any non-src0 doc. Both gate shapes (q162 broadcast probes,
+    // q163 explode+semi+anti) must reproduce it exactly
+    "q162_streaming_lsh_gate" -> LshGateOracle,
+    "q163_lsh_gate_batch" -> LshGateOracle,
 
     // the whole chain predicted in CLOSED FORM: the fixture corpus is
     // single-spaced ASCII, so extraction of the known wrapper is

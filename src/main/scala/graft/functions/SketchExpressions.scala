@@ -500,9 +500,6 @@ case class WinnowExpr(first: Expression, second: Expression,
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
-/** `graft_clean_text(str)` — native one-pass text canonicalization
-  * (NFC + control strip + whitespace collapse + trim).
-  */
 /** `graft_robots_match(path, pattern)` — RFC 9309 §2.2.3 rule match:
   * `*` any sequence, trailing `$` end-anchor, otherwise prefix.
   */
@@ -530,6 +527,9 @@ case class RobotsMatchExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `graft_clean_text(str)` — native one-pass text canonicalization
+  * (NFC + control strip + whitespace collapse + trim).
+  */
 case class CleanTextExpr(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     // NullType admitted so a SQL-side untyped NULL resolves (evaluates

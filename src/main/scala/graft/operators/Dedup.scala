@@ -106,10 +106,12 @@ object Dedup {
     * value passes; any later doc whose `bits`-wide SimHash COLLIDES
     * (Hamming distance 0 — same normalized token set, so reorderings
     * and within-doc repeats of near-identical boilerplate) drops. This
-    * is the row-local slice of near-dedup an unbounded stream can do:
-    * banding/candidate joins need cross-corpus shuffles, so at ingest
-    * the collision test stands in and the full banded dedup remains a
-    * periodic batch compaction over the landed data. A SimHash dup
+    * is the row-local slice of near-dedup an unbounded stream can do
+    * against ITSELF: stream-vs-stream banding would need cross-corpus
+    * shuffles. Near-dup testing against the ALREADY-LANDED corpus is a
+    * different story — [[streamingLshGate]] probes a static banded
+    * index with stateless stream-static joins, and the full banded
+    * self-dedup remains a periodic batch compaction. A SimHash dup
     * strictly includes every exact dup, so this REPLACES (not chains
     * with) `streamingExactDedup` — one stateful operator either way,
     * state = one row per distinct simhash inside the watermark horizon.
@@ -343,18 +345,27 @@ object Dedup {
     * whose signature shares ≥1 LSH band with any indexed document —
     * the [[incrementalLshMatches]] collision rule, restated in
     * streaming-legal operators. The signature is row-local (the native
-    * `MinHashSigExpr` kernel — no aggregation touches the stream), and
-    * each of the `bands` band keys probes the index through its own
-    * stream-static LEFT join (stateless; allowed in append mode), so
+    * `MinHashSigExpr` kernel — no aggregation touches the stream), so
     * the only stateful operator in a cascade remains the watermarked
-    * dedup downstream. The index side is deduplicated per (band, key)
-    * before joining — a key shared by many indexed docs must gate, not
-    * multiply, the stream row.
+    * dedup downstream.
+    *
+    * Shape: a doc survives iff ALL its band keys miss the index — an
+    * all-quantifier a stateless streaming plan cannot restate as one
+    * exploded equi-join (the per-doc re-collapse would be a streaming
+    * aggregation). Instead the index collapses ONCE to its distinct
+    * `(band, band_key)` set and is BROADCAST ONCE; each of the `bands`
+    * per-band probes is a broadcast-hash left join against that same
+    * build (one `BroadcastExchange`, `bands−1` `ReusedExchange`s —
+    * StreamingSpec pins it), i.e. one index materialization for the
+    * stream's lifetime and O(bands) hash probes per row. When the
+    * index outgrows broadcast, gate per micro-batch with the shuffled
+    * [[lshGate]] instead — its exploded single-join shape buckets on
+    * `(band, band_key)` and never broadcasts.
     *
     * Works identically on a batch frame (the parity gate q162 runs it
-    * in batch against the q105 oracle); rows whose text has no
-    * alphanumeric character carry no signature and cannot collide —
-    * the [[minHashSignatures]] contract.
+    * in batch against the q105 oracle's complement); rows whose text
+    * has no alphanumeric character carry no signature and cannot
+    * collide — the [[minHashSignatures]] contract.
     */
   def streamingLshGate(stream: DataFrame, textCol: String,
                        indexBands: DataFrame, k: Int, bands: Int,
@@ -366,23 +377,72 @@ object Dedup {
     val sig = when(lower(col(textCol)).rlike("[a-z0-9]"),
       GraftFunctions.minHashSig(
         HashFunctions.tokenHashes(tokenize(col(textCol))), k))
+    // one distinct per-(band, band_key) frame for ALL probes — a key
+    // shared by many indexed docs must gate, not multiply, the stream
+    // row, and the shared subtree broadcasts once (ReusedExchange).
+    // The band number folds INTO the array key (prepended element):
+    // a separate `band` equi-column would constant-fold against the
+    // probe's literal band and push into the build side as a per-band
+    // filter, forking the shared broadcast into `bands` builds
+    val idx = broadcast(
+      indexBands
+        .select(concat(array(col("band").cast("long")), col("band_key"))
+          .as("bk"))
+        .distinct())
     var cur = stream.withColumn("__sig", sig)
     for (b <- 0 until bands) {
       // the signature array is perm-ordered, so band b's key is the
       // b-th k/bands slice — bandKeys' perm-sorted key, row-locally
-      val idx = indexBands.filter(col("band") === b)
-        .select(col("band_key").as(s"__ik$b")).distinct()
-        .withColumn(s"__hit$b", lit(true))
+      val probe = idx.select(col("bk").as(s"__ik$b"),
+        lit(true).as(s"__hit$b"))
       cur = cur
         .withColumn(s"__k$b",
-          slice(col("__sig"), b * rowsPerBand + 1, rowsPerBand))
-        .join(idx, col(s"__k$b") === col(s"__ik$b"), "left")
+          concat(array(lit(b.toLong)),
+            slice(col("__sig"), b * rowsPerBand + 1, rowsPerBand)))
+        .join(probe, col(s"__k$b") === col(s"__ik$b"), "left")
         .drop(s"__k$b", s"__ik$b")
     }
     cur
       .filter((0 until bands).map(b => col(s"__hit$b").isNull)
         .reduce(_ && _))
       .drop((0 until bands).map(b => s"__hit$b") :+ "__sig": _*)
+  }
+
+  /** Batch LSH gate against a persisted banded index: keeps exactly the
+    * documents [[streamingLshGate]] keeps, in the shape a corpus-scale
+    * index needs — the doc's band keys EXPLODE into `(band, band_key)`
+    * rows (row-local slicing; the corpus text is never re-shuffled) and
+    * probe the index through ONE equi semi-join, then colliding ids
+    * anti-join back out. Both joins key on hashes (`band_key`, `idCol`),
+    * so bucketing the persisted index by `(band, band_key)` co-locates
+    * the probe with no broadcast anywhere — this is the periodic-
+    * compaction / micro-batch shape for indexes too big to broadcast.
+    *
+    * Gate q163 pins it to the same q105-complement oracle as q162.
+    */
+  def lshGate(docs: DataFrame, idCol: String, textCol: String,
+              indexBands: DataFrame, k: Int, bands: Int,
+              tokenize: Column => Column =
+                TextFunctions.normalizeTokens): DataFrame = {
+    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
+    GraftFunctions.register(docs.sparkSession)
+    val rowsPerBand = k / bands
+    val sig = when(lower(col(textCol)).rlike("[a-z0-9]"),
+      GraftFunctions.minHashSig(
+        HashFunctions.tokenHashes(tokenize(col(textCol))), k))
+    val hit = docs
+      .select(col(idCol), sig.as("__sig"))
+      .filter(col("__sig").isNotNull)
+      .select(col(idCol), explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          slice(col("__sig"), b * rowsPerBand + 1, rowsPerBand)
+            .as("band_key"))): _*)).as("__bk"))
+      .select(col(idCol), col("__bk.band").as("band"),
+        col("__bk.band_key").as("band_key"))
+      .join(indexBands.select("band", "band_key"),
+        Seq("band", "band_key"), "left_semi")
+      .select(col(idCol)).distinct()
+    docs.join(hit, Seq(idCol), "left_anti")
   }
 
   def incrementalLshMatches(batch: DataFrame, index: DataFrame,

@@ -77,10 +77,12 @@ object CurationPipeline {
     * dedup state key from the content hash to the SimHash (collision =
     * same normalized token set — reorderings and boilerplate
     * re-renderings drop at ingest, strictly subsuming exact dedup).
-    * Banded/candidate-join near-dedup is deliberately absent: LSH
-    * banding needs cross-corpus joins, so at ingest it remains a
-    * periodic batch compaction over the landed data (the standard split
-    * for dedup on a live feed).
+    * `lshIndex = Some(bandedIndex)` additionally gates arrivals against
+    * the ALREADY-LANDED corpus's banded MinHash table
+    * ([[graft.operators.Dedup.indexBandKeys]] output) via the stateless
+    * [[graft.operators.Dedup.streamingLshGate]] — stream-vs-stream LSH
+    * still needs cross-corpus joins and remains a periodic batch
+    * compaction, but stream-vs-index is just broadcast probes.
     *
     * Returns the surviving rows with the gate's scratch columns dropped;
     * `tsCol` must be the stream's event-time column (watermarked here —
@@ -96,7 +98,12 @@ object CurationPipeline {
                    c4Rules: Boolean = false,
                    gopherGate: Boolean = false,
                    repeatSpanWidth: Option[Int] = None,
-                   html: Boolean = false): DataFrame = {
+                   html: Boolean = false,
+                   lshIndex: Option[DataFrame] = None,
+                   lshK: Int = 8,
+                   lshBands: Int = 4,
+                   lshTokenize: Column => Column =
+                     Dedup.shingleTokenizer(3)): DataFrame = {
     // markup extraction is a pure projection — streaming-legal in the
     // same pre-clean slot as the batch cascade
     val docs0 = if (!html) docs else docs.withColumn(textCol,
@@ -184,14 +191,23 @@ object CurationPipeline {
           .withColumnRenamed("clean_text", textCol)
           .drop("n_kept_tokens", "n_dropped_tokens", "n_repeat_starts")
     }
+    // corpus-index LSH gate BEFORE the stateful self-dedup: stateless
+    // broadcast probes, and every row it drops is a row the dedup never
+    // has to hold state for
+    val afterIndexGate = lshIndex match {
+      case None => afterRepeat
+      case Some(idx) =>
+        Dedup.streamingLshGate(afterRepeat, textCol, idx, lshK, lshBands,
+          lshTokenize)
+    }
     // a SimHash dup strictly includes every exact dup, so the near
     // variant REPLACES the exact one — one stateful operator either way
     nearDedupBits match {
       case None =>
-        Dedup.streamingExactDedup(afterRepeat, textCol, tsCol, lateness)
+        Dedup.streamingExactDedup(afterIndexGate, textCol, tsCol, lateness)
           .drop("text_hash")
       case Some(bits) =>
-        Dedup.streamingSimHashDedup(afterRepeat, textCol, tsCol, bits,
+        Dedup.streamingSimHashDedup(afterIndexGate, textCol, tsCol, bits,
           lateness)
           .drop("simhash")
     }

@@ -427,6 +427,37 @@ class PlanSpec extends SparkSpec {
       s"hot-line join should broadcast:\n${plan.take(2000)}")
   }
 
+  test("streaming LSH gate builds the index broadcast once and reuses it") {
+    // the gate's per-band probes must all read ONE BroadcastExchange of
+    // the distinct (band, band_key) index — a per-band filter pushed
+    // into the build side would fork it into `bands` builds and
+    // distinct-scans (the shape this replaced)
+    val plan = finalPlan(q("q162_streaming_lsh_gate"))
+      .split("== Initial Plan ==")(0)
+    // a ReusedExchange line repeats the reused node's description, so
+    // count BUILD lines (BroadcastExchange without the Reused marker)
+    val builds = plan.linesIterator.count(l =>
+      l.contains("BroadcastExchange") && !l.contains("ReusedExchange"))
+    val reuses = plan.linesIterator.count(_.contains("ReusedExchange"))
+    assert(builds == 1, s"expected ONE index broadcast build, got $builds:\n" +
+      plan.take(3000))
+    assert(reuses >= 3, s"expected the other 3 band probes to reuse it, " +
+      s"got $reuses ReusedExchange:\n${plan.take(3000)}")
+  }
+
+  test("batch LSH gate probes the index with one semi-join, no broadcast of it") {
+    // corpus-scale shape: the exploded (band, band_key) probe keys on
+    // hashes, so it must stay shuffle/bucket-joinable — at real index
+    // sizes nothing here can require a broadcast of the index. (At this
+    // SF AQE may still choose broadcasts for the tiny sides; assert the
+    // semi+anti composition instead of exchange kinds.)
+    val plan = finalPlan(q("q163_lsh_gate_batch"))
+    assert(plan.contains("LeftSemi"), s"index probe must be a semi-join:\n" +
+      plan.take(2000))
+    assert(plan.contains("LeftAnti"), s"colliding ids must anti-join out:\n" +
+      plan.take(2000))
+  }
+
   test("no query plans a cartesian product") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val plan = q(name).queryExecution.sparkPlan.toString

@@ -399,6 +399,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming LSH gate drops arrivals colliding with the landed corpus") {
+    // ingest near-dedup vs the ALREADY-LANDED corpus: a static banded
+    // index gates the stream through stateless broadcast probes, and
+    // the batch shapes (streamingLshGate on a batch frame, lshGate)
+    // keep the identical set — stream/batch parity
+    val landed = "the quick brown fox jumps over the lazy dog near the " +
+      "river bank today while the sun sets slowly behind the old hill"
+    val fresh = "a completely different document about the engine and " +
+      "the data pipeline that we keep because it is unique and long enough"
+    val other = "another entirely separate piece of text about gardens " +
+      "and the many green plants that grow slowly near the stone wall"
+    val shingle3 = graft.operators.Dedup.shingleTokenizer(3)
+    val corpus = Seq((100L, landed)).toDF("doc_id", "text")
+    val idx = graft.operators.Dedup.indexBandKeys(corpus, "doc_id", "text",
+      k = 8, bands = 4, tokenize = shingle3)
+    val input = MemoryStream[(Long, String, Long)](spark)
+    val stream = input.toDF()
+      .select(col("_1").as("doc_id"), col("_2").as("text"),
+        timestamp_seconds(col("_3")).as("ts"))
+    val q = graft.pipeline.CurationPipeline
+      .runStreaming(stream, "doc_id", "text", "ts", languages = Set("en"),
+        lshIndex = Some(idx))
+      .select("doc_id")
+      .writeStream.format("memory").queryName("lshgatestream")
+      .outputMode("append").start()
+    try {
+      input.addData((21L, landed, 100L), // every band collides -> dropped
+        (22L, fresh, 110L))              // no shared shingles -> kept
+      q.processAllAvailable()
+      input.addData((23L, other, 120L))  // later batch, unique -> kept
+      q.processAllAvailable()
+      val kept = spark.table("lshgatestream").as[Long].collect().toSet
+      assert(kept == Set(22L, 23L), s"got $kept")
+      // batch parity: both batch shapes of the gate keep the same set
+      val batch = Seq((21L, landed), (22L, fresh), (23L, other))
+        .toDF("doc_id", "text")
+      val viaStreamShape = graft.operators.Dedup.streamingLshGate(batch,
+        "text", idx, k = 8, bands = 4, tokenize = shingle3)
+        .select("doc_id").as[Long].collect().toSet
+      val viaBatchShape = graft.operators.Dedup.lshGate(batch, "doc_id",
+        "text", idx, k = 8, bands = 4, tokenize = shingle3)
+        .select("doc_id").as[Long].collect().toSet
+      assert(viaStreamShape == kept && viaBatchShape == kept,
+        s"stream/batch divergence: stream=$kept " +
+          s"streamShape=$viaStreamShape batchShape=$viaBatchShape")
+    } finally q.stop()
+  }
+
   test("streaming frontier: URLs canonicalize and robots-gate at ingest") {
     // the crawl-frontier shape: a stream of discovered URLs meets a
     // STATIC broadcast rules table — canonicalization and the
