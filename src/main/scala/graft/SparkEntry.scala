@@ -1818,6 +1818,22 @@ object SparkEntry {
         .toDF()
         .orderBy("id", "frame_idx")
     }),
+    // REAL MJPEG frame decode (the last documented codec stub): each
+    // 00dc chunk is a standalone baseline JPEG, decoded by the same
+    // ImageIO path as still images. Uniform-gray frames at quality 1.0
+    // round-trip bit-exactly (constant block = DC only, Y = gray
+    // value), so the oracle predicts every frame's sum as w·h·gray
+    "q164_mm_mjpeg_frames" -> ((s, dir) => {
+      import s.implicits._
+      val ids = t(s, dir, "documents")
+        .where(col("doc_id").isNotNull).select(col("doc_id")).as[Long]
+      val assets = ids.map { id =>
+        (id, "video", graft.multimodal.Multimodal.syntheticMjpegAvi(id))
+      }.toDF("id", "modality", "content")
+      graft.multimodal.Multimodal.frameGraySums(assets)
+        .toDF()
+        .orderBy("id", "frame_idx")
+    }),
 
     // HTML → text extraction (the step BEFORE every text operator in a
     // web-scrape pipeline): each doc's text is wrapped in a fixed
@@ -5566,6 +5582,21 @@ object SparkEntry {
          |    AS BIGINT) AS gray_sum
          |FROM p GROUP BY id, frame_idx, width, height
          |ORDER BY id, frame_idx""".stripMargin,
+
+    // uniform gray frames: REAL JPEG decode must land exactly on the
+    // closed form w·h·((id·2654435761 + 1009f) mod 256)
+    "q164_mm_mjpeg_frames" ->
+      """SELECT d.doc_id AS id, f.f AS frame_idx,
+        |  CAST(d.doc_id % 8 + 2 AS BIGINT) AS width,
+        |  CAST(d.doc_id % 5 + 2 AS BIGINT) AS height,
+        |  CAST((d.doc_id % 8 + 2) * (d.doc_id % 5 + 2) AS BIGINT) AS n_px,
+        |  CAST((d.doc_id % 8 + 2) * (d.doc_id % 5 + 2)
+        |    * ((d.doc_id * 2654435761 + f.f * 1009) % 256) AS BIGINT)
+        |    AS gray_sum
+        |FROM documents d,
+        |  unnest(generate_series(0, d.doc_id % 4 + 1)) AS f(f)
+        |WHERE d.doc_id IS NOT NULL
+        |ORDER BY id, frame_idx""".stripMargin,
 
     // every bin count re-derived from the closed-form pixel formula —
     // the REAL decoded raster must produce these masses

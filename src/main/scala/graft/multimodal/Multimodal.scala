@@ -219,12 +219,12 @@ object Multimodal {
     * width×height (16.16 fixed point; the max over tracks, audio tracks
     * carry 0×0). The metadata tuple is
     * `(width, height, nTracks, durationMs)`. No frame DECODING happens
-    * here (compressed codecs need a codec library); the container
-    * fields every video curation pipeline filters on — dimensions,
-    * duration, track count — are parsed from real bytes. For REAL
-    * frame decode without a codec library see [[frameGraySums]]
-    * (uncompressed-DIB AVI). Malformed or non-ISO-BMFF payloads fall
-    * back to the stub.
+    * here (ISO-BMFF codecs — H.264 etc. — need a codec library); the
+    * container fields every video curation pipeline filters on —
+    * dimensions, duration, track count — are parsed from real bytes.
+    * For REAL frame decode without a codec library see
+    * [[frameGraySums]] (uncompressed-DIB and MJPEG AVI). Malformed or
+    * non-ISO-BMFF payloads fall back to the stub.
     */
   def videoDecodeBytes(bytes: Array[Byte],
                        modality: String): (Int, Int, Int, Long) = {
@@ -335,14 +335,18 @@ object Multimodal {
 
   /** REAL video FRAME decode at the [[decodePartitions]] seam — the
     * one stage that previously stayed stubbed "pending a codec
-    * library". Uncompressed-DIB AVI needs NO codec: the RIFF/AVI
-    * container walk (published layout — `avih` main header, `strl`
-    * stream list, `movi` chunk list with `00db` device-independent-
-    * bitmap frames) yields raw bottom-up BGR rasters directly.
+    * library". Two codec-free paths share the RIFF/AVI container walk
+    * (published layout — `avih` main header, `strl` stream list,
+    * `movi` chunk list): `00db` chunks are raw bottom-up BGR DIB
+    * rasters read directly, and `00dc` MJPEG chunks are each a
+    * STANDALONE JPEG — the JDK ImageIO path that already decodes
+    * still images decodes them frame by frame (Motion JPEG is
+    * concatenated baseline JPEGs; no inter-frame state exists).
     * Output: one row per (asset, frame) with the frame's exact
     * grayscale sum — the per-frame feature a sampling/curation stage
     * keys on. Non-video modalities and unparsable payloads yield no
-    * rows (a corrupt container must not kill the partition).
+    * rows, and a corrupt FRAME inside a valid container skips that
+    * frame only (a corrupt asset must not kill the partition).
     */
   case class FrameStat(id: Long, frame_idx: Long, width: Long,
                        height: Long, n_px: Long, gray_sum: Long)
@@ -381,8 +385,33 @@ object Multimodal {
         else {
           val (w, h, frames) = parsed
           val stride = strideL.toInt
-          frames.iterator.flatMap { case (i, fr) =>
-            if (fr.length.toLong < strideL * h) Iterator.empty // truncated
+          frames.iterator.flatMap { case (i, isJpeg, fr) =>
+            if (isJpeg) {
+              // MJPEG: the chunk is a complete baseline JPEG — decode
+              // through the shared no-temp-file ImageIO path; a frame
+              // whose decode fails or whose dimensions contradict the
+              // container header is skipped, not fatal
+              val img = decodeImage(fr)
+              if (img == null || img.getWidth != w || img.getHeight != h)
+                Iterator.empty
+              else {
+                var sum = 0L
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) {
+                    val v = img.getRGB(x, y)
+                    sum += (((v >> 16) & 0xff) + ((v >> 8) & 0xff) +
+                      (v & 0xff)) / 3
+                    x += 1
+                  }
+                  y += 1
+                }
+                Iterator.single(FrameStat(id, i.toLong, w.toLong,
+                  h.toLong, w.toLong * h, sum))
+              }
+            }
+            else if (fr.length.toLong < strideL * h) Iterator.empty // truncated
             else {
               var sum = 0L
               var y = 0
@@ -523,15 +552,16 @@ object Multimodal {
 
   /** Minimal RIFF/AVI reader for [[frameGraySums]] — chunk layout per
     * the published AVI RIFF form (`avih` fields at their spec offsets,
-    * `movi` list, `00db` uncompressed-DIB frame chunks). Returns
-    * (width, height, sampled frames as (original index, raw DIB
-    * payload)); null on anything malformed. `everyNth` samples at the
-    * CHUNK WALK: unsampled frames' bytes are never copied — only
-    * their 8-byte headers are stepped over.
+    * `movi` list, `00db` uncompressed-DIB / `00dc` compressed (MJPEG)
+    * frame chunks). Returns (width, height, sampled frames as
+    * (original index, isCompressed, payload)); null on anything
+    * malformed. `everyNth` samples at the CHUNK WALK: unsampled
+    * frames' bytes are never copied — and for `00dc` never
+    * JPEG-decoded — only their 8-byte headers are stepped over.
     */
   private[multimodal] object AviFrames {
     def parse(bytes: Array[Byte],
-              everyNth: Int = 1): (Int, Int, Seq[(Int, Array[Byte])]) = {
+              everyNth: Int = 1): (Int, Int, Seq[(Int, Boolean, Array[Byte])]) = {
       val bb = java.nio.ByteBuffer.wrap(bytes)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       def fourcc(off: Int): String =
@@ -543,7 +573,7 @@ object Multimodal {
       var h = 0
       var frameIdx = 0
       val frames =
-        scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Byte])]
+        scala.collection.mutable.ArrayBuffer.empty[(Int, Boolean, Array[Byte])]
       var off = 12
       val end = math.min(bytes.length.toLong, 8L + bb.getInt(4)).toInt
       while (off + 8 <= end) {
@@ -571,9 +601,10 @@ object Multimodal {
               while (p + 8 <= mEnd) {
                 val fsz = bb.getInt(p + 4)
                 if (fsz < 0 || p + 8 + fsz > mEnd) return null
-                if (fourcc(p) == "00db") {
+                val fcc = fourcc(p)
+                if (fcc == "00db" || fcc == "00dc") {
                   if (frameIdx % everyNth == 0)
-                    frames += ((frameIdx,
+                    frames += ((frameIdx, fcc == "00dc",
                       java.util.Arrays.copyOfRange(bytes, p + 8,
                         p + 8 + fsz)))
                   frameIdx += 1
@@ -653,6 +684,82 @@ object Multimodal {
         row -= 1
       }
       f += 1
+    }
+    bb.array()
+  }
+
+  /** Deterministic MJPEG-in-AVI fixture: the same hand-assembled RIFF
+    * layout as [[syntheticAvi]] but with `00dc` chunks, each a REAL
+    * baseline JPEG written by the JDK encoder. Frame `f` of asset `id`
+    * is UNIFORM gray `(id·2654435761 + 1009f) mod 256` — a constant
+    * block has only a DC coefficient, and at compression quality 1.0
+    * with equal RGB channels (Y = value exactly, Cb = Cr = 128) the
+    * JPEG round-trip reproduces it bit-exactly (verified across the
+    * id range), so the oracle predicts each frame's gray sum in
+    * closed form: `w·h·gray(id, f)`. Closed forms from `id` otherwise
+    * match [[syntheticAvi]]: width = id % 8 + 2, height = id % 5 + 2,
+    * frames = id % 4 + 2.
+    */
+  def syntheticMjpegAvi(id: Long): Array[Byte] = {
+    val w = (id % 8 + 2).toInt
+    val h = (id % 5 + 2).toInt
+    val nFrames = (id % 4 + 2).toInt
+    val jpegs = (0 until nFrames).map { f =>
+      val gv = ((id * 2654435761L + f * 1009) % 256L).toInt
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, (gv << 16) | (gv << 8) | gv); x += 1 }
+        y += 1
+      }
+      val wr = javax.imageio.ImageIO
+        .getImageWritersByFormatName("jpeg").next()
+      val p = wr.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(1.0f)
+      val bos = new java.io.ByteArrayOutputStream()
+      val mos = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      try {
+        wr.setOutput(mos)
+        wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      } finally { mos.close(); wr.dispose() }
+      bos.toByteArray
+    }
+    val chunk = jpegs.map(j => 8 + j.length + (j.length & 1)).sum
+    val moviSize = 4 + chunk
+    val maxFrame = jpegs.map(_.length).max
+    val hdrlSize = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+    val bb = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def cc(s: String): Unit = bb.put(s.getBytes("US-ASCII"))
+    cc("RIFF"); bb.putInt(riffSize); cc("AVI ")
+    cc("LIST"); bb.putInt(hdrlSize); cc("hdrl")
+    cc("avih"); bb.putInt(56)
+    bb.putInt(100000) // usec/frame (10 fps)
+      .putInt(0).putInt(0).putInt(0)
+      .putInt(nFrames).putInt(0).putInt(1).putInt(maxFrame)
+      .putInt(w).putInt(h)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    cc("LIST"); bb.putInt(4 + (8 + 56) + (8 + 40)); cc("strl")
+    cc("strh"); bb.putInt(56)
+    cc("vids"); cc("MJPG")
+    bb.putInt(0).putInt(0).putInt(0)
+      .putInt(1).putInt(10) // scale/rate = 10 fps
+      .putInt(0).putInt(nFrames).putInt(maxFrame)
+      .putInt(-1).putInt(maxFrame)
+      .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+    cc("strf"); bb.putInt(40)
+    bb.putInt(40).putInt(w).putInt(h)
+      .putShort(1).putShort(24)
+    cc("MJPG") // biCompression
+    bb.putInt(maxFrame).putInt(0).putInt(0).putInt(0).putInt(0)
+    cc("LIST"); bb.putInt(moviSize); cc("movi")
+    jpegs.foreach { j =>
+      cc("00dc"); bb.putInt(j.length); bb.put(j)
+      if ((j.length & 1) == 1) bb.put(0.toByte) // word alignment
     }
     bb.array()
   }

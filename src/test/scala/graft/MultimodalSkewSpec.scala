@@ -217,6 +217,61 @@ class MultimodalSkewSpec extends SparkSpec {
         .toDF("id", "modality", "content")).collect().isEmpty)
   }
 
+  test("frameGraySums decodes MJPEG (00dc) frames; corrupt frames skip, " +
+    "truncation bails") {
+    // uniform-gray frames round-trip JPEG bit-exactly, so the expected
+    // sum is the closed form w·h·gray(id, f)
+    val id = 23L
+    val (w, h, n) = ((id % 8 + 2).toInt, (id % 5 + 2).toInt, (id % 4 + 2).toInt)
+    val expected = (0 until n).map { f =>
+      w.toLong * h * ((id * 2654435761L + f * 1009) % 256L)
+    }
+    val assets = spark.createDataFrame(Seq(
+      (id, "video", Multimodal.syntheticMjpegAvi(id))))
+      .toDF("id", "modality", "content")
+    val out = Multimodal.frameGraySums(assets).collect().sortBy(_.frame_idx)
+    assert(out.length == n)
+    out.zipWithIndex.foreach { case (fs, i) =>
+      assert(fs.frame_idx == i && fs.width == w && fs.height == h &&
+        fs.n_px == w.toLong * h && fs.gray_sum == expected(i),
+        s"frame $i: got $fs expected sum ${expected(i)}")
+    }
+    // frame sampling parity: everyNth skips the JPEG decode entirely
+    // for unsampled frames and keeps ORIGINAL indices
+    val sampled = Multimodal.frameGraySums(assets, everyNth = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(sampled.map(_.frame_idx.toInt).toSeq ==
+      (0 until n by 2).toSeq)
+    sampled.foreach(fs =>
+      assert(fs.gray_sum == expected(fs.frame_idx.toInt)))
+    // corrupting ONE frame's JPEG payload (kill the SOI marker) skips
+    // that frame only — the rest of the container still decodes
+    val oneBad = {
+      val b = Multimodal.syntheticMjpegAvi(id)
+      // find the second 00dc chunk and stomp its first payload bytes
+      val s = new String(b.map(c => if (c >= 32 && c < 127) c.toChar
+        else '.'))
+      val first = s.indexOf("00dc")
+      val second = s.indexOf("00dc", first + 4)
+      b(second + 8) = 0; b(second + 9) = 0
+      b
+    }
+    val salvaged = Multimodal.frameGraySums(
+      spark.createDataFrame(Seq((id, "video", oneBad)))
+        .toDF("id", "modality", "content")).collect().sortBy(_.frame_idx)
+    assert(salvaged.map(_.frame_idx.toInt).toSeq ==
+      (0 until n).filterNot(_ == 1).toSeq,
+      s"frame 1 must be skipped, rest kept: ${salvaged.toSeq}")
+    salvaged.foreach(fs =>
+      assert(fs.gray_sum == expected(fs.frame_idx.toInt)))
+    // WarcSpec-style truncation: cutting the container mid-movi must
+    // bail to zero rows, not throw
+    val truncated = Multimodal.syntheticMjpegAvi(id).take(150)
+    assert(Multimodal.frameGraySums(
+      spark.createDataFrame(Seq((9L, "video", truncated)))
+        .toDF("id", "modality", "content")).collect().isEmpty)
+  }
+
   test("resizeGraySums resamples REAL decoded pixels (up- and down-" +
     "scale); frame sampling decodes only every Nth frame") {
     // nearest-neighbor replay in plain Scala against the decoded path,
