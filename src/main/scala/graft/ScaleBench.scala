@@ -365,13 +365,18 @@ object ScaleBench {
         graft.corpus.Warc.records(segs)
           .write.format("noop").mode("overwrite").save()
       }
-      // robots gate over a 50k-URL frontier against 7 hosts' rules:
-      // broadcast rules arrays + per-row higher-order longest-match —
-      // the wall should be scan-sized (no shuffle, no aggregation)
+      // robots gate over a 50k-URL frontier against 7 hosts' rules —
+      // WILDCARD-heavy policy (RFC 9309 `*`/`$` rules force the
+      // segment-walking matcher, not the prefix fast path, on every
+      // (path, rule) probe): broadcast rules arrays + per-row
+      // higher-order longest-match — the wall should stay scan-sized
+      // (no shuffle, no aggregation)
       time(s"robots_gate_10x $round") {
         import spark.implicits._
         val robots = (0 until 7).map(h => (s"site$h.example.com",
-          "User-agent: *\nDisallow: /private\nAllow: /private/ok\n"))
+          "User-agent: *\nDisallow: /private\nAllow: /private/ok\n" +
+            "Disallow: /*.tmp$\nDisallow: /*?sid=\nAllow: /p*ok\n" +
+            "Disallow: /cgi*bin/*.cgi$\n"))
           .toDF("host", "txt")
         val rules = graft.operators.Robots
           .rules(robots, "host", "txt", "bot").toDF()
@@ -379,12 +384,54 @@ object ScaleBench {
           .select(col("doc_id"),
             concat(lit("site"), (col("doc_id") % 7).cast("string"),
               lit(".example.com")).as("host"),
-            concat(when(col("doc_id") % 3 === 0, lit("/private/"))
-              .when(col("doc_id") % 3 === 1, lit("/private/ok/"))
+            concat(when(col("doc_id") % 5 === 0, lit("/private/"))
+              .when(col("doc_id") % 5 === 1, lit("/private/ok/"))
+              .when(col("doc_id") % 5 === 2, lit("/cache/x.tmp?v="))
+              .when(col("doc_id") % 5 === 3, lit("/page?sid="))
               .otherwise(lit("/p/")),
               col("doc_id").cast("string")).as("path"))
         graft.operators.Robots.gate(urls, rules, "host", "path")
           .write.format("noop").mode("overwrite").save()
+      }
+      // the q165 chain at 10×: gzipped WARC → HTTP → declared-charset
+      // decode → robots gate → curation cascade (html extraction +
+      // template-line dedup + quality + exact/LSH near-dedup). The
+      // wall is the whole crawl-to-corpus path on 50k pages; every
+      // stage shape is the one its own 10× entry certifies (inflate ≈
+      // warc_gz_parse, gate ≈ robots_gate, cascade ≈ curation_counts)
+      time(s"crawl_chain_10x $round") {
+        import spark.implicits._
+        val segs = docs.where(col("doc_id").isNotNull)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .map { case (id, tx) =>
+            (id, graft.corpus.Warc.syntheticCrawlWarc(id, tx)) }
+          .toDF("id", "content")
+        val fetched = graft.corpus.Warc.records(segs).toDF()
+          .filter(col("warc_type") === "response")
+          .select(col("id"), col("target_uri"), col("payload"))
+          .as[(Long, String, Array[Byte])]
+          .map { case (id, uri, p) =>
+            (id, uri, graft.corpus.Warc.decodeHttpBody(p)) }
+          .toDF("id", "uri", "html")
+        val robots = (0 until 7)
+          .map(i => (s"site$i.example.com",
+            "User-agent: *\nDisallow: /private\n"))
+          .toDF("host", "txt")
+        val allowed = graft.operators.Robots.gate(
+          fetched
+            .withColumn("host", graft.operators.Urls.host(col("uri")))
+            .withColumn("path",
+              regexp_extract(col("uri"), "://[^/]*(/.*)$", 1)),
+          graft.operators.Robots.rules(robots, "host", "txt", "bot")
+            .toDF(),
+          "host", "path")
+          .filter(col("allowed"))
+          .select(col("id"), col("html").as("text"))
+        println("  counts=" + graft.pipeline.CurationPipeline
+          .run(allowed, "id", "text", languages = Set.empty,
+            spanDedup = Some((4, 2L)),
+            spanMode = graft.pipeline.CurationPipeline.SpanLines,
+            html = true, stageCounts = true).counts)
       }
     }
     // multimodal decode throughput at 50k assets: full frame decode vs

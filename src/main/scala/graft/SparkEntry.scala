@@ -1835,6 +1835,100 @@ object SparkEntry {
         .orderBy("id", "frame_idx")
     }),
 
+    // the crawl-to-corpus chain END TO END, every stage count and the
+    // terminal text digest predicted by the oracle: gzipped WARC →
+    // HTTP 200 → declared-charset decode (é only survives the latin-1
+    // slice through the declaration) → robots gate (/private slice
+    // blocked) → curation cascade with html extraction + template-line
+    // dedup + quality gate + exact and LSH near-dedup. Counts are the
+    // cascade's own stageCounts; digests are mod-p md5 sums of the
+    // stage's exact text, so a drift at ANY layer (framing, charset,
+    // extraction, line-df, keeper rule) breaks a row
+    "q165_crawl_to_corpus" -> ((s, dir) => {
+      import s.implicits._
+      val segs = t(s, dir, "documents").where(col("doc_id").isNotNull)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, tx) =>
+          (id, graft.corpus.Warc.syntheticCrawlWarc(id, tx)) }
+        .toDF("id", "content")
+      val fetched = graft.corpus.Warc.records(segs).toDF()
+        .filter(col("warc_type") === "response" &&
+          graft.corpus.Warc.httpStatus(col("payload").cast("string"))
+            === 200)
+        .select(col("id"), col("target_uri"), col("payload"))
+        .as[(Long, String, Array[Byte])]
+        .map { case (id, uri, p) =>
+          (id, uri, graft.corpus.Warc.decodeHttpBody(p)) }
+        .toDF("id", "uri", "html")
+      val robotsTxt = "User-agent: *\nDisallow: /private\n"
+      val robots = (0 until 7)
+        .map(i => (s"site$i.example.com", robotsTxt))
+        .toDF("host", "txt")
+      val allowed = graft.operators.Robots.gate(
+        fetched
+          .withColumn("host", graft.operators.Urls.host(col("uri")))
+          .withColumn("path",
+            regexp_extract(col("uri"), "://[^/]*(/.*)$", 1)),
+        graft.operators.Robots.rules(robots, "host", "txt", "graftbot")
+          .toDF(),
+        "host", "path")
+        .filter(col("allowed"))
+        .select(col("id"), col("html").as("text"))
+      val res = graft.pipeline.CurationPipeline.run(allowed, "id", "text",
+        languages = Set.empty, spanDedup = Some((4, 2L)),
+        spanMode = graft.pipeline.CurationPipeline.SpanLines,
+        html = true, stageCounts = true)
+      val P = 1000000007L
+      def digestAgg(name: String, df: DataFrame, textC: Column) =
+        df.agg(count(lit(1)).cast("long").as("n"),
+          sum(pmod(HashFunctions.md5Long(textC), lit(P))).as("digest"))
+          .select(lit(name).as("stage"), col("n"), col("digest"))
+      val countRows = Seq(
+        "03_cascade_input" -> res.counts("input"),
+        "04_after_quality" -> res.counts("after_quality"),
+        "05_after_line_dedup" -> res.counts("after_span_dedup"),
+        "06_after_exact_dedup" -> res.counts("after_exact_dedup"),
+        "07_after_near_dedup" -> res.counts("after_near_dedup"))
+        .map { case (k, n) => (k, n, None: Option[Long]) }
+        .toDF("stage", "n", "digest")
+      digestAgg("01_fetched", fetched, col("html"))
+        .unionAll(digestAgg("02_allowed", allowed, col("text")))
+        .unionAll(countRows)
+        .unionAll(digestAgg("08_curated", res.curated, col("text")))
+        .orderBy("stage")
+    }),
+
+    // TRAINED same-script language ID: two Romance-like languages in
+    // one script, sharing words a stopword lexicon would key on
+    // ('casa', 'ladra', 'agua' appear in BOTH) — separable only by
+    // character-transition statistics. Hashed char-3-gram features
+    // through the q113 LR trainer; the oracle replays construction,
+    // training, and scoring bit-exactly (the q112/q113 fold contract)
+    "q166_langid_trained" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val vocabA = Seq("la", "casa", "roja", "el", "perro", "ladra",
+        "mucho", "agua")
+      val vocabB = Seq("a", "casa", "vermelha", "o", "cachorro", "ladra",
+        "muito", "agua")
+      val words = (0 until 8).map { i =>
+        val idx = pmod(col("doc_id") * 7 + lit(i * 3), lit(8))
+          .cast("int") + 1
+        when(col("doc_id") % 2 === 0, element_at(typedlit(vocabA), idx))
+          .otherwise(element_at(typedlit(vocabB), idx))
+      }
+      val docs = t(s, dir, "documents").where(col("doc_id").isNotNull)
+        .select(col("doc_id"), concat_ws(" ", words: _*).as("text"))
+      val tok = QualityLr.charNgramTokens(3)
+      val m = QualityLr.train(docs, "doc_id", "text",
+        col("doc_id") % 2 === 0, dim = 64, iters = 2, lr = 0.5,
+        tokenize = tok)
+      QualityLr.scores(docs, "doc_id", "text", m, tokenize = tok)
+        .select(col("doc_id"), round(col("prob"), 6).as("prob"),
+          when(col("prob") >= 0.5, lit("es")).otherwise(lit("pt"))
+            .as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+
     // HTML → text extraction (the step BEFORE every text operator in a
     // web-scrape pipeline): each doc's text is wrapped in a fixed
     // markup shell (script/style subtrees, block tags, all six common
@@ -2481,7 +2575,25 @@ object SparkEntry {
     * `p1, g1, gb1, w1, b1, …, p{iters+1}` (scores under the final
     * weights); the caller appends the final SELECT.
     */
-  private def lrChainSql(dim: Int, iters: Int, lr: Double): String = {
+  /** The q112/q113 corpus head: curated-vs-crawl label over normalized
+    * WORD tokens. `lrChainSql` swaps it out for other feature streams
+    * (q166 feeds char n-grams through the same training replay).
+    */
+  private lazy val LrWordsLwCte =
+    s"""lw AS (
+       |  SELECT doc_id,
+       |    CASE WHEN source = 'src0' THEN 1.0 ELSE 0.0 END AS y,
+       |    list_filter(
+       |      string_split_regex(
+       |        regexp_replace(lower(text), '[^a-z0-9$WsClass]', ' ', 'g'),
+       |        '[$WsClass]+'),
+       |      x -> x != '') AS ws
+       |  FROM documents
+       |  WHERE doc_id IS NOT NULL
+       |    AND regexp_matches(lower(text), '[a-z0-9]'))""".stripMargin
+
+  private def lrChainSql(dim: Int, iters: Int, lr: Double,
+                         lwCte: String = LrWordsLwCte): String = {
     val fold = "(u, v) -> u + v"
     def pCte(tIt: Int): String = {
       val (from, term, bias) =
@@ -2519,17 +2631,7 @@ object SparkEntry {
     }
     val iterCtes = (1 to iters).map(tc => pCte(tc) + ",\n" + gradCtes(tc))
     (Seq(
-      s"""lw AS (
-         |  SELECT doc_id,
-         |    CASE WHEN source = 'src0' THEN 1.0 ELSE 0.0 END AS y,
-         |    list_filter(
-         |      string_split_regex(
-         |        regexp_replace(lower(text), '[^a-z0-9$WsClass]', ' ', 'g'),
-         |        '[$WsClass]+'),
-         |      x -> x != '') AS ws
-         |  FROM documents
-         |  WHERE doc_id IS NOT NULL
-         |    AND regexp_matches(lower(text), '[a-z0-9]')),
+      s"""$lwCte,
          |feats AS (
          |  SELECT doc_id, y, j, CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS x
          |  FROM (
@@ -5597,6 +5699,152 @@ object SparkEntry {
         |  unnest(generate_series(0, d.doc_id % 4 + 1)) AS f(f)
         |WHERE d.doc_id IS NOT NULL
         |ORDER BY id, frame_idx""".stripMargin,
+
+    // the whole chain replayed: decoded html + extracted text in
+    // closed form (the fixture wrapper is fixed and the corpus is
+    // single-line ASCII), robots = the id % 5 slice, then the
+    // cascade's own semantics stage by stage — q51's quality formulas,
+    // q149's line-df dedup, min-id exact keepers, and the q105-family
+    // MinHash/banding/verified-jaccard near-dedup, all over the
+    // REWRITTEN text. Digests are mod-p md5 sums of the stage texts
+    "q165_crawl_to_corpus" ->
+      s"""WITH base AS (
+         |  SELECT doc_id AS id, text,
+         |    '<html><body><div>Home | About | Contact</div><p>Resume ' ||
+         |      CAST(doc_id AS VARCHAR) || ' é</p><p>' || text ||
+         |      '</p><div>(c) 2026 Example Corp.</div></body></html>'
+         |      AS html,
+         |    'Home | About | Contact' || chr(10) || 'Resume ' ||
+         |      CAST(doc_id AS VARCHAR) || ' é' || chr(10) || text ||
+         |      chr(10) || '(c) 2026 Example Corp.' AS xtext
+         |  FROM documents WHERE doc_id IS NOT NULL),
+         |allowed AS (SELECT * FROM base WHERE id % 5 <> 0),
+         |xw AS (
+         |  SELECT id, xtext, list_filter(string_split_regex(
+         |      regexp_replace(lower(xtext), '[^a-z0-9$WsClass]', ' ', 'g'),
+         |      '[$WsClass]+'), x -> x != '') AS ws
+         |  FROM allowed),
+         |quality AS (
+         |  SELECT id, xtext FROM xw
+         |  WHERE len(ws) >= 5
+         |    AND round(CAST(length(xtext) - length(regexp_replace(xtext,
+         |      '[a-zA-Z]', '', 'g')) AS DOUBLE)
+         |      / greatest(length(xtext), 1), 4) >= 0.5
+         |    AND round(CAST(len(list_distinct(ws)) AS DOUBLE)
+         |      / greatest(len(ws), 1), 4) <= 1.01),
+         |l AS (
+         |  SELECT id, i - 1 AS idx, ls[i] AS line
+         |  FROM (SELECT id, string_split(xtext, chr(10)) AS ls
+         |        FROM quality),
+         |    unnest(generate_series(1, len(ls))) AS u(i)),
+         |hot AS (
+         |  SELECT line FROM (
+         |    SELECT line, count(DISTINCT id) AS df FROM l GROUP BY line)
+         |  WHERE df > 2),
+         |rew AS (
+         |  SELECT id,
+         |    array_to_string(list(line ORDER BY idx)
+         |      FILTER (line NOT IN (SELECT line FROM hot)), chr(10))
+         |      AS rtext,
+         |    count(*) FILTER (line NOT IN (SELECT line FROM hot))
+         |      AS n_kept
+         |  FROM l GROUP BY id),
+         |live AS (SELECT id, rtext FROM rew WHERE n_kept > 0),
+         |exact AS (SELECT min(id) AS id FROM live GROUP BY rtext),
+         |ek AS (SELECT v.id, v.rtext FROM live v
+         |       JOIN exact e ON e.id = v.id),
+         |rw AS (
+         |  SELECT id, list_filter(string_split_regex(
+         |      regexp_replace(lower(rtext), '[^a-z0-9$WsClass]', ' ', 'g'),
+         |      '[$WsClass]+'), x -> x != '') AS ws
+         |  FROM ek),
+         |rsh AS (
+         |  SELECT id, list_distinct(list_transform(
+         |    generate_series(1, greatest(1, len(ws) - 2)),
+         |    i -> array_to_string(ws[i:i+2], ' '))) AS shingles
+         |  FROM rw WHERE len(ws) > 0),
+         |rposts AS (SELECT id, unnest(shingles) AS word FROM rsh
+         |           WHERE len(shingles) > 0),
+         |rsig AS (
+         |  SELECT id, perm,
+         |    min((((perm+1)*1299721 % 2147483629)
+         |         * (${h60("word")} % 2147483629)
+         |         + (perm*7919+104729) % 2147483629) % 2147483629)
+         |      AS min_hash
+         |  FROM rposts
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS perm) perms
+         |  GROUP BY id, perm),
+         |rband AS (
+         |  SELECT id, CAST(perm // 2 AS INT) AS band,
+         |    list(min_hash ORDER BY perm) AS band_key
+         |  FROM rsig GROUP BY id, band),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM rband a JOIN rband b
+         |    ON a.band = b.band AND a.band_key = b.band_key
+         |    AND a.id < b.id),
+         |sz AS (SELECT id, len(shingles) AS sz FROM rsh),
+         |inter AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n
+         |  FROM rposts a JOIN rposts b
+         |    ON a.word = b.word AND a.id < b.id
+         |  GROUP BY a.id, b.id),
+         |ver AS (
+         |  SELECT c.id_a, c.id_b
+         |  FROM cand c
+         |  JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+         |  JOIN sz sa ON sa.id = c.id_a
+         |  JOIN sz sb ON sb.id = c.id_b
+         |  WHERE (sa.sz + sb.sz - i.n) > 0
+         |    AND CAST(i.n AS DOUBLE) / (sa.sz + sb.sz - i.n)
+         |      >= CAST(0.8 AS DOUBLE)),
+         |losers AS (SELECT DISTINCT id_b AS id FROM ver),
+         |keep AS (SELECT e.id FROM exact e
+         |         WHERE e.id NOT IN (SELECT id FROM losers))
+         |SELECT '01_fetched' AS stage, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(${h60("html")} % 1000000007) AS BIGINT) AS digest
+         |FROM base
+         |UNION ALL SELECT '02_allowed', CAST(count(*) AS BIGINT),
+         |  CAST(sum(${h60("html")} % 1000000007) AS BIGINT) FROM allowed
+         |UNION ALL SELECT '03_cascade_input', CAST(count(*) AS BIGINT),
+         |  CAST(NULL AS BIGINT) FROM allowed
+         |UNION ALL SELECT '04_after_quality', CAST(count(*) AS BIGINT),
+         |  CAST(NULL AS BIGINT) FROM quality
+         |UNION ALL SELECT '05_after_line_dedup', CAST(count(*) AS BIGINT),
+         |  CAST(NULL AS BIGINT) FROM live
+         |UNION ALL SELECT '06_after_exact_dedup', CAST(count(*) AS BIGINT),
+         |  CAST(NULL AS BIGINT) FROM exact
+         |UNION ALL SELECT '07_after_near_dedup', CAST(count(*) AS BIGINT),
+         |  CAST(NULL AS BIGINT) FROM keep
+         |UNION ALL SELECT '08_curated', CAST(count(*) AS BIGINT),
+         |  CAST(sum(${h60("rtext")} % 1000000007) AS BIGINT)
+         |FROM live JOIN keep USING (id)
+         |ORDER BY stage""".stripMargin,
+
+    // the same LR training replay as q113, with the corpus head swapped
+    // for the synthetic two-language fixture and char-3-gram windows
+    // over the canonical text (q54's substr contract — the kernel
+    // DISTINCTs windows, so each present n-gram contributes 1/len)
+    "q166_langid_trained" ->
+      s"""WITH ${lrChainSql(64, 2, 0.5,
+             """lw AS (
+               |  SELECT doc_id,
+               |    CASE WHEN doc_id % 2 = 0 THEN 1.0 ELSE 0.0 END AS y,
+               |    list_distinct(list_transform(
+               |      generate_series(1, greatest(1, length(c) - 2)),
+               |      i -> substr(c, i, 3))) AS ws
+               |  FROM (
+               |    SELECT doc_id, array_to_string([
+               |      CASE WHEN doc_id % 2 = 0
+               |        THEN (['la','casa','roja','el','perro','ladra',
+               |               'mucho','agua'])[(doc_id*7 + i*3) % 8 + 1]
+               |        ELSE (['a','casa','vermelha','o','cachorro',
+               |               'ladra','muito','agua'])[(doc_id*7 + i*3) % 8 + 1]
+               |      END FOR i IN generate_series(0, 7)], ' ') AS c
+               |    FROM documents WHERE doc_id IS NOT NULL))""".stripMargin)}
+         |SELECT doc_id, round(p, 6) AS prob,
+         |  CASE WHEN p >= 0.5 THEN 'es' ELSE 'pt' END AS lang_pred
+         |FROM p3 ORDER BY doc_id""".stripMargin,
 
     // every bin count re-derived from the closed-form pixel formula —
     // the REAL decoded raster must produce these masses

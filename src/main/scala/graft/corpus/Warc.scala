@@ -374,6 +374,34 @@ object Warc {
     out.result()
   }
 
+  /** Gzipped crawl-archive segment for the q165 end-to-end chain: ONE
+    * response record, member-per-record `.warc.gz` framing, carrying a
+    * real HTTP response whose HTML wraps the caller's text in the
+    * template shell (nav div + per-doc accent line + footer div).
+    * Closed forms from `id`: host `site{id%7}.example.com`; path
+    * `/private/{id}` when `id % 5 == 0` (the robots-gated slice) else
+    * `/a/{id}`; body charset ISO-8859-1 when `id % 3 == 0` (the é is a
+    * single 0xE9 byte — invalid UTF-8, so only a decoder that honors
+    * the Content-Type declaration recovers it) else UTF-8.
+    */
+  def syntheticCrawlWarc(id: Long, text: String): Array[Byte] = {
+    val html = "<html><body><div>Home | About | Contact</div>" +
+      s"<p>Resume $id é</p><p>$text</p>" +
+      "<div>(c) 2026 Example Corp.</div></body></html>"
+    val latin1 = id % 3 == 0
+    val htmlBytes = html.getBytes(if (latin1) "ISO-8859-1" else "UTF-8")
+    val path = if (id % 5 == 0) s"/private/$id" else s"/a/$id"
+    val httpHead = ("HTTP/1.1 200 OK\r\nContent-Type: text/html; " +
+      s"charset=${if (latin1) "iso-8859-1" else "utf-8"}\r\n" +
+      s"Content-Length: ${htmlBytes.length}\r\n\r\n").getBytes("US-ASCII")
+    val warcHead = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      s"WARC-Target-URI: http://site${id % 7}.example.com$path\r\n" +
+      s"Content-Length: ${httpHead.length + htmlBytes.length}\r\n\r\n")
+      .getBytes("US-ASCII")
+    gzipMember(warcHead ++ httpHead ++ htmlBytes ++
+      "\r\n\r\n".getBytes("US-ASCII"))
+  }
+
   /** One gzip member over `bytes` (RFC 1952, deflate). */
   def gzipMember(bytes: Array[Byte]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()

@@ -52,10 +52,24 @@ object QualityLr {
       lit(null).cast("double"),
       (acc, x) => when(acc.isNull, x).otherwise(acc + x))
 
+  /** Canonicalize-then-window char n-gram features — the fasttext-style
+    * token stream for TRAINED language ID: same-script languages share
+    * a lexicon's stopwords but not their character-transition
+    * statistics, so hashed char n-grams separate what a stopword
+    * lexicon provably cannot (LangIdSpec). The canonical form is the
+    * normalized words joined by single spaces (q54's char-shingle
+    * contract), windowed by the native `CharNGramsExpr` kernel.
+    */
+  def charNgramTokens(n: Int): Column => Column = t =>
+    graft.functions.GraftFunctions.charNGrams(
+      array_join(TextFunctions.normalizedWords(t), " "), n)
+
   /** Hashed L1-normalized term-frequency features as
-    * `(__id, __y, __j, __x)` rows: bucket `__j = md5_60(word) mod dim`,
+    * `(__id, __y, __j, __x)` rows: bucket `__j = md5_60(token) mod dim`,
     * `__x = occurrences(bucket) / len(doc)`. One corpus scan, one
     * tokenizer pass; the shuffle carries one row per (doc, bucket).
+    * `tokenize` picks the feature stream — normalized words (the
+    * quality-filter default) or [[charNgramTokens]] (language ID).
     * Docs with no alphanumeric character are excluded (no features, so
     * the classifier has nothing to condition on) — the filter runs on
     * the RAW text column so the tokenizer chain stays out of scan
@@ -63,12 +77,16 @@ object QualityLr {
     * scan-filter trap).
     */
   def hashedFeatures(docs: DataFrame, idCol: String, textCol: String,
-                     label: Column, dim: Int): DataFrame = {
+                     label: Column, dim: Int,
+                     tokenize: Column => Column =
+                       TextFunctions.normalizedWords(_)): DataFrame = {
     require(dim >= 2, s"hashedFeatures: dim=$dim must be >= 2")
+    // the char-ngram tokenizer resolves through the SQL registry
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val live = docs
       .filter(col(idCol).isNotNull && lower(col(textCol)).rlike("[a-z0-9]"))
       .select(col(idCol).as("__id"), label.cast("double").as("__y"),
-        TextFunctions.normalizedWords(col(textCol)).as("__ws"))
+        tokenize(col(textCol)).as("__ws"))
     val occ = live
       .select(col("__id"), col("__y"),
         size(col("__ws")).cast("double").as("__n"),
@@ -121,10 +139,12 @@ object QualityLr {
     * regularization — the oracle replays the identical chain.
     */
   def train(docs: DataFrame, idCol: String, textCol: String, label: Column,
-            dim: Int, iters: Int, lr: Double): LrModel = {
+            dim: Int, iters: Int, lr: Double,
+            tokenize: Column => Column =
+              TextFunctions.normalizedWords(_)): LrModel = {
     require(iters >= 1 && lr > 0, s"train: iters=$iters lr=$lr")
-    val feats =
-      hashedFeatures(docs, idCol, textCol, label, dim).localCheckpoint()
+    val feats = hashedFeatures(docs, idCol, textCol, label, dim, tokenize)
+      .localCheckpoint()
     val n = feats.select(col("__id")).distinct().count().toDouble
     require(n > 0, "train: no live documents")
     var w = Array.fill(dim)(0.0)
@@ -153,8 +173,10 @@ object QualityLr {
     * pass — tokenize, hash, fold against the literal weight array.
     */
   def scores(docs: DataFrame, idCol: String, textCol: String,
-             m: LrModel): DataFrame =
+             m: LrModel,
+             tokenize: Column => Column =
+               TextFunctions.normalizedWords(_)): DataFrame =
     scored(hashedFeatures(docs, idCol, textCol, lit(0.0),
-      m.weights.length), m)
+      m.weights.length, tokenize), m)
       .select(col("__id").as(idCol), col("__p").as("prob"))
 }

@@ -72,6 +72,48 @@ class QualityLrSpec extends SparkSpec {
     assert(a.weights.toSeq == b.weights.toSeq)
   }
 
+  test("char-ngram LR separates same-script languages the lexicon cannot") {
+    // Spanish-like vs Portuguese-like: same script, and every sentence
+    // hits the 'es' stopword lexicon ('de'/'que' are in BOTH the es and
+    // fr lexicons; ties break lexicographically to 'es') — so the
+    // lexicon langId gives ONE answer for both languages and provably
+    // cannot separate them. Char-3-gram transition statistics can.
+    val es = Seq(
+      "el perro ladra mucho en la casa roja que tiene de noche",
+      "la noche llega y el agua corre de la montana que vemos",
+      "el gato duerme en la silla vieja que esta de lado",
+      "la casa roja tiene un perro que ladra de noche")
+    val pt = Seq(
+      "o cachorro ladra muito na casa vermelha que fica de noite",
+      "a noite chega e as aguas correm de longe que vemos",
+      "o gato dorme na cadeira velha que fica de lado",
+      "a casa vermelha tem um cachorro que ladra de noite")
+    val docs = (es.zipWithIndex.map { case (t, i) => (i.toLong, t, 1.0) }
+      ++ pt.zipWithIndex.map { case (t, i) => (100L + i, t, 0.0) })
+      .toDF("doc_id", "text", "y")
+    // the lexicon heuristic: ONE prediction for every doc of BOTH
+    // languages — zero separating power on this pair
+    val lex = graft.functions.TextAnalysis
+      .langId(docs, "doc_id", "text")
+      .select("lang_pred").distinct().as[String].collect().toSet
+    assert(lex == Set("es"), s"lexicon must collapse both to 'es': $lex")
+    // trained char-3-gram LR: clean separation
+    val tok = QualityLr.charNgramTokens(3)
+    // L1-normalized distinct-ngram features are ~1/40 each, so the
+    // margin grows slowly; more iterations at the stable step size
+    // (larger steps oscillate and collapse the probabilities)
+    val m = QualityLr.train(docs, "doc_id", "text", col("y"),
+      dim = 128, iters = 120, lr = 4.0, tokenize = tok)
+    val probs = QualityLr.scores(docs, "doc_id", "text", m, tokenize = tok)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // every doc on the right side of 0.5, with a real gap between the
+    // two languages' score ranges
+    val esMin = es.indices.map(i => probs(i.toLong)).min
+    val ptMax = pt.indices.map(i => probs(100L + i)).max
+    assert(esMin > 0.5 && ptMax < 0.5 && esMin - ptMax > 0.1,
+      s"expected clean separation: esMin=$esMin ptMax=$ptMax $probs")
+  }
+
   test("zero model scores exactly 0.5 everywhere") {
     val probs = QualityLr.scores(toyDf, "doc_id", "text",
       QualityLr.LrModel(Array.fill(16)(0.0), 0.0))
