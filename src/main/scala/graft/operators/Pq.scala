@@ -154,6 +154,93 @@ object Pq {
     encodeKeyed(residuals(embs, idCol, vecCol, centroids),
       Seq(idCol, "cell"), "rvec", codebooks)
 
+  /** [[pqEncodeResidual]] with the MODEL shipped as literals — the
+    * index-side maintenance seam for STREAMING ingest: centroids and
+    * codebooks collect to the driver (both model-sized — the
+    * `Classify.centroidTopLabelLit` pattern) and the whole encode
+    * becomes a pure projection (coarse argmax as one `greatest` over
+    * per-centroid `(cos, −cid, cvec)` structs, residual as a
+    * `zip_with`, per-subspace argmin as one `least` over `(d2, cid)`
+    * structs), with generator barriers so the norm / winning centroid
+    * / residual each evaluate once per row. No join, no aggregation,
+    * no window — legal on an unbounded stream, so new embeddings are
+    * assigned + encoded per micro-batch against the static model and
+    * UNION into the searchable code table ([[pqEncodeResidual]]
+    * output; StreamingSpec proves stream∪old == full-batch re-encode).
+    *
+    * Bit parity with the batch form: the same `dot_f32` kernel scores
+    * the coarse assignment (centroid norms pre-folded driver-side in
+    * element order), residual subtraction widens float→double
+    * identically, and the subspace d2 is the same position-ordered
+    * fold — gated as q167 against the q119-family oracle CTEs.
+    */
+  def pqEncodeResidualLit(embs: DataFrame, idCol: String, vecCol: String,
+                          centroids: DataFrame,
+                          codebooks: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(embs.sparkSession)
+    import graft.functions.GraftFunctions.dotF32
+    val cents = centroids
+      .select(col("cid").cast("long"), col("cvec"))
+      .collect()
+      .map { r =>
+        require(!r.isNullAt(0) && !r.isNullAt(1),
+          "pqEncodeResidualLit: null centroid row")
+        (r.getLong(0),
+          r.getSeq[Number](1).map(_.floatValue()).toArray)
+      }
+      .sortBy(_._1)
+    require(cents.nonEmpty, "pqEncodeResidualLit: empty centroid model")
+    val cbs = codebooks
+      .select(col("sub").cast("int"), col("cid").cast("long"),
+        col("cvec"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        r.getSeq[Number](2).map(_.doubleValue()).toArray))
+      .groupBy(_._1)
+    require(cbs.nonEmpty, "pqEncodeResidualLit: empty codebooks")
+    val m = cbs.keys.max + 1
+    require(cbs.keySet == (0 until m).toSet,
+      s"pqEncodeResidualLit: missing subspaces in ${cbs.keySet}")
+    val dsub = cbs(0).head._3.length
+    // norm behind a single-row generator: referenced by every
+    // centroid's struct (the documented CollapseProject defense;
+    // Generate is streaming-legal)
+    val e = embs.where(col(vecCol).isNotNull)
+      .select(col(idCol), col(vecCol).as("__v"))
+      .select(col(idCol), col("__v"),
+        explode_outer(array(sqrt(dotF32(col("__v"), col("__v")))))
+          .as("__n"))
+    val centStructs = cents.map { case (cid, cv) =>
+      // same accumulation as the dot_f32 kernel's norm: double acc
+      // over float→double squares in position order
+      val cn = math.sqrt(
+        cv.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+      struct((dotF32(col("__v"), lit(cv)) / (col("__n") * lit(cn)))
+        .as("c"), lit(-cid).as("nc"),
+        lit(cv.map(_.toDouble)).as("cv"))
+    }
+    val bestCent =
+      if (centStructs.size == 1) centStructs.head
+      else greatest(centStructs: _*)
+    val withCell = e
+      .select(col(idCol), col("__v"),
+        explode_outer(array(bestCent)).as("__b"))
+      .select(col(idCol), (-col("__b.nc")).as("cell"),
+        // residuals' exact expression: float attr minus float-widened
+        // centroid, element-wise in double
+        explode_outer(array(zip_with(col("__v"), col("__b.cv"),
+          (x, c) => x.cast("double") - c))).as("__r"))
+    val codes = array((0 until m).map { s =>
+      val sv = slice(col("__r"), s * dsub + 1, dsub)
+      val entries = cbs(s).sortBy(_._2).map { case (_, cid, cv) =>
+        struct(l2sq(sv, lit(cv)).as("d"), lit(cid).as("c"))
+      }
+      (if (entries.size == 1) entries.head
+       else least(entries: _*)).getField("c")
+    }: _*)
+    withCell.select(col(idCol), col("cell"), codes.as("codes"))
+  }
+
   /** Lloyd refinement per subspace: `iters` rounds of (encode) →
     * (replace each codebook entry with the element-wise mean of its
     * assigned subvectors). Empty entries keep their previous value.

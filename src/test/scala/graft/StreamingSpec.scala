@@ -201,6 +201,62 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming PQ ingest: arrivals encode against the static model " +
+    "and union into the batch code table") {
+    // index-side incremental maintenance: a static corpus builds the
+    // coarse centroids + residual codebooks offline; NEW embeddings
+    // arrive on a stream and are assigned + residual-PQ-encoded at
+    // ingest by the literal-model projection. Parity: the streamed
+    // codes equal batch pqEncodeResidual on the same rows, and the
+    // union with the old corpus's codes equals a full-batch re-encode
+    // of everything — the searchable table is maintained, not rebuilt.
+    def vec(id: Long): Array[Float] =
+      Array.tabulate(16)(i => (((id * 31 + i * 7) % 13) - 6).toFloat / 3f)
+    val corpus = (0L until 40L).map(id => (id, vec(id)))
+      .toDF("vec_id", "embedding")
+    val cents = corpus.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val cb = graft.operators.Pq.pqSeedCodebooks(
+      graft.operators.Pq.residuals(corpus, "vec_id", "embedding", cents)
+        .filter(col("vec_id") >= 8),
+      "vec_id", "rvec", m = 4, ksub = 8)
+    val fresh = (100L until 106L).map(id => (id, vec(id)))
+    val input = MemoryStream[(Long, Array[Float])](spark)
+    val stream = input.toDF()
+      .select(col("_1").as("vec_id"), col("_2").as("embedding"))
+    val q = graft.operators.Pq.pqEncodeResidualLit(
+      stream, "vec_id", "embedding", cents, cb)
+      .select(col("vec_id"), col("cell"),
+        array_join(transform(col("codes"), c => c.cast("string")), ",")
+          .as("codes"))
+      .writeStream.format("memory").queryName("stream_pq")
+      .outputMode("append").start()
+    try {
+      input.addData(fresh.take(3): _*)
+      q.processAllAvailable()
+      input.addData(fresh.drop(3): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("stream_pq")
+        .as[(Long, Long, String)].collect().toSet
+      def batchCodes(df: org.apache.spark.sql.DataFrame) =
+        graft.operators.Pq.pqEncodeResidual(df, "vec_id", "embedding",
+          cents, cb)
+          .select(col("vec_id"), col("cell"),
+            array_join(transform(col("codes"), c => c.cast("string")),
+              ",").as("codes"))
+          .as[(Long, Long, String)].collect().toSet
+      val freshBatch = batchCodes(fresh.toDF("vec_id", "embedding"))
+      assert(streamed == freshBatch,
+        s"stream/batch encode divergence:\n$streamed\nvs\n$freshBatch")
+      // maintained table == full rebuild
+      val maintained = batchCodes(corpus) ++ streamed
+      val rebuilt = batchCodes(
+        corpus.unionAll(fresh.toDF("vec_id", "embedding")))
+      assert(maintained == rebuilt,
+        s"union∪stream must equal the full re-encode")
+    } finally q.stop()
+  }
+
   test("real feature extraction embeds a binary-asset stream at ingest") {
     // embedPartitions is a pure mapPartitions stage (no shuffle, no
     // state), so the SAME call runs on a streaming DataFrame — the
