@@ -427,11 +427,13 @@ object ScaleBench {
           "host", "path")
           .filter(col("allowed"))
           .select(col("id"), col("html").as("text"))
+        // ONE lazy DAG (no stageCounts — that shape materializes every
+        // stage and is q165's report job, not the throughput path)
         println("  counts=" + graft.pipeline.CurationPipeline
           .run(allowed, "id", "text", languages = Set.empty,
             spanDedup = Some((4, 2L)),
             spanMode = graft.pipeline.CurationPipeline.SpanLines,
-            html = true, stageCounts = true).counts)
+            html = true).counts)
       }
     }
     // multimodal decode throughput at 50k assets: full frame decode vs
