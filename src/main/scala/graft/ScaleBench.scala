@@ -393,6 +393,19 @@ object ScaleBench {
         graft.operators.Robots.gate(urls, rules, "host", "path")
           .write.format("noop").mode("overwrite").save()
       }
+      // ingest LSH gate at 10×: 10k arrivals (src0-style slice) probed
+      // against the banded index of the other 40k docs — the q163
+      // shuffle shape (explode → semi-join → anti-join); the wall is
+      // dominated by signature computation, never an all-pairs join
+      time(s"lsh_gate_10x $round") {
+        val arrivals = docs.filter(col("doc_id") % 5 === 0)
+        val landed = docs.filter(col("doc_id") % 5 =!= 0)
+        val idx = Dedup.indexBandKeys(landed, "doc_id", "text",
+          k = 8, bands = 4, tokenize = Dedup.shingleTokenizer(3))
+        val kept = Dedup.lshGate(arrivals, "doc_id", "text", idx,
+          k = 8, bands = 4, tokenize = Dedup.shingleTokenizer(3))
+        println("  gate_kept=" + kept.count())
+      }
       // the q165 chain at 10×: gzipped WARC → HTTP → declared-charset
       // decode → robots gate → curation cascade (html extraction +
       // template-line dedup + quality + exact/LSH near-dedup). The
@@ -427,8 +440,16 @@ object ScaleBench {
           "host", "path")
           .filter(col("allowed"))
           .select(col("id"), col("html").as("text"))
-        // ONE lazy DAG (no stageCounts — that shape materializes every
-        // stage and is q165's report job, not the throughput path)
+          // the LANDING TABLE: the cascade consumes its input from
+          // several subtrees, so an unmaterialized fetch front end
+          // (gunzip + HTTP split + charset decode) re-executes per
+          // consumer — measured +13 s at 50k pages. At cluster scale
+          // this is the landed-corpus parquet write; locally the
+          // checkpoint stands in.
+          .localCheckpoint()
+        // ONE lazy DAG downstream of the landing table (no stageCounts
+        // — that shape materializes every stage and is q165's report
+        // job, not the throughput path)
         println("  counts=" + graft.pipeline.CurationPipeline
           .run(allowed, "id", "text", languages = Set.empty,
             spanDedup = Some((4, 2L)),
@@ -463,6 +484,18 @@ object ScaleBench {
         }
         time(s"mm_embed_hist_50k $round") {
           graft.multimodal.Multimodal.embedPartitions(imgs, dim = 16)
+            .write.format("noop").mode("overwrite").save()
+        }
+        // MJPEG decode throughput: same frame counts as the DIB arm,
+        // but every frame pays a real ImageIO JPEG decode — the delta
+        // vs mm_frames_full_50k is the codec cost per 50k assets
+        time(s"mm_mjpeg_50k $round") {
+          def mjpegs = docs.where(col("doc_id").isNotNull)
+            .select(col("doc_id")).as[Long]
+            .map(id => (id, "video",
+              graft.multimodal.Multimodal.syntheticMjpegAvi(id)))
+            .toDF("id", "modality", "content")
+          graft.multimodal.Multimodal.frameGraySums(mjpegs)
             .write.format("noop").mode("overwrite").save()
         }
       }

@@ -41,6 +41,10 @@ private[graft] object WebQueries {
         .map { case (id, uri, p) =>
           (id, uri, graft.corpus.Warc.decodeHttpBody(p)) }
         .toDF("id", "uri", "html")
+        // landing table: the digests + the cascade's several consumers
+        // must not each re-run the gunzip/decode front end (at cluster
+        // scale this is the landed-corpus parquet write)
+        .localCheckpoint()
       val robotsTxt = "User-agent: *\nDisallow: /private\n"
       val robots = (0 until 7)
         .map(i => (s"site$i.example.com", robotsTxt))

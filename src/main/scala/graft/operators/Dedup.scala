@@ -431,7 +431,12 @@ object Dedup {
       GraftFunctions.minHashSig(
         HashFunctions.tokenHashes(tokenize(col(textCol))), k))
     val hit = docs
-      .select(col(idCol), sig.as("__sig"))
+      // single-row generator barrier: the null filter must read a
+      // materialized attribute — filtering the projection directly
+      // would push isnotnull(<minhash chain>) below it and evaluate
+      // the kernel twice per row (a filter on a generator output
+      // cannot push below the Generate)
+      .select(col(idCol), explode_outer(array(sig)).as("__sig"))
       .filter(col("__sig").isNotNull)
       .select(col(idCol), explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
