@@ -24,25 +24,29 @@ object SparkEntry {
   // ---------------------------------------------------------------- queries
 
   /** The full registry, composed from the per-domain slices (each
-    * under ~1,500 lines; the shared fixture/oracle fragments live
-    * in [[QShared]]). Key sets are disjoint by construction —
-    * composition cannot silently drop a query.
+    * under ~1,500 lines; the shared fixture/oracle fragments live in
+    * [[QShared]]). Composition CHECKS key disjointness — `Map ++`
+    * silently shadows duplicates, so a re-used key in a later slice
+    * would otherwise make a query vanish with no error.
     */
+  private def composed[T](slices: Seq[Map[String, T]],
+                          what: String): Map[String, T] = {
+    val m = slices.reduce(_ ++ _)
+    require(slices.map(_.size).sum == m.size,
+      s"duplicate $what key across registry slices: " +
+        slices.flatMap(_.keys).groupBy(identity).collect {
+          case (k, vs) if vs.size > 1 => k
+        }.mkString(", "))
+    m
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++
-      JaccardQueries.queries ++
-      DedupQueries.queries ++
-      AnnQueries.queries ++
-      TextQueries.queries ++
-      MmQueries.queries ++
-      WebQueries.queries
+    composed(Seq(RelationalQueries.queries, JaccardQueries.queries,
+      DedupQueries.queries, AnnQueries.queries, TextQueries.queries,
+      MmQueries.queries, WebQueries.queries), "query")
 
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++
-      JaccardQueries.oracles ++
-      DedupQueries.oracles ++
-      AnnQueries.oracles ++
-      TextQueries.oracles ++
-      MmQueries.oracles ++
-      WebQueries.oracles
+    composed(Seq(RelationalQueries.oracles, JaccardQueries.oracles,
+      DedupQueries.oracles, AnnQueries.oracles, TextQueries.oracles,
+      MmQueries.oracles, WebQueries.oracles), "oracle")
 }

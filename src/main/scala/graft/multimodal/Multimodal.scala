@@ -395,17 +395,14 @@ object Multimodal {
               if (img == null || img.getWidth != w || img.getHeight != h)
                 Iterator.empty
               else {
+                val px = rgbPixels(img)
                 var sum = 0L
-                var y = 0
-                while (y < h) {
-                  var x = 0
-                  while (x < w) {
-                    val v = img.getRGB(x, y)
-                    sum += (((v >> 16) & 0xff) + ((v >> 8) & 0xff) +
-                      (v & 0xff)) / 3
-                    x += 1
-                  }
-                  y += 1
+                var i2 = 0
+                while (i2 < px.length) {
+                  val v = px(i2)
+                  sum += (((v >> 16) & 0xff) + ((v >> 8) & 0xff) +
+                    (v & 0xff)) / 3
+                  i2 += 1
                 }
                 Iterator.single(FrameStat(id, i.toLong, w.toLong,
                   h.toLong, w.toLong * h, sum))
@@ -450,6 +447,14 @@ object Multimodal {
   case class ResizeStat(id: Long, width: Long, height: Long,
                         n_px: Long, gray_sum: Long)
 
+  /** One bulk RGB grab of the whole raster (row-major, stride = width).
+    * Per-pixel `getRGB(x, y)` pays a ColorModel conversion call per
+    * pixel — several times slower at real frame sizes; the bulk form
+    * converts in one pass and the hot loops index a plain int array.
+    */
+  private def rgbPixels(img: java.awt.image.BufferedImage): Array[Int] =
+    img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth)
+
   def resizeGraySums(assets: DataFrame, outW: Int,
                      outH: Int): Dataset[ResizeStat] = {
     require(outW >= 1 && outH >= 1,
@@ -466,6 +471,7 @@ object Multimodal {
           Iterator.empty
         else {
           val (sw, sh) = (img.getWidth, img.getHeight)
+          val px = rgbPixels(img)
           var sum = 0L
           var y = 0
           while (y < outH) {
@@ -473,7 +479,7 @@ object Multimodal {
             var x = 0
             while (x < outW) {
               val sx = (x.toLong * sw / outW).toInt
-              val v = img.getRGB(sx, sy)
+              val v = px(sy * sw + sx)
               sum += (((v >> 16) & 0xff) + ((v >> 8) & 0xff) + (v & 0xff)) / 3
               x += 1
             }

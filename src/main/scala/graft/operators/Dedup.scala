@@ -409,7 +409,12 @@ object Dedup {
   }
 
   /** Batch LSH gate against a persisted banded index: keeps exactly the
-    * documents [[streamingLshGate]] keeps, in the shape a corpus-scale
+    * documents [[streamingLshGate]] keeps — UNDER the registry's
+    * document-key contract that `idCol` is unique and non-null (the
+    * [[exactGroups]] / near-dedup convention). The drop decision here
+    * is ID-keyed (colliding ids anti-join out) where the stream gate's
+    * is row-keyed: a null-id row would bypass the anti-join, and rows
+    * sharing an id share a fate. Runs in the shape a corpus-scale
     * index needs — the doc's band keys EXPLODE into `(band, band_key)`
     * rows (row-local slicing; the corpus text is never re-shuffled) and
     * probe the index through ONE equi semi-join, then colliding ids
