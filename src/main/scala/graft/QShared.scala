@@ -116,6 +116,31 @@ private[graft] object QShared {
     (cents, cb, embs.filter(col("vec_id") < 20))
   }
 
+  /** q168's corpus-independent unigram piece table (q106's
+    * fixed-vocabulary convention): every `[a-z0-9]` character plus
+    * common English multigrams with hand-fixed log-probs — Viterbi
+    * dynamics become value-checkable in SQL; the LEARNED table is
+    * UnigramSpec's job (EM is not SQL-expressible).
+    */
+  val UnigramFixedPieces: Seq[(String, Double)] =
+    (('a' to 'z') ++ ('0' to '9')).map(c => c.toString -> -4.5) ++ Seq(
+      "th" -> -2.5, "he" -> -2.6, "in" -> -2.4, "er" -> -2.5,
+      "an" -> -2.6, "re" -> -2.7, "on" -> -2.6, "en" -> -2.7,
+      "at" -> -2.7, "es" -> -2.7, "or" -> -2.8, "ti" -> -2.8,
+      "st" -> -2.8, "ar" -> -2.9, "nd" -> -2.9, "al" -> -2.9,
+      "ing" -> -3.0, "ion" -> -3.1, "ent" -> -3.2, "ter" -> -3.1,
+      "the" -> -2.8, "and" -> -2.9, "tion" -> -3.4, "men" -> -3.3)
+
+  /** DuckDB literals for [[UnigramFixedPieces]] — generated from the
+    * same Seq so the Spark query and the oracle cannot drift.
+    */
+  val UnigramPiecesSql: String =
+    UnigramFixedPieces.map(p => s"'${p._1}'").mkString("[", ", ", "]")
+  val UnigramLpsSql: String =
+    "CAST(" + UnigramFixedPieces.map(_._2).mkString("[", ", ", "]") +
+      " AS DOUBLE[])"
+  val UnigramMaxLen: Int = UnigramFixedPieces.map(_._1.length).max
+
   /** q106's corpus-independent merge table (see the query comment). */
   val BpeFixedMerges: Seq[(String, String)] =
     Seq(("a", "n"), ("s", "c"), ("sc", "an"), ("e", "r"))

@@ -283,6 +283,28 @@ private[graft] object TextQueries {
           array_join(col("pieces"), " ").as("pieces"), col("n_pieces"))
         .orderBy("word")
     }),
+    // unigram-LM (SentencePiece) segmentation under a FIXED piece
+    // table (the q106 fixed-vocabulary convention): the native Viterbi
+    // kernel's best split, tie-broken (score, fewer pieces, longer
+    // final piece) — the oracle replays the whole DP as a list_reduce
+    // over positions and backtraces through the same cells. Composing
+    // with the EM-LEARNED table is UnigramSpec's job
+    "q168_unigram_segment" -> ((s, dir) => {
+      graft.operators.Unigram
+        .segmentWords(t(s, dir, "documents"), "text", UnigramFixedPieces)
+        .select(col("word"), col("freq"),
+          array_join(col("pieces"), " ").as("pieces"), col("n_pieces"),
+          round(col("logprob"), 6).as("logprob"))
+        .orderBy("word")
+    }),
+    // per-document token budget under the same fixed table — the "how
+    // many tokens is this corpus under tokenizer X" readout (the q109
+    // shape with the unigram model instead of BPE)
+    "q169_unigram_token_counts" -> ((s, dir) => {
+      graft.operators.Unigram.unigramTokenCounts(
+        t(s, dir, "documents"), "doc_id", "text", UnigramFixedPieces)
+        .orderBy("doc_id")
+    }),
     // bigram LM with stupid backoff: counted on src0, scoring every
     // other source; seen bigrams score the conditional MLE, unseen back
     // off to 0.4x the smoothed unigram. Pair-sorted fold — bit-
@@ -442,6 +464,39 @@ private[graft] object TextQueries {
           |ORDER BY doc_id, perm""".stripMargin)
     }),
   )
+
+  /** The q168/q169 Viterbi DP replay (cells per position, final cell
+    * non-null = segmentable): shared so the budget readout and the
+    * segmentation gate cannot drift.
+    */
+  private lazy val UnigramDpCtes =
+    s"""wf AS (
+       |  SELECT word, count(*) AS freq
+       |  FROM (SELECT unnest(ws) AS word FROM words) GROUP BY word),
+       |dp AS (
+       |  SELECT word, freq,
+       |    list_reduce(
+       |      list_prepend(
+       |        [{'s': CAST(0.0 AS DOUBLE), 'nnp': 0, 'bl': 0}],
+       |        [[{'s': CAST(i AS DOUBLE), 'nnp': 0, 'bl': 0}]
+       |         FOR i IN generate_series(1, length(word))]),
+       |      (acc, x) -> list_append(acc,
+       |        list_max([
+       |          {'s': acc[CAST(x[1].s AS INT) - l + 1].s
+       |              + ($UnigramLpsSql)[list_position($UnigramPiecesSql,
+       |                  substr(word, CAST(x[1].s AS INT) - l + 1, l))],
+       |           'nnp': acc[CAST(x[1].s AS INT) - l + 1].nnp - 1,
+       |           'bl': l}
+       |          FOR l IN generate_series(1,
+       |            least($UnigramMaxLen, CAST(x[1].s AS INT)))
+       |          IF acc[CAST(x[1].s AS INT) - l + 1] IS NOT NULL
+       |            AND list_position($UnigramPiecesSql,
+       |              substr(word, CAST(x[1].s AS INT) - l + 1, l)) > 0
+       |        ]))) AS cells
+       |  FROM wf),
+       |fin AS (
+       |  SELECT word, freq, cells, cells[length(word) + 1] AS cell
+       |  FROM dp WHERE cells[length(word) + 1] IS NOT NULL)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q55_sql_native_simhash" -> SimHashOracle,
@@ -1054,6 +1109,46 @@ private[graft] object TextQueries {
          |SELECT word, freq, array_to_string(pieces, ' ') AS pieces,
          |  CAST(len(pieces) AS INT) AS n_pieces
          |FROM enc ORDER BY word""".stripMargin,
+
+    // the Viterbi DP replayed cell by cell: positions fold left to
+    // right carrying (score, -n_pieces, winning-piece-len) structs —
+    // list_max's lexicographic order IS the kernel's tie-break — then
+    // the backtrace folds boundary positions (an int-list accumulator;
+    // a string-list-in-struct accumulator miscompiles in DuckDB 1.0)
+    // and pieces slice out between consecutive bounds
+    "q168_unigram_segment" ->
+      s"""WITH $WordsCte,
+         |$UnigramDpCtes,
+         |b AS (
+         |  SELECT word, freq, cell, -cell.nnp AS np,
+         |    list_reduce(
+         |      list_prepend([CAST(length(word) AS INT)],
+         |        [[0] FOR i IN generate_series(1, -cell.nnp)]),
+         |      (acc, x) -> list_append(acc,
+         |        acc[len(acc)] - cells[acc[len(acc)] + 1].bl)) AS bounds
+         |  FROM fin)
+         |SELECT word, freq,
+         |  array_to_string(
+         |    [substr(word, bounds[np + 2 - i] + 1,
+         |        bounds[np + 1 - i] - bounds[np + 2 - i])
+         |     FOR i IN generate_series(1, np)], ' ') AS pieces,
+         |  CAST(np AS INT) AS n_pieces,
+         |  round(cell.s, 6) AS logprob
+         |FROM b ORDER BY word""".stripMargin,
+
+    // the budget readout: the same DP's piece counts joined back to
+    // the per-document token stream
+    "q169_unigram_token_counts" ->
+      s"""WITH $WordsCte,
+         |$UnigramDpCtes,
+         |enc AS (SELECT word, -cell.nnp AS n_pieces FROM fin),
+         |docw AS (
+         |  SELECT doc_id, unnest(ws) AS word FROM words
+         |  WHERE doc_id IS NOT NULL)
+         |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(e.n_pieces) AS BIGINT) AS n_unigram_tokens
+         |FROM docw d JOIN enc e USING (word)
+         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
 
     // q91's oracle one ngram order up: seen bigrams score the
     // conditional MLE, unseen back off to 0.4x the smoothed unigram;

@@ -124,6 +124,61 @@ object SketchKernels {
     new GenericArrayData(seen.toArray(Array.empty[AnyRef]))
   }
 
+  /** Unigram-LM Viterbi segmentation (Kudo 2018, SentencePiece's
+    * unigram model): the best-scoring split of `word` into vocabulary
+    * pieces by summed log-probability. DP cell order is the struct max
+    * `(score, −n_pieces, piece_len)` — ties prefer FEWER pieces, then
+    * a LONGER piece ending at the cell — exactly the `list_max` the
+    * SQL oracle replays, so segmentations are bit-reproducible across
+    * engines. Returns null when no full segmentation exists (some
+    * span matches no piece). Char-indexed (the ASCII/BMP contract of
+    * the normalized-word tokenizer).
+    */
+  def unigramSegment(word: UTF8String,
+                     vocab: java.util.HashMap[String, java.lang.Double],
+                     maxLen: Int): ArrayData = {
+    val w = word.toString
+    val n = w.length
+    if (n == 0) return null
+    val score = new Array[Double](n + 1)
+    val np = new Array[Int](n + 1)
+    val back = new Array[Int](n + 1)
+    val NEG = Double.NegativeInfinity
+    var i = 1
+    while (i <= n) { score(i) = NEG; np(i) = Int.MaxValue; i += 1 }
+    i = 1
+    while (i <= n) {
+      var l = 1
+      val lmax = math.min(maxLen, i)
+      while (l <= lmax) {
+        if (score(i - l) != NEG) {
+          val lp = vocab.get(w.substring(i - l, i))
+          if (lp != null) {
+            val s = score(i - l) + lp.doubleValue()
+            val k = np(i - l) + 1
+            if (s > score(i) || (s == score(i) &&
+                (k < np(i) || (k == np(i) && l > back(i))))) {
+              score(i) = s; np(i) = k; back(i) = l
+            }
+          }
+        }
+        l += 1
+      }
+      i += 1
+    }
+    if (score(n) == NEG) return null
+    val parts = new Array[AnyRef](np(n))
+    var p = n
+    var j = np(n) - 1
+    while (p > 0) {
+      val l = back(p)
+      parts(j) = UTF8String.fromString(w.substring(p - l, p))
+      j -= 1
+      p -= l
+    }
+    new GenericArrayData(parts)
+  }
+
   /** Canonical text cleanup in one pass: Unicode NFC composition,
     * non-whitespace control characters stripped (C0 + DEL), whitespace
     * runs (space, `\t\n\x0b\f\r` — the tokenizer's class) collapsed to
@@ -497,6 +552,74 @@ case class WinnowExpr(first: Expression, second: Expression,
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression,
       newThird: Expression): WinnowExpr =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** `graft_unigram_segment(word, pieces, logprobs)` — native unigram-LM
+  * Viterbi segmentation under a LITERAL piece table (model-sized; the
+  * SrpBucketExpr reference-object pattern keeps the per-row work one
+  * hash-probing DP, no per-row vocabulary materialization).
+  */
+case class UnigramSegExpr(first: Expression, second: Expression,
+                          third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (StringType, ArrayType(StringType, _), ArrayType(DoubleType, _))
+          if second.foldable && third.foldable =>
+        (second.eval(InternalRow.empty), third.eval(InternalRow.empty)) match {
+          case (ps: ArrayData, ls: ArrayData)
+              if ps.numElements() > 0 &&
+                ps.numElements() == ls.numElements() =>
+            val nullFree = (0 until ps.numElements()).forall(p =>
+              !ps.isNullAt(p) && !ls.isNullAt(p) &&
+                ps.getUTF8String(p).numChars() > 0)
+            if (nullFree) TypeCheckResult.TypeCheckSuccess
+            else TypeCheckResult.TypeCheckFailure(
+              s"$prettyName's pieces/logprobs must be non-null and non-empty")
+          case _ => TypeCheckResult.TypeCheckFailure(
+            s"$prettyName's pieces and logprobs must be non-empty " +
+              "literals of equal length")
+        }
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (string, foldable array<string>, " +
+          "foldable array<double>)")
+    }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_unigram_segment"
+  private lazy val vocab: java.util.HashMap[String, java.lang.Double] = {
+    val ps = second.eval(InternalRow.empty).asInstanceOf[ArrayData]
+    val ls = third.eval(InternalRow.empty).asInstanceOf[ArrayData]
+    val m = new java.util.HashMap[String, java.lang.Double]()
+    (0 until ps.numElements()).foreach(p =>
+      m.put(ps.getUTF8String(p).toString, ls.getDouble(p)))
+    m
+  }
+  private lazy val maxLen: Int = {
+    val it = vocab.keySet().iterator()
+    var m = 1
+    while (it.hasNext) m = math.max(m, it.next().length)
+    m
+  }
+  override def nullSafeEval(w: Any, pp: Any, ll: Any): Any =
+    SketchKernels.unigramSegment(w.asInstanceOf[UTF8String], vocab, maxLen)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unigramVocab", vocab,
+      "java.util.HashMap")
+    nullSafeCodeGen(ctx, ev, (a, _, _) => {
+      val res = ctx.freshName("usegRes")
+      s"""
+         |Object $res = graft.functions.SketchKernels.unigramSegment(
+         |  $a, $ref, $maxLen);
+         |if ($res == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $res; }
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): UnigramSegExpr =
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 

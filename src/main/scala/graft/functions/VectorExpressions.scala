@@ -213,6 +213,7 @@ object GraftFunctions {
     })
 
   val WinnowName = "graft_winnow"
+  val UnigramSegName = "graft_unigram_segment"
   val SpanHashesName = "graft_span_hashes"
   val SpanHashes2Name = "graft_span_hashes2"
 
@@ -229,7 +230,8 @@ object GraftFunctions {
     binary(CharNGramsName, classOf[CharNGramsExpr], CharNGramsExpr.apply),
     binary(RobotsMatchName, classOf[RobotsMatchExpr], RobotsMatchExpr.apply),
     unary(CleanTextName, classOf[CleanTextExpr], CleanTextExpr.apply),
-    ternary(WinnowName, classOf[WinnowExpr], WinnowExpr.apply))
+    ternary(WinnowName, classOf[WinnowExpr], WinnowExpr.apply),
+    ternary(UnigramSegName, classOf[UnigramSegExpr], UnigramSegExpr.apply))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit =
@@ -304,6 +306,15 @@ object GraftFunctions {
     call_function(WinnowName, str,
       org.apache.spark.sql.functions.lit(k),
       org.apache.spark.sql.functions.lit(w))
+
+  /** Native unigram-LM Viterbi segmentation under a literal piece table
+    * (requires `register`). `pieces`/`logprobs` are parallel.
+    */
+  def unigramSegment(str: Column, pieces: Seq[String],
+                     logprobs: Seq[Double]): Column =
+    call_function(UnigramSegName, str,
+      org.apache.spark.sql.functions.typedlit(pieces),
+      org.apache.spark.sql.functions.typedlit(logprobs))
 }
 
 /** `spark.sql.extensions` injector (config-driven deployments): the
