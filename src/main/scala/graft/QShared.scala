@@ -141,6 +141,16 @@ private[graft] object QShared {
       " AS DOUBLE[])"
   val UnigramMaxLen: Int = UnigramFixedPieces.map(_._1.length).max
 
+  /** q170's fixed substring blocklist: nested/overlapping terms
+    * ("ar" ⊂ "art"/"park" ⊂ spark/part) exercise the Aho–Corasick
+    * suffix links, a spaced phrase exercises cross-word matching.
+    */
+  val MultiMatchTerms: Seq[String] = Seq(
+    "a", "ar", "art", "park", "or", "order", "low", "able", "row",
+    "fast sort")
+  val MultiMatchTermsSql: String =
+    MultiMatchTerms.map(t => s"'$t'").mkString("[", ", ", "]")
+
   /** q106's corpus-independent merge table (see the query comment). */
   val BpeFixedMerges: Seq[(String, String)] =
     Seq(("a", "n"), ("s", "c"), ("sc", "an"), ("e", "r"))

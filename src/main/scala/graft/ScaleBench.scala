@@ -406,6 +406,24 @@ object ScaleBench {
           k = 8, bands = 4, tokenize = Dedup.shingleTokenizer(3))
         println("  gate_kept=" + kept.count())
       }
+      // substring screening at 10×: ~190 patterns over 50k docs in ONE
+      // Aho–Corasick walk per doc — the wall should be scan-shaped and
+      // insensitive to pattern-list size (vs K contains/regex passes)
+      time(s"substring_screen_10x $round") {
+        val vocab = Seq("agg", "batch", "big", "column", "customer",
+          "data", "fast", "filter", "group", "hash", "join", "key",
+          "line", "merge", "order", "part", "query", "row", "scan",
+          "slow", "small", "sort", "spark", "stream", "table", "value",
+          "vector", "window")
+        val terms = (vocab ++ vocab.map(_.drop(1)) ++ vocab.map(_ + " ")
+          ++ vocab.flatMap(w => vocab.take(3).map(v => s"$w $v"))
+          ++ vocab.map(w => w.take(math.max(2, w.length - 1))))
+          .distinct.filter(_.length >= 2)
+        val gated = graft.operators.Scrub.substringBlocklistStats(
+          docs, "doc_id", "text", terms, maxHits = 1000)
+        println(s"  screen_terms=${terms.size} kept=" +
+          gated.filter(col("keep")).count())
+      }
       // the q165 chain at 10×: gzipped WARC → HTTP → declared-charset
       // decode → robots gate → curation cascade (html extraction +
       // template-line dedup + quality + exact/LSH near-dedup). The

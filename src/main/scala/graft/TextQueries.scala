@@ -297,6 +297,16 @@ private[graft] object TextQueries {
           round(col("logprob"), 6).as("logprob"))
         .orderBy("word")
     }),
+    // SUBSTRING blocklist screening via ONE Aho–Corasick walk per doc:
+    // nested terms ('ar'/'art'/'park' inside spark/part) must all
+    // count, including overlaps — K contains() scans or a misrouted
+    // suffix link break the sums
+    "q170_substring_blocklist" -> ((s, dir) => {
+      graft.operators.Scrub.substringBlocklistStats(
+        t(s, dir, "documents"), "doc_id", "text", MultiMatchTerms,
+        maxHits = 40)
+        .orderBy("doc_id")
+    }),
     // per-document token budget under the same fixed table — the "how
     // many tokens is this corpus under tokenizer X" readout (the q109
     // shape with the unigram model instead of BPE)
@@ -1135,6 +1145,30 @@ private[graft] object TextQueries {
          |  CAST(np AS INT) AS n_pieces,
          |  round(cell.s, 6) AS logprob
          |FROM b ORDER BY word""".stripMargin,
+
+    // per-term overlapping-occurrence counts replayed positionally:
+    // a term occurs at p iff substr(text, p, len) equals it — summed
+    // and distinct-counted exactly as the automaton reports
+    "q170_substring_blocklist" ->
+      s"""WITH tl AS (
+         |  SELECT doc_id, lower(text) AS t FROM documents
+         |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+         |cnt AS (
+         |  SELECT doc_id,
+         |    [CAST(len(list_filter(
+         |        generate_series(1, greatest(0,
+         |          length(t) - length(term) + 1)),
+         |        p -> substr(t, p, length(term)) = term)) AS BIGINT)
+         |     FOR term IN $MultiMatchTermsSql] AS c
+         |  FROM tl)
+         |SELECT doc_id,
+         |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), c),
+         |    (a, x) -> a + x) AS BIGINT) AS n_hits,
+         |  CAST(len(list_filter(c, x -> x > 0)) AS BIGINT)
+         |    AS n_terms_hit,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), c),
+         |    (a, x) -> a + x) <= 40 AS keep
+         |FROM cnt ORDER BY doc_id""".stripMargin,
 
     // the budget readout: the same DP's piece counts joined back to
     // the per-document token stream

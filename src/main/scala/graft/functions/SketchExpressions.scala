@@ -179,6 +179,13 @@ object SketchKernels {
     new GenericArrayData(parts)
   }
 
+  /** One automaton walk over the text: per-pattern counts as a long
+    * array aligned with the pattern literal.
+    */
+  def multiMatch(text: UTF8String, ac: AhoCorasick): ArrayData =
+    new GenericArrayData(
+      ac.counts(text.toString).map(java.lang.Long.valueOf(_): AnyRef))
+
   /** Canonical text cleanup in one pass: Unicode NFC composition,
     * non-whitespace control characters stripped (C0 + DEL), whitespace
     * runs (space, `\t\n\x0b\f\r` — the tokenizer's class) collapsed to
@@ -623,6 +630,52 @@ case class UnigramSegExpr(first: Expression, second: Expression,
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** `graft_multi_match(text, patterns)` — native Aho–Corasick
+  * multi-pattern counting under a LITERAL pattern list: K patterns in
+  * ONE text scan (per-row cost O(|text| + matches)) instead of K
+  * regex/contains passes — the screening-at-scale kernel. Returns
+  * per-pattern occurrence counts (overlaps included) aligned with the
+  * pattern literal; null text → null.
+  */
+case class MultiMatchExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, ArrayType(StringType, _)) if right.foldable =>
+        right.eval(InternalRow.empty) match {
+          case ad: ArrayData if ad.numElements() > 0 =>
+            val ok = (0 until ad.numElements()).forall(p =>
+              !ad.isNullAt(p) && ad.getUTF8String(p).numChars() > 0)
+            if (ok) TypeCheckResult.TypeCheckSuccess
+            else TypeCheckResult.TypeCheckFailure(
+              s"$prettyName's patterns must be non-null and non-empty")
+          case _ => TypeCheckResult.TypeCheckFailure(
+            s"$prettyName's patterns must be a non-empty literal list")
+        }
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (string, foldable array<string>)")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_multi_match"
+  private lazy val automaton: AhoCorasick = {
+    val ad = right.eval(InternalRow.empty).asInstanceOf[ArrayData]
+    new AhoCorasick(
+      Array.tabulate(ad.numElements())(ad.getUTF8String(_).toString))
+  }
+  override def nullSafeEval(t: Any, pp: Any): Any =
+    SketchKernels.multiMatch(t.asInstanceOf[UTF8String], automaton)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("acAutomaton", automaton,
+      "graft.functions.AhoCorasick")
+    defineCodeGen(ctx, ev, (a, _) =>
+      s"graft.functions.SketchKernels.multiMatch($a, $ref)")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MultiMatchExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `graft_robots_match(path, pattern)` — RFC 9309 §2.2.3 rule match:
   * `*` any sequence, trailing `$` end-anchor, otherwise prefix.
   */
@@ -803,4 +856,79 @@ case class MinHashSigExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): MinHashSigExpr =
     copy(left = newLeft, right = newRight)
+}
+
+/** Aho–Corasick multi-pattern automaton (Aho & Corasick 1975):
+  * goto/fail links over the pattern trie with per-node MERGED output
+  * lists (every pattern index ending at the node, directly or via a
+  * suffix link), so matching is one pass over the text with O(1)
+  * amortized work per character plus one increment per match —
+  * including overlapping matches ("aaa" contains "aa" twice).
+  * Char-indexed (the BMP/ASCII contract of the tokenizer family).
+  * Top-level class so generated code can name it directly.
+  */
+final class AhoCorasick(patterns: Array[String]) extends Serializable {
+  private val next =
+    scala.collection.mutable.ArrayBuffer(
+      new java.util.HashMap[Character, Integer]())
+  private val outB = scala.collection.mutable.ArrayBuffer(List.empty[Int])
+  patterns.zipWithIndex.foreach { case (p, pi) =>
+    var s = 0
+    var i = 0
+    while (i < p.length) {
+      val c = Character.valueOf(p.charAt(i))
+      var t = next(s).get(c)
+      if (t == null) {
+        next += new java.util.HashMap[Character, Integer]()
+        outB += Nil
+        t = next.size - 1
+        next(s).put(c, t)
+      }
+      s = t
+      i += 1
+    }
+    outB(s) = pi :: outB(s)
+  }
+  private val fail = new Array[Int](next.size)
+  // per-node merged outputs, flattened for allocation-free matching
+  private val out: Array[Array[Int]] = {
+    val queue = new java.util.ArrayDeque[Integer]()
+    val it0 = next(0).entrySet().iterator()
+    while (it0.hasNext) queue.add(it0.next().getValue)
+    while (!queue.isEmpty) {
+      val s = queue.poll().intValue()
+      val it = next(s).entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val c = e.getKey
+        val t = e.getValue.intValue()
+        var f = fail(s)
+        while (f != 0 && next(f).get(c) == null) f = fail(f)
+        val fn = next(f).get(c)
+        fail(t) = if (fn != null && fn.intValue() != t) fn.intValue() else 0
+        outB(t) = outB(t) ++ outB(fail(t))
+        queue.add(Integer.valueOf(t))
+      }
+    }
+    outB.map(_.toArray).toArray
+  }
+  val nPatterns: Int = patterns.length
+
+  /** Per-pattern occurrence counts over `text` (one automaton walk). */
+  def counts(text: String): Array[Long] = {
+    val acc = new Array[Long](nPatterns)
+    var s = 0
+    var i = 0
+    while (i < text.length) {
+      val c = Character.valueOf(text.charAt(i))
+      var t = next(s).get(c)
+      while (t == null && s != 0) { s = fail(s); t = next(s).get(c) }
+      s = if (t == null) 0 else t.intValue()
+      val o = out(s)
+      var j = 0
+      while (j < o.length) { acc(o(j)) += 1L; j += 1 }
+      i += 1
+    }
+    acc
+  }
 }

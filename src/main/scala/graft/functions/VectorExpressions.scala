@@ -214,6 +214,7 @@ object GraftFunctions {
 
   val WinnowName = "graft_winnow"
   val UnigramSegName = "graft_unigram_segment"
+  val MultiMatchName = "graft_multi_match"
   val SpanHashesName = "graft_span_hashes"
   val SpanHashes2Name = "graft_span_hashes2"
 
@@ -231,7 +232,8 @@ object GraftFunctions {
     binary(RobotsMatchName, classOf[RobotsMatchExpr], RobotsMatchExpr.apply),
     unary(CleanTextName, classOf[CleanTextExpr], CleanTextExpr.apply),
     ternary(WinnowName, classOf[WinnowExpr], WinnowExpr.apply),
-    ternary(UnigramSegName, classOf[UnigramSegExpr], UnigramSegExpr.apply))
+    ternary(UnigramSegName, classOf[UnigramSegExpr], UnigramSegExpr.apply),
+    binary(MultiMatchName, classOf[MultiMatchExpr], MultiMatchExpr.apply))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit =
@@ -315,6 +317,13 @@ object GraftFunctions {
     call_function(UnigramSegName, str,
       org.apache.spark.sql.functions.typedlit(pieces),
       org.apache.spark.sql.functions.typedlit(logprobs))
+
+  /** Native Aho–Corasick per-pattern occurrence counts under a literal
+    * pattern list (requires `register`).
+    */
+  def multiMatch(str: Column, patterns: Seq[String]): Column =
+    call_function(MultiMatchName, str,
+      org.apache.spark.sql.functions.typedlit(patterns))
 }
 
 /** `spark.sql.extensions` injector (config-driven deployments): the

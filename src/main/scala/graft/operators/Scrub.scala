@@ -46,6 +46,35 @@ object Scrub {
       .withColumn("keep", col("n_blocked") <= maxBlocked)
   }
 
+  /** SUBSTRING screening at scale — what the word-level
+    * [[blocklistStats]] cannot see: phrases ("fast sort"), terms glued
+    * inside longer tokens, obfuscations. ONE Aho–Corasick automaton
+    * walk per document (native `MultiMatchExpr`; the pattern list is a
+    * literal reference object, K patterns cost one text scan instead
+    * of K contains/regex passes — the shape a 100 TB screening pass
+    * needs). Counts include overlapping occurrences. `terms` must
+    * already be lowercase (the text is lowercased before the walk).
+    * Output: `(idCol, n_hits, n_terms_hit, keep)`.
+    */
+  def substringBlocklistStats(docs: DataFrame, idCol: String,
+                              textCol: String, terms: Seq[String],
+                              maxHits: Long = 0): DataFrame = {
+    require(terms.nonEmpty, "empty blocklist")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      // generator barrier: the aggregations below read the counts
+      // array attribute, not a re-run automaton walk per reference
+      .select(col(idCol), explode_outer(array(
+        graft.functions.GraftFunctions
+          .multiMatch(lower(col(textCol)), terms))).as("__c"))
+      .select(col(idCol),
+        aggregate(col("__c"), lit(0L), (a, x) => a + x).as("n_hits"),
+        size(filter(col("__c"), c => c > lit(0L))).cast("long")
+          .as("n_terms_hit"))
+      .withColumn("keep", col("n_hits") <= maxHits)
+  }
+
   /** Published C4 rule defaults (Raffel et al. 2020 §2.2) — the single
     * source for [[c4Clean]]'s signature and the streaming gate in
     * `CurationPipeline.runStreaming`, so batch/stream parity can never

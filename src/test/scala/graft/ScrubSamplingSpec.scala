@@ -457,4 +457,44 @@ class ScrubSamplingSpec extends SparkSpec {
     assert(kept.map(_._1).toSeq == Seq(1L, 2L, 3L))
     assert(kept.forall(_._3 == 0.375))
   }
+
+  test("Aho–Corasick multi-match counts overlaps and follows suffix links") {
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(spark)
+    def counts(text: String, terms: Seq[String]): Seq[Long] =
+      Seq(text).toDF("t")
+        .select(GraftFunctions.multiMatch(org.apache.spark.sql.functions
+          .col("t"), terms))
+        .head().getSeq[Long](0)
+    // the classic: 'ushers' ends he, she, hers via suffix links
+    assert(counts("ushers", Seq("he", "she", "his", "hers"))
+      == Seq(1L, 1L, 0L, 1L))
+    // overlapping occurrences all count
+    assert(counts("aaa", Seq("aa")) == Seq(2L))
+    // nested terms at the same end position: 'ar' in spARk and pARt,
+    // 'art' inside pART, 'park' inside sPARK, 'a' three times
+    assert(counts("spark and part", Seq("ar", "art", "park", "a"))
+      == Seq(2L, 1L, 1L, 3L))
+    // phrases (with spaces) match across word boundaries
+    assert(counts("a fast sorter", Seq("fast sort", "sorter"))
+      == Seq(1L, 1L))
+  }
+
+  test("substring blocklist gates on one automaton walk per doc") {
+    val docs = Seq(
+      (1L, "clean text with nothing flagged"),
+      (2L, "the park art and spark"),
+      (3L, null: String))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Scrub.substringBlocklistStats(
+      docs, "doc_id", "text", Seq("park", "art"), maxHits = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    // hand-count: 'park' twice (the word + inside sPARK), 'art' once
+    // (the word) → 3 hits over 2 distinct terms, gated out at maxHits=2
+    assert(out(1L) == (0L, 0L, true), s"got $out")
+    assert(out(2L)._1 == 3L && out(2L)._2 == 2L && !out(2L)._3,
+      s"got $out")
+    assert(!out.contains(3L), "null text rows drop")
+  }
 }
