@@ -244,7 +244,8 @@ class PlanSpec extends SparkSpec {
         "q83_pack_digests", "q84_blocklist", "q88_quality_gate",
         "q89_token_chunks", "q90_semantic_keepers", "q91_unigram_logprob",
         "q92_vocab", "q93_token_ids",
-        "q162_streaming_lsh_gate", "q163_lsh_gate_batch")) {
+        "q162_streaming_lsh_gate", "q163_lsh_gate_batch",
+        "q168_unigram_segment", "q170_substring_blocklist")) {
       val p = finalPlan(q(name)).split("== Initial Plan ==")(0)
       p.linesIterator
         .filter(l => l.contains("Filter") || l.contains("FileScan"))
