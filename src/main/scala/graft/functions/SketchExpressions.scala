@@ -868,51 +868,57 @@ case class MinHashSigExpr(left: Expression, right: Expression)
   * Top-level class so generated code can name it directly.
   */
 final class AhoCorasick(patterns: Array[String]) extends Serializable {
-  private val next =
-    scala.collection.mutable.ArrayBuffer(
+  require(patterns.nonEmpty && patterns.forall(_.nonEmpty),
+    "AhoCorasick: patterns must be non-empty strings")
+  val nPatterns: Int = patterns.length
+  // goto/fail/output built in one constructor-local scope: only the
+  // matching-time structures survive as fields (the automaton is a
+  // long-lived serialized codegen reference object — construction
+  // scaffolding must not ride along), and outputs merge via index
+  // buffers, not List concatenation (quadratic on deep fail chains)
+  private val (next, fail, out) = {
+    val nextB = scala.collection.mutable.ArrayBuffer(
       new java.util.HashMap[Character, Integer]())
-  private val outB = scala.collection.mutable.ArrayBuffer(List.empty[Int])
-  patterns.zipWithIndex.foreach { case (p, pi) =>
-    var s = 0
-    var i = 0
-    while (i < p.length) {
-      val c = Character.valueOf(p.charAt(i))
-      var t = next(s).get(c)
-      if (t == null) {
-        next += new java.util.HashMap[Character, Integer]()
-        outB += Nil
-        t = next.size - 1
-        next(s).put(c, t)
+    val outB = scala.collection.mutable.ArrayBuffer(
+      new scala.collection.mutable.ArrayBuffer[Int](0))
+    patterns.zipWithIndex.foreach { case (p, pi) =>
+      var s = 0
+      var i = 0
+      while (i < p.length) {
+        val c = Character.valueOf(p.charAt(i))
+        var t = nextB(s).get(c)
+        if (t == null) {
+          nextB += new java.util.HashMap[Character, Integer]()
+          outB += new scala.collection.mutable.ArrayBuffer[Int](0)
+          t = nextB.size - 1
+          nextB(s).put(c, t)
+        }
+        s = t
+        i += 1
       }
-      s = t
-      i += 1
+      outB(s) += pi
     }
-    outB(s) = pi :: outB(s)
-  }
-  private val fail = new Array[Int](next.size)
-  // per-node merged outputs, flattened for allocation-free matching
-  private val out: Array[Array[Int]] = {
+    val failA = new Array[Int](nextB.size)
     val queue = new java.util.ArrayDeque[Integer]()
-    val it0 = next(0).entrySet().iterator()
+    val it0 = nextB(0).entrySet().iterator()
     while (it0.hasNext) queue.add(it0.next().getValue)
     while (!queue.isEmpty) {
       val s = queue.poll().intValue()
-      val it = next(s).entrySet().iterator()
+      val it = nextB(s).entrySet().iterator()
       while (it.hasNext) {
         val e = it.next()
         val c = e.getKey
         val t = e.getValue.intValue()
-        var f = fail(s)
-        while (f != 0 && next(f).get(c) == null) f = fail(f)
-        val fn = next(f).get(c)
-        fail(t) = if (fn != null && fn.intValue() != t) fn.intValue() else 0
-        outB(t) = outB(t) ++ outB(fail(t))
+        var f = failA(s)
+        while (f != 0 && nextB(f).get(c) == null) f = failA(f)
+        val fn = nextB(f).get(c)
+        failA(t) = if (fn != null && fn.intValue() != t) fn.intValue() else 0
+        outB(t) ++= outB(failA(t)) // BFS order: fail target already merged
         queue.add(Integer.valueOf(t))
       }
     }
-    outB.map(_.toArray).toArray
+    (nextB.toArray, failA, outB.map(_.toArray).toArray)
   }
-  val nPatterns: Int = patterns.length
 
   /** Per-pattern occurrence counts over `text` (one automaton walk). */
   def counts(text: String): Array[Long] = {

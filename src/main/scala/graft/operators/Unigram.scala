@@ -44,12 +44,20 @@ object Unigram {
     * the table (any trained table keeps them) nothing drops.
     */
   def segmentWords(docs: DataFrame, textCol: String,
-                   pieceTable: Seq[(String, Double)]): DataFrame = {
+                   pieceTable: Seq[(String, Double)]): DataFrame =
+    segmentWordTable(Bpe.wordCounts(docs, textCol), pieceTable)
+
+  /** [[segmentWords]] over an ALREADY-BUILT `(word, freq)` table — the
+    * form the EM loop uses so iterations re-segment the checkpointed
+    * vocabulary instead of re-scanning and re-tokenizing the corpus.
+    */
+  def segmentWordTable(wordCounts: DataFrame,
+                       pieceTable: Seq[(String, Double)]): DataFrame = {
     require(pieceTable.nonEmpty, "segmentWords: empty piece table")
-    GraftFunctions.register(docs.sparkSession)
+    GraftFunctions.register(wordCounts.sparkSession)
     val (pieces, lps) = pieceTable.unzip
     val lpMap = typedlit(pieceTable.toMap)
-    Bpe.wordCounts(docs, textCol)
+    wordCounts
       // single-row generator barrier: the null filter must read a
       // materialized attribute, not re-evaluate the DP kernel (the
       // lshGate / q23 scan-filter discipline)
@@ -72,7 +80,11 @@ object Unigram {
     */
   def pieceCounts(docs: DataFrame, textCol: String,
                   pieceTable: Seq[(String, Double)]): DataFrame =
-    segmentWords(docs, textCol, pieceTable)
+    pieceCountsOf(Bpe.wordCounts(docs, textCol), pieceTable)
+
+  private def pieceCountsOf(wordCounts: DataFrame,
+                            pieceTable: Seq[(String, Double)]): DataFrame =
+    segmentWordTable(wordCounts, pieceTable)
       .select(col("freq"), explode(col("pieces")).as("piece"))
       .groupBy(col("piece"))
       .agg(sum(col("freq")).as("n"))
@@ -103,7 +115,10 @@ object Unigram {
     GraftFunctions.register(docs.sparkSession)
     val wc = Bpe.wordCounts(docs, textCol).localCheckpoint()
     // substring candidates, freq-weighted: every (start, len) window of
-    // every distinct word, counted once per corpus occurrence
+    // every distinct word, counted once per corpus occurrence. The
+    // top-K selection runs DISTRIBUTED — only alphabet-sized and
+    // seedCandidates-sized results ever reach the driver (a full
+    // distinct-substring collect would be corpus-vocabulary-sized)
     val subs = wc
       .select(col("word"), col("freq"),
         explode(sequence(lit(1), length(col("word")))).as("__i"))
@@ -112,21 +127,21 @@ object Unigram {
           least(lit(maxPieceLen), length(col("word")) - col("__i") + 1)))
           .as("__l"))
       .select(col("word").substr(col("__i"), col("__l")).as("piece"),
-        col("freq"), col("__l"))
+        col("freq"))
       .groupBy(col("piece"))
-      .agg(sum(col("freq")).as("n"), max(col("__l")).as("len"))
+      .agg(sum(col("freq")).as("n"))
+    val charRows = subs.filter(length(col("piece")) === 1)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val total0 = charRows.map(_._2).sum.toDouble
+    val chars = charRows.map { case (p, n) => p -> math.log(n / total0) }
+    val multi = subs.filter(length(col("piece")) > 1)
+      .orderBy(col("n").desc, col("piece"))
+      .limit(seedCandidates)
       .collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
-    val total0 = subs.filter(_._3 == 1).map(_._2).sum.toDouble
-    val chars = subs.filter(_._3 == 1)
-      .map { case (p, n, _) => p -> math.log(n / total0) }
-    val multi = subs.filter(_._3 > 1)
-      .sortBy { case (p, n, _) => (-n, p) }
-      .take(seedCandidates)
-      .map { case (p, n, _) => p -> math.log(n / total0) }
+      .map(r => r.getString(0) -> math.log(r.getLong(1) / total0))
     var table = (chars ++ multi).sortBy(_._1).toSeq
     for (_ <- 1 to iters) {
-      val counts = pieceCounts(docs, textCol, table)
+      val counts = pieceCountsOf(wc, table)
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       // coverage floor: an unused single char stays representable at
       // half a count — INSIDE the normalizer, so exp(lp) still sums
