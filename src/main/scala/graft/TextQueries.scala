@@ -307,6 +307,17 @@ private[graft] object TextQueries {
         maxHits = 40)
         .orderBy("doc_id")
     }),
+    // the rewrite stage the q170 gate fronts: every character covered
+    // by any (overlapping, nested) term occurrence masks to '*' in one
+    // automaton walk — the oracle recomputes coverage positionally
+    "q171_substring_redact" -> ((s, dir) => {
+      graft.operators.Scrub.redactSubstrings(
+        t(s, dir, "documents"), "doc_id", "text", MultiMatchTerms)
+        .select(col("doc_id"), md5(col("clean_text")).as("text_md5"),
+          length(col("clean_text")).cast("long").as("n_chars"),
+          col("n_masked"))
+        .orderBy("doc_id")
+    }),
     // per-document token budget under the same fixed table — the "how
     // many tokens is this corpus under tokenizer X" readout (the q109
     // shape with the unigram model instead of BPE)
@@ -1169,6 +1180,30 @@ private[graft] object TextQueries {
          |  list_reduce(list_prepend(CAST(0 AS BIGINT), c),
          |    (a, x) -> a + x) <= 40 AS keep
          |FROM cnt ORDER BY doc_id""".stripMargin,
+
+    // position p is masked iff some term occurrence covers it: a start
+    // st in [p-len+1, p] (clamped to valid starts) whose substring
+    // equals the term — the set-union semantics of overlapping matches
+    "q171_substring_redact" ->
+      s"""WITH tl AS (
+         |  SELECT doc_id, lower(text) AS t FROM documents
+         |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+         |red AS (
+         |  SELECT doc_id,
+         |    array_to_string([
+         |      CASE WHEN len([term FOR term IN $MultiMatchTermsSql
+         |        IF len(list_filter(
+         |            generate_series(greatest(1, p - length(term) + 1),
+         |              least(p, length(t) - length(term) + 1)),
+         |            st -> substr(t, st, length(term)) = term)) > 0]) > 0
+         |      THEN '*' ELSE substr(t, p, 1) END
+         |      FOR p IN generate_series(1, length(t))], '') AS r
+         |  FROM tl)
+         |SELECT doc_id, md5(r) AS text_md5,
+         |  CAST(length(r) AS BIGINT) AS n_chars,
+         |  CAST(length(r) - length(replace(r, '*', '')) AS BIGINT)
+         |    AS n_masked
+         |FROM red ORDER BY doc_id""".stripMargin,
 
     // the budget readout: the same DP's piece counts joined back to
     // the per-document token stream

@@ -186,6 +186,14 @@ object SketchKernels {
     new GenericArrayData(
       ac.counts(text.toString).map(java.lang.Long.valueOf(_): AnyRef))
 
+  /** One automaton walk, masking every character covered by ANY
+    * pattern occurrence with `mask` — overlapping and nested matches
+    * merge naturally (a char is masked iff some match covers it).
+    */
+  def multiRedact(text: UTF8String, ac: AhoCorasick,
+                  mask: Char): UTF8String =
+    UTF8String.fromString(ac.redact(text.toString, mask))
+
   /** Canonical text cleanup in one pass: Unicode NFC composition,
     * non-whitespace control characters stripped (C0 + DEL), whitespace
     * runs (space, `\t\n\x0b\f\r` — the tokenizer's class) collapsed to
@@ -676,6 +684,59 @@ case class MultiMatchExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `graft_multi_redact(text, patterns, mask)` — Aho–Corasick span
+  * redaction under a LITERAL pattern list: every character covered by
+  * any (overlapping, nested) pattern occurrence becomes the mask
+  * character, in one automaton walk per row — the PII/blocklist
+  * REWRITE stage the counting kernel ([[MultiMatchExpr]]) gates.
+  */
+case class MultiRedactExpr(first: Expression, second: Expression,
+                           third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (StringType, ArrayType(StringType, _), StringType)
+          if second.foldable && third.foldable =>
+        (second.eval(InternalRow.empty), third.eval(InternalRow.empty)) match {
+          case (ad: ArrayData, m: UTF8String)
+              if ad.numElements() > 0 && m.numChars() == 1 =>
+            val ok = (0 until ad.numElements()).forall(p =>
+              !ad.isNullAt(p) && ad.getUTF8String(p).numChars() > 0)
+            if (ok) TypeCheckResult.TypeCheckSuccess
+            else TypeCheckResult.TypeCheckFailure(
+              s"$prettyName's patterns must be non-null and non-empty")
+          case _ => TypeCheckResult.TypeCheckFailure(
+            s"$prettyName needs a non-empty pattern literal and a " +
+              "single-character mask literal")
+        }
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (string, foldable array<string>, " +
+          "foldable string)")
+    }
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_multi_redact"
+  private lazy val automaton: AhoCorasick = {
+    val ad = second.eval(InternalRow.empty).asInstanceOf[ArrayData]
+    new AhoCorasick(
+      Array.tabulate(ad.numElements())(ad.getUTF8String(_).toString))
+  }
+  private lazy val mask: Char =
+    third.eval(InternalRow.empty).asInstanceOf[UTF8String].toString.charAt(0)
+  override def nullSafeEval(t: Any, pp: Any, mm: Any): Any =
+    SketchKernels.multiRedact(t.asInstanceOf[UTF8String], automaton, mask)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("acAutomaton", automaton,
+      "graft.functions.AhoCorasick")
+    defineCodeGen(ctx, ev, (a, _, _) =>
+      s"graft.functions.SketchKernels.multiRedact($a, $ref, (char) ${mask.toInt})")
+  }
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): MultiRedactExpr =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 /** `graft_robots_match(path, pattern)` — RFC 9309 §2.2.3 rule match:
   * `*` any sequence, trailing `$` end-anchor, otherwise prefix.
   */
@@ -918,6 +979,41 @@ final class AhoCorasick(patterns: Array[String]) extends Serializable {
       }
     }
     (nextB.toArray, failA, outB.map(_.toArray).toArray)
+  }
+
+  private val patLens: Array[Int] = patterns.map(_.length)
+
+  /** Redaction: every character covered by ANY pattern occurrence is
+    * replaced with `mask` — one automaton walk marks coverage (nested
+    * and overlapping matches merge), one pass rebuilds the string.
+    */
+  def redact(text: String, mask: Char): String = {
+    val n = text.length
+    if (n == 0) return text
+    val covered = new Array[Boolean](n)
+    var s = 0
+    var i = 0
+    while (i < n) {
+      val c = Character.valueOf(text.charAt(i))
+      var t = next(s).get(c)
+      while (t == null && s != 0) { s = fail(s); t = next(s).get(c) }
+      s = if (t == null) 0 else t.intValue()
+      val o = out(s)
+      var j = 0
+      while (j < o.length) {
+        var p = i - patLens(o(j)) + 1
+        while (p <= i) { covered(p) = true; p += 1 }
+        j += 1
+      }
+      i += 1
+    }
+    val sb = new java.lang.StringBuilder(n)
+    i = 0
+    while (i < n) {
+      sb.append(if (covered(i)) mask else text.charAt(i))
+      i += 1
+    }
+    sb.toString
   }
 
   /** Per-pattern occurrence counts over `text` (one automaton walk). */

@@ -215,6 +215,7 @@ object GraftFunctions {
   val WinnowName = "graft_winnow"
   val UnigramSegName = "graft_unigram_segment"
   val MultiMatchName = "graft_multi_match"
+  val MultiRedactName = "graft_multi_redact"
   val SpanHashesName = "graft_span_hashes"
   val SpanHashes2Name = "graft_span_hashes2"
 
@@ -233,7 +234,9 @@ object GraftFunctions {
     unary(CleanTextName, classOf[CleanTextExpr], CleanTextExpr.apply),
     ternary(WinnowName, classOf[WinnowExpr], WinnowExpr.apply),
     ternary(UnigramSegName, classOf[UnigramSegExpr], UnigramSegExpr.apply),
-    binary(MultiMatchName, classOf[MultiMatchExpr], MultiMatchExpr.apply))
+    binary(MultiMatchName, classOf[MultiMatchExpr], MultiMatchExpr.apply),
+    ternary(MultiRedactName, classOf[MultiRedactExpr],
+      MultiRedactExpr.apply))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit =
@@ -324,6 +327,15 @@ object GraftFunctions {
   def multiMatch(str: Column, patterns: Seq[String]): Column =
     call_function(MultiMatchName, str,
       org.apache.spark.sql.functions.typedlit(patterns))
+
+  /** Native Aho–Corasick span redaction under a literal pattern list
+    * (requires `register`).
+    */
+  def multiRedact(str: Column, patterns: Seq[String],
+                  mask: Char = '*'): Column =
+    call_function(MultiRedactName, str,
+      org.apache.spark.sql.functions.typedlit(patterns),
+      org.apache.spark.sql.functions.lit(mask.toString))
 }
 
 /** `spark.sql.extensions` injector (config-driven deployments): the

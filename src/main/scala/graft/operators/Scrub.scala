@@ -75,6 +75,36 @@ object Scrub {
       .withColumn("keep", col("n_hits") <= maxHits)
   }
 
+  /** Substring REDACTION — the rewrite stage [[substringBlocklistStats]]
+    * gates: every character covered by any (overlapping, nested)
+    * occurrence of a blocklist term becomes `mask`, in one automaton
+    * walk per document. Case-preserving on unmatched text; the walk
+    * runs over the lowercased text so coverage is case-insensitive,
+    * and the mask applies to the ORIGINAL characters positionally.
+    * Output: `(idCol, clean_text, n_masked)`.
+    */
+  def redactSubstrings(docs: DataFrame, idCol: String, textCol: String,
+                       terms: Seq[String], mask: Char = '*'): DataFrame = {
+    require(terms.nonEmpty, "empty blocklist")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    // redact the LOWERCASED text, then splice unmasked ORIGINAL chars
+    // back by position: zip_with over the two char arrays keeps the
+    // source casing everywhere the automaton left text alone
+    val m = mask.toString
+    docs
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol), col(textCol).as("__t"),
+        explode_outer(array(graft.functions.GraftFunctions
+          .multiRedact(lower(col(textCol)), terms, mask))).as("__r"))
+      .select(col(idCol),
+        concat_ws("", zip_with(split(col("__t"), ""),
+          split(col("__r"), ""),
+          (o, r) => when(r === m, lit(m)).otherwise(o))).as("clean_text"),
+        (length(col("__r")) -
+          length(regexp_replace(col("__r"), s"\\Q$m\\E", "")))
+          .cast("long").as("n_masked"))
+  }
+
   /** Published C4 rule defaults (Raffel et al. 2020 §2.2) — the single
     * source for [[c4Clean]]'s signature and the streaming gate in
     * `CurationPipeline.runStreaming`, so batch/stream parity can never

@@ -497,4 +497,23 @@ class ScrubSamplingSpec extends SparkSpec {
       s"got $out")
     assert(!out.contains(3L), "null text rows drop")
   }
+
+  test("substring redaction masks merged overlapping spans, keeps casing") {
+    def redact(text: String, terms: Seq[String]): (String, Long) = {
+      val r = graft.operators.Scrub.redactSubstrings(
+        Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text", terms)
+        .head()
+      (r.getString(1), r.getLong(2))
+    }
+    // she (1..3) and hers (3..6) overlap at 'h'/'e' — union masks 1..6
+    assert(redact("ushers", Seq("she", "hers")) == ("u*****", 5L))
+    // overlapping occurrences of ONE term merge into a single run
+    assert(redact("aaa", Seq("aa")) == ("***", 3L))
+    // the walk is case-insensitive, the splice preserves unmatched
+    // ORIGINAL casing
+    assert(redact("Spark and PART", Seq("park", "art"))
+      == ("S**** and P***", 7L))
+    // no match → text rides through untouched
+    assert(redact("Clean Words", Seq("zz")) == ("Clean Words", 0L))
+  }
 }

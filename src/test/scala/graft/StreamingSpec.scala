@@ -257,6 +257,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("substring screening and redaction run statelessly on a stream") {
+    // both are pure projections (automaton = literal reference object),
+    // so the SAME calls gate and rewrite a live feed at ingest
+    val input = MemoryStream[(Long, String)](spark)
+    val stream = input.toDF()
+      .select(col("_1").as("doc_id"), col("_2").as("text"))
+    val gated = graft.operators.Scrub.substringBlocklistStats(
+      stream, "doc_id", "text", Seq("bad word"), maxHits = 0)
+      .filter(col("keep")).select("doc_id")
+    val q = gated
+      .writeStream.format("memory").queryName("screenstream")
+      .outputMode("append").start()
+    val q2 = graft.operators.Scrub.redactSubstrings(
+      stream, "doc_id", "text", Seq("bad word"))
+      .select("doc_id", "clean_text")
+      .writeStream.format("memory").queryName("redactstream")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "totally fine text"),
+        (2L, "contains a bad word here"))
+      q.processAllAvailable()
+      q2.processAllAvailable()
+      assert(spark.table("screenstream").as[Long].collect().toSet
+        == Set(1L))
+      val red = spark.table("redactstream")
+        .as[(Long, String)].collect().toMap
+      assert(red(2L) == "contains a ******** here", s"got $red")
+    } finally { q.stop(); q2.stop() }
+  }
+
   test("real feature extraction embeds a binary-asset stream at ingest") {
     // embedPartitions is a pure mapPartitions stage (no shuffle, no
     // state), so the SAME call runs on a streaming DataFrame — the
