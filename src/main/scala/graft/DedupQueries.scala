@@ -175,6 +175,20 @@ private[graft] object DedupQueries {
     }),
     // benchmark decontamination: training docs (source != src0) whose
     // 3-gram coverage of any held-out src0 doc crosses the threshold
+    // leakage-safe train/val/test assignment: the split hashes the
+    // near-dup CLUSTER id (q69's component labeling), so no cluster
+    // straddles a split boundary; singletons fall back to their own id
+    "q175_cluster_safe_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sigs = Dedup.minHashSignatures(docs, "doc_id", "text", k = 8,
+        tokenize = Dedup.shingleTokenizer(3))
+      val cands = Dedup.lshCandidates(sigs, "doc_id", k = 8, bands = 4)
+      val comps = Dedup.connectedComponentsStar(cands, "id_a", "id_b")
+      graft.operators.Sampling.clusterSafeSplit(
+        docs.select(col("doc_id")), "doc_id", comps,
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .orderBy("doc_id")
+    }),
     "q46_decontaminate" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       Decontaminate.ngramOverlap(
@@ -641,6 +655,24 @@ private[graft] object DedupQueries {
     // contraction): both formulations must produce the identical labeling
     "q45_neardup_components" -> NearDupComponentsOracle,
     "q69_neardup_components_star" -> NearDupComponentsOracle,
+    // the q69 component labeling + the q56 bucket CASE, hashed on
+    // coalesce(component, doc_id)
+    "q175_cluster_safe_split" ->
+      s"""WITH RECURSIVE $ComponentsCtes,
+         |comp AS (SELECT id AS doc_id, min(comp) AS component
+         |         FROM reach GROUP BY id),
+         |keyed AS (
+         |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS split_key
+         |  FROM documents d LEFT JOIN comp c USING (doc_id)),
+         |b AS (
+         |  SELECT doc_id, split_key,
+         |    ${h60("'graft:'||split_key")} % 1000000 AS bkt
+         |  FROM keyed)
+         |SELECT doc_id, split_key,
+         |  CASE WHEN bkt < 800000 THEN 'train'
+         |       WHEN bkt < 900000 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin,
 
     // coverage = shared / len(benchmark shingle set); shingles are
     // distinct per doc so the postings count IS the intersection size

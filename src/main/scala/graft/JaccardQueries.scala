@@ -61,6 +61,70 @@ private[graft] object JaccardQueries {
         .select(col("word"), array_join(col("docIds"), ",").as("doc_ids"))
         .orderBy("word")
     }),
+    // Exact Jaccard-threshold join via AllPairs/PPJoin prefix filtering.
+    // The oracle is the BRUTE-FORCE all-co-occurring-pairs join filtered
+    // at the threshold — equality proves the prefix + length + positional
+    // pruning loses no true pair (the whole point of the operator).
+    "q172_jac_threshold_join" -> ((s, dir) => {
+      val docs = docsAsCorpus(s, dir).filter(col("docId") < 120)
+      Jaccard.thresholdJoin(Jaccard.tokenized(docs), 0.9)
+        .select(col("docA").as("doc_a"), col("docB").as("doc_b"),
+          col("inter"), col("sizeA").as("size_a"), col("sizeB").as("size_b"),
+          round(col("similarity"), 4).as("similarity"))
+        .orderBy("doc_a", "doc_b")
+    }),
+    // The pruning math itself: candidate counts after prefix+length,
+    // after the positional filter, and after exact verification. The
+    // oracle replays the df-ordered prefix construction in SQL, so a
+    // formula drift (prefix length, minOverlap, ubound) fails the gate
+    // even when q172's final answer happens to survive it.
+    "q173_jac_prefix_stats" -> ((s, dir) => {
+      val docs = docsAsCorpus(s, dir).filter(col("docId") < 120)
+      val toks = Jaccard.tokenized(docs)
+      val ordered = Jaccard.dfOrderedSets(toks)
+      Jaccard.prefixCandidates(ordered, 0.9, positional = false)
+        .agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(Jaccard.prefixCandidates(ordered, 0.9)
+          .agg(count(lit(1)).as("n_positional")))
+        .crossJoin(Jaccard.thresholdJoin(toks, 0.9)
+          .agg(count(lit(1)).as("n_verified")))
+    }),
+    // Exact-threshold incremental matches: src0 arrivals vs the indexed
+    // rest of the corpus (the q163 fixture split), J >= 0.9, verified
+    // values — oracle is the pruning-free cross-source brute force.
+    "q177_jac_threshold_matches" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").as("docId"), col("text"), col("source"))
+      val idx = Jaccard.dfOrderedSets(
+        Jaccard.tokenized(docs.filter(col("source") =!= "src0")))
+      Jaccard.thresholdMatches(
+        Jaccard.tokenized(docs.filter(col("source") === "src0")), idx, 0.9)
+        .select(col("docId").as("doc_id"), col("matchId").as("match_id"),
+          col("inter"), col("size"), col("matchSize").as("match_size"),
+          round(col("similarity"), 4).as("similarity"))
+        .orderBy("doc_id", "match_id")
+    }),
+    // ...and the gate: arrivals with NO exact match at the bar survive
+    "q176_jac_threshold_gate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").as("docId"), col("text"), col("source"))
+      val idx = Jaccard.dfOrderedSets(
+        Jaccard.tokenized(docs.filter(col("source") =!= "src0")))
+      Jaccard.thresholdGate(
+        Jaccard.tokenized(docs.filter(col("source") === "src0")), idx, 0.9)
+        .select(col("docId").as("doc_id"))
+        .orderBy("doc_id")
+    }),
+    // Directed containment join (|A∩B|/|A| >= t) — again gated against
+    // the pruning-free brute force.
+    "q174_jac_containment_join" -> ((s, dir) => {
+      val docs = docsAsCorpus(s, dir).filter(col("docId") < 120)
+      Jaccard.containmentJoin(Jaccard.tokenized(docs), 0.95)
+        .select(col("docA").as("doc_a"), col("docB").as("doc_b"),
+          col("inter"), col("sizeA").as("size_a"), col("sizeB").as("size_b"),
+          round(col("containment"), 4).as("containment"))
+        .orderBy("doc_a", "doc_b")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -138,5 +202,92 @@ private[graft] object JaccardQueries {
          |  array_to_string(list(doc_id ORDER BY doc_id), ',') AS doc_ids
          |FROM posts GROUP BY word
          |ORDER BY word""".stripMargin,
+    // Brute force: every co-occurring pair, then the threshold — no
+    // prefix filtering anywhere in the oracle (that's the proof).
+    "q172_jac_threshold_join" ->
+      s"""WITH $ToksCte,
+         |base AS (SELECT doc_id, tokens, CAST(len(tokens) AS BIGINT) AS sz
+         |         FROM toks WHERE len(tokens) > 0 AND doc_id < 120),
+         |posts AS (SELECT doc_id, unnest(tokens) AS word FROM base),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM posts a JOIN posts b ON a.word = b.word AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT doc_a, doc_b, inter, sa.sz AS size_a, sb.sz AS size_b,
+         |  round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS similarity
+         |FROM pairs
+         |JOIN base sa ON doc_a = sa.doc_id
+         |JOIN base sb ON doc_b = sb.doc_id
+         |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter)
+         |      >= CAST(0.9 AS DOUBLE)
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // Full SQL replay of the prefix machinery: df-ordered token lists
+    // (ties broken lexicographically, as sort_array on the (df, word)
+    // struct does), prefix slice with the same 1e-9 ceil slack, the
+    // length filter in the join, and PPJoin's max-ubound positional
+    // filter. Parallel unnests zip in DuckDB, giving 0-based positions.
+    "q173_jac_prefix_stats" ->
+      s"""WITH $ToksCte,
+         |base AS (SELECT doc_id, tokens, CAST(len(tokens) AS BIGINT) AS sz
+         |         FROM toks WHERE len(tokens) > 0 AND doc_id < 120),
+         |posts AS (SELECT doc_id, unnest(tokens) AS word FROM base),
+         |df AS (SELECT word, count(*) AS df FROM posts GROUP BY word),
+         |ordered AS (
+         |  SELECT p.doc_id, any_value(b.sz) AS sz,
+         |         list(p.word ORDER BY d.df, p.word) AS sorted_tokens
+         |  FROM posts p JOIN df d ON d.word = p.word
+         |  JOIN base b ON b.doc_id = p.doc_id
+         |  GROUP BY p.doc_id),
+         |pref AS (
+         |  SELECT doc_id, sz,
+         |    list_slice(sorted_tokens, 1,
+         |      CAST(sz - ceil(CAST(0.9 AS DOUBLE) * sz - 1e-9) + 1 AS BIGINT))
+         |      AS prefix
+         |  FROM ordered),
+         |prefpos AS (
+         |  SELECT doc_id, sz, unnest(prefix) AS word,
+         |         unnest(generate_series(0, len(prefix) - 1)) AS pos
+         |  FROM pref),
+         |cand AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    any_value(a.sz) AS sa, any_value(b.sz) AS sb,
+         |    max(1 + least(a.sz - a.pos - 1, b.sz - b.pos - 1)) AS ub
+         |  FROM prefpos a JOIN prefpos b
+         |    ON a.word = b.word AND a.doc_id < b.doc_id
+         |  WHERE least(a.sz, b.sz)
+         |        >= CAST(0.9 AS DOUBLE) * greatest(a.sz, b.sz)
+         |  GROUP BY a.doc_id, b.doc_id),
+         |poscand AS (
+         |  SELECT * FROM cand
+         |  WHERE ub >= ceil(CAST(0.9 AS DOUBLE) / (1.0 + CAST(0.9 AS DOUBLE))
+         |                   * (sa + sb) - 1e-9)),
+         |verified AS (
+         |  SELECT c.doc_a,
+         |    CAST(len(list_intersect(ba.tokens, bb.tokens)) AS BIGINT) AS inter,
+         |    c.sa, c.sb
+         |  FROM poscand c
+         |  JOIN base ba ON ba.doc_id = c.doc_a
+         |  JOIN base bb ON bb.doc_id = c.doc_b)
+         |SELECT (SELECT count(*) FROM cand) AS n_candidates,
+         |       (SELECT count(*) FROM poscand) AS n_positional,
+         |       (SELECT count(*) FROM verified
+         |        WHERE CAST(inter AS DOUBLE) / (sa + sb - inter)
+         |              >= CAST(0.9 AS DOUBLE)) AS n_verified""".stripMargin,
+    "q174_jac_containment_join" ->
+      s"""WITH $ToksCte,
+         |base AS (SELECT doc_id, tokens, CAST(len(tokens) AS BIGINT) AS sz
+         |         FROM toks WHERE len(tokens) > 0 AND doc_id < 120),
+         |posts AS (SELECT doc_id, unnest(tokens) AS word FROM base),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM posts a JOIN posts b ON a.word = b.word AND a.doc_id != b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT doc_a, doc_b, inter, sa.sz AS size_a, sb.sz AS size_b,
+         |  round(CAST(inter AS DOUBLE) / sa.sz, 4) AS containment
+         |FROM pairs
+         |JOIN base sa ON doc_a = sa.doc_id
+         |JOIN base sb ON doc_b = sb.doc_id
+         |WHERE CAST(inter AS DOUBLE) / sa.sz >= CAST(0.95 AS DOUBLE)
+         |ORDER BY doc_a, doc_b""".stripMargin,
   )
 }

@@ -64,6 +64,24 @@ object ScaleBench {
         val sims = Jaccard.allPairs(corpus, maxDocFrequency = Some(1000L))
         println("  pairs=" + sims.count())
       }
+      // Exact J>=0.8 join, prefix-filtered vs brute force, over 3-gram
+      // shingles (a realistic token universe — the word fixture's tiny
+      // vocabulary can't show prefix selectivity). Same answer both
+      // ways (q172's gate); the wall/shuffle gap is the AllPairs/PPJoin
+      // pruning story at corpus scale.
+      def shingled: DataFrame = docs.select(col("doc_id").as("docId"),
+          Dedup.shingleTokenizer(3)(col("text")).as("tokens"))
+        .filter(size(col("tokens")) > 0)
+      time(s"jaccard_threshold_prefix_10x $round") {
+        println("  pairs=" + Jaccard.thresholdJoin(shingled, 0.8).count())
+      }
+      time(s"jaccard_threshold_brute_10x $round") {
+        val sizes = shingled.select(col("docId"),
+          size(col("tokens")).cast("long").as("size"))
+        val sims = Jaccard.similarities(
+          Jaccard.pairIntersections(Jaccard.postings(shingled)), sizes)
+        println("  pairs=" + sims.filter(col("similarity") >= 0.8).count())
+      }
       // span-removal paths (q120/q126 shapes) — noop write, NOT count():
       // an Aggregate(count) would let Catalyst prune the clean_text
       // reassembly these entries exist to measure

@@ -144,6 +144,273 @@ object Jaccard {
     similarities(pairIntersections(postings(toks), maxDocFrequency), docSizes(toks))
   }
 
+  // ---------------------------------------------------------------------
+  // Exact-threshold similarity join via prefix filtering (AllPairs/PPJoin)
+  // ---------------------------------------------------------------------
+
+  /** Documents as document-frequency-ordered token sets:
+    * `(docId, sz, sorted_tokens)` with tokens ascending by global df
+    * (rarest first), ties broken lexicographically.
+    *
+    * This is the canonical token order for prefix filtering (Chaudhuri
+    * et al. ICDE'06; Bayardo et al. WWW'07 §3): a document's prefix under
+    * this order holds its RAREST tokens, so prefix-token collisions are
+    * maximally selective. The df table is vocabulary-sized (AQE broadcasts
+    * it when small; at 100 TB it degrades to a shuffled join — no hint is
+    * hard-coded), and the re-sort is one `groupBy(docId)` shuffle whose
+    * map-side width is one (df, word) pair per posting.
+    */
+  def dfOrderedSets(tokenizedDocs: DataFrame): DataFrame = {
+    val posts = postings(tokenizedDocs)
+    val df = posts.groupBy("word").agg(count(lit(1)).as("df"))
+    posts.join(df, "word")
+      .groupBy("docId")
+      .agg(sort_array(collect_list(struct(col("df"), col("word")))).as("dw"))
+      .select(
+        col("docId"),
+        size(col("dw")).cast("long").as("sz"),
+        transform(col("dw"), x => x.getField("word")).as("sorted_tokens"))
+  }
+
+  /** Minimum intersection size for `J(A,B) >= t`:
+    * `ceil(t/(1+t) * (|A|+|B|))` (Xiao et al. VLDB'08 eq. 2). The 1e-9
+    * slack guards the IEEE-754 edge where `t*(...)` lands an ulp above an
+    * exact integer and `ceil` would overshoot by one (dropping a true
+    * pair); the slack can only ADMIT a borderline candidate, never lose
+    * one, and exact verification removes any admitted extras.
+    */
+  private def minOverlap(t: Double, szA: Column, szB: Column): Column =
+    ceil(lit(t) / (lit(1.0) + lit(t)) * (szA + szB) - lit(1e-9))
+
+  /** Candidate pairs for an exact Jaccard-threshold join, via prefix +
+    * length (+ positional) filtering over [[dfOrderedSets]] output.
+    * Returns `(docA, docB, sizeA, sizeB)`, `docA < docB`, each pair once.
+    *
+    * Only the first `|A| - ceil(t*|A|) + 1` df-ordered tokens of each
+    * document are indexed (Bayardo et al. WWW'07 §3.1: two sets with
+    * `J >= t` MUST share a token within these prefixes), so the pair join
+    * shuffles roughly a `(1-t)` fraction of the postings instead of all
+    * of them — the pruning that makes an exact threshold join viable at
+    * corpus scale, where [[pairIntersections]] would materialize every
+    * co-occurring pair. On top of the prefix:
+    *   - length filter in the join condition: `min(|A|,|B|) >= t*max` —
+    *     sizes ride the prefix postings, no extra join;
+    *   - positional filter (Xiao et al. VLDB'08 §3.2, PPJoin): a shared
+    *     prefix token at 0-based positions `(i, j)` bounds the overlap by
+    *     `1 + min(|A|-i-1, |B|-j-1)`; the EARLIEST shared token gives the
+    *     largest bound, so `max(bound) >= minOverlap` after the pair
+    *     groupBy is exactly PPJoin's first-common-token filter.
+    *
+    * The pair groupBy also dedups multi-token collisions, so downstream
+    * verification touches each candidate once.
+    */
+  def prefixCandidates(
+      ordered: DataFrame,
+      threshold: Double,
+      positional: Boolean = true): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1]: $threshold")
+    // 1e-9 slack as in minOverlap: a long prefix is correct (more
+    // candidates), a short one can drop true pairs.
+    val prefLen =
+      (col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + lit(1)).cast("int")
+    val pref = ordered.select(
+      col("docId"), col("sz"),
+      posexplode(slice(col("sorted_tokens"), lit(1), prefLen)).as(Seq("pos", "word")))
+    val cands = pref.as("a")
+      .join(pref.as("b"),
+        col("a.word") === col("b.word") &&
+          col("a.docId") < col("b.docId") &&
+          least(col("a.sz"), col("b.sz")) >=
+            lit(threshold) * greatest(col("a.sz"), col("b.sz")))
+      .groupBy(
+        col("a.docId").as("docA"), col("a.sz").as("sizeA"),
+        col("b.docId").as("docB"), col("b.sz").as("sizeB"))
+      .agg(max(lit(1) +
+        least(col("a.sz") - col("a.pos") - 1, col("b.sz") - col("b.pos") - 1))
+        .as("ubound"))
+    val filtered =
+      if (positional)
+        cands.filter(col("ubound") >= minOverlap(threshold, col("sizeA"), col("sizeB")))
+      else cands
+    filtered.select("docA", "docB", "sizeA", "sizeB")
+  }
+
+  /** Exact Jaccard-threshold self-join: all pairs with `J(A,B) >= t`,
+    * `(docA, docB, inter, sizeA, sizeB, similarity)`, `docA < docB`.
+    *
+    * The distributed AllPairs/PPJoin shape (Vernica et al. SIGMOD'10):
+    * candidates from [[prefixCandidates]], then exact verification by
+    * joining each side's full token set back and intersecting in a
+    * projection (`array_intersect` — codegen, no further shuffle beyond
+    * the two hash joins on docId, each bounded by the candidate set).
+    * Results are IDENTICAL to filtering [[allPairs]] at `t` — gated by
+    * q172 against the brute-force oracle — at a fraction of the shuffle:
+    * brute force materializes every co-occurring pair (~n² on real
+    * corpora) where this shuffles prefix postings and candidates only.
+    *
+    * The tokenized input is referenced three times (postings + both
+    * verification sides); callers running over an expensive upstream
+    * should materialize it first (the curation-cascade rule,
+    * BASELINE.md round-12).
+    */
+  def thresholdJoin(
+      tokenizedDocs: DataFrame,
+      threshold: Double,
+      positional: Boolean = true): DataFrame = {
+    val cands = prefixCandidates(dfOrderedSets(tokenizedDocs), threshold, positional)
+    val toksA = tokenizedDocs.select(col("docId").as("docA"), col("tokens").as("toksA"))
+    val toksB = tokenizedDocs.select(col("docId").as("docB"), col("tokens").as("toksB"))
+    cands.join(toksA, "docA").join(toksB, "docB")
+      .withColumn("inter",
+        size(array_intersect(col("toksA"), col("toksB"))).cast("long"))
+      .filter(col("inter").cast("double") /
+        (col("sizeA") + col("sizeB") - col("inter")) >= lit(threshold))
+      .select(
+        col("docA"), col("docB"), col("inter"), col("sizeA"), col("sizeB"),
+        jaccardScore(col("inter"), col("sizeA"), col("sizeB")).as("similarity"))
+  }
+
+  /** Exact containment-threshold join: directed pairs with
+    * `|A∩B| / |A| >= t`, `docA != docB` — "A is mostly contained in B",
+    * the asymmetric relation behind subset/quotation dedup (a short doc
+    * embedded in a longer one has high containment but low Jaccard, so
+    * [[thresholdJoin]] misses it by design). Output:
+    * `(docA, docB, inter, sizeA, sizeB, containment)`.
+    *
+    * Prefix filtering adapts asymmetrically (Chaudhuri et al. ICDE'06):
+    * `C(A,B) >= t` forces overlap `o >= ceil(t*|A|)`, so A must share a
+    * token with B within A's first `|A| - ceil(t*|A|) + 1` df-ordered
+    * tokens — but anywhere in B. Hence A-side PREFIX postings join
+    * B-side FULL postings (the probe side still shrinks to the ~(1-t)
+    * fraction; the index side is the corpus's postings, the same table
+    * the inverted index already shuffles). In the join condition:
+    *   - size filter `|B| >= ceil(t*|A|)` (B must hold the overlap);
+    *   - positional bound `1 + min(|A|-i-1, |B|-j-1) >= ceil(t*|A|)`
+    *     via max-over-shared-tokens after the pair groupBy, as in
+    *     [[prefixCandidates]] (both sides carry df-order positions).
+    * Verification is exact (`array_intersect`), so the filters only
+    * ever prune, never decide.
+    */
+  def containmentJoin(
+      tokenizedDocs: DataFrame,
+      threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1]: $threshold")
+    val ordered = dfOrderedSets(tokenizedDocs)
+    def posted(side: DataFrame): DataFrame =
+      side.select(col("docId"), col("sz"),
+        posexplode(col("sorted_tokens")).as(Seq("pos", "word")))
+    val prefLen =
+      (col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + lit(1)).cast("int")
+    val probe = posted(ordered.select(col("docId"), col("sz"),
+      slice(col("sorted_tokens"), lit(1), prefLen).as("sorted_tokens")))
+    val index = posted(ordered)
+    val needed = ceil(lit(threshold) * col("a.sz") - lit(1e-9))
+    val cands = probe.as("a")
+      .join(index.as("b"),
+        col("a.word") === col("b.word") &&
+          col("a.docId") =!= col("b.docId") &&
+          col("b.sz") >= needed)
+      .groupBy(
+        col("a.docId").as("docA"), col("a.sz").as("sizeA"),
+        col("b.docId").as("docB"), col("b.sz").as("sizeB"))
+      .agg(max(lit(1) +
+        least(col("a.sz") - col("a.pos") - 1, col("b.sz") - col("b.pos") - 1))
+        .as("ubound"))
+      .filter(col("ubound") >= ceil(lit(threshold) * col("sizeA") - lit(1e-9)))
+    val toksA = tokenizedDocs.select(col("docId").as("docA"), col("tokens").as("toksA"))
+    val toksB = tokenizedDocs.select(col("docId").as("docB"), col("tokens").as("toksB"))
+    cands.join(toksA, "docA").join(toksB, "docB")
+      .withColumn("inter",
+        size(array_intersect(col("toksA"), col("toksB"))).cast("long"))
+      .filter(col("inter").cast("double") / col("sizeA") >= lit(threshold))
+      .select(col("docA"), col("docB"), col("inter"), col("sizeA"), col("sizeB"),
+        (col("inter").cast("double") / col("sizeA")).as("containment"))
+  }
+
+  /** Exact-threshold matches of a NEW batch against an indexed corpus
+    * ([[dfOrderedSets]] output): `(docId, matchId, inter, size,
+    * matchSize, similarity)` for every (arrival, indexed) pair with
+    * `J >= t` — the exact-similarity analogue of
+    * `Dedup.incrementalLshMatches` (which is probabilistic by bands).
+    *
+    * The arrival prefix here needs NO global token order: `J(A,B) >= t`
+    * forces `|A∩B| >= t*|A|` (since `|B| >= |A∩B|`), and a prefix of
+    * length `|A| - ceil(t*|A|) + 1` leaves a suffix of only
+    * `ceil(t*|A|) - 1` tokens — too few to hold all common tokens — so
+    * the FIRST `p` tokens of the arrival's array, in whatever order the
+    * tokenizer emitted them, must share a token with any true match.
+    * (The symmetric both-prefixes argument of [[prefixCandidates]] is
+    * what needs one global order; one-sided probing doesn't.) A
+    * df-ordered arrival prefix would probe rarer tokens — plumb a vocab
+    * df table in if candidate volume ever dominates; correctness is
+    * order-free.
+    *
+    * Shape (the q163 periodic-compaction/micro-batch convention): the
+    * arrival explodes its prefix row-locally and equi-joins the index
+    * postings on the token, with the `t*max <= min` size filter riding
+    * the join condition. Candidate rows stay DUPLICATED per shared
+    * prefix token — the prefix is short (~(1-t)|A|), and verification
+    * is idempotent — so no pair-collapse aggregation sits between the
+    * probe and the verify. The index side never carries its token
+    * arrays through the explode (that would square the index bytes);
+    * arrays join back by `matchId`, a hash join bounded by the
+    * candidate count. Everything keys on tokens/ids, so a persisted
+    * index bucketed by `word` co-locates the probe with no broadcast.
+    */
+  def thresholdMatches(
+      batch: DataFrame,
+      index: DataFrame,
+      threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1]: $threshold")
+    val prefLen = (size(col("tokens")) -
+      ceil(lit(threshold) * size(col("tokens")) - lit(1e-9)) + lit(1)).cast("int")
+    val probe = batch.select(
+      col("docId"), col("tokens").as("newToks"),
+      size(col("tokens")).cast("long").as("size"),
+      explode(slice(col("tokens"), lit(1), prefLen)).as("word"))
+    val posts = index.select(
+      col("docId").as("matchId"), col("sz").as("matchSize"),
+      explode(col("sorted_tokens")).as("word"))
+    val cands = probe.join(posts,
+      probe("word") === posts("word") &&
+        least(col("size"), col("matchSize")) >=
+          lit(threshold) * greatest(col("size"), col("matchSize")))
+      .select(col("docId"), col("newToks"), col("size"),
+        col("matchId"), col("matchSize"))
+    cands
+      .join(index.select(col("docId").as("matchId"),
+        col("sorted_tokens").as("idxToks")), "matchId")
+      .withColumn("inter",
+        size(array_intersect(col("newToks"), col("idxToks"))).cast("long"))
+      .filter(col("inter").cast("double") /
+        (col("size") + col("matchSize") - col("inter")) >= lit(threshold))
+      .select(col("docId"), col("matchId"), col("inter"),
+        col("size"), col("matchSize"),
+        jaccardScore(col("inter"), col("size"), col("matchSize"))
+          .as("similarity"))
+      .distinct()
+  }
+
+  /** Exact-threshold ingest gate: arrivals that match NO indexed doc at
+    * `J >= t` — [[thresholdMatches]]' complement via one left anti-join
+    * on the arrival id (the registry's unique-id contract, as
+    * `Dedup.lshGate`). Where the LSH gate admits false drops at the
+    * band boundary, this gate's decisions are exact; it costs the
+    * verification joins in exchange. At ingest run it per micro-batch
+    * (`foreachBatch`) against the periodically compacted index — the
+    * candidate anti-join is stream-derived on both sides, which rules
+    * out the single-pipeline streaming form `streamingLshGate` uses.
+    */
+  def thresholdGate(
+      batch: DataFrame,
+      index: DataFrame,
+      threshold: Double): DataFrame = {
+    val matched = thresholdMatches(
+      batch.select(col("docId"), col("tokens")), index, threshold)
+      .select(col("docId"))
+    batch.join(matched, Seq("docId"), "left_anti")
+  }
+
   /** Top-k most-similar neighbors per document (extension query): both
     * orientations of each unordered pair, ranked per source doc.
     */

@@ -61,6 +61,37 @@ object Sampling {
     df.withColumn("split", coalesce(expr, lit(weights.last._1)))
   }
 
+  /** [[hashSplit]] made leakage-safe under near-duplication: every
+    * member of a near-dup cluster lands in the SAME split. Two
+    * near-identical documents straddling train and test silently
+    * inflate held-out metrics (the classic dedup-leakage result — Lee
+    * et al. 2022 §6 measure exactly this); hashing the raw doc key
+    * cannot prevent it because cluster members have different keys. So
+    * the split decision hashes the CLUSTER id — the `component` label
+    * from [[Dedup.connectedComponents]]/[[Dedup.connectedComponentsStar]]
+    * over the near-dup candidate graph — and docs outside any cluster
+    * (no near-dup edge, hence absent from `components`) fall back to
+    * their own key, which IS their singleton cluster id.
+    *
+    * One shuffled left join against the membership table (cluster
+    * members only — much smaller than the corpus after curation) plus
+    * the same narrow hash projection as `hashSplit`. Output adds
+    * `split_key` (the hashed cluster id) and `split`.
+    */
+  def clusterSafeSplit(df: DataFrame, keyCol: String,
+                       components: DataFrame,
+                       weights: Seq[(String, Double)],
+                       seed: String = "graft",
+                       idCol: String = "id",
+                       compCol: String = "component"): DataFrame = {
+    val membership = components.select(
+      col(idCol).as(keyCol), col(compCol).as("__comp"))
+    val keyed = df.join(membership, Seq(keyCol), "left")
+      .withColumn("split_key", coalesce(col("__comp"), col(keyCol)))
+      .drop("__comp")
+    hashSplit(keyed, "split_key", weights, seed)
+  }
+
   /** Weighted per-source downsampling (corpus mixing): keep a
     * source-dependent fraction of rows — e.g. all of a high-quality
     * source, 10% of a web crawl — decided by the same portable

@@ -460,6 +460,22 @@ class PlanSpec extends SparkSpec {
       plan.take(2000))
   }
 
+  test("threshold join: in-join length filter, projection verification") {
+    val plan = q("q172_jac_threshold_join").queryExecution.sparkPlan.toString
+    // exact verification is an array_intersect in a Project, never a
+    // third shuffle
+    assert(plan.contains("array_intersect"),
+      s"verification must intersect token arrays in a projection:\n" +
+        plan.take(2000))
+    // the length filter rides the prefix join condition (a post-join
+    // Filter would materialize size-incompatible pairs first)
+    val joinLines = plan.linesIterator.filter(l =>
+      l.contains("Join") && l.contains("word")).toSeq
+    assert(joinLines.exists(l => l.contains("least") && l.contains("greatest")),
+      s"length filter must live in the prefix join condition:\n" +
+        joinLines.mkString("\n"))
+  }
+
   test("no query plans a cartesian product") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val plan = q(name).queryExecution.sparkPlan.toString

@@ -43,6 +43,32 @@ class SamplingSpec extends SparkSpec {
       again.as[(String, Long)].collect().toSet)
   }
 
+  test("cluster-safe split keeps every near-dup cluster in one split") {
+    val df = ids(500)
+    // clusters of 5 consecutive ids each over 1..200; 201..500 singletons
+    val comps = (1 to 200).map(i => (i.toLong, (((i - 1) / 5) * 5 + 1).toLong))
+      .toDF("id", "component")
+    val split = Sampling.clusterSafeSplit(df, "id", comps,
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val rows = split.select("id", "split_key", "split")
+      .as[(Long, Long, String)].collect()
+    assert(rows.length === 500, "every row assigned exactly once")
+    // all members of a cluster share the split label
+    val byCluster = rows.filter(_._1 <= 200).groupBy(_._2)
+    assert(byCluster.size === 40)
+    byCluster.foreach { case (c, members) =>
+      assert(members.map(_._3).distinct.length === 1,
+        s"cluster $c straddles splits: ${members.toSeq}")
+    }
+    // singletons fall back to their own id and agree with plain hashSplit
+    val single = rows.filter(_._1 > 200)
+    assert(single.forall(r => r._2 == r._1))
+    val plain = Sampling.hashSplit(df.filter($"id" > 200), "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(single.forall(r => plain(r._1) == r._3))
+  }
+
   test("source mix keeps per-source fractions, consistent with hashSample") {
     val df = (1 to 3000)
       .map(i => (i.toLong, s"s${i % 3}")).toDF("id", "src")
