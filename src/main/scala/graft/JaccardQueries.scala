@@ -102,7 +102,11 @@ private[graft] object JaccardQueries {
         .select(col("docId").as("doc_id"), col("matchId").as("match_id"),
           col("inter"), col("size"), col("matchSize").as("match_size"),
           round(col("similarity"), 4).as("similarity"))
-        .orderBy("doc_id", "match_id")
+        // one-partition sortWithinPartitions, NOT orderBy: a range
+        // exchange samples its child for bounds, re-running the whole
+        // probe→verify pipeline twice (measured 2× at sf0.1); the
+        // result is report-sized, so a single sorted partition is free
+        .repartition(1).sortWithinPartitions("doc_id", "match_id")
     }),
     // ...and the gate: arrivals with NO exact match at the bar survive
     "q176_jac_threshold_gate" -> ((s, dir) => {
@@ -113,7 +117,7 @@ private[graft] object JaccardQueries {
       Jaccard.thresholdGate(
         Jaccard.tokenized(docs.filter(col("source") === "src0")), idx, 0.9)
         .select(col("docId").as("doc_id"))
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")  // see q177
     }),
     // Directed containment join (|A∩B|/|A| >= t) — again gated against
     // the pruning-free brute force.
@@ -273,6 +277,61 @@ private[graft] object JaccardQueries {
          |       (SELECT count(*) FROM verified
          |        WHERE CAST(inter AS DOUBLE) / (sa + sb - inter)
          |              >= CAST(0.9 AS DOUBLE)) AS n_verified""".stripMargin,
+    // Pruning-free cross-source brute force (the q172 proof pattern over
+    // the q163 src0 split): EVERY co-occurring (arrival, indexed) pair
+    // via full posting joins — no prefix, no df ordering, no size filter
+    // anywhere — then the threshold. Equality proves the one-sided
+    // prefix probe loses no true match.
+    "q177_jac_threshold_matches" ->
+      s"""WITH $ToksCte,
+         |base AS (SELECT t.doc_id, t.tokens, CAST(len(t.tokens) AS BIGINT) AS sz,
+         |                d.source
+         |         FROM toks t JOIN documents d USING (doc_id)
+         |         WHERE len(t.tokens) > 0),
+         |arr AS (SELECT * FROM base WHERE source = 'src0'),
+         |idx AS (SELECT * FROM base WHERE source <> 'src0'),
+         |pairs AS (
+         |  SELECT a.doc_id, b.doc_id AS match_id, count(*) AS inter
+         |  FROM (SELECT doc_id, unnest(tokens) AS word FROM arr) a
+         |  JOIN (SELECT doc_id, unnest(tokens) AS word FROM idx) b
+         |    ON a.word = b.word
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT p.doc_id, p.match_id, p.inter, sa.sz AS size,
+         |  sb.sz AS match_size,
+         |  round(CAST(p.inter AS DOUBLE) / (sa.sz + sb.sz - p.inter), 4)
+         |    AS similarity
+         |FROM pairs p
+         |JOIN arr sa ON p.doc_id = sa.doc_id
+         |JOIN idx sb ON p.match_id = sb.doc_id
+         |WHERE CAST(p.inter AS DOUBLE) / (sa.sz + sb.sz - p.inter)
+         |      >= CAST(0.9 AS DOUBLE)
+         |ORDER BY p.doc_id, p.match_id""".stripMargin,
+    // ...and the gate's complement form: tokenized src0 arrivals whose
+    // doc_id appears in NO brute-force pair at the bar.
+    "q176_jac_threshold_gate" ->
+      s"""WITH $ToksCte,
+         |base AS (SELECT t.doc_id, t.tokens, CAST(len(t.tokens) AS BIGINT) AS sz,
+         |                d.source
+         |         FROM toks t JOIN documents d USING (doc_id)
+         |         WHERE len(t.tokens) > 0),
+         |arr AS (SELECT * FROM base WHERE source = 'src0'),
+         |idx AS (SELECT * FROM base WHERE source <> 'src0'),
+         |pairs AS (
+         |  SELECT a.doc_id, b.doc_id AS match_id, count(*) AS inter
+         |  FROM (SELECT doc_id, unnest(tokens) AS word FROM arr) a
+         |  JOIN (SELECT doc_id, unnest(tokens) AS word FROM idx) b
+         |    ON a.word = b.word
+         |  GROUP BY a.doc_id, b.doc_id),
+         |hit AS (
+         |  SELECT DISTINCT p.doc_id
+         |  FROM pairs p
+         |  JOIN arr sa ON p.doc_id = sa.doc_id
+         |  JOIN idx sb ON p.match_id = sb.doc_id
+         |  WHERE CAST(p.inter AS DOUBLE) / (sa.sz + sb.sz - p.inter)
+         |        >= CAST(0.9 AS DOUBLE))
+         |SELECT doc_id FROM arr
+         |WHERE doc_id NOT IN (SELECT doc_id FROM hit)
+         |ORDER BY doc_id""".stripMargin,
     "q174_jac_containment_join" ->
       s"""WITH $ToksCte,
          |base AS (SELECT doc_id, tokens, CAST(len(tokens) AS BIGINT) AS sz

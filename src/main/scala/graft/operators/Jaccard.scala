@@ -261,8 +261,13 @@ object Jaccard {
     val toksA = tokenizedDocs.select(col("docId").as("docA"), col("tokens").as("toksA"))
     val toksB = tokenizedDocs.select(col("docId").as("docB"), col("tokens").as("toksB"))
     cands.join(toksA, "docA").join(toksB, "docB")
-      .withColumn("inter",
-        size(array_intersect(col("toksA"), col("toksB"))).cast("long"))
+      // generator barrier: keeps the per-row hash-set array_intersect
+      // out of the (substituted, pushdown-folded) join residual — it
+      // must evaluate once per candidate, not 3× (see thresholdMatches)
+      .select(col("docA"), col("docB"), col("sizeA"), col("sizeB"),
+        explode_outer(array(
+          size(array_intersect(col("toksA"), col("toksB"))).cast("long")))
+          .as("inter"))
       .filter(col("inter").cast("double") /
         (col("sizeA") + col("sizeB") - col("inter")) >= lit(threshold))
       .select(
@@ -320,8 +325,11 @@ object Jaccard {
     val toksA = tokenizedDocs.select(col("docId").as("docA"), col("tokens").as("toksA"))
     val toksB = tokenizedDocs.select(col("docId").as("docB"), col("tokens").as("toksB"))
     cands.join(toksA, "docA").join(toksB, "docB")
-      .withColumn("inter",
-        size(array_intersect(col("toksA"), col("toksB"))).cast("long"))
+      // generator barrier — see thresholdJoin
+      .select(col("docA"), col("docB"), col("sizeA"), col("sizeB"),
+        explode_outer(array(
+          size(array_intersect(col("toksA"), col("toksB"))).cast("long")))
+          .as("inter"))
       .filter(col("inter").cast("double") / col("sizeA") >= lit(threshold))
       .select(col("docA"), col("docB"), col("inter"), col("sizeA"), col("sizeB"),
         (col("inter").cast("double") / col("sizeA")).as("containment"))
@@ -333,27 +341,37 @@ object Jaccard {
     * `J >= t` — the exact-similarity analogue of
     * `Dedup.incrementalLshMatches` (which is probabilistic by bands).
     *
-    * The arrival prefix here needs NO global token order: `J(A,B) >= t`
-    * forces `|A∩B| >= t*|A|` (since `|B| >= |A∩B|`), and a prefix of
-    * length `|A| - ceil(t*|A|) + 1` leaves a suffix of only
-    * `ceil(t*|A|) - 1` tokens — too few to hold all common tokens — so
-    * the FIRST `p` tokens of the arrival's array, in whatever order the
-    * tokenizer emitted them, must share a token with any true match.
+    * The arrival prefix needs NO particular token order for
+    * correctness: `J(A,B) >= t` forces `|A∩B| >= t*|A|` (since
+    * `|B| >= |A∩B|`), and a prefix of length `|A| - ceil(t*|A|) + 1`
+    * leaves a suffix of only `ceil(t*|A|) - 1` tokens — too few to hold
+    * all common tokens — so the first `p` tokens of the arrival under
+    * ANY fixed per-doc order must share a token with every true match.
     * (The symmetric both-prefixes argument of [[prefixCandidates]] is
-    * what needs one global order; one-sided probing doesn't.) A
-    * df-ordered arrival prefix would probe rarer tokens — plumb a vocab
-    * df table in if candidate volume ever dominates; correctness is
-    * order-free.
+    * what needs one global order; one-sided probing doesn't.) For
+    * candidate VOLUME the order is everything, so the arrival tokens
+    * are re-ranked by the index's document frequencies — derived from
+    * the index's own postings, the same table the probe explodes, so a
+    * periodically compacted index pays one extra vocabulary-sized
+    * aggregate, not a second corpus pass — rarest-first, tokens absent
+    * from the index ranking first of all (they generate ZERO candidates:
+    * nothing in the postings can equi-join them). Probing rare tokens
+    * first is exactly the AllPairs selectivity argument (Bayardo et al.
+    * WWW'07 §3.1) applied one-sided.
     *
     * Shape (the q163 periodic-compaction/micro-batch convention): the
-    * arrival explodes its prefix row-locally and equi-joins the index
-    * postings on the token, with the `t*max <= min` size filter riding
-    * the join condition. Candidate rows stay DUPLICATED per shared
-    * prefix token — the prefix is short (~(1-t)|A|), and verification
-    * is idempotent — so no pair-collapse aggregation sits between the
-    * probe and the verify. The index side never carries its token
-    * arrays through the explode (that would square the index bytes);
-    * arrays join back by `matchId`, a hash join bounded by the
+    * arrival dedups its tokens row-locally (`array_distinct` — the set
+    * contract every |A| and prefix bound assumes; raw repeat-bearing
+    * token arrays are accepted), ranks them by the index df (one
+    * batch-sized groupBy), explodes the prefix, and equi-joins the
+    * index postings on the token with the `t*max <= min` size filter
+    * riding the join condition. Candidates then COLLAPSE to one row per
+    * (docId, matchId) BEFORE verification — a narrow map-side-partial
+    * aggregate on four small columns — so multi-token prefix collisions
+    * never multiply the verification joins and no wide-row `distinct`
+    * runs after them. The index side never carries its token arrays
+    * through the explode (that would square the index bytes); both
+    * sides' arrays join back by id, hash joins bounded by the collapsed
     * candidate count. Everything keys on tokens/ids, so a persisted
     * index bucketed by `word` co-locates the probe with no broadcast.
     */
@@ -362,33 +380,67 @@ object Jaccard {
       index: DataFrame,
       threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1]: $threshold")
-    val prefLen = (size(col("tokens")) -
-      ceil(lit(threshold) * size(col("tokens")) - lit(1e-9)) + lit(1)).cast("int")
-    val probe = batch.select(
-      col("docId"), col("tokens").as("newToks"),
-      size(col("tokens")).cast("long").as("size"),
-      explode(slice(col("tokens"), lit(1), prefLen)).as("word"))
     val posts = index.select(
       col("docId").as("matchId"), col("sz").as("matchSize"),
       explode(col("sorted_tokens")).as("word"))
+    // (word, doc) posting rows are unique under the dfOrderedSets set
+    // contract, so this count IS the df table dfOrderedSets ranked by
+    val dfTab = posts.groupBy("word").agg(count(lit(1)).as("df"))
+    val arr = batch.select(col("docId"), array_distinct(col("tokens")).as("tokens"))
+    val ordered = arr
+      .select(col("docId"), explode(col("tokens")).as("word"))
+      .join(dfTab, Seq("word"), "left")
+      .groupBy("docId")
+      .agg(sort_array(collect_list(struct(
+        coalesce(col("df"), lit(0L)).as("df"), col("word")))).as("dw"))
+      .select(col("docId"),
+        size(col("dw")).cast("long").as("size"),
+        transform(col("dw"), x => x.getField("word")).as("arrToks"))
+    val prefLen = (col("size") -
+      ceil(lit(threshold) * col("size") - lit(1e-9)) + lit(1)).cast("int")
+    // the probe is batch-sized — tiny — while the candidate join fans
+    // out by posting df; without an explicit spread AQE coalesces the
+    // micro-batch's shuffle to ONE partition and, every join below
+    // being broadcast, serializes the whole probe→verify pipeline into
+    // a single task. The partition count must be pinned (session
+    // shuffle parallelism): a bare repartition(cols) is itself
+    // AQE-coalescible, which put the single task right back. Hashing
+    // on (docId, word) spreads the fan-out evenly; at corpus-scale
+    // batch sizes the exchange is batch-sized either way.
+    val probe = ordered.select(col("docId"), col("size"),
+      explode(slice(col("arrToks"), lit(1), prefLen)).as("word"))
+      .repartition(batch.sparkSession.sessionState.conf.numShufflePartitions,
+        col("docId"), col("word"))
     val cands = probe.join(posts,
       probe("word") === posts("word") &&
         least(col("size"), col("matchSize")) >=
           lit(threshold) * greatest(col("size"), col("matchSize")))
-      .select(col("docId"), col("newToks"), col("size"),
-        col("matchId"), col("matchSize"))
+      .groupBy(col("docId"), col("size"), col("matchId"), col("matchSize"))
+      .agg(count(lit(1)).as("__prefix_hits"))
+      .drop("__prefix_hits")
+    // verification arrays come from `arr` (a narrow batch projection),
+    // not `ordered` — referencing `ordered` twice would re-run its
+    // df join + groupBy chain per consumer (the cascade rule,
+    // BASELINE.md round-12); array_intersect is order-indifferent
     cands
+      .join(arr.select(col("docId"), col("tokens").as("arrToks")), "docId")
       .join(index.select(col("docId").as("matchId"),
         col("sorted_tokens").as("idxToks")), "matchId")
-      .withColumn("inter",
-        size(array_intersect(col("newToks"), col("idxToks"))).cast("long"))
+      // generator barrier (the repo-wide idiom): a plain projection
+      // alias would be substituted into the threshold filter — which
+      // predicate pushdown then folds into the join condition —
+      // re-evaluating the per-row hash-set array_intersect 3× per
+      // candidate; Generate output attributes can't be substituted
+      .select(col("docId"), col("matchId"), col("size"), col("matchSize"),
+        explode_outer(array(
+          size(array_intersect(col("arrToks"), col("idxToks"))).cast("long")))
+          .as("inter"))
       .filter(col("inter").cast("double") /
         (col("size") + col("matchSize") - col("inter")) >= lit(threshold))
       .select(col("docId"), col("matchId"), col("inter"),
         col("size"), col("matchSize"),
         jaccardScore(col("inter"), col("size"), col("matchSize"))
           .as("similarity"))
-      .distinct()
   }
 
   /** Exact-threshold ingest gate: arrivals that match NO indexed doc at

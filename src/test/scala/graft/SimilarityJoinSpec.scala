@@ -183,4 +183,129 @@ class SimilarityJoinSpec extends SparkSpec {
     for (t <- Seq(0.2, 0.5, 0.7, 0.9))
       assert(joined(d, t) === brute(d, t), s"threshold $t")
   }
+
+  // ------------------------------------------------- thresholdMatches/Gate
+
+  /** Brute-force cross truth: every co-occurring (arrival, indexed)
+    * pair via full posting joins — no prefix machinery anywhere.
+    */
+  private def bruteMatches(arrD: DataFrame, idxD: DataFrame, t: Double)
+      : Set[(Long, Long, Long)] = {
+    val a = Jaccard.tokenized(arrD)
+    val b = Jaccard.tokenized(idxD)
+    val pairs = Jaccard.postings(a).withColumnRenamed("docId", "docA")
+      .join(Jaccard.postings(b).withColumnRenamed("docId", "docB"), "word")
+      .groupBy("docA", "docB").agg(count(lit(1)).as("inter"))
+    pairs
+      .join(Jaccard.docSizes(a).withColumnRenamed("docId", "docA")
+        .withColumnRenamed("size", "sa"), "docA")
+      .join(Jaccard.docSizes(b).withColumnRenamed("docId", "docB")
+        .withColumnRenamed("size", "sb"), "docB")
+      .filter(col("inter").cast("double") /
+        (col("sa") + col("sb") - col("inter")) >= lit(t))
+      .select("docA", "docB", "inter")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+  }
+
+  private def matchedAgainst(arrD: DataFrame, idxD: DataFrame, t: Double)
+      : Set[(Long, Long, Long)] =
+    Jaccard.thresholdMatches(Jaccard.tokenized(arrD),
+        Jaccard.dfOrderedSets(Jaccard.tokenized(idxD)), t)
+      .select("docId", "matchId", "inter")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("thresholdMatches equals cross brute force on a hand-built split") {
+    val arr = docs(
+      1L -> "spark scala join shuffle partition",
+      2L -> "quantum entangled qubits decohere fast",
+      3L -> "spark scala join",
+      4L -> "words the index has never seen anywhere")
+    val idx = docs(
+      11L -> "spark scala join shuffle partition",
+      12L -> "spark scala join shuffle broadcast",
+      13L -> "quantum entangled qubits decohere slowly",
+      14L -> "completely unrelated corpus entry")
+    for (t <- Seq(0.3, 0.5, 0.8, 0.99, 1.0))
+      assert(matchedAgainst(arr, idx, t) === bruteMatches(arr, idx, t),
+        s"threshold $t")
+  }
+
+  test("arrival pair exactly at the threshold is matched, with exact values") {
+    // |A|=4, |B|=5, inter=4 (A ⊂ B): J = 4/5 = 0.8 exactly at t=0.8
+    val arr = docs(1L -> "alpha beta gamma delta")
+    val idx = docs(2L -> "alpha beta gamma delta epsilon")
+    val rows = Jaccard.thresholdMatches(Jaccard.tokenized(arr),
+        Jaccard.dfOrderedSets(Jaccard.tokenized(idx)), 0.8)
+      .collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getDouble(5)) === (1L, 2L, 4L, 4L, 5L, 0.8))
+    // ...and one ulp of threshold above loses it
+    assert(matchedAgainst(arr, idx, 0.81) === Set.empty)
+  }
+
+  test("float-edge arrival prefix length cannot drop a true match") {
+    // t=0.8, |A|=5: prefix length 5 - ceil(0.8*5) + 1 = 2. The
+    // arrival's RAREST token under index-df order is 'unseen' (df=0,
+    // absent from the index) and probes NOTHING — completeness must
+    // come from the second prefix slot, so a prefix-length off-by-one
+    // (the failure class the ceil slack guards at thresholds where
+    // t*|A| lands an ulp above an integer) loses the J=0.8 match here.
+    val arr = docs(1L -> "alpha beta gamma delta unseen")
+    val idx = docs(
+      2L -> "alpha beta gamma delta epsilon",   // inter=4, union=6: J=2/3
+      3L -> "alpha beta gamma delta")           // inter=4, union=5: J=0.8
+    assert(matchedAgainst(arr, idx, 0.8) === Set((1L, 3L, 4L)))
+    assert(matchedAgainst(arr, idx, 0.6) === bruteMatches(arr, idx, 0.6))
+  }
+
+  test("duplicate tokens in raw batch arrays keep set semantics") {
+    import spark.implicits._
+    // raw normalizedWords-style arrays with repeats: the operator must
+    // array_distinct them or |A|, the prefix bound and the Jaccard value
+    // all drift — distinct sets are {a b c d} vs indexed {a b c d e}
+    val rawBatch = Seq(
+      (1L, Seq("a", "a", "b", "c", "a", "d", "b"))).toDF("docId", "tokens")
+    val idx = Jaccard.dfOrderedSets(Jaccard.tokenized(
+      docs(2L -> "a b c d e")))
+    val rows = Jaccard.thresholdMatches(rawBatch, idx, 0.8).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getDouble(5)) === (1L, 2L, 4L, 4L, 5L, 0.8))
+  }
+
+  test("thresholdGate is the exact complement of the matched arrivals") {
+    val arr = docs(
+      1L -> "spark scala join shuffle partition",   // dup of 11 → dropped
+      2L -> "quantum entangled qubits decohere",    // no match → survives
+      3L -> "tokens the index never saw at all")    // df=0 probes → survives
+    val idx = docs(
+      11L -> "spark scala join shuffle partition",
+      12L -> "completely unrelated corpus entry")
+    val batch = Jaccard.tokenized(arr)
+    val index = Jaccard.dfOrderedSets(Jaccard.tokenized(idx))
+    val kept = Jaccard.thresholdGate(batch, index, 0.9)
+      .select("docId").collect().map(_.getLong(0)).toSet
+    val matchedIds = Jaccard.thresholdMatches(batch, index, 0.9)
+      .select("docId").collect().map(_.getLong(0)).toSet
+    assert(matchedIds === Set(1L))
+    assert(kept === Set(2L, 3L))
+    assert((kept ++ matchedIds) === Set(1L, 2L, 3L))
+  }
+
+  test("thresholdMatches equals cross brute force on a seeded random split") {
+    val rnd = new scala.util.Random(13)
+    val vocab = (1 to 30).map(i => s"tok$i")
+    val rows = (1L to 60L).map { id =>
+      val n = 3 + rnd.nextInt(10)
+      id -> rnd.shuffle(vocab).take(n).mkString(" ")
+    }
+    val arr = docs(rows.filter(_._1 % 3 == 0): _*)
+    val idx = docs(rows.filter(_._1 % 3 != 0): _*)
+    for (t <- Seq(0.2, 0.5, 0.7, 0.9))
+      assert(matchedAgainst(arr, idx, t) === bruteMatches(arr, idx, t),
+        s"threshold $t")
+  }
 }
