@@ -11,7 +11,15 @@ import graft.operators.{Chunking, Dedup, Graph, Jaccard, Knn, Pq, Scrub}
   * evidence"). Each workload runs twice; read the second (warm) number.
   */
 object ScaleBench {
+  /** Optional second CLI arg: run only entries whose label contains
+    * this substring (fast single-entry loop while iterating; the
+    * recorded BASELINE.md numbers come from unfiltered runs).
+    */
+  private var only: Option[String] = None
+
   private def time[A](label: String)(f: => A): A = {
+    if (only.exists(s => !label.contains(s)))
+      return null.asInstanceOf[A]
     val t0 = System.nanoTime()
     val r = f
     println(f"[scalebench] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
@@ -20,6 +28,7 @@ object ScaleBench {
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/scale10")
+    only = args.lift(1)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -29,6 +38,10 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000L).selectExpr("sum(id)").collect()
+    // the native-kernel SQL names (graft_word_ngrams, ...) are normally
+    // registered by the Dedup entry points; register up front so
+    // label-filtered runs that use the tokenizers directly resolve too
+    graft.functions.GraftFunctions.register(spark)
 
     def docs: DataFrame = spark.read.parquet(s"$dir/documents.parquet")
     def embs: DataFrame = spark.read.parquet(s"$dir/embeddings.parquet")
@@ -155,7 +168,9 @@ object ScaleBench {
     // the query's own cell. The harness, not the happy curve, is the
     // deliverable: on corpus-shaped (clustered) embeddings the same
     // readout drives the published recall-vs-latency trade.
-    {
+    // (whole section skipped under a label filter: its intermediate
+    // time() results — exactL2, lloydCb — feed later untimed readouts)
+    if (only.isEmpty) {
       val queries = embs.filter(col("vec_id") < 20)
       val exactL2 = Knn.bruteForceTopKL2(embs, queries,
         "vec_id", "embedding", k = 5).localCheckpoint()
@@ -256,7 +271,7 @@ object ScaleBench {
       // recall-vs-cost readout (the q143 curve at 10×, untimed — the
       // deliverable is the numbers): truth = est-Jaccard ≥ 0.5 within
       // the widest level, recall per level = truth pairs recovered
-      if (round == "warm") {
+      if (round == "warm" && only.isEmpty) {
         val sigs = Dedup.minHashSignatures(docs, "doc_id", "text", k = 8,
           tokenize = Dedup.shingleTokenizer(3)).localCheckpoint()
         val sweep = Dedup.lshCandidatesSweep(sigs, "doc_id", k = 8,
@@ -424,6 +439,35 @@ object ScaleBench {
           k = 8, bands = 4, tokenize = Dedup.shingleTokenizer(3))
         println("  gate_kept=" + kept.count())
       }
+      // the EXACT-threshold ingest probe over the same 10k-vs-40k split
+      // (q177's shape at 10×, 3-gram shingles for a real token
+      // universe): arrival df-ordered prefix → index postings join →
+      // pair collapse → exact verification. Unlike lsh_gate there are
+      // no false band drops; the wall buys exact J >= 0.9 decisions
+      time(s"threshold_matches_10x $round") {
+        def shing(d: DataFrame): DataFrame =
+          d.select(col("doc_id").as("docId"),
+            Dedup.shingleTokenizer(3)(col("text")).as("tokens"))
+            .filter(size(col("tokens")) > 0)
+        // the operator consumes the index 3× (postings, df ranking,
+        // verification arrays) — at ingest the compacted index is
+        // persisted state, so materialize the build once (the landing-
+        // table rule; unmaterialized it re-runs per consumer: measured
+        // 19.4 s vs 10.5 s warm at this scale)
+        // materialize BOTH tokenized sides once (the landing-table
+        // rule): dfOrderedSets consumes its input twice and
+        // thresholdMatches consumes the index 3× and the batch 2× —
+        // unmaterialized, the 4.4 s/pass shingle kernel re-runs per
+        // consumer (measured 22 s vs ~12 s warm at this scale). At
+        // ingest the compacted index is persisted state anyway.
+        val landedToks = shing(docs.filter(col("doc_id") % 5 =!= 0))
+          .localCheckpoint()
+        val arrivalToks = shing(docs.filter(col("doc_id") % 5 === 0))
+          .localCheckpoint()
+        val idx = Jaccard.dfOrderedSets(landedToks).localCheckpoint()
+        println("  matches=" +
+          Jaccard.thresholdMatches(arrivalToks, idx, 0.9).count())
+      }
       // substring screening at 10×: ~190 patterns over 50k docs in ONE
       // Aho–Corasick walk per doc — the wall should be scan-shaped and
       // insensitive to pattern-list size (vs K contains/regex passes)
@@ -538,14 +582,16 @@ object ScaleBench {
     }
     // AQE skew-split evidence: re-run the biggest shuffle path and grep
     // its final adaptive plan for skew markers
-    val sigs = Dedup.minHashSignatures(docs, "doc_id", "text", k = 8,
-      tokenize = Dedup.shingleTokenizer(3))
-    val cands = Dedup.lshCandidates(sigs, "doc_id", k = 8, bands = 4)
-    cands.collect()
-    val plan = cands.queryExecution.executedPlan.toString
-    println("[scalebench] lshCandidates plan skew markers: " +
-      (if (plan.contains("skew=true")) "AQE skew-split ACTIVE"
-       else "none (no partition crossed the skew threshold)"))
+    if (only.isEmpty) {
+      val sigs = Dedup.minHashSignatures(docs, "doc_id", "text", k = 8,
+        tokenize = Dedup.shingleTokenizer(3))
+      val cands = Dedup.lshCandidates(sigs, "doc_id", k = 8, bands = 4)
+      cands.collect()
+      val plan = cands.queryExecution.executedPlan.toString
+      println("[scalebench] lshCandidates plan skew markers: " +
+        (if (plan.contains("skew=true")) "AQE skew-split ACTIVE"
+         else "none (no partition crossed the skew threshold)"))
+    }
     spark.stop()
   }
 }

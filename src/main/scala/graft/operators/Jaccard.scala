@@ -374,6 +374,14 @@ object Jaccard {
     * sides' arrays join back by id, hash joins bounded by the collapsed
     * candidate count. Everything keys on tokens/ids, so a persisted
     * index bucketed by `word` co-locates the probe with no broadcast.
+    *
+    * Consumption contract (the curation-cascade rule, BASELINE.md
+    * round-12): `index` is referenced 3× (postings, df ranking,
+    * verification arrays) and `batch` 2× — callers feeding expensive
+    * unmaterialized upstreams (a tokenizer kernel, a fetch chain)
+    * should materialize both first; at ingest the compacted index is
+    * persisted state anyway (measured in ScaleBench
+    * `threshold_matches_10x`: ~22 s → ~12 s warm at 50k docs).
     */
   def thresholdMatches(
       batch: DataFrame,
