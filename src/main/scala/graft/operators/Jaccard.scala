@@ -373,7 +373,9 @@ object Jaccard {
     * through the explode (that would square the index bytes); both
     * sides' arrays join back by id, hash joins bounded by the collapsed
     * candidate count. Everything keys on tokens/ids, so a persisted
-    * index bucketed by `word` co-locates the probe with no broadcast.
+    * index bucketed by `word` co-locates the probe with no broadcast —
+    * [[indexPostings]]/[[thresholdMatchesPosted]] are that layout's
+    * entry points, BucketingSpec pins the exchange-free plan.
     *
     * Consumption contract (the curation-cascade rule, BASELINE.md
     * round-12): `index` is referenced 3× (postings, df ranking,
@@ -386,11 +388,33 @@ object Jaccard {
   def thresholdMatches(
       batch: DataFrame,
       index: DataFrame,
+      threshold: Double): DataFrame =
+    thresholdMatchesPosted(batch, indexPostings(index), index, threshold)
+
+  /** Posting layout of a [[dfOrderedSets]] index: `(matchId, matchSize,
+    * word)`, one row per (doc, token). This is the layout to PERSIST
+    * for an ingest index: written `bucketBy(word)`, the candidate
+    * probe's equi-join and the df-ranking aggregate both read
+    * co-located buckets with NO index-side exchange (BucketingSpec pins
+    * the plan) — at corpus scale the difference between re-shuffling
+    * the index per micro-batch and never shuffling it at all.
+    */
+  def indexPostings(index: DataFrame): DataFrame =
+    index.select(col("docId").as("matchId"), col("sz").as("matchSize"),
+      explode(col("sorted_tokens")).as("word"))
+
+  /** [[thresholdMatches]] over a pre-materialized posting-form index
+    * (`posts` in the [[indexPostings]] layout, typically a persisted
+    * word-bucketed table) plus the set-form `index` for verification
+    * arrays. The compaction job writes both layouts once; every
+    * micro-batch then probes them shuffle-free on the index side.
+    */
+  def thresholdMatchesPosted(
+      batch: DataFrame,
+      posts: DataFrame,
+      index: DataFrame,
       threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1]: $threshold")
-    val posts = index.select(
-      col("docId").as("matchId"), col("sz").as("matchSize"),
-      explode(col("sorted_tokens")).as("word"))
     // (word, doc) posting rows are unique under the dfOrderedSets set
     // contract, so this count IS the df table dfOrderedSets ranked by
     val dfTab = posts.groupBy("word").agg(count(lit(1)).as("df"))

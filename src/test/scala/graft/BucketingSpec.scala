@@ -38,4 +38,70 @@ class BucketingSpec extends SparkSpec {
       .orderBy("docA", "docB").collect().toSeq
     assert(bucketedPairs == plainPairs)
   }
+
+  test("threshold probe over a word-bucketed index plans no index-side shuffle") {
+    // the thresholdMatchesPosted persisted-index claim, pinned: with
+    // broadcast and AQE off (forcing the worst case — a shuffled join),
+    // the candidate equi-join's INDEX side reads the bucketed postings
+    // with zero Exchange below it, and the result matches the
+    // set-form operator. Probe-side exchanges are expected (the
+    // micro-batch is re-keyed by word); the index never moves.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    val corpus = (1L to 40L).map(i =>
+      (i, s"tok${i % 7} tok${i % 5} tok${i % 3} tok${i % 11} tok${i % 13}"))
+      .toDF("docId", "text")
+    val arrivals = (100L to 110L).map(i =>
+      (i, s"tok${i % 7} tok${i % 5} tok${i % 3} tok${i % 11} tok${i % 13}"))
+      .toDF("docId", "text")
+    val index = Jaccard.dfOrderedSets(Jaccard.tokenized(corpus))
+    spark.sql("DROP TABLE IF EXISTS idx_posts_bucketed")
+    Jaccard.indexPostings(index).write.bucketBy(8, "word").sortBy("word")
+      .mode("overwrite").saveAsTable("idx_posts_bucketed")
+    val posted = spark.table("idx_posts_bucketed")
+    val confs = Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val batch = Jaccard.tokenized(arrivals)
+      val m = Jaccard.thresholdMatchesPosted(batch, posted, index, 0.6)
+      val rows = m.collect()
+      // two word-keyed shuffled joins exist: the df-ranking left-outer
+      // (arrival postings ⋈ dfTab) and the candidate inner (probe ⋈
+      // posts). In BOTH the right child is the index-derived side —
+      // it must read the bucketed layout with zero Exchange below it
+      // (bucketing satisfies both the join and the groupBy(word)
+      // distribution). Probe-side exchanges are expected and excluded:
+      // only the right subtrees are asserted on.
+      val plan = m.queryExecution.executedPlan
+      def wordKeyed(keys: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =
+        keys.exists(_.references.exists(_.name == "word"))
+      val wordJoins: Seq[SparkPlan] = plan.collect {
+        case j: SortMergeJoinExec if wordKeyed(j.leftKeys) => j
+        case j: ShuffledHashJoinExec if wordKeyed(j.leftKeys) => j
+      }.filter(_.children.last.collect { case s: FileSourceScanExec => s }
+        .exists(_.toString.contains("idx_posts_bucketed")))
+      // (a third word join exists INSIDE dfOrderedSets for the
+      // verification-array chain — it reads the in-memory fixture, not
+      // the bucketed table, and is out of scope here)
+      assert(wordJoins.size == 2, s"expected two bucketed word joins:\n$plan")
+      wordJoins.foreach { j =>
+        val indexSide = j.children.last
+        assert(indexSide.collect { case s: FileSourceScanExec => s }
+          .exists(_.toString.contains("idx_posts_bucketed")),
+          s"index side must read the bucketed table:\n$indexSide")
+        assert(indexSide.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+          s"bucketed index side must not shuffle:\n$indexSide")
+      }
+      // value parity with the set-form operator
+      val viaSets = Jaccard.thresholdMatches(batch, index, 0.6)
+        .select("docId", "matchId", "inter")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val viaPosted = rows
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(viaPosted == viaSets && viaPosted.nonEmpty)
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
 }

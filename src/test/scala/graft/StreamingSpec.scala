@@ -753,6 +753,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("exact-threshold gate runs per micro-batch and matches the batch gate") {
+    // the Jaccard.thresholdGate scaladoc claim, executed: at ingest the
+    // exact gate runs per micro-batch via foreachBatch against the
+    // periodically compacted (static) index — the candidate anti-join
+    // is stream-derived on both sides, which rules out the
+    // single-pipeline form streamingLshGate uses. Decisions are
+    // per-arrival vs the static index, so micro-batching must not
+    // change them: the union of per-batch keeps == one batch gate.
+    import graft.operators.Jaccard
+    val indexed1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val indexed2 = "red orange yellow green blue indigo violet black white gray"
+    val near = "alpha beta gamma delta epsilon zeta eta theta iota nu"
+    val unique = "engines pipelines tokens shuffles partitions broadcasts"
+    val idx = Jaccard.dfOrderedSets(Jaccard.tokenized(
+      Seq((100L, indexed1), (101L, indexed2)).toDF("docId", "text")))
+      .localCheckpoint() // the compacted index IS materialized state
+    val input = MemoryStream[(Long, String)](spark)
+    val keptIds = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = input.toDF()
+      .select(col("_1").as("docId"), col("_2").as("text"))
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val kept = Jaccard.thresholdGate(Jaccard.tokenized(b), idx, 0.9)
+          .select("docId").as[Long].collect()
+        keptIds.synchronized { keptIds ++= kept }
+        ()
+      }.start()
+    try {
+      input.addData((21L, indexed1), // exact dup of 100 -> dropped
+        (22L, unique))               // no shared tokens -> kept
+      q.processAllAvailable()
+      input.addData((23L, indexed2), // later batch, dup of 101 -> dropped
+        (24L, near))                 // J = 9/11 = 0.82 < 0.9 -> kept
+      q.processAllAvailable()
+      val streamed = keptIds.synchronized(keptIds.toSet)
+      assert(streamed == Set(22L, 24L), s"got $streamed")
+      val batchKept = Jaccard.thresholdGate(
+        Jaccard.tokenized(Seq((21L, indexed1), (22L, unique),
+          (23L, indexed2), (24L, near)).toDF("docId", "text")), idx, 0.9)
+        .select("docId").as[Long].collect().toSet
+      assert(batchKept == streamed,
+        s"stream/batch divergence: stream=$streamed batch=$batchKept")
+    } finally q.stop()
+  }
+
   test("batch and streaming sessionization agree on on-time data") {
     val batch = EventStreams.sessionize(
       Seq((7L, 1000L, 1L), (7L, 1500L, 2L), (7L, 4000L, 3L), (8L, 900L, 4L))
