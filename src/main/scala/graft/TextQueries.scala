@@ -1199,11 +1199,13 @@ private[graft] object TextQueries {
          |      THEN '*' ELSE substr(t, p, 1) END
          |      FOR p IN generate_series(1, length(t))], '') AS r
          |  FROM tl)
-         |SELECT doc_id, md5(r) AS text_md5,
+         |SELECT red.doc_id, md5(r) AS text_md5,
          |  CAST(length(r) AS BIGINT) AS n_chars,
-         |  CAST(length(r) - length(replace(r, '*', '')) AS BIGINT)
-         |    AS n_masked
-         |FROM red ORDER BY doc_id""".stripMargin,
+         |  CAST(len([p FOR p IN generate_series(1, length(r))
+         |    IF substr(r, p, 1) = '*' AND substr(t, p, 1) != '*'])
+         |    AS BIGINT) AS n_masked
+         |FROM red JOIN tl ON red.doc_id = tl.doc_id
+         |ORDER BY red.doc_id""".stripMargin,
 
     // the budget readout: the same DP's piece counts joined back to
     // the per-document token stream

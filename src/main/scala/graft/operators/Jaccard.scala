@@ -295,10 +295,24 @@ object Jaccard {
     *     [[prefixCandidates]] (both sides carry df-order positions).
     * Verification is exact (`array_intersect`), so the filters only
     * ever prune, never decide.
+    *
+    * Unlike [[prefixCandidates]], the B side here posts its FULL token
+    * list — on a stop-word-heavy corpus the hot words the A-prefix
+    * avoids are right back in the index side of the join, and a df=n
+    * word contributes n candidate rows per probing prefix token.
+    * `maxDocFrequency` is the standard posting-list prune for that skew
+    * (the [[pairIntersections]] knob's semantics): words with df >
+    * maxDf are dropped from BOTH posting streams before the join, so a
+    * pair whose shared tokens are ALL hot is never generated — opt-in,
+    * it changes results (verification still computes exact containment
+    * over the full arrays for every surviving candidate; positions and
+    * sizes are untouched, so the positional bound stays valid — with
+    * fewer rows per pair it can only prune further, never admit).
     */
   def containmentJoin(
       tokenizedDocs: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      maxDocFrequency: Option[Long] = None): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1]: $threshold")
     val ordered = dfOrderedSets(tokenizedDocs)
     def posted(side: DataFrame): DataFrame =
@@ -306,9 +320,22 @@ object Jaccard {
         posexplode(col("sorted_tokens")).as(Seq("pos", "word")))
     val prefLen =
       (col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + lit(1)).cast("int")
-    val probe = posted(ordered.select(col("docId"), col("sz"),
-      slice(col("sorted_tokens"), lit(1), prefLen).as("sorted_tokens")))
-    val index = posted(ordered)
+    // the hot table is bounded by |postings| / maxDf rows — always tiny
+    // and broadcastable; materialized once so the df pass runs once
+    // (the pairIntersections anti-join form, Jaccard.scala:99-113)
+    val prune: DataFrame => DataFrame = maxDocFrequency match {
+      case Some(maxDf) =>
+        val hot = postings(tokenizedDocs)
+          .groupBy("word").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDf)
+          .select("word")
+          .localCheckpoint()
+        side => side.join(broadcast(hot), Seq("word"), "left_anti")
+      case None => identity
+    }
+    val probe = prune(posted(ordered.select(col("docId"), col("sz"),
+      slice(col("sorted_tokens"), lit(1), prefLen).as("sorted_tokens"))))
+    val index = prune(posted(ordered))
     val needed = ceil(lit(threshold) * col("a.sz") - lit(1e-9))
     val cands = probe.as("a")
       .join(index.as("b"),

@@ -82,6 +82,21 @@ object Scrub {
     * runs over the lowercased text so coverage is case-insensitive,
     * and the mask applies to the ORIGINAL characters positionally.
     * Output: `(idCol, clean_text, n_masked)`.
+    *
+    * `n_masked` counts REWRITTEN positions — redacted char is the mask
+    * AND the lowercased source char was not — so mask characters
+    * already present in the source are never counted as masked (a
+    * covered source char that already equals the mask is a no-op
+    * rewrite and counts 0).
+    *
+    * The case-preserving splice zips original against lowered text by
+    * position, which assumes `lower` is length-preserving — true for
+    * ASCII and almost all of the BMP but not universally (e.g. U+0130
+    * lowercases to two chars). Rows where lowering changes the length
+    * fall back to the redacted lowercase text (coverage stays exact;
+    * casing is lost for that row only). `n_masked` never needs the
+    * guard: it compares the redacted text against the lowered source,
+    * which are the same string through the automaton — always aligned.
     */
   def redactSubstrings(docs: DataFrame, idCol: String, textCol: String,
                        terms: Seq[String], mask: Char = '*'): DataFrame = {
@@ -97,12 +112,15 @@ object Scrub {
         explode_outer(array(graft.functions.GraftFunctions
           .multiRedact(lower(col(textCol)), terms, mask))).as("__r"))
       .select(col(idCol),
-        concat_ws("", zip_with(split(col("__t"), ""),
-          split(col("__r"), ""),
-          (o, r) => when(r === m, lit(m)).otherwise(o))).as("clean_text"),
-        (length(col("__r")) -
-          length(regexp_replace(col("__r"), s"\\Q$m\\E", "")))
-          .cast("long").as("n_masked"))
+        when(length(lower(col("__t"))) === length(col("__t")),
+          concat_ws("", zip_with(split(col("__t"), ""),
+            split(col("__r"), ""),
+            (o, r) => when(r === m, lit(m)).otherwise(o))))
+          .otherwise(col("__r")).as("clean_text"),
+        aggregate(
+          zip_with(split(lower(col("__t")), ""), split(col("__r"), ""),
+            (o, r) => when(r === m && o =!= m, lit(1L)).otherwise(lit(0L))),
+          lit(0L), (a, x) => a + x).as("n_masked"))
   }
 
   /** Published C4 rule defaults (Raffel et al. 2020 §2.2) — the single

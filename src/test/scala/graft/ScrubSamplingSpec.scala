@@ -516,4 +516,40 @@ class ScrubSamplingSpec extends SparkSpec {
     // no match → text rides through untouched
     assert(redact("Clean Words", Seq("zz")) == ("Clean Words", 0L))
   }
+
+  test("redaction n_masked counts rewritten positions, not source masks") {
+    def redact(text: String, terms: Seq[String]): (String, Long) = {
+      val r = graft.operators.Scrub.redactSubstrings(
+        Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text", terms)
+        .head()
+      (r.getString(1), r.getLong(2))
+    }
+    // a literal '*' in the source is NOT masked work: the text keeps
+    // it, and the count covers only the blocklist-rewritten positions
+    assert(redact("a * b she", Seq("she")) == ("a * b ***", 3L))
+    // an uncovered source mask amid real matches still counts 0
+    assert(redact("**aa**", Seq("aa")) == ("******", 2L))
+    // a covered position that ALREADY held the mask is a no-op rewrite
+    // (terms are matched on the lowered source, so 'a*c' can match)
+    assert(redact("xa*cx", Seq("a*c")) == ("x***x", 2L))
+  }
+
+  test("redaction falls back to lowered text when lower() changes length") {
+    // U+0130 (İ) lowercases to TWO chars (i + U+0307): the positional
+    // case-splice would misalign, so the row keeps the redacted
+    // LOWERCASE text — coverage stays exact, casing is sacrificed
+    val r = graft.operators.Scrub.redactSubstrings(
+      Seq((1L, "İ She ROCKS")).toDF("doc_id", "text"),
+      "doc_id", "text", Seq("she"))
+      .head()
+    assert(r.getString(1) == "i̇ *** rocks")
+    assert(r.getLong(2) == 3L)
+    // ...and a same-length non-ASCII lowering still splices casing
+    val ok = graft.operators.Scrub.redactSubstrings(
+      Seq((1L, "ÜBER She")).toDF("doc_id", "text"),
+      "doc_id", "text", Seq("she"))
+      .head()
+    assert(ok.getString(1) == "ÜBER ***")
+    assert(ok.getLong(2) == 3L)
+  }
 }

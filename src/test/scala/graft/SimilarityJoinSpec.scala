@@ -160,6 +160,31 @@ class SimilarityJoinSpec extends SparkSpec {
     assert(joined(d, 0.9) === Set.empty)
   }
 
+  test("containment df-prune drops hot-word-only pairs, keeps exact values") {
+    // "the" appears in every doc (df=4). Unpruned, the single-token doc
+    // 4 is contained in everything through it; at maxDf=3 the hot word
+    // leaves both posting streams, so pairs whose ONLY shared tokens
+    // are hot vanish — while surviving pairs keep bit-identical values
+    // (verification still intersects the full arrays).
+    val d = docs(
+      1L -> "the alpha beta gamma",
+      2L -> "the alpha beta gamma delta epsilon",
+      3L -> "the zeta eta theta iota",
+      4L -> "the")
+    def pairs(maxDf: Option[Long]): Map[(Long, Long), (Long, Double)] =
+      Jaccard.containmentJoin(Jaccard.tokenized(d), 1.0, maxDf)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(5)))
+        .toMap
+    val full = pairs(None)
+    assert(full.keySet === Set((1L, 2L), (4L, 1L), (4L, 2L), (4L, 3L)))
+    val pruned = pairs(Some(3L))
+    assert(pruned.keySet === Set((1L, 2L)))
+    // the surviving pair's inter/containment are the unpruned values
+    assert(pruned((1L, 2L)) === full((1L, 2L)))
+    assert(pruned((1L, 2L)) === ((4L, 1.0)))
+  }
+
   test("containment matches brute force on a seeded random corpus") {
     val rnd = new scala.util.Random(7)
     val vocab = (1 to 30).map(i => s"tok$i")
