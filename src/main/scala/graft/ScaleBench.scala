@@ -486,13 +486,16 @@ object ScaleBench {
         println(s"  screen_terms=${terms.size} kept=" +
           gated.filter(col("keep")).count())
       }
-      // the q165 chain at 10×: gzipped WARC → HTTP → declared-charset
-      // decode → robots gate → curation cascade (html extraction +
-      // template-line dedup + quality + exact/LSH near-dedup). The
-      // wall is the whole crawl-to-corpus path on 50k pages; every
-      // stage shape is the one its own 10× entry certifies (inflate ≈
-      // warc_gz_parse, gate ≈ robots_gate, cascade ≈ curation_counts)
-      time(s"crawl_chain_10x $round") {
+      // the q165 chain at 10× in its PRODUCTION shape (supersedes r12's
+      // crawl_chain_10x, 48.9 s): gzipped WARC → HTTP → declared-
+      // charset decode → robots gate → landing write WITH markup
+      // extraction (CurationPipeline.landExtracted — html is gone
+      // before the landing table materializes) → html=false curation
+      // cascade (template-line dedup + quality + exact/LSH near-dedup).
+      // Every stage shape is the one its own 10× entry certifies
+      // (inflate ≈ warc_gz_parse, gate ≈ robots_gate, cascade ≈
+      // curation_counts)
+      time(s"crawl_chain_landed_10x $round") {
         import spark.implicits._
         val segs = docs.where(col("doc_id").isNotNull)
           .select(col("doc_id"), col("text")).as[(Long, String)]
@@ -520,21 +523,24 @@ object ScaleBench {
           "host", "path")
           .filter(col("allowed"))
           .select(col("id"), col("html").as("text"))
-          // the LANDING TABLE: the cascade consumes its input from
-          // several subtrees, so an unmaterialized fetch front end
-          // (gunzip + HTTP split + charset decode) re-executes per
-          // consumer — measured +13 s at 50k pages. At cluster scale
-          // this is the landed-corpus parquet write; locally the
-          // checkpoint stands in.
-          .localCheckpoint()
+        // the LANDING TABLE, with markup extraction IN the landing
+        // write: the cascade consumes its input from several subtrees,
+        // so both an unmaterialized fetch front end (gunzip + HTTP
+        // split + charset decode; measured +13 s at 50k pages, r12)
+        // and an html=true in-cascade extraction (re-projected per
+        // consumer) re-execute per consumer. At cluster scale this is
+        // the landed-corpus parquet write; locally the checkpoint
+        // inside landExtracted stands in.
+        val landed = graft.pipeline.CurationPipeline
+          .landExtracted(allowed, "id", "text")
         // ONE lazy DAG downstream of the landing table (no stageCounts
         // — that shape materializes every stage and is q165's report
         // job, not the throughput path)
         println("  counts=" + graft.pipeline.CurationPipeline
-          .run(allowed, "id", "text", languages = Set.empty,
+          .run(landed, "id", "text", languages = Set.empty,
             spanDedup = Some((4, 2L)),
             spanMode = graft.pipeline.CurationPipeline.SpanLines,
-            html = true).counts)
+            html = false).counts)
       }
     }
     // multimodal decode throughput at 50k assets: full frame decode vs

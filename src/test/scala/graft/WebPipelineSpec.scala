@@ -67,5 +67,21 @@ class WebPipelineSpec extends SparkSpec {
     // article text survives VERBATIM (case and punctuation intact)
     assert(out == Map(1L -> art1, 3L -> art3), s"got $out")
     assert(res.counts("input") == 2L, s"got ${res.counts}")
+
+    // PRODUCTION landing shape: extraction happens once, in the landing
+    // write (landExtracted), and the cascade then runs html=false —
+    // same curated corpus as the in-cascade html=true form above
+    val landed = CurationPipeline.landExtracted(
+      gated.filter(col("allowed")).select(col("id"), col("text")),
+      "id", "text")
+    // the landing table itself carries extracted text (no markup)
+    assert(landed.filter(col("text").contains("<")).count() == 0L)
+    val resLanded = CurationPipeline.run(landed, "id", "text",
+      languages = Set.empty, html = false,
+      spanDedup = Some((4, 1L)),
+      spanMode = CurationPipeline.SpanLines)
+    val outLanded = resLanded.curated.select("id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(outLanded == out, s"landed shape diverged: $outLanded vs $out")
   }
 }
