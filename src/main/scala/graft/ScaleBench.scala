@@ -17,14 +17,26 @@ object ScaleBench {
     */
   private var only: Option[String] = None
 
-  private def time[A](label: String)(f: => A): A = {
-    if (only.exists(s => !label.contains(s)))
-      return null.asInstanceOf[A]
-    val t0 = System.nanoTime()
-    val r = f
-    println(f"[scalebench] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-    r
+  /** Value-producing timed entry: `None` when the label filter skips
+    * it. The Option is deliberate — a consumer of a skipped sibling's
+    * result must handle the skip at the call site (the prior
+    * `null.asInstanceOf` form made that an NPE at a distance under
+    * filtered runs only).
+    */
+  private def timeOpt[A](label: String)(f: => A): Option[A] = {
+    if (only.exists(s => !label.contains(s))) None
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[scalebench] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      Some(r)
+    }
   }
+
+  /** Unit-only timed entry — the common case. Entries whose result
+    * feeds a later readout must use [[timeOpt]] and handle the skip.
+    */
+  private def time(label: String)(f: => Unit): Unit = { timeOpt(label)(f); () }
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/scale10")
@@ -178,9 +190,11 @@ object ScaleBench {
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
       val seedCb = Pq.pqSeedCodebooks(embs, "vec_id", "embedding",
         m = 8, ksub = 16)
-      val lloydCb = time("pq_refine_1round") {
+      val lloydCb = timeOpt("pq_refine_1round") {
         Pq.pqRefine(embs, "vec_id", "embedding", seedCb, iters = 1)
-      }
+      }.getOrElse(sys.error(
+        "pq_refine_1round cannot be label-filtered: its result feeds " +
+          "the nprobe sweep (the whole section is only.isEmpty-guarded)"))
       for (round <- Seq("cold", "warm");
            (cbl, cb) <- Seq("seed" -> seedCb, "lloyd1" -> lloydCb);
            p <- Seq(1, 2, 4, 8)) {

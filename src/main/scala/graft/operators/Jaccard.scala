@@ -308,6 +308,11 @@ object Jaccard {
     * over the full arrays for every surviving candidate; positions and
     * sizes are untouched, so the positional bound stays valid — with
     * fewer rows per pair it can only prune further, never admit).
+    * Setting it also materializes the hot-word table EAGERLY — a small
+    * `localCheckpoint` Spark job runs at DataFrame-construction time,
+    * before any action on the result (the [[pairIntersections]]
+    * precedent: the df aggregation's full postings pass must run once,
+    * not once per self-join alias).
     */
   def containmentJoin(
       tokenizedDocs: DataFrame,
@@ -446,8 +451,16 @@ object Jaccard {
     // contract, so this count IS the df table dfOrderedSets ranked by
     val dfTab = posts.groupBy("word").agg(count(lit(1)).as("df"))
     val arr = batch.select(col("docId"), array_distinct(col("tokens")).as("tokens"))
+    // outer explode + null-word filter (the postings idiom,
+    // Jaccard.scala:54-63): a non-outer Generate would infer
+    // `size(tokens) > 0` and predicate pushdown would re-evaluate an
+    // unmaterialized batch's tokenizer chain inside the scan filter;
+    // the filter on the Generate's own output attribute cannot be
+    // substituted below it. Empty-token rows drop either way (they
+    // can't match anything).
     val ordered = arr
-      .select(col("docId"), explode(col("tokens")).as("word"))
+      .select(col("docId"), explode_outer(col("tokens")).as("word"))
+      .filter(col("word").isNotNull)
       .join(dfTab, Seq("word"), "left")
       .groupBy("docId")
       .agg(sort_array(collect_list(struct(

@@ -97,10 +97,24 @@ object Scrub {
     * casing is lost for that row only). `n_masked` never needs the
     * guard: it compares the redacted text against the lowered source,
     * which are the same string through the automaton — always aligned.
+    *
+    * `mask` must not be a character some OTHER character lowercases
+    * into: the splice keys on `redacted == mask`, so with e.g.
+    * `mask = 'x'` an UNCOVERED source 'X' lowers to 'x' == mask and
+    * the splice would silently emit the mask, losing the original
+    * casing. Enforced: the mask must be a non-letter with no case
+    * mappings of its own (rules out 'ß'-style letters whose 1:1
+    * toUpper is themselves, and cased non-letters like circled
+    * alphanumerics). The default `'*'` qualifies.
     */
   def redactSubstrings(docs: DataFrame, idCol: String, textCol: String,
                        terms: Seq[String], mask: Char = '*'): DataFrame = {
     require(terms.nonEmpty, "empty blocklist")
+    require(!mask.isLetter && mask.toLower == mask && mask.toUpper == mask,
+      s"mask '$mask' must be an uncased non-letter: the case-preserving " +
+        "splice keys on char equality with the mask, so a mask some " +
+        "source char lowercases into would silently drop that char's " +
+        "original casing")
     graft.functions.GraftFunctions.register(docs.sparkSession)
     // redact the LOWERCASED text, then splice unmasked ORIGINAL chars
     // back by position: zip_with over the two char arrays keeps the
