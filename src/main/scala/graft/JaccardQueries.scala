@@ -119,6 +119,22 @@ private[graft] object JaccardQueries {
         .select(col("docId").as("doc_id"))
         .repartition(1).sortWithinPartitions("doc_id")  // see q177
     }),
+    // Incremental index compaction: merge the src0 micro-batch into
+    // the dfOrderedSets index of the rest (the q177 split). The oracle
+    // is the from-scratch rebuild over the UNION replayed in SQL, so a
+    // drift in the additive df merge, the affected-doc pruning, or the
+    // (df, word) re-rank breaks the serialized per-doc token ORDER.
+    "q178_jac_compact_index" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").as("docId"), col("text"), col("source"))
+      val idx = Jaccard.dfOrderedSets(
+        Jaccard.tokenized(docs.filter(col("source") =!= "src0")))
+      Jaccard.compactIndex(idx,
+        Jaccard.tokenized(docs.filter(col("source") === "src0")))
+        .select(col("docId").as("doc_id"), col("sz"),
+          concat_ws(",", col("sorted_tokens")).as("sorted_tokens"))
+        .repartition(1).sortWithinPartitions("doc_id")  // see q177
+    }),
     // Directed containment join (|A∩B|/|A| >= t) — again gated against
     // the pruning-free brute force.
     "q174_jac_containment_join" -> ((s, dir) => {
@@ -332,6 +348,22 @@ private[graft] object JaccardQueries {
          |SELECT doc_id FROM arr
          |WHERE doc_id NOT IN (SELECT doc_id FROM hit)
          |ORDER BY doc_id""".stripMargin,
+    // The rebuild itself, over ALL docs (the src0 split is exhaustive):
+    // df from the union's postings, per-doc token list ordered by
+    // (df, word) — exactly dfOrderedSets' sort_array on the (df, word)
+    // struct (ties lexicographic; tokens are [a-z0-9]+ so DuckDB's
+    // collation agrees with Spark's binary compare).
+    "q178_jac_compact_index" ->
+      s"""WITH $ToksCte,
+         |base AS (SELECT doc_id, tokens FROM toks WHERE len(tokens) > 0),
+         |posts AS (SELECT doc_id, unnest(tokens) AS word FROM base),
+         |df AS (SELECT word, count(*) AS df FROM posts GROUP BY word)
+         |SELECT p.doc_id, CAST(count(*) AS BIGINT) AS sz,
+         |  array_to_string(list(p.word ORDER BY d.df, p.word), ',')
+         |    AS sorted_tokens
+         |FROM posts p JOIN df d ON d.word = p.word
+         |GROUP BY p.doc_id
+         |ORDER BY p.doc_id""".stripMargin,
     "q174_jac_containment_join" ->
       s"""WITH $ToksCte,
          |base AS (SELECT doc_id, tokens, CAST(len(tokens) AS BIGINT) AS sz

@@ -515,6 +515,111 @@ object Jaccard {
           .as("similarity"))
   }
 
+  /** Incremental index compaction: merge a micro-batch of new documents
+    * into a [[dfOrderedSets]] index WITHOUT rebuilding it from the
+    * corpus. Returns the exact [[dfOrderedSets]] layout of the union —
+    * `compactIndex(dfOrderedSets(a), b) == dfOrderedSets(a unionAll b)`
+    * row for row, including each `sorted_tokens` order (CompactionSpec
+    * pins the parity; q178 gates it against the DuckDB rebuild) — so
+    * repeated compaction over arriving micro-batches is
+    * indistinguishable from a from-scratch rebuild at every step.
+    * This is the compaction job the ingest family's "periodically
+    * compacted index" convention assumes ([[thresholdMatches]]):
+    * per micro-batch, [[thresholdGate]] decides admission; periodically,
+    * this operator folds the admitted arrivals in.
+    *
+    * Doc ids must be disjoint between `index` and `batch` (the
+    * registry's unique-id ingest contract, as `Dedup.lshGate`); batch
+    * token arrays may carry raw duplicates (`array_distinct` is applied,
+    * the [[thresholdMatches]] batch contract), and batch docs with no
+    * tokens are dropped, as [[dfOrderedSets]] drops them.
+    *
+    * Why this beats the full rebuild at scale:
+    *   - ZERO re-tokenization: the index side is read from its own
+    *     compact persisted layouts (set-form + [[indexPostings]]
+    *     posting-form — the compaction job re-writes both), never from
+    *     raw corpus text. A `dfOrderedSets` rebuild re-runs the
+    *     tokenizer chain over the whole corpus.
+    *   - df counts are ADDITIVE: the merged vocabulary table is the
+    *     index's posting counts plus the batch's — one
+    *     vocabulary-sized aggregate (union + re-aggregate), not a
+    *     corpus pass.
+    *   - only AFFECTED docs re-rank: a doc none of whose tokens occur
+    *     in the batch has every df unchanged, so its (df, word) sort
+    *     order is provably identical — those rows ride through
+    *     VERBATIM via one anti-join (no re-sort, no posting explode).
+    *     The re-rank touches only docs sharing >= 1 token with the
+    *     batch (plus the batch itself). Worst case (a batch carrying
+    *     the corpus's common words) that is most docs — still bounded
+    *     by a posting-layout re-rank, never a re-tokenize; best case
+    *     (niche-vocabulary batches) it is a sliver.
+    *   - with the posting layout persisted `bucketBy(word)`
+    *     (BucketingSpec), the df aggregate, the affected-doc probe,
+    *     and the touched-posting semi-join are all exchange-free on
+    *     the index side; bucketing the set-form by `docId` likewise
+    *     removes the anti/semi-join exchanges.
+    *
+    * Two small EAGER jobs run at construction time (the
+    * [[pairIntersections]] precedent): the batch's df delta
+    * (batch-vocabulary-sized, broadcast into the affected-doc probe)
+    * and the affected-id set (id-width rows), each consumed by two
+    * downstream branches.
+    */
+  def compactIndex(index: DataFrame, batch: DataFrame): DataFrame =
+    compactIndexPosted(index, indexPostings(index), batch)
+
+  /** [[compactIndex]] over a pre-materialized posting-form index (the
+    * [[indexPostings]] layout, typically the persisted word-bucketed
+    * table) — the form the periodic compaction job itself runs.
+    */
+  def compactIndexPosted(
+      index: DataFrame,
+      posts: DataFrame,
+      batch: DataFrame): DataFrame = {
+    val batchSets = batch.select(col("docId"),
+      array_distinct(col("tokens")).as("tokens"))
+    // outer explode + null-word filter (the postings idiom): empty
+    // batch docs drop; an unmaterialized batch's tokenizer chain is
+    // not re-evaluated in the scan filter
+    def batchPosts: DataFrame = batchSets
+      .select(col("docId"), explode_outer(col("tokens")).as("word"))
+      .filter(col("word").isNotNull)
+    // batch df delta — batch-vocabulary-sized, eager (consumed by the
+    // merge and, broadcast, by the affected-doc probe)
+    val delta = batchPosts
+      .groupBy("word").agg(count(lit(1)).as("df"))
+      .localCheckpoint()
+    // merged vocabulary: additive counts. (word, doc) posting rows are
+    // unique under the set contract, so the posting count IS the df.
+    val dfMerged = posts.groupBy("word").agg(count(lit(1)).as("df"))
+      .unionByName(delta)
+      .groupBy("word").agg(sum(col("df")).as("df"))
+    // docs sharing >= 1 token with the batch — the only index rows
+    // whose (df, word) order can change. Id-width rows, eager
+    // (consumed by the semi- and anti-join below).
+    val affected = posts
+      .join(broadcast(delta.select("word")), Seq("word"), "left_semi")
+      .select(col("matchId").as("docId")).distinct()
+      .localCheckpoint()
+    val untouched = index.select("docId", "sz", "sorted_tokens")
+      .join(affected, Seq("docId"), "left_anti")
+    val touchedPosts = posts
+      .join(affected.withColumnRenamed("docId", "matchId"),
+        Seq("matchId"), "left_semi")
+      .select(col("matchId").as("docId"), col("word"))
+      .unionByName(batchPosts)
+    // the dfOrderedSets tail, over the touched fraction only
+    val reranked = touchedPosts
+      .join(dfMerged, Seq("word"))
+      .groupBy("docId")
+      .agg(sort_array(collect_list(struct(col("df"), col("word")))).as("dw"))
+      .select(
+        col("docId"),
+        size(col("dw")).cast("long").as("sz"),
+        transform(col("dw"), x => x.getField("word")).as("sorted_tokens"))
+    untouched.unionByName(reranked)
+  }
+
   /** Exact-threshold ingest gate: arrivals that match NO indexed doc at
     * `J >= t` — [[thresholdMatches]]' complement via one left anti-join
     * on the arrival id (the registry's unique-id contract, as

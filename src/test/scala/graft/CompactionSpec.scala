@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Jaccard
+
+/** Incremental index compaction ([[Jaccard.compactIndex]]): exact
+  * layout parity with the from-scratch [[Jaccard.dfOrderedSets]]
+  * rebuild on the union — the q162 parity pattern — including each
+  * doc's full `sorted_tokens` ORDER (df ascending, lexicographic
+  * ties), across single batches, chained micro-batches, raw-duplicate
+  * batch tokens, and empty batch docs; plus the untouched-rows-
+  * ride-through claim (no re-rank for docs disjoint from the batch).
+  */
+class CompactionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toDF("docId", "text")
+
+  /** Collect a dfOrderedSets-layout frame to a comparable map:
+    * docId -> (sz, sorted_tokens verbatim).
+    */
+  private def layout(df: DataFrame): Map[Long, (Long, Seq[String])] =
+    df.collect().map { r =>
+      r.getLong(0) -> ((r.getLong(1), r.getSeq[String](2).toList))
+    }.toMap
+
+  private def assertParity(idxDocs: DataFrame, batchDocs: DataFrame): Unit = {
+    val compacted = Jaccard.compactIndex(
+      Jaccard.dfOrderedSets(Jaccard.tokenized(idxDocs)),
+      Jaccard.tokenized(batchDocs))
+    val rebuilt = Jaccard.dfOrderedSets(
+      Jaccard.tokenized(idxDocs.unionByName(batchDocs)))
+    assert(layout(compacted) === layout(rebuilt))
+  }
+
+  test("compacted layout equals the from-scratch rebuild on the union") {
+    // shared words (df shifts re-rank old docs), batch-only words
+    // (rank first after merge only in batch docs), index-only words,
+    // and a df TIE broken lexicographically that the merge must keep
+    val idx = docs(
+      1L -> "spark scala join shuffle partition",
+      2L -> "spark scala join broadcast",
+      3L -> "quantum qubits decohere",
+      4L -> "alpha beta gamma")
+    val batch = docs(
+      11L -> "spark shuffle novelword",
+      12L -> "quantum qubits entangled fresh",
+      13L -> "beta gamma delta")
+    assertParity(idx, batch)
+  }
+
+  test("df shift re-orders an OLD doc's tokens exactly as the rebuild") {
+    // index: 'rare' df=1 < 'com' df=2, so doc 1 sorts [rare, com].
+    // batch adds two docs with 'rare' -> merged df(rare)=3 > df(com)=2:
+    // doc 1 must re-rank to [com, rare] even though doc 1 isn't in the
+    // batch — the affected-doc semi-join must catch it
+    val idx = docs(1L -> "rare com", 2L -> "com other")
+    val batch = docs(11L -> "rare x", 12L -> "rare y")
+    assertParity(idx, batch)
+    val compacted = layout(Jaccard.compactIndex(
+      Jaccard.dfOrderedSets(Jaccard.tokenized(idx)),
+      Jaccard.tokenized(batch)))
+    assert(compacted(1L)._2 === List("com", "rare"))
+  }
+
+  test("chained micro-batches equal one rebuild on the full union") {
+    val idx = docs(
+      1L -> "spark scala join shuffle",
+      2L -> "quantum qubits decohere")
+    val b1 = docs(11L -> "spark shuffle first", 12L -> "totally new words")
+    val b2 = docs(21L -> "scala qubits second", 22L -> "spark new again")
+    val step1 = Jaccard.compactIndex(
+      Jaccard.dfOrderedSets(Jaccard.tokenized(idx)), Jaccard.tokenized(b1))
+    val step2 = Jaccard.compactIndex(step1, Jaccard.tokenized(b2))
+    val rebuilt = Jaccard.dfOrderedSets(Jaccard.tokenized(
+      idx.unionByName(b1).unionByName(b2)))
+    assert(layout(step2) === layout(rebuilt))
+  }
+
+  test("raw duplicate batch tokens and empty batch docs are handled") {
+    val idx = docs(1L -> "spark scala join")
+    // batch tokens arrive as raw repeat-bearing arrays; tokenized()
+    // dedups, but compactIndex must also accept hand-built raw arrays
+    val rawBatch = Seq(
+      (11L, Seq("spark", "spark", "new", "new", "spark")),
+      (12L, Seq.empty[String])).toDF("docId", "tokens")
+    val compacted = Jaccard.compactIndex(
+      Jaccard.dfOrderedSets(Jaccard.tokenized(idx)), rawBatch)
+    val rebuilt = Jaccard.dfOrderedSets(
+      Jaccard.tokenized(idx.unionByName(docs(11L -> "spark new"))))
+    assert(layout(compacted) === layout(rebuilt))
+    assert(!layout(compacted).contains(12L), "empty batch doc must drop")
+  }
+
+  test("posted form equals the set-form entry point") {
+    val idx = docs(
+      1L -> "spark scala join shuffle",
+      2L -> "quantum qubits decohere")
+    val batch = docs(11L -> "spark qubits crossover")
+    val setForm = Jaccard.dfOrderedSets(Jaccard.tokenized(idx))
+      .localCheckpoint()
+    val viaSet = Jaccard.compactIndex(setForm, Jaccard.tokenized(batch))
+    val viaPosted = Jaccard.compactIndexPosted(setForm,
+      Jaccard.indexPostings(setForm).localCheckpoint(),
+      Jaccard.tokenized(batch))
+    assert(layout(viaSet) === layout(viaPosted))
+  }
+
+  test("docs disjoint from the batch ride through the anti-join branch") {
+    // behavioral pin of the untouched path: with a batch vocabulary
+    // disjoint from doc 2's tokens, doc 2's row must come out VERBATIM
+    // (same object-level layout), and the plan must contain the
+    // LeftAnti join the ride-through claim rests on
+    val idx = docs(
+      1L -> "spark scala join",
+      2L -> "quantum qubits decohere")
+    val batch = docs(11L -> "spark new arrival")
+    val compacted = Jaccard.compactIndex(
+      Jaccard.dfOrderedSets(Jaccard.tokenized(idx)),
+      Jaccard.tokenized(batch))
+    assertParity(idx, batch)
+    val plan = compacted.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LeftAnti"),
+      s"untouched rows must ride an anti-join, got:\n$plan")
+    // the compacted output's matches behave like the rebuilt index's
+    val probe = Jaccard.tokenized(docs(31L -> "quantum qubits decohere"))
+    val viaCompacted = Jaccard.thresholdMatches(probe, compacted, 0.9)
+      .select("docId", "matchId").collect().map(r =>
+        (r.getLong(0), r.getLong(1))).toSet
+    assert(viaCompacted === Set((31L, 2L)))
+  }
+}
