@@ -16,15 +16,21 @@ import graft.QShared._
 private[graft] object WebQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // the crawl-to-corpus chain END TO END, every stage count and the
-    // terminal text digest predicted by the oracle: gzipped WARC →
-    // HTTP 200 → declared-charset decode (é only survives the latin-1
-    // slice through the declaration) → robots gate (/private slice
-    // blocked) → curation cascade with html extraction + template-line
-    // dedup + quality gate + exact and LSH near-dedup. Counts are the
-    // cascade's own stageCounts; digests are mod-p md5 sums of the
-    // stage's exact text, so a drift at ANY layer (framing, charset,
-    // extraction, line-df, keeper rule) breaks a row
+    // the crawl-to-corpus chain END TO END in its PRODUCTION landing
+    // shape, every stage count and text digest predicted by the
+    // oracle: gzipped WARC → HTTP 200 → declared-charset decode (é
+    // only survives the latin-1 slice through the declaration) →
+    // robots gate (/private slice blocked) → LANDING WRITE with markup
+    // extraction (CurationPipeline.landExtracted — html is gone before
+    // the landing table materializes, so the cascade's several
+    // consumers never re-run the extractor; the r12 in-cascade
+    // `html = true` shape re-projected it per consumer) → html=false
+    // curation cascade with template-line dedup + quality gate + exact
+    // and LSH near-dedup. Counts are the cascade's own stageCounts;
+    // digests are mod-p md5 sums of the stage's exact text (fetched/
+    // allowed hash the markup, landed/curated hash the extracted
+    // text), so a drift at ANY layer (framing, charset, extraction,
+    // line-df, keeper rule) breaks a row
     "q165_crawl_to_corpus" -> ((s, dir) => {
       import s.implicits._
       val segs = t(s, dir, "documents").where(col("doc_id").isNotNull)
@@ -59,27 +65,33 @@ private[graft] object WebQueries {
         "host", "path")
         .filter(col("allowed"))
         .select(col("id"), col("html").as("text"))
-      val res = graft.pipeline.CurationPipeline.run(allowed, "id", "text",
+      // the landing table: extraction happens ONCE, in the landing
+      // write (localCheckpoint locally; the landed parquet at cluster
+      // scale) — the cascade then runs html = false over clean text
+      val landed = graft.pipeline.CurationPipeline
+        .landExtracted(allowed, "id", "text")
+      val res = graft.pipeline.CurationPipeline.run(landed, "id", "text",
         languages = Set.empty, spanDedup = Some((4, 2L)),
         spanMode = graft.pipeline.CurationPipeline.SpanLines,
-        html = true, stageCounts = true)
+        html = false, stageCounts = true)
       val P = 1000000007L
       def digestAgg(name: String, df: DataFrame, textC: Column) =
         df.agg(count(lit(1)).cast("long").as("n"),
           sum(pmod(HashFunctions.md5Long(textC), lit(P))).as("digest"))
           .select(lit(name).as("stage"), col("n"), col("digest"))
       val countRows = Seq(
-        "03_cascade_input" -> res.counts("input"),
-        "04_after_quality" -> res.counts("after_quality"),
-        "05_after_line_dedup" -> res.counts("after_span_dedup"),
-        "06_after_exact_dedup" -> res.counts("after_exact_dedup"),
-        "07_after_near_dedup" -> res.counts("after_near_dedup"))
+        "04_cascade_input" -> res.counts("input"),
+        "05_after_quality" -> res.counts("after_quality"),
+        "06_after_line_dedup" -> res.counts("after_span_dedup"),
+        "07_after_exact_dedup" -> res.counts("after_exact_dedup"),
+        "08_after_near_dedup" -> res.counts("after_near_dedup"))
         .map { case (k, n) => (k, n, None: Option[Long]) }
         .toDF("stage", "n", "digest")
       digestAgg("01_fetched", fetched, col("html"))
         .unionAll(digestAgg("02_allowed", allowed, col("text")))
+        .unionAll(digestAgg("03_landed", landed, col("text")))
         .unionAll(countRows)
-        .unionAll(digestAgg("08_curated", res.curated, col("text")))
+        .unionAll(digestAgg("09_curated", res.curated, col("text")))
         .orderBy("stage")
     }),
 
@@ -736,13 +748,14 @@ private[graft] object WebQueries {
         |FROM documents WHERE doc_id IS NOT NULL
         |ORDER BY doc_id""".stripMargin,
 
-    // the whole chain replayed: decoded html + extracted text in
-    // closed form (the fixture wrapper is fixed and the corpus is
-    // single-line ASCII), robots = the id % 5 slice, then the
-    // cascade's own semantics stage by stage — q51's quality formulas,
-    // q149's line-df dedup, min-id exact keepers, and the q105-family
-    // MinHash/banding/verified-jaccard near-dedup, all over the
-    // REWRITTEN text. Digests are mod-p md5 sums of the stage texts
+    // the whole chain replayed: decoded html + extracted LANDED text
+    // in closed form (the fixture wrapper is fixed and the corpus is
+    // single-line ASCII — xtext IS the landing table's content),
+    // robots = the id % 5 slice, then the cascade's own semantics
+    // stage by stage — q51's quality formulas, q149's line-df dedup,
+    // min-id exact keepers, and the q105-family MinHash/banding/
+    // verified-jaccard near-dedup, all over the REWRITTEN text.
+    // Digests are mod-p md5 sums of the stage texts
     "q165_crawl_to_corpus" ->
       s"""WITH base AS (
          |  SELECT doc_id AS id, text,
@@ -842,17 +855,19 @@ private[graft] object WebQueries {
          |FROM base
          |UNION ALL SELECT '02_allowed', CAST(count(*) AS BIGINT),
          |  CAST(sum(${h60("html")} % 1000000007) AS BIGINT) FROM allowed
-         |UNION ALL SELECT '03_cascade_input', CAST(count(*) AS BIGINT),
+         |UNION ALL SELECT '03_landed', CAST(count(*) AS BIGINT),
+         |  CAST(sum(${h60("xtext")} % 1000000007) AS BIGINT) FROM allowed
+         |UNION ALL SELECT '04_cascade_input', CAST(count(*) AS BIGINT),
          |  CAST(NULL AS BIGINT) FROM allowed
-         |UNION ALL SELECT '04_after_quality', CAST(count(*) AS BIGINT),
+         |UNION ALL SELECT '05_after_quality', CAST(count(*) AS BIGINT),
          |  CAST(NULL AS BIGINT) FROM quality
-         |UNION ALL SELECT '05_after_line_dedup', CAST(count(*) AS BIGINT),
+         |UNION ALL SELECT '06_after_line_dedup', CAST(count(*) AS BIGINT),
          |  CAST(NULL AS BIGINT) FROM live
-         |UNION ALL SELECT '06_after_exact_dedup', CAST(count(*) AS BIGINT),
+         |UNION ALL SELECT '07_after_exact_dedup', CAST(count(*) AS BIGINT),
          |  CAST(NULL AS BIGINT) FROM exact
-         |UNION ALL SELECT '07_after_near_dedup', CAST(count(*) AS BIGINT),
+         |UNION ALL SELECT '08_after_near_dedup', CAST(count(*) AS BIGINT),
          |  CAST(NULL AS BIGINT) FROM keep
-         |UNION ALL SELECT '08_curated', CAST(count(*) AS BIGINT),
+         |UNION ALL SELECT '09_curated', CAST(count(*) AS BIGINT),
          |  CAST(sum(${h60("rtext")} % 1000000007) AS BIGINT)
          |FROM live JOIN keep USING (id)
          |ORDER BY stage""".stripMargin,
