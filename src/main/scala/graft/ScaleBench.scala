@@ -121,6 +121,83 @@ object ScaleBench {
           .write.format("noop").mode("overwrite").save()
       }
     }
+    // The PERSISTED exact-threshold ingest index — the layouts the
+    // compaction job writes. `threshold_index_write_once` pays the
+    // bucketBy(word) posting write + the set-form table ONCE; every
+    // per-micro-batch entry below then reads co-located buckets with
+    // no index-side exchange (BucketingSpec pins the plan; these
+    // entries put 50k-doc numbers on it). Read together:
+    //   threshold_matches_10x (above) — in-memory set-form, index
+    //     BUILD inside the timer (the cold-start shape);
+    //   threshold_matches_posted_10x — bucketed persisted index,
+    //     probe-only (the ingest steady state);
+    //   threshold_matches_unbucketed_10x — the same persisted posting
+    //     table WITHOUT bucketBy: its delta vs posted IS the
+    //     index-side shuffle the bucketed layout removes.
+    // compact_index_10x vs rebuild_index_10x: folding the 10k-doc
+    // arrival slice into the persisted 40k index (additive df merge +
+    // affected-only re-rank, zero re-tokenization — reads only the
+    // persisted layouts) vs dfOrderedSets from the corpus text (one
+    // shingle pass + materialize + rank — the full rebuild compaction
+    // replaces). Noop writes, not count(): the collected sorted_tokens
+    // projection must not be pruned out of the timing.
+    // (section skips or runs AS A UNIT under a label filter: every
+    // probe entry depends on the write-once tables, so the setup runs
+    // — and is timed — whenever any of the section's labels is
+    // selected; the timeOpt refactor's filtered-sibling rule)
+    val thresholdSectionLabels = Seq("threshold_index_write_once",
+      "threshold_matches_posted_10x", "threshold_matches_unbucketed_10x",
+      "compact_index_10x", "rebuild_index_10x")
+    if (only.forall(s => thresholdSectionLabels.exists(_.contains(s)))) {
+      def shing(d: DataFrame): DataFrame =
+        d.select(col("doc_id").as("docId"),
+          Dedup.shingleTokenizer(3)(col("text")).as("tokens"))
+          .filter(size(col("tokens")) > 0)
+      val idx = Jaccard.dfOrderedSets(
+        shing(docs.filter(col("doc_id") % 5 =!= 0)).localCheckpoint())
+        .localCheckpoint()
+      val tW = System.nanoTime()
+      for (t <- Seq("sb_idx_posts", "sb_idx_posts_plain", "sb_idx_sets")) {
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        // the catalog is per-JVM but the warehouse directory persists
+        // across bench sessions — drop the stale location too, or the
+        // managed-table write fails with LOCATION_ALREADY_EXISTS
+        val p = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"), t)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+      }
+      Jaccard.indexPostings(idx).write.bucketBy(32, "word")
+        .sortBy("word").mode("overwrite").saveAsTable("sb_idx_posts")
+      Jaccard.indexPostings(idx).write
+        .mode("overwrite").saveAsTable("sb_idx_posts_plain")
+      idx.write.mode("overwrite").saveAsTable("sb_idx_sets")
+      println(f"[scalebench] threshold_index_write_once: ${
+        (System.nanoTime() - tW) / 1e9}%.2f s")
+      def arrivalToks: DataFrame =
+        shing(docs.filter(col("doc_id") % 5 === 0)).localCheckpoint()
+      for (round <- Seq("cold", "warm")) {
+        time(s"threshold_matches_posted_10x $round") {
+          println("  matches=" + Jaccard.thresholdMatchesPosted(
+            arrivalToks, spark.table("sb_idx_posts"),
+            spark.table("sb_idx_sets"), 0.9).count())
+        }
+        time(s"threshold_matches_unbucketed_10x $round") {
+          println("  matches=" + Jaccard.thresholdMatchesPosted(
+            arrivalToks, spark.table("sb_idx_posts_plain"),
+            spark.table("sb_idx_sets"), 0.9).count())
+        }
+        time(s"compact_index_10x $round") {
+          Jaccard.compactIndexPosted(spark.table("sb_idx_sets"),
+            spark.table("sb_idx_posts"), arrivalToks)
+            .write.format("noop").mode("overwrite").save()
+        }
+        time(s"rebuild_index_10x $round") {
+          Jaccard.dfOrderedSets(shing(docs).localCheckpoint())
+            .write.format("noop").mode("overwrite").save()
+        }
+      }
+    }
     // Long-document linearity probe for the sort-based dropRepeatedSpans:
     // same doc count, 10× the tokens per doc. Each doc is two identical
     // halves (maximal repeat load: every second-half position is a
