@@ -798,6 +798,58 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("full ingest loop: per-batch gate, admitted docs compacted into the index") {
+    // the whole ingest convention executed end to end: each micro-batch
+    // is gated by Jaccard.thresholdGate against the current index, and
+    // the ADMITTED arrivals are folded in with Jaccard.compactIndex
+    // (the periodic compaction collapsed to every batch here), so a
+    // later arrival duplicating an EARLIER ADMITTED doc — not just an
+    // originally-indexed one — is dropped. The final index must equal
+    // the from-scratch rebuild over initial ∪ admitted.
+    import graft.operators.Jaccard
+    val indexed = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val newdoc = "engines pipelines tokens shuffles partitions broadcasts"
+    val fresh = "completely different vocabulary entirely here now"
+    val idx0 = Jaccard.dfOrderedSets(Jaccard.tokenized(
+      Seq((100L, indexed)).toDF("docId", "text"))).localCheckpoint()
+    @volatile var idx = idx0
+    val input = MemoryStream[(Long, String)](spark)
+    val keptIds = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = input.toDF()
+      .select(col("_1").as("docId"), col("_2").as("text"))
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        // materialize the batch tokens once: the gate consumes them
+        // twice and the compaction again (the landing-table rule)
+        val toks = Jaccard.tokenized(b).localCheckpoint()
+        val kept = Jaccard.thresholdGate(toks, idx, 0.9).localCheckpoint()
+        keptIds.synchronized {
+          keptIds ++= kept.select("docId").as[Long].collect() }
+        idx = Jaccard.compactIndex(idx, kept).localCheckpoint()
+        ()
+      }.start()
+    try {
+      input.addData((21L, newdoc)) // no match in idx0 -> admitted
+      q.processAllAvailable()
+      input.addData(
+        (22L, newdoc),  // dup of ADMITTED 21 -> dropped (post-compaction)
+        (23L, fresh),   // novel -> admitted
+        (24L, indexed)) // dup of the original index -> dropped
+      q.processAllAvailable()
+      assert(keptIds.synchronized(keptIds.toSet) == Set(21L, 23L),
+        s"got ${keptIds.toSet}")
+      // the compacted index IS the rebuild over initial + admitted
+      val rebuilt = Jaccard.dfOrderedSets(Jaccard.tokenized(
+        Seq((100L, indexed), (21L, newdoc), (23L, fresh))
+          .toDF("docId", "text")))
+      def layout(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r =>
+          r.getLong(0) -> ((r.getLong(1), r.getSeq[String](2).toList)))
+          .toMap
+      assert(layout(idx) == layout(rebuilt))
+    } finally q.stop()
+  }
+
   test("batch and streaming sessionization agree on on-time data") {
     val batch = EventStreams.sessionize(
       Seq((7L, 1000L, 1L), (7L, 1500L, 2L), (7L, 4000L, 3L), (8L, 900L, 4L))
