@@ -127,10 +127,16 @@ private[graft] object JaccardQueries {
     "q178_jac_compact_index" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
         .select(col("doc_id").as("docId"), col("text"), col("source"))
+      // both sides materialized (the operator's consumption contract:
+      // index referenced 4x across its two layouts, batch 2x — a lazy
+      // chain would re-run the tokenizer + rank per reference; at
+      // ingest the index is persisted state anyway)
       val idx = Jaccard.dfOrderedSets(
         Jaccard.tokenized(docs.filter(col("source") =!= "src0")))
+        .localCheckpoint()
       Jaccard.compactIndex(idx,
-        Jaccard.tokenized(docs.filter(col("source") === "src0")))
+        Jaccard.tokenized(docs.filter(col("source") === "src0"))
+          .localCheckpoint())
         .select(col("docId").as("doc_id"), col("sz"),
           concat_ws(",", col("sorted_tokens")).as("sorted_tokens"))
         .repartition(1).sortWithinPartitions("doc_id")  // see q177

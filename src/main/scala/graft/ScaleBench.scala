@@ -144,19 +144,28 @@ object ScaleBench {
     // (section skips or runs AS A UNIT under a label filter: every
     // probe entry depends on the write-once tables, so the setup runs
     // — and is timed — whenever any of the section's labels is
-    // selected; the timeOpt refactor's filtered-sibling rule)
-    val thresholdSectionLabels = Seq("threshold_index_write_once",
-      "threshold_matches_posted_10x", "threshold_matches_unbucketed_10x",
-      "compact_index_10x", "rebuild_index_10x")
+    // selected; the timeOpt refactor's filtered-sibling rule. The
+    // match is against the SUFFIXED labels time() would print —
+    // "compact_index_10x warm" must select the section exactly like
+    // it selects any other entry.)
+    val thresholdSectionLabels = (for {
+      base <- Seq("threshold_matches_posted_10x",
+        "threshold_matches_unbucketed_10x",
+        "compact_index_10x", "rebuild_index_10x")
+      round <- Seq("cold", "warm")
+    } yield s"$base $round") :+ "threshold_index_write_once"
     if (only.forall(s => thresholdSectionLabels.exists(_.contains(s)))) {
       def shing(d: DataFrame): DataFrame =
         d.select(col("doc_id").as("docId"),
           Dedup.shingleTokenizer(3)(col("text")).as("tokens"))
           .filter(size(col("tokens")) > 0)
+      // the index BUILD is inside the write-once timer: the published
+      // number is the whole one-time setup cost (build + all three
+      // table writes), not just the writes
+      val tW = System.nanoTime()
       val idx = Jaccard.dfOrderedSets(
         shing(docs.filter(col("doc_id") % 5 =!= 0)).localCheckpoint())
         .localCheckpoint()
-      val tW = System.nanoTime()
       for (t <- Seq("sb_idx_posts", "sb_idx_posts_plain", "sb_idx_sets")) {
         spark.sql(s"DROP TABLE IF EXISTS $t")
         // the catalog is per-JVM but the warehouse directory persists

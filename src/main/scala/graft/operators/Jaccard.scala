@@ -564,6 +564,16 @@ object Jaccard {
     * (batch-vocabulary-sized, broadcast into the affected-doc probe)
     * and the affected-id set (id-width rows), each consumed by two
     * downstream branches.
+    *
+    * Consumption contract (the curation-cascade rule, BASELINE.md
+    * round-12): the posting form is referenced 3× (df aggregate,
+    * affected probe, touched semi-join) and the set form once more
+    * (the anti-join); `batch` is referenced 2× (delta, touched
+    * postings). At ingest both index layouts are persisted tables and
+    * each reference is a bucket-local scan; callers passing a LAZY
+    * `dfOrderedSets` chain (or an unmaterialized tokenizer batch) must
+    * materialize first or the chain re-executes per reference — q178
+    * checkpoints both for exactly this reason.
     */
   def compactIndex(index: DataFrame, batch: DataFrame): DataFrame =
     compactIndexPosted(index, indexPostings(index), batch)

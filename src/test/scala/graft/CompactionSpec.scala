@@ -13,19 +13,26 @@ import graft.operators.Jaccard
   * batch tokens, and empty batch docs; plus the untouched-rows-
   * ride-through claim (no re-rank for docs disjoint from the batch).
   */
+/** Collect a dfOrderedSets-layout frame to a comparable map:
+  * docId -> (sz, sorted_tokens verbatim) — the single notion of layout
+  * parity shared by every spec that compares compacted vs rebuilt
+  * indexes (CompactionSpec, StreamingSpec's ingest loop).
+  */
+private[graft] object IndexLayout {
+  def of(df: DataFrame): Map[Long, (Long, Seq[String])] =
+    df.collect().map { r =>
+      r.getLong(0) -> ((r.getLong(1), r.getSeq[String](2).toList))
+    }.toMap
+}
+
 class CompactionSpec extends SparkSpec {
   import spark.implicits._
 
   private def docs(rows: (Long, String)*): DataFrame =
     rows.toDF("docId", "text")
 
-  /** Collect a dfOrderedSets-layout frame to a comparable map:
-    * docId -> (sz, sorted_tokens verbatim).
-    */
   private def layout(df: DataFrame): Map[Long, (Long, Seq[String])] =
-    df.collect().map { r =>
-      r.getLong(0) -> ((r.getLong(1), r.getSeq[String](2).toList))
-    }.toMap
+    IndexLayout.of(df)
 
   private def assertParity(idxDocs: DataFrame, batchDocs: DataFrame): Unit = {
     val compacted = Jaccard.compactIndex(

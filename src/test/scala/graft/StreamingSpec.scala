@@ -842,11 +842,7 @@ class StreamingSpec extends SparkSpec {
       val rebuilt = Jaccard.dfOrderedSets(Jaccard.tokenized(
         Seq((100L, indexed), (21L, newdoc), (23L, fresh))
           .toDF("docId", "text")))
-      def layout(df: org.apache.spark.sql.DataFrame) =
-        df.collect().map(r =>
-          r.getLong(0) -> ((r.getLong(1), r.getSeq[String](2).toList)))
-          .toMap
-      assert(layout(idx) == layout(rebuilt))
+      assert(IndexLayout.of(idx) == IndexLayout.of(rebuilt))
     } finally q.stop()
   }
 
