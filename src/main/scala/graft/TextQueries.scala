@@ -484,7 +484,101 @@ private[graft] object TextQueries {
           |      WHERE lower(text) RLIKE '[a-z0-9]')))
           |ORDER BY doc_id, perm""".stripMargin)
     }),
+
+    // Okapi BM25 retrieval over the doc_id < 120 corpus slice, queried
+    // by three of its own docs: every (query, matching doc) score
+    // replayed by the oracle through the identical idf /
+    // tf-normalization arithmetic (explicit exact-sum avgdl, the
+    // CAST-as-DOUBLE ulp conventions) and the same term-sorted double
+    // fold — a drift in df, dl, idf form, or fold order breaks rows
+    "q179_bm25_scores" -> ((s, dir) => {
+      val corpus = t(s, dir, "documents").where(col("doc_id") < 120)
+      val qs = corpus.where(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("query_id"), col("text"))
+      // tf materialized (the indexed operator's consumption contract:
+      // referenced 3x with DIFFERENT column prunings, so no exchange
+      // reuse — at ingest it's the persisted word-bucketed table)
+      val tf = graft.operators.Retrieval
+        .termFrequencies(corpus, "doc_id", "text").localCheckpoint()
+      graft.operators.Retrieval.bm25ScoresIndexed(tf,
+        qs, "query_id", "text")
+        .select(col("queryId").as("query_id"), col("docId").as("doc_id"),
+          round(col("score"), 6).as("score"))
+        .orderBy("query_id", "doc_id")
+    }),
+    // ...and the retrieval shape over the FULL corpus: SHORT queries
+    // (each query doc's first 40 chars — keyword-sized, the shape BM25
+    // retrieval actually serves; whole-doc queries are q179's scoring
+    // shape and scale like similarity search), top-5 per query, ranked
+    // on the 6-dp rounded score (docId ascending ties) — the
+    // deterministic, engine-portable ordering bm25TopK defines
+    "q180_bm25_topk" -> ((s, dir) => {
+      val corpus = t(s, dir, "documents")
+      val qs = corpus.where(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("query_id"),
+          substring(col("text"), 1, 40).as("text"))
+      val tf = graft.operators.Retrieval
+        .termFrequencies(corpus, "doc_id", "text").localCheckpoint() // see q179
+      graft.operators.Retrieval.bm25TopK(
+        graft.operators.Retrieval.bm25ScoresIndexed(tf,
+          qs, "query_id", "text"), 5)
+        .select(col("queryId").as("query_id"), col("docId").as("doc_id"),
+          round(col("score"), 6).as("score"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
   )
+
+  /** The BM25 scoring chain replayed in SQL (shared by q179/q180):
+    * same tokenizer, (doc, term) tf with non-dedup doc length, exact
+    * integer-sum avgdl, Lucene-form idf, and the term-sorted
+    * list_reduce fold matching the operator's sorted aggregate.
+    */
+  private def bm25Cte(corpusWhere: String, queryWhere: String,
+                      queryText: String = "text"): String =
+    s"""corpus AS (
+       |  SELECT doc_id, list_filter(string_split_regex(
+       |      regexp_replace(lower(text), '[^a-z0-9$WsClass]', ' ', 'g'),
+       |      '[$WsClass]+'), x -> x != '') AS ws
+       |  FROM documents
+       |  WHERE doc_id IS NOT NULL AND $corpusWhere
+       |    AND regexp_matches(lower(text), '[a-z0-9]')),
+       |tfv AS (
+       |  SELECT doc_id, word, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(ws) AS word FROM corpus)
+       |  GROUP BY 1, 2),
+       |lens AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM corpus),
+       |stats AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+       |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+       |  FROM lens),
+       |dft AS (SELECT word, count(*) AS df FROM tfv GROUP BY 1),
+       |qterms AS (
+       |  SELECT doc_id AS query_id, unnest(list_distinct(list_filter(
+       |      string_split_regex(
+       |        regexp_replace(lower($queryText), '[^a-z0-9$WsClass]', ' ', 'g'),
+       |        '[$WsClass]+'), x -> x != ''))) AS word
+       |  FROM documents
+       |  WHERE doc_id IS NOT NULL AND $queryWhere
+       |    AND regexp_matches(lower($queryText), '[a-z0-9]')),
+       |enriched AS (
+       |  SELECT query_id, word, avgdl,
+       |    ln(1.0 + (n_docs - CAST(df AS DOUBLE) + 0.5)
+       |             / (CAST(df AS DOUBLE) + 0.5)) AS idf
+       |  FROM qterms JOIN dft USING (word) CROSS JOIN stats),
+       |contrib AS (
+       |  SELECT query_id, t.doc_id, t.word,
+       |    idf * (CAST(t.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
+       |      / (CAST(t.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+       |         (1.0 - CAST(0.75 AS DOUBLE) +
+       |          CAST(0.75 AS DOUBLE) * CAST(l.dl AS DOUBLE) / avgdl))
+       |      AS c
+       |  FROM tfv t JOIN enriched e ON e.word = t.word
+       |  JOIN lens l ON l.doc_id = t.doc_id),
+       |bscores AS (
+       |  SELECT query_id, doc_id,
+       |    list_reduce(list(c ORDER BY word), (a, x) -> a + x) AS score
+       |  FROM contrib GROUP BY 1, 2)""".stripMargin
 
   /** The q168/q169 Viterbi DP replay (cells per position, final cell
     * non-null = segmentable): shared so the budget readout and the
@@ -1450,5 +1544,22 @@ private[graft] object TextQueries {
          |FROM sh ORDER BY doc_id""".stripMargin,
     // the q31/q38 signature oracle gates the SQL-text minhash path too
     "q130_sql_native_minhash" -> MinHashSigOracle,
+
+    "q179_bm25_scores" ->
+      s"""WITH ${bm25Cte("doc_id < 120", "doc_id < 120 AND doc_id % 50 = 0")}
+         |SELECT query_id, doc_id, round(score, 6) AS score
+         |FROM bscores ORDER BY query_id, doc_id""".stripMargin,
+
+    "q180_bm25_topk" ->
+      s"""WITH ${bm25Cte("TRUE", "doc_id % 97 = 0", "substr(text, 1, 40)")},
+         |ranked AS (
+         |  SELECT query_id, doc_id, score,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY round(score, 6) DESC, doc_id) AS rank
+         |  FROM bscores)
+         |SELECT query_id, doc_id, round(score, 6) AS score,
+         |  CAST(rank AS BIGINT) AS rank
+         |FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
   )
 }

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Retrieval
+
+/** Okapi BM25 retrieval: hand-computed scores on a tiny corpus,
+  * self-retrieval, absent-term and no-overlap behavior, duplicate-doc
+  * tie-breaks in top-k, and degenerate inputs.
+  */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  private val corpus = docs(
+    1L -> "apple banana apple",
+    2L -> "banana cherry",
+    3L -> "cherry cherry cherry date")
+
+  private def scores(qs: DataFrame): Map[(Long, Long), Double] =
+    Retrieval.bm25Scores(corpus, "doc_id", "text", qs, "query_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+  test("scores match the hand-derived BM25 formula") {
+    // N = 3, avgdl = (3 + 2 + 4) / 3; df: apple 1, banana 2, cherry 2,
+    // date 1 — straight-line reimplementation, independent of the
+    // Column tree's association
+    val k1 = 1.2; val b = 0.75
+    val n = 3.0; val avgdl = 3.0
+    def idf(df: Long): Double = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    def w(tf: Long, dl: Long, df: Long): Double =
+      idf(df) * (tf * (k1 + 1.0)) /
+        (tf + k1 * (1.0 - b + b * dl / avgdl))
+    val got = scores(Seq((10L, "apple cherry")).toDF("query_id", "text"))
+    assert(got.keySet === Set((10L, 1L), (10L, 2L), (10L, 3L)))
+    assert(math.abs(got((10L, 1L)) - w(2, 3, 1)) < 1e-9) // apple only
+    assert(math.abs(got((10L, 2L)) - w(1, 2, 2)) < 1e-9) // cherry only
+    assert(math.abs(got((10L, 3L)) - w(3, 4, 2)) < 1e-9) // cherry only
+  }
+
+  test("query terms absent from the corpus contribute nothing") {
+    // all-absent query: no rows at all
+    assert(scores(Seq((20L, "zzz qqq")).toDF("query_id", "text")).isEmpty)
+    // mixed query scores exactly like the present-terms-only query
+    val mixed = scores(Seq((21L, "zzz apple")).toDF("query_id", "text"))
+    val plain = scores(Seq((21L, "apple")).toDF("query_id", "text"))
+    assert(mixed === plain && mixed.keySet === Set((21L, 1L)))
+  }
+
+  test("each doc retrieves itself first on a distinct corpus") {
+    val qs = corpus.select(col("doc_id").as("query_id"), col("text"))
+    val top1 = Retrieval.bm25TopK(
+      Retrieval.bm25Scores(corpus, "doc_id", "text", qs, "query_id", "text"),
+      1)
+      .select("queryId", "docId").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(top1 === Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
+  test("top-k caps per query and breaks exact ties by docId") {
+    val dup = docs(
+      1L -> "apple banana",
+      2L -> "apple banana", // exact duplicate of 1 -> identical score
+      3L -> "apple cherry")
+    val topk = Retrieval.bm25TopK(
+      Retrieval.bm25Scores(dup, "doc_id", "text",
+        Seq((30L, "apple banana")).toDF("query_id", "text"),
+        "query_id", "text"), 2)
+      .orderBy("rank")
+      .select("docId", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    // docs 1 and 2 tie bitwise; docId ascending breaks it; doc 3 is cut
+    assert(topk.toSeq === Seq((1L, 1), (2L, 2)))
+  }
+
+  test("degenerate inputs drop on both sides") {
+    val messy = docs(1L -> "apple banana") // plus nulls/empties below
+      .unionByName(Seq((Option.empty[Long], Option("apple")),
+        (Option(9L), Option.empty[String]), (Option(8L), Option("  !! ")))
+        .toDF("doc_id", "text"))
+    val qs = Seq((Option(40L), Option("apple")),
+      (Option.empty[Long], Option("apple")),
+      (Option(41L), Option.empty[String]))
+      .toDF("query_id", "text")
+    val got = Retrieval.bm25Scores(messy, "doc_id", "text",
+      qs, "query_id", "text")
+      .select("queryId", "docId").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSet === Set((40L, 1L)))
+  }
+}
