@@ -207,6 +207,77 @@ object ScaleBench {
         }
       }
     }
+    // BM25 retrieval steady state at 50k docs over a ZIPF-shaped
+    // synthetic corpus (the pagerank-entry precedent): the documents
+    // fixture's 31-word flat vocabulary is degenerate for retrieval
+    // (every term is a stopword with df ≈ 0.77·N), so the testbed is
+    // closed-form 100-token docs with tokens w⌊20000/(u+1)⌋ for
+    // uniform u — ~280 achievable types (2·√20000) with a heavy head
+    // (w1 is half of ALL tokens) and a rare tail (df ~ hundreds), the
+    // df shape a real corpus hands a retrieval index. Queries are
+    // 100 keyword-shaped 6-term rows: 4 Zipf draws (head-biased, as
+    // text is) + 2 rare-tail draws (u < 140 → df ≲ 250 — real queries
+    // are biased TOWARD informative terms). The termFrequencies
+    // posting layout persists bucketBy(word) ONCE (write-once/probe
+    // split + run-as-a-unit filter rule, as the threshold section);
+    // each round scores the batch and ranks top-5. Wall tracks the
+    // MATCHED postings — the exact-scoring cost, dominated by head
+    // terms — so the stop-term-pruned arm (maxDf = 10% of the corpus:
+    // only the rare tail survives) is the production config and the
+    // unpruned arm prices what the prune saves.
+    val bm25SectionLabels = (for {
+      base <- Seq("bm25_topk_10x", "bm25_topk_pruned_10x")
+      round <- Seq("cold", "warm")
+    } yield s"$base $round") :+ "bm25_index_write_once"
+    if (only.forall(s => bm25SectionLabels.exists(_.contains(s)))) {
+      def zipfTok(j: org.apache.spark.sql.Column, mod: Int) =
+        concat(lit("w"), floor(lit(20000) /
+          (pmod(hash(col("id"), j), lit(mod)) + lit(1)))
+          .cast("long").cast("string"))
+      def zipfDocs(n: Int, toks: Int): DataFrame =
+        spark.range(n).select(col("id").as("doc_id"),
+          concat_ws(" ", transform(sequence(lit(0), lit(toks - 1)),
+            j => zipfTok(j, 20000))).as("text"))
+      val tB = System.nanoTime()
+      locally {
+        val t = "sb_bm25_tf"
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        val p = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"), t)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+        graft.operators.Retrieval
+          .termFrequencies(zipfDocs(50000, 100), "doc_id", "text")
+          .write.bucketBy(32, "word").sortBy("word")
+          .mode("overwrite").saveAsTable(t)
+      }
+      println(f"[scalebench] bm25_index_write_once: ${
+        (System.nanoTime() - tB) / 1e9}%.2f s")
+      // bitExact = false throughout: the map-side-combined scale fold
+      // (the list-buffering exact form measured OOM at batch scale)
+      def bm25Queries: DataFrame = spark.range(50000)
+        .filter(col("id") % 499 === 0)
+        .select(col("id").as("query_id"),
+          concat_ws(" ",
+            (0 to 3).map(j => zipfTok(lit(j), 20000)) ++
+              (4 to 5).map(j => zipfTok(lit(j), 140)): _*).as("text"))
+      for (round <- Seq("cold", "warm")) {
+        time(s"bm25_topk_10x $round") {
+          println("  topk_rows=" + graft.operators.Retrieval.bm25TopK(
+            graft.operators.Retrieval.bm25ScoresIndexed(
+              spark.table("sb_bm25_tf"), bm25Queries, "query_id", "text",
+              bitExact = false), 5)
+            .count())
+        }
+        time(s"bm25_topk_pruned_10x $round") {
+          println("  topk_rows=" + graft.operators.Retrieval.bm25TopK(
+            graft.operators.Retrieval.bm25ScoresIndexed(
+              spark.table("sb_bm25_tf"), bm25Queries, "query_id", "text",
+              bitExact = false, maxDocFrequency = Some(5000L)), 5)
+            .count())
+        }
+      }
+    }
     // Long-document linearity probe for the sort-based dropRepeatedSpans:
     // same doc count, 10× the tokens per doc. Each doc is two identical
     // halves (maximal repeat load: every second-half position is a

@@ -55,9 +55,11 @@ object Retrieval {
     */
   def bm25Scores(docs: DataFrame, idCol: String, textCol: String,
                  queries: DataFrame, qidCol: String, qtextCol: String,
-                 k1: Double = 1.2, b: Double = 0.75): DataFrame =
+                 k1: Double = 1.2, b: Double = 0.75,
+                 bitExact: Boolean = true,
+                 maxDocFrequency: Option[Long] = None): DataFrame =
     bm25ScoresIndexed(termFrequencies(docs, idCol, textCol),
-      queries, qidCol, qtextCol, k1, b)
+      queries, qidCol, qtextCol, k1, b, bitExact, maxDocFrequency)
 
   /** [[bm25Scores]] over a pre-built (typically persisted,
     * word-bucketed) [[termFrequencies]] table. `tf` is referenced 3×
@@ -69,10 +71,30 @@ object Retrieval {
     * practice of unit query-term weight); terms absent from the corpus
     * contribute zero to every score and are dropped by the inner df
     * join before they reach the postings.
+    *
+    * `bitExact` selects the fold (the Pca.covariance precedent):
+    * `true` (default) sums each (query, doc)'s term contributions
+    * term-sorted via a collected list — the partitioning-invariant,
+    * oracle-replayable tree, but the list buffering defeats map-side
+    * partial aggregation (measured OOM at 50k docs × 515 query-batch);
+    * `false` is a plain codegen `sum` — map-side-combined, the scale
+    * form, identical to ~1e-12 relative (RetrievalSpec pins parity).
+    *
+    * `maxDocFrequency` drops query terms with corpus df above the cap
+    * BEFORE the posting join — classic stop-term pruning. The matched
+    * posting volume (the whole probe cost: measured 42 s for a
+    * 516-query batch × 50k docs unpruned, dominated by ~90M common-
+    * word postings) collapses to the rare-term matches. Opt-in, it
+    * changes results: scores equal a query stripped of its hot terms
+    * (low-idf contributions, but not zero — RetrievalSpec pins the
+    * equivalence), and docs sharing ONLY hot terms with the query
+    * leave the result. The filter is query-term-table-sized — free.
     */
   def bm25ScoresIndexed(tf: DataFrame,
                         queries: DataFrame, qidCol: String, qtextCol: String,
-                        k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                        k1: Double = 1.2, b: Double = 0.75,
+                        bitExact: Boolean = true,
+                        maxDocFrequency: Option[Long] = None): DataFrame = {
     require(k1 >= 0 && b >= 0 && b <= 1, s"k1 >= 0, b in [0,1]: $k1, $b")
     // (word, doc) rows are unique by construction, so count IS df
     val dfTab = tf.groupBy("word").agg(count(lit(1)).as("df"))
@@ -91,9 +113,14 @@ object Retrieval {
       .select(col("queryId"), explode_outer(col("__qt")).as("word"))
       .filter(col("word").isNotNull)
     // idf + scalars fold into the query-term table (query-batch-sized:
-    // the posting join needs nothing else)
+    // the posting join needs nothing else); the optional stop-term
+    // prune rides the same tiny table
+    val kept = maxDocFrequency match {
+      case Some(maxDf) => dfTab.filter(col("df") <= maxDf)
+      case None => dfTab
+    }
     val enriched = qTerms
-      .join(dfTab, Seq("word"))
+      .join(kept, Seq("word"))
       .crossJoin(broadcast(stats))
       .select(col("queryId"), col("word"), col("avgdl"),
         log(lit(1.0) +
@@ -108,13 +135,18 @@ object Retrieval {
               lit(b) * col("dl").cast("double") / col("avgdl"))))
           .as("__c"))
     // term-sorted fold (the q98/DSIR convention): bit-reproducible at
-    // any partitioning, and the oracle replays the identical tree
-    contrib.groupBy(col("queryId"), col("docId"))
-      .agg(sort_array(collect_list(struct(col("word"), col("__c"))))
-        .as("__cs"))
-      .select(col("queryId"), col("docId"),
-        aggregate(col("__cs"), lit(0.0),
-          (a, x) => a + x.getField("__c")).as("score"))
+    // any partitioning, and the oracle replays the identical tree;
+    // scale form: plain map-side-combined sum
+    if (bitExact)
+      contrib.groupBy(col("queryId"), col("docId"))
+        .agg(sort_array(collect_list(struct(col("word"), col("__c"))))
+          .as("__cs"))
+        .select(col("queryId"), col("docId"),
+          aggregate(col("__cs"), lit(0.0),
+            (a, x) => a + x.getField("__c")).as("score"))
+    else
+      contrib.groupBy(col("queryId"), col("docId"))
+        .agg(sum(col("__c")).as("score"))
   }
 
   /** Top-k documents per query from a [[bm25Scores]] table, ranked by

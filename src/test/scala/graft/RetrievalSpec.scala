@@ -77,6 +77,34 @@ class RetrievalSpec extends SparkSpec {
     assert(topk.toSeq === Seq((1L, 1), (2L, 2)))
   }
 
+  test("scale fold (plain sum) matches the bit-exact fold to 1e-12") {
+    val qs = corpus.select(col("doc_id").as("query_id"), col("text"))
+    def all(exact: Boolean): Map[(Long, Long), Double] =
+      Retrieval.bm25Scores(corpus, "doc_id", "text", qs,
+        "query_id", "text", bitExact = exact)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val e = all(true); val s = all(false)
+    assert(e.keySet === s.keySet)
+    for ((k, v) <- e)
+      assert(math.abs(v - s(k)) <= 1e-12 * math.max(1.0, math.abs(v)),
+        s"$k: $v vs ${s(k)}")
+  }
+
+  test("stop-term df-prune equals scoring a query stripped of hot terms") {
+    // cherry has df=2 in the corpus; maxDf=1 drops it from the query,
+    // so pruned scores == unpruned scores of the apple-only query, and
+    // doc 2 (sharing ONLY cherry) leaves the result
+    val pruned = Retrieval.bm25Scores(corpus, "doc_id", "text",
+      Seq((50L, "apple cherry")).toDF("query_id", "text"),
+      "query_id", "text", maxDocFrequency = Some(1L))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val stripped = scores(Seq((50L, "apple")).toDF("query_id", "text"))
+    assert(pruned === stripped)
+    assert(pruned.keySet === Set((50L, 1L)))
+  }
+
   test("degenerate inputs drop on both sides") {
     val messy = docs(1L -> "apple banana") // plus nulls/empties below
       .unionByName(Seq((Option.empty[Long], Option("apple")),
