@@ -104,4 +104,59 @@ class BucketingSpec extends SparkSpec {
       assert(viaPosted == viaSets && viaPosted.nonEmpty)
     } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
+
+  test("BM25 probe over a word-bucketed tf table plans no corpus-side shuffle") {
+    // the Retrieval.termFrequencies persistence claim, pinned the same
+    // way: with broadcast and AQE off, the posting join's corpus side
+    // reads the bucketed table with zero Exchange below it, and the
+    // scores match the in-memory form. (lens/stats shuffle by docId —
+    // index-BUILD work a persisted deployment pays once — and the
+    // query side re-keys by word as expected.)
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import graft.operators.Retrieval
+    val corpus = (1L to 40L).map(i =>
+      (i, s"tok${i % 7} tok${i % 5} tok${i % 3} tok${i % 11} tok${i % 13}"))
+      .toDF("doc_id", "text")
+    val queries = Seq((100L, "tok1 tok2"), (101L, "tok4 tok6"))
+      .toDF("query_id", "text")
+    spark.sql("DROP TABLE IF EXISTS bm25_tf_bucketed")
+    Retrieval.termFrequencies(corpus, "doc_id", "text")
+      .write.bucketBy(8, "word").sortBy("word")
+      .mode("overwrite").saveAsTable("bm25_tf_bucketed")
+    val tfB = spark.table("bm25_tf_bucketed")
+    val confs = Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val m = Retrieval.bm25ScoresIndexed(tfB, queries, "query_id", "text")
+      val rows = m.collect()
+      val plan = m.queryExecution.executedPlan
+      def wordKeyed(keys: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =
+        keys.exists(_.references.exists(_.name == "word"))
+      val wordJoins: Seq[SparkPlan] = plan.collect {
+        case j: SortMergeJoinExec if wordKeyed(j.leftKeys) => j
+        case j: ShuffledHashJoinExec if wordKeyed(j.leftKeys) => j
+      }.filter(_.children.exists(_.collect { case s: FileSourceScanExec => s }
+        .exists(_.toString.contains("bm25_tf_bucketed"))))
+      assert(wordJoins.nonEmpty, s"expected a bucketed word join:\n$plan")
+      wordJoins.foreach { j =>
+        val corpusSide = j.children.find(_.collect {
+          case s: FileSourceScanExec => s }
+          .exists(_.toString.contains("bm25_tf_bucketed"))).get
+        assert(corpusSide.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+          s"bucketed corpus side must not shuffle:\n$corpusSide")
+      }
+      // value parity with the in-memory (unbucketed) form
+      val direct = Retrieval.bm25Scores(corpus, "doc_id", "text",
+        queries, "query_id", "text")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val bucketed = rows
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(bucketed == direct && bucketed.nonEmpty)
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
 }
