@@ -215,7 +215,7 @@ object ScaleBench {
     // uniform u — ~280 achievable types (2·√20000) with a heavy head
     // (w1 is half of ALL tokens) and a rare tail (df ~ hundreds), the
     // df shape a real corpus hands a retrieval index. Queries are
-    // 100 keyword-shaped 6-term rows: 4 Zipf draws (head-biased, as
+    // 101 keyword-shaped 6-term rows: 4 Zipf draws (head-biased, as
     // text is) + 2 rare-tail draws (u < 140 → df ≲ 250 — real queries
     // are biased TOWARD informative terms). The termFrequencies
     // posting layout persists bucketBy(word) ONCE (write-once/probe

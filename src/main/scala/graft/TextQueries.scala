@@ -510,8 +510,9 @@ private[graft] object TextQueries {
     // (each query doc's first 40 chars — keyword-sized, the shape BM25
     // retrieval actually serves; whole-doc queries are q179's scoring
     // shape and scale like similarity search), top-5 per query, ranked
-    // on the 6-dp rounded score (docId ascending ties) — the
-    // deterministic, engine-portable ordering bm25TopK defines
+    // score descending with docId ascending ties — bm25TopK's
+    // deterministic full-precision ordering (rounding happens only in
+    // the emitted score column)
     "q180_bm25_topk" -> ((s, dir) => {
       val corpus = t(s, dir, "documents")
       val qs = corpus.where(col("doc_id") % 97 === 0)
@@ -1555,7 +1556,7 @@ private[graft] object TextQueries {
          |ranked AS (
          |  SELECT query_id, doc_id, score,
          |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY round(score, 6) DESC, doc_id) AS rank
+         |      ORDER BY score DESC, doc_id) AS rank
          |  FROM bscores)
          |SELECT query_id, doc_id, round(score, 6) AS score,
          |  CAST(rank AS BIGINT) AS rank

@@ -76,7 +76,7 @@ object Retrieval {
     * `true` (default) sums each (query, doc)'s term contributions
     * term-sorted via a collected list — the partitioning-invariant,
     * oracle-replayable tree, but the list buffering defeats map-side
-    * partial aggregation (measured OOM at 50k docs × 515 query-batch);
+    * partial aggregation (measured OOM at 50k docs × 516 query-batch);
     * `false` is a plain codegen `sum` — map-side-combined, the scale
     * form, identical to ~1e-12 relative (RetrievalSpec pins parity).
     *
@@ -149,18 +149,20 @@ object Retrieval {
         .agg(sum(col("__c")).as("score"))
   }
 
-  /** Top-k documents per query from a [[bm25Scores]] table, ranked by
-    * the 6-dp ROUNDED score descending with docId ascending ties.
-    * Ranking on the rounded value is deliberate: a rank that depends
-    * on sub-1e-6 score differences is retrieval-noise, not signal, and
-    * the rounded key makes the ordering a pure function of the gated
-    * score values (portable across engines whose `ln` may differ in
-    * the last ulp). The emitted `score` stays full-precision.
+  /** Top-k documents per query from a [[bm25Scores]] table: score
+    * descending, docId ascending ties (exact-duplicate docs produce
+    * bitwise-equal scores, so the tie-break is deterministic) — the
+    * AnnQueries ranking convention: rank on the FULL-precision value,
+    * round only what is emitted. (An earlier form ranked on the 6-dp
+    * rounded score "for portability"; that moved the one operation
+    * whose decimal-string vs float-multiply implementations can
+    * disagree across engines INTO the integer rank key — strictly
+    * worse than ranking the raw doubles the oracle already replays.)
     */
   def bm25TopK(scores: DataFrame, k: Int): DataFrame = {
     require(k > 0, s"k > 0: $k")
     val w = Window.partitionBy(col("queryId"))
-      .orderBy(round(col("score"), 6).desc, col("docId").asc)
+      .orderBy(col("score").desc, col("docId").asc)
     scores.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }

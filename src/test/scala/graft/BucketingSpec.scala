@@ -136,16 +136,23 @@ class BucketingSpec extends SparkSpec {
       val plan = m.queryExecution.executedPlan
       def wordKeyed(keys: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =
         keys.exists(_.references.exists(_.name == "word"))
+      // the corpus side is the child whose bucketed scan feeds the join
+      // DIRECTLY (no Aggregate above it) — the query side ALSO contains
+      // a bm25_tf_bucketed scan (dfTab is derived from the same table,
+      // under a groupBy), so a contains-the-scan find would silently
+      // depend on Catalyst's child ordering
+      import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+      def isCorpusSide(c: SparkPlan): Boolean =
+        c.collect { case s: FileSourceScanExec => s }
+          .exists(_.toString.contains("bm25_tf_bucketed")) &&
+          c.collect { case a: BaseAggregateExec => a }.isEmpty
       val wordJoins: Seq[SparkPlan] = plan.collect {
         case j: SortMergeJoinExec if wordKeyed(j.leftKeys) => j
         case j: ShuffledHashJoinExec if wordKeyed(j.leftKeys) => j
-      }.filter(_.children.exists(_.collect { case s: FileSourceScanExec => s }
-        .exists(_.toString.contains("bm25_tf_bucketed"))))
+      }.filter(_.children.exists(isCorpusSide))
       assert(wordJoins.nonEmpty, s"expected a bucketed word join:\n$plan")
       wordJoins.foreach { j =>
-        val corpusSide = j.children.find(_.collect {
-          case s: FileSourceScanExec => s }
-          .exists(_.toString.contains("bm25_tf_bucketed"))).get
+        val corpusSide = j.children.find(isCorpusSide).get
         assert(corpusSide.collect { case e: ShuffleExchangeExec => e }.isEmpty,
           s"bucketed corpus side must not shuffle:\n$corpusSide")
       }
