@@ -506,6 +506,41 @@ private[graft] object TextQueries {
           round(col("score"), 6).as("score"))
         .orderBy("query_id", "doc_id")
     }),
+    // Hybrid retrieval via reciprocal-rank fusion: the q179 BM25
+    // top-10 fused with an exact-Jaccard top-10 over the same
+    // (query, corpus) pairs — two incomparable score scales combined
+    // by RANK only. Every fused score is a sum of exact 1/(60+r)
+    // rationals (no transcendentals), so the oracle's replay agrees
+    // bitwise and the 9-dp rounding is cosmetic.
+    "q181_rrf_fusion" -> ((s, dir) => {
+      import graft.operators.{Jaccard, Retrieval}
+      val corpus = t(s, dir, "documents").where(col("doc_id") < 120)
+      val qs = corpus.where(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("query_id"), col("text"))
+      val tf = Retrieval.termFrequencies(corpus, "doc_id", "text")
+        .localCheckpoint() // see q179
+      val bm25 = Retrieval.bm25TopK(
+        Retrieval.bm25ScoresIndexed(tf, qs, "query_id", "text"), 10)
+        .select("queryId", "docId", "rank")
+      val corpusToks = Jaccard.tokenized(
+        corpus.select(col("doc_id").as("docId"), col("text")))
+        .localCheckpoint() // thresholdMatches' consumption contract
+      val jac = Jaccard.thresholdMatches(
+        Jaccard.tokenized(qs.select(col("query_id").as("docId"),
+          col("text"))),
+        Jaccard.dfOrderedSets(corpusToks), 0.3)
+      val jacRank = jac.withColumn("rank", row_number().over(
+          Window.partitionBy(col("docId"))
+            .orderBy(col("similarity").desc, col("matchId").asc)))
+        .filter(col("rank") <= 10)
+        .select(col("docId").as("queryId"), col("matchId").as("docId"),
+          col("rank"))
+      Retrieval.rrfFuse(Seq(bm25, jacRank), k = 10)
+        .select(col("queryId").as("query_id"), col("docId").as("doc_id"),
+          round(col("rrf_score"), 9).as("rrf_score"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
     // ...and the retrieval shape over the FULL corpus: SHORT queries
     // (each query doc's first 40 chars — keyword-sized, the shape BM25
     // retrieval actually serves; whole-doc queries are q179's scoring
@@ -1550,6 +1585,63 @@ private[graft] object TextQueries {
       s"""WITH ${bm25Cte("doc_id < 120", "doc_id < 120 AND doc_id % 50 = 0")}
          |SELECT query_id, doc_id, round(score, 6) AS score
          |FROM bscores ORDER BY query_id, doc_id""".stripMargin,
+
+    // both component rankings replayed in full (the BM25 chain + the
+    // pruning-free brute-force Jaccard), then the fusion sum as a
+    // src-ordered list_reduce matching rrfFuse's sorted fold
+    "q181_rrf_fusion" ->
+      s"""WITH ${bm25Cte("doc_id < 120", "doc_id < 120 AND doc_id % 50 = 0")},
+         |bmtop AS (
+         |  SELECT query_id, doc_id, rank FROM (
+         |    SELECT query_id, doc_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score DESC, doc_id) AS rank
+         |    FROM bscores) WHERE rank <= 10),
+         |$ToksCte,
+         |jbase AS (SELECT doc_id, tokens, CAST(len(tokens) AS BIGINT) AS sz
+         |          FROM toks WHERE len(tokens) > 0 AND doc_id < 120),
+         |jarr AS (SELECT * FROM jbase WHERE doc_id % 50 = 0),
+         |jpairs AS (
+         |  SELECT a.doc_id AS query_id, b.doc_id AS doc_id,
+         |    count(*) AS inter
+         |  FROM (SELECT doc_id, unnest(tokens) AS word FROM jarr) a
+         |  JOIN (SELECT doc_id, unnest(tokens) AS word FROM jbase) b
+         |    ON a.word = b.word
+         |  GROUP BY 1, 2),
+         |jsim AS (
+         |  SELECT p.query_id, p.doc_id,
+         |    CAST(p.inter AS DOUBLE) / (sa.sz + sb.sz - p.inter) AS sim
+         |  FROM jpairs p
+         |  JOIN jarr sa ON p.query_id = sa.doc_id
+         |  JOIN jbase sb ON p.doc_id = sb.doc_id
+         |  WHERE CAST(p.inter AS DOUBLE) / (sa.sz + sb.sz - p.inter)
+         |        >= CAST(0.3 AS DOUBLE)),
+         |jtop AS (
+         |  SELECT query_id, doc_id, rank FROM (
+         |    SELECT query_id, doc_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY sim DESC, doc_id) AS rank
+         |    FROM jsim) WHERE rank <= 10),
+         |fcontrib AS (
+         |  SELECT query_id, doc_id, 0 AS src,
+         |    1.0 / (60.0 + CAST(rank AS DOUBLE)) AS rrf FROM bmtop
+         |  UNION ALL
+         |  SELECT query_id, doc_id, 1,
+         |    1.0 / (60.0 + CAST(rank AS DOUBLE)) FROM jtop),
+         |fused AS (
+         |  SELECT query_id, doc_id,
+         |    list_reduce(list(rrf ORDER BY src), (a, x) -> a + x)
+         |      AS rrf_score
+         |  FROM fcontrib GROUP BY 1, 2)
+         |SELECT query_id, doc_id, round(rrf_score, 9) AS rrf_score,
+         |  CAST(rank AS BIGINT) AS rank
+         |FROM (
+         |  SELECT query_id, doc_id, rrf_score,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rrf_score DESC, doc_id) AS rank
+         |  FROM fused)
+         |WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
 
     "q180_bm25_topk" ->
       s"""WITH ${bm25Cte("TRUE", "doc_id % 97 = 0", "substr(text, 1, 40)")},

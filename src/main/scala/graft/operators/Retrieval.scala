@@ -166,4 +166,44 @@ object Retrieval {
     scores.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** Reciprocal-rank fusion (Cormack et al. SIGIR'09): combine any
+    * number of per-query rankings — BM25, an ANN list, a Jaccard
+    * neighbor list — into one, scoring each (query, doc) by
+    * `Σ 1/(k0 + rank_i)` over the lists it appears in (absent = zero)
+    * and re-ranking. RRF needs only RANKS, never the component scores,
+    * so it fuses rankings whose score scales are incomparable — the
+    * standard hybrid-retrieval combiner and deliberately the simplest.
+    *
+    * Inputs are `(queryId, docId, rank)` tables ([[bm25TopK]]'s
+    * shape). Output: `(queryId, docId, rrf_score, rank)`, top `k` per
+    * query, score descending with docId ascending ties.
+    *
+    * Scale shape: everything is result-set-sized — a union of the
+    * (already top-k-bounded) rankings, one (queryId, docId) aggregate,
+    * one per-query rank window. The fold is source-index-sorted (at
+    * most |rankings| elements per pair), so the double sum is
+    * bit-reproducible and exactly replayable: every contribution is
+    * `1.0 / (k0 + rank)` — one division on exact integers, no
+    * transcendentals, so fused scores agree bitwise across engines.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, k0: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "at least one ranking")
+    require(k > 0 && k0 >= 0, s"k > 0, k0 >= 0: $k, $k0")
+    val contribs = rankings.zipWithIndex.map { case (r, i) =>
+      r.select(col("queryId"), col("docId"), lit(i).as("__src"),
+        (lit(1.0) / (lit(k0).cast("double") + col("rank").cast("double")))
+          .as("__rrf"))
+    }.reduce(_ unionByName _)
+    val w = Window.partitionBy(col("queryId"))
+      .orderBy(col("rrf_score").desc, col("docId").asc)
+    contribs.groupBy(col("queryId"), col("docId"))
+      .agg(sort_array(collect_list(struct(col("__src"), col("__rrf"))))
+        .as("__xs"))
+      .select(col("queryId"), col("docId"),
+        aggregate(col("__xs"), lit(0.0),
+          (a, x) => a + x.getField("__rrf")).as("rrf_score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }

@@ -105,6 +105,39 @@ class RetrievalSpec extends SparkSpec {
     assert(pruned.keySet === Set((50L, 1L)))
   }
 
+  test("rrfFuse sums 1/(k0+rank) across lists, absent = zero") {
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+      .toDF("queryId", "docId", "rank")
+    val b = Seq((1L, 11L, 1), (1L, 13L, 2))
+      .toDF("queryId", "docId", "rank")
+    val fused = Retrieval.rrfFuse(Seq(a, b), k = 10)
+      .collect().map(r =>
+        (r.getLong(1), r.getDouble(2), r.getInt(3))).toList
+      .sortBy(_._3)
+    def c(r: Int) = 1.0 / (60.0 + r)
+    // 11 is in both lists (ranks 2 and 1): the only two-term sum wins
+    assert(fused.map(_._1) === List(11L, 10L, 13L, 12L))
+    assert(fused.head._2 === c(2) + c(1))
+    assert(fused(1)._2 === c(1)) // 10: list-a rank 1 only
+    assert(fused(2)._2 === c(2)) // 13: list-b rank 2 only
+    assert(fused(3)._2 === c(3))
+  }
+
+  test("rrfFuse of one ranking preserves its order; ties break by docId") {
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2), (2L, 20L, 1))
+      .toDF("queryId", "docId", "rank")
+    val fused = Retrieval.rrfFuse(Seq(a), k = 1)
+      .select("queryId", "docId").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fused === Map(1L -> 10L, 2L -> 20L))
+    // equal ranks from two lists tie exactly; docId ascending decides
+    val x = Seq((1L, 30L, 1)).toDF("queryId", "docId", "rank")
+    val y = Seq((1L, 29L, 1)).toDF("queryId", "docId", "rank")
+    val tie = Retrieval.rrfFuse(Seq(x, y), k = 2)
+      .orderBy("rank").select("docId").collect().map(_.getLong(0)).toList
+    assert(tie === List(29L, 30L))
+  }
+
   test("degenerate inputs drop on both sides") {
     val messy = docs(1L -> "apple banana") // plus nulls/empties below
       .unionByName(Seq((Option.empty[Long], Option("apple")),
