@@ -417,6 +417,11 @@ object Jaccard {
     * persisted state anyway (measured in ScaleBench
     * `threshold_matches_10x`: ~22 s → ~12 s warm at 50k docs).
     */
+  /** Note: batch and index ids MAY overlap — a doc indexed and probed
+    * under the same id matches itself at J = 1 (the similarity-ranking
+    * usage, e.g. q181's Jaccard top-k side). Only [[thresholdGate]]'s
+    * complement semantics assume the ingest contract's disjoint ids.
+    */
   def thresholdMatches(
       batch: DataFrame,
       index: DataFrame,

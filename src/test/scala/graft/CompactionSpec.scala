@@ -102,6 +102,20 @@ class CompactionSpec extends SparkSpec {
     assert(!layout(compacted).contains(12L), "empty batch doc must drop")
   }
 
+  test("compaction parity holds on seeded random corpora and splits") {
+    val rnd = new scala.util.Random(6190)
+    val vocab = (1 to 25).map(i => s"tok$i")
+    for (trial <- 1 to 3) {
+      val rows = (1L to 60L).map { id =>
+        val n = 1 + rnd.nextInt(8)
+        (id + trial * 1000L) -> rnd.shuffle(vocab).take(n).mkString(" ")
+      }
+      val split = 10 + rnd.nextInt(40)
+      val (idxRows, batchRows) = rows.splitAt(split)
+      assertParity(docs(idxRows: _*), docs(batchRows: _*))
+    }
+  }
+
   test("posted form equals the set-form entry point") {
     val idx = docs(
       1L -> "spark scala join shuffle",

@@ -21,7 +21,10 @@ class RetrievalSpec extends SparkSpec {
     3L -> "cherry cherry cherry date")
 
   private def scores(qs: DataFrame): Map[(Long, Long), Double] =
-    Retrieval.bm25Scores(corpus, "doc_id", "text", qs, "query_id", "text")
+    scores2(corpus, qs)
+
+  private def scores2(c: DataFrame, qs: DataFrame): Map[(Long, Long), Double] =
+    Retrieval.bm25Scores(c, "doc_id", "text", qs, "query_id", "text")
       .collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
 
@@ -103,6 +106,44 @@ class RetrievalSpec extends SparkSpec {
     val stripped = scores(Seq((50L, "apple")).toDF("query_id", "text"))
     assert(pruned === stripped)
     assert(pruned.keySet === Set((50L, 1L)))
+  }
+
+  test("scores match a plain-Scala reference on a seeded random corpus") {
+    // repeat-bearing docs (tf > 1) and queries that may miss the corpus
+    val rnd = new scala.util.Random(14)
+    val vocab = (1 to 20).map(i => s"tok$i")
+    val corpusRows = (1L to 40L).map { id =>
+      id -> Seq.fill(2 + rnd.nextInt(10))(
+        vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val queryRows = (100L to 105L).map { id =>
+      id -> Seq.fill(3)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val docToks = corpusRows.map { case (id, t) =>
+      id -> t.split(" ").toSeq }.toMap
+    val dls = docToks.map { case (id, ws) => id -> ws.length.toDouble }
+    val n = docToks.size.toDouble
+    val avgdl = docToks.values.map(_.length).sum.toDouble / n
+    val df = docToks.values.flatMap(_.distinct)
+      .groupBy(identity).map { case (w, xs) => w -> xs.size }
+    val k1 = 1.2; val b = 0.75
+    val expected = (for {
+      (qid, qt) <- queryRows
+      qws = qt.split(" ").distinct.toSeq
+      (did, ws) <- docToks.toSeq
+      shared = qws.filter(ws.contains)
+      if shared.nonEmpty
+    } yield (qid, did) -> shared.map { w =>
+      val tf = ws.count(_ == w).toDouble
+      math.log(1.0 + (n - df(w) + 0.5) / (df(w) + 0.5)) *
+        (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dls(did) / avgdl))
+    }.sum).toMap
+    val got = scores2(corpusRows.toDF("doc_id", "text"),
+      queryRows.toDF("query_id", "text"))
+    assert(got.keySet === expected.keySet)
+    for ((k, v) <- expected)
+      assert(math.abs(got(k) - v) <= 1e-9 * math.max(1.0, math.abs(v)),
+        s"$k: ${got(k)} vs $v")
   }
 
   test("rrfFuse sums 1/(k0+rank) across lists, absent = zero") {
