@@ -635,6 +635,89 @@ object Jaccard {
     untouched.unionByName(reranked)
   }
 
+  /** Deletion-side index compaction — the other half of the ingest
+    * loop's index maintenance ([[compactIndex]] folds arrivals IN; a
+    * dedup pipeline also takes documents OUT: retention expiry,
+    * takedowns, quality re-gates). Removes `deleteIds` from a
+    * [[dfOrderedSets]] index and returns the exact [[dfOrderedSets]]
+    * layout of the surviving corpus —
+    * `compactIndexDeleted(dfOrderedSets(c), ids) ==
+    * dfOrderedSets(c minus ids)` row for row, including each
+    * `sorted_tokens` order (CompactionSpec pins the parity; q184 gates
+    * it against the DuckDB rebuild of the survivors).
+    *
+    * The mirror of the append side, with the df delta SUBTRACTIVE:
+    *   - df counts shrink by the deleted docs' posting counts — one
+    *     vocabulary-sized union + re-aggregate (words whose df reaches
+    *     zero leave the vocabulary with their last doc);
+    *   - only AFFECTED survivors re-rank: a doc sharing no token with
+    *     any deleted doc has every df unchanged, so its (df, word)
+    *     order is provably identical — those rows ride through
+    *     VERBATIM via one anti-join;
+    *   - ids absent from the index are no-ops (the anti-joins simply
+    *     match nothing), so re-deleting is idempotent.
+    *
+    * ZERO re-tokenization, as the append side: everything reads the
+    * index's own persisted layouts. Consumption contract: the posting
+    * form is referenced 4× (deleted postings, df aggregate, affected
+    * probe, touched semi-join), the set form once (the anti-join),
+    * `deleteIds` 3× — at ingest these are persisted/id-width tables;
+    * lazy callers materialize first (q184 checkpoints both).
+    */
+  def compactIndexDeleted(index: DataFrame, deleteIds: DataFrame): DataFrame =
+    compactIndexDeletedPosted(index, indexPostings(index), deleteIds)
+
+  /** [[compactIndexDeleted]] over a pre-materialized posting-form index
+    * (the [[indexPostings]] layout, typically the persisted
+    * word-bucketed table) — the form the periodic compaction job runs.
+    */
+  def compactIndexDeletedPosted(
+      index: DataFrame,
+      posts: DataFrame,
+      deleteIds: DataFrame): DataFrame = {
+    // id-width, eager (consumed by the delta semi-join and two
+    // anti-joins below)
+    val del = deleteIds.select(col("docId")).distinct().localCheckpoint()
+    // the deleted docs' postings: the subtractive df delta's source.
+    // Vocabulary-of-the-deleted-sized, eager (consumed by the merge
+    // and, broadcast, by the affected-survivor probe).
+    val delta = posts
+      .join(del.withColumnRenamed("docId", "matchId"),
+        Seq("matchId"), "left_semi")
+      .groupBy("word").agg(count(lit(1)).as("df"))
+      .localCheckpoint()
+    // merged vocabulary: subtractive counts; a word whose postings all
+    // belonged to deleted docs drops out entirely
+    val dfMerged = posts.groupBy("word").agg(count(lit(1)).as("df"))
+      .unionByName(delta.select(col("word"), (-col("df")).as("df")))
+      .groupBy("word").agg(sum(col("df")).as("df"))
+      .filter(col("df") > 0)
+    // survivors sharing >= 1 token with a deleted doc — the only rows
+    // whose (df, word) order can change
+    val affected = posts
+      .join(broadcast(delta.select("word")), Seq("word"), "left_semi")
+      .select(col("matchId").as("docId")).distinct()
+      .join(del, Seq("docId"), "left_anti")
+      .localCheckpoint()
+    val untouched = index.select("docId", "sz", "sorted_tokens")
+      .join(del, Seq("docId"), "left_anti")
+      .join(affected, Seq("docId"), "left_anti")
+    // the dfOrderedSets tail, over the affected survivors only (their
+    // token SETS are unchanged by deletion — only the ranks moved)
+    val reranked = posts
+      .join(affected.withColumnRenamed("docId", "matchId"),
+        Seq("matchId"), "left_semi")
+      .select(col("matchId").as("docId"), col("word"))
+      .join(dfMerged, Seq("word"))
+      .groupBy("docId")
+      .agg(sort_array(collect_list(struct(col("df"), col("word")))).as("dw"))
+      .select(
+        col("docId"),
+        size(col("dw")).cast("long").as("sz"),
+        transform(col("dw"), x => x.getField("word")).as("sorted_tokens"))
+    untouched.unionByName(reranked)
+  }
+
   /** Exact-threshold ingest gate: arrivals that match NO indexed doc at
     * `J >= t` — [[thresholdMatches]]' complement via one left anti-join
     * on the arrival id (the registry's unique-id contract, as

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -61,11 +61,71 @@ object Retrieval {
     bm25ScoresIndexed(termFrequencies(docs, idCol, textCol),
       queries, qidCol, qtextCol, k1, b, bitExact, maxDocFrequency)
 
+  /** The `(word, df)` document-frequency table of a [[termFrequencies]]
+    * index — `(word, doc)` tf rows are unique by construction, so the
+    * row count IS the df. Kept as an exact BIGINT (never pre-folded
+    * into idf) so micro-batch merges are lossless additions
+    * ([[compactTermIndex]]); at ingest this table persists next to the
+    * tf table and probes skip the posting-table aggregate entirely.
+    */
+  def dfTable(tf: DataFrame): DataFrame =
+    tf.groupBy("word").agg(count(lit(1)).as("df"))
+
+  /** The one-row corpus scalar table `(n_docs, total_dl)` of a
+    * [[termFrequencies]] index — exact BIGINTs, deliberately NOT the
+    * derived `avgdl` double: sums and counts merge additively across
+    * micro-batches with zero drift ([[compactTermIndex]]), and the one
+    * rounding (the division) happens identically at every probe
+    * regardless of how many compactions produced the table.
+    */
+  def corpusStats(tf: DataFrame): DataFrame =
+    tf.groupBy("docId").agg(max(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+
+  /** Incremental BM25 index compaction: merge a micro-batch's
+    * [[termFrequencies]] into a persisted index WITHOUT re-reading the
+    * corpus. Returns the merged `(tf, dfTable, corpusStats)` triple,
+    * row-identical to a from-scratch rebuild over the union
+    * (RetrievalSpec pins the parity; q183 gates probe scores through
+    * the compacted tables against the DuckDB full-corpus replay):
+    *
+    *   - tf rows APPEND — each document's `(docId, dl, word, tf)` rows
+    *     depend on that document alone, so disjoint doc ids (the
+    *     registry's unique-id ingest contract, as [[Jaccard.compactIndex]])
+    *     make the union the rebuild;
+    *   - df is ADDITIVE — one vocabulary-sized union + re-aggregate,
+    *     never a posting-table pass over the persisted side;
+    *   - the scalars are ADDITIVE — `n_docs`/`total_dl` are exact
+    *     BIGINT sums, so chained compactions cannot accumulate
+    *     rounding (the reason [[corpusStats]] is not a stored avgdl).
+    *
+    * Unlike the Jaccard side there is NO affected-doc re-rank: the BM25
+    * index stores raw counts, not a df-ordered layout, so existing rows
+    * are untouched by construction and the whole merge is
+    * batch-vocabulary-sized work. `batchTf` =
+    * `termFrequencies(batchDocs, ...)` — at ingest, materialize it once
+    * (it is consumed 3×: tf append, df delta, scalar delta).
+    */
+  def compactTermIndex(tf: DataFrame, dfTab: DataFrame, stats: DataFrame,
+                       batchTf: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val tfMerged = tf.unionByName(batchTf)
+    val dfMerged = dfTab.unionByName(dfTable(batchTf))
+      .groupBy("word").agg(sum(col("df")).as("df"))
+    val statsMerged = stats.unionByName(corpusStats(batchTf))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("total_dl")).as("total_dl"))
+    (tfMerged, dfMerged, statsMerged)
+  }
+
   /** [[bm25Scores]] over a pre-built (typically persisted,
     * word-bucketed) [[termFrequencies]] table. `tf` is referenced 3×
     * (df aggregate, length/scalar aggregate, posting join) — the
     * consumption contract of every indexed operator here: persisted
     * state at ingest, materialize-first for lazy one-off chains.
+    * Ingest callers with persisted [[dfTable]]/[[corpusStats]] tables
+    * (the [[compactTermIndex]] layout) use [[bm25ScoresPrecomputed]]
+    * and skip both index-side aggregates.
     *
     * Query terms are DEDUPED (`normalizeTokens` — the common BM25
     * practice of unit query-term weight); terms absent from the corpus
@@ -89,54 +149,101 @@ object Retrieval {
     * (low-idf contributions, but not zero — RetrievalSpec pins the
     * equivalence), and docs sharing ONLY hot terms with the query
     * leave the result. The filter is query-term-table-sized — free.
+    * [[bm25TopKWand]] is the SCORE-EXACT alternative for top-k probes.
     */
   def bm25ScoresIndexed(tf: DataFrame,
                         queries: DataFrame, qidCol: String, qtextCol: String,
                         k1: Double = 1.2, b: Double = 0.75,
                         bitExact: Boolean = true,
-                        maxDocFrequency: Option[Long] = None): DataFrame = {
+                        maxDocFrequency: Option[Long] = None): DataFrame =
+    bm25ScoresPrecomputed(tf, dfTable(tf), corpusStats(tf),
+      queries, qidCol, qtextCol, k1, b, bitExact, maxDocFrequency)
+
+  /** [[bm25ScoresIndexed]] consuming PERSISTED `(word, df)` and
+    * `(n_docs, total_dl)` tables (the [[compactTermIndex]] layout) —
+    * the ingest steady state: both index-side aggregates vanish from
+    * the probe plan, leaving the one posting join. Scores are
+    * bit-identical to the inline-aggregate path (the df counts and the
+    * scalar sums are exact integers either way; the single avgdl
+    * division happens here in both).
+    */
+  def bm25ScoresPrecomputed(tf: DataFrame, dfTab: DataFrame,
+                            stats: DataFrame,
+                            queries: DataFrame, qidCol: String,
+                            qtextCol: String,
+                            k1: Double = 1.2, b: Double = 0.75,
+                            bitExact: Boolean = true,
+                            maxDocFrequency: Option[Long] = None)
+      : DataFrame = {
     require(k1 >= 0 && b >= 0 && b <= 1, s"k1 >= 0, b in [0,1]: $k1, $b")
-    // (word, doc) rows are unique by construction, so count IS df
-    val dfTab = tf.groupBy("word").agg(count(lit(1)).as("df"))
-    // dl is functional on docId; the scalars use an EXPLICIT exact
-    // integer sum / count division (one rounding, replayable) rather
-    // than avg() whose accumulation is engine-internal
-    val lens = tf.groupBy("docId").agg(max(col("dl")).as("dl"))
-    val stats = lens.agg(
-      count(lit(1)).cast("double").as("n_docs"),
-      (sum(col("dl")).cast("double") / count(lit(1)).cast("double"))
-        .as("avgdl"))
+    val kept = maxDocFrequency match {
+      case Some(maxDf) => dfTab.filter(col("df") <= maxDf)
+      case None => dfTab
+    }
+    val enriched = enrichedQueryTerms(kept, stats, queries, qidCol, qtextCol)
+    scoreFold(postingContribs(tf, enriched, k1, b), bitExact)
+  }
+
+  /** The query-term table with idf + corpus scalars folded in
+    * (query-batch-sized — the posting join needs nothing else):
+    * `(queryId, word, avgdl, idf, df)`. The df rides along for
+    * [[bm25TopKWand]]'s rare/hot split; [[bm25ScoresPrecomputed]]
+    * ignores it.
+    */
+  private def enrichedQueryTerms(dfTab: DataFrame, stats: DataFrame,
+                                 queries: DataFrame, qidCol: String,
+                                 qtextCol: String): DataFrame = {
     val qTerms = queries
       .filter(col(qidCol).isNotNull && lower(col(qtextCol)).rlike("[a-z0-9]"))
       .select(col(qidCol).as("queryId"),
         TextFunctions.normalizeTokens(col(qtextCol)).as("__qt"))
       .select(col("queryId"), explode_outer(col("__qt")).as("word"))
       .filter(col("word").isNotNull)
-    // idf + scalars fold into the query-term table (query-batch-sized:
-    // the posting join needs nothing else); the optional stop-term
-    // prune rides the same tiny table
-    val kept = maxDocFrequency match {
-      case Some(maxDf) => dfTab.filter(col("df") <= maxDf)
-      case None => dfTab
-    }
-    val enriched = qTerms
-      .join(kept, Seq("word"))
-      .crossJoin(broadcast(stats))
+    // the scalars use an EXPLICIT exact integer sum / count division
+    // (one rounding, replayable) rather than avg() whose accumulation
+    // is engine-internal
+    val statsD = stats.select(
+      col("n_docs").cast("double").as("n_docs"),
+      (col("total_dl").cast("double") / col("n_docs").cast("double"))
+        .as("avgdl"))
+    qTerms
+      .join(dfTab, Seq("word"))
+      .crossJoin(broadcast(statsD))
       .select(col("queryId"), col("word"), col("avgdl"),
         log(lit(1.0) +
           (col("n_docs") - col("df").cast("double") + lit(0.5)) /
-            (col("df").cast("double") + lit(0.5))).as("idf"))
-    val contrib = tf.join(enriched, Seq("word"))
+            (col("df").cast("double") + lit(0.5))).as("idf"),
+        col("df"))
+  }
+
+  /** The per-(query, doc, word) BM25 contribution over joined
+    * `(tf, dl, idf, avgdl)` columns — the ONE arithmetic definition
+    * every scoring path shares (unpruned, precomputed, WAND candidate
+    * and forward-fetched hot branches), so they cannot drift by
+    * construction.
+    */
+  private def contribExpr(k1: Double, b: Double): Column =
+    col("idf") *
+      (col("tf").cast("double") * (lit(k1) + lit(1.0))) /
+      (col("tf").cast("double") + lit(k1) *
+        (lit(1.0) - lit(b) +
+          lit(b) * col("dl").cast("double") / col("avgdl")))
+
+  /** Per-(query, doc, word) BM25 contributions from a posting join of
+    * `tf` with an [[enrichedQueryTerms]] table.
+    */
+  private def postingContribs(tf: DataFrame, enriched: DataFrame,
+                              k1: Double, b: Double): DataFrame =
+    tf.join(enriched, Seq("word"))
       .select(col("queryId"), col("docId"), col("word"),
-        (col("idf") *
-          (col("tf").cast("double") * (lit(k1) + lit(1.0))) /
-          (col("tf").cast("double") + lit(k1) *
-            (lit(1.0) - lit(b) +
-              lit(b) * col("dl").cast("double") / col("avgdl"))))
-          .as("__c"))
-    // term-sorted fold (the q98/DSIR convention): bit-reproducible at
-    // any partitioning, and the oracle replays the identical tree;
-    // scale form: plain map-side-combined sum
+        contribExpr(k1, b).as("__c"))
+
+  /** Collapse `(queryId, docId, word, __c)` contributions to scores.
+    * Term-sorted fold (the q98/DSIR convention): bit-reproducible at
+    * any partitioning, and the oracle replays the identical tree;
+    * scale form (`bitExact = false`): plain map-side-combined sum.
+    */
+  private def scoreFold(contrib: DataFrame, bitExact: Boolean): DataFrame =
     if (bitExact)
       contrib.groupBy(col("queryId"), col("docId"))
         .agg(sort_array(collect_list(struct(col("word"), col("__c"))))
@@ -147,7 +254,6 @@ object Retrieval {
     else
       contrib.groupBy(col("queryId"), col("docId"))
         .agg(sum(col("__c")).as("score"))
-  }
 
   /** Top-k documents per query from a [[bm25Scores]] table: score
     * descending, docId ascending ties (exact-duplicate docs produce
@@ -167,6 +273,95 @@ object Retrieval {
       .filter(col("rank") <= k)
   }
 
+  /** SCORE-EXACT pruned top-k: WAND-style per-term upper-bound skipping
+    * (Broder et al. CIKM'03), re-expressed as a batch two-phase plan.
+    * Returns exactly `bm25TopK(bm25ScoresIndexed(tf, queries, ...), k)`
+    * — same rows, same scores (bitwise under `bitExact = true`; q182
+    * gates it against the unpruned DuckDB replay) — while the postings
+    * of terms with df above `hotDf` are never scanned through the
+    * word index. Where `maxDocFrequency` CHANGES scores by dropping
+    * hot terms, this prunes only work, never results.
+    *
+    * The two phases:
+    *   1. CANDIDATES — docs matching ≥ 1 RARE query term (df ≤ hotDf)
+    *     surface through the rare posting lists; their hot-term
+    *     contributions are then fetched PER CANDIDATE DOC through the
+    *     `forward` layout (the doc-keyed forward index — pass the tf
+    *     table bucketed by `docId`; defaults to `tf` itself), so each
+    *     candidate is scored over ALL its matched query terms and its
+    *     score is the exact full score. Matched-posting volume drops
+    *     from Σ df(hot terms) to |candidates| × doc length.
+    *   2. SAFETY — any doc OUTSIDE the candidate set matches only hot
+    *     terms, so its score is < `ub(q) = Σ_hot idf·(k1+1)` (the tf
+    *     saturation `tf(k1+1)/(tf+K) < k1+1` for K > 0; a 1e-9
+    *     relative margin absorbs double rounding, conservative for
+    *     queries up to ~10⁶ terms). A query whose kth candidate score
+    *     θ exceeds ub is SAFE: no pruned doc can enter its top k (ties
+    *     included — a tying doc would need score ≥ θ > its bound).
+    *     Queries with < k candidates or ub ≥ θ FALL BACK to the
+    *     unpruned pipeline — restricted to just those queries — so the
+    *     result is exact for every query, and the bound only decides
+    *     how much work was saved. Hot-only query batches degrade to
+    *     exactly the unpruned plan, never to a wrong answer.
+    *
+    * At ingest both phases are exchange-free on the index side with the
+    * two persisted layouts (word-bucketed postings for the rare probe,
+    * docId-bucketed forward table for the candidate fetch) — the same
+    * two-layout contract as [[Jaccard.thresholdMatchesPosted]]. `tf` is
+    * referenced up to 5× (df, scalars, rare probe, forward default,
+    * fallback): persisted state at ingest, materialize-first otherwise.
+    */
+  def bm25TopKWand(tf: DataFrame,
+                   queries: DataFrame, qidCol: String, qtextCol: String,
+                   k: Int, hotDf: Long,
+                   k1: Double = 1.2, b: Double = 0.75,
+                   bitExact: Boolean = true,
+                   forward: Option[DataFrame] = None): DataFrame = {
+    require(k > 0, s"k > 0: $k")
+    require(hotDf >= 0, s"hotDf >= 0: $hotDf")
+    require(k1 >= 0 && b >= 0 && b <= 1, s"k1 >= 0, b in [0,1]: $k1, $b")
+    val dfTab = dfTable(tf)
+    val stats = corpusStats(tf)
+    // query-batch-sized, consumed 3× (rare, hot, bound) — eager
+    val enriched = enrichedQueryTerms(dfTab, stats, queries,
+      qidCol, qtextCol).localCheckpoint()
+    val rare = enriched.filter(col("df") <= hotDf)
+    val hot = enriched.filter(col("df") > hotDf)
+    // conservative per-query bound on any hot-only doc's score
+    val hotUb = hot.groupBy("queryId")
+      .agg((sum(col("idf")) * lit((k1 + 1.0) * (1.0 + 1e-9))).as("__ub"))
+    // phase 1: candidates via the rare postings, then full scores with
+    // the hot contributions fetched doc-wise through the forward layout
+    val rareContrib = postingContribs(tf, rare, k1, b)
+    val candPairs = rareContrib.select("queryId", "docId").distinct()
+    val fwd = forward.getOrElse(tf)
+    val hotContrib = candPairs.join(fwd, Seq("docId"))
+      .join(hot, Seq("queryId", "word"))
+      .select(col("queryId"), col("docId"), col("word"),
+        contribExpr(k1, b).as("__c"))
+    val candScores = scoreFold(rareContrib.unionByName(hotContrib), bitExact)
+    val w = Window.partitionBy(col("queryId"))
+      .orderBy(col("score").desc, col("docId").asc)
+    // result-sized (≤ queries × k rows), consumed 2× (θ + safe output)
+    val topkCand = candScores.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k).localCheckpoint()
+    val theta = topkCand.filter(col("rank") === k)
+      .select(col("queryId"), col("score").as("__theta"))
+    // phase 2: a θ row missing means < k candidates; either way a
+    // reachable bound sends the query to the exact fallback
+    val unsafeQ = hotUb.join(theta, Seq("queryId"), "left_outer")
+      .filter(col("__theta").isNull || col("__ub") >= col("__theta"))
+      .select("queryId").localCheckpoint()
+    val safeTopK = topkCand.join(unsafeQ, Seq("queryId"), "left_anti")
+    val fallback = bm25TopK(
+      bm25ScoresPrecomputed(tf, dfTab, stats,
+        queries.join(unsafeQ.select(col("queryId").as(qidCol)),
+          Seq(qidCol), "left_semi"),
+        qidCol, qtextCol, k1, b, bitExact), k)
+    safeTopK.select("queryId", "docId", "score", "rank")
+      .unionByName(fallback.select("queryId", "docId", "score", "rank"))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. SIGIR'09): combine any
     * number of per-query rankings — BM25, an ANN list, a Jaccard
     * neighbor list — into one, scoring each (query, doc) by
@@ -176,7 +371,12 @@ object Retrieval {
     * standard hybrid-retrieval combiner and deliberately the simplest.
     *
     * Inputs are `(queryId, docId, rank)` tables ([[bm25TopK]]'s
-    * shape). Output: `(queryId, docId, rrf_score, rank)`, top `k` per
+    * shape). A well-formed ranking has ONE row per (queryId, docId);
+    * inputs are defensively collapsed to `min(rank)` per pair before
+    * the union (a no-op for well-formed top-k tables — the aggregate
+    * is result-set-sized), so a caller passing a raw match table with
+    * repeated pairs cannot silently inflate the fused sum.
+    * Output: `(queryId, docId, rrf_score, rank)`, top `k` per
     * query, score descending with docId ascending ties.
     *
     * Scale shape: everything is result-set-sized — a union of the
@@ -191,9 +391,14 @@ object Retrieval {
     require(rankings.nonEmpty, "at least one ranking")
     require(k > 0 && k0 >= 0, s"k > 0, k0 >= 0: $k, $k0")
     val contribs = rankings.zipWithIndex.map { case (r, i) =>
-      r.select(col("queryId"), col("docId"), lit(i).as("__src"),
-        (lit(1.0) / (lit(k0).cast("double") + col("rank").cast("double")))
-          .as("__rrf"))
+      // min-rank collapse: enforce the one-row-per-(query, doc)
+      // precondition instead of documenting it (identity for
+      // well-formed top-k inputs, so the fused scores are unchanged)
+      r.groupBy(col("queryId"), col("docId"))
+        .agg(min(col("rank")).as("__rk"))
+        .select(col("queryId"), col("docId"), lit(i).as("__src"),
+          (lit(1.0) / (lit(k0).cast("double") + col("__rk").cast("double")))
+            .as("__rrf"))
     }.reduce(_ unionByName _)
     val w = Window.partitionBy(col("queryId"))
       .orderBy(col("rrf_score").desc, col("docId").asc)

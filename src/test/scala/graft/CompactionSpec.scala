@@ -130,6 +130,102 @@ class CompactionSpec extends SparkSpec {
     assert(layout(viaSet) === layout(viaPosted))
   }
 
+  private def assertDeleteParity(corpus: DataFrame,
+                                 deleteIds: Seq[Long]): Unit = {
+    val compacted = Jaccard.compactIndexDeleted(
+      Jaccard.dfOrderedSets(Jaccard.tokenized(corpus)),
+      deleteIds.toDF("docId"))
+    val rebuilt = Jaccard.dfOrderedSets(Jaccard.tokenized(
+      corpus.filter(!col("docId").isin(deleteIds: _*))))
+    assert(layout(compacted) === layout(rebuilt))
+  }
+
+  test("deletion compaction equals the rebuild on the survivors") {
+    // a sole-owner word vanishing with its doc, shared words shifting
+    // survivor ranks, a df tie re-broken lexicographically, and an
+    // untouched doc riding through
+    val corpus = docs(
+      1L -> "spark scala join shuffle partition",
+      2L -> "spark scala join broadcast",
+      3L -> "quantum qubits decohere",
+      4L -> "alpha beta gamma",
+      5L -> "spark shuffle solo")
+    assertDeleteParity(corpus, Seq(2L, 3L))
+  }
+
+  test("df shrink re-orders a SURVIVOR's tokens exactly as the rebuild") {
+    // df(com)=3 > df(rare)=2 before; deleting docs 3 and 4 leaves
+    // df(com)=1 = df(rare)... doc 1 must re-rank even though doc 1
+    // itself is untouched by the deletion
+    val corpus = docs(
+      1L -> "rare com",
+      2L -> "rare other",
+      3L -> "com x",
+      4L -> "com y")
+    assertDeleteParity(corpus, Seq(3L, 4L))
+    val compacted = layout(Jaccard.compactIndexDeleted(
+      Jaccard.dfOrderedSets(Jaccard.tokenized(corpus)),
+      Seq(3L, 4L).toDF("docId")))
+    // merged df: com 1, rare 2 -> doc 1 sorts [com, rare] (was the
+    // other way: com 3 > rare 2 -> [rare, com])
+    assert(compacted(1L)._2 === List("com", "rare"))
+  }
+
+  test("deleting unknown ids is a no-op; deleting all docs empties") {
+    val corpus = docs(1L -> "spark scala", 2L -> "quantum qubits")
+    assertDeleteParity(corpus, Seq(99L))
+    val all = Jaccard.compactIndexDeleted(
+      Jaccard.dfOrderedSets(Jaccard.tokenized(corpus)),
+      Seq(1L, 2L, 99L).toDF("docId"))
+    assert(all.count() === 0)
+  }
+
+  test("append then delete chains equal one rebuild on the net corpus") {
+    val idx = docs(
+      1L -> "spark scala join shuffle",
+      2L -> "quantum qubits decohere",
+      3L -> "alpha beta spark")
+    val batch = docs(11L -> "spark qubits fresh", 12L -> "beta gamma")
+    val step1 = Jaccard.compactIndex(
+      Jaccard.dfOrderedSets(Jaccard.tokenized(idx)), Jaccard.tokenized(batch))
+    val step2 = Jaccard.compactIndexDeleted(step1.localCheckpoint(),
+      Seq(1L, 12L).toDF("docId"))
+    val rebuilt = Jaccard.dfOrderedSets(Jaccard.tokenized(
+      idx.unionByName(batch).filter(!col("docId").isin(1L, 12L))))
+    assert(layout(step2) === layout(rebuilt))
+  }
+
+  test("deletion parity holds on seeded random corpora and delete sets") {
+    val rnd = new scala.util.Random(1519)
+    val vocab = (1 to 25).map(i => s"tok$i")
+    for (trial <- 1 to 3) {
+      val rows = (1L to 60L).map { id =>
+        val n = 1 + rnd.nextInt(8)
+        (id + trial * 1000L) -> rnd.shuffle(vocab).take(n).mkString(" ")
+      }
+      val dels = rnd.shuffle(rows.map(_._1)).take(5 + rnd.nextInt(20))
+      assertDeleteParity(docs(rows: _*), dels)
+    }
+  }
+
+  test("deletion: posted form equals the set-form entry point") {
+    val corpus = docs(
+      1L -> "spark scala join shuffle",
+      2L -> "quantum qubits decohere",
+      3L -> "spark qubits crossover")
+    val setForm = Jaccard.dfOrderedSets(Jaccard.tokenized(corpus))
+      .localCheckpoint()
+    val del = Seq(3L).toDF("docId")
+    val viaSet = Jaccard.compactIndexDeleted(setForm, del)
+    val viaPosted = Jaccard.compactIndexDeletedPosted(setForm,
+      Jaccard.indexPostings(setForm).localCheckpoint(), del)
+    assert(layout(viaSet) === layout(viaPosted))
+    // survivors disjoint from the deleted vocabulary ride an anti-join
+    val plan = viaSet.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LeftAnti"),
+      s"untouched rows must ride an anti-join, got:\n$plan")
+  }
+
   test("docs disjoint from the batch ride through the anti-join branch") {
     // behavioral pin of the untouched path: with a batch vocabulary
     // disjoint from doc 2's tokens, doc 2's row must come out VERBATIM

@@ -179,6 +179,148 @@ class RetrievalSpec extends SparkSpec {
     assert(tie === List(29L, 30L))
   }
 
+  test("rrfFuse collapses duplicate rows within one ranking to min rank") {
+    // a malformed input carrying the same (query, doc) twice must not
+    // inflate the fused sum — the min-rank collapse keeps the best rank
+    val a = Seq((1L, 10L, 1), (1L, 10L, 3), (1L, 11L, 2))
+      .toDF("queryId", "docId", "rank")
+    val fused = Retrieval.rrfFuse(Seq(a), k = 10)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(fused === Map(10L -> 1.0 / 61.0, 11L -> 1.0 / 62.0))
+  }
+
+  test("precomputed df/stats tables score bitwise like the inline path") {
+    val qs = corpus.select(col("doc_id").as("query_id"), col("text"))
+    val tf = Retrieval.termFrequencies(corpus, "doc_id", "text")
+      .localCheckpoint()
+    val inline = Retrieval.bm25ScoresIndexed(tf, qs, "query_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val pre = Retrieval.bm25ScoresPrecomputed(tf,
+      Retrieval.dfTable(tf).localCheckpoint(),
+      Retrieval.corpusStats(tf).localCheckpoint(),
+      qs, "query_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(inline === pre) // bitwise: Map equality on raw doubles
+  }
+
+  private def indexTriple(c: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val tf = Retrieval.termFrequencies(c, "doc_id", "text").localCheckpoint()
+    (tf, Retrieval.dfTable(tf).localCheckpoint(),
+      Retrieval.corpusStats(tf).localCheckpoint())
+  }
+
+  private def tripleLayout(tf: DataFrame, dfT: DataFrame, st: DataFrame)
+      : (Set[(Long, Long, String, Long)], Set[(String, Long)],
+         Set[(Long, Long)]) =
+    (tf.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3))).toSet,
+      dfT.collect().map(r => (r.getString(0), r.getLong(1))).toSet,
+      st.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+
+  test("compacted term index equals the rebuild on the union") {
+    val idxDocs = docs(
+      1L -> "apple banana apple",
+      2L -> "banana cherry",
+      3L -> "cherry cherry cherry date")
+    val batch = docs(
+      11L -> "banana elder banana",
+      12L -> "fig")
+    val (tf0, df0, st0) = indexTriple(idxDocs)
+    val (tfM, dfM, stM) = Retrieval.compactTermIndex(tf0, df0, st0,
+      Retrieval.termFrequencies(batch, "doc_id", "text").localCheckpoint())
+    val (tfR, dfR, stR) = indexTriple(idxDocs.unionByName(batch))
+    assert(tripleLayout(tfM, dfM, stM) === tripleLayout(tfR, dfR, stR))
+  }
+
+  test("chained compactions score bitwise like the full rebuild") {
+    val rnd = new scala.util.Random(15)
+    val vocab = (1 to 15).map(i => s"tok$i")
+    def randDocs(ids: Range): Seq[(Long, String)] = ids.map { id =>
+      id.toLong -> Seq.fill(2 + rnd.nextInt(8))(
+        vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val base = randDocs(1 to 30)
+    val b1 = randDocs(31 to 40)
+    val b2 = randDocs(41 to 50)
+    val (tf0, df0, st0) = indexTriple(base.toDF("doc_id", "text"))
+    val (tf1, df1, st1) = Retrieval.compactTermIndex(tf0, df0, st0,
+      Retrieval.termFrequencies(b1.toDF("doc_id", "text"), "doc_id", "text")
+        .localCheckpoint())
+    val (tf2, df2, st2) = Retrieval.compactTermIndex(
+      tf1.localCheckpoint(), df1.localCheckpoint(), st1.localCheckpoint(),
+      Retrieval.termFrequencies(b2.toDF("doc_id", "text"), "doc_id", "text")
+        .localCheckpoint())
+    val qs = randDocs(100 to 104).toDF("query_id", "text")
+    val viaCompact = Retrieval.bm25ScoresPrecomputed(
+      tf2.localCheckpoint(), df2.localCheckpoint(), st2.localCheckpoint(),
+      qs, "query_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val viaRebuild = scores2((base ++ b1 ++ b2).toDF("doc_id", "text"), qs)
+    assert(viaCompact === viaRebuild) // bitwise
+  }
+
+  private def topkSet(df: DataFrame): Set[(Long, Long, Double, Int)] =
+    df.select(col("queryId"), col("docId"), col("score"),
+      col("rank").cast("int")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+
+  test("WAND top-k equals the unpruned top-k bitwise at every hotDf") {
+    // seeded Zipf-ish corpus: tok1 hot (in most docs), a rare tail —
+    // hotDf sweeps from everything-hot (pure fallback) through mixed
+    // (prune + fallback) to everything-rare (pure candidate path)
+    val rnd = new scala.util.Random(182)
+    val corpusRows = (1L to 80L).map { id =>
+      val words = Seq.fill(6 + rnd.nextInt(6)) {
+        val u = rnd.nextInt(40)
+        s"tok${40 / (u + 1)}"
+      }
+      id -> words.mkString(" ")
+    }
+    val queryRows = (200L to 207L).map { id =>
+      val head = Seq.fill(2)(s"tok${40 / (rnd.nextInt(40) + 1)}")
+      val tail = Seq.fill(2)(s"tok${13 + rnd.nextInt(28)}")
+      id -> (if (id % 4 == 3) head else head ++ tail).mkString(" ")
+    }
+    val c = corpusRows.toDF("doc_id", "text")
+    val qs = queryRows.toDF("query_id", "text")
+    val tf = Retrieval.termFrequencies(c, "doc_id", "text").localCheckpoint()
+    val unpruned = topkSet(Retrieval.bm25TopK(
+      Retrieval.bm25ScoresIndexed(tf, qs, "query_id", "text"), 5))
+    for (hotDf <- Seq(0L, 3L, 10L, 30L, 1000L)) {
+      val wand = topkSet(Retrieval.bm25TopKWand(tf, qs,
+        "query_id", "text", k = 5, hotDf = hotDf))
+      assert(wand === unpruned, s"hotDf=$hotDf")
+    }
+  }
+
+  test("WAND safe path prunes hot-only docs without a fallback") {
+    // rare terms concentrate huge idf on docs 1-2; doc 3 shares only
+    // the hot term, whose bound (idf ~ 0 with df = n) cannot reach the
+    // kth candidate score -> the query is SAFE, doc 3 is pruned by
+    // BOUND, and the result still equals the unpruned ranking
+    val c = docs(
+      1L -> "rareword common filler1",
+      2L -> "rareword common filler2",
+      3L -> "common only hot",
+      4L -> "common another doc",
+      5L -> "common more text")
+    val qs = Seq((1L, "rareword common")).toDF("query_id", "text")
+    val tf = Retrieval.termFrequencies(c, "doc_id", "text").localCheckpoint()
+    val unpruned = Retrieval.bm25TopK(
+      Retrieval.bm25ScoresIndexed(tf, qs, "query_id", "text"), 2)
+    val wand = Retrieval.bm25TopKWand(tf, qs, "query_id", "text",
+      k = 2, hotDf = 2L)
+    assert(topkSet(wand) === topkSet(unpruned))
+    // the top 2 are exactly the rareword docs
+    assert(wand.select("docId").collect().map(_.getLong(0)).toSet
+      === Set(1L, 2L))
+  }
+
   test("degenerate inputs drop on both sides") {
     val messy = docs(1L -> "apple banana") // plus nulls/empties below
       .unionByName(Seq((Option.empty[Long], Option("apple")),
