@@ -141,6 +141,25 @@ private[graft] object JaccardQueries {
           concat_ws(",", col("sorted_tokens")).as("sorted_tokens"))
         .repartition(1).sortWithinPartitions("doc_id")  // see q177
     }),
+    // Deletion-side compaction (q178's mirror): remove the src0 docs
+    // from the full-corpus dfOrderedSets index. The oracle is the
+    // from-scratch rebuild over the SURVIVORS replayed in SQL, so a
+    // drift in the subtractive df merge, the vanished-word handling,
+    // or the affected-survivor re-rank breaks the serialized per-doc
+    // token ORDER.
+    "q184_jac_compact_deleted" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").as("docId"), col("text"), col("source"))
+      // index materialized (consumed 5x across its two layouts); the
+      // delete set is id-width
+      val idx = Jaccard.dfOrderedSets(Jaccard.tokenized(docs))
+        .localCheckpoint()
+      Jaccard.compactIndexDeleted(idx,
+        docs.filter(col("source") === "src0").select(col("docId")))
+        .select(col("docId").as("doc_id"), col("sz"),
+          concat_ws(",", col("sorted_tokens")).as("sorted_tokens"))
+        .repartition(1).sortWithinPartitions("doc_id")  // see q177
+    }),
     // Directed containment join (|A∩B|/|A| >= t) — again gated against
     // the pruning-free brute force.
     "q174_jac_containment_join" -> ((s, dir) => {
@@ -362,6 +381,24 @@ private[graft] object JaccardQueries {
     "q178_jac_compact_index" ->
       s"""WITH $ToksCte,
          |base AS (SELECT doc_id, tokens FROM toks WHERE len(tokens) > 0),
+         |posts AS (SELECT doc_id, unnest(tokens) AS word FROM base),
+         |df AS (SELECT word, count(*) AS df FROM posts GROUP BY word)
+         |SELECT p.doc_id, CAST(count(*) AS BIGINT) AS sz,
+         |  array_to_string(list(p.word ORDER BY d.df, p.word), ',')
+         |    AS sorted_tokens
+         |FROM posts p JOIN df d ON d.word = p.word
+         |GROUP BY p.doc_id
+         |ORDER BY p.doc_id""".stripMargin,
+    // The survivor rebuild: toks joined back to documents for the
+    // source split (the q177 pattern), df from the SURVIVORS' postings
+    // only, per-doc token list ordered by (df, word) — a deleted doc
+    // leaking into the df counts or a skipped survivor re-rank breaks
+    // the order
+    "q184_jac_compact_deleted" ->
+      s"""WITH $ToksCte,
+         |base AS (SELECT t.doc_id, t.tokens
+         |         FROM toks t JOIN documents d USING (doc_id)
+         |         WHERE len(t.tokens) > 0 AND d.source <> 'src0'),
          |posts AS (SELECT doc_id, unnest(tokens) AS word FROM base),
          |df AS (SELECT word, count(*) AS df FROM posts GROUP BY word)
          |SELECT p.doc_id, CAST(count(*) AS BIGINT) AS sz,

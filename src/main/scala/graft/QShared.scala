@@ -195,6 +195,38 @@ private[graft] object QShared {
         (k - 2) / 16.0)
     }
 
+  /** Shared Zipf-text fixture for retrieval-shaped queries (round-14
+    * finding: the documents fixture's 31-word flat vocabulary is
+    * DEGENERATE for retrieval — every term has df ≈ 0.77·N, so there
+    * is no rare/hot structure for df-driven operators to exercise).
+    * Token j of doc d is `w⌊mod/(u+1)⌋` with `u = md5_60("salt:d:j")
+    * mod mod` — a closed-form Zipf draw (`w1` takes half of all
+    * tokens, the tail is rare) both engines compute IDENTICALLY:
+    * the md5-60 hash is the [[h60]] convention, the division is one
+    * IEEE double op, and `floor` agrees because both sides floor the
+    * same double. [[zipfTextSql]] is generated from the same shape so
+    * the Spark column and the oracle literal cannot drift.
+    */
+  def zipfText(d: Column, nTokens: Int, mod: Int, salt: String): Column =
+    concat_ws(" ", transform(sequence(lit(0), lit(nTokens - 1)),
+      j => concat(lit("w"),
+        floor(lit(mod).cast("double") /
+          (pmod(graft.functions.HashFunctions.md5Long(
+            concat_ws(":", lit(salt), d.cast("string"), j.cast("string"))),
+            lit(mod)) + lit(1L)).cast("double")).cast("string"))))
+
+  /** DuckDB replay of [[zipfText]] over column expression `d`. ONE
+    * line on purpose: the fragment nests inside consumers' own
+    * `stripMargin` strings, where a continuation line starting with
+    * `||` loses a pipe per enclosing strip.
+    */
+  def zipfTextSql(d: String, nTokens: Int, mod: Int, salt: String): String =
+    s"array_to_string(['w' || CAST(CAST(floor(CAST($mod AS DOUBLE) / " +
+      s"CAST((('0x' || substr(md5('$salt:' || CAST($d AS VARCHAR) || " +
+      s"':' || CAST(j AS VARCHAR)), 1, 15))::BIGINT % $mod) + 1 " +
+      s"AS DOUBLE)) AS BIGINT) AS VARCHAR) " +
+      s"FOR j IN generate_series(0, ${nTokens - 1})], ' ')"
+
   // ------------------------------------------------------------ oracle SQL
 
   /** Java's `\s` is `[ \t\n\x0B\f\r]` but RE2's (DuckDB's) `\s` omits

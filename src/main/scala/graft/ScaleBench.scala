@@ -151,7 +151,8 @@ object ScaleBench {
     val thresholdSectionLabels = (for {
       base <- Seq("threshold_matches_posted_10x",
         "threshold_matches_unbucketed_10x",
-        "compact_index_10x", "rebuild_index_10x")
+        "compact_index_10x", "rebuild_index_10x",
+        "compact_deleted_10x", "rebuild_survivors_10x")
       round <- Seq("cold", "warm")
     } yield s"$base $round") :+ "threshold_index_write_once"
     if (only.forall(s => thresholdSectionLabels.exists(_.contains(s)))) {
@@ -205,6 +206,24 @@ object ScaleBench {
           Jaccard.dfOrderedSets(shing(docs).localCheckpoint())
             .write.format("noop").mode("overwrite").save()
         }
+        // deletion-side compaction vs the survivor rebuild: take every
+        // 7th indexed doc OUT of the persisted 40k index (subtractive
+        // df merge + affected-survivor re-rank, zero re-tokenization —
+        // reads only the persisted layouts) vs dfOrderedSets from the
+        // surviving corpus text
+        time(s"compact_deleted_10x $round") {
+          Jaccard.compactIndexDeletedPosted(spark.table("sb_idx_sets"),
+            spark.table("sb_idx_posts"),
+            docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 7 === 0)
+              .select(col("doc_id").as("docId")))
+            .write.format("noop").mode("overwrite").save()
+        }
+        time(s"rebuild_survivors_10x $round") {
+          Jaccard.dfOrderedSets(
+            shing(docs.filter(col("doc_id") % 5 =!= 0 &&
+              col("doc_id") % 7 =!= 0)).localCheckpoint())
+            .write.format("noop").mode("overwrite").save()
+        }
       }
     }
     // BM25 retrieval steady state at 50k docs over a ZIPF-shaped
@@ -226,7 +245,9 @@ object ScaleBench {
     // only the rare tail survives) is the production config and the
     // unpruned arm prices what the prune saves.
     val bm25SectionLabels = (for {
-      base <- Seq("bm25_topk_10x", "bm25_topk_pruned_10x")
+      base <- Seq("bm25_topk_10x", "bm25_topk_pruned_10x",
+        "bm25_topk_wand_10x", "bm25_compact_index_10x",
+        "bm25_rebuild_index_10x")
       round <- Seq("cold", "warm")
     } yield s"$base $round") :+ "bm25_index_write_once"
     if (only.forall(s => bm25SectionLabels.exists(_.contains(s)))) {
@@ -234,22 +255,37 @@ object ScaleBench {
         concat(lit("w"), floor(lit(20000) /
           (pmod(hash(col("id"), j), lit(mod)) + lit(1)))
           .cast("long").cast("string"))
-      def zipfDocs(n: Int, toks: Int): DataFrame =
-        spark.range(n).select(col("id").as("doc_id"),
+      def zipfDocs(start: Long, end: Long, toks: Int): DataFrame =
+        spark.range(start, end).select(col("id").as("doc_id"),
           concat_ws(" ", transform(sequence(lit(0), lit(toks - 1)),
             j => zipfTok(j, 20000))).as("text"))
       val tB = System.nanoTime()
       locally {
-        val t = "sb_bm25_tf"
-        spark.sql(s"DROP TABLE IF EXISTS $t")
-        val p = new org.apache.hadoop.fs.Path(
-          spark.conf.get("spark.sql.warehouse.dir"), t)
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .delete(p, true)
-        graft.operators.Retrieval
-          .termFrequencies(zipfDocs(50000, 100), "doc_id", "text")
-          .write.bucketBy(32, "word").sortBy("word")
-          .mode("overwrite").saveAsTable(t)
+        for (t <- Seq("sb_bm25_tf", "sb_bm25_fwd", "sb_bm25_df",
+          "sb_bm25_stats")) {
+          spark.sql(s"DROP TABLE IF EXISTS $t")
+          val p = new org.apache.hadoop.fs.Path(
+            spark.conf.get("spark.sql.warehouse.dir"), t)
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(p, true)
+        }
+        // ONE tokenizer pass feeds all four persisted layouts: the
+        // word-bucketed posting table (rare probes, df aggregation),
+        // the docId-bucketed FORWARD table (WAND's candidate fetch —
+        // the Jaccard two-layout contract on the retrieval side), and
+        // the additive df/stat tables (compactTermIndex's state, what
+        // bm25ScoresPrecomputed probes without index-side aggregates)
+        val tf = graft.operators.Retrieval
+          .termFrequencies(zipfDocs(0, 50000, 100), "doc_id", "text")
+          .localCheckpoint()
+        tf.write.bucketBy(32, "word").sortBy("word")
+          .mode("overwrite").saveAsTable("sb_bm25_tf")
+        tf.write.bucketBy(32, "docId").sortBy("docId")
+          .mode("overwrite").saveAsTable("sb_bm25_fwd")
+        graft.operators.Retrieval.dfTable(tf)
+          .write.mode("overwrite").saveAsTable("sb_bm25_df")
+        graft.operators.Retrieval.corpusStats(tf)
+          .write.mode("overwrite").saveAsTable("sb_bm25_stats")
       }
       println(f"[scalebench] bm25_index_write_once: ${
         (System.nanoTime() - tB) / 1e9}%.2f s")
@@ -275,6 +311,47 @@ object ScaleBench {
               spark.table("sb_bm25_tf"), bm25Queries, "query_id", "text",
               bitExact = false, maxDocFrequency = Some(5000L)), 5)
             .count())
+        }
+        // SCORE-EXACT pruning at the same df cut: same answers as the
+        // unpruned arm (q182's gate), hot postings fetched per
+        // candidate through the docId-bucketed forward table instead
+        // of scanned through the word index — read the wall against
+        // both bm25_topk_10x (what exactness used to cost) and
+        // bm25_topk_pruned_10x (what score-changing pruning buys)
+        time(s"bm25_topk_wand_10x $round") {
+          println("  topk_rows=" + graft.operators.Retrieval.bm25TopKWand(
+            spark.table("sb_bm25_tf"), bm25Queries, "query_id", "text",
+            k = 5, hotDf = 5000L, bitExact = false,
+            forward = Some(spark.table("sb_bm25_fwd")),
+            dfStats = Some((spark.table("sb_bm25_df"),
+              spark.table("sb_bm25_stats"))))
+            .count())
+        }
+        // fold a 10k-doc micro-batch into the persisted 50k index
+        // (tf append + additive df/scalar merges — re-tokenizes ONLY
+        // the batch) vs the from-scratch 60k rebuild (re-tokenizes
+        // everything): the steady-state ingest story, q183's gate
+        time(s"bm25_compact_index_10x $round") {
+          val batchTf = graft.operators.Retrieval
+            .termFrequencies(zipfDocs(50000, 60000, 100),
+              "doc_id", "text")
+            .localCheckpoint() // consumed 3x by the merge
+          val (tfM, dfM, stM) = graft.operators.Retrieval.compactTermIndex(
+            spark.table("sb_bm25_tf"), spark.table("sb_bm25_df"),
+            spark.table("sb_bm25_stats"), batchTf)
+          tfM.write.format("noop").mode("overwrite").save()
+          dfM.write.format("noop").mode("overwrite").save()
+          stM.write.format("noop").mode("overwrite").save()
+        }
+        time(s"bm25_rebuild_index_10x $round") {
+          val tf = graft.operators.Retrieval
+            .termFrequencies(zipfDocs(0, 60000, 100), "doc_id", "text")
+            .localCheckpoint()
+          tf.write.format("noop").mode("overwrite").save()
+          graft.operators.Retrieval.dfTable(tf)
+            .write.format("noop").mode("overwrite").save()
+          graft.operators.Retrieval.corpusStats(tf)
+            .write.format("noop").mode("overwrite").save()
         }
       }
     }

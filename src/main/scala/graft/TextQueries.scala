@@ -563,6 +563,93 @@ private[graft] object TextQueries {
           col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
     }),
+    // WAND-style SCORE-EXACT pruned top-k over the shared Zipf fixture
+    // (the documents vocabulary is df-flat — no rare/hot structure for
+    // the bound to act on; the Zipf corpus is the df shape retrieval
+    // actually faces). The ORACLE IS THE UNPRUNED RANKING — equality
+    // proves the per-term upper bound and the candidate restriction
+    // lose no true top-k row. Queries mix 4 head-biased draws with 2
+    // rare-tail draws (hotDf=50 splits them); every 100th-id query is
+    // deliberately HOT-ONLY and must come back through the exact
+    // fallback — both decision branches are inside the gate.
+    "q182_bm25_wand_topk" -> ((s, dir) => {
+      val corpus = t(s, dir, "documents").where(col("doc_id").isNotNull)
+        .select(col("doc_id"), zipfText(col("doc_id"), 30, 2000, "zc")
+          .as("text"))
+      val qs = t(s, dir, "documents").where(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("query_id"),
+          when(pmod(col("doc_id"), lit(100)) === 50,
+            zipfText(col("doc_id"), 4, 2000, "zq"))
+            .otherwise(concat_ws(" ",
+              zipfText(col("doc_id"), 4, 2000, "zq"),
+              zipfText(col("doc_id"), 2, 14, "zt"))).as("text"))
+      val tf = graft.operators.Retrieval
+        .termFrequencies(corpus, "doc_id", "text").localCheckpoint() // see q179
+      graft.operators.Retrieval.bm25TopKWand(tf, qs, "query_id", "text",
+        k = 5, hotDf = 50L)
+        .select(col("queryId").as("query_id"), col("docId").as("doc_id"),
+          round(col("score"), 6).as("score"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+    // BM25 incremental index compaction (the q178 pattern on the
+    // retrieval side): src0 arrives as a micro-batch into the persisted
+    // (tf, df, stats) triple; q180's probe through the COMPACTED tables
+    // must equal the DuckDB replay over the FULL corpus rebuild — a
+    // drift in the tf append, the additive df merge, or the exact
+    // scalar sums shifts idf/avgdl and breaks score rows
+    "q183_bm25_compact_index" -> ((s, dir) => {
+      import graft.operators.Retrieval
+      val docs = t(s, dir, "documents")
+      // persisted-state stand-ins (the operator's consumption contract:
+      // tf0 referenced 3x building the triple, batchTf 3x merging it)
+      val tf0 = Retrieval.termFrequencies(
+        docs.filter(col("source") =!= "src0"), "doc_id", "text")
+        .localCheckpoint()
+      val (tfM, dfM, stM) = Retrieval.compactTermIndex(tf0,
+        Retrieval.dfTable(tf0), Retrieval.corpusStats(tf0),
+        Retrieval.termFrequencies(
+          docs.filter(col("source") === "src0"), "doc_id", "text")
+          .localCheckpoint())
+      val qs = docs.where(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("query_id"),
+          substring(col("text"), 1, 40).as("text"))
+      Retrieval.bm25TopK(
+        Retrieval.bm25ScoresPrecomputed(tfM, dfM, stM,
+          qs, "query_id", "text"), 5)
+        .select(col("queryId").as("query_id"), col("docId").as("doc_id"),
+          round(col("score"), 6).as("score"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+    // the production hybrid pairing (q181 fused BM25 with exact
+    // Jaccard; this fuses it with the IVFADC ANN stack): BM25 top-10
+    // over short queries + residual-IVFADC top-10 over the same query
+    // ids, combined by RANK only — both component rankings AND the
+    // exact-rational fusion replay in ONE oracle
+    "q185_hybrid_dense_sparse" -> ((s, dir) => {
+      import graft.operators.{Pq, Retrieval}
+      val docs = t(s, dir, "documents")
+      val qs = docs.where(col("doc_id") < 20)
+        .select(col("doc_id").as("query_id"),
+          substring(col("text"), 1, 40).as("text"))
+      val tf = Retrieval.termFrequencies(docs, "doc_id", "text")
+        .localCheckpoint() // see q179
+      val bm25 = Retrieval.bm25TopK(
+        Retrieval.bm25ScoresIndexed(tf, qs, "query_id", "text"), 10)
+        .select(col("queryId"), col("docId"), col("rank"))
+      val embs = t(s, dir, "embeddings")
+      val (cents, cb, annQueries) = ivfAdcIndex(embs)
+      val ann = Pq.ivfPqTopKResidual(embs, annQueries, cents, cb,
+        "vec_id", "embedding", k = 10, nprobe = 2)
+        .select(col("query_id").as("queryId"),
+          col("neighbor_id").as("docId"), col("rank"))
+      Retrieval.rrfFuse(Seq(bm25, ann), k = 10)
+        .select(col("queryId").as("query_id"), col("docId").as("doc_id"),
+          round(col("rrf_score"), 9).as("rrf_score"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
   )
 
   /** The BM25 scoring chain replayed in SQL (shared by q179/q180):
@@ -571,14 +658,15 @@ private[graft] object TextQueries {
     * list_reduce fold matching the operator's sorted aggregate.
     */
   private def bm25Cte(corpusWhere: String, queryWhere: String,
-                      queryText: String = "text"): String =
+                      queryText: String = "text",
+                      corpusText: String = "text"): String =
     s"""corpus AS (
        |  SELECT doc_id, list_filter(string_split_regex(
-       |      regexp_replace(lower(text), '[^a-z0-9$WsClass]', ' ', 'g'),
+       |      regexp_replace(lower($corpusText), '[^a-z0-9$WsClass]', ' ', 'g'),
        |      '[$WsClass]+'), x -> x != '') AS ws
        |  FROM documents
        |  WHERE doc_id IS NOT NULL AND $corpusWhere
-       |    AND regexp_matches(lower(text), '[a-z0-9]')),
+       |    AND regexp_matches(lower($corpusText), '[a-z0-9]')),
        |tfv AS (
        |  SELECT doc_id, word, count(*) AS tf
        |  FROM (SELECT doc_id, unnest(ws) AS word FROM corpus)
@@ -1653,6 +1741,77 @@ private[graft] object TextQueries {
          |SELECT query_id, doc_id, round(score, 6) AS score,
          |  CAST(rank AS BIGINT) AS rank
          |FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // THE UNPRUNED RANKING over the Zipf corpus — no bound, no
+    // candidate restriction, no fallback split anywhere in the oracle:
+    // equality with the WAND path is the exactness proof
+    "q182_bm25_wand_topk" ->
+      s"""WITH ${bm25Cte("TRUE", "doc_id % 50 = 0",
+             s"""CASE WHEN doc_id % 100 = 50
+                |  THEN ${zipfTextSql("doc_id", 4, 2000, "zq")}
+                |  ELSE ${zipfTextSql("doc_id", 4, 2000, "zq")} || ' ' ||
+                |    ${zipfTextSql("doc_id", 2, 14, "zt")} END""".stripMargin,
+             zipfTextSql("doc_id", 30, 2000, "zc"))},
+         |ranked AS (
+         |  SELECT query_id, doc_id, score,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id) AS rank
+         |  FROM bscores)
+         |SELECT query_id, doc_id, round(score, 6) AS score,
+         |  CAST(rank AS BIGINT) AS rank
+         |FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // THE FULL-CORPUS REBUILD (q180's oracle verbatim): the compacted
+    // (tf, df, stats) triple must probe indistinguishably from an index
+    // built over the whole corpus at once
+    "q183_bm25_compact_index" ->
+      s"""WITH ${bm25Cte("TRUE", "doc_id % 97 = 0", "substr(text, 1, 40)")},
+         |ranked AS (
+         |  SELECT query_id, doc_id, score,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id) AS rank
+         |  FROM bscores)
+         |SELECT query_id, doc_id, round(score, 6) AS score,
+         |  CAST(rank AS BIGINT) AS rank
+         |FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // both component rankings replayed in full — the BM25 chain and the
+    // residual-IVFADC chain (the q119 CTEs, k=10) — then the fusion sum
+    // as a src-ordered list_reduce matching rrfFuse's sorted fold
+    "q185_hybrid_dense_sparse" ->
+      s"""WITH ${bm25Cte("TRUE", "doc_id < 20", "substr(text, 1, 40)")},
+         |bmtop AS (
+         |  SELECT query_id, doc_id, rank FROM (
+         |    SELECT query_id, doc_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score DESC, doc_id) AS rank
+         |    FROM bscores) WHERE rank <= 10),
+         |$IvfAdcCtes,
+         |anntop AS (
+         |  SELECT query_id, neighbor_id AS doc_id, rank
+         |  FROM ranked WHERE rank <= 10),
+         |fcontrib AS (
+         |  SELECT query_id, doc_id, 0 AS src,
+         |    1.0 / (60.0 + CAST(rank AS DOUBLE)) AS rrf FROM bmtop
+         |  UNION ALL
+         |  SELECT query_id, doc_id, 1,
+         |    1.0 / (60.0 + CAST(rank AS DOUBLE)) FROM anntop),
+         |fused AS (
+         |  SELECT query_id, doc_id,
+         |    list_reduce(list(rrf ORDER BY src), (a, x) -> a + x)
+         |      AS rrf_score
+         |  FROM fcontrib GROUP BY 1, 2)
+         |SELECT query_id, doc_id, round(rrf_score, 9) AS rrf_score,
+         |  CAST(frank AS BIGINT) AS rank
+         |FROM (
+         |  SELECT query_id, doc_id, rrf_score,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rrf_score DESC, doc_id) AS frank
+         |  FROM fused)
+         |WHERE frank <= 10
          |ORDER BY query_id, rank""".stripMargin,
   )
 }

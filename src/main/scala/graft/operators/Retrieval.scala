@@ -316,12 +316,18 @@ object Retrieval {
                    k: Int, hotDf: Long,
                    k1: Double = 1.2, b: Double = 0.75,
                    bitExact: Boolean = true,
-                   forward: Option[DataFrame] = None): DataFrame = {
+                   forward: Option[DataFrame] = None,
+                   dfStats: Option[(DataFrame, DataFrame)] = None)
+      : DataFrame = {
     require(k > 0, s"k > 0: $k")
     require(hotDf >= 0, s"hotDf >= 0: $hotDf")
     require(k1 >= 0 && b >= 0 && b <= 1, s"k1 >= 0, b in [0,1]: $k1, $b")
-    val dfTab = dfTable(tf)
-    val stats = corpusStats(tf)
+    // the persisted (dfTable, corpusStats) pair when the caller has it
+    // (the compactTermIndex layout): without it, BOTH aggregates run
+    // from the posting table per consumer — the enrichment and the
+    // fallback each read them, so the inline default pays ~4 extra
+    // full-index scans (measured ~2 s of the probe wall at 50k×100)
+    val (dfTab, stats) = dfStats.getOrElse((dfTable(tf), corpusStats(tf)))
     // query-batch-sized, consumed 3× (rare, hot, bound) — eager
     val enriched = enrichedQueryTerms(dfTab, stats, queries,
       qidCol, qtextCol).localCheckpoint()
