@@ -155,33 +155,13 @@ private[graft] object QShared {
   val BpeFixedMerges: Seq[(String, String)] =
     Seq(("a", "n"), ("s", "c"), ("sc", "an"), ("e", "r"))
 
-  /** q104's merge table as learned at sf0.01, fixed as literals for the
-    * oracle (the q106 precedent). The oracle does NOT trust these as the
-    * answer — it re-derives merge k as the argmax of pair stats over the
-    * vocabulary rewritten by merges < k, so DuckDB checks every row of
-    * the training loop's output even though the loop itself isn't SQL;
-    * the literals only pin the rewrite path, and a wrong literal would
-    * desynchronize the replayed argmax from Spark's row and fail the
-    * hash gate.
-    *
-    * SCOPE: the pinned path is sf0.01's — the driver's correctness gate
-    * runs there. At other scale factors the corpus statistics (and so
-    * the true argmax order) can differ; measured at sf0.1 the rank-7/8
-    * merges swap, and the replay correctly reports the divergence. A
-    * different gate SF means re-deriving these literals (run q104 and
-    * paste), not a code change.
-    *
-    * The pin hides NO performance issue (round-10 evidence, sf0.1
-    * measured via `learnMerges(verbose = true)`): after the one
-    * corpus-scale `wordCounts` pass, each merge round is a
-    * vocabulary-sized argmax + rewrite — warm ~0.15 s/round at sf0.1,
-    * 8 merges ≈ 1.7 s total; ScaleBench records the 10× walls. The
-    * single-row argmax collect is BPE's irreducible sequential
-    * dependency, not a scale bottleneck.
-    */
-  val BpeLearnedMerges: Seq[(String, String)] =
-    Seq(("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"),
-      ("s", "t"), ("m", "er"), ("a", "t"), ("l", "u"))
+  // (q104's learned-merge literal table lived here through round 14;
+  // round 15 de-pinned the oracle — it now derives every argmax from
+  // the data, so the gate holds at ANY scale factor and the literals
+  // are gone. BPE-training perf context, still true: after the one
+  // corpus-scale wordCounts pass, each merge round is a
+  // vocabulary-sized argmax + rewrite — warm ~0.15 s/round at sf0.1;
+  // ScaleBench bpe_learn_8merges_10x records the 10× walls.)
 
   /** q111's fixture component table: 4 pseudo-components over d=64 with
     * EXACT binary-representable entries (n/32, |n| ≤ 16) and offsets

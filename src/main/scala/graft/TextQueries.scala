@@ -1291,26 +1291,45 @@ private[graft] object TextQueries {
          |FROM pr GROUP BY left_sym, right_sym
          |ORDER BY pair_count DESC, left_sym, right_sym""".stripMargin,
 
-    // replay of the BPE training loop: step k rewrites the character
-    // vocabulary by the k-1 PRIOR merges (literals, nested rank-order
-    // folds — the q106 machinery) and re-derives merge k as the argmax
-    // of the resulting pair stats, tie order (count DESC, l, r) — every
-    // output row of Spark's driver loop is value-checked even though
-    // the loop itself isn't SQL-expressible
+    // FULL data-derived replay of the BPE training loop (no pinned
+    // literals — the oracle holds at ANY scale factor): step k derives
+    // merge k as the argmax of pair stats over the vocabulary rewritten
+    // by the DERIVED merges 1..k-1, tie order (count DESC, l, r). Each
+    // level's rewrite cross-joins the single-row argmax CTE and applies
+    // it through the same left-to-right non-overlapping fold as
+    // duckBpeFolds, with the pair coming from the data instead of a
+    // literal — so every output row of Spark's driver loop is
+    // value-checked even though the loop itself isn't SQL-expressible,
+    // and a drift in ANY earlier argmax desynchronizes every later
+    // rewrite and fails the hash gate.
     "q104_bpe_merges" -> {
-      val steps = BpeLearnedMerges.indices.map { i =>
-        val k = i + 1
-        s"""step$k AS (
-           |  SELECT $k AS merge_rank, left_sym, right_sym, pair_count FROM (
-           |    SELECT p.l AS left_sym, p.r AS right_sym,
-           |      CAST(sum(freq) AS BIGINT) AS pair_count
-           |    FROM (
-           |      SELECT unnest([{'l': s2[j], 'r': s2[j+1]}
-           |          FOR j IN generate_series(1, len(s2) - 1)]) AS p, freq
-           |      FROM (SELECT ${duckBpeFolds(BpeLearnedMerges.take(i))} AS s2, freq
-           |            FROM chars))
-           |    GROUP BY 1, 2
-           |    ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1))""".stripMargin
+      val n = 8
+      val steps = (1 to n).map { k =>
+        val prev = if (k == 1) "chars" else s"syms${k - 1}"
+        val argmax =
+          s"""m$k AS (
+             |  SELECT $k AS merge_rank, left_sym, right_sym, pair_count FROM (
+             |    SELECT p.l AS left_sym, p.r AS right_sym,
+             |      CAST(sum(freq) AS BIGINT) AS pair_count
+             |    FROM (
+             |      SELECT unnest([{'l': syms[j], 'r': syms[j+1]}
+             |          FOR j IN generate_series(1, len(syms) - 1)]) AS p, freq
+             |      FROM $prev)
+             |    GROUP BY 1, 2
+             |    ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1))""".stripMargin
+        // the last level needs no rewrite — nothing consumes syms(n)
+        val rewrite = if (k == n) "" else
+          s""",
+             |syms$k AS (
+             |  SELECT word, freq,
+             |    list_reduce(list_transform(syms, s -> [s]),
+             |      (acc, x) -> CASE WHEN acc[-1] = m.left_sym
+             |          AND x[1] = m.right_sym
+             |        THEN list_append(list_slice(acc, 1, len(acc) - 1),
+             |          m.left_sym || m.right_sym)
+             |        ELSE list_append(acc, x[1]) END) AS syms
+             |  FROM $prev CROSS JOIN m$k m)""".stripMargin
+        argmax + rewrite
       }
       s"""WITH $WordsCte,
          |wf AS (
@@ -1322,8 +1341,7 @@ private[graft] object TextQueries {
          |  FROM wf, unnest(generate_series(1, len(word))) AS t(i)
          |  GROUP BY word, freq),
          |${steps.mkString(",\n")}
-         |${BpeLearnedMerges.indices
-            .map(i => s"SELECT * FROM step${i + 1}")
+         |${(1 to n).map(k => s"SELECT * FROM m$k")
             .mkString("\nUNION ALL\n")}
          |ORDER BY merge_rank""".stripMargin
     },
