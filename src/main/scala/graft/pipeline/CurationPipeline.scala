@@ -270,10 +270,20 @@ object CurationPipeline {
     * lines verbatim (and composes with `html = true`: extraction emits
     * one line per source block, line dedup then removes the blocks a
     * site template repeats).
-    * `stageCounts` additionally reports survivor counts per stage — it
-    * caches the intermediates so each stage is evaluated once, at the
-    * cost of materializing them; leave it off for a single lazy DAG
-    * when only the curated output matters.
+    * `stageCounts` additionally reports survivor counts per stage —
+    * via `observe()` metrics riding the cascade's own pass (ONE
+    * CollectMetrics count per stage boundary, no per-stage caching or
+    * counting jobs; probed round 15: Spark collects a named metric
+    * once even when the observed subtree is duplicated by the
+    * cascade's self-joins). Two boundaries materialize eagerly
+    * (`localCheckpoint`): the gate/rewrite boundary — whose
+    * materialization fires every prefix observation, and which the
+    * dedup tail consumes 3× anyway — and the id-width keep set, so
+    * the caller's action over `curated` re-runs NOTHING of the
+    * cascade. (Observations do not survive a checkpoint, also probed:
+    * every observe sits upstream of one of the two eager checkpoints
+    * by construction.) Leave it off for a single fully-lazy DAG when
+    * only the curated output matters.
     */
   def run(docs: DataFrame, idCol: String, textCol: String,
           languages: Set[String] = Set("en"),
@@ -293,12 +303,18 @@ object CurationPipeline {
           repeatSpans: Option[Int] = None,
           stageCounts: Boolean = false,
           html: Boolean = false): Result = {
-    // intermediates cached for the stage-count run are unpersisted before
-    // returning; `curated` itself is never cached here — callers that will
-    // run multiple actions over it cache it themselves (Result scaladoc)
-    val toRelease = scala.collection.mutable.ListBuffer.empty[DataFrame]
-    def staged(df: DataFrame): DataFrame =
-      if (stageCounts) { toRelease += df; df.cache() } else df
+    // stage counts ride the plan as named CollectMetrics nodes — each
+    // boundary contributes one `count` metric to the pass that
+    // materializes it, instead of a cache + count job per stage
+    val obsList = scala.collection.mutable.ListBuffer
+      .empty[(String, org.apache.spark.sql.Observation)]
+    def observed(df: DataFrame, key: String): DataFrame =
+      if (!stageCounts) df
+      else {
+        val o = org.apache.spark.sql.Observation()
+        obsList += ((key, o))
+        df.observe(o, count(lit(1)).as("n"))
+      }
 
     // Every stage works on the SLIM (id, text) projection and produces an
     // id set; the full-width corpus is joined back exactly once at the
@@ -314,31 +330,31 @@ object CurationPipeline {
     // entities must be gone before any gate counts words
     val docsText = if (!html) docs else docs.select(col(idCol),
       graft.operators.Scrub.htmlToText(col(textCol)).as(textCol))
-    val slim0 =
+    val slim0 = observed(
       if (!clean) docsText.select(col(idCol), col(textCol)) else {
         graft.functions.GraftFunctions.register(docs.sparkSession)
         docsText.select(col(idCol),
           graft.functions.GraftFunctions.cleanText(col(textCol)).as(textCol))
-      }
+      }, "input")
     // optional C4 line rules (Raffel et al. §2.2): the other stage that
     // REWRITES text — RefinedWeb order puts line-level cleaning before
     // the quality gates, so everything downstream sees the kept lines
-    val slim = if (!c4Rules) slim0 else staged(
+    val slim = if (!c4Rules) slim0 else observed(
       graft.operators.Scrub.c4Clean(slim0, idCol, textCol)
         .filter(col("keep"))
-        .select(col(idCol), col("text_clean").as(textCol)))
+        .select(col(idCol), col("text_clean").as(textCol)), "after_c4")
 
     val q = TextAnalysis.qualityStats(slim, idCol, textCol)
       .filter(quality).select(col(idCol))
-    val afterQuality0 = staged(slim.join(q, idCol))
+    val afterQuality0 = observed(slim.join(q, idCol), "after_quality")
 
     // optional Gopher document rules (Rae et al. A1.1): a second,
     // stricter quality family — same slim-id-set shape
     val afterQuality =
       if (!gopherGate) afterQuality0
-      else staged(afterQuality0.join(
+      else observed(afterQuality0.join(
         TextAnalysis.gopherRules(afterQuality0, idCol, textCol)
-          .filter(col("keep")).select(col(idCol)), idCol))
+          .filter(col("keep")).select(col(idCol)), idCol), "after_gopher")
 
     // optional repetition gate (Gopher-style): drop boilerplate whose
     // duplicate-bigram fraction crosses the cap. Same slim-id-set shape
@@ -347,19 +363,19 @@ object CurationPipeline {
     // policy and fail the default minWords quality gate anyway.
     val afterRepetition = maxDupBigramFrac match {
       case None => afterQuality
-      case Some(cap) => staged(afterQuality.join(
+      case Some(cap) => observed(afterQuality.join(
         TextAnalysis.repetitionStats(afterQuality, idCol, textCol,
           ns = Seq(2))
           .filter(col("dup2gram_frac") <= cap)
-          .select(col(idCol)), idCol))
+          .select(col(idCol)), idCol), "after_repetition")
     }
 
-    val afterLang = staged(
+    val afterLang = observed(
       if (languages.isEmpty) afterRepetition
       else afterRepetition.join(
         TextAnalysis.langId(afterRepetition, idCol, textCol)
           .filter(col("lang_pred").isin(languages.toSeq.map(lit): _*))
-          .select(col(idCol)), idCol))
+          .select(col(idCol)), idCol), "after_language")
 
     // optional LM gate (CCNet-style): drop docs whose add-one-smoothed
     // average unigram log-probability under the reference corpus falls
@@ -369,11 +385,11 @@ object CurationPipeline {
     // default minWords quality gate upstream).
     val afterLm = lmReference match {
       case None => afterLang
-      case Some(ref) => staged(afterLang.join(
+      case Some(ref) => observed(afterLang.join(
         TextAnalysis.unigramLogProb(ref.select(col(textCol)), afterLang,
           idCol, textCol)
           .filter(col("avg_logprob") >= minAvgLogProb)
-          .select(col(idCol)), idCol))
+          .select(col(idCol)), idCol), "after_lm")
     }
 
     // benchmark decontamination: drop any doc whose n-gram coverage of a
@@ -381,13 +397,13 @@ object CurationPipeline {
     // small, so its postings broadcast; see Decontaminate scaladoc)
     val afterDecon = benchmarks match {
       case None => afterLm
-      case Some(bench) => staged(afterLm.join(
+      case Some(bench) => observed(afterLm.join(
         graft.operators.Decontaminate
           .ngramOverlap(afterLm, bench.select(col(idCol), col(textCol)),
             idCol, textCol, n = contaminationN,
             minCoverage = maxContamination)
           .select(col(idCol)).distinct(),
-        Seq(idCol), "left_anti"))
+        Seq(idCol), "left_anti"), "after_decontamination")
     }
 
     // optional WITHIN-doc repeated-span removal, in the REWRITE slot:
@@ -398,14 +414,17 @@ object CurationPipeline {
     // row-local (no exchange to reuse) and three downstream consumers
     // would otherwise each re-run it over the corpus; the materialized
     // RDD also gives AQE exact sizes for the joins above it.
+    // (the eager checkpoint here also fires every upstream observation
+    // at its materialization — probed; the observe goes downstream of
+    // it so the repeat count itself rides the NEXT boundary's pass)
     val afterRepeat = repeatSpans match {
       case None => afterDecon
-      case Some(width) => staged(
+      case Some(width) => observed(
         graft.operators.Chunking.dropRepeatedSpans(afterDecon, idCol,
           textCol, width)
           .filter(col("n_kept_tokens") > 0)
           .select(col(idCol), col("clean_text").as(textCol))
-          .localCheckpoint())
+          .localCheckpoint(), "after_repeat_spans")
     }
 
     // optional duplicated-span removal (RefinedWeb order: span/line
@@ -415,9 +434,9 @@ object CurationPipeline {
     // to nothing but boilerplate drop here. `spanMode` selects the
     // granularity: fixed chunks, or ExactSubstr arbitrary boundaries
     // (the only mode that removes a duplicate straddling a chunk edge).
-    val afterSpan = spanDedup match {
+    val afterSpanRaw = spanDedup match {
       case None => afterRepeat
-      case Some((width, maxDf)) => staged(spanMode match {
+      case Some((width, maxDf)) => observed(spanMode match {
         case SpanChunks =>
           graft.operators.Chunking.dropDuplicatedChunks(afterRepeat,
             idCol, textCol, width, maxDf)
@@ -433,15 +452,27 @@ object CurationPipeline {
             idCol, textCol, maxDf)
             .filter(col("n_kept_lines") > 0)
             .select(col(idCol), col("clean_text").as(textCol))
-      })
+      }, "after_span_dedup")
     }
+    // the gate/rewrite boundary: the dedup tail consumes it 3× (exact
+    // groups, signatures, verification arrays) and the curated join
+    // once more. In stage-count mode it materializes eagerly — the ONE
+    // corpus-sized pass, which also fires every observation above —
+    // and everything downstream reads the checkpoint. In the lazy mode
+    // the repeated subtrees stay in one DAG (Catalyst canonicalizes the
+    // shared (id, text) prunings to one Exchange).
+    val afterSpan =
+      if (stageCounts) afterSpanRaw.localCheckpoint() else afterSpanRaw
 
     // the exact-dedup keeper ids double as the near-dedup stage's input
     // universe: the final keep set is keepersExact minus near-dup losers,
-    // so the cascade's tail never needs a third pass over the corpus
-    val keepersExact = Dedup.exactGroups(afterSpan, idCol, textCol)
-      .select(col("keeper_id").as(idCol))
-    val afterExact = staged(afterSpan.join(keepersExact, idCol))
+    // so the cascade's tail never needs a third pass over the corpus.
+    // (keeper count == afterExact count: ids are unique, the join below
+    // only restores text — so the exact-dedup observation rides here.)
+    val keepersExact = observed(
+      Dedup.exactGroups(afterSpan, idCol, textCol)
+        .select(col("keeper_id").as(idCol)), "after_exact_dedup")
+    val afterExact = afterSpan.join(keepersExact, idCol)
 
     // near-dedup: LSH candidates verified by exact shingle Jaccard; the
     // verification join is only over candidate ids, never all pairs
@@ -461,7 +492,12 @@ object CurationPipeline {
     val losers = verified
       .join(candidates, Seq("id_a", "id_b"), "left_semi")
       .select(col("id_b").as(idCol)).distinct()
-    val keepIds = keepersExact.join(losers, Seq(idCol), "left_anti")
+    val keepIds0 = keepersExact.join(losers, Seq(idCol), "left_anti")
+    // stage-count mode: the id-width keep set materializes eagerly (the
+    // tail's one pass, firing the exact-dedup observation), so the
+    // caller's action over `curated` re-runs nothing of the cascade
+    val keepIds =
+      if (stageCounts) keepIds0.localCheckpoint() else keepIds0
     // with a text-rewriting stage on (canonicalization and/or span
     // dedup), the curated corpus carries the REWRITTEN text (textCol
     // moves to the end of the schema); otherwise the original row rides
@@ -475,30 +511,16 @@ object CurationPipeline {
         .join(keepIds, Seq(idCol))
 
     if (stageCounts) {
-      // eager by request: the caller asked for per-stage numbers, and the
-      // cached intermediates must be released before returning
-      try {
-        val m = Map(
-          "input" -> docs.count(),
-          "after_quality" -> afterQuality0.count(),
-          "after_language" -> afterLang.count(),
-          "after_exact_dedup" -> afterExact.count(),
-          "after_near_dedup" -> keepIds.count()) ++
-          (if (c4Rules) Seq("after_c4" -> slim.count()) else Nil) ++
-          repeatSpans.map(_ => "after_repeat_spans" -> afterRepeat.count()) ++
-          (if (gopherGate) Seq("after_gopher" -> afterQuality.count())
-           else Nil) ++
-          benchmarks.map(_ => "after_decontamination" -> afterDecon.count()) ++
-          spanDedup.map(_ => "after_span_dedup" -> afterSpan.count()) ++
-          lmReference.map(_ => "after_lm" -> afterLm.count()) ++
-          maxDupBigramFrac.map(_ =>
-            "after_repetition" -> afterRepetition.count())
-        Result(curated, () => m)
-      } finally toRelease.foreach(_.unpersist(blocking = false))
+      // both checkpoints above have materialized: every observation is
+      // fulfilled, and the near count is a count over id-width
+      // checkpointed rows
+      val m = Map("after_near_dedup" -> keepIds.count()) ++
+        obsList.map { case (k, o) => k -> o.get("n").asInstanceOf[Long] }
+      Result(curated, () => m)
     } else {
       // single lazy DAG: nothing executes until the caller acts on
       // `curated` or reads `counts`
-      Result(curated, () => Map("after_near_dedup" -> keepIds.count()))
+      Result(curated, () => Map("after_near_dedup" -> keepIds0.count()))
     }
   }
 }
