@@ -247,7 +247,8 @@ object ScaleBench {
     val bm25SectionLabels = (for {
       base <- Seq("bm25_topk_10x", "bm25_topk_pruned_10x",
         "bm25_topk_wand_10x", "bm25_compact_index_10x",
-        "bm25_rebuild_index_10x")
+        "bm25_rebuild_index_10x", "bm25_compact_deleted_10x",
+        "bm25_rebuild_survivors_10x")
       round <- Seq("cold", "warm")
     } yield s"$base $round") :+ "bm25_index_write_once"
     if (only.forall(s => bm25SectionLabels.exists(_.contains(s)))) {
@@ -346,6 +347,31 @@ object ScaleBench {
         time(s"bm25_rebuild_index_10x $round") {
           val tf = graft.operators.Retrieval
             .termFrequencies(zipfDocs(0, 60000, 100), "doc_id", "text")
+            .localCheckpoint()
+          tf.write.format("noop").mode("overwrite").save()
+          graft.operators.Retrieval.dfTable(tf)
+            .write.format("noop").mode("overwrite").save()
+          graft.operators.Retrieval.corpusStats(tf)
+            .write.format("noop").mode("overwrite").save()
+        }
+        // the deletion mirror (q186's gate): take every 7th doc OUT of
+        // the persisted triple — tf anti-join + deleted-vocabulary-
+        // sized subtractive merges — vs re-tokenizing the survivors
+        time(s"bm25_compact_deleted_10x $round") {
+          val (tfD, dfD, stD) = graft.operators.Retrieval
+            .compactTermIndexDeleted(spark.table("sb_bm25_tf"),
+              spark.table("sb_bm25_df"), spark.table("sb_bm25_stats"),
+              spark.range(50000).filter(col("id") % 7 === 0)
+                .select(col("id").as("docId")))
+          tfD.write.format("noop").mode("overwrite").save()
+          dfD.write.format("noop").mode("overwrite").save()
+          stD.write.format("noop").mode("overwrite").save()
+        }
+        time(s"bm25_rebuild_survivors_10x $round") {
+          val tf = graft.operators.Retrieval
+            .termFrequencies(
+              zipfDocs(0, 50000, 100).filter(col("doc_id") % 7 =!= 0),
+              "doc_id", "text")
             .localCheckpoint()
           tf.write.format("noop").mode("overwrite").save()
           graft.operators.Retrieval.dfTable(tf)

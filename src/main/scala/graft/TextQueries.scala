@@ -622,6 +622,32 @@ private[graft] object TextQueries {
           col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
     }),
+    // ...and the deletion side (q184's retrieval mirror): take the
+    // src0 docs OUT of the full-corpus triple; q180's probe through
+    // the DELETED triple must equal the replay over the survivor
+    // rebuild — a leaked tf row, a df under/over-subtraction, or a
+    // drifted scalar shifts idf/avgdl and breaks score rows
+    "q186_bm25_compact_deleted" -> ((s, dir) => {
+      import graft.operators.Retrieval
+      val docs = t(s, dir, "documents")
+      // tf referenced 4x (anti, semi, df, stats), deleteIds 2x
+      val tf0 = Retrieval.termFrequencies(docs, "doc_id", "text")
+        .localCheckpoint()
+      val delIds = docs.filter(col("source") === "src0")
+        .select(col("doc_id").as("docId")).localCheckpoint()
+      val (tfD, dfD, stD) = Retrieval.compactTermIndexDeleted(tf0,
+        Retrieval.dfTable(tf0), Retrieval.corpusStats(tf0), delIds)
+      val qs = docs.where(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("query_id"),
+          substring(col("text"), 1, 40).as("text"))
+      Retrieval.bm25TopK(
+        Retrieval.bm25ScoresPrecomputed(tfD, dfD, stD,
+          qs, "query_id", "text"), 5)
+        .select(col("queryId").as("query_id"), col("docId").as("doc_id"),
+          round(col("score"), 6).as("score"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
     // the production hybrid pairing (q181 fused BM25 with exact
     // Jaccard; this fuses it with the IVFADC ANN stack): BM25 top-10
     // over short queries + residual-IVFADC top-10 over the same query
@@ -1786,6 +1812,21 @@ private[graft] object TextQueries {
     // built over the whole corpus at once
     "q183_bm25_compact_index" ->
       s"""WITH ${bm25Cte("TRUE", "doc_id % 97 = 0", "substr(text, 1, 40)")},
+         |ranked AS (
+         |  SELECT query_id, doc_id, score,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id) AS rank
+         |  FROM bscores)
+         |SELECT query_id, doc_id, round(score, 6) AS score,
+         |  CAST(rank AS BIGINT) AS rank
+         |FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // THE SURVIVOR REBUILD: the corpus CTE simply excludes src0 — no
+    // subtraction anywhere in the oracle, which is exactly the claim
+    "q186_bm25_compact_deleted" ->
+      s"""WITH ${bm25Cte("source <> 'src0'", "doc_id % 97 = 0",
+             "substr(text, 1, 40)")},
          |ranked AS (
          |  SELECT query_id, doc_id, score,
          |    row_number() OVER (PARTITION BY query_id

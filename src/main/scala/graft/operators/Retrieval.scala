@@ -118,6 +118,43 @@ object Retrieval {
     (tfMerged, dfMerged, statsMerged)
   }
 
+  /** Deletion-side BM25 index compaction — [[compactTermIndex]]'s
+    * mirror (as [[Jaccard.compactIndexDeleted]] mirrors
+    * [[Jaccard.compactIndex]]): remove `deleteIds` docs from the
+    * persisted `(tf, dfTable, corpusStats)` triple without a corpus
+    * pass. Returns the triple of the surviving corpus, row-identical
+    * to a rebuild (RetrievalSpec pins it; q186 gates probe scores
+    * through the deleted triple against the survivor-rebuild replay):
+    * tf rows anti-join away; the df delta is SUBTRACTIVE (one
+    * deleted-vocabulary-sized merge, zero-df words drop with their
+    * last doc); the scalars subtract exactly (BIGINT sums). Ids absent
+    * from the index are no-ops. `deleteIds(docId)` is consumed 2×
+    * (tf anti-join, delta semi-join) — id-width, materialize at call
+    * sites that build it lazily. The deleted docs' tf rows are read
+    * once to form the delta — with the tf table persisted
+    * `bucketBy(docId)` (the forward layout [[bm25TopKWand]] wants
+    * anyway) both the semi- and anti-join are bucket-local.
+    */
+  def compactTermIndexDeleted(tf: DataFrame, dfTab: DataFrame,
+                              stats: DataFrame, deleteIds: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val del = deleteIds.select(col("docId"))
+    val deletedTf = tf.join(del, Seq("docId"), "left_semi")
+    val tfOut = tf.join(del, Seq("docId"), "left_anti")
+    val dfOut = dfTab
+      .unionByName(dfTable(deletedTf)
+        .select(col("word"), (-col("df")).as("df")))
+      .groupBy("word").agg(sum(col("df")).as("df"))
+      .filter(col("df") > 0)
+    val statsOut = stats
+      .unionByName(corpusStats(deletedTf)
+        .select((-col("n_docs")).as("n_docs"),
+          (-col("total_dl")).as("total_dl")))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("total_dl")).as("total_dl"))
+    (tfOut, dfOut, statsOut)
+  }
+
   /** [[bm25Scores]] over a pre-built (typically persisted,
     * word-bucketed) [[termFrequencies]] table. `tf` is referenced 3×
     * (df aggregate, length/scalar aggregate, posting join) — the

@@ -166,4 +166,80 @@ class BucketingSpec extends SparkSpec {
       assert(bucketed == direct && bucketed.nonEmpty)
     } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
+
+  test("WAND probe rides both bucketed layouts; forward join is fetch-side-shuffle-only") {
+    // bm25TopKWand's two-layout contract: the word-bucketed posting
+    // table feeds the rare probe (the join shape the test above pins
+    // exchange-free) and the docId-bucketed FORWARD table feeds the
+    // candidate fetch. The operator's internal checkpoints hide its
+    // joins from the final plan, so the forward claim is pinned on the
+    // exact join shape the operator builds — candidate pairs ⋈ forward
+    // on docId — with broadcast/AQE off: the bucketed forward side
+    // must read with zero Exchange below it (only the candidate side
+    // re-keys). Then the WHOLE operator over both bucketed layouts +
+    // the persisted stat tables must reproduce the unpruned ranking.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import graft.operators.Retrieval
+    val corpus = (1L to 60L).map(i =>
+      (i, s"tok${i % 7} tok${i % 5} tok${i % 3} tok${i % 11} tok${i % 13}"))
+      .toDF("doc_id", "text")
+    val queries = Seq((100L, "tok1 tok9"), (101L, "tok4 tok12"))
+      .toDF("query_id", "text")
+    val tf = Retrieval.termFrequencies(corpus, "doc_id", "text")
+      .localCheckpoint()
+    for (t <- Seq("wand_tf_bucketed", "wand_fwd_bucketed"))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    tf.write.bucketBy(8, "word").sortBy("word")
+      .mode("overwrite").saveAsTable("wand_tf_bucketed")
+    tf.write.bucketBy(8, "docId").sortBy("docId")
+      .mode("overwrite").saveAsTable("wand_fwd_bucketed")
+    val tfB = spark.table("wand_tf_bucketed")
+    val fwdB = spark.table("wand_fwd_bucketed")
+    val confs = Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // the forward-fetch join shape, standalone
+      val candPairs = Seq((100L, 2L), (100L, 9L), (101L, 4L))
+        .toDF("queryId", "docId")
+      val fetch = candPairs.join(fwdB, Seq("docId"))
+      fetch.collect()
+      val plan = fetch.queryExecution.executedPlan
+      def docKeyed(keys: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =
+        keys.exists(_.references.exists(_.name == "docId"))
+      val fwdJoins: Seq[SparkPlan] = plan.collect {
+        case j: SortMergeJoinExec if docKeyed(j.leftKeys) => j
+        case j: ShuffledHashJoinExec if docKeyed(j.leftKeys) => j
+      }
+      assert(fwdJoins.nonEmpty, s"expected a docId join:\n$plan")
+      fwdJoins.foreach { j =>
+        val fwdSide = j.children.find(
+          _.collect { case s: FileSourceScanExec => s }
+            .exists(_.toString.contains("wand_fwd_bucketed"))).get
+        assert(fwdSide.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+          s"bucketed forward side must not shuffle:\n$fwdSide")
+      }
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+    // the whole operator over the persisted layouts == unpruned (AQE
+    // back on — the production config)
+    spark.sql("DROP TABLE IF EXISTS wand_df_t")
+    spark.sql("DROP TABLE IF EXISTS wand_stats_t")
+    Retrieval.dfTable(tf).write.mode("overwrite").saveAsTable("wand_df_t")
+    Retrieval.corpusStats(tf).write.mode("overwrite")
+      .saveAsTable("wand_stats_t")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("queryId", "docId", "score", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.get(3).toString)).toSet
+    val wand = Retrieval.bm25TopKWand(tfB, queries, "query_id", "text",
+      k = 3, hotDf = 10L, forward = Some(fwdB),
+      dfStats = Some((spark.table("wand_df_t"),
+        spark.table("wand_stats_t"))))
+    val unpruned = Retrieval.bm25TopK(
+      Retrieval.bm25ScoresIndexed(tf, queries, "query_id", "text"), 3)
+    assert(key(wand) === key(unpruned) && key(wand).nonEmpty)
+  }
 }

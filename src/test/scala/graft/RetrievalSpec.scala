@@ -263,6 +263,64 @@ class RetrievalSpec extends SparkSpec {
     assert(viaCompact === viaRebuild) // bitwise
   }
 
+  test("deleted term index equals the rebuild on the survivors") {
+    val c = docs(
+      1L -> "apple banana apple",
+      2L -> "banana cherry",
+      3L -> "cherry cherry cherry date",
+      4L -> "elder solo")
+    val (tf0, df0, st0) = indexTriple(c)
+    val del = Seq(2L, 4L).toDF("docId").localCheckpoint()
+    val (tfD, dfD, stD) = Retrieval.compactTermIndexDeleted(
+      tf0, df0, st0, del)
+    // survivors: 1, 3 — 'elder'/'solo' vanish with doc 4, banana's df
+    // shrinks to 1, cherry's to 1
+    val (tfR, dfR, stR) = indexTriple(
+      c.filter(!col("doc_id").isin(2L, 4L)))
+    assert(tripleLayout(tfD, dfD, stD) === tripleLayout(tfR, dfR, stR))
+  }
+
+  test("unknown delete ids are a no-op; deleting all docs empties") {
+    val c = docs(1L -> "apple banana", 2L -> "cherry")
+    val (tf0, df0, st0) = indexTriple(c)
+    val (tfN, dfN, stN) = Retrieval.compactTermIndexDeleted(
+      tf0, df0, st0, Seq(99L).toDF("docId"))
+    assert(tripleLayout(tfN, dfN, stN) === tripleLayout(tf0, df0, st0))
+    val (tfA, dfA, stA) = Retrieval.compactTermIndexDeleted(
+      tf0, df0, st0, Seq(1L, 2L).toDF("docId"))
+    assert(tfA.count() === 0 && dfA.count() === 0)
+    assert(stA.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      === Seq((0L, 0L)))
+  }
+
+  test("append then delete chains score bitwise like the net rebuild") {
+    val rnd = new scala.util.Random(186)
+    val vocab = (1 to 15).map(i => s"tok$i")
+    def randDocs(ids: Range): Seq[(Long, String)] = ids.map { id =>
+      id.toLong -> Seq.fill(2 + rnd.nextInt(8))(
+        vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val base = randDocs(1 to 30)
+    val b1 = randDocs(31 to 40)
+    val dels = Seq(3L, 7L, 33L, 40L)
+    val (tf0, df0, st0) = indexTriple(base.toDF("doc_id", "text"))
+    val (tf1, df1, st1) = Retrieval.compactTermIndex(tf0, df0, st0,
+      Retrieval.termFrequencies(b1.toDF("doc_id", "text"),
+        "doc_id", "text").localCheckpoint())
+    val (tf2, df2, st2) = Retrieval.compactTermIndexDeleted(
+      tf1.localCheckpoint(), df1.localCheckpoint(), st1.localCheckpoint(),
+      dels.toDF("docId").localCheckpoint())
+    val qs = randDocs(100 to 104).toDF("query_id", "text")
+    val viaCompact = Retrieval.bm25ScoresPrecomputed(
+      tf2.localCheckpoint(), df2.localCheckpoint(), st2.localCheckpoint(),
+      qs, "query_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val survivors = (base ++ b1).filterNot(d => dels.contains(d._1))
+    val viaRebuild = scores2(survivors.toDF("doc_id", "text"), qs)
+    assert(viaCompact === viaRebuild) // bitwise
+  }
+
   private def topkSet(df: DataFrame): Set[(Long, Long, Double, Int)] =
     df.select(col("queryId"), col("docId"), col("score"),
       col("rank").cast("int")).collect()

@@ -846,6 +846,58 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("BM25 ingest loop: per-batch triple compaction probes like a rebuild") {
+    // the retrieval-side ingest convention end to end: each micro-batch
+    // appends through Retrieval.compactTermIndex into the persisted
+    // (tf, df, stats) triple; the final triple must score queries
+    // BITWISE like an index rebuilt from scratch over everything
+    import graft.operators.Retrieval
+    val d0 = Seq((1L, "apple banana apple"), (2L, "banana cherry"))
+      .toDF("doc_id", "text")
+    val tf0 = Retrieval.termFrequencies(d0, "doc_id", "text")
+      .localCheckpoint()
+    @volatile var triple = (tf0,
+      Retrieval.dfTable(tf0).localCheckpoint(),
+      Retrieval.corpusStats(tf0).localCheckpoint())
+    val arrived = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val input = MemoryStream[(Long, String)](spark)
+    val q = input.toDF()
+      .select(col("_1").as("doc_id"), col("_2").as("text"))
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        // batchTf consumed 3x by the merge (the landing-table rule)
+        val batchTf = Retrieval
+          .termFrequencies(b, "doc_id", "text").localCheckpoint()
+        arrived.synchronized {
+          arrived ++= b.as[(Long, String)].collect() }
+        val (tfM, dfM, stM) = Retrieval.compactTermIndex(
+          triple._1, triple._2, triple._3, batchTf)
+        triple = (tfM.localCheckpoint(), dfM.localCheckpoint(),
+          stM.localCheckpoint())
+        ()
+      }.start()
+    try {
+      input.addData((11L, "cherry date"), (12L, "elder apple"))
+      q.processAllAvailable()
+      input.addData((13L, "banana elder fig"))
+      q.processAllAvailable()
+      val qs = Seq((100L, "apple banana fig"), (101L, "date"))
+        .toDF("query_id", "text")
+      val viaStream = Retrieval.bm25ScoresPrecomputed(
+        triple._1, triple._2, triple._3, qs, "query_id", "text")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val viaRebuild = Retrieval.bm25Scores(
+        d0.unionByName(arrived.synchronized(arrived.toSeq)
+          .toDF("doc_id", "text")),
+        "doc_id", "text", qs, "query_id", "text")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(viaStream === viaRebuild) // bitwise
+      assert(viaStream.keySet.map(_._2).contains(13L))
+    } finally q.stop()
+  }
+
   test("batch and streaming sessionization agree on on-time data") {
     val batch = EventStreams.sessionize(
       Seq((7L, 1000L, 1L), (7L, 1500L, 2L), (7L, 4000L, 3L), (8L, 900L, 4L))
