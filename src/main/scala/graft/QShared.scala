@@ -179,18 +179,26 @@ private[graft] object QShared {
     * finding: the documents fixture's 31-word flat vocabulary is
     * DEGENERATE for retrieval — every term has df ≈ 0.77·N, so there
     * is no rare/hot structure for df-driven operators to exercise).
-    * Token j of doc d is `w⌊mod/(u+1)⌋` with `u = md5_60("salt:d:j")
-    * mod mod` — a closed-form Zipf draw (`w1` takes half of all
-    * tokens, the tail is rare) both engines compute IDENTICALLY:
-    * the md5-60 hash is the [[h60]] convention, the division is one
-    * IEEE double op, and `floor` agrees because both sides floor the
-    * same double. [[zipfTextSql]] is generated from the same shape so
-    * the Spark column and the oracle literal cannot drift.
+    * Token j of doc d is `w⌊scale/(u+1)⌋` with `u = md5_60("salt:d:j")
+    * mod mod` — a closed-form Zipf draw both engines compute
+    * IDENTICALLY: the md5-60 hash is the [[h60]] convention, the
+    * division is one IEEE double op, and `floor` agrees because both
+    * sides floor the same double. `mod = scale` is the natural
+    * corpus/head draw (`w1` takes half of all tokens); `mod < scale`
+    * restricts u to the RARE TAIL (the ScaleBench zipfTok shape —
+    * token values stay exactly the achievable corpus tokens, same
+    * formula with a restricted u). Do NOT fake a tail by shrinking
+    * `scale` itself: `w⌊14/(u+1)⌋` lands on w14/w7/w4… — mid-band
+    * tokens with df far ABOVE a corpus-fraction hot cut (caught by
+    * q187's decision-table gate: every query showed 0 rare terms).
+    * [[zipfTextSql]] is generated from the same shape so the Spark
+    * column and the oracle literal cannot drift.
     */
-  def zipfText(d: Column, nTokens: Int, mod: Int, salt: String): Column =
+  def zipfText(d: Column, nTokens: Int, mod: Int, salt: String,
+               scale: Int): Column =
     concat_ws(" ", transform(sequence(lit(0), lit(nTokens - 1)),
       j => concat(lit("w"),
-        floor(lit(mod).cast("double") /
+        floor(lit(scale).cast("double") /
           (pmod(graft.functions.HashFunctions.md5Long(
             concat_ws(":", lit(salt), d.cast("string"), j.cast("string"))),
             lit(mod)) + lit(1L)).cast("double")).cast("string"))))
@@ -200,8 +208,9 @@ private[graft] object QShared {
     * `stripMargin` strings, where a continuation line starting with
     * `||` loses a pipe per enclosing strip.
     */
-  def zipfTextSql(d: String, nTokens: Int, mod: Int, salt: String): String =
-    s"array_to_string(['w' || CAST(CAST(floor(CAST($mod AS DOUBLE) / " +
+  def zipfTextSql(d: String, nTokens: Int, mod: Int, salt: String,
+                  scale: Int): String =
+    s"array_to_string(['w' || CAST(CAST(floor(CAST($scale AS DOUBLE) / " +
       s"CAST((('0x' || substr(md5('$salt:' || CAST($d AS VARCHAR) || " +
       s"':' || CAST(j AS VARCHAR)), 1, 15))::BIGINT % $mod) + 1 " +
       s"AS DOUBLE)) AS BIGINT) AS VARCHAR) " +

@@ -569,28 +569,59 @@ private[graft] object TextQueries {
     // actually faces). The ORACLE IS THE UNPRUNED RANKING — equality
     // proves the per-term upper bound and the candidate restriction
     // lose no true top-k row. Queries mix 4 head-biased draws with 2
-    // rare-tail draws (hotDf=50 splits them); every 100th-id query is
-    // deliberately HOT-ONLY and must come back through the exact
-    // fallback — both decision branches are inside the gate.
+    // rare-tail draws; the hot cut is DERIVED (N/10 — an absolute cut
+    // calibrated at one SF degenerates at another: 50 split the terms
+    // at sf0.01 but made every term hot at sf0.1, sending all 100
+    // queries through the fallback — measured 7.1 s vs 2.5 s warm).
+    // Every (250k+50)-id query is deliberately HOT-ONLY and must come back
+    // through the exact fallback — both decision branches are inside
+    // the gate at any SF.
     "q182_bm25_wand_topk" -> ((s, dir) => {
       val corpus = t(s, dir, "documents").where(col("doc_id").isNotNull)
-        .select(col("doc_id"), zipfText(col("doc_id"), 30, 2000, "zc")
+        .select(col("doc_id"), zipfText(col("doc_id"), 30, 2000, "zc", 2000)
           .as("text"))
       val qs = t(s, dir, "documents").where(col("doc_id") % 50 === 0)
         .select(col("doc_id").as("query_id"),
-          when(pmod(col("doc_id"), lit(100)) === 50,
-            zipfText(col("doc_id"), 4, 2000, "zq"))
+          when(pmod(col("doc_id"), lit(250)) === 50,
+            zipfText(col("doc_id"), 4, 2000, "zq", 2000))
             .otherwise(concat_ws(" ",
-              zipfText(col("doc_id"), 4, 2000, "zq"),
-              zipfText(col("doc_id"), 2, 14, "zt"))).as("text"))
+              zipfText(col("doc_id"), 4, 2000, "zq", 2000),
+              zipfText(col("doc_id"), 2, 14, "zt", 2000))).as("text"))
       val tf = graft.operators.Retrieval
         .termFrequencies(corpus, "doc_id", "text").localCheckpoint() // see q179
       graft.operators.Retrieval.bm25TopKWand(tf, qs, "query_id", "text",
-        k = 5, hotDf = 50L)
+        k = 5, hotDf = corpus.count() / 10)
         .select(col("queryId").as("query_id"), col("docId").as("doc_id"),
           round(col("score"), 6).as("score"),
           col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
+    }),
+    // ...and the WAND decision table ITSELF (the q173 convention: gate
+    // the pruning math, not just the answer): per query the rare/hot
+    // term split, the candidate-set size, the hot-only bound ub, the
+    // kth candidate score theta, and the safe/fallback routing — a
+    // bound-formula or candidate-set drift fails HERE even when q182's
+    // final top-k happens to survive it
+    "q187_bm25_wand_stats" -> ((s, dir) => {
+      val corpus = t(s, dir, "documents").where(col("doc_id").isNotNull)
+        .select(col("doc_id"), zipfText(col("doc_id"), 30, 2000, "zc", 2000)
+          .as("text"))
+      val qs = t(s, dir, "documents").where(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("query_id"),
+          when(pmod(col("doc_id"), lit(250)) === 50,
+            zipfText(col("doc_id"), 4, 2000, "zq", 2000))
+            .otherwise(concat_ws(" ",
+              zipfText(col("doc_id"), 4, 2000, "zq", 2000),
+              zipfText(col("doc_id"), 2, 14, "zt", 2000))).as("text"))
+      val tf = graft.operators.Retrieval
+        .termFrequencies(corpus, "doc_id", "text").localCheckpoint() // see q179
+      graft.operators.Retrieval.bm25WandStats(tf, qs, "query_id", "text",
+        k = 5, hotDf = corpus.count() / 10) // the derived cut, see q182
+        .select(col("queryId").as("query_id"),
+          col("n_rare_terms"), col("n_hot_terms"), col("n_candidates"),
+          round(col("ub"), 6).as("ub"),
+          round(col("theta"), 6).as("theta"), col("safe"))
+        .orderBy("query_id")
     }),
     // BM25 incremental index compaction (the q178 pattern on the
     // retrieval side): src0 arrives as a micro-batch into the persisted
@@ -1792,11 +1823,11 @@ private[graft] object TextQueries {
     // equality with the WAND path is the exactness proof
     "q182_bm25_wand_topk" ->
       s"""WITH ${bm25Cte("TRUE", "doc_id % 50 = 0",
-             s"""CASE WHEN doc_id % 100 = 50
-                |  THEN ${zipfTextSql("doc_id", 4, 2000, "zq")}
-                |  ELSE ${zipfTextSql("doc_id", 4, 2000, "zq")} || ' ' ||
-                |    ${zipfTextSql("doc_id", 2, 14, "zt")} END""".stripMargin,
-             zipfTextSql("doc_id", 30, 2000, "zc"))},
+             s"""CASE WHEN doc_id % 250 = 50
+                |  THEN ${zipfTextSql("doc_id", 4, 2000, "zq", 2000)}
+                |  ELSE ${zipfTextSql("doc_id", 4, 2000, "zq", 2000)} || ' ' ||
+                |    ${zipfTextSql("doc_id", 2, 14, "zt", 2000)} END""".stripMargin,
+             zipfTextSql("doc_id", 30, 2000, "zc", 2000))},
          |ranked AS (
          |  SELECT query_id, doc_id, score,
          |    row_number() OVER (PARTITION BY query_id
@@ -1806,6 +1837,61 @@ private[graft] object TextQueries {
          |  CAST(rank AS BIGINT) AS rank
          |FROM ranked WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
+
+    // the decision table replayed from first principles: term split
+    // against the df table, candidates = docs sharing a RARE term,
+    // theta = 5th full score among candidates, ub = Σ_hot idf times
+    // the operator's exact double constant (toString round-trip), and
+    // the routing predicate verbatim
+    "q187_bm25_wand_stats" ->
+      s"""WITH ${bm25Cte("TRUE", "doc_id % 50 = 0",
+             s"""CASE WHEN doc_id % 250 = 50
+                |  THEN ${zipfTextSql("doc_id", 4, 2000, "zq", 2000)}
+                |  ELSE ${zipfTextSql("doc_id", 4, 2000, "zq", 2000)} || ' ' ||
+                |    ${zipfTextSql("doc_id", 2, 14, "zt", 2000)} END""".stripMargin,
+             zipfTextSql("doc_id", 30, 2000, "zc", 2000))},
+         |hotcut AS (SELECT count(*) // 10 AS cut FROM corpus),
+         |split AS (
+         |  SELECT query_id, word, df, cut
+         |  FROM qterms JOIN dft USING (word) CROSS JOIN hotcut),
+         |counts AS (
+         |  SELECT query_id,
+         |    CAST(sum(CASE WHEN df <= cut THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_rare_terms,
+         |    CAST(sum(CASE WHEN df > cut THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_hot_terms
+         |  FROM split GROUP BY 1),
+         |cands AS (
+         |  SELECT DISTINCT s.query_id, t.doc_id
+         |  FROM split s JOIN tfv t USING (word) WHERE s.df <= s.cut),
+         |ncand AS (
+         |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_candidates
+         |  FROM cands GROUP BY 1),
+         |ubt AS (
+         |  SELECT e.query_id,
+         |    sum(e.idf) *
+         |      CAST('${((1.2 + 1.0) * (1.0 + 1e-9)).toString}' AS DOUBLE)
+         |      AS ub
+         |  FROM enriched e JOIN dft d USING (word) CROSS JOIN hotcut
+         |  WHERE d.df > cut GROUP BY e.query_id),
+         |cscore AS (
+         |  SELECT b.query_id, b.doc_id, b.score
+         |  FROM bscores b JOIN cands c USING (query_id, doc_id)),
+         |th AS (
+         |  SELECT query_id, score AS theta FROM (
+         |    SELECT query_id, score,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score DESC, doc_id) AS r
+         |    FROM cscore) x WHERE r = 5)
+         |SELECT c.query_id, n_rare_terms, n_hot_terms,
+         |  CAST(coalesce(n_candidates, 0) AS BIGINT) AS n_candidates,
+         |  round(ub, 6) AS ub, round(theta, 6) AS theta,
+         |  NOT (n_hot_terms > 0 AND (theta IS NULL OR ub >= theta)) AS safe
+         |FROM counts c
+         |LEFT JOIN ncand USING (query_id)
+         |LEFT JOIN ubt USING (query_id)
+         |LEFT JOIN th USING (query_id)
+         |ORDER BY query_id""".stripMargin,
 
     // THE FULL-CORPUS REBUILD (q180's oracle verbatim): the compacted
     // (tf, df, stats) triple must probe indistinguishably from an index

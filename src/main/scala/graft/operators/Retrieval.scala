@@ -356,6 +356,72 @@ object Retrieval {
                    forward: Option[DataFrame] = None,
                    dfStats: Option[(DataFrame, DataFrame)] = None)
       : DataFrame = {
+    val c = wandCore(tf, queries, qidCol, qtextCol, k, hotDf, k1, b,
+      bitExact, forward, dfStats)
+    val safeTopK = c.topkCand.join(c.unsafeQ, Seq("queryId"), "left_anti")
+    val fallback = bm25TopK(
+      bm25ScoresPrecomputed(tf, c.dfTab, c.stats,
+        queries.join(c.unsafeQ.select(col("queryId").as(qidCol)),
+          Seq(qidCol), "left_semi"),
+        qidCol, qtextCol, k1, b, bitExact), k)
+    safeTopK.select("queryId", "docId", "score", "rank")
+      .unionByName(fallback.select("queryId", "docId", "score", "rank"))
+  }
+
+  /** The WAND decision table itself (the q173 convention: gate the
+    * PRUNING MATH, not just the final answer): per query —
+    * `(queryId, n_rare_terms, n_hot_terms, n_candidates, ub, theta,
+    * safe)`. `ub` is the hot-only score bound (null without hot
+    * terms), `theta` the kth candidate score (null with < k
+    * candidates), `safe = !(has hot terms && (theta missing ||
+    * ub >= theta))` — exactly the predicate that routes a query to
+    * the pruned path vs the fallback in [[bm25TopKWand]] (shared
+    * internals, so the readout cannot drift from the operator). A
+    * bound-formula or candidate-set drift fails this gate even when
+    * the final top-k happens to survive it.
+    */
+  def bm25WandStats(tf: DataFrame,
+                    queries: DataFrame, qidCol: String, qtextCol: String,
+                    k: Int, hotDf: Long,
+                    k1: Double = 1.2, b: Double = 0.75,
+                    bitExact: Boolean = true,
+                    forward: Option[DataFrame] = None,
+                    dfStats: Option[(DataFrame, DataFrame)] = None)
+      : DataFrame = {
+    val c = wandCore(tf, queries, qidCol, qtextCol, k, hotDf, k1, b,
+      bitExact, forward, dfStats)
+    val perQ = c.enriched.groupBy("queryId").agg(
+      sum(when(col("df") <= hotDf, 1L).otherwise(0L)).as("n_rare_terms"),
+      sum(when(col("df") > hotDf, 1L).otherwise(0L)).as("n_hot_terms"))
+    val nCand = c.candPairs.groupBy("queryId")
+      .agg(count(lit(1)).as("n_candidates"))
+    perQ
+      .join(nCand, Seq("queryId"), "left_outer")
+      .join(c.hotUb, Seq("queryId"), "left_outer")
+      .join(c.theta, Seq("queryId"), "left_outer")
+      .select(col("queryId"),
+        col("n_rare_terms"), col("n_hot_terms"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        col("__ub").as("ub"), col("__theta").as("theta"),
+        (!(col("n_hot_terms") > 0 &&
+          (col("__theta").isNull || col("__ub") >= col("__theta"))))
+          .as("safe"))
+  }
+
+  /** The shared internals of [[bm25TopKWand]]/[[bm25WandStats]]. */
+  private final case class WandCore(dfTab: DataFrame, stats: DataFrame,
+                                    enriched: DataFrame,
+                                    candPairs: DataFrame,
+                                    topkCand: DataFrame,
+                                    hotUb: DataFrame, theta: DataFrame,
+                                    unsafeQ: DataFrame)
+
+  private def wandCore(tf: DataFrame,
+                       queries: DataFrame, qidCol: String, qtextCol: String,
+                       k: Int, hotDf: Long, k1: Double, b: Double,
+                       bitExact: Boolean,
+                       forward: Option[DataFrame],
+                       dfStats: Option[(DataFrame, DataFrame)]): WandCore = {
     require(k > 0, s"k > 0: $k")
     require(hotDf >= 0, s"hotDf >= 0: $hotDf")
     require(k1 >= 0 && b >= 0 && b <= 1, s"k1 >= 0, b in [0,1]: $k1, $b")
@@ -391,18 +457,16 @@ object Retrieval {
     val theta = topkCand.filter(col("rank") === k)
       .select(col("queryId"), col("score").as("__theta"))
     // phase 2: a θ row missing means < k candidates; either way a
-    // reachable bound sends the query to the exact fallback
+    // reachable bound sends the query to the exact fallback.
+    // Checkpointed: consumed twice (safe anti-join + fallback
+    // semi-join) and the id-width materialization measured FASTER than
+    // recomputing the two query-width stages per consumer (5.3 vs
+    // 6.3 s on the q182 probe — the A/B is in BASELINE round 15)
     val unsafeQ = hotUb.join(theta, Seq("queryId"), "left_outer")
       .filter(col("__theta").isNull || col("__ub") >= col("__theta"))
       .select("queryId").localCheckpoint()
-    val safeTopK = topkCand.join(unsafeQ, Seq("queryId"), "left_anti")
-    val fallback = bm25TopK(
-      bm25ScoresPrecomputed(tf, dfTab, stats,
-        queries.join(unsafeQ.select(col("queryId").as(qidCol)),
-          Seq(qidCol), "left_semi"),
-        qidCol, qtextCol, k1, b, bitExact), k)
-    safeTopK.select("queryId", "docId", "score", "rank")
-      .unionByName(fallback.select("queryId", "docId", "score", "rank"))
+    WandCore(dfTab, stats, enriched, candPairs, topkCand, hotUb, theta,
+      unsafeQ)
   }
 
   /** Reciprocal-rank fusion (Cormack et al. SIGIR'09): combine any
