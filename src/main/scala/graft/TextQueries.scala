@@ -679,6 +679,28 @@ private[graft] object TextQueries {
           col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
     }),
+    // Exact phrase containment over the positional posting layout:
+    // each query phrase is words 2..4 of its own doc (self-match
+    // guaranteed; the fixture's flat vocabulary guarantees
+    // cross-document and overlapping matches too). The oracle replays
+    // positions + the aligned-start aggregate from first principles —
+    // an off-by-one in the position stream, the start alignment, or
+    // the all-offsets-matched test breaks occurrence counts
+    "q188_phrase_matches" -> ((s, dir) => {
+      import graft.operators.Retrieval
+      val docs = t(s, dir, "documents")
+      val posts = Retrieval.positionalPostings(docs, "doc_id", "text")
+        .localCheckpoint() // the persisted layout at ingest
+      val qs = docs.where(col("doc_id") % 101 === 0)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ",
+            slice(TextFunctions.normalizedWords(col("text")), 2, 3))
+            .as("text"))
+      Retrieval.phraseMatches(posts, qs, "query_id", "text")
+        .select(col("queryId").as("query_id"), col("docId").as("doc_id"),
+          col("n_occurrences"))
+        .orderBy("query_id", "doc_id")
+    }),
     // the production hybrid pairing (q181 fused BM25 with exact
     // Jaccard; this fuses it with the IVFADC ANN stack): BM25 top-10
     // over short queries + residual-IVFADC top-10 over the same query
@@ -1907,6 +1929,33 @@ private[graft] object TextQueries {
          |  CAST(rank AS BIGINT) AS rank
          |FROM ranked WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
+
+    // positions + aligned starts from first principles: posting rows
+    // (doc, j−1, w[j]), phrase offsets (i, w[i+2]) for i in 0..2, a
+    // start s hosts the phrase iff count(DISTINCT matched i) at
+    // (query, doc, s) equals the phrase length
+    "q188_phrase_matches" ->
+      s"""WITH $LiveWordsCte,
+         |posts AS (
+         |  SELECT doc_id, CAST(j - 1 AS BIGINT) AS pos, w[CAST(j AS INT)] AS word
+         |  FROM ws, unnest(generate_series(1, len(w))) AS t(j)),
+         |ph AS (
+         |  SELECT doc_id AS query_id, CAST(i AS BIGINT) AS i,
+         |    w[CAST(i + 2 AS INT)] AS word
+         |  FROM ws, unnest(generate_series(0, least(2, len(w) - 2))) AS t(i)
+         |  WHERE doc_id % 101 = 0 AND len(w) >= 2),
+         |qn AS (SELECT query_id, count(*) AS n FROM ph GROUP BY 1),
+         |mt AS (
+         |  SELECT p.query_id, t.doc_id, t.pos - p.i AS s, p.i
+         |  FROM ph p JOIN posts t USING (word)),
+         |occ AS (
+         |  SELECT query_id, doc_id, s, count(DISTINCT i) AS m
+         |  FROM mt WHERE s >= 0 GROUP BY 1, 2, 3)
+         |SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+         |FROM occ JOIN qn USING (query_id)
+         |WHERE m = n
+         |GROUP BY query_id, doc_id
+         |ORDER BY query_id, doc_id""".stripMargin,
 
     // THE SURVIVOR REBUILD: the corpus CTE simply excludes src0 — no
     // subtraction anywhere in the oracle, which is exactly the claim

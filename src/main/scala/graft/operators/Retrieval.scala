@@ -292,6 +292,67 @@ object Retrieval {
       contrib.groupBy(col("queryId"), col("docId"))
         .agg(sum(col("__c")).as("score"))
 
+  /** Positional posting layout: one row per token OCCURRENCE —
+    * `(docId, pos, word)`, `pos` 0-based over the normalized word
+    * sequence (the same tokenizer as [[termFrequencies]], positions
+    * over the NON-deduped stream). This is the Lucene positional
+    * index re-expressed relationally: persist it `bucketBy(word)`
+    * next to the tf table and phrase probes are exchange-free on the
+    * index side, exactly like the BM25 posting join.
+    */
+  def positionalPostings(docs: DataFrame, idCol: String,
+                         textCol: String): DataFrame =
+    docs
+      .filter(col(idCol).isNotNull && lower(col(textCol)).rlike("[a-z0-9]"))
+      .select(col(idCol).as("docId"),
+        posexplode_outer(TextFunctions.normalizedWords(col(textCol))))
+      .filter(col("col").isNotNull)
+      .select(col("docId"), col("pos").cast("long").as("pos"),
+        col("col").as("word"))
+
+  /** Exact phrase containment over a [[positionalPostings]] table:
+    * `(queryId, docId, n_occurrences)` — the number of positions where
+    * the query's FULL normalized word sequence occurs contiguously
+    * (overlapping occurrences count; docs with zero occurrences are
+    * absent). The query side of eval-set decontamination at exact
+    * token granularity, and the `"..."` operator of a retrieval stack.
+    *
+    * Scale shape: NOT an (n−1)-fold self-join chain per phrase — ONE
+    * posting join (phrase terms are query-batch-sized, keyed by word)
+    * followed by one aggregate keyed on the ALIGNED START
+    * `(queryId, docId, pos − i)`: a start position hosts the phrase
+    * iff all n phrase offsets matched there, i.e. the group collects n
+    * distinct `i`. Matched-posting volume is the probe cost, exactly
+    * the BM25 bound; a phrase with a rare word anywhere prunes to that
+    * word's postings after the aggregate. Duplicate words in a phrase
+    * are handled by the distinct-`i` count (a posting row matching two
+    * phrase offsets lands in two different start groups, once each).
+    */
+  def phraseMatches(posts: DataFrame,
+                    phrases: DataFrame, qidCol: String,
+                    qtextCol: String): DataFrame = {
+    val pterms = phrases
+      .filter(col(qidCol).isNotNull &&
+        lower(col(qtextCol)).rlike("[a-z0-9]"))
+      .select(col(qidCol).as("queryId"),
+        posexplode_outer(TextFunctions.normalizedWords(col(qtextCol))))
+      .filter(col("col").isNotNull)
+      .select(col("queryId"), col("pos").cast("long").as("__i"),
+        col("col").as("word"))
+    // phrase lengths: query-batch-sized, rides the broadcastable side
+    val qn = pterms.groupBy("queryId").agg(count(lit(1)).as("__n"))
+    posts.join(pterms, Seq("word"))
+      .select(col("queryId"), col("docId"),
+        (col("pos") - col("__i")).as("__start"), col("__i"))
+      .filter(col("__start") >= 0)
+      .groupBy(col("queryId"), col("docId"), col("__start"))
+      .agg(countDistinct(col("__i")).as("__m"))
+      .join(qn, Seq("queryId"))
+      .filter(col("__m") === col("__n"))
+      .groupBy(col("queryId"), col("docId"))
+      .agg(count(lit(1)).as("n_occurrences"))
+  }
+
   /** Top-k documents per query from a [[bm25Scores]] table: score
     * descending, docId ascending ties (exact-duplicate docs produce
     * bitwise-equal scores, so the tie-break is deterministic) — the

@@ -379,6 +379,68 @@ class RetrievalSpec extends SparkSpec {
       === Set(1L, 2L))
   }
 
+  private def phraseOcc(c: DataFrame, qs: DataFrame)
+      : Map[(Long, Long), Long] =
+    Retrieval.phraseMatches(
+      Retrieval.positionalPostings(c, "doc_id", "text"),
+      qs, "query_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+
+  test("phrase matching counts overlapping occurrences at exact positions") {
+    val c = docs(
+      1L -> "a b a b a",
+      2L -> "b a b",
+      3L -> "a a b",
+      4L -> "c c c")
+    // "a b a" occurs in doc 1 at starts 0 AND 2 (overlap counts); in
+    // doc 2 never (starts at b); doc 3 has the words but not the order
+    assert(phraseOcc(c, Seq((10L, "a b a")).toDF("query_id", "text"))
+      === Map((10L, 1L) -> 2L))
+    // single-word phrase = occurrence count of the term
+    assert(phraseOcc(c, Seq((11L, "a")).toDF("query_id", "text"))
+      === Map((11L, 1L) -> 3L, (11L, 2L) -> 1L, (11L, 3L) -> 2L))
+    // absent phrase -> no row; scattered-but-not-contiguous -> no row
+    assert(phraseOcc(c, Seq((12L, "a c")).toDF("query_id", "text"))
+      .isEmpty)
+  }
+
+  test("phrase matching normalizes like the corpus tokenizer") {
+    val c = docs(1L -> "The Quick, brown FOX! jumps")
+    assert(phraseOcc(c,
+      Seq((20L, "quick BROWN fox")).toDF("query_id", "text"))
+      === Map((20L, 1L) -> 1L))
+  }
+
+  test("duplicate words in a phrase require distinct aligned offsets") {
+    val c = docs(1L -> "x x y", 2L -> "x y x")
+    // "x x" needs two CONSECUTIVE x's: doc 1 yes (start 0), doc 2 no
+    assert(phraseOcc(c, Seq((30L, "x x")).toDF("query_id", "text"))
+      === Map((30L, 1L) -> 1L))
+  }
+
+  test("phrase matching against a plain-Scala sliding-window reference") {
+    val rnd = new scala.util.Random(188)
+    val vocab = Seq("a", "b", "c", "d")
+    val corpusRows = (1L to 30L).map { id =>
+      id -> Seq.fill(3 + rnd.nextInt(10))(
+        vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val queryRows = (100L to 105L).map { id =>
+      id -> Seq.fill(1 + rnd.nextInt(3))(
+        vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val expected = (for {
+      (qid, qt) <- queryRows
+      q = qt.split(" ").toSeq
+      (did, dt) <- corpusRows
+      d = dt.split(" ").toSeq
+      n = d.sliding(q.length).count(_ == q) if n > 0
+    } yield (qid, did) -> n.toLong).toMap
+    assert(phraseOcc(corpusRows.toDF("doc_id", "text"),
+      queryRows.toDF("query_id", "text")) === expected)
+  }
+
   test("degenerate inputs drop on both sides") {
     val messy = docs(1L -> "apple banana") // plus nulls/empties below
       .unionByName(Seq((Option.empty[Long], Option("apple")),
