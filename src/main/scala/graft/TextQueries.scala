@@ -701,6 +701,49 @@ private[graft] object TextQueries {
           col("n_occurrences"))
         .orderBy("query_id", "doc_id")
     }),
+    // RM3 pseudo-relevance feedback: the expansion WEIGHT TABLE itself
+    // (k=10 feedback docs, m=10 expansion terms, λ=0.5) — every
+    // feedback mass, truncation rank, renormalization, and
+    // interpolation replayed; a drift in any Σ's fold order, the
+    // top-m tie-break, or the λ mix breaks weight rows
+    "q189_rm3_expansion" -> ((s, dir) => {
+      import graft.operators.Retrieval
+      val docs = t(s, dir, "documents")
+      val tf = Retrieval.termFrequencies(docs, "doc_id", "text")
+        .localCheckpoint() // see q179
+      val dfT = Retrieval.dfTable(tf).localCheckpoint()
+      val st = Retrieval.corpusStats(tf).localCheckpoint()
+      val qs = docs.where(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("query_id"),
+          substring(col("text"), 1, 40).as("text"))
+      Retrieval.rm3ExpandedTerms(tf, dfT, st, qs, "query_id", "text",
+        k = 10, m = 10, lambda = 0.5)
+        .select(col("queryId").as("query_id"), col("word"),
+          round(col("weight"), 6).as("weight"))
+        .orderBy("query_id", "word")
+    }),
+    // ...and the second-pass retrieval through the expanded weights
+    // (the full RM3 composition: score → feedback → expand → rescore)
+    "q190_rm3_rescore" -> ((s, dir) => {
+      import graft.operators.Retrieval
+      val docs = t(s, dir, "documents")
+      val tf = Retrieval.termFrequencies(docs, "doc_id", "text")
+        .localCheckpoint() // see q179
+      val dfT = Retrieval.dfTable(tf).localCheckpoint()
+      val st = Retrieval.corpusStats(tf).localCheckpoint()
+      val qs = docs.where(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("query_id"),
+          substring(col("text"), 1, 40).as("text"))
+      val exp = Retrieval.rm3ExpandedTerms(tf, dfT, st, qs,
+        "query_id", "text", k = 10, m = 10, lambda = 0.5)
+        .localCheckpoint() // result-sized probe boundary
+      Retrieval.bm25TopK(
+        Retrieval.bm25ScoresWeighted(tf, dfT, st, exp), 5)
+        .select(col("queryId").as("query_id"), col("docId").as("doc_id"),
+          round(col("score"), 6).as("score"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
     // the production hybrid pairing (q181 fused BM25 with exact
     // Jaccard; this fuses it with the IVFADC ANN stack): BM25 top-10
     // over short queries + residual-IVFADC top-10 over the same query
@@ -782,6 +825,62 @@ private[graft] object TextQueries {
        |  SELECT query_id, doc_id,
        |    list_reduce(list(c ORDER BY word), (a, x) -> a + x) AS score
        |  FROM contrib GROUP BY 1, 2)""".stripMargin
+
+  /** The RM3 expansion chain replayed in SQL, downstream of
+    * [[bm25Cte]]'s `bscores`/`tfv`/`lens`/`qterms` (shared by
+    * q189/q190): top-10 feedback set, docId-ordered score normalizer
+    * fold, docId-ordered feedback-mass folds, top-10 truncation
+    * (mass desc, word ties), word-ordered renormalizer fold, and the
+    * λ=0.5 interpolation with the uniform original query — each Σ the
+    * exact tree the operator folds.
+    */
+  private lazy val Rm3Ctes =
+    s"""rtop AS (
+       |  SELECT query_id, doc_id, score FROM (
+       |    SELECT query_id, doc_id, score,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY score DESC, doc_id) AS r
+       |    FROM bscores) x WHERE r <= 10),
+       |zq AS (
+       |  SELECT query_id,
+       |    list_reduce(list_prepend(0.0, list(score ORDER BY doc_id)),
+       |      (a, x) -> a + x) AS z
+       |  FROM rtop GROUP BY 1),
+       |fbm AS (
+       |  SELECT r.query_id, t.word,
+       |    list_reduce(list_prepend(0.0, list(
+       |      (CAST(t.tf AS DOUBLE) / CAST(l.dl AS DOUBLE)) * (r.score / z.z)
+       |      ORDER BY t.doc_id)), (a, x) -> a + x) AS pw
+       |  FROM rtop r
+       |  JOIN tfv t ON t.doc_id = r.doc_id
+       |  JOIN lens l ON l.doc_id = t.doc_id
+       |  JOIN zq z ON z.query_id = r.query_id
+       |  GROUP BY r.query_id, t.word),
+       |fbkept AS (
+       |  SELECT query_id, word, pw FROM (
+       |    SELECT query_id, word, pw,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY pw DESC, word) AS r
+       |    FROM fbm) y WHERE r <= 10),
+       |fbnorm AS (
+       |  SELECT query_id,
+       |    list_reduce(list_prepend(0.0, list(pw ORDER BY word)),
+       |      (a, x) -> a + x) AS s
+       |  FROM fbkept GROUP BY 1),
+       |fbw AS (
+       |  SELECT k.query_id, k.word, k.pw / n.s AS fw
+       |  FROM fbkept k JOIN fbnorm n USING (query_id)),
+       |own AS (SELECT query_id, count(*) AS n FROM qterms GROUP BY 1),
+       |ow AS (
+       |  SELECT q.query_id, q.word, 1.0 / CAST(o.n AS DOUBLE) AS owt
+       |  FROM qterms q JOIN own o USING (query_id)),
+       |finalw AS (
+       |  SELECT coalesce(a.query_id, f.query_id) AS query_id,
+       |    coalesce(a.word, f.word) AS word,
+       |    CAST(0.5 AS DOUBLE) * coalesce(owt, 0.0) +
+       |      CAST(0.5 AS DOUBLE) * coalesce(fw, 0.0) AS weight
+       |  FROM ow a FULL OUTER JOIN fbw f
+       |    ON a.query_id = f.query_id AND a.word = f.word)""".stripMargin
 
   /** The q168/q169 Viterbi DP replay (cells per position, final cell
     * non-null = segmentable): shared so the budget readout and the
@@ -1956,6 +2055,47 @@ private[graft] object TextQueries {
          |WHERE m = n
          |GROUP BY query_id, doc_id
          |ORDER BY query_id, doc_id""".stripMargin,
+
+    "q189_rm3_expansion" ->
+      s"""WITH ${bm25Cte("TRUE", "doc_id % 97 = 0", "substr(text, 1, 40)")},
+         |$Rm3Ctes
+         |SELECT query_id, word, round(weight, 6) AS weight
+         |FROM finalw ORDER BY query_id, word""".stripMargin,
+
+    // the weighted second pass: expansion weights × the identical BM25
+    // contribution tree (weight * ((idf * X) / Y) — the operator's
+    // exact association), term-sorted fold, rank
+    "q190_rm3_rescore" ->
+      s"""WITH ${bm25Cte("TRUE", "doc_id % 97 = 0", "substr(text, 1, 40)")},
+         |$Rm3Ctes,
+         |wenr AS (
+         |  SELECT f.query_id, f.word, f.weight, avgdl,
+         |    ln(1.0 + (n_docs - CAST(df AS DOUBLE) + 0.5)
+         |             / (CAST(df AS DOUBLE) + 0.5)) AS idf
+         |  FROM finalw f JOIN dft USING (word) CROSS JOIN stats),
+         |wcon AS (
+         |  SELECT e.query_id, t.doc_id, t.word,
+         |    e.weight * ((e.idf *
+         |      (CAST(t.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))) /
+         |      (CAST(t.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+         |       (1.0 - CAST(0.75 AS DOUBLE) +
+         |        CAST(0.75 AS DOUBLE) * CAST(l.dl AS DOUBLE) / avgdl)))
+         |      AS c
+         |  FROM tfv t JOIN wenr e ON e.word = t.word
+         |  JOIN lens l ON l.doc_id = t.doc_id),
+         |wsc AS (
+         |  SELECT query_id, doc_id,
+         |    list_reduce(list(c ORDER BY word), (a, x) -> a + x) AS score
+         |  FROM wcon GROUP BY 1, 2)
+         |SELECT query_id, doc_id, round(score, 6) AS score,
+         |  CAST(rank AS BIGINT) AS rank
+         |FROM (
+         |  SELECT query_id, doc_id, score,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id) AS rank
+         |  FROM wsc) z
+         |WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
 
     // THE SURVIVOR REBUILD: the corpus CTE simply excludes src0 — no
     // subtraction anywhere in the oracle, which is exactly the claim

@@ -221,6 +221,112 @@ object Retrieval {
     scoreFold(postingContribs(tf, enriched, k1, b), bitExact)
   }
 
+  /** RM3 pseudo-relevance-feedback query expansion (Lavrenko &
+    * Croft'01 relevance models; the Anserini/Lucene RM3 shape): from
+    * each query's top-`k` BM25 feedback documents, estimate the
+    * feedback term distribution
+    * `P(w|R_q) = Σ_d (tf(w,d)/dl(d)) · (score(d)/Σ score)`,
+    * keep the top-`m` terms (mass desc, word asc ties), renormalize
+    * the truncated distribution, and interpolate with the uniform
+    * original query: `weight = λ·1[w ∈ Q]/|Q| + (1−λ)·P̂(w|R_q)`.
+    * Returns the expanded WEIGHTED query-term table
+    * `(queryId, word, weight)` — feed it to [[bm25ScoresWeighted]]
+    * for the second-pass retrieval (q190 gates that composition).
+    *
+    * Scale shape: the feedback set is result-sized (queries × k), its
+    * term pull is ONE docId join against the tf table (the forward
+    * layout again), and everything after is feedback-term-table-sized.
+    * Every Σ is a sorted fold (docId order for the doc sums, word
+    * order for the truncated normalizer), so the weights are
+    * bit-reproducible and the oracle replays the identical trees.
+    * Original-query terms ABSENT from the corpus keep their λ/|Q|
+    * mass (they contribute zero downstream, but the weight table is
+    * the contract). `tf` is consumed by the first-pass scoring AND
+    * the feedback pull — persisted state at ingest, as everywhere.
+    */
+  def rm3ExpandedTerms(tf: DataFrame, dfTab: DataFrame, stats: DataFrame,
+                       queries: DataFrame, qidCol: String, qtextCol: String,
+                       k: Int = 10, m: Int = 10, lambda: Double = 0.5,
+                       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(m > 0, s"m > 0: $m")
+    require(lambda >= 0 && lambda <= 1, s"lambda in [0,1]: $lambda")
+    // feedback set: result-sized, consumed 2× (normalizer + term pull)
+    val topk = bm25TopK(
+      bm25ScoresPrecomputed(tf, dfTab, stats, queries, qidCol, qtextCol,
+        k1, b), k).localCheckpoint()
+    // per-query score normalizer, docId-sorted fold
+    val z = topk.groupBy("queryId")
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("docId"), col("score")))),
+        lit(0.0), (a, x) => a + x.getField("score")).as("__z"))
+    // feedback term mass: Σ_d (tf/dl)·(score/z), docId-sorted fold
+    val fb = topk.join(tf, Seq("docId"))
+      .join(z, Seq("queryId"))
+      .select(col("queryId"), col("word"), col("docId"),
+        ((col("tf").cast("double") / col("dl").cast("double")) *
+          (col("score") / col("__z"))).as("__p"))
+      .groupBy(col("queryId"), col("word"))
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("docId"), col("__p")))),
+        lit(0.0), (a, x) => a + x.getField("__p")).as("__pw"))
+    val wR = Window.partitionBy(col("queryId"))
+      .orderBy(col("__pw").desc, col("word").asc)
+    val kept = fb.withColumn("__r", row_number().over(wR))
+      .filter(col("__r") <= m)
+    // truncated renormalization, word-sorted fold
+    val norm = kept.groupBy("queryId")
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("word"), col("__pw")))),
+        lit(0.0), (a, x) => a + x.getField("__pw")).as("__s"))
+    val fbw = kept.join(norm, Seq("queryId"))
+      .select(col("queryId"), col("word"),
+        (col("__pw") / col("__s")).as("__fw"))
+    // the uniform original query
+    val qt = queries
+      .filter(col(qidCol).isNotNull && lower(col(qtextCol)).rlike("[a-z0-9]"))
+      .select(col(qidCol).as("queryId"),
+        TextFunctions.normalizeTokens(col(qtextCol)).as("__qt"))
+      .select(col("queryId"), explode_outer(col("__qt")).as("word"))
+      .filter(col("word").isNotNull)
+    val qn = qt.groupBy("queryId").agg(count(lit(1)).as("__n"))
+    val ow = qt.join(qn, Seq("queryId"))
+      .select(col("queryId"), col("word"),
+        (lit(1.0) / col("__n").cast("double")).as("__ow"))
+    ow.join(fbw, Seq("queryId", "word"), "full_outer")
+      .select(col("queryId"), col("word"),
+        (lit(lambda) * coalesce(col("__ow"), lit(0.0)) +
+          lit(1.0 - lambda) * coalesce(col("__fw"), lit(0.0)))
+          .as("weight"))
+      // λ endpoints zero out one side's exclusive terms — a zero
+      // weight is a no-op downstream and not a query term
+      .filter(col("weight") > 0.0)
+  }
+
+  /** BM25 scoring under a WEIGHTED query-term table
+    * `(queryId, word, weight)` (an [[rm3ExpandedTerms]] output, or any
+    * caller-supplied term weighting): each term's contribution is
+    * `weight · bm25(w, d)`. Same shape as [[bm25ScoresPrecomputed]] —
+    * one posting join carrying a query-batch-sized enriched table,
+    * same folds, same `bitExact` contract.
+    */
+  def bm25ScoresWeighted(tf: DataFrame, dfTab: DataFrame,
+                         stats: DataFrame, termWeights: DataFrame,
+                         k1: Double = 1.2, b: Double = 0.75,
+                         bitExact: Boolean = true): DataFrame = {
+    require(k1 >= 0 && b >= 0 && b <= 1, s"k1 >= 0, b in [0,1]: $k1, $b")
+    val enriched = termWeights
+      .join(dfTab, Seq("word"))
+      .crossJoin(broadcast(statsDouble(stats)))
+      .select(col("queryId"), col("word"), col("weight"), col("avgdl"),
+        log(lit(1.0) +
+          (col("n_docs") - col("df").cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5))).as("idf"))
+    val contrib = tf.join(enriched, Seq("word"))
+      .select(col("queryId"), col("docId"), col("word"),
+        (col("weight") * contribExpr(k1, b)).as("__c"))
+    scoreFold(contrib, bitExact)
+  }
+
   /** The query-term table with idf + corpus scalars folded in
     * (query-batch-sized — the posting join needs nothing else):
     * `(queryId, word, avgdl, idf, df)`. The df rides along for
@@ -236,13 +342,7 @@ object Retrieval {
         TextFunctions.normalizeTokens(col(qtextCol)).as("__qt"))
       .select(col("queryId"), explode_outer(col("__qt")).as("word"))
       .filter(col("word").isNotNull)
-    // the scalars use an EXPLICIT exact integer sum / count division
-    // (one rounding, replayable) rather than avg() whose accumulation
-    // is engine-internal
-    val statsD = stats.select(
-      col("n_docs").cast("double").as("n_docs"),
-      (col("total_dl").cast("double") / col("n_docs").cast("double"))
-        .as("avgdl"))
+    val statsD = statsDouble(stats)
     qTerms
       .join(dfTab, Seq("word"))
       .crossJoin(broadcast(statsD))
@@ -252,6 +352,17 @@ object Retrieval {
             (col("df").cast("double") + lit(0.5))).as("idf"),
         col("df"))
   }
+
+  /** The one-row scalar table as doubles — the avgdl division uses an
+    * EXPLICIT exact integer sum / count division (one rounding,
+    * replayable) rather than avg() whose accumulation is
+    * engine-internal.
+    */
+  private def statsDouble(stats: DataFrame): DataFrame =
+    stats.select(
+      col("n_docs").cast("double").as("n_docs"),
+      (col("total_dl").cast("double") / col("n_docs").cast("double"))
+        .as("avgdl"))
 
   /** The per-(query, doc, word) BM25 contribution over joined
     * `(tf, dl, idf, avgdl)` columns — the ONE arithmetic definition

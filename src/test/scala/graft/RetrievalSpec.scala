@@ -441,6 +441,55 @@ class RetrievalSpec extends SparkSpec {
       queryRows.toDF("query_id", "text")) === expected)
   }
 
+  test("RM3 weights are a probability mix; λ endpoints recover each side") {
+    val c = docs(
+      1L -> "apple banana apple cherry",
+      2L -> "banana cherry banana",
+      3L -> "cherry date elder",
+      4L -> "fig grape")
+    val qs = Seq((1L, "apple cherry zzz")).toDF("query_id", "text")
+    val (tf, dfT, st) = indexTriple(c)
+    def weights(lambda: Double, m: Int = 10): Map[String, Double] =
+      Retrieval.rm3ExpandedTerms(tf, dfT, st, qs, "query_id", "text",
+        k = 2, m = m, lambda = lambda)
+        .collect().map(r => r.getString(1) -> r.getDouble(2)).toMap
+    val w = weights(0.5)
+    // the mix is a probability distribution (both halves sum to 1)
+    assert(math.abs(w.values.sum - 1.0) < 1e-12)
+    // original terms keep at least λ/|Q| — including 'zzz', absent
+    // from the corpus (weight-table contract)
+    for (t <- Seq("apple", "cherry", "zzz"))
+      assert(w(t) >= 0.5 / 3 - 1e-12, s"$t: ${w.get(t)}")
+    // λ=1: exactly the uniform original query
+    assert(weights(1.0) === Map("apple" -> 1.0 / 3, "cherry" -> 1.0 / 3,
+      "zzz" -> 1.0 / 3))
+    // λ=0: pure feedback distribution — only feedback-doc vocabulary,
+    // sums to 1
+    val fb = weights(0.0)
+    assert(math.abs(fb.values.sum - 1.0) < 1e-12)
+    assert(!fb.contains("zzz") && !fb.contains("grape"))
+    // truncation: m=1 keeps exactly one feedback term
+    val t1 = weights(0.0, m = 1)
+    assert(t1.size === 1 && math.abs(t1.values.sum - 1.0) < 1e-12)
+  }
+
+  test("unit weights reproduce the unweighted scores bitwise") {
+    val qs = corpus.select(col("doc_id").as("query_id"), col("text"))
+    val (tf, dfT, st) = indexTriple(corpus)
+    val plain = Retrieval.bm25ScoresPrecomputed(tf, dfT, st,
+      qs, "query_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    // unit-weight term table built from the same tokenizer
+    val tw = qs.select(col("query_id").as("queryId"),
+      explode(graft.functions.TextFunctions.normalizeTokens(col("text")))
+        .as("word"), lit(1.0).as("weight"))
+    val weighted = Retrieval.bm25ScoresWeighted(tf, dfT, st, tw)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(weighted === plain) // bitwise: 1.0 * c == c
+  }
+
   test("degenerate inputs drop on both sides") {
     val messy = docs(1L -> "apple banana") // plus nulls/empties below
       .unionByName(Seq((Option.empty[Long], Option("apple")),
