@@ -248,7 +248,8 @@ object ScaleBench {
       base <- Seq("bm25_topk_10x", "bm25_topk_pruned_10x",
         "bm25_topk_wand_10x", "bm25_compact_index_10x",
         "bm25_rebuild_index_10x", "bm25_compact_deleted_10x",
-        "bm25_rebuild_survivors_10x")
+        "bm25_rebuild_survivors_10x", "phrase_matches_10x",
+        "rm3_rescore_10x", "rm3_rescore_capped_10x")
       round <- Seq("cold", "warm")
     } yield s"$base $round") :+ "bm25_index_write_once"
     if (only.forall(s => bm25SectionLabels.exists(_.contains(s)))) {
@@ -263,7 +264,7 @@ object ScaleBench {
       val tB = System.nanoTime()
       locally {
         for (t <- Seq("sb_bm25_tf", "sb_bm25_fwd", "sb_bm25_df",
-          "sb_bm25_stats")) {
+          "sb_bm25_stats", "sb_bm25_pos")) {
           spark.sql(s"DROP TABLE IF EXISTS $t")
           val p = new org.apache.hadoop.fs.Path(
             spark.conf.get("spark.sql.warehouse.dir"), t)
@@ -287,6 +288,13 @@ object ScaleBench {
           .write.mode("overwrite").saveAsTable("sb_bm25_df")
         graft.operators.Retrieval.corpusStats(tf)
           .write.mode("overwrite").saveAsTable("sb_bm25_stats")
+        // the positional layout (phrase probes) — its own tokenizer
+        // pass: positions come from the occurrence stream, which the
+        // per-(doc, word) tf rows no longer carry
+        graft.operators.Retrieval
+          .positionalPostings(zipfDocs(0, 50000, 100), "doc_id", "text")
+          .write.bucketBy(32, "word").sortBy("word")
+          .mode("overwrite").saveAsTable("sb_bm25_pos")
       }
       println(f"[scalebench] bm25_index_write_once: ${
         (System.nanoTime() - tB) / 1e9}%.2f s")
@@ -366,6 +374,56 @@ object ScaleBench {
           tfD.write.format("noop").mode("overwrite").save()
           dfD.write.format("noop").mode("overwrite").save()
           stD.write.format("noop").mode("overwrite").save()
+        }
+        // exact phrase containment at 50k docs: each query's phrase is
+        // its own doc's first three tokens (guaranteed self-match; the
+        // Zipf mix makes some phrases head-anchored and some
+        // rare-anchored). The probe cost is the ANCHOR term's
+        // occurrence volume × 3 — the rarest-term anchoring that
+        // replaced the aligned-start-over-all-terms formulation, whose
+        // hot-leading phrases ran this same fixture for MINUTES
+        time(s"phrase_matches_10x $round") {
+          val phrases = spark.range(50000).filter(col("id") % 4999 === 0)
+            .select(col("id").as("query_id"),
+              concat_ws(" ",
+                (0 to 2).map(j => zipfTok(lit(j), 20000)): _*).as("text"))
+          println("  phrase_rows=" + graft.operators.Retrieval
+            .phraseMatches(spark.table("sb_bm25_pos"), phrases,
+              "query_id", "text").count())
+        }
+        // the RM3 composition at 50k (score -> feedback -> expand ->
+        // weighted rescore), persisted stats, scale fold
+        time(s"rm3_rescore_10x $round") {
+          val exp = graft.operators.Retrieval.rm3ExpandedTerms(
+            spark.table("sb_bm25_tf"), spark.table("sb_bm25_df"),
+            spark.table("sb_bm25_stats"), bm25Queries,
+            "query_id", "text", k = 10, m = 10, lambda = 0.5,
+            bitExact = false)
+            .localCheckpoint()
+          println("  rescored=" + graft.operators.Retrieval.bm25TopK(
+            graft.operators.Retrieval.bm25ScoresWeighted(
+              spark.table("sb_bm25_tf"), spark.table("sb_bm25_df"),
+              spark.table("sb_bm25_stats"), exp, bitExact = false), 5)
+            .count())
+        }
+        // ...the production configuration: stop-term-pruned FIRST pass
+        // (the feedback set through pruned scoring) + the expansion
+        // df cap (the RM3 stoplist). Expansion-only capping measured
+        // 10.5 s — the uncapped first pass was ~60% of the wall
+        time(s"rm3_rescore_capped_10x $round") {
+          val exp = graft.operators.Retrieval.rm3ExpandedTerms(
+            spark.table("sb_bm25_tf"), spark.table("sb_bm25_df"),
+            spark.table("sb_bm25_stats"), bm25Queries,
+            "query_id", "text", k = 10, m = 10, lambda = 0.5,
+            bitExact = false, maxFeedbackDf = Some(5000L),
+            firstPassMaxDf = Some(5000L))
+            .localCheckpoint()
+          println("  rescored=" + graft.operators.Retrieval.bm25TopK(
+            graft.operators.Retrieval.bm25ScoresWeighted(
+              spark.table("sb_bm25_tf"), spark.table("sb_bm25_df"),
+              spark.table("sb_bm25_stats"), exp, bitExact = false,
+              maxDocFrequency = Some(5000L)), 5)
+            .count())
         }
         time(s"bm25_rebuild_survivors_10x $round") {
           val tf = graft.operators.Retrieval

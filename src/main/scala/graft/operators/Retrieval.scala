@@ -243,17 +243,36 @@ object Retrieval {
     * mass (they contribute zero downstream, but the weight table is
     * the contract). `tf` is consumed by the first-pass scoring AND
     * the feedback pull — persisted state at ingest, as everywhere.
+    *
+    * `maxFeedbackDf` caps the corpus df of EXPANSION candidates (the
+    * RM3 stoplist convention): on a stopword-heavy corpus the raw
+    * feedback distribution concentrates on the df head, and expanding
+    * every query with stopwords makes the second pass strictly hotter
+    * than the first (measured 2.4× a single unpruned pass at 50k —
+    * the canonical RM3 overhead). The cap keeps only informative
+    * expansion terms; original query terms are never capped. Opt-in
+    * and expansion-changing by design, like `maxDocFrequency`.
     */
   def rm3ExpandedTerms(tf: DataFrame, dfTab: DataFrame, stats: DataFrame,
                        queries: DataFrame, qidCol: String, qtextCol: String,
                        k: Int = 10, m: Int = 10, lambda: Double = 0.5,
-                       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                       k1: Double = 1.2, b: Double = 0.75,
+                       bitExact: Boolean = true,
+                       maxFeedbackDf: Option[Long] = None,
+                       firstPassMaxDf: Option[Long] = None): DataFrame = {
     require(m > 0, s"m > 0: $m")
     require(lambda >= 0 && lambda <= 1, s"lambda in [0,1]: $lambda")
-    // feedback set: result-sized, consumed 2× (normalizer + term pull)
+    // feedback set: result-sized, consumed 2× (normalizer + term
+    // pull). `bitExact` governs only this first-pass fold (the scale
+    // caveat is bm25ScoresIndexed's); everything after is
+    // feedback-sized and always folds sorted. `firstPassMaxDf` is the
+    // first pass's own stop-term prune (`maxDocFrequency` semantics —
+    // it selects the FEEDBACK SET through pruned scoring, the way a
+    // tuned production first stage runs; at 50k the uncapped first
+    // pass alone was ~60% of the whole composition's wall).
     val topk = bm25TopK(
       bm25ScoresPrecomputed(tf, dfTab, stats, queries, qidCol, qtextCol,
-        k1, b), k).localCheckpoint()
+        k1, b, bitExact, firstPassMaxDf), k).localCheckpoint()
     // per-query score normalizer, docId-sorted fold
     val z = topk.groupBy("queryId")
       .agg(aggregate(
@@ -269,9 +288,18 @@ object Retrieval {
       .agg(aggregate(
         sort_array(collect_list(struct(col("docId"), col("__p")))),
         lit(0.0), (a, x) => a + x.getField("__p")).as("__pw"))
+    // optional expansion-candidate df cap (feedback-vocab-sized
+    // semi-join; the truncated renormalization below then spreads the
+    // mass over the kept informative terms)
+    val fbCapped = maxFeedbackDf match {
+      case Some(cap) => fb.join(
+        dfTab.filter(col("df") <= cap).select("word"),
+        Seq("word"), "left_semi")
+      case None => fb
+    }
     val wR = Window.partitionBy(col("queryId"))
       .orderBy(col("__pw").desc, col("word").asc)
-    val kept = fb.withColumn("__r", row_number().over(wR))
+    val kept = fbCapped.withColumn("__r", row_number().over(wR))
       .filter(col("__r") <= m)
     // truncated renormalization, word-sorted fold
     val norm = kept.groupBy("queryId")
@@ -312,10 +340,19 @@ object Retrieval {
   def bm25ScoresWeighted(tf: DataFrame, dfTab: DataFrame,
                          stats: DataFrame, termWeights: DataFrame,
                          k1: Double = 1.2, b: Double = 0.75,
-                         bitExact: Boolean = true): DataFrame = {
+                         bitExact: Boolean = true,
+                         maxDocFrequency: Option[Long] = None)
+      : DataFrame = {
     require(k1 >= 0 && b >= 0 && b <= 1, s"k1 >= 0, b in [0,1]: $k1, $b")
+    // the same opt-in stop-term prune as the unit-weight path: a
+    // weighted query's ORIGINAL hot terms otherwise ride into the
+    // second pass at λ weight and keep it as hot as the first
+    val kept = maxDocFrequency match {
+      case Some(maxDf) => dfTab.filter(col("df") <= maxDf)
+      case None => dfTab
+    }
     val enriched = termWeights
-      .join(dfTab, Seq("word"))
+      .join(kept, Seq("word"))
       .crossJoin(broadcast(statsDouble(stats)))
       .select(col("queryId"), col("word"), col("weight"), col("avgdl"),
         log(lit(1.0) +
@@ -428,16 +465,24 @@ object Retrieval {
     * absent). The query side of eval-set decontamination at exact
     * token granularity, and the `"..."` operator of a retrieval stack.
     *
-    * Scale shape: NOT an (n−1)-fold self-join chain per phrase — ONE
-    * posting join (phrase terms are query-batch-sized, keyed by word)
-    * followed by one aggregate keyed on the ALIGNED START
-    * `(queryId, docId, pos − i)`: a start position hosts the phrase
-    * iff all n phrase offsets matched there, i.e. the group collects n
-    * distinct `i`. Matched-posting volume is the probe cost, exactly
-    * the BM25 bound; a phrase with a rare word anywhere prunes to that
-    * word's postings after the aggregate. Duplicate words in a phrase
-    * are handled by the distinct-`i` count (a posting row matching two
-    * phrase offsets lands in two different start groups, once each).
+    * Scale shape — RAREST-TERM ANCHORING (the Lucene conjunction
+    * lead-iterator rule, relationally): candidate starts surface ONLY
+    * through the posting list of each phrase's least-frequent term
+    * (one word-keyed join), then every phrase offset verifies against
+    * the positional table with ONE (docId, pos) equi-join — the
+    * candidate-offset side is |candidates| × n and broadcasts when
+    * small, so the posting table never re-shuffles for rare-anchored
+    * phrases. Probe cost is `occ(rarest term) × n`, NOT
+    * `Σ_i occ(w_i)`: the first formulation of this operator (an
+    * aligned-start aggregate over ALL terms' postings) measured
+    * unboundedly worse on stopword-heavy phrases — a 50k-doc Zipf
+    * probe whose phrases led with the corpus's hottest token ran
+    * minutes vs seconds, every hot term's full occurrence list
+    * entering the aggregate. A start hosts the phrase iff all n
+    * offsets verify (distinct-`i` count; duplicate words in a phrase
+    * need distinct aligned offsets). A phrase term absent from the
+    * corpus leaves the anchor choice but verification still demands
+    * it, so such phrases correctly match nothing.
     */
   def phraseMatches(posts: DataFrame,
                     phrases: DataFrame, qidCol: String,
@@ -450,12 +495,34 @@ object Retrieval {
       .filter(col("col").isNotNull)
       .select(col("queryId"), col("pos").cast("long").as("__i"),
         col("col").as("word"))
+      // query-batch-sized, consumed 3× (lengths, anchor, verification)
+      .localCheckpoint()
     // phrase lengths: query-batch-sized, rides the broadcastable side
     val qn = pterms.groupBy("queryId").agg(count(lit(1)).as("__n"))
-    posts.join(pterms, Seq("word"))
+    // per-phrase anchor: the offset whose term has the FEWEST corpus
+    // occurrences (counts from the posting table; word/offset ties
+    // break deterministically)
+    val occ = posts.groupBy("word").agg(count(lit(1)).as("__occ"))
+    val aw = Window.partitionBy(col("queryId"))
+      .orderBy(col("__occ").asc, col("word").asc, col("__i").asc)
+    val anchor = pterms.join(occ, Seq("word"))
+      .withColumn("__r", row_number().over(aw))
+      .filter(col("__r") === 1)
+      .select(col("queryId"), col("word"), col("__i").as("__ai"))
+    // candidate starts: the anchor term's occurrences, re-aligned
+    val cands = posts.join(anchor, Seq("word"))
       .select(col("queryId"), col("docId"),
-        (col("pos") - col("__i")).as("__start"), col("__i"))
+        (col("pos") - col("__ai")).as("__start"))
       .filter(col("__start") >= 0)
+    // verification: one (docId, pos) equi-join — posts are UNIQUE on
+    // that key, so each offset matches at most one row; the word
+    // equality then decides it
+    cands.join(pterms, Seq("queryId"))
+      .select(col("queryId"), col("docId"), col("__start"),
+        (col("__start") + col("__i")).as("pos"),
+        col("word").as("__w"), col("__i"))
+      .join(posts.withColumnRenamed("word", "__pw"), Seq("docId", "pos"))
+      .filter(col("__pw") === col("__w"))
       .groupBy(col("queryId"), col("docId"), col("__start"))
       .agg(countDistinct(col("__i")).as("__m"))
       .join(qn, Seq("queryId"))

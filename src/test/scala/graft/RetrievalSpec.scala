@@ -473,6 +473,26 @@ class RetrievalSpec extends SparkSpec {
     assert(t1.size === 1 && math.abs(t1.values.sum - 1.0) < 1e-12)
   }
 
+  test("feedback df cap drops hot expansion terms, never original terms") {
+    // 'banana' (df 3) and 'cherry' (df 3) are the hot terms; cap 2
+    // keeps only rarer feedback vocabulary, but the ORIGINAL query
+    // term 'cherry' keeps its λ/|Q| mass through the uncapped side
+    val c = docs(
+      1L -> "apple banana cherry",
+      2L -> "banana cherry date",
+      3L -> "banana cherry elder")
+    val qs = Seq((1L, "cherry apple")).toDF("query_id", "text")
+    val (tf, dfT, st) = indexTriple(c)
+    val w = Retrieval.rm3ExpandedTerms(tf, dfT, st, qs,
+      "query_id", "text", k = 3, m = 10, lambda = 0.5,
+      maxFeedbackDf = Some(2L))
+      .collect().map(r => r.getString(1) -> r.getDouble(2)).toMap
+    assert(math.abs(w.values.sum - 1.0) < 1e-12)
+    assert(!w.contains("banana"), s"hot non-query term must drop: $w")
+    assert(w("cherry") >= 0.25 - 1e-12) // original-term mass survives
+    assert(w.contains("apple") && (w.contains("date") || w.contains("elder")))
+  }
+
   test("unit weights reproduce the unweighted scores bitwise") {
     val qs = corpus.select(col("doc_id").as("query_id"), col("text"))
     val (tf, dfT, st) = indexTriple(corpus)
