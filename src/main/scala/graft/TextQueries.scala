@@ -577,20 +577,9 @@ private[graft] object TextQueries {
     // through the exact fallback — both decision branches are inside
     // the gate at any SF.
     "q182_bm25_wand_topk" -> ((s, dir) => {
-      val corpus = t(s, dir, "documents").where(col("doc_id").isNotNull)
-        .select(col("doc_id"), zipfText(col("doc_id"), 30, 2000, "zc", 2000)
-          .as("text"))
-      val qs = t(s, dir, "documents").where(col("doc_id") % 50 === 0)
-        .select(col("doc_id").as("query_id"),
-          when(pmod(col("doc_id"), lit(250)) === 50,
-            zipfText(col("doc_id"), 4, 2000, "zq", 2000))
-            .otherwise(concat_ws(" ",
-              zipfText(col("doc_id"), 4, 2000, "zq", 2000),
-              zipfText(col("doc_id"), 2, 14, "zt", 2000))).as("text"))
-      val tf = graft.operators.Retrieval
-        .termFrequencies(corpus, "doc_id", "text").localCheckpoint() // see q179
+      val (tf, qs, hotCut) = zipfWandFixture(s, dir)
       graft.operators.Retrieval.bm25TopKWand(tf, qs, "query_id", "text",
-        k = 5, hotDf = corpus.count() / 10)
+        k = 5, hotDf = hotCut)
         .select(col("queryId").as("query_id"), col("docId").as("doc_id"),
           round(col("score"), 6).as("score"),
           col("rank").cast("long").as("rank"))
@@ -603,20 +592,9 @@ private[graft] object TextQueries {
     // bound-formula or candidate-set drift fails HERE even when q182's
     // final top-k happens to survive it
     "q187_bm25_wand_stats" -> ((s, dir) => {
-      val corpus = t(s, dir, "documents").where(col("doc_id").isNotNull)
-        .select(col("doc_id"), zipfText(col("doc_id"), 30, 2000, "zc", 2000)
-          .as("text"))
-      val qs = t(s, dir, "documents").where(col("doc_id") % 50 === 0)
-        .select(col("doc_id").as("query_id"),
-          when(pmod(col("doc_id"), lit(250)) === 50,
-            zipfText(col("doc_id"), 4, 2000, "zq", 2000))
-            .otherwise(concat_ws(" ",
-              zipfText(col("doc_id"), 4, 2000, "zq", 2000),
-              zipfText(col("doc_id"), 2, 14, "zt", 2000))).as("text"))
-      val tf = graft.operators.Retrieval
-        .termFrequencies(corpus, "doc_id", "text").localCheckpoint() // see q179
+      val (tf, qs, hotCut) = zipfWandFixture(s, dir)
       graft.operators.Retrieval.bm25WandStats(tf, qs, "query_id", "text",
-        k = 5, hotDf = corpus.count() / 10) // the derived cut, see q182
+        k = 5, hotDf = hotCut)
         .select(col("queryId").as("query_id"),
           col("n_rare_terms"), col("n_hot_terms"), col("n_candidates"),
           round(col("ub"), 6).as("ub"),
@@ -825,6 +803,43 @@ private[graft] object TextQueries {
        |  SELECT query_id, doc_id,
        |    list_reduce(list(c ORDER BY word), (a, x) -> a + x) AS score
        |  FROM contrib GROUP BY 1, 2)""".stripMargin
+
+  /** q182/q187's shared Zipf WAND fixture — ONE definition (the
+    * ivfAdcIndex rule: the exactness gate and the decision-table gate
+    * that explains it must read the SAME corpus, queries, and hot
+    * cut): the checkpointed Zipf tf table, the mixed head+tail query
+    * batch with the (250k+50)-id hot-only slice, and the DERIVED N/10
+    * hot cut (an absolute cut calibrated at one SF degenerates at
+    * another — 50 split the terms at sf0.01 but made every term hot
+    * at sf0.1, sending all 100 queries through the fallback).
+    * [[ZipfWandCorpusTextSql]]/[[ZipfWandQueryTextSql]] are the
+    * oracle-side halves of the same definition.
+    */
+  private def zipfWandFixture(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, Long) = {
+    val corpus = t(s, dir, "documents").where(col("doc_id").isNotNull)
+      .select(col("doc_id"),
+        zipfText(col("doc_id"), 30, 2000, "zc", 2000).as("text"))
+    val qs = t(s, dir, "documents").where(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("query_id"),
+        when(pmod(col("doc_id"), lit(250)) === 50,
+          zipfText(col("doc_id"), 4, 2000, "zq", 2000))
+          .otherwise(concat_ws(" ",
+            zipfText(col("doc_id"), 4, 2000, "zq", 2000),
+            zipfText(col("doc_id"), 2, 14, "zt", 2000))).as("text"))
+    val tf = graft.operators.Retrieval
+      .termFrequencies(corpus, "doc_id", "text").localCheckpoint() // see q179
+    (tf, qs, corpus.count() / 10)
+  }
+
+  private lazy val ZipfWandCorpusTextSql: String =
+    zipfTextSql("doc_id", 30, 2000, "zc", 2000)
+
+  private lazy val ZipfWandQueryTextSql: String =
+    s"""CASE WHEN doc_id % 250 = 50
+       |  THEN ${zipfTextSql("doc_id", 4, 2000, "zq", 2000)}
+       |  ELSE ${zipfTextSql("doc_id", 4, 2000, "zq", 2000)} || ' ' ||
+       |    ${zipfTextSql("doc_id", 2, 14, "zt", 2000)} END""".stripMargin
 
   /** The RM3 expansion chain replayed in SQL, downstream of
     * [[bm25Cte]]'s `bscores`/`tfv`/`lens`/`qterms` (shared by
@@ -1944,11 +1959,7 @@ private[graft] object TextQueries {
     // equality with the WAND path is the exactness proof
     "q182_bm25_wand_topk" ->
       s"""WITH ${bm25Cte("TRUE", "doc_id % 50 = 0",
-             s"""CASE WHEN doc_id % 250 = 50
-                |  THEN ${zipfTextSql("doc_id", 4, 2000, "zq", 2000)}
-                |  ELSE ${zipfTextSql("doc_id", 4, 2000, "zq", 2000)} || ' ' ||
-                |    ${zipfTextSql("doc_id", 2, 14, "zt", 2000)} END""".stripMargin,
-             zipfTextSql("doc_id", 30, 2000, "zc", 2000))},
+             ZipfWandQueryTextSql, ZipfWandCorpusTextSql)},
          |ranked AS (
          |  SELECT query_id, doc_id, score,
          |    row_number() OVER (PARTITION BY query_id
@@ -1966,11 +1977,7 @@ private[graft] object TextQueries {
     // the routing predicate verbatim
     "q187_bm25_wand_stats" ->
       s"""WITH ${bm25Cte("TRUE", "doc_id % 50 = 0",
-             s"""CASE WHEN doc_id % 250 = 50
-                |  THEN ${zipfTextSql("doc_id", 4, 2000, "zq", 2000)}
-                |  ELSE ${zipfTextSql("doc_id", 4, 2000, "zq", 2000)} || ' ' ||
-                |    ${zipfTextSql("doc_id", 2, 14, "zt", 2000)} END""".stripMargin,
-             zipfTextSql("doc_id", 30, 2000, "zc", 2000))},
+             ZipfWandQueryTextSql, ZipfWandCorpusTextSql)},
          |hotcut AS (SELECT count(*) // 10 AS cut FROM corpus),
          |split AS (
          |  SELECT query_id, word, df, cut
@@ -1990,7 +1997,8 @@ private[graft] object TextQueries {
          |  FROM cands GROUP BY 1),
          |ubt AS (
          |  SELECT e.query_id,
-         |    sum(e.idf) *
+         |    list_reduce(list_prepend(0.0, list(e.idf ORDER BY e.word)),
+         |      (a, x) -> a + x) *
          |      CAST('${((1.2 + 1.0) * (1.0 + 1e-9)).toString}' AS DOUBLE)
          |      AS ub
          |  FROM enriched e JOIN dft d USING (word) CROSS JOIN hotcut

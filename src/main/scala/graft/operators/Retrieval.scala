@@ -501,8 +501,13 @@ object Retrieval {
     val qn = pterms.groupBy("queryId").agg(count(lit(1)).as("__n"))
     // per-phrase anchor: the offset whose term has the FEWEST corpus
     // occurrences (counts from the posting table; word/offset ties
-    // break deterministically)
-    val occ = posts.groupBy("word").agg(count(lit(1)).as("__occ"))
+    // break deterministically). The semi-join BEFORE the aggregate
+    // keeps the occurrence stats phrase-vocabulary-sized — aggregating
+    // the whole positional index first would pay a corpus-sized pass
+    // per probe batch that the word filter cannot push below
+    val occ = posts
+      .join(pterms.select("word").distinct(), Seq("word"), "left_semi")
+      .groupBy("word").agg(count(lit(1)).as("__occ"))
     val aw = Window.partitionBy(col("queryId"))
       .orderBy(col("__occ").asc, col("word").asc, col("__i").asc)
     val anchor = pterms.join(occ, Seq("word"))
@@ -675,9 +680,16 @@ object Retrieval {
       qidCol, qtextCol).localCheckpoint()
     val rare = enriched.filter(col("df") <= hotDf)
     val hot = enriched.filter(col("df") > hotDf)
-    // conservative per-query bound on any hot-only doc's score
+    // conservative per-query bound on any hot-only doc's score —
+    // word-sorted fold (the repo's bit-reproducibility convention):
+    // the bound drives the safe/fallback ROUTING and q187 gates it,
+    // so a partitioning-dependent plain sum would make the decision
+    // table non-reproducible at ulp-adjacent boundaries
     val hotUb = hot.groupBy("queryId")
-      .agg((sum(col("idf")) * lit((k1 + 1.0) * (1.0 + 1e-9))).as("__ub"))
+      .agg((aggregate(
+        sort_array(collect_list(struct(col("word"), col("idf")))),
+        lit(0.0), (a, x) => a + x.getField("idf")) *
+        lit((k1 + 1.0) * (1.0 + 1e-9))).as("__ub"))
     // phase 1: candidates via the rare postings, then full scores with
     // the hot contributions fetched doc-wise through the forward layout
     val rareContrib = postingContribs(tf, rare, k1, b)
