@@ -105,17 +105,52 @@ object Retrieval {
     * batch-vocabulary-sized work. `batchTf` =
     * `termFrequencies(batchDocs, ...)` — at ingest, materialize it once
     * (it is consumed 3×: tf append, df delta, scalar delta).
+    *
+    * `assertDisjoint = true` enforces the disjoint-docId ingest
+    * contract IN-PLAN (the [[Dedup]] `maxBlockSize` convention): a
+    * batch docId already present in the persisted tf table would
+    * silently inflate df/n_docs/total_dl, so the guard fails loudly —
+    * a `raise_error` fires when any merged output materializes, naming
+    * an offending id. Opt-in debug mode: the check is one semi-join of
+    * the batch's id set against the persisted tf (bucket-local under
+    * the docId-bucketed forward layout), re-read by each consumer.
     */
   def compactTermIndex(tf: DataFrame, dfTab: DataFrame, stats: DataFrame,
-                       batchTf: DataFrame)
+                       batchTf: DataFrame,
+                       assertDisjoint: Boolean = false)
       : (DataFrame, DataFrame, DataFrame) = {
-    val tfMerged = tf.unionByName(batchTf)
-    val dfMerged = dfTab.unionByName(dfTable(batchTf))
+    val batch =
+      if (!assertDisjoint) batchTf
+      else guardedDisjointBatch(tf, batchTf, "compactTermIndex")
+    val tfMerged = tf.unionByName(batch)
+    val dfMerged = dfTab.unionByName(dfTable(batch))
       .groupBy("word").agg(sum(col("df")).as("df"))
-    val statsMerged = stats.unionByName(corpusStats(batchTf))
+    val statsMerged = stats.unionByName(corpusStats(batch))
       .agg(sum(col("n_docs")).as("n_docs"),
         sum(col("total_dl")).as("total_dl"))
     (tfMerged, dfMerged, statsMerged)
+  }
+
+  /** The batch side of an append compaction, guarded in-plan against
+    * docId reuse: the duplicate summary is ONE broadcastable row
+    * (count + an example id), cross-joined under every batch row, and
+    * the `raise_error` branch only evaluates when a duplicate exists —
+    * zero overhead on the happy path beyond the id-set semi-join.
+    */
+  private def guardedDisjointBatch(existing: DataFrame, batch: DataFrame,
+                                   what: String): DataFrame = {
+    val dup = batch.select("docId").distinct()
+      .join(existing.select("docId"), Seq("docId"), "left_semi")
+      .agg(count(lit(1)).as("__dups"),
+        min(col("docId")).cast("string").as("__dup_id"))
+    batch.crossJoin(broadcast(dup))
+      .filter(when(col("__dups") === 0L, lit(true))
+        .otherwise(raise_error(concat(
+          lit(s"$what: batch reuses "), col("__dups").cast("string"),
+          lit(" persisted docId(s), e.g. "), col("__dup_id"),
+          lit(" — duplicate tf rows would inflate df/n_docs/total_dl;" +
+            " ingest requires disjoint doc ids"))).cast("boolean")))
+      .drop("__dups", "__dup_id")
   }
 
   /** Deletion-side BM25 index compaction — [[compactTermIndex]]'s
@@ -252,6 +287,16 @@ object Retrieval {
     * the canonical RM3 overhead). The cap keeps only informative
     * expansion terms; original query terms are never capped. Opt-in
     * and expansion-changing by design, like `maxDocFrequency`.
+    *
+    * λ endpoints (spec-pinned; the oracle gates λ=0.5 only): zero
+    * weights are filtered — a zero-weight word is not a query term —
+    * so λ=1 IS the original uniform query (feedback-only terms drop)
+    * and λ=0 is the pure feedback model (original-only terms drop).
+    * The one exception is the reference RM3 fallback: a query with NO
+    * feedback terms at all (no term matched the corpus, or the
+    * `maxFeedbackDf` cap emptied its candidate set) keeps its original
+    * uniform `1/|Q|` weights regardless of λ, instead of silently
+    * vanishing from the second pass at λ < 1.
     */
   def rm3ExpandedTerms(tf: DataFrame, dfTab: DataFrame, stats: DataFrame,
                        queries: DataFrame, qidCol: String, qtextCol: String,
@@ -320,7 +365,7 @@ object Retrieval {
     val ow = qt.join(qn, Seq("queryId"))
       .select(col("queryId"), col("word"),
         (lit(1.0) / col("__n").cast("double")).as("__ow"))
-    ow.join(fbw, Seq("queryId", "word"), "full_outer")
+    val mixed = ow.join(fbw, Seq("queryId", "word"), "full_outer")
       .select(col("queryId"), col("word"),
         (lit(lambda) * coalesce(col("__ow"), lit(0.0)) +
           lit(1.0 - lambda) * coalesce(col("__fw"), lit(0.0)))
@@ -328,6 +373,14 @@ object Retrieval {
       // λ endpoints zero out one side's exclusive terms — a zero
       // weight is a no-op downstream and not a query term
       .filter(col("weight") > 0.0)
+    // the RM3 empty-feedback fallback (see scaladoc): queries with no
+    // feedback terms keep the ORIGINAL uniform query at any λ. Both
+    // sides of the split are query-/feedback-vocabulary-sized.
+    val fbQ = fbw.select("queryId").distinct()
+    mixed.join(fbQ, Seq("queryId"), "left_semi")
+      .unionByName(
+        ow.join(fbQ, Seq("queryId"), "left_anti")
+          .select(col("queryId"), col("word"), col("__ow").as("weight")))
   }
 
   /** BM25 scoring under a WEIGHTED query-term table

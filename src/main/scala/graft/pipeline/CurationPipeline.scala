@@ -61,6 +61,15 @@ object CurationPipeline {
     * themselves. `counts` is also lazy: a caller that only consumes
     * `curated` never executes the cascade for the counts — touching
     * `counts` is what runs it (once; the result is memoized).
+    *
+    * RETENTION (stageCounts mode): `run(stageCounts = true)` leaves two
+    * `localCheckpoint()` materializations alive — the gate/rewrite
+    * boundary and the id-width keep set — because `curated` reads them;
+    * releasing them eagerly would re-run the cascade under the caller's
+    * action. Their blocks are reclaimed by the ContextCleaner once this
+    * Result (and any plan derived from `curated`) becomes unreachable,
+    * so a long-lived session calling stage-count runs in a loop should
+    * drop each Result promptly rather than accumulate references.
     */
   final case class Result(curated: DataFrame,
                           private val countsFn: () => Map[String, Long]) {

@@ -231,4 +231,27 @@ class CurationSpec extends SparkSpec {
       languages = Set("en"), stageCounts = true)
     assert(off.counts("after_exact_dedup") == 2L, s"got ${off.counts}")
   }
+
+  test("observe counts once when the observed subtree is self-joined") {
+    // Pins the probed Spark behavior the stage counts depend on: a
+    // named CollectMetrics accumulator collects ONCE per materialized
+    // pass even when the observed subtree is DUPLICATED by a
+    // self-join (the cascade's slim frames feed both a gate and the
+    // join back). If this fails after a Spark upgrade, the
+    // CurationPipeline.run(stageCounts = true) counts are no longer
+    // trustworthy — revert to cache-and-count per stage.
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val o = org.apache.spark.sql.Observation()
+    val base = spark.range(100)
+      .select(col("id"), (col("id") % 10).as("k"))
+      .observe(o, count(lit(1)).as("n"))
+    // both consumers prune to different columns, forcing the planner
+    // to keep two scans of the observed subtree under one action
+    val joined = base.join(base.select(col("id")), Seq("id"))
+    assert(joined.count() === 100L)
+    assert(o.get("n").asInstanceOf[Long] === 100L,
+      "CollectMetrics double-counted under a duplicated subtree — " +
+        "stage counts in CurationPipeline.run(stageCounts = true) " +
+        "depend on single-collection semantics")
+  }
 }

@@ -473,6 +473,55 @@ class RetrievalSpec extends SparkSpec {
     assert(t1.size === 1 && math.abs(t1.values.sum - 1.0) < 1e-12)
   }
 
+  test("empty-feedback queries keep the original uniform query at any λ") {
+    // q50's terms are all corpus-absent: zero feedback docs, zero
+    // feedback terms — the RM3 fallback keeps the original query at
+    // uniform 1/|Q| instead of dropping it at λ < 1. q51 (with
+    // feedback) is unaffected by the fallback path.
+    val qs = Seq((50L, "zzz yyy"), (51L, "apple")).toDF("query_id", "text")
+    val (tf, dfT, st) = indexTriple(corpus)
+    for (lambda <- Seq(0.0, 0.25, 1.0)) {
+      val w = Retrieval.rm3ExpandedTerms(tf, dfT, st, qs,
+        "query_id", "text", k = 2, m = 10, lambda = lambda)
+        .filter(col("queryId") === 50L)
+        .collect().map(r => r.getString(1) -> r.getDouble(2)).toMap
+      assert(w === Map("zzz" -> 0.5, "yyy" -> 0.5), s"λ=$lambda: $w")
+    }
+    // the cap emptying a query's candidate set triggers the same
+    // fallback: every feedback term of q51 is hotter than df 0
+    val capped = Retrieval.rm3ExpandedTerms(tf, dfT, st, qs,
+      "query_id", "text", k = 2, m = 10, lambda = 0.0,
+      maxFeedbackDf = Some(0L))
+      .filter(col("queryId") === 51L)
+      .collect().map(r => r.getString(1) -> r.getDouble(2)).toMap
+    assert(capped === Map("apple" -> 1.0), s"got $capped")
+  }
+
+  test("assertDisjoint fails loudly on a reused ingest docId") {
+    val (tf, dfT, st) = indexTriple(corpus)
+    val freshBatch = Retrieval.termFrequencies(
+      docs(7L -> "fig grape"), "doc_id", "text")
+    // disjoint ids: the guard is a no-op and the merge probes normally
+    val (tfM, dfM, stM) =
+      Retrieval.compactTermIndex(tf, dfT, st, freshBatch,
+        assertDisjoint = true)
+    assert(tfM.count() === tf.count() + freshBatch.count())
+    assert(dfM.count() > 0 && stM.count() === 1)
+    // a reused id (doc 2 already persisted) fails when any merged
+    // output materializes, naming the violation
+    val dupBatch = Retrieval.termFrequencies(
+      docs(2L -> "fig grape"), "doc_id", "text")
+    val (tfBad, _, _) =
+      Retrieval.compactTermIndex(tf, dfT, st, dupBatch,
+        assertDisjoint = true)
+    val e = intercept[Exception] { tfBad.count() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("batch reuses")),
+      s"expected the ingest-contract error, got: ${messages(e)}")
+  }
+
   test("feedback df cap drops hot expansion terms, never original terms") {
     // 'banana' (df 3) and 'cherry' (df 3) are the hot terms; cap 2
     // keeps only rarer feedback vocabulary, but the ORIGINAL query
