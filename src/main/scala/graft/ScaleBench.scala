@@ -249,7 +249,8 @@ object ScaleBench {
         "bm25_topk_wand_10x", "bm25_compact_index_10x",
         "bm25_rebuild_index_10x", "bm25_compact_deleted_10x",
         "bm25_rebuild_survivors_10x", "phrase_matches_10x",
-        "rm3_rescore_10x", "rm3_rescore_capped_10x")
+        "rm3_rescore_10x", "rm3_rescore_wand_10x",
+        "rm3_rescore_capped_10x")
       round <- Seq("cold", "warm")
     } yield s"$base $round") :+ "bm25_index_write_once"
     if (only.forall(s => bm25SectionLabels.exists(_.contains(s)))) {
@@ -404,6 +405,30 @@ object ScaleBench {
             graft.operators.Retrieval.bm25ScoresWeighted(
               spark.table("sb_bm25_tf"), spark.table("sb_bm25_df"),
               spark.table("sb_bm25_stats"), exp, bitExact = false), 5)
+            .count())
+        }
+        // the SCORE-EXACT pruned composition (q191's gate): both
+        // passes routed through the WAND plans — wand first pass for
+        // the feedback set, weighted wand for the rescore — same
+        // answers as rm3_rescore_10x with the head postings fetched
+        // per candidate instead of scanned; read the wall against the
+        // canonical entry (what exactness used to cost) and the
+        // capped entry (what score-changing pruning buys)
+        time(s"rm3_rescore_wand_10x $round") {
+          val exp = graft.operators.Retrieval.rm3ExpandedTerms(
+            spark.table("sb_bm25_tf"), spark.table("sb_bm25_df"),
+            spark.table("sb_bm25_stats"), bm25Queries,
+            "query_id", "text", k = 10, m = 10, lambda = 0.5,
+            bitExact = false, wandHotDf = Some(5000L),
+            forward = Some(spark.table("sb_bm25_fwd")))
+            .localCheckpoint()
+          println("  rescored=" + graft.operators.Retrieval
+            .bm25TopKWandWeighted(
+              spark.table("sb_bm25_tf"), exp, k = 5, hotDf = 5000L,
+              bitExact = false,
+              forward = Some(spark.table("sb_bm25_fwd")),
+              dfStats = Some((spark.table("sb_bm25_df"),
+                spark.table("sb_bm25_stats"))))
             .count())
         }
         // ...the production configuration: stop-term-pruned FIRST pass

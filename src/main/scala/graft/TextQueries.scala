@@ -722,6 +722,50 @@ private[graft] object TextQueries {
           col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
     }),
+    // the full RM3 composition through the SCORE-EXACT WAND plans at
+    // BOTH passes, over the Zipf fixture: the first pass (feedback
+    // selection) routes through bm25TopKWand, the weighted second
+    // pass through bm25TopKWandWeighted — while the oracle replays
+    // the canonical UNPRUNED composition. Bitwise equality is the
+    // exactness proof for the weighted bound
+    "q191_rm3_wand_rescore" -> ((s, dir) => {
+      import graft.operators.Retrieval
+      val (tf, qs, hotCut) = zipfWandFixture(s, dir)
+      val dfT = Retrieval.dfTable(tf).localCheckpoint()
+      val st = Retrieval.corpusStats(tf).localCheckpoint()
+      val exp = Retrieval.rm3ExpandedTerms(tf, dfT, st, qs,
+        "query_id", "text", k = 10, m = 10, lambda = 0.5,
+        wandHotDf = Some(hotCut))
+        .localCheckpoint() // result-sized probe boundary
+      Retrieval.bm25TopKWandWeighted(tf, exp, k = 5, hotDf = hotCut,
+        dfStats = Some((dfT, st)))
+        .select(col("queryId").as("query_id"), col("docId").as("doc_id"),
+          round(col("score"), 6).as("score"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+    // ...and the WEIGHTED WAND decision table itself (the q187
+    // convention on the weighted operator): rare/hot split of the
+    // EXPANDED term table, candidate counts, the weighted hot-only
+    // bound ub, theta, and the routing — a weighted-bound drift fails
+    // here even when q191's final top-k survives it
+    "q192_rm3_wand_stats" -> ((s, dir) => {
+      import graft.operators.Retrieval
+      val (tf, qs, hotCut) = zipfWandFixture(s, dir)
+      val dfT = Retrieval.dfTable(tf).localCheckpoint()
+      val st = Retrieval.corpusStats(tf).localCheckpoint()
+      val exp = Retrieval.rm3ExpandedTerms(tf, dfT, st, qs,
+        "query_id", "text", k = 10, m = 10, lambda = 0.5,
+        wandHotDf = Some(hotCut))
+        .localCheckpoint()
+      Retrieval.bm25WandWeightedStats(tf, exp, k = 5, hotDf = hotCut,
+        dfStats = Some((dfT, st)))
+        .select(col("queryId").as("query_id"),
+          col("n_rare_terms"), col("n_hot_terms"), col("n_candidates"),
+          round(col("ub"), 6).as("ub"),
+          round(col("theta"), 6).as("theta"), col("safe"))
+        .orderBy("query_id")
+    }),
     // the production hybrid pairing (q181 fused BM25 with exact
     // Jaccard; this fuses it with the IVFADC ANN stack): BM25 top-10
     // over short queries + residual-IVFADC top-10 over the same query
@@ -913,6 +957,34 @@ private[graft] object TextQueries {
        |      CAST(0.5 AS DOUBLE) * coalesce(fw, 0.0) AS weight
        |  FROM ow a FULL OUTER JOIN fbw f
        |    ON a.query_id = f.query_id AND a.word = f.word)""".stripMargin
+
+  /** The weighted second-pass scoring chain replayed in SQL,
+    * downstream of [[Rm3Ctes]]' `finalw` and [[bm25Cte]]'s
+    * `tfv`/`lens`/`stats`/`dft` (shared by q190/q191/q192): expansion
+    * weights × the identical BM25 contribution tree
+    * (`weight * ((idf * X) / Y)` — the operator's exact association),
+    * term-sorted fold. `wenr` carries df for q192's rare/hot readout.
+    */
+  private lazy val Rm3RescoreCtes =
+    s"""wenr AS (
+       |  SELECT f.query_id, f.word, f.weight, avgdl, df,
+       |    ln(1.0 + (n_docs - CAST(df AS DOUBLE) + 0.5)
+       |             / (CAST(df AS DOUBLE) + 0.5)) AS idf
+       |  FROM finalw f JOIN dft USING (word) CROSS JOIN stats),
+       |wcon AS (
+       |  SELECT e.query_id, t.doc_id, t.word,
+       |    e.weight * ((e.idf *
+       |      (CAST(t.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))) /
+       |      (CAST(t.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+       |       (1.0 - CAST(0.75 AS DOUBLE) +
+       |        CAST(0.75 AS DOUBLE) * CAST(l.dl AS DOUBLE) / avgdl)))
+       |      AS c
+       |  FROM tfv t JOIN wenr e ON e.word = t.word
+       |  JOIN lens l ON l.doc_id = t.doc_id),
+       |wsc AS (
+       |  SELECT query_id, doc_id,
+       |    list_reduce(list(c ORDER BY word), (a, x) -> a + x) AS score
+       |  FROM wcon GROUP BY 1, 2)""".stripMargin
 
   /** The q168/q169 Viterbi DP replay (cells per position, final cell
     * non-null = segmentable): shared so the budget readout and the
@@ -2093,25 +2165,7 @@ private[graft] object TextQueries {
     "q190_rm3_rescore" ->
       s"""WITH ${bm25Cte("TRUE", "doc_id % 97 = 0", "substr(text, 1, 40)")},
          |$Rm3Ctes,
-         |wenr AS (
-         |  SELECT f.query_id, f.word, f.weight, avgdl,
-         |    ln(1.0 + (n_docs - CAST(df AS DOUBLE) + 0.5)
-         |             / (CAST(df AS DOUBLE) + 0.5)) AS idf
-         |  FROM finalw f JOIN dft USING (word) CROSS JOIN stats),
-         |wcon AS (
-         |  SELECT e.query_id, t.doc_id, t.word,
-         |    e.weight * ((e.idf *
-         |      (CAST(t.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))) /
-         |      (CAST(t.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
-         |       (1.0 - CAST(0.75 AS DOUBLE) +
-         |        CAST(0.75 AS DOUBLE) * CAST(l.dl AS DOUBLE) / avgdl)))
-         |      AS c
-         |  FROM tfv t JOIN wenr e ON e.word = t.word
-         |  JOIN lens l ON l.doc_id = t.doc_id),
-         |wsc AS (
-         |  SELECT query_id, doc_id,
-         |    list_reduce(list(c ORDER BY word), (a, x) -> a + x) AS score
-         |  FROM wcon GROUP BY 1, 2)
+         |$Rm3RescoreCtes
          |SELECT query_id, doc_id, round(score, 6) AS score,
          |  CAST(rank AS BIGINT) AS rank
          |FROM (
@@ -2121,6 +2175,80 @@ private[graft] object TextQueries {
          |  FROM wsc) z
          |WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
+
+    // the full RM3 composition THROUGH the weighted WAND plan, over
+    // the Zipf fixture (first pass score-exact wand-routed, second
+    // pass weighted-wand-routed) — while the ORACLE IS THE UNPRUNED
+    // COMPOSITION: no bound, no candidate restriction, no fallback
+    // split anywhere. Equality proves the weighted bound
+    // Σ_hot weight·idf·(k1+1) and the rare-candidate restriction lose
+    // no true top-k row at either pass
+    "q191_rm3_wand_rescore" ->
+      s"""WITH ${bm25Cte("TRUE", "doc_id % 50 = 0",
+             ZipfWandQueryTextSql, ZipfWandCorpusTextSql)},
+         |$Rm3Ctes,
+         |$Rm3RescoreCtes
+         |SELECT query_id, doc_id, round(score, 6) AS score,
+         |  CAST(rank AS BIGINT) AS rank
+         |FROM (
+         |  SELECT query_id, doc_id, score,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id) AS rank
+         |  FROM wsc) z
+         |WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // ...and the WEIGHTED decision table replayed from first
+    // principles (the q187 convention on the weighted operator): term
+    // split from the expanded weight table, candidates = docs sharing
+    // a RARE expanded term, theta = 5th weighted score among
+    // candidates, ub = Σ_hot weight·idf times the operator's exact
+    // double constant, routing predicate verbatim
+    "q192_rm3_wand_stats" ->
+      s"""WITH ${bm25Cte("TRUE", "doc_id % 50 = 0",
+             ZipfWandQueryTextSql, ZipfWandCorpusTextSql)},
+         |$Rm3Ctes,
+         |$Rm3RescoreCtes,
+         |hotcut AS (SELECT count(*) // 10 AS cut FROM corpus),
+         |counts AS (
+         |  SELECT query_id,
+         |    CAST(sum(CASE WHEN df <= cut THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_rare_terms,
+         |    CAST(sum(CASE WHEN df > cut THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_hot_terms
+         |  FROM wenr CROSS JOIN hotcut GROUP BY 1),
+         |cands AS (
+         |  SELECT DISTINCT w.query_id, t.doc_id
+         |  FROM wenr w JOIN tfv t USING (word) CROSS JOIN hotcut
+         |  WHERE w.df <= cut),
+         |ncand AS (
+         |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_candidates
+         |  FROM cands GROUP BY 1),
+         |ubt AS (
+         |  SELECT query_id,
+         |    list_reduce(list_prepend(0.0,
+         |      list(weight * idf ORDER BY word)), (a, x) -> a + x) *
+         |      CAST('${((1.2 + 1.0) * (1.0 + 1e-9)).toString}' AS DOUBLE)
+         |      AS ub
+         |  FROM wenr CROSS JOIN hotcut WHERE df > cut GROUP BY query_id),
+         |cscore AS (
+         |  SELECT b.query_id, b.doc_id, b.score
+         |  FROM wsc b JOIN cands c USING (query_id, doc_id)),
+         |th AS (
+         |  SELECT query_id, score AS theta FROM (
+         |    SELECT query_id, score,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score DESC, doc_id) AS r
+         |    FROM cscore) x WHERE r = 5)
+         |SELECT c.query_id, n_rare_terms, n_hot_terms,
+         |  CAST(coalesce(n_candidates, 0) AS BIGINT) AS n_candidates,
+         |  round(ub, 6) AS ub, round(theta, 6) AS theta,
+         |  NOT (n_hot_terms > 0 AND (theta IS NULL OR ub >= theta)) AS safe
+         |FROM counts c
+         |LEFT JOIN ncand USING (query_id)
+         |LEFT JOIN ubt USING (query_id)
+         |LEFT JOIN th USING (query_id)
+         |ORDER BY query_id""".stripMargin,
 
     // THE SURVIVOR REBUILD: the corpus CTE simply excludes src0 — no
     // subtraction anywhere in the oracle, which is exactly the claim

@@ -304,9 +304,14 @@ object Retrieval {
                        k1: Double = 1.2, b: Double = 0.75,
                        bitExact: Boolean = true,
                        maxFeedbackDf: Option[Long] = None,
-                       firstPassMaxDf: Option[Long] = None): DataFrame = {
+                       firstPassMaxDf: Option[Long] = None,
+                       wandHotDf: Option[Long] = None,
+                       forward: Option[DataFrame] = None): DataFrame = {
     require(m > 0, s"m > 0: $m")
     require(lambda >= 0 && lambda <= 1, s"lambda in [0,1]: $lambda")
+    require(wandHotDf.isEmpty || firstPassMaxDf.isEmpty,
+      "wandHotDf (score-exact pruning) and firstPassMaxDf " +
+        "(score-changing pruning) are alternative first-pass regimes")
     // feedback set: result-sized, consumed 2× (normalizer + term
     // pull). `bitExact` governs only this first-pass fold (the scale
     // caveat is bm25ScoresIndexed's); everything after is
@@ -315,9 +320,23 @@ object Retrieval {
     // it selects the FEEDBACK SET through pruned scoring, the way a
     // tuned production first stage runs; at 50k the uncapped first
     // pass alone was ~60% of the whole composition's wall).
-    val topk = bm25TopK(
-      bm25ScoresPrecomputed(tf, dfTab, stats, queries, qidCol, qtextCol,
-        k1, b, bitExact, firstPassMaxDf), k).localCheckpoint()
+    // `wandHotDf` instead routes the first pass through the
+    // SCORE-EXACT [[bm25TopKWand]] plan (with `forward` as its
+    // candidate-fetch layout): the feedback set — and so every
+    // expansion weight — is bit-identical to the unpruned first pass
+    // (RetrievalSpec pins it), the fully exact way to shed the head
+    // postings the canonical composition pays for twice.
+    val topk = (wandHotDf match {
+      case Some(hd) =>
+        bm25TopKWand(tf, queries, qidCol, qtextCol, k, hd, k1, b,
+          bitExact, forward, Some((dfTab, stats)))
+          .select("queryId", "docId", "score")
+      case None =>
+        bm25TopK(
+          bm25ScoresPrecomputed(tf, dfTab, stats, queries, qidCol,
+            qtextCol, k1, b, bitExact, firstPassMaxDf), k)
+          .select("queryId", "docId", "score")
+    }).localCheckpoint()
     // per-query score normalizer, docId-sorted fold
     val z = topk.groupBy("queryId")
       .agg(aggregate(
@@ -404,18 +423,29 @@ object Retrieval {
       case Some(maxDf) => dfTab.filter(col("df") <= maxDf)
       case None => dfTab
     }
-    val enriched = termWeights
-      .join(kept, Seq("word"))
-      .crossJoin(broadcast(statsDouble(stats)))
-      .select(col("queryId"), col("word"), col("weight"), col("avgdl"),
-        log(lit(1.0) +
-          (col("n_docs") - col("df").cast("double") + lit(0.5)) /
-            (col("df").cast("double") + lit(0.5))).as("idf"))
-    val contrib = tf.join(enriched, Seq("word"))
+    val contrib = tf.join(enrichedWeightedTerms(kept, stats, termWeights),
+        Seq("word"))
       .select(col("queryId"), col("docId"), col("word"),
         (col("weight") * contribExpr(k1, b)).as("__c"))
     scoreFold(contrib, bitExact)
   }
+
+  /** The weighted-query mirror of [[enrichedQueryTerms]]: a
+    * `(queryId, word, weight)` term table joined with idf + corpus
+    * scalars — `(queryId, word, weight, avgdl, idf, df)`. The df rides
+    * along for [[bm25TopKWandWeighted]]'s rare/hot split;
+    * [[bm25ScoresWeighted]] ignores it.
+    */
+  private def enrichedWeightedTerms(dfTab: DataFrame, stats: DataFrame,
+                                    termWeights: DataFrame): DataFrame =
+    termWeights
+      .join(dfTab, Seq("word"))
+      .crossJoin(broadcast(statsDouble(stats)))
+      .select(col("queryId"), col("word"), col("weight"), col("avgdl"),
+        log(lit(1.0) +
+          (col("n_docs") - col("df").cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5))).as("idf"),
+        col("df"))
 
   /** The query-term table with idf + corpus scalars folded in
     * (query-batch-sized — the posting join needs nothing else):
@@ -653,16 +683,53 @@ object Retrieval {
                    forward: Option[DataFrame] = None,
                    dfStats: Option[(DataFrame, DataFrame)] = None)
       : DataFrame = {
-    val c = wandCore(tf, queries, qidCol, qtextCol, k, hotDf, k1, b,
-      bitExact, forward, dfStats)
-    val safeTopK = c.topkCand.join(c.unsafeQ, Seq("queryId"), "left_anti")
+    val (dfTab, stats) = resolvedDfStats(tf, dfStats)
+    val c = wandCore(unitEnriched(dfTab, stats, queries, qidCol, qtextCol),
+      tf, k, hotDf, k1, b, bitExact, forward)
     val fallback = bm25TopK(
-      bm25ScoresPrecomputed(tf, c.dfTab, c.stats,
+      bm25ScoresPrecomputed(tf, dfTab, stats,
         queries.join(c.unsafeQ.select(col("queryId").as(qidCol)),
           Seq(qidCol), "left_semi"),
         qidCol, qtextCol, k1, b, bitExact), k)
-    safeTopK.select("queryId", "docId", "score", "rank")
-      .unionByName(fallback.select("queryId", "docId", "score", "rank"))
+    c.safeTopK.unionByName(fallback.select("queryId", "docId", "score",
+      "rank"))
+  }
+
+  /** [[bm25TopKWand]] under a WEIGHTED query-term table
+    * `(queryId, word, weight)` (an [[rm3ExpandedTerms]] output) —
+    * SCORE-EXACT pruned top-k for the RM3 second pass and any other
+    * weighted rescoring: returns exactly
+    * `bm25TopK(bm25ScoresWeighted(tf, dfTab, stats, termWeights), k)`
+    * (bitwise under `bitExact = true`; q191 gates the full RM3
+    * composition against the unpruned DuckDB replay). The unit-weight
+    * bound generalizes: a doc outside the rare-candidate set matches
+    * only hot terms, so its score is
+    * `< ub(q) = Σ_hot weight·idf·(k1+1)` — the tf saturation argument
+    * is per-term and weights SCALE each term's ceiling. Correctness of
+    * the bound (and so of the pruning) requires STRICTLY POSITIVE
+    * weights, which [[rm3ExpandedTerms]] guarantees by construction; a
+    * caller feeding negative weights voids the safety proof (zero
+    * weights are merely dead rows). Same two-phase plan, same
+    * two-layout ingest contract, same exact fallback routing as the
+    * unit-weight operator — they share [[wandCore]], so they cannot
+    * drift.
+    */
+  def bm25TopKWandWeighted(tf: DataFrame, termWeights: DataFrame,
+                           k: Int, hotDf: Long,
+                           k1: Double = 1.2, b: Double = 0.75,
+                           bitExact: Boolean = true,
+                           forward: Option[DataFrame] = None,
+                           dfStats: Option[(DataFrame, DataFrame)] = None)
+      : DataFrame = {
+    val (dfTab, stats) = resolvedDfStats(tf, dfStats)
+    val c = wandCore(enrichedWeightedTerms(dfTab, stats, termWeights),
+      tf, k, hotDf, k1, b, bitExact, forward)
+    val fallback = bm25TopK(
+      bm25ScoresWeighted(tf, dfTab, stats,
+        termWeights.join(c.unsafeQ, Seq("queryId"), "left_semi"),
+        k1, b, bitExact), k)
+    c.safeTopK.unionByName(fallback.select("queryId", "docId", "score",
+      "rank"))
   }
 
   /** The WAND decision table itself (the q173 convention: gate the
@@ -685,8 +752,70 @@ object Retrieval {
                     forward: Option[DataFrame] = None,
                     dfStats: Option[(DataFrame, DataFrame)] = None)
       : DataFrame = {
-    val c = wandCore(tf, queries, qidCol, qtextCol, k, hotDf, k1, b,
-      bitExact, forward, dfStats)
+    val (dfTab, stats) = resolvedDfStats(tf, dfStats)
+    wandStatsFrom(
+      wandCore(unitEnriched(dfTab, stats, queries, qidCol, qtextCol),
+        tf, k, hotDf, k1, b, bitExact, forward), hotDf)
+  }
+
+  /** [[bm25WandStats]] for the WEIGHTED operator — the q192 gate's
+    * readout: identical columns, identical routing predicate, shared
+    * [[wandCore]] internals with [[bm25TopKWandWeighted]] so the table
+    * cannot drift from the operator. `ub` here is the weighted bound
+    * `Σ_hot weight·idf·(k1+1)·(1+1e-9)` (word-sorted product fold).
+    */
+  def bm25WandWeightedStats(tf: DataFrame, termWeights: DataFrame,
+                            k: Int, hotDf: Long,
+                            k1: Double = 1.2, b: Double = 0.75,
+                            bitExact: Boolean = true,
+                            forward: Option[DataFrame] = None,
+                            dfStats: Option[(DataFrame, DataFrame)] = None)
+      : DataFrame = {
+    val (dfTab, stats) = resolvedDfStats(tf, dfStats)
+    wandStatsFrom(
+      wandCore(enrichedWeightedTerms(dfTab, stats, termWeights),
+        tf, k, hotDf, k1, b, bitExact, forward), hotDf)
+  }
+
+  /** The shared internals of the WAND family. `safeTopK` is the
+    * pruned-path output (safe queries only); `unsafeQ` the fallback
+    * routing set.
+    */
+  private final case class WandCore(enriched: DataFrame,
+                                    candPairs: DataFrame,
+                                    topkCand: DataFrame,
+                                    hotUb: DataFrame, theta: DataFrame,
+                                    unsafeQ: DataFrame) {
+    def safeTopK: DataFrame =
+      topkCand.join(unsafeQ, Seq("queryId"), "left_anti")
+        .select("queryId", "docId", "score", "rank")
+  }
+
+  /** The persisted (dfTable, corpusStats) pair when the caller has it
+    * (the compactTermIndex layout): without it, BOTH aggregates run
+    * from the posting table per consumer — the enrichment and the
+    * fallback each read them, so the inline default pays ~4 extra
+    * full-index scans (measured ~2 s of the probe wall at 50k×100).
+    */
+  private def resolvedDfStats(tf: DataFrame,
+                              dfStats: Option[(DataFrame, DataFrame)])
+      : (DataFrame, DataFrame) =
+    dfStats.getOrElse((dfTable(tf), corpusStats(tf)))
+
+  /** [[enrichedQueryTerms]] under the WAND weight contract: the unit
+    * weight rides as an explicit `1.0` column, so the shared core's
+    * weighted bound (`Σ weight·idf`) and contributions
+    * (`weight · bm25`) reduce BITWISE to the unit forms (IEEE
+    * `1.0 · x == x`) — q182/q187 stay bitwise-stable under the shared
+    * machinery.
+    */
+  private def unitEnriched(dfTab: DataFrame, stats: DataFrame,
+                           queries: DataFrame, qidCol: String,
+                           qtextCol: String): DataFrame =
+    enrichedQueryTerms(dfTab, stats, queries, qidCol, qtextCol)
+      .withColumn("weight", lit(1.0))
+
+  private def wandStatsFrom(c: WandCore, hotDf: Long): DataFrame = {
     val perQ = c.enriched.groupBy("queryId").agg(
       sum(when(col("df") <= hotDf, 1L).otherwise(0L)).as("n_rare_terms"),
       sum(when(col("df") > hotDf, 1L).otherwise(0L)).as("n_hot_terms"))
@@ -705,53 +834,48 @@ object Retrieval {
           .as("safe"))
   }
 
-  /** The shared internals of [[bm25TopKWand]]/[[bm25WandStats]]. */
-  private final case class WandCore(dfTab: DataFrame, stats: DataFrame,
-                                    enriched: DataFrame,
-                                    candPairs: DataFrame,
-                                    topkCand: DataFrame,
-                                    hotUb: DataFrame, theta: DataFrame,
-                                    unsafeQ: DataFrame)
-
-  private def wandCore(tf: DataFrame,
-                       queries: DataFrame, qidCol: String, qtextCol: String,
+  /** The two-phase WAND plan over an enriched WEIGHTED query-term
+    * table `(queryId, word, weight, avgdl, idf, df)` — everything both
+    * the unit and weighted operators share: the rare/hot split, the
+    * weighted hot-only bound, rare-posting candidates, the forward
+    * fetch, θ, and the routing set. The fallback (which differs — raw
+    * queries vs a weight table) stays with the public entry points.
+    */
+  private def wandCore(enrichedLazy: DataFrame, tf: DataFrame,
                        k: Int, hotDf: Long, k1: Double, b: Double,
                        bitExact: Boolean,
-                       forward: Option[DataFrame],
-                       dfStats: Option[(DataFrame, DataFrame)]): WandCore = {
+                       forward: Option[DataFrame]): WandCore = {
     require(k > 0, s"k > 0: $k")
     require(hotDf >= 0, s"hotDf >= 0: $hotDf")
     require(k1 >= 0 && b >= 0 && b <= 1, s"k1 >= 0, b in [0,1]: $k1, $b")
-    // the persisted (dfTable, corpusStats) pair when the caller has it
-    // (the compactTermIndex layout): without it, BOTH aggregates run
-    // from the posting table per consumer — the enrichment and the
-    // fallback each read them, so the inline default pays ~4 extra
-    // full-index scans (measured ~2 s of the probe wall at 50k×100)
-    val (dfTab, stats) = dfStats.getOrElse((dfTable(tf), corpusStats(tf)))
     // query-batch-sized, consumed 3× (rare, hot, bound) — eager
-    val enriched = enrichedQueryTerms(dfTab, stats, queries,
-      qidCol, qtextCol).localCheckpoint()
+    val enriched = enrichedLazy.localCheckpoint()
     val rare = enriched.filter(col("df") <= hotDf)
     val hot = enriched.filter(col("df") > hotDf)
     // conservative per-query bound on any hot-only doc's score —
-    // word-sorted fold (the repo's bit-reproducibility convention):
-    // the bound drives the safe/fallback ROUTING and q187 gates it,
-    // so a partitioning-dependent plain sum would make the decision
-    // table non-reproducible at ulp-adjacent boundaries
+    // word-sorted PRODUCT fold (the repo's bit-reproducibility
+    // convention): the bound drives the safe/fallback ROUTING and
+    // q187/q192 gate it, so a partitioning-dependent plain sum would
+    // make the decision table non-reproducible at ulp-adjacent
+    // boundaries. The per-term product folds INSIDE the struct so the
+    // oracle replays `list(weight * idf ORDER BY word)` verbatim.
     val hotUb = hot.groupBy("queryId")
       .agg((aggregate(
-        sort_array(collect_list(struct(col("word"), col("idf")))),
-        lit(0.0), (a, x) => a + x.getField("idf")) *
+        sort_array(collect_list(struct(col("word"),
+          (col("weight") * col("idf")).as("__wIdf")))),
+        lit(0.0), (a, x) => a + x.getField("__wIdf")) *
         lit((k1 + 1.0) * (1.0 + 1e-9))).as("__ub"))
     // phase 1: candidates via the rare postings, then full scores with
     // the hot contributions fetched doc-wise through the forward layout
-    val rareContrib = postingContribs(tf, rare, k1, b)
+    val rareContrib = tf.join(rare, Seq("word"))
+      .select(col("queryId"), col("docId"), col("word"),
+        (col("weight") * contribExpr(k1, b)).as("__c"))
     val candPairs = rareContrib.select("queryId", "docId").distinct()
     val fwd = forward.getOrElse(tf)
     val hotContrib = candPairs.join(fwd, Seq("docId"))
       .join(hot, Seq("queryId", "word"))
       .select(col("queryId"), col("docId"), col("word"),
-        contribExpr(k1, b).as("__c"))
+        (col("weight") * contribExpr(k1, b)).as("__c"))
     val candScores = scoreFold(rareContrib.unionByName(hotContrib), bitExact)
     val w = Window.partitionBy(col("queryId"))
       .orderBy(col("score").desc, col("docId").asc)
@@ -769,8 +893,7 @@ object Retrieval {
     val unsafeQ = hotUb.join(theta, Seq("queryId"), "left_outer")
       .filter(col("__theta").isNull || col("__ub") >= col("__theta"))
       .select("queryId").localCheckpoint()
-    WandCore(dfTab, stats, enriched, candPairs, topkCand, hotUb, theta,
-      unsafeQ)
+    WandCore(enriched, candPairs, topkCand, hotUb, theta, unsafeQ)
   }
 
   /** Reciprocal-rank fusion (Cormack et al. SIGIR'09): combine any

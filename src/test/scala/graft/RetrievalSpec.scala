@@ -379,6 +379,62 @@ class RetrievalSpec extends SparkSpec {
       === Set(1L, 2L))
   }
 
+  test("weighted WAND equals the unpruned weighted top-k at every hotDf") {
+    // the q182 sweep on the WEIGHTED operator, with RM3 expansion
+    // weights as the term table — the production second-pass shape
+    val rnd = new scala.util.Random(191)
+    val corpusRows = (1L to 80L).map { id =>
+      val words = Seq.fill(6 + rnd.nextInt(6)) {
+        val u = rnd.nextInt(40)
+        s"tok${40 / (u + 1)}"
+      }
+      id -> words.mkString(" ")
+    }
+    val queryRows = (200L to 207L).map { id =>
+      val head = Seq.fill(2)(s"tok${40 / (rnd.nextInt(40) + 1)}")
+      val tail = Seq.fill(2)(s"tok${13 + rnd.nextInt(28)}")
+      id -> (if (id % 4 == 3) head else head ++ tail).mkString(" ")
+    }
+    val (tf, dfT, st) = indexTriple(corpusRows.toDF("doc_id", "text"))
+    val tw = Retrieval.rm3ExpandedTerms(tf, dfT, st,
+      queryRows.toDF("query_id", "text"), "query_id", "text",
+      k = 5, m = 8, lambda = 0.5).localCheckpoint()
+    val unpruned = topkSet(Retrieval.bm25TopK(
+      Retrieval.bm25ScoresWeighted(tf, dfT, st, tw), 5))
+    for (hotDf <- Seq(0L, 3L, 10L, 30L, 1000L)) {
+      val wand = topkSet(Retrieval.bm25TopKWandWeighted(tf, tw,
+        k = 5, hotDf = hotDf, dfStats = Some((dfT, st))))
+      assert(wand === unpruned, s"hotDf=$hotDf")
+      // the decision table routes every query somewhere, and safe
+      // queries carry a real bound below their theta
+      val stats = Retrieval.bm25WandWeightedStats(tf, tw,
+        k = 5, hotDf = hotDf, dfStats = Some((dfT, st))).collect()
+      assert(stats.length === queryRows.length, s"hotDf=$hotDf")
+      for (r <- stats if r.getBoolean(6) && r.getLong(2) > 0)
+        assert(r.isNullAt(4) || r.getDouble(4) < r.getDouble(5),
+          s"safe query must have ub < theta: $r")
+    }
+  }
+
+  test("WAND first pass reproduces the unpruned RM3 expansion bitwise") {
+    val rnd = new scala.util.Random(77)
+    val c = (1L to 60L).map { id =>
+      id -> Seq.fill(8)(s"tok${30 / (rnd.nextInt(30) + 1)}").mkString(" ")
+    }.toDF("doc_id", "text")
+    val qs = (300L to 305L).map { id =>
+      id -> Seq.fill(3)(s"tok${30 / (rnd.nextInt(30) + 1)}").mkString(" ")
+    }.toDF("query_id", "text")
+    val (tf, dfT, st) = indexTriple(c)
+    def weights(wand: Option[Long]): Map[(Long, String), Double] =
+      Retrieval.rm3ExpandedTerms(tf, dfT, st, qs, "query_id", "text",
+        k = 4, m = 6, lambda = 0.5, wandHotDf = wand)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val plain = weights(None)
+    for (hd <- Seq(0L, 5L, 100L))
+      assert(weights(Some(hd)) === plain, s"wandHotDf=$hd") // bitwise
+  }
+
   private def phraseOcc(c: DataFrame, qs: DataFrame)
       : Map[(Long, Long), Long] =
     Retrieval.phraseMatches(
