@@ -249,6 +249,8 @@ object ScaleBench {
         "bm25_topk_wand_10x", "bm25_compact_index_10x",
         "bm25_rebuild_index_10x", "bm25_compact_deleted_10x",
         "bm25_rebuild_survivors_10x", "phrase_matches_10x",
+        "pos_compact_index_10x", "pos_rebuild_index_10x",
+        "pos_compact_deleted_10x",
         "rm3_rescore_10x", "rm3_rescore_wand_10x",
         "rm3_rescore_capped_10x")
       round <- Seq("cold", "warm")
@@ -375,6 +377,29 @@ object ScaleBench {
           tfD.write.format("noop").mode("overwrite").save()
           dfD.write.format("noop").mode("overwrite").save()
           stD.write.format("noop").mode("overwrite").save()
+        }
+        // positional-index ingest (q193/q194's gates): append a
+        // 10k-doc batch's position rows into the persisted 50k table
+        // (tokenize ONLY the batch — the merge is the union) vs
+        // re-tokenizing all 60k; the deletion mirror is one anti-join
+        time(s"pos_compact_index_10x $round") {
+          graft.operators.Retrieval.compactPositionalIndex(
+            spark.table("sb_bm25_pos"),
+            graft.operators.Retrieval.positionalPostings(
+              zipfDocs(50000, 60000, 100), "doc_id", "text"))
+            .write.format("noop").mode("overwrite").save()
+        }
+        time(s"pos_rebuild_index_10x $round") {
+          graft.operators.Retrieval.positionalPostings(
+            zipfDocs(0, 60000, 100), "doc_id", "text")
+            .write.format("noop").mode("overwrite").save()
+        }
+        time(s"pos_compact_deleted_10x $round") {
+          graft.operators.Retrieval.compactPositionalIndexDeleted(
+            spark.table("sb_bm25_pos"),
+            spark.range(50000).filter(col("id") % 7 === 0)
+              .select(col("id").as("docId")))
+            .write.format("noop").mode("overwrite").save()
         }
         // exact phrase containment at 50k docs: each query's phrase is
         // its own doc's first three tokens (guaranteed self-match; the

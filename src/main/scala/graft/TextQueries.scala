@@ -679,6 +679,52 @@ private[graft] object TextQueries {
           col("n_occurrences"))
         .orderBy("query_id", "doc_id")
     }),
+    // positional-index compaction (q183's pattern on the phrase
+    // layout): src0's positional rows arrive as a micro-batch into the
+    // persisted table; the phrase probe through the COMPACTED layout
+    // must equal the replay over the FULL corpus — a leaked/dropped
+    // position row shifts occurrence counts or anchor choices
+    "q193_pos_compact_index" -> ((s, dir) => {
+      import graft.operators.Retrieval
+      val docs = t(s, dir, "documents")
+      val posts0 = Retrieval.positionalPostings(
+        docs.filter(col("source") =!= "src0"), "doc_id", "text")
+        .localCheckpoint() // the persisted layout stand-in
+      val postsM = Retrieval.compactPositionalIndex(posts0,
+        Retrieval.positionalPostings(
+          docs.filter(col("source") === "src0"), "doc_id", "text"))
+      val qs = docs.where(col("doc_id") % 101 === 0)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ",
+            slice(TextFunctions.normalizedWords(col("text")), 2, 3))
+            .as("text"))
+      Retrieval.phraseMatches(postsM, qs, "query_id", "text")
+        .select(col("queryId").as("query_id"), col("docId").as("doc_id"),
+          col("n_occurrences"))
+        .orderBy("query_id", "doc_id")
+    }),
+    // ...and the deletion side: src0's rows leave the persisted table
+    // by anti-join; the probe (phrases still drawn from the FULL doc
+    // set — deleting an indexed doc must not delete its queries) must
+    // equal the survivor replay
+    "q194_pos_compact_deleted" -> ((s, dir) => {
+      import graft.operators.Retrieval
+      val docs = t(s, dir, "documents")
+      val posts0 = Retrieval.positionalPostings(docs, "doc_id", "text")
+        .localCheckpoint()
+      val postsD = Retrieval.compactPositionalIndexDeleted(posts0,
+        docs.filter(col("source") === "src0")
+          .select(col("doc_id").as("docId")))
+      val qs = docs.where(col("doc_id") % 101 === 0)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ",
+            slice(TextFunctions.normalizedWords(col("text")), 2, 3))
+            .as("text"))
+      Retrieval.phraseMatches(postsD, qs, "query_id", "text")
+        .select(col("queryId").as("query_id"), col("docId").as("doc_id"),
+          col("n_occurrences"))
+        .orderBy("query_id", "doc_id")
+    }),
     // RM3 pseudo-relevance feedback: the expansion WEIGHT TABLE itself
     // (k=10 feedback docs, m=10 expansion terms, λ=0.5) — every
     // feedback mass, truncation rank, renormalization, and
@@ -957,6 +1003,36 @@ private[graft] object TextQueries {
        |      CAST(0.5 AS DOUBLE) * coalesce(fw, 0.0) AS weight
        |  FROM ow a FULL OUTER JOIN fbw f
        |    ON a.query_id = f.query_id AND a.word = f.word)""".stripMargin
+
+  /** The q188 phrase-containment replay, parameterized by the posts
+    * CTE's doc condition (shared by q188/q193/q194 — the full-corpus
+    * and survivor replays are the SAME first-principles semantics over
+    * different index populations; phrase queries always come from the
+    * full doc set).
+    */
+  private def phraseProbeOracle(postsCond: String): String =
+    s"""WITH $LiveWordsCte,
+       |posts AS (
+       |  SELECT doc_id, CAST(j - 1 AS BIGINT) AS pos, w[CAST(j AS INT)] AS word
+       |  FROM ws, unnest(generate_series(1, len(w))) AS t(j)
+       |  WHERE $postsCond),
+       |ph AS (
+       |  SELECT doc_id AS query_id, CAST(i AS BIGINT) AS i,
+       |    w[CAST(i + 2 AS INT)] AS word
+       |  FROM ws, unnest(generate_series(0, least(2, len(w) - 2))) AS t(i)
+       |  WHERE doc_id % 101 = 0 AND len(w) >= 2),
+       |qn AS (SELECT query_id, count(*) AS n FROM ph GROUP BY 1),
+       |mt AS (
+       |  SELECT p.query_id, t.doc_id, t.pos - p.i AS s, p.i
+       |  FROM ph p JOIN posts t USING (word)),
+       |occ AS (
+       |  SELECT query_id, doc_id, s, count(DISTINCT i) AS m
+       |  FROM mt WHERE s >= 0 GROUP BY 1, 2, 3)
+       |SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+       |FROM occ JOIN qn USING (query_id)
+       |WHERE m = n
+       |GROUP BY query_id, doc_id
+       |ORDER BY query_id, doc_id""".stripMargin
 
   /** The weighted second-pass scoring chain replayed in SQL,
     * downstream of [[Rm3Ctes]]' `finalw` and [[bm25Cte]]'s
@@ -2130,28 +2206,18 @@ private[graft] object TextQueries {
     // (doc, j−1, w[j]), phrase offsets (i, w[i+2]) for i in 0..2, a
     // start s hosts the phrase iff count(DISTINCT matched i) at
     // (query, doc, s) equals the phrase length
-    "q188_phrase_matches" ->
-      s"""WITH $LiveWordsCte,
-         |posts AS (
-         |  SELECT doc_id, CAST(j - 1 AS BIGINT) AS pos, w[CAST(j AS INT)] AS word
-         |  FROM ws, unnest(generate_series(1, len(w))) AS t(j)),
-         |ph AS (
-         |  SELECT doc_id AS query_id, CAST(i AS BIGINT) AS i,
-         |    w[CAST(i + 2 AS INT)] AS word
-         |  FROM ws, unnest(generate_series(0, least(2, len(w) - 2))) AS t(i)
-         |  WHERE doc_id % 101 = 0 AND len(w) >= 2),
-         |qn AS (SELECT query_id, count(*) AS n FROM ph GROUP BY 1),
-         |mt AS (
-         |  SELECT p.query_id, t.doc_id, t.pos - p.i AS s, p.i
-         |  FROM ph p JOIN posts t USING (word)),
-         |occ AS (
-         |  SELECT query_id, doc_id, s, count(DISTINCT i) AS m
-         |  FROM mt WHERE s >= 0 GROUP BY 1, 2, 3)
-         |SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
-         |FROM occ JOIN qn USING (query_id)
-         |WHERE m = n
-         |GROUP BY query_id, doc_id
-         |ORDER BY query_id, doc_id""".stripMargin,
+    "q188_phrase_matches" -> phraseProbeOracle("TRUE"),
+
+    // THE FULL-CORPUS REPLAY (q188's oracle verbatim): the compacted
+    // positional table must probe indistinguishably from an index
+    // built over the whole corpus at once
+    "q193_pos_compact_index" -> phraseProbeOracle("TRUE"),
+
+    // THE SURVIVOR REPLAY: the posts CTE simply excludes src0 docs —
+    // no subtraction anywhere in the oracle — while phrase queries
+    // still come from the full doc set
+    "q194_pos_compact_deleted" -> phraseProbeOracle(
+      "doc_id IN (SELECT doc_id FROM documents WHERE source <> 'src0')"),
 
     "q189_rm3_expansion" ->
       s"""WITH ${bm25Cte("TRUE", "doc_id % 97 = 0", "substr(text, 1, 40)")},

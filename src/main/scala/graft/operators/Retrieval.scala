@@ -541,6 +541,43 @@ object Retrieval {
       .select(col("docId"), col("pos").cast("long").as("pos"),
         col("col").as("word"))
 
+  /** Incremental POSITIONAL index compaction — [[compactTermIndex]]'s
+    * mirror on the [[positionalPostings]] layout: a document's
+    * `(docId, pos, word)` rows depend on that document alone (positions
+    * are doc-local offsets), so under the disjoint-docId ingest
+    * contract the merge IS the append — no affected-row re-rank, no
+    * df/scalar state to maintain (phrase probes re-derive anchor
+    * occurrence counts from the merged table per batch, which is what
+    * keeps the anchor choice correct as the corpus grows). Returns the
+    * merged table, row-identical to a from-scratch rebuild over the
+    * union (RetrievalSpec pins the parity; q193 gates a phrase probe
+    * through the compacted layout against the full-corpus DuckDB
+    * replay). At ingest the persisted layout is `bucketBy(word)` (the
+    * probe side); a batch appended into the bucketed table lands as
+    * new per-bucket files, so probes stay exchange-free after any
+    * number of compactions. `assertDisjoint` enforces the id contract
+    * in-plan, as [[compactTermIndex]].
+    */
+  def compactPositionalIndex(posts: DataFrame, batchPosts: DataFrame,
+                             assertDisjoint: Boolean = false): DataFrame =
+    posts.unionByName(
+      if (!assertDisjoint) batchPosts
+      else guardedDisjointBatch(posts, batchPosts,
+        "compactPositionalIndex"))
+
+  /** Deletion-side positional compaction: remove `deleteIds` docs from
+    * a persisted [[positionalPostings]] table without a corpus pass —
+    * one anti-join (bucket-local if the table is also kept
+    * `bucketBy(docId)`, though the word-bucketed probe layout is the
+    * one that matters; a deletion rewrite of a word-bucketed table is
+    * a bucket-preserving overwrite). Ids absent from the index are
+    * no-ops. Row-identical to a survivor rebuild (RetrievalSpec; q194
+    * gates the probe against the survivor replay).
+    */
+  def compactPositionalIndexDeleted(posts: DataFrame,
+                                    deleteIds: DataFrame): DataFrame =
+    posts.join(deleteIds.select(col("docId")), Seq("docId"), "left_anti")
+
   /** Exact phrase containment over a [[positionalPostings]] table:
     * `(queryId, docId, n_occurrences)` — the number of positions where
     * the query's FULL normalized word sequence occurs contiguously
@@ -566,10 +603,22 @@ object Retrieval {
     * need distinct aligned offsets). A phrase term absent from the
     * corpus leaves the anchor choice but verification still demands
     * it, so such phrases correctly match nothing.
+    *
+    * `maxAnchorOcc > 0` enforces the anchoring premise IN-PLAN (the
+    * [[Dedup]] `maxBlockSize` convention): a phrase whose RAREST term
+    * still has more than `maxAnchorOcc` corpus occurrences — an
+    * all-stopword phrase — would silently drag that term's full
+    * posting list through candidate generation (the measured
+    * minutes-vs-seconds regime above, now per ANCHOR instead of per
+    * term); the guard fails loudly instead, naming the query and its
+    * anchor volume. The check rides the anchor table (one row per
+    * phrase) the plan computes anyway, so results under the cap are
+    * untouched. `<= 0` (default) disables.
     */
   def phraseMatches(posts: DataFrame,
                     phrases: DataFrame, qidCol: String,
-                    qtextCol: String): DataFrame = {
+                    qtextCol: String,
+                    maxAnchorOcc: Long = -1L): DataFrame = {
     val pterms = phrases
       .filter(col(qidCol).isNotNull &&
         lower(col(qtextCol)).rlike("[a-z0-9]"))
@@ -593,10 +642,22 @@ object Retrieval {
       .groupBy("word").agg(count(lit(1)).as("__occ"))
     val aw = Window.partitionBy(col("queryId"))
       .orderBy(col("__occ").asc, col("word").asc, col("__i").asc)
-    val anchor = pterms.join(occ, Seq("word"))
+    val anchorRaw = pterms.join(occ, Seq("word"))
       .withColumn("__r", row_number().over(aw))
       .filter(col("__r") === 1)
-      .select(col("queryId"), col("word"), col("__i").as("__ai"))
+      .select(col("queryId"), col("word"), col("__i").as("__ai"),
+        col("__occ"))
+    val anchor = (if (maxAnchorOcc <= 0L) anchorRaw
+      else anchorRaw.filter(
+        when(col("__occ") <= maxAnchorOcc, lit(true))
+          .otherwise(raise_error(concat(
+            lit("phraseMatches: query "), col("queryId").cast("string"),
+            lit("'s rarest phrase term '"), col("word"),
+            lit("' has "), col("__occ").cast("string"),
+            lit(s" corpus occurrences > maxAnchorOcc=$maxAnchorOcc — " +
+              "an all-stopword phrase; refusing the hot-anchored " +
+              "probe"))).cast("boolean")))
+      ).drop("__occ")
     // candidate starts: the anchor term's occurrences, re-aligned
     val cands = posts.join(anchor, Seq("word"))
       .select(col("queryId"), col("docId"),

@@ -497,6 +497,72 @@ class RetrievalSpec extends SparkSpec {
       queryRows.toDF("query_id", "text")) === expected)
   }
 
+  test("compacted positional index equals the rebuild on the union") {
+    val rnd = new scala.util.Random(193)
+    def randDocs(ids: Range): Seq[(Long, String)] = ids.map { id =>
+      id.toLong -> Seq.fill(4 + rnd.nextInt(8))(
+        s"w${rnd.nextInt(9)}").mkString(" ")
+    }
+    val base = randDocs(1 to 40).toDF("doc_id", "text")
+    val batch1 = randDocs(41 to 55).toDF("doc_id", "text")
+    val batch2 = randDocs(56 to 60).toDF("doc_id", "text")
+    def posts(c: DataFrame) =
+      Retrieval.positionalPostings(c, "doc_id", "text")
+    def rows(p: DataFrame): Set[(Long, Long, String)] =
+      p.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .toSet
+    // chained appends == one rebuild over the union
+    val chained = Retrieval.compactPositionalIndex(
+      Retrieval.compactPositionalIndex(posts(base), posts(batch1),
+        assertDisjoint = true),
+      posts(batch2), assertDisjoint = true)
+    val rebuilt = posts(base.unionByName(batch1).unionByName(batch2))
+    assert(rows(chained) === rows(rebuilt))
+    // a phrase probe through the compacted layout matches the rebuild
+    val qs = Seq((900L, "w1 w2")).toDF("query_id", "text")
+    def occ(p: DataFrame): Map[(Long, Long), Long] =
+      Retrieval.phraseMatches(p, qs, "query_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+    assert(occ(chained) === occ(rebuilt))
+    // deletion: anti-join == survivor rebuild; unknown ids no-op
+    val del = Seq(5L, 41L, 999L).toDF("docId")
+    val deleted = Retrieval.compactPositionalIndexDeleted(chained, del)
+    val survivors = posts(base.unionByName(batch1).unionByName(batch2)
+      .filter(!col("doc_id").isin(5L, 41L)))
+    assert(rows(deleted) === rows(survivors))
+    // the ingest-contract guard trips on a reused id
+    val bad = Retrieval.compactPositionalIndex(posts(base),
+      posts(randDocs(40 to 42).toDF("doc_id", "text")),
+      assertDisjoint = true)
+    val e = intercept[Exception] { bad.count() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("batch reuses")))
+  }
+
+  test("maxAnchorOcc refuses a hot-anchored phrase, passes under the cap") {
+    // every term of the phrase is in >= 6 docs: the rarest term is
+    // still hot at cap 3, so the probe must fail loudly; cap 100
+    // (or the default -1) runs it
+    val c = docs((1L to 8L).map(id => id -> "x y x y"): _*)
+    val posts = Retrieval.positionalPostings(c, "doc_id", "text")
+      .localCheckpoint()
+    val qs = Seq((7L, "x y x")).toDF("query_id", "text")
+    val ok = Retrieval.phraseMatches(posts, qs, "query_id", "text",
+      maxAnchorOcc = 100L)
+    assert(ok.count() === 8L)
+    val guarded = Retrieval.phraseMatches(posts, qs, "query_id", "text",
+      maxAnchorOcc = 3L)
+    val e = intercept[Exception] { guarded.count() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("maxAnchorOcc")),
+      s"got: ${messages(e)}")
+  }
+
   test("RM3 weights are a probability mix; λ endpoints recover each side") {
     val c = docs(
       1L -> "apple banana apple cherry",
