@@ -249,6 +249,7 @@ object ScaleBench {
         "bm25_topk_wand_10x", "bm25_compact_index_10x",
         "bm25_rebuild_index_10x", "bm25_compact_deleted_10x",
         "bm25_rebuild_survivors_10x", "phrase_matches_10x",
+        "bm25_phrase_topk_10x",
         "pos_compact_index_10x", "pos_rebuild_index_10x",
         "pos_compact_deleted_10x",
         "rm3_rescore_10x", "rm3_rescore_wand_10x",
@@ -416,6 +417,24 @@ object ScaleBench {
           println("  phrase_rows=" + graft.operators.Retrieval
             .phraseMatches(spark.table("sb_bm25_pos"), phrases,
               "query_id", "text").count())
+        }
+        // phrase-CONSTRAINED ranking (q195's gate): the same 11
+        // phrases as candidates, scored within candidates through the
+        // docId-bucketed forward table — the wall should sit at the
+        // phrase probe plus a candidate-sized fetch, NOT at a posting
+        // join over the (hot) phrase vocabulary
+        time(s"bm25_phrase_topk_10x $round") {
+          val phrases = spark.range(50000).filter(col("id") % 4999 === 0)
+            .select(col("id").as("query_id"),
+              concat_ws(" ",
+                (0 to 2).map(j => zipfTok(lit(j), 20000)): _*).as("text"))
+          println("  phrase_topk_rows=" + graft.operators.Retrieval
+            .bm25TopKPhrase(spark.table("sb_bm25_tf"),
+              spark.table("sb_bm25_df"), spark.table("sb_bm25_stats"),
+              spark.table("sb_bm25_pos"), phrases, "query_id", "text",
+              k = 5, bitExact = false,
+              forward = Some(spark.table("sb_bm25_fwd")))
+            .count())
         }
         // the RM3 composition at 50k (score -> feedback -> expand ->
         // weighted rescore), persisted stats, scale fold

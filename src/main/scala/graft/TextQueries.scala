@@ -725,6 +725,33 @@ private[graft] object TextQueries {
           col("n_occurrences"))
         .orderBy("query_id", "doc_id")
     }),
+    // phrase-constrained retrieval: `"exact phrase"` + BM25 rank in
+    // one operator — candidates from the rarest-term-anchored phrase
+    // probe, scored WITHIN candidates through the forward layout.
+    // The oracle replays BOTH halves (q188's positional containment ×
+    // q180's scoring chain) and semi-joins them — a drift in either
+    // half, or in the candidate restriction, breaks rows
+    "q195_bm25_phrase_topk" -> ((s, dir) => {
+      import graft.operators.Retrieval
+      val docs = t(s, dir, "documents")
+      val tf = Retrieval.termFrequencies(docs, "doc_id", "text")
+        .localCheckpoint() // see q179
+      val dfT = Retrieval.dfTable(tf).localCheckpoint()
+      val st = Retrieval.corpusStats(tf).localCheckpoint()
+      val posts = Retrieval.positionalPostings(docs, "doc_id", "text")
+        .localCheckpoint()
+      val qs = docs.where(col("doc_id") % 101 === 0)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ",
+            slice(TextFunctions.normalizedWords(col("text")), 2, 3))
+            .as("text"))
+      Retrieval.bm25TopKPhrase(tf, dfT, st, posts, qs,
+        "query_id", "text", k = 5)
+        .select(col("queryId").as("query_id"), col("docId").as("doc_id"),
+          round(col("score"), 6).as("score"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
     // RM3 pseudo-relevance feedback: the expansion WEIGHT TABLE itself
     // (k=10 feedback docs, m=10 expansion terms, λ=0.5) — every
     // feedback mass, truncation rank, renormalization, and
@@ -1004,15 +1031,14 @@ private[graft] object TextQueries {
        |  FROM ow a FULL OUTER JOIN fbw f
        |    ON a.query_id = f.query_id AND a.word = f.word)""".stripMargin
 
-  /** The q188 phrase-containment replay, parameterized by the posts
-    * CTE's doc condition (shared by q188/q193/q194 — the full-corpus
-    * and survivor replays are the SAME first-principles semantics over
-    * different index populations; phrase queries always come from the
-    * full doc set).
+  /** The q188 positional-containment CTE chain (downstream of
+    * [[QShared.LiveWordsCte]]'s `ws`), parameterized by the posts
+    * CTE's doc condition — shared by q188/q193/q194 (occurrence
+    * counts) and q195 (candidate restriction for phrase-constrained
+    * ranking). Emits `posts`, `ph`, `qn`, `mt`, `occ`.
     */
-  private def phraseProbeOracle(postsCond: String): String =
-    s"""WITH $LiveWordsCte,
-       |posts AS (
+  private def phraseCandCtes(postsCond: String): String =
+    s"""posts AS (
        |  SELECT doc_id, CAST(j - 1 AS BIGINT) AS pos, w[CAST(j AS INT)] AS word
        |  FROM ws, unnest(generate_series(1, len(w))) AS t(j)
        |  WHERE $postsCond),
@@ -1027,12 +1053,31 @@ private[graft] object TextQueries {
        |  FROM ph p JOIN posts t USING (word)),
        |occ AS (
        |  SELECT query_id, doc_id, s, count(DISTINCT i) AS m
-       |  FROM mt WHERE s >= 0 GROUP BY 1, 2, 3)
+       |  FROM mt WHERE s >= 0 GROUP BY 1, 2, 3)""".stripMargin
+
+  /** The q188 phrase-containment replay, parameterized by the posts
+    * CTE's doc condition (shared by q188/q193/q194 — the full-corpus
+    * and survivor replays are the SAME first-principles semantics over
+    * different index populations; phrase queries always come from the
+    * full doc set).
+    */
+  private def phraseProbeOracle(postsCond: String): String =
+    s"""WITH $LiveWordsCte,
+       |${phraseCandCtes(postsCond)}
        |SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
        |FROM occ JOIN qn USING (query_id)
        |WHERE m = n
        |GROUP BY query_id, doc_id
        |ORDER BY query_id, doc_id""".stripMargin
+
+  /** The q188 query shape's TEXT as a DuckDB expression (words 2..4 of
+    * the doc, re-joined) — q195's bm25Cte query side must tokenize the
+    * SAME string the Spark side builds with `slice(normalizedWords)`.
+    */
+  private lazy val PhraseQueryTextSql: String =
+    s"array_to_string(list_slice(list_filter(string_split_regex(" +
+      s"regexp_replace(lower(text), '[^a-z0-9$WsClass]', ' ', 'g'), " +
+      s"'[$WsClass]+'), x -> x != ''), 2, 4), ' ')"
 
   /** The weighted second-pass scoring chain replayed in SQL,
     * downstream of [[Rm3Ctes]]' `finalw` and [[bm25Cte]]'s
@@ -2218,6 +2263,28 @@ private[graft] object TextQueries {
     // still come from the full doc set
     "q194_pos_compact_deleted" -> phraseProbeOracle(
       "doc_id IN (SELECT doc_id FROM documents WHERE source <> 'src0')"),
+
+    // both halves in one oracle: the scoring chain over the SLICED
+    // query text (the phrase words re-joined) and the positional
+    // containment replay; the ranking is the scored rows semi-joined
+    // on matched (query, doc) pairs
+    "q195_bm25_phrase_topk" ->
+      s"""WITH ${bm25Cte("TRUE", "doc_id % 101 = 0", PhraseQueryTextSql)},
+         |$LiveWordsCte,
+         |${phraseCandCtes("TRUE")},
+         |matched AS (
+         |  SELECT query_id, doc_id
+         |  FROM occ JOIN qn USING (query_id)
+         |  WHERE m = n GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT query_id, doc_id, score,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id) AS rank
+         |  FROM bscores JOIN matched USING (query_id, doc_id))
+         |SELECT query_id, doc_id, round(score, 6) AS score,
+         |  CAST(rank AS BIGINT) AS rank
+         |FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
 
     "q189_rm3_expansion" ->
       s"""WITH ${bm25Cte("TRUE", "doc_id % 97 = 0", "substr(text, 1, 40)")},

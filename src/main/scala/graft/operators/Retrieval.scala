@@ -680,6 +680,52 @@ object Retrieval {
       .agg(count(lit(1)).as("n_occurrences"))
   }
 
+  /** Phrase-CONSTRAINED BM25 top-k — the `"exact phrase"` operator of
+    * a retrieval stack in ONE plan: rank only the documents CONTAINING
+    * the query's full normalized word sequence ([[phraseMatches]]
+    * semantics), by their BM25 score for the query's terms
+    * ([[bm25ScoresPrecomputed]] semantics). Returns
+    * `(queryId, docId, score, rank)`, exactly
+    * `bm25TopK(scores semi-joined on phrase containment, k)`
+    * (bitwise; RetrievalSpec pins the equivalence, q195 gates the
+    * composition against a DuckDB replay of both halves).
+    *
+    * Scale shape: candidates come from the rarest-term-anchored phrase
+    * probe (result-sized), and scoring happens WITHIN candidates
+    * through the `forward` layout — the WAND phase-1 trick: each
+    * candidate doc's matched query terms fetch doc-wise, so the
+    * word-keyed posting table is never scanned for the (usually hot)
+    * phrase vocabulary. A phrase query's terms are near-guaranteed to
+    * be its own phrase words — the full posting join the semi-join
+    * formulation pays would touch exactly the hot lists the anchor
+    * strategy exists to avoid. Cost: phrase probe + |candidates| ×
+    * doc-length fetch. The two-layout ingest contract as everywhere
+    * (word-bucketed `posts`/`tf`, docId-bucketed `forward`);
+    * `maxAnchorOcc` passes through to the phrase probe.
+    */
+  def bm25TopKPhrase(tf: DataFrame, dfTab: DataFrame, stats: DataFrame,
+                     posts: DataFrame,
+                     queries: DataFrame, qidCol: String, qtextCol: String,
+                     k: Int, k1: Double = 1.2, b: Double = 0.75,
+                     bitExact: Boolean = true,
+                     forward: Option[DataFrame] = None,
+                     maxAnchorOcc: Long = -1L): DataFrame = {
+    require(k > 0, s"k > 0: $k")
+    val cands = phraseMatches(posts, queries, qidCol, qtextCol,
+      maxAnchorOcc).select("queryId", "docId")
+    val enriched = enrichedQueryTerms(dfTab, stats, queries, qidCol,
+      qtextCol)
+    val fwd = forward.getOrElse(tf)
+    // score-within-candidates: every candidate contains all phrase
+    // words, so every candidate keeps a score row (the semi-join
+    // equivalence needs no outer handling)
+    val contrib = cands.join(fwd, Seq("docId"))
+      .join(enriched, Seq("queryId", "word"))
+      .select(col("queryId"), col("docId"), col("word"),
+        contribExpr(k1, b).as("__c"))
+    bm25TopK(scoreFold(contrib, bitExact), k)
+  }
+
   /** Top-k documents per query from a [[bm25Scores]] table: score
     * descending, docId ascending ties (exact-duplicate docs produce
     * bitwise-equal scores, so the tie-break is deterministic) — the

@@ -542,6 +542,36 @@ class RetrievalSpec extends SparkSpec {
     assert(messages(e).exists(_.contains("batch reuses")))
   }
 
+  test("phrase-constrained top-k equals scores semi-joined on containment") {
+    val rnd = new scala.util.Random(195)
+    val c = (1L to 70L).map { id =>
+      id -> Seq.fill(5 + rnd.nextInt(8))(s"w${rnd.nextInt(7)}")
+        .mkString(" ")
+    }.toDF("doc_id", "text")
+    // phrases of length 1-3 over the same vocabulary, plus one with a
+    // corpus-absent word (matches nothing, returns no rows)
+    val qs = Seq((500L, "w1 w2"), (501L, "w3"), (502L, "w0 w0 w4"),
+      (503L, "w1 zz")).toDF("query_id", "text")
+    val (tf, dfT, st) = indexTriple(c)
+    val posts = Retrieval.positionalPostings(c, "doc_id", "text")
+      .localCheckpoint()
+    val got = topkSet(Retrieval.bm25TopKPhrase(tf, dfT, st, posts, qs,
+      "query_id", "text", k = 4))
+    // the reference formulation: full scores semi-joined on matches
+    val matches = Retrieval.phraseMatches(posts, qs, "query_id", "text")
+      .select("queryId", "docId")
+    val want = topkSet(Retrieval.bm25TopK(
+      Retrieval.bm25ScoresPrecomputed(tf, dfT, st, qs,
+        "query_id", "text")
+        .join(matches, Seq("queryId", "docId"), "left_semi"), 4))
+    assert(got === want) // bitwise
+    assert(!got.exists(_._1 == 503L)) // absent-word phrase: no rows
+    // every ranked doc really contains its phrase
+    val matchSet = matches.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.forall(r => matchSet((r._1, r._2))))
+  }
+
   test("maxAnchorOcc refuses a hot-anchored phrase, passes under the cap") {
     // every term of the phrase is in >= 6 docs: the rarest term is
     // still hot at cap 3, so the probe must fail loudly; cap 100
