@@ -249,7 +249,7 @@ object ScaleBench {
         "bm25_topk_wand_10x", "bm25_compact_index_10x",
         "bm25_rebuild_index_10x", "bm25_compact_deleted_10x",
         "bm25_rebuild_survivors_10x", "phrase_matches_10x",
-        "bm25_phrase_topk_10x",
+        "proximity_matches_10x", "bm25_phrase_topk_10x",
         "pos_compact_index_10x", "pos_rebuild_index_10x",
         "pos_compact_deleted_10x",
         "rm3_rescore_10x", "rm3_rescore_wand_10x",
@@ -417,6 +417,20 @@ object ScaleBench {
           println("  phrase_rows=" + graft.operators.Retrieval
             .phraseMatches(spark.table("sb_bm25_pos"), phrases,
               "query_id", "text").count())
+        }
+        // proximity matching (q196's gate): the same 11 phrases,
+        // ordered-within-window-5 with minimal windows — candidate
+        // ends are anchor occurrences fanned W wide, the chain runs as
+        // a per-end fold; the wall should track phrase_matches_10x
+        // times ~W, never the posting volume of the hot phrase words
+        time(s"proximity_matches_10x $round") {
+          val phrases = spark.range(50000).filter(col("id") % 4999 === 0)
+            .select(col("id").as("query_id"),
+              concat_ws(" ",
+                (0 to 2).map(j => zipfTok(lit(j), 20000)): _*).as("text"))
+          println("  proximity_rows=" + graft.operators.Retrieval
+            .proximityMatches(spark.table("sb_bm25_pos"), phrases,
+              "query_id", "text", slop = 2).count())
         }
         // phrase-CONSTRAINED ranking (q195's gate): the same 11
         // phrases as candidates, scored within candidates through the

@@ -752,6 +752,29 @@ private[graft] object TextQueries {
           col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
     }),
+    // proximity (sloppy-phrase) matching: the q188 phrases (restricted
+    // to full 3-term slices) matched IN ORDER within a window of
+    // n + slop = 5, with the MINIMAL window per (query, doc). The
+    // operator runs the banded greedy-latest chain; the oracle
+    // enumerates qualifying position tuples from FIRST PRINCIPLES
+    // (a 3-way ordered self-join with the window cap) and takes the
+    // min — two independent formulations of the same semantics
+    "q196_proximity_matches" -> ((s, dir) => {
+      import graft.operators.Retrieval
+      val docs = t(s, dir, "documents")
+      val posts = Retrieval.positionalPostings(docs, "doc_id", "text")
+        .localCheckpoint()
+      val qs = docs.where(col("doc_id") % 101 === 0 &&
+        size(TextFunctions.normalizedWords(col("text"))) >= 4)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ",
+            slice(TextFunctions.normalizedWords(col("text")), 2, 3))
+            .as("text"))
+      Retrieval.proximityMatches(posts, qs, "query_id", "text", slop = 2)
+        .select(col("queryId").as("query_id"), col("docId").as("doc_id"),
+          col("min_window"))
+        .orderBy("query_id", "doc_id")
+    }),
     // RM3 pseudo-relevance feedback: the expansion WEIGHT TABLE itself
     // (k=10 feedback docs, m=10 expansion terms, λ=0.5) — every
     // feedback mass, truncation rank, renormalization, and
@@ -2285,6 +2308,38 @@ private[graft] object TextQueries {
          |  CAST(rank AS BIGINT) AS rank
          |FROM ranked WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
+
+    // ordered tuples enumerated outright: positions a < b < c carrying
+    // the phrase's offset-0/1/2 words with c - a <= 4 (window 5 = 3 +
+    // slop 2; the inner band b - a <= 3 is implied and bounds the
+    // join), min window per (query, doc) — no chain, no greedy, no
+    // anchor anywhere in the oracle
+    "q196_proximity_matches" ->
+      s"""WITH $LiveWordsCte,
+         |posts AS (
+         |  SELECT doc_id, CAST(j - 1 AS BIGINT) AS pos, w[CAST(j AS INT)] AS word
+         |  FROM ws, unnest(generate_series(1, len(w))) AS t(j)),
+         |ph AS (
+         |  SELECT doc_id AS query_id, CAST(i AS BIGINT) AS i,
+         |    w[CAST(i + 2 AS INT)] AS word
+         |  FROM ws, unnest(generate_series(0, 2)) AS t(i)
+         |  WHERE doc_id % 101 = 0 AND len(w) >= 4),
+         |tup AS (
+         |  SELECT p0.query_id, a.doc_id, c.pos - a.pos + 1 AS win
+         |  FROM (SELECT query_id, word FROM ph WHERE i = 0) p0
+         |  JOIN posts a ON a.word = p0.word
+         |  JOIN (SELECT query_id, word FROM ph WHERE i = 1) p1
+         |    ON p1.query_id = p0.query_id
+         |  JOIN posts b ON b.word = p1.word AND b.doc_id = a.doc_id
+         |    AND b.pos > a.pos AND b.pos - a.pos <= 3
+         |  JOIN (SELECT query_id, word FROM ph WHERE i = 2) p2
+         |    ON p2.query_id = p0.query_id
+         |  JOIN posts c ON c.word = p2.word AND c.doc_id = a.doc_id
+         |    AND c.pos > b.pos AND c.pos - a.pos <= 4)
+         |SELECT query_id, doc_id, CAST(min(win) AS BIGINT) AS min_window
+         |FROM tup
+         |GROUP BY query_id, doc_id
+         |ORDER BY query_id, doc_id""".stripMargin,
 
     "q189_rm3_expansion" ->
       s"""WITH ${bm25Cte("TRUE", "doc_id % 97 = 0", "substr(text, 1, 40)")},

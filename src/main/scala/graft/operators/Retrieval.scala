@@ -619,45 +619,10 @@ object Retrieval {
                     phrases: DataFrame, qidCol: String,
                     qtextCol: String,
                     maxAnchorOcc: Long = -1L): DataFrame = {
-    val pterms = phrases
-      .filter(col(qidCol).isNotNull &&
-        lower(col(qtextCol)).rlike("[a-z0-9]"))
-      .select(col(qidCol).as("queryId"),
-        posexplode_outer(TextFunctions.normalizedWords(col(qtextCol))))
-      .filter(col("col").isNotNull)
-      .select(col("queryId"), col("pos").cast("long").as("__i"),
-        col("col").as("word"))
-      // query-batch-sized, consumed 3× (lengths, anchor, verification)
-      .localCheckpoint()
+    val pterms = phraseTermsOf(phrases, qidCol, qtextCol)
     // phrase lengths: query-batch-sized, rides the broadcastable side
     val qn = pterms.groupBy("queryId").agg(count(lit(1)).as("__n"))
-    // per-phrase anchor: the offset whose term has the FEWEST corpus
-    // occurrences (counts from the posting table; word/offset ties
-    // break deterministically). The semi-join BEFORE the aggregate
-    // keeps the occurrence stats phrase-vocabulary-sized — aggregating
-    // the whole positional index first would pay a corpus-sized pass
-    // per probe batch that the word filter cannot push below
-    val occ = posts
-      .join(pterms.select("word").distinct(), Seq("word"), "left_semi")
-      .groupBy("word").agg(count(lit(1)).as("__occ"))
-    val aw = Window.partitionBy(col("queryId"))
-      .orderBy(col("__occ").asc, col("word").asc, col("__i").asc)
-    val anchorRaw = pterms.join(occ, Seq("word"))
-      .withColumn("__r", row_number().over(aw))
-      .filter(col("__r") === 1)
-      .select(col("queryId"), col("word"), col("__i").as("__ai"),
-        col("__occ"))
-    val anchor = (if (maxAnchorOcc <= 0L) anchorRaw
-      else anchorRaw.filter(
-        when(col("__occ") <= maxAnchorOcc, lit(true))
-          .otherwise(raise_error(concat(
-            lit("phraseMatches: query "), col("queryId").cast("string"),
-            lit("'s rarest phrase term '"), col("word"),
-            lit("' has "), col("__occ").cast("string"),
-            lit(s" corpus occurrences > maxAnchorOcc=$maxAnchorOcc — " +
-              "an all-stopword phrase; refusing the hot-anchored " +
-              "probe"))).cast("boolean")))
-      ).drop("__occ")
+    val anchor = anchorOf(posts, pterms, maxAnchorOcc)
     // candidate starts: the anchor term's occurrences, re-aligned
     val cands = posts.join(anchor, Seq("word"))
       .select(col("queryId"), col("docId"),
@@ -678,6 +643,160 @@ object Retrieval {
       .filter(col("__m") === col("__n"))
       .groupBy(col("queryId"), col("docId"))
       .agg(count(lit(1)).as("n_occurrences"))
+  }
+
+  /** The normalized `(queryId, __i, word)` phrase-offset table shared
+    * by the positional probes — query-batch-sized and consumed
+    * several times per probe (lengths, anchor, verification/pull), so
+    * eagerly materialized.
+    */
+  private def phraseTermsOf(phrases: DataFrame, qidCol: String,
+                            qtextCol: String): DataFrame =
+    phrases
+      .filter(col(qidCol).isNotNull &&
+        lower(col(qtextCol)).rlike("[a-z0-9]"))
+      .select(col(qidCol).as("queryId"),
+        posexplode_outer(TextFunctions.normalizedWords(col(qtextCol))))
+      .filter(col("col").isNotNull)
+      .select(col("queryId"), col("pos").cast("long").as("__i"),
+        col("col").as("word"))
+      .localCheckpoint()
+
+  /** Per-phrase anchor `(queryId, word, __ai)`: the offset whose term
+    * has the FEWEST corpus occurrences (counts from the posting table;
+    * word/offset ties break deterministically). The semi-join BEFORE
+    * the aggregate keeps the occurrence stats phrase-vocabulary-sized —
+    * aggregating the whole positional index first would pay a
+    * corpus-sized pass per probe batch that the word filter cannot
+    * push below. `maxAnchorOcc > 0` guards the anchoring premise
+    * in-plan (see [[phraseMatches]]).
+    */
+  private def anchorOf(posts: DataFrame, pterms: DataFrame,
+                       maxAnchorOcc: Long): DataFrame = {
+    val occ = posts
+      .join(pterms.select("word").distinct(), Seq("word"), "left_semi")
+      .groupBy("word").agg(count(lit(1)).as("__occ"))
+    val aw = Window.partitionBy(col("queryId"))
+      .orderBy(col("__occ").asc, col("word").asc, col("__i").asc)
+    val anchorRaw = pterms.join(occ, Seq("word"))
+      .withColumn("__r", row_number().over(aw))
+      .filter(col("__r") === 1)
+      .select(col("queryId"), col("word"), col("__i").as("__ai"),
+        col("__occ"))
+    (if (maxAnchorOcc <= 0L) anchorRaw
+     else anchorRaw.filter(
+       when(col("__occ") <= maxAnchorOcc, lit(true))
+         .otherwise(raise_error(concat(
+           lit("phrase probe: query "), col("queryId").cast("string"),
+           lit("'s rarest phrase term '"), col("word"),
+           lit("' has "), col("__occ").cast("string"),
+           lit(s" corpus occurrences > maxAnchorOcc=$maxAnchorOcc — " +
+             "an all-stopword phrase; refusing the hot-anchored " +
+             "probe"))).cast("boolean")))
+      ).drop("__occ")
+  }
+
+  /** Proximity (sloppy-phrase) matching over a [[positionalPostings]]
+    * table: `(queryId, docId, min_window)` — the documents containing
+    * the query's terms IN ORDER within a window of at most
+    * `n + slop` positions (Lucene's ordered sloppy-phrase shape), and
+    * for each the MINIMAL such window (`n` = phrase length; a window
+    * of exactly `n` is contiguous — `slop = 0` degenerates to
+    * [[phraseMatches]] containment, spec-pinned). Docs with no
+    * qualifying ordered tuple are absent.
+    *
+    * Algorithm, relationally: for every candidate END position `p`
+    * (an occurrence of the LAST phrase term within `W - 1 = n + slop
+    * - 1` positions after an anchor-term occurrence), pull the posting
+    * rows in the window `[p-W+1, p]` (ONE `(docId, pos)` equi-join
+    * over an exploded offset band — never an inequality join against
+    * the index) and run the classic GREEDY-LATEST chain as a sorted
+    * fold: scanning positions descending, match phrase offsets
+    * `n-1, n-2, …, 0`, each at the largest unused position below its
+    * successor. Greedy-latest maximizes the chain's start, so
+    * `p - start + 1` is the exact minimal window ending at `p`; the
+    * band restriction is lossless because any qualifying tuple (and
+    * its greedy dominator) lies within `W` of its end. The global
+    * `min` over ends is the true minimal window over ALL qualifying
+    * tuples (q196 gates it against a DuckDB replay that enumerates
+    * tuples from first principles).
+    *
+    * Scale shape: everything is anchored — candidate ends cost
+    * `occ(rarest) × W` rows and the window pull `ends × W`, both
+    * through `(docId, pos)` equi-joins (the [[phraseMatches]]
+    * contract); the per-end fold is over ≤ `W × maxOffsets(word)`
+    * collected elements. `maxAnchorOcc` guards the anchoring premise
+    * as in [[phraseMatches]].
+    */
+  def proximityMatches(posts: DataFrame,
+                       phrases: DataFrame, qidCol: String,
+                       qtextCol: String, slop: Int,
+                       maxAnchorOcc: Long = -1L): DataFrame = {
+    require(slop >= 0, s"slop >= 0: $slop")
+    val pterms = phraseTermsOf(phrases, qidCol, qtextCol)
+    // per-query length and window cap W = n + slop
+    val qn = pterms.groupBy("queryId").agg(count(lit(1)).as("__n"))
+      .select(col("queryId"), col("__n"),
+        (col("__n") + lit(slop.toLong)).as("__W"))
+    val anchor = anchorOf(posts, pterms, maxAnchorOcc)
+    // the phrase's LAST term — every qualifying tuple ends on one of
+    // its occurrences
+    val endTerm = pterms.join(qn, Seq("queryId"))
+      .filter(col("__i") === col("__n") - lit(1L))
+      .select(col("queryId"), col("word").as("__ew"))
+    // candidate ends: anchor occurrences fanned W wide, kept where the
+    // fanned position really hosts the last term (one (docId, pos)
+    // equi-join; a tuple's end sits in [anchor, anchor + W - 1])
+    val ends = posts.join(anchor.select("queryId", "word"), Seq("word"))
+      .join(qn, Seq("queryId"))
+      .select(col("queryId"), col("docId"),
+        explode(sequence(lit(0L), col("__W") - lit(1L))).as("__d"),
+        col("pos").as("__apos"))
+      .select(col("queryId"), col("docId"),
+        (col("__apos") + col("__d")).as("pos"))
+      .distinct()
+      .join(endTerm, Seq("queryId"))
+      .join(posts.withColumnRenamed("word", "__pw"), Seq("docId", "pos"))
+      .filter(col("__pw") === col("__ew"))
+      .select(col("queryId"), col("docId"), col("pos").as("__p"))
+    // window pull: the posting rows in [p-W+1, p] that carry ANY
+    // phrase word, tagged with every offset that word occupies
+    val pull = ends.join(qn, Seq("queryId"))
+      .select(col("queryId"), col("docId"), col("__p"),
+        explode(sequence(lit(0L), col("__W") - lit(1L))).as("__d2"))
+      .select(col("queryId"), col("docId"), col("__p"),
+        (col("__p") - col("__d2")).as("pos"))
+      .filter(col("pos") >= 0L)
+      .join(posts.withColumnRenamed("word", "__pw"), Seq("docId", "pos"))
+      .join(pterms.select(col("queryId"), col("word").as("__pw"),
+        col("__i")), Seq("queryId", "__pw"))
+      .select(col("queryId"), col("docId"), col("__p"), col("pos"),
+        col("__i"))
+    // greedy-latest chain as a fold over the window's rows, position
+    // descending (offset descending within a position, so a
+    // duplicate-word phrase matches its largest needed offset first):
+    // state (j = next offset to match, e = position of the previous
+    // match); matched iff j runs below 0, window = p - e_final + 1
+    val folded = pull
+      .groupBy(col("queryId"), col("docId"), col("__p"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("__i"))),
+        asc = false).as("__xs"))
+      .join(qn, Seq("queryId"))
+      .select(col("queryId"), col("docId"), col("__p"),
+        aggregate(col("__xs"),
+          struct((col("__n") - lit(1L)).as("j"),
+            (col("__p") + lit(1L)).as("e")),
+          (acc, x) => when(
+            x.getField("pos") < acc.getField("e") &&
+              x.getField("__i") === acc.getField("j"),
+            struct((acc.getField("j") - lit(1L)).as("j"),
+              x.getField("pos").as("e"))).otherwise(acc)).as("__st"))
+    folded
+      .filter(col("__st").getField("j") === lit(-1L))
+      .select(col("queryId"), col("docId"),
+        (col("__p") - col("__st").getField("e") + lit(1L)).as("__win"))
+      .groupBy(col("queryId"), col("docId"))
+      .agg(min(col("__win")).as("min_window"))
   }
 
   /** Phrase-CONSTRAINED BM25 top-k — the `"exact phrase"` operator of

@@ -593,6 +593,63 @@ class RetrievalSpec extends SparkSpec {
       s"got: ${messages(e)}")
   }
 
+  test("proximity matching against a plain-Scala minimal-window reference") {
+    val rnd = new scala.util.Random(196)
+    val corpusRows = (1L to 50L).map { id =>
+      id -> Seq.fill(3 + rnd.nextInt(10))(s"w${rnd.nextInt(5)}")
+        .mkString(" ")
+    }
+    // lengths 1-3, duplicate words, and a corpus-absent term
+    val queryRows = Seq((600L, "w0 w1"), (601L, "w2"), (602L, "w0 w0"),
+      (603L, "w1 w2 w3"), (604L, "w4 zz"))
+    // brute force: min over ALL increasing position tuples matching
+    // the term order, windows capped at n + slop
+    def minWindow(doc: Array[String], phrase: Array[String],
+                  cap: Int): Option[Long] = {
+      var best = Option.empty[Long]
+      def go(offset: Int, first: Int, last: Int): Unit =
+        if (offset == phrase.length) {
+          val win = (last - first + 1).toLong
+          if (win <= cap && best.forall(win < _)) best = Some(win)
+        } else {
+          val lo = if (offset == 0) 0 else last + 1
+          for (p <- lo until doc.length if doc(p) == phrase(offset))
+            go(offset + 1, if (offset == 0) p else first, p)
+        }
+      go(0, 0, -1)
+      best
+    }
+    val posts = Retrieval.positionalPostings(
+      corpusRows.toDF("doc_id", "text"), "doc_id", "text")
+      .localCheckpoint()
+    val qs = queryRows.toDF("query_id", "text")
+    for (slop <- Seq(0, 1, 3)) {
+      val got = Retrieval.proximityMatches(posts, qs,
+        "query_id", "text", slop)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      val want = (for {
+        (qid, ptext) <- queryRows
+        (did, dtext) <- corpusRows
+        phrase = ptext.split(" ")
+        win <- minWindow(dtext.split(" "), phrase, phrase.length + slop)
+      } yield (qid, did) -> win).toMap
+      assert(got === want, s"slop=$slop")
+    }
+    // slop = 0 degenerates to exact containment: same matched pairs,
+    // every window exactly the phrase length
+    val exact = Retrieval.phraseMatches(posts, qs, "query_id", "text")
+      .select("queryId", "docId").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val prox0 = Retrieval.proximityMatches(posts, qs,
+      "query_id", "text", slop = 0).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    assert(prox0.map(_._1).toSet === exact)
+    val nOf = queryRows.toMap.map { case (q, t) =>
+      q -> t.split(" ").length.toLong }
+    assert(prox0.forall { case ((q, _), w) => w === nOf(q) })
+  }
+
   test("RM3 weights are a probability mix; λ endpoints recover each side") {
     val c = docs(
       1L -> "apple banana apple cherry",
