@@ -251,7 +251,7 @@ object ScaleBench {
         "bm25_rebuild_survivors_10x", "phrase_matches_10x",
         "proximity_matches_10x", "bm25_phrase_topk_10x",
         "pos_compact_index_10x", "pos_rebuild_index_10x",
-        "pos_compact_deleted_10x",
+        "pos_compact_deleted_10x", "retrieval_ingest_loop_10x",
         "rm3_rescore_10x", "rm3_rescore_wand_10x",
         "rm3_rescore_capped_10x")
       round <- Seq("cold", "warm")
@@ -378,6 +378,45 @@ object ScaleBench {
           tfD.write.format("noop").mode("overwrite").save()
           dfD.write.format("noop").mode("overwrite").save()
           stD.write.format("noop").mode("overwrite").save()
+        }
+        // the steady-state ingest loop (StreamingSpec's foreachBatch
+        // convention, timed): fold three 2k-doc micro-batches into the
+        // persisted 50k layouts — BM25 triple + positional table —
+        // probing top-5 after every batch and phrases at the end. The
+        // wall is N × (batch tokenize + vocabulary-sized merges +
+        // probe); a corpus-sized pass anywhere would show up as
+        // rebuild-shaped time instead
+        time(s"retrieval_ingest_loop_10x $round") {
+          import graft.operators.Retrieval
+          var tfC: DataFrame = spark.table("sb_bm25_tf")
+          var dfC: DataFrame = spark.table("sb_bm25_df")
+          var stC: DataFrame = spark.table("sb_bm25_stats")
+          var posC: DataFrame = spark.table("sb_bm25_pos")
+          var probed = 0L
+          for (i <- 0 until 3) {
+            val lo = 50000L + i * 2000L
+            val batch = zipfDocs(lo, lo + 2000L, 100).localCheckpoint()
+            val batchTf = Retrieval
+              .termFrequencies(batch, "doc_id", "text").localCheckpoint()
+            val (tfM, dfM, stM) =
+              Retrieval.compactTermIndex(tfC, dfC, stC, batchTf)
+            tfC = tfM
+            dfC = dfM.localCheckpoint()
+            stC = stM.localCheckpoint()
+            posC = Retrieval.compactPositionalIndex(posC,
+              Retrieval.positionalPostings(batch, "doc_id", "text"))
+            probed += Retrieval.bm25TopK(
+              Retrieval.bm25ScoresPrecomputed(tfC, dfC, stC,
+                bm25Queries, "query_id", "text", bitExact = false), 5)
+              .count()
+          }
+          val phrases = spark.range(50000).filter(col("id") % 4999 === 0)
+            .select(col("id").as("query_id"),
+              concat_ws(" ",
+                (0 to 2).map(j => zipfTok(lit(j), 20000)): _*).as("text"))
+          probed += Retrieval
+            .phraseMatches(posC, phrases, "query_id", "text").count()
+          println("  ingest_probe_rows=" + probed)
         }
         // positional-index ingest (q193/q194's gates): append a
         // 10k-doc batch's position rows into the persisted 50k table

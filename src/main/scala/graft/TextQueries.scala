@@ -818,6 +818,28 @@ private[graft] object TextQueries {
           col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
     }),
+    // the retrieval-quality readout (q94's ann_recall pattern on the
+    // lexical side): recall@5 of the SCORE-CHANGING stop-term prune
+    // (maxDocFrequency = the WAND hot cut) against the exact ranking,
+    // per query — what the pruning knob actually costs in result
+    // quality, not just wall-clock. The hot-only query slice drops to
+    // recall 0 (every term pruned), tail-anchored queries stay high —
+    // the table IS the knob's quality curve over the fixture
+    "q197_bm25_pruned_recall" -> ((s, dir) => {
+      import graft.operators.{Knn, Retrieval}
+      val (tf, qs, hotCut) = zipfWandFixture(s, dir)
+      val dfT = Retrieval.dfTable(tf).localCheckpoint()
+      val st = Retrieval.corpusStats(tf).localCheckpoint()
+      def top5(maxDf: Option[Long]) = Retrieval.bm25TopK(
+        Retrieval.bm25ScoresPrecomputed(tf, dfT, st, qs,
+          "query_id", "text", maxDocFrequency = maxDf), 5)
+        .select(col("queryId").as("query_id"),
+          col("docId").as("neighbor_id"))
+      Knn.recallAtK(top5(Some(hotCut)), top5(None))
+        .select(col("query_id"), col("n_exact"), col("n_hit"),
+          round(col("recall"), 6).as("recall"))
+        .orderBy("query_id")
+    }),
     // the full RM3 composition through the SCORE-EXACT WAND plans at
     // BOTH passes, over the Zipf fixture: the first pass (feedback
     // selection) routes through bm25TopKWand, the weighted second
@@ -2202,6 +2224,60 @@ private[graft] object TextQueries {
          |  CAST(rank AS BIGINT) AS rank
          |FROM ranked WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
+
+    // both rankings replayed — the exact chain and the pruned chain
+    // (enrichment restricted to df <= cut) — then hits = the top-5
+    // intersection per query; a recall drift means the prune dropped
+    // or admitted the wrong docs
+    "q197_bm25_pruned_recall" ->
+      s"""WITH ${bm25Cte("TRUE", "doc_id % 50 = 0",
+             ZipfWandQueryTextSql, ZipfWandCorpusTextSql)},
+         |hotcut AS (SELECT count(*) // 10 AS cut FROM corpus),
+         |etop AS (
+         |  SELECT query_id, doc_id FROM (
+         |    SELECT query_id, doc_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score DESC, doc_id) AS r
+         |    FROM bscores) x WHERE r <= 5),
+         |penr AS (
+         |  SELECT query_id, word, avgdl,
+         |    ln(1.0 + (n_docs - CAST(df AS DOUBLE) + 0.5)
+         |             / (CAST(df AS DOUBLE) + 0.5)) AS idf
+         |  FROM qterms JOIN dft USING (word) CROSS JOIN stats
+         |  CROSS JOIN hotcut
+         |  WHERE df <= cut),
+         |pcon AS (
+         |  SELECT query_id, t.doc_id, t.word,
+         |    idf * (CAST(t.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
+         |      / (CAST(t.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+         |         (1.0 - CAST(0.75 AS DOUBLE) +
+         |          CAST(0.75 AS DOUBLE) * CAST(l.dl AS DOUBLE) / avgdl))
+         |      AS c
+         |  FROM tfv t JOIN penr e ON e.word = t.word
+         |  JOIN lens l ON l.doc_id = t.doc_id),
+         |psc AS (
+         |  SELECT query_id, doc_id,
+         |    list_reduce(list(c ORDER BY word), (a, x) -> a + x) AS score
+         |  FROM pcon GROUP BY 1, 2),
+         |ptop AS (
+         |  SELECT query_id, doc_id FROM (
+         |    SELECT query_id, doc_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score DESC, doc_id) AS r
+         |    FROM psc) y WHERE r <= 5),
+         |ecnt AS (
+         |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+         |  FROM etop GROUP BY 1),
+         |hits AS (
+         |  SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hit
+         |  FROM etop e JOIN ptop p USING (query_id, doc_id)
+         |  GROUP BY 1)
+         |SELECT query_id, n_exact,
+         |  CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+         |  round(CAST(coalesce(n_hit, 0) AS DOUBLE)
+         |    / CAST(n_exact AS DOUBLE), 6) AS recall
+         |FROM ecnt LEFT JOIN hits USING (query_id)
+         |ORDER BY query_id""".stripMargin,
 
     // the decision table replayed from first principles: term split
     // against the df table, candidates = docs sharing a RARE term,

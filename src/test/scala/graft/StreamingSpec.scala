@@ -898,6 +898,92 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("retrieval ingest loop: triple + positional compaction probe like rebuilds") {
+    // the WHOLE retrieval index family through one foreachBatch ingest
+    // loop — the BM25 (tf, df, stats) triple and the positional table
+    // compact per micro-batch; after N batches a top-k probe and a
+    // phrase probe through the carried state must equal probes through
+    // from-scratch rebuilds, and a post-hoc deletion compaction must
+    // equal the survivor rebuilds (the full index lifecycle)
+    import graft.operators.Retrieval
+    val d0 = Seq((1L, "apple banana apple cherry"),
+      (2L, "banana cherry date")).toDF("doc_id", "text")
+    val tf0 = Retrieval.termFrequencies(d0, "doc_id", "text")
+      .localCheckpoint()
+    @volatile var triple = (tf0,
+      Retrieval.dfTable(tf0).localCheckpoint(),
+      Retrieval.corpusStats(tf0).localCheckpoint())
+    @volatile var posts = Retrieval
+      .positionalPostings(d0, "doc_id", "text").localCheckpoint()
+    val arrived = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val input = MemoryStream[(Long, String)](spark)
+    val q = input.toDF()
+      .select(col("_1").as("doc_id"), col("_2").as("text"))
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        // the batch feeds BOTH tokenizer passes + the audit collect
+        val bb = b.localCheckpoint()
+        val batchTf = Retrieval
+          .termFrequencies(bb, "doc_id", "text").localCheckpoint()
+        arrived.synchronized {
+          arrived ++= bb.as[(Long, String)].collect() }
+        val (tfM, dfM, stM) = Retrieval.compactTermIndex(
+          triple._1, triple._2, triple._3, batchTf,
+          assertDisjoint = true)
+        triple = (tfM.localCheckpoint(), dfM.localCheckpoint(),
+          stM.localCheckpoint())
+        posts = Retrieval.compactPositionalIndex(posts,
+          Retrieval.positionalPostings(bb, "doc_id", "text"))
+          .localCheckpoint()
+        ()
+      }.start()
+    try {
+      input.addData((11L, "cherry date banana cherry"),
+        (12L, "elder apple banana"))
+      q.processAllAvailable()
+      input.addData((13L, "banana cherry fig"))
+      q.processAllAvailable()
+      val all = d0.unionByName(
+        arrived.synchronized(arrived.toSeq).toDF("doc_id", "text"))
+        .localCheckpoint()
+      val qs = Seq((100L, "apple banana fig"), (101L, "date"))
+        .toDF("query_id", "text")
+      val phr = Seq((200L, "banana cherry")).toDF("query_id", "text")
+      def topk(tf: org.apache.spark.sql.DataFrame,
+               dfT: org.apache.spark.sql.DataFrame,
+               st: org.apache.spark.sql.DataFrame) =
+        Retrieval.bm25TopK(Retrieval.bm25ScoresPrecomputed(
+          tf, dfT, st, qs, "query_id", "text"), 3)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1)) ->
+            (r.getDouble(2), r.getInt(3))).toMap
+      def occ(p: org.apache.spark.sql.DataFrame) =
+        Retrieval.phraseMatches(p, phr, "query_id", "text")
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      // append parity: carried state == rebuild over everything
+      val tfAll = Retrieval.termFrequencies(all, "doc_id", "text")
+        .localCheckpoint()
+      assert(topk(triple._1, triple._2, triple._3) ===
+        topk(tfAll, Retrieval.dfTable(tfAll),
+          Retrieval.corpusStats(tfAll))) // bitwise
+      assert(occ(posts) ===
+        occ(Retrieval.positionalPostings(all, "doc_id", "text")))
+      // deletion parity: compact doc 11 out == survivor rebuilds
+      val del = Seq(11L).toDF("docId").localCheckpoint()
+      val (tfD, dfD, stD) = Retrieval.compactTermIndexDeleted(
+        triple._1, triple._2, triple._3, del)
+      val postsD = Retrieval.compactPositionalIndexDeleted(posts, del)
+      val surv = all.filter(col("doc_id") =!= 11L).localCheckpoint()
+      val tfS = Retrieval.termFrequencies(surv, "doc_id", "text")
+        .localCheckpoint()
+      assert(topk(tfD, dfD, stD) ===
+        topk(tfS, Retrieval.dfTable(tfS), Retrieval.corpusStats(tfS)))
+      assert(occ(postsD) ===
+        occ(Retrieval.positionalPostings(surv, "doc_id", "text")))
+    } finally q.stop()
+  }
+
   test("batch and streaming sessionization agree on on-time data") {
     val batch = EventStreams.sessionize(
       Seq((7L, 1000L, 1L), (7L, 1500L, 2L), (7L, 4000L, 3L), (8L, 900L, 4L))
