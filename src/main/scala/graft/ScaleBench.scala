@@ -252,6 +252,7 @@ object ScaleBench {
         "proximity_matches_10x", "bm25_phrase_topk_10x",
         "pos_compact_index_10x", "pos_rebuild_index_10x",
         "pos_compact_deleted_10x", "retrieval_ingest_loop_10x",
+        "ql_dirichlet_topk_10x", "snippet_windows_10x",
         "rm3_rescore_10x", "rm3_rescore_wand_10x",
         "rm3_rescore_capped_10x")
       round <- Seq("cold", "warm")
@@ -268,7 +269,7 @@ object ScaleBench {
       val tB = System.nanoTime()
       locally {
         for (t <- Seq("sb_bm25_tf", "sb_bm25_fwd", "sb_bm25_df",
-          "sb_bm25_stats", "sb_bm25_pos")) {
+          "sb_bm25_stats", "sb_bm25_pos", "sb_bm25_cf")) {
           spark.sql(s"DROP TABLE IF EXISTS $t")
           val p = new org.apache.hadoop.fs.Path(
             spark.conf.get("spark.sql.warehouse.dir"), t)
@@ -292,6 +293,8 @@ object ScaleBench {
           .write.mode("overwrite").saveAsTable("sb_bm25_df")
         graft.operators.Retrieval.corpusStats(tf)
           .write.mode("overwrite").saveAsTable("sb_bm25_stats")
+        graft.operators.Retrieval.cfTable(tf)
+          .write.mode("overwrite").saveAsTable("sb_bm25_cf")
         // the positional layout (phrase probes) — its own tokenizer
         // pass: positions come from the occurrence stream, which the
         // per-(doc, word) tf rows no longer carry
@@ -378,6 +381,38 @@ object ScaleBench {
           tfD.write.format("noop").mode("overwrite").save()
           dfD.write.format("noop").mode("overwrite").save()
           stD.write.format("noop").mode("overwrite").save()
+        }
+        // query-likelihood Dirichlet ranking (q199's gate): the second
+        // classical scorer over the same persisted layouts — one
+        // posting join with IDENTICAL matched volume to bm25_topk_10x.
+        // The ~1.7x wall vs BM25 is the per-posting ln(): BM25's only
+        // transcendental (idf) folds into the query-term table, while
+        // Dirichlet's log depends on tf and must run per matched
+        // posting — inherent to the scorer, not the plan (measured
+        // equal-volume, narrow-shuffle)
+        time(s"ql_dirichlet_topk_10x $round") {
+          println("  ql_rows=" + graft.operators.Retrieval.bm25TopK(
+            graft.operators.Retrieval.qlDirichletScores(
+              spark.table("sb_bm25_tf"), spark.table("sb_bm25_cf"),
+              spark.table("sb_bm25_stats"), bm25Queries,
+              "query_id", "text", bitExact = false), 5)
+            .count())
+        }
+        // snippet extraction over the ranker's output (q198's gate):
+        // top-5 pairs via score-changing pruned scoring, then the
+        // width-8 best window per pair — the pairs restriction pushes
+        // the docId semi-join BELOW the word join, so the wall is the
+        // pruned ranking plus a result-sized positional fetch
+        time(s"snippet_windows_10x $round") {
+          val top5 = graft.operators.Retrieval.bm25TopK(
+            graft.operators.Retrieval.bm25ScoresIndexed(
+              spark.table("sb_bm25_tf"), bm25Queries, "query_id", "text",
+              bitExact = false, maxDocFrequency = Some(5000L)), 5)
+            .select(col("queryId"), col("docId")).localCheckpoint()
+          println("  snippet_rows=" + graft.operators.Retrieval
+            .snippetWindows(spark.table("sb_bm25_pos"), bm25Queries,
+              "query_id", "text", width = 8, pairs = Some(top5))
+            .count())
         }
         // the steady-state ingest loop (StreamingSpec's foreachBatch
         // convention, timed): fold three 2k-doc micro-batches into the

@@ -818,6 +818,54 @@ private[graft] object TextQueries {
           col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
     }),
+    // best-window snippet extraction (the RAG retrieve→rank→snippet
+    // tail): q180's retrieval (short queries, BM25 top-5) then the
+    // width-8 window covering the most distinct query terms per kept
+    // (query, doc), ties leftmost — candidate starts are exactly the
+    // query-term occurrences, counted through a RANGE frame; the
+    // oracle counts every banded window from first principles
+    "q198_snippet_windows" -> ((s, dir) => {
+      import graft.operators.Retrieval
+      val docs = t(s, dir, "documents")
+      val tf = Retrieval.termFrequencies(docs, "doc_id", "text")
+        .localCheckpoint() // see q179
+      val posts = Retrieval.positionalPostings(docs, "doc_id", "text")
+        .localCheckpoint()
+      val qs = docs.where(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("query_id"),
+          substring(col("text"), 1, 40).as("text"))
+      val top5 = Retrieval.bm25TopK(
+        Retrieval.bm25ScoresIndexed(tf, qs, "query_id", "text"), 5)
+        .select(col("queryId"), col("docId"))
+        .localCheckpoint() // result-sized restriction
+      Retrieval.snippetWindows(posts, qs, "query_id", "text",
+        width = 8, pairs = Some(top5))
+        .select(col("queryId").as("query_id"), col("docId").as("doc_id"),
+          col("window_start"), col("n_matched_terms"))
+        .orderBy("query_id", "doc_id")
+    }),
+    // query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    // Lafferty) — the second classical ranker over the SAME persisted
+    // layouts: matching-postings sum + the closed-form length
+    // normalizer, |q| over corpus-present terms, top-5
+    "q199_ql_dirichlet_topk" -> ((s, dir) => {
+      import graft.operators.Retrieval
+      val docs = t(s, dir, "documents")
+      val tf = Retrieval.termFrequencies(docs, "doc_id", "text")
+        .localCheckpoint() // see q179
+      val cfT = Retrieval.cfTable(tf).localCheckpoint()
+      val st = Retrieval.corpusStats(tf).localCheckpoint()
+      val qs = docs.where(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("query_id"),
+          substring(col("text"), 1, 40).as("text"))
+      Retrieval.bm25TopK(
+        Retrieval.qlDirichletScores(tf, cfT, st, qs,
+          "query_id", "text"), 5)
+        .select(col("queryId").as("query_id"), col("docId").as("doc_id"),
+          round(col("score"), 6).as("score"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
     // the retrieval-quality readout (q94's ann_recall pattern on the
     // lexical side): recall@5 of the SCORE-CHANGING stop-term prune
     // (maxDocFrequency = the WAND hot cut) against the exact ranking,
@@ -2223,6 +2271,80 @@ private[graft] object TextQueries {
          |SELECT query_id, doc_id, round(score, 6) AS score,
          |  CAST(rank AS BIGINT) AS rank
          |FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // the retrieval replay (q180's oracle), then every banded window
+    // enumerated from first principles: starts = query-term
+    // occurrences, nt = count(DISTINCT word) within [s, s+7], argmax
+    // per (query, doc) with the leftmost tie-break
+    "q198_snippet_windows" ->
+      s"""WITH ${bm25Cte("TRUE", "doc_id % 97 = 0", "substr(text, 1, 40)")},
+         |$LiveWordsCte,
+         |posts AS (
+         |  SELECT doc_id, CAST(j - 1 AS BIGINT) AS pos, w[CAST(j AS INT)] AS word
+         |  FROM ws, unnest(generate_series(1, len(w))) AS t(j)),
+         |btop AS (
+         |  SELECT query_id, doc_id FROM (
+         |    SELECT query_id, doc_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score DESC, doc_id) AS r
+         |    FROM bscores) x WHERE r <= 5),
+         |qocc AS (
+         |  SELECT q.query_id, p.doc_id, p.pos, p.word
+         |  FROM qterms q JOIN posts p USING (word)
+         |  JOIN btop b ON b.query_id = q.query_id
+         |    AND b.doc_id = p.doc_id),
+         |wins AS (
+         |  SELECT s.query_id, s.doc_id, s.pos AS wstart,
+         |    count(DISTINCT t.word) AS nt
+         |  FROM qocc s JOIN qocc t ON t.query_id = s.query_id
+         |    AND t.doc_id = s.doc_id
+         |    AND t.pos >= s.pos AND t.pos <= s.pos + 7
+         |  GROUP BY 1, 2, 3)
+         |SELECT query_id, doc_id, wstart AS window_start,
+         |  CAST(nt AS BIGINT) AS n_matched_terms
+         |FROM (
+         |  SELECT query_id, doc_id, wstart, nt,
+         |    row_number() OVER (PARTITION BY query_id, doc_id
+         |      ORDER BY nt DESC, wstart) AS r
+         |  FROM wins) z
+         |WHERE r = 1
+         |ORDER BY query_id, doc_id""".stripMargin,
+
+    // the Dirichlet decomposition replayed: cf = sum(tf) per word,
+    // |C| = sum(dl), the matching-term sum as a word-sorted fold, and
+    // the |q|·ln(μ/(dl+μ)) normalizer added once after the fold
+    "q199_ql_dirichlet_topk" ->
+      s"""WITH ${bm25Cte("TRUE", "doc_id % 97 = 0", "substr(text, 1, 40)")},
+         |cft AS (SELECT word, sum(tf) AS cf FROM tfv GROUP BY 1),
+         |ctok AS (SELECT CAST(sum(dl) AS DOUBLE) AS ctokens FROM lens),
+         |qcf AS (SELECT query_id, word, cf FROM qterms JOIN cft USING (word)),
+         |qnq AS (SELECT query_id, count(*) AS nq FROM qcf GROUP BY 1),
+         |qlcon AS (
+         |  SELECT q.query_id, t.doc_id, t.word,
+         |    ln(1.0 + CAST(t.tf AS DOUBLE) * ctokens
+         |      / (CAST(2000 AS DOUBLE) * CAST(q.cf AS DOUBLE))) AS c,
+         |    l.dl
+         |  FROM tfv t JOIN qcf q ON q.word = t.word
+         |  JOIN lens l ON l.doc_id = t.doc_id
+         |  CROSS JOIN ctok),
+         |qlsc AS (
+         |  SELECT query_id, doc_id,
+         |    list_reduce(list(c ORDER BY word), (a, x) -> a + x)
+         |      + CAST(nq AS DOUBLE) *
+         |        ln(CAST(2000 AS DOUBLE)
+         |           / (CAST(dl AS DOUBLE) + CAST(2000 AS DOUBLE)))
+         |      AS score
+         |  FROM qlcon JOIN qnq USING (query_id)
+         |  GROUP BY query_id, doc_id, nq, dl)
+         |SELECT query_id, doc_id, round(score, 6) AS score,
+         |  CAST(rank AS BIGINT) AS rank
+         |FROM (
+         |  SELECT query_id, doc_id, score,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id) AS rank
+         |  FROM qlsc) z
+         |WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
 
     // both rankings replayed — the exact chain and the pruned chain

@@ -190,6 +190,91 @@ object Retrieval {
     (tfOut, dfOut, statsOut)
   }
 
+  /** The `(word, cf)` COLLECTION-frequency table of a
+    * [[termFrequencies]] index — total token occurrences per word
+    * (`Σ tf`, vs [[dfTable]]'s document count). The background model
+    * of the query-likelihood scorer ([[qlDirichletScores]]); exact
+    * BIGINTs, additive across micro-batches exactly like df — a
+    * [[compactTermIndex]]-style merge is `sum(cf)` with subtractive
+    * deletes (RetrievalSpec pins the append/delete parity through the
+    * generic merge).
+    */
+  def cfTable(tf: DataFrame): DataFrame =
+    tf.groupBy("word").agg(sum(col("tf")).as("cf"))
+
+  /** Query-likelihood scoring with Dirichlet smoothing (Zhai &
+    * Lafferty'04) — the second classical lexical ranker, over the SAME
+    * persisted layouts as BM25 (`tf` + the additive stat tables):
+    *
+    *   `score(q, d) = Σ_{w ∈ q∩d} ln(1 + tf·|C| / (μ·cf(w)))
+    *                 + |q|·ln(μ / (dl + μ))`
+    *
+    * — the rank-equivalent decomposition of the full smoothed
+    * log-likelihood: only MATCHING postings enter the sum (the one
+    * word-keyed posting join, as BM25), and the length normalizer is
+    * a per-doc closed form. Returns `(queryId, docId, score)` for
+    * docs sharing ≥ 1 query term (the retrieval convention here as
+    * everywhere; scores are negative — closer to 0 is better — and
+    * [[bm25TopK]] ranks them unchanged). Query terms are DEDUPED and
+    * `|q|` counts the CORPUS-PRESENT distinct terms (an unseen term
+    * has no background mass — Dirichlet smoothing is undefined for
+    * it, so it drops from the model on both sides of the oracle).
+    * The Σ folds term-sorted under `bitExact` (the BM25 contract);
+    * the length term adds ONCE, after the fold.
+    */
+  def qlDirichletScores(tf: DataFrame, cfTab: DataFrame, stats: DataFrame,
+                        queries: DataFrame, qidCol: String,
+                        qtextCol: String,
+                        mu: Double = 2000.0,
+                        bitExact: Boolean = true): DataFrame = {
+    require(mu > 0, s"mu > 0: $mu")
+    val qTerms = queries
+      .filter(col(qidCol).isNotNull && lower(col(qtextCol)).rlike("[a-z0-9]"))
+      .select(col(qidCol).as("queryId"),
+        explode_outer(TextFunctions.normalizeTokens(col(qtextCol)))
+          .as("word"))
+      .filter(col("word").isNotNull)
+      .join(cfTab, Seq("word"))
+      .crossJoin(broadcast(
+        stats.select(col("total_dl").cast("double").as("__cTokens"))))
+    // |q| over corpus-present terms rides the enriched table
+    val qn = qTerms.groupBy("queryId").agg(count(lit(1)).as("__nq"))
+    val enriched = qTerms.join(qn, Seq("queryId"))
+    val cExpr = log(lit(1.0) +
+      col("tf").cast("double") * col("__cTokens") /
+        (lit(mu) * col("cf").cast("double"))).as("__c")
+    // the per-(query, doc) length normalizer is constant across the
+    // group — max() just carries it through the aggregate (joining a
+    // doc-length table after the fold instead would cost a
+    // corpus-sized aggregate + join); the scale fold drops the word
+    // column the sorted fold needs, keeping the shuffle rows narrow
+    val joined = tf.join(enriched, Seq("word"))
+    val folded =
+      if (bitExact)
+        joined
+          .select(col("queryId"), col("docId"), col("word"), cExpr,
+            col("dl"), col("__nq"))
+          .groupBy(col("queryId"), col("docId"))
+          .agg(sort_array(collect_list(struct(col("word"), col("__c"))))
+            .as("__cs"),
+            max(col("dl")).as("__dl"), max(col("__nq")).as("__n"))
+          .select(col("queryId"), col("docId"),
+            aggregate(col("__cs"), lit(0.0),
+              (a, x) => a + x.getField("__c")).as("__s"),
+            col("__dl"), col("__n"))
+      else
+        joined
+          .select(col("queryId"), col("docId"), cExpr, col("dl"),
+            col("__nq"))
+          .groupBy(col("queryId"), col("docId"))
+          .agg(sum(col("__c")).as("__s"), max(col("dl")).as("__dl"),
+            max(col("__nq")).as("__n"))
+    folded.select(col("queryId"), col("docId"),
+      (col("__s") + col("__n").cast("double") *
+        log(lit(mu) / (col("__dl").cast("double") + lit(mu))))
+        .as("score"))
+  }
+
   /** [[bm25Scores]] over a pre-built (typically persisted,
     * word-bucketed) [[termFrequencies]] table. `tf` is referenced 3×
     * (df aggregate, length/scalar aggregate, posting join) — the
@@ -843,6 +928,72 @@ object Retrieval {
       .select(col("queryId"), col("docId"), col("word"),
         contribExpr(k1, b).as("__c"))
     bm25TopK(scoreFold(contrib, bitExact), k)
+  }
+
+  /** Best-window SNIPPET extraction over a [[positionalPostings]]
+    * table — the passage-selection primitive of a RAG stack (retrieve
+    * → rank → snippet): for each (query, doc) sharing at least one
+    * term, the fixed-width token window covering the MOST DISTINCT
+    * query terms — `(queryId, docId, window_start, n_matched_terms)`,
+    * ties broken leftmost (smallest start). `window_start` indexes the
+    * same 0-based normalized-token stream as the positional layout, so
+    * the caller slices the passage with
+    * `slice(normalizedWords(text), start + 1, width)`.
+    *
+    * An optimal window can always be slid right until it BEGINS on a
+    * query-term occurrence without losing terms, so candidate starts
+    * are exactly the occurrence positions: one word-keyed join
+    * (query-vocabulary-sized — the BM25 posting-join shape), then a
+    * per-(query, doc) RANGE-frame window over `pos` counting the
+    * distinct words within `width` — no self-join, no band explode;
+    * the frame contents are a set, so the count is
+    * partitioning-invariant and the oracle replays it as a banded
+    * first-principles count. `pairs` restricts to given
+    * `(queryId, docId)` rows BEFORE the frame — the production form:
+    * snippet only the top-k pairs the ranker kept, so the window
+    * state is result-sized, not match-sized.
+    */
+  def snippetWindows(posts: DataFrame,
+                     queries: DataFrame, qidCol: String, qtextCol: String,
+                     width: Int,
+                     pairs: Option[DataFrame] = None): DataFrame = {
+    require(width >= 1, s"width >= 1: $width")
+    val qt = queries
+      .filter(col(qidCol).isNotNull && lower(col(qtextCol)).rlike("[a-z0-9]"))
+      .select(col(qidCol).as("queryId"),
+        explode_outer(TextFunctions.normalizeTokens(col(qtextCol)))
+          .as("word"))
+      .filter(col("word").isNotNull)
+    // with a pairs restriction, the docId semi-join goes BELOW the
+    // word join: the kept docs are result-sized (queries × k), so the
+    // id set broadcasts and the hot query terms' full occurrence
+    // lists never materialize — only the kept docs' positions flow
+    // into the frame (the forward-fetch shape on the positional side)
+    val occ = pairs match {
+      case Some(p) =>
+        val pp = p.select(col("queryId"), col("docId"))
+        posts
+          .join(pp.select("docId").distinct(), Seq("docId"), "left_semi")
+          .join(qt, Seq("word"))
+          .join(pp, Seq("queryId", "docId"), "left_semi")
+          .select(col("queryId"), col("docId"), col("pos"), col("word"))
+      case None =>
+        posts.join(qt, Seq("word"))
+          .select(col("queryId"), col("docId"), col("pos"), col("word"))
+    }
+    val frame = Window.partitionBy(col("queryId"), col("docId"))
+      .orderBy(col("pos")).rangeBetween(0L, (width - 1).toLong)
+    val best = Window.partitionBy(col("queryId"), col("docId"))
+      .orderBy(col("__nt").desc, col("pos").asc)
+    occ
+      .withColumn("__nt",
+        size(array_distinct(collect_list(col("word")).over(frame)))
+          .cast("long"))
+      .withColumn("__r", row_number().over(best))
+      .filter(col("__r") === 1)
+      .select(col("queryId"), col("docId"),
+        col("pos").as("window_start"),
+        col("__nt").as("n_matched_terms"))
   }
 
   /** Top-k documents per query from a [[bm25Scores]] table: score

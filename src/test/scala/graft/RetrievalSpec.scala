@@ -542,6 +542,74 @@ class RetrievalSpec extends SparkSpec {
     assert(messages(e).exists(_.contains("batch reuses")))
   }
 
+  test("snippet windows cover the most distinct query terms, ties leftmost") {
+    val c = docs(
+      1L -> "a b c x x a b",
+      2L -> "x a x x c x b",
+      3L -> "x x x x")
+    val posts = Retrieval.positionalPostings(c, "doc_id", "text")
+      .localCheckpoint()
+    val qs = Seq((10L, "a b c")).toDF("query_id", "text")
+    def wins(width: Int, pairs: Option[DataFrame] = None)
+        : Map[(Long, Long), (Long, Long)] =
+      Retrieval.snippetWindows(posts, qs, "query_id", "text", width, pairs)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+    // width 3: doc 1's [0,2] = {a,b,c} wins outright; doc 2's best
+    // covers 2 terms, first at start 4 ({c,b} in [4,6]); doc 3 absent
+    assert(wins(3) === Map((10L, 1L) -> (0L, 3L), (10L, 2L) -> (4L, 2L)))
+    // width 1: every window has one term; leftmost occurrence wins
+    assert(wins(1) === Map((10L, 1L) -> (0L, 1L), (10L, 2L) -> (1L, 1L)))
+    // width 7: doc 2 now covers all three from its first occurrence
+    assert(wins(7) === Map((10L, 1L) -> (0L, 3L), (10L, 2L) -> (1L, 3L)))
+    // pairs restriction: only the requested (query, doc) rows compute
+    val only2 = wins(3, Some(Seq((10L, 2L)).toDF("queryId", "docId")))
+    assert(only2 === Map((10L, 2L) -> (4L, 2L)))
+  }
+
+  test("QL Dirichlet scores match the hand-derived decomposition") {
+    val tf = Retrieval.termFrequencies(corpus, "doc_id", "text")
+      .localCheckpoint()
+    val cfT = Retrieval.cfTable(tf)
+    val st = Retrieval.corpusStats(tf)
+    // corpus: doc1 'apple banana apple', doc2 'banana cherry',
+    // doc3 'cherry cherry cherry date' -> |C| = 9 tokens;
+    // cf: apple 2, banana 2, cherry 4, date 1
+    val qs = Seq((1L, "apple cherry"), (2L, "apple zzz"))
+      .toDF("query_id", "text")
+    val got = Retrieval.qlDirichletScores(tf, cfT, st, qs,
+      "query_id", "text", mu = 10.0)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    def ql(terms: Seq[(Long, Long)], nq: Long, dl: Long): Double =
+      terms.map { case (tfv, cf) =>
+        math.log(1.0 + tfv.toDouble * 9.0 / (10.0 * cf.toDouble))
+      }.sum + nq.toDouble * math.log(10.0 / (dl.toDouble + 10.0))
+    assert(got((1L, 1L)) === ql(Seq((2L, 2L)), 2L, 3L)) // apple tf2
+    assert(got((1L, 2L)) === ql(Seq((1L, 4L)), 2L, 2L)) // cherry tf1
+    assert(got((1L, 3L)) === ql(Seq((3L, 4L)), 2L, 4L)) // cherry tf3
+    // 'zzz' is corpus-absent: it drops from the model, |q| = 1
+    assert(got((2L, 1L)) === ql(Seq((2L, 2L)), 1L, 3L))
+    assert(!got.contains((2L, 3L))) // no shared term, no row
+    // the scale fold agrees to ulps on multi-term matches
+    val fast = Retrieval.qlDirichletScores(tf, cfT, st, qs,
+      "query_id", "text", mu = 10.0, bitExact = false)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    for ((k, v) <- got)
+      assert(math.abs(fast(k) - v) <= 1e-12 * math.abs(v), s"$k")
+    // cf is additive across micro-batches, subtractive under deletes
+    val batch = Retrieval.termFrequencies(
+      docs(9L -> "apple date fig"), "doc_id", "text")
+    val merged = Retrieval.cfTable(tf.unionByName(batch)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val added = Retrieval.cfTable(tf).unionByName(Retrieval.cfTable(batch))
+      .groupBy("word").agg(sum(col("cf")).as("cf")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged === added)
+  }
+
   test("phrase-constrained top-k equals scores semi-joined on containment") {
     val rnd = new scala.util.Random(195)
     val c = (1L to 70L).map { id =>
