@@ -253,6 +253,7 @@ object ScaleBench {
         "pos_compact_index_10x", "pos_rebuild_index_10x",
         "pos_compact_deleted_10x", "retrieval_ingest_loop_10x",
         "ql_dirichlet_topk_10x", "snippet_windows_10x",
+        "bm25_conjunctive_topk_10x",
         "rm3_rescore_10x", "rm3_rescore_wand_10x",
         "rm3_rescore_capped_10x")
       round <- Seq("cold", "warm")
@@ -381,6 +382,18 @@ object ScaleBench {
           tfD.write.format("noop").mode("overwrite").save()
           dfD.write.format("noop").mode("overwrite").save()
           stD.write.format("noop").mode("overwrite").save()
+        }
+        // conjunctive (boolean-AND) ranking (q200's gate): candidates
+        // are the posting INTERSECTION — a 6-term query's all-terms
+        // doc set is tiny, so phase 2 is a result-sized forward fetch;
+        // phase 1 still scans the matched postings once for the count
+        time(s"bm25_conjunctive_topk_10x $round") {
+          println("  conj_rows=" + graft.operators.Retrieval
+            .bm25TopKConjunctive(spark.table("sb_bm25_tf"),
+              spark.table("sb_bm25_df"), spark.table("sb_bm25_stats"),
+              bm25Queries, "query_id", "text", k = 5, bitExact = false,
+              forward = Some(spark.table("sb_bm25_fwd")))
+            .count())
         }
         // query-likelihood Dirichlet ranking (q199's gate): the second
         // classical scorer over the same persisted layouts — one

@@ -866,6 +866,56 @@ private[graft] object TextQueries {
           col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
     }),
+    // conjunctive (match-ALL-terms) retrieval — the boolean-AND query
+    // mode: candidates are the posting intersection (count of matched
+    // distinct terms == |q|, absent terms fail the conjunction),
+    // scored within candidates through the forward fetch
+    "q200_bm25_conjunctive_topk" -> ((s, dir) => {
+      import graft.operators.Retrieval
+      val docs = t(s, dir, "documents")
+      val tf = Retrieval.termFrequencies(docs, "doc_id", "text")
+        .localCheckpoint() // see q179
+      val dfT = Retrieval.dfTable(tf).localCheckpoint()
+      val st = Retrieval.corpusStats(tf).localCheckpoint()
+      val qs = docs.where(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("query_id"),
+          substring(col("text"), 1, 40).as("text"))
+      Retrieval.bm25TopKConjunctive(tf, dfT, st, qs,
+        "query_id", "text", k = 5)
+        .select(col("queryId").as("query_id"), col("docId").as("doc_id"),
+          round(col("score"), 6).as("score"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+    // normalized linear score fusion (rrfFuse's score-aware sibling):
+    // BM25 top-10 and QL-Dirichlet top-10 min-max normalized per
+    // query, fused 0.7/0.3 — both component chains AND the
+    // normalization/fold replay in one oracle
+    "q201_linear_fusion" -> ((s, dir) => {
+      import graft.operators.Retrieval
+      val docs = t(s, dir, "documents")
+      val tf = Retrieval.termFrequencies(docs, "doc_id", "text")
+        .localCheckpoint() // see q179
+      val dfT = Retrieval.dfTable(tf).localCheckpoint()
+      val cfT = Retrieval.cfTable(tf).localCheckpoint()
+      val st = Retrieval.corpusStats(tf).localCheckpoint()
+      val qs = docs.where(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("query_id"),
+          substring(col("text"), 1, 40).as("text"))
+      val bm = Retrieval.bm25TopK(
+        Retrieval.bm25ScoresPrecomputed(tf, dfT, st, qs,
+          "query_id", "text"), 10)
+        .select("queryId", "docId", "score")
+      val ql = Retrieval.bm25TopK(
+        Retrieval.qlDirichletScores(tf, cfT, st, qs,
+          "query_id", "text"), 10)
+        .select("queryId", "docId", "score")
+      Retrieval.linearFuse(Seq((bm, 0.7), (ql, 0.3)), k = 10)
+        .select(col("queryId").as("query_id"), col("docId").as("doc_id"),
+          round(col("fused_score"), 9).as("fused_score"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
     // the retrieval-quality readout (q94's ann_recall pattern on the
     // lexical side): recall@5 of the SCORE-CHANGING stop-term prune
     // (maxDocFrequency = the WAND hot cut) against the exact ranking,
@@ -1171,6 +1221,36 @@ private[graft] object TextQueries {
     s"array_to_string(list_slice(list_filter(string_split_regex(" +
       s"regexp_replace(lower(text), '[^a-z0-9$WsClass]', ' ', 'g'), " +
       s"'[$WsClass]+'), x -> x != ''), 2, 4), ' ')"
+
+  /** The query-likelihood Dirichlet chain replayed in SQL, downstream
+    * of [[bm25Cte]]'s `tfv`/`lens`/`qterms` (shared by q199/q201):
+    * cf = Σ tf per word, |C| = Σ dl, the matching-term sum as a
+    * word-sorted fold, and the `|q|·ln(μ/(dl+μ))` normalizer added
+    * once after the fold — the operator's exact tree at μ = 2000.
+    * Emits `cft`, `ctok`, `qcf`, `qnq`, `qlcon`, `qlsc`.
+    */
+  private lazy val QlCtes =
+    s"""cft AS (SELECT word, sum(tf) AS cf FROM tfv GROUP BY 1),
+       |ctok AS (SELECT CAST(sum(dl) AS DOUBLE) AS ctokens FROM lens),
+       |qcf AS (SELECT query_id, word, cf FROM qterms JOIN cft USING (word)),
+       |qnq AS (SELECT query_id, count(*) AS nq FROM qcf GROUP BY 1),
+       |qlcon AS (
+       |  SELECT q.query_id, t.doc_id, t.word,
+       |    ln(1.0 + CAST(t.tf AS DOUBLE) * ctokens
+       |      / (CAST(2000 AS DOUBLE) * CAST(q.cf AS DOUBLE))) AS c,
+       |    l.dl
+       |  FROM tfv t JOIN qcf q ON q.word = t.word
+       |  JOIN lens l ON l.doc_id = t.doc_id
+       |  CROSS JOIN ctok),
+       |qlsc AS (
+       |  SELECT query_id, doc_id,
+       |    list_reduce(list(c ORDER BY word), (a, x) -> a + x)
+       |      + CAST(nq AS DOUBLE) *
+       |        ln(CAST(2000 AS DOUBLE)
+       |           / (CAST(dl AS DOUBLE) + CAST(2000 AS DOUBLE)))
+       |      AS score
+       |  FROM qlcon JOIN qnq USING (query_id)
+       |  GROUP BY query_id, doc_id, nq, dl)""".stripMargin
 
   /** The weighted second-pass scoring chain replayed in SQL,
     * downstream of [[Rm3Ctes]]' `finalw` and [[bm25Cte]]'s
@@ -2316,27 +2396,7 @@ private[graft] object TextQueries {
     // the |q|·ln(μ/(dl+μ)) normalizer added once after the fold
     "q199_ql_dirichlet_topk" ->
       s"""WITH ${bm25Cte("TRUE", "doc_id % 97 = 0", "substr(text, 1, 40)")},
-         |cft AS (SELECT word, sum(tf) AS cf FROM tfv GROUP BY 1),
-         |ctok AS (SELECT CAST(sum(dl) AS DOUBLE) AS ctokens FROM lens),
-         |qcf AS (SELECT query_id, word, cf FROM qterms JOIN cft USING (word)),
-         |qnq AS (SELECT query_id, count(*) AS nq FROM qcf GROUP BY 1),
-         |qlcon AS (
-         |  SELECT q.query_id, t.doc_id, t.word,
-         |    ln(1.0 + CAST(t.tf AS DOUBLE) * ctokens
-         |      / (CAST(2000 AS DOUBLE) * CAST(q.cf AS DOUBLE))) AS c,
-         |    l.dl
-         |  FROM tfv t JOIN qcf q ON q.word = t.word
-         |  JOIN lens l ON l.doc_id = t.doc_id
-         |  CROSS JOIN ctok),
-         |qlsc AS (
-         |  SELECT query_id, doc_id,
-         |    list_reduce(list(c ORDER BY word), (a, x) -> a + x)
-         |      + CAST(nq AS DOUBLE) *
-         |        ln(CAST(2000 AS DOUBLE)
-         |           / (CAST(dl AS DOUBLE) + CAST(2000 AS DOUBLE)))
-         |      AS score
-         |  FROM qlcon JOIN qnq USING (query_id)
-         |  GROUP BY query_id, doc_id, nq, dl)
+         |$QlCtes
          |SELECT query_id, doc_id, round(score, 6) AS score,
          |  CAST(rank AS BIGINT) AS rank
          |FROM (
@@ -2345,6 +2405,78 @@ private[graft] object TextQueries {
          |      ORDER BY score DESC, doc_id) AS rank
          |  FROM qlsc) z
          |WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // the posting INTERSECTION as candidates (count of matched
+    // distinct terms per (query, doc) equals the query's FULL distinct
+    // term count — absent terms fail the conjunction by construction),
+    // then q180's scoring restricted to them
+    "q200_bm25_conjunctive_topk" ->
+      s"""WITH ${bm25Cte("TRUE", "doc_id % 97 = 0", "substr(text, 1, 40)")},
+         |qcnt AS (SELECT query_id, count(*) AS nq FROM qterms GROUP BY 1),
+         |cand AS (
+         |  SELECT q.query_id, t.doc_id
+         |  FROM qterms q JOIN tfv t USING (word)
+         |  JOIN qcnt c ON c.query_id = q.query_id
+         |  GROUP BY q.query_id, t.doc_id, c.nq
+         |  HAVING count(DISTINCT t.word) = c.nq),
+         |ranked AS (
+         |  SELECT query_id, doc_id, score,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id) AS rank
+         |  FROM bscores JOIN cand USING (query_id, doc_id))
+         |SELECT query_id, doc_id, round(score, 6) AS score,
+         |  CAST(rank AS BIGINT) AS rank
+         |FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // both component chains (q180's BM25, q199's QL), each top-10
+    // with scores, min-max normalized per query, then the 0.7/0.3
+    // weighted sum as a src-ordered fold — rrf's replay shape with
+    // scores instead of ranks
+    "q201_linear_fusion" ->
+      s"""WITH ${bm25Cte("TRUE", "doc_id % 97 = 0", "substr(text, 1, 40)")},
+         |$QlCtes,
+         |btop AS (
+         |  SELECT query_id, doc_id, score FROM (
+         |    SELECT query_id, doc_id, score,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score DESC, doc_id) AS r
+         |    FROM bscores) x WHERE r <= 10),
+         |qtop AS (
+         |  SELECT query_id, doc_id, score FROM (
+         |    SELECT query_id, doc_id, score,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score DESC, doc_id) AS r
+         |    FROM qlsc) y WHERE r <= 10),
+         |bmm AS (
+         |  SELECT query_id, min(score) AS lo, max(score) AS hi
+         |  FROM btop GROUP BY 1),
+         |qmm AS (
+         |  SELECT query_id, min(score) AS lo, max(score) AS hi
+         |  FROM qtop GROUP BY 1),
+         |fc AS (
+         |  SELECT b.query_id, b.doc_id, 0 AS src,
+         |    CAST(0.7 AS DOUBLE) * (CASE WHEN hi > lo
+         |      THEN (score - lo) / (hi - lo) ELSE 1.0 END) AS f
+         |  FROM btop b JOIN bmm USING (query_id)
+         |  UNION ALL
+         |  SELECT q.query_id, q.doc_id, 1,
+         |    CAST(0.3 AS DOUBLE) * (CASE WHEN hi > lo
+         |      THEN (score - lo) / (hi - lo) ELSE 1.0 END)
+         |  FROM qtop q JOIN qmm USING (query_id)),
+         |fused AS (
+         |  SELECT query_id, doc_id,
+         |    list_reduce(list(f ORDER BY src), (a, x) -> a + x) AS fs
+         |  FROM fc GROUP BY 1, 2)
+         |SELECT query_id, doc_id, round(fs, 9) AS fused_score,
+         |  CAST(frank AS BIGINT) AS rank
+         |FROM (
+         |  SELECT query_id, doc_id, fs,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY fs DESC, doc_id) AS frank
+         |  FROM fused) z
+         |WHERE frank <= 10
          |ORDER BY query_id, rank""".stripMargin,
 
     // both rankings replayed — the exact chain and the pruned chain

@@ -917,12 +917,72 @@ object Retrieval {
     require(k > 0, s"k > 0: $k")
     val cands = phraseMatches(posts, queries, qidCol, qtextCol,
       maxAnchorOcc).select("queryId", "docId")
+    scoreWithinCandidates(forward.getOrElse(tf), dfTab, stats, cands,
+      queries, qidCol, qtextCol, k, k1, b, bitExact)
+  }
+
+  /** CONJUNCTIVE (match-ALL-terms) BM25 top-k — the boolean-AND query
+    * mode of a retrieval stack: rank only the documents containing
+    * EVERY distinct query term, by their full BM25 score. Equals
+    * `bm25TopK` over scores semi-joined on the all-terms candidate set
+    * (the [[bm25TopKPhrase]] contract; q200 gates it). A query with a
+    * corpus-absent term matches nothing — AND semantics, like a
+    * phrase with an absent word.
+    *
+    * Scale shape: candidates fall out of ONE pass over the matched
+    * postings (count distinct matched terms == |q|), then scores fetch
+    * doc-wise through the `forward` layout — for multi-term queries
+    * the candidate set is the posting INTERSECTION, typically far
+    * smaller than any term's posting list, so the second phase is
+    * result-sized. (The candidate pass could anchor on the rarest
+    * term like WAND; it instead reuses the one posting join the
+    * scorer needs anyway, keeping the operator a strict two-phase of
+    * existing pieces.)
+    */
+  def bm25TopKConjunctive(tf: DataFrame, dfTab: DataFrame,
+                          stats: DataFrame,
+                          queries: DataFrame, qidCol: String,
+                          qtextCol: String,
+                          k: Int, k1: Double = 1.2, b: Double = 0.75,
+                          bitExact: Boolean = true,
+                          forward: Option[DataFrame] = None): DataFrame = {
+    require(k > 0, s"k > 0: $k")
     val enriched = enrichedQueryTerms(dfTab, stats, queries, qidCol,
       qtextCol)
-    val fwd = forward.getOrElse(tf)
-    // score-within-candidates: every candidate contains all phrase
-    // words, so every candidate keeps a score row (the semi-join
-    // equivalence needs no outer handling)
+    // |q| over ALL normalized distinct terms (not just corpus-present
+    // ones): an absent term must fail the conjunction, so the count
+    // comes from the tokenizer, before the df join inside enrichment
+    val qn = queries
+      .filter(col(qidCol).isNotNull && lower(col(qtextCol)).rlike("[a-z0-9]"))
+      .select(col(qidCol).as("queryId"),
+        explode_outer(TextFunctions.normalizeTokens(col(qtextCol)))
+          .as("word"))
+      .filter(col("word").isNotNull)
+      .groupBy("queryId").agg(count(lit(1)).as("__nq"))
+    val cands = tf.join(enriched.select("queryId", "word"), Seq("word"))
+      .groupBy(col("queryId"), col("docId"))
+      .agg(countDistinct(col("word")).as("__m"))
+      .join(qn, Seq("queryId"))
+      .filter(col("__m") === col("__nq"))
+      .select("queryId", "docId")
+    scoreWithinCandidates(forward.getOrElse(tf), dfTab, stats, cands,
+      queries, qidCol, qtextCol, k, k1, b, bitExact)
+  }
+
+  /** Exact BM25 top-k restricted to a caller-supplied candidate set —
+    * the shared second phase of [[bm25TopKPhrase]] and
+    * [[bm25TopKConjunctive]]: each candidate doc's matched query terms
+    * fetch doc-wise through the forward layout, so the word-keyed
+    * posting table is never rescanned for the scoring pass.
+    */
+  private def scoreWithinCandidates(fwd: DataFrame, dfTab: DataFrame,
+                                    stats: DataFrame, cands: DataFrame,
+                                    queries: DataFrame, qidCol: String,
+                                    qtextCol: String, k: Int,
+                                    k1: Double, b: Double,
+                                    bitExact: Boolean): DataFrame = {
+    val enriched = enrichedQueryTerms(dfTab, stats, queries, qidCol,
+      qtextCol)
     val contrib = cands.join(fwd, Seq("docId"))
       .join(enriched, Seq("queryId", "word"))
       .select(col("queryId"), col("docId"), col("word"),
@@ -1298,6 +1358,50 @@ object Retrieval {
     * `1.0 / (k0 + rank)` — one division on exact integers, no
     * transcendentals, so fused scores agree bitwise across engines.
     */
+  /** Normalized LINEAR score fusion — [[rrfFuse]]'s score-aware
+    * sibling (the interpolation combiner of hybrid-retrieval
+    * literature, e.g. convex BM25+dense mixing): each input ranking's
+    * scores min-max normalize PER QUERY to [0, 1], then fuse as the
+    * weighted sum `Σ w_i · norm_i(q, d)` (absent from a list = zero).
+    * Use when the component scores carry meaningful magnitude
+    * (calibrated rankers); RRF when they don't.
+    *
+    * Inputs are `(queryId, docId, score)` tables with one row per
+    * pair, each paired with its weight. A query whose list has a
+    * single distinct score normalizes to 1.0 (its min IS its max —
+    * every doc ties at the top). Output:
+    * `(queryId, docId, fused_score, rank)`, top `k`, score desc with
+    * docId ties.
+    *
+    * Scale shape: result-set-sized throughout — per-list per-query
+    * min/max aggregates (order-independent EXACT doubles, so the
+    * normalization replays bitwise), one union, a source-index-sorted
+    * fold (≤ |rankings| elements per pair), one rank window.
+    */
+  def linearFuse(rankings: Seq[(DataFrame, Double)], k: Int): DataFrame = {
+    require(rankings.nonEmpty, "at least one ranking")
+    require(k > 0, s"k > 0: $k")
+    val contribs = rankings.zipWithIndex.map { case ((r, w), i) =>
+      val mm = r.groupBy("queryId")
+        .agg(min(col("score")).as("__lo"), max(col("score")).as("__hi"))
+      r.join(mm, Seq("queryId"))
+        .select(col("queryId"), col("docId"), lit(i).as("__src"),
+          (lit(w) * when(col("__hi") > col("__lo"),
+            (col("score") - col("__lo")) / (col("__hi") - col("__lo")))
+            .otherwise(lit(1.0))).as("__f"))
+    }.reduce(_ unionByName _)
+    val rw = Window.partitionBy(col("queryId"))
+      .orderBy(col("fused_score").desc, col("docId").asc)
+    contribs.groupBy(col("queryId"), col("docId"))
+      .agg(sort_array(collect_list(struct(col("__src"), col("__f"))))
+        .as("__xs"))
+      .select(col("queryId"), col("docId"),
+        aggregate(col("__xs"), lit(0.0),
+          (a, x) => a + x.getField("__f")).as("fused_score"))
+      .withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= k)
+  }
+
   def rrfFuse(rankings: Seq[DataFrame], k: Int, k0: Int = 60): DataFrame = {
     require(rankings.nonEmpty, "at least one ranking")
     require(k > 0 && k0 >= 0, s"k > 0, k0 >= 0: $k, $k0")

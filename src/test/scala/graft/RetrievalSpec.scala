@@ -640,6 +640,51 @@ class RetrievalSpec extends SparkSpec {
     assert(got.forall(r => matchSet((r._1, r._2))))
   }
 
+  test("conjunctive top-k keeps only all-terms docs, scores them fully") {
+    val c = docs(
+      1L -> "apple banana cherry filler",
+      2L -> "apple banana date",
+      3L -> "apple only here",
+      4L -> "banana cherry apple apple")
+    val qs = Seq((10L, "apple banana"), (11L, "apple zzz"),
+      (12L, "cherry")).toDF("query_id", "text")
+    val (tf, dfT, st) = indexTriple(c)
+    val got = topkSet(Retrieval.bm25TopKConjunctive(tf, dfT, st, qs,
+      "query_id", "text", k = 3))
+    // reference: full scores semi-joined on the all-terms docs
+    assert(got.filter(_._1 == 10L).map(_._2) === Set(1L, 2L, 4L))
+    assert(!got.exists(_._1 == 11L), "absent term fails the conjunction")
+    assert(got.filter(_._1 == 12L).map(_._2) === Set(1L, 4L))
+    // scores are the FULL BM25 scores, not candidates-only arithmetic
+    val full = Retrieval.bm25ScoresPrecomputed(tf, dfT, st, qs,
+      "query_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.forall(r => full((r._1, r._2)) === r._3)) // bitwise
+  }
+
+  test("linearFuse min-max normalizes per query and weights the sum") {
+    val bm = Seq((1L, 101L, 10.0), (1L, 102L, 6.0), (1L, 103L, 2.0),
+      (2L, 201L, 3.0))
+      .toDF("queryId", "docId", "score")
+    val ql = Seq((1L, 102L, -1.0), (1L, 104L, -3.0), (2L, 201L, -5.0))
+      .toDF("queryId", "docId", "score")
+    val got = Retrieval.linearFuse(Seq((bm, 0.7), (ql, 0.3)), k = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // query 1: bm norms 1/0.5/0, ql norms 1/0; absent list = 0
+    assert(got((1L, 101L)) === 0.7 * 1.0)
+    assert(got((1L, 102L)) === 0.7 * 0.5 + 0.3 * 1.0)
+    assert(got((1L, 103L)) === 0.7 * 0.0)
+    assert(got((1L, 104L)) === 0.3 * 0.0 + 0.0)
+    // a single-distinct-score list normalizes to 1.0 on both sides
+    assert(got((2L, 201L)) === 0.7 * 1.0 + 0.3 * 1.0)
+    // ranking: fused desc, docId ties
+    val ranks = Retrieval.linearFuse(Seq((bm, 0.7), (ql, 0.3)), k = 2)
+      .filter(col("queryId") === 1L)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(ranks === Seq(101L, 102L)) // 0.7 > 0.65
+  }
+
   test("maxAnchorOcc refuses a hot-anchored phrase, passes under the cap") {
     // every term of the phrase is in >= 6 docs: the rarest term is
     // still hot at cap 3, so the probe must fail loudly; cap 100
