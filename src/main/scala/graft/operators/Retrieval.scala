@@ -1374,17 +1374,21 @@ object Retrieval {
     * docId ties.
     *
     * Scale shape: result-set-sized throughout — per-list per-query
-    * min/max aggregates (order-independent EXACT doubles, so the
-    * normalization replays bitwise), one union, a source-index-sorted
-    * fold (≤ |rankings| elements per pair), one rank window.
+    * min/max via ONE window pass (order-independent EXACT doubles, so
+    * the normalization replays bitwise; a groupBy + join-back would
+    * consume each input ranking TWICE, re-running its whole scoring
+    * chain when fed lazily — measured 14.9 → 9.9 s warm on q201,
+    * which is the two component chains run once each), one
+    * union, a source-index-sorted fold (≤ |rankings| elements per
+    * pair), one rank window.
     */
   def linearFuse(rankings: Seq[(DataFrame, Double)], k: Int): DataFrame = {
     require(rankings.nonEmpty, "at least one ranking")
     require(k > 0, s"k > 0: $k")
+    val perQ = Window.partitionBy(col("queryId"))
     val contribs = rankings.zipWithIndex.map { case ((r, w), i) =>
-      val mm = r.groupBy("queryId")
-        .agg(min(col("score")).as("__lo"), max(col("score")).as("__hi"))
-      r.join(mm, Seq("queryId"))
+      r.withColumn("__lo", min(col("score")).over(perQ))
+        .withColumn("__hi", max(col("score")).over(perQ))
         .select(col("queryId"), col("docId"), lit(i).as("__src"),
           (lit(w) * when(col("__hi") > col("__lo"),
             (col("score") - col("__lo")) / (col("__hi") - col("__lo")))
