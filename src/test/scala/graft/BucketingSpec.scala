@@ -167,6 +167,75 @@ class BucketingSpec extends SparkSpec {
     } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("round-16 retrieval operators over persisted layouts match inline") {
+    // the six-layout deployment end to end: every new operator probes
+    // the PERSISTED bucketed tables (word-bucketed tf + positional,
+    // docId-bucketed forward, plain df/cf/stats) and must return
+    // exactly what the in-memory formulation returns — the
+    // production read path, not just the builder path, is what ships
+    import graft.operators.Retrieval
+    val corpus = (1L to 40L).map(i =>
+      (i, s"tok${i % 7} tok${i % 5} tok${i % 3} tok${i % 11} tok${i % 13}"))
+      .toDF("doc_id", "text")
+    val queries = Seq((100L, "tok1 tok2"), (101L, "tok4 tok6 tok2"))
+      .toDF("query_id", "text")
+    val tf = Retrieval.termFrequencies(corpus, "doc_id", "text")
+      .localCheckpoint()
+    val posts = Retrieval.positionalPostings(corpus, "doc_id", "text")
+      .localCheckpoint()
+    for (t <- Seq("r16_tf", "r16_fwd", "r16_pos", "r16_df", "r16_cf",
+      "r16_stats")) spark.sql(s"DROP TABLE IF EXISTS $t")
+    tf.write.bucketBy(8, "word").sortBy("word")
+      .mode("overwrite").saveAsTable("r16_tf")
+    tf.write.bucketBy(8, "docId").sortBy("docId")
+      .mode("overwrite").saveAsTable("r16_fwd")
+    posts.write.bucketBy(8, "word").sortBy("word")
+      .mode("overwrite").saveAsTable("r16_pos")
+    Retrieval.dfTable(tf).write.mode("overwrite").saveAsTable("r16_df")
+    Retrieval.cfTable(tf).write.mode("overwrite").saveAsTable("r16_cf")
+    Retrieval.corpusStats(tf).write.mode("overwrite")
+      .saveAsTable("r16_stats")
+    val (tfB, fwdB, posB) = (spark.table("r16_tf"),
+      spark.table("r16_fwd"), spark.table("r16_pos"))
+    val (dfB, cfB, stB) = (spark.table("r16_df"), spark.table("r16_cf"),
+      spark.table("r16_stats"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map {
+        case d: Double => math.round(d * 1e9) // exact enough, NaN-free
+        case x => x
+      }).toSet
+    // phrase-constrained top-k
+    assert(rows(Retrieval.bm25TopKPhrase(tfB, dfB, stB, posB, queries,
+      "query_id", "text", k = 3, forward = Some(fwdB))) ===
+      rows(Retrieval.bm25TopKPhrase(tf, Retrieval.dfTable(tf),
+        Retrieval.corpusStats(tf), posts, queries,
+        "query_id", "text", k = 3)))
+    // conjunctive top-k
+    val conjB = Retrieval.bm25TopKConjunctive(tfB, dfB, stB, queries,
+      "query_id", "text", k = 3, forward = Some(fwdB))
+    assert(rows(conjB) ===
+      rows(Retrieval.bm25TopKConjunctive(tf, Retrieval.dfTable(tf),
+        Retrieval.corpusStats(tf), queries, "query_id", "text", k = 3))
+      && conjB.count() > 0)
+    // proximity + snippet over the bucketed positional table
+    assert(rows(Retrieval.proximityMatches(posB, queries,
+      "query_id", "text", slop = 2)) ===
+      rows(Retrieval.proximityMatches(posts, queries,
+        "query_id", "text", slop = 2)))
+    val pairs = Some(Seq((100L, 1L), (100L, 8L), (101L, 4L))
+      .toDF("queryId", "docId"))
+    assert(rows(Retrieval.snippetWindows(posB, queries,
+      "query_id", "text", width = 4, pairs)) ===
+      rows(Retrieval.snippetWindows(posts, queries,
+        "query_id", "text", width = 4, pairs)))
+    // QL through the persisted cf/stats layouts
+    val qlB = Retrieval.qlDirichletScores(tfB, cfB, stB, queries,
+      "query_id", "text")
+    assert(rows(qlB) === rows(Retrieval.qlDirichletScores(tf,
+      Retrieval.cfTable(tf), Retrieval.corpusStats(tf), queries,
+      "query_id", "text")) && qlB.count() > 0)
+  }
+
   test("WAND probe rides both bucketed layouts; forward join is fetch-side-shuffle-only") {
     // bm25TopKWand's two-layout contract: the word-bucketed posting
     // table feeds the rare probe (the join shape the test above pins
