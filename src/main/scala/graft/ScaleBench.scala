@@ -253,7 +253,7 @@ object ScaleBench {
         "pos_compact_index_10x", "pos_rebuild_index_10x",
         "pos_compact_deleted_10x", "retrieval_ingest_loop_10x",
         "ql_dirichlet_topk_10x", "snippet_windows_10x",
-        "bm25_conjunctive_topk_10x",
+        "bm25_conjunctive_topk_10x", "bm25f_topk_10x",
         "rm3_rescore_10x", "rm3_rescore_wand_10x",
         "rm3_rescore_capped_10x")
       round <- Seq("cold", "warm")
@@ -382,6 +382,28 @@ object ScaleBench {
           tfD.write.format("noop").mode("overwrite").save()
           dfD.write.format("noop").mode("overwrite").save()
           stD.write.format("noop").mode("overwrite").save()
+        }
+        // BM25F fielded ranking (q202's gate): title/body split of the
+        // same 50k docs, pseudo-tf combined BEFORE saturation. The
+        // wall INCLUDES the fielded index build (one tokenizer pass +
+        // the per-(doc, word) field fold) — the probe-only share is
+        // the same one posting join as bm25_topk
+        time(s"bm25f_topk_10x $round") {
+          import graft.operators.Retrieval
+          val base = zipfDocs(0, 50000, 100)
+          val fielded = base.select(col("doc_id"),
+            lit("title").as("field"),
+            substring(col("text"), 1, 40).as("ftext"))
+            .unionByName(base.select(col("doc_id"),
+              lit("body").as("field"),
+              substring(col("text"), 41, 1 << 30).as("ftext")))
+          val ftf = Retrieval.termFrequenciesFielded(fielded,
+            "doc_id", "field", "ftext").localCheckpoint()
+          println("  bm25f_rows=" + Retrieval.bm25TopK(
+            Retrieval.bm25fScores(ftf,
+              Seq(("title", 2.0, 0.5), ("body", 1.0, 0.75)),
+              bm25Queries, "query_id", "text", bitExact = false), 5)
+            .count())
         }
         // conjunctive (boolean-AND) ranking (q200's gate): candidates
         // are the posting INTERSECTION — a 6-term query's all-terms

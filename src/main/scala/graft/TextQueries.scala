@@ -866,6 +866,34 @@ private[graft] object TextQueries {
           col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
     }),
+    // BM25F fielded retrieval: fields (title = the doc's first 40
+    // chars, body = the remainder) combine into ONE pseudo term
+    // frequency BEFORE saturation — the Robertson/Zaragoza/Taylor
+    // form; title weighted 2.0 with gentler length normalization
+    // (b = 0.5). The oracle rebuilds the fielded corpus and replays
+    // per-field lengths, the field-sorted pseudo-tf fold,
+    // document-level idf, and the word-sorted score fold
+    "q202_bm25f_topk" -> ((s, dir) => {
+      import graft.operators.Retrieval
+      val docs = t(s, dir, "documents")
+      val fielded = docs.select(col("doc_id"), lit("title").as("field"),
+        substring(col("text"), 1, 40).as("ftext"))
+        .unionByName(docs.select(col("doc_id"), lit("body").as("field"),
+          substring(col("text"), 41, 1 << 30).as("ftext")))
+      val ftf = Retrieval.termFrequenciesFielded(fielded,
+        "doc_id", "field", "ftext").localCheckpoint() // see q179
+      val qs = docs.where(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("query_id"),
+          substring(col("text"), 1, 40).as("text"))
+      Retrieval.bm25TopK(
+        Retrieval.bm25fScores(ftf,
+          Seq(("title", 2.0, 0.5), ("body", 1.0, 0.75)),
+          qs, "query_id", "text"), 5)
+        .select(col("queryId").as("query_id"), col("docId").as("doc_id"),
+          round(col("score"), 6).as("score"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
     // conjunctive (match-ALL-terms) retrieval — the boolean-AND query
     // mode: candidates are the posting intersection (count of matched
     // distinct terms == |q|, absent terms fail the conjunction),
@@ -2404,6 +2432,88 @@ private[graft] object TextQueries {
          |    row_number() OVER (PARTITION BY query_id
          |      ORDER BY score DESC, doc_id) AS rank
          |  FROM qlsc) z
+         |WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // the whole fielded chain from first principles: the title/body
+    // split, per-field tokenization and lengths, exact-sum per-field
+    // avgfl, document-level df/N over any-field matches, the
+    // field-ORDER pseudo-tf fold, idf·ptf/(k1+ptf), word-sorted score
+    // fold, rank
+    "q202_bm25f_topk" ->
+      s"""WITH fdocs AS (
+         |  SELECT doc_id, 'title' AS field, substr(text, 1, 40) AS ftext
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT doc_id, 'body', substr(text, 41) FROM documents),
+         |fcorpus AS (
+         |  SELECT doc_id, field, list_filter(string_split_regex(
+         |      regexp_replace(lower(ftext), '[^a-z0-9$WsClass]', ' ', 'g'),
+         |      '[$WsClass]+'), x -> x != '') AS ws
+         |  FROM fdocs
+         |  WHERE doc_id IS NOT NULL
+         |    AND regexp_matches(lower(ftext), '[a-z0-9]')),
+         |fftf AS (
+         |  SELECT doc_id, field, word, count(*) AS tf
+         |  FROM (SELECT doc_id, field, unnest(ws) AS word FROM fcorpus)
+         |  GROUP BY 1, 2, 3),
+         |flen AS (
+         |  SELECT doc_id, field, CAST(len(ws) AS BIGINT) AS fl
+         |  FROM fcorpus),
+         |favg AS (
+         |  SELECT field, CAST(sum(fl) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |    AS avgfl
+         |  FROM flen GROUP BY 1),
+         |fn AS (
+         |  SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM fcorpus),
+         |fdf AS (
+         |  SELECT word, count(DISTINCT doc_id) AS df FROM fftf GROUP BY 1),
+         |fptf AS (
+         |  SELECT f.doc_id, f.word,
+         |    list_reduce(list_prepend(0.0, list(
+         |      (CASE WHEN f.field = 'title' THEN CAST(2.0 AS DOUBLE)
+         |            ELSE CAST(1.0 AS DOUBLE) END) * CAST(f.tf AS DOUBLE)
+         |      / (1.0 - (CASE WHEN f.field = 'title'
+         |                THEN CAST(0.5 AS DOUBLE)
+         |                ELSE CAST(0.75 AS DOUBLE) END)
+         |         + (CASE WHEN f.field = 'title'
+         |            THEN CAST(0.5 AS DOUBLE)
+         |            ELSE CAST(0.75 AS DOUBLE) END)
+         |           * CAST(l.fl AS DOUBLE) / a.avgfl)
+         |      ORDER BY f.field)), (acc, x) -> acc + x) AS ptf
+         |  FROM fftf f
+         |  JOIN flen l ON l.doc_id = f.doc_id AND l.field = f.field
+         |  JOIN favg a ON a.field = f.field
+         |  GROUP BY 1, 2),
+         |fqt AS (
+         |  SELECT doc_id AS query_id, unnest(list_distinct(list_filter(
+         |      string_split_regex(
+         |        regexp_replace(lower(substr(text, 1, 40)),
+         |          '[^a-z0-9$WsClass]', ' ', 'g'),
+         |        '[$WsClass]+'), x -> x != ''))) AS word
+         |  FROM documents
+         |  WHERE doc_id IS NOT NULL AND doc_id % 97 = 0
+         |    AND regexp_matches(lower(substr(text, 1, 40)), '[a-z0-9]')),
+         |fenr AS (
+         |  SELECT query_id, word,
+         |    ln(1.0 + (n - CAST(df AS DOUBLE) + 0.5)
+         |             / (CAST(df AS DOUBLE) + 0.5)) AS idf
+         |  FROM fqt JOIN fdf USING (word) CROSS JOIN fn),
+         |fcon AS (
+         |  SELECT e.query_id, p.doc_id, p.word,
+         |    e.idf * p.ptf / (CAST(1.2 AS DOUBLE) + p.ptf) AS c
+         |  FROM fptf p JOIN fenr e ON e.word = p.word),
+         |fsc AS (
+         |  SELECT query_id, doc_id,
+         |    list_reduce(list(c ORDER BY word), (a, x) -> a + x) AS score
+         |  FROM fcon GROUP BY 1, 2)
+         |SELECT query_id, doc_id, round(score, 6) AS score,
+         |  CAST(rank AS BIGINT) AS rank
+         |FROM (
+         |  SELECT query_id, doc_id, score,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id) AS rank
+         |  FROM fsc) z
          |WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
 

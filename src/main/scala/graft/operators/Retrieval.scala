@@ -190,6 +190,119 @@ object Retrieval {
     (tfOut, dfOut, statsOut)
   }
 
+  /** One fielded-corpus pass to the BM25F index: `(docId, field, fl,
+    * word, tf)` over a `(id, field, text)` input with one row per
+    * (doc, field) — term frequency per (doc, field, term), `fl` the
+    * field's token length. The fielded mirror of [[termFrequencies]]
+    * (same tokenizer, same degenerate-row drops: a doc's empty or
+    * non-alphanumeric field simply has no rows and no length). At
+    * ingest this is the layout to persist `bucketBy(word)`; its stat
+    * aggregates (per-field lengths/counts, document-level df) are all
+    * exact-integer ADDITIVE like the unfielded ones.
+    */
+  def termFrequenciesFielded(docs: DataFrame, idCol: String,
+                             fieldCol: String, textCol: String): DataFrame =
+    docs
+      .filter(col(idCol).isNotNull && col(fieldCol).isNotNull &&
+        lower(col(textCol)).rlike("[a-z0-9]"))
+      .select(col(idCol).as("docId"), col(fieldCol).as("field"),
+        TextFunctions.normalizedWords(col(textCol)).as("__ws"))
+      .select(col("docId"), col("field"),
+        size(col("__ws")).cast("long").as("fl"),
+        explode_outer(col("__ws")).as("word"))
+      .filter(col("word").isNotNull)
+      .groupBy(col("docId"), col("field"), col("fl"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** BM25F scoring (Robertson, Zaragoza & Taylor CIKM'04 — the
+    * "simple BM25F"): fields combine into ONE pseudo term frequency
+    * BEFORE saturation, which is the whole point over naively summing
+    * per-field BM25 scores (a term spread across fields must not
+    * saturate per field):
+    *
+    *   `t̃f(w, d) = Σ_f w_f · tf_f(w,d) / B_f(d)`,
+    *   `B_f(d) = 1 − b_f + b_f · fl_f(d)/avgfl_f`,
+    *   `score(q, d) = Σ_{w ∈ q∩d} idf(w) · t̃f / (k1 + t̃f)`
+    *
+    * with DOCUMENT-level idf (df counts docs containing the term in
+    * ANY field — Lucene's `ln(1 + …)` form as everywhere here).
+    * `fieldParams` = `(field, weight, b)` rows; fields of the corpus
+    * absent from it are ignored (a caller-side field mask). Returns
+    * `(queryId, docId, score)` for docs sharing ≥ 1 query term in a
+    * scored field. With ONE field at weight 1.0, BM25F equals
+    * BM25 / (k1+1) algebraically (`(tf/B)/(k1 + tf/B) =
+    * tf/(k1·B + tf)`) — same ranking, spec-pinned to 1e-12.
+    *
+    * Scale shape: the field fold is per-(doc, word) — index-side work
+    * a persisted deployment recomputes per probe batch ONLY for
+    * matched terms (the pseudo-tf depends on the corpus-global
+    * `avgfl_f`, so unlike raw counts it is NOT an additive layout —
+    * persist `ftf` and the additive stats, never t̃f); both Σs fold
+    * sorted (field order, then word order) under `bitExact`, the
+    * BM25 contract.
+    */
+  def bm25fScores(ftf: DataFrame,
+                  fieldParams: Seq[(String, Double, Double)],
+                  queries: DataFrame, qidCol: String, qtextCol: String,
+                  k1: Double = 1.2,
+                  bitExact: Boolean = true): DataFrame = {
+    require(fieldParams.nonEmpty, "at least one field")
+    require(fieldParams.forall(_._2 > 0), s"weights > 0: $fieldParams")
+    require(fieldParams.forall(p => p._3 >= 0 && p._3 <= 1),
+      s"b in [0,1]: $fieldParams")
+    require(k1 >= 0, s"k1 >= 0: $k1")
+    val sp = ftf.sparkSession
+    import sp.implicits._
+    val params = fieldParams.toDF("field", "__w", "__b")
+    val scored = ftf.join(broadcast(params), Seq("field"))
+    // per-field average length over docs HAVING the field, exact sums
+    val favg = scored.groupBy("docId", "field").agg(max(col("fl")).as("fl"))
+      .groupBy("field")
+      .agg(count(lit(1)).as("__nf"), sum(col("fl")).as("__tfl"))
+      .select(col("field"),
+        (col("__tfl").cast("double") / col("__nf").cast("double"))
+          .as("__avgfl"))
+    // document-level df and N over the SCORED fields
+    val dfT = scored.select("docId", "word").distinct()
+      .groupBy("word").agg(count(lit(1)).as("df"))
+    val nDocs = scored.select("docId").distinct()
+      .agg(count(lit(1)).cast("double").as("__N"))
+    // pseudo term frequency: field-sorted fold per (doc, word)
+    val fContrib = scored.join(broadcast(favg), Seq("field"))
+      .select(col("docId"), col("word"), col("field"),
+        (col("__w") * col("tf").cast("double") /
+          (lit(1.0) - col("__b") +
+            col("__b") * col("fl").cast("double") / col("__avgfl")))
+          .as("__ptf"))
+    val ptf =
+      if (bitExact)
+        fContrib.groupBy(col("docId"), col("word"))
+          .agg(sort_array(collect_list(struct(col("field"), col("__ptf"))))
+            .as("__xs"))
+          .select(col("docId"), col("word"),
+            aggregate(col("__xs"), lit(0.0),
+              (a, x) => a + x.getField("__ptf")).as("__tf"))
+      else
+        fContrib.groupBy(col("docId"), col("word"))
+          .agg(sum(col("__ptf")).as("__tf"))
+    val qTerms = queries
+      .filter(col(qidCol).isNotNull && lower(col(qtextCol)).rlike("[a-z0-9]"))
+      .select(col(qidCol).as("queryId"),
+        explode_outer(TextFunctions.normalizeTokens(col(qtextCol)))
+          .as("word"))
+      .filter(col("word").isNotNull)
+      .join(dfT, Seq("word"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("queryId"), col("word"),
+        log(lit(1.0) +
+          (col("__N") - col("df").cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5))).as("idf"))
+    val contrib = ptf.join(qTerms, Seq("word"))
+      .select(col("queryId"), col("docId"), col("word"),
+        (col("idf") * col("__tf") / (lit(k1) + col("__tf"))).as("__c"))
+    scoreFold(contrib, bitExact)
+  }
+
   /** The `(word, cf)` COLLECTION-frequency table of a
     * [[termFrequencies]] index — total token occurrences per word
     * (`Σ tf`, vs [[dfTable]]'s document count). The background model

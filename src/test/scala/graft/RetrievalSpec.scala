@@ -640,6 +640,60 @@ class RetrievalSpec extends SparkSpec {
     assert(got.forall(r => matchSet((r._1, r._2))))
   }
 
+  test("BM25F matches the hand-derived pseudo-tf decomposition") {
+    val fielded = Seq(
+      (1L, "title", "apple pie"),
+      (1L, "body", "apple banana apple crumble"),
+      (2L, "title", "banana"),
+      (2L, "body", "cherry banana"),
+      (3L, "title", "cherry tart"))
+      .toDF("doc_id", "field", "text")
+    val ftf = Retrieval.termFrequenciesFielded(fielded,
+      "doc_id", "field", "text").localCheckpoint()
+    val qs = Seq((1L, "apple banana")).toDF("query_id", "text")
+    val got = Retrieval.bm25fScores(ftf,
+      Seq(("title", 2.0, 0.5), ("body", 1.0, 0.75)),
+      qs, "query_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // mirrors of the operator's exact double trees: avgfl = exact-sum
+    // division, B = (1-b) + (b*fl)/avg, ptf folds FIELD-sorted
+    // ('body' < 'title'), contributions fold WORD-sorted
+    val avgT = 5.0 / 3.0; val avgB = 6.0 / 2.0
+    def bf(b: Double, fl: Double, avg: Double) = (1.0 - b) + (b * fl) / avg
+    // Spark's log() is StrictMath.log (platform-independent) — one
+    // ulp off math.log for some arguments, so the mirror matches it
+    def idf(df: Double) =
+      StrictMath.log(1.0 + (3.0 - df + 0.5) / (df + 0.5))
+    def c(idfv: Double, ptf: Double) = idfv * ptf / (1.2 + ptf)
+    val ptfApple1 = 1.0 * 2.0 / bf(0.75, 4.0, avgB) +
+      2.0 * 1.0 / bf(0.5, 2.0, avgT) // body fold-first, then title
+    val ptfBan1 = 1.0 * 1.0 / bf(0.75, 4.0, avgB)
+    val ptfBan2 = 1.0 * 1.0 / bf(0.75, 2.0, avgB) +
+      2.0 * 1.0 / bf(0.5, 1.0, avgT)
+    assert(got((1L, 1L)) === c(idf(1.0), ptfApple1) + c(idf(2.0), ptfBan1))
+    assert(got((1L, 2L)) === c(idf(2.0), ptfBan2))
+    assert(!got.contains((1L, 3L))) // no query term in any field
+  }
+
+  test("single-field unit-weight BM25F is BM25 / (k1+1)") {
+    // (tf/B)/(k1 + tf/B) == tf(k1+1)/(tf + k1·B) / (k1+1): same
+    // ranking, scores equal to ulps despite the different double trees
+    val fielded = corpus.select(col("doc_id"), lit("text").as("field"),
+      col("text"))
+    val ftf = Retrieval.termFrequenciesFielded(fielded,
+      "doc_id", "field", "text").localCheckpoint()
+    val qs = corpus.select(col("doc_id").as("query_id"), col("text"))
+    val f = Retrieval.bm25fScores(ftf, Seq(("text", 1.0, 0.75)),
+      qs, "query_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val b = scores2(corpus, qs)
+    assert(f.keySet === b.keySet && f.nonEmpty)
+    for ((k, v) <- f)
+      assert(math.abs(v - b(k) / 2.2) <= 1e-12 * math.abs(v), s"$k")
+  }
+
   test("conjunctive top-k keeps only all-terms docs, scores them fully") {
     val c = docs(
       1L -> "apple banana cherry filler",
