@@ -6,21 +6,44 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.functions.TextFunctions
 
-/** Okapi BM25 lexical retrieval (Robertson et al., TREC-3; idf in the
-  * non-negative `ln(1 + (N - df + 0.5)/(df + 0.5))` form Lucene ships) —
-  * the sparse-retrieval companion to the ANN stack, and the scorer
-  * behind retrieval-shaped curation jobs (eval-set decontamination by
-  * top-k lookup, quality-by-retrievability, hard-negative mining).
+/** The lexical-retrieval stack — the sparse companion to the ANN
+  * operators, and the scorer family behind retrieval-shaped curation
+  * jobs (eval-set decontamination by top-k lookup,
+  * quality-by-retrievability, hard-negative mining, RAG passage
+  * selection):
   *
-  * Scale shape: queries score against the corpus THROUGH the inverted
-  * posting table, never query × corpus —
+  *   - SCORERS: Okapi BM25 ([[bm25Scores]] and the indexed/precomputed
+  *     forms; Robertson et al. TREC-3, idf in the non-negative
+  *     `ln(1 + (N - df + 0.5)/(df + 0.5))` form Lucene ships), fielded
+  *     BM25F ([[bm25fScores]]), query-likelihood with Dirichlet
+  *     smoothing ([[qlDirichletScores]]), and weighted-term scoring
+  *     ([[bm25ScoresWeighted]]) for RM3's second pass;
+  *   - QUERY MODES: ranked top-k ([[bm25TopK]]), score-exact WAND
+  *     pruning ([[bm25TopKWand]]/[[bm25TopKWandWeighted]] with their
+  *     gated decision tables), boolean-AND ([[bm25TopKConjunctive]]),
+  *     exact phrase ([[phraseMatches]], [[bm25TopKPhrase]]), proximity
+  *     ([[proximityMatches]]), RM3 expansion ([[rm3ExpandedTerms]]),
+  *     snippets ([[snippetWindows]]), and the rank/score fusers
+  *     ([[rrfFuse]]/[[linearFuse]]);
+  *   - INDEX LIFECYCLE: build ([[termFrequencies]],
+  *     [[positionalPostings]], [[termFrequenciesFielded]] + the
+  *     additive stat layouts [[dfTable]]/[[cfTable]]/[[corpusStats]]),
+  *     micro-batch append ([[compactTermIndex]],
+  *     [[compactPositionalIndex]]), deletion
+  *     ([[compactTermIndexDeleted]], [[compactPositionalIndexDeleted]])
+  *     — all row-identical to rebuilds, all streaming-ingest-safe
+  *     (StreamingSpec drives the loop end to end).
+  *
+  * Scale shape, shared by everything here: queries score against the
+  * corpus THROUGH the inverted posting table, never query × corpus —
   *   - [[termFrequencies]] is ONE corpus pass to `(docId, dl, word,
   *     tf)`; like [[Jaccard.indexPostings]] this is the layout to
-  *     persist (`bucketBy(word)`) so repeated query batches re-shuffle
-  *     nothing on the corpus side;
-  *   - document frequencies and the two corpus scalars (N, avgdl) fold
-  *     into the QUERY-TERM table — query-batch-sized, so the one
-  *     posting join carries everything it needs and AQE broadcasts it;
+  *     persist (`bucketBy(word)`), with a docId-bucketed FORWARD copy
+  *     beside it for candidate-restricted scoring, so repeated query
+  *     batches re-shuffle nothing on the corpus side;
+  *   - document frequencies and the corpus scalars fold into the
+  *     QUERY-TERM table — query-batch-sized, so the one posting join
+  *     carries everything it needs and AQE broadcasts it;
   *   - per-(query, doc) scores aggregate only over MATCHING postings;
   *     the fold is term-sorted (the DSIR convention) so the double sum
   *     is bit-reproducible at any partitioning and the DuckDB oracle
