@@ -1104,8 +1104,8 @@ private[graft] object TextQueries {
     * oracle-side halves of the same definition.
     */
   private def zipfWandFixture(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame, Long) =
-    zipfWandFixtureCache.getOrElseUpdate((s, dir), {
+      : (DataFrame, DataFrame, Long) = zipfWandFixtureCache.synchronized {
+    zipfWandFixtureCache.get((s, dir)).getOrElse {
       val corpus = t(s, dir, "documents").where(col("doc_id").isNotNull)
         .select(col("doc_id"),
           zipfText(col("doc_id"), 30, 2000, "zc", 2000).as("text"))
@@ -1126,15 +1126,24 @@ private[graft] object TextQueries {
       // the raw table count happened to agree, but the coupling is to
       // the SCORED corpus, not the raw fixture). Counting the
       // checkpointed tf is also one narrow pass, not a re-tokenize.
-      (tf, qs, tf.select("docId").distinct().count() / 10)
-    })
+      val built = (tf, qs, tf.select("docId").distinct().count() / 10)
+      // size-ONE cache: an unbounded map would pin every (session,
+      // dir)'s checkpointed tf blocks for the JVM lifetime; Verify
+      // runs one dir per JVM and the specs one session, so the last
+      // entry is the only one worth keeping
+      zipfWandFixtureCache.clear()
+      zipfWandFixtureCache.put((s, dir), built)
+      built
+    }
+  }
 
   /** The fixture is consumed by several gates (q182/q187 and the
-    * weighted-WAND/recall family) — memoized per (session, dir) so one
-    * checkpointed tf table and ONE hot-cut job serve them all.
+    * weighted-WAND/recall family) — memoized per (session, dir), most
+    * recent entry ONLY, so one checkpointed tf table and ONE hot-cut
+    * job serve them all without pinning stale sessions' blocks.
     */
   private val zipfWandFixtureCache =
-    scala.collection.concurrent.TrieMap
+    scala.collection.mutable.Map
       .empty[(SparkSession, String), (DataFrame, DataFrame, Long)]
 
   private lazy val ZipfWandCorpusTextSql: String =
@@ -1194,13 +1203,24 @@ private[graft] object TextQueries {
        |ow AS (
        |  SELECT q.query_id, q.word, 1.0 / CAST(o.n AS DOUBLE) AS owt
        |  FROM qterms q JOIN own o USING (query_id)),
+       |fbq AS (SELECT DISTINCT query_id FROM fbw),
        |finalw AS (
        |  SELECT coalesce(a.query_id, f.query_id) AS query_id,
        |    coalesce(a.word, f.word) AS word,
        |    CAST(0.5 AS DOUBLE) * coalesce(owt, 0.0) +
        |      CAST(0.5 AS DOUBLE) * coalesce(fw, 0.0) AS weight
        |  FROM ow a FULL OUTER JOIN fbw f
-       |    ON a.query_id = f.query_id AND a.word = f.word)""".stripMargin
+       |    ON a.query_id = f.query_id AND a.word = f.word
+       |  WHERE coalesce(a.query_id, f.query_id) IN
+       |    (SELECT query_id FROM fbq)
+       |  UNION ALL
+       |  -- the RM3 empty-feedback fallback the operator implements:
+       |  -- a query with NO feedback terms keeps its original uniform
+       |  -- weights at any lambda (no fixture query triggers it —
+       |  -- every query is a doc prefix that self-matches — but the
+       |  -- oracle defines the semantics, not just the reachable rows)
+       |  SELECT query_id, word, owt AS weight FROM ow
+       |  WHERE query_id NOT IN (SELECT query_id FROM fbq))""".stripMargin
 
   /** The q188 positional-containment CTE chain (downstream of
     * [[QShared.LiveWordsCte]]'s `ws`), parameterized by the posts

@@ -256,13 +256,15 @@ object Retrieval {
     * BM25 / (k1+1) algebraically (`(tf/B)/(k1 + tf/B) =
     * tf/(k1·B + tf)`) — same ranking, spec-pinned to 1e-12.
     *
-    * Scale shape: the field fold is per-(doc, word) — index-side work
-    * a persisted deployment recomputes per probe batch ONLY for
-    * matched terms (the pseudo-tf depends on the corpus-global
-    * `avgfl_f`, so unlike raw counts it is NOT an additive layout —
-    * persist `ftf` and the additive stats, never t̃f); both Σs fold
-    * sorted (field order, then word order) under `bitExact`, the
-    * BM25 contract.
+    * Scale shape: the field fold is per-(doc, word) and restricted to
+    * the QUERY vocabulary before it runs — a probe batch folds only
+    * its matched postings, never the whole index (the pseudo-tf
+    * depends on the corpus-global `avgfl_f`, so unlike raw counts it
+    * is NOT an additive layout — persist `ftf` and the additive
+    * stats, never t̃f; the per-field length/N scalars are the one
+    * corpus-global read, persisted at ingest like [[corpusStats]]);
+    * both Σs fold sorted (field order, then word order) under
+    * `bitExact`, the BM25 contract.
     */
   def bm25fScores(ftf: DataFrame,
                   fieldParams: Seq[(String, Double, Double)],
@@ -278,20 +280,32 @@ object Retrieval {
     import sp.implicits._
     val params = fieldParams.toDF("field", "__w", "__b")
     val scored = ftf.join(broadcast(params), Seq("field"))
-    // per-field average length over docs HAVING the field, exact sums
+    // the corpus-GLOBAL stats — per-field average lengths and N —
+    // read every scored row (id-/field-width aggregates; at ingest
+    // these persist beside the ftf table like corpusStats, both
+    // exact-integer additive). Everything WORD-keyed below restricts
+    // to the query vocabulary first: the pseudo-tf fold and the df
+    // count run over the matched postings only, never the whole
+    // vocabulary per probe batch (the anchorOf semi-join-before-
+    // aggregate rule)
     val favg = scored.groupBy("docId", "field").agg(max(col("fl")).as("fl"))
       .groupBy("field")
       .agg(count(lit(1)).as("__nf"), sum(col("fl")).as("__tfl"))
       .select(col("field"),
         (col("__tfl").cast("double") / col("__nf").cast("double"))
           .as("__avgfl"))
-    // document-level df and N over the SCORED fields
-    val dfT = scored.select("docId", "word").distinct()
-      .groupBy("word").agg(count(lit(1)).as("df"))
     val nDocs = scored.select("docId").distinct()
       .agg(count(lit(1)).cast("double").as("__N"))
+    val qWords = queryTerms(queries, qidCol, qtextCol)
+      .select("word").distinct()
+    val scoredQ = scored.join(qWords, Seq("word"), "left_semi")
+    // document-level df over the matched vocabulary (counts are the
+    // full-corpus df — the semi-join only drops words the inner query
+    // join below would drop anyway)
+    val dfT = scoredQ.select("docId", "word").distinct()
+      .groupBy("word").agg(count(lit(1)).as("df"))
     // pseudo term frequency: field-sorted fold per (doc, word)
-    val fContrib = scored.join(broadcast(favg), Seq("field"))
+    val fContrib = scoredQ.join(broadcast(favg), Seq("field"))
       .select(col("docId"), col("word"), col("field"),
         (col("__w") * col("tf").cast("double") /
           (lit(1.0) - col("__b") +
@@ -308,12 +322,7 @@ object Retrieval {
       else
         fContrib.groupBy(col("docId"), col("word"))
           .agg(sum(col("__ptf")).as("__tf"))
-    val qTerms = queries
-      .filter(col(qidCol).isNotNull && lower(col(qtextCol)).rlike("[a-z0-9]"))
-      .select(col(qidCol).as("queryId"),
-        explode_outer(TextFunctions.normalizeTokens(col(qtextCol)))
-          .as("word"))
-      .filter(col("word").isNotNull)
+    val qTerms = queryTerms(queries, qidCol, qtextCol)
       .join(dfT, Seq("word"))
       .crossJoin(broadcast(nDocs))
       .select(col("queryId"), col("word"),
@@ -364,12 +373,7 @@ object Retrieval {
                         mu: Double = 2000.0,
                         bitExact: Boolean = true): DataFrame = {
     require(mu > 0, s"mu > 0: $mu")
-    val qTerms = queries
-      .filter(col(qidCol).isNotNull && lower(col(qtextCol)).rlike("[a-z0-9]"))
-      .select(col(qidCol).as("queryId"),
-        explode_outer(TextFunctions.normalizeTokens(col(qtextCol)))
-          .as("word"))
-      .filter(col("word").isNotNull)
+    val qTerms = queryTerms(queries, qidCol, qtextCol)
       .join(cfTab, Seq("word"))
       .crossJoin(broadcast(
         stats.select(col("total_dl").cast("double").as("__cTokens"))))
@@ -595,12 +599,7 @@ object Retrieval {
       .select(col("queryId"), col("word"),
         (col("__pw") / col("__s")).as("__fw"))
     // the uniform original query
-    val qt = queries
-      .filter(col(qidCol).isNotNull && lower(col(qtextCol)).rlike("[a-z0-9]"))
-      .select(col(qidCol).as("queryId"),
-        TextFunctions.normalizeTokens(col(qtextCol)).as("__qt"))
-      .select(col("queryId"), explode_outer(col("__qt")).as("word"))
-      .filter(col("word").isNotNull)
+    val qt = queryTerms(queries, qidCol, qtextCol)
     val qn = qt.groupBy("queryId").agg(count(lit(1)).as("__n"))
     val ow = qt.join(qn, Seq("queryId"))
       .select(col("queryId"), col("word"),
@@ -674,15 +673,25 @@ object Retrieval {
     * [[bm25TopKWand]]'s rare/hot split; [[bm25ScoresPrecomputed]]
     * ignores it.
     */
+  /** The deduped normalized query-term table `(queryId, word)` — the
+    * ONE tokenizer-and-guard definition every scorer's query side
+    * shares (null/degenerate queries drop; terms are DISTINCT, the
+    * unit-query-term-weight convention). Nobody inlines a copy: a
+    * drift here would silently move query semantics between operators.
+    */
+  private def queryTerms(queries: DataFrame, qidCol: String,
+                         qtextCol: String): DataFrame =
+    queries
+      .filter(col(qidCol).isNotNull && lower(col(qtextCol)).rlike("[a-z0-9]"))
+      .select(col(qidCol).as("queryId"),
+        explode_outer(TextFunctions.normalizeTokens(col(qtextCol)))
+          .as("word"))
+      .filter(col("word").isNotNull)
+
   private def enrichedQueryTerms(dfTab: DataFrame, stats: DataFrame,
                                  queries: DataFrame, qidCol: String,
                                  qtextCol: String): DataFrame = {
-    val qTerms = queries
-      .filter(col(qidCol).isNotNull && lower(col(qtextCol)).rlike("[a-z0-9]"))
-      .select(col(qidCol).as("queryId"),
-        TextFunctions.normalizeTokens(col(qtextCol)).as("__qt"))
-      .select(col("queryId"), explode_outer(col("__qt")).as("word"))
-      .filter(col("word").isNotNull)
+    val qTerms = queryTerms(queries, qidCol, qtextCol)
     val statsD = statsDouble(stats)
     qTerms
       .join(dfTab, Seq("word"))
@@ -1053,8 +1062,9 @@ object Retrieval {
     require(k > 0, s"k > 0: $k")
     val cands = phraseMatches(posts, queries, qidCol, qtextCol,
       maxAnchorOcc).select("queryId", "docId")
-    scoreWithinCandidates(forward.getOrElse(tf), dfTab, stats, cands,
-      queries, qidCol, qtextCol, k, k1, b, bitExact)
+    scoreWithinCandidates(forward.getOrElse(tf),
+      enrichedQueryTerms(dfTab, stats, queries, qidCol, qtextCol),
+      cands, k, k1, b, bitExact)
   }
 
   /** CONJUNCTIVE (match-ALL-terms) BM25 top-k — the boolean-AND query
@@ -1088,12 +1098,7 @@ object Retrieval {
     // |q| over ALL normalized distinct terms (not just corpus-present
     // ones): an absent term must fail the conjunction, so the count
     // comes from the tokenizer, before the df join inside enrichment
-    val qn = queries
-      .filter(col(qidCol).isNotNull && lower(col(qtextCol)).rlike("[a-z0-9]"))
-      .select(col(qidCol).as("queryId"),
-        explode_outer(TextFunctions.normalizeTokens(col(qtextCol)))
-          .as("word"))
-      .filter(col("word").isNotNull)
+    val qn = queryTerms(queries, qidCol, qtextCol)
       .groupBy("queryId").agg(count(lit(1)).as("__nq"))
     val cands = tf.join(enriched.select("queryId", "word"), Seq("word"))
       .groupBy(col("queryId"), col("docId"))
@@ -1101,8 +1106,12 @@ object Retrieval {
       .join(qn, Seq("queryId"))
       .filter(col("__m") === col("__nq"))
       .select("queryId", "docId")
-    scoreWithinCandidates(forward.getOrElse(tf), dfTab, stats, cands,
-      queries, qidCol, qtextCol, k, k1, b, bitExact)
+    // the SAME enriched table feeds both phases — the candidate pass
+    // and the scoring fetch — so the query enrichment (and, when
+    // df/stats are inline aggregates, the index-side passes beneath
+    // it) builds once per probe
+    scoreWithinCandidates(forward.getOrElse(tf), enriched, cands,
+      k, k1, b, bitExact)
   }
 
   /** Exact BM25 top-k restricted to a caller-supplied candidate set —
@@ -1111,14 +1120,10 @@ object Retrieval {
     * fetch doc-wise through the forward layout, so the word-keyed
     * posting table is never rescanned for the scoring pass.
     */
-  private def scoreWithinCandidates(fwd: DataFrame, dfTab: DataFrame,
-                                    stats: DataFrame, cands: DataFrame,
-                                    queries: DataFrame, qidCol: String,
-                                    qtextCol: String, k: Int,
+  private def scoreWithinCandidates(fwd: DataFrame, enriched: DataFrame,
+                                    cands: DataFrame, k: Int,
                                     k1: Double, b: Double,
                                     bitExact: Boolean): DataFrame = {
-    val enriched = enrichedQueryTerms(dfTab, stats, queries, qidCol,
-      qtextCol)
     val contrib = cands.join(fwd, Seq("docId"))
       .join(enriched, Seq("queryId", "word"))
       .select(col("queryId"), col("docId"), col("word"),
@@ -1147,19 +1152,18 @@ object Retrieval {
     * first-principles count. `pairs` restricts to given
     * `(queryId, docId)` rows BEFORE the frame — the production form:
     * snippet only the top-k pairs the ranker kept, so the window
-    * state is result-sized, not match-sized.
+    * state is result-sized, not match-sized. `pairs` is consumed
+    * TWICE (the docId set and the pair semi-join) — pass a
+    * materialized result-sized table (a `localCheckpoint()`ed top-k,
+    * as q198 does), never a lazy scoring chain, or the whole chain
+    * re-runs per consumer (the measured linearFuse bug class).
     */
   def snippetWindows(posts: DataFrame,
                      queries: DataFrame, qidCol: String, qtextCol: String,
                      width: Int,
                      pairs: Option[DataFrame] = None): DataFrame = {
     require(width >= 1, s"width >= 1: $width")
-    val qt = queries
-      .filter(col(qidCol).isNotNull && lower(col(qtextCol)).rlike("[a-z0-9]"))
-      .select(col(qidCol).as("queryId"),
-        explode_outer(TextFunctions.normalizeTokens(col(qtextCol)))
-          .as("word"))
-      .filter(col("word").isNotNull)
+    val qt = queryTerms(queries, qidCol, qtextCol)
     // with a pairs restriction, the docId semi-join goes BELOW the
     // word join: the kept docs are result-sized (queries × k), so the
     // id set broadcasts and the hot query terms' full occurrence
@@ -1469,6 +1473,60 @@ object Retrieval {
     WandCore(enriched, candPairs, topkCand, hotUb, theta, unsafeQ)
   }
 
+  /** Normalized LINEAR score fusion — [[rrfFuse]]'s score-aware
+    * sibling (the interpolation combiner of hybrid-retrieval
+    * literature, e.g. convex BM25+dense mixing): each input ranking's
+    * scores min-max normalize PER QUERY to [0, 1], then fuse as the
+    * weighted sum `Σ w_i · norm_i(q, d)` (absent from a list = zero).
+    * Use when the component scores carry meaningful magnitude
+    * (calibrated rankers); RRF when they don't.
+    *
+    * Inputs are `(queryId, docId, score)` tables, each paired with
+    * its weight; repeated (queryId, docId) rows within one input are
+    * defensively collapsed to `max(score)` before normalization (the
+    * [[rrfFuse]] min-rank convention on the score side — identity for
+    * well-formed top-k tables, so a raw match table cannot silently
+    * inflate the fused sum). A query whose list has a single distinct
+    * score normalizes to 1.0 (its min IS its max — every doc ties at
+    * the top). Output:
+    * `(queryId, docId, fused_score, rank)`, top `k`, score desc with
+    * docId ties.
+    *
+    * Scale shape: result-set-sized throughout — per-list per-query
+    * min/max via ONE window pass (order-independent EXACT doubles, so
+    * the normalization replays bitwise; a groupBy + join-back would
+    * consume each input ranking TWICE, re-running its whole scoring
+    * chain when fed lazily — measured 14.9 → 9.9 s warm on q201,
+    * which is the two component chains run once each), one
+    * union, a source-index-sorted fold (≤ |rankings| elements per
+    * pair), one rank window.
+    */
+  def linearFuse(rankings: Seq[(DataFrame, Double)], k: Int): DataFrame = {
+    require(rankings.nonEmpty, "at least one ranking")
+    require(k > 0, s"k > 0: $k")
+    val perQ = Window.partitionBy(col("queryId"))
+    val contribs = rankings.zipWithIndex.map { case ((r, w), i) =>
+      r.groupBy(col("queryId"), col("docId"))
+        .agg(max(col("score")).as("score"))
+        .withColumn("__lo", min(col("score")).over(perQ))
+        .withColumn("__hi", max(col("score")).over(perQ))
+        .select(col("queryId"), col("docId"), lit(i).as("__src"),
+          (lit(w) * when(col("__hi") > col("__lo"),
+            (col("score") - col("__lo")) / (col("__hi") - col("__lo")))
+            .otherwise(lit(1.0))).as("__f"))
+    }.reduce(_ unionByName _)
+    val rw = Window.partitionBy(col("queryId"))
+      .orderBy(col("fused_score").desc, col("docId").asc)
+    contribs.groupBy(col("queryId"), col("docId"))
+      .agg(sort_array(collect_list(struct(col("__src"), col("__f"))))
+        .as("__xs"))
+      .select(col("queryId"), col("docId"),
+        aggregate(col("__xs"), lit(0.0),
+          (a, x) => a + x.getField("__f")).as("fused_score"))
+      .withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= k)
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. SIGIR'09): combine any
     * number of per-query rankings — BM25, an ANN list, a Jaccard
     * neighbor list — into one, scoring each (query, doc) by
@@ -1494,54 +1552,6 @@ object Retrieval {
     * `1.0 / (k0 + rank)` — one division on exact integers, no
     * transcendentals, so fused scores agree bitwise across engines.
     */
-  /** Normalized LINEAR score fusion — [[rrfFuse]]'s score-aware
-    * sibling (the interpolation combiner of hybrid-retrieval
-    * literature, e.g. convex BM25+dense mixing): each input ranking's
-    * scores min-max normalize PER QUERY to [0, 1], then fuse as the
-    * weighted sum `Σ w_i · norm_i(q, d)` (absent from a list = zero).
-    * Use when the component scores carry meaningful magnitude
-    * (calibrated rankers); RRF when they don't.
-    *
-    * Inputs are `(queryId, docId, score)` tables with one row per
-    * pair, each paired with its weight. A query whose list has a
-    * single distinct score normalizes to 1.0 (its min IS its max —
-    * every doc ties at the top). Output:
-    * `(queryId, docId, fused_score, rank)`, top `k`, score desc with
-    * docId ties.
-    *
-    * Scale shape: result-set-sized throughout — per-list per-query
-    * min/max via ONE window pass (order-independent EXACT doubles, so
-    * the normalization replays bitwise; a groupBy + join-back would
-    * consume each input ranking TWICE, re-running its whole scoring
-    * chain when fed lazily — measured 14.9 → 9.9 s warm on q201,
-    * which is the two component chains run once each), one
-    * union, a source-index-sorted fold (≤ |rankings| elements per
-    * pair), one rank window.
-    */
-  def linearFuse(rankings: Seq[(DataFrame, Double)], k: Int): DataFrame = {
-    require(rankings.nonEmpty, "at least one ranking")
-    require(k > 0, s"k > 0: $k")
-    val perQ = Window.partitionBy(col("queryId"))
-    val contribs = rankings.zipWithIndex.map { case ((r, w), i) =>
-      r.withColumn("__lo", min(col("score")).over(perQ))
-        .withColumn("__hi", max(col("score")).over(perQ))
-        .select(col("queryId"), col("docId"), lit(i).as("__src"),
-          (lit(w) * when(col("__hi") > col("__lo"),
-            (col("score") - col("__lo")) / (col("__hi") - col("__lo")))
-            .otherwise(lit(1.0))).as("__f"))
-    }.reduce(_ unionByName _)
-    val rw = Window.partitionBy(col("queryId"))
-      .orderBy(col("fused_score").desc, col("docId").asc)
-    contribs.groupBy(col("queryId"), col("docId"))
-      .agg(sort_array(collect_list(struct(col("__src"), col("__f"))))
-        .as("__xs"))
-      .select(col("queryId"), col("docId"),
-        aggregate(col("__xs"), lit(0.0),
-          (a, x) => a + x.getField("__f")).as("fused_score"))
-      .withColumn("rank", row_number().over(rw))
-      .filter(col("rank") <= k)
-  }
-
   def rrfFuse(rankings: Seq[DataFrame], k: Int, k0: Int = 60): DataFrame = {
     require(rankings.nonEmpty, "at least one ranking")
     require(k > 0 && k0 >= 0, s"k > 0, k0 >= 0: $k, $k0")

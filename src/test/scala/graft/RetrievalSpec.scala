@@ -737,6 +737,15 @@ class RetrievalSpec extends SparkSpec {
       .filter(col("queryId") === 1L)
       .orderBy("rank").collect().map(_.getLong(1)).toSeq
     assert(ranks === Seq(101L, 102L)) // 0.7 > 0.65
+    // duplicated pairs within one input collapse to max(score) — a
+    // raw match table cannot inflate the fused sum (rrfFuse's
+    // convention on the score side)
+    val dup = bm.unionByName(Seq((1L, 102L, 4.0))
+      .toDF("queryId", "docId", "score"))
+    val collapsed = Retrieval.linearFuse(Seq((dup, 0.7), (ql, 0.3)),
+      k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(collapsed === got)
   }
 
   test("maxAnchorOcc refuses a hot-anchored phrase, passes under the cap") {
