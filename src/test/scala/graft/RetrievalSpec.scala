@@ -416,6 +416,32 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("weighted WAND stays exact under arbitrary positive weights") {
+    // not just RM3-shaped weights: random magnitudes spanning 1e-6 to
+    // 1e3 stress the weighted bound (and its 1e-9 margin) far from
+    // the probability-mix regime
+    val rnd = new scala.util.Random(204)
+    val c = (1L to 60L).map { id =>
+      id -> Seq.fill(5 + rnd.nextInt(6))(
+        s"tok${30 / (rnd.nextInt(30) + 1)}").mkString(" ")
+    }.toDF("doc_id", "text")
+    val (tf, dfT, st) = indexTriple(c)
+    val vocab = tf.select("word").distinct().collect()
+      .map(_.getString(0)).sorted
+    val tw = (400L to 405L).flatMap { qid =>
+      rnd.shuffle(vocab.toSeq).take(4).map { w =>
+        (qid, w, math.pow(10.0, rnd.nextInt(10) - 6) *
+          (1.0 + rnd.nextDouble()))
+      }
+    }.toDF("queryId", "word", "weight").localCheckpoint()
+    val unpruned = topkSet(Retrieval.bm25TopK(
+      Retrieval.bm25ScoresWeighted(tf, dfT, st, tw), 4))
+    for (hotDf <- Seq(0L, 2L, 8L, 25L, 1000L))
+      assert(topkSet(Retrieval.bm25TopKWandWeighted(tf, tw,
+        k = 4, hotDf = hotDf, dfStats = Some((dfT, st)))) === unpruned,
+        s"hotDf=$hotDf")
+  }
+
   test("WAND first pass reproduces the unpruned RM3 expansion bitwise") {
     val rnd = new scala.util.Random(77)
     val c = (1L to 60L).map { id =>
