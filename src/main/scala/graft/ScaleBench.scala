@@ -253,7 +253,7 @@ object ScaleBench {
         "pos_compact_index_10x", "pos_rebuild_index_10x",
         "pos_compact_deleted_10x", "retrieval_ingest_loop_10x",
         "ql_dirichlet_topk_10x", "snippet_windows_10x",
-        "bm25_conjunctive_topk_10x", "bm25f_topk_10x",
+        "bm25_conjunctive_topk_10x", "bm25f_topk_10x", "passage_maxp_topk_10x",
         "rm3_rescore_10x", "rm3_rescore_wand_10x",
         "rm3_rescore_capped_10x")
       round <- Seq("cold", "warm")
@@ -382,6 +382,29 @@ object ScaleBench {
           tfD.write.format("noop").mode("overwrite").save()
           dfD.write.format("noop").mode("overwrite").save()
           stD.write.format("noop").mode("overwrite").save()
+        }
+        // passage-level MaxP retrieval (q203's gate): width-32
+        // stride-16 windows over the same 50k docs — a ~7x-volume
+        // passage index built in the timer (one tokenizer pass + the
+        // window explode), scored as pseudo-docs under the production
+        // stop-term prune (maxDf = 10% of the passages; q203 gates
+        // the UNPRUNED exact form), per-doc max. The probe share
+        // scales with the PASSAGE posting volume — the price of
+        // passage granularity, which is the point of the arm
+        time(s"passage_maxp_topk_10x $round") {
+          import graft.operators.{Chunking, Retrieval}
+          val pass = Chunking.tokenPassages(zipfDocs(0, 50000, 100),
+            "doc_id", "text", width = 32, stride = 16)
+            .localCheckpoint()
+          val tf = Retrieval.termFrequencies(pass, "passageId", "text")
+            .localCheckpoint()
+          println("  maxp_rows=" + Retrieval.bm25TopK(
+            Retrieval.maxPassageScores(
+              Retrieval.bm25ScoresIndexed(tf, bm25Queries,
+                "query_id", "text", bitExact = false,
+                maxDocFrequency = Some(35000L)),
+              pass.select("passageId", "docId")), 5)
+            .count())
         }
         // BM25F fielded ranking (q202's gate): title/body split of the
         // same 50k docs, pseudo-tf combined BEFORE saturation. The

@@ -866,6 +866,32 @@ private[graft] object TextQueries {
           col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
     }),
+    // passage-level retrieval with MaxP evidence (Callan'94 / Dai &
+    // Callan): docs segment into width-32 stride-16 token windows,
+    // the PASSAGES score as pseudo-docs (passage-level dl/df/avgdl —
+    // the passage collection IS the corpus), and each doc ranks by
+    // its best passage. The oracle replays the segmentation (window
+    // arithmetic included), the passage scoring chain, and the max
+    "q203_passage_maxp_topk" -> ((s, dir) => {
+      import graft.operators.{Chunking, Retrieval}
+      val docs = t(s, dir, "documents")
+      val pass = Chunking.tokenPassages(docs, "doc_id", "text",
+        width = 32, stride = 16)
+        .localCheckpoint() // consumed 2x (passage index + membership)
+      val tf = Retrieval.termFrequencies(pass, "passageId", "text")
+        .localCheckpoint() // see q179
+      val qs = docs.where(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("query_id"),
+          substring(col("text"), 1, 40).as("text"))
+      val maxp = Retrieval.maxPassageScores(
+        Retrieval.bm25ScoresIndexed(tf, qs, "query_id", "text"),
+        pass.select("passageId", "docId"))
+      Retrieval.bm25TopK(maxp, 5)
+        .select(col("queryId").as("query_id"), col("docId").as("doc_id"),
+          round(col("score"), 6).as("score"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
     // BM25F fielded retrieval: fields (title = the doc's first 40
     // chars, body = the remainder) combine into ONE pseudo term
     // frequency BEFORE saturation — the Robertson/Zaragoza/Taylor
@@ -1044,16 +1070,21 @@ private[graft] object TextQueries {
     * same tokenizer, (doc, term) tf with non-dedup doc length, exact
     * integer-sum avgdl, Lucene-form idf, and the term-sorted
     * list_reduce fold matching the operator's sorted aggregate.
+    * `corpusFrom`/`corpusId` swap the corpus SOURCE (q203 scores a
+    * passages CTE as pseudo-docs; the id aliases to `doc_id` so every
+    * downstream CTE is untouched); queries always read `documents`.
     */
   private def bm25Cte(corpusWhere: String, queryWhere: String,
                       queryText: String = "text",
-                      corpusText: String = "text"): String =
+                      corpusText: String = "text",
+                      corpusFrom: String = "documents",
+                      corpusId: String = "doc_id"): String =
     s"""corpus AS (
-       |  SELECT doc_id, list_filter(string_split_regex(
+       |  SELECT $corpusId AS doc_id, list_filter(string_split_regex(
        |      regexp_replace(lower($corpusText), '[^a-z0-9$WsClass]', ' ', 'g'),
        |      '[$WsClass]+'), x -> x != '') AS ws
-       |  FROM documents
-       |  WHERE doc_id IS NOT NULL AND $corpusWhere
+       |  FROM $corpusFrom
+       |  WHERE $corpusId IS NOT NULL AND $corpusWhere
        |    AND regexp_matches(lower($corpusText), '[a-z0-9]')),
        |tfv AS (
        |  SELECT doc_id, word, count(*) AS tf
@@ -2452,6 +2483,41 @@ private[graft] object TextQueries {
          |    row_number() OVER (PARTITION BY query_id
          |      ORDER BY score DESC, doc_id) AS rank
          |  FROM qlsc) z
+         |WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // the segmentation replayed (greatest(1, ceil((L-32)/16)+1)
+    // windows per doc, final window reaching the end, short docs one
+    // window), then the SAME scoring chain with the passages CTE as
+    // the corpus (passage ids alias to doc_id inside it), then the
+    // per-doc max and the rank
+    "q203_passage_maxp_topk" ->
+      s"""WITH $LiveWordsCte,
+         |pass AS (
+         |  SELECT doc_id,
+         |    CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)
+         |      AS passage_id,
+         |    array_to_string(list_slice(w,
+         |      CAST(i * 16 + 1 AS BIGINT),
+         |      CAST(i * 16 + 32 AS BIGINT)), ' ') AS text
+         |  FROM ws, unnest(generate_series(0,
+         |    greatest(CAST(1 AS BIGINT),
+         |      CAST(ceil((CAST(len(w) AS DOUBLE) - 32) / 16) AS BIGINT)
+         |        + 1) - 1)) AS t(i)),
+         |${bm25Cte("TRUE", "doc_id % 97 = 0", "substr(text, 1, 40)",
+             "text", "pass", "passage_id")},
+         |pmap AS (SELECT DISTINCT passage_id, doc_id FROM pass),
+         |maxp AS (
+         |  SELECT b.query_id, p.doc_id, max(b.score) AS score
+         |  FROM bscores b JOIN pmap p ON p.passage_id = b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT query_id, doc_id, round(score, 6) AS score,
+         |  CAST(rank AS BIGINT) AS rank
+         |FROM (
+         |  SELECT query_id, doc_id, score,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id) AS rank
+         |  FROM maxp) z
          |WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
 

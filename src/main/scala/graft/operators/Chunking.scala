@@ -28,7 +28,41 @@ object Chunking {
     * docs shorter than `width` still yield their single (short) window.
     */
   def tokenChunks(docs: DataFrame, idCol: String, textCol: String,
-                  width: Int, stride: Int): DataFrame = {
+                  width: Int, stride: Int): DataFrame =
+    windowedTokens(docs, idCol, textCol, width, stride)
+      .select(col(idCol),
+        col("__c.idx").as("chunk_idx"),
+        size(col("__c.toks")).cast("long").as("chunk_tokens"),
+        md5(array_join(col("__c.toks"), " ")).as("chunk_md5"))
+
+  /** The same windowing with the window TEXT instead of a digest —
+    * the passage segmentation of passage-level retrieval
+    * ([[Retrieval.maxPassageScores]]'s input side): one row per
+    * (doc, window), `(docId, passageId, text)` with
+    * `passageId = "<docId>:<idx>"` (string — replayable in the oracle
+    * as a concat) and `text` the space-joined window tokens (tokens
+    * are `[a-z0-9]+`, so re-tokenizing the passage reproduces the
+    * window exactly; PassageSpec pins digest parity with
+    * [[tokenChunks]]).
+    */
+  def tokenPassages(docs: DataFrame, idCol: String, textCol: String,
+                    width: Int, stride: Int): DataFrame =
+    windowedTokens(docs, idCol, textCol, width, stride)
+      .select(col(idCol).as("docId"),
+        concat(col(idCol).cast("string"), lit(":"),
+          col("__c.idx").cast("string")).as("passageId"),
+        array_join(col("__c.toks"), " ").as("text"))
+
+  /** One row per (doc, window) with the raw `(idx, toks)` struct —
+    * the windowing [[tokenChunks]] and [[tokenPassages]] share:
+    * windows start every `stride` tokens, a doc with `L` tokens gets
+    * `max(1, ceil((L-width)/stride)+1)` windows so the final window
+    * always reaches the document's end and short docs still yield
+    * their single (short) window.
+    */
+  private def windowedTokens(docs: DataFrame, idCol: String,
+                             textCol: String, width: Int,
+                             stride: Int): DataFrame = {
     require(width >= 1 && stride >= 1 && stride <= width,
       s"bad chunk shape: width=$width stride=$stride")
     val live = docs
@@ -49,10 +83,6 @@ object Chunking {
     live
       .select(col(idCol), explode_outer(windows).as("__c"))
       .filter(col("__c").isNotNull)
-      .select(col(idCol),
-        col("__c.idx").as("chunk_idx"),
-        size(col("__c.toks")).cast("long").as("chunk_tokens"),
-        md5(array_join(col("__c.toks"), " ")).as("chunk_md5"))
   }
 
   /** Duplicated-span REMOVAL — the operation `Dedup.chunkStats` only

@@ -1196,6 +1196,33 @@ object Retrieval {
         col("__nt").as("n_matched_terms"))
   }
 
+  /** MaxP passage-evidence aggregation (Callan SIGIR'94 passage
+    * evidence; the Dai & Callan'19 "MaxP" convention): a document's
+    * score for a query is the MAX of its passages' scores. Input:
+    * any `(queryId, docId, score)` table whose docId is a PASSAGE id
+    * (score passages as pseudo-docs through the ordinary machinery —
+    * [[Chunking.tokenPassages]] segments, [[termFrequencies]] indexes
+    * the passages, any scorer here scores them), plus the
+    * `(passageId, docId)` membership table. Output:
+    * `(queryId, docId, score)`, [[bm25TopK]]-rankable. `max` is
+    * order-independent over exact doubles, so the aggregation replays
+    * bitwise with no sorted fold needed (q203 gates the whole
+    * segmentation → passage-scoring → MaxP → rank composition).
+    *
+    * Scale shape: result-/match-sized throughout — the membership
+    * join keys on the passage id the scores already carry, and the
+    * max() is map-side combined. Passage-level dl/df/avgdl come from
+    * the PASSAGE index (the passage collection IS the corpus) — the
+    * standard passage-retrieval statistics convention.
+    */
+  def maxPassageScores(passageScores: DataFrame,
+                       passageDocs: DataFrame): DataFrame =
+    passageScores
+      .select(col("queryId"), col("docId").as("passageId"), col("score"))
+      .join(passageDocs, Seq("passageId"))
+      .groupBy(col("queryId"), col("docId"))
+      .agg(max(col("score")).as("score"))
+
   /** Top-k documents per query from a [[bm25Scores]] table: score
     * descending, docId ascending ties (exact-duplicate docs produce
     * bitwise-equal scores, so the tie-break is deterministic) — the

@@ -666,6 +666,41 @@ class RetrievalSpec extends SparkSpec {
     assert(got.forall(r => matchSet((r._1, r._2))))
   }
 
+  test("passage segmentation + MaxP evidence match the by-hand windows") {
+    import graft.operators.Chunking
+    // doc 1: 40 tokens -> windows at 0 and 16 (width 32, stride 16);
+    // doc 2: 10 tokens -> one short window; doc 3: exactly 32 -> one
+    val c = docs(
+      1L -> (1 to 40).map(i => s"w$i").mkString(" "),
+      2L -> (1 to 10).map(i => s"x$i").mkString(" "),
+      3L -> (1 to 32).map(i => s"y$i").mkString(" "))
+    val pass = Chunking.tokenPassages(c, "doc_id", "text",
+      width = 32, stride = 16)
+      .collect().map(r => r.getString(1) ->
+        (r.getLong(0), r.getString(2))).toMap
+    assert(pass.keySet === Set("1:0", "1:1", "2:0", "3:0"))
+    assert(pass("1:0")._2 === (1 to 32).map(i => s"w$i").mkString(" "))
+    assert(pass("1:1")._2 === (17 to 40).map(i => s"w$i").mkString(" "))
+    assert(pass("2:0")._2 === (1 to 10).map(i => s"x$i").mkString(" "))
+    // digest parity with tokenChunks: same windows, same content
+    val chunkMd5 = Chunking.tokenChunks(c, "doc_id", "text", 32, 16)
+      .collect().map(r => s"${r.getLong(0)}:${r.getLong(1)}" ->
+        r.getString(3)).toMap
+    import java.security.MessageDigest
+    def md5(s: String) = MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(pass.map { case (k, (_, t)) => k -> md5(t) } === chunkMd5)
+    // MaxP: a doc's score is the max over its passages
+    val ps = Seq((9L, "1:0", 2.5), (9L, "1:1", 4.0), (9L, "2:0", 1.0))
+      .toDF("queryId", "docId", "score")
+    val maxp = Retrieval.maxPassageScores(ps,
+      Seq(("1:0", 1L), ("1:1", 1L), ("2:0", 2L), ("3:0", 3L))
+        .toDF("passageId", "docId"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(maxp === Map((9L, 1L) -> 4.0, (9L, 2L) -> 1.0))
+  }
+
   test("BM25F matches the hand-derived pseudo-tf decomposition") {
     val fielded = Seq(
       (1L, "title", "apple pie"),
