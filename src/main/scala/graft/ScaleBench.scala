@@ -246,7 +246,8 @@ object ScaleBench {
     // unpruned arm prices what the prune saves.
     val bm25SectionLabels = (for {
       base <- Seq("bm25_topk_10x", "bm25_topk_pruned_10x",
-        "bm25_topk_wand_10x", "bm25_compact_index_10x",
+        "bm25_topk_wand_10x", "bm25_topk_wand_impact_10x",
+        "bm25_compact_index_10x",
         "bm25_rebuild_index_10x", "bm25_compact_deleted_10x",
         "bm25_rebuild_survivors_10x", "phrase_matches_10x",
         "proximity_matches_10x", "bm25_phrase_topk_10x",
@@ -270,7 +271,8 @@ object ScaleBench {
       val tB = System.nanoTime()
       locally {
         for (t <- Seq("sb_bm25_tf", "sb_bm25_fwd", "sb_bm25_df",
-          "sb_bm25_stats", "sb_bm25_pos", "sb_bm25_cf")) {
+          "sb_bm25_stats", "sb_bm25_pos", "sb_bm25_cf",
+          "sb_bm25_imp")) {
           spark.sql(s"DROP TABLE IF EXISTS $t")
           val p = new org.apache.hadoop.fs.Path(
             spark.conf.get("spark.sql.warehouse.dir"), t)
@@ -296,6 +298,11 @@ object ScaleBench {
           .write.mode("overwrite").saveAsTable("sb_bm25_stats")
         graft.operators.Retrieval.cfTable(tf)
           .write.mode("overwrite").saveAsTable("sb_bm25_cf")
+        // the max/min-mergeable impact-bound metadata (vocab-sized,
+        // persisted beside the df table — compactImpactStats merges
+        // batches in, deletions leave it conservatively valid)
+        graft.operators.Retrieval.impactStats(tf)
+          .write.mode("overwrite").saveAsTable("sb_bm25_imp")
         // the positional layout (phrase probes) — its own tokenizer
         // pass: positions come from the occurrence stream, which the
         // per-(doc, word) tf rows no longer carry
@@ -342,6 +349,21 @@ object ScaleBench {
             forward = Some(spark.table("sb_bm25_fwd")),
             dfStats = Some((spark.table("sb_bm25_df"),
               spark.table("sb_bm25_stats"))))
+            .count())
+        }
+        // ...and the impact-TIGHTENED arm (q204/q205's gates): per-term
+        // ceilings idf·f(max_tf, min_dl) off the persisted metadata
+        // table shrink ub, so more queries route safe and skip the
+        // exact fallback — same answers, read the wall and the routing
+        // delta against bm25_topk_wand_10x
+        time(s"bm25_topk_wand_impact_10x $round") {
+          println("  topk_rows=" + graft.operators.Retrieval.bm25TopKWand(
+            spark.table("sb_bm25_tf"), bm25Queries, "query_id", "text",
+            k = 5, hotDf = 5000L, bitExact = false,
+            forward = Some(spark.table("sb_bm25_fwd")),
+            dfStats = Some((spark.table("sb_bm25_df"),
+              spark.table("sb_bm25_stats"))),
+            impact = Some(spark.table("sb_bm25_imp")))
             .count())
         }
         // fold a 10k-doc micro-batch into the persisted 50k index

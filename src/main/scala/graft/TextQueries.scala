@@ -1036,6 +1036,42 @@ private[graft] object TextQueries {
           round(col("theta"), 6).as("theta"), col("safe"))
         .orderBy("query_id")
     }),
+    // impact-bound (MaxScore / block-max style) TIGHTENED WAND: the
+    // same score-exact pruned top-k as q182, with the hot-term ceiling
+    // tightened from the tf→∞ saturation limit idf·(k1+1) to the
+    // corpus-extremal contribution idf·f(max_tf, min_dl) read off the
+    // persisted impactStats metadata. The oracle is STILL the unpruned
+    // ranking — equality proves the tightened bound loses no true
+    // top-k row either
+    "q204_bm25_wand_impact_topk" -> ((s, dir) => {
+      import graft.operators.Retrieval
+      val (tf, qs, hotCut) = zipfWandFixture(s, dir)
+      Retrieval.bm25TopKWand(tf, qs, "query_id", "text",
+        k = 5, hotDf = hotCut,
+        impact = Some(Retrieval.impactStats(tf)))
+        .select(col("queryId").as("query_id"), col("docId").as("doc_id"),
+          round(col("score"), 6).as("score"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+    // ...and the TIGHTENED decision table (the q187 convention): same
+    // splits/candidates/theta, but ub folds per-term
+    // idf·f(max_tf, min_dl) — the oracle recomputes max_tf/min_dl from
+    // first principles and replays the exact contribution tree at the
+    // extremes, so a metadata drift or a bound-formula drift fails
+    // here even when q204's final top-k survives it
+    "q205_bm25_wand_impact_stats" -> ((s, dir) => {
+      import graft.operators.Retrieval
+      val (tf, qs, hotCut) = zipfWandFixture(s, dir)
+      Retrieval.bm25WandStats(tf, qs, "query_id", "text",
+        k = 5, hotDf = hotCut,
+        impact = Some(Retrieval.impactStats(tf)))
+        .select(col("queryId").as("query_id"),
+          col("n_rare_terms"), col("n_hot_terms"), col("n_candidates"),
+          round(col("ub"), 6).as("ub"),
+          round(col("theta"), 6).as("theta"), col("safe"))
+        .orderBy("query_id")
+    }),
     // the production hybrid pairing (q181 fused BM25 with exact
     // Jaccard; this fuses it with the IVFADC ANN stack): BM25 top-10
     // over short queries + residual-IVFADC top-10 over the same query
@@ -2761,6 +2797,82 @@ private[graft] object TextQueries {
          |      CAST('${((1.2 + 1.0) * (1.0 + 1e-9)).toString}' AS DOUBLE)
          |      AS ub
          |  FROM enriched e JOIN dft d USING (word) CROSS JOIN hotcut
+         |  WHERE d.df > cut GROUP BY e.query_id),
+         |cscore AS (
+         |  SELECT b.query_id, b.doc_id, b.score
+         |  FROM bscores b JOIN cands c USING (query_id, doc_id)),
+         |th AS (
+         |  SELECT query_id, score AS theta FROM (
+         |    SELECT query_id, score,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score DESC, doc_id) AS r
+         |    FROM cscore) x WHERE r = 5)
+         |SELECT c.query_id, n_rare_terms, n_hot_terms,
+         |  CAST(coalesce(n_candidates, 0) AS BIGINT) AS n_candidates,
+         |  round(ub, 6) AS ub, round(theta, 6) AS theta,
+         |  NOT (n_hot_terms > 0 AND (theta IS NULL OR ub >= theta)) AS safe
+         |FROM counts c
+         |LEFT JOIN ncand USING (query_id)
+         |LEFT JOIN ubt USING (query_id)
+         |LEFT JOIN th USING (query_id)
+         |ORDER BY query_id""".stripMargin,
+
+    // THE UNPRUNED RANKING again (q182's oracle verbatim): the
+    // impact-tightened bound must change nothing about the answer —
+    // only the decision table (q205) moves
+    "q204_bm25_wand_impact_topk" ->
+      s"""WITH ${bm25Cte("TRUE", "doc_id % 50 = 0",
+             ZipfWandQueryTextSql, ZipfWandCorpusTextSql)},
+         |ranked AS (
+         |  SELECT query_id, doc_id, score,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id) AS rank
+         |  FROM bscores)
+         |SELECT query_id, doc_id, round(score, 6) AS score,
+         |  CAST(rank AS BIGINT) AS rank
+         |FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // q187's replay with the TIGHTENED ub: per-word (max_tf, min_dl)
+    // recomputed from first principles off the posting rows, then the
+    // hot fold carries idf·f(max_tf, min_dl) — the operator's exact
+    // contribution tree evaluated at the extremes — times the exact
+    // 1e-9 margin constant (toString round-trip)
+    "q205_bm25_wand_impact_stats" ->
+      s"""WITH ${bm25Cte("TRUE", "doc_id % 50 = 0",
+             ZipfWandQueryTextSql, ZipfWandCorpusTextSql)},
+         |hotcut AS (SELECT count(*) // 10 AS cut FROM corpus),
+         |split AS (
+         |  SELECT query_id, word, df, cut
+         |  FROM qterms JOIN dft USING (word) CROSS JOIN hotcut),
+         |counts AS (
+         |  SELECT query_id,
+         |    CAST(sum(CASE WHEN df <= cut THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_rare_terms,
+         |    CAST(sum(CASE WHEN df > cut THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_hot_terms
+         |  FROM split GROUP BY 1),
+         |cands AS (
+         |  SELECT DISTINCT s.query_id, t.doc_id
+         |  FROM split s JOIN tfv t USING (word) WHERE s.df <= s.cut),
+         |ncand AS (
+         |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_candidates
+         |  FROM cands GROUP BY 1),
+         |imps AS (
+         |  SELECT t.word, max(t.tf) AS max_tf, min(l.dl) AS min_dl
+         |  FROM tfv t JOIN lens l ON l.doc_id = t.doc_id
+         |  GROUP BY 1),
+         |ubt AS (
+         |  SELECT e.query_id,
+         |    list_reduce(list_prepend(0.0, list(
+         |      e.idf * (CAST(max_tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
+         |        / (CAST(max_tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+         |           (1.0 - CAST(0.75 AS DOUBLE) +
+         |            CAST(0.75 AS DOUBLE) * CAST(min_dl AS DOUBLE) / e.avgdl))
+         |      ORDER BY e.word)), (a, x) -> a + x) *
+         |      CAST('${(1.0 + 1e-9).toString}' AS DOUBLE) AS ub
+         |  FROM enriched e JOIN dft d USING (word) JOIN imps USING (word)
+         |  CROSS JOIN hotcut
          |  WHERE d.df > cut GROUP BY e.query_id),
          |cscore AS (
          |  SELECT b.query_id, b.doc_id, b.score

@@ -27,9 +27,10 @@ import graft.functions.TextFunctions
   *     ([[rrfFuse]]/[[linearFuse]]);
   *   - INDEX LIFECYCLE: build ([[termFrequencies]],
   *     [[positionalPostings]], [[termFrequenciesFielded]] + the
-  *     additive stat layouts [[dfTable]]/[[cfTable]]/[[corpusStats]]),
+  *     additive stat layouts [[dfTable]]/[[cfTable]]/[[corpusStats]]
+  *     and the max/min-mergeable pruning metadata [[impactStats]]),
   *     micro-batch append ([[compactTermIndex]],
-  *     [[compactPositionalIndex]]), deletion
+  *     [[compactPositionalIndex]], [[compactImpactStats]]), deletion
   *     ([[compactTermIndexDeleted]], [[compactPositionalIndexDeleted]])
   *     — all row-identical to rebuilds, all streaming-ingest-safe
   *     (StreamingSpec drives the loop end to end).
@@ -212,6 +213,43 @@ object Retrieval {
         sum(col("total_dl")).as("total_dl"))
     (tfOut, dfOut, statsOut)
   }
+
+  /** Per-term IMPACT-BOUND metadata `(word, max_tf, min_dl)` of a
+    * [[termFrequencies]] index — the MaxScore / block-max idea (Turtle
+    * & Flood'95; Ding & Suel SIGIR'11) reduced to its corpus-global
+    * per-term form: the BM25 contribution `idf · tf(k1+1)/(tf + K(dl))`
+    * is increasing in `tf` and decreasing in `dl`, so
+    * `idf · f(max_tf_w, min_dl_w)` bounds every posting of `w` — a
+    * strictly TIGHTER hot-term ceiling than the saturation limit
+    * `idf·(k1+1)` (which is the `tf → ∞` endpoint) wherever hot terms
+    * have bounded within-doc counts. Feed it to the WAND family's
+    * `impact` parameter; q205 gates the tightened decision table and
+    * q204 the (unchanged, still score-exact) top-k through it.
+    *
+    * Lifecycle: one vocabulary-sized aggregate off the posting table;
+    * persists beside [[dfTable]] at ingest. APPEND-mergeable
+    * ([[compactImpactStats]] — max/min are union-combinable like the
+    * additive df). Deletions deliberately do NOT rebuild it: a stale
+    * `(max_tf, min_dl)` after removing the extremal doc is still a
+    * valid UPPER bound (the surviving postings are a subset), so the
+    * pruning stays score-exact and only its tightness degrades —
+    * rebuild on whatever cadence the index is re-optimized.
+    */
+  def impactStats(tf: DataFrame): DataFrame =
+    tf.groupBy("word")
+      .agg(max(col("tf")).as("max_tf"), min(col("dl")).as("min_dl"))
+
+  /** Append-side merge of two [[impactStats]] tables (the persisted
+    * index side + a micro-batch's): max/min combine across the union,
+    * row-identical to a rebuild over the merged corpus under the
+    * disjoint-docId ingest contract (RetrievalSpec pins the parity).
+    * Vocabulary-sized work, like the df merge in [[compactTermIndex]].
+    */
+  def compactImpactStats(impact: DataFrame,
+                         batchImpact: DataFrame): DataFrame =
+    impact.unionByName(batchImpact)
+      .groupBy("word")
+      .agg(max(col("max_tf")).as("max_tf"), min(col("min_dl")).as("min_dl"))
 
   /** One fielded-corpus pass to the BM25F index: `(docId, field, fl,
     * word, tf)` over a `(id, field, text)` input with one row per
@@ -1285,11 +1323,12 @@ object Retrieval {
                    k1: Double = 1.2, b: Double = 0.75,
                    bitExact: Boolean = true,
                    forward: Option[DataFrame] = None,
-                   dfStats: Option[(DataFrame, DataFrame)] = None)
+                   dfStats: Option[(DataFrame, DataFrame)] = None,
+                   impact: Option[DataFrame] = None)
       : DataFrame = {
     val (dfTab, stats) = resolvedDfStats(tf, dfStats)
     val c = wandCore(unitEnriched(dfTab, stats, queries, qidCol, qtextCol),
-      tf, k, hotDf, k1, b, bitExact, forward)
+      tf, k, hotDf, k1, b, bitExact, forward, impact)
     val fallback = bm25TopK(
       bm25ScoresPrecomputed(tf, dfTab, stats,
         queries.join(c.unsafeQ.select(col("queryId").as(qidCol)),
@@ -1323,11 +1362,12 @@ object Retrieval {
                            k1: Double = 1.2, b: Double = 0.75,
                            bitExact: Boolean = true,
                            forward: Option[DataFrame] = None,
-                           dfStats: Option[(DataFrame, DataFrame)] = None)
+                           dfStats: Option[(DataFrame, DataFrame)] = None,
+                           impact: Option[DataFrame] = None)
       : DataFrame = {
     val (dfTab, stats) = resolvedDfStats(tf, dfStats)
     val c = wandCore(enrichedWeightedTerms(dfTab, stats, termWeights),
-      tf, k, hotDf, k1, b, bitExact, forward)
+      tf, k, hotDf, k1, b, bitExact, forward, impact)
     val fallback = bm25TopK(
       bm25ScoresWeighted(tf, dfTab, stats,
         termWeights.join(c.unsafeQ, Seq("queryId"), "left_semi"),
@@ -1354,12 +1394,13 @@ object Retrieval {
                     k1: Double = 1.2, b: Double = 0.75,
                     bitExact: Boolean = true,
                     forward: Option[DataFrame] = None,
-                    dfStats: Option[(DataFrame, DataFrame)] = None)
+                    dfStats: Option[(DataFrame, DataFrame)] = None,
+                    impact: Option[DataFrame] = None)
       : DataFrame = {
     val (dfTab, stats) = resolvedDfStats(tf, dfStats)
     wandStatsFrom(
       wandCore(unitEnriched(dfTab, stats, queries, qidCol, qtextCol),
-        tf, k, hotDf, k1, b, bitExact, forward), hotDf)
+        tf, k, hotDf, k1, b, bitExact, forward, impact), hotDf)
   }
 
   /** [[bm25WandStats]] for the WEIGHTED operator — the q192 gate's
@@ -1373,12 +1414,13 @@ object Retrieval {
                             k1: Double = 1.2, b: Double = 0.75,
                             bitExact: Boolean = true,
                             forward: Option[DataFrame] = None,
-                            dfStats: Option[(DataFrame, DataFrame)] = None)
+                            dfStats: Option[(DataFrame, DataFrame)] = None,
+                            impact: Option[DataFrame] = None)
       : DataFrame = {
     val (dfTab, stats) = resolvedDfStats(tf, dfStats)
     wandStatsFrom(
       wandCore(enrichedWeightedTerms(dfTab, stats, termWeights),
-        tf, k, hotDf, k1, b, bitExact, forward), hotDf)
+        tf, k, hotDf, k1, b, bitExact, forward, impact), hotDf)
   }
 
   /** The shared internals of the WAND family. `safeTopK` is the
@@ -1448,7 +1490,8 @@ object Retrieval {
   private def wandCore(enrichedLazy: DataFrame, tf: DataFrame,
                        k: Int, hotDf: Long, k1: Double, b: Double,
                        bitExact: Boolean,
-                       forward: Option[DataFrame]): WandCore = {
+                       forward: Option[DataFrame],
+                       impact: Option[DataFrame]): WandCore = {
     require(k > 0, s"k > 0: $k")
     require(hotDf >= 0, s"hotDf >= 0: $hotDf")
     require(k1 >= 0 && b >= 0 && b <= 1, s"k1 >= 0, b in [0,1]: $k1, $b")
@@ -1463,12 +1506,41 @@ object Retrieval {
     // make the decision table non-reproducible at ulp-adjacent
     // boundaries. The per-term product folds INSIDE the struct so the
     // oracle replays `list(weight * idf ORDER BY word)` verbatim.
-    val hotUb = hot.groupBy("queryId")
-      .agg((aggregate(
-        sort_array(collect_list(struct(col("word"),
-          (col("weight") * col("idf")).as("__wIdf")))),
-        lit(0.0), (a, x) => a + x.getField("__wIdf")) *
-        lit((k1 + 1.0) * (1.0 + 1e-9))).as("__ub"))
+    //
+    // With an [[impactStats]] table the per-term ceiling TIGHTENS from
+    // the tf→∞ saturation limit `idf·(k1+1)` to the term's actual
+    // corpus-extremal contribution `idf·f(max_tf, min_dl)` (the SAME
+    // [[contribExpr]] tree evaluated at the extremes — monotone in tf
+    // and in −dl, so it dominates every real posting; the 1e-9 margin
+    // absorbs ulp-level association drift as before). Tighter ub →
+    // more queries route safe → fewer exact fallbacks, and the bound
+    // stays achievable-but-sufficient: `ub < θ` still excludes every
+    // pruned doc, ties included (q205 gates the tightened table, q204
+    // the unchanged top-k through it). A hot word MISSING from the
+    // metadata falls back to its saturation ceiling in-place — a
+    // stale/partial impact table degrades pruning, never correctness.
+    val hotUb = impact match {
+      case None =>
+        hot.groupBy("queryId")
+          .agg((aggregate(
+            sort_array(collect_list(struct(col("word"),
+              (col("weight") * col("idf")).as("__wIdf")))),
+            lit(0.0), (a, x) => a + x.getField("__wIdf")) *
+            lit((k1 + 1.0) * (1.0 + 1e-9))).as("__ub"))
+      case Some(imp) =>
+        hot
+          .join(imp.select(col("word"), col("max_tf").as("tf"),
+            col("min_dl").as("dl")), Seq("word"), "left_outer")
+          .select(col("queryId"), col("word"),
+            when(col("tf").isNull,
+              col("weight") * col("idf") * lit(k1 + 1.0))
+              .otherwise(col("weight") * contribExpr(k1, b)).as("__wc"))
+          .groupBy("queryId")
+          .agg((aggregate(
+            sort_array(collect_list(struct(col("word"), col("__wc")))),
+            lit(0.0), (a, x) => a + x.getField("__wc")) *
+            lit(1.0 + 1e-9)).as("__ub"))
+    }
     // phase 1: candidates via the rare postings, then full scores with
     // the hot contributions fetched doc-wise through the forward layout
     val rareContrib = tf.join(rare, Seq("word"))

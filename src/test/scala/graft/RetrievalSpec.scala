@@ -442,6 +442,116 @@ class RetrievalSpec extends SparkSpec {
         s"hotDf=$hotDf")
   }
 
+  test("impact-tightened WAND equals the unpruned top-k at every hotDf") {
+    // the q182 sweep with impactStats metadata: the tightened bound
+    // must change routing only, never the answer — unit and weighted
+    val rnd = new scala.util.Random(204)
+    val c = (1L to 80L).map { id =>
+      id -> Seq.fill(6 + rnd.nextInt(6))(
+        s"tok${40 / (rnd.nextInt(40) + 1)}").mkString(" ")
+    }.toDF("doc_id", "text")
+    val qs = (200L to 207L).map { id =>
+      id -> (Seq.fill(2)(s"tok${40 / (rnd.nextInt(40) + 1)}") ++
+        Seq.fill(2)(s"tok${13 + rnd.nextInt(28)}")).mkString(" ")
+    }.toDF("query_id", "text")
+    val (tf, dfT, st) = indexTriple(c)
+    val imp = Retrieval.impactStats(tf).localCheckpoint()
+    val unpruned = topkSet(Retrieval.bm25TopK(
+      Retrieval.bm25ScoresPrecomputed(tf, dfT, st, qs,
+        "query_id", "text"), 5))
+    val tw = Retrieval.rm3ExpandedTerms(tf, dfT, st, qs,
+      "query_id", "text", k = 5, m = 8, lambda = 0.5).localCheckpoint()
+    val unprunedW = topkSet(Retrieval.bm25TopK(
+      Retrieval.bm25ScoresWeighted(tf, dfT, st, tw), 5))
+    for (hotDf <- Seq(0L, 3L, 10L, 30L, 1000L)) {
+      assert(topkSet(Retrieval.bm25TopKWand(tf, qs, "query_id", "text",
+        k = 5, hotDf = hotDf, dfStats = Some((dfT, st)),
+        impact = Some(imp))) === unpruned, s"unit hotDf=$hotDf")
+      assert(topkSet(Retrieval.bm25TopKWandWeighted(tf, tw,
+        k = 5, hotDf = hotDf, dfStats = Some((dfT, st)),
+        impact = Some(imp))) === unprunedW, s"weighted hotDf=$hotDf")
+    }
+  }
+
+  test("impact metadata tightens ub and never flips safe to unsafe") {
+    val rnd = new scala.util.Random(205)
+    val c = (1L to 80L).map { id =>
+      id -> Seq.fill(6 + rnd.nextInt(6))(
+        s"tok${40 / (rnd.nextInt(40) + 1)}").mkString(" ")
+    }.toDF("doc_id", "text")
+    val qs = (200L to 211L).map { id =>
+      id -> (Seq.fill(2)(s"tok${40 / (rnd.nextInt(40) + 1)}") ++
+        Seq.fill(2)(s"tok${13 + rnd.nextInt(28)}")).mkString(" ")
+    }.toDF("query_id", "text")
+    val (tf, dfT, st) = indexTriple(c)
+    val imp = Retrieval.impactStats(tf).localCheckpoint()
+    def statRows(withImp: Boolean): Map[Long, (Option[Double], Boolean)] =
+      Retrieval.bm25WandStats(tf, qs, "query_id", "text", k = 5,
+        hotDf = 10L, dfStats = Some((dfT, st)),
+        impact = if (withImp) Some(imp) else None)
+        .collect().map { r =>
+          r.getLong(0) ->
+            ((if (r.isNullAt(4)) None else Some(r.getDouble(4))),
+              r.getBoolean(6))
+        }.toMap
+    val sat = statRows(withImp = false)
+    val tight = statRows(withImp = true)
+    assert(sat.keySet === tight.keySet)
+    for ((q, (ubS, safeS)) <- sat; (ubT, safeT) = tight(q)) {
+      for (us <- ubS; ut <- ubT)
+        assert(ut <= us * (1.0 + 1e-12), s"query $q: tightened ub > sat")
+      if (safeS) assert(safeT, s"query $q flipped safe -> unsafe")
+    }
+    // the fixture must actually exercise the tightening somewhere
+    assert((sat.keys.flatMap(q => sat(q)._1.zip(tight(q)._1).map {
+      case (us, ut) => ut < us
+    })).exists(identity), "no query had a strictly tighter bound")
+  }
+
+  test("compacted impact stats equal the rebuild on the union") {
+    val rnd = new scala.util.Random(206)
+    def randDocs(ids: Range): Seq[(Long, String)] = ids.map { id =>
+      id.toLong -> Seq.fill(4 + rnd.nextInt(5))(
+        s"tok${12 / (rnd.nextInt(12) + 1)}").mkString(" ")
+    }
+    val base = randDocs(1 to 40).toDF("doc_id", "text")
+    val batch = randDocs(41 to 55).toDF("doc_id", "text")
+    val merged = Retrieval.compactImpactStats(
+      Retrieval.impactStats(Retrieval.termFrequencies(base,
+        "doc_id", "text")),
+      Retrieval.impactStats(Retrieval.termFrequencies(batch,
+        "doc_id", "text")))
+    val rebuilt = Retrieval.impactStats(Retrieval.termFrequencies(
+      base.unionByName(batch), "doc_id", "text"))
+    def rows(d: DataFrame): Set[(String, Long, Long)] =
+      d.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows(merged) === rows(rebuilt))
+  }
+
+  test("hot words missing from the impact table fall back safely") {
+    // a PARTIAL metadata table (stale ingest, half the vocabulary):
+    // missing words take the saturation ceiling in-place, so the
+    // top-k stays exact — degraded pruning, never a wrong answer
+    val rnd = new scala.util.Random(207)
+    val c = (1L to 60L).map { id =>
+      id -> Seq.fill(6)(s"tok${20 / (rnd.nextInt(20) + 1)}").mkString(" ")
+    }.toDF("doc_id", "text")
+    val qs = (300L to 305L).map { id =>
+      id -> Seq.fill(4)(s"tok${20 / (rnd.nextInt(20) + 1)}").mkString(" ")
+    }.toDF("query_id", "text")
+    val (tf, dfT, st) = indexTriple(c)
+    val partial = Retrieval.impactStats(tf)
+      .filter(length(col("word")) % 2 === 0).localCheckpoint()
+    val unpruned = topkSet(Retrieval.bm25TopK(
+      Retrieval.bm25ScoresPrecomputed(tf, dfT, st, qs,
+        "query_id", "text"), 5))
+    for (hotDf <- Seq(0L, 5L, 20L))
+      assert(topkSet(Retrieval.bm25TopKWand(tf, qs, "query_id", "text",
+        k = 5, hotDf = hotDf, dfStats = Some((dfT, st)),
+        impact = Some(partial))) === unpruned, s"hotDf=$hotDf")
+  }
+
   test("WAND first pass reproduces the unpruned RM3 expansion bitwise") {
     val rnd = new scala.util.Random(77)
     val c = (1L to 60L).map { id =>
