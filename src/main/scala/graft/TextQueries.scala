@@ -1072,6 +1072,66 @@ private[graft] object TextQueries {
           round(col("theta"), 6).as("theta"), col("safe"))
         .orderBy("query_id")
     }),
+    // the trec_eval battery over the Zipf fixture: run = the
+    // score-CHANGING stop-term prune's top-5 (q197's setup), qrels =
+    // the exact top-10 graded by rank (grade = 11 − rank) — P@5,
+    // recall@5, RR, AP@5, and graded nDCG@5 per query, every fold and
+    // the ideal re-ranking replayed from first principles. The
+    // hot-only query slice returns NOTHING under the prune and must
+    // come back all-zeros (the judged-but-empty-run convention)
+    "q206_ranking_metrics" -> ((s, dir) => {
+      import graft.operators.{IrEval, Retrieval}
+      val (tf, qs, hotCut) = zipfWandFixture(s, dir)
+      val dfT = Retrieval.dfTable(tf).localCheckpoint()
+      val st = Retrieval.corpusStats(tf).localCheckpoint()
+      val run = Retrieval.bm25TopK(
+        Retrieval.bm25ScoresPrecomputed(tf, dfT, st, qs,
+          "query_id", "text", maxDocFrequency = Some(hotCut)), 5)
+        .select("queryId", "docId", "rank")
+        .localCheckpoint() // result-sized; rankingMetrics' contract
+      val qrels = Retrieval.bm25TopK(
+        Retrieval.bm25ScoresPrecomputed(tf, dfT, st, qs,
+          "query_id", "text"), 10)
+        .select(col("queryId"), col("docId"),
+          (lit(11L) - col("rank")).as("grade"))
+        .localCheckpoint() // consumed 3x inside rankingMetrics
+      IrEval.rankingMetrics(run, qrels, k = 5)
+        .select(col("queryId").as("query_id"), col("n_rel"),
+          col("n_ret_rel"),
+          round(col("p_at_k"), 6).as("p_at_k"),
+          round(col("recall_at_k"), 6).as("recall_at_k"),
+          round(col("rr"), 6).as("rr"),
+          round(col("ap"), 6).as("ap"),
+          round(col("ndcg"), 6).as("ndcg"))
+        .orderBy("query_id")
+    }),
+    // ...and the macro means (the trec_eval "all" line): rr averaged
+    // IS MRR, ap averaged IS MAP — one row, queryId-sorted folds
+    "q207_ranking_metrics_mean" -> ((s, dir) => {
+      import graft.operators.{IrEval, Retrieval}
+      val (tf, qs, hotCut) = zipfWandFixture(s, dir)
+      val dfT = Retrieval.dfTable(tf).localCheckpoint()
+      val st = Retrieval.corpusStats(tf).localCheckpoint()
+      val run = Retrieval.bm25TopK(
+        Retrieval.bm25ScoresPrecomputed(tf, dfT, st, qs,
+          "query_id", "text", maxDocFrequency = Some(hotCut)), 5)
+        .select("queryId", "docId", "rank")
+        .localCheckpoint()
+      val qrels = Retrieval.bm25TopK(
+        Retrieval.bm25ScoresPrecomputed(tf, dfT, st, qs,
+          "query_id", "text"), 10)
+        .select(col("queryId"), col("docId"),
+          (lit(11L) - col("rank")).as("grade"))
+        .localCheckpoint()
+      IrEval.meanRankingMetrics(
+        IrEval.rankingMetrics(run, qrels, k = 5))
+        .select(col("n_queries"),
+          round(col("mean_p_at_k"), 6).as("mean_p_at_k"),
+          round(col("mean_recall_at_k"), 6).as("mean_recall_at_k"),
+          round(col("mrr"), 6).as("mrr"),
+          round(col("map"), 6).as("map"),
+          round(col("mean_ndcg"), 6).as("mean_ndcg"))
+    }),
     // the production hybrid pairing (q181 fused BM25 with exact
     // Jaccard; this fuses it with the IVFADC ANN stack): BM25 top-10
     // over short queries + residual-IVFADC top-10 over the same query
@@ -1221,6 +1281,97 @@ private[graft] object TextQueries {
        |  THEN ${zipfTextSql("doc_id", 4, 2000, "zq", 2000)}
        |  ELSE ${zipfTextSql("doc_id", 4, 2000, "zq", 2000)} || ' ' ||
        |    ${zipfTextSql("doc_id", 2, 14, "zt", 2000)} END""".stripMargin
+
+  /** The ranking-metrics replay shared by q206/q207 (downstream of
+    * [[bm25Cte]]'s `bscores`/`qterms`/`dft`/`stats`/`tfv`/`lens` over
+    * the Zipf fixture): the pruned run (q197's penr/pcon/psc chain),
+    * graded qrels (exact top-10, grade = 11 − rank), and the
+    * trec_eval arithmetic — running prec@r, rank-ordered DCG/AP
+    * folds, the ideal re-ranking for IDCG. Emits `met` (per-query
+    * UNROUNDED metrics); the two gates round/aggregate it.
+    */
+  private lazy val RankingMetricsCtes =
+    s"""hotcut AS (SELECT count(*) // 10 AS cut FROM corpus),
+       |penr AS (
+       |  SELECT query_id, word, avgdl,
+       |    ln(1.0 + (n_docs - CAST(df AS DOUBLE) + 0.5)
+       |             / (CAST(df AS DOUBLE) + 0.5)) AS idf
+       |  FROM qterms JOIN dft USING (word) CROSS JOIN stats
+       |  CROSS JOIN hotcut
+       |  WHERE df <= cut),
+       |pcon AS (
+       |  SELECT query_id, t.doc_id, t.word,
+       |    idf * (CAST(t.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
+       |      / (CAST(t.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+       |         (1.0 - CAST(0.75 AS DOUBLE) +
+       |          CAST(0.75 AS DOUBLE) * CAST(l.dl AS DOUBLE) / avgdl))
+       |      AS c
+       |  FROM tfv t JOIN penr e ON e.word = t.word
+       |  JOIN lens l ON l.doc_id = t.doc_id),
+       |psc AS (
+       |  SELECT query_id, doc_id,
+       |    list_reduce(list(c ORDER BY word), (a, x) -> a + x) AS score
+       |  FROM pcon GROUP BY 1, 2),
+       |run AS (
+       |  SELECT query_id, doc_id, CAST(r AS BIGINT) AS rank FROM (
+       |    SELECT query_id, doc_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY score DESC, doc_id) AS r
+       |    FROM psc) x WHERE r <= 5),
+       |qrels AS (
+       |  SELECT query_id, doc_id, CAST(11 - r AS DOUBLE) AS grade FROM (
+       |    SELECT query_id, doc_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY score DESC, doc_id) AS r
+       |    FROM bscores) y WHERE r <= 10),
+       |nrel AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+       |         FROM qrels GROUP BY 1),
+       |hc AS (
+       |  SELECT query_id, rank, grade,
+       |    sum(CASE WHEN grade > 0 THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY query_id ORDER BY rank) AS nrelr
+       |  FROM (
+       |    SELECT r.query_id, r.rank, coalesce(q.grade, 0.0) AS grade
+       |    FROM run r LEFT JOIN qrels q USING (query_id, doc_id))),
+       |perq AS (
+       |  SELECT query_id,
+       |    CAST(sum(CASE WHEN grade > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_ret_rel,
+       |    list_reduce(list_prepend(0.0, list(
+       |      CASE WHEN grade > 0
+       |        THEN CAST(nrelr AS DOUBLE) / CAST(rank AS DOUBLE)
+       |        ELSE 0.0 END ORDER BY rank)), (a, x) -> a + x) AS psum,
+       |    list_reduce(list_prepend(0.0, list(
+       |      (power(2.0, grade) - 1.0)
+       |        / (ln(CAST(rank + 1 AS DOUBLE)) / ln(2.0))
+       |      ORDER BY rank)), (a, x) -> a + x) AS dcgs,
+       |    min(CASE WHEN grade > 0 THEN rank END) AS frr
+       |  FROM hc GROUP BY 1),
+       |ideal AS (
+       |  SELECT query_id, grade,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY grade DESC, doc_id) AS i
+       |  FROM qrels),
+       |idcgt AS (
+       |  SELECT query_id,
+       |    list_reduce(list_prepend(0.0, list(
+       |      (power(2.0, grade) - 1.0)
+       |        / (ln(CAST(i + 1 AS DOUBLE)) / ln(2.0)) ORDER BY i)),
+       |      (a, x) -> a + x) AS idcg
+       |  FROM ideal WHERE i <= 5 GROUP BY 1),
+       |met AS (
+       |  SELECT n.query_id, n_rel,
+       |    CAST(coalesce(n_ret_rel, 0) AS BIGINT) AS n_ret_rel,
+       |    CAST(coalesce(n_ret_rel, 0) AS DOUBLE) / 5.0 AS p_at_k,
+       |    CAST(coalesce(n_ret_rel, 0) AS DOUBLE) / CAST(n_rel AS DOUBLE)
+       |      AS recall_at_k,
+       |    CASE WHEN frr IS NULL THEN 0.0
+       |         ELSE 1.0 / CAST(frr AS DOUBLE) END AS rr,
+       |    coalesce(psum, 0.0) / CAST(n_rel AS DOUBLE) AS ap,
+       |    coalesce(dcgs, 0.0) / idcg AS ndcg
+       |  FROM nrel n
+       |  LEFT JOIN perq USING (query_id)
+       |  LEFT JOIN idcgt USING (query_id))""".stripMargin
 
   /** The RM3 expansion chain replayed in SQL, downstream of
     * [[bm25Cte]]'s `bscores`/`tfv`/`lens`/`qterms` (shared by
@@ -2892,6 +3043,44 @@ private[graft] object TextQueries {
          |LEFT JOIN ubt USING (query_id)
          |LEFT JOIN th USING (query_id)
          |ORDER BY query_id""".stripMargin,
+
+    // the pruned run and the graded qrels replayed (q197's chains),
+    // then every trec_eval number from first principles — running
+    // prec@r, rank-ordered DCG/AP folds, the ideal re-ranking
+    "q206_ranking_metrics" ->
+      s"""WITH ${bm25Cte("TRUE", "doc_id % 50 = 0",
+             ZipfWandQueryTextSql, ZipfWandCorpusTextSql)},
+         |$RankingMetricsCtes
+         |SELECT query_id, n_rel, n_ret_rel,
+         |  round(p_at_k, 6) AS p_at_k,
+         |  round(recall_at_k, 6) AS recall_at_k,
+         |  round(rr, 6) AS rr, round(ap, 6) AS ap,
+         |  round(ndcg, 6) AS ndcg
+         |FROM met ORDER BY query_id""".stripMargin,
+
+    // the same per-query table macro-averaged (queryId-ordered folds):
+    // the trec_eval "all" line — rr averaged is MRR, ap averaged MAP
+    "q207_ranking_metrics_mean" ->
+      s"""WITH ${bm25Cte("TRUE", "doc_id % 50 = 0",
+             ZipfWandQueryTextSql, ZipfWandCorpusTextSql)},
+         |$RankingMetricsCtes
+         |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         |  round(list_reduce(list_prepend(0.0,
+         |    list(p_at_k ORDER BY query_id)), (a, x) -> a + x)
+         |    / CAST(count(*) AS DOUBLE), 6) AS mean_p_at_k,
+         |  round(list_reduce(list_prepend(0.0,
+         |    list(recall_at_k ORDER BY query_id)), (a, x) -> a + x)
+         |    / CAST(count(*) AS DOUBLE), 6) AS mean_recall_at_k,
+         |  round(list_reduce(list_prepend(0.0,
+         |    list(rr ORDER BY query_id)), (a, x) -> a + x)
+         |    / CAST(count(*) AS DOUBLE), 6) AS mrr,
+         |  round(list_reduce(list_prepend(0.0,
+         |    list(ap ORDER BY query_id)), (a, x) -> a + x)
+         |    / CAST(count(*) AS DOUBLE), 6) AS map,
+         |  round(list_reduce(list_prepend(0.0,
+         |    list(ndcg ORDER BY query_id)), (a, x) -> a + x)
+         |    / CAST(count(*) AS DOUBLE), 6) AS mean_ndcg
+         |FROM met""".stripMargin,
 
     // THE FULL-CORPUS REBUILD (q180's oracle verbatim): the compacted
     // (tf, df, stats) triple must probe indistinguishably from an index

@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Ranking-quality evaluation — the trec_eval battery re-expressed
+  * relationally, the lexical/hybrid mirror of [[Knn.recallAtK]]: given
+  * a RUN (a ranking a retrieval operator produced) and graded QRELS
+  * (relevance judgments), the per-query metrics that tune every knob
+  * in the retrieval stack (`hotDf`, `maxDocFrequency`, RM3's
+  * k/m/λ, fusion weights) against result QUALITY rather than
+  * wall-clock. q206 gates the per-query table and q207 the macro
+  * means against a from-first-principles DuckDB replay.
+  *
+  * Scale shape: runs and qrels are RESULT-sized (queries × k and
+  * queries × judged-docs) — every join, window, and fold here is over
+  * result-set-sized tables, so evaluation cost is independent of the
+  * corpus. The folds are rank-/position-sorted (the repo's
+  * bit-reproducibility convention), so the metric doubles replay
+  * exactly at any partitioning.
+  */
+object IrEval {
+
+  /** Per-query ranking metrics at cutoff `k` — the trec_eval set:
+    * `(queryId, n_rel, n_ret_rel, p_at_k, recall_at_k, rr, ap, ndcg)`.
+    *
+    * Inputs: `run` = `(queryId, docId, rank)` ([[Retrieval.bm25TopK]]'s
+    * shape; repeated (queryId, docId) rows are defensively collapsed
+    * to `min(rank)`, the [[Retrieval.rrfFuse]] convention); `qrels` =
+    * `(queryId, docId, grade)` with integer grades, `grade > 0` =
+    * relevant (graded grades feed nDCG; binary qrels just use 1).
+    *
+    * Conventions (trec_eval's):
+    *   - the query universe is the queries with ≥ 1 RELEVANT qrel —
+    *     a judged query the run returned nothing for scores 0 across
+    *     the board (it stays a row); run-only queries are dropped
+    *     (nothing is judged, nothing can be scored);
+    *   - `p_at_k` divides by `k` (not by rows returned — returning
+    *     fewer than k docs forfeits the missing precision mass);
+    *   - `recall_at_k = n_ret_rel / n_rel`;
+    *   - `rr` = 1/rank of the FIRST relevant hit within the top k,
+    *     0 with none (MRR@k when averaged);
+    *   - `ap` = Σ_{relevant hits at rank r ≤ k} (rel hits ranked ≤ r)/r,
+    *     divided by `n_rel` (AP@k; MAP when averaged);
+    *   - `ndcg` = DCG@k / IDCG@k with the exponential gain
+    *     `(2^grade − 1)/log2(rank + 1)` (the Burges/trec_eval form);
+    *     IDCG re-ranks the query's own judged grades descending, so
+    *     ndcg = 1 iff the run leads with an ideal ordering. Unjudged
+    *     retrieved docs gain 0 (grade coalesces to 0) — the standard
+    *     incomplete-judgments treatment.
+    *
+    * Every Σ folds sorted (rank order for DCG/AP, ideal position for
+    * IDCG); `log2` is written `ln(x)/ln(2)` so the oracle replays the
+    * identical tree. `qrels` is consumed 3× (universe, hit join, ideal
+    * ranking) and `run` once — pass MATERIALIZED result-sized tables
+    * (a `localCheckpoint()`ed top-k), never lazy scoring chains, or
+    * the chain re-runs per consumer (the measured linearFuse bug
+    * class).
+    */
+  def rankingMetrics(run: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k > 0: $k")
+    val rel = qrels.filter(col("grade") > 0)
+      .select(col("queryId"), col("docId"),
+        col("grade").cast("double").as("grade"))
+    val nRel = rel.groupBy("queryId").agg(count(lit(1)).as("n_rel"))
+    val runK = run.groupBy(col("queryId"), col("docId"))
+      .agg(min(col("rank")).cast("long").as("rank"))
+      .filter(col("rank") <= k)
+    val hits = runK.join(rel, Seq("queryId", "docId"), "left_outer")
+      .select(col("queryId"), col("rank"),
+        coalesce(col("grade"), lit(0.0)).as("grade"))
+    // running count of relevant hits up to each rank — AP's prec@r
+    val wRun = Window.partitionBy(col("queryId")).orderBy(col("rank"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val contrib = hits
+      .withColumn("__nrelr",
+        sum(when(col("grade") > 0, 1L).otherwise(0L)).over(wRun))
+      .select(col("queryId"), col("rank"), col("grade"),
+        when(col("grade") > 0,
+          col("__nrelr").cast("double") / col("rank").cast("double"))
+          .otherwise(lit(0.0)).as("__prec"),
+        ((pow(lit(2.0), col("grade")) - lit(1.0)) /
+          (log((col("rank") + lit(1L)).cast("double")) / log(lit(2.0))))
+          .as("__dcg"),
+        when(col("grade") > 0, col("rank")).as("__relrank"))
+    val perQ = contrib.groupBy("queryId").agg(
+      sum(when(col("grade") > 0, 1L).otherwise(0L)).as("n_ret_rel"),
+      aggregate(sort_array(collect_list(struct(col("rank"), col("__prec")))),
+        lit(0.0), (a, x) => a + x.getField("__prec")).as("__psum"),
+      aggregate(sort_array(collect_list(struct(col("rank"), col("__dcg")))),
+        lit(0.0), (a, x) => a + x.getField("__dcg")).as("__dcgs"),
+      min(col("__relrank")).as("__frr"))
+    // ideal DCG: the query's own judged grades, best-first (grade
+    // desc, docId ties — the VALUE is tie-invariant, the fold order
+    // deterministic), cut at k
+    val wIdeal = Window.partitionBy(col("queryId"))
+      .orderBy(col("grade").desc, col("docId").asc)
+    val idcg = rel.withColumn("__i", row_number().over(wIdeal))
+      .filter(col("__i") <= k)
+      .select(col("queryId"), col("__i"),
+        ((pow(lit(2.0), col("grade")) - lit(1.0)) /
+          (log((col("__i") + lit(1)).cast("double")) / log(lit(2.0))))
+          .as("__ic"))
+      .groupBy("queryId")
+      .agg(aggregate(sort_array(collect_list(struct(col("__i"), col("__ic")))),
+        lit(0.0), (a, x) => a + x.getField("__ic")).as("__idcg"))
+    nRel
+      .join(perQ, Seq("queryId"), "left_outer")
+      .join(idcg, Seq("queryId"), "left_outer")
+      .select(col("queryId"), col("n_rel"),
+        coalesce(col("n_ret_rel"), lit(0L)).as("n_ret_rel"),
+        (coalesce(col("n_ret_rel"), lit(0L)).cast("double") /
+          lit(k.toDouble)).as("p_at_k"),
+        (coalesce(col("n_ret_rel"), lit(0L)).cast("double") /
+          col("n_rel").cast("double")).as("recall_at_k"),
+        coalesce(lit(1.0) / col("__frr").cast("double"), lit(0.0)).as("rr"),
+        (coalesce(col("__psum"), lit(0.0)) / col("n_rel").cast("double"))
+          .as("ap"),
+        (coalesce(col("__dcgs"), lit(0.0)) / col("__idcg")).as("ndcg"))
+  }
+
+  /** Macro averages of a [[rankingMetrics]] table — ONE row
+    * `(n_queries, mean_p_at_k, mean_recall_at_k, mrr, map, mean_ndcg)`:
+    * every query weighs equally (the trec_eval "all" line; `rr`
+    * averaged IS MRR, `ap` averaged IS MAP). Folds are queryId-sorted
+    * so the means replay bitwise; the input is per-query (result-
+    * sized), so this is driver-cheap at any corpus scale.
+    */
+  def meanRankingMetrics(metrics: DataFrame): DataFrame = {
+    def meanOf(c: String) =
+      (aggregate(
+        sort_array(collect_list(struct(col("queryId"), col(c).as("__v")))),
+        lit(0.0), (a, x) => a + x.getField("__v")) /
+        count(lit(1)).cast("double")).as(s"mean_$c")
+    metrics.groupBy().agg(
+      count(lit(1)).as("n_queries"),
+      meanOf("p_at_k"), meanOf("recall_at_k"),
+      meanOf("rr"), meanOf("ap"), meanOf("ndcg"))
+      .withColumnRenamed("mean_rr", "mrr")
+      .withColumnRenamed("mean_ap", "map")
+  }
+}

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.IrEval
+
+/** [[graft.operators.IrEval]] — trec_eval semantics on hand-checkable
+  * fixtures: the metric arithmetic, the judged-universe convention,
+  * cutoff behavior, and the defensive input collapses.
+  */
+class IrEvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(rows: (Long, Long, Int)*): DataFrame =
+    rows.toDF("queryId", "docId", "rank")
+
+  private def qrels(rows: (Long, Long, Int)*): DataFrame =
+    rows.toDF("queryId", "docId", "grade")
+
+  private def metrics(r: DataFrame, q: DataFrame, k: Int)
+      : Map[Long, (Long, Long, Double, Double, Double, Double, Double)] =
+    IrEval.rankingMetrics(r, q, k).collect().map { row =>
+      row.getLong(0) -> ((row.getLong(1), row.getLong(2), row.getDouble(3),
+        row.getDouble(4), row.getDouble(5), row.getDouble(6),
+        row.getDouble(7)))
+    }.toMap
+
+  private def log2(x: Double): Double = math.log(x) / math.log(2.0)
+
+  test("metrics match the hand-derived trec_eval numbers") {
+    // query 1: judged docs 10(g3) 11(g2) 12(g1); run returns
+    // 10@1 (rel), 99@2 (unjudged), 11@3 (rel), 98@4, 97@5
+    val m = metrics(
+      run((1L, 10L, 1), (1L, 99L, 2), (1L, 11L, 3), (1L, 98L, 4),
+        (1L, 97L, 5)),
+      qrels((1L, 10L, 3), (1L, 11L, 2), (1L, 12L, 1)), k = 5)
+    val (nRel, nRetRel, p, rec, rr, ap, ndcg) = m(1L)
+    assert(nRel === 3L && nRetRel === 2L)
+    assert(p === 2.0 / 5.0)
+    assert(rec === 2.0 / 3.0)
+    assert(rr === 1.0)
+    // AP: rel hits at ranks 1 (prec 1/1) and 3 (prec 2/3), / n_rel
+    assert(math.abs(ap - (1.0 + 2.0 / 3.0) / 3.0) < 1e-12)
+    val dcg = (math.pow(2, 3) - 1) / log2(2.0) +
+      (math.pow(2, 2) - 1) / log2(4.0)
+    val idcg = (math.pow(2, 3) - 1) / log2(2.0) +
+      (math.pow(2, 2) - 1) / log2(3.0) +
+      (math.pow(2, 1) - 1) / log2(4.0)
+    assert(math.abs(ndcg - dcg / idcg) < 1e-12)
+  }
+
+  test("an ideally-ordered run scores ndcg = 1 and ap = 1") {
+    val m = metrics(
+      run((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3)),
+      qrels((1L, 10L, 3), (1L, 11L, 2), (1L, 12L, 1)), k = 3)
+    val (_, _, _, rec, rr, ap, ndcg) = m(1L)
+    assert(rec === 1.0 && rr === 1.0)
+    assert(math.abs(ap - 1.0) < 1e-12)
+    assert(math.abs(ndcg - 1.0) < 1e-12)
+  }
+
+  test("judged queries missing from the run score zero, run-only drop") {
+    val m = metrics(
+      run((2L, 50L, 1)), // query 2 unjudged -> dropped
+      qrels((1L, 10L, 1)), k = 5)
+    assert(m.keySet === Set(1L))
+    assert(m(1L) === ((1L, 0L, 0.0, 0.0, 0.0, 0.0, 0.0)))
+  }
+
+  test("the cutoff ignores hits beyond k on both sides") {
+    // rel doc at rank 6 is outside k = 5: no credit anywhere; IDCG
+    // also truncates at k (4 judged docs, k = 3 ideal positions)
+    val m = metrics(
+      run((1L, 10L, 1), (1L, 11L, 6)),
+      qrels((1L, 10L, 2), (1L, 11L, 2), (1L, 12L, 1), (1L, 13L, 1)),
+      k = 3)
+    val (_, nRetRel, p, rec, _, ap, ndcg) = m(1L)
+    assert(nRetRel === 1L)
+    assert(p === 1.0 / 3.0 && rec === 1.0 / 4.0)
+    assert(math.abs(ap - (1.0 / 4.0)) < 1e-12)
+    val dcg = (math.pow(2, 2) - 1) / log2(2.0)
+    val idcg = (math.pow(2, 2) - 1) / log2(2.0) +
+      (math.pow(2, 2) - 1) / log2(3.0) +
+      (math.pow(2, 1) - 1) / log2(4.0)
+    assert(math.abs(ndcg - dcg / idcg) < 1e-12)
+  }
+
+  test("duplicate run rows collapse to min rank; grade-0 qrels ignored") {
+    val m = metrics(
+      run((1L, 10L, 4), (1L, 10L, 2), (1L, 11L, 1)),
+      qrels((1L, 10L, 1), (1L, 11L, 0), (1L, 12L, 1)), k = 5)
+    val (nRel, nRetRel, _, _, rr, _, _) = m(1L)
+    assert(nRel === 2L) // the grade-0 judgment is not relevant
+    assert(nRetRel === 1L)
+    assert(rr === 0.5) // doc 10 at its min rank 2; doc 11 irrelevant
+  }
+
+  test("macro means average every query equally") {
+    val per = IrEval.rankingMetrics(
+      run((1L, 10L, 1), (2L, 99L, 1)),
+      qrels((1L, 10L, 1), (2L, 20L, 1)), k = 1)
+    val m = IrEval.meanRankingMetrics(per).collect().head
+    assert(m.getLong(0) === 2L)
+    // query 1 is perfect, query 2 scores zero on every metric
+    for (i <- 1 to 5)
+      assert(math.abs(m.getDouble(i) - 0.5) < 1e-12, s"col $i")
+  }
+}
