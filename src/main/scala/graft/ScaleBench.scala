@@ -254,7 +254,8 @@ object ScaleBench {
         "pos_compact_index_10x", "pos_rebuild_index_10x",
         "pos_compact_deleted_10x", "retrieval_ingest_loop_10x",
         "ql_dirichlet_topk_10x", "snippet_windows_10x",
-        "bm25_conjunctive_topk_10x", "bm25f_topk_10x", "passage_maxp_topk_10x",
+        "bm25_conjunctive_topk_10x", "bm25_fuzzy_topk_10x",
+        "bm25f_topk_10x", "passage_maxp_topk_10x",
         "rm3_rescore_10x", "rm3_rescore_wand_10x",
         "rm3_rescore_capped_10x")
       round <- Seq("cold", "warm")
@@ -272,7 +273,7 @@ object ScaleBench {
       locally {
         for (t <- Seq("sb_bm25_tf", "sb_bm25_fwd", "sb_bm25_df",
           "sb_bm25_stats", "sb_bm25_pos", "sb_bm25_cf",
-          "sb_bm25_imp")) {
+          "sb_bm25_imp", "sb_bm25_var")) {
           spark.sql(s"DROP TABLE IF EXISTS $t")
           val p = new org.apache.hadoop.fs.Path(
             spark.conf.get("spark.sql.warehouse.dir"), t)
@@ -303,6 +304,13 @@ object ScaleBench {
         // batches in, deletions leave it conservatively valid)
         graft.operators.Retrieval.impactStats(tf)
           .write.mode("overwrite").saveAsTable("sb_bm25_imp")
+        // the fuzzy probe's deletion-neighborhood layout (vocab-sized
+        // × avg word length, corpus-independent) — variant-bucketed so
+        // a query batch's fuzzy equi-join is exchange-free
+        graft.operators.Fuzzy.deletionVariants(
+          graft.operators.Retrieval.dfTable(tf))
+          .write.bucketBy(32, "variant").sortBy("variant")
+          .mode("overwrite").saveAsTable("sb_bm25_var")
         // the positional layout (phrase probes) — its own tokenizer
         // pass: positions come from the occurrence stream, which the
         // per-(doc, word) tf rows no longer carry
@@ -364,6 +372,25 @@ object ScaleBench {
             dfStats = Some((spark.table("sb_bm25_df"),
               spark.table("sb_bm25_stats"))),
             impact = Some(spark.table("sb_bm25_imp")))
+            .count())
+        }
+        // typo-tolerant retrieval (q209's gate): 2 of each query's 6
+        // terms are OOV misspellings — the OOV split, the fuzzy
+        // correction through the persisted variant layout, and the
+        // corrected-term scoring, all in one plan
+        time(s"bm25_fuzzy_topk_10x $round") {
+          println("  topk_rows=" + graft.operators.Fuzzy.bm25TopKFuzzy(
+            spark.table("sb_bm25_tf"), spark.table("sb_bm25_df"),
+            spark.table("sb_bm25_stats"),
+            spark.range(50000).filter(col("id") % 499 === 0)
+              .select(col("id").as("query_id"),
+                concat_ws(" ",
+                  (0 to 3).map(j => zipfTok(lit(j), 20000)) ++
+                    (4 to 5).map(j =>
+                      concat(zipfTok(lit(j), 140), lit("x"))): _*)
+                  .as("text")),
+            "query_id", "text", k = 5, bitExact = false,
+            vocabVariants = Some(spark.table("sb_bm25_var")))
             .count())
         }
         // fold a 10k-doc micro-batch into the persisted 50k index

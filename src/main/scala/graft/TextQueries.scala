@@ -1132,6 +1132,64 @@ private[graft] object TextQueries {
           round(col("map"), 6).as("map"),
           round(col("mean_ndcg"), 6).as("mean_ndcg"))
     }),
+    // SymSpell fuzzy term matching: every vocabulary word within edit
+    // distance 1 of each (deterministically misspelled) query term,
+    // ranked dist asc / df desc / word. The operator is the
+    // deletion-neighborhood EQUI-join + levenshtein verify; the oracle
+    // is a brute-force cross join + levenshtein — two INDEPENDENT
+    // formulations of the same semantics, so a completeness hole in
+    // the neighborhood join (a missed ed-1 pair) fails rows here
+    "q208_fuzzy_term_match" -> ((s, dir) => {
+      import graft.operators.{Fuzzy, Retrieval}
+      val docs = t(s, dir, "documents")
+      val tf = Retrieval.termFrequencies(docs, "doc_id", "text")
+        .localCheckpoint() // see q179
+      val vocab = Retrieval.dfTable(tf).localCheckpoint()
+      // the misspelling: word 3 of the doc with its 2nd char dropped
+      val qs = docs.where(col("doc_id") % 103 === 0)
+        .select(col("doc_id").as("queryId"),
+          concat_ws("",
+            slice(TextFunctions.normalizedWords(col("text")), 3, 1))
+            .as("__w"))
+        .filter(length(col("__w")) >= 3)
+        .select(col("queryId"),
+          concat(col("__w").substr(lit(1), lit(1)),
+            col("__w").substr(lit(3), length(col("__w")))).as("word"))
+      Fuzzy.fuzzyMatchTerms(vocab, qs)
+        .select(col("queryId").as("query_id"), col("word"), col("match"),
+          col("df"), col("dist"), col("rank"))
+        .orderBy("query_id", "word", "rank")
+    }),
+    // ...and typo-tolerant retrieval: a 3-word query (words 2..4 of
+    // the doc) whose FIRST word is misspelled — OOV terms replaced by
+    // their best fuzzy match (df-ranked), in-vocab terms verbatim,
+    // then the ordinary scoring chain over the corrected term table.
+    // The oracle replays the OOV split, the brute-force best
+    // correction, the collision-deduped union, and the scoring tree
+    "q209_bm25_fuzzy_topk" -> ((s, dir) => {
+      import graft.operators.{Fuzzy, Retrieval}
+      val docs = t(s, dir, "documents")
+      val tf = Retrieval.termFrequencies(docs, "doc_id", "text")
+        .localCheckpoint() // see q179
+      val dfT = Retrieval.dfTable(tf).localCheckpoint()
+      val st = Retrieval.corpusStats(tf).localCheckpoint()
+      val ws = TextFunctions.normalizedWords(col("text"))
+      val qs = docs.where(col("doc_id") % 101 === 0)
+        .select(col("doc_id").as("query_id"),
+          concat_ws("", slice(ws, 2, 1)).as("__w2"),
+          concat_ws("", slice(ws, 3, 1)).as("__w3"),
+          concat_ws("", slice(ws, 4, 1)).as("__w4"))
+        .filter(length(col("__w2")) >= 3 && length(col("__w4")) > 0)
+        .select(col("query_id"), concat_ws(" ",
+          concat(col("__w2").substr(lit(1), lit(1)),
+            col("__w2").substr(lit(3), length(col("__w2")))),
+          col("__w3"), col("__w4")).as("text"))
+      Fuzzy.bm25TopKFuzzy(tf, dfT, st, qs, "query_id", "text", k = 5)
+        .select(col("queryId").as("query_id"), col("docId").as("doc_id"),
+          round(col("score"), 6).as("score"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
     // the production hybrid pairing (q181 fused BM25 with exact
     // Jaccard; this fuses it with the IVFADC ANN stack): BM25 top-10
     // over short queries + residual-IVFADC top-10 over the same query
@@ -3081,6 +3139,112 @@ private[graft] object TextQueries {
          |    list(ndcg ORDER BY query_id)), (a, x) -> a + x)
          |    / CAST(count(*) AS DOUBLE), 6) AS mean_ndcg
          |FROM met""".stripMargin,
+
+    // the INDEPENDENT fuzzy formulation: brute-force query-term ×
+    // vocabulary cross join + levenshtein <= 1, ranked dist / df desc
+    // / word — the operator's deletion-neighborhood equi-join must
+    // reproduce it row for row (completeness AND the verify filter)
+    "q208_fuzzy_term_match" ->
+      s"""WITH $LiveWordsCte,
+         |vocab AS (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS df
+         |  FROM (SELECT DISTINCT doc_id, word
+         |        FROM (SELECT doc_id, unnest(w) AS word FROM ws))
+         |  GROUP BY 1),
+         |qterms AS (
+         |  SELECT doc_id AS query_id,
+         |    substr(w[3], 1, 1) || substr(w[3], 3) AS word
+         |  FROM ws
+         |  WHERE doc_id % 103 = 0 AND len(w) >= 3
+         |    AND length(w[3]) >= 3),
+         |cand AS (
+         |  SELECT q.query_id, q.word, v.word AS match, v.df,
+         |    CAST(levenshtein(q.word, v.word) AS BIGINT) AS dist
+         |  FROM qterms q, vocab v
+         |  WHERE levenshtein(q.word, v.word) <= 1),
+         |ranked AS (
+         |  SELECT query_id, word, match, df, dist,
+         |    row_number() OVER (PARTITION BY query_id, word
+         |      ORDER BY dist, df DESC, match) AS r
+         |  FROM cand)
+         |SELECT query_id, word, match, df, dist, CAST(r AS BIGINT) AS rank
+         |FROM ranked ORDER BY query_id, word, rank""".stripMargin,
+
+    // typo-tolerant retrieval replayed end to end: the OOV split
+    // against the df table, the brute-force best correction (df desc,
+    // word ties — every OOV candidate is dist 1 by construction), the
+    // collision-deduped union with the verbatim in-vocab terms, then
+    // the exact scoring tree over the corrected term table
+    "q209_bm25_fuzzy_topk" ->
+      s"""WITH $LiveWordsCte,
+         |tfv AS (
+         |  SELECT doc_id, word, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(w) AS word FROM ws)
+         |  GROUP BY 1, 2),
+         |lens AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM ws),
+         |stats AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+         |  FROM lens),
+         |dft AS (SELECT word, count(*) AS df FROM tfv GROUP BY 1),
+         |qraw AS (
+         |  SELECT doc_id AS query_id,
+         |    substr(w[2], 1, 1) || substr(w[2], 3) AS m2,
+         |    w[3] AS m3, w[4] AS m4
+         |  FROM ws
+         |  WHERE doc_id % 101 = 0 AND len(w) >= 4
+         |    AND length(w[2]) >= 3),
+         |qterms AS (
+         |  SELECT DISTINCT query_id, word FROM (
+         |    SELECT query_id, unnest([m2, m3, m4]) AS word FROM qraw)),
+         |oov AS (
+         |  SELECT query_id, word FROM qterms
+         |  WHERE word NOT IN (SELECT word FROM dft)),
+         |inv AS (
+         |  SELECT query_id, word FROM qterms
+         |  WHERE word IN (SELECT word FROM dft)),
+         |fcand AS (
+         |  SELECT o.query_id, o.word, d.word AS cw, d.df
+         |  FROM oov o, dft d
+         |  WHERE levenshtein(o.word, d.word) <= 1),
+         |fbest AS (
+         |  SELECT query_id, cw AS word FROM (
+         |    SELECT query_id, word, cw,
+         |      row_number() OVER (PARTITION BY query_id, word
+         |        ORDER BY df DESC, cw) AS r
+         |    FROM fcand) x WHERE r = 1),
+         |cq AS (
+         |  SELECT DISTINCT query_id, word FROM (
+         |    SELECT query_id, word FROM inv
+         |    UNION ALL
+         |    SELECT query_id, word FROM fbest)),
+         |cenr AS (
+         |  SELECT query_id, word, avgdl,
+         |    ln(1.0 + (n_docs - CAST(df AS DOUBLE) + 0.5)
+         |             / (CAST(df AS DOUBLE) + 0.5)) AS idf
+         |  FROM cq JOIN dft USING (word) CROSS JOIN stats),
+         |ccon AS (
+         |  SELECT query_id, t.doc_id, t.word,
+         |    idf * (CAST(t.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
+         |      / (CAST(t.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+         |         (1.0 - CAST(0.75 AS DOUBLE) +
+         |          CAST(0.75 AS DOUBLE) * CAST(l.dl AS DOUBLE) / avgdl))
+         |      AS c
+         |  FROM tfv t JOIN cenr e ON e.word = t.word
+         |  JOIN lens l ON l.doc_id = t.doc_id),
+         |csc AS (
+         |  SELECT query_id, doc_id,
+         |    list_reduce(list(c ORDER BY word), (a, x) -> a + x) AS score
+         |  FROM ccon GROUP BY 1, 2)
+         |SELECT query_id, doc_id, round(score, 6) AS score,
+         |  CAST(rank AS BIGINT) AS rank
+         |FROM (
+         |  SELECT query_id, doc_id, score,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id) AS rank
+         |  FROM csc) z
+         |WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
 
     // THE FULL-CORPUS REBUILD (q180's oracle verbatim): the compacted
     // (tf, df, stats) triple must probe indistinguishably from an index

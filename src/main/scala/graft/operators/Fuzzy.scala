@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Fuzzy (edit-distance-1) term matching against an index vocabulary —
+  * the SymSpell formulation (Garbe's symmetric-delete algorithm; the
+  * `fuzzy~1` operator of a retrieval stack and the typo-tolerance
+  * layer of query understanding), re-expressed as an EQUI-join:
+  *
+  *   two words are within edit distance 1 iff their DELETION
+  *   neighborhoods intersect — `variants(x) = {x} ∪ {x minus one
+  *   character}` — because a deletion/insertion meets the other word
+  *   itself, and a substitution at position i meets at the shared
+  *   `delete_i` (ed-0 trivially intersects at the identity).
+  *
+  * So fuzzy lookup is: explode both sides into `(word, variant)` rows,
+  * equi-join ON VARIANT, verify the survivors with one `levenshtein`
+  * call per CANDIDATE pair — never query × vocabulary. The verify
+  * keeps the operator exact (the neighborhood join is complete for
+  * ed ≤ 1, proven by the case split above, and the filter removes the
+  * false positives longer deletes can introduce); q208 gates it
+  * against a brute-force cross-join + levenshtein DuckDB replay — two
+  * independent formulations of the same semantics.
+  *
+  * Scale shape: the vocabulary's variant table is `Σ (len+1)` rows —
+  * ~7× the vocabulary, corpus-INDEPENDENT — and persists
+  * `bucketBy(variant)` at ingest beside the df table, so a query
+  * batch's fuzzy probe is one exchange-free equi-join of a
+  * query-batch-sized variant table; candidates and the levenshtein
+  * verify are candidate-pair-sized. The df ranking reuses the
+  * [[Retrieval.dfTable]] layout — no new corpus pass anywhere.
+  */
+object Fuzzy {
+
+  /** The `(word, variant)` deletion neighborhood at edit distance 1:
+    * each word paired with itself and with every single-character
+    * deletion of itself (distinct — repeated characters collapse).
+    * Build it over an index vocabulary once and persist
+    * `bucketBy(variant)`; build it over a query batch's terms per
+    * probe (query-batch-sized). Length-1 words contribute the empty
+    * variant — that is correct, not an artifact: it is exactly how
+    * two length-1 words meet (any pair of single characters is one
+    * substitution apart).
+    */
+  def deletionVariants(words: DataFrame): DataFrame =
+    words.select(col("word"))
+      .select(col("word"), explode(concat(array(col("word")),
+        transform(sequence(lit(1), length(col("word"))),
+          i => concat(col("word").substr(lit(1), i - lit(1)),
+            col("word").substr(i + lit(1), length(col("word")))))))
+        .as("variant"))
+      .distinct()
+
+  /** Fuzzy vocabulary match of a `(queryId, word)` term table against
+    * a `(word, df)` vocabulary ([[Retrieval.dfTable]]'s layout):
+    * `(queryId, word, match, df, dist, rank)` — every vocabulary word
+    * within edit distance 1 of each query term, ranked per term by
+    * `dist` ascending (an exact hit always ranks first), then df
+    * DESCENDING (the SymSpell convention: the most frequent corpus
+    * word is the likeliest correction), then word for determinism.
+    * Terms with no neighbor are absent. The ranking depends only on
+    * the term's spelling, so it is computed once per DISTINCT term
+    * and re-attached to query ids.
+    */
+  def fuzzyMatchTerms(vocab: DataFrame, terms: DataFrame,
+                      vocabVariants: Option[DataFrame] = None)
+      : DataFrame = {
+    // the ingest layout: deletionVariants(vocab) persisted
+    // bucketBy(variant) — without it the vocabulary explodes per probe
+    val vv = vocabVariants.getOrElse(deletionVariants(vocab))
+      .withColumnRenamed("word", "match")
+    val qv = deletionVariants(terms.select("word").distinct())
+    val cand = qv.join(vv, Seq("variant"))
+      .select(col("word"), col("match")).distinct()
+      .withColumn("dist",
+        levenshtein(col("word"), col("match")).cast("long"))
+      .filter(col("dist") <= 1)
+    val w = Window.partitionBy(col("word"))
+      .orderBy(col("dist").asc, col("df").desc, col("match").asc)
+    val ranked = cand
+      .join(vocab.withColumnRenamed("word", "match"), Seq("match"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+    terms.join(ranked, Seq("word"))
+      .select(col("queryId"), col("word"), col("match"), col("df"),
+        col("dist"), col("rank"))
+  }
+
+  /** Typo-corrected query-term table: the query's tokenizer terms with
+    * each OUT-OF-VOCABULARY term replaced by its best fuzzy match
+    * (rank 1 of [[fuzzyMatchTerms]] — dist, then df desc), in-vocab
+    * terms kept verbatim, the union DEDUPED (a correction may collide
+    * with a term the query already has — one unit weight, the
+    * [[Retrieval]] distinct-term convention). OOV terms with NO ed-1
+    * neighbor drop, exactly as they would have contributed nothing
+    * uncorrected. Returns `(queryId, word)` — feed it to
+    * [[Retrieval.bm25ScoresWeighted]] at unit weight (q209 gates that
+    * composition) or any other term-table consumer.
+    */
+  def correctedQueryTerms(vocab: DataFrame,
+                          queries: DataFrame, qidCol: String,
+                          qtextCol: String,
+                          vocabVariants: Option[DataFrame] = None)
+      : DataFrame = {
+    // query-batch-sized, consumed 2× (in-vocab semi, OOV anti)
+    val qt = Retrieval.queryTermsOf(queries, qidCol, qtextCol)
+      .localCheckpoint()
+    val inVocab = qt.join(vocab.select("word"), Seq("word"), "left_semi")
+    val oov = qt.join(vocab.select("word"), Seq("word"), "left_anti")
+    val best = fuzzyMatchTerms(vocab, oov, vocabVariants)
+      .filter(col("rank") === 1L)
+      .select(col("queryId"), col("match").as("word"))
+    inVocab.select("queryId", "word").unionByName(best).distinct()
+  }
+
+  /** Typo-tolerant BM25 top-k: [[correctedQueryTerms]] at unit weight
+    * through the weighted scorer (IEEE `1.0 · x == x`, so scores are
+    * bitwise the plain BM25 of the corrected query). Same persisted
+    * layouts, same folds, same ranking as [[Retrieval.bm25TopK]].
+    */
+  def bm25TopKFuzzy(tf: DataFrame, dfTab: DataFrame, stats: DataFrame,
+                    queries: DataFrame, qidCol: String, qtextCol: String,
+                    k: Int, k1: Double = 1.2, b: Double = 0.75,
+                    bitExact: Boolean = true,
+                    vocabVariants: Option[DataFrame] = None): DataFrame =
+    Retrieval.bm25TopK(
+      Retrieval.bm25ScoresWeighted(tf, dfTab, stats,
+        correctedQueryTerms(dfTab, queries, qidCol, qtextCol,
+          vocabVariants)
+          .withColumn("weight", lit(1.0)),
+        k1, b, bitExact), k)
+}

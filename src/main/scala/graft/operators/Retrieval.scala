@@ -717,6 +717,14 @@ object Retrieval {
     * unit-query-term-weight convention). Nobody inlines a copy: a
     * drift here would silently move query semantics between operators.
     */
+  /** [[queryTerms]] for sibling operators ([[Fuzzy]]'s OOV split) —
+    * the shared-tokenizer rule with package visibility instead of an
+    * inlined copy.
+    */
+  private[operators] def queryTermsOf(queries: DataFrame, qidCol: String,
+                                      qtextCol: String): DataFrame =
+    queryTerms(queries, qidCol, qtextCol)
+
   private def queryTerms(queries: DataFrame, qidCol: String,
                          qtextCol: String): DataFrame =
     queries
