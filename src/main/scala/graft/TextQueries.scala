@@ -1190,6 +1190,28 @@ private[graft] object TextQueries {
           col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
     }),
+    // faceted search: each query's FULL match set (every doc sharing
+    // a term — bscores' row set, not a top-k) distributed over the
+    // source column, top-3 facet values by matched-doc count. The
+    // oracle replays the match set and the count/rank from first
+    // principles — a dropped match, a pair-collapse bug, or a
+    // tie-break drift moves counts or ranks
+    "q210_facet_counts" -> ((s, dir) => {
+      import graft.operators.Retrieval
+      val docs = t(s, dir, "documents")
+      val tf = Retrieval.termFrequencies(docs, "doc_id", "text")
+        .localCheckpoint() // see q179
+      val qs = docs.where(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("query_id"),
+          substring(col("text"), 1, 40).as("text"))
+      Retrieval.facetCounts(
+        Retrieval.bm25ScoresIndexed(tf, qs, "query_id", "text"),
+        docs.select(col("doc_id").as("docId"), col("source")),
+        "source", topV = 3)
+        .select(col("queryId").as("query_id"), col("facet"),
+          col("n_docs"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
     // the production hybrid pairing (q181 fused BM25 with exact
     // Jaccard; this fuses it with the IVFADC ANN stack): BM25 top-10
     // over short queries + residual-IVFADC top-10 over the same query
@@ -3244,6 +3266,27 @@ private[graft] object TextQueries {
          |      ORDER BY score DESC, doc_id) AS rank
          |  FROM csc) z
          |WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // the match set (bscores' rows), the source join, the count per
+    // (query, facet), and the count-desc/facet-asc rank — all from
+    // first principles
+    "q210_facet_counts" ->
+      s"""WITH ${bm25Cte("TRUE", "doc_id % 97 = 0", "substr(text, 1, 40)")},
+         |fm AS (SELECT DISTINCT query_id, doc_id FROM bscores),
+         |fc AS (
+         |  SELECT f.query_id, d.source AS facet,
+         |    CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM fm f JOIN documents d ON d.doc_id = f.doc_id
+         |  WHERE d.source IS NOT NULL
+         |  GROUP BY 1, 2),
+         |rk AS (
+         |  SELECT query_id, facet, n_docs,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY n_docs DESC, facet) AS r
+         |  FROM fc)
+         |SELECT query_id, facet, n_docs, CAST(r AS BIGINT) AS rank
+         |FROM rk WHERE r <= 3
          |ORDER BY query_id, rank""".stripMargin,
 
     // THE FULL-CORPUS REBUILD (q180's oracle verbatim): the compacted

@@ -1580,6 +1580,42 @@ object Retrieval {
     WandCore(enriched, candPairs, topkCand, hotUb, theta, unsafeQ)
   }
 
+  /** Faceted-search counts — the "facet sidebar" aggregation of a
+    * search stack: for each query, the distribution of its MATCHED
+    * documents over a metadata dimension, top `topV` values by count —
+    * `(queryId, facet, n_docs, rank)`, count descending with facet
+    * ascending ties. `matches` is any `(queryId, docId, …)` match or
+    * result table (a full [[bm25Scores]] match set for true facet
+    * counts, or a top-k for result-page facets); repeated pairs are
+    * defensively collapsed (the [[rrfFuse]] convention) so score
+    * tables with per-term rows cannot inflate counts. `docMeta` maps
+    * `docId` to the facet column; docs with a NULL facet value are
+    * excluded (the unfaceted remainder, countable by the caller as
+    * `matches − Σ n_docs` if wanted — keeping engine-divergent NULL
+    * ordering out of the ranked table).
+    *
+    * Scale shape: one docId equi-join of the match set against the
+    * metadata table (docId-bucketed at ingest, like the forward
+    * layout — exchange-free on the metadata side), then a
+    * (query, facet)-grouped count whose cardinality is bounded by
+    * queries × |facet values|, and a per-query rank window over that.
+    * The corpus itself never enters the plan.
+    */
+  def facetCounts(matches: DataFrame, docMeta: DataFrame,
+                  facetCol: String, topV: Int): DataFrame = {
+    require(topV > 0, s"topV > 0: $topV")
+    val m = matches.select("queryId", "docId").distinct()
+    val w = Window.partitionBy(col("queryId"))
+      .orderBy(col("n_docs").desc, col("facet").asc)
+    m.join(docMeta.select(col("docId"), col(facetCol).as("facet")),
+        Seq("docId"))
+      .filter(col("facet").isNotNull)
+      .groupBy(col("queryId"), col("facet"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topV)
+  }
+
   /** Normalized LINEAR score fusion — [[rrfFuse]]'s score-aware
     * sibling (the interpolation combiner of hybrid-retrieval
     * literature, e.g. convex BM25+dense mixing): each input ranking's

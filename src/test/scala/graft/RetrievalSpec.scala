@@ -552,6 +552,31 @@ class RetrievalSpec extends SparkSpec {
         impact = Some(partial))) === unpruned, s"hotDf=$hotDf")
   }
 
+  test("facet counts collapse pairs, drop null facets, rank count/facet") {
+    // matches carry REPEATED (query, doc) rows (a per-term score
+    // table shape) — counts must not inflate; doc 5 has a null facet
+    val matches = Seq(
+      (1L, 10L), (1L, 10L), (1L, 11L), (1L, 12L), (1L, 5L),
+      (2L, 10L)).toDF("queryId", "docId")
+    val meta = Seq(
+      (10L, "web"), (11L, "web"), (12L, "books"),
+      (5L, null.asInstanceOf[String])).toDF("docId", "src")
+    val got = graft.operators.Retrieval
+      .facetCounts(matches, meta, "src", topV = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got === Set(
+      (1L, "web", 2L, 1L), (1L, "books", 1L, 2L),
+      (2L, "web", 1L, 1L)))
+    // equal counts break ties facet-ascending
+    val tied = graft.operators.Retrieval.facetCounts(
+      Seq((1L, 10L), (1L, 12L)).toDF("queryId", "docId"),
+      meta, "src", topV = 2).collect()
+      .map(r => (r.getString(1), r.getLong(3))).toSet
+    assert(tied === Set(("books", 1L), ("web", 2L)))
+  }
+
   test("WAND first pass reproduces the unpruned RM3 expansion bitwise") {
     val rnd = new scala.util.Random(77)
     val c = (1L to 60L).map { id =>
