@@ -1212,6 +1212,45 @@ private[graft] object TextQueries {
           col("n_docs"), col("rank"))
         .orderBy("query_id", "rank")
     }),
+    // prefix (wildcard) term expansion over the Zipf vocabulary:
+    // 'wN' prefixes expand to their df-ranked vocabulary terms, capped
+    // at 8 — the Zipf head guarantees the cap BINDS (w1* matches w1,
+    // w1x, w1xx, ...), so the rewrite convention is inside the gate.
+    // The oracle replays the starts_with scan, the df-desc rank, and
+    // the cap from first principles
+    "q211_prefix_term_match" -> ((s, dir) => {
+      import graft.operators.{Fuzzy, Retrieval}
+      val (tf, _, _) = zipfWandFixture(s, dir)
+      val vocab = Retrieval.dfTable(tf).localCheckpoint()
+      val qs = t(s, dir, "documents").where(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("queryId"),
+          concat(lit("w"),
+            (pmod(col("doc_id"), lit(9)) + 1).cast("string"))
+            .as("prefix"))
+      Fuzzy.prefixMatchTerms(vocab, qs, maxExpansions = 8)
+        .select(col("queryId").as("query_id"), col("prefix"),
+          col("word"), col("df"), col("rank"))
+        .orderBy("query_id", "prefix", "rank")
+    }),
+    // ...and prefix-query retrieval: the capped expansion set scored
+    // disjunctively at unit weight through the ordinary chain — the
+    // oracle replays expansion + dedup + the exact scoring tree
+    "q212_bm25_prefix_topk" -> ((s, dir) => {
+      import graft.operators.{Fuzzy, Retrieval}
+      val (tf, _, _) = zipfWandFixture(s, dir)
+      val dfT = Retrieval.dfTable(tf).localCheckpoint()
+      val st = Retrieval.corpusStats(tf).localCheckpoint()
+      val qs = t(s, dir, "documents").where(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("queryId"),
+          concat(lit("w"),
+            (pmod(col("doc_id"), lit(9)) + 1).cast("string"))
+            .as("prefix"))
+      Fuzzy.bm25TopKPrefix(tf, dfT, st, qs, k = 5, maxExpansions = 8)
+        .select(col("queryId").as("query_id"), col("docId").as("doc_id"),
+          round(col("score"), 6).as("score"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
     // the production hybrid pairing (q181 fused BM25 with exact
     // Jaccard; this fuses it with the IVFADC ANN stack): BM25 top-10
     // over short queries + residual-IVFADC top-10 over the same query
@@ -3287,6 +3326,75 @@ private[graft] object TextQueries {
          |  FROM fc)
          |SELECT query_id, facet, n_docs, CAST(r AS BIGINT) AS rank
          |FROM rk WHERE r <= 3
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // the prefix expansion from first principles: one starts_with scan
+    // of the Zipf df table per distinct prefix, df-desc/word rank,
+    // cap 8, re-attached to query ids
+    "q211_prefix_term_match" ->
+      s"""WITH ${bm25Cte("TRUE", "doc_id % 50 = 0",
+             ZipfWandQueryTextSql, ZipfWandCorpusTextSql)},
+         |qp AS (
+         |  SELECT doc_id AS query_id,
+         |    'w' || CAST(doc_id % 9 + 1 AS VARCHAR) AS prefix
+         |  FROM documents
+         |  WHERE doc_id IS NOT NULL AND doc_id % 50 = 0),
+         |exp AS (
+         |  SELECT p.prefix, d.word, d.df,
+         |    row_number() OVER (PARTITION BY p.prefix
+         |      ORDER BY d.df DESC, d.word) AS r
+         |  FROM (SELECT DISTINCT prefix FROM qp) p
+         |  JOIN dft d ON starts_with(d.word, p.prefix))
+         |SELECT q.query_id, q.prefix, e.word, e.df,
+         |  CAST(e.r AS BIGINT) AS rank
+         |FROM qp q JOIN exp e USING (prefix)
+         |WHERE e.r <= 8
+         |ORDER BY query_id, prefix, rank""".stripMargin,
+
+    // expansion + dedup + the exact scoring tree over the Zipf corpus
+    "q212_bm25_prefix_topk" ->
+      s"""WITH ${bm25Cte("TRUE", "doc_id % 50 = 0",
+             ZipfWandQueryTextSql, ZipfWandCorpusTextSql)},
+         |qp AS (
+         |  SELECT doc_id AS query_id,
+         |    'w' || CAST(doc_id % 9 + 1 AS VARCHAR) AS prefix
+         |  FROM documents
+         |  WHERE doc_id IS NOT NULL AND doc_id % 50 = 0),
+         |exp AS (
+         |  SELECT p.prefix, d.word, d.df,
+         |    row_number() OVER (PARTITION BY p.prefix
+         |      ORDER BY d.df DESC, d.word) AS r
+         |  FROM (SELECT DISTINCT prefix FROM qp) p
+         |  JOIN dft d ON starts_with(d.word, p.prefix)),
+         |cq AS (
+         |  SELECT DISTINCT q.query_id, e.word
+         |  FROM qp q JOIN exp e USING (prefix) WHERE e.r <= 8),
+         |cenr AS (
+         |  SELECT query_id, word, avgdl,
+         |    ln(1.0 + (n_docs - CAST(df AS DOUBLE) + 0.5)
+         |             / (CAST(df AS DOUBLE) + 0.5)) AS idf
+         |  FROM cq JOIN dft USING (word) CROSS JOIN stats),
+         |ccon AS (
+         |  SELECT query_id, t.doc_id, t.word,
+         |    idf * (CAST(t.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
+         |      / (CAST(t.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+         |         (1.0 - CAST(0.75 AS DOUBLE) +
+         |          CAST(0.75 AS DOUBLE) * CAST(l.dl AS DOUBLE) / avgdl))
+         |      AS c
+         |  FROM tfv t JOIN cenr e ON e.word = t.word
+         |  JOIN lens l ON l.doc_id = t.doc_id),
+         |csc AS (
+         |  SELECT query_id, doc_id,
+         |    list_reduce(list(c ORDER BY word), (a, x) -> a + x) AS score
+         |  FROM ccon GROUP BY 1, 2)
+         |SELECT query_id, doc_id, round(score, 6) AS score,
+         |  CAST(rank AS BIGINT) AS rank
+         |FROM (
+         |  SELECT query_id, doc_id, score,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id) AS rank
+         |  FROM csc) z
+         |WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
 
     // THE FULL-CORPUS REBUILD (q180's oracle verbatim): the compacted

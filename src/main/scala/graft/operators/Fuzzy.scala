@@ -114,6 +114,57 @@ object Fuzzy {
     inVocab.select("queryId", "word").unionByName(best).distinct()
   }
 
+  /** Prefix (wildcard `pre*`) term expansion against an index
+    * vocabulary: `(queryId, prefix, word, df, rank)` — every
+    * vocabulary word starting with each query prefix, ranked df
+    * DESCENDING (word ascending ties) and capped at `maxExpansions`
+    * (the Lucene rewrite convention: a hot prefix like `a*` must not
+    * explode the query). Prefixes with no expansion are absent.
+    *
+    * Scale shape: the prefix table is query-batch-sized and
+    * BROADCASTS under the `startsWith` theta-join, so the plan is ONE
+    * scan of the (corpus-independent, persisted-sorted) vocabulary
+    * per probe batch — the vocabulary never shuffles, and the rank
+    * window runs over candidate pairs only. The expansion is computed
+    * once per DISTINCT prefix and re-attached to query ids, like
+    * [[fuzzyMatchTerms]].
+    */
+  def prefixMatchTerms(vocab: DataFrame, prefixes: DataFrame,
+                       maxExpansions: Int = 50): DataFrame = {
+    require(maxExpansions > 0, s"maxExpansions > 0: $maxExpansions")
+    val ps = prefixes.select("prefix").distinct()
+    val w = Window.partitionBy(col("prefix"))
+      .orderBy(col("df").desc, col("word").asc)
+    val expanded = vocab.select(col("word"), col("df"))
+      .join(broadcast(ps), col("word").startsWith(col("prefix")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= maxExpansions)
+    prefixes.join(expanded, Seq("prefix"))
+      .select(col("queryId"), col("prefix"), col("word"), col("df"),
+        col("rank"))
+  }
+
+  /** Prefix-query BM25 top-k: each query's prefixes expand through
+    * [[prefixMatchTerms]] into their (capped) vocabulary terms, the
+    * per-query expansion set DEDUPES (overlapping prefixes), and the
+    * disjunction scores at unit weight through the weighted scorer —
+    * plain BM25 of the expanded term set (q212 gates the
+    * composition). For constant-score Lucene semantics score the
+    * expansion table yourself; this keeps the repo's one scoring
+    * convention.
+    */
+  def bm25TopKPrefix(tf: DataFrame, dfTab: DataFrame, stats: DataFrame,
+                     prefixes: DataFrame, k: Int,
+                     maxExpansions: Int = 50,
+                     k1: Double = 1.2, b: Double = 0.75,
+                     bitExact: Boolean = true): DataFrame =
+    Retrieval.bm25TopK(
+      Retrieval.bm25ScoresWeighted(tf, dfTab, stats,
+        prefixMatchTerms(dfTab, prefixes, maxExpansions)
+          .select("queryId", "word").distinct()
+          .withColumn("weight", lit(1.0)),
+        k1, b, bitExact), k)
+
   /** Typo-tolerant BM25 top-k: [[correctedQueryTerms]] at unit weight
     * through the weighted scorer (IEEE `1.0 · x == x`, so scores are
     * bitwise the plain BM25 of the corrected query). Same persisted

@@ -112,6 +112,50 @@ class FuzzySpec extends SparkSpec {
     assert(viaFuzzy === viaClean)
   }
 
+  test("prefix expansion ranks by df, caps, and re-attaches query ids") {
+    val vocab = Seq(("pre", 2L), ("prefix", 9L), ("press", 5L),
+      ("prey", 5L), ("quiet", 7L)).toDF("word", "df")
+    val qs = Seq((1L, "pre"), (2L, "pre"), (3L, "qu")).toDF(
+      "queryId", "prefix")
+    val got = Fuzzy.prefixMatchTerms(vocab, qs, maxExpansions = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(4))).toSet
+    // df desc, word asc ties; "pre" itself matches; cap 3 drops "pre"
+    // (df 2, rank 4); both query 1 and 2 get the same expansion
+    val pre = Set(("prefix", 1L), ("press", 2L), ("prey", 3L))
+    assert(got === (for ((w, r) <- pre; q <- Seq(1L, 2L))
+      yield (q, "pre", w, r)).toSet + ((3L, "qu", "quiet", 1L)))
+  }
+
+  test("prefix top-k equals plain top-k over the expansion term set") {
+    val rnd = new scala.util.Random(212)
+    val c = (1L to 50L).map { id =>
+      id -> Seq.fill(6)(s"tok${15 / (rnd.nextInt(15) + 1)}").mkString(" ")
+    }.toDF("doc_id", "text")
+    val tf = Retrieval.termFrequencies(c, "doc_id", "text")
+      .localCheckpoint()
+    val dfT = Retrieval.dfTable(tf).localCheckpoint()
+    val st = Retrieval.corpusStats(tf).localCheckpoint()
+    val qs = Seq((1L, "tok1")).toDF("queryId", "prefix")
+    def rows(d: DataFrame) =
+      d.select(col("queryId"), col("docId"), col("score"),
+        col("rank").cast("int")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3))).toSeq.sorted
+    val viaPrefix = rows(Fuzzy.bm25TopKPrefix(tf, dfT, st, qs,
+      k = 5, maxExpansions = 100))
+    val terms = Fuzzy.prefixMatchTerms(dfT, qs, maxExpansions = 100)
+      .select(col("queryId"), col("word")).distinct()
+      .withColumn("weight", lit(1.0)).localCheckpoint()
+    val viaTerms = rows(Retrieval.bm25TopK(
+      Retrieval.bm25ScoresWeighted(tf, dfT, st, terms), 5))
+    assert(viaPrefix === viaTerms)
+    assert(viaPrefix.nonEmpty)
+    // tok1, tok10-tok15 all expand under 'tok1'
+    assert(terms.count() >= 2)
+  }
+
   test("a prebuilt variants table probes identically") {
     val vocab = Seq(("slow", 5L), ("row", 4L), ("snow", 3L))
       .toDF("word", "df")

@@ -984,6 +984,72 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("impact metadata ingest: per-batch max/min merges match the rebuild " +
+    "and keep WAND exact") {
+    // the pruning metadata through the same foreachBatch convention:
+    // impactStats merges per micro-batch via compactImpactStats beside
+    // the (tf, df, stats) triple; after N batches the carried table
+    // must equal a from-scratch rebuild ROW FOR ROW, and a WAND probe
+    // through the carried state + carried metadata must equal the
+    // unpruned ranking (the q204 exactness, now over streamed state)
+    import graft.operators.Retrieval
+    val d0 = Seq((1L, "apple banana apple cherry"),
+      (2L, "banana cherry date")).toDF("doc_id", "text")
+    val tf0 = Retrieval.termFrequencies(d0, "doc_id", "text")
+      .localCheckpoint()
+    @volatile var triple = (tf0,
+      Retrieval.dfTable(tf0).localCheckpoint(),
+      Retrieval.corpusStats(tf0).localCheckpoint())
+    @volatile var impact = Retrieval.impactStats(tf0).localCheckpoint()
+    val arrived = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val input = MemoryStream[(Long, String)](spark)
+    val q = input.toDF()
+      .select(col("_1").as("doc_id"), col("_2").as("text"))
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val batchTf = Retrieval
+          .termFrequencies(b, "doc_id", "text").localCheckpoint()
+        arrived.synchronized {
+          arrived ++= b.as[(Long, String)].collect() }
+        val (tfM, dfM, stM) = Retrieval.compactTermIndex(
+          triple._1, triple._2, triple._3, batchTf)
+        triple = (tfM.localCheckpoint(), dfM.localCheckpoint(),
+          stM.localCheckpoint())
+        impact = Retrieval.compactImpactStats(impact,
+          Retrieval.impactStats(batchTf)).localCheckpoint()
+        ()
+      }.start()
+    try {
+      input.addData((11L, "cherry date banana cherry apple apple"),
+        (12L, "elder apple banana"))
+      q.processAllAvailable()
+      input.addData((13L, "banana cherry fig"))
+      q.processAllAvailable()
+      val all = d0.unionByName(
+        arrived.synchronized(arrived.toSeq).toDF("doc_id", "text"))
+        .localCheckpoint()
+      val tfAll = Retrieval.termFrequencies(all, "doc_id", "text")
+        .localCheckpoint()
+      def rows(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows(impact) === rows(Retrieval.impactStats(tfAll)))
+      val qs = Seq((100L, "apple banana fig"), (101L, "cherry date"))
+        .toDF("query_id", "text")
+      def topk(d: org.apache.spark.sql.DataFrame) = d.collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getDouble(2), r.getInt(3))).toMap
+      val unpruned = topk(Retrieval.bm25TopK(
+        Retrieval.bm25ScoresPrecomputed(triple._1, triple._2, triple._3,
+          qs, "query_id", "text"), 3))
+      for (hotDf <- Seq(0L, 2L, 100L))
+        assert(topk(Retrieval.bm25TopKWand(triple._1, qs,
+          "query_id", "text", k = 3, hotDf = hotDf,
+          dfStats = Some((triple._2, triple._3)),
+          impact = Some(impact))) === unpruned, s"hotDf=$hotDf")
+    } finally q.stop()
+  }
+
   test("batch and streaming sessionization agree on on-time data") {
     val batch = EventStreams.sessionize(
       Seq((7L, 1000L, 1L), (7L, 1500L, 2L), (7L, 4000L, 3L), (8L, 900L, 4L))
