@@ -1251,6 +1251,19 @@ private[graft] object TextQueries {
           col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
     }),
+    // PMI collocations at document co-occurrence granularity: every
+    // distinct-word pair sharing >= 3 documents, with
+    // ln(N·c/(df_a·df_b)) over document counts — the oracle replays
+    // the distinct (doc, word) table, the exact support prune, the
+    // ordered pair join, and the PMI arithmetic from first principles
+    "q213_pmi_collocations" -> ((s, dir) => {
+      import graft.functions.TextAnalysis
+      val docs = t(s, dir, "documents")
+      TextAnalysis.pmiCollocations(docs, "doc_id", "text", minCount = 3L)
+        .select(col("word_a"), col("word_b"), col("n_both"),
+          col("df_a"), col("df_b"), round(col("pmi"), 6).as("pmi"))
+        .orderBy("word_a", "word_b")
+    }),
     // the production hybrid pairing (q181 fused BM25 with exact
     // Jaccard; this fuses it with the IVFADC ANN stack): BM25 top-10
     // over short queries + residual-IVFADC top-10 over the same query
@@ -3396,6 +3409,37 @@ private[graft] object TextQueries {
          |  FROM csc) z
          |WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
+
+    // the PMI table from first principles: distinct (doc, word), the
+    // df >= 3 support prune (exact — c(a,b) <= min(df)), ordered
+    // pairs, counts, and ln(N·c/(df_a·df_b))
+    "q213_pmi_collocations" ->
+      s"""WITH $LiveWordsCte,
+         |dw AS (
+         |  SELECT DISTINCT doc_id, word
+         |  FROM (SELECT doc_id, unnest(w) AS word FROM ws)),
+         |nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n
+         |       FROM dw),
+         |dft AS (SELECT word, CAST(count(*) AS BIGINT) AS df
+         |        FROM dw GROUP BY 1),
+         |keep AS (SELECT word, df FROM dft WHERE df >= 3),
+         |dwk AS (SELECT doc_id, word FROM dw
+         |        WHERE word IN (SELECT word FROM keep)),
+         |pr AS (
+         |  SELECT a.word AS word_a, b.word AS word_b,
+         |    CAST(count(*) AS BIGINT) AS n_both
+         |  FROM dwk a JOIN dwk b
+         |    ON a.doc_id = b.doc_id AND a.word < b.word
+         |  GROUP BY 1, 2 HAVING count(*) >= 3)
+         |SELECT word_a, word_b, n_both, ka.df AS df_a, kb.df AS df_b,
+         |  round(ln(n * CAST(n_both AS DOUBLE)
+         |    / (CAST(ka.df AS DOUBLE) * CAST(kb.df AS DOUBLE))), 6)
+         |    AS pmi
+         |FROM pr
+         |JOIN keep ka ON ka.word = pr.word_a
+         |JOIN keep kb ON kb.word = pr.word_b
+         |CROSS JOIN nd
+         |ORDER BY word_a, word_b""".stripMargin,
 
     // THE FULL-CORPUS REBUILD (q180's oracle verbatim): the compacted
     // (tf, df, stats) triple must probe indistinguishably from an index

@@ -290,6 +290,65 @@ object TextAnalysis {
     * once per derived table. Shuffle keys are (doc, word), word, and
     * doc; partitions stay balanced under document-length skew.
     */
+  /** PMI collocations (Church & Hanks'90) at DOCUMENT co-occurrence
+    * granularity: `(word_a, word_b, n_both, df_a, df_b, pmi)` for
+    * every unordered distinct-word pair co-occurring in at least
+    * `minCount` documents, with
+    * `pmi = ln(N · c(a,b) / (df(a) · df(b)))` over document counts —
+    * the classic corpus-analytics association table (collocation
+    * discovery, synonym/related-term mining for query expansion,
+    * boilerplate phrase detection). Positive pmi = the pair co-occurs
+    * more than independence predicts.
+    *
+    * Scale shape: the pair join is per-DOCUMENT quadratic in distinct
+    * words, so the df prune comes FIRST and is load-bearing twice
+    * over — `c(a,b) ≤ min(df_a, df_b)`, so words with `df < minCount`
+    * cannot form a qualifying pair and leave before the self-join
+    * (the support prune is exact, not a heuristic), and
+    * `maxDocFrequency` drops stop words whose pair rows would
+    * dominate the shuffle for pairs that score ≈ 0 pmi anyway
+    * (opt-in, result-changing, the [[graft.operators.Retrieval]]
+    * convention). Long-document skew beyond that is AQE's split +
+    * the caller's length cap ([[graft.operators.Chunking]]). The
+    * corpus scan feeds the df table and both join sides through one
+    * tokenizer projection — Catalyst reuses the exchange.
+    */
+  def pmiCollocations(docs: DataFrame, idCol: String, textCol: String,
+                      minCount: Long = 2L,
+                      maxDocFrequency: Option[Long] = None): DataFrame = {
+    require(minCount >= 1, s"minCount >= 1: $minCount")
+    val dw = docs
+      .filter(col(idCol).isNotNull && lower(col(textCol)).rlike("[a-z0-9]"))
+      .select(col(idCol).as("docId"),
+        explode_outer(TextFunctions.normalizeTokens(col(textCol)))
+          .as("word"))
+      .filter(col("word").isNotNull)
+    val nDocs = dw.agg(countDistinct(col("docId")).cast("double").as("n"))
+    val dft = dw.groupBy("word").agg(count(lit(1)).as("df"))
+    val kept = maxDocFrequency
+      .map(cap => dft.filter(col("df") <= cap)).getOrElse(dft)
+      .filter(col("df") >= minCount)
+    val dwk = dw.join(kept.select("word"), Seq("word"), "left_semi")
+    val pairs = dwk.select(col("docId"), col("word").as("word_a"))
+      .join(dwk.select(col("docId"), col("word").as("word_b")),
+        Seq("docId"))
+      .filter(col("word_a") < col("word_b"))
+      .groupBy(col("word_a"), col("word_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= minCount)
+    pairs
+      .join(kept.select(col("word").as("word_a"), col("df").as("df_a")),
+        Seq("word_a"))
+      .join(kept.select(col("word").as("word_b"), col("df").as("df_b")),
+        Seq("word_b"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("word_a"), col("word_b"), col("n_both"),
+        col("df_a"), col("df_b"),
+        log(col("n") * col("n_both").cast("double") /
+          (col("df_a").cast("double") * col("df_b").cast("double")))
+          .as("pmi"))
+  }
+
   def termScores(docs: DataFrame, idCol: String, textCol: String,
                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     // the id-not-null filter up front keeps every consumer of `tf`

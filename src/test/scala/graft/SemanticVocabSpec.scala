@@ -309,6 +309,49 @@ class SemanticVocabSpec extends SparkSpec {
     }
   }
 
+  test("pmiCollocations matches a plain-Scala reference with exact prunes") {
+    val rnd = new scala.util.Random(213)
+    val vocab = ('a' to 'j').map(_.toString)
+    val docsSeq = (1L to 40L).map { id =>
+      id -> Seq.fill(3 + rnd.nextInt(5))(
+        vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val got = TextAnalysis.pmiCollocations(
+      docsSeq.toDF("doc_id", "text"), "doc_id", "text", minCount = 3L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    // the reference: distinct word sets per doc, document counts
+    val sets = docsSeq.map { case (id, t) => id -> t.split(" ").toSet }
+    val df = vocab.map(w => w -> sets.count(_._2.contains(w))).toMap
+    val n = sets.size.toDouble
+    val want = (for {
+      a <- vocab; b <- vocab if a < b
+      c = sets.count(s => s._2.contains(a) && s._2.contains(b))
+      if c >= 3 && df(a) >= 3 && df(b) >= 3
+    } yield (a, b) -> ((c.toLong, df(a).toLong, df(b).toLong,
+      math.log(n * c / (df(a).toDouble * df(b).toDouble))))).toMap
+    assert(got.keySet === want.keySet)
+    for ((k, (c, da, dbb, pmi)) <- want) {
+      val (gc, gda, gdb, gpmi) = got(k)
+      assert((gc, gda, gdb) === ((c, da, dbb)), s"$k")
+      assert(math.abs(gpmi - pmi) < 1e-12, s"$k")
+    }
+    assert(want.nonEmpty, "fixture produced no qualifying pair")
+  }
+
+  test("pmiCollocations stop-word cap drops the hot word's pairs only") {
+    // 'x' is in every doc (df 6 > cap 5); (a, b) survives untouched
+    val c = Seq(
+      (1L, "x a b"), (2L, "x a b"), (3L, "x a b"),
+      (4L, "x a"), (5L, "x b"), (6L, "x c")).toDF("doc_id", "text")
+    val got = TextAnalysis.pmiCollocations(c, "doc_id", "text",
+      minCount = 3L, maxDocFrequency = Some(5L))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === Set(("a", "b")))
+  }
+
   test("dsirWeights fails fast when either model is empty") {
     val good = Seq((10L, "a b")).toDF("doc_id", "text")
     val empty = Seq((20L, "!!!")).toDF("doc_id", "text")
