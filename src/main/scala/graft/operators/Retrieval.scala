@@ -569,7 +569,8 @@ object Retrieval {
                        maxFeedbackDf: Option[Long] = None,
                        firstPassMaxDf: Option[Long] = None,
                        wandHotDf: Option[Long] = None,
-                       forward: Option[DataFrame] = None): DataFrame = {
+                       forward: Option[DataFrame] = None,
+                       wandImpact: Option[DataFrame] = None): DataFrame = {
     require(m > 0, s"m > 0: $m")
     require(lambda >= 0 && lambda <= 1, s"lambda in [0,1]: $lambda")
     require(wandHotDf.isEmpty || firstPassMaxDf.isEmpty,
@@ -591,8 +592,10 @@ object Retrieval {
     // postings the canonical composition pays for twice.
     val topk = (wandHotDf match {
       case Some(hd) =>
+        // `wandImpact` passes the impactStats metadata through to the
+        // score-exact first pass — tighter routing, identical feedback
         bm25TopKWand(tf, queries, qidCol, qtextCol, k, hd, k1, b,
-          bitExact, forward, Some((dfTab, stats)))
+          bitExact, forward, Some((dfTab, stats)), wandImpact)
           .select("queryId", "docId", "score")
       case None =>
         bm25TopK(

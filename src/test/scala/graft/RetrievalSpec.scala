@@ -594,6 +594,16 @@ class RetrievalSpec extends SparkSpec {
     val plain = weights(None)
     for (hd <- Seq(0L, 5L, 100L))
       assert(weights(Some(hd)) === plain, s"wandHotDf=$hd") // bitwise
+    // ...and with the impact-tightened bound in the first pass
+    val imp = Retrieval.impactStats(tf).localCheckpoint()
+    def weightsImp(hd: Long): Map[(Long, String), Double] =
+      Retrieval.rm3ExpandedTerms(tf, dfT, st, qs, "query_id", "text",
+        k = 4, m = 6, lambda = 0.5, wandHotDf = Some(hd),
+        wandImpact = Some(imp))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    for (hd <- Seq(0L, 5L, 100L))
+      assert(weightsImp(hd) === plain, s"impact wandHotDf=$hd") // bitwise
   }
 
   private def phraseOcc(c: DataFrame, qs: DataFrame)
