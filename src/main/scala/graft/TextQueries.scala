@@ -1264,6 +1264,44 @@ private[graft] object TextQueries {
           col("df_a"), col("df_b"), round(col("pmi"), 6).as("pmi"))
         .orderBy("word_a", "word_b")
     }),
+    // GloVe-style windowed co-occurrence: every occurrence pair within
+    // 4 tokens contributes 1/distance to its unordered word pair; the
+    // oracle replays the banded equi-join, the per-distance integer
+    // counts, and the d-ascending harmonic fold from first principles
+    "q214_windowed_cooc" -> ((s, dir) => {
+      import graft.functions.TextAnalysis
+      import graft.operators.Retrieval
+      val docs = t(s, dir, "documents")
+      val posts = Retrieval.positionalPostings(docs, "doc_id", "text")
+        .localCheckpoint() // consumed 2x by the band self-join
+      TextAnalysis.windowedCooccurrence(posts, window = 4, minCount = 3L)
+        .select(col("word_a"), col("word_b"), col("n_events"),
+          round(col("cooc"), 6).as("cooc"))
+        .orderBy("word_a", "word_b")
+    }),
+    // CORI resource selection over a 4-shard split: rank SHARDS per
+    // query from shard-level metadata alone (per-shard df + token
+    // counts) — the routing layer in front of per-shard indexes. The
+    // oracle replays the metadata aggregates, the T·I belief, the
+    // absent-term prior, and the word-sorted mean from first
+    // principles
+    "q215_cori_shards" -> ((s, dir) => {
+      import graft.operators.{Federation, Retrieval}
+      val docs = t(s, dir, "documents")
+      val tf = Retrieval.termFrequencies(docs, "doc_id", "text")
+        .localCheckpoint() // see q179
+      val shards = docs.select(col("doc_id").as("docId"),
+        pmod(col("doc_id"), lit(4)).as("shard"))
+      val sdf = Federation.shardTermStats(tf, shards).localCheckpoint()
+      val scw = Federation.shardSizes(tf, shards).localCheckpoint()
+      val qs = docs.where(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("query_id"),
+          substring(col("text"), 1, 40).as("text"))
+      Federation.coriShardScores(sdf, scw, qs, "query_id", "text")
+        .select(col("queryId").as("query_id"), col("shard"),
+          round(col("score"), 6).as("score"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
     // the production hybrid pairing (q181 fused BM25 with exact
     // Jaccard; this fuses it with the IVFADC ANN stack): BM25 top-10
     // over short queries + residual-IVFADC top-10 over the same query
@@ -3440,6 +3478,84 @@ private[graft] object TextQueries {
          |JOIN keep kb ON kb.word = pr.word_b
          |CROSS JOIN nd
          |ORDER BY word_a, word_b""".stripMargin,
+
+    // positions, the 1..4 offset band, unordered pairs (same-word
+    // pairs included — the GloVe X_aa convention), per-distance
+    // counts, and the harmonic fold ordered by distance
+    "q214_windowed_cooc" ->
+      s"""WITH $LiveWordsCte,
+         |posts AS (
+         |  SELECT doc_id, CAST(j - 1 AS BIGINT) AS pos,
+         |    w[CAST(j AS INT)] AS word
+         |  FROM ws, unnest(generate_series(1, len(w))) AS t(j)),
+         |band AS (
+         |  SELECT doc_id, word AS wa, pos + d AS pos2, d
+         |  FROM posts, unnest(generate_series(1, 4)) AS t(d)),
+         |ev AS (
+         |  SELECT least(b.wa, p2.word) AS word_a,
+         |    greatest(b.wa, p2.word) AS word_b, b.d
+         |  FROM band b JOIN posts p2 ON p2.doc_id = b.doc_id
+         |    AND p2.pos = b.pos2),
+         |byd AS (
+         |  SELECT word_a, word_b, d, CAST(count(*) AS BIGINT) AS n
+         |  FROM ev GROUP BY 1, 2, 3)
+         |SELECT word_a, word_b, CAST(sum(n) AS BIGINT) AS n_events,
+         |  round(list_reduce(list_prepend(0.0,
+         |    list(CAST(n AS DOUBLE) / CAST(d AS DOUBLE) ORDER BY d)),
+         |    (a, x) -> a + x), 6) AS cooc
+         |FROM byd GROUP BY 1, 2 HAVING sum(n) >= 3
+         |ORDER BY word_a, word_b""".stripMargin,
+
+    // the shard metadata (per-shard df off the unique (doc, word)
+    // rows, exact token sums), the T·I belief with the df=0 prior,
+    // and the word-sorted mean — all from first principles
+    "q215_cori_shards" ->
+      s"""WITH ${bm25Cte("TRUE", "doc_id % 97 = 0", "substr(text, 1, 40)")},
+         |sdf AS (
+         |  SELECT CAST(doc_id % 4 AS BIGINT) AS shard, word,
+         |    CAST(count(*) AS BIGINT) AS df
+         |  FROM tfv GROUP BY 1, 2),
+         |scw AS (
+         |  SELECT CAST(doc_id % 4 AS BIGINT) AS shard,
+         |    CAST(sum(dl) AS BIGINT) AS cw
+         |  FROM lens GROUP BY 1),
+         |cstats AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS cc,
+         |    CAST(sum(cw) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgcw
+         |  FROM scw),
+         |cft AS (SELECT word, CAST(count(*) AS BIGINT) AS cf
+         |        FROM sdf GROUP BY 1),
+         |qcf AS (SELECT query_id, word, cf
+         |        FROM qterms JOIN cft USING (word)),
+         |qnq AS (SELECT query_id, count(*) AS nq FROM qcf GROUP BY 1),
+         |cells AS (
+         |  SELECT q.query_id, s.shard, q.word,
+         |    CAST(0.4 AS DOUBLE) + CAST(0.6 AS DOUBLE) *
+         |      (CAST(coalesce(d.df, 0) AS DOUBLE)
+         |        / (CAST(coalesce(d.df, 0) AS DOUBLE)
+         |           + CAST(50.0 AS DOUBLE)
+         |           + CAST(150.0 AS DOUBLE) * CAST(s.cw AS DOUBLE)
+         |             / avgcw)) *
+         |      (ln((cc + 0.5) / CAST(q.cf AS DOUBLE)) / ln(cc + 1.0))
+         |      AS p
+         |  FROM qcf q CROSS JOIN scw s
+         |  LEFT JOIN sdf d ON d.shard = s.shard AND d.word = q.word
+         |  CROSS JOIN cstats),
+         |csum AS (
+         |  SELECT query_id, shard,
+         |    list_reduce(list(p ORDER BY word), (a, x) -> a + x) AS ssum
+         |  FROM cells GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT query_id, shard, ssum / CAST(nq AS DOUBLE) AS score
+         |  FROM csum JOIN qnq USING (query_id))
+         |SELECT query_id, shard, round(score, 6) AS score,
+         |  CAST(r AS BIGINT) AS rank
+         |FROM (
+         |  SELECT query_id, shard, score,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, shard) AS r
+         |  FROM scored) z
+         |ORDER BY query_id, rank""".stripMargin,
 
     // THE FULL-CORPUS REBUILD (q180's oracle verbatim): the compacted
     // (tf, df, stats) triple must probe indistinguishably from an index

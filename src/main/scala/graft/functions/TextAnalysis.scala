@@ -349,6 +349,62 @@ object TextAnalysis {
           .as("pmi"))
   }
 
+  /** Windowed co-occurrence accumulation (the GloVe §4.2 corpus pass;
+    * word2vec's count matrix): over a positional posting table
+    * (`(docId, pos, word)` — [[graft.operators.Retrieval.positionalPostings]]'
+    * layout), every occurrence pair within `window` tokens contributes
+    * `1/distance` to its unordered word pair — the harmonic distance
+    * weighting GloVe trains on. Returns
+    * `(word_a, word_b, n_events, cooc)` (`word_a ≤ word_b`;
+    * same-word pairs `X_aa` included, the GloVe convention) for pairs
+    * with at least `minCount` co-occurrence events.
+    *
+    * Scale shape: the band self-join is the [[graft.operators.Retrieval.phraseMatches]]
+    * trick — occurrences explode `window` offsets and EQUI-join on
+    * `(docId, pos + d)`, never an inequality join — so the event
+    * stream is `tokens × window` rows with map-side-combinable
+    * integer counts. The harmonic Σ folds per pair over the ≤ window
+    * PER-DISTANCE counts (d-ascending), so the double is
+    * bit-reproducible at any partitioning WITHOUT collecting events:
+    * the only collected list is window-sized. `maxOccFrequency` drops
+    * stop words (occurrence count above the cap) before the join —
+    * the same hot-word shed as [[pmiCollocations]]'s df cap, opt-in
+    * and result-changing.
+    */
+  def windowedCooccurrence(posts: DataFrame, window: Int,
+                           minCount: Long = 1L,
+                           maxOccFrequency: Option[Long] = None)
+      : DataFrame = {
+    require(window >= 1, s"window >= 1: $window")
+    require(minCount >= 1, s"minCount >= 1: $minCount")
+    val p = maxOccFrequency match {
+      case Some(cap) => posts.join(
+        posts.groupBy("word").agg(count(lit(1)).as("__occ"))
+          .filter(col("__occ") <= cap).select("word"),
+        Seq("word"), "left_semi")
+      case None => posts
+    }
+    val events = p
+      .select(col("docId"), col("word").as("__wa"), col("pos"),
+        explode(sequence(lit(1L), lit(window.toLong))).as("__d"))
+      .select(col("docId"), col("__wa"), col("__d"),
+        (col("pos") + col("__d")).as("pos"))
+      .join(p.select(col("docId"), col("pos"), col("word").as("__wb")),
+        Seq("docId", "pos"))
+    events
+      .select(least(col("__wa"), col("__wb")).as("word_a"),
+        greatest(col("__wa"), col("__wb")).as("word_b"), col("__d"))
+      .groupBy(col("word_a"), col("word_b"), col("__d"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col("word_a"), col("word_b"))
+      .agg(sum(col("__n")).as("n_events"),
+        aggregate(sort_array(collect_list(struct(col("__d"), col("__n")))),
+          lit(0.0), (a, x) => a +
+            x.getField("__n").cast("double") /
+              x.getField("__d").cast("double")).as("cooc"))
+      .filter(col("n_events") >= minCount)
+  }
+
   def termScores(docs: DataFrame, idCol: String, textCol: String,
                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     // the id-not-null filter up front keeps every consumer of `tf`

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Federated / sharded-search resource selection — CORI collection
+  * ranking (Callan, Lu & Croft SIGIR'95): given a corpus partitioned
+  * into shards, rank the SHARDS per query so a distributed search
+  * tier probes only the most promising ones. This is the routing
+  * layer a 100 TB deployment puts in front of the per-shard
+  * [[Retrieval]] indexes: the selection runs entirely on
+  * SHARD-LEVEL METADATA — `(shard, word, df)` and `(shard, cw)`
+  * tables, shards × vocabulary sized, corpus-independent — so query
+  * routing never touches a posting list.
+  *
+  * The CORI belief of shard `s` for term `w`:
+  *
+  *   `T = df / (df + dfBase + cwScale · cw_s / avg_cw)`   (df shape)
+  *   `I = ln((C + 0.5) / cf_w) / ln(C + 1.0)`             (icf shape)
+  *   `p(w|s) = b + (1 − b) · T · I`
+  *
+  * with `C` = shard count, `cf_w` = shards containing `w`, `cw_s` =
+  * shard token count, and the canonical constants `b = 0.4,
+  * dfBase = 50, cwScale = 150`. A query's score for a shard is the
+  * MEAN belief over its corpus-present distinct terms (a term the
+  * shard lacks contributes the prior `b` — df = 0 ⇒ T = 0; a term no
+  * shard contains drops, the corpus-absent convention everywhere
+  * here). q215 gates the whole chain against a from-first-principles
+  * replay.
+  *
+  * Lifecycle: both metadata tables aggregate off the per-shard
+  * [[Retrieval.termFrequencies]] layout and merge ADDITIVELY under
+  * ingest (per-shard df adds like [[Retrieval.dfTable]], cw is an
+  * exact BIGINT sum), so shard stats ride the same compaction
+  * cadence as the indexes they describe. Every Σ folds word-sorted
+  * (the repo convention), so scores replay bitwise.
+  */
+object Federation {
+
+  /** Per-shard term document frequencies `(shard, word, df)` off a
+    * [[Retrieval.termFrequencies]] table and a `(docId, shard)`
+    * assignment — `tf` rows are unique per (doc, word), so the count
+    * is the shard df. Additive across micro-batches per shard.
+    */
+  def shardTermStats(tf: DataFrame, shards: DataFrame): DataFrame =
+    tf.join(shards.select(col("docId"), col("shard")), Seq("docId"))
+      .groupBy(col("shard"), col("word"))
+      .agg(count(lit(1)).as("df"))
+
+  /** Per-shard token counts `(shard, cw)` — the CORI collection-size
+    * signal; exact BIGINT sums of per-doc lengths, additive under
+    * ingest like [[Retrieval.corpusStats]].
+    */
+  def shardSizes(tf: DataFrame, shards: DataFrame): DataFrame =
+    tf.join(shards.select(col("docId"), col("shard")), Seq("docId"))
+      .groupBy(col("shard"), col("docId")).agg(max(col("dl")).as("dl"))
+      .groupBy(col("shard")).agg(sum(col("dl")).as("cw"))
+
+  /** CORI shard ranking: `(queryId, shard, score, rank)` over ALL
+    * shards per query (rank 1 = probe first; cap with
+    * `filter(rank <= n)` for a probe budget). `shardDf`/`shardCw`
+    * are the persisted metadata tables ([[shardTermStats]] /
+    * [[shardSizes]]); both are consumed once, and everything after
+    * the query-term join is (queries × shards × terms)-sized.
+    */
+  def coriShardScores(shardDf: DataFrame, shardCw: DataFrame,
+                      queries: DataFrame, qidCol: String, qtextCol: String,
+                      b: Double = 0.4, dfBase: Double = 50.0,
+                      cwScale: Double = 150.0): DataFrame = {
+    require(b >= 0 && b <= 1, s"b in [0,1]: $b")
+    val cstats = shardCw.agg(
+      count(lit(1)).cast("double").as("C"),
+      (sum(col("cw")).cast("double") / count(lit(1)).cast("double"))
+        .as("avgcw"))
+    val cft = shardDf.groupBy("word").agg(count(lit(1)).as("cf"))
+    // corpus-present distinct query terms, cf folded in
+    val qt = Retrieval.queryTermsOf(queries, qidCol, qtextCol)
+      .join(cft, Seq("word"))
+    val nq = qt.groupBy("queryId").agg(count(lit(1)).as("__nq"))
+    val dfD: Column = coalesce(col("df").cast("double"), lit(0.0))
+    val tExpr: Column = dfD /
+      (dfD + lit(dfBase) +
+        lit(cwScale) * col("cw").cast("double") / col("avgcw"))
+    val iExpr: Column =
+      log((col("C") + lit(0.5)) / col("cf").cast("double")) /
+        log(col("C") + lit(1.0))
+    val cells = qt
+      .crossJoin(broadcast(shardCw.select(col("shard"), col("cw"))))
+      .join(shardDf, Seq("shard", "word"), "left_outer")
+      .crossJoin(broadcast(cstats))
+      .select(col("queryId"), col("shard"), col("word"),
+        (lit(b) + lit(1.0 - b) * tExpr * iExpr).as("__p"))
+    val w = Window.partitionBy(col("queryId"))
+      .orderBy(col("score").desc, col("shard").asc)
+    cells
+      .groupBy(col("queryId"), col("shard"))
+      .agg(aggregate(sort_array(collect_list(struct(col("word"),
+        col("__p")))),
+        lit(0.0), (a, x) => a + x.getField("__p")).as("__s"))
+      .join(nq, Seq("queryId"))
+      .select(col("queryId"), col("shard"),
+        (col("__s") / col("__nq").cast("double")).as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+  }
+}

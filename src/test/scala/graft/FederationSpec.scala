@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Federation, Retrieval}
+
+/** [[graft.operators.Federation]] — CORI resource selection: the
+  * belief arithmetic against a hand computation, the absent-term
+  * prior, and the routing sanity (the shard holding the matching
+  * docs ranks first).
+  */
+class FederationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("CORI beliefs match the hand-derived T·I decomposition") {
+    // two shards: shard 0 = docs 1-2 (apple-heavy), shard 1 = docs
+    // 3-4 (cherry-heavy); query "apple" must rank shard 0 first and
+    // its scores must equal the formula computed by hand
+    val c = Seq(
+      (1L, "apple banana"), (2L, "apple fig"),
+      (3L, "cherry date"), (4L, "cherry elder fig")).toDF("doc_id", "text")
+    val tf = Retrieval.termFrequencies(c, "doc_id", "text")
+      .localCheckpoint()
+    val shards = Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L))
+      .toDF("docId", "shard")
+    val sdf = Federation.shardTermStats(tf, shards).localCheckpoint()
+    val scw = Federation.shardSizes(tf, shards).localCheckpoint()
+    val qs = Seq((9L, "apple")).toDF("query_id", "text")
+    val got = Federation.coriShardScores(sdf, scw, qs,
+      "query_id", "text").collect()
+      .map(r => r.getLong(1) -> ((r.getDouble(2), r.getLong(3)))).toMap
+    // by hand: C = 2, cw0 = 4, cw1 = 5, avgcw = 4.5, cf(apple) = 1
+    val i = math.log((2.0 + 0.5) / 1.0) / math.log(2.0 + 1.0)
+    def t(df: Double, cw: Double) =
+      df / (df + 50.0 + 150.0 * cw / 4.5)
+    val p0 = 0.4 + 0.6 * t(2.0, 4.0) * i // apple in both shard-0 docs
+    val p1 = 0.4 + 0.6 * t(0.0, 5.0) * i // absent -> the prior b
+    assert(got(0L)._2 === 1L && got(1L)._2 === 2L)
+    assert(math.abs(got(0L)._1 - p0) < 1e-12)
+    assert(math.abs(got(1L)._1 - p1) < 1e-12)
+    assert(p1 === 0.4) // T = 0 exactly at df = 0
+  }
+
+  test("multi-term queries average beliefs; absent-everywhere terms drop") {
+    val c = Seq(
+      (1L, "apple banana"), (2L, "cherry banana"))
+      .toDF("doc_id", "text")
+    val tf = Retrieval.termFrequencies(c, "doc_id", "text")
+      .localCheckpoint()
+    val shards = Seq((1L, 0L), (2L, 1L)).toDF("docId", "shard")
+    val sdf = Federation.shardTermStats(tf, shards).localCheckpoint()
+    val scw = Federation.shardSizes(tf, shards).localCheckpoint()
+    // "zzz" is in no shard: the mean is over {apple, banana} only
+    val qs = Seq((9L, "apple banana zzz")).toDF("query_id", "text")
+    val rows = Federation.coriShardScores(sdf, scw, qs,
+      "query_id", "text").collect()
+    assert(rows.length === 2)
+    // both shards contain banana; only shard 0 has apple -> it wins
+    val byShard = rows.map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(byShard(0L) > byShard(1L))
+    // scores live in (b, 1]-ish territory: mean of two beliefs >= b
+    assert(byShard.values.forall(s => s >= 0.4 && s < 1.0))
+  }
+}

@@ -352,6 +352,50 @@ class SemanticVocabSpec extends SparkSpec {
     assert(got === Set(("a", "b")))
   }
 
+  test("windowedCooccurrence matches a plain-Scala harmonic reference") {
+    import graft.operators.Retrieval
+    val rnd = new scala.util.Random(214)
+    val vocab = ('a' to 'f').map(_.toString)
+    val docsSeq = (1L to 25L).map { id =>
+      id -> Seq.fill(4 + rnd.nextInt(6))(
+        vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val posts = Retrieval.positionalPostings(
+      docsSeq.toDF("doc_id", "text"), "doc_id", "text").localCheckpoint()
+    val got = TextAnalysis.windowedCooccurrence(posts, window = 3,
+      minCount = 2L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // the reference: enumerate every in-window ordered pair, fold the
+    // harmonic sum per unordered pair over ascending distance
+    val byDist = scala.collection.mutable.Map
+      .empty[(String, String, Long), Long]
+    for ((_, t) <- docsSeq; ws = t.split(" ");
+         i <- ws.indices; d <- 1 to 3 if i + d < ws.length) {
+      val (x, y) = (ws(i), ws(i + d))
+      val (a, b) = if (x <= y) (x, y) else (y, x)
+      byDist((a, b, d.toLong)) = byDist.getOrElse((a, b, d.toLong), 0L) + 1
+    }
+    val want = byDist.keys.map { case (a, b, _) => (a, b) }.toSet.flatMap {
+      (k: (String, String)) =>
+        val ds = (1L to 3L).flatMap(d =>
+          byDist.get((k._1, k._2, d)).map(n => (d, n)))
+        val n = ds.map(_._2).sum
+        if (n >= 2)
+          Some(k -> ((n, ds.foldLeft(0.0)((acc, x) =>
+            acc + x._2.toDouble / x._1.toDouble))))
+        else None
+    }.toMap
+    assert(got.keySet === want.keySet)
+    for ((k, (n, c)) <- want) {
+      assert(got(k)._1 === n, s"$k")
+      assert(math.abs(got(k)._2 - c) < 1e-12, s"$k")
+    }
+    // same-word pairs (X_aa) must be present in a repetitive corpus
+    assert(want.keys.exists(k => k._1 == k._2), "no X_aa pair")
+  }
+
   test("dsirWeights fails fast when either model is empty") {
     val good = Seq((10L, "a b")).toDF("doc_id", "text")
     val empty = Seq((20L, "!!!")).toDF("doc_id", "text")
