@@ -309,21 +309,30 @@ object TextAnalysis {
     * dominate the shuffle for pairs that score ≈ 0 pmi anyway
     * (opt-in, result-changing, the [[graft.operators.Retrieval]]
     * convention). Long-document skew beyond that is AQE's split +
-    * the caller's length cap ([[graft.operators.Chunking]]). The
-    * corpus scan feeds the df table and both join sides through one
-    * tokenizer projection — Catalyst reuses the exchange.
+    * the caller's length cap ([[graft.operators.Chunking]]).
+    * Tokenizer passes: the document count reads the GUARD only (a
+    * guarded doc always has ≥ 1 token, so N needs no tokens), and
+    * the two pair-join sides are the identical subplan (one
+    * ReusedExchange scan) — leaving TWO tokenizer runs, the df
+    * aggregate and the join input; callers looping over parameter
+    * settings should land the distinct `(docId, word)` table first.
     */
   def pmiCollocations(docs: DataFrame, idCol: String, textCol: String,
                       minCount: Long = 2L,
                       maxDocFrequency: Option[Long] = None): DataFrame = {
     require(minCount >= 1, s"minCount >= 1: $minCount")
-    val dw = docs
+    val guarded = docs
       .filter(col(idCol).isNotNull && lower(col(textCol)).rlike("[a-z0-9]"))
+    val dw = guarded
       .select(col(idCol).as("docId"),
         explode_outer(TextFunctions.normalizeTokens(col(textCol)))
           .as("word"))
       .filter(col("word").isNotNull)
-    val nDocs = dw.agg(countDistinct(col("docId")).cast("double").as("n"))
+    // N off the guard alone — every guarded doc has >= 1 token (the
+    // rlike guarantees an alphanumeric char), so this branch never
+    // pays the tokenizer
+    val nDocs = guarded
+      .agg(countDistinct(col(idCol)).cast("double").as("n"))
     val dft = dw.groupBy("word").agg(count(lit(1)).as("df"))
     val kept = maxDocFrequency
       .map(cap => dft.filter(col("df") <= cap)).getOrElse(dft)

@@ -59,10 +59,14 @@ object Federation {
 
   /** CORI shard ranking: `(queryId, shard, score, rank)` over ALL
     * shards per query (rank 1 = probe first; cap with
-    * `filter(rank <= n)` for a probe budget). `shardDf`/`shardCw`
-    * are the persisted metadata tables ([[shardTermStats]] /
-    * [[shardSizes]]); both are consumed once, and everything after
-    * the query-term join is (queries × shards × terms)-sized.
+    * `filter(rank <= n)` for a probe budget). `shardDf` is consumed
+    * 2× (the cf aggregate + the belief join) and `shardCw` 2× (the
+    * shard-count scalars + the per-shard size fan-out) — pass the
+    * PERSISTED metadata tables ([[shardTermStats]]/[[shardSizes]]
+    * landed at ingest, or `localCheckpoint()`ed as q215 does), never
+    * lazy aggregation chains, or the chain re-runs per consumer (the
+    * measured linearFuse bug class). Everything after the query-term
+    * join is (queries × shards × terms)-sized.
     */
   def coriShardScores(shardDf: DataFrame, shardCw: DataFrame,
                       queries: DataFrame, qidCol: String, qtextCol: String,
@@ -75,7 +79,7 @@ object Federation {
         .as("avgcw"))
     val cft = shardDf.groupBy("word").agg(count(lit(1)).as("cf"))
     // corpus-present distinct query terms, cf folded in
-    val qt = Retrieval.queryTermsOf(queries, qidCol, qtextCol)
+    val qt = Retrieval.queryTerms(queries, qidCol, qtextCol)
       .join(cft, Seq("word"))
     val nq = qt.groupBy("queryId").agg(count(lit(1)).as("__nq"))
     val dfD: Column = coalesce(col("df").cast("double"), lit(0.0))

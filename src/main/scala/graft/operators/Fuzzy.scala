@@ -104,7 +104,7 @@ object Fuzzy {
                           vocabVariants: Option[DataFrame] = None)
       : DataFrame = {
     // query-batch-sized, consumed 2× (in-vocab semi, OOV anti)
-    val qt = Retrieval.queryTermsOf(queries, qidCol, qtextCol)
+    val qt = Retrieval.queryTerms(queries, qidCol, qtextCol)
       .localCheckpoint()
     val inVocab = qt.join(vocab.select("word"), Seq("word"), "left_semi")
     val oov = qt.join(vocab.select("word"), Seq("word"), "left_anti")

@@ -60,9 +60,14 @@ object IrEval {
     */
   def rankingMetrics(run: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
     require(k > 0, s"k > 0: $k")
+    // BOTH inputs collapse defensively: run to min(rank) (below), and
+    // qrels to max(grade) per (query, doc) — merged judgment files
+    // commonly repeat a pair, and a duplicate would double-count
+    // n_rel, the hit join, AP's running precision, DCG, and an IDCG
+    // position at once
     val rel = qrels.filter(col("grade") > 0)
-      .select(col("queryId"), col("docId"),
-        col("grade").cast("double").as("grade"))
+      .groupBy(col("queryId"), col("docId"))
+      .agg(max(col("grade").cast("double")).as("grade"))
     val nRel = rel.groupBy("queryId").agg(count(lit(1)).as("n_rel"))
     val runK = run.groupBy(col("queryId"), col("docId"))
       .agg(min(col("rank")).cast("long").as("rank"))
@@ -139,5 +144,10 @@ object IrEval {
       meanOf("rr"), meanOf("ap"), meanOf("ndcg"))
       .withColumnRenamed("mean_rr", "mrr")
       .withColumnRenamed("mean_ap", "map")
+      // empty in -> empty out: the global groupBy would otherwise emit
+      // one row of 0/0 = NaN means, which a tuning loop comparing
+      // mrr/map across configs silently propagates (all comparisons
+      // false) instead of surfacing the empty evaluation
+      .filter(col("n_queries") > 0)
   }
 }

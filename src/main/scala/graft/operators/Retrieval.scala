@@ -720,16 +720,8 @@ object Retrieval {
     * unit-query-term-weight convention). Nobody inlines a copy: a
     * drift here would silently move query semantics between operators.
     */
-  /** [[queryTerms]] for sibling operators ([[Fuzzy]]'s OOV split) —
-    * the shared-tokenizer rule with package visibility instead of an
-    * inlined copy.
-    */
-  private[operators] def queryTermsOf(queries: DataFrame, qidCol: String,
-                                      qtextCol: String): DataFrame =
-    queryTerms(queries, qidCol, qtextCol)
-
-  private def queryTerms(queries: DataFrame, qidCol: String,
-                         qtextCol: String): DataFrame =
+  private[operators] def queryTerms(queries: DataFrame, qidCol: String,
+                                    qtextCol: String): DataFrame =
     queries
       .filter(col(qidCol).isNotNull && lower(col(qtextCol)).rlike("[a-z0-9]"))
       .select(col(qidCol).as("queryId"),

@@ -96,6 +96,26 @@ class IrEvalSpec extends SparkSpec {
     assert(rr === 0.5) // doc 10 at its min rank 2; doc 11 irrelevant
   }
 
+  test("duplicate qrels rows collapse to max grade") {
+    // a merged judgment file repeating (1, 10): n_rel must stay 1,
+    // and the kept grade is the max (2), which changes IDCG
+    val m = metrics(
+      run((1L, 10L, 1)),
+      qrels((1L, 10L, 1), (1L, 10L, 2)), k = 3)
+    val (nRel, nRetRel, _, rec, _, ap, ndcg) = m(1L)
+    assert(nRel === 1L && nRetRel === 1L && rec === 1.0)
+    assert(math.abs(ap - 1.0) < 1e-12)
+    assert(math.abs(ndcg - 1.0) < 1e-12) // one doc, ideal trivially
+  }
+
+  test("empty metrics produce an empty mean table, not NaNs") {
+    val per = IrEval.rankingMetrics(
+      run((1L, 10L, 1)),
+      qrels((2L, 20L, 0)), k = 5) // no relevant judgment anywhere
+    assert(per.count() === 0L)
+    assert(IrEval.meanRankingMetrics(per).count() === 0L)
+  }
+
   test("macro means average every query equally") {
     val per = IrEval.rankingMetrics(
       run((1L, 10L, 1), (2L, 99L, 1)),
