@@ -257,7 +257,7 @@ object ScaleBench {
         "bm25_conjunctive_topk_10x", "bm25_fuzzy_topk_10x",
         "bm25f_topk_10x", "passage_maxp_topk_10x",
         "rm3_rescore_10x", "rm3_rescore_wand_10x",
-        "rm3_rescore_capped_10x")
+        "rm3_rescore_capped_10x", "cooccurrence_10x", "cori_route_10x")
       round <- Seq("cold", "warm")
     } yield s"$base $round") :+ "bm25_index_write_once"
     if (only.forall(s => bm25SectionLabels.exists(_.contains(s)))) {
@@ -528,6 +528,36 @@ object ScaleBench {
         // wall is N × (batch tokenize + vocabulary-sized merges +
         // probe); a corpus-sized pass anywhere would show up as
         // rebuild-shaped time instead
+        // GloVe co-occurrence pass over the positional layout (q214's
+        // gate): 5M tokens × window 4 = 20M banded events; the stop
+        // cap sheds the Zipf head before the band join, counts stay
+        // map-side-combined integers, the harmonic fold is
+        // window-sized per pair
+        time(s"cooccurrence_10x $round") {
+          println("  cooc_pairs=" + graft.functions.TextAnalysis
+            .windowedCooccurrence(spark.table("sb_bm25_pos"),
+              window = 4, minCount = 5L, maxOccFrequency = Some(20000L))
+            .count())
+        }
+        // CORI shard routing (q215's gate): rank 16 hash shards per
+        // query off shard-level metadata — the metadata aggregates
+        // off the persisted tf table, the probe itself never touches
+        // a posting list
+        time(s"cori_route_10x $round") {
+          import graft.operators.Federation
+          val shards = spark.range(50000)
+            .select(col("id").as("docId"),
+              pmod(col("id"), lit(16)).as("shard"))
+          val sdf = Federation
+            .shardTermStats(spark.table("sb_bm25_tf"), shards)
+            .localCheckpoint()
+          val scw = Federation
+            .shardSizes(spark.table("sb_bm25_tf"), shards)
+            .localCheckpoint()
+          println("  routed_rows=" + Federation.coriShardScores(
+            sdf, scw, bm25Queries, "query_id", "text")
+            .filter(col("rank") <= 4).count())
+        }
         time(s"retrieval_ingest_loop_10x $round") {
           import graft.operators.Retrieval
           var tfC: DataFrame = spark.table("sb_bm25_tf")

@@ -1302,6 +1302,31 @@ private[graft] object TextQueries {
           round(col("score"), 6).as("score"), col("rank"))
         .orderBy("query_id", "rank")
     }),
+    // MMR result diversification: BM25 top-10 pool, token-Jaccard
+    // similarity matrix, greedy k = 3 selection at λ = 0.7. The
+    // oracle UNROLLS the greedy recursion (the fixed-k convention):
+    // step-1 argmax, the max-sim-to-selected aggregates, and both
+    // marginal-score argmaxes — with (1 − λ) as the operator's exact
+    // double constant (toString round-trip), since 1.0 − 0.7 is NOT
+    // the literal 0.3 in IEEE doubles
+    "q216_mmr_rerank" -> ((s, dir) => {
+      import graft.operators.Retrieval
+      val docs = t(s, dir, "documents")
+      val tf = Retrieval.termFrequencies(docs, "doc_id", "text")
+        .localCheckpoint() // see q179
+      val qs = docs.where(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("query_id"),
+          substring(col("text"), 1, 40).as("text"))
+      val pool = Retrieval.bm25TopK(
+        Retrieval.bm25ScoresIndexed(tf, qs, "query_id", "text"), 10)
+        .select("queryId", "docId", "score")
+        .localCheckpoint() // consumed per greedy step
+      val sims = Retrieval.poolTokenSims(tf, pool).localCheckpoint()
+      Retrieval.mmrRerank(pool, sims, k = 3, lambda = 0.7)
+        .select(col("queryId").as("query_id"), col("docId").as("doc_id"),
+          round(col("mmr_score"), 6).as("mmr_score"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
     // the production hybrid pairing (q181 fused BM25 with exact
     // Jaccard; this fuses it with the IVFADC ANN stack): BM25 top-10
     // over short queries + residual-IVFADC top-10 over the same query
@@ -3555,6 +3580,104 @@ private[graft] object TextQueries {
          |    row_number() OVER (PARTITION BY query_id
          |      ORDER BY score DESC, shard) AS r
          |  FROM scored) z
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // the greedy MMR recursion unrolled: pool, pooled-doc token sets,
+    // sizes, pair intersections, the full sim matrix (zero-overlap
+    // pairs included), then argmax / max-sim / argmax / max-sim /
+    // argmax — each marginal the operator's exact arithmetic
+    "q216_mmr_rerank" ->
+      s"""WITH ${bm25Cte("TRUE", "doc_id % 97 = 0", "substr(text, 1, 40)")},
+         |pool AS (
+         |  SELECT query_id, doc_id, score FROM (
+         |    SELECT query_id, doc_id, score,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score DESC, doc_id) AS r
+         |    FROM bscores) x WHERE r <= 10),
+         |pids AS (SELECT DISTINCT doc_id FROM pool),
+         |ptf AS (
+         |  SELECT doc_id, word FROM tfv
+         |  WHERE doc_id IN (SELECT doc_id FROM pids)),
+         |psz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+         |        FROM ptf GROUP BY 1),
+         |ppair AS (
+         |  SELECT p1.query_id, p1.doc_id AS da, p2.doc_id AS db
+         |  FROM pool p1 JOIN pool p2 ON p2.query_id = p1.query_id
+         |    AND p2.doc_id != p1.doc_id),
+         |pint AS (
+         |  SELECT pr.query_id, pr.da, pr.db,
+         |    CAST(count(*) AS BIGINT) AS iv
+         |  FROM ppair pr
+         |  JOIN ptf a ON a.doc_id = pr.da
+         |  JOIN ptf b2 ON b2.doc_id = pr.db AND b2.word = a.word
+         |  GROUP BY 1, 2, 3),
+         |psim AS (
+         |  SELECT pr.query_id, pr.da, pr.db,
+         |    CAST(coalesce(iv, 0) AS DOUBLE)
+         |      / CAST(sa.sz + sb.sz - coalesce(iv, 0) AS DOUBLE) AS sim
+         |  FROM ppair pr
+         |  LEFT JOIN pint ON pint.query_id = pr.query_id
+         |    AND pint.da = pr.da AND pint.db = pr.db
+         |  JOIN psz sa ON sa.doc_id = pr.da
+         |  JOIN psz sb ON sb.doc_id = pr.db),
+         |s1 AS (
+         |  SELECT query_id, doc_id, mmr FROM (
+         |    SELECT query_id, doc_id,
+         |      CAST(0.7 AS DOUBLE) * score AS mmr,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY CAST(0.7 AS DOUBLE) * score DESC, doc_id) AS r
+         |    FROM pool) x WHERE r = 1),
+         |rem1 AS (
+         |  SELECT p.query_id, p.doc_id, p.score FROM pool p
+         |  WHERE NOT EXISTS (SELECT 1 FROM s1
+         |    WHERE s1.query_id = p.query_id AND s1.doc_id = p.doc_id)),
+         |m2 AS (
+         |  SELECT r.query_id, r.doc_id, r.score, max(ps.sim) AS ms
+         |  FROM rem1 r
+         |  JOIN s1 ON s1.query_id = r.query_id
+         |  JOIN psim ps ON ps.query_id = r.query_id
+         |    AND ps.da = r.doc_id AND ps.db = s1.doc_id
+         |  GROUP BY 1, 2, 3),
+         |s2 AS (
+         |  SELECT query_id, doc_id, mmr FROM (
+         |    SELECT query_id, doc_id,
+         |      CAST(0.7 AS DOUBLE) * score -
+         |        CAST('${(1.0 - 0.7).toString}' AS DOUBLE) * ms AS mmr,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY CAST(0.7 AS DOUBLE) * score -
+         |          CAST('${(1.0 - 0.7).toString}' AS DOUBLE) * ms DESC,
+         |          doc_id) AS r
+         |    FROM m2) y WHERE r = 1),
+         |rem2 AS (
+         |  SELECT r.query_id, r.doc_id, r.score FROM rem1 r
+         |  WHERE NOT EXISTS (SELECT 1 FROM s2
+         |    WHERE s2.query_id = r.query_id AND s2.doc_id = r.doc_id)),
+         |sel2 AS (
+         |  SELECT query_id, doc_id FROM s1
+         |  UNION ALL SELECT query_id, doc_id FROM s2),
+         |m3 AS (
+         |  SELECT r.query_id, r.doc_id, r.score, max(ps.sim) AS ms
+         |  FROM rem2 r
+         |  JOIN sel2 ON sel2.query_id = r.query_id
+         |  JOIN psim ps ON ps.query_id = r.query_id
+         |    AND ps.da = r.doc_id AND ps.db = sel2.doc_id
+         |  GROUP BY 1, 2, 3),
+         |s3 AS (
+         |  SELECT query_id, doc_id, mmr FROM (
+         |    SELECT query_id, doc_id,
+         |      CAST(0.7 AS DOUBLE) * score -
+         |        CAST('${(1.0 - 0.7).toString}' AS DOUBLE) * ms AS mmr,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY CAST(0.7 AS DOUBLE) * score -
+         |          CAST('${(1.0 - 0.7).toString}' AS DOUBLE) * ms DESC,
+         |          doc_id) AS r
+         |    FROM m3) z WHERE r = 1)
+         |SELECT query_id, doc_id, round(mmr, 6) AS mmr_score,
+         |  CAST(rk AS BIGINT) AS rank
+         |FROM (
+         |  SELECT query_id, doc_id, mmr, 1 AS rk FROM s1
+         |  UNION ALL SELECT query_id, doc_id, mmr, 2 FROM s2
+         |  UNION ALL SELECT query_id, doc_id, mmr, 3 FROM s3) u
          |ORDER BY query_id, rank""".stripMargin,
 
     // THE FULL-CORPUS REBUILD (q180's oracle verbatim): the compacted

@@ -1611,6 +1611,107 @@ object Retrieval {
       .filter(col("rank") <= topV)
   }
 
+  /** Maximal-Marginal-Relevance re-ranking (Carbonell & Goldstein
+    * SIGIR'98) — result DIVERSIFICATION: greedily select `k` of each
+    * query's pooled candidates, each step taking the doc maximizing
+    * `λ·score − (1−λ)·max_{s ∈ selected} sim(doc, s)` (step 1 has no
+    * selected set, so its marginal is `λ·score`). Returns
+    * `(queryId, docId, mmr_score, rank)`, `rank` = selection order —
+    * near-duplicate results are pushed down in favor of novel ones,
+    * the standard answer to redundant top-k pages and RAG context
+    * stuffing.
+    *
+    * `pool` is the candidate table `(queryId, docId, score)` — ALREADY
+    * capped per query (a [[bm25TopK]] output reselected, typically
+    * n = 10..50); `sims` the FULL pairwise similarity matrix over each
+    * query's pool, `(queryId, docA, docB, sim)` with a row for every
+    * ORDERED pair (build lexical sims with [[poolTokenSims]], or bring
+    * embedding cosines). Everything is result-sized — n² sim rows and
+    * k plan steps over queries × n tables — so the greedy loop costs
+    * nothing corpus-shaped; both inputs are consumed once per STEP
+    * (k times total): pass materialized tables (q216 checkpoints
+    * both), the linearFuse rule. Ties break (mmr desc, docId asc);
+    * queries with fewer than `k` pooled docs simply run out. The
+    * per-step argmax is deterministic, so the whole selection replays
+    * exactly (q216 gates the k = 3 unrolled composition).
+    */
+  def mmrRerank(pool: DataFrame, sims: DataFrame, k: Int,
+                lambda: Double): DataFrame = {
+    require(k >= 1, s"k >= 1: $k")
+    require(lambda >= 0 && lambda <= 1, s"lambda in [0,1]: $lambda")
+    val w = Window.partitionBy(col("queryId"))
+      .orderBy(col("__mmr").desc, col("docId").asc)
+    def pickTop(scored: DataFrame, step: Int): DataFrame =
+      scored.withColumn("__r", row_number().over(w))
+        .filter(col("__r") === 1)
+        .select(col("queryId"), col("docId"),
+          col("__mmr").as("mmr_score"), lit(step.toLong).as("rank"))
+    var selected = pickTop(
+      pool.select(col("queryId"), col("docId"),
+        (lit(lambda) * col("score")).as("__mmr")), 1)
+      .localCheckpoint() // step outputs are queries-sized
+    var remaining = pool.join(selected, Seq("queryId", "docId"),
+      "left_anti").localCheckpoint()
+    for (step <- 2 to k) {
+      // every remaining doc has a sim row to every selected doc (the
+      // full-matrix contract), so the max is over exactly |selected|
+      val ms = remaining
+        .join(selected.select(col("queryId"), col("docId").as("docB")),
+          Seq("queryId"))
+        .join(sims.withColumnRenamed("docA", "docId"),
+          Seq("queryId", "docId", "docB"))
+        .groupBy(col("queryId"), col("docId"))
+        .agg(max(col("sim")).as("__ms"))
+      val pick = pickTop(
+        remaining.join(ms, Seq("queryId", "docId"))
+          .select(col("queryId"), col("docId"),
+            (lit(lambda) * col("score") -
+              lit(1.0 - lambda) * col("__ms")).as("__mmr")), step)
+        .localCheckpoint()
+      selected = selected.unionByName(pick).localCheckpoint()
+      remaining = remaining.join(pick, Seq("queryId", "docId"),
+        "left_anti").localCheckpoint()
+    }
+    selected.select(col("queryId"), col("docId"), col("mmr_score"),
+      col("rank"))
+  }
+
+  /** The lexical similarity matrix for [[mmrRerank]]: exact
+    * distinct-token Jaccard between every ORDERED pair of a query's
+    * pooled docs — `(queryId, docA, docB, sim)`, zero-overlap pairs
+    * included (sim 0). One semi-join restricts the tf table to the
+    * POOL'S doc ids (result-sized — the corpus never enters), then
+    * sizes and pair intersections compute over that slice; with the
+    * docId-bucketed forward layout the semi-join is bucket-local.
+    * `pool` is consumed 3× and `tf` once — materialize the pool.
+    */
+  def poolTokenSims(tf: DataFrame, pool: DataFrame): DataFrame = {
+    val ids = pool.select(col("docId")).distinct()
+    val ptf = tf.join(ids, Seq("docId"), "left_semi")
+      .select(col("docId"), col("word"))
+    val sz = ptf.groupBy("docId").agg(count(lit(1)).as("__sz"))
+    val pairs = pool.select(col("queryId"), col("docId").as("docA"))
+      .join(pool.select(col("queryId"), col("docId").as("docB")),
+        Seq("queryId"))
+      .filter(col("docA") =!= col("docB"))
+    val inter = pairs
+      .join(ptf.select(col("docId").as("docA"), col("word")), Seq("docA"))
+      .join(ptf.select(col("docId").as("docB"), col("word")),
+        Seq("docB", "word"))
+      .groupBy(col("queryId"), col("docA"), col("docB"))
+      .agg(count(lit(1)).as("__i"))
+    pairs
+      .join(inter, Seq("queryId", "docA", "docB"), "left_outer")
+      .join(sz.select(col("docId").as("docA"), col("__sz").as("__sa")),
+        Seq("docA"))
+      .join(sz.select(col("docId").as("docB"), col("__sz").as("__sb")),
+        Seq("docB"))
+      .select(col("queryId"), col("docA"), col("docB"),
+        (coalesce(col("__i"), lit(0L)).cast("double") /
+          (col("__sa") + col("__sb") - coalesce(col("__i"), lit(0L)))
+            .cast("double")).as("sim"))
+  }
+
   /** Normalized LINEAR score fusion — [[rrfFuse]]'s score-aware
     * sibling (the interpolation combiner of hybrid-retrieval
     * literature, e.g. convex BM25+dense mixing): each input ranking's

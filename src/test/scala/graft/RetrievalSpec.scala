@@ -577,6 +577,44 @@ class RetrievalSpec extends SparkSpec {
     assert(tied === Set(("books", 1L), ("web", 2L)))
   }
 
+  test("MMR pushes a near-duplicate below a novel doc; marginals by hand") {
+    // pool: doc 1 (score 1.0), doc 2 (0.95, near-dup of 1: sim 0.9),
+    // doc 3 (0.5, novel: sim 0.1 to both). Plain ranking: 1, 2, 3.
+    // MMR at lambda 0.5: step 2 marginal of doc 2 = .5*.95-.5*.9 =
+    // 0.025 < doc 3's .5*.5-.5*.1 = 0.2 -> 3 overtakes 2.
+    val pool = Seq((1L, 1L, 1.0), (1L, 2L, 0.95), (1L, 3L, 0.5))
+      .toDF("queryId", "docId", "score")
+    val sims = Seq(
+      (1L, 1L, 2L, 0.9), (1L, 2L, 1L, 0.9),
+      (1L, 1L, 3L, 0.1), (1L, 3L, 1L, 0.1),
+      (1L, 2L, 3L, 0.1), (1L, 3L, 2L, 0.1))
+      .toDF("queryId", "docA", "docB", "sim")
+    val got = Retrieval.mmrRerank(pool, sims, k = 3, lambda = 0.5)
+      .collect()
+      .map(r => r.getLong(3) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(1L)._1 === 1L && got(2L)._1 === 3L && got(3L)._1 === 2L)
+    assert(math.abs(got(1L)._2 - 0.5) < 1e-12)
+    assert(math.abs(got(2L)._2 - 0.2) < 1e-12)
+    // step 3: doc 2's max sim over {1, 3} = 0.9
+    assert(math.abs(got(3L)._2 - (0.5 * 0.95 - 0.5 * 0.9)) < 1e-12)
+  }
+
+  test("pool token sims are symmetric exact Jaccard with zero rows kept") {
+    val c = docs(
+      1L -> "apple banana cherry",
+      2L -> "apple banana date",
+      3L -> "elder fig")
+    val tf = Retrieval.termFrequencies(c, "doc_id", "text").localCheckpoint()
+    val pool = Seq((9L, 1L, 2.0), (9L, 2L, 1.5), (9L, 3L, 1.0))
+      .toDF("queryId", "docId", "score").localCheckpoint()
+    val got = Retrieval.poolTokenSims(tf, pool).collect()
+      .map(r => (r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    assert(got.size === 6) // full ordered matrix
+    assert(math.abs(got((1L, 2L)) - 2.0 / 4.0) < 1e-12)
+    assert(got((1L, 2L)) === got((2L, 1L)))
+    assert(got((1L, 3L)) === 0.0) // zero-overlap pair present
+  }
+
   test("WAND first pass reproduces the unpruned RM3 expansion bitwise") {
     val rnd = new scala.util.Random(77)
     val c = (1L to 60L).map { id =>
