@@ -57,6 +57,26 @@ object Federation {
       .groupBy(col("shard"), col("docId")).agg(max(col("dl")).as("dl"))
       .groupBy(col("shard")).agg(sum(col("dl")).as("cw"))
 
+  /** Append-side merge of two [[shardTermStats]] tables — the
+    * [[Retrieval.compactTermIndex]] df-merge convention per shard:
+    * counts add across the union, row-identical to a rebuild over the
+    * merged corpus under the disjoint-docId ingest contract
+    * (FederationSpec pins the parity). Vocabulary × shards sized.
+    */
+  def compactShardTermStats(sdf: DataFrame,
+                            batchSdf: DataFrame): DataFrame =
+    sdf.unionByName(batchSdf)
+      .groupBy(col("shard"), col("word"))
+      .agg(sum(col("df")).as("df"))
+
+  /** Append-side merge of two [[shardSizes]] tables — exact BIGINT
+    * sums, shards-sized.
+    */
+  def compactShardSizes(scw: DataFrame, batchScw: DataFrame): DataFrame =
+    scw.unionByName(batchScw)
+      .groupBy(col("shard"))
+      .agg(sum(col("cw")).as("cw"))
+
   /** CORI shard ranking: `(queryId, shard, score, rank)` over ALL
     * shards per query (rank 1 = probe first; cap with
     * `filter(rank <= n)` for a probe budget). `shardDf` is consumed

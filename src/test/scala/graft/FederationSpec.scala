@@ -41,6 +41,37 @@ class FederationSpec extends SparkSpec {
     assert(p1 === 0.4) // T = 0 exactly at df = 0
   }
 
+  test("compacted shard metadata equals the rebuild on the union") {
+    val rnd = new scala.util.Random(215)
+    def randDocs(ids: Range): Seq[(Long, String)] = ids.map { id =>
+      id.toLong -> Seq.fill(4 + rnd.nextInt(4))(
+        s"tok${10 / (rnd.nextInt(10) + 1)}").mkString(" ")
+    }
+    val base = randDocs(1 to 30).toDF("doc_id", "text")
+    val batch = randDocs(31 to 45).toDF("doc_id", "text")
+    val all = base.unionByName(batch)
+    def shardsOf(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("doc_id").as("docId"),
+        pmod(col("doc_id"), lit(3)).as("shard"))
+    def stats(d: org.apache.spark.sql.DataFrame) = {
+      val tf = Retrieval.termFrequencies(d, "doc_id", "text")
+      (Federation.shardTermStats(tf, shardsOf(d)),
+        Federation.shardSizes(tf, shardsOf(d)))
+    }
+    val (sdfB, scwB) = stats(base)
+    val (sdfX, scwX) = stats(batch)
+    val (sdfAll, scwAll) = stats(all)
+    def dfRows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSet
+    def cwRows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dfRows(Federation.compactShardTermStats(sdfB, sdfX)) ===
+      dfRows(sdfAll))
+    assert(cwRows(Federation.compactShardSizes(scwB, scwX)) ===
+      cwRows(scwAll))
+  }
+
   test("multi-term queries average beliefs; absent-everywhere terms drop") {
     val c = Seq(
       (1L, "apple banana"), (2L, "cherry banana"))
