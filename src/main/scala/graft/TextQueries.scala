@@ -1327,6 +1327,64 @@ private[graft] object TextQueries {
           round(col("mmr_score"), 6).as("mmr_score"), col("rank"))
         .orderBy("query_id", "rank")
     }),
+    // boolean-NOT retrieval: rank on the positive prefix, exclude
+    // every doc containing the query doc's 5th word — the oracle
+    // replays the negative posting pull and the anti-join; a leaked
+    // excluded doc or an over-broad exclusion breaks rows
+    "q217_bm25_not_topk" -> ((s, dir) => {
+      import graft.operators.Retrieval
+      val docs = t(s, dir, "documents")
+      val tf = Retrieval.termFrequencies(docs, "doc_id", "text")
+        .localCheckpoint() // see q179
+      val dfT = Retrieval.dfTable(tf).localCheckpoint()
+      val st = Retrieval.corpusStats(tf).localCheckpoint()
+      val qs = docs.where(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("query_id"),
+          substring(col("text"), 1, 40).as("text"),
+          concat_ws("",
+            slice(TextFunctions.normalizedWords(col("text")), 5, 1))
+            .as("neg"))
+        .filter(length(col("neg")) > 0)
+      Retrieval.bm25TopKNot(tf, dfT, st, qs, "query_id", "text",
+        "neg", k = 5)
+        .select(col("queryId").as("query_id"), col("docId").as("doc_id"),
+          round(col("score"), 6).as("score"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+    // paired run comparison with t-statistics: the pruned run (A, the
+    // q206 setup) against the exact top-5 run (B) over the SAME
+    // graded qrels — per metric, the mean per-query delta and the
+    // paired t. The oracle replays BOTH metric chains, the paired
+    // differences, and the two-pass mean/variance folds from first
+    // principles
+    "q218_paired_metrics_ttest" -> ((s, dir) => {
+      import graft.operators.{IrEval, Retrieval}
+      val (tf, qs, hotCut) = zipfWandFixture(s, dir)
+      val dfT = Retrieval.dfTable(tf).localCheckpoint()
+      val st = Retrieval.corpusStats(tf).localCheckpoint()
+      val runA = Retrieval.bm25TopK(
+        Retrieval.bm25ScoresPrecomputed(tf, dfT, st, qs,
+          "query_id", "text", maxDocFrequency = Some(hotCut)), 5)
+        .select("queryId", "docId", "rank").localCheckpoint()
+      val exact = Retrieval.bm25TopK(
+        Retrieval.bm25ScoresPrecomputed(tf, dfT, st, qs,
+          "query_id", "text"), 10).localCheckpoint()
+      val runB = exact.filter(col("rank") <= 5)
+        .select("queryId", "docId", "rank").localCheckpoint()
+      val qrels = exact
+        .select(col("queryId"), col("docId"),
+          (lit(11L) - col("rank")).as("grade")).localCheckpoint()
+      val mA = IrEval.rankingMetrics(runA, qrels, k = 5)
+        .localCheckpoint()
+      val mB = IrEval.rankingMetrics(runB, qrels, k = 5)
+        .localCheckpoint()
+      val ms = Seq("p_at_k", "recall_at_k", "rr", "ap", "ndcg")
+      IrEval.pairedComparison(mA, mB)
+        .select(col("n_queries") +: ms.flatMap(c => Seq(
+          round(col(s"d_$c"), 6).as(s"d_$c"),
+          round(col(s"t_$c"), 6).as(s"t_$c"))): _*)
+    }),
     // the production hybrid pairing (q181 fused BM25 with exact
     // Jaccard; this fuses it with the IVFADC ANN stack): BM25 top-10
     // over short queries + residual-IVFADC top-10 over the same query
@@ -3679,6 +3737,161 @@ private[graft] object TextQueries {
          |  UNION ALL SELECT query_id, doc_id, mmr, 2 FROM s2
          |  UNION ALL SELECT query_id, doc_id, mmr, 3 FROM s3) u
          |ORDER BY query_id, rank""".stripMargin,
+
+    // the positive scoring chain restricted by queries that HAVE a
+    // 5th token, the negative posting pull, and the anti-join — all
+    // from first principles
+    "q217_bm25_not_topk" ->
+      s"""WITH ${bm25Cte("TRUE",
+             s"doc_id % 97 = 0 AND len(list_filter(string_split_regex(" +
+               s"regexp_replace(lower(text), '[^a-z0-9$WsClass]', ' ', 'g'), " +
+               s"'[$WsClass]+'), x -> x != '')) >= 5",
+             "substr(text, 1, 40)")},
+         |$LiveWordsCte,
+         |negterm AS (
+         |  SELECT doc_id AS query_id, w[5] AS word
+         |  FROM ws WHERE doc_id % 97 = 0 AND len(w) >= 5),
+         |excl AS (
+         |  SELECT DISTINCT n.query_id, t.doc_id
+         |  FROM negterm n JOIN tfv t USING (word)),
+         |kept AS (
+         |  SELECT b.query_id, b.doc_id, b.score FROM bscores b
+         |  WHERE NOT EXISTS (SELECT 1 FROM excl e
+         |    WHERE e.query_id = b.query_id AND e.doc_id = b.doc_id))
+         |SELECT query_id, doc_id, round(score, 6) AS score,
+         |  CAST(rank AS BIGINT) AS rank
+         |FROM (
+         |  SELECT query_id, doc_id, score,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id) AS rank
+         |  FROM kept) z
+         |WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // both metric chains (the pruned run's via the shared fragment,
+    // the exact run's mirrored), paired differences on the common
+    // queries, and the two-pass mean/variance folds with the
+    // t = m/√(s²/n) readout (NULL at zero variance)
+    "q218_paired_metrics_ttest" ->
+      s"""WITH ${bm25Cte("TRUE", "doc_id % 50 = 0",
+             ZipfWandQueryTextSql, ZipfWandCorpusTextSql)},
+         |$RankingMetricsCtes,
+         |brun AS (
+         |  SELECT query_id, doc_id, CAST(r AS BIGINT) AS rank FROM (
+         |    SELECT query_id, doc_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score DESC, doc_id) AS r
+         |    FROM bscores) yy WHERE r <= 5),
+         |hcb AS (
+         |  SELECT query_id, rank, grade,
+         |    sum(CASE WHEN grade > 0 THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY query_id ORDER BY rank) AS nrelr
+         |  FROM (
+         |    SELECT r.query_id, r.rank, coalesce(q.grade, 0.0) AS grade
+         |    FROM brun r LEFT JOIN qrels q USING (query_id, doc_id))),
+         |perqb AS (
+         |  SELECT query_id,
+         |    CAST(sum(CASE WHEN grade > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_ret_rel,
+         |    list_reduce(list_prepend(0.0, list(
+         |      CASE WHEN grade > 0
+         |        THEN CAST(nrelr AS DOUBLE) / CAST(rank AS DOUBLE)
+         |        ELSE 0.0 END ORDER BY rank)), (a, x) -> a + x) AS psum,
+         |    list_reduce(list_prepend(0.0, list(
+         |      (power(2.0, grade) - 1.0)
+         |        / (ln(CAST(rank + 1 AS DOUBLE)) / ln(2.0))
+         |      ORDER BY rank)), (a, x) -> a + x) AS dcgs,
+         |    min(CASE WHEN grade > 0 THEN rank END) AS frr
+         |  FROM hcb GROUP BY 1),
+         |metb AS (
+         |  SELECT n.query_id,
+         |    CAST(coalesce(n_ret_rel, 0) AS DOUBLE) / 5.0 AS p_at_k,
+         |    CAST(coalesce(n_ret_rel, 0) AS DOUBLE) / CAST(n_rel AS DOUBLE)
+         |      AS recall_at_k,
+         |    CASE WHEN frr IS NULL THEN 0.0
+         |         ELSE 1.0 / CAST(frr AS DOUBLE) END AS rr,
+         |    coalesce(psum, 0.0) / CAST(n_rel AS DOUBLE) AS ap,
+         |    coalesce(dcgs, 0.0) / idcg AS ndcg
+         |  FROM nrel n
+         |  LEFT JOIN perqb USING (query_id)
+         |  LEFT JOIN idcgt USING (query_id)),
+         |diffs AS (
+         |  SELECT a.query_id,
+         |    a.p_at_k - b.p_at_k AS d_p_at_k,
+         |    a.recall_at_k - b.recall_at_k AS d_recall_at_k,
+         |    a.rr - b.rr AS d_rr,
+         |    a.ap - b.ap AS d_ap,
+         |    a.ndcg - b.ndcg AS d_ndcg
+         |  FROM met a JOIN metb b USING (query_id)),
+         |mns AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    list_reduce(list_prepend(0.0,
+         |      list(d_p_at_k ORDER BY query_id)), (a, x) -> a + x)
+         |      / CAST(count(*) AS DOUBLE) AS m_p_at_k,
+         |    list_reduce(list_prepend(0.0,
+         |      list(d_recall_at_k ORDER BY query_id)), (a, x) -> a + x)
+         |      / CAST(count(*) AS DOUBLE) AS m_recall_at_k,
+         |    list_reduce(list_prepend(0.0,
+         |      list(d_rr ORDER BY query_id)), (a, x) -> a + x)
+         |      / CAST(count(*) AS DOUBLE) AS m_rr,
+         |    list_reduce(list_prepend(0.0,
+         |      list(d_ap ORDER BY query_id)), (a, x) -> a + x)
+         |      / CAST(count(*) AS DOUBLE) AS m_ap,
+         |    list_reduce(list_prepend(0.0,
+         |      list(d_ndcg ORDER BY query_id)), (a, x) -> a + x)
+         |      / CAST(count(*) AS DOUBLE) AS m_ndcg
+         |  FROM diffs),
+         |vr AS (
+         |  SELECT any_value(n) AS n,
+         |    any_value(m_p_at_k) AS m_p_at_k,
+         |    any_value(m_recall_at_k) AS m_recall_at_k,
+         |    any_value(m_rr) AS m_rr,
+         |    any_value(m_ap) AS m_ap,
+         |    any_value(m_ndcg) AS m_ndcg,
+         |    list_reduce(list_prepend(0.0, list(
+         |      (d_p_at_k - m_p_at_k) * (d_p_at_k - m_p_at_k)
+         |      ORDER BY query_id)), (a, x) -> a + x) AS s_p_at_k,
+         |    list_reduce(list_prepend(0.0, list(
+         |      (d_recall_at_k - m_recall_at_k)
+         |        * (d_recall_at_k - m_recall_at_k)
+         |      ORDER BY query_id)), (a, x) -> a + x) AS s_recall_at_k,
+         |    list_reduce(list_prepend(0.0, list(
+         |      (d_rr - m_rr) * (d_rr - m_rr)
+         |      ORDER BY query_id)), (a, x) -> a + x) AS s_rr,
+         |    list_reduce(list_prepend(0.0, list(
+         |      (d_ap - m_ap) * (d_ap - m_ap)
+         |      ORDER BY query_id)), (a, x) -> a + x) AS s_ap,
+         |    list_reduce(list_prepend(0.0, list(
+         |      (d_ndcg - m_ndcg) * (d_ndcg - m_ndcg)
+         |      ORDER BY query_id)), (a, x) -> a + x) AS s_ndcg
+         |  FROM diffs CROSS JOIN mns)
+         |SELECT n AS n_queries,
+         |  round(m_p_at_k, 6) AS d_p_at_k,
+         |  round(CASE WHEN n > 1 AND s_p_at_k > 0
+         |    THEN m_p_at_k / sqrt(s_p_at_k
+         |      / (CAST(n AS DOUBLE) - 1.0) / CAST(n AS DOUBLE)) END, 6)
+         |    AS t_p_at_k,
+         |  round(m_recall_at_k, 6) AS d_recall_at_k,
+         |  round(CASE WHEN n > 1 AND s_recall_at_k > 0
+         |    THEN m_recall_at_k / sqrt(s_recall_at_k
+         |      / (CAST(n AS DOUBLE) - 1.0) / CAST(n AS DOUBLE)) END, 6)
+         |    AS t_recall_at_k,
+         |  round(m_rr, 6) AS d_rr,
+         |  round(CASE WHEN n > 1 AND s_rr > 0
+         |    THEN m_rr / sqrt(s_rr
+         |      / (CAST(n AS DOUBLE) - 1.0) / CAST(n AS DOUBLE)) END, 6)
+         |    AS t_rr,
+         |  round(m_ap, 6) AS d_ap,
+         |  round(CASE WHEN n > 1 AND s_ap > 0
+         |    THEN m_ap / sqrt(s_ap
+         |      / (CAST(n AS DOUBLE) - 1.0) / CAST(n AS DOUBLE)) END, 6)
+         |    AS t_ap,
+         |  round(m_ndcg, 6) AS d_ndcg,
+         |  round(CASE WHEN n > 1 AND s_ndcg > 0
+         |    THEN m_ndcg / sqrt(s_ndcg
+         |      / (CAST(n AS DOUBLE) - 1.0) / CAST(n AS DOUBLE)) END, 6)
+         |    AS t_ndcg
+         |FROM vr""".stripMargin,
 
     // THE FULL-CORPUS REBUILD (q180's oracle verbatim): the compacted
     // (tf, df, stats) triple must probe indistinguishably from an index

@@ -125,6 +125,58 @@ object IrEval {
         (coalesce(col("__dcgs"), lit(0.0)) / col("__idcg")).as("ndcg"))
   }
 
+  /** Paired comparison of two [[rankingMetrics]] tables over their
+    * COMMON queries — the trec_eval run-comparison companion: one row
+    * with, per metric `m ∈ {p_at_k, recall_at_k, rr, ap, ndcg}`, the
+    * mean per-query difference `d_m = mean(A_m − B_m)` and the paired
+    * t-statistic `t_m = d_m / √(s²/n)` (s² the n−1 sample variance of
+    * the differences) — the standard significance readout for "is run
+    * A actually better than run B, or is the delta query noise".
+    * `t_m` is NULL when n < 2 or the differences are constant
+    * (zero variance — identical runs included); callers compare |t|
+    * against their chosen critical value. Queries present in only one
+    * table drop (paired means paired); empty intersection → empty
+    * output (the [[meanRankingMetrics]] convention). Folds are
+    * queryId-sorted two-pass (mean, then Σ(d−mean)²), so the
+    * statistics replay bitwise.
+    */
+  def pairedComparison(metricsA: DataFrame,
+                       metricsB: DataFrame): DataFrame = {
+    val ms = Seq("p_at_k", "recall_at_k", "rr", "ap", "ndcg")
+    val a = metricsA.select(
+      col("queryId") +: ms.map(c => col(c).as(s"__a_$c")): _*)
+    val b = metricsB.select(
+      col("queryId") +: ms.map(c => col(c).as(s"__b_$c")): _*)
+    val d = a.join(b, Seq("queryId"))
+      .select(col("queryId") +:
+        ms.map(c => (col(s"__a_$c") - col(s"__b_$c")).as(s"__d_$c")): _*)
+      .localCheckpoint() // queries-sized, consumed 2x (mean, variance)
+    val means = d.groupBy().agg(
+      count(lit(1)).as("__n"),
+      ms.map(c => (aggregate(
+        sort_array(collect_list(struct(col("queryId"),
+          col(s"__d_$c").as("__v")))),
+        lit(0.0), (acc, x) => acc + x.getField("__v")) /
+        count(lit(1)).cast("double")).as(s"__m_$c")): _*)
+    d.crossJoin(broadcast(means))
+      .groupBy()
+      .agg(
+        count(lit(1)).as("n_queries"),
+        ms.flatMap { c =>
+          val dev = col(s"__d_$c") - col(s"__m_$c")
+          val ssq = aggregate(
+            sort_array(collect_list(struct(col("queryId"),
+              (dev * dev).as("__v")))),
+            lit(0.0), (acc, x) => acc + x.getField("__v"))
+          val n = count(lit(1)).cast("double")
+          Seq(max(col(s"__m_$c")).as(s"d_$c"),
+            when(count(lit(1)) > 1 && ssq > 0,
+              max(col(s"__m_$c")) / sqrt(ssq / (n - lit(1.0)) / n))
+              .as(s"t_$c"))
+        }: _*)
+      .filter(col("n_queries") > 0)
+  }
+
   /** Macro averages of a [[rankingMetrics]] table — ONE row
     * `(n_queries, mean_p_at_k, mean_recall_at_k, mrr, map, mean_ndcg)`:
     * every query weighs equally (the trec_eval "all" line; `rr`

@@ -1611,6 +1611,38 @@ object Retrieval {
       .filter(col("rank") <= topV)
   }
 
+  /** Boolean-NOT constrained BM25 top-k — the `-term` / `AND NOT`
+    * query mode: rank by the POSITIVE text's BM25 score, excluding
+    * every document containing ANY of the negative text's terms.
+    * Equals `bm25TopK` over scores anti-joined on the negative match
+    * set (q217 gates it). A corpus-absent negative term excludes
+    * nothing; a query whose positive side matches nothing returns
+    * nothing, NOT the un-scored remainder.
+    *
+    * Scale shape: the exclusion set is the negative terms' posting
+    * pull projected to `(queryId, docId)` — exclusion must be
+    * COMPLETE, so unlike WAND there is no candidate trick that avoids
+    * a hot negative term's posting list; the pull is projection-only
+    * (two columns, map-side distinct) and the anti-join is
+    * result-bounded. Callers with stop-word-shaped negatives should
+    * question the query, not the plan ("NOT the" excludes the
+    * corpus).
+    */
+  def bm25TopKNot(tf: DataFrame, dfTab: DataFrame, stats: DataFrame,
+                  queries: DataFrame, qidCol: String, qtextCol: String,
+                  negTextCol: String, k: Int,
+                  k1: Double = 1.2, b: Double = 0.75,
+                  bitExact: Boolean = true): DataFrame = {
+    require(k > 0, s"k > 0: $k")
+    val scores = bm25ScoresPrecomputed(tf, dfTab, stats, queries,
+      qidCol, qtextCol, k1, b, bitExact)
+    val excluded = tf
+      .join(queryTerms(queries, qidCol, negTextCol), Seq("word"))
+      .select(col("queryId"), col("docId")).distinct()
+    bm25TopK(scores.join(excluded, Seq("queryId", "docId"),
+      "left_anti"), k)
+  }
+
   /** Maximal-Marginal-Relevance re-ranking (Carbonell & Goldstein
     * SIGIR'98) — result DIVERSIFICATION: greedily select `k` of each
     * query's pooled candidates, each step taking the doc maximizing

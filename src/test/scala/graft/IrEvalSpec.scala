@@ -116,6 +116,36 @@ class IrEvalSpec extends SparkSpec {
     assert(IrEval.meanRankingMetrics(per).count() === 0L)
   }
 
+  test("paired comparison matches the hand-computed t-statistic") {
+    // three common queries with p_at_k diffs 0.2, 0.4, 0.6:
+    // mean 0.4, s^2 = (0.04 + 0 + 0.04) / 2 = 0.04, t = 0.4 /
+    // sqrt(0.04 / 3) = 3.4641...
+    def m(rows: (Long, Double)*): DataFrame =
+      rows.map { case (q, p) => (q, 1L, 1L, p, p, p, p, p) }
+        .toDF("queryId", "n_rel", "n_ret_rel", "p_at_k", "recall_at_k",
+          "rr", "ap", "ndcg")
+    val a = m((1L, 0.8), (2L, 0.9), (3L, 1.0))
+    val b = m((1L, 0.6), (2L, 0.5), (3L, 0.4), (9L, 0.1)) // 9 unpaired
+    val r = IrEval.pairedComparison(a, b).collect().head
+    assert(r.getLong(0) === 3L)
+    assert(math.abs(r.getDouble(1) - 0.4) < 1e-12) // d_p_at_k
+    assert(math.abs(r.getDouble(2) - 0.4 / math.sqrt(0.04 / 3)) < 1e-9)
+  }
+
+  test("paired comparison of identical runs has zero deltas, null t") {
+    def m(rows: (Long, Double)*): DataFrame =
+      rows.map { case (q, p) => (q, 1L, 1L, p, p, p, p, p) }
+        .toDF("queryId", "n_rel", "n_ret_rel", "p_at_k", "recall_at_k",
+          "rr", "ap", "ndcg")
+    val a = m((1L, 0.8), (2L, 0.5))
+    val r = IrEval.pairedComparison(a, a).collect().head
+    assert(r.getLong(0) === 2L)
+    assert(r.getDouble(1) === 0.0 && r.isNullAt(2))
+    // disjoint query sets -> empty output, not a NaN row
+    val c = m((7L, 0.3))
+    assert(IrEval.pairedComparison(a, c).count() === 0L)
+  }
+
   test("macro means average every query equally") {
     val per = IrEval.rankingMetrics(
       run((1L, 10L, 1), (2L, 99L, 1)),

@@ -577,6 +577,35 @@ class RetrievalSpec extends SparkSpec {
     assert(tied === Set(("books", 1L), ("web", 2L)))
   }
 
+  test("NOT retrieval excludes negative-term docs, keeps scores intact") {
+    val c = docs(
+      1L -> "apple banana cherry",
+      2L -> "apple banana",
+      3L -> "apple date",
+      4L -> "banana fig")
+    val tf = Retrieval.termFrequencies(c, "doc_id", "text").localCheckpoint()
+    val dfT = Retrieval.dfTable(tf).localCheckpoint()
+    val st = Retrieval.corpusStats(tf).localCheckpoint()
+    val qs = Seq((1L, "apple banana", "cherry"),
+      (2L, "apple", "zzz")) // absent negative excludes nothing
+      .toDF("query_id", "text", "neg")
+    val got = Retrieval.bm25TopKNot(tf, dfT, st, qs,
+      "query_id", "text", "neg", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // query 1: doc 1 contains "cherry" -> excluded; 2, 3, 4 remain
+    assert(got.filter(_._1 == 1L).map(_._2) === Set(2L, 3L, 4L))
+    // query 2: nothing excluded; all apple docs present
+    assert(got.filter(_._1 == 2L).map(_._2) === Set(1L, 2L, 3L))
+    // surviving scores are bitwise the plain scores (no rescoring)
+    val plain = Retrieval.bm25ScoresPrecomputed(tf, dfT, st, qs,
+      "query_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    Retrieval.bm25TopKNot(tf, dfT, st, qs, "query_id", "text",
+      "neg", k = 5).collect().foreach { r =>
+      assert(r.getDouble(2) === plain((r.getLong(0), r.getLong(1))))
+    }
+  }
+
   test("MMR pushes a near-duplicate below a novel doc; marginals by hand") {
     // pool: doc 1 (score 1.0), doc 2 (0.95, near-dup of 1: sim 0.9),
     // doc 3 (0.5, novel: sim 0.1 to both). Plain ranking: 1, 2, 3.
