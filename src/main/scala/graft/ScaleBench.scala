@@ -257,6 +257,7 @@ object ScaleBench {
         "bm25_conjunctive_topk_10x", "bm25_fuzzy_topk_10x",
         "bm25f_topk_10x", "passage_maxp_topk_10x",
         "rm3_rescore_10x", "rm3_rescore_wand_10x",
+        "rm3_rescore_wand_impact_10x",
         "rm3_rescore_capped_10x", "cooccurrence_10x", "cori_route_10x")
       round <- Seq("cold", "warm")
     } yield s"$base $round") :+ "bm25_index_write_once"
@@ -698,6 +699,29 @@ object ScaleBench {
               forward = Some(spark.table("sb_bm25_fwd")),
               dfStats = Some((spark.table("sb_bm25_df"),
                 spark.table("sb_bm25_stats"))))
+            .count())
+        }
+        // ...and the same exact composition with the impact-bound
+        // tightened ceilings at BOTH passes: more queries route safe,
+        // fewer exact fallbacks, identical answers
+        time(s"rm3_rescore_wand_impact_10x $round") {
+          val imp = spark.table("sb_bm25_imp")
+          val exp = graft.operators.Retrieval.rm3ExpandedTerms(
+            spark.table("sb_bm25_tf"), spark.table("sb_bm25_df"),
+            spark.table("sb_bm25_stats"), bm25Queries,
+            "query_id", "text", k = 10, m = 10, lambda = 0.5,
+            bitExact = false, wandHotDf = Some(5000L),
+            forward = Some(spark.table("sb_bm25_fwd")),
+            wandImpact = Some(imp))
+            .localCheckpoint()
+          println("  rescored=" + graft.operators.Retrieval
+            .bm25TopKWandWeighted(
+              spark.table("sb_bm25_tf"), exp, k = 5, hotDf = 5000L,
+              bitExact = false,
+              forward = Some(spark.table("sb_bm25_fwd")),
+              dfStats = Some((spark.table("sb_bm25_df"),
+                spark.table("sb_bm25_stats"))),
+              impact = Some(imp))
             .count())
         }
         // ...the production configuration: stop-term-pruned FIRST pass
