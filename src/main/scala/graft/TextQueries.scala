@@ -1385,6 +1385,29 @@ private[graft] object TextQueries {
           round(col(s"d_$c"), 6).as(s"d_$c"),
           round(col(s"t_$c"), 6).as(s"t_$c"))): _*)
     }),
+    // LTR feature assembly: per matched (query, doc) pair the lexical
+    // feature set off ONE shared posting join — bm25 and ql must come
+    // out BITWISE the standalone scorers (the oracle literally joins
+    // bscores and qlsc), plus match counts, coverage, dl, and the
+    // matched-idf mass replayed from first principles
+    "q219_ltr_features" -> ((s, dir) => {
+      import graft.operators.Retrieval
+      val docs = t(s, dir, "documents")
+      val tf = Retrieval.termFrequencies(docs, "doc_id", "text")
+        .localCheckpoint() // see q179
+      val dfT = Retrieval.dfTable(tf).localCheckpoint()
+      val cfT = Retrieval.cfTable(tf).localCheckpoint()
+      val st = Retrieval.corpusStats(tf).localCheckpoint()
+      val qs = docs.where(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("query_id"),
+          substring(col("text"), 1, 40).as("text"))
+      Retrieval.ltrFeatures(tf, dfT, cfT, st, qs, "query_id", "text")
+        .select(col("queryId").as("query_id"), col("docId").as("doc_id"),
+          round(col("bm25"), 6).as("bm25"), round(col("ql"), 6).as("ql"),
+          col("n_matched"), round(col("coverage"), 6).as("coverage"),
+          col("dl"), round(col("sum_idf"), 6).as("sum_idf"))
+        .orderBy("query_id", "doc_id")
+    }),
     // the production hybrid pairing (q181 fused BM25 with exact
     // Jaccard; this fuses it with the IVFADC ANN stack): BM25 top-10
     // over short queries + residual-IVFADC top-10 over the same query
@@ -3892,6 +3915,32 @@ private[graft] object TextQueries {
          |      / (CAST(n AS DOUBLE) - 1.0) / CAST(n AS DOUBLE)) END, 6)
          |    AS t_ndcg
          |FROM vr""".stripMargin,
+
+    // the two scoring chains REUSED VERBATIM (bscores + qlsc — the
+    // bitwise-consistency proof), the matched-pair stats, and the
+    // coverage arithmetic
+    "q219_ltr_features" ->
+      s"""WITH ${bm25Cte("TRUE", "doc_id % 97 = 0", "substr(text, 1, 40)")},
+         |$QlCtes,
+         |mstat AS (
+         |  SELECT query_id, t.doc_id, CAST(count(*) AS BIGINT) AS n_matched,
+         |    list_reduce(list_prepend(0.0, list(e.idf ORDER BY e.word)),
+         |      (a, x) -> a + x) AS sum_idf
+         |  FROM tfv t JOIN enriched e ON e.word = t.word
+         |  GROUP BY 1, 2),
+         |qful AS (SELECT query_id, count(*) AS nq FROM qterms GROUP BY 1)
+         |SELECT b.query_id, b.doc_id,
+         |  round(b.score, 6) AS bm25, round(q.score, 6) AS ql,
+         |  m.n_matched,
+         |  round(CAST(m.n_matched AS DOUBLE) / CAST(f.nq AS DOUBLE), 6)
+         |    AS coverage,
+         |  l.dl, round(m.sum_idf, 6) AS sum_idf
+         |FROM bscores b
+         |JOIN qlsc q ON q.query_id = b.query_id AND q.doc_id = b.doc_id
+         |JOIN mstat m ON m.query_id = b.query_id AND m.doc_id = b.doc_id
+         |JOIN qful f ON f.query_id = b.query_id
+         |JOIN lens l ON l.doc_id = b.doc_id
+         |ORDER BY b.query_id, b.doc_id""".stripMargin,
 
     // THE FULL-CORPUS REBUILD (q180's oracle verbatim): the compacted
     // (tf, df, stats) triple must probe indistinguishably from an index

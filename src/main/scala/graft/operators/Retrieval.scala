@@ -1611,6 +1611,79 @@ object Retrieval {
       .filter(col("rank") <= topV)
   }
 
+  /** Learning-to-rank FEATURE ASSEMBLY — the composition that turns
+    * the scorer stack into ranker training data: for every (query,
+    * doc) pair sharing at least one term,
+    * `(queryId, docId, bm25, ql, n_matched, coverage, dl, sum_idf)` —
+    * the classic lexical LTR feature set (two rankers, match counts,
+    * query coverage, length, matched-idf mass; LETOR's core columns).
+    * `bm25` and `ql` are BITWISE the standalone
+    * [[bm25ScoresPrecomputed]] / [[qlDirichletScores]] values
+    * (RetrievalSpec pins it): all features fold off ONE shared posting
+    * join and ONE sorted collect per pair, instead of running each
+    * scorer's join separately — the whole point of assembling features
+    * in the engine rather than gluing operator outputs. `coverage`
+    * divides by the query's FULL distinct term count (an OOV term
+    * hurts coverage); QL's length normalizer uses its own
+    * corpus-PRESENT count, the [[qlDirichletScores]] contract.
+    *
+    * Scale shape: identical to one scorer pass — the feature columns
+    * ride the join that was already being paid, and the fold list
+    * carries 3 doubles per matched term. Consumes the four persisted
+    * stat layouts ([[dfTable]]/[[cfTable]]/[[corpusStats]] + tf); at
+    * training time land the output and join labels/qrels onto it.
+    */
+  def ltrFeatures(tf: DataFrame, dfTab: DataFrame, cfTab: DataFrame,
+                  stats: DataFrame,
+                  queries: DataFrame, qidCol: String, qtextCol: String,
+                  k1: Double = 1.2, b: Double = 0.75,
+                  mu: Double = 2000.0): DataFrame = {
+    require(mu > 0, s"mu > 0: $mu")
+    val statsD = statsDouble(stats)
+    val ctok = stats.select(col("total_dl").cast("double").as("__ctokens"))
+    val qt = queryTerms(queries, qidCol, qtextCol)
+    val enriched = qt
+      .join(dfTab, Seq("word"))
+      .join(cfTab, Seq("word"))
+      .crossJoin(broadcast(statsD))
+      .crossJoin(broadcast(ctok))
+      .select(col("queryId"), col("word"), col("avgdl"), col("__ctokens"),
+        log(lit(1.0) +
+          (col("n_docs") - col("df").cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5))).as("idf"),
+        col("cf"))
+    val nqPresent = enriched.groupBy("queryId")
+      .agg(count(lit(1)).as("__nqp"))
+    val nqFull = qt.groupBy("queryId").agg(count(lit(1)).as("__nqf"))
+    val rows = tf.join(enriched, Seq("word"))
+      .select(col("queryId"), col("docId"), col("word"), col("dl"),
+        contribExpr(k1, b).as("__cb"),
+        log(lit(1.0) + col("tf").cast("double") * col("__ctokens") /
+          (lit(mu) * col("cf").cast("double"))).as("__cq"),
+        col("idf"))
+    rows
+      .groupBy(col("queryId"), col("docId"))
+      .agg(sort_array(collect_list(struct(col("word"), col("__cb"),
+        col("__cq"), col("idf")))).as("__xs"),
+        max(col("dl")).as("dl"), count(lit(1)).as("n_matched"))
+      .select(col("queryId"), col("docId"), col("dl"), col("n_matched"),
+        aggregate(col("__xs"), lit(0.0),
+          (a, x) => a + x.getField("__cb")).as("bm25"),
+        aggregate(col("__xs"), lit(0.0),
+          (a, x) => a + x.getField("__cq")).as("__qls"),
+        aggregate(col("__xs"), lit(0.0),
+          (a, x) => a + x.getField("idf")).as("sum_idf"))
+      .join(nqPresent, Seq("queryId"))
+      .join(nqFull, Seq("queryId"))
+      .select(col("queryId"), col("docId"), col("bm25"),
+        (col("__qls") + col("__nqp").cast("double") *
+          log(lit(mu) / (col("dl").cast("double") + lit(mu)))).as("ql"),
+        col("n_matched"),
+        (col("n_matched").cast("double") / col("__nqf").cast("double"))
+          .as("coverage"),
+        col("dl"), col("sum_idf"))
+  }
+
   /** Boolean-NOT constrained BM25 top-k — the `-term` / `AND NOT`
     * query mode: rank by the POSITIVE text's BM25 score, excluding
     * every document containing ANY of the negative text's terms.

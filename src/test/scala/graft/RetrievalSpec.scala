@@ -577,6 +577,39 @@ class RetrievalSpec extends SparkSpec {
     assert(tied === Set(("books", 1L), ("web", 2L)))
   }
 
+  test("LTR features carry the standalone scorers bitwise") {
+    val rnd = new scala.util.Random(219)
+    val c = (1L to 60L).map { id =>
+      id -> Seq.fill(5 + rnd.nextInt(6))(
+        s"tok${20 / (rnd.nextInt(20) + 1)}").mkString(" ")
+    }.toDF("doc_id", "text")
+    val (tf, dfT, st) = indexTriple(c)
+    val cfT = Retrieval.cfTable(tf).localCheckpoint()
+    val qs = (300L to 306L).map { id =>
+      id -> (Seq.fill(3)(s"tok${20 / (rnd.nextInt(20) + 1)}") :+
+        "absentterm").mkString(" ")
+    }.toDF("query_id", "text")
+    val feats = Retrieval.ltrFeatures(tf, dfT, cfT, st, qs,
+      "query_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getLong(4), r.getDouble(5),
+          r.getLong(6)))).toMap
+    val bm = Retrieval.bm25ScoresPrecomputed(tf, dfT, st, qs,
+      "query_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ql = Retrieval.qlDirichletScores(tf, cfT, st, qs,
+      "query_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(feats.keySet === bm.keySet && feats.keySet === ql.keySet)
+    for ((k, (fb, fq, nm, cov, dl)) <- feats) {
+      assert(fb === bm(k), s"$k bm25") // bitwise
+      assert(fq === ql(k), s"$k ql") // bitwise
+      assert(nm >= 1 && dl >= 1)
+      // coverage divides by the FULL term count incl. the absent term
+      assert(cov > 0.0 && cov < 1.0, s"$k coverage=$cov")
+    }
+  }
+
   test("NOT retrieval excludes negative-term docs, keeps scores intact") {
     val c = docs(
       1L -> "apple banana cherry",
