@@ -1408,6 +1408,30 @@ private[graft] object TextQueries {
           col("dl"), round(col("sum_idf"), 6).as("sum_idf"))
         .orderBy("query_id", "doc_id")
     }),
+    // Kendall rank agreement between the pruned and exact top-10
+    // runs: concordant/discordant pairs over the common docs and
+    // τ = (C − D)/(n(n−1)/2) — the hot-only query slice shares NO
+    // docs under the prune and must come back n_common = 0 with a
+    // null τ (fully diverged, not "perfect agreement")
+    "q220_kendall_tau" -> ((s, dir) => {
+      import graft.operators.{IrEval, Retrieval}
+      val (tf, qs, hotCut) = zipfWandFixture(s, dir)
+      val dfT = Retrieval.dfTable(tf).localCheckpoint()
+      val st = Retrieval.corpusStats(tf).localCheckpoint()
+      val runA = Retrieval.bm25TopK(
+        Retrieval.bm25ScoresPrecomputed(tf, dfT, st, qs,
+          "query_id", "text", maxDocFrequency = Some(hotCut)), 10)
+        .select("queryId", "docId", "rank").localCheckpoint()
+      val runB = Retrieval.bm25TopK(
+        Retrieval.bm25ScoresPrecomputed(tf, dfT, st, qs,
+          "query_id", "text"), 10)
+        .select("queryId", "docId", "rank").localCheckpoint()
+      IrEval.kendallTau(runA, runB)
+        .select(col("queryId").as("query_id"), col("n_common"),
+          col("n_concordant"), col("n_discordant"),
+          round(col("tau"), 6).as("tau"))
+        .orderBy("query_id")
+    }),
     // the production hybrid pairing (q181 fused BM25 with exact
     // Jaccard; this fuses it with the IVFADC ANN stack): BM25 top-10
     // over short queries + residual-IVFADC top-10 over the same query
@@ -3941,6 +3965,77 @@ private[graft] object TextQueries {
          |JOIN qful f ON f.query_id = b.query_id
          |JOIN lens l ON l.doc_id = b.doc_id
          |ORDER BY b.query_id, b.doc_id""".stripMargin,
+
+    // both top-10 chains, the common-doc join, the ordered pair
+    // enumeration, and the τ arithmetic from first principles — the
+    // hot-only queries appear with n_common = 0 and null τ
+    "q220_kendall_tau" ->
+      s"""WITH ${bm25Cte("TRUE", "doc_id % 50 = 0",
+             ZipfWandQueryTextSql, ZipfWandCorpusTextSql)},
+         |hotcut AS (SELECT count(*) // 10 AS cut FROM corpus),
+         |penr AS (
+         |  SELECT query_id, word, avgdl,
+         |    ln(1.0 + (n_docs - CAST(df AS DOUBLE) + 0.5)
+         |             / (CAST(df AS DOUBLE) + 0.5)) AS idf
+         |  FROM qterms JOIN dft USING (word) CROSS JOIN stats
+         |  CROSS JOIN hotcut
+         |  WHERE df <= cut),
+         |pcon AS (
+         |  SELECT query_id, t.doc_id, t.word,
+         |    idf * (CAST(t.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
+         |      / (CAST(t.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+         |         (1.0 - CAST(0.75 AS DOUBLE) +
+         |          CAST(0.75 AS DOUBLE) * CAST(l.dl AS DOUBLE) / avgdl))
+         |      AS c
+         |  FROM tfv t JOIN penr e ON e.word = t.word
+         |  JOIN lens l ON l.doc_id = t.doc_id),
+         |psc AS (
+         |  SELECT query_id, doc_id,
+         |    list_reduce(list(c ORDER BY word), (a, x) -> a + x) AS score
+         |  FROM pcon GROUP BY 1, 2),
+         |arun AS (
+         |  SELECT query_id, doc_id, CAST(r AS BIGINT) AS ra FROM (
+         |    SELECT query_id, doc_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score DESC, doc_id) AS r
+         |    FROM psc) x WHERE r <= 10),
+         |brun AS (
+         |  SELECT query_id, doc_id, CAST(r AS BIGINT) AS rb FROM (
+         |    SELECT query_id, doc_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score DESC, doc_id) AS r
+         |    FROM bscores) y WHERE r <= 10),
+         |qids AS (
+         |  SELECT DISTINCT query_id FROM (
+         |    SELECT query_id FROM arun
+         |    UNION ALL SELECT query_id FROM brun)),
+         |cmn AS (
+         |  SELECT a.query_id, a.doc_id, a.ra, b.rb
+         |  FROM arun a JOIN brun b USING (query_id, doc_id)),
+         |prs AS (
+         |  SELECT c1.query_id,
+         |    CASE WHEN (c1.ra < c2.ra) = (c1.rb < c2.rb)
+         |      THEN 1 ELSE 0 END AS conc
+         |  FROM cmn c1 JOIN cmn c2 ON c2.query_id = c1.query_id
+         |    AND c1.doc_id < c2.doc_id),
+         |agg AS (
+         |  SELECT query_id, CAST(sum(conc) AS BIGINT) AS c,
+         |    CAST(sum(1 - conc) AS BIGINT) AS d
+         |  FROM prs GROUP BY 1),
+         |nc AS (
+         |  SELECT q.query_id, CAST(coalesce(k.n, 0) AS BIGINT) AS n_common
+         |  FROM qids q LEFT JOIN (
+         |    SELECT query_id, count(*) AS n FROM cmn GROUP BY 1) k
+         |  USING (query_id))
+         |SELECT n.query_id, n_common,
+         |  coalesce(c, 0) AS n_concordant,
+         |  coalesce(d, 0) AS n_discordant,
+         |  round(CASE WHEN n_common >= 2
+         |    THEN CAST(coalesce(c, 0) - coalesce(d, 0) AS DOUBLE)
+         |      / CAST(n_common * (n_common - 1) // 2 AS DOUBLE) END, 6)
+         |    AS tau
+         |FROM nc n LEFT JOIN agg USING (query_id)
+         |ORDER BY query_id""".stripMargin,
 
     // THE FULL-CORPUS REBUILD (q180's oracle verbatim): the compacted
     // (tf, df, stats) triple must probe indistinguishably from an index

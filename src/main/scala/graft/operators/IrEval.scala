@@ -177,6 +177,65 @@ object IrEval {
       .filter(col("n_queries") > 0)
   }
 
+  /** Kendall rank correlation between two runs, per query — the
+    * ranking-agreement diagnostic (the trec convention for "how
+    * differently do these two systems order results", where q218's
+    * t-test asks how differently they SCORE against qrels): over the
+    * docs BOTH runs ranked for the query, τ = (C − D) / (n(n−1)/2)
+    * with C/D the concordant/discordant doc pairs (ranks within a run
+    * are distinct, so there are no rank ties and τ is Kendall's
+    * tau-a = tau-b on this restriction). Returns
+    * `(queryId, n_common, n_concordant, n_discordant, tau)` — one row
+    * per query RANKED BY EITHER run (`n_common = 0` when the runs
+    * share nothing, the fully-diverged case a pruning knob produces);
+    * queries with fewer than 2 common docs carry a NULL τ (agreement
+    * is undefined, not perfect). τ = 1 iff the runs order the common
+    * docs identically, −1 iff exactly reversed.
+    *
+    * Scale shape: run tables are result-sized (queries × k), the pair
+    * enumeration is the per-query candidate self-join (≤ k² rows per
+    * query), and the counts are plain integer aggregates — evaluation
+    * cost independent of the corpus, like everything in this object.
+    * Both runs collapse duplicates to `min(rank)` defensively (the
+    * [[rankingMetrics]] convention).
+    */
+  def kendallTau(runA: DataFrame, runB: DataFrame): DataFrame = {
+    def collapsed(r: DataFrame, c: String) =
+      r.groupBy(col("queryId"), col("docId"))
+        .agg(min(col("rank")).cast("long").as(c))
+    val ca = collapsed(runA, "ra")
+    val cb = collapsed(runB, "rb")
+    val qids = ca.select("queryId").union(cb.select("queryId")).distinct()
+    val common = ca.join(cb, Seq("queryId", "docId"))
+    val pairs = common
+      .select(col("queryId"), col("docId").as("__d1"),
+        col("ra").as("__ra1"), col("rb").as("__rb1"))
+      .join(common.select(col("queryId"), col("docId").as("__d2"),
+        col("ra").as("__ra2"), col("rb").as("__rb2")), Seq("queryId"))
+      .filter(col("__d1") < col("__d2"))
+      .select(col("queryId"),
+        when((col("__ra1") < col("__ra2")) === (col("__rb1") < col("__rb2")),
+          1L).otherwise(0L).as("__conc"))
+    val n = qids.join(
+      common.groupBy("queryId").agg(count(lit(1)).as("__nc")),
+      Seq("queryId"), "left_outer")
+      .select(col("queryId"),
+        coalesce(col("__nc"), lit(0L)).as("n_common"))
+    n.join(
+      pairs.groupBy("queryId").agg(
+        sum(col("__conc")).as("n_concordant"),
+        sum(lit(1L) - col("__conc")).as("n_discordant")),
+      Seq("queryId"), "left_outer")
+      .select(col("queryId"), col("n_common"),
+        coalesce(col("n_concordant"), lit(0L)).as("n_concordant"),
+        coalesce(col("n_discordant"), lit(0L)).as("n_discordant"),
+        when(col("n_common") >= 2,
+          (coalesce(col("n_concordant"), lit(0L)) -
+            coalesce(col("n_discordant"), lit(0L))).cast("double") /
+            (col("n_common") * (col("n_common") - 1) / lit(2L))
+              .cast("double")).as("tau"))
+  }
+
   /** Macro averages of a [[rankingMetrics]] table — ONE row
     * `(n_queries, mean_p_at_k, mean_recall_at_k, mrr, map, mean_ndcg)`:
     * every query weighs equally (the trec_eval "all" line; `rr`

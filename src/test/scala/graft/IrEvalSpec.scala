@@ -146,6 +146,37 @@ class IrEvalSpec extends SparkSpec {
     assert(IrEval.pairedComparison(a, c).count() === 0L)
   }
 
+  test("Kendall tau: identical, reversed, partial, and disjoint runs") {
+    def r(rows: (Long, Long, Int)*): DataFrame =
+      rows.toDF("queryId", "docId", "rank")
+    val a = r((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 20L, 1), (2L, 21L, 2),
+      (3L, 30L, 1),
+      (4L, 40L, 1), (4L, 41L, 2))
+    // query 1 reversed; query 2 identical; query 3 fully disjoint;
+    // query 4 shares exactly one doc
+    val b = r((1L, 12L, 1), (1L, 11L, 2), (1L, 10L, 3),
+      (2L, 20L, 1), (2L, 21L, 2),
+      (3L, 99L, 1),
+      (4L, 40L, 1), (4L, 98L, 2))
+    val got = IrEval.kendallTau(a, b).collect()
+      .map(row => row.getLong(0) -> ((row.getLong(1), row.getLong(2),
+        row.getLong(3),
+        if (row.isNullAt(4)) None else Some(row.getDouble(4))))).toMap
+    assert(got(1L) === ((3L, 0L, 3L, Some(-1.0))))
+    assert(got(2L) === ((2L, 1L, 0L, Some(1.0))))
+    assert(got(3L) === ((0L, 0L, 0L, None))) // nothing shared
+    assert(got(4L) === ((1L, 0L, 0L, None))) // 1 common doc: undefined
+    // tau against a hand-computed mixed ordering: a = 1,2,3,4 vs
+    // b = 2,1,3,4 -> one discordant pair of six, tau = 4/6
+    val c1 = r((9L, 1L, 1), (9L, 2L, 2), (9L, 3L, 3), (9L, 4L, 4))
+    val c2 = r((9L, 1L, 2), (9L, 2L, 1), (9L, 3L, 3), (9L, 4L, 4))
+    val t = IrEval.kendallTau(c1, c2).collect().head
+    assert(t.getLong(1) === 4L && t.getLong(2) === 5L &&
+      t.getLong(3) === 1L)
+    assert(math.abs(t.getDouble(4) - 4.0 / 6.0) < 1e-12)
+  }
+
   test("macro means average every query equally") {
     val per = IrEval.rankingMetrics(
       run((1L, 10L, 1), (2L, 99L, 1)),
