@@ -1050,6 +1050,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming queries score against the static index like batch") {
+    // the SERVING side of the retrieval story (the ingest loop covers
+    // the index side): queries arrive as a stream, each micro-batch
+    // scores against the persisted (tf, df, stats) triple via
+    // foreachBatch, and the accumulated top-k equals the batch run
+    // over the same query set — same plans, same folds, per batch
+    import graft.operators.Retrieval
+    val corpus = (1L to 40L).map { id =>
+      id -> s"apple banana tok${id % 7} tok${id % 5} cherry"
+    }.toDF("doc_id", "text")
+    val tf = Retrieval.termFrequencies(corpus, "doc_id", "text")
+      .localCheckpoint()
+    val dfT = Retrieval.dfTable(tf).localCheckpoint()
+    val st = Retrieval.corpusStats(tf).localCheckpoint()
+    val served = scala.collection.mutable.ArrayBuffer[(Long, Long,
+      Double, Int)]()
+    val input = MemoryStream[(Long, String)](spark)
+    val q = input.toDF()
+      .select(col("_1").as("query_id"), col("_2").as("text"))
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = Retrieval.bm25TopK(
+          Retrieval.bm25ScoresPrecomputed(tf, dfT, st,
+            b, "query_id", "text"), 3)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+            r.getInt(3)))
+        served.synchronized { served ++= rows }
+        ()
+      }.start()
+    try {
+      input.addData((100L, "apple cherry"), (101L, "tok3 banana"))
+      q.processAllAvailable()
+      input.addData((102L, "tok6"))
+      q.processAllAvailable()
+      val batchQs = Seq((100L, "apple cherry"), (101L, "tok3 banana"),
+        (102L, "tok6")).toDF("query_id", "text")
+      val viaBatch = Retrieval.bm25TopK(
+        Retrieval.bm25ScoresPrecomputed(tf, dfT, st,
+          batchQs, "query_id", "text"), 3)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3))).toSet
+      assert(served.synchronized(served.toSet) === viaBatch) // bitwise
+      assert(viaBatch.map(_._1) === Set(100L, 101L, 102L))
+    } finally q.stop()
+  }
+
   test("batch and streaming sessionization agree on on-time data") {
     val batch = EventStreams.sessionize(
       Seq((7L, 1000L, 1L), (7L, 1500L, 2L), (7L, 4000L, 3L), (8L, 900L, 4L))
