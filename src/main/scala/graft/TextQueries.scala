@@ -1432,6 +1432,28 @@ private[graft] object TextQueries {
           round(col("tau"), 6).as("tau"))
         .orderBy("query_id")
     }),
+    // champion-list static index pruning over the Zipf corpus: each
+    // term keeps its 20 highest-tf postings (tf desc, dl asc, docId
+    // ties), probes score through the PRUNED table with the FULL
+    // stats — surviving contributions bitwise unchanged, docs merely
+    // drop. The oracle replays the per-term ranking, the cut, and the
+    // scoring over the kept rows; a kept-set drift (wrong tie-break,
+    // wrong ranking key) moves rows even when scores survive
+    "q221_champion_topk" -> ((s, dir) => {
+      import graft.operators.Retrieval
+      val (tf, qs, _) = zipfWandFixture(s, dir)
+      val dfT = Retrieval.dfTable(tf).localCheckpoint()
+      val st = Retrieval.corpusStats(tf).localCheckpoint()
+      val champ = Retrieval.championPostings(tf, m = 20)
+        .localCheckpoint() // the pruned persisted layout stand-in
+      Retrieval.bm25TopK(
+        Retrieval.bm25ScoresPrecomputed(champ, dfT, st, qs,
+          "query_id", "text"), 5)
+        .select(col("queryId").as("query_id"), col("docId").as("doc_id"),
+          round(col("score"), 6).as("score"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
     // the production hybrid pairing (q181 fused BM25 with exact
     // Jaccard; this fuses it with the IVFADC ANN stack): BM25 top-10
     // over short queries + residual-IVFADC top-10 over the same query
@@ -4036,6 +4058,42 @@ private[graft] object TextQueries {
          |    AS tau
          |FROM nc n LEFT JOIN agg USING (query_id)
          |ORDER BY query_id""".stripMargin,
+
+    // the per-term champion ranking (tf desc, dl asc, docId), the
+    // m = 20 cut, and the scoring chain over the KEPT rows with the
+    // full-corpus df/stats — from first principles
+    "q221_champion_topk" ->
+      s"""WITH ${bm25Cte("TRUE", "doc_id % 50 = 0",
+             ZipfWandQueryTextSql, ZipfWandCorpusTextSql)},
+         |champ AS (
+         |  SELECT doc_id, word, tf FROM (
+         |    SELECT t.doc_id, t.word, t.tf,
+         |      row_number() OVER (PARTITION BY t.word
+         |        ORDER BY t.tf DESC, l.dl ASC, t.doc_id ASC) AS r
+         |    FROM tfv t JOIN lens l ON l.doc_id = t.doc_id) x
+         |  WHERE r <= 20),
+         |ccon AS (
+         |  SELECT query_id, ch.doc_id, ch.word,
+         |    idf * (CAST(ch.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
+         |      / (CAST(ch.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+         |         (1.0 - CAST(0.75 AS DOUBLE) +
+         |          CAST(0.75 AS DOUBLE) * CAST(l.dl AS DOUBLE) / avgdl))
+         |      AS cc
+         |  FROM champ ch JOIN enriched e ON e.word = ch.word
+         |  JOIN lens l ON l.doc_id = ch.doc_id),
+         |csc AS (
+         |  SELECT query_id, doc_id,
+         |    list_reduce(list(cc ORDER BY word), (a, x) -> a + x) AS score
+         |  FROM ccon GROUP BY 1, 2)
+         |SELECT query_id, doc_id, round(score, 6) AS score,
+         |  CAST(rank AS BIGINT) AS rank
+         |FROM (
+         |  SELECT query_id, doc_id, score,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id) AS rank
+         |  FROM csc) z
+         |WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
 
     // THE FULL-CORPUS REBUILD (q180's oracle verbatim): the compacted
     // (tf, df, stats) triple must probe indistinguishably from an index

@@ -1611,6 +1611,40 @@ object Retrieval {
       .filter(col("rank") <= topV)
   }
 
+  /** CHAMPION-LIST static index pruning (Manning/Raghavan/Schütze
+    * IIR §7.1.3; "top docs"): keep only each term's `m` highest-tf
+    * postings — the docs that term can score highest for — and serve
+    * probes from the pruned table. Unlike [[bm25TopKWand]] (which
+    * prunes WORK, score-exactly), this prunes the INDEX: the layout
+    * shrinks from Σ df to ≤ `m · |vocab|` rows (the Zipf head
+    * collapses from df ~ N to m), trading recall for a bounded,
+    * df-independent index — the standard first tier of a tiered
+    * index, with the exact fallback tier behind it.
+    *
+    * Ranking inside each term's list is `(tf desc, dl asc, docId
+    * asc)` — highest contribution first at any (k1, b), since the
+    * BM25 term score is increasing in tf and decreasing in dl; the
+    * docId tie keeps the kept set deterministic (q221 gates the kept
+    * table's semantics through a probe). Scoring THROUGH the pruned
+    * table with the FULL df/stats tables leaves every surviving
+    * POSTING's contribution bitwise unchanged; a (query, doc) pair's
+    * score is the sum over its surviving postings — the full score
+    * when all its matched postings survive, a partial sum when the
+    * doc fell off some term's list (the champion approximation; a
+    * pair off every list drops entirely). Serve with
+    * [[bm25ScoresPrecomputed]](championTf, fullDf, fullStats);
+    * [[Knn.recallAtK]] against the unpruned ranking is the quality
+    * readout (the q197 convention).
+    */
+  def championPostings(tf: DataFrame, m: Int): DataFrame = {
+    require(m > 0, s"m > 0: $m")
+    val w = Window.partitionBy(col("word"))
+      .orderBy(col("tf").desc, col("dl").asc, col("docId").asc)
+    tf.withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= m)
+      .drop("__r")
+  }
+
   /** Learning-to-rank FEATURE ASSEMBLY — the composition that turns
     * the scorer stack into ranker training data: for every (query,
     * doc) pair sharing at least one term,

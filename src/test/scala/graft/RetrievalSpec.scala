@@ -577,6 +577,46 @@ class RetrievalSpec extends SparkSpec {
     assert(tied === Set(("books", 1L), ("web", 2L)))
   }
 
+  test("champion pruning keeps the top-tf postings deterministically") {
+    val rnd = new scala.util.Random(221)
+    val c = (1L to 50L).map { id =>
+      id -> Seq.fill(4 + rnd.nextInt(8))(
+        s"tok${12 / (rnd.nextInt(12) + 1)}").mkString(" ")
+    }.toDF("doc_id", "text")
+    val tf = Retrieval.termFrequencies(c, "doc_id", "text").localCheckpoint()
+    val full = tf.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val kept = Retrieval.championPostings(tf, m = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSet
+    // plain-Scala reference: per word, top-3 by (tf desc, dl asc, id)
+    val want = full.groupBy(_._3).toSeq.flatMap { case (_, rows) =>
+      rows.sortBy(r => (-r._4, r._2, r._1)).take(3).toSeq
+    }.toSet
+    assert(kept === want)
+    assert(kept.size < full.length, "the cut must bind somewhere")
+    // a pair whose matched postings ALL survive scores bitwise equal
+    val dfT = Retrieval.dfTable(tf).localCheckpoint()
+    val st = Retrieval.corpusStats(tf).localCheckpoint()
+    val qs = Seq((1L, "tok12 tok6")).toDF("query_id", "text")
+    val champ = Retrieval.championPostings(tf, m = 3).localCheckpoint()
+    val champScores = Retrieval.bm25ScoresPrecomputed(champ, dfT, st,
+      qs, "query_id", "text").collect()
+      .map(r => (r.getLong(1), r.getDouble(2))).toMap
+    val fullScores = Retrieval.bm25ScoresPrecomputed(tf, dfT, st,
+      qs, "query_id", "text").collect()
+      .map(r => (r.getLong(1), r.getDouble(2))).toMap
+    val champSet = kept.map(r => (r._1, r._3))
+    val fullMatched = full.filter(r =>
+      Set("tok12", "tok6").contains(r._3)).map(r => (r._1, r._3))
+    for ((doc, s) <- champScores) {
+      val docTerms = fullMatched.filter(_._1 == doc).toSet
+      if (docTerms.forall(champSet.contains))
+        assert(s === fullScores(doc), s"doc $doc full-survivor bitwise")
+      else assert(s <= fullScores(doc) + 1e-12, s"doc $doc partial")
+    }
+  }
+
   test("LTR features carry the standalone scorers bitwise") {
     val rnd = new scala.util.Random(219)
     val c = (1L to 60L).map { id =>
