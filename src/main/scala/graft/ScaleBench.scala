@@ -247,6 +247,7 @@ object ScaleBench {
     val bm25SectionLabels = (for {
       base <- Seq("bm25_topk_10x", "bm25_topk_pruned_10x",
         "bm25_topk_wand_10x", "bm25_topk_wand_impact_10x",
+        "bm25_topk_champion_10x",
         "bm25_compact_index_10x",
         "bm25_rebuild_index_10x", "bm25_compact_deleted_10x",
         "bm25_rebuild_survivors_10x", "phrase_matches_10x",
@@ -274,7 +275,7 @@ object ScaleBench {
       locally {
         for (t <- Seq("sb_bm25_tf", "sb_bm25_fwd", "sb_bm25_df",
           "sb_bm25_stats", "sb_bm25_pos", "sb_bm25_cf",
-          "sb_bm25_imp", "sb_bm25_var")) {
+          "sb_bm25_imp", "sb_bm25_var", "sb_bm25_champ")) {
           spark.sql(s"DROP TABLE IF EXISTS $t")
           val p = new org.apache.hadoop.fs.Path(
             spark.conf.get("spark.sql.warehouse.dir"), t)
@@ -312,6 +313,11 @@ object ScaleBench {
           graft.operators.Retrieval.dfTable(tf))
           .write.bucketBy(32, "variant").sortBy("variant")
           .mode("overwrite").saveAsTable("sb_bm25_var")
+        // the champion tier (q221's gate): each term's 50 highest-tf
+        // postings — the Zipf head collapses from df ~ 25k to 50 rows
+        graft.operators.Retrieval.championPostings(tf, m = 50)
+          .write.bucketBy(32, "word").sortBy("word")
+          .mode("overwrite").saveAsTable("sb_bm25_champ")
         // the positional layout (phrase probes) — its own tokenizer
         // pass: positions come from the occurrence stream, which the
         // per-(doc, word) tf rows no longer carry
@@ -373,6 +379,20 @@ object ScaleBench {
             dfStats = Some((spark.table("sb_bm25_df"),
               spark.table("sb_bm25_stats"))),
             impact = Some(spark.table("sb_bm25_imp")))
+            .count())
+        }
+        // the champion TIER (q221's gate): probes ride the m = 50
+        // pruned table with the full stats — the matched-posting
+        // volume (the whole probe cost) collapses with the Zipf head,
+        // at the recall trade the approximation buys; read against
+        // bm25_topk_10x (exact), _pruned (score-changing term drop),
+        // and _wand (score-exact)
+        time(s"bm25_topk_champion_10x $round") {
+          println("  topk_rows=" + graft.operators.Retrieval.bm25TopK(
+            graft.operators.Retrieval.bm25ScoresPrecomputed(
+              spark.table("sb_bm25_champ"), spark.table("sb_bm25_df"),
+              spark.table("sb_bm25_stats"), bm25Queries,
+              "query_id", "text", bitExact = false), 5)
             .count())
         }
         // typo-tolerant retrieval (q209's gate): 2 of each query's 6
