@@ -542,13 +542,6 @@ object ScaleBench {
               "query_id", "text", width = 8, pairs = Some(top5))
             .count())
         }
-        // the steady-state ingest loop (StreamingSpec's foreachBatch
-        // convention, timed): fold three 2k-doc micro-batches into the
-        // persisted 50k layouts — BM25 triple + positional table —
-        // probing top-5 after every batch and phrases at the end. The
-        // wall is N × (batch tokenize + vocabulary-sized merges +
-        // probe); a corpus-sized pass anywhere would show up as
-        // rebuild-shaped time instead
         // GloVe co-occurrence pass over the positional layout (q214's
         // gate): 5M tokens × window 4 = 20M banded events; the stop
         // cap sheds the Zipf head before the band join, counts stay
@@ -579,6 +572,13 @@ object ScaleBench {
             sdf, scw, bm25Queries, "query_id", "text")
             .filter(col("rank") <= 4).count())
         }
+        // the steady-state ingest loop (StreamingSpec's foreachBatch
+        // convention, timed): fold three 2k-doc micro-batches into the
+        // persisted 50k layouts — BM25 triple + positional table —
+        // probing top-5 after every batch and phrases at the end. The
+        // wall is N × (batch tokenize + vocabulary-sized merges +
+        // probe); a corpus-sized pass anywhere would show up as
+        // rebuild-shaped time instead
         time(s"retrieval_ingest_loop_10x $round") {
           import graft.operators.Retrieval
           var tfC: DataFrame = spark.table("sb_bm25_tf")

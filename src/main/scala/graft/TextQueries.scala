@@ -1604,15 +1604,16 @@ private[graft] object TextQueries {
        |  ELSE ${zipfTextSql("doc_id", 4, 2000, "zq", 2000)} || ' ' ||
        |    ${zipfTextSql("doc_id", 2, 14, "zt", 2000)} END""".stripMargin
 
-  /** The ranking-metrics replay shared by q206/q207 (downstream of
-    * [[bm25Cte]]'s `bscores`/`qterms`/`dft`/`stats`/`tfv`/`lens` over
-    * the Zipf fixture): the pruned run (q197's penr/pcon/psc chain),
-    * graded qrels (exact top-10, grade = 11 − rank), and the
-    * trec_eval arithmetic — running prec@r, rank-ordered DCG/AP
-    * folds, the ideal re-ranking for IDCG. Emits `met` (per-query
-    * UNROUNDED metrics); the two gates round/aggregate it.
+  /** The score-CHANGING pruned scoring chain (`maxDocFrequency` = the
+    * derived N/10 hot cut) replayed in SQL, downstream of [[bm25Cte]]
+    * over the Zipf fixture — ONE definition consumed by q197 (via its
+    * own gate), [[RankingMetricsCtes]] (q206/q207/q218), and q220
+    * (the shared-fragment rule: a prune-boundary or idf-tree drift
+    * must fail EVERY gate that claims to read "the pruned run", not
+    * silently fork its meaning). Emits `hotcut`, `penr`, `pcon`,
+    * `psc`.
     */
-  private lazy val RankingMetricsCtes =
+  private lazy val PrunedScoresCtes =
     s"""hotcut AS (SELECT count(*) // 10 AS cut FROM corpus),
        |penr AS (
        |  SELECT query_id, word, avgdl,
@@ -1633,7 +1634,18 @@ private[graft] object TextQueries {
        |psc AS (
        |  SELECT query_id, doc_id,
        |    list_reduce(list(c ORDER BY word), (a, x) -> a + x) AS score
-       |  FROM pcon GROUP BY 1, 2),
+       |  FROM pcon GROUP BY 1, 2)""".stripMargin
+
+  /** The ranking-metrics replay shared by q206/q207 (downstream of
+    * [[bm25Cte]]'s `bscores`/`qterms`/`dft`/`stats`/`tfv`/`lens` over
+    * the Zipf fixture): the pruned run ([[PrunedScoresCtes]]), graded
+    * qrels (exact top-10, grade = 11 − rank), and the trec_eval
+    * arithmetic — running prec@r, rank-ordered DCG/AP folds, the
+    * ideal re-ranking for IDCG. Emits `met` (per-query UNROUNDED
+    * metrics); the consuming gates round/aggregate it.
+    */
+  private lazy val RankingMetricsCtes =
+    s"""$PrunedScoresCtes,
        |run AS (
        |  SELECT query_id, doc_id, CAST(r AS BIGINT) AS rank FROM (
        |    SELECT query_id, doc_id,
@@ -3191,33 +3203,13 @@ private[graft] object TextQueries {
     "q197_bm25_pruned_recall" ->
       s"""WITH ${bm25Cte("TRUE", "doc_id % 50 = 0",
              ZipfWandQueryTextSql, ZipfWandCorpusTextSql)},
-         |hotcut AS (SELECT count(*) // 10 AS cut FROM corpus),
+         |$PrunedScoresCtes,
          |etop AS (
          |  SELECT query_id, doc_id FROM (
          |    SELECT query_id, doc_id,
          |      row_number() OVER (PARTITION BY query_id
          |        ORDER BY score DESC, doc_id) AS r
          |    FROM bscores) x WHERE r <= 5),
-         |penr AS (
-         |  SELECT query_id, word, avgdl,
-         |    ln(1.0 + (n_docs - CAST(df AS DOUBLE) + 0.5)
-         |             / (CAST(df AS DOUBLE) + 0.5)) AS idf
-         |  FROM qterms JOIN dft USING (word) CROSS JOIN stats
-         |  CROSS JOIN hotcut
-         |  WHERE df <= cut),
-         |pcon AS (
-         |  SELECT query_id, t.doc_id, t.word,
-         |    idf * (CAST(t.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
-         |      / (CAST(t.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
-         |         (1.0 - CAST(0.75 AS DOUBLE) +
-         |          CAST(0.75 AS DOUBLE) * CAST(l.dl AS DOUBLE) / avgdl))
-         |      AS c
-         |  FROM tfv t JOIN penr e ON e.word = t.word
-         |  JOIN lens l ON l.doc_id = t.doc_id),
-         |psc AS (
-         |  SELECT query_id, doc_id,
-         |    list_reduce(list(c ORDER BY word), (a, x) -> a + x) AS score
-         |  FROM pcon GROUP BY 1, 2),
          |ptop AS (
          |  SELECT query_id, doc_id FROM (
          |    SELECT query_id, doc_id,
@@ -3994,27 +3986,7 @@ private[graft] object TextQueries {
     "q220_kendall_tau" ->
       s"""WITH ${bm25Cte("TRUE", "doc_id % 50 = 0",
              ZipfWandQueryTextSql, ZipfWandCorpusTextSql)},
-         |hotcut AS (SELECT count(*) // 10 AS cut FROM corpus),
-         |penr AS (
-         |  SELECT query_id, word, avgdl,
-         |    ln(1.0 + (n_docs - CAST(df AS DOUBLE) + 0.5)
-         |             / (CAST(df AS DOUBLE) + 0.5)) AS idf
-         |  FROM qterms JOIN dft USING (word) CROSS JOIN stats
-         |  CROSS JOIN hotcut
-         |  WHERE df <= cut),
-         |pcon AS (
-         |  SELECT query_id, t.doc_id, t.word,
-         |    idf * (CAST(t.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
-         |      / (CAST(t.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
-         |         (1.0 - CAST(0.75 AS DOUBLE) +
-         |          CAST(0.75 AS DOUBLE) * CAST(l.dl AS DOUBLE) / avgdl))
-         |      AS c
-         |  FROM tfv t JOIN penr e ON e.word = t.word
-         |  JOIN lens l ON l.doc_id = t.doc_id),
-         |psc AS (
-         |  SELECT query_id, doc_id,
-         |    list_reduce(list(c ORDER BY word), (a, x) -> a + x) AS score
-         |  FROM pcon GROUP BY 1, 2),
+         |$PrunedScoresCtes,
          |arun AS (
          |  SELECT query_id, doc_id, CAST(r AS BIGINT) AS ra FROM (
          |    SELECT query_id, doc_id,

@@ -143,10 +143,17 @@ object IrEval {
   def pairedComparison(metricsA: DataFrame,
                        metricsB: DataFrame): DataFrame = {
     val ms = Seq("p_at_k", "recall_at_k", "rr", "ap", "ndcg")
-    val a = metricsA.select(
-      col("queryId") +: ms.map(c => col(c).as(s"__a_$c")): _*)
-    val b = metricsB.select(
-      col("queryId") +: ms.map(c => col(c).as(s"__b_$c")): _*)
+    // defensive per-query collapse (the kendallTau/rankingMetrics
+    // convention): a duplicated queryId would otherwise fan out the
+    // pair join, multiply-weight that query's delta, and corrupt the
+    // t-statistic silently. max() is deterministic and the identity
+    // for well-formed inputs.
+    def collapsed(m: DataFrame, pfx: String) =
+      m.groupBy(col("queryId"))
+        .agg(max(col(ms.head)).as(s"$pfx${ms.head}"),
+          ms.tail.map(c => max(col(c)).as(s"$pfx$c")): _*)
+    val a = collapsed(metricsA, "__a_")
+    val b = collapsed(metricsB, "__b_")
     val d = a.join(b, Seq("queryId"))
       .select(col("queryId") +:
         ms.map(c => (col(s"__a_$c") - col(s"__b_$c")).as(s"__d_$c")): _*)
@@ -203,10 +210,13 @@ object IrEval {
     def collapsed(r: DataFrame, c: String) =
       r.groupBy(col("queryId"), col("docId"))
         .agg(min(col("rank")).cast("long").as(c))
-    val ca = collapsed(runA, "ra")
-    val cb = collapsed(runB, "rb")
+    // result-sized and multiply consumed (ca: qids + common; common:
+    // the self-joined pair enumeration + the count) — materialized so
+    // lazy corpus-sized run plans execute once, the linearFuse rule
+    val ca = collapsed(runA, "ra").localCheckpoint()
+    val cb = collapsed(runB, "rb").localCheckpoint()
     val qids = ca.select("queryId").union(cb.select("queryId")).distinct()
-    val common = ca.join(cb, Seq("queryId", "docId"))
+    val common = ca.join(cb, Seq("queryId", "docId")).localCheckpoint()
     val pairs = common
       .select(col("queryId"), col("docId").as("__d1"),
         col("ra").as("__ra1"), col("rb").as("__rb1"))

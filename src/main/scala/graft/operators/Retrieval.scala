@@ -1762,10 +1762,15 @@ object Retrieval {
     *
     * `pool` is the candidate table `(queryId, docId, score)` — ALREADY
     * capped per query (a [[bm25TopK]] output reselected, typically
-    * n = 10..50); `sims` the FULL pairwise similarity matrix over each
-    * query's pool, `(queryId, docA, docB, sim)` with a row for every
-    * ORDERED pair (build lexical sims with [[poolTokenSims]], or bring
-    * embedding cosines). Everything is result-sized — n² sim rows and
+    * n = 10..50); `sims` the pairwise similarity table over each
+    * query's pool, `(queryId, docA, docB, sim)` in ORDERED pairs
+    * (build lexical sims with [[poolTokenSims]], or bring embedding
+    * cosines). Pairs ABSENT from `sims` count as similarity 0 — the
+    * sparse-matrix convention, so an above-threshold ANN pair table
+    * works directly and a candidate missing every sim row keeps its
+    * full `λ·score` marginal instead of silently dropping; pass the
+    * full matrix when "unknown" must not mean "dissimilar".
+    * Everything is result-sized — ≤ n² sim rows and
     * k plan steps over queries × n tables — so the greedy loop costs
     * nothing corpus-shaped; both inputs are consumed once per STEP
     * (k times total): pass materialized tables (q216 checkpoints
@@ -1792,20 +1797,23 @@ object Retrieval {
     var remaining = pool.join(selected, Seq("queryId", "docId"),
       "left_anti").localCheckpoint()
     for (step <- 2 to k) {
-      // every remaining doc has a sim row to every selected doc (the
-      // full-matrix contract), so the max is over exactly |selected|
+      // max sim of each remaining doc to the selected set; sim rows
+      // are looked up per (remaining, selected) pair and MISSING rows
+      // contribute 0 (max ignores the nulls; an all-missing doc
+      // coalesces below) — the sparse-sims contract in the scaladoc
       val ms = remaining
         .join(selected.select(col("queryId"), col("docId").as("docB")),
           Seq("queryId"))
         .join(sims.withColumnRenamed("docA", "docId"),
-          Seq("queryId", "docId", "docB"))
+          Seq("queryId", "docId", "docB"), "left_outer")
         .groupBy(col("queryId"), col("docId"))
         .agg(max(col("sim")).as("__ms"))
       val pick = pickTop(
         remaining.join(ms, Seq("queryId", "docId"))
           .select(col("queryId"), col("docId"),
             (lit(lambda) * col("score") -
-              lit(1.0 - lambda) * col("__ms")).as("__mmr")), step)
+              lit(1.0 - lambda) * coalesce(col("__ms"), lit(0.0)))
+              .as("__mmr")), step)
         .localCheckpoint()
       selected = selected.unionByName(pick).localCheckpoint()
       remaining = remaining.join(pick, Seq("queryId", "docId"),
@@ -1829,26 +1837,33 @@ object Retrieval {
     val ptf = tf.join(ids, Seq("docId"), "left_semi")
       .select(col("docId"), col("word"))
     val sz = ptf.groupBy("docId").agg(count(lit(1)).as("__sz"))
-    val pairs = pool.select(col("queryId"), col("docId").as("docA"))
+    val pairsQ = pool.select(col("queryId"), col("docId").as("docA"))
       .join(pool.select(col("queryId"), col("docId").as("docB")),
         Seq("queryId"))
       .filter(col("docA") =!= col("docB"))
-    val inter = pairs
+    // intersections compute once per DISTINCT doc pair, then re-attach
+    // to query pools: hot docs land in many top-k pools, and carrying
+    // queryId through the word joins would redo (and shuffle) the
+    // intersection once per pool containing the pair
+    val upairs = pairsQ.select(col("docA"), col("docB")).distinct()
+    val inter = upairs
       .join(ptf.select(col("docId").as("docA"), col("word")), Seq("docA"))
       .join(ptf.select(col("docId").as("docB"), col("word")),
         Seq("docB", "word"))
-      .groupBy(col("queryId"), col("docA"), col("docB"))
+      .groupBy(col("docA"), col("docB"))
       .agg(count(lit(1)).as("__i"))
-    pairs
-      .join(inter, Seq("queryId", "docA", "docB"), "left_outer")
+    val pairSims = upairs
+      .join(inter, Seq("docA", "docB"), "left_outer")
       .join(sz.select(col("docId").as("docA"), col("__sz").as("__sa")),
         Seq("docA"))
       .join(sz.select(col("docId").as("docB"), col("__sz").as("__sb")),
         Seq("docB"))
-      .select(col("queryId"), col("docA"), col("docB"),
+      .select(col("docA"), col("docB"),
         (coalesce(col("__i"), lit(0L)).cast("double") /
           (col("__sa") + col("__sb") - coalesce(col("__i"), lit(0L)))
             .cast("double")).as("sim"))
+    pairsQ.join(pairSims, Seq("docA", "docB"))
+      .select(col("queryId"), col("docA"), col("docB"), col("sim"))
   }
 
   /** Normalized LINEAR score fusion — [[rrfFuse]]'s score-aware

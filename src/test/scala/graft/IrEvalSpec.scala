@@ -177,6 +177,24 @@ class IrEvalSpec extends SparkSpec {
     assert(math.abs(t.getDouble(4) - 4.0 / 6.0) < 1e-12)
   }
 
+  test("paired comparison collapses duplicated queryIds before pairing") {
+    def m(rows: (Long, Double)*): DataFrame =
+      rows.map { case (q, p) => (q, 1L, 1L, p, p, p, p, p) }
+        .toDF("queryId", "n_rel", "n_ret_rel", "p_at_k", "recall_at_k",
+          "rr", "ap", "ndcg")
+    // query 1 appears twice in A (a unioned batch): the join must not
+    // fan out — n stays 2 and the t-statistic matches the clean input
+    val dup = m((1L, 0.8), (1L, 0.8), (2L, 0.9))
+    val clean = m((1L, 0.8), (2L, 0.9))
+    val b = m((1L, 0.5), (2L, 0.4))
+    val viaDup = IrEval.pairedComparison(dup, b).collect().head
+    val viaClean = IrEval.pairedComparison(clean, b).collect().head
+    assert(viaDup.getLong(0) === 2L)
+    for (i <- 1 to 10)
+      assert((viaDup.isNullAt(i) && viaClean.isNullAt(i)) ||
+        viaDup.getDouble(i) === viaClean.getDouble(i), s"col $i")
+  }
+
   test("macro means average every query equally") {
     val per = IrEval.rankingMetrics(
       run((1L, 10L, 1), (2L, 99L, 1)),

@@ -701,6 +701,25 @@ class RetrievalSpec extends SparkSpec {
     assert(math.abs(got(3L)._2 - (0.5 * 0.95 - 0.5 * 0.9)) < 1e-12)
   }
 
+  test("MMR treats missing sim rows as zero similarity") {
+    // a SPARSE matrix (only the near-dup pair is present — the
+    // above-threshold ANN-pairs shape): docs without rows keep their
+    // full lambda*score marginal and nothing silently drops
+    val pool = Seq((1L, 1L, 1.0), (1L, 2L, 0.95), (1L, 3L, 0.5))
+      .toDF("queryId", "docId", "score")
+    val sparse = Seq((1L, 1L, 2L, 0.9), (1L, 2L, 1L, 0.9))
+      .toDF("queryId", "docA", "docB", "sim")
+    val got = Retrieval.mmrRerank(pool, sparse, k = 3, lambda = 0.5)
+      .collect()
+      .map(r => r.getLong(3) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.size === 3, "no candidate may vanish")
+    assert(got(1L)._1 === 1L)
+    // doc 3 has NO sim rows: marginal stays 0.5*0.5 = 0.25 > doc 2's
+    // 0.5*0.95 - 0.5*0.9 = 0.025
+    assert(got(2L)._1 === 3L && math.abs(got(2L)._2 - 0.25) < 1e-12)
+    assert(got(3L)._1 === 2L)
+  }
+
   test("pool token sims are symmetric exact Jaccard with zero rows kept") {
     val c = docs(
       1L -> "apple banana cherry",
