@@ -1454,6 +1454,35 @@ private[graft] object TextQueries {
           col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
     }),
+    // TIERED retrieval: m = 3 champion tier at k = 5 — single-word
+    // queries (every doc_id % 194 == 0) can reach at most 3 champion
+    // docs, under-fill, and route to the exact tier 2; full-prefix
+    // queries fill from tier 1. Both branches and the routing rule
+    // replay from first principles; a query with zero champion
+    // matches must route (not vanish)
+    "q222_bm25_tiered_topk" -> ((s, dir) => {
+      import graft.operators.Retrieval
+      val docs = t(s, dir, "documents")
+      val tf = Retrieval.termFrequencies(docs, "doc_id", "text")
+        .localCheckpoint() // see q179
+      val dfT = Retrieval.dfTable(tf).localCheckpoint()
+      val st = Retrieval.corpusStats(tf).localCheckpoint()
+      val champ = Retrieval.championPostings(tf, m = 3)
+        .localCheckpoint()
+      val qs = docs.where(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("query_id"),
+          when(pmod(col("doc_id"), lit(194)) === 0,
+            concat_ws("",
+              slice(TextFunctions.normalizedWords(col("text")), 2, 1)))
+            .otherwise(substring(col("text"), 1, 40)).as("text"))
+        .filter(length(col("text")) > 0)
+      Retrieval.bm25TopKTiered(champ, tf, dfT, st, qs,
+        "query_id", "text", k = 5)
+        .select(col("queryId").as("query_id"), col("docId").as("doc_id"),
+          round(col("score"), 6).as("score"),
+          col("rank").cast("long").as("rank"), col("tier"))
+        .orderBy("query_id", "rank")
+    }),
     // the production hybrid pairing (q181 fused BM25 with exact
     // Jaccard; this fuses it with the IVFADC ANN stack): BM25 top-10
     // over short queries + residual-IVFADC top-10 over the same query
@@ -1812,6 +1841,16 @@ private[graft] object TextQueries {
        |WHERE m = n
        |GROUP BY query_id, doc_id
        |ORDER BY query_id, doc_id""".stripMargin
+
+  /** q222's query TEXT: word 2 alone for every other query doc (the
+    * deliberately under-filling single-term shape), the 40-char prefix
+    * otherwise — one line (the zipfTextSql stripMargin rule).
+    */
+  private lazy val TieredQueryTextSql: String =
+    s"CASE WHEN doc_id % 194 = 0 THEN array_to_string(list_slice(" +
+      s"list_filter(string_split_regex(regexp_replace(lower(text), " +
+      s"'[^a-z0-9$WsClass]', ' ', 'g'), '[$WsClass]+'), x -> x != ''), " +
+      s"2, 2), '') ELSE substr(text, 1, 40) END"
 
   /** The q188 query shape's TEXT as a DuckDB expression (words 2..4 of
     * the doc, re-joined) — q195's bm25Cte query side must tokenize the
@@ -4065,6 +4104,58 @@ private[graft] object TextQueries {
          |      ORDER BY score DESC, doc_id) AS rank
          |  FROM csc) z
          |WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // the champion chain (q221's), the fill count, and both routed
+    // branches from first principles — tier 1 rows must be exactly
+    // the champion probe's, tier 2 exactly the full probe's
+    "q222_bm25_tiered_topk" ->
+      s"""WITH ${bm25Cte("TRUE",
+             s"doc_id % 97 = 0 AND length($TieredQueryTextSql) > 0",
+             TieredQueryTextSql)},
+         |champ AS (
+         |  SELECT doc_id, word, tf FROM (
+         |    SELECT t.doc_id, t.word, t.tf,
+         |      row_number() OVER (PARTITION BY t.word
+         |        ORDER BY t.tf DESC, l.dl ASC, t.doc_id ASC) AS r
+         |    FROM tfv t JOIN lens l ON l.doc_id = t.doc_id) x
+         |  WHERE r <= 3),
+         |ccon AS (
+         |  SELECT query_id, ch.doc_id, ch.word,
+         |    idf * (CAST(ch.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
+         |      / (CAST(ch.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+         |         (1.0 - CAST(0.75 AS DOUBLE) +
+         |          CAST(0.75 AS DOUBLE) * CAST(l.dl AS DOUBLE) / avgdl))
+         |      AS cc
+         |  FROM champ ch JOIN enriched e ON e.word = ch.word
+         |  JOIN lens l ON l.doc_id = ch.doc_id),
+         |csc AS (
+         |  SELECT query_id, doc_id,
+         |    list_reduce(list(cc ORDER BY word), (a, x) -> a + x) AS score
+         |  FROM ccon GROUP BY 1, 2),
+         |t1 AS (
+         |  SELECT query_id, doc_id, score, r FROM (
+         |    SELECT query_id, doc_id, score,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score DESC, doc_id) AS r
+         |    FROM csc) z WHERE r <= 5),
+         |filled AS (
+         |  SELECT query_id FROM t1 GROUP BY 1 HAVING count(*) = 5),
+         |t2 AS (
+         |  SELECT query_id, doc_id, score, r FROM (
+         |    SELECT query_id, doc_id, score,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score DESC, doc_id) AS r
+         |    FROM bscores
+         |    WHERE query_id NOT IN (SELECT query_id FROM filled)) y
+         |  WHERE r <= 5)
+         |SELECT query_id, doc_id, round(score, 6) AS score,
+         |  CAST(r AS BIGINT) AS rank, CAST(tier AS BIGINT) AS tier
+         |FROM (
+         |  SELECT t1.query_id, t1.doc_id, t1.score, t1.r, 1 AS tier
+         |  FROM t1 WHERE t1.query_id IN (SELECT query_id FROM filled)
+         |  UNION ALL
+         |  SELECT query_id, doc_id, score, r, 2 FROM t2) u
          |ORDER BY query_id, rank""".stripMargin,
 
     // THE FULL-CORPUS REBUILD (q180's oracle verbatim): the compacted

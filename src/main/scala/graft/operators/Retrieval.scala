@@ -1645,6 +1645,58 @@ object Retrieval {
       .drop("__r")
   }
 
+  /** TIERED retrieval — the production composition over
+    * [[championPostings]]: serve every query from the champion tier,
+    * and route the queries whose tier-1 result UNDER-FILLS (< k rows —
+    * rare-term queries, or k beyond the champion depth m) to the
+    * exact full-index tier, restricted to just those queries (the
+    * [[bm25TopKWand]] fallback shape; the routing key is observable —
+    * row count — rather than a score bound, the standard tiered-index
+    * heuristic: IIR §7.2.1). Returns `(queryId, docId, score, rank,
+    * tier)` with `tier` 1 (champion approximation) or 2 (exact) — a
+    * filled tier-1 query's rows are EXACTLY the champion probe's, a
+    * routed query's exactly the full probe's (q222 gates both
+    * branches).
+    *
+    * Scale shape: phase 1 is the champion probe (matched-posting
+    * volume bounded by m per term); the tier-2 set is the
+    * under-filled queries only, so the full posting join runs for
+    * the residual batch, not everyone — at a head-heavy df shape
+    * most queries fill from tier 1 and the expensive tier serves the
+    * tail. Both layouts persist word-bucketed; `champTf` and the
+    * full `tf` share the df/stats tables (the [[championPostings]]
+    * full-stats contract).
+    */
+  def bm25TopKTiered(champTf: DataFrame, tf: DataFrame,
+                     dfTab: DataFrame, stats: DataFrame,
+                     queries: DataFrame, qidCol: String, qtextCol: String,
+                     k: Int, k1: Double = 1.2, b: Double = 0.75,
+                     bitExact: Boolean = true): DataFrame = {
+    require(k > 0, s"k > 0: $k")
+    // result-sized and consumed 2× (fill count + output semi-join)
+    val tier1 = bm25TopK(
+      bm25ScoresPrecomputed(champTf, dfTab, stats, queries, qidCol,
+        qtextCol, k1, b, bitExact), k).localCheckpoint()
+    // the FILLED set, not the under-filled one: a query with ZERO
+    // champion matches has no tier-1 rows at all (and so no group
+    // row) — routing must catch it too, so tier 2 is everyone NOT
+    // provably filled
+    val filled = tier1.groupBy("queryId")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") === k)
+      .select("queryId")
+    val tier2 = bm25TopK(
+      bm25ScoresPrecomputed(tf, dfTab, stats,
+        queries.join(filled.select(col("queryId").as(qidCol)),
+          Seq(qidCol), "left_anti"),
+        qidCol, qtextCol, k1, b, bitExact), k)
+    tier1.join(filled, Seq("queryId"), "left_semi")
+      .select(col("queryId"), col("docId"), col("score"), col("rank"),
+        lit(1L).as("tier"))
+      .unionByName(tier2.select(col("queryId"), col("docId"),
+        col("score"), col("rank"), lit(2L).as("tier")))
+  }
+
   /** Learning-to-rank FEATURE ASSEMBLY — the composition that turns
     * the scorer stack into ranker training data: for every (query,
     * doc) pair sharing at least one term,

@@ -617,6 +617,43 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("tiered retrieval routes under-filled and zero-match queries") {
+    val rnd = new scala.util.Random(222)
+    val c = (1L to 60L).map { id =>
+      id -> Seq.fill(6)(s"tok${15 / (rnd.nextInt(15) + 1)}").mkString(" ")
+    }.toDF("doc_id", "text")
+    val (tf, dfT, st) = indexTriple(c)
+    val champ = Retrieval.championPostings(tf, m = 2).localCheckpoint()
+    // q1: hot multi-term (fills from champions at k=3); q2: single
+    // term, champion depth 2 < k (under-fills -> tier 2); q3: matches
+    // nothing in the CHAMPION tier or the full index (absent term) —
+    // must not vanish silently, it just has no rows anywhere
+    val qs = Seq((1L, "tok15 tok7 tok5"), (2L, "tok15"),
+      (3L, "absentterm")).toDF("query_id", "text")
+    val got = Retrieval.bm25TopKTiered(champ, tf, dfT, st, qs,
+      "query_id", "text", k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3), r.getLong(4)))
+    val byQ = got.groupBy(_._1)
+    assert(byQ(1L).forall(_._5 == 1L) && byQ(1L).size === 3)
+    assert(byQ(2L).forall(_._5 == 2L) && byQ(2L).size === 3)
+    assert(!byQ.contains(3L))
+    // tier-2 rows are exactly the full-index probe's
+    val full = Retrieval.bm25TopK(
+      Retrieval.bm25ScoresPrecomputed(tf, dfT, st,
+        qs.filter(col("query_id") === 2L), "query_id", "text"), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    assert(byQ(2L).map(t => (t._1, t._2, t._3, t._4)).toSet === full)
+    // tier-1 rows are exactly the champion probe's
+    val champProbe = Retrieval.bm25TopK(
+      Retrieval.bm25ScoresPrecomputed(champ, dfT, st,
+        qs.filter(col("query_id") === 1L), "query_id", "text"), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    assert(byQ(1L).map(t => (t._1, t._2, t._3, t._4)).toSet === champProbe)
+  }
+
   test("LTR features carry the standalone scorers bitwise") {
     val rnd = new scala.util.Random(219)
     val c = (1L to 60L).map { id =>
