@@ -254,7 +254,8 @@ object ScaleBench {
         "proximity_matches_10x", "bm25_phrase_topk_10x",
         "pos_compact_index_10x", "pos_rebuild_index_10x",
         "pos_compact_deleted_10x", "retrieval_ingest_loop_10x",
-        "ql_dirichlet_topk_10x", "snippet_windows_10x",
+        "ql_dirichlet_topk_10x", "ql_wand_impact_10x",
+        "snippet_windows_10x",
         "bm25_conjunctive_topk_10x", "bm25_fuzzy_topk_10x",
         "bm25f_topk_10x", "passage_maxp_topk_10x",
         "rm3_rescore_10x", "rm3_rescore_wand_10x",
@@ -524,6 +525,23 @@ object ScaleBench {
               spark.table("sb_bm25_tf"), spark.table("sb_bm25_cf"),
               spark.table("sb_bm25_stats"), bm25Queries,
               "query_id", "text", bitExact = false), 5)
+            .count())
+        }
+        // ...and the SCORE-EXACT pruned QL path (q223's gate): the
+        // WAND analog for the second scorer — rare-posting candidates
+        // + forward fetch + the impact-tightened QL bound (per-term
+        // ln(1 + max_tf·|C|/(μ·cf)) ceilings, dl-floor normalizer).
+        // Same answers as ql_dirichlet_topk_10x, hot posting lists
+        // skipped for safe-routed queries
+        time(s"ql_wand_impact_10x $round") {
+          println("  qlw_rows=" + graft.operators.Retrieval.qlTopKWand(
+            spark.table("sb_bm25_tf"), bm25Queries, "query_id", "text",
+            k = 5, hotDf = 5000L, bitExact = false,
+            forward = Some(spark.table("sb_bm25_fwd")),
+            dfStats = Some((spark.table("sb_bm25_df"),
+              spark.table("sb_bm25_stats"))),
+            cf = Some(spark.table("sb_bm25_cf")),
+            impact = Some(spark.table("sb_bm25_imp")))
             .count())
         }
         // snippet extraction over the ranker's output (q198's gate):

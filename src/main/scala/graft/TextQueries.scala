@@ -1483,6 +1483,38 @@ private[graft] object TextQueries {
           col("rank").cast("long").as("rank"), col("tier"))
         .orderBy("query_id", "rank")
     }),
+    // the QL-Dirichlet WAND analog: pruned top-5 over the Zipf WAND
+    // fixture, impact-tightened bounds — the oracle replays the
+    // UNPRUNED QL chain (q199's CTEs over this fixture), so the gate
+    // is the score-exactness claim itself
+    "q223_ql_wand_topk" -> ((s, dir) => {
+      import graft.operators.Retrieval
+      val (tf, qs, hotCut) = zipfWandFixture(s, dir)
+      Retrieval.qlTopKWand(tf, qs, "query_id", "text",
+        k = 5, hotDf = hotCut,
+        impact = Some(Retrieval.impactStats(tf)))
+        .select(col("queryId").as("query_id"), col("docId").as("doc_id"),
+          round(col("score"), 6).as("score"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+    // ...and its decision table (the q205 convention): the oracle
+    // recomputes the per-term QL ceilings at (max_tf, min_dl), the
+    // dl-floor normalizer bound, the sign-aware margins, θ from the
+    // QL candidate scores, and the routing predicate — a bound or
+    // margin drift fails here even when q223's top-k survives it
+    "q224_ql_wand_stats" -> ((s, dir) => {
+      import graft.operators.Retrieval
+      val (tf, qs, hotCut) = zipfWandFixture(s, dir)
+      Retrieval.qlWandStats(tf, qs, "query_id", "text",
+        k = 5, hotDf = hotCut,
+        impact = Some(Retrieval.impactStats(tf)))
+        .select(col("queryId").as("query_id"),
+          col("n_rare_terms"), col("n_hot_terms"), col("n_candidates"),
+          round(col("ub"), 6).as("ub"),
+          round(col("theta"), 6).as("theta"), col("safe"))
+        .orderBy("query_id")
+    }),
     // the production hybrid pairing (q181 fused BM25 with exact
     // Jaccard; this fuses it with the IVFADC ANN stack): BM25 top-10
     // over short queries + residual-IVFADC top-10 over the same query
@@ -4157,6 +4189,91 @@ private[graft] object TextQueries {
          |  UNION ALL
          |  SELECT query_id, doc_id, score, r, 2 FROM t2) u
          |ORDER BY query_id, rank""".stripMargin,
+
+    // the UNPRUNED QL chain over the Zipf WAND fixture (q199's CTEs):
+    // the pruned operator must be row- and bit-identical to it
+    "q223_ql_wand_topk" ->
+      s"""WITH ${bm25Cte("TRUE", "doc_id % 50 = 0",
+             ZipfWandQueryTextSql, ZipfWandCorpusTextSql)},
+         |$QlCtes
+         |SELECT query_id, doc_id, round(score, 6) AS score,
+         |  CAST(rank AS BIGINT) AS rank
+         |FROM (
+         |  SELECT query_id, doc_id, score,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id) AS rank
+         |  FROM qlsc) z
+         |WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // the QL decision table from first principles: per-word
+    // (max_tf, min_dl) off the posting rows, the per-term ceiling
+    // ln(1 + max_tf·|C|/(μ·cf)) word-sorted-folded ×(1+1e-9), the
+    // dl-floor normalizer nq·ln(μ/(min min_dl + μ)) ×(1−1e-9) —
+    // both margin constants exact toString round-trips — θ from the
+    // QL scores of the rare-term candidate pairs, and the routing
+    // predicate verbatim
+    "q224_ql_wand_stats" ->
+      s"""WITH ${bm25Cte("TRUE", "doc_id % 50 = 0",
+             ZipfWandQueryTextSql, ZipfWandCorpusTextSql)},
+         |$QlCtes,
+         |hotcut AS (SELECT count(*) // 10 AS cut FROM corpus),
+         |split AS (
+         |  SELECT query_id, word, df, cut
+         |  FROM qterms JOIN dft USING (word) CROSS JOIN hotcut),
+         |counts AS (
+         |  SELECT query_id,
+         |    CAST(sum(CASE WHEN df <= cut THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_rare_terms,
+         |    CAST(sum(CASE WHEN df > cut THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_hot_terms
+         |  FROM split GROUP BY 1),
+         |cands AS (
+         |  SELECT DISTINCT s.query_id, t.doc_id
+         |  FROM split s JOIN tfv t USING (word) WHERE s.df <= s.cut),
+         |ncand AS (
+         |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_candidates
+         |  FROM cands GROUP BY 1),
+         |imps AS (
+         |  SELECT t.word, max(t.tf) AS max_tf, min(l.dl) AS min_dl
+         |  FROM tfv t JOIN lens l ON l.doc_id = t.doc_id
+         |  GROUP BY 1),
+         |qlagg AS (
+         |  SELECT s.query_id,
+         |    list_reduce(list_prepend(0.0, list(
+         |      ln(1.0 + CAST(i.max_tf AS DOUBLE) * ctokens
+         |        / (CAST(2000 AS DOUBLE) * CAST(c.cf AS DOUBLE)))
+         |      ORDER BY s.word)), (a, x) -> a + x) AS pos,
+         |    min(i.min_dl) AS mdl
+         |  FROM split s JOIN cft c USING (word) JOIN imps i USING (word)
+         |  CROSS JOIN ctok
+         |  WHERE s.df > s.cut
+         |  GROUP BY s.query_id),
+         |ubt AS (
+         |  SELECT query_id,
+         |    pos * CAST('${(1.0 + 1e-9).toString}' AS DOUBLE)
+         |      + CAST(nq AS DOUBLE) * ln(CAST(2000 AS DOUBLE)
+         |          / (CAST(mdl AS DOUBLE) + CAST(2000 AS DOUBLE)))
+         |        * CAST('${(1.0 - 1e-9).toString}' AS DOUBLE) AS ub
+         |  FROM qlagg JOIN qnq USING (query_id)),
+         |cscore AS (
+         |  SELECT q.query_id, q.doc_id, q.score
+         |  FROM qlsc q JOIN cands c USING (query_id, doc_id)),
+         |th AS (
+         |  SELECT query_id, score AS theta FROM (
+         |    SELECT query_id, score,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score DESC, doc_id) AS r
+         |    FROM cscore) x WHERE r = 5)
+         |SELECT c.query_id, n_rare_terms, n_hot_terms,
+         |  CAST(coalesce(n_candidates, 0) AS BIGINT) AS n_candidates,
+         |  round(ub, 6) AS ub, round(theta, 6) AS theta,
+         |  NOT (n_hot_terms > 0 AND (theta IS NULL OR ub >= theta)) AS safe
+         |FROM counts c
+         |LEFT JOIN ncand USING (query_id)
+         |LEFT JOIN ubt USING (query_id)
+         |LEFT JOIN th USING (query_id)
+         |ORDER BY query_id""".stripMargin,
 
     // THE FULL-CORPUS REBUILD (q180's oracle verbatim): the compacted
     // (tf, df, stats) triple must probe indistinguishably from an index

@@ -229,11 +229,19 @@ object Retrieval {
     * Lifecycle: one vocabulary-sized aggregate off the posting table;
     * persists beside [[dfTable]] at ingest. APPEND-mergeable
     * ([[compactImpactStats]] — max/min are union-combinable like the
-    * additive df). Deletions deliberately do NOT rebuild it: a stale
-    * `(max_tf, min_dl)` after removing the extremal doc is still a
-    * valid UPPER bound (the surviving postings are a subset), so the
-    * pruning stays score-exact and only its tightness degrades —
-    * rebuild on whatever cadence the index is re-optimized.
+    * additive df), and the merge is a HARD contract, not an
+    * optimization: every [[compactTermIndex]] append MUST be paired
+    * with its [[compactImpactStats]] merge before the table feeds a
+    * WAND probe, because a table stale in the append direction
+    * UNDER-bounds words the batch made hotter (larger max_tf or
+    * smaller min_dl), and an under-estimated ub can route a query
+    * safe while a pruned doc's true score beats θ — a silent wrong
+    * top-k, not just weaker pruning. Deletions are the opposite and
+    * deliberately do NOT rebuild it: a stale `(max_tf, min_dl)` after
+    * removing the extremal doc is still a valid UPPER bound (the
+    * surviving postings are a subset), so the pruning stays
+    * score-exact and only its tightness degrades — rebuild on
+    * whatever cadence the index is re-optimized.
     */
   def impactStats(tf: DataFrame): DataFrame =
     tf.groupBy("word")
@@ -418,9 +426,7 @@ object Retrieval {
     // |q| over corpus-present terms rides the enriched table
     val qn = qTerms.groupBy("queryId").agg(count(lit(1)).as("__nq"))
     val enriched = qTerms.join(qn, Seq("queryId"))
-    val cExpr = log(lit(1.0) +
-      col("tf").cast("double") * col("__cTokens") /
-        (lit(mu) * col("cf").cast("double"))).as("__c")
+    val cExpr = qlContribExpr(mu).as("__c")
     // the per-(query, doc) length normalizer is constant across the
     // group — max() just carries it through the aggregate (joining a
     // doc-length table after the fold instead would cost a
@@ -754,6 +760,19 @@ object Retrieval {
       col("n_docs").cast("double").as("n_docs"),
       (col("total_dl").cast("double") / col("n_docs").cast("double"))
         .as("avgdl"))
+
+  /** The per-(query, doc, word) QL Dirichlet matching-term
+    * contribution `ln(1 + tf·|C| / (μ·cf))` over joined
+    * `(tf, __cTokens, cf)` columns — the ONE arithmetic definition
+    * shared by [[qlDirichletScores]], [[qlTopKWand]]'s candidate and
+    * forward-fetched hot branches, and [[ltrFeatures]]' `ql` column
+    * (via the identical tree), so they cannot drift by construction —
+    * the [[contribExpr]] convention for the second scorer.
+    */
+  private def qlContribExpr(mu: Double): Column =
+    log(lit(1.0) +
+      col("tf").cast("double") * col("__cTokens") /
+        (lit(mu) * col("cf").cast("double")))
 
   /** The per-(query, doc, word) BM25 contribution over joined
     * `(tf, dl, idf, avgdl)` columns — the ONE arithmetic definition
@@ -1520,8 +1539,16 @@ object Retrieval {
     // stays achievable-but-sufficient: `ub < θ` still excludes every
     // pruned doc, ties included (q205 gates the tightened table, q204
     // the unchanged top-k through it). A hot word MISSING from the
-    // metadata falls back to its saturation ceiling in-place — a
-    // stale/partial impact table degrades pruning, never correctness.
+    // metadata falls back to its saturation ceiling in-place, and a
+    // table left stale by DELETIONS still upper-bounds the surviving
+    // postings (subset) — both degrade pruning, never correctness.
+    // The one staleness that is NOT safe is the append direction: tf
+    // grown through [[compactTermIndex]] without the matching
+    // [[compactImpactStats]] merge leaves (max_tf, min_dl) UNDER
+    // bounds for words already present, and an under-bounded ub can
+    // route a query safe while a pruned doc beats θ. Appends must go
+    // through [[compactImpactStats]] (the StreamingSpec ingest loop);
+    // the [[impactStats]] lifecycle doc states the contract.
     val hotUb = impact match {
       case None =>
         hot.groupBy("queryId")
@@ -1575,6 +1602,210 @@ object Retrieval {
     WandCore(enriched, candPairs, topkCand, hotUb, theta, unsafeQ)
   }
 
+  /** SCORE-EXACT pruned top-k for the QUERY-LIKELIHOOD Dirichlet
+    * scorer — [[bm25TopKWand]]'s analog for the second classical
+    * ranker, closing the asymmetry where BM25 had WAND/impact pruning
+    * and [[qlDirichletScores]] always ran unpruned. Returns exactly
+    * `bm25TopK(qlDirichletScores(tf, cf, stats, queries, ...), k)` —
+    * same rows, same scores (bitwise under `bitExact = true`; q223
+    * gates it against the unpruned DuckDB replay) — while hot-term
+    * (df > `hotDf`) posting lists are never scanned through the word
+    * index for safe queries.
+    *
+    * Same two-phase plan as BM25 WAND: rare-term postings surface
+    * candidates, the forward layout fetches their hot contributions
+    * (so candidate scores are the exact full scores, normalizer
+    * included), and a per-query upper bound on any hot-only doc
+    * routes each query safe vs exact-fallback. The QL bound has two
+    * parts, both derivable from the SAME [[impactStats]] metadata the
+    * BM25 family consumes:
+    *
+    *   - matching-term mass: each hot term's contribution
+    *     `ln(1 + tf·|C|/(μ·cf))` is increasing in tf, so
+    *     `ln(1 + max_tf·|C|/(μ·cf))` dominates every posting — and
+    *     without metadata `tf ≤ cf` gives the corpus-free ceiling
+    *     `ln(1 + |C|/μ)` (a hot word missing from a partial table
+    *     falls back to it in-place);
+    *   - the length normalizer `|q|·ln(μ/(dl + μ))` is DECREASING in
+    *     dl and a hot-only doc contains at least one hot term, so
+    *     `dl ≥ min over the query's hot terms of min_dl` bounds it
+    *     (without metadata, `dl ≥ 1`).
+    *
+    * Because QL scores mix a positive matching mass with a negative
+    * normalizer, the rounding margin is SIGN-AWARE: the positive fold
+    * inflates by (1+1e-9) and the negative normalizer shrinks by
+    * (1−1e-9) — both move the bound up, so ulp-level association
+    * drift can never flip a safe routing into a dropped true top-k
+    * row (a blanket ×(1+1e-9) would move a negative bound the WRONG
+    * way). Deletion-stale metadata stays a valid upper bound
+    * (surviving postings are a subset and min-dl can only grow);
+    * append-stale metadata is invalid — the [[impactStats]]
+    * lifecycle contract, identical to the BM25 family.
+    *
+    * Queries with < k candidates or a reachable bound FALL BACK to
+    * the unpruned [[qlDirichletScores]] pipeline restricted to just
+    * those queries; hot-only query batches degrade to exactly the
+    * unpruned plan, never a wrong answer. `tf` is referenced up to
+    * 6× (df, cf, scalars, rare probe, forward default, fallback):
+    * persisted state at ingest ([[compactTermIndex]]'s triple +
+    * [[cfTable]] + [[impactStats]]), materialize-first otherwise.
+    */
+  def qlTopKWand(tf: DataFrame,
+                 queries: DataFrame, qidCol: String, qtextCol: String,
+                 k: Int, hotDf: Long,
+                 mu: Double = 2000.0,
+                 bitExact: Boolean = true,
+                 forward: Option[DataFrame] = None,
+                 dfStats: Option[(DataFrame, DataFrame)] = None,
+                 cf: Option[DataFrame] = None,
+                 impact: Option[DataFrame] = None): DataFrame = {
+    val (dfTab, stats) = resolvedDfStats(tf, dfStats)
+    val cfTab = cf.getOrElse(cfTable(tf))
+    val c = qlWandCore(tf, dfTab, cfTab, stats, queries, qidCol,
+      qtextCol, k, hotDf, mu, bitExact, forward, impact)
+    val fallback = bm25TopK(
+      qlDirichletScores(tf, cfTab, stats,
+        queries.join(c.unsafeQ.select(col("queryId").as(qidCol)),
+          Seq(qidCol), "left_semi"),
+        qidCol, qtextCol, mu, bitExact), k)
+    c.safeTopK.unionByName(fallback.select("queryId", "docId", "score",
+      "rank"))
+  }
+
+  /** The QL WAND decision table (the q187/q205 convention: gate the
+    * PRUNING MATH, not just the final answer) — identical columns and
+    * routing predicate as [[bm25WandStats]], shared [[qlWandCore]]
+    * internals with [[qlTopKWand]] so the readout cannot drift from
+    * the operator. `ub` here is the sign-aware-margined QL bound
+    * (positive hot fold ×(1+1e-9) + normalizer bound ×(1−1e-9));
+    * q224 replays it from first principles.
+    */
+  def qlWandStats(tf: DataFrame,
+                  queries: DataFrame, qidCol: String, qtextCol: String,
+                  k: Int, hotDf: Long,
+                  mu: Double = 2000.0,
+                  bitExact: Boolean = true,
+                  forward: Option[DataFrame] = None,
+                  dfStats: Option[(DataFrame, DataFrame)] = None,
+                  cf: Option[DataFrame] = None,
+                  impact: Option[DataFrame] = None): DataFrame = {
+    val (dfTab, stats) = resolvedDfStats(tf, dfStats)
+    val cfTab = cf.getOrElse(cfTable(tf))
+    wandStatsFrom(
+      qlWandCore(tf, dfTab, cfTab, stats, queries, qidCol, qtextCol,
+        k, hotDf, mu, bitExact, forward, impact), hotDf)
+  }
+
+  /** The two-phase WAND plan for the QL Dirichlet scorer — the
+    * [[wandCore]] shape over the QL arithmetic: rare/hot split on df,
+    * rare-posting candidates, forward-fetched hot contributions, the
+    * exact fold + once-added length normalizer (bitwise
+    * [[qlDirichletScores]]' tree), θ, the sign-aware hot-only bound,
+    * and the routing set. Returns the same [[WandCore]] so
+    * `safeTopK` and [[wandStatsFrom]] are shared verbatim.
+    */
+  private def qlWandCore(tf: DataFrame, dfTab: DataFrame,
+                         cfTab: DataFrame, stats: DataFrame,
+                         queries: DataFrame, qidCol: String,
+                         qtextCol: String,
+                         k: Int, hotDf: Long, mu: Double,
+                         bitExact: Boolean,
+                         forward: Option[DataFrame],
+                         impact: Option[DataFrame]): WandCore = {
+    require(k > 0, s"k > 0: $k")
+    require(hotDf >= 0, s"hotDf >= 0: $hotDf")
+    require(mu > 0, s"mu > 0: $mu")
+    val qTerms = queryTerms(queries, qidCol, qtextCol)
+      .join(cfTab, Seq("word"))
+      .join(dfTab, Seq("word"))
+      .crossJoin(broadcast(
+        stats.select(col("total_dl").cast("double").as("__cTokens"))))
+    // |q| over corpus-present terms, the qlDirichletScores contract
+    // (cf and df tables index the same vocabulary, so the cf join
+    // alone fixes the count)
+    val qn = qTerms.groupBy("queryId").agg(count(lit(1)).as("__nq"))
+    // query-batch-sized, consumed 3× (rare, hot, bound) — eager
+    val enriched = qTerms.join(qn, Seq("queryId")).localCheckpoint()
+    val rare = enriched.filter(col("df") <= hotDf)
+    val hot = enriched.filter(col("df") > hotDf)
+    val rareContrib = tf.join(rare, Seq("word"))
+      .select(col("queryId"), col("docId"), col("word"),
+        qlContribExpr(mu).as("__c"), col("dl"), col("__nq"))
+    val candPairs = rareContrib.select("queryId", "docId").distinct()
+    val fwd = forward.getOrElse(tf)
+    val hotContrib = candPairs.join(fwd, Seq("docId"))
+      .join(hot, Seq("queryId", "word"))
+      .select(col("queryId"), col("docId"), col("word"),
+        qlContribExpr(mu).as("__c"), col("dl"), col("__nq"))
+    val joined = rareContrib.unionByName(hotContrib)
+    // the qlDirichletScores fold verbatim: word-sorted Σ of the
+    // matching contributions, dl/|q| carried through the group, the
+    // normalizer added ONCE after the fold
+    val folded =
+      if (bitExact)
+        joined
+          .groupBy(col("queryId"), col("docId"))
+          .agg(sort_array(collect_list(struct(col("word"), col("__c"))))
+            .as("__cs"),
+            max(col("dl")).as("__dl"), max(col("__nq")).as("__n"))
+          .select(col("queryId"), col("docId"),
+            aggregate(col("__cs"), lit(0.0),
+              (a, x) => a + x.getField("__c")).as("__s"),
+            col("__dl"), col("__n"))
+      else
+        joined
+          .groupBy(col("queryId"), col("docId"))
+          .agg(sum(col("__c")).as("__s"), max(col("dl")).as("__dl"),
+            max(col("__nq")).as("__n"))
+    val candScores = folded.select(col("queryId"), col("docId"),
+      (col("__s") + col("__n").cast("double") *
+        log(lit(mu) / (col("__dl").cast("double") + lit(mu))))
+        .as("score"))
+    val w = Window.partitionBy(col("queryId"))
+      .orderBy(col("score").desc, col("docId").asc)
+    // result-sized (≤ queries × k rows), consumed 2× (θ + safe output)
+    val topkCand = candScores.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k).localCheckpoint()
+    val theta = topkCand.filter(col("rank") === k)
+      .select(col("queryId"), col("score").as("__theta"))
+    // per hot term: the contribution ceiling and the dl floor; a word
+    // missing from a partial impact table (left_outer miss) falls
+    // back to the corpus-free pair (ln(1 + |C|/μ), dl ≥ 1) in-place
+    val perTermCeil = impact match {
+      case None =>
+        hot.select(col("queryId"), col("word"),
+          log(lit(1.0) + col("__cTokens") / lit(mu)).as("__ct"),
+          lit(1L).as("__mdl"), col("__nq"))
+      case Some(imp) =>
+        hot
+          .join(imp.select(col("word"), col("max_tf"), col("min_dl")),
+            Seq("word"), "left_outer")
+          .select(col("queryId"), col("word"),
+            when(col("max_tf").isNull,
+              log(lit(1.0) + col("__cTokens") / lit(mu)))
+              .otherwise(log(lit(1.0) +
+                col("max_tf").cast("double") * col("__cTokens") /
+                  (lit(mu) * col("cf").cast("double")))).as("__ct"),
+            coalesce(col("min_dl"), lit(1L)).as("__mdl"), col("__nq"))
+    }
+    // sign-aware margin (see qlTopKWand): positive fold up, negative
+    // normalizer magnitude down — both raise the bound
+    val hotUb = perTermCeil.groupBy("queryId")
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("word"), col("__ct")))),
+        lit(0.0), (a, x) => a + x.getField("__ct")).as("__pos"),
+        min(col("__mdl")).as("__mdl"), max(col("__nq")).as("__n"))
+      .select(col("queryId"),
+        (col("__pos") * lit(1.0 + 1e-9) +
+          col("__n").cast("double") *
+            log(lit(mu) / (col("__mdl").cast("double") + lit(mu))) *
+            lit(1.0 - 1e-9)).as("__ub"))
+    val unsafeQ = hotUb.join(theta, Seq("queryId"), "left_outer")
+      .filter(col("__theta").isNull || col("__ub") >= col("__theta"))
+      .select("queryId").localCheckpoint()
+    WandCore(enriched, candPairs, topkCand, hotUb, theta, unsafeQ)
+  }
+
   /** Faceted-search counts — the "facet sidebar" aggregation of a
     * search stack: for each query, the distribution of its MATCHED
     * documents over a metadata dimension, top `topV` values by count —
@@ -1584,8 +1815,12 @@ object Retrieval {
     * counts, or a top-k for result-page facets); repeated pairs are
     * defensively collapsed (the [[rrfFuse]] convention) so score
     * tables with per-term rows cannot inflate counts. `docMeta` maps
-    * `docId` to the facet column; docs with a NULL facet value are
-    * excluded (the unfaceted remainder, countable by the caller as
+    * `docId` to the facet column and gets the SAME defensive
+    * collapse — `(docId, facet)` rows dedupe, so a metadata table
+    * built from a union cannot inflate `n_docs` (a doc with several
+    * DISTINCT facet values is multi-valued by intent and counts once
+    * per value). Docs with a NULL facet value are excluded (the
+    * unfaceted remainder, countable by the caller as
     * `matches − Σ n_docs` if wanted — keeping engine-divergent NULL
     * ordering out of the ranked table).
     *
@@ -1602,7 +1837,8 @@ object Retrieval {
     val m = matches.select("queryId", "docId").distinct()
     val w = Window.partitionBy(col("queryId"))
       .orderBy(col("n_docs").desc, col("facet").asc)
-    m.join(docMeta.select(col("docId"), col(facetCol).as("facet")),
+    m.join(docMeta.select(col("docId"), col(facetCol).as("facet"))
+        .distinct(),
         Seq("docId"))
       .filter(col("facet").isNotNull)
       .groupBy(col("queryId"), col("facet"))

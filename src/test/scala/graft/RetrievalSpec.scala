@@ -529,6 +529,105 @@ class RetrievalSpec extends SparkSpec {
     assert(rows(merged) === rows(rebuilt))
   }
 
+  test("QL WAND equals the unpruned QL top-k bitwise at every hotDf") {
+    // the q182 sweep for the SECOND scorer: everything-hot (pure
+    // fallback) through mixed to everything-rare (pure candidate
+    // path), each with and without impact metadata — the negative
+    // normalizer makes the sign-aware margin load-bearing here
+    val rnd = new scala.util.Random(223)
+    val c = (1L to 80L).map { id =>
+      id -> Seq.fill(6 + rnd.nextInt(6))(
+        s"tok${40 / (rnd.nextInt(40) + 1)}").mkString(" ")
+    }.toDF("doc_id", "text")
+    val qs = (200L to 207L).map { id =>
+      id -> (Seq.fill(2)(s"tok${40 / (rnd.nextInt(40) + 1)}") ++
+        (if (id % 4 == 3) Nil
+        else Seq.fill(2)(s"tok${13 + rnd.nextInt(28)}"))).mkString(" ")
+    }.toDF("query_id", "text")
+    val (tf, dfT, st) = indexTriple(c)
+    val cfT = Retrieval.cfTable(tf).localCheckpoint()
+    val imp = Retrieval.impactStats(tf).localCheckpoint()
+    val unpruned = topkSet(Retrieval.bm25TopK(
+      Retrieval.qlDirichletScores(tf, cfT, st, qs,
+        "query_id", "text"), 5))
+    for (hotDf <- Seq(0L, 3L, 10L, 30L, 1000L)) {
+      assert(topkSet(Retrieval.qlTopKWand(tf, qs, "query_id", "text",
+        k = 5, hotDf = hotDf, dfStats = Some((dfT, st)),
+        cf = Some(cfT))) === unpruned, s"no-impact hotDf=$hotDf")
+      assert(topkSet(Retrieval.qlTopKWand(tf, qs, "query_id", "text",
+        k = 5, hotDf = hotDf, dfStats = Some((dfT, st)),
+        cf = Some(cfT), impact = Some(imp))) === unpruned,
+        s"impact hotDf=$hotDf")
+      // decision-table invariants: every query routed, safe queries
+      // with hot terms carry a real bound strictly below theta
+      val stats = Retrieval.qlWandStats(tf, qs, "query_id", "text",
+        k = 5, hotDf = hotDf, dfStats = Some((dfT, st)),
+        cf = Some(cfT), impact = Some(imp)).collect()
+      assert(stats.length === 8, s"hotDf=$hotDf")
+      for (r <- stats if r.getBoolean(6) && r.getLong(2) > 0)
+        assert(r.isNullAt(4) || r.getDouble(4) < r.getDouble(5),
+          s"safe query must have ub < theta: $r")
+    }
+  }
+
+  test("QL WAND stays exact under a PARTIAL impact table") {
+    // words missing from the metadata fall back to the corpus-free
+    // (ln(1 + |C|/mu), dl >= 1) pair in-place — pruning degrades,
+    // answers never change
+    val rnd = new scala.util.Random(224)
+    val c = (1L to 60L).map { id =>
+      id -> Seq.fill(5 + rnd.nextInt(6))(
+        s"tok${30 / (rnd.nextInt(30) + 1)}").mkString(" ")
+    }.toDF("doc_id", "text")
+    val qs = (300L to 305L).map { id =>
+      id -> (Seq.fill(2)(s"tok${30 / (rnd.nextInt(30) + 1)}") ++
+        Seq.fill(2)(s"tok${10 + rnd.nextInt(21)}")).mkString(" ")
+    }.toDF("query_id", "text")
+    val (tf, dfT, st) = indexTriple(c)
+    val cfT = Retrieval.cfTable(tf).localCheckpoint()
+    val partial = Retrieval.impactStats(tf)
+      .filter(hash(col("word")) % 2 === 0).localCheckpoint()
+    val unpruned = topkSet(Retrieval.bm25TopK(
+      Retrieval.qlDirichletScores(tf, cfT, st, qs,
+        "query_id", "text"), 4))
+    for (hotDf <- Seq(2L, 8L, 25L))
+      assert(topkSet(Retrieval.qlTopKWand(tf, qs, "query_id", "text",
+        k = 4, hotDf = hotDf, dfStats = Some((dfT, st)),
+        cf = Some(cfT), impact = Some(partial))) === unpruned,
+        s"hotDf=$hotDf")
+  }
+
+  test("QL WAND safe path prunes hot-only docs without a fallback") {
+    // rare terms concentrate the matching mass on docs 1-2; doc 3
+    // shares only the hot term and cannot beat theta even at the
+    // dl floor -> the query is SAFE and doc 3 is pruned by BOUND
+    val c = docs(
+      1L -> "rareword uniqua filler1 pad1 pad2",
+      2L -> "rareword uniqub filler2 pad3 pad4",
+      3L -> "common common common common common",
+      4L -> "common misc1 misc2 misc3 misc4",
+      5L -> "common misc5 misc6 misc7 misc8")
+    val cc = c.unionByName(Seq.tabulate(20)(i =>
+      (10L + i, s"common extra${i}a extra${i}b extra${i}c extra${i}d"))
+      .toDF("doc_id", "text"))
+    val qs = Seq((1L, "rareword common")).toDF("query_id", "text")
+    val (tf, dfT, st) = indexTriple(cc)
+    val cfT = Retrieval.cfTable(tf).localCheckpoint()
+    val unpruned = Retrieval.bm25TopK(
+      Retrieval.qlDirichletScores(tf, cfT, st, qs,
+        "query_id", "text"), 2)
+    val wand = Retrieval.qlTopKWand(tf, qs, "query_id", "text",
+      k = 2, hotDf = 2L, dfStats = Some((dfT, st)), cf = Some(cfT),
+      impact = Some(Retrieval.impactStats(tf).localCheckpoint()))
+    assert(topkSet(wand) === topkSet(unpruned))
+    val stats = Retrieval.qlWandStats(tf, qs, "query_id", "text",
+      k = 2, hotDf = 2L, dfStats = Some((dfT, st)), cf = Some(cfT),
+      impact = Some(Retrieval.impactStats(tf).localCheckpoint()))
+      .collect()
+    assert(stats.length === 1 && stats(0).getBoolean(6),
+      s"query must route SAFE: ${stats.toSeq}")
+  }
+
   test("hot words missing from the impact table fall back safely") {
     // a PARTIAL metadata table (stale ingest, half the vocabulary):
     // missing words take the saturation ceiling in-place, so the
