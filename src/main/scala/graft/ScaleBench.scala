@@ -248,6 +248,7 @@ object ScaleBench {
       base <- Seq("bm25_topk_10x", "bm25_topk_pruned_10x",
         "bm25_topk_wand_10x", "bm25_topk_wand_impact_10x",
         "bm25_topk_champion_10x",
+        "bm25_tiered_lowfill_10x", "bm25_tiered_lowfill_wand_10x",
         "bm25_compact_index_10x",
         "bm25_rebuild_index_10x", "bm25_compact_deleted_10x",
         "bm25_rebuild_survivors_10x", "phrase_matches_10x",
@@ -276,7 +277,8 @@ object ScaleBench {
       locally {
         for (t <- Seq("sb_bm25_tf", "sb_bm25_fwd", "sb_bm25_df",
           "sb_bm25_stats", "sb_bm25_pos", "sb_bm25_cf",
-          "sb_bm25_imp", "sb_bm25_var", "sb_bm25_champ")) {
+          "sb_bm25_imp", "sb_bm25_var", "sb_bm25_champ",
+          "sb_bm25_champ2")) {
           spark.sql(s"DROP TABLE IF EXISTS $t")
           val p = new org.apache.hadoop.fs.Path(
             spark.conf.get("spark.sql.warehouse.dir"), t)
@@ -319,6 +321,12 @@ object ScaleBench {
         graft.operators.Retrieval.championPostings(tf, m = 50)
           .write.bucketBy(32, "word").sortBy("word")
           .mode("overwrite").saveAsTable("sb_bm25_champ")
+        // ...and a SHALLOW (m = 2) tier for the tiered low-fill arm:
+        // 6-term queries reach <= 12 champion candidates, so k = 20
+        // under-fills and the whole batch routes to tier 2
+        graft.operators.Retrieval.championPostings(tf, m = 2)
+          .write.bucketBy(32, "word").sortBy("word")
+          .mode("overwrite").saveAsTable("sb_bm25_champ2")
         // the positional layout (phrase probes) — its own tokenizer
         // pass: positions come from the occurrence stream, which the
         // per-(doc, word) tf rows no longer carry
@@ -394,6 +402,36 @@ object ScaleBench {
               spark.table("sb_bm25_champ"), spark.table("sb_bm25_df"),
               spark.table("sb_bm25_stats"), bm25Queries,
               "query_id", "text", bitExact = false), 5)
+            .count())
+        }
+        // TIERED serving on a LOW-FILL batch (q222's gate): the
+        // standard 6-term queries at k = 20 against the SHALLOW
+        // (m = 2) champion tier — <= 12 champion candidates per
+        // query, so the whole batch under-fills and routes to the
+        // exact tier 2. The arm pair reads what WAND inheritance
+        // buys the routed tier: the plain arm scans the head terms'
+        // full posting lists per routed query, the _wand arm
+        // fetches hot contributions per candidate through the
+        // forward layout (identical rows — score-exact). Note the
+        // trade is k-dependent: θ at rank 20 is weaker than the
+        // k = 5 arms', so a slice of the batch still falls back
+        time(s"bm25_tiered_lowfill_10x $round") {
+          println("  tiered_rows=" + graft.operators.Retrieval
+            .bm25TopKTiered(spark.table("sb_bm25_champ2"),
+              spark.table("sb_bm25_tf"), spark.table("sb_bm25_df"),
+              spark.table("sb_bm25_stats"), bm25Queries,
+              "query_id", "text", k = 20, bitExact = false)
+            .count())
+        }
+        time(s"bm25_tiered_lowfill_wand_10x $round") {
+          println("  tiered_rows=" + graft.operators.Retrieval
+            .bm25TopKTiered(spark.table("sb_bm25_champ2"),
+              spark.table("sb_bm25_tf"), spark.table("sb_bm25_df"),
+              spark.table("sb_bm25_stats"), bm25Queries,
+              "query_id", "text", k = 20, bitExact = false,
+              hotDf = Some(5000L),
+              forward = Some(spark.table("sb_bm25_fwd")),
+              impact = Some(spark.table("sb_bm25_imp")))
             .count())
         }
         // typo-tolerant retrieval (q209's gate): 2 of each query's 6

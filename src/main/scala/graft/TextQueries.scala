@@ -1476,8 +1476,13 @@ private[graft] object TextQueries {
               slice(TextFunctions.normalizedWords(col("text")), 2, 1)))
             .otherwise(substring(col("text"), 1, 40)).as("text"))
         .filter(length(col("text")) > 0)
+      // tier 2 rides score-exact WAND (derived N/10 hot cut + impact
+      // metadata) — the oracle is UNCHANGED from the unpruned tier-2
+      // replay, so the gate IS the exactness claim for the routed tier
       Retrieval.bm25TopKTiered(champ, tf, dfT, st, qs,
-        "query_id", "text", k = 5)
+        "query_id", "text", k = 5,
+        hotDf = Some(tf.select("docId").distinct().count() / 10),
+        impact = Some(Retrieval.impactStats(tf)))
         .select(col("queryId").as("query_id"), col("docId").as("doc_id"),
           round(col("score"), 6).as("score"),
           col("rank").cast("long").as("rank"), col("tier"))

@@ -1902,12 +1902,23 @@ object Retrieval {
     * tail. Both layouts persist word-bucketed; `champTf` and the
     * full `tf` share the df/stats tables (the [[championPostings]]
     * full-stats contract).
+    *
+    * `hotDf` routes the tier-2 exact pass through [[bm25TopKWand]]
+    * (with the optional `forward`/`impact` layouts) instead of the
+    * unpruned pipeline — WAND is SCORE-EXACT, so the tiered output is
+    * bitwise unchanged (q222 gates through it; RetrievalSpec pins the
+    * parity) while the fallback tier inherits the pruning: the
+    * routed queries are exactly the rare-term ones whose hot posting
+    * lists the unpruned pass would otherwise scan in full.
     */
   def bm25TopKTiered(champTf: DataFrame, tf: DataFrame,
                      dfTab: DataFrame, stats: DataFrame,
                      queries: DataFrame, qidCol: String, qtextCol: String,
                      k: Int, k1: Double = 1.2, b: Double = 0.75,
-                     bitExact: Boolean = true): DataFrame = {
+                     bitExact: Boolean = true,
+                     hotDf: Option[Long] = None,
+                     forward: Option[DataFrame] = None,
+                     impact: Option[DataFrame] = None): DataFrame = {
     require(k > 0, s"k > 0: $k")
     // result-sized and consumed 2× (fill count + output semi-join)
     val tier1 = bm25TopK(
@@ -1921,11 +1932,15 @@ object Retrieval {
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") === k)
       .select("queryId")
-    val tier2 = bm25TopK(
-      bm25ScoresPrecomputed(tf, dfTab, stats,
-        queries.join(filled.select(col("queryId").as(qidCol)),
-          Seq(qidCol), "left_anti"),
-        qidCol, qtextCol, k1, b, bitExact), k)
+    val routed = queries.join(filled.select(col("queryId").as(qidCol)),
+      Seq(qidCol), "left_anti")
+    val tier2 = hotDf match {
+      case Some(cut) => bm25TopKWand(tf, routed, qidCol, qtextCol,
+        k, cut, k1, b, bitExact, forward, Some((dfTab, stats)), impact)
+      case None => bm25TopK(
+        bm25ScoresPrecomputed(tf, dfTab, stats, routed,
+          qidCol, qtextCol, k1, b, bitExact), k)
+    }
     tier1.join(filled, Seq("queryId"), "left_semi")
       .select(col("queryId"), col("docId"), col("score"), col("rank"),
         lit(1L).as("tier"))

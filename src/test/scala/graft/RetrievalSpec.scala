@@ -753,6 +753,39 @@ class RetrievalSpec extends SparkSpec {
     assert(byQ(1L).map(t => (t._1, t._2, t._3, t._4)).toSet === champProbe)
   }
 
+  test("tiered retrieval is bitwise unchanged under a WAND tier 2") {
+    // WAND is score-exact, so routing the residual batch through it
+    // (any hotDf, with or without impact metadata) must leave the
+    // tiered output identical — rows, scores, ranks, tier labels
+    val rnd = new scala.util.Random(225)
+    val c = (1L to 80L).map { id =>
+      id -> Seq.fill(6 + rnd.nextInt(6))(
+        s"tok${40 / (rnd.nextInt(40) + 1)}").mkString(" ")
+    }.toDF("doc_id", "text")
+    val qs = (200L to 207L).map { id =>
+      id -> (Seq.fill(1)(s"tok${40 / (rnd.nextInt(40) + 1)}") ++
+        Seq.fill(1)(s"tok${13 + rnd.nextInt(28)}")).mkString(" ")
+    }.toDF("query_id", "text")
+    val (tf, dfT, st) = indexTriple(c)
+    val champ = Retrieval.championPostings(tf, m = 2).localCheckpoint()
+    val imp = Retrieval.impactStats(tf).localCheckpoint()
+    def rows(d: DataFrame): Set[(Long, Long, Double, Int, Long)] =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3), r.getLong(4))).toSet
+    val plain = rows(Retrieval.bm25TopKTiered(champ, tf, dfT, st, qs,
+      "query_id", "text", k = 4))
+    // the fixture must actually route somewhere for the pin to bite
+    assert(plain.exists(_._5 == 2L), "no query routed to tier 2")
+    for (hotDf <- Seq(0L, 3L, 10L, 1000L)) {
+      assert(rows(Retrieval.bm25TopKTiered(champ, tf, dfT, st, qs,
+        "query_id", "text", k = 4, hotDf = Some(hotDf))) === plain,
+        s"hotDf=$hotDf")
+      assert(rows(Retrieval.bm25TopKTiered(champ, tf, dfT, st, qs,
+        "query_id", "text", k = 4, hotDf = Some(hotDf),
+        impact = Some(imp))) === plain, s"impact hotDf=$hotDf")
+    }
+  }
+
   test("LTR features carry the standalone scorers bitwise") {
     val rnd = new scala.util.Random(219)
     val c = (1L to 60L).map { id =>
