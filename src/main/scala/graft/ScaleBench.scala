@@ -251,6 +251,8 @@ object ScaleBench {
         "bm25_tiered_lowfill_10x", "bm25_tiered_lowfill_wand_10x",
         "bm25_compact_index_10x",
         "bm25_rebuild_index_10x", "bm25_compact_deleted_10x",
+        "champ_compact_10x", "champ_rebuild_10x",
+        "champ_compact_deleted_10x", "champ_rebuild_survivors_10x",
         "bm25_rebuild_survivors_10x", "phrase_matches_10x",
         "proximity_matches_10x", "bm25_phrase_topk_10x",
         "pos_compact_index_10x", "pos_rebuild_index_10x",
@@ -477,6 +479,48 @@ object ScaleBench {
           graft.operators.Retrieval.dfTable(tf)
             .write.format("noop").mode("overwrite").save()
           graft.operators.Retrieval.corpusStats(tf)
+            .write.format("noop").mode("overwrite").save()
+        }
+        // champion-tier maintenance (q225's gate): a 10k-doc batch
+        // max-merges into the persisted m = 50 champion table (batch
+        // champion pass + a <= 2m-rows-per-word re-rank) vs
+        // re-windowing the full 60k-doc posting volume; the deletion
+        // arm recomputes only the affected terms' lists from the
+        // posting table vs the survivor re-window — a TARGETED 100-doc
+        // delete (the affected-term path's shape; a mass delete
+        // touching every term's list is a rebuild by definition and
+        // should be run as one). CAVEAT on reading the deletion pair:
+        // this fixture's ~280-type vocabulary makes every delete a
+        // mass delete (100 docs × ~60 types cover most lists), so the
+        // affected-term recompute degenerates to rebuild + overhead
+        // here; its win is |affected| << |vocab| — a real corpus's
+        // million-type vocabulary, where the survivor re-window is a
+        // full posting pass and the recompute touches only the
+        // deleted docs' terms. The APPEND pair is shape-independent
+        time(s"champ_compact_10x $round") {
+          graft.operators.Retrieval.compactChampionPostings(
+            spark.table("sb_bm25_champ"),
+            graft.operators.Retrieval.termFrequencies(
+              zipfDocs(50000, 60000, 100), "doc_id", "text"), m = 50)
+            .write.format("noop").mode("overwrite").save()
+        }
+        time(s"champ_rebuild_10x $round") {
+          graft.operators.Retrieval.championPostings(
+            graft.operators.Retrieval.termFrequencies(
+              zipfDocs(0, 60000, 100), "doc_id", "text"), m = 50)
+            .write.format("noop").mode("overwrite").save()
+        }
+        time(s"champ_compact_deleted_10x $round") {
+          graft.operators.Retrieval.compactChampionPostingsDeleted(
+            spark.table("sb_bm25_champ"), spark.table("sb_bm25_tf"),
+            spark.range(50000).filter(col("id") % 499 === 0)
+              .select(col("id").as("docId")).localCheckpoint(), m = 50)
+            .write.format("noop").mode("overwrite").save()
+        }
+        time(s"champ_rebuild_survivors_10x $round") {
+          graft.operators.Retrieval.championPostings(
+            spark.table("sb_bm25_tf")
+              .filter(col("docId") % 499 =!= 0), m = 50)
             .write.format("noop").mode("overwrite").save()
         }
         // the deletion mirror (q186's gate): take every 7th doc OUT of

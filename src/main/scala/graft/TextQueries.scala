@@ -657,6 +657,47 @@ private[graft] object TextQueries {
           col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
     }),
+    // champion-list MAINTENANCE (the q183/q186 pattern for the one
+    // layout that was rebuild-only): base champion tier (m = 3), the
+    // src0 batch appended through the max-merge, then doc_id % 11
+    // deleted through the affected-term recompute — probe scores
+    // through the twice-compacted layout must equal the replay over a
+    // champion tier REBUILT from the survivor corpus (the oracle
+    // never sees a merge or a delete). A refill miss (deleted member
+    // not replaced from outside the pruned layout), an unaffected
+    // list touched, or a leaked deleted row all shift the kept set
+    "q225_champion_compact" -> ((s, dir) => {
+      import graft.operators.Retrieval
+      val docs = t(s, dir, "documents")
+      val tf0 = Retrieval.termFrequencies(
+        docs.filter(col("source") =!= "src0"), "doc_id", "text")
+        .localCheckpoint()
+      val batchTf = Retrieval.termFrequencies(
+        docs.filter(col("source") === "src0"), "doc_id", "text")
+        .localCheckpoint()
+      val (tfM, dfM, stM) = Retrieval.compactTermIndex(tf0,
+        Retrieval.dfTable(tf0), Retrieval.corpusStats(tf0), batchTf)
+      val champM = Retrieval.compactChampionPostings(
+        Retrieval.championPostings(tf0, m = 3).localCheckpoint(),
+        batchTf, m = 3).localCheckpoint()
+      val delIds = docs.filter(col("doc_id") % 11 === 0)
+        .select(col("doc_id").as("docId")).localCheckpoint()
+      val tfMck = tfM.localCheckpoint() // consumed 5x (triple + champ)
+      val (_, dfD, stD) = Retrieval.compactTermIndexDeleted(tfMck,
+        dfM.localCheckpoint(), stM.localCheckpoint(), delIds)
+      val champD = Retrieval.compactChampionPostingsDeleted(champM,
+        tfMck, delIds, m = 3)
+      val qs = docs.where(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("query_id"),
+          substring(col("text"), 1, 40).as("text"))
+      Retrieval.bm25TopK(
+        Retrieval.bm25ScoresPrecomputed(champD, dfD, stD,
+          qs, "query_id", "text"), 5)
+        .select(col("queryId").as("query_id"), col("docId").as("doc_id"),
+          round(col("score"), 6).as("score"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
     // Exact phrase containment over the positional posting layout:
     // each query phrase is words 2..4 of its own doc (self-match
     // guaranteed; the fixture's flat vocabulary guarantees
@@ -4476,6 +4517,44 @@ private[graft] object TextQueries {
          |SELECT query_id, doc_id, round(score, 6) AS score,
          |  CAST(rank AS BIGINT) AS rank
          |FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // THE SURVIVOR REBUILD for the champion tier: the corpus CTE
+    // simply excludes the deleted ids — no merge, no affected-term
+    // recompute anywhere in the oracle — then q222's champion CTE at
+    // m = 3 and the probe; the twice-compacted layout must be
+    // indistinguishable from it
+    "q225_champion_compact" ->
+      s"""WITH ${bm25Cte("doc_id % 11 <> 0", "doc_id % 97 = 0",
+             "substr(text, 1, 40)")},
+         |champ AS (
+         |  SELECT doc_id, word, tf FROM (
+         |    SELECT t.doc_id, t.word, t.tf,
+         |      row_number() OVER (PARTITION BY t.word
+         |        ORDER BY t.tf DESC, l.dl ASC, t.doc_id ASC) AS r
+         |    FROM tfv t JOIN lens l ON l.doc_id = t.doc_id) x
+         |  WHERE r <= 3),
+         |ccon AS (
+         |  SELECT query_id, ch.doc_id, ch.word,
+         |    idf * (CAST(ch.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
+         |      / (CAST(ch.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+         |         (1.0 - CAST(0.75 AS DOUBLE) +
+         |          CAST(0.75 AS DOUBLE) * CAST(l.dl AS DOUBLE) / avgdl))
+         |      AS cc
+         |  FROM champ ch JOIN enriched e ON e.word = ch.word
+         |  JOIN lens l ON l.doc_id = ch.doc_id),
+         |csc AS (
+         |  SELECT query_id, doc_id,
+         |    list_reduce(list(cc ORDER BY word), (a, x) -> a + x) AS score
+         |  FROM ccon GROUP BY 1, 2)
+         |SELECT query_id, doc_id, round(score, 6) AS score,
+         |  CAST(rank AS BIGINT) AS rank
+         |FROM (
+         |  SELECT query_id, doc_id, score,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id) AS rank
+         |  FROM csc) z
+         |WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
 
     // both component rankings replayed in full — the BM25 chain and the

@@ -1881,6 +1881,63 @@ object Retrieval {
       .drop("__r")
   }
 
+  /** Append-side champion-list compaction — merge a micro-batch into
+    * a persisted [[championPostings]] layout WITHOUT re-reading the
+    * full posting table (closing the one persisted layout that was
+    * rebuild-only; tf triple: [[compactTermIndex]], positional:
+    * [[compactPositionalIndex]], impact: [[compactImpactStats]]).
+    * Row-identical to `championPostings(tf ∪ batchTf, m)` under the
+    * disjoint-docId ingest contract (RetrievalSpec pins the parity;
+    * q225 gates probe scores through a compacted layout against the
+    * full-rebuild replay), because top-m is MAX-MERGEABLE: the top-m
+    * of a union is contained in the union of the per-side top-m's —
+    * any doc outside both side's lists is beaten by ≥ m docs on its
+    * own side, which all survive into the union. So the merge is the
+    * batch's own champion pass (batch-sized) plus one re-rank window
+    * over ≤ 2m rows per word — vocabulary-bounded work, never a
+    * full-index pass. The ranking key `(tf desc, dl asc, docId asc)`
+    * is total, so the kept set is deterministic on both paths.
+    */
+  def compactChampionPostings(champ: DataFrame, batchTf: DataFrame,
+                              m: Int): DataFrame =
+    championPostings(champ.unionByName(championPostings(batchTf, m)), m)
+
+  /** Deletion-side champion-list compaction — remove docs from a
+    * persisted [[championPostings]] layout without a full rebuild.
+    * Unlike the subtractive df delta, a champion list losing a member
+    * may need refilling from postings that were OUTSIDE the pruned
+    * layout, so deletion recomputes EXACTLY the affected terms:
+    * words with a deleted doc in their champion list re-rank from the
+    * (surviving) posting table; every other word's list is untouched
+    * — and provably rebuild-identical, since deleting docs that never
+    * made a top-m cannot change that top-m. Row-identical to
+    * `championPostings(survivors, m)` (RetrievalSpec pins it; q225's
+    * gate routes probes through an append + delete chain).
+    *
+    * `tf` is the posting table — pre- or post-delete both work (the
+    * delete ids anti-join away in-plan, so passing the already-
+    * compacted survivor tf from [[compactTermIndexDeleted]] is a
+    * no-op filter). Scale shape: the affected-term set is one
+    * semi-join of the (m-bounded) champion table against the id set;
+    * the recompute reads only the affected terms' postings
+    * (bucket-local under the word-bucketed layout) and re-ranks
+    * those — deleted-list-sized work, not corpus-sized. `deleteIds`
+    * is consumed 3× (affected scan, champion anti-join, tf
+    * anti-join) — id-width, materialize at lazy call sites.
+    */
+  def compactChampionPostingsDeleted(champ: DataFrame, tf: DataFrame,
+                                     deleteIds: DataFrame,
+                                     m: Int): DataFrame = {
+    val del = deleteIds.select(col("docId"))
+    val affected = champ.join(del, Seq("docId"), "left_semi")
+      .select("word").distinct()
+    val untouched = champ.join(affected, Seq("word"), "left_anti")
+    val recomputed = championPostings(
+      tf.join(affected, Seq("word"), "left_semi")
+        .join(del, Seq("docId"), "left_anti"), m)
+    untouched.unionByName(recomputed)
+  }
+
   /** TIERED retrieval — the production composition over
     * [[championPostings]]: serve every query from the champion tier,
     * and route the queries whose tier-1 result UNDER-FILLS (< k rows —

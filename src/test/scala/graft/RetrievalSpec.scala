@@ -529,6 +529,48 @@ class RetrievalSpec extends SparkSpec {
     assert(rows(merged) === rows(rebuilt))
   }
 
+  test("compacted champion lists equal the rebuild after append+delete") {
+    // randomized parity at several m: append a batch through the
+    // max-merge, delete ids through the affected-term recompute, and
+    // the result must be ROW-identical to championPostings over the
+    // survivor corpus — including the refill case (a deleted champion
+    // member replaced by a posting that was outside the pruned layout)
+    val rnd = new scala.util.Random(226)
+    def randDocs(ids: Range): Seq[(Long, String)] = ids.map { id =>
+      id.toLong -> Seq.fill(4 + rnd.nextInt(6))(
+        s"tok${12 / (rnd.nextInt(12) + 1)}").mkString(" ")
+    }
+    val base = randDocs(1 to 40)
+    val batch = randDocs(41 to 60)
+    val dels = Seq(2L, 5L, 44L, 57L, 999L) // 999 absent: no-op
+    def tfOf(rows: Seq[(Long, String)]): DataFrame =
+      Retrieval.termFrequencies(rows.toDF("doc_id", "text"),
+        "doc_id", "text").localCheckpoint()
+    def rows(d: DataFrame): Set[(Long, Long, String, Long)] =
+      d.select(col("docId"), col("dl"), col("word"), col("tf"))
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+        .toSet
+    val tfBase = tfOf(base)
+    val tfBatch = tfOf(batch)
+    val tfAll = tfOf(base ++ batch)
+    val survivors = (base ++ batch).filterNot(d => dels.contains(d._1))
+    for (m <- Seq(1, 3, 7)) {
+      val appended = Retrieval.compactChampionPostings(
+        Retrieval.championPostings(tfBase, m).localCheckpoint(),
+        tfBatch, m).localCheckpoint()
+      assert(rows(appended) === rows(Retrieval.championPostings(tfAll, m)),
+        s"append m=$m")
+      // deletion from the appended layout, passing the PRE-delete tf
+      // (the in-plan anti-join makes pre/post equivalent)
+      val deleted = Retrieval.compactChampionPostingsDeleted(appended,
+        tfAll, dels.toDF("docId").localCheckpoint(), m)
+      assert(rows(deleted) ===
+        rows(Retrieval.championPostings(tfOf(survivors), m)),
+        s"delete m=$m")
+    }
+  }
+
   test("QL WAND equals the unpruned QL top-k bitwise at every hotDf") {
     // the q182 sweep for the SECOND scorer: everything-hot (pure
     // fallback) through mixed to everything-rare (pure candidate

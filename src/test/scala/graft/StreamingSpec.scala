@@ -1050,6 +1050,85 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("champion tier ingest: per-batch max-merges + a deletion match " +
+    "the rebuild and keep tiered serving exact") {
+    // the LAST persisted retrieval layout through the foreachBatch
+    // convention: the champion table compacts per micro-batch via
+    // compactChampionPostings beside the (tf, df, stats) triple;
+    // after N batches the carried table must equal a from-scratch
+    // championPostings rebuild ROW FOR ROW, a post-hoc deletion must
+    // equal the survivor rebuild, and a tiered probe through the
+    // carried state must equal one through the rebuilds
+    import graft.operators.Retrieval
+    val m = 2
+    val d0 = Seq((1L, "apple banana apple cherry"),
+      (2L, "banana cherry date")).toDF("doc_id", "text")
+    val tf0 = Retrieval.termFrequencies(d0, "doc_id", "text")
+      .localCheckpoint()
+    @volatile var triple = (tf0,
+      Retrieval.dfTable(tf0).localCheckpoint(),
+      Retrieval.corpusStats(tf0).localCheckpoint())
+    @volatile var champ = Retrieval.championPostings(tf0, m)
+      .localCheckpoint()
+    val arrived = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val input = MemoryStream[(Long, String)](spark)
+    val q = input.toDF()
+      .select(col("_1").as("doc_id"), col("_2").as("text"))
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val batchTf = Retrieval
+          .termFrequencies(b, "doc_id", "text").localCheckpoint()
+        arrived.synchronized {
+          arrived ++= b.as[(Long, String)].collect() }
+        val (tfM, dfM, stM) = Retrieval.compactTermIndex(
+          triple._1, triple._2, triple._3, batchTf)
+        triple = (tfM.localCheckpoint(), dfM.localCheckpoint(),
+          stM.localCheckpoint())
+        champ = Retrieval.compactChampionPostings(champ, batchTf, m)
+          .localCheckpoint()
+        ()
+      }.start()
+    try {
+      input.addData((11L, "cherry date banana cherry apple apple"),
+        (12L, "elder apple banana"))
+      q.processAllAvailable()
+      input.addData((13L, "banana cherry fig"))
+      q.processAllAvailable()
+      val all = d0.unionByName(
+        arrived.synchronized(arrived.toSeq).toDF("doc_id", "text"))
+        .localCheckpoint()
+      val tfAll = Retrieval.termFrequencies(all, "doc_id", "text")
+        .localCheckpoint()
+      def rows(d: org.apache.spark.sql.DataFrame) =
+        d.select(col("docId"), col("dl"), col("word"), col("tf"))
+          .collect().map(r =>
+            (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+          .toSet
+      assert(rows(champ) === rows(Retrieval.championPostings(tfAll, m)))
+      val qs = Seq((100L, "apple banana"), (101L, "fig"))
+        .toDF("query_id", "text")
+      def tiered(ch: org.apache.spark.sql.DataFrame,
+                 tf: org.apache.spark.sql.DataFrame,
+                 dfT: org.apache.spark.sql.DataFrame,
+                 st: org.apache.spark.sql.DataFrame) =
+        Retrieval.bm25TopKTiered(ch, tf, dfT, st, qs,
+          "query_id", "text", k = 3).collect()
+          .map(r => (r.getLong(0), r.getLong(1)) ->
+            (r.getDouble(2), r.getInt(3), r.getLong(4))).toMap
+      assert(tiered(champ, triple._1, triple._2, triple._3) ===
+        tiered(Retrieval.championPostings(tfAll, m), tfAll,
+          Retrieval.dfTable(tfAll), Retrieval.corpusStats(tfAll)))
+      // deletion parity: compact doc 11 out == survivor rebuild
+      val del = Seq(11L).toDF("docId").localCheckpoint()
+      val champD = Retrieval.compactChampionPostingsDeleted(champ,
+        triple._1, del, m)
+      val surv = all.filter(col("doc_id") =!= 11L).localCheckpoint()
+      val tfS = Retrieval.termFrequencies(surv, "doc_id", "text")
+        .localCheckpoint()
+      assert(rows(champD) === rows(Retrieval.championPostings(tfS, m)))
+    } finally q.stop()
+  }
+
   test("streaming queries score against the static index like batch") {
     // the SERVING side of the retrieval story (the ingest loop covers
     // the index side): queries arrive as a stream, each micro-batch
