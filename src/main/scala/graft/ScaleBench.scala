@@ -260,6 +260,7 @@ object ScaleBench {
         "ql_dirichlet_topk_10x", "ql_wand_impact_10x",
         "snippet_windows_10x",
         "bm25_conjunctive_topk_10x", "bm25_fuzzy_topk_10x",
+        "bm25_fuzzy_ed2_topk_10x",
         "bm25f_topk_10x", "passage_maxp_topk_10x",
         "rm3_rescore_10x", "rm3_rescore_wand_10x",
         "rm3_rescore_wand_impact_10x",
@@ -453,6 +454,31 @@ object ScaleBench {
                   .as("text")),
             "query_id", "text", k = 5, bitExact = false,
             vocabVariants = Some(spark.table("sb_bm25_var")))
+            .count())
+        }
+        // the ed-2 layout price + probe (q226/q227's gates): the
+        // delete-<=2 neighborhood is ~len²/2 variants per word vs
+        // ed-1's ~len — the arm prints both tables' row counts (the
+        // documented size/recall trade) and runs the same typo batch
+        // with "xy"-suffixed misspellings only ed 2 can correct
+        time(s"bm25_fuzzy_ed2_topk_10x $round") {
+          val var1 = spark.table("sb_bm25_var").count()
+          val var2 = graft.operators.Fuzzy.deletionVariants(
+            spark.table("sb_bm25_df"), maxEdit = 2)
+            .localCheckpoint()
+          println(s"  var_rows_ed1=$var1 var_rows_ed2=${var2.count()}")
+          println("  topk_rows=" + graft.operators.Fuzzy.bm25TopKFuzzy(
+            spark.table("sb_bm25_tf"), spark.table("sb_bm25_df"),
+            spark.table("sb_bm25_stats"),
+            spark.range(50000).filter(col("id") % 499 === 0)
+              .select(col("id").as("query_id"),
+                concat_ws(" ",
+                  (0 to 3).map(j => zipfTok(lit(j), 20000)) ++
+                    (4 to 5).map(j =>
+                      concat(zipfTok(lit(j), 140), lit("xy"))): _*)
+                  .as("text")),
+            "query_id", "text", k = 5, bitExact = false,
+            vocabVariants = Some(var2), maxEdit = 2)
             .count())
         }
         // fold a 10k-doc micro-batch into the persisted 50k index

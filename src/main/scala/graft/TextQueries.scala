@@ -1231,6 +1231,65 @@ private[graft] object TextQueries {
           col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
     }),
+    // edit-distance-2 fuzzy matching (the q208 gate one level deeper):
+    // the misspelling drops the 2nd AND 4th chars — two deletions —
+    // and the delete-<=2 neighborhood join must find every vocabulary
+    // word within ed 2, ranked (dist, df desc, word). The oracle is
+    // the brute-force query x vocabulary levenshtein cross-join at
+    // dist <= 2 — two independent formulations of the same semantics
+    "q226_fuzzy_match_ed2" -> ((s, dir) => {
+      import graft.operators.{Fuzzy, Retrieval}
+      val docs = t(s, dir, "documents")
+      val tf = Retrieval.termFrequencies(docs, "doc_id", "text")
+        .localCheckpoint() // see q179
+      val vocab = Retrieval.dfTable(tf).localCheckpoint()
+      val qs = docs.where(col("doc_id") % 17 === 0)
+        .select(col("doc_id").as("queryId"),
+          concat_ws("",
+            slice(TextFunctions.normalizedWords(col("text")), 3, 1))
+            .as("__w"))
+        .filter(length(col("__w")) >= 5)
+        .select(col("queryId"),
+          concat(col("__w").substr(lit(1), lit(1)),
+            col("__w").substr(lit(3), lit(1)),
+            col("__w").substr(lit(5), length(col("__w")))).as("word"))
+      Fuzzy.fuzzyMatchTerms(vocab, qs, maxEdit = 2)
+        .select(col("queryId").as("query_id"), col("word"), col("match"),
+          col("df"), col("dist"), col("rank"))
+        .orderBy("query_id", "word", "rank")
+    }),
+    // ...and typo-tolerant retrieval at ed 2: the first query word is
+    // DOUBLY misspelled (chars 2 and 4 dropped), so ed-1 correction
+    // cannot reach the original — the ed-2 neighborhood restores it
+    // (or a closer/hotter neighbor, per the dist-then-df ranking).
+    // The oracle replays the OOV split, the brute-force best match at
+    // dist <= 2, the deduped union, and the scoring tree
+    "q227_bm25_fuzzy_ed2_topk" -> ((s, dir) => {
+      import graft.operators.{Fuzzy, Retrieval}
+      val docs = t(s, dir, "documents")
+      val tf = Retrieval.termFrequencies(docs, "doc_id", "text")
+        .localCheckpoint() // see q179
+      val dfT = Retrieval.dfTable(tf).localCheckpoint()
+      val st = Retrieval.corpusStats(tf).localCheckpoint()
+      val ws = TextFunctions.normalizedWords(col("text"))
+      val qs = docs.where(col("doc_id") % 17 === 0)
+        .select(col("doc_id").as("query_id"),
+          concat_ws("", slice(ws, 2, 1)).as("__w2"),
+          concat_ws("", slice(ws, 3, 1)).as("__w3"),
+          concat_ws("", slice(ws, 4, 1)).as("__w4"))
+        .filter(length(col("__w2")) >= 5 && length(col("__w4")) > 0)
+        .select(col("query_id"), concat_ws(" ",
+          concat(col("__w2").substr(lit(1), lit(1)),
+            col("__w2").substr(lit(3), lit(1)),
+            col("__w2").substr(lit(5), length(col("__w2")))),
+          col("__w3"), col("__w4")).as("text"))
+      Fuzzy.bm25TopKFuzzy(tf, dfT, st, qs, "query_id", "text", k = 5,
+        maxEdit = 2)
+        .select(col("queryId").as("query_id"), col("docId").as("doc_id"),
+          round(col("score"), 6).as("score"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
     // faceted search: each query's FULL match set (every doc sharing
     // a term — bscores' row set, not a top-k) distributed over the
     // source column, top-3 facet values by matched-doc count. The
@@ -3585,6 +3644,112 @@ private[graft] object TextQueries {
          |    SELECT query_id, word, cw,
          |      row_number() OVER (PARTITION BY query_id, word
          |        ORDER BY df DESC, cw) AS r
+         |    FROM fcand) x WHERE r = 1),
+         |cq AS (
+         |  SELECT DISTINCT query_id, word FROM (
+         |    SELECT query_id, word FROM inv
+         |    UNION ALL
+         |    SELECT query_id, word FROM fbest)),
+         |cenr AS (
+         |  SELECT query_id, word, avgdl,
+         |    ln(1.0 + (n_docs - CAST(df AS DOUBLE) + 0.5)
+         |             / (CAST(df AS DOUBLE) + 0.5)) AS idf
+         |  FROM cq JOIN dft USING (word) CROSS JOIN stats),
+         |ccon AS (
+         |  SELECT query_id, t.doc_id, t.word,
+         |    idf * (CAST(t.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
+         |      / (CAST(t.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+         |         (1.0 - CAST(0.75 AS DOUBLE) +
+         |          CAST(0.75 AS DOUBLE) * CAST(l.dl AS DOUBLE) / avgdl))
+         |      AS c
+         |  FROM tfv t JOIN cenr e ON e.word = t.word
+         |  JOIN lens l ON l.doc_id = t.doc_id),
+         |csc AS (
+         |  SELECT query_id, doc_id,
+         |    list_reduce(list(c ORDER BY word), (a, x) -> a + x) AS score
+         |  FROM ccon GROUP BY 1, 2)
+         |SELECT query_id, doc_id, round(score, 6) AS score,
+         |  CAST(rank AS BIGINT) AS rank
+         |FROM (
+         |  SELECT query_id, doc_id, score,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id) AS rank
+         |  FROM csc) z
+         |WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // q208's brute force one level deeper: levenshtein <= 2 over the
+    // full query x vocabulary cross product, ranked (dist, df desc,
+    // word) — the neighborhood join's completeness claim at d = 2
+    "q226_fuzzy_match_ed2" ->
+      s"""WITH $LiveWordsCte,
+         |vocab AS (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS df
+         |  FROM (SELECT DISTINCT doc_id, word
+         |        FROM (SELECT doc_id, unnest(w) AS word FROM ws))
+         |  GROUP BY 1),
+         |qterms AS (
+         |  SELECT doc_id AS query_id,
+         |    substr(w[3], 1, 1) || substr(w[3], 3, 1) || substr(w[3], 5)
+         |      AS word
+         |  FROM ws
+         |  WHERE doc_id % 17 = 0 AND len(w) >= 3
+         |    AND length(w[3]) >= 5),
+         |cand AS (
+         |  SELECT q.query_id, q.word, v.word AS match, v.df,
+         |    CAST(levenshtein(q.word, v.word) AS BIGINT) AS dist
+         |  FROM qterms q, vocab v
+         |  WHERE levenshtein(q.word, v.word) <= 2),
+         |ranked AS (
+         |  SELECT query_id, word, match, df, dist,
+         |    row_number() OVER (PARTITION BY query_id, word
+         |      ORDER BY dist, df DESC, match) AS r
+         |  FROM cand)
+         |SELECT query_id, word, match, df, dist, CAST(r AS BIGINT) AS rank
+         |FROM ranked ORDER BY query_id, word, rank""".stripMargin,
+
+    // q209's replay at dist <= 2: the best correction now carries a
+    // REAL dist key (an ed-1 neighbor beats an ed-2 one before df
+    // breaks ties), everything else identical
+    "q227_bm25_fuzzy_ed2_topk" ->
+      s"""WITH $LiveWordsCte,
+         |tfv AS (
+         |  SELECT doc_id, word, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(w) AS word FROM ws)
+         |  GROUP BY 1, 2),
+         |lens AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM ws),
+         |stats AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+         |  FROM lens),
+         |dft AS (SELECT word, count(*) AS df FROM tfv GROUP BY 1),
+         |qraw AS (
+         |  SELECT doc_id AS query_id,
+         |    substr(w[2], 1, 1) || substr(w[2], 3, 1) || substr(w[2], 5)
+         |      AS m2,
+         |    w[3] AS m3, w[4] AS m4
+         |  FROM ws
+         |  WHERE doc_id % 17 = 0 AND len(w) >= 4
+         |    AND length(w[2]) >= 5),
+         |qterms AS (
+         |  SELECT DISTINCT query_id, word FROM (
+         |    SELECT query_id, unnest([m2, m3, m4]) AS word FROM qraw)),
+         |oov AS (
+         |  SELECT query_id, word FROM qterms
+         |  WHERE word NOT IN (SELECT word FROM dft)),
+         |inv AS (
+         |  SELECT query_id, word FROM qterms
+         |  WHERE word IN (SELECT word FROM dft)),
+         |fcand AS (
+         |  SELECT o.query_id, o.word, d.word AS cw, d.df,
+         |    levenshtein(o.word, d.word) AS dist
+         |  FROM oov o, dft d
+         |  WHERE levenshtein(o.word, d.word) <= 2),
+         |fbest AS (
+         |  SELECT query_id, cw AS word FROM (
+         |    SELECT query_id, word, cw,
+         |      row_number() OVER (PARTITION BY query_id, word
+         |        ORDER BY dist, df DESC, cw) AS r
          |    FROM fcand) x WHERE r = 1),
          |cq AS (
          |  SELECT DISTINCT query_id, word FROM (

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -34,24 +34,44 @@ import org.apache.spark.sql.expressions.Window
   */
 object Fuzzy {
 
-  /** The `(word, variant)` deletion neighborhood at edit distance 1:
-    * each word paired with itself and with every single-character
-    * deletion of itself (distinct — repeated characters collapse).
-    * Build it over an index vocabulary once and persist
+  /** The `(word, variant)` deletion neighborhood at edit distance
+    * `maxEdit`: each word paired with itself and with every string
+    * reachable by deleting up to `maxEdit` characters (distinct —
+    * repeated characters collapse). The SymSpell argument generalizes
+    * beyond 1: if `ed(x, y) ≤ d` then aligning the two edit scripts
+    * yields deletions `dx, dy ≤ d` with `delete(x, dx) = delete(y,
+    * dy)` (each substitution deletes one char from BOTH sides, each
+    * insertion/deletion from one), so the ≤ d neighborhoods of two
+    * within-distance-d words always intersect — completeness; longer
+    * deletes introduce false positives, which the levenshtein verify
+    * removes. Build it over an index vocabulary once and persist
     * `bucketBy(variant)`; build it over a query batch's terms per
     * probe (query-batch-sized). Length-1 words contribute the empty
     * variant — that is correct, not an artifact: it is exactly how
     * two length-1 words meet (any pair of single characters is one
     * substitution apart).
+    *
+    * Size/recall trade, priced by the `fuzzy_variants_ed2` ScaleBench
+    * row: level d adds C(len, d) variants per word — ed 1 is ~len+1
+    * rows (≈ 7× a typical vocabulary), ed 2 ~len²/2 (≈ 25×). The
+    * levels nest, so a layout built at `maxEdit = 2` serves ed-1
+    * probes too (the probe filters `dist ≤ 1` after the verify);
+    * capped at 3 — beyond that the blow-up outruns any probe saving.
     */
-  def deletionVariants(words: DataFrame): DataFrame =
+  def deletionVariants(words: DataFrame, maxEdit: Int = 1): DataFrame = {
+    require(maxEdit >= 1 && maxEdit <= 3, s"maxEdit in [1,3]: $maxEdit")
+    def del1(w: Column): Column =
+      transform(sequence(lit(1), length(w)),
+        i => concat(w.substr(lit(1), i - lit(1)),
+          w.substr(i + lit(1), length(w))))
+    val levels = Iterator.iterate(array(col("word")))(prev =>
+      array_distinct(flatten(transform(prev, del1(_)))))
+      .take(maxEdit + 1).toSeq
     words.select(col("word"))
-      .select(col("word"), explode(concat(array(col("word")),
-        transform(sequence(lit(1), length(col("word"))),
-          i => concat(col("word").substr(lit(1), i - lit(1)),
-            col("word").substr(i + lit(1), length(col("word")))))))
-        .as("variant"))
+      .select(col("word"),
+        explode(array_distinct(concat(levels: _*))).as("variant"))
       .distinct()
+  }
 
   /** Fuzzy vocabulary match of a `(queryId, word)` term table against
     * a `(word, df)` vocabulary ([[Retrieval.dfTable]]'s layout):
@@ -63,20 +83,30 @@ object Fuzzy {
     * Terms with no neighbor are absent. The ranking depends only on
     * the term's spelling, so it is computed once per DISTINCT term
     * and re-attached to query ids.
+    *
+    * `maxEdit` widens the neighborhood (ed ≤ 2 covers the ~20-30% of
+    * real typo traffic that single-edit matching misses; q226 gates
+    * it against the brute-force ed-2 replay). A passed-in
+    * `vocabVariants` layout must have been built at a `maxEdit` AT
+    * LEAST this probe's — a shallower layout silently loses recall
+    * (the intersection proof needs both sides at depth d), which is
+    * why the persisted-layout convention is to build at the deepest
+    * edit distance served.
     */
   def fuzzyMatchTerms(vocab: DataFrame, terms: DataFrame,
-                      vocabVariants: Option[DataFrame] = None)
+                      vocabVariants: Option[DataFrame] = None,
+                      maxEdit: Int = 1)
       : DataFrame = {
     // the ingest layout: deletionVariants(vocab) persisted
     // bucketBy(variant) — without it the vocabulary explodes per probe
-    val vv = vocabVariants.getOrElse(deletionVariants(vocab))
+    val vv = vocabVariants.getOrElse(deletionVariants(vocab, maxEdit))
       .withColumnRenamed("word", "match")
-    val qv = deletionVariants(terms.select("word").distinct())
+    val qv = deletionVariants(terms.select("word").distinct(), maxEdit)
     val cand = qv.join(vv, Seq("variant"))
       .select(col("word"), col("match")).distinct()
       .withColumn("dist",
         levenshtein(col("word"), col("match")).cast("long"))
-      .filter(col("dist") <= 1)
+      .filter(col("dist") <= maxEdit)
     val w = Window.partitionBy(col("word"))
       .orderBy(col("dist").asc, col("df").desc, col("match").asc)
     val ranked = cand
@@ -101,14 +131,15 @@ object Fuzzy {
   def correctedQueryTerms(vocab: DataFrame,
                           queries: DataFrame, qidCol: String,
                           qtextCol: String,
-                          vocabVariants: Option[DataFrame] = None)
+                          vocabVariants: Option[DataFrame] = None,
+                          maxEdit: Int = 1)
       : DataFrame = {
     // query-batch-sized, consumed 2× (in-vocab semi, OOV anti)
     val qt = Retrieval.queryTerms(queries, qidCol, qtextCol)
       .localCheckpoint()
     val inVocab = qt.join(vocab.select("word"), Seq("word"), "left_semi")
     val oov = qt.join(vocab.select("word"), Seq("word"), "left_anti")
-    val best = fuzzyMatchTerms(vocab, oov, vocabVariants)
+    val best = fuzzyMatchTerms(vocab, oov, vocabVariants, maxEdit)
       .filter(col("rank") === 1L)
       .select(col("queryId"), col("match").as("word"))
     inVocab.select("queryId", "word").unionByName(best).distinct()
@@ -174,11 +205,12 @@ object Fuzzy {
                     queries: DataFrame, qidCol: String, qtextCol: String,
                     k: Int, k1: Double = 1.2, b: Double = 0.75,
                     bitExact: Boolean = true,
-                    vocabVariants: Option[DataFrame] = None): DataFrame =
+                    vocabVariants: Option[DataFrame] = None,
+                    maxEdit: Int = 1): DataFrame =
     Retrieval.bm25TopK(
       Retrieval.bm25ScoresWeighted(tf, dfTab, stats,
         correctedQueryTerms(dfTab, queries, qidCol, qtextCol,
-          vocabVariants)
+          vocabVariants, maxEdit)
           .withColumn("weight", lit(1.0)),
         k1, b, bitExact), k)
 }

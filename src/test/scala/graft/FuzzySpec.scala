@@ -56,6 +56,40 @@ class FuzzySpec extends SparkSpec {
         rows.map(_._3).toSeq.sorted, s"rank order broken in $rows")
   }
 
+  test("deletion-neighborhood join equals brute-force levenshtein <= 2") {
+    // the d = 2 completeness claim (each substitution deletes one
+    // char from BOTH sides): transpositions ("ab" vs "ba"), double
+    // substitutions, insert+delete mixes — all must surface through
+    // the delete-<=2 equi-join and rank (dist, df desc, word)
+    val rnd = new scala.util.Random(226)
+    def w(): String =
+      Seq.fill(1 + rnd.nextInt(6))("abcd" (rnd.nextInt(4))).mkString
+    val vocabWords = Seq.fill(120)(w()).distinct
+    val termWords = Seq.fill(40)(w()).distinct
+    val vocab = vocabWords.zipWithIndex
+      .map { case (s, i) => (s, (i % 7 + 1).toLong) }.toDF("word", "df")
+    val terms = termWords.zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("queryId", "word")
+    val got = Fuzzy.fuzzyMatchTerms(vocab, terms, maxEdit = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(4))).toSet
+    val want = (for {
+      (qid, t) <- termWords.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      v <- vocabWords if lev(t, v) <= 2
+    } yield (qid, t, v, lev(t, v).toLong)).toSet
+    assert(got === want)
+    assert(want.exists(_._4 == 2L), "fixture produced no ed-2 pair")
+    // a deeper persisted layout serves a shallower probe: variants
+    // built at 2, probe at maxEdit = 1 — extra vocab variants add
+    // only false positives, which the verify removes
+    val vv2 = Fuzzy.deletionVariants(vocab, maxEdit = 2).localCheckpoint()
+    val got1 = Fuzzy.fuzzyMatchTerms(vocab, terms,
+      vocabVariants = Some(vv2)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(4))).toSet
+    assert(got1 === want.filter(_._4 <= 1L))
+  }
+
   test("length-1 words meet through the empty variant") {
     val vocab = Seq(("a", 3L), ("b", 2L), ("xy", 1L)).toDF("word", "df")
     val terms = Seq((1L, "c")).toDF("queryId", "word")
