@@ -1508,6 +1508,65 @@ private[graft] object TextQueries {
           col("dl"), round(col("sum_idf"), 6).as("sum_idf"))
         .orderBy("query_id", "doc_id")
     }),
+    // LTR model APPLICATION (the loop-closing half of q219): a PINNED
+    // linear model re-scores the feature table in one projection —
+    // score = bias + Σ w_f·x_f left-associated in the model's weight
+    // order — and the re-ranked top-5 replays in SQL off the pinned
+    // (name, weight) list alone. Training (Ltr.ltrTrainPointwise) is
+    // iterative driver-side descent and is spec-gated (LtrSpec trains
+    // on qrels, re-ranks, and measures the IrEval delta); the oracle
+    // gates the application contract every trained model flows through
+    "q228_ltr_rerank" -> ((s, dir) => {
+      import graft.operators.{Ltr, Retrieval}
+      val docs = t(s, dir, "documents")
+      val tf = Retrieval.termFrequencies(docs, "doc_id", "text")
+        .localCheckpoint() // see q179
+      val dfT = Retrieval.dfTable(tf).localCheckpoint()
+      val cfT = Retrieval.cfTable(tf).localCheckpoint()
+      val st = Retrieval.corpusStats(tf).localCheckpoint()
+      val qs = docs.where(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("query_id"),
+          substring(col("text"), 1, 40).as("text"))
+      val feats = Retrieval.ltrFeatures(tf, dfT, cfT, st, qs,
+        "query_id", "text")
+      val m = Ltr.LtrModel(Seq("bm25" -> 0.6, "ql" -> 0.05,
+        "n_matched" -> 0.3, "coverage" -> 1.5, "dl" -> -0.01,
+        "sum_idf" -> 0.2), 0.1)
+      Ltr.ltrRerank(feats, m, 5)
+        .select(col("queryId").as("query_id"), col("docId").as("doc_id"),
+          round(col("score"), 6).as("score"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+    // proximity LTR features riding the positional layout: for every
+    // scored (query, doc) pair, the consecutive different-term gap
+    // stats (MinDist + mean transition gap + count), LEFT-joined onto
+    // the feature table — pairs matching < 2 distinct terms carry
+    // NULLs (no proximity signal), and the oracle replays the lag
+    // window, the gap filter, and the exact-integer fold
+    "q229_ltr_features_prox" -> ((s, dir) => {
+      import graft.operators.Retrieval
+      val docs = t(s, dir, "documents")
+      val tf = Retrieval.termFrequencies(docs, "doc_id", "text")
+        .localCheckpoint() // see q179
+      val dfT = Retrieval.dfTable(tf).localCheckpoint()
+      val cfT = Retrieval.cfTable(tf).localCheckpoint()
+      val st = Retrieval.corpusStats(tf).localCheckpoint()
+      val posts = Retrieval.positionalPostings(docs, "doc_id", "text")
+        .localCheckpoint() // the persisted layout at ingest
+      val qs = docs.where(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("query_id"),
+          substring(col("text"), 1, 40).as("text"))
+      val feats = Retrieval.ltrFeatures(tf, dfT, cfT, st, qs,
+        "query_id", "text")
+      val prox = Retrieval.proximityFeatures(posts, qs,
+        "query_id", "text")
+      feats.join(prox, Seq("queryId", "docId"), "left_outer")
+        .select(col("queryId").as("query_id"), col("docId").as("doc_id"),
+          round(col("bm25"), 6).as("bm25"), col("min_dist"),
+          round(col("avg_dist"), 6).as("avg_dist"), col("n_gaps"))
+        .orderBy("query_id", "doc_id")
+    }),
     // Kendall rank agreement between the pruned and exact top-10
     // runs: concordant/discordant pairs over the common docs and
     // τ = (C − D)/(n(n−1)/2) — the hot-only query slice shares NO
@@ -4260,6 +4319,82 @@ private[graft] object TextQueries {
          |JOIN mstat m ON m.query_id = b.query_id AND m.doc_id = b.doc_id
          |JOIN qful f ON f.query_id = b.query_id
          |JOIN lens l ON l.doc_id = b.doc_id
+         |ORDER BY b.query_id, b.doc_id""".stripMargin,
+
+    // q219's feature CTEs UNROUNDED, then the pinned projection with
+    // the operator's exact left association
+    // (((((bias + w1·bm25) + w2·ql) + w3·n) + w4·cov) + w5·dl) + w6·idf
+    // and the rank — a weight, order, or association drift fails here
+    "q228_ltr_rerank" ->
+      s"""WITH ${bm25Cte("TRUE", "doc_id % 97 = 0", "substr(text, 1, 40)")},
+         |$QlCtes,
+         |mstat AS (
+         |  SELECT query_id, t.doc_id, CAST(count(*) AS BIGINT) AS n_matched,
+         |    list_reduce(list_prepend(0.0, list(e.idf ORDER BY e.word)),
+         |      (a, x) -> a + x) AS sum_idf
+         |  FROM tfv t JOIN enriched e ON e.word = t.word
+         |  GROUP BY 1, 2),
+         |qful AS (SELECT query_id, count(*) AS nq FROM qterms GROUP BY 1),
+         |ltr AS (
+         |  SELECT b.query_id, b.doc_id,
+         |    CAST(0.1 AS DOUBLE)
+         |      + CAST(0.6 AS DOUBLE) * b.score
+         |      + CAST(0.05 AS DOUBLE) * q.score
+         |      + CAST(0.3 AS DOUBLE) * CAST(m.n_matched AS DOUBLE)
+         |      + CAST(1.5 AS DOUBLE) *
+         |        (CAST(m.n_matched AS DOUBLE) / CAST(f.nq AS DOUBLE))
+         |      + CAST(-0.01 AS DOUBLE) * CAST(l.dl AS DOUBLE)
+         |      + CAST(0.2 AS DOUBLE) * m.sum_idf AS score
+         |  FROM bscores b
+         |  JOIN qlsc q ON q.query_id = b.query_id AND q.doc_id = b.doc_id
+         |  JOIN mstat m ON m.query_id = b.query_id AND m.doc_id = b.doc_id
+         |  JOIN qful f ON f.query_id = b.query_id
+         |  JOIN lens l ON l.doc_id = b.doc_id)
+         |SELECT query_id, doc_id, round(score, 6) AS score,
+         |  CAST(rank AS BIGINT) AS rank
+         |FROM (
+         |  SELECT query_id, doc_id, score,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id) AS rank
+         |  FROM ltr) z
+         |WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // positions from first principles (q188's posts CTE over the live
+    // docs), matched occurrences via the qterms join, the lag window
+    // per (query, doc) in position order, different-term transitions
+    // only, then min/avg/count — LEFT-joined so no-signal pairs
+    // surface as NULLs, never dropped rows
+    "q229_ltr_features_prox" ->
+      s"""WITH ${bm25Cte("TRUE", "doc_id % 97 = 0", "substr(text, 1, 40)")},
+         |$LiveWordsCte,
+         |posts AS (
+         |  SELECT doc_id, CAST(j - 1 AS BIGINT) AS pos,
+         |    w[CAST(j AS INT)] AS word
+         |  FROM ws, unnest(generate_series(1, len(w))) AS t(j)),
+         |pocc AS (
+         |  SELECT q.query_id, p.doc_id, p.pos, p.word
+         |  FROM posts p JOIN qterms q USING (word)),
+         |gaps AS (
+         |  SELECT query_id, doc_id, pos - ppos AS g FROM (
+         |    SELECT query_id, doc_id, pos, word,
+         |      lag(word) OVER (PARTITION BY query_id, doc_id
+         |        ORDER BY pos) AS pword,
+         |      lag(pos) OVER (PARTITION BY query_id, doc_id
+         |        ORDER BY pos) AS ppos
+         |    FROM pocc) x
+         |  WHERE pword IS NOT NULL AND pword <> word),
+         |prox AS (
+         |  SELECT query_id, doc_id, min(g) AS min_dist,
+         |    CAST(sum(g) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |      AS avg_dist,
+         |    CAST(count(*) AS BIGINT) AS n_gaps
+         |  FROM gaps GROUP BY 1, 2)
+         |SELECT b.query_id, b.doc_id, round(b.score, 6) AS bm25,
+         |  p.min_dist, round(p.avg_dist, 6) AS avg_dist, p.n_gaps
+         |FROM bscores b
+         |LEFT JOIN prox p ON p.query_id = b.query_id
+         |  AND p.doc_id = b.doc_id
          |ORDER BY b.query_id, b.doc_id""".stripMargin,
 
     // both top-10 chains, the common-doc join, the ordered pair

@@ -2078,6 +2078,52 @@ object Retrieval {
         col("dl"), col("sum_idf"))
   }
 
+  /** Term-proximity ranking features over the positional layout —
+    * the classic proximity signal for LTR (Tao & Zhai SIGIR'07's
+    * MinDist family): for each (query, doc) pair whose matched
+    * occurrences interleave at least two DISTINCT query terms,
+    * `(queryId, docId, min_dist, avg_dist, n_gaps)` over the
+    * CONSECUTIVE different-term occurrence gaps in position order —
+    * `min_dist` IS Tao & Zhai's MinDist (the closest different-term
+    * pair is always position-adjacent among matched occurrences: any
+    * occurrence strictly between two different-term occurrences forms
+    * a strictly closer different-term pair with one end), `avg_dist`
+    * the mean consecutive-transition gap (a well-defined smoother
+    * sibling, NOT the all-pairs AveDist), `n_gaps` the transition
+    * count. Pairs matching < 2 distinct terms (or whose occurrences
+    * never alternate) have no row — LEFT-join onto
+    * [[ltrFeatures]]' output and treat NULL as "no proximity signal"
+    * (q229 gates the joined table; the gap arithmetic is exact
+    * integers + one division, so it replays bitwise).
+    *
+    * Scale shape: rides the positional probe already paid — one word
+    * join of the query terms against the (word-bucketed, persisted)
+    * positional table, one per-pair window pass over MATCHED
+    * occurrences only (the hot-term fan is the posting volume the
+    * scorer paid anyway; restrict `posts` via a top-k pairs semi-join
+    * for the result-sized form, the [[snippetWindows]] `pairs`
+    * pattern), result-sized aggregates after it.
+    */
+  def proximityFeatures(posts: DataFrame, queries: DataFrame,
+                        qidCol: String, qtextCol: String): DataFrame = {
+    val qt = queryTerms(queries, qidCol, qtextCol)
+    val occ = posts.join(qt, Seq("word"))
+      .select(col("queryId"), col("docId"), col("pos"), col("word"))
+    val w = Window.partitionBy(col("queryId"), col("docId"))
+      .orderBy(col("pos"))
+    val gaps = occ
+      .withColumn("__pw", lag(col("word"), 1).over(w))
+      .withColumn("__pp", lag(col("pos"), 1).over(w))
+      .filter(col("__pw").isNotNull && col("__pw") =!= col("word"))
+      .select(col("queryId"), col("docId"),
+        (col("pos") - col("__pp")).as("__g"))
+    gaps.groupBy(col("queryId"), col("docId"))
+      .agg(min(col("__g")).as("min_dist"),
+        (sum(col("__g")).cast("double") / count(lit(1)).cast("double"))
+          .as("avg_dist"),
+        count(lit(1)).as("n_gaps"))
+  }
+
   /** Boolean-NOT constrained BM25 top-k — the `-term` / `AND NOT`
     * query mode: rank by the POSITIVE text's BM25 score, excluding
     * every document containing ANY of the negative text's terms.

@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{IrEval, Ltr, Retrieval}
+
+/** [[graft.operators.Ltr]] — the full learning-to-rank loop:
+  * features → pointwise training → linear re-rank → IrEval delta.
+  * The APPLICATION contract (pinned weights, one projection) is
+  * oracle-gated by q228; this spec owns the iterative training side.
+  */
+class LtrSpec extends SparkSpec {
+  import spark.implicits._
+
+  // seeded corpus with a planted relevance signal: docs sharing the
+  // query's RARE terms are relevant, a hot stopword-ish term is
+  // everywhere (so ranking by raw match count alone is weak)
+  private def fixture(): (DataFrame, DataFrame, DataFrame, DataFrame,
+    DataFrame, DataFrame) = {
+    val rnd = new scala.util.Random(228)
+    val c = (1L to 80L).map { id =>
+      id -> (Seq.fill(6 + rnd.nextInt(6))(
+        s"tok${30 / (rnd.nextInt(30) + 1)}") :+ "common").mkString(" ")
+    }.toDF("doc_id", "text")
+    val qs = (200L to 211L).map { id =>
+      id -> (Seq.fill(2)(s"tok${30 / (rnd.nextInt(30) + 1)}") ++
+        Seq.fill(2)(s"tok${10 + rnd.nextInt(21)}") :+ "common")
+        .mkString(" ")
+    }.toDF("query_id", "text")
+    val tf = Retrieval.termFrequencies(c, "doc_id", "text")
+      .localCheckpoint()
+    val dfT = Retrieval.dfTable(tf).localCheckpoint()
+    val cfT = Retrieval.cfTable(tf).localCheckpoint()
+    val st = Retrieval.corpusStats(tf).localCheckpoint()
+    val feats = Retrieval.ltrFeatures(tf, dfT, cfT, st, qs,
+      "query_id", "text").localCheckpoint()
+    // qrels: the exact BM25 top-3 is "relevant" — the planted truth
+    // the ranker should learn to approximate from the feature columns
+    val qrels = Retrieval.bm25TopK(
+      Retrieval.bm25ScoresPrecomputed(tf, dfT, st, qs,
+        "query_id", "text"), 3)
+      .select(col("queryId"), col("docId"), lit(1.0).as("grade"))
+      .localCheckpoint()
+    (tf, dfT, st, qs, feats, qrels)
+  }
+
+  private val FeatureCols =
+    Seq("bm25", "ql", "n_matched", "coverage", "dl", "sum_idf")
+
+  test("pointwise training is deterministic and learns the planted signal") {
+    val (_, _, _, _, feats, qrels) = fixture()
+    val labeled = feats
+      .join(qrels.select(col("queryId"), col("docId"),
+        lit(1.0).as("label")), Seq("queryId", "docId"), "left_outer")
+      .na.fill(0.0, Seq("label"))
+      .localCheckpoint() // consumed once per iteration
+    def trained() = Ltr.ltrTrainPointwise(labeled, FeatureCols,
+      "label", iters = 30, lr = 0.5)
+    val m1 = trained()
+    val m2 = trained()
+    assert(m1 === m2, "training must be bit-deterministic") // bitwise
+    // the planted relevance IS high-bm25, so the learned bm25 weight
+    // must be positive and the model must separate the classes: mean
+    // score of labeled-relevant pairs above labeled-irrelevant
+    val wm = m1.weights.toMap
+    assert(wm("bm25") > 0, s"bm25 weight not positive: $m1")
+    val scored = Ltr.ltrScore(feats, m1)
+      .join(labeled.select("queryId", "docId", "label"),
+        Seq("queryId", "docId"))
+    val Array(posMean, negMean) = scored
+      .groupBy(col("label")).agg(avg(col("score")).as("m"))
+      .orderBy(col("label").desc).collect().map(_.getDouble(1))
+    assert(posMean > negMean,
+      s"trained model does not separate: pos=$posMean neg=$negMean")
+  }
+
+  test("the trained re-ranker beats a weak baseline through IrEval") {
+    val (tf, dfT, st, qs, feats, qrels) = fixture()
+    val labeled = feats
+      .join(qrels.select(col("queryId"), col("docId"),
+        lit(1.0).as("label")), Seq("queryId", "docId"), "left_outer")
+      .na.fill(0.0, Seq("label"))
+      .localCheckpoint()
+    val m = Ltr.ltrTrainPointwise(labeled, FeatureCols,
+      "label", iters = 30, lr = 0.5)
+    val ltrRun = Ltr.ltrRerank(feats, m, 3)
+      .select("queryId", "docId", "rank").localCheckpoint()
+    // weak baseline: rank by raw match count (n_matched desc) — the
+    // hot planted term makes match count a poor relevance proxy
+    val weakRun = Retrieval.bm25TopK(feats.select(col("queryId"),
+      col("docId"), col("n_matched").cast("double").as("score")), 3)
+      .select("queryId", "docId", "rank").localCheckpoint()
+    val ltrM = IrEval.rankingMetrics(ltrRun, qrels, k = 3)
+      .localCheckpoint()
+    val weakM = IrEval.rankingMetrics(weakRun, qrels, k = 3)
+      .localCheckpoint()
+    val cmp = IrEval.pairedComparison(ltrM, weakM).collect()(0)
+    val dNdcg = cmp.getDouble(cmp.fieldIndex("d_ndcg"))
+    assert(cmp.getLong(cmp.fieldIndex("n_queries")) === 12L)
+    assert(dNdcg > 0,
+      s"LTR must beat the match-count baseline on nDCG: $dNdcg")
+    // ...and approximates its training signal: mean RR close to 1
+    val mm = IrEval.meanRankingMetrics(ltrM).collect()(0)
+    assert(mm.getDouble(mm.fieldIndex("mrr")) > 0.8,
+      s"LTR failed to learn the planted top-3: $mm")
+  }
+
+  test("zero-variance features drop with weight zero") {
+    val (_, _, _, _, feats, qrels) = fixture()
+    val labeled = feats
+      .withColumn("const", lit(3.5))
+      .join(qrels.select(col("queryId"), col("docId"),
+        lit(1.0).as("label")), Seq("queryId", "docId"), "left_outer")
+      .na.fill(0.0, Seq("label"))
+      .localCheckpoint()
+    val m = Ltr.ltrTrainPointwise(labeled, FeatureCols :+ "const",
+      "label", iters = 3, lr = 0.5)
+    assert(m.weights.toMap.apply("const") === 0.0)
+    assert(m.weights.map(_._1) === FeatureCols :+ "const",
+      "model must keep the declared feature order")
+  }
+}
