@@ -258,7 +258,7 @@ object ScaleBench {
         "pos_compact_index_10x", "pos_rebuild_index_10x",
         "pos_compact_deleted_10x", "retrieval_ingest_loop_10x",
         "ql_dirichlet_topk_10x", "ql_wand_impact_10x",
-        "snippet_windows_10x",
+        "snippet_windows_10x", "snippet_texts_10x",
         "bm25_conjunctive_topk_10x", "bm25_fuzzy_topk_10x",
         "bm25_fuzzy_ed2_topk_10x",
         "bm25f_topk_10x", "passage_maxp_topk_10x",
@@ -666,6 +666,25 @@ object ScaleBench {
           println("  snippet_rows=" + graft.operators.Retrieval
             .snippetWindows(spark.table("sb_bm25_pos"), bm25Queries,
               "query_id", "text", width = 8, pairs = Some(top5))
+            .count())
+        }
+        // ...and the snippet TEXT fetch (q230's gate): the best
+        // windows broadcast back against one corpus scan — the
+        // tokenizer runs only for emitted rows, so the delta over
+        // snippet_windows_10x prices exactly the result-sized fetch
+        time(s"snippet_texts_10x $round") {
+          val top5 = graft.operators.Retrieval.bm25TopK(
+            graft.operators.Retrieval.bm25ScoresIndexed(
+              spark.table("sb_bm25_tf"), bm25Queries, "query_id", "text",
+              bitExact = false, maxDocFrequency = Some(5000L)), 5)
+            .select(col("queryId"), col("docId")).localCheckpoint()
+          val wins = graft.operators.Retrieval
+            .snippetWindows(spark.table("sb_bm25_pos"), bm25Queries,
+              "query_id", "text", width = 8, pairs = Some(top5))
+            .localCheckpoint()
+          println("  snip_rows=" + graft.operators.Retrieval
+            .snippetTexts(zipfDocs(0, 50000, 100), "doc_id", "text",
+              wins, width = 8)
             .count())
         }
         // GloVe co-occurrence pass over the positional layout (q214's

@@ -885,6 +885,32 @@ private[graft] object TextQueries {
           col("window_start"), col("n_matched_terms"))
         .orderBy("query_id", "doc_id")
     }),
+    // ...and the snippet TEXT itself (q198 + the documented slice
+    // fetch as an operator): the best window's normalized words
+    // re-joined, broadcast-joined back to the corpus — the oracle
+    // replays the window AND the list_slice verbatim
+    "q230_snippet_texts" -> ((s, dir) => {
+      import graft.operators.Retrieval
+      val docs = t(s, dir, "documents")
+      val tf = Retrieval.termFrequencies(docs, "doc_id", "text")
+        .localCheckpoint() // see q179
+      val posts = Retrieval.positionalPostings(docs, "doc_id", "text")
+        .localCheckpoint()
+      val qs = docs.where(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("query_id"),
+          substring(col("text"), 1, 40).as("text"))
+      val top5 = Retrieval.bm25TopK(
+        Retrieval.bm25ScoresIndexed(tf, qs, "query_id", "text"), 5)
+        .select(col("queryId"), col("docId"))
+        .localCheckpoint() // result-sized restriction
+      val wins = Retrieval.snippetWindows(posts, qs, "query_id", "text",
+        width = 8, pairs = Some(top5))
+        .localCheckpoint() // result-sized, consumed by the text fetch
+      Retrieval.snippetTexts(docs, "doc_id", "text", wins, width = 8)
+        .select(col("queryId").as("query_id"), col("docId").as("doc_id"),
+          col("window_start"), col("n_matched_terms"), col("snippet"))
+        .orderBy("query_id", "doc_id")
+    }),
     // query-likelihood retrieval with Dirichlet smoothing (Zhai &
     // Lafferty) — the second classical ranker over the SAME persisted
     // layouts: matching-postings sum + the closed-form length
@@ -3225,6 +3251,48 @@ private[graft] object TextQueries {
          |  FROM wins) z
          |WHERE r = 1
          |ORDER BY query_id, doc_id""".stripMargin,
+
+    // q198's window replay + the slice: DuckDB list_slice is
+    // INCLUSIVE-end, so width 8 from wstart+1 reaches wstart+8; a
+    // tail window truncates in both engines
+    "q230_snippet_texts" ->
+      s"""WITH ${bm25Cte("TRUE", "doc_id % 97 = 0", "substr(text, 1, 40)")},
+         |$LiveWordsCte,
+         |posts AS (
+         |  SELECT doc_id, CAST(j - 1 AS BIGINT) AS pos, w[CAST(j AS INT)] AS word
+         |  FROM ws, unnest(generate_series(1, len(w))) AS t(j)),
+         |btop AS (
+         |  SELECT query_id, doc_id FROM (
+         |    SELECT query_id, doc_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score DESC, doc_id) AS r
+         |    FROM bscores) x WHERE r <= 5),
+         |qocc AS (
+         |  SELECT q.query_id, p.doc_id, p.pos, p.word
+         |  FROM qterms q JOIN posts p USING (word)
+         |  JOIN btop b ON b.query_id = q.query_id
+         |    AND b.doc_id = p.doc_id),
+         |wins AS (
+         |  SELECT s.query_id, s.doc_id, s.pos AS wstart,
+         |    count(DISTINCT t.word) AS nt
+         |  FROM qocc s JOIN qocc t ON t.query_id = s.query_id
+         |    AND t.doc_id = s.doc_id
+         |    AND t.pos >= s.pos AND t.pos <= s.pos + 7
+         |  GROUP BY 1, 2, 3),
+         |best AS (
+         |  SELECT query_id, doc_id, wstart, nt FROM (
+         |    SELECT query_id, doc_id, wstart, nt,
+         |      row_number() OVER (PARTITION BY query_id, doc_id
+         |        ORDER BY nt DESC, wstart) AS r
+         |    FROM wins) z
+         |  WHERE r = 1)
+         |SELECT b.query_id, b.doc_id, b.wstart AS window_start,
+         |  CAST(b.nt AS BIGINT) AS n_matched_terms,
+         |  array_to_string(list_slice(s.w,
+         |    CAST(b.wstart + 1 AS INT), CAST(b.wstart + 8 AS INT)), ' ')
+         |    AS snippet
+         |FROM best b JOIN ws s ON s.doc_id = b.doc_id
+         |ORDER BY b.query_id, b.doc_id""".stripMargin,
 
     // the Dirichlet decomposition replayed: cf = sum(tf) per word,
     // |C| = sum(dl), the matching-term sum as a word-sorted fold, and

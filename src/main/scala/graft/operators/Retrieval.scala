@@ -1256,6 +1256,38 @@ object Retrieval {
         col("__nt").as("n_matched_terms"))
   }
 
+  /** Materialize snippet TEXT for a [[snippetWindows]] table — the
+    * documented `slice(normalizedWords(text), start + 1, width)`
+    * fetch as an operator: `(queryId, docId, window_start,
+    * n_matched_terms, snippet)` with `snippet` the window's
+    * normalized words re-joined by single spaces (the tokenizer's
+    * canonical form — byte-fidelity to the RAW text would need
+    * original character offsets the positional layout deliberately
+    * does not carry). Windows shorter than `width` at a document's
+    * tail just end early (slice past the end truncates in both
+    * engines; q230 gates the composition with the slice replayed in
+    * SQL).
+    *
+    * Scale shape: `windows` is a result-sized table (the snippet
+    * contract — top-k pairs' best windows), so it BROADCASTS against
+    * one corpus scan and the tokenizer runs only for emitted rows
+    * (the join filters before the projection) — no shuffle, no
+    * corpus-sized exchange anywhere.
+    */
+  def snippetTexts(docs: DataFrame, idCol: String, textCol: String,
+                   windows: DataFrame, width: Int): DataFrame = {
+    require(width >= 1, s"width >= 1: $width")
+    val w = windows.select(col("queryId"), col("docId"),
+      col("window_start"), col("n_matched_terms"))
+    docs.select(col(idCol).as("docId"), col(textCol).as("__text"))
+      .join(broadcast(w), Seq("docId"))
+      .select(col("queryId"), col("docId"), col("window_start"),
+        col("n_matched_terms"),
+        concat_ws(" ", slice(TextFunctions.normalizedWords(col("__text")),
+          (col("window_start") + lit(1L)).cast("int"), lit(width)))
+          .as("snippet"))
+  }
+
   /** MaxP passage-evidence aggregation (Callan SIGIR'94 passage
     * evidence; the Dai & Callan'19 "MaxP" convention): a document's
     * score for a query is the MAX of its passages' scores. Input:

@@ -571,6 +571,21 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("snippet texts slice the normalized stream and truncate at the tail") {
+    val c = docs(
+      1L -> "Alpha, beta gamma delta epsilon",
+      2L -> "zeta eta theta")
+    val wins = Seq((10L, 1L, 2L, 2L), (11L, 2L, 1L, 1L))
+      .toDF("queryId", "docId", "window_start", "n_matched_terms")
+    val got = Retrieval.snippetTexts(c, "doc_id", "text", wins, width = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(4)))
+      .toSet
+    // start is 0-based over the NORMALIZED words (lowercased, punct
+    // stripped); doc 2's window runs off the end and truncates
+    assert(got === Set((10L, 1L, "gamma delta epsilon"),
+      (11L, 2L, "eta theta")))
+  }
+
   test("QL WAND equals the unpruned QL top-k bitwise at every hotDf") {
     // the q182 sweep for the SECOND scorer: everything-hot (pure
     // fallback) through mixed to everything-rare (pure candidate
