@@ -122,9 +122,10 @@ object Fuzzy {
     * (rank 1 of [[fuzzyMatchTerms]] — dist, then df desc), in-vocab
     * terms kept verbatim, the union DEDUPED (a correction may collide
     * with a term the query already has — one unit weight, the
-    * [[Retrieval]] distinct-term convention). OOV terms with NO ed-1
-    * neighbor drop, exactly as they would have contributed nothing
-    * uncorrected. Returns `(queryId, word)` — feed it to
+    * [[Retrieval]] distinct-term convention). OOV terms with NO
+    * neighbor within `maxEdit` drop, exactly as they would have
+    * contributed nothing uncorrected (q227 gates the ed-2 drop
+    * semantics). Returns `(queryId, word)` — feed it to
     * [[Retrieval.bm25ScoresWeighted]] at unit weight (q209 gates that
     * composition) or any other term-table consumer.
     */

@@ -426,18 +426,27 @@ object Retrieval {
     // |q| over corpus-present terms rides the enriched table
     val qn = qTerms.groupBy("queryId").agg(count(lit(1)).as("__nq"))
     val enriched = qTerms.join(qn, Seq("queryId"))
-    val cExpr = qlContribExpr(mu).as("__c")
-    // the per-(query, doc) length normalizer is constant across the
-    // group — max() just carries it through the aggregate (joining a
-    // doc-length table after the fold instead would cost a
-    // corpus-sized aggregate + join); the scale fold drops the word
-    // column the sorted fold needs, keeping the shuffle rows narrow
-    val joined = tf.join(enriched, Seq("word"))
+    qlScoreFold(tf.join(enriched, Seq("word"))
+      .select(col("queryId"), col("docId"), col("word"),
+        qlContribExpr(mu).as("__c"), col("dl"), col("__nq")),
+      mu, bitExact)
+  }
+
+  /** Collapse QL `(queryId, docId, word, __c, dl, __nq)` matching
+    * contributions to scores — the [[scoreFold]] convention for the
+    * second scorer, shared by [[qlDirichletScores]] and
+    * [[qlWandCore]] so the pruned candidates are bitwise the
+    * unpruned pipeline BY CONSTRUCTION (they cannot drift): the
+    * word-sorted fold (or the plain map-side-combined scale sum —
+    * the unused word column prunes out of that shuffle), dl and |q|
+    * carried through the group as constants, and the length
+    * normalizer `|q|·ln(μ/(dl+μ))` added ONCE after the fold.
+    */
+  private def qlScoreFold(joined: DataFrame, mu: Double,
+                          bitExact: Boolean): DataFrame = {
     val folded =
       if (bitExact)
         joined
-          .select(col("queryId"), col("docId"), col("word"), cExpr,
-            col("dl"), col("__nq"))
           .groupBy(col("queryId"), col("docId"))
           .agg(sort_array(collect_list(struct(col("word"), col("__c"))))
             .as("__cs"),
@@ -448,8 +457,6 @@ object Retrieval {
             col("__dl"), col("__n"))
       else
         joined
-          .select(col("queryId"), col("docId"), cExpr, col("dl"),
-            col("__nq"))
           .groupBy(col("queryId"), col("docId"))
           .agg(sum(col("__c")).as("__s"), max(col("dl")).as("__dl"),
             max(col("__nq")).as("__n"))
@@ -1769,30 +1776,10 @@ object Retrieval {
       .join(hot, Seq("queryId", "word"))
       .select(col("queryId"), col("docId"), col("word"),
         qlContribExpr(mu).as("__c"), col("dl"), col("__nq"))
-    val joined = rareContrib.unionByName(hotContrib)
-    // the qlDirichletScores fold verbatim: word-sorted Σ of the
-    // matching contributions, dl/|q| carried through the group, the
-    // normalizer added ONCE after the fold
-    val folded =
-      if (bitExact)
-        joined
-          .groupBy(col("queryId"), col("docId"))
-          .agg(sort_array(collect_list(struct(col("word"), col("__c"))))
-            .as("__cs"),
-            max(col("dl")).as("__dl"), max(col("__nq")).as("__n"))
-          .select(col("queryId"), col("docId"),
-            aggregate(col("__cs"), lit(0.0),
-              (a, x) => a + x.getField("__c")).as("__s"),
-            col("__dl"), col("__n"))
-      else
-        joined
-          .groupBy(col("queryId"), col("docId"))
-          .agg(sum(col("__c")).as("__s"), max(col("dl")).as("__dl"),
-            max(col("__nq")).as("__n"))
-    val candScores = folded.select(col("queryId"), col("docId"),
-      (col("__s") + col("__n").cast("double") *
-        log(lit(mu) / (col("__dl").cast("double") + lit(mu))))
-        .as("score"))
+    // the qlDirichletScores collapse SHARED (qlScoreFold): word-sorted
+    // fold + the once-added normalizer — bitwise the unpruned tree
+    val candScores = qlScoreFold(rareContrib.unionByName(hotContrib),
+      mu, bitExact)
     val w = Window.partitionBy(col("queryId"))
       .orderBy(col("score").desc, col("docId").asc)
     // result-sized (≤ queries × k rows), consumed 2× (θ + safe output)
@@ -1848,10 +1835,12 @@ object Retrieval {
     * defensively collapsed (the [[rrfFuse]] convention) so score
     * tables with per-term rows cannot inflate counts. `docMeta` maps
     * `docId` to the facet column and gets the SAME defensive
-    * collapse — `(docId, facet)` rows dedupe, so a metadata table
-    * built from a union cannot inflate `n_docs` (a doc with several
-    * DISTINCT facet values is multi-valued by intent and counts once
-    * per value). Docs with a NULL facet value are excluded (the
+    * collapse — `(queryId, docId, facet)` rows dedupe AFTER the join
+    * (match-sized, so the corpus-sized metadata table never pays a
+    * dedup exchange), so a metadata table built from a union cannot
+    * inflate `n_docs` (a doc with several DISTINCT facet values is
+    * multi-valued by intent and counts once per value). Docs with a
+    * NULL facet value are excluded (the
     * unfaceted remainder, countable by the caller as
     * `matches − Σ n_docs` if wanted — keeping engine-divergent NULL
     * ordering out of the ranked table).
@@ -1869,10 +1858,10 @@ object Retrieval {
     val m = matches.select("queryId", "docId").distinct()
     val w = Window.partitionBy(col("queryId"))
       .orderBy(col("n_docs").desc, col("facet").asc)
-    m.join(docMeta.select(col("docId"), col(facetCol).as("facet"))
-        .distinct(),
+    m.join(docMeta.select(col("docId"), col(facetCol).as("facet")),
         Seq("docId"))
       .filter(col("facet").isNotNull)
+      .select(col("queryId"), col("docId"), col("facet")).distinct()
       .groupBy(col("queryId"), col("facet"))
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -1929,10 +1918,29 @@ object Retrieval {
     * over ≤ 2m rows per word — vocabulary-bounded work, never a
     * full-index pass. The ranking key `(tf desc, dl asc, docId asc)`
     * is total, so the kept set is deterministic on both paths.
+    *
+    * `assertDisjoint = true` enforces the disjoint-docId ingest
+    * contract IN-PLAN (the [[compactTermIndex]] guard, shared
+    * machinery): a re-ingested docId would put duplicate
+    * `(word, docId)` rows through the re-rank window — both can
+    * survive inside the top-m and double-count that doc's
+    * contribution in every downstream probe — so the guard fails
+    * loudly instead. The semi-join runs against the m-bounded
+    * champion table, so it catches exactly the reuses that could
+    * double-count through THIS layout (a reused id absent from every
+    * champion list is invisible here — but also harmless to this
+    * table; full ingest-contract enforcement is the tf-table guard
+    * in [[compactTermIndex]], which an ingest loop runs first).
     */
   def compactChampionPostings(champ: DataFrame, batchTf: DataFrame,
-                              m: Int): DataFrame =
-    championPostings(champ.unionByName(championPostings(batchTf, m)), m)
+                              m: Int,
+                              assertDisjoint: Boolean = false)
+      : DataFrame = {
+    val batch =
+      if (!assertDisjoint) batchTf
+      else guardedDisjointBatch(champ, batchTf, "compactChampionPostings")
+    championPostings(champ.unionByName(championPostings(batch, m)), m)
+  }
 
   /** Deletion-side champion-list compaction — remove docs from a
     * persisted [[championPostings]] layout without a full rebuild.
@@ -2066,14 +2074,14 @@ object Retrieval {
                   mu: Double = 2000.0): DataFrame = {
     require(mu > 0, s"mu > 0: $mu")
     val statsD = statsDouble(stats)
-    val ctok = stats.select(col("total_dl").cast("double").as("__ctokens"))
+    val ctok = stats.select(col("total_dl").cast("double").as("__cTokens"))
     val qt = queryTerms(queries, qidCol, qtextCol)
     val enriched = qt
       .join(dfTab, Seq("word"))
       .join(cfTab, Seq("word"))
       .crossJoin(broadcast(statsD))
       .crossJoin(broadcast(ctok))
-      .select(col("queryId"), col("word"), col("avgdl"), col("__ctokens"),
+      .select(col("queryId"), col("word"), col("avgdl"), col("__cTokens"),
         log(lit(1.0) +
           (col("n_docs") - col("df").cast("double") + lit(0.5)) /
             (col("df").cast("double") + lit(0.5))).as("idf"),
@@ -2084,8 +2092,7 @@ object Retrieval {
     val rows = tf.join(enriched, Seq("word"))
       .select(col("queryId"), col("docId"), col("word"), col("dl"),
         contribExpr(k1, b).as("__cb"),
-        log(lit(1.0) + col("tf").cast("double") * col("__ctokens") /
-          (lit(mu) * col("cf").cast("double"))).as("__cq"),
+        qlContribExpr(mu).as("__cq"),
         col("idf"))
     rows
       .groupBy(col("queryId"), col("docId"))
@@ -2132,15 +2139,29 @@ object Retrieval {
     * join of the query terms against the (word-bucketed, persisted)
     * positional table, one per-pair window pass over MATCHED
     * occurrences only (the hot-term fan is the posting volume the
-    * scorer paid anyway; restrict `posts` via a top-k pairs semi-join
-    * for the result-sized form, the [[snippetWindows]] `pairs`
-    * pattern), result-sized aggregates after it.
+    * scorer paid anyway), result-sized aggregates after it. For the
+    * result-sized form pass `pairs` (a top-k's `(queryId, docId)`
+    * table, the [[snippetWindows]] pattern): the docId semi-join goes
+    * BELOW the word join and the pair semi-join above it, so hot
+    * query terms' full occurrence lists never materialize and the
+    * window pass runs over kept pairs only.
     */
   def proximityFeatures(posts: DataFrame, queries: DataFrame,
-                        qidCol: String, qtextCol: String): DataFrame = {
+                        qidCol: String, qtextCol: String,
+                        pairs: Option[DataFrame] = None): DataFrame = {
     val qt = queryTerms(queries, qidCol, qtextCol)
-    val occ = posts.join(qt, Seq("word"))
-      .select(col("queryId"), col("docId"), col("pos"), col("word"))
+    val occ = pairs match {
+      case Some(p) =>
+        val pp = p.select(col("queryId"), col("docId"))
+        posts
+          .join(pp.select("docId").distinct(), Seq("docId"), "left_semi")
+          .join(qt, Seq("word"))
+          .join(pp, Seq("queryId", "docId"), "left_semi")
+          .select(col("queryId"), col("docId"), col("pos"), col("word"))
+      case None =>
+        posts.join(qt, Seq("word"))
+          .select(col("queryId"), col("docId"), col("pos"), col("word"))
+    }
     val w = Window.partitionBy(col("queryId"), col("docId"))
       .orderBy(col("pos"))
     val gaps = occ

@@ -571,6 +571,53 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("proximity features under a pairs restriction equal the full " +
+    "table filtered to those pairs") {
+    val rnd = new scala.util.Random(229)
+    val c = (1L to 40L).map { id =>
+      id -> Seq.fill(8 + rnd.nextInt(5))(
+        s"tok${12 / (rnd.nextInt(12) + 1)}").mkString(" ")
+    }.toDF("doc_id", "text")
+    val qs = (100L to 103L).map { id =>
+      id -> Seq.fill(3)(s"tok${12 / (rnd.nextInt(12) + 1)}").mkString(" ")
+    }.toDF("query_id", "text")
+    val posts = Retrieval.positionalPostings(c, "doc_id", "text")
+      .localCheckpoint()
+    def rows(d: DataFrame): Set[(Long, Long, Long, Double, Long)] =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toSet
+    val full = Retrieval.proximityFeatures(posts, qs, "query_id", "text")
+      .localCheckpoint()
+    val keep = full.select(col("queryId"), col("docId"))
+      .sample(withReplacement = false, 0.4, seed = 229)
+      .localCheckpoint()
+    val restricted = Retrieval.proximityFeatures(posts, qs,
+      "query_id", "text", pairs = Some(keep))
+    assert(rows(restricted) ===
+      rows(full.join(keep, Seq("queryId", "docId"), "left_semi")))
+  }
+
+  test("champion append guard trips on a reused champion docId") {
+    val c = docs(1L -> "apple banana", 2L -> "banana cherry")
+    val tf = Retrieval.termFrequencies(c, "doc_id", "text")
+      .localCheckpoint()
+    val champ = Retrieval.championPostings(tf, m = 2).localCheckpoint()
+    // doc 1 re-ingested: it sits in champion lists, so the guard fires
+    val dup = Retrieval.termFrequencies(
+      docs(1L -> "apple date"), "doc_id", "text").localCheckpoint()
+    val ex = intercept[Exception] {
+      Retrieval.compactChampionPostings(champ, dup, m = 2,
+        assertDisjoint = true).collect()
+    }
+    assert(ex.getMessage.contains("compactChampionPostings"),
+      s"unexpected error: ${ex.getMessage}")
+    // a genuinely new doc passes the guard
+    val fresh = Retrieval.termFrequencies(
+      docs(3L -> "elder fig"), "doc_id", "text").localCheckpoint()
+    assert(Retrieval.compactChampionPostings(champ, fresh, m = 2,
+      assertDisjoint = true).count() > 0)
+  }
+
   test("snippet texts slice the normalized stream and truncate at the tail") {
     val c = docs(
       1L -> "Alpha, beta gamma delta epsilon",
