@@ -1673,6 +1673,37 @@ private[graft] object TextQueries {
           col("rank").cast("long").as("rank"), col("tier"))
         .orderBy("query_id", "rank")
     }),
+    // TIERED serving for the SECOND scorer (q222's fixture, QL
+    // scoring, WAND tier-2): the champion tier scores through the
+    // full cf/stats tables, under-filled queries route to the exact
+    // tier via score-exact qlTopKWand — both branches, the routing
+    // rule, and the QL arithmetic replay from first principles
+    "q231_ql_tiered_topk" -> ((s, dir) => {
+      import graft.operators.Retrieval
+      val docs = t(s, dir, "documents")
+      val tf = Retrieval.termFrequencies(docs, "doc_id", "text")
+        .localCheckpoint() // see q179
+      val dfT = Retrieval.dfTable(tf).localCheckpoint()
+      val cfT = Retrieval.cfTable(tf).localCheckpoint()
+      val st = Retrieval.corpusStats(tf).localCheckpoint()
+      val champ = Retrieval.championPostings(tf, m = 3)
+        .localCheckpoint()
+      val qs = docs.where(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("query_id"),
+          when(pmod(col("doc_id"), lit(194)) === 0,
+            concat_ws("",
+              slice(TextFunctions.normalizedWords(col("text")), 2, 1)))
+            .otherwise(substring(col("text"), 1, 40)).as("text"))
+        .filter(length(col("text")) > 0)
+      Retrieval.qlTopKTiered(champ, tf, cfT, st, dfT, qs,
+        "query_id", "text", k = 5,
+        hotDf = Some(tf.select("docId").distinct().count() / 10),
+        impact = Some(Retrieval.impactStats(tf)))
+        .select(col("queryId").as("query_id"), col("docId").as("doc_id"),
+          round(col("score"), 6).as("score"),
+          col("rank").cast("long").as("rank"), col("tier"))
+        .orderBy("query_id", "rank")
+    }),
     // the QL-Dirichlet WAND analog: pruned top-5 over the Zipf WAND
     // fixture, impact-tightened bounds — the oracle replays the
     // UNPRUNED QL chain (q199's CTEs over this fixture), so the gate
@@ -4593,6 +4624,64 @@ private[graft] object TextQueries {
          |      row_number() OVER (PARTITION BY query_id
          |        ORDER BY score DESC, doc_id) AS r
          |    FROM bscores
+         |    WHERE query_id NOT IN (SELECT query_id FROM filled)) y
+         |  WHERE r <= 5)
+         |SELECT query_id, doc_id, round(score, 6) AS score,
+         |  CAST(r AS BIGINT) AS rank, CAST(tier AS BIGINT) AS tier
+         |FROM (
+         |  SELECT t1.query_id, t1.doc_id, t1.score, t1.r, 1 AS tier
+         |  FROM t1 WHERE t1.query_id IN (SELECT query_id FROM filled)
+         |  UNION ALL
+         |  SELECT query_id, doc_id, score, r, 2 FROM t2) u
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // q222's replay with the QL chains: the champion tier scored by
+    // the QL tree (full-corpus cf/|C|/nq, champion tf rows, lens dl),
+    // the fill-count routing, and the exact tier from qlsc — the
+    // WAND tier-2 is score-exact, so the oracle never models it
+    "q231_ql_tiered_topk" ->
+      s"""WITH ${bm25Cte("TRUE",
+             s"doc_id % 97 = 0 AND length($TieredQueryTextSql) > 0",
+             TieredQueryTextSql)},
+         |$QlCtes,
+         |champ AS (
+         |  SELECT doc_id, word, tf FROM (
+         |    SELECT t.doc_id, t.word, t.tf,
+         |      row_number() OVER (PARTITION BY t.word
+         |        ORDER BY t.tf DESC, l.dl ASC, t.doc_id ASC) AS r
+         |    FROM tfv t JOIN lens l ON l.doc_id = t.doc_id) x
+         |  WHERE r <= 3),
+         |cqcon AS (
+         |  SELECT q.query_id, ch.doc_id, ch.word,
+         |    ln(1.0 + CAST(ch.tf AS DOUBLE) * ctokens
+         |      / (CAST(2000 AS DOUBLE) * CAST(q.cf AS DOUBLE))) AS c,
+         |    l.dl
+         |  FROM champ ch JOIN qcf q ON q.word = ch.word
+         |  JOIN lens l ON l.doc_id = ch.doc_id
+         |  CROSS JOIN ctok),
+         |cqsc AS (
+         |  SELECT query_id, doc_id,
+         |    list_reduce(list(c ORDER BY word), (a, x) -> a + x)
+         |      + CAST(nq AS DOUBLE) *
+         |        ln(CAST(2000 AS DOUBLE)
+         |           / (CAST(dl AS DOUBLE) + CAST(2000 AS DOUBLE)))
+         |      AS score
+         |  FROM cqcon JOIN qnq USING (query_id)
+         |  GROUP BY query_id, doc_id, nq, dl),
+         |t1 AS (
+         |  SELECT query_id, doc_id, score, r FROM (
+         |    SELECT query_id, doc_id, score,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score DESC, doc_id) AS r
+         |    FROM cqsc) z WHERE r <= 5),
+         |filled AS (
+         |  SELECT query_id FROM t1 GROUP BY 1 HAVING count(*) = 5),
+         |t2 AS (
+         |  SELECT query_id, doc_id, score, r FROM (
+         |    SELECT query_id, doc_id, score,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score DESC, doc_id) AS r
+         |    FROM qlsc
          |    WHERE query_id NOT IN (SELECT query_id FROM filled)) y
          |  WHERE r <= 5)
          |SELECT query_id, doc_id, round(score, 6) AS score,

@@ -2017,27 +2017,75 @@ object Retrieval {
                      forward: Option[DataFrame] = None,
                      impact: Option[DataFrame] = None): DataFrame = {
     require(k > 0, s"k > 0: $k")
-    // result-sized and consumed 2× (fill count + output semi-join)
-    val tier1 = bm25TopK(
+    tieredFrom(bm25TopK(
       bm25ScoresPrecomputed(champTf, dfTab, stats, queries, qidCol,
-        qtextCol, k1, b, bitExact), k).localCheckpoint()
-    // the FILLED set, not the under-filled one: a query with ZERO
-    // champion matches has no tier-1 rows at all (and so no group
-    // row) — routing must catch it too, so tier 2 is everyone NOT
-    // provably filled
+        qtextCol, k1, b, bitExact), k),
+      queries, qidCol, k,
+      routed => hotDf match {
+        case Some(cut) => bm25TopKWand(tf, routed, qidCol, qtextCol,
+          k, cut, k1, b, bitExact, forward, Some((dfTab, stats)), impact)
+        case None => bm25TopK(
+          bm25ScoresPrecomputed(tf, dfTab, stats, routed,
+            qidCol, qtextCol, k1, b, bitExact), k)
+      })
+  }
+
+  /** [[bm25TopKTiered]] for the QL Dirichlet scorer — full
+    * second-scorer parity for tiered serving: tier 1 scores through
+    * the champion layout with the FULL cf/stats tables (the
+    * [[championPostings]] full-stats contract holds for QL too — a
+    * surviving posting's contribution is unchanged because cf, |C|
+    * and dl are corpus-level), under-filled queries route to the
+    * exact tier, and `hotDf` routes that tier through [[qlTopKWand]]
+    * (score-exact, so the output is bitwise the unpruned tier 2).
+    * Same routing rule, same `(queryId, docId, score, rank, tier)`
+    * shape, shared [[tieredFrom]] internals with the BM25 operator —
+    * the routing cannot drift between scorers (q231 gates both
+    * branches against the first-principles replay).
+    */
+  def qlTopKTiered(champTf: DataFrame, tf: DataFrame,
+                   cfTab: DataFrame, stats: DataFrame,
+                   dfTab: DataFrame,
+                   queries: DataFrame, qidCol: String, qtextCol: String,
+                   k: Int, mu: Double = 2000.0,
+                   bitExact: Boolean = true,
+                   hotDf: Option[Long] = None,
+                   forward: Option[DataFrame] = None,
+                   impact: Option[DataFrame] = None): DataFrame = {
+    require(k > 0, s"k > 0: $k")
+    tieredFrom(bm25TopK(
+      qlDirichletScores(champTf, cfTab, stats, queries, qidCol,
+        qtextCol, mu, bitExact), k),
+      queries, qidCol, k,
+      routed => hotDf match {
+        case Some(cut) => qlTopKWand(tf, routed, qidCol, qtextCol,
+          k, cut, mu, bitExact, forward, Some((dfTab, stats)),
+          Some(cfTab), impact)
+        case None => bm25TopK(
+          qlDirichletScores(tf, cfTab, stats, routed,
+            qidCol, qtextCol, mu, bitExact), k)
+      })
+  }
+
+  /** The tiered-serving routing core shared by [[bm25TopKTiered]] and
+    * [[qlTopKTiered]]: materialize the tier-1 run (result-sized,
+    * consumed 2× — fill count + output semi-join), compute the FILLED
+    * set — not the under-filled one: a query with ZERO champion
+    * matches has no tier-1 rows at all (and so no group row), and
+    * routing must catch it too, so tier 2 is everyone NOT provably
+    * filled — and union the tier-labeled branches.
+    */
+  private def tieredFrom(tier1Lazy: DataFrame, queries: DataFrame,
+                         qidCol: String, k: Int,
+                         tier2Of: DataFrame => DataFrame): DataFrame = {
+    val tier1 = tier1Lazy.localCheckpoint()
     val filled = tier1.groupBy("queryId")
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") === k)
       .select("queryId")
-    val routed = queries.join(filled.select(col("queryId").as(qidCol)),
-      Seq(qidCol), "left_anti")
-    val tier2 = hotDf match {
-      case Some(cut) => bm25TopKWand(tf, routed, qidCol, qtextCol,
-        k, cut, k1, b, bitExact, forward, Some((dfTab, stats)), impact)
-      case None => bm25TopK(
-        bm25ScoresPrecomputed(tf, dfTab, stats, routed,
-          qidCol, qtextCol, k1, b, bitExact), k)
-    }
+    val tier2 = tier2Of(
+      queries.join(filled.select(col("queryId").as(qidCol)),
+        Seq(qidCol), "left_anti"))
     tier1.join(filled, Seq("queryId"), "left_semi")
       .select(col("queryId"), col("docId"), col("score"), col("rank"),
         lit(1L).as("tier"))

@@ -226,6 +226,66 @@ class BucketingSpec extends SparkSpec {
     } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("ed-2 fuzzy probe over a variant-bucketed neighborhood plans no " +
+    "vocab-side shuffle") {
+    // the maxEdit = 2 layout (q226/q227's scale story: ~len²/2
+    // variants per word) pinned like its ed-1 sibling: the bucketed
+    // neighborhood never moves, and the probe matches the inline
+    // ed-2 formulation — including a double-typo term only ed 2 finds
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import graft.operators.{Fuzzy, Retrieval}
+    val corpus = (1L to 60L).map(i =>
+      (i, s"alpha$i beta${i % 9} gamma${i % 5}")).toDF("docId", "text")
+      .withColumnRenamed("docId", "doc_id")
+    val tf = Retrieval.termFrequencies(corpus, "doc_id", "text")
+      .localCheckpoint()
+    val vocab = Retrieval.dfTable(tf).localCheckpoint()
+    spark.sql("DROP TABLE IF EXISTS fuzzy_var2_bucketed")
+    Fuzzy.deletionVariants(vocab, maxEdit = 2)
+      .write.bucketBy(8, "variant")
+      .sortBy("variant").mode("overwrite")
+      .saveAsTable("fuzzy_var2_bucketed")
+    val vv = spark.table("fuzzy_var2_bucketed")
+    val terms = Seq((1L, "beta3"), (2L, "bXtX3"), (3L, "gam4"))
+      .toDF("queryId", "word")
+    val confs = Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val m = Fuzzy.fuzzyMatchTerms(vocab, terms, Some(vv), maxEdit = 2)
+      val rows = m.collect()
+      val plan = m.queryExecution.executedPlan
+      def variantKeyed(
+          keys: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =
+        keys.exists(_.references.exists(_.name == "variant"))
+      val vJoins: Seq[SparkPlan] = plan.collect {
+        case j: SortMergeJoinExec if variantKeyed(j.leftKeys) => j
+        case j: ShuffledHashJoinExec if variantKeyed(j.leftKeys) => j
+      }
+      assert(vJoins.nonEmpty, s"expected a variant join:\n$plan")
+      vJoins.foreach { j =>
+        val vocabSide = j.children.last
+        assert(vocabSide.collect { case s: FileSourceScanExec => s }
+          .exists(_.toString.contains("fuzzy_var2_bucketed")),
+          s"vocab side must read the bucketed neighborhood:\n$vocabSide")
+        assert(vocabSide.collect { case e: ShuffleExchangeExec => e }
+          .isEmpty,
+          s"bucketed vocab side must not shuffle:\n$vocabSide")
+      }
+      def rowSet(d: org.apache.spark.sql.DataFrame) = d.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+      assert(rowSet(m) ===
+        rowSet(Fuzzy.fuzzyMatchTerms(vocab, terms, maxEdit = 2)))
+      // the double-substitution term resolves only at ed 2
+      assert(rows.exists(r => r.getString(1) == "bXtX3" &&
+        r.getLong(4) == 2L), s"double typo must match at dist 2")
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("round-16 retrieval operators over persisted layouts match inline") {
     // the six-layout deployment end to end: every new operator probes
     // the PERSISTED bucketed tables (word-bucketed tf + positional,

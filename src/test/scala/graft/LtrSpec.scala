@@ -106,6 +106,55 @@ class LtrSpec extends SparkSpec {
       s"LTR failed to learn the planted top-3: $mm")
   }
 
+  test("proximity-augmented features train and re-rank end to end") {
+    // the task-8 composition: ltrFeatures LEFT-joined with
+    // proximityFeatures (NULL = no signal -> coalesced defaults),
+    // the extended column set through training and application —
+    // the proximity columns ride the same loop as the lexical ones
+    val rnd = new scala.util.Random(230)
+    val c = (1L to 60L).map { id =>
+      id -> (Seq.fill(8 + rnd.nextInt(5))(
+        s"tok${20 / (rnd.nextInt(20) + 1)}")).mkString(" ")
+    }.toDF("doc_id", "text")
+    val qs = (300L to 307L).map { id =>
+      id -> Seq.fill(3)(s"tok${20 / (rnd.nextInt(20) + 1)}").mkString(" ")
+    }.toDF("query_id", "text")
+    val tf = Retrieval.termFrequencies(c, "doc_id", "text")
+      .localCheckpoint()
+    val dfT = Retrieval.dfTable(tf).localCheckpoint()
+    val cfT = Retrieval.cfTable(tf).localCheckpoint()
+    val st = Retrieval.corpusStats(tf).localCheckpoint()
+    val posts = Retrieval.positionalPostings(c, "doc_id", "text")
+      .localCheckpoint()
+    val prox = Retrieval.proximityFeatures(posts, qs, "query_id", "text")
+    val feats = Retrieval.ltrFeatures(tf, dfT, cfT, st, qs,
+      "query_id", "text")
+      .join(prox, Seq("queryId", "docId"), "left_outer")
+      .select(col("queryId"), col("docId"), col("bm25"), col("ql"),
+        col("n_matched"), col("coverage"), col("dl"), col("sum_idf"),
+        coalesce(col("min_dist"), lit(1000L)).as("min_dist"),
+        coalesce(col("n_gaps"), lit(0L)).as("n_gaps"))
+      .localCheckpoint()
+    val qrels = Retrieval.bm25TopK(
+      Retrieval.bm25ScoresPrecomputed(tf, dfT, st, qs,
+        "query_id", "text"), 3)
+      .select(col("queryId"), col("docId"), lit(1.0).as("label"))
+      .localCheckpoint()
+    val labeled = feats
+      .join(qrels, Seq("queryId", "docId"), "left_outer")
+      .na.fill(0.0, Seq("label")).localCheckpoint()
+    val cols = FeatureCols ++ Seq("min_dist", "n_gaps")
+    def trained() = Ltr.ltrTrainPointwise(labeled, cols, "label",
+      iters = 20, lr = 0.5)
+    val m = trained()
+    assert(m === trained()) // bit-deterministic with the extra columns
+    assert(m.weights.map(_._1) === cols)
+    val run = Ltr.ltrRerank(feats, m, 3)
+    assert(run.count() > 0)
+    assert(run.groupBy("queryId").count().collect()
+      .forall(_.getLong(1) <= 3))
+  }
+
   test("zero-variance features drop with weight zero") {
     val (_, _, _, _, feats, qrels) = fixture()
     val labeled = feats

@@ -890,6 +890,43 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("QL tiered retrieval routes like BM25's and is bitwise unchanged " +
+    "under a WAND tier 2") {
+    val rnd = new scala.util.Random(231)
+    val c = (1L to 80L).map { id =>
+      id -> Seq.fill(6 + rnd.nextInt(6))(
+        s"tok${40 / (rnd.nextInt(40) + 1)}").mkString(" ")
+    }.toDF("doc_id", "text")
+    val qs = (200L to 207L).map { id =>
+      id -> (Seq.fill(1)(s"tok${40 / (rnd.nextInt(40) + 1)}") ++
+        Seq.fill(1)(s"tok${13 + rnd.nextInt(28)}")).mkString(" ")
+    }.toDF("query_id", "text")
+    val (tf, dfT, st) = indexTriple(c)
+    val cfT = Retrieval.cfTable(tf).localCheckpoint()
+    val champ = Retrieval.championPostings(tf, m = 2).localCheckpoint()
+    val imp = Retrieval.impactStats(tf).localCheckpoint()
+    def rows(d: DataFrame): Set[(Long, Long, Double, Int, Long)] =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3), r.getLong(4))).toSet
+    val plain = rows(Retrieval.qlTopKTiered(champ, tf, cfT, st, dfT, qs,
+      "query_id", "text", k = 4))
+    assert(plain.exists(_._5 == 2L), "no query routed to tier 2")
+    assert(plain.exists(_._5 == 1L), "no query filled from tier 1")
+    // tier-1 rows are exactly the champion QL probe's for filled
+    // queries; tier-2 exactly the full QL probe's for routed ones
+    val champProbe = rows(Retrieval.bm25TopK(
+      Retrieval.qlDirichletScores(champ, cfT, st, qs,
+        "query_id", "text"), 4)
+      .withColumn("tier", lit(1L)))
+    for (r <- plain if r._5 == 1L)
+      assert(champProbe.contains(r), s"tier-1 row not the champ probe: $r")
+    // WAND tier-2 (any hotDf, with impact) leaves everything bitwise
+    for (hotDf <- Seq(0L, 3L, 1000L))
+      assert(rows(Retrieval.qlTopKTiered(champ, tf, cfT, st, dfT, qs,
+        "query_id", "text", k = 4, hotDf = Some(hotDf),
+        impact = Some(imp))) === plain, s"hotDf=$hotDf")
+  }
+
   test("LTR features carry the standalone scorers bitwise") {
     val rnd = new scala.util.Random(219)
     val c = (1L to 60L).map { id =>
