@@ -259,6 +259,7 @@ object ScaleBench {
         "pos_compact_deleted_10x", "retrieval_ingest_loop_10x",
         "ql_dirichlet_topk_10x", "ql_wand_impact_10x",
         "snippet_windows_10x", "snippet_texts_10x",
+        "proximity_features_10x",
         "bm25_conjunctive_topk_10x", "bm25_fuzzy_topk_10x",
         "bm25_fuzzy_ed2_topk_10x",
         "bm25f_topk_10x", "passage_maxp_topk_10x",
@@ -685,6 +686,24 @@ object ScaleBench {
           println("  snip_rows=" + graft.operators.Retrieval
             .snippetTexts(zipfDocs(0, 50000, 100), "doc_id", "text",
               wins, width = 8)
+            .count())
+        }
+        // proximity LTR features in the RESULT-SIZED form (q229's
+        // gate runs the full match set; production re-ranking wants
+        // top-k pairs): the pairs restriction pushes the docId
+        // semi-join below the word join, so the lag-window pass runs
+        // over kept pairs' occurrences only
+        time(s"proximity_features_10x $round") {
+          val top5 = graft.operators.Retrieval.bm25TopK(
+            graft.operators.Retrieval.bm25ScoresPrecomputed(
+              spark.table("sb_bm25_tf"), spark.table("sb_bm25_df"),
+              spark.table("sb_bm25_stats"), bm25Queries,
+              "query_id", "text",
+              bitExact = false, maxDocFrequency = Some(5000L)), 5)
+            .select(col("queryId"), col("docId")).localCheckpoint()
+          println("  prox_rows=" + graft.operators.Retrieval
+            .proximityFeatures(spark.table("sb_bm25_pos"), bm25Queries,
+              "query_id", "text", pairs = Some(top5))
             .count())
         }
         // GloVe co-occurrence pass over the positional layout (q214's

@@ -1774,6 +1774,23 @@ private[graft] object TextQueries {
     * passages CTE as pseudo-docs; the id aliases to `doc_id` so every
     * downstream CTE is untouched); queries always read `documents`.
     */
+  /** The champion tier (per-term top-`m` of the tfv rows under
+    * [[graft.operators.Retrieval.championPostings]]'s total key
+    * `(tf desc, dl asc, doc_id asc)`) replayed in SQL — ONE
+    * definition shared by q221/q222/q225/q231 (the shared-fragment
+    * rule: a tie-break drift must fail EVERY gate that claims to
+    * read "the champion tier", not silently fork its meaning).
+    * Emits `champ` downstream of `tfv`/`lens`.
+    */
+  private def championCte(m: Int): String =
+    s"""champ AS (
+       |  SELECT doc_id, word, tf FROM (
+       |    SELECT t.doc_id, t.word, t.tf,
+       |      row_number() OVER (PARTITION BY t.word
+       |        ORDER BY t.tf DESC, l.dl ASC, t.doc_id ASC) AS r
+       |    FROM tfv t JOIN lens l ON l.doc_id = t.doc_id) x
+       |  WHERE r <= $m)""".stripMargin
+
   private def bm25Cte(corpusWhere: String, queryWhere: String,
                       queryText: String = "text",
                       corpusText: String = "text",
@@ -4553,13 +4570,7 @@ private[graft] object TextQueries {
     "q221_champion_topk" ->
       s"""WITH ${bm25Cte("TRUE", "doc_id % 50 = 0",
              ZipfWandQueryTextSql, ZipfWandCorpusTextSql)},
-         |champ AS (
-         |  SELECT doc_id, word, tf FROM (
-         |    SELECT t.doc_id, t.word, t.tf,
-         |      row_number() OVER (PARTITION BY t.word
-         |        ORDER BY t.tf DESC, l.dl ASC, t.doc_id ASC) AS r
-         |    FROM tfv t JOIN lens l ON l.doc_id = t.doc_id) x
-         |  WHERE r <= 20),
+         |${championCte(20)},
          |ccon AS (
          |  SELECT query_id, ch.doc_id, ch.word,
          |    idf * (CAST(ch.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
@@ -4590,13 +4601,7 @@ private[graft] object TextQueries {
       s"""WITH ${bm25Cte("TRUE",
              s"doc_id % 97 = 0 AND length($TieredQueryTextSql) > 0",
              TieredQueryTextSql)},
-         |champ AS (
-         |  SELECT doc_id, word, tf FROM (
-         |    SELECT t.doc_id, t.word, t.tf,
-         |      row_number() OVER (PARTITION BY t.word
-         |        ORDER BY t.tf DESC, l.dl ASC, t.doc_id ASC) AS r
-         |    FROM tfv t JOIN lens l ON l.doc_id = t.doc_id) x
-         |  WHERE r <= 3),
+         |${championCte(3)},
          |ccon AS (
          |  SELECT query_id, ch.doc_id, ch.word,
          |    idf * (CAST(ch.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
@@ -4644,13 +4649,7 @@ private[graft] object TextQueries {
              s"doc_id % 97 = 0 AND length($TieredQueryTextSql) > 0",
              TieredQueryTextSql)},
          |$QlCtes,
-         |champ AS (
-         |  SELECT doc_id, word, tf FROM (
-         |    SELECT t.doc_id, t.word, t.tf,
-         |      row_number() OVER (PARTITION BY t.word
-         |        ORDER BY t.tf DESC, l.dl ASC, t.doc_id ASC) AS r
-         |    FROM tfv t JOIN lens l ON l.doc_id = t.doc_id) x
-         |  WHERE r <= 3),
+         |${championCte(3)},
          |cqcon AS (
          |  SELECT q.query_id, ch.doc_id, ch.word,
          |    ln(1.0 + CAST(ch.tf AS DOUBLE) * ctokens
@@ -4984,13 +4983,7 @@ private[graft] object TextQueries {
     "q225_champion_compact" ->
       s"""WITH ${bm25Cte("doc_id % 11 <> 0", "doc_id % 97 = 0",
              "substr(text, 1, 40)")},
-         |champ AS (
-         |  SELECT doc_id, word, tf FROM (
-         |    SELECT t.doc_id, t.word, t.tf,
-         |      row_number() OVER (PARTITION BY t.word
-         |        ORDER BY t.tf DESC, l.dl ASC, t.doc_id ASC) AS r
-         |    FROM tfv t JOIN lens l ON l.doc_id = t.doc_id) x
-         |  WHERE r <= 3),
+         |${championCte(3)},
          |ccon AS (
          |  SELECT query_id, ch.doc_id, ch.word,
          |    idf * (CAST(ch.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))

@@ -920,6 +920,12 @@ class RetrievalSpec extends SparkSpec {
       .withColumn("tier", lit(1L)))
     for (r <- plain if r._5 == 1L)
       assert(champProbe.contains(r), s"tier-1 row not the champ probe: $r")
+    val fullProbe = rows(Retrieval.bm25TopK(
+      Retrieval.qlDirichletScores(tf, cfT, st, qs,
+        "query_id", "text"), 4)
+      .withColumn("tier", lit(2L)))
+    for (r <- plain if r._5 == 2L)
+      assert(fullProbe.contains(r), s"tier-2 row not the full probe: $r")
     // WAND tier-2 (any hotDf, with impact) leaves everything bitwise
     for (hotDf <- Seq(0L, 3L, 1000L))
       assert(rows(Retrieval.qlTopKTiered(champ, tf, cfT, st, dfT, qs,
