@@ -260,6 +260,7 @@ object ScaleBench {
         "ql_dirichlet_topk_10x", "ql_wand_impact_10x",
         "snippet_windows_10x", "snippet_texts_10x",
         "proximity_features_10x",
+        "ltr_cascade_10x", "ltr_rerank_full_10x",
         "bm25_conjunctive_topk_10x", "bm25_fuzzy_topk_10x",
         "bm25_fuzzy_ed2_topk_10x",
         "bm25f_topk_10x", "passage_maxp_topk_10x",
@@ -705,6 +706,43 @@ object ScaleBench {
             .proximityFeatures(spark.table("sb_bm25_pos"), bm25Queries,
               "query_id", "text", pairs = Some(top5))
             .count())
+        }
+        // the serving CASCADE (q232's gate): score-exact WAND top-20
+        // candidates, pair-restricted LTR features doc-fetched
+        // through the forward layout, a pinned linear re-rank — vs
+        // the full-match feature table (q219's shape) that a naive
+        // re-ranker would assemble. The pair form's matched volume is
+        // candidates × doc length; the full form's is the entire
+        // posting match set
+        time(s"ltr_cascade_10x $round") {
+          import graft.operators.{Ltr, Retrieval}
+          val top20 = Retrieval.bm25TopKWand(
+            spark.table("sb_bm25_tf"), bm25Queries, "query_id", "text",
+            k = 20, hotDf = 5000L, bitExact = false,
+            forward = Some(spark.table("sb_bm25_fwd")),
+            dfStats = Some((spark.table("sb_bm25_df"),
+              spark.table("sb_bm25_stats"))),
+            impact = Some(spark.table("sb_bm25_imp")))
+            .select(col("queryId"), col("docId")).localCheckpoint()
+          val feats = Retrieval.ltrFeaturesForPairs(
+            spark.table("sb_bm25_tf"), spark.table("sb_bm25_df"),
+            spark.table("sb_bm25_cf"), spark.table("sb_bm25_stats"),
+            bm25Queries, "query_id", "text", top20,
+            forward = Some(spark.table("sb_bm25_fwd")))
+          println("  cascade_rows=" + Ltr.ltrRerank(feats,
+            Ltr.LtrModel(Seq("bm25" -> 0.6, "ql" -> 0.05,
+              "n_matched" -> 0.3, "coverage" -> 1.5, "dl" -> -0.01,
+              "sum_idf" -> 0.2), 0.1), 5).count())
+        }
+        time(s"ltr_rerank_full_10x $round") {
+          import graft.operators.{Ltr, Retrieval}
+          println("  full_rows=" + Ltr.ltrRerank(Retrieval.ltrFeatures(
+            spark.table("sb_bm25_tf"), spark.table("sb_bm25_df"),
+            spark.table("sb_bm25_cf"), spark.table("sb_bm25_stats"),
+            bm25Queries, "query_id", "text"),
+            Ltr.LtrModel(Seq("bm25" -> 0.6, "ql" -> 0.05,
+              "n_matched" -> 0.3, "coverage" -> 1.5, "dl" -> -0.01,
+              "sum_idf" -> 0.2), 0.1), 5).count())
         }
         // GloVe co-occurrence pass over the positional layout (q214's
         // gate): 5M tokens × window 4 = 20M banded events; the stop

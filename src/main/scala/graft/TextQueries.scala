@@ -1593,6 +1593,39 @@ private[graft] object TextQueries {
           round(col("avg_dist"), 6).as("avg_dist"), col("n_gaps"))
         .orderBy("query_id", "doc_id")
     }),
+    // the serving-time CASCADE (candidate generation → feature
+    // re-rank): exact top-20 candidates, pair-restricted LTR features
+    // fetched doc-wise through the forward shape, the pinned linear
+    // model's top-5 — the whole production re-ranking chain in one
+    // gate, every stage replayed (candidates, the semi-joined feature
+    // table, the projection, the rank)
+    "q232_cascade_rerank" -> ((s, dir) => {
+      import graft.operators.{Ltr, Retrieval}
+      val docs = t(s, dir, "documents")
+      val tf = Retrieval.termFrequencies(docs, "doc_id", "text")
+        .localCheckpoint() // see q179
+      val dfT = Retrieval.dfTable(tf).localCheckpoint()
+      val cfT = Retrieval.cfTable(tf).localCheckpoint()
+      val st = Retrieval.corpusStats(tf).localCheckpoint()
+      val qs = docs.where(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("query_id"),
+          substring(col("text"), 1, 40).as("text"))
+      val top20 = Retrieval.bm25TopK(
+        Retrieval.bm25ScoresPrecomputed(tf, dfT, st, qs,
+          "query_id", "text"), 20)
+        .select(col("queryId"), col("docId"))
+        .localCheckpoint() // result-sized candidates
+      val feats = Retrieval.ltrFeaturesForPairs(tf, dfT, cfT, st, qs,
+        "query_id", "text", top20)
+      val m = Ltr.LtrModel(Seq("bm25" -> 0.6, "ql" -> 0.05,
+        "n_matched" -> 0.3, "coverage" -> 1.5, "dl" -> -0.01,
+        "sum_idf" -> 0.2), 0.1)
+      Ltr.ltrRerank(feats, m, 5)
+        .select(col("queryId").as("query_id"), col("docId").as("doc_id"),
+          round(col("score"), 6).as("score"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
     // Kendall rank agreement between the pruned and exact top-10
     // runs: concordant/discordant pairs over the common docs and
     // τ = (C − D)/(n(n−1)/2) — the hot-only query slice shares NO
@@ -4462,6 +4495,52 @@ private[graft] object TextQueries {
          |      + CAST(-0.01 AS DOUBLE) * CAST(l.dl AS DOUBLE)
          |      + CAST(0.2 AS DOUBLE) * m.sum_idf AS score
          |  FROM bscores b
+         |  JOIN qlsc q ON q.query_id = b.query_id AND q.doc_id = b.doc_id
+         |  JOIN mstat m ON m.query_id = b.query_id AND m.doc_id = b.doc_id
+         |  JOIN qful f ON f.query_id = b.query_id
+         |  JOIN lens l ON l.doc_id = b.doc_id)
+         |SELECT query_id, doc_id, round(score, 6) AS score,
+         |  CAST(rank AS BIGINT) AS rank
+         |FROM (
+         |  SELECT query_id, doc_id, score,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id) AS rank
+         |  FROM ltr) z
+         |WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // q228's replay restricted to the top-20 candidate set (rank over
+    // bscores, exact — so the oracle's candidates ARE the operator's)
+    // — a pair-fetch drift that loses or invents a candidate's
+    // feature row breaks the re-ranked rows
+    "q232_cascade_rerank" ->
+      s"""WITH ${bm25Cte("TRUE", "doc_id % 97 = 0", "substr(text, 1, 40)")},
+         |$QlCtes,
+         |btop AS (
+         |  SELECT query_id, doc_id FROM (
+         |    SELECT query_id, doc_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score DESC, doc_id) AS r
+         |    FROM bscores) x WHERE r <= 20),
+         |mstat AS (
+         |  SELECT query_id, t.doc_id, CAST(count(*) AS BIGINT) AS n_matched,
+         |    list_reduce(list_prepend(0.0, list(e.idf ORDER BY e.word)),
+         |      (a, x) -> a + x) AS sum_idf
+         |  FROM tfv t JOIN enriched e ON e.word = t.word
+         |  GROUP BY 1, 2),
+         |qful AS (SELECT query_id, count(*) AS nq FROM qterms GROUP BY 1),
+         |ltr AS (
+         |  SELECT b.query_id, b.doc_id,
+         |    CAST(0.1 AS DOUBLE)
+         |      + CAST(0.6 AS DOUBLE) * b.score
+         |      + CAST(0.05 AS DOUBLE) * q.score
+         |      + CAST(0.3 AS DOUBLE) * CAST(m.n_matched AS DOUBLE)
+         |      + CAST(1.5 AS DOUBLE) *
+         |        (CAST(m.n_matched AS DOUBLE) / CAST(f.nq AS DOUBLE))
+         |      + CAST(-0.01 AS DOUBLE) * CAST(l.dl AS DOUBLE)
+         |      + CAST(0.2 AS DOUBLE) * m.sum_idf AS score
+         |  FROM bscores b
+         |  JOIN btop c ON c.query_id = b.query_id AND c.doc_id = b.doc_id
          |  JOIN qlsc q ON q.query_id = b.query_id AND q.doc_id = b.doc_id
          |  JOIN mstat m ON m.query_id = b.query_id AND m.doc_id = b.doc_id
          |  JOIN qful f ON f.query_id = b.query_id

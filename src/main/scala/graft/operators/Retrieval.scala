@@ -2121,6 +2121,61 @@ object Retrieval {
                   k1: Double = 1.2, b: Double = 0.75,
                   mu: Double = 2000.0): DataFrame = {
     require(mu > 0, s"mu > 0: $mu")
+    val (enriched, nqPresent, nqFull) =
+      ltrEnriched(dfTab, cfTab, stats, queries, qidCol, qtextCol)
+    ltrAssemble(tf.join(enriched, Seq("word"))
+      .select(col("queryId"), col("docId"), col("word"), col("dl"),
+        contribExpr(k1, b).as("__cb"),
+        qlContribExpr(mu).as("__cq"),
+        col("idf")),
+      nqPresent, nqFull, mu)
+  }
+
+  /** [[ltrFeatures]] restricted to a CANDIDATE pair table — the
+    * serving-time cascade shape (candidate generation → feature
+    * re-rank): instead of the word-keyed posting join over every
+    * matching pair, the candidates' terms fetch doc-wise through the
+    * `forward` layout (the docId-bucketed table, the [[bm25TopKWand]]
+    * phase-2 trick) and only the kept pairs' feature rows ever
+    * materialize. Row- and BITWISE-identical to
+    * `ltrFeatures(...).join(pairs, Seq("queryId","docId"),
+    * "left_semi")` (q232 gates the full cascade — WAND-shaped
+    * candidates → pair features → a pinned linear re-rank;
+    * RetrievalSpec pins the semi-join equivalence): a pair matching
+    * ZERO query terms has no rows on either path. `pairs` is
+    * result-sized (a top-k output) — pass it materialized.
+    */
+  def ltrFeaturesForPairs(tf: DataFrame, dfTab: DataFrame,
+                          cfTab: DataFrame, stats: DataFrame,
+                          queries: DataFrame, qidCol: String,
+                          qtextCol: String,
+                          pairs: DataFrame,
+                          k1: Double = 1.2, b: Double = 0.75,
+                          mu: Double = 2000.0,
+                          forward: Option[DataFrame] = None): DataFrame = {
+    require(mu > 0, s"mu > 0: $mu")
+    val (enriched, nqPresent, nqFull) =
+      ltrEnriched(dfTab, cfTab, stats, queries, qidCol, qtextCol)
+    val fwd = forward.getOrElse(tf)
+    ltrAssemble(pairs.select(col("queryId"), col("docId"))
+      .join(fwd, Seq("docId"))
+      .join(enriched, Seq("queryId", "word"))
+      .select(col("queryId"), col("docId"), col("word"), col("dl"),
+        contribExpr(k1, b).as("__cb"),
+        qlContribExpr(mu).as("__cq"),
+        col("idf")),
+      nqPresent, nqFull, mu)
+  }
+
+  /** The enriched query-term table + both |q| counts shared by the
+    * [[ltrFeatures]] family — one definition, so the full-match and
+    * pair-restricted forms cannot drift.
+    */
+  private def ltrEnriched(dfTab: DataFrame, cfTab: DataFrame,
+                          stats: DataFrame,
+                          queries: DataFrame, qidCol: String,
+                          qtextCol: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val statsD = statsDouble(stats)
     val ctok = stats.select(col("total_dl").cast("double").as("__cTokens"))
     val qt = queryTerms(queries, qidCol, qtextCol)
@@ -2137,11 +2192,16 @@ object Retrieval {
     val nqPresent = enriched.groupBy("queryId")
       .agg(count(lit(1)).as("__nqp"))
     val nqFull = qt.groupBy("queryId").agg(count(lit(1)).as("__nqf"))
-    val rows = tf.join(enriched, Seq("word"))
-      .select(col("queryId"), col("docId"), col("word"), col("dl"),
-        contribExpr(k1, b).as("__cb"),
-        qlContribExpr(mu).as("__cq"),
-        col("idf"))
+    (enriched, nqPresent, nqFull)
+  }
+
+  /** The feature fold shared by the [[ltrFeatures]] family: one
+    * word-sorted collect per (query, doc) carrying all three
+    * per-term values, the QL normalizer added once, coverage off the
+    * FULL term count — identical trees on both input shapes.
+    */
+  private def ltrAssemble(rows: DataFrame, nqPresent: DataFrame,
+                          nqFull: DataFrame, mu: Double): DataFrame = {
     rows
       .groupBy(col("queryId"), col("docId"))
       .agg(sort_array(collect_list(struct(col("word"), col("__cb"),

@@ -933,6 +933,43 @@ class RetrievalSpec extends SparkSpec {
         impact = Some(imp))) === plain, s"hotDf=$hotDf")
   }
 
+  test("pair-restricted LTR features equal the full table semi-joined") {
+    // the cascade shape: candidates' terms fetch doc-wise through the
+    // forward layout, and the feature rows must be BITWISE the
+    // word-keyed full table's — including a pair matching zero query
+    // terms, which has no row on either path
+    val rnd = new scala.util.Random(232)
+    val c = (1L to 60L).map { id =>
+      id -> Seq.fill(5 + rnd.nextInt(6))(
+        s"tok${20 / (rnd.nextInt(20) + 1)}").mkString(" ")
+    }.toDF("doc_id", "text")
+    val qs = (300L to 306L).map { id =>
+      id -> Seq.fill(3)(s"tok${20 / (rnd.nextInt(20) + 1)}").mkString(" ")
+    }.toDF("query_id", "text")
+    val (tf, dfT, st) = indexTriple(c)
+    val cfT = Retrieval.cfTable(tf).localCheckpoint()
+    def rows(d: DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getLong(4), r.getDouble(5),
+          r.getLong(6), r.getDouble(7)))).toMap
+    val full = Retrieval.ltrFeatures(tf, dfT, cfT, st, qs,
+      "query_id", "text").localCheckpoint()
+    // candidates: a top-3 slice plus a zero-match pair (doc 1 never
+    // shares a term with query 300 in this seed? force one: a pair
+    // with an id absent from the corpus — no rows either way)
+    val pairs = Retrieval.bm25TopK(
+      Retrieval.bm25ScoresPrecomputed(tf, dfT, st, qs,
+        "query_id", "text"), 3)
+      .select(col("queryId"), col("docId"))
+      .unionByName(Seq((300L, 9999L)).toDF("queryId", "docId"))
+      .localCheckpoint()
+    val restricted = Retrieval.ltrFeaturesForPairs(tf, dfT, cfT, st,
+      qs, "query_id", "text", pairs)
+    assert(rows(restricted) ===
+      rows(full.join(pairs, Seq("queryId", "docId"), "left_semi")))
+    assert(rows(restricted).nonEmpty)
+  }
+
   test("LTR features carry the standalone scorers bitwise") {
     val rnd = new scala.util.Random(219)
     val c = (1L to 60L).map { id =>
