@@ -1177,6 +1177,73 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming queries serve through the round-17 entry points like " +
+    "batch (QL WAND + tiered)") {
+    // the serving-parity claim for the new pruned/tiered paths:
+    // per-micro-batch qlTopKWand and bm25TopKTiered (WAND tier-2)
+    // against the persisted layouts must accumulate to exactly the
+    // batch run — routing included, since WAND routing is per-query
+    // and tiered fill counts are per-query too (no cross-batch state)
+    import graft.operators.Retrieval
+    val corpus = (1L to 40L).map { id =>
+      id -> s"apple banana tok${id % 7} tok${id % 5} cherry"
+    }.toDF("doc_id", "text")
+    val tf = Retrieval.termFrequencies(corpus, "doc_id", "text")
+      .localCheckpoint()
+    val dfT = Retrieval.dfTable(tf).localCheckpoint()
+    val cfT = Retrieval.cfTable(tf).localCheckpoint()
+    val st = Retrieval.corpusStats(tf).localCheckpoint()
+    val imp = Retrieval.impactStats(tf).localCheckpoint()
+    val champ = Retrieval.championPostings(tf, m = 2).localCheckpoint()
+    val qlServed = scala.collection.mutable
+      .ArrayBuffer[(Long, Long, Double, Int)]()
+    val tierServed = scala.collection.mutable
+      .ArrayBuffer[(Long, Long, Double, Int, Long)]()
+    val input = MemoryStream[(Long, String)](spark)
+    val q = input.toDF()
+      .select(col("_1").as("query_id"), col("_2").as("text"))
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val bb = b.localCheckpoint() // consumed by both entry points
+        qlServed.synchronized {
+          qlServed ++= Retrieval.qlTopKWand(tf, bb, "query_id", "text",
+            k = 3, hotDf = 10L, dfStats = Some((dfT, st)),
+            cf = Some(cfT), impact = Some(imp)).collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+              r.getInt(3)))
+        }
+        tierServed.synchronized {
+          tierServed ++= Retrieval.bm25TopKTiered(champ, tf, dfT, st,
+            bb, "query_id", "text", k = 3, hotDf = Some(10L),
+            impact = Some(imp)).collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+              r.getInt(3), r.getLong(4)))
+        }
+        ()
+      }.start()
+    try {
+      input.addData((100L, "apple cherry"), (101L, "tok3 banana"))
+      q.processAllAvailable()
+      input.addData((102L, "tok6"))
+      q.processAllAvailable()
+      val batchQs = Seq((100L, "apple cherry"), (101L, "tok3 banana"),
+        (102L, "tok6")).toDF("query_id", "text")
+      val qlBatch = Retrieval.qlTopKWand(tf, batchQs, "query_id", "text",
+        k = 3, hotDf = 10L, dfStats = Some((dfT, st)),
+        cf = Some(cfT), impact = Some(imp)).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3))).toSet
+      assert(qlServed.synchronized(qlServed.toSet) === qlBatch) // bitwise
+      val tierBatch = Retrieval.bm25TopKTiered(champ, tf, dfT, st,
+        batchQs, "query_id", "text", k = 3, hotDf = Some(10L),
+        impact = Some(imp)).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3), r.getLong(4))).toSet
+      assert(tierServed.synchronized(tierServed.toSet) === tierBatch)
+      assert(tierBatch.map(_._1) === Set(100L, 101L, 102L))
+    } finally q.stop()
+  }
+
   test("batch and streaming sessionization agree on on-time data") {
     val batch = EventStreams.sessionize(
       Seq((7L, 1000L, 1L), (7L, 1500L, 2L), (7L, 4000L, 3L), (8L, 900L, 4L))
