@@ -265,7 +265,7 @@ object ScaleBench {
         "bm25_fuzzy_ed2_topk_10x",
         "bm25f_topk_10x", "passage_maxp_topk_10x",
         "rm3_rescore_10x", "rm3_rescore_wand_10x",
-        "rm3_rescore_wand_impact_10x",
+        "rm3_rescore_wand_impact_10x", "ql_rm3_rescore_10x",
         "rm3_rescore_capped_10x", "cooccurrence_10x", "cori_route_10x")
       round <- Seq("cold", "warm")
     } yield s"$base $round") :+ "bm25_index_write_once"
@@ -943,6 +943,39 @@ object ScaleBench {
               forward = Some(spark.table("sb_bm25_fwd")),
               dfStats = Some((spark.table("sb_bm25_df"),
                 spark.table("sb_bm25_stats"))),
+              impact = Some(imp))
+            .count())
+        }
+        // the LM-NATIVE RM3 (q233's gate): QL first pass through
+        // score-exact QL WAND, softmax likelihood doc weights, the
+        // shared tail (expansion df cap = the RM3 stoplist, the
+        // production config), the weighted QL second pass — the full
+        // LM feedback loop over the same persisted layouts, both
+        // passes score-exact pruned (q234's gate): the weighted QL
+        // WAND second pass skips the hot posting lists the unpruned
+        // form paid for twice (measured 22.8 s warm unpruned — the
+        // original query's head terms ride at λ/|Q| weight and drag
+        // their lists through the per-posting ln())
+        time(s"ql_rm3_rescore_10x $round") {
+          val imp = spark.table("sb_bm25_imp")
+          val exp = graft.operators.Retrieval.rm3ExpandedTermsQl(
+            spark.table("sb_bm25_tf"), spark.table("sb_bm25_cf"),
+            spark.table("sb_bm25_stats"), spark.table("sb_bm25_df"),
+            bm25Queries, "query_id", "text",
+            k = 10, m = 10, lambda = 0.5,
+            bitExact = false, maxFeedbackDf = Some(5000L),
+            wandHotDf = Some(5000L),
+            forward = Some(spark.table("sb_bm25_fwd")),
+            wandImpact = Some(imp))
+            .localCheckpoint()
+          println("  ql_rescored=" + graft.operators.Retrieval
+            .qlTopKWandWeighted(
+              spark.table("sb_bm25_tf"), exp, k = 5, hotDf = 5000L,
+              bitExact = false,
+              forward = Some(spark.table("sb_bm25_fwd")),
+              dfStats = Some((spark.table("sb_bm25_df"),
+                spark.table("sb_bm25_stats"))),
+              cf = Some(spark.table("sb_bm25_cf")),
               impact = Some(imp))
             .count())
         }

@@ -1737,6 +1737,59 @@ private[graft] object TextQueries {
           col("rank").cast("long").as("rank"), col("tier"))
         .orderBy("query_id", "rank")
     }),
+    // LM-NATIVE RM3 (the full QL feedback loop): first-pass QL
+    // top-10, SOFTMAX likelihood doc weights (QL scores are
+    // log-likelihoods — score/Σ weighting is meaningless), the shared
+    // RM3 tail, then the WEIGHTED QL second pass with the
+    // mass-proportional length normalizer — every stage replayed,
+    // softmax and folds included
+    "q233_ql_rm3_rescore" -> ((s, dir) => {
+      import graft.operators.Retrieval
+      val docs = t(s, dir, "documents")
+      val tf = Retrieval.termFrequencies(docs, "doc_id", "text")
+        .localCheckpoint() // see q179
+      val dfT = Retrieval.dfTable(tf).localCheckpoint()
+      val cfT = Retrieval.cfTable(tf).localCheckpoint()
+      val st = Retrieval.corpusStats(tf).localCheckpoint()
+      val qs = docs.where(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("query_id"),
+          substring(col("text"), 1, 40).as("text"))
+      val tw = Retrieval.rm3ExpandedTermsQl(tf, cfT, st, dfT, qs,
+        "query_id", "text").localCheckpoint() // consumed 2x below
+      Retrieval.bm25TopK(
+        Retrieval.qlScoresWeighted(tf, cfT, st, tw), 5)
+        .select(col("queryId").as("query_id"), col("docId").as("doc_id"),
+          round(col("score"), 6).as("score"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+    // ...and the SCORE-EXACT pruned second pass (the q191 convention
+    // for the LM loop): the same QL-RM3 expansion rescored through
+    // weighted QL WAND with impact bounds — the oracle is q233's
+    // UNPRUNED replay verbatim, so the gate is the weighted
+    // exactness claim itself
+    "q234_ql_rm3_wand_rescore" -> ((s, dir) => {
+      import graft.operators.Retrieval
+      val docs = t(s, dir, "documents")
+      val tf = Retrieval.termFrequencies(docs, "doc_id", "text")
+        .localCheckpoint() // see q179
+      val dfT = Retrieval.dfTable(tf).localCheckpoint()
+      val cfT = Retrieval.cfTable(tf).localCheckpoint()
+      val st = Retrieval.corpusStats(tf).localCheckpoint()
+      val qs = docs.where(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("query_id"),
+          substring(col("text"), 1, 40).as("text"))
+      val tw = Retrieval.rm3ExpandedTermsQl(tf, cfT, st, dfT, qs,
+        "query_id", "text").localCheckpoint() // consumed 2x below
+      Retrieval.qlTopKWandWeighted(tf, tw, k = 5,
+        hotDf = tf.select("docId").distinct().count() / 10,
+        dfStats = Some((dfT, st)), cf = Some(cfT),
+        impact = Some(Retrieval.impactStats(tf)))
+        .select(col("queryId").as("query_id"), col("docId").as("doc_id"),
+          round(col("score"), 6).as("score"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
     // the QL-Dirichlet WAND analog: pruned top-5 over the Zipf WAND
     // fixture, impact-tightened bounds — the oracle replays the
     // UNPRUNED QL chain (q199's CTEs over this fixture), so the gate
@@ -2047,6 +2100,103 @@ private[graft] object TextQueries {
     * λ=0.5 interpolation with the uniform original query — each Σ the
     * exact tree the operator folds.
     */
+  /** The LM-native RM3 composition replayed in SQL (q233's chain;
+    * q234 shares it verbatim — its weighted QL WAND second pass is
+    * score-exact, so the unpruned replay is both gates' contract).
+    */
+  private lazy val QlRm3RescoreOracle = s"""WITH ${bm25Cte("TRUE", "doc_id % 97 = 0", "substr(text, 1, 40)")},
+         |$QlCtes,
+         |qltop AS (
+         |  SELECT query_id, doc_id, score FROM (
+         |    SELECT query_id, doc_id, score,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score DESC, doc_id) AS r
+         |    FROM qlsc) x WHERE r <= 10),
+         |qmx AS (
+         |  SELECT query_id, max(score) AS mx FROM qltop GROUP BY 1),
+         |qex AS (
+         |  SELECT t.query_id, t.doc_id, exp(t.score - m.mx) AS e
+         |  FROM qltop t JOIN qmx m USING (query_id)),
+         |qzz AS (
+         |  SELECT query_id,
+         |    list_reduce(list_prepend(0.0, list(e ORDER BY doc_id)),
+         |      (a, x) -> a + x) AS z
+         |  FROM qex GROUP BY 1),
+         |qfbm AS (
+         |  SELECT e.query_id, t.word,
+         |    list_reduce(list_prepend(0.0, list(
+         |      (CAST(t.tf AS DOUBLE) / CAST(l.dl AS DOUBLE)) * (e.e / z.z)
+         |      ORDER BY t.doc_id)), (a, x) -> a + x) AS pw
+         |  FROM qex e
+         |  JOIN tfv t ON t.doc_id = e.doc_id
+         |  JOIN lens l ON l.doc_id = t.doc_id
+         |  JOIN qzz z ON z.query_id = e.query_id
+         |  GROUP BY e.query_id, t.word),
+         |qfbkept AS (
+         |  SELECT query_id, word, pw FROM (
+         |    SELECT query_id, word, pw,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY pw DESC, word) AS r
+         |    FROM qfbm) y WHERE r <= 10),
+         |qfbnorm AS (
+         |  SELECT query_id,
+         |    list_reduce(list_prepend(0.0, list(pw ORDER BY word)),
+         |      (a, x) -> a + x) AS s
+         |  FROM qfbkept GROUP BY 1),
+         |qfbw AS (
+         |  SELECT k.query_id, k.word, k.pw / n.s AS fw
+         |  FROM qfbkept k JOIN qfbnorm n USING (query_id)),
+         |qown AS (SELECT query_id, count(*) AS n FROM qterms GROUP BY 1),
+         |qow AS (
+         |  SELECT q.query_id, q.word, 1.0 / CAST(o.n AS DOUBLE) AS owt
+         |  FROM qterms q JOIN qown o USING (query_id)),
+         |qfbq AS (SELECT DISTINCT query_id FROM qfbw),
+         |qfinalw AS (
+         |  SELECT coalesce(a.query_id, f.query_id) AS query_id,
+         |    coalesce(a.word, f.word) AS word,
+         |    CAST(0.5 AS DOUBLE) * coalesce(owt, 0.0) +
+         |      CAST(0.5 AS DOUBLE) * coalesce(fw, 0.0) AS weight
+         |  FROM qow a FULL OUTER JOIN qfbw f
+         |    ON a.query_id = f.query_id AND a.word = f.word
+         |  WHERE coalesce(a.query_id, f.query_id) IN
+         |    (SELECT query_id FROM qfbq)
+         |  UNION ALL
+         |  SELECT query_id, word, owt AS weight FROM qow
+         |  WHERE query_id NOT IN (SELECT query_id FROM qfbq)),
+         |wqenr AS (
+         |  SELECT f.query_id, f.word, f.weight, c.cf
+         |  FROM qfinalw f JOIN cft c USING (word)),
+         |wqn AS (
+         |  SELECT query_id,
+         |    list_reduce(list_prepend(0.0, list(weight ORDER BY word)),
+         |      (a, x) -> a + x) AS nqw
+         |  FROM wqenr GROUP BY 1),
+         |wqcon AS (
+         |  SELECT e.query_id, t.doc_id, t.word,
+         |    e.weight * ln(1.0 + CAST(t.tf AS DOUBLE) * ctokens
+         |      / (CAST(2000 AS DOUBLE) * CAST(e.cf AS DOUBLE))) AS c,
+         |    l.dl
+         |  FROM tfv t JOIN wqenr e ON e.word = t.word
+         |  JOIN lens l ON l.doc_id = t.doc_id
+         |  CROSS JOIN ctok),
+         |wqsc AS (
+         |  SELECT query_id, doc_id,
+         |    list_reduce(list(c ORDER BY word), (a, x) -> a + x)
+         |      + nqw * ln(CAST(2000 AS DOUBLE)
+         |          / (CAST(dl AS DOUBLE) + CAST(2000 AS DOUBLE)))
+         |      AS score
+         |  FROM wqcon JOIN wqn USING (query_id)
+         |  GROUP BY query_id, doc_id, nqw, dl)
+         |SELECT query_id, doc_id, round(score, 6) AS score,
+         |  CAST(rank AS BIGINT) AS rank
+         |FROM (
+         |  SELECT query_id, doc_id, score,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id) AS rank
+         |  FROM wqsc) z
+         |WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
+
   private lazy val Rm3Ctes =
     s"""rtop AS (
        |  SELECT query_id, doc_id, score FROM (
@@ -4719,7 +4869,16 @@ private[graft] object TextQueries {
          |  SELECT query_id, doc_id, score, r, 2 FROM t2) u
          |ORDER BY query_id, rank""".stripMargin,
 
-    // q222's replay with the QL chains: the champion tier scored by
+    // the QL RM3 chain from first principles: qlsc's top-10, the
+    // stable softmax (exp(s − max)/Σ, docId-sorted folds), the
+    // Rm3Ctes-shaped tail (mass truncation, renormalization, λ=0.5
+    // mix, empty-feedback fallback), then the weighted QL tree with
+    // the word-sorted weight-mass normalizer. q234 maps to the SAME
+    // replay: its weighted QL WAND second pass is score-exact, so
+    // the unpruned oracle IS its contract
+    "q233_ql_rm3_rescore" -> QlRm3RescoreOracle,
+    "q234_ql_rm3_wand_rescore" -> QlRm3RescoreOracle,
+        // q222's replay with the QL chains: the champion tier scored by
     // the QL tree (full-corpus cf/|C|/nq, champion tf rows, lens dl),
     // the fill-count routing, and the exact tier from qlsc — the
     // WAND tier-2 is score-exact, so the oracle never models it

@@ -432,6 +432,43 @@ object Retrieval {
       mu, bitExact)
   }
 
+  /** QL Dirichlet scoring under a WEIGHTED query-term table
+    * `(queryId, word, weight)` (an [[rm3ExpandedTermsQl]] output, or
+    * any caller-supplied term weighting) — the LM mirror of
+    * [[bm25ScoresWeighted]]: each matching term contributes
+    * `weight · ln(1 + tf·|C|/(μ·cf))`, and the length normalizer
+    * generalizes to `(Σ_present weight) · ln(μ/(dl + μ))` — each unit
+    * of query mass carries one normalizer share, so a unit-weight
+    * table reduces BITWISE to [[qlDirichletScores]] (IEEE
+    * `1.0 · x == x`, and the word-sorted weight fold of 1.0s is the
+    * exact integer count; RetrievalSpec pins the reduction). Terms
+    * absent from the corpus drop via the cf join on BOTH the
+    * contribution and normalizer sides — the [[qlDirichletScores]]
+    * corpus-present contract. Same one posting join, same
+    * [[qlScoreFold]], same `bitExact` contract.
+    */
+  def qlScoresWeighted(tf: DataFrame, cfTab: DataFrame,
+                       stats: DataFrame, termWeights: DataFrame,
+                       mu: Double = 2000.0,
+                       bitExact: Boolean = true): DataFrame = {
+    require(mu > 0, s"mu > 0: $mu")
+    val qTerms = termWeights.join(cfTab, Seq("word"))
+      .crossJoin(broadcast(
+        stats.select(col("total_dl").cast("double").as("__cTokens"))))
+    // the weighted |q|: word-sorted fold, bit-reproducible like the
+    // contribution folds
+    val qn = qTerms.groupBy("queryId")
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("word"), col("weight")))),
+        lit(0.0), (a, x) => a + x.getField("weight")).as("__nq"))
+    val enriched = qTerms.join(qn, Seq("queryId"))
+    qlScoreFold(tf.join(enriched, Seq("word"))
+      .select(col("queryId"), col("docId"), col("word"),
+        (col("weight") * qlContribExpr(mu)).as("__c"),
+        col("dl"), col("__nq")),
+      mu, bitExact)
+  }
+
   /** Collapse QL `(queryId, docId, word, __c, dl, __nq)` matching
     * contributions to scores — the [[scoreFold]] convention for the
     * second scorer, shared by [[qlDirichletScores]] and
@@ -634,6 +671,97 @@ object Retrieval {
     // optional expansion-candidate df cap (feedback-vocab-sized
     // semi-join; the truncated renormalization below then spreads the
     // mass over the kept informative terms)
+    rm3Tail(fb, dfTab, queries, qidCol, qtextCol, m, lambda,
+      maxFeedbackDf)
+  }
+
+  /** RM3 pseudo-relevance feedback for the QL DIRICHLET scorer — the
+    * LM-NATIVE relevance model (Lavrenko & Croft'01 estimate
+    * `P(w|R) ∝ Σ_d P(w|d)·P(q|d)` with P(q|d) the query LIKELIHOOD):
+    * where [[rm3ExpandedTerms]] weights feedback docs by their BM25
+    * score over the score sum (the Anserini convention for a
+    * positive-scored ranker), QL scores are LOG-likelihoods —
+    * negative, so score/Σ weighting is meaningless — and the faithful
+    * doc weight is the SOFTMAX `exp(s_d − max_s) / Σ exp(s_i − max_s)`
+    * (max-subtracted for stability; exactly proportional to the
+    * likelihoods P(q|d)). Everything after the doc weighting — the
+    * expansion-df cap, top-`m` truncation, renormalization, λ-mix
+    * with the uniform original query, and the empty-feedback
+    * fallback — is [[rm3Tail]], SHARED with the BM25 operator, so
+    * the two RM3s cannot drift in their tail semantics. Feed the
+    * output to [[qlScoresWeighted]] for the LM second pass (q233
+    * gates the full composition).
+    *
+    * `wandHotDf` routes the first pass through the score-exact
+    * [[qlTopKWand]] (with `forward`/`wandImpact` as its layouts) —
+    * identical feedback set, hot posting lists skipped for safe
+    * queries, exactly the [[rm3ExpandedTerms]] regime. Scale shape
+    * matches the BM25 RM3: the feedback set is result-sized, its
+    * term pull one docId join, everything after
+    * feedback-vocabulary-sized; the exp/softmax is result-sized
+    * arithmetic with docId-sorted folds (bit-reproducible and
+    * oracle-replayable).
+    */
+  def rm3ExpandedTermsQl(tf: DataFrame, cfTab: DataFrame,
+                         stats: DataFrame, dfTab: DataFrame,
+                         queries: DataFrame, qidCol: String,
+                         qtextCol: String,
+                         k: Int = 10, m: Int = 10, lambda: Double = 0.5,
+                         mu: Double = 2000.0,
+                         bitExact: Boolean = true,
+                         maxFeedbackDf: Option[Long] = None,
+                         wandHotDf: Option[Long] = None,
+                         forward: Option[DataFrame] = None,
+                         wandImpact: Option[DataFrame] = None)
+      : DataFrame = {
+    require(m > 0, s"m > 0: $m")
+    require(lambda >= 0 && lambda <= 1, s"lambda in [0,1]: $lambda")
+    // feedback set: result-sized, consumed 3x (max, softmax, pull)
+    val topk = (wandHotDf match {
+      case Some(hd) =>
+        qlTopKWand(tf, queries, qidCol, qtextCol, k, hd, mu, bitExact,
+          forward, Some((dfTab, stats)), Some(cfTab), wandImpact)
+      case None =>
+        bm25TopK(qlDirichletScores(tf, cfTab, stats, queries, qidCol,
+          qtextCol, mu, bitExact), k)
+    }).select("queryId", "docId", "score").localCheckpoint()
+    // stable softmax doc weights; max() is exact order-independent,
+    // the normalizer folds docId-sorted
+    val mx = topk.groupBy("queryId").agg(max(col("score")).as("__mx"))
+    val ex = topk.join(mx, Seq("queryId"))
+      .select(col("queryId"), col("docId"),
+        exp(col("score") - col("__mx")).as("__e"))
+    val z = ex.groupBy("queryId")
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("docId"), col("__e")))),
+        lit(0.0), (a, x) => a + x.getField("__e")).as("__z"))
+    val fb = ex.join(z, Seq("queryId"))
+      .join(tf, Seq("docId"))
+      .select(col("queryId"), col("word"), col("docId"),
+        ((col("tf").cast("double") / col("dl").cast("double")) *
+          (col("__e") / col("__z"))).as("__p"))
+      .groupBy(col("queryId"), col("word"))
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("docId"), col("__p")))),
+        lit(0.0), (a, x) => a + x.getField("__p")).as("__pw"))
+    rm3Tail(fb, dfTab, queries, qidCol, qtextCol, m, lambda,
+      maxFeedbackDf)
+  }
+
+  /** The RM3 TAIL shared by [[rm3ExpandedTerms]] (BM25 doc weights)
+    * and [[rm3ExpandedTermsQl]] (softmax likelihood weights): the
+    * expansion-candidate df cap, top-`m` mass truncation (mass desc,
+    * word asc ties), truncated renormalization, λ-interpolation with
+    * the uniform original query, and the empty-feedback fallback —
+    * one definition, so the two feedback models cannot drift after
+    * the doc-weighting step. Input `fb` is the feedback term-mass
+    * table `(queryId, word, __pw)`.
+    */
+  private def rm3Tail(fb: DataFrame, dfTab: DataFrame,
+                      queries: DataFrame, qidCol: String,
+                      qtextCol: String,
+                      m: Int, lambda: Double,
+                      maxFeedbackDf: Option[Long]): DataFrame = {
     val fbCapped = maxFeedbackDf match {
       case Some(cap) => fb.join(
         dfTab.filter(col("df") <= cap).select("word"),
@@ -1700,8 +1828,8 @@ object Retrieval {
                  impact: Option[DataFrame] = None): DataFrame = {
     val (dfTab, stats) = resolvedDfStats(tf, dfStats)
     val cfTab = cf.getOrElse(cfTable(tf))
-    val c = qlWandCore(tf, dfTab, cfTab, stats, queries, qidCol,
-      qtextCol, k, hotDf, mu, bitExact, forward, impact)
+    val c = qlWandCore(qlUnitEnriched(cfTab, dfTab, stats, queries,
+      qidCol, qtextCol), tf, k, hotDf, mu, bitExact, forward, impact)
     val fallback = bm25TopK(
       qlDirichletScores(tf, cfTab, stats,
         queries.join(c.unsafeQ.select(col("queryId").as(qidCol)),
@@ -1709,6 +1837,85 @@ object Retrieval {
         qidCol, qtextCol, mu, bitExact), k)
     c.safeTopK.unionByName(fallback.select("queryId", "docId", "score",
       "rank"))
+  }
+
+  /** [[qlTopKWand]] under a WEIGHTED query-term table
+    * `(queryId, word, weight)` (an [[rm3ExpandedTermsQl]] output) —
+    * SCORE-EXACT pruned top-k for the LM second pass, completing the
+    * scorer symmetry ([[bm25TopKWandWeighted]] is the BM25 twin):
+    * returns exactly `bm25TopK(qlScoresWeighted(tf, cf, stats,
+    * termWeights), k)` (bitwise under `bitExact = true`; q234 gates
+    * the full LM-RM3 composition against q233's unpruned replay).
+    * The weighted QL bound scales each hot term's ceiling by its
+    * weight and the normalizer bound by the weighted query MASS
+    * (`Σ_present weight` replaces `|q|` — a per-query constant on
+    * both the bound and every real score, so the dl-floor argument
+    * is unchanged); correctness requires STRICTLY POSITIVE weights,
+    * which [[rm3ExpandedTermsQl]] guarantees by construction. Same
+    * two-phase plan, same sign-aware margins, same exact fallback
+    * routing — shared [[qlWandCore]], so the unit and weighted
+    * operators cannot drift.
+    */
+  def qlTopKWandWeighted(tf: DataFrame, termWeights: DataFrame,
+                         k: Int, hotDf: Long,
+                         mu: Double = 2000.0,
+                         bitExact: Boolean = true,
+                         forward: Option[DataFrame] = None,
+                         dfStats: Option[(DataFrame, DataFrame)] = None,
+                         cf: Option[DataFrame] = None,
+                         impact: Option[DataFrame] = None): DataFrame = {
+    val (dfTab, stats) = resolvedDfStats(tf, dfStats)
+    val cfTab = cf.getOrElse(cfTable(tf))
+    val c = qlWandCore(qlWeightedEnriched(cfTab, dfTab, stats,
+      termWeights), tf, k, hotDf, mu, bitExact, forward, impact)
+    val fallback = bm25TopK(
+      qlScoresWeighted(tf, cfTab, stats,
+        termWeights.join(c.unsafeQ, Seq("queryId"), "left_semi"),
+        mu, bitExact), k)
+    c.safeTopK.unionByName(fallback.select("queryId", "docId", "score",
+      "rank"))
+  }
+
+  /** The UNIT-weight QL enriched table — query terms joined with
+    * cf/df + the corpus token count, `|q|` as the corpus-present
+    * count, and an explicit `1.0` weight so the shared core's
+    * weighted arithmetic reduces BITWISE to the unit forms (IEEE
+    * `1.0 · x == x` — the [[unitEnriched]] convention).
+    */
+  private def qlUnitEnriched(cfTab: DataFrame, dfTab: DataFrame,
+                             stats: DataFrame,
+                             queries: DataFrame, qidCol: String,
+                             qtextCol: String): DataFrame = {
+    val qTerms = queryTerms(queries, qidCol, qtextCol)
+      .join(cfTab, Seq("word"))
+      .join(dfTab, Seq("word"))
+      .crossJoin(broadcast(
+        stats.select(col("total_dl").cast("double").as("__cTokens"))))
+    // |q| over corpus-present terms, the qlDirichletScores contract
+    // (cf and df tables index the same vocabulary, so the cf join
+    // alone fixes the count)
+    val qn = qTerms.groupBy("queryId").agg(count(lit(1)).as("__nq"))
+    qTerms.join(qn, Seq("queryId")).withColumn("weight", lit(1.0))
+  }
+
+  /** The WEIGHTED QL enriched table — a `(queryId, word, weight)`
+    * term table joined with cf/df + the corpus token count, the
+    * normalizer mass `Σ_present weight` as a word-sorted fold (the
+    * [[qlScoresWeighted]] tree, so the core's candidate scores are
+    * bitwise the unpruned weighted pipeline).
+    */
+  private def qlWeightedEnriched(cfTab: DataFrame, dfTab: DataFrame,
+                                 stats: DataFrame,
+                                 termWeights: DataFrame): DataFrame = {
+    val qTerms = termWeights.join(cfTab, Seq("word"))
+      .join(dfTab, Seq("word"))
+      .crossJoin(broadcast(
+        stats.select(col("total_dl").cast("double").as("__cTokens"))))
+    val qn = qTerms.groupBy("queryId")
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("word"), col("weight")))),
+        lit(0.0), (a, x) => a + x.getField("weight")).as("__nq"))
+    qTerms.join(qn, Seq("queryId"))
   }
 
   /** The QL WAND decision table (the q187/q205 convention: gate the
@@ -1731,8 +1938,28 @@ object Retrieval {
     val (dfTab, stats) = resolvedDfStats(tf, dfStats)
     val cfTab = cf.getOrElse(cfTable(tf))
     wandStatsFrom(
-      qlWandCore(tf, dfTab, cfTab, stats, queries, qidCol, qtextCol,
-        k, hotDf, mu, bitExact, forward, impact), hotDf)
+      qlWandCore(qlUnitEnriched(cfTab, dfTab, stats, queries, qidCol,
+        qtextCol), tf, k, hotDf, mu, bitExact, forward, impact), hotDf)
+  }
+
+  /** [[qlWandStats]] for the WEIGHTED operator — identical columns,
+    * identical routing predicate, shared [[qlWandCore]] internals
+    * with [[qlTopKWandWeighted]] so the table cannot drift from the
+    * operator (the [[bm25WandWeightedStats]] convention).
+    */
+  def qlWandWeightedStats(tf: DataFrame, termWeights: DataFrame,
+                          k: Int, hotDf: Long,
+                          mu: Double = 2000.0,
+                          bitExact: Boolean = true,
+                          forward: Option[DataFrame] = None,
+                          dfStats: Option[(DataFrame, DataFrame)] = None,
+                          cf: Option[DataFrame] = None,
+                          impact: Option[DataFrame] = None): DataFrame = {
+    val (dfTab, stats) = resolvedDfStats(tf, dfStats)
+    val cfTab = cf.getOrElse(cfTable(tf))
+    wandStatsFrom(
+      qlWandCore(qlWeightedEnriched(cfTab, dfTab, stats, termWeights),
+        tf, k, hotDf, mu, bitExact, forward, impact), hotDf)
   }
 
   /** The two-phase WAND plan for the QL Dirichlet scorer — the
@@ -1743,10 +1970,7 @@ object Retrieval {
     * and the routing set. Returns the same [[WandCore]] so
     * `safeTopK` and [[wandStatsFrom]] are shared verbatim.
     */
-  private def qlWandCore(tf: DataFrame, dfTab: DataFrame,
-                         cfTab: DataFrame, stats: DataFrame,
-                         queries: DataFrame, qidCol: String,
-                         qtextCol: String,
+  private def qlWandCore(enrichedLazy: DataFrame, tf: DataFrame,
                          k: Int, hotDf: Long, mu: Double,
                          bitExact: Boolean,
                          forward: Option[DataFrame],
@@ -1754,28 +1978,21 @@ object Retrieval {
     require(k > 0, s"k > 0: $k")
     require(hotDf >= 0, s"hotDf >= 0: $hotDf")
     require(mu > 0, s"mu > 0: $mu")
-    val qTerms = queryTerms(queries, qidCol, qtextCol)
-      .join(cfTab, Seq("word"))
-      .join(dfTab, Seq("word"))
-      .crossJoin(broadcast(
-        stats.select(col("total_dl").cast("double").as("__cTokens"))))
-    // |q| over corpus-present terms, the qlDirichletScores contract
-    // (cf and df tables index the same vocabulary, so the cf join
-    // alone fixes the count)
-    val qn = qTerms.groupBy("queryId").agg(count(lit(1)).as("__nq"))
     // query-batch-sized, consumed 3× (rare, hot, bound) — eager
-    val enriched = qTerms.join(qn, Seq("queryId")).localCheckpoint()
+    val enriched = enrichedLazy.localCheckpoint()
     val rare = enriched.filter(col("df") <= hotDf)
     val hot = enriched.filter(col("df") > hotDf)
     val rareContrib = tf.join(rare, Seq("word"))
       .select(col("queryId"), col("docId"), col("word"),
-        qlContribExpr(mu).as("__c"), col("dl"), col("__nq"))
+        (col("weight") * qlContribExpr(mu)).as("__c"), col("dl"),
+        col("__nq"))
     val candPairs = rareContrib.select("queryId", "docId").distinct()
     val fwd = forward.getOrElse(tf)
     val hotContrib = candPairs.join(fwd, Seq("docId"))
       .join(hot, Seq("queryId", "word"))
       .select(col("queryId"), col("docId"), col("word"),
-        qlContribExpr(mu).as("__c"), col("dl"), col("__nq"))
+        (col("weight") * qlContribExpr(mu)).as("__c"), col("dl"),
+        col("__nq"))
     // the qlDirichletScores collapse SHARED (qlScoreFold): word-sorted
     // fold + the once-added normalizer — bitwise the unpruned tree
     val candScores = qlScoreFold(rareContrib.unionByName(hotContrib),
@@ -1793,18 +2010,19 @@ object Retrieval {
     val perTermCeil = impact match {
       case None =>
         hot.select(col("queryId"), col("word"),
-          log(lit(1.0) + col("__cTokens") / lit(mu)).as("__ct"),
+          (col("weight") *
+            log(lit(1.0) + col("__cTokens") / lit(mu))).as("__ct"),
           lit(1L).as("__mdl"), col("__nq"))
       case Some(imp) =>
         hot
           .join(imp.select(col("word"), col("max_tf"), col("min_dl")),
             Seq("word"), "left_outer")
           .select(col("queryId"), col("word"),
-            when(col("max_tf").isNull,
+            (col("weight") * when(col("max_tf").isNull,
               log(lit(1.0) + col("__cTokens") / lit(mu)))
               .otherwise(log(lit(1.0) +
                 col("max_tf").cast("double") * col("__cTokens") /
-                  (lit(mu) * col("cf").cast("double")))).as("__ct"),
+                  (lit(mu) * col("cf").cast("double"))))).as("__ct"),
             coalesce(col("min_dl"), lit(1L)).as("__mdl"), col("__nq"))
     }
     // sign-aware margin (see qlTopKWand): positive fold up, negative

@@ -633,6 +633,112 @@ class RetrievalSpec extends SparkSpec {
       (11L, 2L, "eta theta")))
   }
 
+  test("weighted QL at unit weights reduces bitwise to the plain scorer") {
+    // IEEE 1.0·x == x and the word-sorted fold of 1.0s is the exact
+    // integer count, so the weighted operator IS qlDirichletScores
+    // under a unit-weight table — including absent-term drops on
+    // both the contribution and normalizer sides
+    val rnd = new scala.util.Random(233)
+    val c = (1L to 50L).map { id =>
+      id -> Seq.fill(5 + rnd.nextInt(5))(
+        s"tok${15 / (rnd.nextInt(15) + 1)}").mkString(" ")
+    }.toDF("doc_id", "text")
+    val qRows = (300L to 304L).map { id =>
+      id -> (Seq.fill(3)(s"tok${15 / (rnd.nextInt(15) + 1)}") :+
+        "absentterm")
+    }
+    val qs = qRows.map { case (id, ws) => id -> ws.mkString(" ") }
+      .toDF("query_id", "text")
+    val (tf, _, st) = indexTriple(c)
+    val cfT = Retrieval.cfTable(tf).localCheckpoint()
+    val plain = Retrieval.qlDirichletScores(tf, cfT, st, qs,
+      "query_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val tw = qRows.flatMap { case (id, ws) =>
+      ws.distinct.map(w => (id, w, 1.0))
+    }.toDF("queryId", "word", "weight")
+    val weighted = Retrieval.qlScoresWeighted(tf, cfT, st, tw)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(weighted === plain) // bitwise
+  }
+
+  test("QL RM3 weights are identical under a WAND first pass and " +
+    "sum to 1 per query") {
+    val rnd = new scala.util.Random(234)
+    val c = (1L to 80L).map { id =>
+      id -> Seq.fill(6 + rnd.nextInt(6))(
+        s"tok${40 / (rnd.nextInt(40) + 1)}").mkString(" ")
+    }.toDF("doc_id", "text")
+    val qs = (200L to 205L).map { id =>
+      id -> (Seq.fill(2)(s"tok${40 / (rnd.nextInt(40) + 1)}") ++
+        Seq.fill(2)(s"tok${13 + rnd.nextInt(28)}")).mkString(" ")
+    }.toDF("query_id", "text")
+    val (tf, dfT, st) = indexTriple(c)
+    val cfT = Retrieval.cfTable(tf).localCheckpoint()
+    val imp = Retrieval.impactStats(tf).localCheckpoint()
+    def weights(wand: Option[Long]): Map[(Long, String), Double] =
+      Retrieval.rm3ExpandedTermsQl(tf, cfT, st, dfT, qs,
+        "query_id", "text", k = 4, m = 6, lambda = 0.5,
+        wandHotDf = wand,
+        wandImpact = wand.map(_ => imp)).collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2))
+        .toMap
+    val plain = weights(None)
+    // the λ-mix of two distributions sums to 1 per query (both sides
+    // present: every fixture query matches the corpus)
+    val byQ = plain.groupBy(_._1._1).view.mapValues(_.values.sum)
+    for ((q, s) <- byQ)
+      assert(math.abs(s - 1.0) < 1e-9, s"query $q weights sum to $s")
+    // the WAND first pass is score-exact, so the feedback set — and
+    // every expansion weight — is bitwise unchanged
+    for (hd <- Seq(0L, 3L, 1000L))
+      assert(weights(Some(hd)) === plain, s"wandHotDf=$hd") // bitwise
+  }
+
+  test("weighted QL WAND equals the unpruned weighted top-k at every " +
+    "hotDf, under arbitrary positive weights") {
+    // the bm25TopKWandWeighted stress on the LM side: random weight
+    // magnitudes spanning 1e-6 to 1e3 exercise the weighted ceilings,
+    // the weighted-mass normalizer bound, and the sign-aware margins
+    // far from the probability-mix regime
+    val rnd = new scala.util.Random(234)
+    val c = (1L to 60L).map { id =>
+      id -> Seq.fill(5 + rnd.nextInt(6))(
+        s"tok${30 / (rnd.nextInt(30) + 1)}").mkString(" ")
+    }.toDF("doc_id", "text")
+    val (tf, dfT, st) = indexTriple(c)
+    val cfT = Retrieval.cfTable(tf).localCheckpoint()
+    val imp = Retrieval.impactStats(tf).localCheckpoint()
+    val vocab = tf.select("word").distinct().collect()
+      .map(_.getString(0)).sorted
+    val tw = (400L to 405L).flatMap { qid =>
+      rnd.shuffle(vocab.toSeq).take(4).map { w =>
+        (qid, w, math.pow(10.0, rnd.nextInt(10) - 6) *
+          (1.0 + rnd.nextDouble()))
+      }
+    }.toDF("queryId", "word", "weight").localCheckpoint()
+    val unpruned = topkSet(Retrieval.bm25TopK(
+      Retrieval.qlScoresWeighted(tf, cfT, st, tw), 4))
+    for (hotDf <- Seq(0L, 2L, 8L, 25L, 1000L)) {
+      assert(topkSet(Retrieval.qlTopKWandWeighted(tf, tw,
+        k = 4, hotDf = hotDf, dfStats = Some((dfT, st)),
+        cf = Some(cfT))) === unpruned, s"hotDf=$hotDf")
+      assert(topkSet(Retrieval.qlTopKWandWeighted(tf, tw,
+        k = 4, hotDf = hotDf, dfStats = Some((dfT, st)),
+        cf = Some(cfT), impact = Some(imp))) === unpruned,
+        s"impact hotDf=$hotDf")
+      // safe queries carry a real bound strictly below theta
+      val stats = Retrieval.qlWandWeightedStats(tf, tw, k = 4,
+        hotDf = hotDf, dfStats = Some((dfT, st)), cf = Some(cfT),
+        impact = Some(imp)).collect()
+      assert(stats.length === 6, s"hotDf=$hotDf")
+      for (r <- stats if r.getBoolean(6) && r.getLong(2) > 0)
+        assert(r.isNullAt(4) || r.getDouble(4) < r.getDouble(5),
+          s"safe query must have ub < theta: $r")
+    }
+  }
+
   test("QL WAND equals the unpruned QL top-k bitwise at every hotDf") {
     // the q182 sweep for the SECOND scorer: everything-hot (pure
     // fallback) through mixed to everything-rare (pure candidate
