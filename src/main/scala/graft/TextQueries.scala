@@ -1309,8 +1309,14 @@ private[graft] object TextQueries {
             col("__w2").substr(lit(3), lit(1)),
             col("__w2").substr(lit(5), length(col("__w2")))),
           col("__w3"), col("__w4")).as("text"))
+      // the expanded disjunction serves through SCORE-EXACT weighted
+      // WAND (r18: expansion queries are where pruning pays — the
+      // oracle is unchanged, the rows bitwise identical); |D| reads
+      // off the checkpointed one-row stats, never a corpus pass
+      val hotCut = st.select(col("n_docs")).collect()(0).getLong(0) / 10
       Fuzzy.bm25TopKFuzzy(tf, dfT, st, qs, "query_id", "text", k = 5,
-        maxEdit = 2)
+        maxEdit = 2, wandHotDf = Some(hotCut),
+        impact = Some(Retrieval.impactStats(tf)))
         .select(col("queryId").as("query_id"), col("docId").as("doc_id"),
           round(col("score"), 6).as("score"),
           col("rank").cast("long").as("rank"))
@@ -1363,7 +1369,7 @@ private[graft] object TextQueries {
     // oracle replays expansion + dedup + the exact scoring tree
     "q212_bm25_prefix_topk" -> ((s, dir) => {
       import graft.operators.{Fuzzy, Retrieval}
-      val (tf, _, _) = zipfWandFixture(s, dir)
+      val (tf, _, hotCut) = zipfWandFixture(s, dir)
       val dfT = Retrieval.dfTable(tf).localCheckpoint()
       val st = Retrieval.corpusStats(tf).localCheckpoint()
       val qs = t(s, dir, "documents").where(col("doc_id") % 50 === 0)
@@ -1371,7 +1377,12 @@ private[graft] object TextQueries {
           concat(lit("w"),
             (pmod(col("doc_id"), lit(9)) + 1).cast("string"))
             .as("prefix"))
-      Fuzzy.bm25TopKPrefix(tf, dfT, st, qs, k = 5, maxExpansions = 8)
+      // served through SCORE-EXACT weighted WAND (r18) — same oracle,
+      // same rows; the Zipf head terms are exactly the hot postings
+      // the pruned path skips for safe queries
+      Fuzzy.bm25TopKPrefix(tf, dfT, st, qs, k = 5, maxExpansions = 8,
+        wandHotDf = Some(hotCut),
+        impact = Some(Retrieval.impactStats(tf)))
         .select(col("queryId").as("query_id"), col("docId").as("doc_id"),
           round(col("score"), 6).as("score"),
           col("rank").cast("long").as("rank"))
@@ -1763,11 +1774,16 @@ private[graft] object TextQueries {
           col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
     }),
-    // ...and the SCORE-EXACT pruned second pass (the q191 convention
-    // for the LM loop): the same QL-RM3 expansion rescored through
-    // weighted QL WAND with impact bounds — the oracle is q233's
-    // UNPRUNED replay verbatim, so the gate is the weighted
-    // exactness claim itself
+    // ...and the ROUTED second pass (r18): the same QL-RM3 expansion
+    // through qlTopKWandWeightedRouted — the production default that
+    // consults |D| off the persisted stats row and serves small
+    // corpora unpruned / large ones through score-exact weighted QL
+    // WAND (both branches bitwise the same answer, so the oracle is
+    // STILL q233's unpruned replay verbatim; the 500-doc fixture
+    // routes unpruned here, and q241 keeps a forced-WAND exactness
+    // gate on the Zipf fixture). The pre-r18 gate forced WAND at this
+    // shape AND paid a full-corpus distinct().count() for |D| —
+    // 15.9 s vs q233's 14.3 s, the BENCH_r17 routing-economics miss
     "q234_ql_rm3_wand_rescore" -> ((s, dir) => {
       import graft.operators.Retrieval
       val docs = t(s, dir, "documents")
@@ -1781,8 +1797,29 @@ private[graft] object TextQueries {
           substring(col("text"), 1, 40).as("text"))
       val tw = Retrieval.rm3ExpandedTermsQl(tf, cfT, st, dfT, qs,
         "query_id", "text").localCheckpoint() // consumed 2x below
-      Retrieval.qlTopKWandWeighted(tf, tw, k = 5,
-        hotDf = tf.select("docId").distinct().count() / 10,
+      Retrieval.qlTopKWandWeightedRouted(tf, tw, k = 5,
+        dfStats = Some((dfT, st)), cf = Some(cfT),
+        impact = Some(Retrieval.impactStats(tf)))
+        .select(col("queryId").as("query_id"), col("docId").as("doc_id"),
+          round(col("score"), 6).as("score"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+    // the FORCED weighted QL WAND exactness gate (the q191 convention
+    // for the LM loop, moved to the fixture whose df shape actually
+    // exercises the rare/hot split): the full QL-RM3 expansion over
+    // the Zipf corpus, second pass through qlTopKWandWeighted with
+    // impact bounds — the oracle is the UNPRUNED LM-loop replay
+    // verbatim, so the gate is the weighted exactness claim itself
+    "q241_ql_rm3_wand_zipf" -> ((s, dir) => {
+      import graft.operators.Retrieval
+      val (tf, qs, hotCut) = zipfWandFixture(s, dir)
+      val dfT = Retrieval.dfTable(tf).localCheckpoint()
+      val cfT = Retrieval.cfTable(tf).localCheckpoint()
+      val st = Retrieval.corpusStats(tf).localCheckpoint()
+      val tw = Retrieval.rm3ExpandedTermsQl(tf, cfT, st, dfT, qs,
+        "query_id", "text").localCheckpoint() // consumed 2x below
+      Retrieval.qlTopKWandWeighted(tf, tw, k = 5, hotDf = hotCut,
         dfStats = Some((dfT, st)), cf = Some(cfT),
         impact = Some(Retrieval.impactStats(tf)))
         .select(col("queryId").as("query_id"), col("docId").as("doc_id"),
@@ -2104,7 +2141,28 @@ private[graft] object TextQueries {
     * q234 shares it verbatim — its weighted QL WAND second pass is
     * score-exact, so the unpruned replay is both gates' contract).
     */
-  private lazy val QlRm3RescoreOracle = s"""WITH ${bm25Cte("TRUE", "doc_id % 97 = 0", "substr(text, 1, 40)")},
+  private lazy val QlRm3RescoreOracle = qlRm3RescoreOracle(
+    bm25Cte("TRUE", "doc_id % 97 = 0", "substr(text, 1, 40)"))
+
+  /** The q233 QL-RM3 replay on the ZIPF WAND fixture — q241's oracle:
+    * the same LM feedback loop verbatim over the corpus whose df
+    * shape actually exercises the rare/hot split, so the weighted QL
+    * WAND exactness claim keeps a forced-pruned gate after q234
+    * moved to the routed default (which serves the 500-doc fixture
+    * unpruned).
+    */
+  private lazy val QlRm3RescoreZipfOracle = qlRm3RescoreOracle(
+    bm25Cte("TRUE", "doc_id % 50 = 0",
+      ZipfWandQueryTextSql, ZipfWandCorpusTextSql))
+
+  /** The full LM-native RM3 replay (first-pass QL top-10, softmax
+    * likelihood doc weights, the shared RM3 tail, the weighted QL
+    * second pass with the mass-proportional normalizer) over a
+    * caller-supplied corpus/query CTE prefix — shared by q233/q234
+    * (documents) and q241 (Zipf), the one-definition rule for "the
+    * LM feedback loop".
+    */
+  private def qlRm3RescoreOracle(cte: String): String = s"""WITH $cte,
          |$QlCtes,
          |qltop AS (
          |  SELECT query_id, doc_id, score FROM (
@@ -4878,6 +4936,7 @@ private[graft] object TextQueries {
     // the unpruned oracle IS its contract
     "q233_ql_rm3_rescore" -> QlRm3RescoreOracle,
     "q234_ql_rm3_wand_rescore" -> QlRm3RescoreOracle,
+    "q241_ql_rm3_wand_zipf" -> QlRm3RescoreZipfOracle,
         // q222's replay with the QL chains: the champion tier scored by
     // the QL tree (full-corpus cf/|C|/nq, champion tf rows, lens dl),
     // the fill-count routing, and the exact tier from qlsc — the

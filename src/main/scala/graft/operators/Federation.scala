@@ -127,4 +127,67 @@ object Federation {
         (col("__s") / col("__nq").cast("double")).as("score"))
       .withColumn("rank", row_number().over(w).cast("long"))
   }
+
+  /** Federated retrieval END TO END — select → probe → merge, the
+    * composition every sharded deployment runs (the pre-r18 surface
+    * stopped at [[coriShardScores]] selection): CORI ranks the
+    * shards per query, each query probes ONLY its top-`nProbe`
+    * shards' posting rows, and the per-shard results merge into one
+    * global top-`k`. Returns `(queryId, docId, score, rank)` — the
+    * [[Retrieval.bm25TopK]] shape.
+    *
+    * THE statistics decision, pinned here: probes score with the
+    * GLOBAL `(dfTab, stats)` tables — full-corpus df/avgdl/N, which
+    * stay one additive merge away at ingest exactly like the
+    * per-shard metadata ([[compactShardTermStats]] cadence) — NEVER
+    * shard-local statistics. Shard-local idf makes scores
+    * incomparable across shards (the classic federated-search
+    * correctness failure: a term rare in one shard but hot globally
+    * inflates that shard's results), while global statistics make
+    * every probed pair's score bitwise the single-index score — so
+    * the merge IS the unsharded ranking restricted to probed
+    * (query, shard) pairs, and with every shard selected the output
+    * is bitwise the unsharded top-k (q237 gates exactly that;
+    * FederationSpec pins the nProbe < S restriction invariant and
+    * the selection-quality recall row).
+    *
+    * Scale shape: `shardTf` is the sharded index as ONE
+    * shard-partitioned table `(shard, docId, dl, word, tf)` —
+    * persisted `partitionBy(shard)` + `bucketBy(word)`, the layout a
+    * single-cluster federation stores anyway. The selection output
+    * is result-sized (queries × nProbe; localCheckpointed — consumed
+    * by the batch prune AND the pair filter); the batch's distinct
+    * selected-shard set broadcast-semi-joins FIRST (partition
+    * pruning — unselected shards never scan), then the word join
+    * restricts to query vocabulary, then the per-(query, shard)
+    * semi-join drops cross-shard noise BEFORE the score fold. The
+    * fold and window are [[Retrieval]]'s own (shared internals — the
+    * fold cannot drift from the unsharded scorer).
+    */
+  def coriTopK(shardTf: DataFrame, shardDf: DataFrame, shardCw: DataFrame,
+               dfTab: DataFrame, stats: DataFrame,
+               queries: DataFrame, qidCol: String, qtextCol: String,
+               k: Int, nProbe: Int,
+               k1: Double = 1.2, b25: Double = 0.75,
+               bitExact: Boolean = true,
+               coriB: Double = 0.4, dfBase: Double = 50.0,
+               cwScale: Double = 150.0): DataFrame = {
+    require(k > 0, s"k > 0: $k")
+    require(nProbe > 0, s"nProbe > 0: $nProbe")
+    val sel = coriShardScores(shardDf, shardCw, queries, qidCol,
+      qtextCol, coriB, dfBase, cwScale)
+      .filter(col("rank") <= nProbe)
+      .select("queryId", "shard")
+      .localCheckpoint()
+    val shardSet = sel.select("shard").distinct()
+    val tfPruned = shardTf.join(broadcast(shardSet), Seq("shard"),
+      "left_semi")
+    val enriched = Retrieval.enrichedQueryTerms(dfTab, stats, queries,
+      qidCol, qtextCol)
+    val contrib = tfPruned.join(enriched, Seq("word"))
+      .join(sel, Seq("queryId", "shard"), "left_semi")
+      .select(col("queryId"), col("docId"), col("word"),
+        Retrieval.contribExpr(k1, b25).as("__c"))
+    Retrieval.bm25TopK(Retrieval.scoreFold(contrib, bitExact), k)
+  }
 }

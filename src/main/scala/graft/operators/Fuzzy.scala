@@ -176,6 +176,34 @@ object Fuzzy {
         col("rank"))
   }
 
+  /** The one scoring tail shared by [[bm25TopKPrefix]] and
+    * [[bm25TopKFuzzy]]: a unit-weight expanded term table through the
+    * weighted BM25 machinery — UNPRUNED without `wandHotDf`,
+    * score-exact weighted WAND with it ([[Retrieval
+    * .bm25TopKWandWeighted]] accepts exactly this input shape, and
+    * unit weights satisfy its strictly-positive contract trivially),
+    * so enabling pruning can never change an answer — only skip hot
+    * posting scans for safely-routed queries. Expanded queries are
+    * exactly where WAND pays off: `maxExpansions`-term disjunctions
+    * make the unpruned posting volume per query up to 50× a plain
+    * probe's.
+    */
+  private def expandedTopK(tf: DataFrame, dfTab: DataFrame,
+                           stats: DataFrame, terms: DataFrame, k: Int,
+                           k1: Double, b: Double, bitExact: Boolean,
+                           wandHotDf: Option[Long],
+                           forward: Option[DataFrame],
+                           impact: Option[DataFrame]): DataFrame =
+    wandHotDf match {
+      case Some(hd) =>
+        Retrieval.bm25TopKWandWeighted(tf, terms, k, hd, k1, b,
+          bitExact, forward, Some((dfTab, stats)), impact)
+      case None =>
+        Retrieval.bm25TopK(
+          Retrieval.bm25ScoresWeighted(tf, dfTab, stats, terms,
+            k1, b, bitExact), k)
+    }
+
   /** Prefix-query BM25 top-k: each query's prefixes expand through
     * [[prefixMatchTerms]] into their (capped) vocabulary terms, the
     * per-query expansion set DEDUPES (overlapping prefixes), and the
@@ -183,35 +211,46 @@ object Fuzzy {
     * plain BM25 of the expanded term set (q212 gates the
     * composition). For constant-score Lucene semantics score the
     * expansion table yourself; this keeps the repo's one scoring
-    * convention.
+    * convention. `wandHotDf` (+ the optional `forward`/`impact`
+    * layouts) routes the scoring through SCORE-EXACT weighted WAND —
+    * same rows bitwise, hot posting lists skipped for safe queries
+    * (q212 regates through this path; the decision economics are the
+    * [[Retrieval.bm25WandWeightedStats]] readout).
     */
   def bm25TopKPrefix(tf: DataFrame, dfTab: DataFrame, stats: DataFrame,
                      prefixes: DataFrame, k: Int,
                      maxExpansions: Int = 50,
                      k1: Double = 1.2, b: Double = 0.75,
-                     bitExact: Boolean = true): DataFrame =
-    Retrieval.bm25TopK(
-      Retrieval.bm25ScoresWeighted(tf, dfTab, stats,
-        prefixMatchTerms(dfTab, prefixes, maxExpansions)
-          .select("queryId", "word").distinct()
-          .withColumn("weight", lit(1.0)),
-        k1, b, bitExact), k)
+                     bitExact: Boolean = true,
+                     wandHotDf: Option[Long] = None,
+                     forward: Option[DataFrame] = None,
+                     impact: Option[DataFrame] = None): DataFrame =
+    expandedTopK(tf, dfTab, stats,
+      prefixMatchTerms(dfTab, prefixes, maxExpansions)
+        .select("queryId", "word").distinct()
+        .withColumn("weight", lit(1.0)),
+      k, k1, b, bitExact, wandHotDf, forward, impact)
 
   /** Typo-tolerant BM25 top-k: [[correctedQueryTerms]] at unit weight
     * through the weighted scorer (IEEE `1.0 · x == x`, so scores are
     * bitwise the plain BM25 of the corrected query). Same persisted
-    * layouts, same folds, same ranking as [[Retrieval.bm25TopK]].
+    * layouts, same folds, same ranking as [[Retrieval.bm25TopK]];
+    * `wandHotDf` (+ `forward`/`impact`) inherits score-exact weighted
+    * WAND exactly like [[bm25TopKPrefix]] (q227 regates through the
+    * pruned path).
     */
   def bm25TopKFuzzy(tf: DataFrame, dfTab: DataFrame, stats: DataFrame,
                     queries: DataFrame, qidCol: String, qtextCol: String,
                     k: Int, k1: Double = 1.2, b: Double = 0.75,
                     bitExact: Boolean = true,
                     vocabVariants: Option[DataFrame] = None,
-                    maxEdit: Int = 1): DataFrame =
-    Retrieval.bm25TopK(
-      Retrieval.bm25ScoresWeighted(tf, dfTab, stats,
-        correctedQueryTerms(dfTab, queries, qidCol, qtextCol,
-          vocabVariants, maxEdit)
-          .withColumn("weight", lit(1.0)),
-        k1, b, bitExact), k)
+                    maxEdit: Int = 1,
+                    wandHotDf: Option[Long] = None,
+                    forward: Option[DataFrame] = None,
+                    impact: Option[DataFrame] = None): DataFrame =
+    expandedTopK(tf, dfTab, stats,
+      correctedQueryTerms(dfTab, queries, qidCol, qtextCol,
+        vocabVariants, maxEdit)
+        .withColumn("weight", lit(1.0)),
+      k, k1, b, bitExact, wandHotDf, forward, impact)
 }

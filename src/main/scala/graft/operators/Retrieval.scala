@@ -237,15 +237,46 @@ object Retrieval {
     * smaller min_dl), and an under-estimated ub can route a query
     * safe while a pruned doc's true score beats θ — a silent wrong
     * top-k, not just weaker pruning. Deletions are the opposite and
-    * deliberately do NOT rebuild it: a stale `(max_tf, min_dl)` after
-    * removing the extremal doc is still a valid UPPER bound (the
-    * surviving postings are a subset), so the pruning stays
-    * score-exact and only its tightness degrades — rebuild on
-    * whatever cadence the index is re-optimized.
+    * deliberately do NOT require a rebuild: a stale `(max_tf,
+    * min_dl)` after removing the extremal doc is still a valid UPPER
+    * bound (the surviving postings are a subset), so the pruning
+    * stays score-exact and only its tightness degrades — run
+    * [[compactImpactStatsDeleted]] (exactly the affected words
+    * recompute) on whatever cadence delete volume warrants.
     */
   def impactStats(tf: DataFrame): DataFrame =
     tf.groupBy("word")
       .agg(max(col("tf")).as("max_tf"), min(col("dl")).as("min_dl"))
+
+  /** Delete-side maintenance of an [[impactStats]] table — the
+    * [[compactChampionPostingsDeleted]] shape: recompute EXACTLY the
+    * words the deleted docs touched (max/min are not subtractive, so
+    * unlike df there is no vocabulary-sized merge — but only the
+    * affected words need the posting re-aggregate), keep every other
+    * row verbatim. `tf` is the PRE-delete posting table; a word whose
+    * postings vanish entirely drops from the output (the df-table
+    * `df > 0` convention — no query term can match it anymore).
+    * Row-identical to `impactStats(tf minus deleted)` (RetrievalSpec
+    * pins the parity), so heavy-delete workloads keep TIGHT bounds
+    * instead of the stale-conservative drift the append-only
+    * lifecycle left: correctness never depended on this (deletion
+    * staleness upper-bounds), pruning rates do.
+    *
+    * Scale shape: the affected vocabulary is delete-batch-sized; the
+    * recompute reads only those words' surviving postings through the
+    * word-bucketed layout (two semi-joins, no full-index aggregate).
+    */
+  def compactImpactStatsDeleted(impact: DataFrame, tf: DataFrame,
+                                deleteIds: DataFrame): DataFrame = {
+    val del = deleteIds.select(col("docId"))
+    val affected = tf.join(del, Seq("docId"), "left_semi")
+      .select("word").distinct()
+    val untouched = impact.join(affected, Seq("word"), "left_anti")
+    val recomputed = impactStats(
+      tf.join(affected, Seq("word"), "left_semi")
+        .join(del, Seq("docId"), "left_anti"))
+    untouched.unionByName(recomputed)
+  }
 
   /** Append-side merge of two [[impactStats]] tables (the persisted
     * index side + a micro-batch's): max/min combine across the union,
@@ -317,11 +348,36 @@ object Retrieval {
                   queries: DataFrame, qidCol: String, qtextCol: String,
                   k1: Double = 1.2,
                   bitExact: Boolean = true): DataFrame = {
+    require(k1 >= 0, s"k1 >= 0: $k1")
+    val p = bm25fParts(ftf, fieldParams, queries, qidCol, qtextCol)
+    val contrib = foldPtf(p.fContrib, bitExact)
+      .join(p.qTermsIdf, Seq("word"))
+      .select(col("queryId"), col("docId"), col("word"),
+        (col("idf") * col("__tf") / (lit(k1) + col("__tf"))).as("__c"))
+    scoreFold(contrib, bitExact)
+  }
+
+  /** The shared upstream of the BM25F family ([[bm25fScores]] and the
+    * pruned [[bm25fTopKWand]] — one definition, so the unpruned and
+    * WAND scoring trees cannot drift): the param-masked fielded
+    * postings restricted to the query vocabulary, the per-row
+    * pseudo-tf contributions, and the enriched query terms with
+    * DOCUMENT-level df + idf.
+    */
+  private final case class Bm25fParts(scoredQ: DataFrame,
+                                      fContrib: DataFrame,
+                                      favg: DataFrame,
+                                      params: DataFrame,
+                                      qTermsIdf: DataFrame)
+
+  private def bm25fParts(ftf: DataFrame,
+                         fieldParams: Seq[(String, Double, Double)],
+                         queries: DataFrame, qidCol: String,
+                         qtextCol: String): Bm25fParts = {
     require(fieldParams.nonEmpty, "at least one field")
     require(fieldParams.forall(_._2 > 0), s"weights > 0: $fieldParams")
     require(fieldParams.forall(p => p._3 >= 0 && p._3 <= 1),
       s"b in [0,1]: $fieldParams")
-    require(k1 >= 0, s"k1 >= 0: $k1")
     val sp = ftf.sparkSession
     import sp.implicits._
     val params = fieldParams.toDF("field", "__w", "__b")
@@ -350,35 +406,205 @@ object Retrieval {
     // join below would drop anyway)
     val dfT = scoredQ.select("docId", "word").distinct()
       .groupBy("word").agg(count(lit(1)).as("df"))
-    // pseudo term frequency: field-sorted fold per (doc, word)
+    // per-row pseudo-tf contribution (folded per (doc, word) by
+    // [[foldPtf]] at whatever doc restriction the caller needs)
     val fContrib = scoredQ.join(broadcast(favg), Seq("field"))
       .select(col("docId"), col("word"), col("field"),
         (col("__w") * col("tf").cast("double") /
           (lit(1.0) - col("__b") +
             col("__b") * col("fl").cast("double") / col("__avgfl")))
           .as("__ptf"))
-    val ptf =
-      if (bitExact)
-        fContrib.groupBy(col("docId"), col("word"))
-          .agg(sort_array(collect_list(struct(col("field"), col("__ptf"))))
-            .as("__xs"))
-          .select(col("docId"), col("word"),
-            aggregate(col("__xs"), lit(0.0),
-              (a, x) => a + x.getField("__ptf")).as("__tf"))
-      else
-        fContrib.groupBy(col("docId"), col("word"))
-          .agg(sum(col("__ptf")).as("__tf"))
-    val qTerms = queryTerms(queries, qidCol, qtextCol)
+    val qTermsIdf = queryTerms(queries, qidCol, qtextCol)
       .join(dfT, Seq("word"))
       .crossJoin(broadcast(nDocs))
-      .select(col("queryId"), col("word"),
+      .select(col("queryId"), col("word"), col("df"),
         log(lit(1.0) +
           (col("__N") - col("df").cast("double") + lit(0.5)) /
             (col("df").cast("double") + lit(0.5))).as("idf"))
-    val contrib = ptf.join(qTerms, Seq("word"))
+    Bm25fParts(scoredQ, fContrib, favg, params, qTermsIdf)
+  }
+
+  /** Pseudo term frequency: field-sorted fold per (doc, word) of the
+    * per-row [[bm25fParts]] contributions.
+    */
+  private def foldPtf(fContrib: DataFrame, bitExact: Boolean): DataFrame =
+    if (bitExact)
+      fContrib.groupBy(col("docId"), col("word"))
+        .agg(sort_array(collect_list(struct(col("field"), col("__ptf"))))
+          .as("__xs"))
+        .select(col("docId"), col("word"),
+          aggregate(col("__xs"), lit(0.0),
+            (a, x) => a + x.getField("__ptf")).as("__tf"))
+    else
+      fContrib.groupBy(col("docId"), col("word"))
+        .agg(sum(col("__ptf")).as("__tf"))
+
+  /** Per-(word, field) IMPACT metadata of a [[termFrequenciesFielded]]
+    * index — `(word, field, max_tf, min_fl)`, the fielded mirror of
+    * [[impactStats]]: each field's pseudo-tf term
+    * `w_f · tf_f / B_f(fl_f)` is increasing in tf and decreasing in
+    * fl, so evaluating it at `(max_tf_f, min_fl_f)` dominates every
+    * real posting of that (word, field) and the per-field ceilings
+    * COMPOSE into a document-level pseudo-tf bound (the
+    * [[bm25fTopKWand]] ub). Same lifecycle contract as the unfielded
+    * table: append merges MUST pair with the index append (max/min
+    * union-combine per (word, field) — [[compactImpactStats]] over
+    * the extra key works verbatim on this shape after a rename),
+    * deletion staleness upper-bounds safely.
+    */
+  def impactStatsFielded(ftf: DataFrame): DataFrame =
+    ftf.groupBy("word", "field")
+      .agg(max(col("tf")).as("max_tf"), min(col("fl")).as("min_fl"))
+
+  /** SCORE-EXACT pruned top-k for the FIELDED scorer —
+    * [[bm25TopKWand]]'s analog for BM25F, closing the last scorer
+    * asymmetry (BM25, weighted BM25, QL, and weighted QL all had
+    * WAND; [[bm25fScores]] always ran unpruned). Returns exactly
+    * `bm25TopK(bm25fScores(ftf, fieldParams, queries, ...), k)` —
+    * same rows, same scores (bitwise under `bitExact = true`; q239
+    * gates it against the unpruned replay over the fielded Zipf
+    * fixture, q240 the decision table) — while hot-term (document
+    * df > `hotDf`) posting lists are never folded for docs outside
+    * the candidate set.
+    *
+    * Same two-phase plan as the whole family: rare-term fielded
+    * postings surface candidates, the candidates' FULL pseudo-tf
+    * folds run doc-restricted (the forward-fetch analog — hot words
+    * of non-candidate docs never reach [[foldPtf]]), and a per-query
+    * hot-only bound routes safe vs exact-fallback. The fielded bound:
+    * each hot term's contribution `idf · t̃f/(k1 + t̃f)` is increasing
+    * in t̃f and `t̃f(d) = Σ_f w_f·tf_f/B_f(d) ≤
+    * Σ_f w_f·max_tf_f/B_f(min_fl_f)` (every field term is maximized
+    * at its corpus extremes, [[impactStatsFielded]]), so with the
+    * metadata the ceiling is `idf · t̃f_ub/(k1 + t̃f_ub)`; without it
+    * (or for a word the table lacks) the saturation sup `t̃f → ∞`
+    * gives the corpus-free ceiling `idf` (BM25F contributions divide
+    * by `k1 + t̃f`, so the sup is idf itself — there is no (k1+1)
+    * factor here). All contributions are non-negative, so the
+    * blanket ×(1+1e-9) margin moves the bound the right way
+    * (unlike QL's sign-aware split).
+    *
+    * Queries with < k candidates or a reachable bound fall back to
+    * the unpruned [[bm25fScores]] restricted to just those queries.
+    * The corpus-global aggregates (per-field lengths, N, document
+    * df) run inline like the unpruned sibling — at ingest persist
+    * them beside the ftf layout and the probe plan keeps only the
+    * posting joins.
+    */
+  def bm25fTopKWand(ftf: DataFrame,
+                    fieldParams: Seq[(String, Double, Double)],
+                    queries: DataFrame, qidCol: String, qtextCol: String,
+                    k: Int, hotDf: Long,
+                    k1: Double = 1.2,
+                    bitExact: Boolean = true,
+                    impactF: Option[DataFrame] = None): DataFrame = {
+    val c = bm25fWandCore(ftf, fieldParams, queries, qidCol, qtextCol,
+      k, hotDf, k1, bitExact, impactF)
+    val fallback = bm25TopK(
+      bm25fScores(ftf, fieldParams,
+        queries.join(c.unsafeQ.select(col("queryId").as(qidCol)),
+          Seq(qidCol), "left_semi"),
+        qidCol, qtextCol, k1, bitExact), k)
+    c.safeTopK.unionByName(fallback.select("queryId", "docId", "score",
+      "rank"))
+  }
+
+  /** The BM25F WAND decision table (the q187/q205/q224 convention:
+    * gate the PRUNING MATH, not just the final answer) — identical
+    * columns and routing predicate as [[bm25WandStats]], shared
+    * [[bm25fWandCore]] internals with [[bm25fTopKWand]] so the
+    * readout cannot drift from the operator. `ub` is the fielded
+    * composed-ceiling bound (word-sorted fold ×(1+1e-9)).
+    */
+  def bm25fWandStats(ftf: DataFrame,
+                     fieldParams: Seq[(String, Double, Double)],
+                     queries: DataFrame, qidCol: String, qtextCol: String,
+                     k: Int, hotDf: Long,
+                     k1: Double = 1.2,
+                     bitExact: Boolean = true,
+                     impactF: Option[DataFrame] = None): DataFrame =
+    wandStatsFrom(bm25fWandCore(ftf, fieldParams, queries, qidCol,
+      qtextCol, k, hotDf, k1, bitExact, impactF), hotDf)
+
+  /** The two-phase WAND plan for BM25F — the [[wandCore]] shape over
+    * the fielded arithmetic, returning the same [[WandCore]] so
+    * `safeTopK` and [[wandStatsFrom]] are shared verbatim. Candidate
+    * scores reuse [[bm25fParts]]' trees doc-restricted, so they are
+    * bitwise the unpruned pipeline's on the candidate pairs.
+    */
+  private def bm25fWandCore(ftf: DataFrame,
+                            fieldParams: Seq[(String, Double, Double)],
+                            queries: DataFrame, qidCol: String,
+                            qtextCol: String,
+                            k: Int, hotDf: Long, k1: Double,
+                            bitExact: Boolean,
+                            impactF: Option[DataFrame]): WandCore = {
+    require(k > 0, s"k > 0: $k")
+    require(hotDf >= 0, s"hotDf >= 0: $hotDf")
+    require(k1 >= 0, s"k1 >= 0: $k1")
+    val p = bm25fParts(ftf, fieldParams, queries, qidCol, qtextCol)
+    // query-batch-sized, consumed 3× (rare, hot, bound) — eager; the
+    // WAND weight contract rides as an explicit 1.0 (the
+    // unitEnriched convention, for wandStatsFrom's shared readout)
+    val enriched = p.qTermsIdf.withColumn("weight", lit(1.0))
+      .localCheckpoint()
+    val rare = enriched.filter(col("df") <= hotDf)
+    val hot = enriched.filter(col("df") > hotDf)
+    // the per-word pseudo-tf ceiling from the fielded metadata:
+    // field-sorted fold of the per-field extremal terms
+    val tfub = impactF.map { imp =>
+      imp.join(broadcast(p.params), Seq("field"))
+        .join(broadcast(p.favg), Seq("field"))
+        .select(col("word"), col("field"),
+          (col("__w") * col("max_tf").cast("double") /
+            (lit(1.0) - col("__b") +
+              col("__b") * col("min_fl").cast("double") / col("__avgfl")))
+            .as("__fub"))
+        .groupBy("word")
+        .agg(aggregate(
+          sort_array(collect_list(struct(col("field"), col("__fub")))),
+          lit(0.0), (a, x) => a + x.getField("__fub")).as("__tfub"))
+    }
+    val hotCeil = tfub match {
+      case None =>
+        hot.select(col("queryId"), col("word"), col("idf").as("__hc"))
+      case Some(ub) =>
+        hot.join(ub, Seq("word"), "left_outer")
+          .select(col("queryId"), col("word"),
+            when(col("__tfub").isNull, col("idf"))
+              .otherwise(col("idf") * col("__tfub") /
+                (lit(k1) + col("__tfub"))).as("__hc"))
+    }
+    val hotUb = hotCeil.groupBy("queryId")
+      .agg((aggregate(
+        sort_array(collect_list(struct(col("word"), col("__hc")))),
+        lit(0.0), (a, x) => a + x.getField("__hc")) *
+        lit(1.0 + 1e-9)).as("__ub"))
+    // phase 1: candidates via the rare fielded postings
+    val candPairs = p.scoredQ
+      .join(rare.select("queryId", "word"), Seq("word"))
+      .select("queryId", "docId").distinct()
+    val candDocs = candPairs.select("docId").distinct()
+    // phase 2: the candidates' FULL pseudo-tf folds, doc-restricted
+    // (hot postings of non-candidate docs never fold), then exactly
+    // the unpruned contribution tree on the kept pairs
+    val contribCand = foldPtf(
+      p.fContrib.join(candDocs, Seq("docId"), "left_semi"), bitExact)
+      .join(enriched, Seq("word"))
+      .join(candPairs, Seq("queryId", "docId"), "left_semi")
       .select(col("queryId"), col("docId"), col("word"),
         (col("idf") * col("__tf") / (lit(k1) + col("__tf"))).as("__c"))
-    scoreFold(contrib, bitExact)
+    val candScores = scoreFold(contribCand, bitExact)
+    val w = Window.partitionBy(col("queryId"))
+      .orderBy(col("score").desc, col("docId").asc)
+    val topkCand = candScores.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k).localCheckpoint()
+    val theta = topkCand.filter(col("rank") === k)
+      .select(col("queryId"), col("score").as("__theta"))
+    val unsafeQ = hotUb.join(theta, Seq("queryId"), "left_outer")
+      .filter(col("__theta").isNull || col("__ub") >= col("__theta"))
+      .select("queryId").localCheckpoint()
+    WandCore(enriched, candPairs, topkCand, hotUb, theta, unsafeQ)
   }
 
   /** The `(word, cf)` COLLECTION-frequency table of a
@@ -870,7 +1096,7 @@ object Retrieval {
           .as("word"))
       .filter(col("word").isNotNull)
 
-  private def enrichedQueryTerms(dfTab: DataFrame, stats: DataFrame,
+  private[operators] def enrichedQueryTerms(dfTab: DataFrame, stats: DataFrame,
                                  queries: DataFrame, qidCol: String,
                                  qtextCol: String): DataFrame = {
     val qTerms = queryTerms(queries, qidCol, qtextCol)
@@ -915,7 +1141,7 @@ object Retrieval {
     * and forward-fetched hot branches), so they cannot drift by
     * construction.
     */
-  private def contribExpr(k1: Double, b: Double): Column =
+  private[operators] def contribExpr(k1: Double, b: Double): Column =
     col("idf") *
       (col("tf").cast("double") * (lit(k1) + lit(1.0))) /
       (col("tf").cast("double") + lit(k1) *
@@ -925,7 +1151,7 @@ object Retrieval {
   /** Per-(query, doc, word) BM25 contributions from a posting join of
     * `tf` with an [[enrichedQueryTerms]] table.
     */
-  private def postingContribs(tf: DataFrame, enriched: DataFrame,
+  private[operators] def postingContribs(tf: DataFrame, enriched: DataFrame,
                               k1: Double, b: Double): DataFrame =
     tf.join(enriched, Seq("word"))
       .select(col("queryId"), col("docId"), col("word"),
@@ -936,7 +1162,7 @@ object Retrieval {
     * any partitioning, and the oracle replays the identical tree;
     * scale form (`bitExact = false`): plain map-side-combined sum.
     */
-  private def scoreFold(contrib: DataFrame, bitExact: Boolean): DataFrame =
+  private[operators] def scoreFold(contrib: DataFrame, bitExact: Boolean): DataFrame =
     if (bitExact)
       contrib.groupBy(col("queryId"), col("docId"))
         .agg(sort_array(collect_list(struct(col("word"), col("__c"))))
@@ -1876,6 +2102,53 @@ object Retrieval {
       "rank"))
   }
 
+  /** ROUTING-AWARE weighted QL top-k — the production default for the
+    * LM-RM3 second pass: serve through [[qlTopKWandWeighted]] when
+    * the corpus is large enough for pruning to pay, through the
+    * unpruned [[qlScoresWeighted]] pipeline otherwise. Both branches
+    * are score-exact (the WAND branch bitwise equals the unpruned
+    * one — q234 stays green on either), so the routing is pure
+    * ECONOMICS: WAND's two-phase plan costs a near-constant extra
+    * stage budget (enrichment checkpoint, rare/hot splits, the
+    * forward fetch, θ, the fallback union) and wins by skipping hot
+    * posting volume — which scales with the corpus, while the
+    * overhead does not. Measured at the r18 shapes: 50k-doc Zipf
+    * corpus, WAND wins (18.7 vs 22.8 s ScaleBench); 500-doc documents
+    * fixture, WAND loses (15.9 vs 14.3 s, BENCH_r17 — the q234
+    * regression this operator closes). The crossover sits well
+    * between; `minWandDocs` defaults to 20k (BASELINE.md round-18
+    * records the decision).
+    *
+    * The route consults |D| from the persisted `stats` table — ONE
+    * driver read of a one-row additive layout (never a corpus pass;
+    * the pre-r18 gate paid a full `distinct().count()` for the same
+    * number) — and `hotDf` defaults to the `|D|/10` convention off
+    * the same row. The unpruned branch never evaluates `impact`
+    * (plans are lazy), so callers pass the metadata unconditionally.
+    */
+  def qlTopKWandWeightedRouted(tf: DataFrame, termWeights: DataFrame,
+                               k: Int,
+                               hotDf: Option[Long] = None,
+                               minWandDocs: Long = 20000L,
+                               mu: Double = 2000.0,
+                               bitExact: Boolean = true,
+                               forward: Option[DataFrame] = None,
+                               dfStats: Option[(DataFrame, DataFrame)] = None,
+                               cf: Option[DataFrame] = None,
+                               impact: Option[DataFrame] = None): DataFrame = {
+    val (dfTab, stats) = resolvedDfStats(tf, dfStats)
+    val cfTab = cf.getOrElse(cfTable(tf))
+    val nDocs = stats.select(col("n_docs").cast("long"))
+      .collect()(0).getLong(0)
+    if (nDocs < minWandDocs)
+      bm25TopK(qlScoresWeighted(tf, cfTab, stats, termWeights, mu,
+        bitExact), k)
+    else
+      qlTopKWandWeighted(tf, termWeights, k,
+        hotDf.getOrElse(nDocs / 10), mu, bitExact, forward,
+        Some((dfTab, stats)), Some(cfTab), impact)
+  }
+
   /** The UNIT-weight QL enriched table — query terms joined with
     * cf/df + the corpus token count, `|q|` as the corpus-present
     * count, and an explicit `1.0` weight so the shared core's
@@ -2375,7 +2648,11 @@ object Retrieval {
     val (enriched, nqPresent, nqFull) =
       ltrEnriched(dfTab, cfTab, stats, queries, qidCol, qtextCol)
     val fwd = forward.getOrElse(tf)
-    ltrAssemble(pairs.select(col("queryId"), col("docId"))
+    // defensive collapse (the rrfFuse/facetCounts convention): a
+    // duplicate (queryId, docId) row would fan out through the
+    // forward join and double every per-term struct in the fold —
+    // result-sized, so the distinct is free
+    ltrAssemble(pairs.select(col("queryId"), col("docId")).distinct()
       .join(fwd, Seq("docId"))
       .join(enriched, Seq("queryId", "word"))
       .select(col("queryId"), col("docId"), col("word"), col("dl"),
