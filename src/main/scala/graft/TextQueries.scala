@@ -940,20 +940,51 @@ private[graft] object TextQueries {
     // its best passage. The oracle replays the segmentation (window
     // arithmetic included), the passage scoring chain, and the max
     "q203_passage_maxp_topk" -> ((s, dir) => {
-      import graft.operators.{Chunking, Retrieval}
+      import graft.operators.Passages
       val docs = t(s, dir, "documents")
-      val pass = Chunking.tokenPassages(docs, "doc_id", "text",
-        width = 32, stride = 16)
-        .localCheckpoint() // consumed 2x (passage index + membership)
-      val tf = Retrieval.termFrequencies(pass, "passageId", "text")
-        .localCheckpoint() // see q179
+      // r18 re-shape: the probe runs THROUGH the persisted passage
+      // layout (all four tables materialized once — the pre-r18 gate
+      // rebuilt df/stats inline per consumer); scores bitwise
+      // unchanged, so the oracle is untouched. q235 gates the
+      // layout's append/delete lifecycle against this same replay
+      val layout = ckptPassageLayout(
+        Passages.passageIndex(docs, "doc_id", "text",
+          width = 32, stride = 16))
       val qs = docs.where(col("doc_id") % 97 === 0)
         .select(col("doc_id").as("query_id"),
           substring(col("text"), 1, 40).as("text"))
-      val maxp = Retrieval.maxPassageScores(
-        Retrieval.bm25ScoresIndexed(tf, qs, "query_id", "text"),
-        pass.select("passageId", "docId"))
-      Retrieval.bm25TopK(maxp, 5)
+      Passages.maxPassageTopK(layout, qs, "query_id", "text", k = 5)
+        .select(col("queryId").as("query_id"), col("docId").as("doc_id"),
+          round(col("score"), 6).as("score"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+    // the passage-index LIFECYCLE (the q183/q186 convention for the
+    // passage layout): build on half the corpus + phantom docs,
+    // append the other half, delete the phantoms — the final layout
+    // must probe indistinguishably from a fresh build over the full
+    // corpus, so the oracle is q203's fresh-build replay VERBATIM
+    "q235_passage_index_lifecycle" -> ((s, dir) => {
+      import graft.operators.Passages
+      val docs = t(s, dir, "documents")
+      val phantom = docs.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))
+      val half0 = docs.where(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text")).unionByName(phantom)
+      val half1 = docs.where(col("doc_id") % 2 =!= 0)
+        .select(col("doc_id"), col("text"))
+      val built = ckptPassageLayout(
+        Passages.passageIndex(half0, "doc_id", "text", 32, 16))
+      val appended = ckptPassageLayout(
+        Passages.compactPassageIndex(built, half1, "doc_id", "text",
+          32, 16))
+      val fin = ckptPassageLayout(
+        Passages.compactPassageIndexDeleted(appended,
+          phantom.select(col("doc_id").as("docId"))))
+      val qs = docs.where(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("query_id"),
+          substring(col("text"), 1, 40).as("text"))
+      Passages.maxPassageTopK(fin, qs, "query_id", "text", k = 5)
         .select(col("queryId").as("query_id"), col("docId").as("doc_id"),
           round(col("score"), 6).as("score"),
           col("rank").cast("long").as("rank"))
@@ -1827,6 +1858,137 @@ private[graft] object TextQueries {
           col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
     }),
+    // the pairwise-LTR training VIEW (RankNet's input): within-query
+    // label-differing pairs as winner-minus-loser feature deltas —
+    // the oracle replays the q219 feature assembly, the top-3 qrel
+    // labeling, and the preference self-join from first principles
+    // (a lost pair, a direction flip, or a delta drift moves rows)
+    "q236_ltr_pref_pairs" -> ((s, dir) => {
+      import graft.operators.{Ltr, Retrieval}
+      val docs = t(s, dir, "documents")
+      val tf = Retrieval.termFrequencies(docs, "doc_id", "text")
+        .localCheckpoint() // see q179
+      val dfT = Retrieval.dfTable(tf).localCheckpoint()
+      val cfT = Retrieval.cfTable(tf).localCheckpoint()
+      val st = Retrieval.corpusStats(tf).localCheckpoint()
+      val qs = docs.where(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("query_id"),
+          substring(col("text"), 1, 40).as("text"))
+      val feats = Retrieval.ltrFeatures(tf, dfT, cfT, st, qs,
+        "query_id", "text").localCheckpoint()
+      val qrels = Retrieval.bm25TopK(
+        Retrieval.bm25ScoresPrecomputed(tf, dfT, st, qs,
+          "query_id", "text"), 3)
+        .select(col("queryId"), col("docId"), lit(1.0).as("label"))
+      val labeled = feats.join(qrels, Seq("queryId", "docId"),
+        "left_outer").na.fill(0.0, Seq("label"))
+      Ltr.ltrPreferencePairs(labeled,
+        Seq("bm25", "ql", "n_matched", "coverage", "dl", "sum_idf"),
+        "label")
+        .select(col("queryId").as("query_id"),
+          col("docId").as("pair_id"),
+          round(col("bm25"), 6).as("bm25"), round(col("ql"), 6).as("ql"),
+          col("n_matched"), round(col("coverage"), 6).as("coverage"),
+          col("dl"), round(col("sum_idf"), 6).as("sum_idf"))
+        .orderBy("query_id", "pair_id")
+    }),
+    // federated retrieval END TO END (select → probe → merge): CORI
+    // picks 2 of the 4 doc_id%4 shards per query, only their posting
+    // rows score — with GLOBAL statistics, so the merged ranking is
+    // exactly the unsharded ranking restricted to probed pairs. The
+    // oracle replays the CORI selection (q215's CTEs), the shard
+    // restriction, and the rank from first principles
+    "q237_federated_topk" -> ((s, dir) => {
+      import graft.operators.{Federation, Retrieval}
+      val docs = t(s, dir, "documents")
+      val tf = Retrieval.termFrequencies(docs, "doc_id", "text")
+        .localCheckpoint() // see q179
+      val dfT = Retrieval.dfTable(tf).localCheckpoint()
+      val st = Retrieval.corpusStats(tf).localCheckpoint()
+      val shards = docs.select(col("doc_id").as("docId"),
+        pmod(col("doc_id"), lit(4)).as("shard"))
+      // the shard-partitioned index layout (one table, shard column)
+      val shardTf = tf.join(shards, Seq("docId"))
+        .select(col("shard"), col("docId"), col("dl"), col("word"),
+          col("tf"))
+        .localCheckpoint()
+      val sdf = Federation.shardTermStats(tf, shards).localCheckpoint()
+      val scw = Federation.shardSizes(tf, shards).localCheckpoint()
+      val qs = docs.where(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("query_id"),
+          substring(col("text"), 1, 40).as("text"))
+      Federation.coriTopK(shardTf, sdf, scw, dfT, st, qs,
+        "query_id", "text", k = 5, nProbe = 2)
+        .select(col("queryId").as("query_id"), col("docId").as("doc_id"),
+          round(col("score"), 6).as("score"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+    // the QL decision table through a POST-DELETE index whose impact
+    // metadata went through compactImpactStatsDeleted (the q224
+    // convention over the deleted lifecycle): the oracle recomputes
+    // (max_tf, min_dl) from the SURVIVING postings — so a stale or
+    // wrongly-merged row moves ub/safe even when the top-k survives
+    "q238_ql_wand_stats_deleted" -> ((s, dir) => {
+      import graft.operators.Retrieval
+      val (tf, qs, _) = zipfWandFixture(s, dir)
+      val dfT = Retrieval.dfTable(tf).localCheckpoint()
+      val st = Retrieval.corpusStats(tf).localCheckpoint()
+      val del = t(s, dir, "documents").where(col("doc_id") % 9 === 3)
+        .select(col("doc_id").as("docId")).localCheckpoint()
+      val (tfD0, dfD0, stD0) =
+        Retrieval.compactTermIndexDeleted(tf, dfT, st, del)
+      val tfD = tfD0.localCheckpoint()
+      val dfD = dfD0.localCheckpoint()
+      val stD = stD0.localCheckpoint()
+      val impDel = Retrieval.compactImpactStatsDeleted(
+        Retrieval.impactStats(tf), tf, del).localCheckpoint()
+      val hotCut = stD.select(col("n_docs")).collect()(0).getLong(0) / 10
+      Retrieval.qlWandStats(tfD, qs, "query_id", "text",
+        k = 5, hotDf = hotCut,
+        dfStats = Some((dfD, stD)), impact = Some(impDel))
+        .select(col("queryId").as("query_id"),
+          col("n_rare_terms"), col("n_hot_terms"), col("n_candidates"),
+          round(col("ub"), 6).as("ub"),
+          round(col("theta"), 6).as("theta"), col("safe"))
+        .orderBy("query_id")
+    }),
+    // BM25F WAND over the fielded Zipf fixture (title = the corpus
+    // text's first 40 chars, body = the rest — the q202 split over
+    // the df shape that exercises the rare/hot divide): pruned top-5
+    // with composed per-field impact ceilings — the oracle is the
+    // UNPRUNED fielded replay, so the gate is the fielded
+    // score-exactness claim itself
+    "q239_bm25f_wand_topk" -> ((s, dir) => {
+      import graft.operators.Retrieval
+      val (ftf, qs, hotCut) = fieldedZipfFixture(s, dir)
+      Retrieval.bm25fTopKWand(ftf,
+        Seq(("title", 2.0, 0.5), ("body", 1.0, 0.75)),
+        qs, "query_id", "text", k = 5, hotDf = hotCut,
+        impactF = Some(Retrieval.impactStatsFielded(ftf)))
+        .select(col("queryId").as("query_id"), col("docId").as("doc_id"),
+          round(col("score"), 6).as("score"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+    // ...and the fielded decision table (the q224 convention): the
+    // oracle recomputes the per-(word, field) (max_tf, min_fl)
+    // extremes, the field-sorted composed pseudo-tf ceiling, the
+    // idf·t̃f_ub/(k1+t̃f_ub) per-term bound, the ×(1+1e-9) margin, θ
+    // from the fielded candidate scores, and the routing predicate
+    "q240_bm25f_wand_stats" -> ((s, dir) => {
+      import graft.operators.Retrieval
+      val (ftf, qs, hotCut) = fieldedZipfFixture(s, dir)
+      Retrieval.bm25fWandStats(ftf,
+        Seq(("title", 2.0, 0.5), ("body", 1.0, 0.75)),
+        qs, "query_id", "text", k = 5, hotDf = hotCut,
+        impactF = Some(Retrieval.impactStatsFielded(ftf)))
+        .select(col("queryId").as("query_id"),
+          col("n_rare_terms"), col("n_hot_terms"), col("n_candidates"),
+          round(col("ub"), 6).as("ub"),
+          round(col("theta"), 6).as("theta"), col("safe"))
+        .orderBy("query_id")
+    }),
     // the QL-Dirichlet WAND analog: pruned top-5 over the Zipf WAND
     // fixture, impact-tightened bounds — the oracle replays the
     // UNPRUNED QL chain (q199's CTEs over this fixture), so the gate
@@ -1974,6 +2136,52 @@ private[graft] object TextQueries {
     * [[ZipfWandCorpusTextSql]]/[[ZipfWandQueryTextSql]] are the
     * oracle-side halves of the same definition.
     */
+  /** The FIELDED Zipf WAND fixture (q239/q240): the
+    * [[zipfWandFixture]] corpus split title/body at char 40 (the
+    * q202 convention) with the same queries and N/10 hot cut —
+    * memoized size-one like the unfielded fixture.
+    */
+  private def fieldedZipfFixture(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, Long) =
+    fieldedZipfFixtureCache.synchronized {
+      fieldedZipfFixtureCache.get((s, dir)).getOrElse {
+        val (_, qs, hotCut) = zipfWandFixture(s, dir)
+        val corpus = t(s, dir, "documents")
+          .where(col("doc_id").isNotNull)
+          .select(col("doc_id"),
+            zipfText(col("doc_id"), 30, 2000, "zc", 2000).as("text"))
+        val fielded = corpus.select(col("doc_id"),
+          lit("title").as("field"),
+          substring(col("text"), 1, 40).as("ftext"))
+          .unionByName(corpus.select(col("doc_id"),
+            lit("body").as("field"),
+            substring(col("text"), 41, 1 << 30).as("ftext")))
+        val ftf = graft.operators.Retrieval
+          .termFrequenciesFielded(fielded, "doc_id", "field", "ftext")
+          .localCheckpoint()
+        val built = (ftf, qs, hotCut)
+        fieldedZipfFixtureCache.clear()
+        fieldedZipfFixtureCache.put((s, dir), built)
+        built
+      }
+    }
+
+  private val fieldedZipfFixtureCache =
+    scala.collection.mutable.Map
+      .empty[(SparkSession, String), (DataFrame, DataFrame, Long)]
+
+  /** Materialize all four passage-layout tables — the gate stand-in
+    * for the persisted-at-ingest contract: each stage's output is
+    * consumed by the next compaction AND the probe, so it must never
+    * re-run its build chain per consumer.
+    */
+  private def ckptPassageLayout(
+      l: graft.operators.Passages.PassageLayout)
+      : graft.operators.Passages.PassageLayout =
+    graft.operators.Passages.PassageLayout(l.tf.localCheckpoint(),
+      l.dfTab.localCheckpoint(), l.stats.localCheckpoint(),
+      l.membership.localCheckpoint())
+
   private def zipfWandFixture(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, Long) = zipfWandFixtureCache.synchronized {
     zipfWandFixtureCache.get((s, dir)).getOrElse {
@@ -2371,6 +2579,242 @@ private[graft] object TextQueries {
     s"array_to_string(list_slice(list_filter(string_split_regex(" +
       s"regexp_replace(lower(text), '[^a-z0-9$WsClass]', ' ', 'g'), " +
       s"'[$WsClass]+'), x -> x != ''), 2, 4), ' ')"
+
+
+  /** The QL WAND decision table from first principles over the Zipf
+    * fixture, with the CORPUS membership parameterized — shared by
+    * q224 (the full corpus) and q238 (the post-delete survivors,
+    * whose impact metadata went through compactImpactStatsDeleted):
+    * per-word (max_tf, min_dl) off the live posting rows, the
+    * per-term ceiling ln(1 + max_tf·|C|/(mu·cf)) word-sorted-folded
+    * x(1+1e-9), the dl-floor normalizer x(1-1e-9) (margin constants
+    * exact toString round-trips), theta from the QL scores of the
+    * rare-term candidate pairs, and the routing predicate verbatim.
+    */
+  private def qlWandStatsOracle(corpusWhere: String): String =
+    s"""WITH ${bm25Cte(corpusWhere, "doc_id % 50 = 0",
+             ZipfWandQueryTextSql, ZipfWandCorpusTextSql)},
+         |$QlCtes,
+         |hotcut AS (SELECT count(*) // 10 AS cut FROM corpus),
+         |split AS (
+         |  SELECT query_id, word, df, cut
+         |  FROM qterms JOIN dft USING (word) CROSS JOIN hotcut),
+         |counts AS (
+         |  SELECT query_id,
+         |    CAST(sum(CASE WHEN df <= cut THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_rare_terms,
+         |    CAST(sum(CASE WHEN df > cut THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_hot_terms
+         |  FROM split GROUP BY 1),
+         |cands AS (
+         |  SELECT DISTINCT s.query_id, t.doc_id
+         |  FROM split s JOIN tfv t USING (word) WHERE s.df <= s.cut),
+         |ncand AS (
+         |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_candidates
+         |  FROM cands GROUP BY 1),
+         |imps AS (
+         |  SELECT t.word, max(t.tf) AS max_tf, min(l.dl) AS min_dl
+         |  FROM tfv t JOIN lens l ON l.doc_id = t.doc_id
+         |  GROUP BY 1),
+         |qlagg AS (
+         |  SELECT s.query_id,
+         |    list_reduce(list_prepend(0.0, list(
+         |      ln(1.0 + CAST(i.max_tf AS DOUBLE) * ctokens
+         |        / (CAST(2000 AS DOUBLE) * CAST(c.cf AS DOUBLE)))
+         |      ORDER BY s.word)), (a, x) -> a + x) AS pos,
+         |    min(i.min_dl) AS mdl
+         |  FROM split s JOIN cft c USING (word) JOIN imps i USING (word)
+         |  CROSS JOIN ctok
+         |  WHERE s.df > s.cut
+         |  GROUP BY s.query_id),
+         |ubt AS (
+         |  SELECT query_id,
+         |    pos * CAST('${(1.0 + 1e-9).toString}' AS DOUBLE)
+         |      + CAST(nq AS DOUBLE) * ln(CAST(2000 AS DOUBLE)
+         |          / (CAST(mdl AS DOUBLE) + CAST(2000 AS DOUBLE)))
+         |        * CAST('${(1.0 - 1e-9).toString}' AS DOUBLE) AS ub
+         |  FROM qlagg JOIN qnq USING (query_id)),
+         |cscore AS (
+         |  SELECT q.query_id, q.doc_id, q.score
+         |  FROM qlsc q JOIN cands c USING (query_id, doc_id)),
+         |th AS (
+         |  SELECT query_id, score AS theta FROM (
+         |    SELECT query_id, score,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score DESC, doc_id) AS r
+         |    FROM cscore) x WHERE r = 5)
+         |SELECT c.query_id, n_rare_terms, n_hot_terms,
+         |  CAST(coalesce(n_candidates, 0) AS BIGINT) AS n_candidates,
+         |  round(ub, 6) AS ub, round(theta, 6) AS theta,
+         |  NOT (n_hot_terms > 0 AND (theta IS NULL OR ub >= theta)) AS safe
+         |FROM counts c
+         |LEFT JOIN ncand USING (query_id)
+         |LEFT JOIN ubt USING (query_id)
+         |LEFT JOIN th USING (query_id)
+         |ORDER BY query_id""".stripMargin
+
+  /** The full BM25F chain in SQL, parameterized over the corpus
+    * (title/body expressions + membership) and the query shape —
+    * shared by q202 (documents at %97) and q239/q240 (the fielded
+    * Zipf fixture): per-field tokenization and lengths, exact-sum
+    * per-field avgfl, document-level df/N over any-field matches, the
+    * field-ORDER pseudo-tf fold, idf*ptf/(k1+ptf), and the
+    * word-sorted score fold. Emits `fdocs..fsc` (plus `fftf`, `flen`,
+    * `favg`, `fdf`, `fenr` for the q240 decision-table tail).
+    */
+  private def bm25fCtes(titleSql: String, bodySql: String,
+                        corpusWhere: String, queryWhere: String,
+                        queryText: String): String =
+    s"""fdocs AS (
+       |  SELECT doc_id, 'title' AS field, $titleSql AS ftext
+       |  FROM documents WHERE $corpusWhere
+       |  UNION ALL
+       |  SELECT doc_id, 'body', $bodySql FROM documents
+       |  WHERE $corpusWhere),
+       |fcorpus AS (
+       |  SELECT doc_id, field, list_filter(string_split_regex(
+       |      regexp_replace(lower(ftext), '[^a-z0-9$WsClass]', ' ', 'g'),
+       |      '[$WsClass]+'), x -> x != '') AS ws
+       |  FROM fdocs
+       |  WHERE doc_id IS NOT NULL
+       |    AND regexp_matches(lower(ftext), '[a-z0-9]')),
+       |fftf AS (
+       |  SELECT doc_id, field, word, count(*) AS tf
+       |  FROM (SELECT doc_id, field, unnest(ws) AS word FROM fcorpus)
+       |  GROUP BY 1, 2, 3),
+       |flen AS (
+       |  SELECT doc_id, field, CAST(len(ws) AS BIGINT) AS fl
+       |  FROM fcorpus),
+       |favg AS (
+       |  SELECT field, CAST(sum(fl) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       |    AS avgfl
+       |  FROM flen GROUP BY 1),
+       |fn AS (
+       |  SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM fcorpus),
+       |fdf AS (
+       |  SELECT word, count(DISTINCT doc_id) AS df FROM fftf GROUP BY 1),
+       |fptf AS (
+       |  SELECT f.doc_id, f.word,
+       |    list_reduce(list_prepend(0.0, list(
+       |      (CASE WHEN f.field = 'title' THEN CAST(2.0 AS DOUBLE)
+       |            ELSE CAST(1.0 AS DOUBLE) END) * CAST(f.tf AS DOUBLE)
+       |      / (1.0 - (CASE WHEN f.field = 'title'
+       |                THEN CAST(0.5 AS DOUBLE)
+       |                ELSE CAST(0.75 AS DOUBLE) END)
+       |         + (CASE WHEN f.field = 'title'
+       |            THEN CAST(0.5 AS DOUBLE)
+       |            ELSE CAST(0.75 AS DOUBLE) END)
+       |           * CAST(l.fl AS DOUBLE) / a.avgfl)
+       |      ORDER BY f.field)), (acc, x) -> acc + x) AS ptf
+       |  FROM fftf f
+       |  JOIN flen l ON l.doc_id = f.doc_id AND l.field = f.field
+       |  JOIN favg a ON a.field = f.field
+       |  GROUP BY 1, 2),
+       |fqt AS (
+       |  SELECT doc_id AS query_id, unnest(list_distinct(list_filter(
+       |      string_split_regex(
+       |        regexp_replace(lower($queryText),
+       |          '[^a-z0-9$WsClass]', ' ', 'g'),
+       |        '[$WsClass]+'), x -> x != ''))) AS word
+       |  FROM documents
+       |  WHERE doc_id IS NOT NULL AND $queryWhere
+       |    AND regexp_matches(lower($queryText), '[a-z0-9]')),
+       |fenr AS (
+       |  SELECT query_id, word,
+       |    ln(1.0 + (n - CAST(df AS DOUBLE) + 0.5)
+       |             / (CAST(df AS DOUBLE) + 0.5)) AS idf
+       |  FROM fqt JOIN fdf USING (word) CROSS JOIN fn),
+       |fcon AS (
+       |  SELECT e.query_id, p.doc_id, p.word,
+       |    e.idf * p.ptf / (CAST(1.2 AS DOUBLE) + p.ptf) AS c
+       |  FROM fptf p JOIN fenr e ON e.word = p.word),
+       |fsc AS (
+       |  SELECT query_id, doc_id,
+       |    list_reduce(list(c ORDER BY word), (a, x) -> a + x) AS score
+       |  FROM fcon GROUP BY 1, 2)""".stripMargin
+
+  /** The fresh-build passage-MaxP replay (segmentation window
+    * arithmetic included) — shared by q203 (the probe gate) and q235
+    * (the lifecycle gate): a compacted layout must be
+    * indistinguishable from this rebuild.
+    */
+  private lazy val PassageMaxpOracle =
+    s"""WITH $LiveWordsCte,
+         |pass AS (
+         |  SELECT doc_id,
+         |    CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)
+         |      AS passage_id,
+         |    array_to_string(list_slice(w,
+         |      CAST(i * 16 + 1 AS BIGINT),
+         |      CAST(i * 16 + 32 AS BIGINT)), ' ') AS text
+         |  FROM ws, unnest(generate_series(0,
+         |    greatest(CAST(1 AS BIGINT),
+         |      CAST(ceil((CAST(len(w) AS DOUBLE) - 32) / 16) AS BIGINT)
+         |        + 1) - 1)) AS t(i)),
+         |${bm25Cte("TRUE", "doc_id % 97 = 0", "substr(text, 1, 40)",
+             "text", "pass", "passage_id")},
+         |pmap AS (SELECT DISTINCT passage_id, doc_id FROM pass),
+         |maxp AS (
+         |  SELECT b.query_id, p.doc_id, max(b.score) AS score
+         |  FROM bscores b JOIN pmap p ON p.passage_id = b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT query_id, doc_id, round(score, 6) AS score,
+         |  CAST(rank AS BIGINT) AS rank
+         |FROM (
+         |  SELECT query_id, doc_id, score,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id) AS rank
+         |  FROM maxp) z
+         |WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
+
+  /** The CORI resource-selection replay (the 4-shard doc_id % 4
+    * split): shard-level metadata, the T·I belief with the absent-
+    * term prior, and the word-sorted per-shard mean — shared by q215
+    * (the selection gate) and q237 (the federated select → probe →
+    * merge gate), the one-definition rule for "the CORI ranking".
+    * Emits `sdf`, `scw`, `cstats`, `cft`, `qcf`, `qnq`, `cells`,
+    * `csum`, `scored`; expects `tfv`/`lens`/`qterms` from
+    * [[bm25Cte]].
+    */
+  private lazy val CoriCtes =
+    s"""sdf AS (
+       |  SELECT CAST(doc_id % 4 AS BIGINT) AS shard, word,
+       |    CAST(count(*) AS BIGINT) AS df
+       |  FROM tfv GROUP BY 1, 2),
+       |scw AS (
+       |  SELECT CAST(doc_id % 4 AS BIGINT) AS shard,
+       |    CAST(sum(dl) AS BIGINT) AS cw
+       |  FROM lens GROUP BY 1),
+       |cstats AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS cc,
+       |    CAST(sum(cw) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgcw
+       |  FROM scw),
+       |cft AS (SELECT word, CAST(count(*) AS BIGINT) AS cf
+       |        FROM sdf GROUP BY 1),
+       |qcf AS (SELECT query_id, word, cf
+       |        FROM qterms JOIN cft USING (word)),
+       |qnq AS (SELECT query_id, count(*) AS nq FROM qcf GROUP BY 1),
+       |cells AS (
+       |  SELECT q.query_id, s.shard, q.word,
+       |    CAST(0.4 AS DOUBLE) + CAST(0.6 AS DOUBLE) *
+       |      (CAST(coalesce(d.df, 0) AS DOUBLE)
+       |        / (CAST(coalesce(d.df, 0) AS DOUBLE)
+       |           + CAST(50.0 AS DOUBLE)
+       |           + CAST(150.0 AS DOUBLE) * CAST(s.cw AS DOUBLE)
+       |             / avgcw)) *
+       |      (ln((cc + 0.5) / CAST(q.cf AS DOUBLE)) / ln(cc + 1.0))
+       |      AS p
+       |  FROM qcf q CROSS JOIN scw s
+       |  LEFT JOIN sdf d ON d.shard = s.shard AND d.word = q.word
+       |  CROSS JOIN cstats),
+       |csum AS (
+       |  SELECT query_id, shard,
+       |    list_reduce(list(p ORDER BY word), (a, x) -> a + x) AS ssum
+       |  FROM cells GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT query_id, shard, ssum / CAST(nq AS DOUBLE) AS score
+       |  FROM csum JOIN qnq USING (query_id))""".stripMargin
 
   /** The query-likelihood Dirichlet chain replayed in SQL, downstream
     * of [[bm25Cte]]'s `tfv`/`lens`/`qterms` (shared by q199/q201):
@@ -3604,35 +4048,11 @@ private[graft] object TextQueries {
     // window), then the SAME scoring chain with the passages CTE as
     // the corpus (passage ids alias to doc_id inside it), then the
     // per-doc max and the rank
-    "q203_passage_maxp_topk" ->
-      s"""WITH $LiveWordsCte,
-         |pass AS (
-         |  SELECT doc_id,
-         |    CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)
-         |      AS passage_id,
-         |    array_to_string(list_slice(w,
-         |      CAST(i * 16 + 1 AS BIGINT),
-         |      CAST(i * 16 + 32 AS BIGINT)), ' ') AS text
-         |  FROM ws, unnest(generate_series(0,
-         |    greatest(CAST(1 AS BIGINT),
-         |      CAST(ceil((CAST(len(w) AS DOUBLE) - 32) / 16) AS BIGINT)
-         |        + 1) - 1)) AS t(i)),
-         |${bm25Cte("TRUE", "doc_id % 97 = 0", "substr(text, 1, 40)",
-             "text", "pass", "passage_id")},
-         |pmap AS (SELECT DISTINCT passage_id, doc_id FROM pass),
-         |maxp AS (
-         |  SELECT b.query_id, p.doc_id, max(b.score) AS score
-         |  FROM bscores b JOIN pmap p ON p.passage_id = b.doc_id
-         |  GROUP BY 1, 2)
-         |SELECT query_id, doc_id, round(score, 6) AS score,
-         |  CAST(rank AS BIGINT) AS rank
-         |FROM (
-         |  SELECT query_id, doc_id, score,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY score DESC, doc_id) AS rank
-         |  FROM maxp) z
-         |WHERE rank <= 5
-         |ORDER BY query_id, rank""".stripMargin,
+    "q203_passage_maxp_topk" -> PassageMaxpOracle,
+    // the lifecycle gate replays the FRESH BUILD — append + delete
+    // compaction must be indistinguishable from it
+    "q235_passage_index_lifecycle" -> PassageMaxpOracle,
+
 
     // the whole fielded chain from first principles: the title/body
     // split, per-field tokenization and lengths, exact-sum per-field
@@ -3640,72 +4060,8 @@ private[graft] object TextQueries {
     // field-ORDER pseudo-tf fold, idf·ptf/(k1+ptf), word-sorted score
     // fold, rank
     "q202_bm25f_topk" ->
-      s"""WITH fdocs AS (
-         |  SELECT doc_id, 'title' AS field, substr(text, 1, 40) AS ftext
-         |  FROM documents
-         |  UNION ALL
-         |  SELECT doc_id, 'body', substr(text, 41) FROM documents),
-         |fcorpus AS (
-         |  SELECT doc_id, field, list_filter(string_split_regex(
-         |      regexp_replace(lower(ftext), '[^a-z0-9$WsClass]', ' ', 'g'),
-         |      '[$WsClass]+'), x -> x != '') AS ws
-         |  FROM fdocs
-         |  WHERE doc_id IS NOT NULL
-         |    AND regexp_matches(lower(ftext), '[a-z0-9]')),
-         |fftf AS (
-         |  SELECT doc_id, field, word, count(*) AS tf
-         |  FROM (SELECT doc_id, field, unnest(ws) AS word FROM fcorpus)
-         |  GROUP BY 1, 2, 3),
-         |flen AS (
-         |  SELECT doc_id, field, CAST(len(ws) AS BIGINT) AS fl
-         |  FROM fcorpus),
-         |favg AS (
-         |  SELECT field, CAST(sum(fl) AS DOUBLE) / CAST(count(*) AS DOUBLE)
-         |    AS avgfl
-         |  FROM flen GROUP BY 1),
-         |fn AS (
-         |  SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM fcorpus),
-         |fdf AS (
-         |  SELECT word, count(DISTINCT doc_id) AS df FROM fftf GROUP BY 1),
-         |fptf AS (
-         |  SELECT f.doc_id, f.word,
-         |    list_reduce(list_prepend(0.0, list(
-         |      (CASE WHEN f.field = 'title' THEN CAST(2.0 AS DOUBLE)
-         |            ELSE CAST(1.0 AS DOUBLE) END) * CAST(f.tf AS DOUBLE)
-         |      / (1.0 - (CASE WHEN f.field = 'title'
-         |                THEN CAST(0.5 AS DOUBLE)
-         |                ELSE CAST(0.75 AS DOUBLE) END)
-         |         + (CASE WHEN f.field = 'title'
-         |            THEN CAST(0.5 AS DOUBLE)
-         |            ELSE CAST(0.75 AS DOUBLE) END)
-         |           * CAST(l.fl AS DOUBLE) / a.avgfl)
-         |      ORDER BY f.field)), (acc, x) -> acc + x) AS ptf
-         |  FROM fftf f
-         |  JOIN flen l ON l.doc_id = f.doc_id AND l.field = f.field
-         |  JOIN favg a ON a.field = f.field
-         |  GROUP BY 1, 2),
-         |fqt AS (
-         |  SELECT doc_id AS query_id, unnest(list_distinct(list_filter(
-         |      string_split_regex(
-         |        regexp_replace(lower(substr(text, 1, 40)),
-         |          '[^a-z0-9$WsClass]', ' ', 'g'),
-         |        '[$WsClass]+'), x -> x != ''))) AS word
-         |  FROM documents
-         |  WHERE doc_id IS NOT NULL AND doc_id % 97 = 0
-         |    AND regexp_matches(lower(substr(text, 1, 40)), '[a-z0-9]')),
-         |fenr AS (
-         |  SELECT query_id, word,
-         |    ln(1.0 + (n - CAST(df AS DOUBLE) + 0.5)
-         |             / (CAST(df AS DOUBLE) + 0.5)) AS idf
-         |  FROM fqt JOIN fdf USING (word) CROSS JOIN fn),
-         |fcon AS (
-         |  SELECT e.query_id, p.doc_id, p.word,
-         |    e.idf * p.ptf / (CAST(1.2 AS DOUBLE) + p.ptf) AS c
-         |  FROM fptf p JOIN fenr e ON e.word = p.word),
-         |fsc AS (
-         |  SELECT query_id, doc_id,
-         |    list_reduce(list(c ORDER BY word), (a, x) -> a + x) AS score
-         |  FROM fcon GROUP BY 1, 2)
+      s"""WITH ${bm25fCtes("substr(text, 1, 40)", "substr(text, 41)",
+             "TRUE", "doc_id % 97 = 0", "substr(text, 1, 40)")}
          |SELECT query_id, doc_id, round(score, 6) AS score,
          |  CAST(rank AS BIGINT) AS rank
          |FROM (
@@ -4353,43 +4709,7 @@ private[graft] object TextQueries {
     // and the word-sorted mean — all from first principles
     "q215_cori_shards" ->
       s"""WITH ${bm25Cte("TRUE", "doc_id % 97 = 0", "substr(text, 1, 40)")},
-         |sdf AS (
-         |  SELECT CAST(doc_id % 4 AS BIGINT) AS shard, word,
-         |    CAST(count(*) AS BIGINT) AS df
-         |  FROM tfv GROUP BY 1, 2),
-         |scw AS (
-         |  SELECT CAST(doc_id % 4 AS BIGINT) AS shard,
-         |    CAST(sum(dl) AS BIGINT) AS cw
-         |  FROM lens GROUP BY 1),
-         |cstats AS (
-         |  SELECT CAST(count(*) AS DOUBLE) AS cc,
-         |    CAST(sum(cw) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgcw
-         |  FROM scw),
-         |cft AS (SELECT word, CAST(count(*) AS BIGINT) AS cf
-         |        FROM sdf GROUP BY 1),
-         |qcf AS (SELECT query_id, word, cf
-         |        FROM qterms JOIN cft USING (word)),
-         |qnq AS (SELECT query_id, count(*) AS nq FROM qcf GROUP BY 1),
-         |cells AS (
-         |  SELECT q.query_id, s.shard, q.word,
-         |    CAST(0.4 AS DOUBLE) + CAST(0.6 AS DOUBLE) *
-         |      (CAST(coalesce(d.df, 0) AS DOUBLE)
-         |        / (CAST(coalesce(d.df, 0) AS DOUBLE)
-         |           + CAST(50.0 AS DOUBLE)
-         |           + CAST(150.0 AS DOUBLE) * CAST(s.cw AS DOUBLE)
-         |             / avgcw)) *
-         |      (ln((cc + 0.5) / CAST(q.cf AS DOUBLE)) / ln(cc + 1.0))
-         |      AS p
-         |  FROM qcf q CROSS JOIN scw s
-         |  LEFT JOIN sdf d ON d.shard = s.shard AND d.word = q.word
-         |  CROSS JOIN cstats),
-         |csum AS (
-         |  SELECT query_id, shard,
-         |    list_reduce(list(p ORDER BY word), (a, x) -> a + x) AS ssum
-         |  FROM cells GROUP BY 1, 2),
-         |scored AS (
-         |  SELECT query_id, shard, ssum / CAST(nq AS DOUBLE) AS score
-         |  FROM csum JOIN qnq USING (query_id))
+         |$CoriCtes
          |SELECT query_id, shard, round(score, 6) AS score,
          |  CAST(r AS BIGINT) AS rank
          |FROM (
@@ -5012,14 +5332,118 @@ private[graft] object TextQueries {
     // both margin constants exact toString round-trips — θ from the
     // QL scores of the rare-term candidate pairs, and the routing
     // predicate verbatim
-    "q224_ql_wand_stats" ->
-      s"""WITH ${bm25Cte("TRUE", "doc_id % 50 = 0",
-             ZipfWandQueryTextSql, ZipfWandCorpusTextSql)},
+    "q224_ql_wand_stats" -> qlWandStatsOracle("TRUE"),
+    // the SAME decision-table replay over the SURVIVING corpus — the
+    // deleted-compaction impact table must read indistinguishably
+    // from metadata rebuilt on the survivors
+    "q238_ql_wand_stats_deleted" -> qlWandStatsOracle("doc_id % 9 <> 3"),
+
+    // q219's feature assembly UNROUNDED + the top-3 qrel labeling +
+    // the winner-minus-loser preference self-join — RankNet's
+    // training view from first principles
+    "q236_ltr_pref_pairs" ->
+      s"""WITH ${bm25Cte("TRUE", "doc_id % 97 = 0", "substr(text, 1, 40)")},
          |$QlCtes,
-         |hotcut AS (SELECT count(*) // 10 AS cut FROM corpus),
+         |mstat AS (
+         |  SELECT query_id, t.doc_id, CAST(count(*) AS BIGINT) AS n_matched,
+         |    list_reduce(list_prepend(0.0, list(e.idf ORDER BY e.word)),
+         |      (a, x) -> a + x) AS sum_idf
+         |  FROM tfv t JOIN enriched e ON e.word = t.word
+         |  GROUP BY 1, 2),
+         |qful AS (SELECT query_id, count(*) AS nq FROM qterms GROUP BY 1),
+         |feats AS (
+         |  SELECT b.query_id, b.doc_id, b.score AS bm25, q.score AS ql,
+         |    m.n_matched,
+         |    CAST(m.n_matched AS DOUBLE) / CAST(f.nq AS DOUBLE)
+         |      AS coverage,
+         |    l.dl, m.sum_idf
+         |  FROM bscores b
+         |  JOIN qlsc q ON q.query_id = b.query_id AND q.doc_id = b.doc_id
+         |  JOIN mstat m ON m.query_id = b.query_id AND m.doc_id = b.doc_id
+         |  JOIN qful f ON f.query_id = b.query_id
+         |  JOIN lens l ON l.doc_id = b.doc_id),
+         |qrel AS (
+         |  SELECT query_id, doc_id FROM (
+         |    SELECT query_id, doc_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score DESC, doc_id) AS r
+         |    FROM bscores) x WHERE r <= 3),
+         |lab AS (
+         |  SELECT f.*, CASE WHEN r.doc_id IS NOT NULL
+         |    THEN 1.0 ELSE 0.0 END AS label
+         |  FROM feats f LEFT JOIN qrel r
+         |    ON r.query_id = f.query_id AND r.doc_id = f.doc_id)
+         |SELECT i.query_id AS query_id,
+         |  CAST(i.doc_id AS VARCHAR) || '#' || CAST(j.doc_id AS VARCHAR)
+         |    AS pair_id,
+         |  round(i.bm25 - j.bm25, 6) AS bm25,
+         |  round(i.ql - j.ql, 6) AS ql,
+         |  i.n_matched - j.n_matched AS n_matched,
+         |  round(i.coverage - j.coverage, 6) AS coverage,
+         |  i.dl - j.dl AS dl,
+         |  round(i.sum_idf - j.sum_idf, 6) AS sum_idf
+         |FROM lab i JOIN lab j
+         |  ON i.query_id = j.query_id AND i.label > j.label
+         |ORDER BY query_id, pair_id""".stripMargin,
+
+    // the CORI selection (q215's CTEs), the top-2 probe set, the
+    // GLOBAL-statistics scores restricted to probed (query, shard)
+    // pairs, and the merged rank — federated select → probe → merge
+    // from first principles
+    "q237_federated_topk" ->
+      s"""WITH ${bm25Cte("TRUE", "doc_id % 97 = 0", "substr(text, 1, 40)")},
+         |$CoriCtes,
+         |sel AS (
+         |  SELECT query_id, shard FROM (
+         |    SELECT query_id, shard,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score DESC, shard) AS r
+         |    FROM scored) z WHERE r <= 2),
+         |probed AS (
+         |  SELECT b.query_id, b.doc_id, b.score
+         |  FROM bscores b JOIN sel s ON s.query_id = b.query_id
+         |    AND s.shard = CAST(b.doc_id % 4 AS BIGINT))
+         |SELECT query_id, doc_id, round(score, 6) AS score,
+         |  CAST(rank AS BIGINT) AS rank
+         |FROM (
+         |  SELECT query_id, doc_id, score,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id) AS rank
+         |  FROM probed) z
+         |WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // the UNPRUNED fielded replay over the Zipf fielded corpus — the
+    // q202 chain with the fixture swapped, so the gate is the BM25F
+    // WAND score-exactness claim itself
+    "q239_bm25f_wand_topk" ->
+      s"""WITH ${bm25fCtes(s"substr($ZipfWandCorpusTextSql, 1, 40)",
+             s"substr($ZipfWandCorpusTextSql, 41)",
+             "TRUE", "doc_id % 50 = 0", ZipfWandQueryTextSql)}
+         |SELECT query_id, doc_id, round(score, 6) AS score,
+         |  CAST(rank AS BIGINT) AS rank
+         |FROM (
+         |  SELECT query_id, doc_id, score,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id) AS rank
+         |  FROM fsc) z
+         |WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // the fielded decision table from first principles: per-(word,
+    // field) (max_tf, min_fl) extremes, the field-sorted composed
+    // pseudo-tf ceiling, idf·t̃f_ub/(k1+t̃f_ub), the ×(1+1e-9) margin
+    // (exact toString round-trip), θ from the fielded scores of the
+    // rare-term candidates, and the routing predicate verbatim
+    "q240_bm25f_wand_stats" ->
+      s"""WITH ${bm25fCtes(s"substr($ZipfWandCorpusTextSql, 1, 40)",
+             s"substr($ZipfWandCorpusTextSql, 41)",
+             "TRUE", "doc_id % 50 = 0", ZipfWandQueryTextSql)},
+         |hotcut AS (
+         |  SELECT count(DISTINCT doc_id) // 10 AS cut FROM fcorpus),
          |split AS (
-         |  SELECT query_id, word, df, cut
-         |  FROM qterms JOIN dft USING (word) CROSS JOIN hotcut),
+         |  SELECT f.query_id, f.word, d.df, cut
+         |  FROM fqt f JOIN fdf d USING (word) CROSS JOIN hotcut),
          |counts AS (
          |  SELECT query_id,
          |    CAST(sum(CASE WHEN df <= cut THEN 1 ELSE 0 END) AS BIGINT)
@@ -5029,35 +5453,46 @@ private[graft] object TextQueries {
          |  FROM split GROUP BY 1),
          |cands AS (
          |  SELECT DISTINCT s.query_id, t.doc_id
-         |  FROM split s JOIN tfv t USING (word) WHERE s.df <= s.cut),
+         |  FROM split s JOIN fftf t USING (word) WHERE s.df <= s.cut),
          |ncand AS (
          |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_candidates
          |  FROM cands GROUP BY 1),
-         |imps AS (
-         |  SELECT t.word, max(t.tf) AS max_tf, min(l.dl) AS min_dl
-         |  FROM tfv t JOIN lens l ON l.doc_id = t.doc_id
-         |  GROUP BY 1),
-         |qlagg AS (
-         |  SELECT s.query_id,
+         |fimp AS (
+         |  SELECT t.word, t.field, max(t.tf) AS max_tf, min(l.fl) AS min_fl
+         |  FROM fftf t JOIN flen l
+         |    ON l.doc_id = t.doc_id AND l.field = t.field
+         |  GROUP BY 1, 2),
+         |ftfub AS (
+         |  SELECT word,
          |    list_reduce(list_prepend(0.0, list(
-         |      ln(1.0 + CAST(i.max_tf AS DOUBLE) * ctokens
-         |        / (CAST(2000 AS DOUBLE) * CAST(c.cf AS DOUBLE)))
-         |      ORDER BY s.word)), (a, x) -> a + x) AS pos,
-         |    min(i.min_dl) AS mdl
-         |  FROM split s JOIN cft c USING (word) JOIN imps i USING (word)
-         |  CROSS JOIN ctok
-         |  WHERE s.df > s.cut
-         |  GROUP BY s.query_id),
+         |      (CASE WHEN i.field = 'title' THEN CAST(2.0 AS DOUBLE)
+         |            ELSE CAST(1.0 AS DOUBLE) END) * CAST(i.max_tf AS DOUBLE)
+         |      / (1.0 - (CASE WHEN i.field = 'title'
+         |                THEN CAST(0.5 AS DOUBLE)
+         |                ELSE CAST(0.75 AS DOUBLE) END)
+         |         + (CASE WHEN i.field = 'title'
+         |            THEN CAST(0.5 AS DOUBLE)
+         |            ELSE CAST(0.75 AS DOUBLE) END)
+         |           * CAST(i.min_fl AS DOUBLE) / a.avgfl)
+         |      ORDER BY i.field)), (acc, x) -> acc + x) AS tfub
+         |  FROM fimp i JOIN favg a ON a.field = i.field
+         |  GROUP BY 1),
+         |hotceil AS (
+         |  SELECT s.query_id, s.word,
+         |    e.idf * u.tfub / (CAST(1.2 AS DOUBLE) + u.tfub) AS hc
+         |  FROM split s
+         |  JOIN fenr e ON e.query_id = s.query_id AND e.word = s.word
+         |  JOIN ftfub u ON u.word = s.word
+         |  WHERE s.df > s.cut),
          |ubt AS (
          |  SELECT query_id,
-         |    pos * CAST('${(1.0 + 1e-9).toString}' AS DOUBLE)
-         |      + CAST(nq AS DOUBLE) * ln(CAST(2000 AS DOUBLE)
-         |          / (CAST(mdl AS DOUBLE) + CAST(2000 AS DOUBLE)))
-         |        * CAST('${(1.0 - 1e-9).toString}' AS DOUBLE) AS ub
-         |  FROM qlagg JOIN qnq USING (query_id)),
+         |    list_reduce(list_prepend(0.0, list(hc ORDER BY word)),
+         |      (a, x) -> a + x)
+         |      * CAST('${(1.0 + 1e-9).toString}' AS DOUBLE) AS ub
+         |  FROM hotceil GROUP BY 1),
          |cscore AS (
          |  SELECT q.query_id, q.doc_id, q.score
-         |  FROM qlsc q JOIN cands c USING (query_id, doc_id)),
+         |  FROM fsc q JOIN cands c USING (query_id, doc_id)),
          |th AS (
          |  SELECT query_id, score AS theta FROM (
          |    SELECT query_id, score,
