@@ -98,7 +98,11 @@ object Passages {
       layout.dfTab, layout.stats, delPass)
     PassageLayout(tf, dfTab, stats,
       layout.membership.join(deleteIds.select(col("docId")),
-        Seq("docId"), "left_anti"))
+        Seq("docId"), "left_anti")
+        // the equi-join key floats to the front — re-pin the layout's
+        // (passageId, docId) column order so chained compactions'
+        // unionByName and persisted schemas stay stable
+        .select(col("passageId"), col("docId")))
   }
 
   /** MaxP document top-k THROUGH the persisted layout — the q203

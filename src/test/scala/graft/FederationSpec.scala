@@ -92,4 +92,94 @@ class FederationSpec extends SparkSpec {
     // scores live in (b, 1]-ish territory: mean of two beliefs >= b
     assert(byShard.values.forall(s => s >= 0.4 && s < 1.0))
   }
+
+  test("federated top-k equals the unsharded ranking restricted to " +
+    "probed pairs; all shards selected = the unsharded top-k") {
+    val rnd = new scala.util.Random(237)
+    val c = (1L to 90L).map { id =>
+      id -> Seq.fill(5 + rnd.nextInt(5))(
+        s"tok${18 / (rnd.nextInt(18) + 1)}").mkString(" ")
+    }.toDF("doc_id", "text")
+    val tf = Retrieval.termFrequencies(c, "doc_id", "text")
+      .localCheckpoint()
+    val dfT = Retrieval.dfTable(tf).localCheckpoint()
+    val st = Retrieval.corpusStats(tf).localCheckpoint()
+    val shards = c.select(col("doc_id").as("docId"),
+      pmod(col("doc_id"), lit(3)).as("shard"))
+    val shardTf = tf.join(shards, Seq("docId"))
+      .select(col("shard"), col("docId"), col("dl"), col("word"),
+        col("tf")).localCheckpoint()
+    val sdf = Federation.shardTermStats(tf, shards).localCheckpoint()
+    val scw = Federation.shardSizes(tf, shards).localCheckpoint()
+    val qs = Seq((900L, "tok1 tok18"), (901L, "tok9 tok2"),
+      (902L, "tok3")).toDF("query_id", "text")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("queryId"), col("docId"), col("score"),
+        col("rank").cast("int")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3))).toSeq.sorted
+    // every shard probed -> bitwise the unsharded top-k
+    val unsharded = rows(Retrieval.bm25TopK(
+      Retrieval.bm25ScoresPrecomputed(tf, dfT, st, qs,
+        "query_id", "text"), 4))
+    assert(rows(Federation.coriTopK(shardTf, sdf, scw, dfT, st, qs,
+      "query_id", "text", k = 4, nProbe = 3)) === unsharded) // bitwise
+    // nProbe < S -> bitwise the unsharded ranking RESTRICTED to the
+    // selected (query, shard) pairs, from first principles
+    for (np <- Seq(1, 2)) {
+      val sel = Federation.coriShardScores(sdf, scw, qs,
+        "query_id", "text").filter(col("rank") <= np)
+        .select("queryId", "shard").localCheckpoint()
+      val restricted = rows(Retrieval.bm25TopK(
+        Retrieval.bm25ScoresPrecomputed(tf, dfT, st, qs,
+          "query_id", "text")
+          .join(shards, Seq("docId"))
+          .join(sel, Seq("queryId", "shard"), "left_semi")
+          .select("queryId", "docId", "score"), 4))
+      assert(rows(Federation.coriTopK(shardTf, sdf, scw, dfT, st, qs,
+        "query_id", "text", k = 4, nProbe = np)) === restricted,
+        s"nProbe=$np") // bitwise
+    }
+  }
+
+  test("selection quality: probing 1 of 3 shards keeps most of the " +
+    "true top-k (the IrEval recall row)") {
+    import graft.operators.IrEval
+    val rnd = new scala.util.Random(238)
+    // shard-skewed corpus: each query's matching docs cluster in one
+    // shard, so CORI selection should route there and recall@k stays
+    // high at nProbe = 1
+    val c = (1L to 90L).map { id =>
+      val shard = id % 3
+      id -> Seq.fill(6)(
+        s"s${shard}tok${10 / (rnd.nextInt(10) + 1)}").mkString(" ")
+    }.toDF("doc_id", "text")
+    val tf = Retrieval.termFrequencies(c, "doc_id", "text")
+      .localCheckpoint()
+    val dfT = Retrieval.dfTable(tf).localCheckpoint()
+    val st = Retrieval.corpusStats(tf).localCheckpoint()
+    val shards = c.select(col("doc_id").as("docId"),
+      pmod(col("doc_id"), lit(3)).as("shard"))
+    val shardTf = tf.join(shards, Seq("docId"))
+      .select(col("shard"), col("docId"), col("dl"), col("word"),
+        col("tf")).localCheckpoint()
+    val sdf = Federation.shardTermStats(tf, shards).localCheckpoint()
+    val scw = Federation.shardSizes(tf, shards).localCheckpoint()
+    val qs = Seq((900L, "s0tok1 s0tok5"), (901L, "s1tok1 s1tok10"),
+      (902L, "s2tok2 s2tok1")).toDF("query_id", "text")
+    // qrels = the TRUE unsharded top-3
+    val qrels = Retrieval.bm25TopK(
+      Retrieval.bm25ScoresPrecomputed(tf, dfT, st, qs,
+        "query_id", "text"), 3)
+      .select(col("queryId"), col("docId"), lit(1.0).as("grade"))
+      .localCheckpoint()
+    val run = Federation.coriTopK(shardTf, sdf, scw, dfT, st, qs,
+      "query_id", "text", k = 3, nProbe = 1)
+      .select("queryId", "docId", "rank").localCheckpoint()
+    val m = IrEval.meanRankingMetrics(
+      IrEval.rankingMetrics(run, qrels, k = 3)).collect()(0)
+    val recall = m.getDouble(m.fieldIndex("mean_recall_at_k"))
+    assert(recall === 1.0,
+      s"shard-clustered queries must route cleanly: recall=$recall")
+  }
 }

@@ -203,4 +203,36 @@ class FuzzySpec extends SparkSpec {
     assert(rows(Some(prebuilt)) === rows(None))
     assert(rows(None).nonEmpty)
   }
+
+  test("fuzzy and prefix top-k are bitwise unchanged under weighted WAND") {
+    val rnd = new scala.util.Random(227)
+    val c = (1L to 60L).map { id =>
+      id -> Seq.fill(6)(s"tok${15 / (rnd.nextInt(15) + 1)}").mkString(" ")
+    }.toDF("doc_id", "text")
+    val tf = Retrieval.termFrequencies(c, "doc_id", "text")
+      .localCheckpoint()
+    val dfT = Retrieval.dfTable(tf).localCheckpoint()
+    val st = Retrieval.corpusStats(tf).localCheckpoint()
+    def rows(d: DataFrame): Seq[(Long, Long, Double, Int)] =
+      d.select(col("queryId"), col("docId"), col("score"),
+        col("rank").cast("int")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3))).toSeq.sorted
+    val fuzzyQ = Seq((1L, "tk15 toq1"), (2L, "tok2 tok7"))
+      .toDF("query_id", "text")
+    val prefQ = Seq((1L, "tok1"), (2L, "tok")).toDF("queryId", "prefix")
+    val fuzzyPlain = rows(Fuzzy.bm25TopKFuzzy(tf, dfT, st, fuzzyQ,
+      "query_id", "text", k = 5))
+    val prefPlain = rows(Fuzzy.bm25TopKPrefix(tf, dfT, st, prefQ,
+      k = 5, maxExpansions = 100))
+    for (hd <- Seq(0L, 3L, 10L, 1000L);
+         imp <- Seq(None, Some(Retrieval.impactStats(tf)))) {
+      assert(rows(Fuzzy.bm25TopKFuzzy(tf, dfT, st, fuzzyQ,
+        "query_id", "text", k = 5, wandHotDf = Some(hd),
+        impact = imp)) === fuzzyPlain, s"fuzzy hd=$hd") // bitwise
+      assert(rows(Fuzzy.bm25TopKPrefix(tf, dfT, st, prefQ,
+        k = 5, maxExpansions = 100, wandHotDf = Some(hd),
+        impact = imp)) === prefPlain, s"prefix hd=$hd") // bitwise
+    }
+  }
 }

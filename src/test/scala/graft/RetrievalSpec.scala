@@ -1783,4 +1783,76 @@ class RetrievalSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(got.toSet === Set((40L, 1L)))
   }
+
+  test("deleted impact stats equal the rebuild on the survivors") {
+    val rnd = new scala.util.Random(238)
+    val base = (1 to 60).map { id =>
+      id.toLong -> Seq.fill(4 + rnd.nextInt(6))(
+        s"tok${15 / (rnd.nextInt(15) + 1)}").mkString(" ")
+    } :+ (999L -> "onlyhere onlyhere")
+    val c = base.toDF("doc_id", "text")
+    val tf = Retrieval.termFrequencies(c, "doc_id", "text")
+      .localCheckpoint()
+    val del = ((1 to 60 by 4).map(_.toLong) :+ 999L).toDF("docId")
+    val merged = Retrieval.compactImpactStatsDeleted(
+      Retrieval.impactStats(tf), tf, del)
+    val rebuilt = Retrieval.impactStats(
+      tf.join(del, Seq("docId"), "left_anti"))
+    def rows(d: DataFrame): Set[(String, Long, Long)] =
+      d.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows(merged) === rows(rebuilt))
+    // a word living only in deleted docs DROPS (the df > 0 convention)
+    assert(!rows(merged).exists(_._1 == "onlyhere"))
+  }
+
+  test("BM25F WAND equals the unpruned fielded top-k at every hotDf") {
+    val rnd = new scala.util.Random(239)
+    val fielded = (1 to 50).flatMap { id =>
+      Seq((id.toLong, "title", Seq.fill(3 + rnd.nextInt(3))(
+        s"tok${10 / (rnd.nextInt(10) + 1)}").mkString(" ")),
+        (id.toLong, "body", Seq.fill(8 + rnd.nextInt(8))(
+          s"tok${20 / (rnd.nextInt(20) + 1)}").mkString(" ")))
+    }.toDF("doc_id", "field", "ftext")
+    val ftf = Retrieval.termFrequenciesFielded(fielded,
+      "doc_id", "field", "ftext").localCheckpoint()
+    val params = Seq(("title", 2.0, 0.5), ("body", 1.0, 0.75))
+    val qs = Seq((100L, "tok1 tok10"), (101L, "tok20 tok4 tok2"),
+      (102L, "tok5"), (103L, "zzz")).toDF("query_id", "text")
+    def topkSet(d: DataFrame): Set[(Long, Long, Double, Int)] =
+      d.select("queryId", "docId", "score", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3))).toSet
+    val want = topkSet(Retrieval.bm25TopK(
+      Retrieval.bm25fScores(ftf, params, qs, "query_id", "text"), 3))
+    for (hd <- Seq(0L, 2L, 5L, 10L, 1000L);
+         imp <- Seq(None, Some(Retrieval.impactStatsFielded(ftf)))) {
+      val got = topkSet(Retrieval.bm25fTopKWand(ftf, params, qs,
+        "query_id", "text", k = 3, hotDf = hd, impactF = imp))
+      assert(got === want, s"hotDf=$hd impact=${imp.isDefined}") // bitwise
+    }
+  }
+
+  test("routed weighted QL picks branches without changing answers") {
+    val tf = Retrieval.termFrequencies(corpus, "doc_id", "text")
+      .localCheckpoint()
+    val cfT = Retrieval.cfTable(tf)
+    val st = Retrieval.corpusStats(tf)
+    val tw = Seq((9L, "banana", 0.7), (9L, "cherry", 0.3),
+      (10L, "apple", 1.0)).toDF("queryId", "word", "weight")
+    def topkSet(d: DataFrame): Set[(Long, Long, Double, Int)] =
+      d.select("queryId", "docId", "score", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3))).toSet
+    val want = topkSet(Retrieval.bm25TopK(
+      Retrieval.qlScoresWeighted(tf, cfT, st, tw), 2))
+    // 3 docs < 10 -> the unpruned branch; 3 >= 1 -> the WAND branch
+    val small = topkSet(Retrieval.qlTopKWandWeightedRouted(tf, tw,
+      k = 2, minWandDocs = 10))
+    val large = topkSet(Retrieval.qlTopKWandWeightedRouted(tf, tw,
+      k = 2, minWandDocs = 1,
+      impact = Some(Retrieval.impactStats(tf))))
+    assert(small === want) // bitwise
+    assert(large === want) // bitwise
+  }
 }

@@ -1258,4 +1258,64 @@ class StreamingSpec extends SparkSpec {
       (7L, 2L, 1L, 4000L, 4000L),
       (8L, 1L, 1L, 900L, 900L)))
   }
+
+  test("passage-index ingest loop: per-batch layout compaction + a " +
+    "deletion probe like a rebuild on the survivors") {
+    // the r18 passage layout rides the same ingest convention as the
+    // word index: each micro-batch segments ITSELF and compacts into
+    // the persisted four-table layout; a post-stream deletion goes
+    // through the membership-resolved subtractive merge; the final
+    // layout must probe BITWISE like a fresh build on the survivors
+    import graft.operators.{Passages, Retrieval}
+    def ckpt(l: Passages.PassageLayout): Passages.PassageLayout =
+      Passages.PassageLayout(l.tf.localCheckpoint(),
+        l.dfTab.localCheckpoint(), l.stats.localCheckpoint(),
+        l.membership.localCheckpoint())
+    val d0 = Seq(
+      (1L, (1 to 20).map(i => s"w$i").mkString(" ")),
+      (2L, "apple banana cherry apple")).toDF("doc_id", "text")
+    @volatile var layout = ckpt(
+      Passages.passageIndex(d0, "doc_id", "text", width = 8, stride = 4))
+    val arrived = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val input = MemoryStream[(Long, String)](spark)
+    val q = input.toDF()
+      .select(col("_1").as("doc_id"), col("_2").as("text"))
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        arrived.synchronized {
+          arrived ++= b.as[(Long, String)].collect() }
+        layout = ckpt(Passages.compactPassageIndex(layout, b,
+          "doc_id", "text", width = 8, stride = 4))
+        ()
+      }.start()
+    try {
+      input.addData((11L, (1 to 12).map(i => s"w$i").mkString(" ")),
+        (12L, "banana date elder apple fig"))
+      q.processAllAvailable()
+      input.addData((13L, "cherry fig " +
+        (5 to 16).map(i => s"w$i").mkString(" ")))
+      q.processAllAvailable()
+      // deletion: doc 12 leaves through the membership-resolved merge
+      val fin = ckpt(Passages.compactPassageIndexDeleted(layout,
+        Seq(12L).toDF("docId")))
+      val qs = Seq((100L, "apple w5 fig"), (101L, "w1 cherry"))
+        .toDF("query_id", "text")
+      def rows(d: org.apache.spark.sql.DataFrame) =
+        d.select("queryId", "docId", "score", "rank").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+            r.getInt(3))).toSet
+      val viaStream = rows(
+        Passages.maxPassageTopK(fin, qs, "query_id", "text", k = 3))
+      val survivors = d0
+        .unionByName(arrived.synchronized(arrived.toSeq)
+          .toDF("doc_id", "text"))
+        .filter(col("doc_id") =!= 12L)
+      val viaRebuild = rows(Passages.maxPassageTopK(
+        Passages.passageIndex(survivors, "doc_id", "text", 8, 4),
+        qs, "query_id", "text", k = 3))
+      assert(viaStream === viaRebuild) // bitwise
+      assert(viaStream.map(_._2).contains(13L))
+      assert(!viaStream.map(_._2).contains(12L))
+    } finally q.stop()
+  }
 }
