@@ -12,10 +12,14 @@ import graft.operators.{Chunking, Dedup, Graph, Jaccard, Knn, Pq, Scrub}
   */
 object ScaleBench {
   /** Optional second CLI arg: run only entries whose label contains
-    * this substring (fast single-entry loop while iterating; the
-    * recorded BASELINE.md numbers come from unfiltered runs).
+    * one of the '|'-separated substrings (fast single-entry loop
+    * while iterating; the recorded BASELINE.md numbers come from
+    * unfiltered runs).
     */
   private var only: Option[String] = None
+
+  private def matchesOnly(label: String): Boolean =
+    only.forall(_.split('|').exists(label.contains))
 
   /** Value-producing timed entry: `None` when the label filter skips
     * it. The Option is deliberate — a consumer of a skipped sibling's
@@ -24,7 +28,7 @@ object ScaleBench {
     * filtered runs only).
     */
   private def timeOpt[A](label: String)(f: => A): Option[A] = {
-    if (only.exists(s => !label.contains(s))) None
+    if (!matchesOnly(label)) None
     else {
       val t0 = System.nanoTime()
       val r = f
@@ -155,7 +159,8 @@ object ScaleBench {
         "compact_deleted_10x", "rebuild_survivors_10x")
       round <- Seq("cold", "warm")
     } yield s"$base $round") :+ "threshold_index_write_once"
-    if (only.forall(s => thresholdSectionLabels.exists(_.contains(s)))) {
+    if (only.forall(_.split('|').forall(s =>
+      thresholdSectionLabels.exists(_.contains(s))))) {
       def shing(d: DataFrame): DataFrame =
         d.select(col("doc_id").as("docId"),
           Dedup.shingleTokenizer(3)(col("text")).as("tokens"))
@@ -263,13 +268,22 @@ object ScaleBench {
         "ltr_cascade_10x", "ltr_rerank_full_10x",
         "bm25_conjunctive_topk_10x", "bm25_fuzzy_topk_10x",
         "bm25_fuzzy_ed2_topk_10x",
-        "bm25f_topk_10x", "passage_maxp_topk_10x",
+        "bm25f_topk_10x", "bm25f_wand_10x", "passage_maxp_topk_10x",
+        "passage_index_build_10x", "passage_maxp_probe_10x",
+        "passage_compact_10x",
+        "bm25_fuzzy_ed2_wand_10x", "bm25_prefix_topk_10x",
+        "bm25_prefix_wand_10x", "bm25_prefix_tail_topk_10x",
+        "bm25_prefix_tail_wand_10x",
+        "federated_topk_10x", "federated_all_shards_10x",
+        "ltr_pairwise_train_10x",
         "rm3_rescore_10x", "rm3_rescore_wand_10x",
         "rm3_rescore_wand_impact_10x", "ql_rm3_rescore_10x",
+        "ql_rm3_routed_10x",
         "rm3_rescore_capped_10x", "cooccurrence_10x", "cori_route_10x")
       round <- Seq("cold", "warm")
     } yield s"$base $round") :+ "bm25_index_write_once"
-    if (only.forall(s => bm25SectionLabels.exists(_.contains(s)))) {
+    if (only.forall(_.split('|').forall(s =>
+      bm25SectionLabels.exists(_.contains(s))))) {
       def zipfTok(j: org.apache.spark.sql.Column, mod: Int) =
         concat(lit("w"), floor(lit(20000) /
           (pmod(hash(col("id"), j), lit(mod)) + lit(1)))
@@ -283,7 +297,8 @@ object ScaleBench {
         for (t <- Seq("sb_bm25_tf", "sb_bm25_fwd", "sb_bm25_df",
           "sb_bm25_stats", "sb_bm25_pos", "sb_bm25_cf",
           "sb_bm25_imp", "sb_bm25_var", "sb_bm25_champ",
-          "sb_bm25_champ2")) {
+          "sb_bm25_champ2", "sb_pass_tf", "sb_pass_df",
+          "sb_pass_stats", "sb_pass_mem")) {
           spark.sql(s"DROP TABLE IF EXISTS $t")
           val p = new org.apache.hadoop.fs.Path(
             spark.conf.get("spark.sql.warehouse.dir"), t)
@@ -339,6 +354,23 @@ object ScaleBench {
           .positionalPostings(zipfDocs(0, 50000, 100), "doc_id", "text")
           .write.bucketBy(32, "word").sortBy("word")
           .mode("overwrite").saveAsTable("sb_bm25_pos")
+        // the PERSISTED passage-index layout (r18 — q203/q235's
+        // gates): ~6 width-32/stride-16 windows per 100-token doc, so
+        // the passage posting table is ~2x the word index; built ONCE
+        // here like every other layout, so the probe arm below reads
+        // what serving actually costs with the build amortized to
+        // ingest (the pre-r18 passage arm re-segmented per probe)
+        val passLayout = graft.operators.Passages.passageIndex(
+          zipfDocs(0, 50000, 100), "doc_id", "text",
+          width = 32, stride = 16)
+        passLayout.tf.write.bucketBy(32, "word").sortBy("word")
+          .mode("overwrite").saveAsTable("sb_pass_tf")
+        passLayout.dfTab.write.mode("overwrite")
+          .saveAsTable("sb_pass_df")
+        passLayout.stats.write.mode("overwrite")
+          .saveAsTable("sb_pass_stats")
+        passLayout.membership.write.bucketBy(32, "docId")
+          .sortBy("docId").mode("overwrite").saveAsTable("sb_pass_mem")
       }
       println(f"[scalebench] bm25_index_write_once: ${
         (System.nanoTime() - tB) / 1e9}%.2f s")
@@ -483,6 +515,91 @@ object ScaleBench {
             vocabVariants = Some(var2), maxEdit = 2)
             .count())
         }
+        // ...the same ed-2 typo batch through SCORE-EXACT weighted
+        // WAND (q227's regated path): the corrected disjunction's hot
+        // terms fetch per candidate through the forward layout
+        // instead of scanning their posting lists — same answers;
+        // read against bm25_fuzzy_ed2_topk_10x
+        time(s"bm25_fuzzy_ed2_wand_10x $round") {
+          val var2 = graft.operators.Fuzzy.deletionVariants(
+            spark.table("sb_bm25_df"), maxEdit = 2)
+            .localCheckpoint()
+          println("  topk_rows=" + graft.operators.Fuzzy.bm25TopKFuzzy(
+            spark.table("sb_bm25_tf"), spark.table("sb_bm25_df"),
+            spark.table("sb_bm25_stats"),
+            spark.range(50000).filter(col("id") % 499 === 0)
+              .select(col("id").as("query_id"),
+                concat_ws(" ",
+                  (0 to 3).map(j => zipfTok(lit(j), 20000)) ++
+                    (4 to 5).map(j =>
+                      concat(zipfTok(lit(j), 140), lit("xy"))): _*)
+                  .as("text")),
+            "query_id", "text", k = 5, bitExact = false,
+            vocabVariants = Some(var2), maxEdit = 2,
+            wandHotDf = Some(5000L),
+            forward = Some(spark.table("sb_bm25_fwd")),
+            impact = Some(spark.table("sb_bm25_imp")))
+            .count())
+        }
+        // prefix (wildcard) retrieval at scale: 2 of 6 query terms
+        // are head-word PREFIXES ('w1', 'w2' — the worst case: each
+        // expands to up to 50 df-ranked terms), unpruned vs the
+        // weighted-WAND path (q212's regated composition)
+        time(s"bm25_prefix_topk_10x $round") {
+          val qs = spark.range(50000).filter(col("id") % 499 === 0)
+            .select(col("id").as("queryId"),
+              explode(array(lit("w1"), lit("w2"))).as("prefix"))
+          println("  topk_rows=" + graft.operators.Fuzzy.bm25TopKPrefix(
+            spark.table("sb_bm25_tf"), spark.table("sb_bm25_df"),
+            spark.table("sb_bm25_stats"), qs, k = 5,
+            maxExpansions = 50, bitExact = false)
+            .count())
+        }
+        time(s"bm25_prefix_wand_10x $round") {
+          val qs = spark.range(50000).filter(col("id") % 499 === 0)
+            .select(col("id").as("queryId"),
+              explode(array(lit("w1"), lit("w2"))).as("prefix"))
+          println("  topk_rows=" + graft.operators.Fuzzy.bm25TopKPrefix(
+            spark.table("sb_bm25_tf"), spark.table("sb_bm25_df"),
+            spark.table("sb_bm25_stats"), qs, k = 5,
+            maxExpansions = 50, bitExact = false,
+            wandHotDf = Some(5000L),
+            forward = Some(spark.table("sb_bm25_fwd")),
+            impact = Some(spark.table("sb_bm25_imp")))
+            .count())
+        }
+        // ...and the TAIL-prefix pair — the shape selection theory
+        // predicts WAND wins: 'w19'/'w23' expand to one moderately-hot
+        // term + ~49 rare ones, so candidates exist, θ is a 50-term
+        // disjunction score, and the single hot ceiling loses — most
+        // queries route safe and skip the hot posting scans. The
+        // head-prefix pair above is the adversarial control (every
+        // expansion hot ⇒ all queries fall back ⇒ pure overhead): the
+        // expansion's df SHAPE, not corpus size, decides the routing —
+        // bm25WandWeightedStats is the one-query production readout
+        time(s"bm25_prefix_tail_topk_10x $round") {
+          val qs = spark.range(50000).filter(col("id") % 499 === 0)
+            .select(col("id").as("queryId"),
+              explode(array(lit("w19"), lit("w23"))).as("prefix"))
+          println("  topk_rows=" + graft.operators.Fuzzy.bm25TopKPrefix(
+            spark.table("sb_bm25_tf"), spark.table("sb_bm25_df"),
+            spark.table("sb_bm25_stats"), qs, k = 5,
+            maxExpansions = 50, bitExact = false)
+            .count())
+        }
+        time(s"bm25_prefix_tail_wand_10x $round") {
+          val qs = spark.range(50000).filter(col("id") % 499 === 0)
+            .select(col("id").as("queryId"),
+              explode(array(lit("w19"), lit("w23"))).as("prefix"))
+          println("  topk_rows=" + graft.operators.Fuzzy.bm25TopKPrefix(
+            spark.table("sb_bm25_tf"), spark.table("sb_bm25_df"),
+            spark.table("sb_bm25_stats"), qs, k = 5,
+            maxExpansions = 50, bitExact = false,
+            wandHotDf = Some(5000L),
+            forward = Some(spark.table("sb_bm25_fwd")),
+            impact = Some(spark.table("sb_bm25_imp")))
+            .count())
+        }
         // fold a 10k-doc micro-batch into the persisted 50k index
         // (tf append + additive df/scalar merges — re-tokenizes ONLY
         // the batch) vs the from-scratch 60k rebuild (re-tokenizes
@@ -587,6 +704,52 @@ object ScaleBench {
               pass.select("passageId", "docId")), 5)
             .count())
         }
+        // ...split into the r18 lifecycle shape: the BUILD arm prices
+        // what ingest pays once (segmentation + passage tf/df/stats +
+        // membership, all to noop)...
+        time(s"passage_index_build_10x $round") {
+          import graft.operators.Passages
+          val l = Passages.passageIndex(zipfDocs(0, 50000, 100),
+            "doc_id", "text", width = 32, stride = 16)
+          val tf = l.tf.localCheckpoint() // feeds df/stats below
+          tf.write.format("noop").mode("overwrite").save()
+          graft.operators.Retrieval.dfTable(tf)
+            .write.format("noop").mode("overwrite").save()
+          graft.operators.Retrieval.corpusStats(tf)
+            .write.format("noop").mode("overwrite").save()
+          l.membership.write.format("noop").mode("overwrite").save()
+        }
+        // ...the PROBE arm serves through the persisted layout — zero
+        // segmentation, zero index-side aggregates, one posting join +
+        // the result-sized membership max (what q203's 100 TB steady
+        // state actually pays per query batch)...
+        time(s"passage_maxp_probe_10x $round") {
+          import graft.operators.Passages
+          println("  maxp_rows=" + Passages.maxPassageTopK(
+            Passages.PassageLayout(spark.table("sb_pass_tf"),
+              spark.table("sb_pass_df"), spark.table("sb_pass_stats"),
+              spark.table("sb_pass_mem")),
+            bm25Queries, "query_id", "text", k = 5, bitExact = false,
+            maxDocFrequency = Some(35000L))
+            .count())
+        }
+        // ...and the COMPACT arm folds a 5k-doc micro-batch into the
+        // persisted layout (batch-only segmentation + vocabulary-sized
+        // merges) — read against passage_index_build_10x, the rebuild
+        // it replaces at ingest
+        time(s"passage_compact_10x $round") {
+          import graft.operators.Passages
+          val merged = Passages.compactPassageIndex(
+            Passages.PassageLayout(spark.table("sb_pass_tf"),
+              spark.table("sb_pass_df"), spark.table("sb_pass_stats"),
+              spark.table("sb_pass_mem")),
+            zipfDocs(50000, 55000, 100), "doc_id", "text",
+            width = 32, stride = 16)
+          merged.tf.write.format("noop").mode("overwrite").save()
+          merged.dfTab.write.format("noop").mode("overwrite").save()
+          merged.stats.write.format("noop").mode("overwrite").save()
+          merged.membership.write.format("noop").mode("overwrite").save()
+        }
         // BM25F fielded ranking (q202's gate): title/body split of the
         // same 50k docs, pseudo-tf combined BEFORE saturation. The
         // wall INCLUDES the fielded index build (one tokenizer pass +
@@ -607,6 +770,29 @@ object ScaleBench {
             Retrieval.bm25fScores(ftf,
               Seq(("title", 2.0, 0.5), ("body", 1.0, 0.75)),
               bm25Queries, "query_id", "text", bitExact = false), 5)
+            .count())
+        }
+        // ...and the SCORE-EXACT pruned fielded path (q239/q240's
+        // gates): composed per-field impact ceilings route queries
+        // safe, and the candidates' pseudo-tf folds run doc-restricted
+        // — hot words of non-candidate docs never fold. Same answers
+        // as bm25f_topk_10x; read the wall against it
+        time(s"bm25f_wand_10x $round") {
+          import graft.operators.Retrieval
+          val base = zipfDocs(0, 50000, 100)
+          val fielded = base.select(col("doc_id"),
+            lit("title").as("field"),
+            substring(col("text"), 1, 40).as("ftext"))
+            .unionByName(base.select(col("doc_id"),
+              lit("body").as("field"),
+              substring(col("text"), 41, 1 << 30).as("ftext")))
+          val ftf = Retrieval.termFrequenciesFielded(fielded,
+            "doc_id", "field", "ftext").localCheckpoint()
+          println("  bm25f_rows=" + Retrieval.bm25fTopKWand(ftf,
+            Seq(("title", 2.0, 0.5), ("body", 1.0, 0.75)),
+            bm25Queries, "query_id", "text", k = 5, hotDf = 5000L,
+            bitExact = false,
+            impactF = Some(Retrieval.impactStatsFielded(ftf)))
             .count())
         }
         // conjunctive (boolean-AND) ranking (q200's gate): candidates
@@ -773,6 +959,54 @@ object ScaleBench {
           println("  routed_rows=" + Federation.coriShardScores(
             sdf, scw, bm25Queries, "query_id", "text")
             .filter(col("rank") <= 4).count())
+        }
+        // federated END TO END (q237's gate): CORI-select 4 of 16
+        // shards per query, probe only their posting rows with GLOBAL
+        // statistics, merge — vs the all-shards control (nProbe = 16,
+        // bitwise the unsharded top-k). The probe-side delta is what
+        // selection buys: ~3/4 of each query's matched posting volume
+        // never scores
+        time(s"federated_topk_10x $round") {
+          import graft.operators.Federation
+          val shards = spark.range(50000)
+            .select(col("id").as("docId"),
+              pmod(col("id"), lit(16)).as("shard"))
+          val shardTf = spark.table("sb_bm25_tf")
+            .join(shards, Seq("docId"))
+            .select(col("shard"), col("docId"), col("dl"), col("word"),
+              col("tf"))
+          val sdf = Federation
+            .shardTermStats(spark.table("sb_bm25_tf"), shards)
+            .localCheckpoint()
+          val scw = Federation
+            .shardSizes(spark.table("sb_bm25_tf"), shards)
+            .localCheckpoint()
+          println("  fed_rows=" + Federation.coriTopK(shardTf, sdf,
+            scw, spark.table("sb_bm25_df"), spark.table("sb_bm25_stats"),
+            bm25Queries, "query_id", "text", k = 5, nProbe = 4,
+            bitExact = false)
+            .count())
+        }
+        time(s"federated_all_shards_10x $round") {
+          import graft.operators.Federation
+          val shards = spark.range(50000)
+            .select(col("id").as("docId"),
+              pmod(col("id"), lit(16)).as("shard"))
+          val shardTf = spark.table("sb_bm25_tf")
+            .join(shards, Seq("docId"))
+            .select(col("shard"), col("docId"), col("dl"), col("word"),
+              col("tf"))
+          val sdf = Federation
+            .shardTermStats(spark.table("sb_bm25_tf"), shards)
+            .localCheckpoint()
+          val scw = Federation
+            .shardSizes(spark.table("sb_bm25_tf"), shards)
+            .localCheckpoint()
+          println("  fed_rows=" + Federation.coriTopK(shardTf, sdf,
+            scw, spark.table("sb_bm25_df"), spark.table("sb_bm25_stats"),
+            bm25Queries, "query_id", "text", k = 5, nProbe = 16,
+            bitExact = false)
+            .count())
         }
         // the steady-state ingest loop (StreamingSpec's foreachBatch
         // convention, timed): fold three 2k-doc micro-batches into the
@@ -978,6 +1212,65 @@ object ScaleBench {
               cf = Some(spark.table("sb_bm25_cf")),
               impact = Some(imp))
             .count())
+        }
+        // the ROUTED second pass (q234's regated default): the |D|
+        // consult reads one persisted row, 50k >= the 20k crossover
+        // routes to weighted QL WAND — this arm is the proof the
+        // routed default keeps the 50k win the forced-WAND arm
+        // measured, while BENCH's 500-doc documents shape routes
+        // unpruned and stops paying the WAND stage overhead
+        time(s"ql_rm3_routed_10x $round") {
+          val imp = spark.table("sb_bm25_imp")
+          val exp = graft.operators.Retrieval.rm3ExpandedTermsQl(
+            spark.table("sb_bm25_tf"), spark.table("sb_bm25_cf"),
+            spark.table("sb_bm25_stats"), spark.table("sb_bm25_df"),
+            bm25Queries, "query_id", "text",
+            k = 10, m = 10, lambda = 0.5,
+            bitExact = false, maxFeedbackDf = Some(5000L),
+            wandHotDf = Some(5000L),
+            forward = Some(spark.table("sb_bm25_fwd")),
+            wandImpact = Some(imp))
+            .localCheckpoint()
+          println("  ql_rescored=" + graft.operators.Retrieval
+            .qlTopKWandWeightedRouted(
+              spark.table("sb_bm25_tf"), exp, k = 5,
+              hotDf = Some(5000L), bitExact = false,
+              forward = Some(spark.table("sb_bm25_fwd")),
+              dfStats = Some((spark.table("sb_bm25_df"),
+                spark.table("sb_bm25_stats"))),
+              cf = Some(spark.table("sb_bm25_cf")),
+              impact = Some(imp))
+            .count())
+        }
+        // pairwise LTR training at the serving shape (q236's view +
+        // the LtrSpec trainer): candidate lists from the WAND top-20,
+        // pair-restricted features, the preference self-join, and 10
+        // two-level-fold gradient passes — everything after the
+        // feature assembly is pairs-sized
+        time(s"ltr_pairwise_train_10x $round") {
+          import graft.operators.{Ltr, Retrieval}
+          val cands = Retrieval.bm25TopKWand(
+            spark.table("sb_bm25_tf"), bm25Queries, "query_id", "text",
+            k = 20, hotDf = 5000L, bitExact = false,
+            forward = Some(spark.table("sb_bm25_fwd")),
+            dfStats = Some((spark.table("sb_bm25_df"),
+              spark.table("sb_bm25_stats"))),
+            impact = Some(spark.table("sb_bm25_imp")))
+            .select("queryId", "docId", "rank").localCheckpoint()
+          val feats = Retrieval.ltrFeaturesForPairs(
+            spark.table("sb_bm25_tf"), spark.table("sb_bm25_df"),
+            spark.table("sb_bm25_cf"), spark.table("sb_bm25_stats"),
+            bm25Queries, "query_id", "text", cands,
+            forward = Some(spark.table("sb_bm25_fwd")))
+          val labeled = feats.join(
+            cands.filter(col("rank") <= 3)
+              .select(col("queryId"), col("docId"), lit(1.0).as("label")),
+            Seq("queryId", "docId"), "left_outer")
+            .na.fill(0.0, Seq("label")).localCheckpoint()
+          val m = Ltr.ltrTrainPairwise(labeled,
+            Seq("bm25", "ql", "n_matched", "coverage", "dl", "sum_idf"),
+            "label", iters = 10, lr = 0.5)
+          println(s"  pairwise_w_bm25=${m.weights.toMap.apply("bm25")}")
         }
         // ...the production configuration: stop-term-pruned FIRST pass
         // (the feedback set through pruned scoring) + the expansion

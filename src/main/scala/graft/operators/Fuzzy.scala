@@ -183,22 +183,39 @@ object Fuzzy {
     * .bm25TopKWandWeighted]] accepts exactly this input shape, and
     * unit weights satisfy its strictly-positive contract trivially),
     * so enabling pruning can never change an answer — only skip hot
-    * posting scans for safely-routed queries. Expanded queries are
-    * exactly where WAND pays off: `maxExpansions`-term disjunctions
-    * make the unpruned posting volume per query up to 50× a plain
-    * probe's.
+    * posting scans for safely-routed queries.
+    *
+    * ROUTING economics (the [[Retrieval.qlTopKWandWeightedRouted]]
+    * rule, measured r18): a query whose expansion's hot-term bound is
+    * unreachable routes safe and skips deep posting scans — the ed-2
+    * typo batch measured −60% at 50k docs — but a query that routes
+    * UNSAFE pays phase 1 AND the exact fallback (~2× unpruned), and
+    * small corpora can never amortize the extra stages (the 500-doc
+    * fixtures measured 1.7–2×). So `wandHotDf` engages only when |D|
+    * (one read of the persisted one-row `stats`) reaches
+    * `minWandDocs`; below it the same answers serve unpruned. The
+    * per-batch production readout for the expansion's df SHAPE (the
+    * head-prefix adversarial case routes everything unsafe at any
+    * scale) is [[Retrieval.bm25WandWeightedStats]].
     */
   private def expandedTopK(tf: DataFrame, dfTab: DataFrame,
                            stats: DataFrame, terms: DataFrame, k: Int,
                            k1: Double, b: Double, bitExact: Boolean,
                            wandHotDf: Option[Long],
+                           minWandDocs: Long,
                            forward: Option[DataFrame],
                            impact: Option[DataFrame]): DataFrame =
     wandHotDf match {
-      case Some(hd) =>
-        Retrieval.bm25TopKWandWeighted(tf, terms, k, hd, k1, b,
-          bitExact, forward, Some((dfTab, stats)), impact)
-      case None =>
+      case Some(hd) if stats.select(col("n_docs").cast("long"))
+          .collect()(0).getLong(0) >= minWandDocs =>
+        // the WAND core consumes the term table twice (the enriched
+        // build and the exact-fallback restriction) — the expansion
+        // chain behind it (deletion-neighborhood correction / prefix
+        // scan) is the expensive part of these queries, so it must
+        // materialize once (query-batch-sized), not re-run per branch
+        Retrieval.bm25TopKWandWeighted(tf, terms.localCheckpoint(),
+          k, hd, k1, b, bitExact, forward, Some((dfTab, stats)), impact)
+      case _ =>
         Retrieval.bm25TopK(
           Retrieval.bm25ScoresWeighted(tf, dfTab, stats, terms,
             k1, b, bitExact), k)
@@ -223,13 +240,14 @@ object Fuzzy {
                      k1: Double = 1.2, b: Double = 0.75,
                      bitExact: Boolean = true,
                      wandHotDf: Option[Long] = None,
+                     minWandDocs: Long = 20000L,
                      forward: Option[DataFrame] = None,
                      impact: Option[DataFrame] = None): DataFrame =
     expandedTopK(tf, dfTab, stats,
       prefixMatchTerms(dfTab, prefixes, maxExpansions)
         .select("queryId", "word").distinct()
         .withColumn("weight", lit(1.0)),
-      k, k1, b, bitExact, wandHotDf, forward, impact)
+      k, k1, b, bitExact, wandHotDf, minWandDocs, forward, impact)
 
   /** Typo-tolerant BM25 top-k: [[correctedQueryTerms]] at unit weight
     * through the weighted scorer (IEEE `1.0 · x == x`, so scores are
@@ -246,11 +264,12 @@ object Fuzzy {
                     vocabVariants: Option[DataFrame] = None,
                     maxEdit: Int = 1,
                     wandHotDf: Option[Long] = None,
+                    minWandDocs: Long = 20000L,
                     forward: Option[DataFrame] = None,
                     impact: Option[DataFrame] = None): DataFrame =
     expandedTopK(tf, dfTab, stats,
       correctedQueryTerms(dfTab, queries, qidCol, qtextCol,
         vocabVariants, maxEdit)
         .withColumn("weight", lit(1.0)),
-      k, k1, b, bitExact, wandHotDf, forward, impact)
+      k, k1, b, bitExact, wandHotDf, minWandDocs, forward, impact)
 }

@@ -113,14 +113,24 @@ object Passages {
     * ([[Retrieval.maxPassageScores]] over the membership table), top
     * `k` per query. The probe plan is ONE posting join + the
     * result-sized membership join + the map-side-combined max.
+    *
+    * `maxDocFrequency` is the passage-level stop-term prune
+    * ([[Retrieval.bm25ScoresPrecomputed]]'s, over PASSAGE df) — at
+    * scale it is load-bearing, not optional: the segmentation
+    * multiplies every hot term's posting volume by ~width/stride
+    * (the 50k-doc ScaleBench probe measured 186 s unpruned vs 11 s
+    * at the df cap the old in-gate arm always carried), so a
+    * production passage probe prunes or WANDs, never scans the head.
     */
   def maxPassageTopK(layout: PassageLayout,
                      queries: DataFrame, qidCol: String, qtextCol: String,
                      k: Int, k1: Double = 1.2, b: Double = 0.75,
-                     bitExact: Boolean = true): DataFrame =
+                     bitExact: Boolean = true,
+                     maxDocFrequency: Option[Long] = None): DataFrame =
     Retrieval.bm25TopK(
       Retrieval.maxPassageScores(
         Retrieval.bm25ScoresPrecomputed(layout.tf, layout.dfTab,
-          layout.stats, queries, qidCol, qtextCol, k1, b, bitExact),
+          layout.stats, queries, qidCol, qtextCol, k1, b, bitExact,
+          maxDocFrequency),
         layout.membership), k)
 }

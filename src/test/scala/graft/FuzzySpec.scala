@@ -229,9 +229,11 @@ class FuzzySpec extends SparkSpec {
          imp <- Seq(None, Some(Retrieval.impactStats(tf)))) {
       assert(rows(Fuzzy.bm25TopKFuzzy(tf, dfT, st, fuzzyQ,
         "query_id", "text", k = 5, wandHotDf = Some(hd),
+        minWandDocs = 0L,
         impact = imp)) === fuzzyPlain, s"fuzzy hd=$hd") // bitwise
       assert(rows(Fuzzy.bm25TopKPrefix(tf, dfT, st, prefQ,
         k = 5, maxExpansions = 100, wandHotDf = Some(hd),
+        minWandDocs = 0L,
         impact = imp)) === prefPlain, s"prefix hd=$hd") // bitwise
     }
   }
