@@ -943,13 +943,19 @@ private[graft] object TextQueries {
       import graft.operators.Passages
       val docs = t(s, dir, "documents")
       // r18 re-shape: the probe runs THROUGH the persisted passage
-      // layout (all four tables materialized once — the pre-r18 gate
-      // rebuilt df/stats inline per consumer); scores bitwise
-      // unchanged, so the oracle is untouched. q235 gates the
-      // layout's append/delete lifecycle against this same replay
-      val layout = ckptPassageLayout(
-        Passages.passageIndex(docs, "doc_id", "text",
-          width = 32, stride = 16))
+      // layout; scores bitwise unchanged, so the oracle is untouched.
+      // q235 gates the layout's append/delete lifecycle against this
+      // same replay. Materialization: the segmentation is consumed 2x
+      // (index + membership) and the passage tf 3x (df, stats,
+      // postings) — exactly those two checkpoint, the df/stat tables
+      // derive from the CHECKPOINTED tf so nothing re-segments
+      import graft.operators.{Chunking, Retrieval}
+      val pass = Chunking.tokenPassages(docs, "doc_id", "text",
+        width = 32, stride = 16).localCheckpoint()
+      val tf = Retrieval.termFrequencies(pass, "passageId", "text")
+        .localCheckpoint()
+      val layout = Passages.PassageLayout(tf, Retrieval.dfTable(tf),
+        Retrieval.corpusStats(tf), pass.select("passageId", "docId"))
       val qs = docs.where(col("doc_id") % 97 === 0)
         .select(col("doc_id").as("query_id"),
           substring(col("text"), 1, 40).as("text"))
@@ -973,14 +979,31 @@ private[graft] object TextQueries {
         .select(col("doc_id"), col("text")).unionByName(phantom)
       val half1 = docs.where(col("doc_id") % 2 =!= 0)
         .select(col("doc_id"), col("text"))
-      val built = ckptPassageLayout(
-        Passages.passageIndex(half0, "doc_id", "text", 32, 16))
-      val appended = ckptPassageLayout(
-        Passages.compactPassageIndex(built, half1, "doc_id", "text",
-          32, 16))
-      val fin = ckptPassageLayout(
-        Passages.compactPassageIndexDeleted(appended,
-          phantom.select(col("doc_id").as("docId"))))
+      // materialization discipline (measured on this tiny-but-deep
+      // plan — the fixture is 500 docs at every SF): each corpus half
+      // segments and tf-aggregates ONCE (the q203 checkpoint shape —
+      // the merge chains for tf/df/stats/membership all reuse the two
+      // checkpoints), and the DELETE stage's twice-read inputs (tf
+      // semi+anti, membership resolve+anti) checkpoint; blanket
+      // checkpointing all 12 stage tables measured 25.7 s of pure job
+      // overhead, fully-lazy chains 17.6 s of re-segmentation
+      def buildCk(d: org.apache.spark.sql.DataFrame)
+          : graft.operators.Passages.PassageLayout = {
+        import graft.operators.{Chunking, Retrieval}
+        val pass = Chunking.tokenPassages(d, "doc_id", "text", 32, 16)
+          .localCheckpoint()
+        val tf = Retrieval.termFrequencies(pass, "passageId", "text")
+          .localCheckpoint()
+        Passages.PassageLayout(tf, Retrieval.dfTable(tf),
+          Retrieval.corpusStats(tf), pass.select("passageId", "docId"))
+      }
+      val appended0 = Passages.compactPassageIndex(buildCk(half0),
+        buildCk(half1), assertDisjoint = false)
+      val appended = appended0.copy(
+        tf = appended0.tf.localCheckpoint(),
+        membership = appended0.membership.localCheckpoint())
+      val fin = Passages.compactPassageIndexDeleted(appended,
+        phantom.select(col("doc_id").as("docId")))
       val qs = docs.where(col("doc_id") % 97 === 0)
         .select(col("doc_id").as("query_id"),
           substring(col("text"), 1, 40).as("text"))
@@ -1880,8 +1903,10 @@ private[graft] object TextQueries {
         Retrieval.bm25ScoresPrecomputed(tf, dfT, st, qs,
           "query_id", "text"), 3)
         .select(col("queryId"), col("docId"), lit(1.0).as("label"))
+      // consumed 2x (both sides of the preference self-join) — the
+      // qrels scoring chain must not re-run per side
       val labeled = feats.join(qrels, Seq("queryId", "docId"),
-        "left_outer").na.fill(0.0, Seq("label"))
+        "left_outer").na.fill(0.0, Seq("label")).localCheckpoint()
       Ltr.ltrPreferencePairs(labeled,
         Seq("bm25", "ql", "n_matched", "coverage", "dl", "sum_idf"),
         "label")
@@ -2169,18 +2194,6 @@ private[graft] object TextQueries {
   private val fieldedZipfFixtureCache =
     scala.collection.mutable.Map
       .empty[(SparkSession, String), (DataFrame, DataFrame, Long)]
-
-  /** Materialize all four passage-layout tables — the gate stand-in
-    * for the persisted-at-ingest contract: each stage's output is
-    * consumed by the next compaction AND the probe, so it must never
-    * re-run its build chain per consumer.
-    */
-  private def ckptPassageLayout(
-      l: graft.operators.Passages.PassageLayout)
-      : graft.operators.Passages.PassageLayout =
-    graft.operators.Passages.PassageLayout(l.tf.localCheckpoint(),
-      l.dfTab.localCheckpoint(), l.stats.localCheckpoint(),
-      l.membership.localCheckpoint())
 
   private def zipfWandFixture(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, Long) = zipfWandFixtureCache.synchronized {

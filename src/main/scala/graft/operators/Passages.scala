@@ -72,8 +72,21 @@ object Passages {
                           idCol: String, textCol: String,
                           width: Int, stride: Int,
                           assertDisjoint: Boolean = false)
+      : PassageLayout =
+    compactPassageIndex(layout,
+      passageIndex(batchDocs, idCol, textCol, width, stride),
+      assertDisjoint)
+
+  /** [[compactPassageIndex]] over a PREBUILT batch layout — the form
+    * an ingest loop uses when the batch's tables are already
+    * materialized (the [[Retrieval.compactTermIndex]] "batchTf
+    * consumed 3×, materialize once" rule lifted to the four-table
+    * layout: the docs-based overload above derives every batch table
+    * from one lazy segmentation chain, which re-runs per consumer).
+    */
+  def compactPassageIndex(layout: PassageLayout, batch: PassageLayout,
+                          assertDisjoint: Boolean)
       : PassageLayout = {
-    val batch = passageIndex(batchDocs, idCol, textCol, width, stride)
     val (tf, dfTab, stats) = Retrieval.compactTermIndex(layout.tf,
       layout.dfTab, layout.stats, batch.tf, assertDisjoint)
     PassageLayout(tf, dfTab, stats,
