@@ -430,4 +430,69 @@ class BucketingSpec extends SparkSpec {
       Retrieval.bm25ScoresIndexed(tf, queries, "query_id", "text"), 3)
     assert(key(wand) === key(unpruned) && key(wand).nonEmpty)
   }
+
+  test("passage MaxP probe over a word-bucketed passage index plans no " +
+    "corpus-side shuffle") {
+    // the r18 persisted passage layout's probe claim, pinned the
+    // bm25-probe way: with broadcast and AQE off, the passage posting
+    // join's corpus side reads the word-bucketed passage tf with zero
+    // Exchange below it, and values match the in-memory form (the
+    // membership join and the MaxP aggregate are result-sized and may
+    // shuffle — that is not the claim)
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import graft.operators.Passages
+    val corpus = (1L to 40L).map(i =>
+      (i, s"tok${i % 7} tok${i % 5} tok${i % 3} tok${i % 11} tok${i % 13} " +
+        s"tok${i % 2} tok${i % 17} tok${i % 19}"))
+      .toDF("doc_id", "text")
+    val queries = Seq((100L, "tok1 tok2"), (101L, "tok4 tok6"))
+      .toDF("query_id", "text")
+    val l0 = Passages.passageIndex(corpus, "doc_id", "text",
+      width = 4, stride = 2)
+    spark.sql("DROP TABLE IF EXISTS pass_tf_bucketed")
+    l0.tf.write.bucketBy(8, "word").sortBy("word")
+      .mode("overwrite").saveAsTable("pass_tf_bucketed")
+    val tfB = spark.table("pass_tf_bucketed")
+    val layout = Passages.PassageLayout(tfB,
+      graft.operators.Retrieval.dfTable(tfB),
+      graft.operators.Retrieval.corpusStats(tfB),
+      l0.membership.localCheckpoint())
+    val confs = Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val m = Passages.maxPassageTopK(layout, queries,
+        "query_id", "text", k = 3)
+      val rows = m.collect()
+      val plan = m.queryExecution.executedPlan
+      def wordKeyed(keys: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =
+        keys.exists(_.references.exists(_.name == "word"))
+      def isCorpusSide(c: SparkPlan): Boolean =
+        c.collect { case s: FileSourceScanExec => s }
+          .exists(_.toString.contains("pass_tf_bucketed")) &&
+          c.collect { case a: BaseAggregateExec => a }.isEmpty
+      val wordJoins: Seq[SparkPlan] = plan.collect {
+        case j: SortMergeJoinExec if wordKeyed(j.leftKeys) => j
+        case j: ShuffledHashJoinExec if wordKeyed(j.leftKeys) => j
+      }.filter(_.children.exists(isCorpusSide))
+      assert(wordJoins.nonEmpty, s"expected a bucketed word join:\n$plan")
+      wordJoins.foreach { j =>
+        val corpusSide = j.children.find(isCorpusSide).get
+        assert(corpusSide.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+          s"bucketed passage corpus side must not shuffle:\n$corpusSide")
+      }
+      // value parity with the fully in-memory layout
+      val mem = Passages.maxPassageTopK(
+        Passages.passageIndex(corpus, "doc_id", "text", 4, 2),
+        queries, "query_id", "text", k = 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows.map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2))).toSet === mem)
+      assert(rows.nonEmpty)
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
 }

@@ -1318,4 +1318,110 @@ class StreamingSpec extends SparkSpec {
       assert(!viaStream.map(_._2).contains(12L))
     } finally q.stop()
   }
+
+  test("streaming queries serve through the round-18 entry points like " +
+    "batch (passage MaxP + federated + routed weighted QL + fielded WAND)") {
+    // the serving-parity claim extended to the round-18 surface:
+    // per-micro-batch probes through the persisted passage layout,
+    // the CORI-selected shard federation, the routed weighted QL
+    // path (forced onto its WAND branch), and fielded BM25F WAND
+    // must accumulate to exactly the batch run — every routing
+    // decision here is per-query, so batching cannot change answers
+    import graft.operators.{Federation, Passages, Retrieval}
+    val corpus = (1L to 40L).map { id =>
+      id -> (s"apple banana tok${id % 7} tok${id % 5} cherry date " +
+        s"elder fig tok${id % 3} grape")
+    }.toDF("doc_id", "text")
+    val pl0 = Passages.passageIndex(corpus, "doc_id", "text",
+      width = 4, stride = 2)
+    val pl = Passages.PassageLayout(pl0.tf.localCheckpoint(),
+      pl0.dfTab.localCheckpoint(), pl0.stats.localCheckpoint(),
+      pl0.membership.localCheckpoint())
+    val tf = Retrieval.termFrequencies(corpus, "doc_id", "text")
+      .localCheckpoint()
+    val dfT = Retrieval.dfTable(tf).localCheckpoint()
+    val cfT = Retrieval.cfTable(tf).localCheckpoint()
+    val st = Retrieval.corpusStats(tf).localCheckpoint()
+    val imp = Retrieval.impactStats(tf).localCheckpoint()
+    val shards = corpus.select(col("doc_id").as("docId"),
+      pmod(col("doc_id"), lit(3)).as("shard"))
+    val shardTf = tf.join(shards, Seq("docId"))
+      .select(col("shard"), col("docId"), col("dl"), col("word"),
+        col("tf")).localCheckpoint()
+    val sdf = Federation.shardTermStats(tf, shards).localCheckpoint()
+    val scw = Federation.shardSizes(tf, shards).localCheckpoint()
+    val fielded = corpus.select(col("doc_id"), lit("title").as("field"),
+      substring(col("text"), 1, 12).as("ftext"))
+      .unionByName(corpus.select(col("doc_id"), lit("body").as("field"),
+        substring(col("text"), 13, 1 << 30).as("ftext")))
+    val ftf = Retrieval.termFrequenciesFielded(fielded,
+      "doc_id", "field", "ftext").localCheckpoint()
+    val impF = Retrieval.impactStatsFielded(ftf).localCheckpoint()
+    val fparams = Seq(("title", 2.0, 0.5), ("body", 1.0, 0.75))
+    def tw(qs: org.apache.spark.sql.DataFrame) = qs
+      .select(col("query_id").as("queryId"),
+        explode(split(col("text"), " ")).as("word"))
+      .distinct().withColumn("weight", lit(1.0))
+    val passServed = scala.collection.mutable
+      .ArrayBuffer[(Long, Long, Double, Int)]()
+    val fedServed = scala.collection.mutable
+      .ArrayBuffer[(Long, Long, Double, Int)]()
+    val qlwServed = scala.collection.mutable
+      .ArrayBuffer[(Long, Long, Double, Int)]()
+    val ffServed = scala.collection.mutable
+      .ArrayBuffer[(Long, Long, Double, Int)]()
+    def quad(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))
+    val input = MemoryStream[(Long, String)](spark)
+    val q = input.toDF()
+      .select(col("_1").as("query_id"), col("_2").as("text"))
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val bb = b.localCheckpoint() // consumed by all four entry points
+        passServed.synchronized { passServed ++=
+          Passages.maxPassageTopK(pl, bb, "query_id", "text", k = 3)
+            .collect().map(quad) }
+        fedServed.synchronized { fedServed ++=
+          Federation.coriTopK(shardTf, sdf, scw, dfT, st, bb,
+            "query_id", "text", k = 3, nProbe = 2)
+            .collect().map(quad) }
+        qlwServed.synchronized { qlwServed ++=
+          Retrieval.qlTopKWandWeightedRouted(tf, tw(bb), k = 3,
+            hotDf = Some(10L), minWandDocs = 1L,
+            dfStats = Some((dfT, st)), cf = Some(cfT),
+            impact = Some(imp)).collect().map(quad) }
+        ffServed.synchronized { ffServed ++=
+          Retrieval.bm25fTopKWand(ftf, fparams, bb, "query_id", "text",
+            k = 3, hotDf = 10L, impactF = Some(impF))
+            .collect().map(quad) }
+        ()
+      }.start()
+    try {
+      input.addData((100L, "apple cherry"), (101L, "tok3 banana grape"))
+      q.processAllAvailable()
+      input.addData((102L, "tok6 fig"))
+      q.processAllAvailable()
+      val batchQs = Seq((100L, "apple cherry"),
+        (101L, "tok3 banana grape"), (102L, "tok6 fig"))
+        .toDF("query_id", "text")
+      assert(passServed.synchronized(passServed.toSet) ===
+        Passages.maxPassageTopK(pl, batchQs, "query_id", "text", k = 3)
+          .collect().map(quad).toSet) // bitwise
+      assert(fedServed.synchronized(fedServed.toSet) ===
+        Federation.coriTopK(shardTf, sdf, scw, dfT, st, batchQs,
+          "query_id", "text", k = 3, nProbe = 2)
+          .collect().map(quad).toSet) // bitwise
+      assert(qlwServed.synchronized(qlwServed.toSet) ===
+        Retrieval.qlTopKWandWeightedRouted(tf, tw(batchQs), k = 3,
+          hotDf = Some(10L), minWandDocs = 1L,
+          dfStats = Some((dfT, st)), cf = Some(cfT),
+          impact = Some(imp)).collect().map(quad).toSet) // bitwise
+      assert(ffServed.synchronized(ffServed.toSet) ===
+        Retrieval.bm25fTopKWand(ftf, fparams, batchQs,
+          "query_id", "text", k = 3, hotDf = 10L,
+          impactF = Some(impF)).collect().map(quad).toSet) // bitwise
+      assert(passServed.synchronized(passServed.map(_._1).toSet) ===
+        Set(100L, 101L, 102L))
+    } finally q.stop()
+  }
 }
