@@ -1949,6 +1949,35 @@ private[graft] object TextQueries {
           col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
     }),
+    // federation is scorer-agnostic: the SAME select → probe → merge
+    // with the QL Dirichlet ranker and GLOBAL cf/|C| statistics — the
+    // oracle replays the CORI selection, the shard restriction of the
+    // unsharded QL scores, and the merged rank
+    "q242_federated_ql_topk" -> ((s, dir) => {
+      import graft.operators.{Federation, Retrieval}
+      val docs = t(s, dir, "documents")
+      val tf = Retrieval.termFrequencies(docs, "doc_id", "text")
+        .localCheckpoint() // see q179
+      val cfT = Retrieval.cfTable(tf).localCheckpoint()
+      val st = Retrieval.corpusStats(tf).localCheckpoint()
+      val shards = docs.select(col("doc_id").as("docId"),
+        pmod(col("doc_id"), lit(4)).as("shard"))
+      val shardTf = tf.join(shards, Seq("docId"))
+        .select(col("shard"), col("docId"), col("dl"), col("word"),
+          col("tf"))
+        .localCheckpoint()
+      val sdf = Federation.shardTermStats(tf, shards).localCheckpoint()
+      val scw = Federation.shardSizes(tf, shards).localCheckpoint()
+      val qs = docs.where(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("query_id"),
+          substring(col("text"), 1, 40).as("text"))
+      Federation.coriTopKQl(shardTf, sdf, scw, cfT, st, qs,
+        "query_id", "text", k = 5, nProbe = 2)
+        .select(col("queryId").as("query_id"), col("docId").as("doc_id"),
+          round(col("score"), 6).as("score"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
     // the QL decision table through a POST-DELETE index whose impact
     // metadata went through compactImpactStatsDeleted (the q224
     // convention over the deleted lifecycle): the oracle recomputes
@@ -2786,8 +2815,10 @@ private[graft] object TextQueries {
     * term prior, and the word-sorted per-shard mean — shared by q215
     * (the selection gate) and q237 (the federated select → probe →
     * merge gate), the one-definition rule for "the CORI ranking".
-    * Emits `sdf`, `scw`, `cstats`, `cft`, `qcf`, `qnq`, `cells`,
-    * `csum`, `scored`; expects `tfv`/`lens`/`qterms` from
+    * Emits `sdf`, `scw`, `cstats`, `scft`, `sqcf`, `sqnq`, `cells`,
+    * `csum`, `scored` (the s-prefixed names keep the shard-metadata
+    * CTEs disjoint from QlCtes' cf-side ones, so q242 can use both);
+    * expects `tfv`/`lens`/`qterms` from
     * [[bm25Cte]].
     */
   private lazy val CoriCtes =
@@ -2803,11 +2834,11 @@ private[graft] object TextQueries {
        |  SELECT CAST(count(*) AS DOUBLE) AS cc,
        |    CAST(sum(cw) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgcw
        |  FROM scw),
-       |cft AS (SELECT word, CAST(count(*) AS BIGINT) AS cf
+       |scft AS (SELECT word, CAST(count(*) AS BIGINT) AS scf
        |        FROM sdf GROUP BY 1),
-       |qcf AS (SELECT query_id, word, cf
-       |        FROM qterms JOIN cft USING (word)),
-       |qnq AS (SELECT query_id, count(*) AS nq FROM qcf GROUP BY 1),
+       |sqcf AS (SELECT query_id, word, scf
+       |        FROM qterms JOIN scft USING (word)),
+       |sqnq AS (SELECT query_id, count(*) AS snq FROM sqcf GROUP BY 1),
        |cells AS (
        |  SELECT q.query_id, s.shard, q.word,
        |    CAST(0.4 AS DOUBLE) + CAST(0.6 AS DOUBLE) *
@@ -2816,9 +2847,9 @@ private[graft] object TextQueries {
        |           + CAST(50.0 AS DOUBLE)
        |           + CAST(150.0 AS DOUBLE) * CAST(s.cw AS DOUBLE)
        |             / avgcw)) *
-       |      (ln((cc + 0.5) / CAST(q.cf AS DOUBLE)) / ln(cc + 1.0))
+       |      (ln((cc + 0.5) / CAST(q.scf AS DOUBLE)) / ln(cc + 1.0))
        |      AS p
-       |  FROM qcf q CROSS JOIN scw s
+       |  FROM sqcf q CROSS JOIN scw s
        |  LEFT JOIN sdf d ON d.shard = s.shard AND d.word = q.word
        |  CROSS JOIN cstats),
        |csum AS (
@@ -2826,8 +2857,8 @@ private[graft] object TextQueries {
        |    list_reduce(list(p ORDER BY word), (a, x) -> a + x) AS ssum
        |  FROM cells GROUP BY 1, 2),
        |scored AS (
-       |  SELECT query_id, shard, ssum / CAST(nq AS DOUBLE) AS score
-       |  FROM csum JOIN qnq USING (query_id))""".stripMargin
+       |  SELECT query_id, shard, ssum / CAST(snq AS DOUBLE) AS score
+       |  FROM csum JOIN sqnq USING (query_id))""".stripMargin
 
   /** The query-likelihood Dirichlet chain replayed in SQL, downstream
     * of [[bm25Cte]]'s `tfv`/`lens`/`qterms` (shared by q199/q201):
@@ -5415,6 +5446,32 @@ private[graft] object TextQueries {
          |probed AS (
          |  SELECT b.query_id, b.doc_id, b.score
          |  FROM bscores b JOIN sel s ON s.query_id = b.query_id
+         |    AND s.shard = CAST(b.doc_id % 4 AS BIGINT))
+         |SELECT query_id, doc_id, round(score, 6) AS score,
+         |  CAST(rank AS BIGINT) AS rank
+         |FROM (
+         |  SELECT query_id, doc_id, score,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id) AS rank
+         |  FROM probed) z
+         |WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // the CORI selection (q215's CTEs), the top-2 probe set, the
+    // GLOBAL-cf QL scores restricted to probed pairs, the merged rank
+    "q242_federated_ql_topk" ->
+      s"""WITH ${bm25Cte("TRUE", "doc_id % 97 = 0", "substr(text, 1, 40)")},
+         |$QlCtes,
+         |$CoriCtes,
+         |sel AS (
+         |  SELECT query_id, shard FROM (
+         |    SELECT query_id, shard,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score DESC, shard) AS r
+         |    FROM scored) z WHERE r <= 2),
+         |probed AS (
+         |  SELECT b.query_id, b.doc_id, b.score
+         |  FROM qlsc b JOIN sel s ON s.query_id = b.query_id
          |    AND s.shard = CAST(b.doc_id % 4 AS BIGINT))
          |SELECT query_id, doc_id, round(score, 6) AS score,
          |  CAST(rank AS BIGINT) AS rank

@@ -173,15 +173,8 @@ object Federation {
                coriB: Double = 0.4, dfBase: Double = 50.0,
                cwScale: Double = 150.0): DataFrame = {
     require(k > 0, s"k > 0: $k")
-    require(nProbe > 0, s"nProbe > 0: $nProbe")
-    val sel = coriShardScores(shardDf, shardCw, queries, qidCol,
-      qtextCol, coriB, dfBase, cwScale)
-      .filter(col("rank") <= nProbe)
-      .select("queryId", "shard")
-      .localCheckpoint()
-    val shardSet = sel.select("shard").distinct()
-    val tfPruned = shardTf.join(broadcast(shardSet), Seq("shard"),
-      "left_semi")
+    val (sel, tfPruned) = selectAndPrune(shardTf, shardDf, shardCw,
+      queries, qidCol, qtextCol, nProbe, coriB, dfBase, cwScale)
     val enriched = Retrieval.enrichedQueryTerms(dfTab, stats, queries,
       qidCol, qtextCol)
     val contrib = tfPruned.join(enriched, Seq("word"))
@@ -189,5 +182,69 @@ object Federation {
       .select(col("queryId"), col("docId"), col("word"),
         Retrieval.contribExpr(k1, b25).as("__c"))
     Retrieval.bm25TopK(Retrieval.scoreFold(contrib, bitExact), k)
+  }
+
+  /** [[coriTopK]] for the QUERY-LIKELIHOOD scorer — federation is
+    * scorer-agnostic by construction (selection reads shard metadata,
+    * the probe restriction is a semi-join), so the LM ranker gets the
+    * same select → probe → merge composition with the SAME global-
+    * statistics decision: probes score with the full-corpus cf/|C|
+    * tables (additive merges at ingest like everything else), so QL
+    * log-likelihoods are comparable across shards and the merge is
+    * bitwise the unsharded QL ranking restricted to probed pairs
+    * (q242 gates it; with every shard selected, the unsharded top-k).
+    * Same plan shape: shard-set broadcast prune, word join, pair
+    * semi-join BEFORE the fold, then [[Retrieval]]'s own QL fold with
+    * its once-added length normalizer.
+    */
+  def coriTopKQl(shardTf: DataFrame, shardDf: DataFrame,
+                 shardCw: DataFrame,
+                 cfTab: DataFrame, stats: DataFrame,
+                 queries: DataFrame, qidCol: String, qtextCol: String,
+                 k: Int, nProbe: Int,
+                 mu: Double = 2000.0,
+                 bitExact: Boolean = true,
+                 coriB: Double = 0.4, dfBase: Double = 50.0,
+                 cwScale: Double = 150.0): DataFrame = {
+    require(k > 0, s"k > 0: $k")
+    require(mu > 0, s"mu > 0: $mu")
+    val (sel, tfPruned) = selectAndPrune(shardTf, shardDf, shardCw,
+      queries, qidCol, qtextCol, nProbe, coriB, dfBase, cwScale)
+    // the qlDirichletScores enrichment verbatim (corpus-present |q|,
+    // global cf/|C|) — shared trees, so probed pairs score bitwise
+    // like the single index
+    val qTerms = Retrieval.queryTerms(queries, qidCol, qtextCol)
+      .join(cfTab, Seq("word"))
+      .crossJoin(broadcast(
+        stats.select(col("total_dl").cast("double").as("__cTokens"))))
+    val qn = qTerms.groupBy("queryId").agg(count(lit(1)).as("__nq"))
+    val enriched = qTerms.join(qn, Seq("queryId"))
+    val joined = tfPruned.join(enriched, Seq("word"))
+      .join(sel, Seq("queryId", "shard"), "left_semi")
+      .select(col("queryId"), col("docId"), col("word"),
+        Retrieval.qlContribExpr(mu).as("__c"), col("dl"), col("__nq"))
+    Retrieval.bm25TopK(Retrieval.qlScoreFold(joined, mu, bitExact), k)
+  }
+
+  /** The selection + batch-prune head shared by the federated top-k
+    * operators: the CORI top-`nProbe` (queryId, shard) set
+    * (result-sized, localCheckpointed — consumed by the batch prune
+    * AND the pair filter) and the shard-partitioned posting table
+    * semi-joined to the batch's distinct selected shards.
+    */
+  private def selectAndPrune(shardTf: DataFrame, shardDf: DataFrame,
+                             shardCw: DataFrame,
+                             queries: DataFrame, qidCol: String,
+                             qtextCol: String, nProbe: Int,
+                             coriB: Double, dfBase: Double,
+                             cwScale: Double): (DataFrame, DataFrame) = {
+    require(nProbe > 0, s"nProbe > 0: $nProbe")
+    val sel = coriShardScores(shardDf, shardCw, queries, qidCol,
+      qtextCol, coriB, dfBase, cwScale)
+      .filter(col("rank") <= nProbe)
+      .select("queryId", "shard")
+      .localCheckpoint()
+    val shardSet = sel.select("shard").distinct()
+    (sel, shardTf.join(broadcast(shardSet), Seq("shard"), "left_semi"))
   }
 }

@@ -705,7 +705,7 @@ object Retrieval {
     * carried through the group as constants, and the length
     * normalizer `|q|·ln(μ/(dl+μ))` added ONCE after the fold.
     */
-  private def qlScoreFold(joined: DataFrame, mu: Double,
+  private[operators] def qlScoreFold(joined: DataFrame, mu: Double,
                           bitExact: Boolean): DataFrame = {
     val folded =
       if (bitExact)
@@ -1130,7 +1130,7 @@ object Retrieval {
     * (via the identical tree), so they cannot drift by construction —
     * the [[contribExpr]] convention for the second scorer.
     */
-  private def qlContribExpr(mu: Double): Column =
+  private[operators] def qlContribExpr(mu: Double): Column =
     log(lit(1.0) +
       col("tf").cast("double") * col("__cTokens") /
         (lit(mu) * col("cf").cast("double")))

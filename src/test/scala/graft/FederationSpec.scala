@@ -182,4 +182,50 @@ class FederationSpec extends SparkSpec {
     assert(recall === 1.0,
       s"shard-clustered queries must route cleanly: recall=$recall")
   }
+
+  test("federated QL top-k equals the unsharded QL ranking restricted " +
+    "to probed pairs; all shards = the unsharded top-k") {
+    val rnd = new scala.util.Random(242)
+    val c = (1L to 90L).map { id =>
+      id -> Seq.fill(5 + rnd.nextInt(5))(
+        s"tok${18 / (rnd.nextInt(18) + 1)}").mkString(" ")
+    }.toDF("doc_id", "text")
+    val tf = Retrieval.termFrequencies(c, "doc_id", "text")
+      .localCheckpoint()
+    val cfT = Retrieval.cfTable(tf).localCheckpoint()
+    val st = Retrieval.corpusStats(tf).localCheckpoint()
+    val shards = c.select(col("doc_id").as("docId"),
+      pmod(col("doc_id"), lit(3)).as("shard"))
+    val shardTf = tf.join(shards, Seq("docId"))
+      .select(col("shard"), col("docId"), col("dl"), col("word"),
+        col("tf")).localCheckpoint()
+    val sdf = Federation.shardTermStats(tf, shards).localCheckpoint()
+    val scw = Federation.shardSizes(tf, shards).localCheckpoint()
+    val qs = Seq((900L, "tok1 tok18"), (901L, "tok9 tok2"),
+      (902L, "tok3")).toDF("query_id", "text")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("queryId"), col("docId"), col("score"),
+        col("rank").cast("int")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3))).toSeq.sorted
+    val unsharded = rows(Retrieval.bm25TopK(
+      Retrieval.qlDirichletScores(tf, cfT, st, qs,
+        "query_id", "text"), 4))
+    assert(rows(Federation.coriTopKQl(shardTf, sdf, scw, cfT, st, qs,
+      "query_id", "text", k = 4, nProbe = 3)) === unsharded) // bitwise
+    for (np <- Seq(1, 2)) {
+      val sel = Federation.coriShardScores(sdf, scw, qs,
+        "query_id", "text").filter(col("rank") <= np)
+        .select("queryId", "shard").localCheckpoint()
+      val restricted = rows(Retrieval.bm25TopK(
+        Retrieval.qlDirichletScores(tf, cfT, st, qs,
+          "query_id", "text")
+          .join(shards, Seq("docId"))
+          .join(sel, Seq("queryId", "shard"), "left_semi")
+          .select("queryId", "docId", "score"), 4))
+      assert(rows(Federation.coriTopKQl(shardTf, sdf, scw, cfT, st, qs,
+        "query_id", "text", k = 4, nProbe = np)) === restricted,
+        s"nProbe=$np") // bitwise
+    }
+  }
 }
