@@ -77,6 +77,46 @@ object Federation {
       .groupBy(col("shard"))
       .agg(sum(col("cw")).as("cw"))
 
+  /** Deletion-side merge of a [[shardTermStats]] table — the
+    * [[Retrieval.compactTermIndexDeleted]] df convention per shard:
+    * subtract the deleted docs' per-shard df (computed from their
+    * posting rows + the shard assignment — id-width work through the
+    * docId-bucketed forward layout), zero-df rows drop. Row-identical
+    * to a rebuild on the survivors (FederationSpec pins it), so CORI
+    * selection tracks deletions exactly instead of drifting toward
+    * shards whose mass left.
+    */
+  def compactShardTermStatsDeleted(sdf: DataFrame, tf: DataFrame,
+                                   shards: DataFrame,
+                                   deleteIds: DataFrame): DataFrame = {
+    val del = deleteIds.select(col("docId"))
+    val deletedTf = tf.join(del, Seq("docId"), "left_semi")
+    sdf.unionByName(
+      shardTermStats(deletedTf, shards)
+        .select(col("shard"), col("word"), (-col("df")).as("df")))
+      .groupBy(col("shard"), col("word"))
+      .agg(sum(col("df")).as("df"))
+      .filter(col("df") > 0)
+  }
+
+  /** Deletion-side merge of a [[shardSizes]] table — exact BIGINT
+    * subtraction of the deleted docs' per-shard token mass; a shard
+    * whose last doc leaves drops (cw = 0 — CORI's per-shard size
+    * signal must not divide by a ghost shard).
+    */
+  def compactShardSizesDeleted(scw: DataFrame, tf: DataFrame,
+                               shards: DataFrame,
+                               deleteIds: DataFrame): DataFrame = {
+    val del = deleteIds.select(col("docId"))
+    val deletedTf = tf.join(del, Seq("docId"), "left_semi")
+    scw.unionByName(
+      shardSizes(deletedTf, shards)
+        .select(col("shard"), (-col("cw")).as("cw")))
+      .groupBy(col("shard"))
+      .agg(sum(col("cw")).as("cw"))
+      .filter(col("cw") > 0)
+  }
+
   /** CORI shard ranking: `(queryId, shard, score, rank)` over ALL
     * shards per query (rank 1 = probe first; cap with
     * `filter(rank <= n)` for a probe budget). `shardDf` is consumed

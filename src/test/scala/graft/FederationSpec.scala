@@ -228,4 +228,36 @@ class FederationSpec extends SparkSpec {
         s"nProbe=$np") // bitwise
     }
   }
+
+  test("deleted shard metadata equals the rebuild on the survivors") {
+    val rnd = new scala.util.Random(243)
+    val c = (1L to 60L).map { id =>
+      id -> Seq.fill(4 + rnd.nextInt(5))(
+        s"tok${12 / (rnd.nextInt(12) + 1)}").mkString(" ")
+    }.toDF("doc_id", "text")
+    val tf = Retrieval.termFrequencies(c, "doc_id", "text")
+      .localCheckpoint()
+    val shards = c.select(col("doc_id").as("docId"),
+      pmod(col("doc_id"), lit(3)).as("shard"))
+    val del = ((1L to 60L by 4) :+ 2L).toDF("docId")
+    val sdfM = Federation.compactShardTermStatsDeleted(
+      Federation.shardTermStats(tf, shards), tf, shards, del)
+    val scwM = Federation.compactShardSizesDeleted(
+      Federation.shardSizes(tf, shards), tf, shards, del)
+    val tfS = tf.join(del, Seq("docId"), "left_anti")
+      .localCheckpoint()
+    def rows3(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2))).toSet
+    def rows2(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows3(sdfM) === rows3(Federation.shardTermStats(tfS, shards)))
+    assert(rows2(scwM) === rows2(Federation.shardSizes(tfS, shards)))
+    // ...and a whole shard leaving drops from the size table
+    val allShard0 = c.filter(pmod(col("doc_id"), lit(3)) === 0)
+      .select(col("doc_id").as("docId"))
+    val scwGone = Federation.compactShardSizesDeleted(
+      Federation.shardSizes(tf, shards), tf, shards, allShard0)
+    assert(!rows2(scwGone).exists(_._1 == 0L))
+  }
 }
