@@ -274,7 +274,8 @@ object ScaleBench {
         "bm25_fuzzy_ed2_wand_10x", "bm25_prefix_topk_10x",
         "bm25_prefix_wand_10x", "bm25_prefix_tail_topk_10x",
         "bm25_prefix_tail_wand_10x",
-        "federated_topk_10x", "federated_all_shards_10x",
+        "federated_topk_10x", "federated_ql_10x",
+        "federated_all_shards_10x",
         "ltr_pairwise_train_10x",
         "rm3_rescore_10x", "rm3_rescore_wand_10x",
         "rm3_rescore_wand_impact_10x", "ql_rm3_rescore_10x",
@@ -983,6 +984,30 @@ object ScaleBench {
             .localCheckpoint()
           println("  fed_rows=" + Federation.coriTopK(shardTf, sdf,
             scw, spark.table("sb_bm25_df"), spark.table("sb_bm25_stats"),
+            bm25Queries, "query_id", "text", k = 5, nProbe = 4,
+            bitExact = false)
+            .count())
+        }
+        // ...and the QL federation (q242's gate): same selection, the
+        // Dirichlet probe with global cf/|C| — the per-posting ln()
+        // premium over the BM25 arm matches the unsharded QL/BM25 gap
+        time(s"federated_ql_10x $round") {
+          import graft.operators.Federation
+          val shards = spark.range(50000)
+            .select(col("id").as("docId"),
+              pmod(col("id"), lit(16)).as("shard"))
+          val shardTf = spark.table("sb_bm25_tf")
+            .join(shards, Seq("docId"))
+            .select(col("shard"), col("docId"), col("dl"), col("word"),
+              col("tf"))
+          val sdf = Federation
+            .shardTermStats(spark.table("sb_bm25_tf"), shards)
+            .localCheckpoint()
+          val scw = Federation
+            .shardSizes(spark.table("sb_bm25_tf"), shards)
+            .localCheckpoint()
+          println("  fed_rows=" + Federation.coriTopKQl(shardTf, sdf,
+            scw, spark.table("sb_bm25_cf"), spark.table("sb_bm25_stats"),
             bm25Queries, "query_id", "text", k = 5, nProbe = 4,
             bitExact = false)
             .count())
