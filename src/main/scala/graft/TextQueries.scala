@@ -1949,6 +1949,59 @@ private[graft] object TextQueries {
           col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
     }),
+    // the FIELDED stat lifecycle (the q183/q235 convention for the
+    // BM25F layout): build the fielded triple on half the corpus +
+    // phantoms, append the other half's, negate the phantoms' off —
+    // the probe through the compacted (per-field stats, doc scalar,
+    // document-level df) triple must be bitwise the fresh build, so
+    // the oracle is q202's replay verbatim
+    "q243_bm25f_compacted_stats" -> ((s, dir) => {
+      import graft.operators.Retrieval
+      val docs = t(s, dir, "documents")
+      def fieldedOf(d: org.apache.spark.sql.DataFrame) =
+        d.select(col("doc_id"), lit("title").as("field"),
+          substring(col("text"), 1, 40).as("ftext"))
+          .unionByName(d.select(col("doc_id"), lit("body").as("field"),
+            substring(col("text"), 41, 1 << 30).as("ftext")))
+      val phantom = docs.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + lit(2000000L)).as("doc_id"),
+          col("text"))
+      val half0 = docs.where(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text")).unionByName(phantom)
+      val half1 = docs.where(col("doc_id") % 2 =!= 0)
+        .select(col("doc_id"), col("text"))
+      // per-half fielded tf checkpoints feed the three stat
+      // aggregates AND the posting union (the landing-table rule)
+      def triple(d: org.apache.spark.sql.DataFrame) = {
+        val f = Retrieval.termFrequenciesFielded(fieldedOf(d),
+          "doc_id", "field", "ftext").localCheckpoint()
+        (f, Retrieval.fieldedFieldStats(f),
+          Retrieval.fieldedDocStats(f), Retrieval.fieldedDfTable(f))
+      }
+      val (f0, fs0, ds0, df0) = triple(half0)
+      val (f1, fs1, ds1, df1) = triple(half1)
+      val (fsA, dsA, dfA) =
+        Retrieval.compactFieldedStats(fs0, ds0, df0, fs1, ds1, df1)
+      val ftfA = f0.unionByName(f1)
+      val delIds = phantom.select(col("doc_id").as("docId"))
+      val fDel = ftfA.join(delIds, Seq("docId"), "left_semi")
+        .localCheckpoint() // consumed 3x (the negated aggregates)
+      val (fsF, dsF, dfF) = Retrieval.compactFieldedStats(fsA, dsA, dfA,
+        Retrieval.fieldedFieldStats(fDel),
+        Retrieval.fieldedDocStats(fDel),
+        Retrieval.fieldedDfTable(fDel), negate = true)
+      val ftfF = ftfA.join(delIds, Seq("docId"), "left_anti")
+      val qs = docs.where(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("query_id"),
+          substring(col("text"), 1, 40).as("text"))
+      Retrieval.bm25TopK(Retrieval.bm25fScores(ftfF,
+        Seq(("title", 2.0, 0.5), ("body", 1.0, 0.75)),
+        qs, "query_id", "text", fStats = Some((fsF, dsF, dfF))), 5)
+        .select(col("queryId").as("query_id"), col("docId").as("doc_id"),
+          round(col("score"), 6).as("score"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
     // federation is scorer-agnostic: the SAME select → probe → merge
     // with the QL Dirichlet ranker and GLOBAL cf/|C| statistics — the
     // oracle replays the CORI selection, the shard restriction of the
@@ -2774,6 +2827,25 @@ private[graft] object TextQueries {
        |  SELECT query_id, doc_id,
        |    list_reduce(list(c ORDER BY word), (a, x) -> a + x) AS score
        |  FROM fcon GROUP BY 1, 2)""".stripMargin
+
+
+  /** The full fielded chain over the documents fixture (title/body at
+    * char 40, queries at doc_id % 97) — shared by q202 (the fresh
+    * build) and q243 (the probe through the compacted fielded stat
+    * triple): a stats-merge drift must fail against the rebuild.
+    */
+  private lazy val Bm25fDocumentsOracle =
+    s"""WITH ${bm25fCtes("substr(text, 1, 40)", "substr(text, 41)",
+           "TRUE", "doc_id % 97 = 0", "substr(text, 1, 40)")}
+       |SELECT query_id, doc_id, round(score, 6) AS score,
+       |  CAST(rank AS BIGINT) AS rank
+       |FROM (
+       |  SELECT query_id, doc_id, score,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, doc_id) AS rank
+       |  FROM fsc) z
+       |WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
 
   /** The fresh-build passage-MaxP replay (segmentation window
     * arithmetic included) — shared by q203 (the probe gate) and q235
@@ -4103,18 +4175,11 @@ private[graft] object TextQueries {
     // avgfl, document-level df/N over any-field matches, the
     // field-ORDER pseudo-tf fold, idf·ptf/(k1+ptf), word-sorted score
     // fold, rank
-    "q202_bm25f_topk" ->
-      s"""WITH ${bm25fCtes("substr(text, 1, 40)", "substr(text, 41)",
-             "TRUE", "doc_id % 97 = 0", "substr(text, 1, 40)")}
-         |SELECT query_id, doc_id, round(score, 6) AS score,
-         |  CAST(rank AS BIGINT) AS rank
-         |FROM (
-         |  SELECT query_id, doc_id, score,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY score DESC, doc_id) AS rank
-         |  FROM fsc) z
-         |WHERE rank <= 5
-         |ORDER BY query_id, rank""".stripMargin,
+    "q202_bm25f_topk" -> Bm25fDocumentsOracle,
+    // the fielded-stats lifecycle gate replays the FRESH BUILD — the
+    // compacted (per-field stats, doc scalar, document-level df)
+    // triple must probe indistinguishably from it
+    "q243_bm25f_compacted_stats" -> Bm25fDocumentsOracle,
 
     // the posting INTERSECTION as candidates (count of matched
     // distinct terms per (query, doc) equals the query's FULL distinct

@@ -347,9 +347,12 @@ object Retrieval {
                   fieldParams: Seq[(String, Double, Double)],
                   queries: DataFrame, qidCol: String, qtextCol: String,
                   k1: Double = 1.2,
-                  bitExact: Boolean = true): DataFrame = {
+                  bitExact: Boolean = true,
+                  fStats: Option[(DataFrame, DataFrame, DataFrame)]
+                    = None): DataFrame = {
     require(k1 >= 0, s"k1 >= 0: $k1")
-    val p = bm25fParts(ftf, fieldParams, queries, qidCol, qtextCol)
+    val p = bm25fParts(ftf, fieldParams, queries, qidCol, qtextCol,
+      fStats)
     val contrib = foldPtf(p.fContrib, bitExact)
       .join(p.qTermsIdf, Seq("word"))
       .select(col("queryId"), col("docId"), col("word"),
@@ -373,7 +376,9 @@ object Retrieval {
   private def bm25fParts(ftf: DataFrame,
                          fieldParams: Seq[(String, Double, Double)],
                          queries: DataFrame, qidCol: String,
-                         qtextCol: String): Bm25fParts = {
+                         qtextCol: String,
+                         fStats: Option[(DataFrame, DataFrame, DataFrame)]
+                           = None): Bm25fParts = {
     require(fieldParams.nonEmpty, "at least one field")
     require(fieldParams.forall(_._2 > 0), s"weights > 0: $fieldParams")
     require(fieldParams.forall(p => p._3 >= 0 && p._3 <= 1),
@@ -382,30 +387,43 @@ object Retrieval {
     import sp.implicits._
     val params = fieldParams.toDF("field", "__w", "__b")
     val scored = ftf.join(broadcast(params), Seq("field"))
-    // the corpus-GLOBAL stats — per-field average lengths and N —
-    // read every scored row (id-/field-width aggregates; at ingest
-    // these persist beside the ftf table like corpusStats, both
-    // exact-integer additive). Everything WORD-keyed below restricts
-    // to the query vocabulary first: the pseudo-tf fold and the df
-    // count run over the matched postings only, never the whole
-    // vocabulary per probe batch (the anchorOf semi-join-before-
-    // aggregate rule)
-    val favg = scored.groupBy("docId", "field").agg(max(col("fl")).as("fl"))
-      .groupBy("field")
-      .agg(count(lit(1)).as("__nf"), sum(col("fl")).as("__tfl"))
-      .select(col("field"),
-        (col("__tfl").cast("double") / col("__nf").cast("double"))
+    // the corpus-GLOBAL stats — per-field average lengths, N, and the
+    // document-level df: from the PERSISTED fielded stat layout when
+    // the caller has it ([[fieldedFieldStats]]/[[fieldedDocStats]]/
+    // [[fieldedDfTable]], the compactFieldedStats state — every
+    // index-side aggregate vanishes from the probe plan), inline
+    // otherwise. Stored values are exact integers, so the derived
+    // avgfl/N/idf are bitwise the inline path's (RetrievalSpec pins
+    // it); the layout serves the FULL field set — a fieldParams MASK
+    // changes what the inline aggregates see (doc membership, df),
+    // so maskers use the inline default.
+    val favg = fStats.map { case (fs, _, _) =>
+      fs.select(col("field"),
+        (col("total_fl").cast("double") / col("n_docs_f").cast("double"))
           .as("__avgfl"))
-    val nDocs = scored.select("docId").distinct()
-      .agg(count(lit(1)).cast("double").as("__N"))
+    }.getOrElse {
+      scored.groupBy("docId", "field").agg(max(col("fl")).as("fl"))
+        .groupBy("field")
+        .agg(count(lit(1)).as("__nf"), sum(col("fl")).as("__tfl"))
+        .select(col("field"),
+          (col("__tfl").cast("double") / col("__nf").cast("double"))
+            .as("__avgfl"))
+    }
+    val nDocs = fStats.map { case (_, ds, _) =>
+      ds.select(col("n_docs").cast("double").as("__N"))
+    }.getOrElse {
+      scored.select("docId").distinct()
+        .agg(count(lit(1)).cast("double").as("__N"))
+    }
     val qWords = queryTerms(queries, qidCol, qtextCol)
       .select("word").distinct()
     val scoredQ = scored.join(qWords, Seq("word"), "left_semi")
     // document-level df over the matched vocabulary (counts are the
     // full-corpus df — the semi-join only drops words the inner query
     // join below would drop anyway)
-    val dfT = scoredQ.select("docId", "word").distinct()
-      .groupBy("word").agg(count(lit(1)).as("df"))
+    val dfT = fStats.map(_._3).getOrElse(
+      scoredQ.select("docId", "word").distinct()
+        .groupBy("word").agg(count(lit(1)).as("df")))
     // per-row pseudo-tf contribution (folded per (doc, word) by
     // [[foldPtf]] at whatever doc restriction the caller needs)
     val fContrib = scoredQ.join(broadcast(favg), Seq("field"))
@@ -456,6 +474,73 @@ object Retrieval {
     ftf.groupBy("word", "field")
       .agg(max(col("tf")).as("max_tf"), min(col("fl")).as("min_fl"))
 
+  /** Per-field `(field, n_docs_f, total_fl)` of a
+    * [[termFrequenciesFielded]] index — the fielded corpusStats: the
+    * count of docs CARRYING the field and the exact BIGINT sum of
+    * their field lengths (avgfl is derived at probe time, never
+    * stored — the [[corpusStats]] rounding argument). Additive under
+    * disjoint-docId ingest, subtractive under deletes
+    * ([[compactFieldedStats]]).
+    */
+  def fieldedFieldStats(ftf: DataFrame): DataFrame =
+    ftf.groupBy("docId", "field").agg(max(col("fl")).as("fl"))
+      .groupBy("field")
+      .agg(count(lit(1)).as("n_docs_f"), sum(col("fl")).as("total_fl"))
+
+  /** The fielded corpus's `(n_docs)` scalar — distinct documents with
+    * ANY field row (the BM25F idf's N). Additive like every count
+    * here.
+    */
+  def fieldedDocStats(ftf: DataFrame): DataFrame =
+    ftf.select("docId").distinct().agg(count(lit(1)).as("n_docs"))
+
+  /** DOCUMENT-level `(word, df)` of a fielded index — docs containing
+    * the word in ANY field (the BM25F idf's df; a word spread across
+    * two fields of one doc counts once). Additive under disjoint
+    * ingest.
+    */
+  def fieldedDfTable(ftf: DataFrame): DataFrame =
+    ftf.select("docId", "word").distinct()
+      .groupBy("word").agg(count(lit(1)).as("df"))
+
+  /** Incremental compaction of the fielded stat triple
+    * `(fieldedFieldStats, fieldedDocStats, fieldedDfTable)` — the
+    * [[compactTermIndex]] convention for the BM25F layout: merge a
+    * micro-batch's triple in WITHOUT re-reading the fielded corpus
+    * (per-field counts/sums, the doc scalar, and the document-level
+    * df are all exact-integer ADDITIVE under the disjoint-docId
+    * ingest contract — a doc's field rows live in exactly one batch,
+    * so distinct-doc counts add). Deletion is the same merge with the
+    * deleted docs' triple NEGATED (build it from their ftf rows, the
+    * [[compactTermIndexDeleted]] shape); zero-df words and zero-doc
+    * fields drop. Row-identical to a rebuild (RetrievalSpec pins
+    * append AND delete parity; q243 gates a probe through a compacted
+    * triple against the fresh-build replay). The ftf rows themselves
+    * append/anti-join exactly like the unfielded tf.
+    */
+  def compactFieldedStats(fs: DataFrame, ds: DataFrame, dfTab: DataFrame,
+                          batchFs: DataFrame, batchDs: DataFrame,
+                          batchDf: DataFrame,
+                          negate: Boolean = false)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val sign = if (negate) -1L else 1L
+    val fsM = fs.unionByName(batchFs.select(col("field"),
+      (lit(sign) * col("n_docs_f")).as("n_docs_f"),
+      (lit(sign) * col("total_fl")).as("total_fl")))
+      .groupBy("field")
+      .agg(sum(col("n_docs_f")).as("n_docs_f"),
+        sum(col("total_fl")).as("total_fl"))
+      .filter(col("n_docs_f") > 0)
+    val dsM = ds.unionByName(batchDs.select(
+      (lit(sign) * col("n_docs")).as("n_docs")))
+      .agg(sum(col("n_docs")).as("n_docs"))
+    val dfM = dfTab.unionByName(batchDf.select(col("word"),
+      (lit(sign) * col("df")).as("df")))
+      .groupBy("word").agg(sum(col("df")).as("df"))
+      .filter(col("df") > 0)
+    (fsM, dsM, dfM)
+  }
+
   /** SCORE-EXACT pruned top-k for the FIELDED scorer —
     * [[bm25TopKWand]]'s analog for BM25F, closing the last scorer
     * asymmetry (BM25, weighted BM25, QL, and weighted QL all had
@@ -497,14 +582,16 @@ object Retrieval {
                     k: Int, hotDf: Long,
                     k1: Double = 1.2,
                     bitExact: Boolean = true,
-                    impactF: Option[DataFrame] = None): DataFrame = {
+                    impactF: Option[DataFrame] = None,
+                    fStats: Option[(DataFrame, DataFrame, DataFrame)]
+                      = None): DataFrame = {
     val c = bm25fWandCore(ftf, fieldParams, queries, qidCol, qtextCol,
-      k, hotDf, k1, bitExact, impactF)
+      k, hotDf, k1, bitExact, impactF, fStats)
     val fallback = bm25TopK(
       bm25fScores(ftf, fieldParams,
         queries.join(c.unsafeQ.select(col("queryId").as(qidCol)),
           Seq(qidCol), "left_semi"),
-        qidCol, qtextCol, k1, bitExact), k)
+        qidCol, qtextCol, k1, bitExact, fStats), k)
     c.safeTopK.unionByName(fallback.select("queryId", "docId", "score",
       "rank"))
   }
@@ -522,9 +609,11 @@ object Retrieval {
                      k: Int, hotDf: Long,
                      k1: Double = 1.2,
                      bitExact: Boolean = true,
-                     impactF: Option[DataFrame] = None): DataFrame =
+                     impactF: Option[DataFrame] = None,
+                     fStats: Option[(DataFrame, DataFrame, DataFrame)]
+                       = None): DataFrame =
     wandStatsFrom(bm25fWandCore(ftf, fieldParams, queries, qidCol,
-      qtextCol, k, hotDf, k1, bitExact, impactF), hotDf)
+      qtextCol, k, hotDf, k1, bitExact, impactF, fStats), hotDf)
 
   /** The two-phase WAND plan for BM25F — the [[wandCore]] shape over
     * the fielded arithmetic, returning the same [[WandCore]] so
@@ -538,11 +627,14 @@ object Retrieval {
                             qtextCol: String,
                             k: Int, hotDf: Long, k1: Double,
                             bitExact: Boolean,
-                            impactF: Option[DataFrame]): WandCore = {
+                            impactF: Option[DataFrame],
+                            fStats: Option[(DataFrame, DataFrame, DataFrame)])
+      : WandCore = {
     require(k > 0, s"k > 0: $k")
     require(hotDf >= 0, s"hotDf >= 0: $hotDf")
     require(k1 >= 0, s"k1 >= 0: $k1")
-    val p = bm25fParts(ftf, fieldParams, queries, qidCol, qtextCol)
+    val p = bm25fParts(ftf, fieldParams, queries, qidCol, qtextCol,
+      fStats)
     // query-batch-sized, consumed 3× (rare, hot, bound) — eager; the
     // WAND weight contract rides as an explicit 1.0 (the
     // unitEnriched convention, for wandStatsFrom's shared readout)

@@ -1855,4 +1855,67 @@ class RetrievalSpec extends SparkSpec {
     assert(small === want) // bitwise
     assert(large === want) // bitwise
   }
+
+  test("compacted fielded stats equal the rebuild; the precomputed " +
+    "probe is bitwise the inline path") {
+    val rnd = new scala.util.Random(243)
+    def fieldedDocs(ids: Range, seed: Int) = {
+      val r = new scala.util.Random(seed)
+      ids.flatMap { id =>
+        Seq((id.toLong, "title", Seq.fill(2 + r.nextInt(3))(
+          s"tok${8 / (r.nextInt(8) + 1)}").mkString(" ")),
+          (id.toLong, "body", Seq.fill(5 + r.nextInt(6))(
+            s"tok${16 / (r.nextInt(16) + 1)}").mkString(" ")))
+      }.toDF("doc_id", "field", "ftext")
+    }
+    def triple(f: DataFrame) = (Retrieval.fieldedFieldStats(f),
+      Retrieval.fieldedDocStats(f), Retrieval.fieldedDfTable(f))
+    val base = Retrieval.termFrequenciesFielded(
+      fieldedDocs(1 to 30, 1), "doc_id", "field", "ftext")
+      .localCheckpoint()
+    val batch = Retrieval.termFrequenciesFielded(
+      fieldedDocs(31 to 45, 2), "doc_id", "field", "ftext")
+      .localCheckpoint()
+    val (fs0, ds0, df0) = triple(base)
+    val (fs1, ds1, df1) = triple(batch)
+    val (fsA, dsA, dfA) =
+      Retrieval.compactFieldedStats(fs0, ds0, df0, fs1, ds1, df1)
+    val merged = base.unionByName(batch).localCheckpoint()
+    def rows(d: DataFrame) = d.collect().map(_.toString).toSet
+    val (fsR, dsR, dfR) = triple(merged)
+    assert(rows(fsA) === rows(fsR))
+    assert(rows(dsA) === rows(dsR))
+    assert(rows(dfA) === rows(dfR))
+    // delete a slice: negate its triple, compare to survivor rebuild
+    val del = (5L to 45L by 5).toDF("docId")
+    val fDel = merged.join(del, Seq("docId"), "left_semi")
+      .localCheckpoint()
+    val (fsD, dsD, dfD) = triple(fDel)
+    val (fsF, dsF, dfF) = Retrieval.compactFieldedStats(fsA, dsA, dfA,
+      fsD, dsD, dfD, negate = true)
+    val survivors = merged.join(del, Seq("docId"), "left_anti")
+      .localCheckpoint()
+    val (fsS, dsS, dfS) = triple(survivors)
+    assert(rows(fsF) === rows(fsS))
+    assert(rows(dsF) === rows(dsS))
+    assert(rows(dfF) === rows(dfS))
+    // the precomputed probe is BITWISE the inline one (full fields)
+    val qs = Seq((100L, "tok1 tok8"), (101L, "tok16 tok2"))
+      .toDF("query_id", "text")
+    val params = Seq(("title", 2.0, 0.5), ("body", 1.0, 0.75))
+    def scores(fStats: Option[(DataFrame, DataFrame, DataFrame)]) =
+      Retrieval.bm25fScores(survivors, params, qs, "query_id", "text",
+        fStats = fStats).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(scores(Some((fsF, dsF, dfF))) === scores(None))
+    // ...and through the WAND path too
+    def topk(fStats: Option[(DataFrame, DataFrame, DataFrame)]) =
+      Retrieval.bm25fTopKWand(survivors, params, qs, "query_id", "text",
+        k = 3, hotDf = 5L,
+        impactF = Some(Retrieval.impactStatsFielded(survivors)),
+        fStats = fStats).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3))).toSet
+    assert(topk(Some((fsF, dsF, dfF))) === topk(None))
+  }
 }
