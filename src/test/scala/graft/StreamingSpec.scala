@@ -1424,4 +1424,68 @@ class StreamingSpec extends SparkSpec {
         Set(100L, 101L, 102L))
     } finally q.stop()
   }
+
+  test("fielded-stats ingest loop: per-batch triple compaction probes " +
+    "BM25F like a rebuild") {
+    // the r18 fielded stat layout rides the same ingest convention:
+    // each micro-batch's fielded tf appends and its stat triple
+    // merges additively; the final precomputed probe must score
+    // BITWISE like a fresh build over everything
+    import graft.operators.Retrieval
+    def fieldedOf(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("doc_id"), lit("title").as("field"),
+        substring(col("text"), 1, 12).as("ftext"))
+        .unionByName(d.select(col("doc_id"), lit("body").as("field"),
+          substring(col("text"), 13, 1 << 30).as("ftext")))
+    val d0 = Seq((1L, "apple banana apple cherry date"),
+      (2L, "banana cherry elder fig grape")).toDF("doc_id", "text")
+    val f0 = Retrieval.termFrequenciesFielded(fieldedOf(d0),
+      "doc_id", "field", "ftext").localCheckpoint()
+    @volatile var state = (f0,
+      Retrieval.fieldedFieldStats(f0).localCheckpoint(),
+      Retrieval.fieldedDocStats(f0).localCheckpoint(),
+      Retrieval.fieldedDfTable(f0).localCheckpoint())
+    val arrived = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val input = MemoryStream[(Long, String)](spark)
+    val q = input.toDF()
+      .select(col("_1").as("doc_id"), col("_2").as("text"))
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val bf = Retrieval.termFrequenciesFielded(fieldedOf(b),
+          "doc_id", "field", "ftext").localCheckpoint()
+        arrived.synchronized {
+          arrived ++= b.as[(Long, String)].collect() }
+        val (fsM, dsM, dfM) = Retrieval.compactFieldedStats(
+          state._2, state._3, state._4,
+          Retrieval.fieldedFieldStats(bf),
+          Retrieval.fieldedDocStats(bf),
+          Retrieval.fieldedDfTable(bf))
+        state = (state._1.unionByName(bf).localCheckpoint(),
+          fsM.localCheckpoint(), dsM.localCheckpoint(),
+          dfM.localCheckpoint())
+        ()
+      }.start()
+    try {
+      input.addData((11L, "cherry date apple elder banana fig"),
+        (12L, "elder apple grape banana cherry date"))
+      q.processAllAvailable()
+      input.addData((13L, "banana elder fig apple grape cherry"))
+      q.processAllAvailable()
+      val qs = Seq((100L, "apple banana fig"), (101L, "date grape"))
+        .toDF("query_id", "text")
+      val params = Seq(("title", 2.0, 0.5), ("body", 1.0, 0.75))
+      val viaStream = Retrieval.bm25fScores(state._1, params, qs,
+        "query_id", "text",
+        fStats = Some((state._2, state._3, state._4))).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val rebuilt = Retrieval.termFrequenciesFielded(
+        fieldedOf(d0.unionByName(arrived.synchronized(arrived.toSeq)
+          .toDF("doc_id", "text"))), "doc_id", "field", "ftext")
+      val viaRebuild = Retrieval.bm25fScores(rebuilt, params, qs,
+        "query_id", "text").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(viaStream === viaRebuild) // bitwise
+      assert(viaStream.keySet.map(_._2).contains(13L))
+    } finally q.stop()
+  }
 }
