@@ -2096,6 +2096,45 @@ private[graft] object TextQueries {
           round(col("theta"), 6).as("theta"), col("safe"))
         .orderBy("query_id")
     }),
+    // the fielded-impact DELETED lifecycle (the q238 convention for
+    // the BM25F layout): delete a doc slice, route the fielded stat
+    // triple through the negated merge (the q243 shape) and the
+    // impact table through compactImpactStatsFieldedDeleted — the
+    // decision table through the post-delete layout must read
+    // indistinguishably from metadata rebuilt on the survivors, so a
+    // stale (max_tf, min_fl) cell moves ub/safe even when q239's
+    // top-k would survive it
+    "q247_bm25f_wand_stats_deleted" -> ((s, dir) => {
+      import graft.operators.Retrieval
+      val (ftf, qs, _) = fieldedZipfFixture(s, dir)
+      val del = t(s, dir, "documents").where(col("doc_id") % 9 === 3)
+        .select(col("doc_id").as("docId")).localCheckpoint()
+      // survivors probe-side (consumed by candidates + fold + fallback)
+      val ftfD = ftf.join(del, Seq("docId"), "left_anti")
+        .localCheckpoint()
+      // deleted docs' fielded rows feed the three negated aggregates
+      val fDel = ftf.join(del, Seq("docId"), "left_semi")
+        .localCheckpoint()
+      val (fsD0, dsD0, dfD0) = Retrieval.compactFieldedStats(
+        Retrieval.fieldedFieldStats(ftf), Retrieval.fieldedDocStats(ftf),
+        Retrieval.fieldedDfTable(ftf),
+        Retrieval.fieldedFieldStats(fDel), Retrieval.fieldedDocStats(fDel),
+        Retrieval.fieldedDfTable(fDel), negate = true)
+      // the doc scalar is consumed 2x (the N/10 hot cut + the probe)
+      val dsD = dsD0.localCheckpoint()
+      val impDel = Retrieval.compactImpactStatsFieldedDeleted(
+        Retrieval.impactStatsFielded(ftf), ftf, del)
+      val hotCut = dsD.select(col("n_docs")).collect()(0).getLong(0) / 10
+      Retrieval.bm25fWandStats(ftfD,
+        Seq(("title", 2.0, 0.5), ("body", 1.0, 0.75)),
+        qs, "query_id", "text", k = 5, hotDf = hotCut,
+        impactF = Some(impDel), fStats = Some((fsD0, dsD, dfD0)))
+        .select(col("queryId").as("query_id"),
+          col("n_rare_terms"), col("n_hot_terms"), col("n_candidates"),
+          round(col("ub"), 6).as("ub"),
+          round(col("theta"), 6).as("theta"), col("safe"))
+        .orderBy("query_id")
+    }),
     // the QL-Dirichlet WAND analog: pruned top-5 over the Zipf WAND
     // fixture, impact-tightened bounds — the oracle replays the
     // UNPRUNED QL chain (q199's CTEs over this fixture), so the gate
@@ -2747,6 +2786,92 @@ private[graft] object TextQueries {
          |LEFT JOIN ubt USING (query_id)
          |LEFT JOIN th USING (query_id)
          |ORDER BY query_id""".stripMargin
+
+  /** The BM25F WAND decision table from first principles over the
+    * FIELDED Zipf fixture, with the CORPUS membership parameterized —
+    * shared by q240 (the full corpus) and q247 (the post-delete
+    * survivors, whose fielded impact metadata went through
+    * compactImpactStatsFieldedDeleted): per-(word, field)
+    * (max_tf, min_fl) extremes off the LIVE fielded posting rows, the
+    * field-sorted composed pseudo-tf ceiling, idf·t̃f_ub/(k1+t̃f_ub),
+    * the ×(1+1e-9) margin (exact toString round-trip), θ from the
+    * fielded scores of the rare-term candidates, and the routing
+    * predicate verbatim — so a stale or wrongly-merged fielded impact
+    * row moves ub/safe even when the top-k survives it.
+    */
+  private def bm25fWandStatsOracle(corpusWhere: String): String =
+    s"""WITH ${bm25fCtes(s"substr($ZipfWandCorpusTextSql, 1, 40)",
+           s"substr($ZipfWandCorpusTextSql, 41)",
+           corpusWhere, "doc_id % 50 = 0", ZipfWandQueryTextSql)},
+       |hotcut AS (
+       |  SELECT count(DISTINCT doc_id) // 10 AS cut FROM fcorpus),
+       |split AS (
+       |  SELECT f.query_id, f.word, d.df, cut
+       |  FROM fqt f JOIN fdf d USING (word) CROSS JOIN hotcut),
+       |counts AS (
+       |  SELECT query_id,
+       |    CAST(sum(CASE WHEN df <= cut THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_rare_terms,
+       |    CAST(sum(CASE WHEN df > cut THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_hot_terms
+       |  FROM split GROUP BY 1),
+       |cands AS (
+       |  SELECT DISTINCT s.query_id, t.doc_id
+       |  FROM split s JOIN fftf t USING (word) WHERE s.df <= s.cut),
+       |ncand AS (
+       |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_candidates
+       |  FROM cands GROUP BY 1),
+       |fimp AS (
+       |  SELECT t.word, t.field, max(t.tf) AS max_tf, min(l.fl) AS min_fl
+       |  FROM fftf t JOIN flen l
+       |    ON l.doc_id = t.doc_id AND l.field = t.field
+       |  GROUP BY 1, 2),
+       |ftfub AS (
+       |  SELECT word,
+       |    list_reduce(list_prepend(0.0, list(
+       |      (CASE WHEN i.field = 'title' THEN CAST(2.0 AS DOUBLE)
+       |            ELSE CAST(1.0 AS DOUBLE) END) * CAST(i.max_tf AS DOUBLE)
+       |      / (1.0 - (CASE WHEN i.field = 'title'
+       |                THEN CAST(0.5 AS DOUBLE)
+       |                ELSE CAST(0.75 AS DOUBLE) END)
+       |         + (CASE WHEN i.field = 'title'
+       |            THEN CAST(0.5 AS DOUBLE)
+       |            ELSE CAST(0.75 AS DOUBLE) END)
+       |           * CAST(i.min_fl AS DOUBLE) / a.avgfl)
+       |      ORDER BY i.field)), (acc, x) -> acc + x) AS tfub
+       |  FROM fimp i JOIN favg a ON a.field = i.field
+       |  GROUP BY 1),
+       |hotceil AS (
+       |  SELECT s.query_id, s.word,
+       |    e.idf * u.tfub / (CAST(1.2 AS DOUBLE) + u.tfub) AS hc
+       |  FROM split s
+       |  JOIN fenr e ON e.query_id = s.query_id AND e.word = s.word
+       |  JOIN ftfub u ON u.word = s.word
+       |  WHERE s.df > s.cut),
+       |ubt AS (
+       |  SELECT query_id,
+       |    list_reduce(list_prepend(0.0, list(hc ORDER BY word)),
+       |      (a, x) -> a + x)
+       |      * CAST('${(1.0 + 1e-9).toString}' AS DOUBLE) AS ub
+       |  FROM hotceil GROUP BY 1),
+       |cscore AS (
+       |  SELECT q.query_id, q.doc_id, q.score
+       |  FROM fsc q JOIN cands c USING (query_id, doc_id)),
+       |th AS (
+       |  SELECT query_id, score AS theta FROM (
+       |    SELECT query_id, score,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY score DESC, doc_id) AS r
+       |    FROM cscore) x WHERE r = 5)
+       |SELECT c.query_id, n_rare_terms, n_hot_terms,
+       |  CAST(coalesce(n_candidates, 0) AS BIGINT) AS n_candidates,
+       |  round(ub, 6) AS ub, round(theta, 6) AS theta,
+       |  NOT (n_hot_terms > 0 AND (theta IS NULL OR ub >= theta)) AS safe
+       |FROM counts c
+       |LEFT JOIN ncand USING (query_id)
+       |LEFT JOIN ubt USING (query_id)
+       |LEFT JOIN th USING (query_id)
+       |ORDER BY query_id""".stripMargin
 
   /** The full BM25F chain in SQL, parameterized over the corpus
     * (title/body expressions + membership) and the query shape —
@@ -5565,84 +5690,14 @@ private[graft] object TextQueries {
          |WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
 
-    // the fielded decision table from first principles: per-(word,
-    // field) (max_tf, min_fl) extremes, the field-sorted composed
-    // pseudo-tf ceiling, idf·t̃f_ub/(k1+t̃f_ub), the ×(1+1e-9) margin
-    // (exact toString round-trip), θ from the fielded scores of the
-    // rare-term candidates, and the routing predicate verbatim
-    "q240_bm25f_wand_stats" ->
-      s"""WITH ${bm25fCtes(s"substr($ZipfWandCorpusTextSql, 1, 40)",
-             s"substr($ZipfWandCorpusTextSql, 41)",
-             "TRUE", "doc_id % 50 = 0", ZipfWandQueryTextSql)},
-         |hotcut AS (
-         |  SELECT count(DISTINCT doc_id) // 10 AS cut FROM fcorpus),
-         |split AS (
-         |  SELECT f.query_id, f.word, d.df, cut
-         |  FROM fqt f JOIN fdf d USING (word) CROSS JOIN hotcut),
-         |counts AS (
-         |  SELECT query_id,
-         |    CAST(sum(CASE WHEN df <= cut THEN 1 ELSE 0 END) AS BIGINT)
-         |      AS n_rare_terms,
-         |    CAST(sum(CASE WHEN df > cut THEN 1 ELSE 0 END) AS BIGINT)
-         |      AS n_hot_terms
-         |  FROM split GROUP BY 1),
-         |cands AS (
-         |  SELECT DISTINCT s.query_id, t.doc_id
-         |  FROM split s JOIN fftf t USING (word) WHERE s.df <= s.cut),
-         |ncand AS (
-         |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_candidates
-         |  FROM cands GROUP BY 1),
-         |fimp AS (
-         |  SELECT t.word, t.field, max(t.tf) AS max_tf, min(l.fl) AS min_fl
-         |  FROM fftf t JOIN flen l
-         |    ON l.doc_id = t.doc_id AND l.field = t.field
-         |  GROUP BY 1, 2),
-         |ftfub AS (
-         |  SELECT word,
-         |    list_reduce(list_prepend(0.0, list(
-         |      (CASE WHEN i.field = 'title' THEN CAST(2.0 AS DOUBLE)
-         |            ELSE CAST(1.0 AS DOUBLE) END) * CAST(i.max_tf AS DOUBLE)
-         |      / (1.0 - (CASE WHEN i.field = 'title'
-         |                THEN CAST(0.5 AS DOUBLE)
-         |                ELSE CAST(0.75 AS DOUBLE) END)
-         |         + (CASE WHEN i.field = 'title'
-         |            THEN CAST(0.5 AS DOUBLE)
-         |            ELSE CAST(0.75 AS DOUBLE) END)
-         |           * CAST(i.min_fl AS DOUBLE) / a.avgfl)
-         |      ORDER BY i.field)), (acc, x) -> acc + x) AS tfub
-         |  FROM fimp i JOIN favg a ON a.field = i.field
-         |  GROUP BY 1),
-         |hotceil AS (
-         |  SELECT s.query_id, s.word,
-         |    e.idf * u.tfub / (CAST(1.2 AS DOUBLE) + u.tfub) AS hc
-         |  FROM split s
-         |  JOIN fenr e ON e.query_id = s.query_id AND e.word = s.word
-         |  JOIN ftfub u ON u.word = s.word
-         |  WHERE s.df > s.cut),
-         |ubt AS (
-         |  SELECT query_id,
-         |    list_reduce(list_prepend(0.0, list(hc ORDER BY word)),
-         |      (a, x) -> a + x)
-         |      * CAST('${(1.0 + 1e-9).toString}' AS DOUBLE) AS ub
-         |  FROM hotceil GROUP BY 1),
-         |cscore AS (
-         |  SELECT q.query_id, q.doc_id, q.score
-         |  FROM fsc q JOIN cands c USING (query_id, doc_id)),
-         |th AS (
-         |  SELECT query_id, score AS theta FROM (
-         |    SELECT query_id, score,
-         |      row_number() OVER (PARTITION BY query_id
-         |        ORDER BY score DESC, doc_id) AS r
-         |    FROM cscore) x WHERE r = 5)
-         |SELECT c.query_id, n_rare_terms, n_hot_terms,
-         |  CAST(coalesce(n_candidates, 0) AS BIGINT) AS n_candidates,
-         |  round(ub, 6) AS ub, round(theta, 6) AS theta,
-         |  NOT (n_hot_terms > 0 AND (theta IS NULL OR ub >= theta)) AS safe
-         |FROM counts c
-         |LEFT JOIN ncand USING (query_id)
-         |LEFT JOIN ubt USING (query_id)
-         |LEFT JOIN th USING (query_id)
-         |ORDER BY query_id""".stripMargin,
+    // the fielded decision table from first principles (shared
+    // replay, corpus = the full fixture) — see bm25fWandStatsOracle
+    "q240_bm25f_wand_stats" -> bm25fWandStatsOracle("TRUE"),
+    // the SAME decision-table replay over the SURVIVING fielded
+    // corpus — the deleted-compaction fielded impact table must read
+    // indistinguishably from metadata rebuilt on the survivors
+    "q247_bm25f_wand_stats_deleted" ->
+      bm25fWandStatsOracle("doc_id % 9 <> 3"),
 
     // THE FULL-CORPUS REBUILD (q180's oracle verbatim): the compacted
     // (tf, df, stats) triple must probe indistinguishably from an index

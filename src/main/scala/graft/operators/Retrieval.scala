@@ -474,6 +474,54 @@ object Retrieval {
     ftf.groupBy("word", "field")
       .agg(max(col("tf")).as("max_tf"), min(col("fl")).as("min_fl"))
 
+  /** Append-side merge of two [[impactStatsFielded]] tables — the
+    * [[compactImpactStats]] shape over the `(word, field)` key:
+    * max/min combine across the union, row-identical to a rebuild
+    * over the merged fielded corpus under the disjoint-docId ingest
+    * contract (RetrievalSpec pins the parity). Without this merge
+    * heavy ingest left the fielded bounds append-STALE — the one
+    * staleness direction the WAND safety proof does NOT absorb
+    * ([[wandCore]]'s lifecycle contract) — while every sibling layout
+    * compacted. Vocabulary × fields sized.
+    */
+  def compactImpactStatsFielded(impactF: DataFrame,
+                                batchImpactF: DataFrame): DataFrame =
+    impactF.unionByName(batchImpactF)
+      .groupBy("word", "field")
+      .agg(max(col("max_tf")).as("max_tf"), min(col("min_fl")).as("min_fl"))
+
+  /** Delete-side maintenance of an [[impactStatsFielded]] table — the
+    * [[compactImpactStatsDeleted]] shape per `(word, field)`:
+    * recompute EXACTLY the (word, field) cells the deleted docs
+    * touched from the surviving postings, keep every other row
+    * verbatim; a cell whose postings vanish entirely drops. `ftf` is
+    * the PRE-delete fielded posting table. Row-identical to
+    * `impactStatsFielded(ftf minus deleted)` (RetrievalSpec pins the
+    * parity; q247 gates the BM25F WAND decision table through a
+    * post-delete fielded table against an oracle that recomputes
+    * (max_tf, min_fl) from survivors). As with the unfielded table,
+    * correctness never depended on this — deletion staleness
+    * upper-bounds safely — but heavy-delete workloads keep TIGHT
+    * composed ceilings instead of drifting conservative.
+    *
+    * Scale shape: the affected cell set is delete-batch-sized; the
+    * recompute reads only those cells' surviving postings through the
+    * word-bucketed fielded layout (two semi-joins, no full-index
+    * aggregate).
+    */
+  def compactImpactStatsFieldedDeleted(impactF: DataFrame, ftf: DataFrame,
+                                       deleteIds: DataFrame): DataFrame = {
+    val del = deleteIds.select(col("docId"))
+    val affected = ftf.join(del, Seq("docId"), "left_semi")
+      .select("word", "field").distinct()
+    val untouched = impactF.join(affected, Seq("word", "field"),
+      "left_anti")
+    val recomputed = impactStatsFielded(
+      ftf.join(affected, Seq("word", "field"), "left_semi")
+        .join(del, Seq("docId"), "left_anti"))
+    untouched.unionByName(recomputed)
+  }
+
   /** Per-field `(field, n_docs_f, total_fl)` of a
     * [[termFrequenciesFielded]] index — the fielded corpusStats: the
     * count of docs CARRYING the field and the exact BIGINT sum of

@@ -1918,4 +1918,43 @@ class RetrievalSpec extends SparkSpec {
           r.getInt(3))).toSet
     assert(topk(Some((fsF, dsF, dfF))) === topk(None))
   }
+
+  test("compacted fielded impact stats equal the rebuild " +
+    "(append and delete)") {
+    def fieldedDocs(ids: Range, seed: Int) = {
+      val r = new scala.util.Random(seed)
+      ids.flatMap { id =>
+        Seq((id.toLong, "title", Seq.fill(2 + r.nextInt(3))(
+          s"tok${8 / (r.nextInt(8) + 1)}").mkString(" ")),
+          (id.toLong, "body", Seq.fill(5 + r.nextInt(6))(
+            s"tok${16 / (r.nextInt(16) + 1)}").mkString(" ")))
+      } :+ ((990L + seed, "body", "lonecell lonecell"))
+    }
+    def ftfOf(rows: Seq[(Long, String, String)]) =
+      Retrieval.termFrequenciesFielded(
+        rows.toDF("doc_id", "field", "ftext"),
+        "doc_id", "field", "ftext").localCheckpoint()
+    val base = fieldedDocs(1 to 30, 1)
+    val batch = fieldedDocs(31 to 45, 2)
+    val fBase = ftfOf(base)
+    val fBatch = ftfOf(batch)
+    val fAll = ftfOf(base ++ batch)
+    def rows(d: DataFrame): Set[(String, String, Long, Long)] =
+      d.select("word", "field", "max_tf", "min_fl").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).toSet
+    val appended = Retrieval.compactImpactStatsFielded(
+      Retrieval.impactStatsFielded(fBase),
+      Retrieval.impactStatsFielded(fBatch))
+    assert(rows(appended) === rows(Retrieval.impactStatsFielded(fAll)))
+    // delete a slice INCLUDING both lonecell docs: the affected-cell
+    // recompute must match the survivor rebuild and drop the cell
+    // whose postings vanished entirely
+    val del = ((5L to 45L by 5) ++ Seq(991L, 992L, 4444L)).toDF("docId")
+    val deleted = Retrieval.compactImpactStatsFieldedDeleted(
+      appended, fAll, del)
+    val survivors = fAll.join(del, Seq("docId"), "left_anti")
+    assert(rows(deleted) === rows(Retrieval.impactStatsFielded(survivors)))
+    assert(!rows(deleted).exists(_._1 == "lonecell"))
+  }
 }
