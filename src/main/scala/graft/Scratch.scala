@@ -46,6 +46,17 @@ object Scratch {
         graft.pipeline.CurationPipeline
           .run(docs, "doc_id", "text", languages = Set.empty).curated
       }
+      // "ltr_pin" regenerates q244's pinned pairwise weights: trains
+      // on the SF-independent fixture and prints each weight's exact
+      // toString (paste into the q244 oracle as CAST('w' AS DOUBLE))
+      else if (name == "ltr_pin") { (s, d) =>
+        val (m, feats) = TextQueries.ltrPairwiseFixture(s, d)
+        println(s"[scratch] ltr_pin bias: ${m.bias}")
+        m.weights.foreach { case (f, w) =>
+          println(s"[scratch] ltr_pin weight: $f -> $w")
+        }
+        graft.operators.Ltr.ltrRerank(feats, m, 5)
+      }
       // "tm_noorder" times the q177 operator pipeline WITHOUT the
       // registry's final single-partition sort (the round-13 probe that
       // isolated the sort-sampling double-execution)

@@ -1917,6 +1917,25 @@ private[graft] object TextQueries {
           col("dl"), round(col("sum_idf"), 6).as("sum_idf"))
         .orderBy("query_id", "pair_id")
     }),
+    // TRAINED pairwise-LTR weights replayed end to end (the q228
+    // convention over ltrTrainPairwise, closing the r18 residue where
+    // the pairwise model's application was spec-only): the gate
+    // TRAINS at runtime on the SF-independent doc_id<500 Zipf fixture
+    // (see ltrPairwiseFixture) and re-ranks with the TRAINED model;
+    // the oracle replays the feature assembly + the pinned weight
+    // literals (regenerate with `runMain graft.Scratch ltr_pin`) in
+    // the model's exact left association — so a drift in the training
+    // fold, the RMS fold-back, or the application projection fails
+    // the gate even when LtrSpec's quality checks survive it
+    "q244_ltr_pairwise_rerank" -> ((s, dir) => {
+      import graft.operators.Ltr
+      val (m, feats) = ltrPairwiseFixture(s, dir)
+      Ltr.ltrRerank(feats, m, 5)
+        .select(col("queryId").as("query_id"), col("docId").as("doc_id"),
+          round(col("score"), 6).as("score"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
     // federated retrieval END TO END (select → probe → merge): CORI
     // picks 2 of the 4 doc_id%4 shards per query, only their posting
     // rows score — with GLOBAL statistics, so the merged ranking is
@@ -2315,6 +2334,55 @@ private[graft] object TextQueries {
   private val fieldedZipfFixtureCache =
     scala.collection.mutable.Map
       .empty[(SparkSession, String), (DataFrame, DataFrame, Long)]
+
+  /** The PAIRWISE-LTR training fixture + its trained model (q244, and
+    * `graft.Scratch ltr_pin` — the weight-pinning tool): the Zipf
+    * corpus/query shapes RESTRICTED to `doc_id < 500`, which is the
+    * doc-id set EVERY SF shares (sf0.001/0.01 are exactly 0..499,
+    * sf0.1 a superset) — and `zipfText` is a pure function of doc_id,
+    * so the training table, and therefore the trained weights, are
+    * IDENTICAL at every SF. That is what lets q244's oracle pin the
+    * weights as literals (the q228 convention) while the GATE trains
+    * at runtime: a drift anywhere in [[graft.operators.Ltr
+    * .ltrTrainPairwise]] (fold order, RMS scaling, the update rule)
+    * moves the trained weights off the pinned ones and fails the
+    * replay. Labels are the bm25 top-3 qrel convention (q236).
+    * Returns (trained model, the checkpointed feature table).
+    */
+  private[graft] def ltrPairwiseFixture(s: SparkSession, dir: String)
+      : (graft.operators.Ltr.LtrModel, DataFrame) = {
+    import graft.operators.{Ltr, Retrieval}
+    val docs = t(s, dir, "documents")
+      .where(col("doc_id").isNotNull && col("doc_id") < 500)
+    val corpus = docs.select(col("doc_id"),
+      zipfText(col("doc_id"), 30, 2000, "zc", 2000).as("text"))
+    val qs = docs.where(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("query_id"),
+        when(pmod(col("doc_id"), lit(250)) === 50,
+          zipfText(col("doc_id"), 4, 2000, "zq", 2000))
+          .otherwise(concat_ws(" ",
+            zipfText(col("doc_id"), 4, 2000, "zq", 2000),
+            zipfText(col("doc_id"), 2, 14, "zt", 2000))).as("text"))
+    val tf = Retrieval.termFrequencies(corpus, "doc_id", "text")
+      .localCheckpoint() // see q179
+    val dfT = Retrieval.dfTable(tf).localCheckpoint()
+    val cfT = Retrieval.cfTable(tf).localCheckpoint()
+    val st = Retrieval.corpusStats(tf).localCheckpoint()
+    // consumed 2x (the labeled table + the final re-rank)
+    val feats = Retrieval.ltrFeatures(tf, dfT, cfT, st, qs,
+      "query_id", "text").localCheckpoint()
+    val qrels = Retrieval.bm25TopK(
+      Retrieval.bm25ScoresPrecomputed(tf, dfT, st, qs,
+        "query_id", "text"), 3)
+      .select(col("queryId"), col("docId"), lit(1.0).as("label"))
+    // consumed iters+2 times by the training loop — materialize
+    val labeled = feats.join(qrels, Seq("queryId", "docId"),
+      "left_outer").na.fill(0.0, Seq("label")).localCheckpoint()
+    val m = Ltr.ltrTrainPairwise(labeled,
+      Seq("bm25", "ql", "n_matched", "coverage", "dl", "sum_idf"),
+      "label", iters = 10, lr = 0.5)
+    (m, feats)
+  }
 
   private def zipfWandFixture(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, Long) = zipfWandFixtureCache.synchronized {
@@ -5619,6 +5687,53 @@ private[graft] object TextQueries {
          |FROM lab i JOIN lab j
          |  ON i.query_id = j.query_id AND i.label > j.label
          |ORDER BY query_id, pair_id""".stripMargin,
+
+    // the feature assembly over the doc_id<500 Zipf fixture UNROUNDED
+    // (q228's CTE shape over the zipf corpus), then the PINNED
+    // pairwise-trained weights (ltrTrainPairwise at iters=10 lr=0.5 on
+    // the bm25-top-3-labeled preference pairs — regenerate with
+    // `runMain graft.Scratch ltr_pin`; exact toString round-trips) in
+    // the model's left association with bias 0 (it cancels in the
+    // pairwise margin) — dl trains to EXACTLY 0.0 here (every zipf doc
+    // is 30 tokens, so all pairwise dl-diffs are zero → zero-RMS drop),
+    // and that zero is pinned too
+    "q244_ltr_pairwise_rerank" ->
+      s"""WITH ${bm25Cte("doc_id < 500",
+             "doc_id % 50 = 0 AND doc_id < 500",
+             ZipfWandQueryTextSql, ZipfWandCorpusTextSql)},
+         |$QlCtes,
+         |mstat AS (
+         |  SELECT query_id, t.doc_id, CAST(count(*) AS BIGINT) AS n_matched,
+         |    list_reduce(list_prepend(0.0, list(e.idf ORDER BY e.word)),
+         |      (a, x) -> a + x) AS sum_idf
+         |  FROM tfv t JOIN enriched e ON e.word = t.word
+         |  GROUP BY 1, 2),
+         |qful AS (SELECT query_id, count(*) AS nq FROM qterms GROUP BY 1),
+         |ltr AS (
+         |  SELECT b.query_id, b.doc_id,
+         |    CAST(0.0 AS DOUBLE)
+         |      + CAST('0.15344099956976578' AS DOUBLE) * b.score
+         |      + CAST('0.8563598576624881' AS DOUBLE) * q.score
+         |      + CAST('0.4826985611668672' AS DOUBLE)
+         |        * CAST(m.n_matched AS DOUBLE)
+         |      + CAST('2.3097072823377016' AS DOUBLE) *
+         |        (CAST(m.n_matched AS DOUBLE) / CAST(f.nq AS DOUBLE))
+         |      + CAST(0.0 AS DOUBLE) * CAST(l.dl AS DOUBLE)
+         |      + CAST('0.1548132073266439' AS DOUBLE) * m.sum_idf AS score
+         |  FROM bscores b
+         |  JOIN qlsc q ON q.query_id = b.query_id AND q.doc_id = b.doc_id
+         |  JOIN mstat m ON m.query_id = b.query_id AND m.doc_id = b.doc_id
+         |  JOIN qful f ON f.query_id = b.query_id
+         |  JOIN lens l ON l.doc_id = b.doc_id)
+         |SELECT query_id, doc_id, round(score, 6) AS score,
+         |  CAST(rank AS BIGINT) AS rank
+         |FROM (
+         |  SELECT query_id, doc_id, score,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id) AS rank
+         |  FROM ltr) z
+         |WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
 
     // the CORI selection (q215's CTEs), the top-2 probe set, the
     // GLOBAL-statistics scores restricted to probed (query, shard)
