@@ -270,7 +270,7 @@ object ScaleBench {
         "bm25_fuzzy_ed2_topk_10x",
         "bm25f_topk_10x", "bm25f_wand_10x", "passage_maxp_topk_10x",
         "passage_index_build_10x", "passage_maxp_probe_10x",
-        "passage_compact_10x",
+        "passage_maxp_wand_10x", "passage_compact_10x",
         "bm25_fuzzy_ed2_wand_10x", "bm25_prefix_topk_10x",
         "bm25_prefix_wand_10x", "bm25_prefix_tail_topk_10x",
         "bm25_prefix_tail_wand_10x",
@@ -299,7 +299,8 @@ object ScaleBench {
           "sb_bm25_stats", "sb_bm25_pos", "sb_bm25_cf",
           "sb_bm25_imp", "sb_bm25_var", "sb_bm25_champ",
           "sb_bm25_champ2", "sb_pass_tf", "sb_pass_df",
-          "sb_pass_stats", "sb_pass_mem")) {
+          "sb_pass_stats", "sb_pass_mem", "sb_pass_fwd",
+          "sb_pass_imp")) {
           spark.sql(s"DROP TABLE IF EXISTS $t")
           val p = new org.apache.hadoop.fs.Path(
             spark.conf.get("spark.sql.warehouse.dir"), t)
@@ -372,6 +373,14 @@ object ScaleBench {
           .saveAsTable("sb_pass_stats")
         passLayout.membership.write.bucketBy(32, "docId")
           .sortBy("docId").mode("overwrite").saveAsTable("sb_pass_mem")
+        // ...and the r19 pruning tables: the passageId-keyed forward
+        // copy (the bm25TopKWand two-layout contract over passage
+        // ids) and the passage impact metadata — both maintained by
+        // compactPassageIndex* at ingest like the word index's
+        passLayout.tf.write.bucketBy(32, "docId").sortBy("docId")
+          .mode("overwrite").saveAsTable("sb_pass_fwd")
+        graft.operators.Retrieval.impactStats(passLayout.tf)
+          .write.mode("overwrite").saveAsTable("sb_pass_imp")
       }
       println(f"[scalebench] bm25_index_write_once: ${
         (System.nanoTime() - tB) / 1e9}%.2f s")
@@ -732,6 +741,25 @@ object ScaleBench {
               spark.table("sb_pass_mem")),
             bm25Queries, "query_id", "text", k = 5, bitExact = false,
             maxDocFrequency = Some(35000L))
+            .count())
+        }
+        // ...the SCORE-EXACT WAND probe (q245's gate, r19): same
+        // layout plus the persisted forward/impact tables, hot
+        // passage postings (df > 10% of passages) never scanned for
+        // safe queries — read against passage_maxp_probe_10x (the
+        // score-CHANGING df cap at the same cut) and against
+        // passage_maxp_topk_10x's unpruned 186 s history: this path
+        // is exact AND skips the head...
+        time(s"passage_maxp_wand_10x $round") {
+          import graft.operators.Passages
+          println("  maxp_rows=" + Passages.maxPassageTopKWand(
+            Passages.PassageLayout(spark.table("sb_pass_tf"),
+              spark.table("sb_pass_df"), spark.table("sb_pass_stats"),
+              spark.table("sb_pass_mem"),
+              forward = Some(spark.table("sb_pass_fwd")),
+              impact = Some(spark.table("sb_pass_imp"))),
+            bm25Queries, "query_id", "text", k = 5, hotDf = 35000L,
+            bitExact = false)
             .count())
         }
         // ...and the COMPACT arm folds a 5k-doc micro-batch into the

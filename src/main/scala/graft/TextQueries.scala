@@ -1013,6 +1013,68 @@ private[graft] object TextQueries {
           col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
     }),
+    // SCORE-EXACT passage WAND (closing the r18 residue where the
+    // fast passage probe was the score-CHANGING maxDocFrequency cap):
+    // the pruned MaxP top-k through the persisted layout + its
+    // forward/impact pruning tables must be BITWISE the unpruned MaxP
+    // replay — the oracle is q203's fresh-build replay VERBATIM, so
+    // the gate is the passage score-exactness claim itself
+    "q245_passage_wand_topk" -> ((s, dir) => {
+      import graft.operators.{Chunking, Passages, Retrieval}
+      val docs = t(s, dir, "documents")
+      // the q203 materialization shape + the two pruning tables
+      val pass = Chunking.tokenPassages(docs, "doc_id", "text",
+        width = 32, stride = 16).localCheckpoint()
+      val tf = Retrieval.termFrequencies(pass, "passageId", "text")
+        .localCheckpoint()
+      // consumed 2x (the |passages|/10 hot cut + the enrichment)
+      val st = Retrieval.corpusStats(tf).localCheckpoint()
+      val layout = Passages.PassageLayout(tf, Retrieval.dfTable(tf),
+        st, pass.select("passageId", "docId"),
+        forward = Some(tf),
+        impact = Some(Retrieval.impactStats(tf)))
+      val hotCut = st.select(col("n_docs")).collect()(0).getLong(0) / 10
+      val qs = docs.where(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("query_id"),
+          substring(col("text"), 1, 40).as("text"))
+      Passages.maxPassageTopKWand(layout, qs, "query_id", "text",
+        k = 5, hotDf = hotCut)
+        .select(col("queryId").as("query_id"), col("docId").as("doc_id"),
+          round(col("score"), 6).as("score"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+    // ...and the MaxP decision table (the q205/q240 convention): the
+    // oracle recomputes the per-word passage-level (max_tf, min_dl)
+    // extremes, the impact-tightened word-sorted ceiling fold
+    // ×(1+1e-9), candidate (query, passage) pairs from the rare
+    // postings, θ as the kth DOCUMENT-level max among candidates (the
+    // doc-level routing cutoff the safety proof needs), and the
+    // routing predicate verbatim
+    "q246_passage_wand_stats" -> ((s, dir) => {
+      import graft.operators.{Chunking, Passages, Retrieval}
+      val docs = t(s, dir, "documents")
+      val pass = Chunking.tokenPassages(docs, "doc_id", "text",
+        width = 32, stride = 16).localCheckpoint()
+      val tf = Retrieval.termFrequencies(pass, "passageId", "text")
+        .localCheckpoint()
+      val st = Retrieval.corpusStats(tf).localCheckpoint()
+      val layout = Passages.PassageLayout(tf, Retrieval.dfTable(tf),
+        st, pass.select("passageId", "docId"),
+        forward = Some(tf),
+        impact = Some(Retrieval.impactStats(tf)))
+      val hotCut = st.select(col("n_docs")).collect()(0).getLong(0) / 10
+      val qs = docs.where(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("query_id"),
+          substring(col("text"), 1, 40).as("text"))
+      Passages.maxPassageWandStats(layout, qs, "query_id", "text",
+        k = 5, hotDf = hotCut)
+        .select(col("queryId").as("query_id"),
+          col("n_rare_terms"), col("n_hot_terms"), col("n_candidates"),
+          round(col("ub"), 6).as("ub"),
+          round(col("theta"), 6).as("theta"), col("safe"))
+        .orderBy("query_id")
+    }),
     // BM25F fielded retrieval: fields (title = the doc's first 40
     // chars, body = the remainder) combine into ONE pseudo term
     // frequency BEFORE saturation — the Robertson/Zaragoza/Taylor
@@ -3045,19 +3107,28 @@ private[graft] object TextQueries {
     * (the lifecycle gate): a compacted layout must be
     * indistinguishable from this rebuild.
     */
+  /** The width-32/stride-16 segmentation CTE (window arithmetic
+    * included) — ONE definition downstream of [[LiveWordsCte]],
+    * shared by [[PassageMaxpOracle]] (q203/q235/q245) and
+    * [[PassageWandStatsOracle]] (q246): a window-boundary drift must
+    * fail every gate that claims to read "the passage corpus".
+    */
+  private lazy val PassageCte: String =
+    s"""pass AS (
+       |  SELECT doc_id,
+       |    CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)
+       |      AS passage_id,
+       |    array_to_string(list_slice(w,
+       |      CAST(i * 16 + 1 AS BIGINT),
+       |      CAST(i * 16 + 32 AS BIGINT)), ' ') AS text
+       |  FROM ws, unnest(generate_series(0,
+       |    greatest(CAST(1 AS BIGINT),
+       |      CAST(ceil((CAST(len(w) AS DOUBLE) - 32) / 16) AS BIGINT)
+       |        + 1) - 1)) AS t(i))""".stripMargin
+
   private lazy val PassageMaxpOracle =
     s"""WITH $LiveWordsCte,
-         |pass AS (
-         |  SELECT doc_id,
-         |    CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)
-         |      AS passage_id,
-         |    array_to_string(list_slice(w,
-         |      CAST(i * 16 + 1 AS BIGINT),
-         |      CAST(i * 16 + 32 AS BIGINT)), ' ') AS text
-         |  FROM ws, unnest(generate_series(0,
-         |    greatest(CAST(1 AS BIGINT),
-         |      CAST(ceil((CAST(len(w) AS DOUBLE) - 32) / 16) AS BIGINT)
-         |        + 1) - 1)) AS t(i)),
+         |$PassageCte,
          |${bm25Cte("TRUE", "doc_id % 97 = 0", "substr(text, 1, 40)",
              "text", "pass", "passage_id")},
          |pmap AS (SELECT DISTINCT passage_id, doc_id FROM pass),
@@ -3074,6 +3145,78 @@ private[graft] object TextQueries {
          |  FROM maxp) z
          |WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin
+
+  /** The MaxP WAND decision table from first principles (q246): the
+    * passage pseudo-corpus ([[PassageCte]]) scored by [[bm25Cte]], the
+    * |passages|/10 hot cut, candidate (query, PASSAGE) pairs from the
+    * rare postings, per-word passage-level (max_tf, min_dl) extremes
+    * and the impact-tightened word-sorted ceiling fold ×(1+1e-9)
+    * (q205's arithmetic over passage rows), θ as the kth
+    * DOCUMENT-level max among candidates — the doc-level cutoff
+    * [[graft.operators.Passages.maxPassageTopKWand]]'s safety proof
+    * routes on — and the routing predicate verbatim.
+    */
+  private lazy val PassageWandStatsOracle =
+    s"""WITH $LiveWordsCte,
+       |$PassageCte,
+       |${bm25Cte("TRUE", "doc_id % 97 = 0", "substr(text, 1, 40)",
+           "text", "pass", "passage_id")},
+       |pmap AS (SELECT DISTINCT passage_id, doc_id FROM pass),
+       |hotcut AS (SELECT count(*) // 10 AS cut FROM corpus),
+       |split AS (
+       |  SELECT query_id, word, df, cut
+       |  FROM qterms JOIN dft USING (word) CROSS JOIN hotcut),
+       |counts AS (
+       |  SELECT query_id,
+       |    CAST(sum(CASE WHEN df <= cut THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_rare_terms,
+       |    CAST(sum(CASE WHEN df > cut THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_hot_terms
+       |  FROM split GROUP BY 1),
+       |cands AS (
+       |  SELECT DISTINCT s.query_id, t.doc_id
+       |  FROM split s JOIN tfv t USING (word) WHERE s.df <= s.cut),
+       |ncand AS (
+       |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_candidates
+       |  FROM cands GROUP BY 1),
+       |imps AS (
+       |  SELECT t.word, max(t.tf) AS max_tf, min(l.dl) AS min_dl
+       |  FROM tfv t JOIN lens l ON l.doc_id = t.doc_id
+       |  GROUP BY 1),
+       |ubt AS (
+       |  SELECT e.query_id,
+       |    list_reduce(list_prepend(0.0, list(
+       |      e.idf * (CAST(max_tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
+       |        / (CAST(max_tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+       |           (1.0 - CAST(0.75 AS DOUBLE) +
+       |            CAST(0.75 AS DOUBLE) * CAST(min_dl AS DOUBLE) / e.avgdl))
+       |      ORDER BY e.word)), (a, x) -> a + x) *
+       |      CAST('${(1.0 + 1e-9).toString}' AS DOUBLE) AS ub
+       |  FROM enriched e JOIN dft d USING (word) JOIN imps USING (word)
+       |  CROSS JOIN hotcut
+       |  WHERE d.df > cut GROUP BY e.query_id),
+       |cscore AS (
+       |  SELECT b.query_id, b.doc_id, b.score
+       |  FROM bscores b JOIN cands c USING (query_id, doc_id)),
+       |cmaxp AS (
+       |  SELECT c.query_id, p.doc_id, max(c.score) AS score
+       |  FROM cscore c JOIN pmap p ON p.passage_id = c.doc_id
+       |  GROUP BY 1, 2),
+       |th AS (
+       |  SELECT query_id, score AS theta FROM (
+       |    SELECT query_id, score,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY score DESC, doc_id) AS r
+       |    FROM cmaxp) x WHERE r = 5)
+       |SELECT c.query_id, n_rare_terms, n_hot_terms,
+       |  CAST(coalesce(n_candidates, 0) AS BIGINT) AS n_candidates,
+       |  round(ub, 6) AS ub, round(theta, 6) AS theta,
+       |  NOT (n_hot_terms > 0 AND (theta IS NULL OR ub >= theta)) AS safe
+       |FROM counts c
+       |LEFT JOIN ncand USING (query_id)
+       |LEFT JOIN ubt USING (query_id)
+       |LEFT JOIN th USING (query_id)
+       |ORDER BY query_id""".stripMargin
 
   /** The CORI resource-selection replay (the 4-shard doc_id % 4
     * split): shard-level metadata, the T·I belief with the absent-
@@ -4361,6 +4504,12 @@ private[graft] object TextQueries {
     // the lifecycle gate replays the FRESH BUILD — append + delete
     // compaction must be indistinguishable from it
     "q235_passage_index_lifecycle" -> PassageMaxpOracle,
+    // THE UNPRUNED MAXP REPLAY (q203's oracle verbatim): the pruned
+    // passage probe is score-exact, so its oracle IS the fresh-build
+    // MaxP replay — the one-definition rule for "the passage ranking"
+    "q245_passage_wand_topk" -> PassageMaxpOracle,
+    // the MaxP decision table from first principles (doc-level θ)
+    "q246_passage_wand_stats" -> PassageWandStatsOracle,
 
 
     // the whole fielded chain from first principles: the title/body

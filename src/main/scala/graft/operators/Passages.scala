@@ -39,9 +39,23 @@ object Passages {
     * `localCheckpoint` in tests/gates) — every probe consumes `tf`
     * via the one posting join and the others broadcast-sized or
     * membership-sized.
+    *
+    * The two OPTIONAL pruning tables serve [[maxPassageTopKWand]]
+    * (r19 — the score-exact fast path): `forward` is the docId(=
+    * passageId)-bucketed copy of `tf` (the [[Retrieval.bm25TopKWand]]
+    * two-layout contract; `None` falls back to `tf` itself — correct,
+    * just exchange-heavier at ingest scale), `impact` the passage
+    * [[Retrieval.impactStats]] table (tighter hot-term ceilings;
+    * `None` falls back to the saturation bound). Both carry the SAME
+    * lifecycle contract as the word index's: deletion staleness
+    * upper-bounds safely, append-staleness does NOT — so
+    * [[compactPassageIndex]]/[[compactPassageIndexDeleted]] maintain
+    * `impact`/`forward` whenever the persisted layout carries them.
     */
   final case class PassageLayout(tf: DataFrame, dfTab: DataFrame,
-                                 stats: DataFrame, membership: DataFrame)
+                                 stats: DataFrame, membership: DataFrame,
+                                 forward: Option[DataFrame] = None,
+                                 impact: Option[DataFrame] = None)
 
   /** Build the layout from scratch — segmentation
     * ([[Chunking.tokenPassages]]) + the word-index aggregates over
@@ -90,7 +104,17 @@ object Passages {
     val (tf, dfTab, stats) = Retrieval.compactTermIndex(layout.tf,
       layout.dfTab, layout.stats, batch.tf, assertDisjoint)
     PassageLayout(tf, dfTab, stats,
-      layout.membership.unionByName(batch.membership))
+      layout.membership.unionByName(batch.membership),
+      // pruning tables ride the SAME cadence as the index they bound:
+      // an appended tf without the matching impact merge would leave
+      // (max_tf, min_dl) UNDER bounds — the one staleness direction
+      // the WAND safety proof does not absorb — so a layout carrying
+      // them merges them per batch (the batch side derives from
+      // batch.tf when the batch was built without them)
+      layout.forward.map(f =>
+        f.unionByName(batch.forward.getOrElse(batch.tf))),
+      layout.impact.map(i => Retrieval.compactImpactStats(i,
+        batch.impact.getOrElse(Retrieval.impactStats(batch.tf)))))
   }
 
   /** Deletion-side compaction: remove `deleteIds` DOCUMENTS from the
@@ -115,7 +139,15 @@ object Passages {
         // the equi-join key floats to the front — re-pin the layout's
         // (passageId, docId) column order so chained compactions'
         // unionByName and persisted schemas stay stable
-        .select(col("passageId"), col("docId")))
+        .select(col("passageId"), col("docId")),
+      // forward rows anti-join away with their passages; the impact
+      // table recomputes exactly the affected vocabulary off the
+      // PRE-delete tf ([[Retrieval.compactImpactStatsDeleted]]) —
+      // deletion staleness would still be SAFE (surviving postings
+      // are a subset), this keeps the bounds tight
+      layout.forward.map(_.join(delPass, Seq("docId"), "left_anti")),
+      layout.impact.map(i =>
+        Retrieval.compactImpactStatsDeleted(i, layout.tf, delPass)))
   }
 
   /** MaxP document top-k THROUGH the persisted layout — the q203
@@ -146,4 +178,100 @@ object Passages {
           layout.stats, queries, qidCol, qtextCol, k1, b, bitExact,
           maxDocFrequency),
         layout.membership), k)
+
+  /** SCORE-EXACT pruned MaxP top-k — [[Retrieval.bm25TopKWand]]
+    * composed over the passage layout, closing the gap where the fast
+    * passage probe was the score-CHANGING `maxDocFrequency` cap
+    * ([[maxPassageTopK]]'s stop-term prune drops hot terms from the
+    * scores): returns exactly `maxPassageTopK(layout, queries, k)` —
+    * same rows, same scores, bitwise under `bitExact` (q245 gates it
+    * against the unpruned MaxP replay) — while hot-term passage
+    * postings are never scanned for safe queries. Passages are
+    * pseudo-docs, so the shared [[Retrieval.wandCore]] applies
+    * verbatim with ONE change threaded through `docMap`: candidate
+    * passage scores map through [[Retrieval.maxPassageScores]] BEFORE
+    * the top-k window, so θ is the kth DOCUMENT-level max (the
+    * passage-level kth over-states the cutoff and would route
+    * unsafely — the scaladoc at the docMap hook carries the proof).
+    *
+    * The layout's `forward`/`impact` tables feed the candidate fetch
+    * and the hot-term ceilings ([[PassageLayout]] doc); queries with
+    * < k candidate DOCS or a reachable bound fall back to the
+    * unpruned [[maxPassageTopK]] restricted to just those queries —
+    * exact either way. At ingest scale this is the load-bearing
+    * probe: segmentation multiplies hot posting volume ~width/stride×
+    * (186 s unpruned vs 3 s capped at 50k docs — and the cap changes
+    * scores; this path is exact AND skips the head).
+    */
+  def maxPassageTopKWand(layout: PassageLayout,
+                         queries: DataFrame, qidCol: String,
+                         qtextCol: String,
+                         k: Int, hotDf: Long,
+                         k1: Double = 1.2, b: Double = 0.75,
+                         bitExact: Boolean = true): DataFrame = {
+    val c = Retrieval.wandCore(
+      Retrieval.unitEnriched(layout.dfTab, layout.stats, queries,
+        qidCol, qtextCol),
+      layout.tf, k, hotDf, k1, b, bitExact, layout.forward,
+      layout.impact, docMap = Some(layout.membership))
+    val fallback = maxPassageTopK(layout,
+      queries.join(c.unsafeQ.select(col("queryId").as(qidCol)),
+        Seq(qidCol), "left_semi"),
+      qidCol, qtextCol, k, k1, b, bitExact)
+    c.safeTopK.unionByName(fallback.select("queryId", "docId", "score",
+      "rank"))
+  }
+
+  /** The MaxP WAND decision table (the q187/q205/q240 convention:
+    * gate the PRUNING MATH, not just the final answer) — identical
+    * columns and routing predicate as [[Retrieval.bm25WandStats]],
+    * shared [[Retrieval.wandCore]] internals with
+    * [[maxPassageTopKWand]] so the readout cannot drift from the
+    * operator. `n_candidates` counts candidate (query, PASSAGE)
+    * pairs (the rare-posting probe's unit); `theta` is the kth
+    * DOCUMENT-level max among candidates (the routing cutoff — see
+    * [[maxPassageTopKWand]]).
+    */
+  def maxPassageWandStats(layout: PassageLayout,
+                          queries: DataFrame, qidCol: String,
+                          qtextCol: String,
+                          k: Int, hotDf: Long,
+                          k1: Double = 1.2, b: Double = 0.75,
+                          bitExact: Boolean = true): DataFrame =
+    Retrieval.wandStatsFrom(
+      Retrieval.wandCore(
+        Retrieval.unitEnriched(layout.dfTab, layout.stats, queries,
+          qidCol, qtextCol),
+        layout.tf, k, hotDf, k1, b, bitExact, layout.forward,
+        layout.impact, docMap = Some(layout.membership)), hotDf)
+
+  /** ROUTING-AWARE MaxP top-k — the production default (the
+    * [[Retrieval.qlTopKWandWeightedRouted]] economics over the
+    * passage collection): serve through [[maxPassageTopKWand]] when
+    * the PASSAGE count clears `minWandDocs`, through the unpruned
+    * [[maxPassageTopK]] otherwise. Both branches are score-exact, so
+    * the routing is pure stage-budget economics; the passage count
+    * reads off the persisted 1-row `stats` table (never a corpus
+    * pass) and `hotDf` defaults to the |passages|/10 convention off
+    * the same row. Note the threshold compares PASSAGES, not
+    * documents — a width-32/stride-16 segmentation crosses it at
+    * roughly half the document count.
+    */
+  def maxPassageTopKRouted(layout: PassageLayout,
+                           queries: DataFrame, qidCol: String,
+                           qtextCol: String,
+                           k: Int,
+                           hotDf: Option[Long] = None,
+                           minWandDocs: Long = 20000L,
+                           k1: Double = 1.2, b: Double = 0.75,
+                           bitExact: Boolean = true): DataFrame = {
+    val nPass = layout.stats.select(col("n_docs").cast("long"))
+      .collect()(0).getLong(0)
+    if (nPass < minWandDocs)
+      maxPassageTopK(layout, queries, qidCol, qtextCol, k, k1, b,
+        bitExact)
+    else
+      maxPassageTopKWand(layout, queries, qidCol, qtextCol, k,
+        hotDf.getOrElse(nPass / 10), k1, b, bitExact)
+  }
 }

@@ -1982,7 +1982,7 @@ object Retrieval {
     * pruned-path output (safe queries only); `unsafeQ` the fallback
     * routing set.
     */
-  private final case class WandCore(enriched: DataFrame,
+  private[operators] final case class WandCore(enriched: DataFrame,
                                     candPairs: DataFrame,
                                     topkCand: DataFrame,
                                     hotUb: DataFrame, theta: DataFrame,
@@ -2010,13 +2010,13 @@ object Retrieval {
     * `1.0 · x == x`) — q182/q187 stay bitwise-stable under the shared
     * machinery.
     */
-  private def unitEnriched(dfTab: DataFrame, stats: DataFrame,
+  private[operators] def unitEnriched(dfTab: DataFrame, stats: DataFrame,
                            queries: DataFrame, qidCol: String,
                            qtextCol: String): DataFrame =
     enrichedQueryTerms(dfTab, stats, queries, qidCol, qtextCol)
       .withColumn("weight", lit(1.0))
 
-  private def wandStatsFrom(c: WandCore, hotDf: Long): DataFrame = {
+  private[operators] def wandStatsFrom(c: WandCore, hotDf: Long): DataFrame = {
     val perQ = c.enriched.groupBy("queryId").agg(
       sum(when(col("df") <= hotDf, 1L).otherwise(0L)).as("n_rare_terms"),
       sum(when(col("df") > hotDf, 1L).otherwise(0L)).as("n_hot_terms"))
@@ -2042,11 +2042,12 @@ object Retrieval {
     * fetch, θ, and the routing set. The fallback (which differs — raw
     * queries vs a weight table) stays with the public entry points.
     */
-  private def wandCore(enrichedLazy: DataFrame, tf: DataFrame,
+  private[operators] def wandCore(enrichedLazy: DataFrame, tf: DataFrame,
                        k: Int, hotDf: Long, k1: Double, b: Double,
                        bitExact: Boolean,
                        forward: Option[DataFrame],
-                       impact: Option[DataFrame]): WandCore = {
+                       impact: Option[DataFrame],
+                       docMap: Option[DataFrame] = None): WandCore = {
     require(k > 0, s"k > 0: $k")
     require(hotDf >= 0, s"hotDf >= 0: $hotDf")
     require(k1 >= 0 && b >= 0 && b <= 1, s"k1 >= 0, b in [0,1]: $k1, $b")
@@ -2115,7 +2116,25 @@ object Retrieval {
       .join(hot, Seq("queryId", "word"))
       .select(col("queryId"), col("docId"), col("word"),
         (col("weight") * contribExpr(k1, b)).as("__c"))
-    val candScores = scoreFold(rareContrib.unionByName(hotContrib), bitExact)
+    val candScoresP = scoreFold(rareContrib.unionByName(hotContrib), bitExact)
+    // MAXP MODE (`docMap` = a (passageId, docId) membership table —
+    // [[graft.operators.Passages]]): the index rows are PASSAGES, the
+    // ranked unit is the DOCUMENT, score = max passage score. The
+    // candidate passage scores above are exact full scores as before;
+    // mapping them through [[maxPassageScores]] BEFORE the top-k
+    // window makes θ the kth DOC-level max — which is what the safety
+    // proof needs here: θ at the PASSAGE level over-states the doc
+    // cutoff (doc maxes are a per-doc best subset of passage scores),
+    // and routing on it could call a query safe while a pruned
+    // passage beats the true doc θ. With θ at the doc level the
+    // argument closes: every pruned (hot-only) passage scores
+    // < ub < θ, so it can neither lift a top-k doc's max (that max is
+    // already ≥ θ) nor lift an outside doc to ≥ θ — ties included,
+    // since the exclusion is strict.
+    val candScores = docMap match {
+      case None    => candScoresP
+      case Some(m) => maxPassageScores(candScoresP, m)
+    }
     val w = Window.partitionBy(col("queryId"))
       .orderBy(col("score").desc, col("docId").asc)
     // result-sized (≤ queries × k rows), consumed 2× (θ + safe output)
