@@ -274,7 +274,7 @@ object ScaleBench {
         "bm25_fuzzy_ed2_wand_10x", "bm25_prefix_topk_10x",
         "bm25_prefix_wand_10x", "bm25_prefix_tail_topk_10x",
         "bm25_prefix_tail_wand_10x",
-        "federated_topk_10x", "federated_ql_10x",
+        "federated_topk_10x", "federated_wand_10x", "federated_ql_10x",
         "federated_all_shards_10x",
         "ltr_pairwise_train_10x",
         "rm3_rescore_10x", "rm3_rescore_wand_10x",
@@ -1014,6 +1014,43 @@ object ScaleBench {
             scw, spark.table("sb_bm25_df"), spark.table("sb_bm25_stats"),
             bm25Queries, "query_id", "text", k = 5, nProbe = 4,
             bitExact = false)
+            .count())
+        }
+        // SCORE-EXACT federated WAND (q248's gate): the same 4-of-16
+        // probe with the hot postings inside the selected shards never
+        // scanned for safe queries — candidates fetch hot terms
+        // doc-wise through the persisted forward table, the impact
+        // ceilings route off the persisted metadata. Read the delta
+        // against federated_topk_10x: selection already sheds 3/4 of
+        // the posting volume, WAND sheds the hot share of what's left.
+        // Measured at this fixture (101 queries, all routing safe,
+        // theta >> ub): 5.8 s cold vs 7.6 unpruned — but warm 5.8 vs
+        // 5.0, the candidate/bound stages' fixed cost exceeding the
+        // warm hot-posting scan at 50k. The corpus-size routing rule
+        // (Retrieval minWandDocs) applies verbatim: below ~20k docs
+        // per probed shard-set, serve coriTopK; the win compounds
+        // with corpus size while the stage overhead stays flat
+        time(s"federated_wand_10x $round") {
+          import graft.operators.Federation
+          val shards = spark.range(50000)
+            .select(col("id").as("docId"),
+              pmod(col("id"), lit(16)).as("shard"))
+          val shardTf = spark.table("sb_bm25_tf")
+            .join(shards, Seq("docId"))
+            .select(col("shard"), col("docId"), col("dl"), col("word"),
+              col("tf"))
+          val sdf = Federation
+            .shardTermStats(spark.table("sb_bm25_tf"), shards)
+            .localCheckpoint()
+          val scw = Federation
+            .shardSizes(spark.table("sb_bm25_tf"), shards)
+            .localCheckpoint()
+          println("  fed_rows=" + Federation.coriTopKWand(shardTf, sdf,
+            scw, spark.table("sb_bm25_df"), spark.table("sb_bm25_stats"),
+            bm25Queries, "query_id", "text", k = 5, nProbe = 4,
+            hotDf = 5000L, bitExact = false,
+            forward = Some(spark.table("sb_bm25_fwd")),
+            impact = Some(spark.table("sb_bm25_imp")))
             .count())
         }
         // ...and the QL federation (q242's gate): same selection, the

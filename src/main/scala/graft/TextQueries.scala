@@ -2112,6 +2112,106 @@ private[graft] object TextQueries {
           col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
     }),
+    // SCORE-EXACT federated WAND (select → probe → WAND-prune →
+    // merge) over the Zipf fixture sharded doc_id%4: the pruned
+    // probes inside the 2 selected shards must merge BITWISE into the
+    // unpruned federated ranking — the oracle is the q237 replay over
+    // the zipf corpus, so the gate is the federated score-exactness
+    // claim itself
+    "q248_federated_wand_topk" -> ((s, dir) => {
+      import graft.operators.{Federation, Retrieval}
+      val (tf, qs, hotCut) = zipfWandFixture(s, dir)
+      val dfT = Retrieval.dfTable(tf).localCheckpoint()
+      val st = Retrieval.corpusStats(tf).localCheckpoint()
+      val shards = t(s, dir, "documents")
+        .select(col("doc_id").as("docId"),
+          pmod(col("doc_id"), lit(4)).as("shard"))
+      val shardTf = tf.join(shards, Seq("docId"))
+        .select(col("shard"), col("docId"), col("dl"), col("word"),
+          col("tf"))
+        .localCheckpoint()
+      val sdf = Federation.shardTermStats(tf, shards).localCheckpoint()
+      val scw = Federation.shardSizes(tf, shards).localCheckpoint()
+      Federation.coriTopKWand(shardTf, sdf, scw, dfT, st, qs,
+        "query_id", "text", k = 5, nProbe = 2, hotDf = hotCut,
+        impact = Some(Retrieval.impactStats(tf)))
+        .select(col("queryId").as("query_id"), col("docId").as("doc_id"),
+          round(col("score"), 6).as("score"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+    // ...and the federated decision table (the q205/q246 convention):
+    // the oracle recomputes the CORI selection, the SHARD-RESTRICTED
+    // rare-posting candidates, the GLOBAL (max_tf, min_dl) ceilings
+    // ×(1+1e-9), θ from the probed candidate scores, and the routing
+    // predicate verbatim — a selection or restriction drift moves
+    // n_candidates/θ even when q248's top-k survives it
+    "q249_federated_wand_stats" -> ((s, dir) => {
+      import graft.operators.{Federation, Retrieval}
+      val (tf, qs, hotCut) = zipfWandFixture(s, dir)
+      val dfT = Retrieval.dfTable(tf).localCheckpoint()
+      val st = Retrieval.corpusStats(tf).localCheckpoint()
+      val shards = t(s, dir, "documents")
+        .select(col("doc_id").as("docId"),
+          pmod(col("doc_id"), lit(4)).as("shard"))
+      val shardTf = tf.join(shards, Seq("docId"))
+        .select(col("shard"), col("docId"), col("dl"), col("word"),
+          col("tf"))
+        .localCheckpoint()
+      val sdf = Federation.shardTermStats(tf, shards).localCheckpoint()
+      val scw = Federation.shardSizes(tf, shards).localCheckpoint()
+      Federation.coriWandStats(shardTf, sdf, scw, dfT, st, qs,
+        "query_id", "text", k = 5, nProbe = 2, hotDf = hotCut,
+        impact = Some(Retrieval.impactStats(tf)))
+        .select(col("queryId").as("query_id"),
+          col("n_rare_terms"), col("n_hot_terms"), col("n_candidates"),
+          round(col("ub"), 6).as("ub"),
+          round(col("theta"), 6).as("theta"), col("safe"))
+        .orderBy("query_id")
+    }),
+    // federated top-k through POST-DELETE shard metadata (the q238
+    // convention for the federation layer): delete a doc slice, route
+    // the shard df/size tables through the deletion-side merges and
+    // the index through compactTermIndexDeleted — the select → probe
+    // → merge through the compacted metadata must be
+    // indistinguishable from a federation rebuilt on the survivors
+    // (the oracle recomputes ALL shard stats from surviving rows), so
+    // CORI routing tracks deletions exactly instead of drifting
+    // toward shards whose mass left
+    "q250_federated_topk_deleted" -> ((s, dir) => {
+      import graft.operators.{Federation, Retrieval}
+      val docs = t(s, dir, "documents")
+      val tf = Retrieval.termFrequencies(docs, "doc_id", "text")
+        .localCheckpoint() // see q179; consumed by deletes + stats
+      val dfT = Retrieval.dfTable(tf).localCheckpoint()
+      val st = Retrieval.corpusStats(tf).localCheckpoint()
+      val shards = docs.select(col("doc_id").as("docId"),
+        pmod(col("doc_id"), lit(4)).as("shard"))
+      val del = docs.where(col("doc_id") % 9 === 3)
+        .select(col("doc_id").as("docId")).localCheckpoint()
+      val (tfD0, dfD0, stD0) =
+        Retrieval.compactTermIndexDeleted(tf, dfT, st, del)
+      val shardTfD = tfD0.join(shards, Seq("docId"))
+        .select(col("shard"), col("docId"), col("dl"), col("word"),
+          col("tf"))
+        .localCheckpoint()
+      val sdfD = Federation.compactShardTermStatsDeleted(
+        Federation.shardTermStats(tf, shards), tf, shards, del)
+        .localCheckpoint()
+      val scwD = Federation.compactShardSizesDeleted(
+        Federation.shardSizes(tf, shards), tf, shards, del)
+        .localCheckpoint()
+      val qs = docs.where(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("query_id"),
+          substring(col("text"), 1, 40).as("text"))
+      Federation.coriTopK(shardTfD, sdfD, scwD,
+        dfD0.localCheckpoint(), stD0.localCheckpoint(), qs,
+        "query_id", "text", k = 5, nProbe = 2)
+        .select(col("queryId").as("query_id"), col("docId").as("doc_id"),
+          round(col("score"), 6).as("score"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
     // the QL decision table through a POST-DELETE index whose impact
     // metadata went through compactImpactStatsDeleted (the q224
     // convention over the deleted lifecycle): the oracle recomputes
@@ -5926,6 +6026,134 @@ private[graft] object TextQueries {
          |probed AS (
          |  SELECT b.query_id, b.doc_id, b.score
          |  FROM qlsc b JOIN sel s ON s.query_id = b.query_id
+         |    AND s.shard = CAST(b.doc_id % 4 AS BIGINT))
+         |SELECT query_id, doc_id, round(score, 6) AS score,
+         |  CAST(rank AS BIGINT) AS rank
+         |FROM (
+         |  SELECT query_id, doc_id, score,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id) AS rank
+         |  FROM probed) z
+         |WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // the UNPRUNED federated replay over the Zipf fixture (q237's
+    // select → probe → merge chain on q182's corpus/queries): the
+    // gate's WAND-pruned probes must merge BITWISE into it — the
+    // score-exactness claim IS the oracle
+    "q248_federated_wand_topk" ->
+      s"""WITH ${bm25Cte("TRUE", "doc_id % 50 = 0",
+             ZipfWandQueryTextSql, ZipfWandCorpusTextSql)},
+         |$CoriCtes,
+         |sel AS (
+         |  SELECT query_id, shard FROM (
+         |    SELECT query_id, shard,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score DESC, shard) AS r
+         |    FROM scored) z WHERE r <= 2),
+         |probed AS (
+         |  SELECT b.query_id, b.doc_id, b.score
+         |  FROM bscores b JOIN sel s ON s.query_id = b.query_id
+         |    AND s.shard = CAST(b.doc_id % 4 AS BIGINT))
+         |SELECT query_id, doc_id, round(score, 6) AS score,
+         |  CAST(rank AS BIGINT) AS rank
+         |FROM (
+         |  SELECT query_id, doc_id, score,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id) AS rank
+         |  FROM probed) z
+         |WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // the federated decision table from first principles: q205's
+    // impact-tightened replay (GLOBAL (max_tf, min_dl) ceilings —
+    // selection never weakens the bound) with the candidate set
+    // RESTRICTED to the CORI-selected (query, shard) pairs, θ from
+    // the probed candidates' exact global-statistics scores — a
+    // selection or shard-restriction drift moves n_candidates/theta
+    // even when q248's top-k survives it
+    "q249_federated_wand_stats" ->
+      s"""WITH ${bm25Cte("TRUE", "doc_id % 50 = 0",
+             ZipfWandQueryTextSql, ZipfWandCorpusTextSql)},
+         |$CoriCtes,
+         |sel AS (
+         |  SELECT query_id, shard FROM (
+         |    SELECT query_id, shard,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score DESC, shard) AS r
+         |    FROM scored) z WHERE r <= 2),
+         |hotcut AS (SELECT count(*) // 10 AS cut FROM corpus),
+         |split AS (
+         |  SELECT query_id, word, df, cut
+         |  FROM qterms JOIN dft USING (word) CROSS JOIN hotcut),
+         |counts AS (
+         |  SELECT query_id,
+         |    CAST(sum(CASE WHEN df <= cut THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_rare_terms,
+         |    CAST(sum(CASE WHEN df > cut THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_hot_terms
+         |  FROM split GROUP BY 1),
+         |cands AS (
+         |  SELECT DISTINCT s.query_id, t.doc_id
+         |  FROM split s JOIN tfv t USING (word)
+         |  JOIN sel ON sel.query_id = s.query_id
+         |    AND sel.shard = CAST(t.doc_id % 4 AS BIGINT)
+         |  WHERE s.df <= s.cut),
+         |ncand AS (
+         |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_candidates
+         |  FROM cands GROUP BY 1),
+         |imps AS (
+         |  SELECT t.word, max(t.tf) AS max_tf, min(l.dl) AS min_dl
+         |  FROM tfv t JOIN lens l ON l.doc_id = t.doc_id
+         |  GROUP BY 1),
+         |ubt AS (
+         |  SELECT e.query_id,
+         |    list_reduce(list_prepend(0.0, list(
+         |      e.idf * (CAST(max_tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
+         |        / (CAST(max_tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+         |           (1.0 - CAST(0.75 AS DOUBLE) +
+         |            CAST(0.75 AS DOUBLE) * CAST(min_dl AS DOUBLE) / e.avgdl))
+         |      ORDER BY e.word)), (a, x) -> a + x) *
+         |      CAST('${(1.0 + 1e-9).toString}' AS DOUBLE) AS ub
+         |  FROM enriched e JOIN dft d USING (word) JOIN imps USING (word)
+         |  CROSS JOIN hotcut
+         |  WHERE d.df > cut GROUP BY e.query_id),
+         |cscore AS (
+         |  SELECT b.query_id, b.doc_id, b.score
+         |  FROM bscores b JOIN cands c USING (query_id, doc_id)),
+         |th AS (
+         |  SELECT query_id, score AS theta FROM (
+         |    SELECT query_id, score,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score DESC, doc_id) AS r
+         |    FROM cscore) x WHERE r = 5)
+         |SELECT c.query_id, n_rare_terms, n_hot_terms,
+         |  CAST(coalesce(n_candidates, 0) AS BIGINT) AS n_candidates,
+         |  round(ub, 6) AS ub, round(theta, 6) AS theta,
+         |  NOT (n_hot_terms > 0 AND (theta IS NULL OR ub >= theta)) AS safe
+         |FROM counts c
+         |LEFT JOIN ncand USING (query_id)
+         |LEFT JOIN ubt USING (query_id)
+         |LEFT JOIN th USING (query_id)
+         |ORDER BY query_id""".stripMargin,
+
+    // q237's replay over the SURVIVING corpus only (doc_id % 9 <> 3):
+    // every shard statistic, global df, and corpus stat recomputed
+    // from survivors — the compacted shard metadata must select and
+    // score indistinguishably from a federation rebuilt post-delete
+    "q250_federated_topk_deleted" ->
+      s"""WITH ${bm25Cte("doc_id % 9 <> 3", "doc_id % 97 = 0",
+             "substr(text, 1, 40)")},
+         |$CoriCtes,
+         |sel AS (
+         |  SELECT query_id, shard FROM (
+         |    SELECT query_id, shard,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score DESC, shard) AS r
+         |    FROM scored) z WHERE r <= 2),
+         |probed AS (
+         |  SELECT b.query_id, b.doc_id, b.score
+         |  FROM bscores b JOIN sel s ON s.query_id = b.query_id
          |    AND s.shard = CAST(b.doc_id % 4 AS BIGINT))
          |SELECT query_id, doc_id, round(score, 6) AS score,
          |  CAST(rank AS BIGINT) AS rank

@@ -266,6 +266,145 @@ object Federation {
     Retrieval.bm25TopK(Retrieval.qlScoreFold(joined, mu, bitExact), k)
   }
 
+  /** SCORE-EXACT pruned federated top-k — [[Retrieval.bm25TopKWand]]
+    * composed into [[coriTopK]], closing the r18 gap where probes
+    * scored every matched posting inside the selected shards (at
+    * 100 TB the per-shard matched-posting volume IS the probe cost):
+    * returns exactly `coriTopK(...)` — same rows, same scores,
+    * bitwise under `bitExact` (q248 gates it against the unpruned
+    * federated replay) — while hot-term postings inside the probed
+    * shards are never scanned for safe queries.
+    *
+    * The two-phase plan survives the federation because the probe
+    * restriction only REMOVES docs: candidates are the docs in
+    * SELECTED (query, shard) pairs matching ≥ 1 rare term (the pair
+    * semi-join lands on the rare contributions BEFORE the fold, as in
+    * [[coriTopK]]); their hot contributions fetch doc-wise through
+    * `forward` (defaults to `shardTf` — at ingest pass the
+    * shard-partitioned docId-bucketed copy), and candidate scores are
+    * the exact GLOBAL-statistics scores. Any probed-shard doc outside
+    * the candidate set matches only hot terms, so its score stays
+    * under the [[Retrieval.wandHotUb]] bound — global idf/impact
+    * metadata dominates every shard-local posting — and `ub < θ`
+    * (θ = the kth candidate score) routes the query safe exactly as
+    * in the single-index operator; the shared bound tree means the
+    * two families cannot drift. Unsafe queries fall back to the
+    * unpruned fold over their selected pairs (the [[coriTopK]] tail
+    * verbatim, reusing the SAME selection — CORI never re-runs).
+    */
+  def coriTopKWand(shardTf: DataFrame, shardDf: DataFrame,
+                   shardCw: DataFrame,
+                   dfTab: DataFrame, stats: DataFrame,
+                   queries: DataFrame, qidCol: String, qtextCol: String,
+                   k: Int, nProbe: Int, hotDf: Long,
+                   k1: Double = 1.2, b25: Double = 0.75,
+                   bitExact: Boolean = true,
+                   forward: Option[DataFrame] = None,
+                   impact: Option[DataFrame] = None,
+                   coriB: Double = 0.4, dfBase: Double = 50.0,
+                   cwScale: Double = 150.0): DataFrame = {
+    val (c, sel, tfPruned) = coriWandCore(shardTf, shardDf, shardCw,
+      dfTab, stats, queries, qidCol, qtextCol, k, nProbe, hotDf, k1,
+      b25, bitExact, forward, impact, coriB, dfBase, cwScale)
+    // the coriTopK tail restricted to the unsafe queries — same
+    // selection, same pair semi-join, same fold (weight = 1.0 rides
+    // bitwise, the unitEnriched convention)
+    val fbContrib = tfPruned
+      .join(c.enriched.join(c.unsafeQ, Seq("queryId"), "left_semi"),
+        Seq("word"))
+      .join(sel, Seq("queryId", "shard"), "left_semi")
+      .select(col("queryId"), col("docId"), col("word"),
+        (col("weight") * Retrieval.contribExpr(k1, b25)).as("__c"))
+    val fallback = Retrieval.bm25TopK(
+      Retrieval.scoreFold(fbContrib, bitExact), k)
+    c.safeTopK.unionByName(fallback.select("queryId", "docId", "score",
+      "rank"))
+  }
+
+  /** The federated WAND decision table (the q187/q205/q246
+    * convention) — identical columns and routing predicate as
+    * [[Retrieval.bm25WandStats]], shared [[coriWandCore]] internals
+    * with [[coriTopKWand]] so the readout cannot drift.
+    * `n_candidates` counts candidate (query, doc) pairs INSIDE the
+    * selected shards (the restricted rare-posting probe's output);
+    * `ub` is the global hot-only bound (selection never weakens it —
+    * probed docs are a subset of the corpus).
+    */
+  def coriWandStats(shardTf: DataFrame, shardDf: DataFrame,
+                    shardCw: DataFrame,
+                    dfTab: DataFrame, stats: DataFrame,
+                    queries: DataFrame, qidCol: String, qtextCol: String,
+                    k: Int, nProbe: Int, hotDf: Long,
+                    k1: Double = 1.2, b25: Double = 0.75,
+                    bitExact: Boolean = true,
+                    forward: Option[DataFrame] = None,
+                    impact: Option[DataFrame] = None,
+                    coriB: Double = 0.4, dfBase: Double = 50.0,
+                    cwScale: Double = 150.0): DataFrame =
+    Retrieval.wandStatsFrom(coriWandCore(shardTf, shardDf, shardCw,
+      dfTab, stats, queries, qidCol, qtextCol, k, nProbe, hotDf, k1,
+      b25, bitExact, forward, impact, coriB, dfBase, cwScale)._1, hotDf)
+
+  /** The federated two-phase WAND plan — [[Retrieval.wandCore]]'s
+    * shape with the (query, shard) pair semi-join landed on the rare
+    * contributions (the one federation-specific step; everything
+    * arithmetic is Retrieval's: [[Retrieval.wandHotUb]],
+    * [[Retrieval.contribExpr]], [[Retrieval.scoreFold]]). Returns the
+    * core plus the selection set and the shard-set-pruned posting
+    * table so the fallback reuses both.
+    */
+  private def coriWandCore(shardTf: DataFrame, shardDf: DataFrame,
+                           shardCw: DataFrame,
+                           dfTab: DataFrame, stats: DataFrame,
+                           queries: DataFrame, qidCol: String,
+                           qtextCol: String,
+                           k: Int, nProbe: Int, hotDf: Long,
+                           k1: Double, b25: Double, bitExact: Boolean,
+                           forward: Option[DataFrame],
+                           impact: Option[DataFrame],
+                           coriB: Double, dfBase: Double,
+                           cwScale: Double)
+      : (Retrieval.WandCore, DataFrame, DataFrame) = {
+    require(k > 0, s"k > 0: $k")
+    require(hotDf >= 0, s"hotDf >= 0: $hotDf")
+    val (sel, tfPruned) = selectAndPrune(shardTf, shardDf, shardCw,
+      queries, qidCol, qtextCol, nProbe, coriB, dfBase, cwScale)
+    // query-batch-sized, consumed 4x (rare, hot, bound, fallback)
+    val enriched = Retrieval.unitEnriched(dfTab, stats, queries,
+      qidCol, qtextCol).localCheckpoint()
+    val rare = enriched.filter(col("df") <= hotDf)
+    val hot = enriched.filter(col("df") > hotDf)
+    val hotUb = Retrieval.wandHotUb(hot, k1, b25, impact)
+    val rareContrib = tfPruned.join(rare, Seq("word"))
+      .join(sel, Seq("queryId", "shard"), "left_semi")
+      .select(col("queryId"), col("docId"), col("word"),
+        (col("weight") * Retrieval.contribExpr(k1, b25)).as("__c"))
+    val candPairs = rareContrib.select("queryId", "docId").distinct()
+    // candidate pairs already respect the selection (each doc lives
+    // in exactly one shard), so the forward fetch needs no shard
+    // filter — the hot join restricts to the query's own hot terms
+    val fwd = forward.getOrElse(shardTf)
+    val hotContrib = candPairs.join(fwd, Seq("docId"))
+      .join(hot, Seq("queryId", "word"))
+      .select(col("queryId"), col("docId"), col("word"),
+        (col("weight") * Retrieval.contribExpr(k1, b25)).as("__c"))
+    val candScores = Retrieval.scoreFold(
+      rareContrib.unionByName(hotContrib), bitExact)
+    val w = Window.partitionBy(col("queryId"))
+      .orderBy(col("score").desc, col("docId").asc)
+    // result-sized, consumed 2x (θ + safe output)
+    val topkCand = candScores.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k).localCheckpoint()
+    val theta = topkCand.filter(col("rank") === k)
+      .select(col("queryId"), col("score").as("__theta"))
+    // consumed 2x (safe anti-join + fallback semi-join)
+    val unsafeQ = hotUb.join(theta, Seq("queryId"), "left_outer")
+      .filter(col("__theta").isNull || col("__ub") >= col("__theta"))
+      .select("queryId").localCheckpoint()
+    (Retrieval.WandCore(enriched, candPairs, topkCand, hotUb, theta,
+      unsafeQ), sel, tfPruned)
+  }
+
   /** The selection + batch-prune head shared by the federated top-k
     * operators: the CORI top-`nProbe` (queryId, shard) set
     * (result-sized, localCheckpointed — consumed by the batch prune

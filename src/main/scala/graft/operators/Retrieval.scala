@@ -2035,6 +2035,43 @@ object Retrieval {
           .as("safe"))
   }
 
+  /** The per-query hot-only score bound off a WEIGHTED hot-term table
+    * `(queryId, word, weight, avgdl, idf, ...)` — extracted from
+    * [[wandCore]] so [[graft.operators.Federation]]'s pruned probes
+    * share the EXACT bound tree (a bound drift must fail every
+    * decision-table gate, never fork silently): without metadata the
+    * tf→∞ saturation ceiling `Σ weight·idf·(k1+1)`, with an
+    * [[impactStats]] table the per-term corpus-extremal ceiling
+    * `weight·f(max_tf, min_dl)` (missing words fall back to
+    * saturation in-place); word-sorted fold, ×(1+1e-9) margin — the
+    * full derivation and the staleness contract live at the
+    * [[wandCore]] call site.
+    */
+  private[operators] def wandHotUb(hot: DataFrame, k1: Double, b: Double,
+                                   impact: Option[DataFrame]): DataFrame =
+    impact match {
+      case None =>
+        hot.groupBy("queryId")
+          .agg((aggregate(
+            sort_array(collect_list(struct(col("word"),
+              (col("weight") * col("idf")).as("__wIdf")))),
+            lit(0.0), (a, x) => a + x.getField("__wIdf")) *
+            lit((k1 + 1.0) * (1.0 + 1e-9))).as("__ub"))
+      case Some(imp) =>
+        hot
+          .join(imp.select(col("word"), col("max_tf").as("tf"),
+            col("min_dl").as("dl")), Seq("word"), "left_outer")
+          .select(col("queryId"), col("word"),
+            when(col("tf").isNull,
+              col("weight") * col("idf") * lit(k1 + 1.0))
+              .otherwise(col("weight") * contribExpr(k1, b)).as("__wc"))
+          .groupBy("queryId")
+          .agg((aggregate(
+            sort_array(collect_list(struct(col("word"), col("__wc")))),
+            lit(0.0), (a, x) => a + x.getField("__wc")) *
+            lit(1.0 + 1e-9)).as("__ub"))
+    }
+
   /** The two-phase WAND plan over an enriched WEIGHTED query-term
     * table `(queryId, word, weight, avgdl, idf, df)` — everything both
     * the unit and weighted operators share: the rare/hot split, the
@@ -2083,28 +2120,7 @@ object Retrieval {
     // route a query safe while a pruned doc beats θ. Appends must go
     // through [[compactImpactStats]] (the StreamingSpec ingest loop);
     // the [[impactStats]] lifecycle doc states the contract.
-    val hotUb = impact match {
-      case None =>
-        hot.groupBy("queryId")
-          .agg((aggregate(
-            sort_array(collect_list(struct(col("word"),
-              (col("weight") * col("idf")).as("__wIdf")))),
-            lit(0.0), (a, x) => a + x.getField("__wIdf")) *
-            lit((k1 + 1.0) * (1.0 + 1e-9))).as("__ub"))
-      case Some(imp) =>
-        hot
-          .join(imp.select(col("word"), col("max_tf").as("tf"),
-            col("min_dl").as("dl")), Seq("word"), "left_outer")
-          .select(col("queryId"), col("word"),
-            when(col("tf").isNull,
-              col("weight") * col("idf") * lit(k1 + 1.0))
-              .otherwise(col("weight") * contribExpr(k1, b)).as("__wc"))
-          .groupBy("queryId")
-          .agg((aggregate(
-            sort_array(collect_list(struct(col("word"), col("__wc")))),
-            lit(0.0), (a, x) => a + x.getField("__wc")) *
-            lit(1.0 + 1e-9)).as("__ub"))
-    }
+    val hotUb = wandHotUb(hot, k1, b, impact)
     // phase 1: candidates via the rare postings, then full scores with
     // the hot contributions fetched doc-wise through the forward layout
     val rareContrib = tf.join(rare, Seq("word"))

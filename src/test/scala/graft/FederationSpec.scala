@@ -142,6 +142,59 @@ class FederationSpec extends SparkSpec {
     }
   }
 
+  test("federated WAND top-k is bitwise coriTopK at every nProbe, " +
+    "with and without impact metadata, and the stats table routes") {
+    val rnd = new scala.util.Random(248)
+    val c = (1L to 90L).map { id =>
+      id -> Seq.fill(5 + rnd.nextInt(5))(
+        s"tok${18 / (rnd.nextInt(18) + 1)}").mkString(" ")
+    }.toDF("doc_id", "text")
+    val tf = Retrieval.termFrequencies(c, "doc_id", "text")
+      .localCheckpoint()
+    val dfT = Retrieval.dfTable(tf).localCheckpoint()
+    val st = Retrieval.corpusStats(tf).localCheckpoint()
+    val shards = c.select(col("doc_id").as("docId"),
+      pmod(col("doc_id"), lit(3)).as("shard"))
+    val shardTf = tf.join(shards, Seq("docId"))
+      .select(col("shard"), col("docId"), col("dl"), col("word"),
+        col("tf")).localCheckpoint()
+    val sdf = Federation.shardTermStats(tf, shards).localCheckpoint()
+    val scw = Federation.shardSizes(tf, shards).localCheckpoint()
+    val qs = Seq((900L, "tok1 tok18"), (901L, "tok9 tok2"),
+      (902L, "tok3"), (903L, "tok2 tok18")).toDF("query_id", "text")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("queryId"), col("docId"), col("score"),
+        col("rank").cast("int")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3))).toSeq.sorted
+    // the hot cut splits the 18/k vocab at its natural df gap:
+    // tok18/tok9/tok6/tok4 (one k each, df ~30) stay rare, the
+    // head (tok3/tok2/tok1 — 2, 3, and 9 k-values, df 50+) goes hot;
+    // q902 is all-hot (no candidates -> must fall back), the others
+    // pair a rare discriminator with a near-zero-idf hot term whose
+    // impact ceiling sits under theta
+    val hotCut = 40L
+    val imp = Retrieval.impactStats(tf).localCheckpoint()
+    for (np <- Seq(1, 2, 3); im <- Seq(None, Some(imp))) {
+      val unpruned = rows(Federation.coriTopK(shardTf, sdf, scw, dfT,
+        st, qs, "query_id", "text", k = 4, nProbe = np))
+      assert(rows(Federation.coriTopKWand(shardTf, sdf, scw, dfT, st,
+        qs, "query_id", "text", k = 4, nProbe = np, hotDf = hotCut,
+        impact = im)) === unpruned,
+        s"nProbe=$np impact=${im.isDefined}") // bitwise
+    }
+    // the decision table carries both routes (safe queries actually
+    // skip hot postings; unsafe ones actually fall back) — a
+    // degenerate all-one-way table would make the bitwise assert
+    // vacuous on one branch
+    val stats = Federation.coriWandStats(shardTf, sdf, scw, dfT, st,
+      qs, "query_id", "text", k = 4, nProbe = 2, hotDf = hotCut,
+      impact = Some(imp)).select("safe").collect().map(_.getBoolean(0))
+    assert(stats.length === 4)
+    assert(stats.exists(identity) && stats.exists(!_),
+      s"want both routes exercised: ${stats.mkString(",")}")
+  }
+
   test("selection quality: probing 1 of 3 shards keeps most of the " +
     "true top-k (the IrEval recall row)") {
     import graft.operators.IrEval
