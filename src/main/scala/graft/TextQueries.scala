@@ -2176,6 +2176,33 @@ private[graft] object TextQueries {
           col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
     }),
+    // the ROUTED federated default (the q234/q251 convention: routing
+    // is pure economics, both branches score-exact) — this fixture's
+    // 500 docs sit under minWandDocs, so the route serves the
+    // unpruned coriTopK and must answer bitwise the SAME shared
+    // oracle q248 pins through the forced-WAND branch
+    "q251_federated_topk_routed" -> ((s, dir) => {
+      import graft.operators.{Federation, Retrieval}
+      val (tf, qs, _) = zipfWandFixture(s, dir)
+      val dfT = Retrieval.dfTable(tf).localCheckpoint()
+      val st = Retrieval.corpusStats(tf).localCheckpoint()
+      val shards = t(s, dir, "documents")
+        .select(col("doc_id").as("docId"),
+          pmod(col("doc_id"), lit(4)).as("shard"))
+      val shardTf = tf.join(shards, Seq("docId"))
+        .select(col("shard"), col("docId"), col("dl"), col("word"),
+          col("tf"))
+        .localCheckpoint()
+      val sdf = Federation.shardTermStats(tf, shards).localCheckpoint()
+      val scw = Federation.shardSizes(tf, shards).localCheckpoint()
+      Federation.coriTopKRouted(shardTf, sdf, scw, dfT, st, qs,
+        "query_id", "text", k = 5, nProbe = 2,
+        impact = Some(Retrieval.impactStats(tf)))
+        .select(col("queryId").as("query_id"), col("docId").as("doc_id"),
+          round(col("score"), 6).as("score"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
     // the QL decision table through a POST-DELETE index whose impact
     // metadata went through compactImpactStatsDeleted (the q224
     // convention over the deleted lifecycle): the oracle recomputes
@@ -3377,6 +3404,37 @@ private[graft] object TextQueries {
        |scored AS (
        |  SELECT query_id, shard, ssum / CAST(snq AS DOUBLE) AS score
        |  FROM csum JOIN sqnq USING (query_id))""".stripMargin
+
+  /** The federated select → probe → merge replay over the Zipf WAND
+    * fixture (q237's chain on q182's corpus/queries) — ONE definition
+    * shared by q248 (the forced-WAND exactness gate) and q251 (the
+    * routed default, which serves this fixture unpruned): a selection
+    * or merge drift must fail BOTH gates, and the two branches'
+    * shared answer is pinned to the same string.
+    */
+  private lazy val FederatedZipfTopKOracle: String =
+    s"""WITH ${bm25Cte("TRUE", "doc_id % 50 = 0",
+           ZipfWandQueryTextSql, ZipfWandCorpusTextSql)},
+       |$CoriCtes,
+       |sel AS (
+       |  SELECT query_id, shard FROM (
+       |    SELECT query_id, shard,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY score DESC, shard) AS r
+       |    FROM scored) z WHERE r <= 2),
+       |probed AS (
+       |  SELECT b.query_id, b.doc_id, b.score
+       |  FROM bscores b JOIN sel s ON s.query_id = b.query_id
+       |    AND s.shard = CAST(b.doc_id % 4 AS BIGINT))
+       |SELECT query_id, doc_id, round(score, 6) AS score,
+       |  CAST(rank AS BIGINT) AS rank
+       |FROM (
+       |  SELECT query_id, doc_id, score,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, doc_id) AS rank
+       |  FROM probed) z
+       |WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
 
   /** The query-likelihood Dirichlet chain replayed in SQL, downstream
     * of [[bm25Cte]]'s `tfv`/`lens`/`qterms` (shared by q199/q201):
@@ -6051,29 +6109,13 @@ private[graft] object TextQueries {
     // select → probe → merge chain on q182's corpus/queries): the
     // gate's WAND-pruned probes must merge BITWISE into it — the
     // score-exactness claim IS the oracle
-    "q248_federated_wand_topk" ->
-      s"""WITH ${bm25Cte("TRUE", "doc_id % 50 = 0",
-             ZipfWandQueryTextSql, ZipfWandCorpusTextSql)},
-         |$CoriCtes,
-         |sel AS (
-         |  SELECT query_id, shard FROM (
-         |    SELECT query_id, shard,
-         |      row_number() OVER (PARTITION BY query_id
-         |        ORDER BY score DESC, shard) AS r
-         |    FROM scored) z WHERE r <= 2),
-         |probed AS (
-         |  SELECT b.query_id, b.doc_id, b.score
-         |  FROM bscores b JOIN sel s ON s.query_id = b.query_id
-         |    AND s.shard = CAST(b.doc_id % 4 AS BIGINT))
-         |SELECT query_id, doc_id, round(score, 6) AS score,
-         |  CAST(rank AS BIGINT) AS rank
-         |FROM (
-         |  SELECT query_id, doc_id, score,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY score DESC, doc_id) AS rank
-         |  FROM probed) z
-         |WHERE rank <= 5
-         |ORDER BY query_id, rank""".stripMargin,
+    "q248_federated_wand_topk" -> FederatedZipfTopKOracle,
+    // THE SAME REPLAY (one shared string — the one-definition rule
+    // for "the federated Zipf ranking"): the routed default serves
+    // this fixture through the unpruned branch (500 docs <
+    // minWandDocs) and must answer identically — routing is pure
+    // economics, q248 already pins the other branch bitwise
+    "q251_federated_topk_routed" -> FederatedZipfTopKOracle,
 
     // the federated decision table from first principles: q205's
     // impact-tightened replay (GLOBAL (max_tf, min_dl) ceilings —

@@ -321,6 +321,50 @@ object Federation {
       "rank"))
   }
 
+  /** ROUTING-AWARE federated top-k — the production default for the
+    * select → probe → merge path: serve through [[coriTopKWand]] when
+    * the corpus is large enough for pruning to pay, through the
+    * unpruned [[coriTopK]] otherwise. Both branches are score-exact
+    * (q248 pins the WAND branch bitwise against the unpruned
+    * federated replay), so the routing is pure ECONOMICS — the
+    * [[Retrieval.qlTopKWandWeightedRouted]] rule applied to the
+    * federation: WAND's candidate/bound stages cost a near-constant
+    * extra budget while the win scales with the hot posting volume
+    * inside the probed shards. Measured at the r19 shapes (ScaleBench
+    * federated arms, 50k docs / 16 shards / 4 probed): WAND 5.8 s
+    * cold vs 7.6 unpruned, but warm 5.8 vs 5.0 — the same crossover
+    * every WAND consumer shows, so the same `minWandDocs = 20000`
+    * default. |D| reads off the persisted one-row GLOBAL `stats`
+    * table (never a corpus count); `hotDf` defaults to `|D|/10` off
+    * the same row. The unpruned branch never evaluates `forward` or
+    * `impact` (plans are lazy), so callers pass the metadata
+    * unconditionally.
+    */
+  def coriTopKRouted(shardTf: DataFrame, shardDf: DataFrame,
+                     shardCw: DataFrame,
+                     dfTab: DataFrame, stats: DataFrame,
+                     queries: DataFrame, qidCol: String, qtextCol: String,
+                     k: Int, nProbe: Int,
+                     hotDf: Option[Long] = None,
+                     minWandDocs: Long = 20000L,
+                     k1: Double = 1.2, b25: Double = 0.75,
+                     bitExact: Boolean = true,
+                     forward: Option[DataFrame] = None,
+                     impact: Option[DataFrame] = None,
+                     coriB: Double = 0.4, dfBase: Double = 50.0,
+                     cwScale: Double = 150.0): DataFrame = {
+    val nDocs = stats.select(col("n_docs").cast("long"))
+      .collect()(0).getLong(0)
+    if (nDocs < minWandDocs)
+      coriTopK(shardTf, shardDf, shardCw, dfTab, stats, queries,
+        qidCol, qtextCol, k, nProbe, k1, b25, bitExact, coriB, dfBase,
+        cwScale)
+    else
+      coriTopKWand(shardTf, shardDf, shardCw, dfTab, stats, queries,
+        qidCol, qtextCol, k, nProbe, hotDf.getOrElse(nDocs / 10), k1,
+        b25, bitExact, forward, impact, coriB, dfBase, cwScale)
+  }
+
   /** The federated WAND decision table (the q187/q205/q246
     * convention) — identical columns and routing predicate as
     * [[Retrieval.bm25WandStats]], shared [[coriWandCore]] internals

@@ -195,6 +195,46 @@ class FederationSpec extends SparkSpec {
       s"want both routes exercised: ${stats.mkString(",")}")
   }
 
+  test("routed federated top-k serves the branch the corpus size " +
+    "picks, and both branches answer bitwise") {
+    val rnd = new scala.util.Random(251)
+    val c = (1L to 90L).map { id =>
+      id -> Seq.fill(5 + rnd.nextInt(5))(
+        s"tok${18 / (rnd.nextInt(18) + 1)}").mkString(" ")
+    }.toDF("doc_id", "text")
+    val tf = Retrieval.termFrequencies(c, "doc_id", "text")
+      .localCheckpoint()
+    val dfT = Retrieval.dfTable(tf).localCheckpoint()
+    val st = Retrieval.corpusStats(tf).localCheckpoint()
+    val shards = c.select(col("doc_id").as("docId"),
+      pmod(col("doc_id"), lit(3)).as("shard"))
+    val shardTf = tf.join(shards, Seq("docId"))
+      .select(col("shard"), col("docId"), col("dl"), col("word"),
+        col("tf")).localCheckpoint()
+    val sdf = Federation.shardTermStats(tf, shards).localCheckpoint()
+    val scw = Federation.shardSizes(tf, shards).localCheckpoint()
+    val qs = Seq((900L, "tok1 tok18"), (901L, "tok9 tok2"))
+      .toDF("query_id", "text")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("queryId"), col("docId"), col("score"),
+        col("rank").cast("int")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3))).toSeq.sorted
+    val unpruned = rows(Federation.coriTopK(shardTf, sdf, scw, dfT,
+      st, qs, "query_id", "text", k = 4, nProbe = 2))
+    // 90 docs < the threshold -> the unpruned branch serves
+    assert(rows(Federation.coriTopKRouted(shardTf, sdf, scw, dfT, st,
+      qs, "query_id", "text", k = 4, nProbe = 2,
+      minWandDocs = 20000L)) === unpruned)
+    // threshold forced under |D| -> the WAND branch serves, and it
+    // answers bitwise the same (hotDf pinned so the |D|/10 default
+    // doesn't make every term rare on the toy vocab)
+    assert(rows(Federation.coriTopKRouted(shardTf, sdf, scw, dfT, st,
+      qs, "query_id", "text", k = 4, nProbe = 2,
+      hotDf = Some(40L), minWandDocs = 1L,
+      impact = Some(Retrieval.impactStats(tf)))) === unpruned)
+  }
+
   test("selection quality: probing 1 of 3 shards keeps most of the " +
     "true top-k (the IrEval recall row)") {
     import graft.operators.IrEval
