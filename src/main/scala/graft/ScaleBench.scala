@@ -275,7 +275,7 @@ object ScaleBench {
         "bm25_prefix_wand_10x", "bm25_prefix_tail_topk_10x",
         "bm25_prefix_tail_wand_10x",
         "federated_topk_10x", "federated_wand_10x", "federated_ql_10x",
-        "federated_all_shards_10x",
+        "federated_all_shards_10x", "federated_topk_part_10x",
         "ltr_pairwise_train_10x",
         "rm3_rescore_10x", "rm3_rescore_wand_10x",
         "rm3_rescore_wand_impact_10x", "ql_rm3_rescore_10x",
@@ -300,7 +300,7 @@ object ScaleBench {
           "sb_bm25_imp", "sb_bm25_var", "sb_bm25_champ",
           "sb_bm25_champ2", "sb_pass_tf", "sb_pass_df",
           "sb_pass_stats", "sb_pass_mem", "sb_pass_fwd",
-          "sb_pass_imp")) {
+          "sb_pass_imp", "sb_fed_tf")) {
           spark.sql(s"DROP TABLE IF EXISTS $t")
           val p = new org.apache.hadoop.fs.Path(
             spark.conf.get("spark.sql.warehouse.dir"), t)
@@ -331,6 +331,19 @@ object ScaleBench {
         // batches in, deletions leave it conservatively valid)
         graft.operators.Retrieval.impactStats(tf)
           .write.mode("overwrite").saveAsTable("sb_bm25_imp")
+        // the shard-PARTITIONED federated posting layout: partitioned
+        // by shard on disk so selectAndPrune's static shard-set filter
+        // prunes at FILE LISTING (BucketingSpec pins the partition
+        // filter) — a 4-of-16 probe reads 1/4 of the bytes before any
+        // scan task starts; word-bucketed within each shard partition
+        spark.range(50000)
+          .select(col("id").as("docId"),
+            pmod(col("id"), lit(16)).as("shard"))
+          .join(tf, Seq("docId"))
+          .select(col("shard"), col("docId"), col("dl"), col("word"),
+            col("tf"))
+          .write.partitionBy("shard").bucketBy(32, "word").sortBy("word")
+          .mode("overwrite").saveAsTable("sb_fed_tf")
         // the fuzzy probe's deletion-neighborhood layout (vocab-sized
         // × avg word length, corpus-independent) — variant-bucketed so
         // a query batch's fuzzy equi-join is exchange-free
@@ -1009,6 +1022,36 @@ object ScaleBench {
             .localCheckpoint()
           val scw = Federation
             .shardSizes(spark.table("sb_bm25_tf"), shards)
+            .localCheckpoint()
+          println("  fed_rows=" + Federation.coriTopK(shardTf, sdf,
+            scw, spark.table("sb_bm25_df"), spark.table("sb_bm25_stats"),
+            bm25Queries, "query_id", "text", k = 5, nProbe = 4,
+            bitExact = false)
+            .count())
+        }
+        // the same probe over the PERSISTED shard-partitioned layout:
+        // no in-arm shard join, and the static shard-set filter lands
+        // in the scan's PartitionFilters — 12 of 16 shard directories
+        // are never listed (BucketingSpec pins the pruned listing).
+        // Measured at this fixture: 11.5 s warm vs 8.2 for the in-arm
+        // build — the 16-partition × 32-bucket layout is ~512 small
+        // files and open/listing overhead beats the pruned bytes at
+        // 50k-doc scale. The layout is still the 100 TB answer: bytes
+        // dominate there, the pruned listing reads 1/4 of them, and
+        // the word-bucketing keeps the probe join exchange-free — the
+        // fixture measures the overhead floor, not the asymptote
+        time(s"federated_topk_part_10x $round") {
+          import graft.operators.Federation
+          val shardTf = spark.table("sb_fed_tf")
+          val sdf = Federation.shardTermStats(
+            spark.table("sb_bm25_tf"),
+            spark.range(50000).select(col("id").as("docId"),
+              pmod(col("id"), lit(16)).as("shard")))
+            .localCheckpoint()
+          val scw = Federation.shardSizes(
+            spark.table("sb_bm25_tf"),
+            spark.range(50000).select(col("id").as("docId"),
+              pmod(col("id"), lit(16)).as("shard")))
             .localCheckpoint()
           println("  fed_rows=" + Federation.coriTopK(shardTf, sdf,
             scw, spark.table("sb_bm25_df"), spark.table("sb_bm25_stats"),

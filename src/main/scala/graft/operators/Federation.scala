@@ -467,7 +467,21 @@ object Federation {
       .filter(col("rank") <= nProbe)
       .select("queryId", "shard")
       .localCheckpoint()
-    val shardSet = sel.select("shard").distinct()
-    (sel, shardTf.join(broadcast(shardSet), Seq("shard"), "left_semi"))
+    // the batch prune is a STATIC IN filter, not a broadcast
+    // semi-join: the probed shard set is ≤ |shards| (metadata-scale —
+    // the same contract that broadcasts shardCw; sel is already
+    // checkpointed, so this is one result-sized driver read, the
+    // sanctioned routing-scale collect). The payoff is physical: over
+    // a `partitionBy(shard)` persisted posting layout the filter
+    // prunes at FILE LISTING — a 4-of-16 probe reads 1/4 of the
+    // bytes, no scan task ever opens an unselected shard's files
+    // (BucketingSpec pins the partition filter; at 100 TB this IS the
+    // difference between a federated probe and a full-corpus scan).
+    val shardSet = sel.select("shard").distinct().collect()
+      .map(_.get(0)).toSeq
+    val pruned =
+      if (shardSet.isEmpty) shardTf.filter(lit(false)) // no queries
+      else shardTf.filter(col("shard").isInCollection(shardSet))
+    (sel, pruned)
   }
 }

@@ -495,4 +495,74 @@ class BucketingSpec extends SparkSpec {
       assert(rows.nonEmpty)
     } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
+
+  test("federated probe over a shard-PARTITIONED posting layout prunes " +
+    "unselected shards at file listing") {
+    // the Federation.selectAndPrune persistence claim: the batch prune
+    // is a STATIC shard-set IN filter, so over a partitionBy(shard)
+    // table it lands in the scan's PartitionFilters — the listing
+    // skips unselected shards' directories entirely; a 2-of-3 probe
+    // reads 2/3 of the partitions, and at 100 TB that pruning is the
+    // federated probe's entire I/O story
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import graft.operators.{Federation, Retrieval}
+    val rnd = new scala.util.Random(252)
+    val c = (1L to 90L).map { id =>
+      id -> Seq.fill(6)(
+        s"tok${12 / (rnd.nextInt(12) + 1)}").mkString(" ")
+    }.toDF("doc_id", "text")
+    val tf = Retrieval.termFrequencies(c, "doc_id", "text")
+      .localCheckpoint()
+    val dfT = Retrieval.dfTable(tf).localCheckpoint()
+    val st = Retrieval.corpusStats(tf).localCheckpoint()
+    val shards = c.select(col("doc_id").as("docId"),
+      pmod(col("doc_id"), lit(3)).as("shard"))
+    val sdf = Federation.shardTermStats(tf, shards).localCheckpoint()
+    val scw = Federation.shardSizes(tf, shards).localCheckpoint()
+    spark.sql("DROP TABLE IF EXISTS fed_tf_part")
+    tf.join(shards, Seq("docId"))
+      .select(col("shard"), col("docId"), col("dl"), col("word"),
+        col("tf"))
+      .write.partitionBy("shard").mode("overwrite")
+      .saveAsTable("fed_tf_part")
+    val shardTfP = spark.table("fed_tf_part")
+    val qs = Seq((900L, "tok1 tok12"), (901L, "tok6 tok2"))
+      .toDF("query_id", "text")
+    // AQE off so the executed plan exposes the scan node directly
+    // (the sibling tests' convention — AQE wraps stages the plan
+    // collect cannot traverse)
+    val saved = "spark.sql.adaptive.enabled" ->
+      spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // nProbe = 1 with two queries: the probed UNION is <= 2 shards
+      // by construction, so the 3-partition listing must shrink
+      val fed = Federation.coriTopK(shardTfP, sdf, scw, dfT, st, qs,
+        "query_id", "text", k = 4, nProbe = 1)
+      val rows = fed.collect()
+      assert(rows.nonEmpty)
+      val scans = fed.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec
+          if s.toString.contains("fed_tf_part") => s
+      }
+      assert(scans.nonEmpty, "expected a fed_tf_part scan")
+      scans.foreach { s =>
+        assert(s.partitionFilters.nonEmpty,
+          s"shard prune must be a PARTITION filter, not a row filter:\n$s")
+        // the listing actually skipped at least one shard directory
+        assert(s.selectedPartitions.partitionCount < 3,
+          s"<=2-of-3 probe must not list all 3 shard partitions " +
+            s"(got ${s.selectedPartitions.partitionCount})")
+      }
+      // value parity with the in-memory shard table
+      val shardTfMem = tf.join(shards, Seq("docId"))
+        .select(col("shard"), col("docId"), col("dl"), col("word"),
+          col("tf")).localCheckpoint()
+      val mem = Federation.coriTopK(shardTfMem, sdf, scw, dfT, st, qs,
+        "query_id", "text", k = 4, nProbe = 1).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows.map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2))).toSet === mem)
+    } finally spark.conf.set(saved._1, saved._2)
+  }
 }
